@@ -1,0 +1,341 @@
+package graft
+
+/** DuckDB oracle SQL, one entry per SQL-expressible query in
+  * [[SparkEntry.queries]]. Each statement is written to be *value-identical*
+  * to the Spark query: float aggregations run on exact integer-scaled inputs
+  * (order-independent sums), scalar float expressions replicate the Spark
+  * operation order, timestamps compare as integer epoch-µs.
+  * Rows-only queries (hash/FFT/LSH internals not expressible in DuckDB) are
+  * intentionally absent.
+  */
+object OracleSql {
+
+  private val norm =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** occurrences of a marker in padded lowercase text */
+  private def occ(hay: String, needle: String): String = {
+    val n = needle.replace("'", "''")
+    s"CAST((length($hay) - length(replace($hay, '$n', ''))) / ${needle.length} AS BIGINT)"
+  }
+
+  private def langScore(markers: Seq[String]): String =
+    markers.map(m => occ("t", m)).mkString(" + ")
+
+  private val asofBase =
+    """FROM (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click') l
+      |ASOF %s JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+      |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
+
+  private val interpCommon =
+    """WITH agg AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h, avg(round(value * 100)) AS v
+      |  FROM events GROUP BY 1, 2),
+      |nx AS (SELECT user_id, h, v, lead(h) OVER (PARTITION BY user_id ORDER BY h) AS nh FROM agg),
+      |spine AS (SELECT user_id, h, v,
+      |  unnest(generate_series(h, CASE WHEN nh IS NULL THEN h ELSE nh - INTERVAL 1 HOUR END,
+      |                         INTERVAL 1 HOUR)) AS t FROM nx),
+      |vals AS (SELECT user_id, t, CASE WHEN t = h THEN v END AS v,
+      |  (t <> h) AS is_ts_interpolated FROM spine),
+      |ctx AS (SELECT user_id, t, v, is_ts_interpolated,
+      |  last_value(v IGNORE NULLS) OVER wa AS pv,
+      |  last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wa AS pt,
+      |  last_value(v IGNORE NULLS) OVER wd AS nv,
+      |  last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wd AS nt
+      |  FROM vals
+      |  WINDOW wa AS (PARTITION BY user_id ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wd AS (PARTITION BY user_id ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT user_id, epoch_us(t) AS ts_us, (%s) / 100.0 AS value,
+      |  is_ts_interpolated, (v IS NULL) AS is_interpolated_value
+      |FROM ctx""".stripMargin
+
+  private val momentSd =
+    "CASE WHEN cnt > 1 THEN sqrt((cnt * s2 - s1 * s1) / (cnt * (cnt - 1))) END"
+
+  private val qv = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))"
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  val all: Map[String, String] = Map(
+
+    "q_slice_between" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+
+    "q_latest_n" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value FROM
+        |(SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn FROM events) t
+        |WHERE rn <= 3""".stripMargin,
+
+    "q_earliest_n" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value FROM
+        |(SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts ASC) AS rn FROM events) t
+        |WHERE rn <= 2""".stripMargin,
+
+    "q_asof" ->
+      s"""SELECT l.user_id, epoch_us(l.ts) AS ts_us, l.event_id, l.value,
+         |epoch_us(r.ts) AS right_ts_us, r.value AS right_value
+         |${asofBase.format("LEFT")}""".stripMargin,
+
+    "q_asof_tolerance" ->
+      s"""SELECT user_id, ts_us, event_id, value,
+         |CASE WHEN ts_us - right_ts_us > 3600000000 THEN NULL ELSE right_ts_us END AS right_ts_us,
+         |CASE WHEN ts_us - right_ts_us > 3600000000 THEN NULL ELSE right_value END AS right_value
+         |FROM (SELECT l.user_id, epoch_us(l.ts) AS ts_us, l.event_id, l.value,
+         |epoch_us(r.ts) AS right_ts_us, r.value AS right_value
+         |${asofBase.format("LEFT")}) t""".stripMargin,
+
+    "q_asof_bcast" ->
+      s"""SELECT l.user_id, epoch_us(l.ts) AS ts_us, l.event_id, l.value,
+         |epoch_us(r.ts) AS right_ts_us, r.value AS right_value
+         |${asofBase.format("INNER")}""".stripMargin,
+
+    "q_asof_skew" ->
+      s"""SELECT l.user_id, epoch_us(l.ts) AS ts_us, l.event_id, l.value,
+         |CASE WHEN r.ts >= date_trunc('day', l.ts) - INTERVAL 12 HOUR THEN epoch_us(r.ts) END AS right_ts_us,
+         |CASE WHEN r.ts >= date_trunc('day', l.ts) - INTERVAL 12 HOUR THEN r.value END AS right_value
+         |${asofBase.format("LEFT")}""".stripMargin,
+
+    "q_resample_avg" ->
+      """SELECT event_type, epoch_us(date_trunc('hour', ts)) AS ts_us,
+        |avg(round(value * 100)) / 100.0 AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_resample_floor" ->
+      """SELECT user_id, epoch_us(date_trunc('day', ts)) AS ts_us,
+        |min_by(value, ts) AS value, min_by(event_id, ts) AS event_id
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_resample_ceil" ->
+      """SELECT user_id, epoch_us(date_trunc('day', ts)) AS ts_us,
+        |max_by(value, ts) AS value, max_by(event_id, ts) AS event_id
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_upsample_fill" ->
+      """WITH agg AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |  avg(round(value * 100)) AS c FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(h) AS mn, max(h) AS mx FROM agg GROUP BY 1),
+        |spine AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b)
+        |SELECT s.event_type, epoch_us(s.h) AS ts_us, coalesce(a.c, 0) / 100.0 AS avg_value
+        |FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.h = a.h""".stripMargin,
+
+    "q_interp_linear" -> interpCommon.format(
+      """CASE WHEN v IS NOT NULL THEN v
+        |WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv + (nv - pv) *
+        |  (CAST(epoch_us(t) - epoch_us(pt) AS DOUBLE) / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+        |END""".stripMargin),
+
+    "q_interp_ffill" -> interpCommon.format("coalesce(v, pv)"),
+    "q_interp_bfill" -> interpCommon.format("coalesce(v, nv)"),
+    "q_interp_zero" -> interpCommon.format("coalesce(v, 0)"),
+
+    "q_range_stats" ->
+      s"""WITH base AS (SELECT event_type, epoch_us(ts) AS tsu, value, round(value * 100) AS c
+         |  FROM events),
+         |w1 AS (SELECT event_type, tsu, value, c,
+         |  avg(c) OVER w AS m, count(c) OVER w AS cnt, min(c) OVER w AS mn, max(c) OVER w AS mx,
+         |  sum(c) OVER w AS s1, sum(c * c) OVER w AS s2
+         |  FROM base
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY tsu RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+         |SELECT event_type, tsu AS ts_us, value, m / 100.0 AS mean_value, cnt AS count_value,
+         |  mn / 100.0 AS min_value, mx / 100.0 AS max_value, s1 / 100.0 AS sum_value,
+         |  ($momentSd) / 100.0 AS stddev_value,
+         |  CASE WHEN ($momentSd) <> 0 THEN (c - m) / ($momentSd) END AS zscore_value
+         |FROM w1""".stripMargin,
+
+    "q_grouped_stats" ->
+      s"""WITH base AS (SELECT event_type, date_trunc('hour', ts) AS h, round(value * 100) AS c
+         |  FROM events),
+         |g AS (SELECT event_type, h, avg(c) AS m, count(c) AS cnt, min(c) AS mn, max(c) AS mx,
+         |  sum(c) AS s1, sum(c * c) AS s2 FROM base GROUP BY 1, 2)
+         |SELECT event_type, epoch_us(h) AS ts_us, m / 100.0 AS mean_value, cnt AS count_value,
+         |  mn / 100.0 AS min_value, mx / 100.0 AS max_value, s1 / 100.0 AS sum_value,
+         |  ($momentSd) / 100.0 AS stddev_value
+         |FROM g""".stripMargin,
+
+    "q_vwap" ->
+      """SELECT l_returnflag, epoch_us(date_trunc('day', l_shipdate)) AS ts_us,
+        |sum(round(l_extendedprice * 100) * l_quantity) / sum(l_quantity) / 100.0 AS vwap,
+        |max(round(l_extendedprice * 100)) / 100.0 AS max_price
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q_ema" -> {
+      val terms = (0 until 5).map { i =>
+        val coef = "0.2::DOUBLE" + " * 0.8::DOUBLE" * i
+        val v = if (i == 0) "value" else s"lag(value, $i) OVER w"
+        s"coalesce($v, 0) * ($coef)"
+      }.mkString(" + ")
+      s"""SELECT user_id, epoch_us(ts) AS ts_us, value, $terms AS ema_value
+         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)""".stripMargin
+    },
+
+    "q_state_intervals" ->
+      """WITH x AS (SELECT user_id, ts, (value >= 10.0) AS high FROM events),
+        |y AS (SELECT user_id, ts, high, lag(ts) OVER w AS pts, lag(high) OVER w AS ph
+        |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |z AS (SELECT user_id, ts,
+        |  CASE WHEN pts IS NULL OR NOT coalesce(high = ph, false) THEN 1 ELSE 0 END AS chg FROM y),
+        |si AS (SELECT user_id, ts, sum(chg) OVER
+        |  (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM z)
+        |SELECT user_id, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+        |FROM si GROUP BY user_id, sid""".stripMargin,
+
+    "q_bars" ->
+      """SELECT user_id, epoch_us(date_trunc('day', ts)) AS ts_us,
+        |min_by(value, ts) AS open_value, max(value) AS high_value,
+        |min(value) AS low_value, max_by(value, ts) AS close_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_intervals_pivot" ->
+      """SELECT user_id, epoch_us(date_trunc('hour', ts)) AS start_us,
+        |epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS end_us,
+        |max(value) FILTER (WHERE event_type = 'click') AS click,
+        |max(value) FILTER (WHERE event_type = 'error') AS error,
+        |max(value) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |max(value) FILTER (WHERE event_type = 'signup') AS signup,
+        |max(value) FILTER (WHERE event_type = 'view') AS "view"
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_intervals_stack" -> {
+      val one = (m: String) =>
+        s"""SELECT l_orderkey, l_linenumber, epoch_us(l_shipdate) AS start_us,
+           |epoch_us(l_shipdate + INTERVAL 1 DAY) AS end_us,
+           |'$m' AS metric_name, CAST($m AS DOUBLE) AS metric_value
+           |FROM lineitem WHERE $m IS NOT NULL""".stripMargin
+      Seq("l_quantity", "l_discount", "l_tax").map(one).mkString(" UNION ALL ")
+    },
+
+    "q_intervals_disjoint" ->
+      """WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 2 HOUR AS e, value FROM events),
+        |b AS (SELECT user_id, s AS p FROM iv UNION SELECT user_id, e AS p FROM iv),
+        |seg AS (SELECT user_id, p, lead(p) OVER (PARTITION BY user_id ORDER BY p) AS p2 FROM b),
+        |sg AS (SELECT user_id, p, p2 FROM seg WHERE p2 IS NOT NULL)
+        |SELECT g.user_id, epoch_us(g.p) AS start_us, epoch_us(g.p2) AS end_us,
+        |  max_by(i.value, i.s) AS value
+        |FROM sg g JOIN iv i ON g.user_id = i.user_id AND g.p < i.e AND g.p2 > i.s
+        |GROUP BY g.user_id, g.p, g.p2""".stripMargin,
+
+    "q_cv_folds" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |CAST(ntile(6) OVER (PARTITION BY user_id ORDER BY ts) - 1 AS BIGINT) AS split_idx
+        |FROM events""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |sum(l_quantity) AS sum_qty,
+        |sum(round(l_extendedprice * 100)) / 100.0 AS sum_base_price,
+        |sum(round(l_extendedprice * 100) * (100 - round(l_discount * 100))) / 10000.0 AS sum_disc_price,
+        |sum(round(l_extendedprice * 100) * (100 - round(l_discount * 100)) * (100 + round(l_tax * 100))) / 1000000.0 AS sum_charge,
+        |avg(l_quantity) AS avg_qty,
+        |avg(round(l_extendedprice * 100)) / 100.0 AS avg_price,
+        |avg(round(l_discount * 100)) / 100.0 AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_revenue_nation" ->
+      """SELECT r_name, n_name,
+        |sum(round(l_extendedprice * 100) * (100 - round(l_discount * 100))) / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_top_orders" ->
+      """SELECT o_custkey, CAST(rn AS BIGINT) AS "rank", o_orderkey, o_totalprice FROM
+        |(SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+
+    "q_dedup_exact" ->
+      s"""SELECT md5($norm) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      s"""WITH d AS (SELECT doc_id, lang, list_distinct(string_split($norm, ' ')) AS toks
+         |  FROM documents),
+         |p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+         |  ((len(a.toks) + len(b.toks)) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) AS jaccard
+         |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         |SELECT doc_id_a, doc_id_b, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin,
+
+    "q_embed_neardup" ->
+      s"""WITH q AS (SELECT vec_id, label, $qv AS q FROM embeddings),
+         |p AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         |  ${cosSql("a.q", "b.q")} AS cosine
+         |  FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT vec_id_a, vec_id_b, cosine FROM p WHERE cosine >= 0.3""".stripMargin,
+
+    "q_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id, $qv AS q FROM embeddings),
+         |s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  ${cosSql("a.q", "b.q")} AS cosine
+         |  FROM (SELECT * FROM q WHERE vec_id < 20) a CROSS JOIN q b
+         |  WHERE a.vec_id <> b.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cosine,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+         |  FROM s)
+         |SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id, cosine FROM r WHERE rn <= 3""".stripMargin,
+
+    "q_lang_id" -> {
+      val markers = graft.pipeline.TextAnalysis.LangMarkers
+      val scores = markers.map { case (l, ms) => s"${langScore(ms)} AS ${l}_score" }
+        .mkString(",\n  ")
+      """WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+        |sc AS (SELECT doc_id,
+        |  SCORES
+        |  FROM p)
+        |SELECT doc_id, en_score, de_score, fr_score, es_score, zh_score,
+        |CASE WHEN zh_score > greatest(en_score, de_score, fr_score, es_score) THEN 'zh'
+        |     WHEN es_score > greatest(en_score, de_score, fr_score) THEN 'es'
+        |     WHEN fr_score > greatest(en_score, de_score) THEN 'fr'
+        |     WHEN de_score > en_score THEN 'de'
+        |     ELSE 'en' END AS pred_lang
+        |FROM sc""".stripMargin.replace("SCORES", scores)
+    },
+
+    "q_quality" -> {
+      val nt = "CASE WHEN length(tt) = 0 THEN 0 ELSE length(tt) - length(replace(tt, ' ', '')) + 1 END"
+      val punct = Seq(".", ",", "!", "?", ";", ":")
+        .map(p => occ("text", p)).mkString(" + ")
+      val stop = Seq(" the ", " a ", " and ", " of ", " to ", " in ")
+        .map(sw => occ("pt", sw)).mkString(" + ")
+      s"""WITH x AS (SELECT doc_id, text, length(text) AS nc,
+         |  trim(regexp_replace(text, ' +', ' ', 'g')) AS tt,
+         |  ' ' || lower(text) || ' ' AS pt FROM documents),
+         |y AS (SELECT doc_id, text, nc, pt, $nt AS nt FROM x),
+         |z AS (SELECT doc_id, nc, nt,
+         |  CAST(nc AS DOUBLE) / nt AS mwl,
+         |  CAST(($punct) AS DOUBLE) / nc AS pr,
+         |  CAST(($stop) AS DOUBLE) / nt AS sr
+         |  FROM y),
+         |f AS (SELECT doc_id, nc, nt, mwl, pr, sr,
+         |  least(CAST(nc AS DOUBLE) / 500.0, 1.0) AS ls,
+         |  CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END AS wls,
+         |  least(sr * 5.0, 1.0) AS ss
+         |  FROM z)
+         |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+         |  floor(mwl * 10000 + 0.5) / 10000.0 AS mean_word_len,
+         |  floor(pr * 1000000 + 0.5) / 1000000.0 AS punct_ratio,
+         |  floor(sr * 1000000 + 0.5) / 1000000.0 AS stopword_ratio,
+         |  floor((ls * 0.4 + wls * 0.3 + ss * 0.3) * 10000 + 0.5) / 10000.0 AS quality_score
+         |FROM f""".stripMargin
+    },
+
+    "q_token_count" -> {
+      val nt = "CASE WHEN length(tt) = 0 THEN 0 ELSE length(tt) - length(replace(tt, ' ', '')) + 1 END"
+      s"""WITH x AS (SELECT doc_id, text, trim(regexp_replace(text, ' +', ' ', 'g')) AS tt
+         |  FROM documents)
+         |SELECT doc_id, CAST($nt AS BIGINT) AS n_tokens,
+         |  CAST(greatest(CAST(ceil(length(text) / 4.0) AS BIGINT), $nt) AS BIGINT) AS bpe_tokens
+         |FROM x""".stripMargin
+    },
+
+    "q_fingerprint" ->
+      s"SELECT doc_id, source, md5($norm) AS fp FROM documents",
+  )
+}

@@ -1,13 +1,420 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.tsdf.{TSDF, Resample, Stats, Interpolation}
+import graft.intervals.IntervalsDF
+import graft.ml.TimeSeriesCrossValidator
+import graft.pipeline.{Dedup, Similarity, TextAnalysis, Multimodal}
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2 + training-data pipeline ops), each with a DuckDB-runnable
+  * oracle in `oracleSql` where SQL-expressible.
+  *
+  * Determinism strategy (the driver hash-compares values): float aggregates
+  * are computed on integer-scaled metrics (cents / milli-units) whose sums
+  * are exact in double regardless of summation order, timestamps are output
+  * as integer epoch-µs, and scalar float expressions keep identical operation
+  * order on both sides — so Spark and DuckDB produce bit-identical values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 only reads via
+    * the nanos-as-long legacy conf; values are µs-precision, so convert the
+    * raw nanos to a proper µs timestamp with exact integer division. */
+  private def events(s: SparkSession, dir: String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  private def docs(s: SparkSession, dir: String) = tbl(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = tbl(s, dir, "embeddings")
+
+  private val usec: Column => Column = c => unix_micros(c.cast(TimestampType))
+  /** exact integer cents of a 2-decimal double (bit-reproducible sums) */
+  private def cents(c: Column): Column = round(c * 100)
+
+  private def eventsTsdf(s: SparkSession, dir: String, series: String,
+      extraCols: Column*): TSDF = {
+    val df = events(s, dir).select(col(series) +: col("ts") +: extraCols: _*)
+    TSDF(df, "ts", Seq(series))
+  }
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): as-of join of
+    * click events against the prevailing purchase, per user. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qAsof(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------ TSDF
+  private def qSliceBetween(s: SparkSession, dir: String): DataFrame =
+    TSDF(events(s, dir), "ts", Seq("user_id"))
+      .between("2024-01-10 00:00:00", "2024-01-20 00:00:00")
+      .df.select(col("user_id"), usec(col("ts")).alias("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+
+  private def qLatestN(s: SparkSession, dir: String): DataFrame =
+    TSDF(events(s, dir), "ts", Seq("user_id")).latest(3)
+      .df.select(col("user_id"), usec(col("ts")).alias("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+
+  private def qEarliestN(s: SparkSession, dir: String): DataFrame =
+    TSDF(events(s, dir), "ts", Seq("user_id")).earliest(2)
+      .df.select(col("user_id"), usec(col("ts")).alias("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+
+  private def clicks(s: SparkSession, dir: String): TSDF =
+    TSDF(events(s, dir).filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id", "value"), "ts", Seq("user_id"))
+
+  private def purchases(s: SparkSession, dir: String): TSDF =
+    TSDF(events(s, dir).filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value"), "ts", Seq("user_id"))
+
+  private def asofOut(df: DataFrame): DataFrame =
+    df.select(col("user_id"), usec(col("ts")).alias("ts_us"), col("event_id"),
+      col("value"), usec(col("right_ts")).alias("right_ts_us"), col("right_value"))
+
+  private def qAsof(s: SparkSession, dir: String): DataFrame =
+    asofOut(clicks(s, dir).asofJoin(purchases(s, dir)).df)
+
+  private def qAsofTolerance(s: SparkSession, dir: String): DataFrame =
+    asofOut(clicks(s, dir).asofJoin(purchases(s, dir), tolerance = Some(3600.0)).df)
+
+  private def qAsofBcast(s: SparkSession, dir: String): DataFrame =
+    asofOut(clicks(s, dir).asofJoin(purchases(s, dir), sqlJoinOpt = true).df)
+
+  private def qAsofSkew(s: SparkSession, dir: String): DataFrame =
+    asofOut(clicks(s, dir)
+      .asofJoin(purchases(s, dir), tsPartitionVal = Some(86400L), fraction = 0.5).df)
+
+  private def qResampleAvg(s: SparkSession, dir: String): DataFrame =
+    eventsTsdf(s, dir, "event_type", cents(col("value")).alias("c"))
+      .resample("1 hour", "mean")
+      .df.select(col("event_type"), usec(col("ts")).alias("ts_us"),
+        (col("c") / 100.0).alias("avg_value"))
+
+  private def qResampleFloor(s: SparkSession, dir: String): DataFrame =
+    eventsTsdf(s, dir, "user_id", col("value"), col("event_id"))
+      .resample("1 day", "floor")
+      .df.select(col("user_id"), usec(col("ts")).alias("ts_us"),
+        col("value"), col("event_id"))
+
+  private def qResampleCeil(s: SparkSession, dir: String): DataFrame =
+    eventsTsdf(s, dir, "user_id", col("value"), col("event_id"))
+      .resample("1 day", "ceil")
+      .df.select(col("user_id"), usec(col("ts")).alias("ts_us"),
+        col("value"), col("event_id"))
+
+  private def qUpsampleFill(s: SparkSession, dir: String): DataFrame =
+    eventsTsdf(s, dir, "event_type", cents(col("value")).alias("c"))
+      .resample("1 hour", "mean", fill = true)
+      .df.select(col("event_type"), usec(col("ts")).alias("ts_us"),
+        (col("c") / 100.0).alias("avg_value"))
+
+  private def interp(s: SparkSession, dir: String, method: String): DataFrame =
+    eventsTsdf(s, dir, "user_id", cents(col("value")).alias("c"))
+      .resample("1 hour", "mean")
+      .interpolate(method, showInterpolated = true)
+      .df.select(col("user_id"), usec(col("ts")).alias("ts_us"),
+        (col("c") / 100.0).alias("value"),
+        col("is_ts_interpolated"), col("is_interpolated_c").alias("is_interpolated_value"))
+
+  private def qInterpLinear(s: SparkSession, dir: String): DataFrame = interp(s, dir, "linear")
+  private def qInterpFfill(s: SparkSession, dir: String): DataFrame = interp(s, dir, "ffill")
+  private def qInterpBfill(s: SparkSession, dir: String): DataFrame = interp(s, dir, "bfill")
+  private def qInterpZero(s: SparkSession, dir: String): DataFrame = interp(s, dir, "zero")
+
+  private def qRangeStats(s: SparkSession, dir: String): DataFrame =
+    eventsTsdf(s, dir, "event_type", col("value"), cents(col("value")).alias("c"))
+      .withRangeStats(Seq("c"), rangeBackWindowSecs = 3600)
+      .df.select(col("event_type"), usec(col("ts")).alias("ts_us"), col("value"),
+        (col("mean_c") / 100.0).alias("mean_value"),
+        col("count_c").alias("count_value"),
+        (col("min_c") / 100.0).alias("min_value"),
+        (col("max_c") / 100.0).alias("max_value"),
+        (col("sum_c") / 100.0).alias("sum_value"),
+        (col("stddev_c") / 100.0).alias("stddev_value"),
+        col("zscore_c").alias("zscore_value"))
+
+  private def qGroupedStats(s: SparkSession, dir: String): DataFrame =
+    eventsTsdf(s, dir, "event_type", cents(col("value")).alias("c"))
+      .withGroupedStats(Seq("c"), "1 hour")
+      .df.select(col("event_type"), usec(col("ts")).alias("ts_us"),
+        (col("mean_c") / 100.0).alias("mean_value"),
+        col("count_c").alias("count_value"),
+        (col("min_c") / 100.0).alias("min_value"),
+        (col("max_c") / 100.0).alias("max_value"),
+        (col("sum_c") / 100.0).alias("sum_value"),
+        (col("stddev_c") / 100.0).alias("stddev_value"))
+
+  private def qVwap(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_shipdate"), col("l_quantity"),
+        cents(col("l_extendedprice")).alias("pc"))
+    TSDF(li, "l_shipdate", Seq("l_returnflag"))
+      .vwap("D", volumeCol = "l_quantity", priceCol = "pc")
+      .df.select(col("l_returnflag"), usec(col("l_shipdate")).alias("ts_us"),
+        (col("vwap") / 100.0).alias("vwap"),
+        (col("max_pc") / 100.0).alias("max_price"))
+  }
+
+  private def qEma(s: SparkSession, dir: String): DataFrame =
+    eventsTsdf(s, dir, "user_id", col("value"))
+      .ema("value", window = 5, expFactor = 0.2)
+      .df.select(col("user_id"), usec(col("ts")).alias("ts_us"), col("value"),
+        col("ema_value"))
+
+  private def qStateIntervals(s: SparkSession, dir: String): DataFrame = {
+    val base = events(s, dir).select(col("user_id"), col("ts"),
+      (col("value") >= 10.0).alias("high"))
+    TSDF(base, "ts", Seq("user_id"))
+      .extractStateIntervals(Seq("high"))
+      .select(col("user_id"), usec(col("start_ts")).alias("start_us"),
+        usec(col("end_ts")).alias("end_us"))
+  }
+
+  private def qBars(s: SparkSession, dir: String): DataFrame =
+    eventsTsdf(s, dir, "user_id", col("value"))
+      .calcBars("1 day", Seq("value"))
+      .df.select(col("user_id"), usec(col("ts")).alias("ts_us"),
+        col("open_value"), col("high_value"), col("low_value"), col("close_value"))
+
+  // ------------------------------------------------------------- intervals
+  private def qIntervalsPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val stacked = events(s, dir).select(col("user_id"),
+      date_trunc("hour", col("ts")).alias("start_ts"),
+      (date_trunc("hour", col("ts")) + expr("interval 1 hour")).alias("end_ts"),
+      col("event_type"), col("value"))
+    IntervalsDF.fromStackedMetrics(stacked, "start_ts", "end_ts", Seq("user_id"),
+      "event_type", "value", metricNames = types)
+      .df.select(Seq(col("user_id"), usec(col("start_ts")).alias("start_us"),
+        usec(col("end_ts")).alias("end_us")) ++ types.map(col): _*)
+  }
+
+  private def qIntervalsStack(s: SparkSession, dir: String): DataFrame = {
+    val iv = IntervalsDF(
+      tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").alias("start_ts"),
+        (col("l_shipdate") + expr("interval 1 day")).alias("end_ts"),
+        col("l_quantity"), col("l_discount"), col("l_tax")),
+      "start_ts", "end_ts", Seq("l_orderkey", "l_linenumber"))
+    iv.toStacked()
+      .select(col("l_orderkey"), col("l_linenumber"),
+        usec(col("start_ts")).alias("start_us"), usec(col("end_ts")).alias("end_us"),
+        col("metric_name"), col("metric_value"))
+  }
+
+  private def qIntervalsDisjoint(s: SparkSession, dir: String): DataFrame = {
+    val iv = IntervalsDF(
+      events(s, dir).select(col("user_id"), col("ts").alias("start_ts"),
+        (col("ts") + expr("interval 2 hours")).alias("end_ts"), col("value")),
+      "start_ts", "end_ts", Seq("user_id"))
+    iv.makeDisjoint()
+      .df.select(col("user_id"), usec(col("start_ts")).alias("start_us"),
+        usec(col("end_ts")).alias("end_us"), col("value"))
+  }
+
+  // ------------------------------------------------------------------- ml
+  private def qCvFolds(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesCrossValidator.withSplitIndex(
+      events(s, dir).select("user_id", "ts", "event_id"), "ts", Seq("user_id"), 6)
+      .select(col("user_id"), usec(col("ts")).alias("ts_us"), col("event_id"),
+        col("split_idx").cast(LongType).alias("split_idx"))
+
+  // ---------------------------------------------------------------- tpch
+  private def qPricingSummary(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00"))
+      .withColumn("epc", cents(col("l_extendedprice")))
+      .withColumn("dc", cents(col("l_discount")))
+      .withColumn("tc", cents(col("l_tax")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).alias("sum_qty"),
+        (sum(col("epc")) / 100.0).alias("sum_base_price"),
+        (sum(col("epc") * (lit(100) - col("dc"))) / 10000.0).alias("sum_disc_price"),
+        (sum(col("epc") * (lit(100) - col("dc")) * (lit(100) + col("tc"))) / 1000000.0)
+          .alias("sum_charge"),
+        avg(col("l_quantity")).alias("avg_qty"),
+        (avg(col("epc")) / 100.0).alias("avg_price"),
+        (avg(col("dc")) / 100.0).alias("avg_disc"),
+        count(lit(1)).alias("count_order"))
+
+  private def qRevenueNation(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .join(tbl(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(tbl(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg((sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+        / 10000.0).alias("revenue"))
+
+  private def qTopOrders(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    tbl(s, dir, "orders")
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("o_custkey"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  // ------------------------------------------------------------- pipeline
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(TextAnalysis.fingerprint(col("text")).alias("fp"), col("doc_id"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).alias("keep_id"), count(lit(1)).alias("n_dups"))
+
+  private def qJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      Dedup.shingles(col("text"), 1).alias("toks"))
+    val a = d.select(col("doc_id").alias("doc_id_a"), col("lang"), col("toks").alias("ta"))
+    val b = d.select(col("doc_id").alias("doc_id_b"), col("lang"), col("toks").alias("tb"))
+    a.join(b, Seq("lang"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .withColumn("jaccard", Dedup.jaccard(col("ta"), col("tb")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
+  }
+
+  private def qMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDuplicates(docs(s, dir), "text", "doc_id",
+      shingleWidth = 2, bands = 8, rowsPerBand = 2, threshold = 0.4)
+
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir), "text", "doc_id")
+
+  /** milli-quantized embeddings: integer-valued doubles → order-independent
+    * exact dot products */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => round(x.cast(DoubleType) * 1000)).alias("q"))
+
+  private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val d = quantized(s, dir)
+    val a = d.select(col("vec_id").alias("vec_id_a"), col("label"), col("q").alias("qa"))
+    val b = d.select(col("vec_id").alias("vec_id_b"), col("label"), col("q").alias("qb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cosine", Similarity.cosine(col("qa"), col("qb")))
+      .filter(col("cosine") >= 0.3)
+      .select(col("vec_id_a"), col("vec_id_b"), col("cosine"))
+  }
+
+  private def qAnnTopk(s: SparkSession, dir: String): DataFrame = {
+    val d = quantized(s, dir)
+    Similarity.bruteForceTopK(
+      d.filter(col("vec_id") < 20), d, "vec_id", "q", k = 3)
+      .select(col("query_id"), col("rank").cast(LongType).alias("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(quantized(s, dir), "vec_id", "q", dim = 64, k = 3, nBits = 6)
+      .select(col("query_id"), col("rank").cast(LongType).alias("rank"),
+        col("neighbor_id"), col("cosine"))
+
+  private def qLangId(s: SparkSession, dir: String): DataFrame = {
+    val scoreCols = TextAnalysis.langScores(col("text")).map { case (l, c) =>
+      c.cast(LongType).alias(s"${l}_score")
+    }
+    docs(s, dir).select(
+      (col("doc_id") +: scoreCols) :+
+        TextAnalysis.detectLanguage(col("text")).alias("pred_lang"): _*)
+  }
+
+  private def qQuality(s: SparkSession, dir: String): DataFrame = {
+    val comps = TextAnalysis.qualityScore(col("text"))
+    docs(s, dir).select(col("doc_id") +: comps.head.cast(LongType).alias("n_tokens") +:
+      comps.tail: _*)
+  }
+
+  private def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast(LongType).alias("n_tokens"),
+      TextAnalysis.bpeTokenEstimate(col("text")).cast(LongType).alias("bpe_tokens"))
+
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("source"),
+      TextAnalysis.fingerprint(col("text")).alias("fp"))
+
+  private def qRollingFp(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), TextAnalysis.rollingHash(col("text")).alias("rh"))
+
+  private def qFourier(s: SparkSession, dir: String): DataFrame =
+    eventsTsdf(s, dir, "user_id", col("value"))
+      .fourierTransform(timestep = 1.0, valueCol = "value")
+      .df.select(col("user_id"), usec(col("ts")).alias("ts_us"),
+        col("freq"), col("ft_real"), col("ft_imag"))
+
+  private def qLookback(s: SparkSession, dir: String): DataFrame =
+    eventsTsdf(s, dir, "user_id", col("value"))
+      .withLookbackFeatures(Seq("value"), lookbackWindowSize = 3)
+      .df.select(col("user_id"), usec(col("ts")).alias("ts_us"), col("features"))
+
+  private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = docs(s, dir)
+      .select(col("doc_id"), col("text").cast(BinaryType).alias("payload"))
+    val withMeta = Multimodal.withMediaMeta(withPayload, "payload")
+    val feats = Multimodal.extractFeatures(withMeta, "doc_id", "payload", featureDim = 8)
+    withMeta.join(feats, "doc_id")
+      .select(col("doc_id"), col("media_meta.media_type").alias("media_type"),
+        col("media_meta.width").alias("width"),
+        element_at(col("features"), 1).alias("f0"))
+  }
+
+  // ================================================================ registry
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_slice_between" -> qSliceBetween _,
+    "q_latest_n" -> qLatestN _,
+    "q_earliest_n" -> qEarliestN _,
+    "q_asof" -> qAsof _,
+    "q_asof_tolerance" -> qAsofTolerance _,
+    "q_asof_bcast" -> qAsofBcast _,
+    "q_asof_skew" -> qAsofSkew _,
+    "q_resample_avg" -> qResampleAvg _,
+    "q_resample_floor" -> qResampleFloor _,
+    "q_resample_ceil" -> qResampleCeil _,
+    "q_upsample_fill" -> qUpsampleFill _,
+    "q_interp_linear" -> qInterpLinear _,
+    "q_interp_ffill" -> qInterpFfill _,
+    "q_interp_bfill" -> qInterpBfill _,
+    "q_interp_zero" -> qInterpZero _,
+    "q_range_stats" -> qRangeStats _,
+    "q_grouped_stats" -> qGroupedStats _,
+    "q_vwap" -> qVwap _,
+    "q_ema" -> qEma _,
+    "q_state_intervals" -> qStateIntervals _,
+    "q_bars" -> qBars _,
+    "q_intervals_pivot" -> qIntervalsPivot _,
+    "q_intervals_stack" -> qIntervalsStack _,
+    "q_intervals_disjoint" -> qIntervalsDisjoint _,
+    "q_cv_folds" -> qCvFolds _,
+    "q1_pricing_summary" -> qPricingSummary _,
+    "q_revenue_nation" -> qRevenueNation _,
+    "q_top_orders" -> qTopOrders _,
+    "q_dedup_exact" -> qDedupExact _,
+    "q_jaccard_pairs" -> qJaccardPairs _,
+    "q_minhash_pairs" -> qMinhashPairs _,
+    "q_simhash" -> qSimhash _,
+    "q_embed_neardup" -> qEmbedNearDup _,
+    "q_ann_topk" -> qAnnTopk _,
+    "q_ann_lsh" -> qAnnLsh _,
+    "q_lang_id" -> qLangId _,
+    "q_quality" -> qQuality _,
+    "q_token_count" -> qTokenCount _,
+    "q_fingerprint" -> qFingerprint _,
+    "q_rolling_fp" -> qRollingFp _,
+    "q_fourier" -> qFourier _,
+    "q_lookback" -> qLookback _,
+    "q_multimodal" -> qMultimodal _,
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k (exact). Scale path: sign-LSH
+  * bucketing — random-hyperplane signs computed from fixed seeded pseudo
+  * planes so the pipeline is fully deterministic; candidates only join within
+  * a bucket, turning the O(n²) cross join into an equi-join whose fan-in is
+  * n²/2^bits per bucket.
+  *
+  * Dot products use `zip_with` + `aggregate` higher-order functions — pure
+  * Catalyst expressions, sequential left-to-right summation (deterministic).
+  */
+object Similarity {
+
+  /** Sequential dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
+
+  /** Exact brute-force cosine top-k for every query vector.
+    *
+    * `queries` and `corpus`: (id, embedding). Output: (query id, rank,
+    * neighbor id, cosine). The corpus side should be broadcast when small;
+    * at scale, pre-normalize + bucket (see [[lshTopK]]).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).alias("query_id"),
+      asDouble(col(vecCol)).alias("__qv"))
+    val c = corpus.select(col(idCol).alias("neighbor_id"),
+      asDouble(col(vecCol)).alias("__cv"))
+    val sim = cosine(col("__qv"), col("__cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", sim)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Deterministic sign-LSH bucket id from `nBits` pseudo-random hyperplanes.
+    *
+    * Plane p's component for dimension d is a fixed hash-derived value in
+    * [-0.5, 0.5): `(xxhash64(p*8191+d) mod 1000)/1000 - 0.5` — reproducible
+    * across runs/engines with no RNG state.
+    */
+  def lshBucket(vec: Column, dim: Int, nBits: Int): Column = {
+    val bits = (0 until nBits).map { p =>
+      val d = (0 until dim).map { i =>
+        vec.getItem(i).cast(DoubleType) *
+          ((pmod(xxhash64(lit(p * 8191 + i)), lit(1000L)).cast(DoubleType) / 1000.0) - 0.5)
+      }.reduce(_ + _)
+      when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce[Column](_ + _)
+  }
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket
+    * (single equi-join on the bucket id). Recall grows with fewer bits /
+    * multiple probes; this is the 100 TB-shaped path — no cross join. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, nBits: Int = 8): DataFrame = {
+    val withBucket = df.select(col(idCol), asDouble(col(vecCol)).alias("__v"))
+      .withColumn("__bucket", lshBucket(col("__v"), dim, nBits))
+    val a = withBucket.select(col(idCol).alias("query_id"),
+      col("__v").alias("__qv"), col("__bucket"))
+    val b = withBucket.select(col(idCol).alias("neighbor_id"),
+      col("__v").alias("__cv"), col("__bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    a.join(b, Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold (a < b). */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double, nBits: Int = 6): DataFrame = {
+    val withBucket = df.select(col(idCol), asDouble(col(vecCol)).alias("__v"))
+      .withColumn("__bucket", lshBucket(col("__v"), dim, nBits))
+    val a = withBucket.select(col(idCol).alias(s"${idCol}_a"),
+      col("__v").alias("__va"), col("__bucket"))
+    val b = withBucket.select(col(idCol).alias(s"${idCol}_b"),
+      col("__v").alias("__vb"), col("__bucket"))
+    a.join(b, Seq("__bucket"))
+      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-corpus analysis for training-data pipelines: language ID, quality
+  * scoring, token counting, document fingerprinting. All pure Column algebra
+  * (deterministic, codegen'd, mirrors 1:1 into ANSI SQL for oracle checks).
+  */
+object TextAnalysis {
+
+  /** Occurrences of `needle` in `hay` via the length-difference trick —
+    * avoids regex engines (identical semantics in any SQL dialect). */
+  def occurrences(hay: Column, needle: String): Column =
+    ((length(hay) - length(replace(hay, lit(needle), lit("")))) / needle.length)
+      .cast(IntegerType)
+
+  /** Whitespace token count: single-space-normalized word count. */
+  def tokenCount(text: Column): Column = {
+    val t = trim(regexp_replace(text, " +", " "))
+    when(length(t) === 0, 0)
+      .otherwise(length(t) - length(replace(t, lit(" "), lit(""))) + 1)
+  }
+
+  /** BPE-ish subword token estimate: ~1 token per 4 chars, at least the word
+    * count (common heuristic for byte-pair encoders). */
+  def bpeTokenEstimate(text: Column): Column =
+    greatest(ceil(length(text) / lit(4.0)).cast(IntegerType), tokenCount(text))
+
+  /** Language-ID by stopword evidence: per-language marker-word occurrence
+    * counts (n-gram heuristic); highest count wins, ties broken by fixed
+    * language order. Returns (score columns, predicted language). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " to "),
+    "de" -> Seq(" der ", " und ", " die ", " das "),
+    "fr" -> Seq(" le ", " la ", " et ", " les "),
+    "es" -> Seq(" el ", " de ", " que ", " los "),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    LangMarkers.map { case (lang, markers) =>
+      lang -> markers.map(m => occurrences(padded, m)).reduce[Column](_ + _)
+    }
+  }
+
+  def detectLanguage(text: Column): Column = {
+    val scores = langScores(text)
+    // argmax with fixed preference order on ties
+    scores.tail.foldLeft[(Column, Column)]((scores.head._2, lit(scores.head._1))) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (when(score > bestScore, score).otherwise(bestScore),
+          when(score > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+  }
+
+  /** Deterministic decimal rounding: floor(x·10^d + 0.5)/10^d. Pure IEEE
+    * ops — bit-identical in any engine, unlike `round()` (Spark rounds the
+    * shortest decimal string of the double, DuckDB rounds the binary value;
+    * they disagree when the shortest repr sits exactly on a .5 boundary). */
+  def roundDet(c: Column, d: Int): Column = {
+    val p = math.pow(10, d)
+    floor(c * p + 0.5) / p
+  }
+
+  /** Heuristic quality signals + a composite score in [0, 1]:
+    * length, mean word length, punctuation density, stopword ratio. */
+  def qualityScore(text: Column): Seq[Column] = {
+    val nChars = length(text)
+    val nTokens = tokenCount(text)
+    val meanWordLen = nChars.cast(DoubleType) / nTokens
+    val punct = Seq(".", ",", "!", "?", ";", ":").map(p =>
+      occurrences(text, p)).reduce[Column](_ + _)
+    val punctRatio = punct.cast(DoubleType) / nChars
+    val stopwords = Seq(" the ", " a ", " and ", " of ", " to ", " in ").map(s =>
+      occurrences(concat(lit(" "), lower(text), lit(" ")), s)).reduce[Column](_ + _)
+    val stopwordRatio = stopwords.cast(DoubleType) / nTokens
+    val lenScore = least(nChars.cast(DoubleType) / 500.0, lit(1.0))
+    val wordLenScore = when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val stopScore = least(stopwordRatio * 5.0, lit(1.0))
+    val score = roundDet(lenScore * 0.4 + wordLenScore * 0.3 + stopScore * 0.3, 4)
+    Seq(nTokens.alias("n_tokens"), roundDet(meanWordLen, 4).alias("mean_word_len"),
+      roundDet(punctRatio, 6).alias("punct_ratio"),
+      roundDet(stopwordRatio, 6).alias("stopword_ratio"),
+      score.alias("quality_score"))
+  }
+
+  /** Content fingerprint: md5 of the normalized text (lowercase, alnum+space,
+    * collapsed whitespace) — stable under formatting changes. */
+  def fingerprint(text: Column): Column = md5(Dedup.normalizeText(text))
+
+  /** 61-bit polynomial rolling hash of the normalized text, computed with a
+    * higher-order `aggregate` over the character array — a JVM-side exact
+    * analog of streaming Rabin-Karp, usable for shingle-level fingerprints. */
+  def rollingHash(text: Column, mod: Long = 1000000007L, base: Long = 131L): Column =
+    aggregate(split(Dedup.normalizeText(text), ""), lit(0L),
+      (acc, ch) => pmod(acc * base + coalesce(ascii(ch).cast(LongType), lit(0L)), lit(mod)))
+}

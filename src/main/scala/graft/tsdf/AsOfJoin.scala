@@ -1,0 +1,191 @@
+package graft.tsdf
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Point-in-time (as-of) join: for each left row attach the latest right row
+  * with `right.ts <= left.ts` within the same series, optionally bounded by a
+  * tolerance in seconds.
+  *
+  * Three physical strategies, mirroring the reference's dispatch
+  * (/root/reference/python/tempo/tsdf.py:752-947) but chosen/realized
+  * Spark-natively:
+  *
+  *  1. '''union + last-window''' (default): null-pad and union both sides,
+  *     then one `last(col, ignoreNulls)` window per right column over
+  *     `(series) ORDER BY (ts, rec_ind, seq)` — exactly one shuffle.
+  *  2. '''broadcast interval join''' (`sqlJoinOpt`): when either side's
+  *     optimized-plan `sizeInBytes` is under 30 MiB, build right-side validity
+  *     intervals `[ts, lead(ts))` and equi-join on the series keys with a
+  *     between-filter; Catalyst/AQE turns this into a BroadcastHashJoin.
+  *     Plan statistics come straight from `queryExecution.optimizedPlan.stats`
+  *     (no `explain cost` string parsing as in the reference, tsdf.py:702-750).
+  *  3. '''time-bucketed skew path''' (`tsPartitionVal`): manual salting for
+  *     window skew (AQE does not rebalance window operators) — bucket rows
+  *     into `tsPartitionVal`-second brackets, copy the trailing `fraction` of
+  *     each bracket into the next so lookbacks across the boundary resolve,
+  *     include the bracket in the window partition key, then drop the copies.
+  */
+object AsOfJoin {
+
+  private val BroadcastBytesThreshold = 30L * 1024 * 1024 // tsdf.py:793-795
+
+  def apply(
+      left: TSDF,
+      right: TSDF,
+      leftPrefix: Option[String],
+      rightPrefix: String,
+      tsPartitionVal: Option[Long],
+      fraction: Double,
+      skipNulls: Boolean,
+      sqlJoinOpt: Boolean,
+      tolerance: Option[Double]): TSDF = {
+
+    require(left.partitionCols == right.partitionCols,
+      s"as-of join requires matching series columns: ${left.partitionCols} vs ${right.partitionCols}")
+
+    val joined =
+      if (sqlJoinOpt && underBroadcastThreshold(left.df, right.df))
+        broadcastJoin(left, right, leftPrefix, rightPrefix)
+      else
+        unionJoin(left, right, leftPrefix, rightPrefix, tsPartitionVal, fraction, skipNulls)
+
+    tolerance.fold(joined)(t =>
+      applyTolerance(joined, t, s"${rightPrefix}_", s"${rightPrefix}_${right.tsCol}"))
+  }
+
+  private def underBroadcastThreshold(l: DataFrame, r: DataFrame): Boolean = {
+    def bytes(df: DataFrame): BigInt = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    bytes(l) < BroadcastBytesThreshold || bytes(r) < BroadcastBytesThreshold
+  }
+
+  private def prefixed(prefix: Option[String], c: String): String =
+    prefix.fold(c)(p => s"${p}_$c")
+
+  /** Rename every non-series column with a prefix (join disambiguation,
+    * tsdf.py:206-231). Series columns keep their names on both sides. */
+  private def withPrefix(t: TSDF, prefix: Option[String]): TSDF = prefix match {
+    case None => t
+    case Some(_) =>
+      val renames = t.df.columns.map { c =>
+        if (t.partitionCols.contains(c)) col(c) else col(c).alias(prefixed(prefix, c))
+      }
+      TSDF(t.df.select(renames.toIndexedSeq: _*), prefixed(prefix, t.tsCol),
+        t.partitionCols, t.sequenceCol.map(prefixed(prefix, _)))
+  }
+
+  // ---------------------------------------------------------------- default
+  private def unionJoin(
+      left0: TSDF, right0: TSDF,
+      leftPrefix: Option[String], rightPrefix: String,
+      tsPartitionVal: Option[Long], fraction: Double,
+      skipNulls: Boolean): TSDF = {
+
+    val left = withPrefix(left0, leftPrefix)
+    val right = withPrefix(right0, Some(rightPrefix))
+    val series = left.partitionCols
+
+    val leftCols = left.df.columns.filterNot(series.contains).toSeq
+    val rightCols = right.df.columns.filterNot(series.contains).toSeq
+
+    // null-pad each side with the other side's columns (tsdf.py:233-243)
+    def pad(df: DataFrame, ownCols: Seq[String], otherDf: DataFrame,
+        otherCols: Seq[String], recInd: Int): DataFrame = {
+      val otherTypes = otherDf.schema.fields.map(f => f.name -> f.dataType).toMap
+      df.select(
+        (series.map(col) ++ ownCols.map(col) ++
+          otherCols.map(c => lit(null).cast(otherTypes(c)).alias(c)) :+
+          lit(recInd).alias("__rec_ind")): _*)
+    }
+
+    val unioned = pad(left.df, leftCols, right.df, rightCols, 1)
+      .unionByName(pad(right.df, rightCols, left.df, leftCols, -1))
+
+    val combinedTs = coalesce(col(left.tsCol), col(right.tsCol))
+    val seqOrder: Seq[Column] =
+      (left.sequenceCol.toSeq ++ right.sequenceCol.toSeq).map(c => coalesce(col(c)).asc)
+
+    val (bucketed, partKeys, cleanup) = tsPartitionVal match {
+      case None => (unioned.withColumn("__combined_ts", combinedTs), series, identity[DataFrame] _)
+      case Some(v) =>
+        // skew path: salt the window partition key by time bracket
+        val withTs = unioned.withColumn("__combined_ts", combinedTs)
+          .withColumn("__ts_double", col("__combined_ts").cast(DoubleType))
+          .withColumn("__ts_partition", lit(v) * floor(col("__ts_double") / v).cast(LongType))
+          .withColumn("__is_original", lit(1))
+        val overlap = withTs
+          .filter(col("__ts_double") - col("__ts_partition") >= lit(v * (1.0 - fraction)))
+          .withColumn("__ts_partition", col("__ts_partition") + v)
+          .withColumn("__is_original", lit(0))
+        val both = withTs.unionByName(overlap).cache()
+        (both, series :+ "__ts_partition",
+          (df: DataFrame) => df.filter(col("__is_original") === 1)
+            .drop("__ts_double", "__ts_partition", "__is_original"))
+    }
+
+    val w = Window.partitionBy(partKeys.map(col): _*)
+      .orderBy(col("__combined_ts").asc +: col("__rec_ind").asc +: seqOrder: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    // last right-hand value at or before each row (tsdf.py:252-340)
+    val filled = rightCols.foldLeft(bucketed) { (df, c) =>
+      val expr =
+        if (skipNulls) last(col(c), ignoreNulls = true).over(w)
+        else // propagate genuine right-side nulls via struct wrapping
+          last(when(col("__rec_ind") === -1, struct(col(c))), ignoreNulls = true)
+            .over(w).getField(c)
+      df.withColumn(c, expr)
+    }
+
+    val result = cleanup(filled)
+      .filter(col(left.tsCol).isNotNull)
+      .drop("__rec_ind", "__combined_ts")
+
+    TSDF(result, left.tsCol, series, left.sequenceCol)
+  }
+
+  // -------------------------------------------------------------- broadcast
+  private def broadcastJoin(
+      left0: TSDF, right0: TSDF,
+      leftPrefix: Option[String], rightPrefix: String): TSDF = {
+
+    val left = withPrefix(left0, leftPrefix)
+    val right = withPrefix(right0, Some(rightPrefix))
+    val series = left.partitionCols
+
+    val w = Window.partitionBy(series.map(col): _*).orderBy(col(right.tsCol).asc)
+    val rightWithLead = right.df.withColumn("__lead_ts", lead(col(right.tsCol), 1).over(w))
+
+    val rBytes = right.df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val rightSide =
+      if (rBytes < BroadcastBytesThreshold) broadcast(rightWithLead) else rightWithLead
+
+    val joined = left.df
+      .join(rightSide, series, "inner")
+      .filter(col(left.tsCol) >= col(right.tsCol) &&
+        (col("__lead_ts").isNull || col(left.tsCol) < col("__lead_ts")))
+      .drop("__lead_ts")
+
+    TSDF(joined, left.tsCol, series, left.sequenceCol)
+  }
+
+  // -------------------------------------------------------------- tolerance
+  /** Null out right-side values older than `tolerance` seconds
+    * (tsdf.py:919-945). */
+  private def applyTolerance(t: TSDF, tolerance: Double, rightPrefixUnderscore: String,
+      rightTsCol: String): TSDF = {
+    val rightCols = t.df.columns.filter(_.startsWith(rightPrefixUnderscore))
+    // exact integer-µs comparison (double-seconds would wobble at the
+    // boundary), materialized once up front — the fold below overwrites
+    // rightTsCol itself, so the predicate must not re-read it
+    val withStale = t.df.withColumn("__stale",
+      unix_micros(col(t.tsCol)) - unix_micros(col(rightTsCol)) >
+        math.round(tolerance * 1e6))
+    val nulled = rightCols.foldLeft(withStale) { (df, c) =>
+      df.withColumn(c, when(col("__stale"), lit(null)).otherwise(col(c)))
+    }.drop("__stale")
+    t.copy(df = nulled)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.tsdf
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tumbling-bucket resampling (downsample) and dense-spine upsampling.
+  *
+  * Semantics mirror /root/reference/python/tempo/resample.py:114-253:
+  * buckets come from `window(ts, freq)`; `floor`/`ceil` are argmin/argmax by
+  * ts realized with the `min(struct(ts, metrics...))` idiom (struct ordering
+  * is field-by-field left-to-right, so the earliest/latest row's metric
+  * values are selected atomically); `mean/min/max` are per-metric aggregates.
+  * The bucket start becomes the new ts. One partial+final hash aggregate,
+  * one shuffle — Catalyst handles map-side combine.
+  *
+  * `fill=true` builds a dense per-series spine with
+  * `explode(sequence(min_ts, max_ts, interval))` and left-joins the
+  * aggregates onto it, zero-filling numeric metrics (resample.py:225-251).
+  */
+object Resample {
+
+  /** Freq string → (canonical Spark interval string, seconds-or-so length).
+    * Accepts "30 seconds", "5 min", "1 hour", "hr", "day", "15 minutes", …
+    * (resample.py:57-76, 256-305). */
+  def parseFreq(freq: String): FreqSpec = {
+    val t = freq.trim.toLowerCase
+    val m = "^(\\d+)?\\s*([a-z]+)$".r
+    t match {
+      case m(amountStr, unitStr) =>
+        val amount = Option(amountStr).map(_.toInt).getOrElse(1)
+        val (unit, micros) = unitStr match {
+          case "us" | "microsecond" | "microseconds" => ("microsecond", 1L)
+          case "ms" | "millisecond" | "milliseconds" => ("millisecond", 1000L)
+          case "s" | "sec" | "second" | "seconds"    => ("second", 1000000L)
+          case "m" | "min" | "minute" | "minutes"    => ("minute", 60000000L)
+          case "h" | "hr" | "hour" | "hours"         => ("hour", 3600000000L)
+          case "d" | "day" | "days"                  => ("day", 86400000000L)
+          case other => throw new IllegalArgumentException(s"unsupported freq unit '$other'")
+        }
+        FreqSpec(amount, unit, amount * micros)
+      case _ => throw new IllegalArgumentException(s"cannot parse freq '$freq'")
+    }
+  }
+
+  val Floor = "floor"
+  val Mean = "mean"
+  val Min = "min"
+  val Max = "max"
+  val Ceil = "ceil"
+
+  def aggregate(tsdf: TSDF, freq: String, func: String, fill: Boolean = false,
+      metricCols: Option[Seq[String]] = None): TSDF = {
+    val spec = parseFreq(freq)
+    val metrics = metricCols.getOrElse(tsdf.observationalCols)
+    val series = tsdf.partitionCols
+    val bucket = window(tsdf.ts, spec.sparkInterval).getField("start")
+
+    val grouped = tsdf.df
+      .withColumn("__bucket", bucket)
+      .groupBy((series :+ "__bucket").map(col): _*)
+
+    val aggregated: DataFrame = func match {
+      case Floor =>
+        grouped
+          .agg(min(struct((tsdf.tsCol +: metrics).map(col): _*)).alias("__c"))
+          .select((series.map(col) :+ col("__bucket").alias(tsdf.tsCol)) ++
+            metrics.map(m => col("__c").getField(m).alias(m)): _*)
+      case Ceil =>
+        grouped
+          .agg(max(struct((tsdf.tsCol +: metrics).map(col): _*)).alias("__c"))
+          .select((series.map(col) :+ col("__bucket").alias(tsdf.tsCol)) ++
+            metrics.map(m => col("__c").getField(m).alias(m)): _*)
+      case Mean | Min | Max =>
+        val aggFn: String => Column = func match {
+          case Mean => c => avg(col(c))
+          case Min  => c => min(col(c))
+          case Max  => c => max(col(c))
+        }
+        val numericSet = {
+          val byName = tsdf.df.schema.fields
+            .map(f => f.name -> f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+            .toMap
+          metrics.filter(byName)
+        }
+        val aggs = numericSet.map(c => aggFn(c).alias(c))
+        grouped
+          .agg(aggs.head, aggs.tail: _*)
+          .select((series.map(col) :+ col("__bucket").alias(tsdf.tsCol)) ++
+            numericSet.map(col): _*)
+      case other => throw new IllegalArgumentException(
+        s"unsupported resample func '$other' (floor|mean|min|max|ceil)")
+    }
+
+    val result = if (fill) upsampleFill(aggregated, tsdf.tsCol, series, spec) else aggregated
+    TSDF(result, tsdf.tsCol, series, None, resampleSpec = Some(ResampleSpec(freq, func)))
+  }
+
+  /** Dense spine + left join + zero-fill (resample.py:225-251). */
+  private def upsampleFill(aggregated: DataFrame, tsCol: String,
+      series: Seq[String], spec: FreqSpec): DataFrame = {
+    val spine = aggregated
+      .groupBy(series.map(col): _*)
+      .agg(min(col(tsCol)).alias("__min_ts"), max(col(tsCol)).alias("__max_ts"))
+      .select(series.map(col) :+
+        explode(sequence(col("__min_ts"), col("__max_ts"),
+          expr(s"interval ${spec.sparkInterval}"))).alias(tsCol): _*)
+    val metricNames = aggregated.columns.filterNot(c => series.contains(c) || c == tsCol)
+    val numericMetrics = aggregated.schema.fields
+      .filter(f => metricNames.contains(f.name) &&
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      .map(_.name)
+    spine
+      .join(aggregated, series :+ tsCol, "left_outer")
+      .na.fill(0, numericMetrics)
+  }
+}
+
+/** Parsed resample frequency. */
+case class FreqSpec(amount: Int, unit: String, micros: Long) {
+  def sparkInterval: String = s"$amount $unit"
+  def seconds: Double = micros / 1e6
+}

@@ -1,0 +1,223 @@
+package graft.tsdf
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core time-series DataFrame abstraction.
+  *
+  * A TSDF wraps a plain Spark DataFrame together with metadata naming one
+  * distinguished timestamp column (`tsCol`), the series-identifier columns
+  * (`partitionCols` — each distinct tuple is one logical time series) and an
+  * optional tie-breaking `sequenceCol`. All operators are lazy DataFrame→
+  * DataFrame transformations; ordering is imposed per-operator via window
+  * specs, never materialized.
+  *
+  * Reference semantics: /root/reference/python/tempo/tsdf.py:28-77 (ctor),
+  * :949-989 (windows), :389-573 (projection/slicing/top-k).
+  * Implementation is original, Spark-first Scala.
+  */
+case class TSDF(
+    df: DataFrame,
+    tsCol: String = "event_ts",
+    partitionCols: Seq[String] = Seq.empty,
+    sequenceCol: Option[String] = None,
+    resampleSpec: Option[ResampleSpec] = None
+) {
+  // ---- validation (case-insensitive column existence, tsdf.py:163-189) ----
+  private def requireCol(c: String): String =
+    df.columns
+      .find(_.equalsIgnoreCase(c))
+      .getOrElse(throw new IllegalArgumentException(
+        s"Column '$c' not found among ${df.columns.mkString(", ")}"))
+  require(df.columns.exists(_.equalsIgnoreCase(tsCol)), s"ts column '$tsCol' missing")
+  partitionCols.foreach(requireCol)
+  sequenceCol.foreach(requireCol)
+
+  def ts: Column = col(tsCol)
+  def seriesCols: Seq[Column] = partitionCols.map(col)
+
+  /** Columns that are neither ts, series ids, nor the sequence col. */
+  def observationalCols: Seq[String] =
+    df.columns.filterNot(c =>
+      c == tsCol || partitionCols.contains(c) || sequenceCol.contains(c)).toSeq
+
+  /** Numeric observation columns (auto metric discovery, tsdf.py:1136-1149). */
+  def metricCols: Seq[String] = {
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    observationalCols.filter(c => byName(c).isInstanceOf[NumericType])
+  }
+
+  // ---- windows (tsdf.py:949-989) ----
+  def baseWindow(reverse: Boolean = false): WindowSpec = {
+    val ord0 = if (reverse) ts.desc else ts.asc
+    val ord = sequenceCol match {
+      case Some(s) => Seq(ord0, if (reverse) col(s).desc else col(s).asc)
+      case None    => Seq(ord0)
+    }
+    Window.partitionBy(seriesCols: _*).orderBy(ord: _*)
+  }
+
+  /** Value-based frame over epoch seconds (requires numeric sort col). */
+  def rangeBetweenWindow(lower: Long, upper: Long, sortCol: Column): WindowSpec =
+    Window.partitionBy(seriesCols: _*).orderBy(sortCol).rangeBetween(lower, upper)
+
+  def rowsBetweenWindow(lower: Long, upper: Long, reverse: Boolean = false): WindowSpec =
+    baseWindow(reverse).rowsBetween(lower, upper)
+
+  // ---- projection (tsdf.py:389-418) ----
+  def select(cols: String*): TSDF = {
+    val mandatory = (tsCol +: partitionCols) ++ sequenceCol
+    val missing = mandatory.filterNot(cols.contains)
+    require(missing.isEmpty, s"select must retain ${missing.mkString(", ")}")
+    copy(df = df.select(cols.map(col): _*))
+  }
+
+  def withPartitionCols(newPartitionCols: Seq[String]): TSDF =
+    copy(partitionCols = newPartitionCols)
+
+  // ---- time slicing (tsdf.py:420-506): plain pushdown-friendly filters ----
+  def at(t: Any): TSDF = copy(df = df.filter(ts === lit(t)))
+  def before(t: Any): TSDF = copy(df = df.filter(ts < lit(t)))
+  def atOrBefore(t: Any): TSDF = copy(df = df.filter(ts <= lit(t)))
+  def after(t: Any): TSDF = copy(df = df.filter(ts > lit(t)))
+  def atOrAfter(t: Any): TSDF = copy(df = df.filter(ts >= lit(t)))
+
+  def between(start: Any, end: Any, inclusive: Boolean = true): TSDF =
+    if (inclusive) copy(df = df.filter(ts >= lit(start) && ts <= lit(end)))
+    else copy(df = df.filter(ts > lit(start) && ts < lit(end)))
+
+  // ---- top-k per series (tsdf.py:508-573) ----
+  private def topRows(win: WindowSpec, n: Int): TSDF = {
+    val rn = "__graft_rn"
+    copy(df = df
+      .withColumn(rn, row_number().over(win))
+      .filter(col(rn) <= n)
+      .drop(rn))
+  }
+
+  /** First n rows of each series in time order. */
+  def earliest(n: Int = 1): TSDF = topRows(baseWindow(reverse = false), n)
+
+  /** Last n rows of each series (reverse time order). */
+  def latest(n: Int = 1): TSDF = topRows(baseWindow(reverse = true), n)
+
+  /** Up to n rows at-or-before `t`, most recent last (as-of select). */
+  def priorTo(t: Any, n: Int = 1): TSDF = atOrBefore(t).latest(n)
+
+  /** Up to n rows at-or-after `t`. */
+  def subsequentTo(t: Any, n: Int = 1): TSDF = atOrAfter(t).earliest(n)
+
+  /** k most recent rows per series, globally ordered (display helper,
+    * tsdf.py:579-620). */
+  def showSlice(k: Int = 5): DataFrame =
+    latest(k).df.orderBy(seriesCols :+ ts.asc: _*)
+
+  // ---- describe (tsdf.py:622-700) ----
+  /** Spark describe ∪ per-column missing %, plus global summary columns. */
+  def describe(): DataFrame = {
+    val base = df.describe()
+    val missing = df.select(df.columns.map { c =>
+      (round(sum(when(col(c).isNull, 1).otherwise(0)) * 100.0 / count(lit(1)), 2))
+        .cast(StringType).alias(c)
+    }.toIndexedSeq: _*).withColumn("summary", lit("missing_pct"))
+    base.unionByName(missing.select("summary", df.columns.toIndexedSeq: _*))
+  }
+
+  /** Global diagnostics: series count, min/max ts, inferred granularity. */
+  def summary(): DataFrame = {
+    val granularity = when(max(expr(s"unix_timestamp($tsCol) % 60")) > 0, "second")
+      .when(max(expr(s"unix_timestamp($tsCol) % 3600")) > 0, "minute")
+      .when(max(expr(s"unix_timestamp($tsCol) % 86400")) > 0, "hour")
+      .otherwise("day")
+    df.agg(
+      countDistinct(struct(seriesCols: _*)).alias("n_series"),
+      count(lit(1)).alias("n_rows"),
+      min(ts).alias("min_ts"),
+      max(ts).alias("max_ts"),
+      granularity.alias("granularity"))
+  }
+
+  // ---- delegated operators (separate modules) ----
+  def asofJoin(
+      right: TSDF,
+      leftPrefix: Option[String] = None,
+      rightPrefix: String = "right",
+      tsPartitionVal: Option[Long] = None,
+      fraction: Double = 0.5,
+      skipNulls: Boolean = true,
+      sqlJoinOpt: Boolean = false,
+      tolerance: Option[Double] = None): TSDF =
+    AsOfJoin(this, right, leftPrefix, rightPrefix, tsPartitionVal, fraction,
+      skipNulls, sqlJoinOpt, tolerance)
+
+  def resample(freq: String, func: String, fill: Boolean = false): TSDF =
+    Resample.aggregate(this, freq, func, fill)
+
+  def interpolate(
+      method: String,
+      freq: Option[String] = None,
+      func: Option[String] = None,
+      targetCols: Option[Seq[String]] = None,
+      showInterpolated: Boolean = false): TSDF =
+    Interpolation.interpolate(this, method, freq, func, targetCols, showInterpolated)
+
+  def withRangeStats(
+      colsToSummarize: Seq[String] = Seq.empty,
+      rangeBackWindowSecs: Long = 1000): TSDF =
+    Stats.withRangeStats(this, colsToSummarize, rangeBackWindowSecs)
+
+  def withGroupedStats(metricCols: Seq[String] = Seq.empty, freq: String): TSDF =
+    Stats.withGroupedStats(this, metricCols, freq)
+
+  def vwap(frequency: String = "m", volumeCol: String = "volume",
+      priceCol: String = "price"): TSDF =
+    Stats.vwap(this, frequency, volumeCol, priceCol)
+
+  def ema(colToCalc: String, window: Int = 30, expFactor: Double = 0.2): TSDF =
+    Stats.ema(this, colToCalc, window, expFactor)
+
+  def withLookbackFeatures(featureCols: Seq[String], lookbackWindowSize: Int,
+      exactSize: Boolean = true, featureColName: String = "features"): TSDF =
+    Stats.withLookbackFeatures(this, featureCols, lookbackWindowSize, exactSize, featureColName)
+
+  def extractStateIntervals(metricCols: Seq[String],
+      stateDefinition: Either[String, (Column, Column) => Column] = Left("=")): DataFrame =
+    Stats.extractStateIntervals(this, metricCols, stateDefinition)
+
+  def calcBars(freq: String, metricCols: Seq[String] = Seq.empty): TSDF =
+    Stats.calcBars(this, freq, metricCols)
+
+  def fourierTransform(timestep: Double, valueCol: String): TSDF =
+    Fourier.transform(this, timestep, valueCol)
+}
+
+/** Remembered resample parameters so chained interpolate() can default them
+  * (_ResampledTSDF, tsdf.py:1619-1689). */
+case class ResampleSpec(freq: String, func: String)
+
+object TSDF {
+
+  /** Nanosecond-precision string-timestamp ingestion.
+    *
+    * Spark timestamps are microsecond; to preserve nanos the reference keeps a
+    * parallel double epoch column (tsdf.py:86-150). Same trick: seconds since
+    * epoch from the truncated timestamp plus the full fractional part parsed
+    * from the string.
+    */
+  def parseNanosTimestamp(df: DataFrame, tsStringCol: String,
+      parsedTsCol: String = "parsed_ts", doubleTsCol: String = "double_ts"): DataFrame = {
+    val frac = when(col(tsStringCol).contains("."),
+      concat(lit("0."), split(col(tsStringCol), "\\.").getItem(1)))
+      .otherwise(lit("0.0")).cast(DoubleType)
+    df.withColumn(parsedTsCol, to_timestamp(col(tsStringCol)))
+      .withColumn(doubleTsCol,
+        col(parsedTsCol).cast(DoubleType).cast("long").cast(DoubleType) + frac)
+  }
+
+  /** Validate `YYYY-MM-DD[ T]HH:MM:SS[.fffffffff]` (tsdf.py:152-161). */
+  private val TsPattern =
+    """^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?$""".r
+  def isValidTsString(s: String): Boolean = TsPattern.matches(s)
+}
