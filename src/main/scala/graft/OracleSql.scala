@@ -337,5 +337,14 @@ object OracleSql {
 
     "q_fingerprint" ->
       s"SELECT doc_id, source, md5($norm) AS fp FROM documents",
+
+    "q_lookback" ->
+      """WITH x AS (SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |f AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |  list([c]) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS fl
+        |  FROM x)
+        |SELECT user_id, ts_us, CAST(to_json(fl) AS VARCHAR) AS features
+        |FROM f WHERE len(fl) = 3""".stripMargin,
   )
 }

@@ -353,10 +353,15 @@ object SparkEntry {
       .df.select(col("user_id"), usec(col("ts")).alias("ts_us"),
         col("freq"), col("ft_real"), col("ft_imag"))
 
+  /** The feature tensor is emitted as JSON of integer cents — an
+    * array<array<double>> column is not hashable by the driver's comparator,
+    * and integer payloads serialize identically in Spark and DuckDB. */
   private def qLookback(s: SparkSession, dir: String): DataFrame =
-    eventsTsdf(s, dir, "user_id", col("value"))
-      .withLookbackFeatures(Seq("value"), lookbackWindowSize = 3)
-      .df.select(col("user_id"), usec(col("ts")).alias("ts_us"), col("features"))
+    eventsTsdf(s, dir, "user_id", cents(col("value")).alias("c"))
+      .withLookbackFeatures(Seq("c"), lookbackWindowSize = 3)
+      .df.select(col("user_id"), usec(col("ts")).alias("ts_us"),
+        to_json(transform(col("features"),
+          a => transform(a, x => x.cast(LongType)))).alias("features"))
 
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
     val withPayload = docs(s, dir)

@@ -110,19 +110,28 @@ object AsOfJoin {
     val (bucketed, partKeys, cleanup) = tsPartitionVal match {
       case None => (unioned.withColumn("__combined_ts", combinedTs), series, identity[DataFrame] _)
       case Some(v) =>
-        // skew path: salt the window partition key by time bracket
-        val withTs = unioned.withColumn("__combined_ts", combinedTs)
-          .withColumn("__ts_double", col("__combined_ts").cast(DoubleType))
-          .withColumn("__ts_partition", lit(v) * floor(col("__ts_double") / v).cast(LongType))
-          .withColumn("__is_original", lit(1))
-        val overlap = withTs
-          .filter(col("__ts_double") - col("__ts_partition") >= lit(v * (1.0 - fraction)))
-          .withColumn("__ts_partition", col("__ts_partition") + v)
-          .withColumn("__is_original", lit(0))
-        val both = withTs.unionByName(overlap).cache()
+        // skew path: salt the window partition key by time bracket. The
+        // reference materializes the overlap rows as a filter + union over a
+        // cached input (tsdf.py:342-383); here each row *generates* its 1-2
+        // bracket assignments through a single explode — one scan, no cache
+        // to leak, and the duplicated fraction never re-reads the source.
+        val base = lit(v) * floor(col("__combined_ts").cast(DoubleType) / v).cast(LongType)
+        val inOverlapTail =
+          col("__combined_ts").cast(DoubleType) - col("__bracket") >= lit(v * (1.0 - fraction))
+        val assignments = filter(
+          array(
+            struct(col("__bracket").alias("p"), lit(1).alias("o")),
+            when(inOverlapTail, struct((col("__bracket") + v).alias("p"), lit(0).alias("o")))),
+          x => x.isNotNull)
+        val both = unioned.withColumn("__combined_ts", combinedTs)
+          .withColumn("__bracket", base)
+          .withColumn("__dup", explode(assignments))
+          .withColumn("__ts_partition", col("__dup").getField("p"))
+          .withColumn("__is_original", col("__dup").getField("o"))
+          .drop("__dup", "__bracket")
         (both, series :+ "__ts_partition",
           (df: DataFrame) => df.filter(col("__is_original") === 1)
-            .drop("__ts_double", "__ts_partition", "__is_original"))
+            .drop("__ts_partition", "__is_original"))
     }
 
     val w = Window.partitionBy(partKeys.map(col): _*)
