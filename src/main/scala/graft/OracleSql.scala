@@ -1,5 +1,7 @@
 package graft
 
+import graft.pipeline.{Dedup, Hashing, Similarity, TextAnalysis}
+
 /** DuckDB oracle SQL, one entry per SQL-expressible query in
   * [[SparkEntry.queries]]. Each statement is written to be *value-identical*
   * to the Spark query: float aggregations run on exact integer-scaled inputs
@@ -55,6 +57,14 @@ object OracleSql {
   private val qv = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))"
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** sign-LSH bucket id from the shared integer plane matrix (dim 64) */
+  private def lshBucketSql(vec: String, dim: Int, nBits: Int): String =
+    (0 until nBits).map { p =>
+      val plane = (0 until dim).map(i => s"${Similarity.planeComponent(p, i)}.0")
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($vec, $plane) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
 
   val all: Map[String, String] = Map(
 
@@ -346,5 +356,114 @@ object OracleSql {
         |  FROM x)
         |SELECT user_id, ts_us, CAST(to_json(fl) AS VARCHAR) AS features
         |FROM f WHERE len(fl) = 3""".stripMargin,
+
+    "q_rolling_fp" ->
+      s"SELECT doc_id, ${Hashing.polyHashSql(norm)} AS rh FROM documents",
+
+    // Full MinHash-LSH replay: shingle → polyhash → k-permutation signature →
+    // band hashes → bucket-clamped self-join → exact-Jaccard verify. Same
+    // constants as Dedup.nearDuplicates(shingleWidth=2, b=6, r=3, clamp=50,
+    // t=0.4); the lossless size-ratio prefilter is intentionally NOT
+    // replayed (it never removes a qualifying pair).
+    "q_minhash_pairs" -> {
+      val bands = 6; val rpb = 3; val k = bands * rpb; val clamp = 50
+      val shingleExpr =
+        "CASE WHEN len(toks) >= 2 THEN list_distinct(list_transform(" +
+          "generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) " +
+          "ELSE [array_to_string(toks, ' ')] END"
+      val sigList = (0 until k)
+        .map(s => s"list_min(list_transform(hs, h -> ${Hashing.mixSql("h", s)}))")
+        .mkString("[", ",\n    ", "]")
+      val bandSelects = (0 until bands).map { b =>
+        val bh = Hashing.foldHashesSql((0 until rpb).map(i => s"sig[${b * rpb + i + 1}]"))
+        s"SELECT doc_id, $b AS band, $bh AS bhash FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH d AS (SELECT doc_id, $norm AS nrm FROM documents),
+         |t AS (SELECT doc_id, string_split(nrm, ' ') AS toks FROM d),
+         |shg AS (SELECT doc_id, $shingleExpr AS sh FROM t),
+         |hsh AS (SELECT doc_id, list_transform(sh, x -> ${Hashing.polyHashSql("x")}) AS hs FROM shg),
+         |sig AS (SELECT doc_id, $sigList AS sig FROM hsh),
+         |banded AS (
+         |  $bandSelects),
+         |clamped AS (SELECT * FROM banded
+         |  QUALIFY count(*) OVER (PARTITION BY band, bhash) <= $clamp),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM clamped a JOIN clamped b
+         |  ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+         |verify AS (SELECT p.doc_id_a, p.doc_id_b,
+         |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |  ((len(x.sh) + len(y.sh)) - CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)) AS jaccard
+         |  FROM pairs p JOIN shg x ON p.doc_id_a = x.doc_id
+         |  JOIN shg y ON p.doc_id_b = y.doc_id)
+         |SELECT doc_id_a, doc_id_b, jaccard FROM verify WHERE jaccard >= 0.4""".stripMargin
+    },
+
+    "q_simhash" -> {
+      val nb = Dedup.SimhashBits
+      val h = Hashing.combineSql(Hashing.mixSql("ph", 0), Hashing.mixSql("ph", 1))
+      val bitSums = (0 until nb)
+        .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+        .mkString(",\n  ")
+      val packed = (0 until nb)
+        .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, $norm AS nrm FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS t FROM d),
+         |ph AS (SELECT doc_id, ${Hashing.polyHashSql("t")} AS ph FROM tok),
+         |h AS (SELECT doc_id, $h AS h FROM ph),
+         |bits AS (SELECT doc_id,
+         |  $bitSums
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, $packed AS simhash FROM bits""".stripMargin
+    },
+
+    "q_ann_lsh" ->
+      s"""WITH q AS (SELECT vec_id, $qv AS q FROM embeddings),
+         |bk AS (SELECT vec_id, q, ${lshBucketSql("q", 64, 6)} AS bucket FROM q),
+         |s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  ${cosSql("a.q", "b.q")} AS cosine
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cosine,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+         |  FROM s)
+         |SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id, cosine
+         |FROM r WHERE rn <= 3""".stripMargin,
+
+    "q_embed_neardup_lsh" ->
+      s"""WITH q AS (SELECT vec_id, $qv AS q FROM embeddings),
+         |bk AS (SELECT vec_id, q, ${lshBucketSql("q", 64, 6)} AS bucket FROM q),
+         |p AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         |  ${cosSql("a.q", "b.q")} AS cosine
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT vec_id_a, vec_id_b, cosine FROM p WHERE cosine >= 0.3""".stripMargin,
+
+    "q_multimodal" -> {
+      val ph = Hashing.polyHashSql("p")
+      s"""WITH d AS (SELECT doc_id, $norm AS p FROM documents),
+         |h AS (SELECT doc_id, length(p) AS n, $ph AS ph FROM d)
+         |SELECT doc_id,
+         |  CASE WHEN n % 3 = 0 THEN 'image' WHEN n % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+         |  CAST(${Hashing.mixSql("ph", 0)} % 1024 + 32 AS INT) AS width,
+         |  (${Hashing.mixSql("ph", 16)} % 1000) / 1000.0 AS f0
+         |FROM h""".stripMargin
+    },
+
+    // O(n²) DFT as ground truth for the FFT: X_k = Σ_j v_j·e^{-2πi·jk/n}.
+    // ft values compare as rounded cents (the FFT sums floats in a different
+    // order); freq = k/(n·1.0) on exact integers compares unrounded.
+    "q_fourier" ->
+      """WITH x AS (SELECT user_id, ts, value,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS BIGINT) AS j,
+        |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n FROM events),
+        |d AS (SELECT a.user_id, a.ts, a.j, a.n,
+        |  sum(b.value * cos(2 * pi() * ((a.j * b.j) % a.n) / a.n)) AS fr,
+        |  sum(-b.value * sin(2 * pi() * ((a.j * b.j) % a.n) / a.n)) AS fi
+        |  FROM x a JOIN x b ON a.user_id = b.user_id
+        |  GROUP BY a.user_id, a.ts, a.j, a.n)
+        |SELECT user_id, epoch_us(ts) AS ts_us,
+        |  (CASE WHEN j < (n - 1) // 2 + 1 THEN j ELSE j - n END) / (n * 1.0) AS freq,
+        |  CAST(floor(fr * 100 + 0.25) AS BIGINT) AS ft_real_c,
+        |  CAST(floor(fi * 100 + 0.25) AS BIGINT) AS ft_imag_c
+        |FROM d""".stripMargin,
   )
 }

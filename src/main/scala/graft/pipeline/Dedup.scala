@@ -47,54 +47,78 @@ object Dedup {
         .otherwise(array(concat_ws(" ", tokens))))
   }
 
-  /** k-permutation MinHash signature: sig[s] = min over shingles of
-    * xxhash64(shingle, s). One pass, fully codegen'd. */
-  def minhashSignature(shinglesCol: Column, k: Int): Column =
+  /** Per-shingle polynomial hashes (engine-agnostic, see [[Hashing]]) —
+    * computed once, then remixed per MinHash permutation. */
+  def shingleHashes(shinglesCol: Column): Column =
+    transform(shinglesCol, x => Hashing.polyHash(x))
+
+  /** k-permutation MinHash signature over precomputed shingle hashes:
+    * sig[s] = min over shingles of (a_s·h + b_s) mod P. Fully codegen'd. */
+  def minhashSignature(hashesCol: Column, k: Int): Column =
     array((0 until k).map(s =>
-      array_min(transform(shinglesCol, x => xxhash64(x, lit(s))))): _*)
+      array_min(transform(hashesCol, h => Hashing.mix(h, s)))): _*)
 
   /** MinHash-LSH candidate pairs: signatures banded into `bands` groups of
     * `rowsPerBand`; docs sharing any band hash become a candidate pair.
     * Returns (idCol_a, idCol_b) with a < b, deduplicated across bands.
     *
     * Scale path: the self-join is an equi-join on (band index, band hash) —
-    * uniform 64-bit keys, no skew; never a cross join.
+    * uniform keys, never a cross join — and pathological buckets (boilerplate
+    * shared by thousands of docs would contribute |bucket|² pairs) are
+    * clamped at `maxBucketSize` before the join. With rowsPerBand = 3 a
+    * spurious pair at similarity s only collides with probability s³ per
+    * band, which is what keeps the candidate count linear-ish at scale.
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-      shingleWidth: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+      shingleWidth: Int = 3, bands: Int = 6, rowsPerBand: Int = 3,
+      maxBucketSize: Int = 50): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = minhashSignature(shingles(col(textCol), shingleWidth), k)
     val banded = df
-      .select(col(idCol), sig.alias("__sig"))
+      .select(col(idCol), shingles(col(textCol), shingleWidth).alias("__sh"))
+      .select(col(idCol), shingleHashes(col("__sh")).alias("__hs"))
+      .select(col(idCol), minhashSignature(col("__hs"), k).alias("__sig"))
       .select(col(idCol), explode(
         array((0 until bands).map(b =>
           struct(lit(b).alias("band"),
-            xxhash64(concat_ws(",",
-              (0 until rowsPerBand).map(r => col("__sig").getItem(b * rowsPerBand + r)): _*))
-              .alias("bhash"))): _*)).alias("__band"))
+            Hashing.foldHashes((0 until rowsPerBand).map(r =>
+              col("__sig").getItem(b * rowsPerBand + r))).alias("bhash"))): _*))
+        .alias("__band"))
       .select(col(idCol), col("__band.band"), col("__band.bhash"))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
+    val clamped = banded
+      .withColumn("__bcnt",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bhash"))))
+      .filter(col("__bcnt") <= maxBucketSize)
+      .drop("__bcnt")
+    val a = clamped.alias("a")
+    val b = clamped.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").alias(s"${idCol}_a"), col(s"b.$idCol").alias(s"${idCol}_b"))
       .distinct()
   }
 
-  /** 64-bit SimHash fingerprint per document: sign-sum of per-token xxhash64
-    * bits. Explode + single groupBy (map-side combinable). */
+  /** Number of informative SimHash bits: the 61-bit token hash packs two
+    * 30-bit polynomial hashes (bits 0..29 and 31..60); higher bits are
+    * structurally zero so their sign-sums are never positive. */
+  val SimhashBits = 61
+
+  /** SimHash fingerprint per document: sign-sum of per-token hash bits.
+    * Explode + single groupBy (map-side combinable); the token hash is the
+    * engine-agnostic [[Hashing]] combine so a SQL oracle can replay it. */
   def simhash(df: DataFrame, textCol: String, idCol: String,
       outCol: String = "simhash"): DataFrame = {
     val tokens = split(normalizeText(col(textCol)), " ")
     val exploded = df
       .select(col(idCol), explode(tokens).alias("__tok"))
-      .withColumn("__h", xxhash64(col("__tok")))
-    val bitSums = (0 until 64).map { j =>
+      .withColumn("__ph", Hashing.polyHash(col("__tok")))
+      .withColumn("__h",
+        Hashing.combine(Hashing.mix(col("__ph"), 0), Hashing.mix(col("__ph"), 1)))
+    val bitSums = (0 until SimhashBits).map { j =>
       sum(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
         .alias(s"__b$j")
     }
-    val packed = (0 until 64).map { j =>
-      when(col(s"__b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    val packed = (0 until SimhashBits).map { j =>
+      when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce[Column](_ + _)
     exploded
       .groupBy(col(idCol))
@@ -113,18 +137,29 @@ object Dedup {
     inter / (size(shA) + size(shB) - inter)
   }
 
-  /** LSH candidates verified with exact Jaccard ≥ threshold. */
+  /** LSH candidates verified with exact Jaccard ≥ threshold.
+    *
+    * Before touching the shingle arrays, candidates are prefiltered on the
+    * size bound J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|): a pair whose size ratio
+    * is below the threshold cannot qualify, so the (expensive)
+    * `array_intersect` never runs for it. The prefilter is lossless — it
+    * never drops a qualifying pair — so oracles need not replay it. */
   def nearDuplicates(df: DataFrame, textCol: String, idCol: String,
-      shingleWidth: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
-    val cands = minhashCandidates(df, textCol, idCol, shingleWidth, bands, rowsPerBand)
+      shingleWidth: Int = 3, bands: Int = 6, rowsPerBand: Int = 3,
+      threshold: Double = 0.7, maxBucketSize: Int = 50): DataFrame = {
+    val cands = minhashCandidates(df, textCol, idCol, shingleWidth, bands,
+      rowsPerBand, maxBucketSize)
     val sh = df.select(col(idCol),
       shingles(col(textCol), shingleWidth).alias("__sh"))
+    val sizeRatio =
+      least(size(col("__sha")), size(col("__shb"))).cast(DoubleType) /
+        greatest(size(col("__sha")), size(col("__shb")))
     cands
       .join(sh.withColumnRenamed(idCol, s"${idCol}_a").withColumnRenamed("__sh", "__sha"),
         s"${idCol}_a")
       .join(sh.withColumnRenamed(idCol, s"${idCol}_b").withColumnRenamed("__sh", "__shb"),
         s"${idCol}_b")
+      .filter(sizeRatio >= threshold)
       .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
       .filter(col("jaccard") >= threshold)
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))

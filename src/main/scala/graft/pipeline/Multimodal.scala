@@ -14,6 +14,11 @@ import org.apache.spark.sql.types._
   * derives a deterministic fake decode from the payload bytes. Swap
   * `decodeStub` for a real codec (e.g. javacpp-ffmpeg / TwelveMonkeys) at
   * deployment; nothing else changes.
+  *
+  * The stub arithmetic is the engine-agnostic [[Hashing]] polynomial, so for
+  * ASCII payloads (bytes == codepoints) a DuckDB oracle can replay both the
+  * metadata struct and the extracted features bit-for-bit — the plumbing is
+  * correctness-gated even though the codec is fake.
   */
 object Multimodal {
 
@@ -26,45 +31,43 @@ object Multimodal {
     StructField("duration_ms", LongType)))
 
   /** Attach a metadata struct inferred from payload headers.
-    * STUB: deterministic pseudo-metadata derived from byte length/prefix. */
+    * STUB: deterministic pseudo-metadata derived from byte length + payload
+    * hash (pure Column algebra — stays in codegen). */
   def withMediaMeta(df: DataFrame, payloadCol: String,
       metaCol: String = "media_meta"): DataFrame = {
     val p = col(payloadCol)
-    val n = length(p)
+    val n = length(p) // byte length for binary columns
+    val h = Hashing.polyHash(p.cast(StringType))
     df.withColumn(metaCol, struct(
       when(pmod(n, lit(3)) === 0, "image").when(pmod(n, lit(3)) === 1, "audio")
         .otherwise("video").alias("media_type"),
       when(pmod(n, lit(2)) === 0, "jpeg").otherwise("wav").alias("format"),
-      (pmod(xxhash64(p), lit(1024)) + 32).cast(IntegerType).alias("width"),
-      (pmod(xxhash64(p, lit(1)), lit(1024)) + 32).cast(IntegerType).alias("height"),
-      pmod(xxhash64(p, lit(2)), lit(60000)).alias("duration_ms")))
+      (pmod(Hashing.mix(h, 0), lit(1024)) + 32).cast(IntegerType).alias("width"),
+      (pmod(Hashing.mix(h, 1), lit(1024)) + 32).cast(IntegerType).alias("height"),
+      pmod(Hashing.mix(h, 2), lit(60000)).alias("duration_ms")))
   }
 
-  /** Deterministic fake decode: payload bytes → fixed-length feature vector.
-    * ??? REAL CODEC GOES HERE — the signature (bytes in, float features out,
-    * batch-iterated per partition) is the production contract. */
-  def decodeStub(bytes: Array[Byte], featureDim: Int): Array[Float] = {
-    val out = new Array[Float](featureDim)
-    var h = 1125899906842597L
-    var i = 0
-    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-    i = 0
-    while (i < featureDim) {
-      h = h * 6364136223846793005L + 1442695040888963407L
-      out(i) = ((h >>> 40).toInt % 1000) / 1000.0f
-      i += 1
-    }
-    out
+  /** Feature seeds start above the metadata seeds (0..2). */
+  private val FeatureSeedBase = 16
+
+  /** Deterministic fake decode: payload bytes → fixed-length feature vector
+    * with 3-decimal values in [0, 1).
+    * ??? REAL CODEC GOES HERE — the signature (bytes in, numeric features
+    * out, batch-iterated per partition) is the production contract. */
+  def decodeStub(bytes: Array[Byte], featureDim: Int): Array[Double] = {
+    val h = Hashing.polyHashBytes(bytes)
+    Array.tabulate(featureDim)(i =>
+      (Hashing.mixLong(h, FeatureSeedBase + i) % 1000L) / 1000.0)
   }
 
   /** Feature extraction over the payload column via `mapPartitions` — rows
     * stream through in executor-sized batches; the decode call sits behind
-    * [[decodeStub]]. Output: (idCol, features array<float>). */
+    * [[decodeStub]]. Output: (idCol, features array<double>). */
   def extractFeatures(df: DataFrame, idCol: String, payloadCol: String,
       featureDim: Int = 64): DataFrame = {
     val outSchema = StructType(Seq(
       df.schema(idCol),
-      StructField("features", ArrayType(FloatType))))
+      StructField("features", ArrayType(DoubleType))))
     val idIdx = 0
     df.select(col(idCol), col(payloadCol))
       .mapPartitions { it =>

@@ -52,19 +52,28 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Integer-valued component of pseudo-random hyperplane `p` at dimension
+    * `i`, in [-500, 499] — hash-derived, no RNG state, identical in any
+    * engine. Integer components make every dot product an exact sum (no
+    * FP rounding, summation-order independent). */
+  def planeComponent(p: Int, i: Int): Long =
+    Hashing.mixLong((p.toLong * 8191L + i) % Hashing.P, 3) % 1000L - 500L
+
+  def planeMatrix(dim: Int, nBits: Int): Seq[Seq[Double]] =
+    (0 until nBits).map(p => (0 until dim).map(i => planeComponent(p, i).toDouble))
+
   /** Deterministic sign-LSH bucket id from `nBits` pseudo-random hyperplanes.
     *
-    * Plane p's component for dimension d is a fixed hash-derived value in
-    * [-0.5, 0.5): `(xxhash64(p*8191+d) mod 1000)/1000 - 0.5` — reproducible
-    * across runs/engines with no RNG state.
+    * The plane matrix is attached as an array *literal* and each sign bit is
+    * one `aggregate(zip_with(...))` — expression size grows with nBits, not
+    * dim×nBits, so codegen survives 1024-dim embeddings (the previous
+    * per-component expansion hit the 64 KB JIT method limit).
     */
   def lshBucket(vec: Column, dim: Int, nBits: Int): Column = {
+    val planes = planeMatrix(dim, nBits)
     val bits = (0 until nBits).map { p =>
-      val d = (0 until dim).map { i =>
-        vec.getItem(i).cast(DoubleType) *
-          ((pmod(xxhash64(lit(p * 8191 + i)), lit(1000L)).cast(DoubleType) / 1000.0) - 0.5)
-      }.reduce(_ + _)
-      when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      val d = dot(vec, typedLit(planes(p)))
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce[Column](_ + _)
   }

@@ -90,10 +90,9 @@ object TextAnalysis {
     * collapsed whitespace) — stable under formatting changes. */
   def fingerprint(text: Column): Column = md5(Dedup.normalizeText(text))
 
-  /** 61-bit polynomial rolling hash of the normalized text, computed with a
-    * higher-order `aggregate` over the character array — a JVM-side exact
-    * analog of streaming Rabin-Karp, usable for shingle-level fingerprints. */
-  def rollingHash(text: Column, mod: Long = 1000000007L, base: Long = 131L): Column =
-    aggregate(split(Dedup.normalizeText(text), ""), lit(0L),
-      (acc, ch) => pmod(acc * base + coalesce(ascii(ch).cast(LongType), lit(0L)), lit(mod)))
+  /** Polynomial rolling hash (Rabin-Karp) of the normalized text — the
+    * shared engine-agnostic [[Hashing.polyHash]], so a DuckDB oracle can
+    * replay it exactly. */
+  def rollingHash(text: Column): Column =
+    Hashing.polyHash(Dedup.normalizeText(text))
 }
