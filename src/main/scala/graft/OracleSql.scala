@@ -220,11 +220,18 @@ object OracleSql {
       """WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 2 HOUR AS e, value FROM events),
         |b AS (SELECT user_id, s AS p FROM iv UNION SELECT user_id, e AS p FROM iv),
         |seg AS (SELECT user_id, p, lead(p) OVER (PARTITION BY user_id ORDER BY p) AS p2 FROM b),
-        |sg AS (SELECT user_id, p, p2 FROM seg WHERE p2 IS NOT NULL)
-        |SELECT g.user_id, epoch_us(g.p) AS start_us, epoch_us(g.p2) AS end_us,
-        |  max_by(i.value, i.s) AS value
-        |FROM sg g JOIN iv i ON g.user_id = i.user_id AND g.p < i.e AND g.p2 > i.s
-        |GROUP BY g.user_id, g.p, g.p2""".stripMargin,
+        |sg AS (SELECT user_id, p, p2 FROM seg WHERE p2 IS NOT NULL),
+        |m AS (SELECT g.user_id, g.p, g.p2, max_by(i.value, i.s) AS value
+        |  FROM sg g JOIN iv i ON g.user_id = i.user_id AND g.p < i.e AND g.p2 > i.s
+        |  GROUP BY g.user_id, g.p, g.p2),
+        |fl AS (SELECT *, CASE WHEN p IS NOT DISTINCT FROM lag(p2) OVER w
+        |    AND value IS NOT DISTINCT FROM lag(value) OVER w THEN 0 ELSE 1 END AS brk
+        |  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY p)),
+        |g2 AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY p
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM fl)
+        |SELECT user_id, epoch_us(min(p)) AS start_us, epoch_us(max(p2)) AS end_us,
+        |  max(value) AS value
+        |FROM g2 GROUP BY user_id, grp""".stripMargin,
 
     "q_cv_folds" ->
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id,
@@ -447,6 +454,55 @@ object OracleSql {
          |  (${Hashing.mixSql("ph", 16)} % 1000) / 1000.0 AS f0
          |FROM h""".stripMargin
     },
+
+    "q_time_horizon" ->
+      """WITH g AS (SELECT user_id, min(ts) AS mn, max(ts) AS mx, count(*) AS actual_rows
+        |  FROM events GROUP BY 1),
+        |e AS (SELECT user_id, mn, mx, actual_rows,
+        |  epoch_ms(mn) AS mnm, epoch_ms(mx) AS mxm FROM g),
+        |r AS (SELECT user_id, mn, mx, actual_rows,
+        |  mnm - mnm % 3600000 AS rmin, mxm - mxm % 3600000 AS rmax FROM e)
+        |SELECT user_id, epoch_us(mn) AS min_ts_us, epoch_us(mx) AS max_ts_us,
+        |  actual_rows, (rmax - rmin) / 3600000 + 1 AS num_values
+        |FROM r""".stripMargin,
+
+    "q_describe" -> {
+      val cols = Seq("event_id", "user_id", "event_type", "value")
+      val gran =
+        """substring(min(CASE WHEN epoch_us(ts) % 1000000 <> 0 THEN '1-millis'
+          |  WHEN epoch_us(ts) % 60000000 <> 0 THEN '2-seconds'
+          |  WHEN epoch_us(ts) % 3600000000 <> 0 THEN '3-minutes'
+          |  WHEN epoch_us(ts) % 86400000000 <> 0 THEN '4-hours'
+          |  ELSE '5-days' END), 3)""".stripMargin
+      def row(summary: String, vals: Seq[String], globals: Seq[String]) =
+        s"SELECT '$summary' AS summary, ${globals(0)} AS unique_time_series_count, " +
+          s"${globals(1)} AS min_ts, ${globals(2)} AS max_ts, ${globals(3)} AS granularity, " +
+          cols.zip(vals).map { case (c, v) => s"$v AS $c" }.mkString(", ") +
+          " FROM events"
+      val blank = Seq("' '", "' '", "' '", "' '")
+      Seq(
+        row("global", cols.map(_ => "' '"),
+          Seq("CAST(count(DISTINCT user_id) AS VARCHAR)", "CAST(min(ts) AS VARCHAR)",
+            "CAST(max(ts) AS VARCHAR)", gran)),
+        row("count", cols.map(c => s"CAST(count($c) AS VARCHAR)"), blank),
+        row("min", cols.map(c => s"CAST(min($c) AS VARCHAR)"), blank),
+        row("max", cols.map(c => s"CAST(max($c) AS VARCHAR)"), blank),
+        row("missing_vals_pct",
+          cols.map(c => s"CAST((100 * count(CASE WHEN $c IS NULL THEN 1 END)) / count(*) AS VARCHAR)"),
+          blank),
+      ).mkString("\nUNION ALL\n")
+    },
+
+    "q_asof_nanos" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, value,
+        |  epoch_ns(ts) // 1000000000 +
+        |  CAST('0.' || lpad(CAST(epoch_ns(ts) % 1000000000 AS VARCHAR), 9, '0') AS DOUBLE) AS dts
+        |  FROM events)
+        |SELECT l.user_id, l.dts AS double_ts, l.event_id,
+        |  r.dts AS right_double_ts, r.value AS right_value
+        |FROM (SELECT user_id, dts, event_id FROM e WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, dts, value FROM e WHERE event_type = 'purchase') r
+        |ON l.user_id = r.user_id AND l.dts >= r.dts""".stripMargin,
 
     // O(n²) DFT as ground truth for the FFT: X_k = Σ_j v_j·e^{-2πi·jk/n}.
     // ft values compare as rounded cents (the FFT sums floats in a different

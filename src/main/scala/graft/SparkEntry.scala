@@ -220,6 +220,49 @@ object SparkEntry {
         usec(col("end_ts")).alias("end_us"), col("value"))
   }
 
+  private def qTimeHorizon(s: SparkSession, dir: String): DataFrame =
+    TSDF(events(s, dir).select("user_id", "ts"), "ts", Seq("user_id"))
+      .timeHorizonPerSeries("1 hour")
+      .select(col("user_id"), usec(col("min_ts")).alias("min_ts_us"),
+        usec(col("max_ts")).alias("max_ts_us"), col("actual_rows"), col("num_values"))
+
+  /** describe() output restricted to its deterministic rows/columns: mean
+    * and stddev rows stringify doubles with engine-specific formatting, and
+    * the ts_dbl column's min/max stringify in scientific notation — both are
+    * part of the operator's surface but not cross-engine hashable. */
+  private def qDescribe(s: SparkSession, dir: String): DataFrame =
+    TSDF(events(s, dir), "ts", Seq("user_id")).describe()
+      .filter(!col("summary").isin("mean", "stddev"))
+      .select(col("summary"), col("unique_time_series_count"), col("min_ts"),
+        col("max_ts"), col("granularity"),
+        col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  /** Nanosecond path end-to-end: raw TIMESTAMP(NANOS) longs → 9-digit
+    * fractional strings → parseNanosTimestamp double epoch → as-of join on
+    * the double ts (the reference's nanos trade: double keeps ~µs-accurate
+    * ordering for current epochs while carrying the parsed nanos digits). */
+  private def qAsofNanos(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = tbl(s, dir, "events") // ts: LongType raw nanos
+    // sub-µs digits are zeroed: DuckDB truncates parquet TIMESTAMP(NANOS) to
+    // µs on read, so the oracle can only see µs — the 9-digit parse path is
+    // exercised either way
+    val tsStr = concat(
+      date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH:mm:ss"),
+      lit("."), lpad(expr("ts % 1000000000 div 1000 * 1000").cast(StringType), 9, "0"))
+    val parsed = TSDF.parseNanosTimestamp(
+      raw.select(col("user_id"), col("event_type"), col("event_id"), col("value"),
+        tsStr.alias("ts_str")),
+      "ts_str", parsedTsCol = "parsed_ts", doubleTsCol = "double_ts")
+    val left = TSDF(parsed.filter(col("event_type") === "click")
+      .select("user_id", "double_ts", "event_id"), "double_ts", Seq("user_id"))
+    val right = TSDF(parsed.filter(col("event_type") === "purchase")
+      .select("user_id", "double_ts", "value"), "double_ts", Seq("user_id"))
+    left.asofJoin(right).df
+      .select(col("user_id"), col("double_ts"), col("event_id"),
+        col("right_double_ts"), col("right_value"))
+  }
+
   // ------------------------------------------------------------------- ml
   private def qCvFolds(s: SparkSession, dir: String): DataFrame =
     TimeSeriesCrossValidator.withSplitIndex(
@@ -405,6 +448,9 @@ object SparkEntry {
     "q_asof_tolerance" -> qAsofTolerance _,
     "q_asof_bcast" -> qAsofBcast _,
     "q_asof_skew" -> qAsofSkew _,
+    "q_asof_nanos" -> qAsofNanos _,
+    "q_time_horizon" -> qTimeHorizon _,
+    "q_describe" -> qDescribe _,
     "q_resample_avg" -> qResampleAvg _,
     "q_resample_floor" -> qResampleFloor _,
     "q_resample_ceil" -> qResampleCeil _,

@@ -51,9 +51,11 @@ case class IntervalsDF(
   /** Wide→long unpivot via `stack` (intervals.py:341-380): one row per
     * (interval, metric), null metric values dropped. */
   def toStacked(nameCol: String = "metric_name", valueCol: String = "metric_value"): DataFrame = {
+    // no explicit cast: stack() itself unifies the metric types, preserving
+    // them when homogeneous (reference keeps the input type, intervals.py:360)
     val ms = metricCols
     val stackExpr = s"stack(${ms.size}, " +
-      ms.map(m => s"'$m', cast($m as double)").mkString(", ") +
+      ms.map(m => s"'$m', $m").mkString(", ") +
       s") as ($nameCol, $valueCol)"
     df.select((seriesIds.map(col) :+ col(startTs) :+ col(endTs)) :+ expr(stackExpr): _*)
       .na.drop(Seq(valueCol))
@@ -93,7 +95,25 @@ case class IntervalsDF(
       .select(seriesIds.map(col) ++
         Seq(col("__b").alias(startTs), col("__b2").alias(endTs)) ++ ms.map(col): _*)
 
-    copy(df = merged)
+    // 4. coalesce adjacent segments whose metric vectors are identical
+    //    (null-safe) — the issue-268 semantics (reference regression
+    //    tests/intervals_tests.py:404): splitting must not fragment a region
+    //    whose merged values are uniform. Gaps-and-islands over the segments.
+    val wSeg = Window.partitionBy(series: _*).orderBy(col(startTs))
+    val sameAsPrev = (ms.map(m => col(m) <=> lag(col(m), 1).over(wSeg)) :+
+      (col(startTs) <=> lag(col(endTs), 1).over(wSeg))).reduce(_ && _)
+    val islands = merged
+      .withColumn("__brk", when(sameAsPrev, 0).otherwise(1))
+      .withColumn("__grp", sum(col("__brk")).over(
+        wSeg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val coalesced = islands
+      .groupBy((seriesIds :+ "__grp").map(col): _*)
+      .agg(
+        min(col(startTs)).alias(startTs),
+        max(col(endTs)).alias(endTs) +: ms.map(m => first(col(m)).alias(m)): _*)
+      .select(seriesIds.map(col) ++ Seq(col(startTs), col(endTs)) ++ ms.map(col): _*)
+
+    copy(df = coalesced)
   }
 }
 

@@ -46,11 +46,14 @@ object AsOfJoin {
     require(left.partitionCols == right.partitionCols,
       s"as-of join requires matching series columns: ${left.partitionCols} vs ${right.partitionCols}")
 
+    // empty prefix = no renames (tsdf.py:206-212)
+    val leftPre = leftPrefix.filter(_.nonEmpty)
+    val rightPre = Some(rightPrefix).filter(_.nonEmpty)
     val joined =
       if (sqlJoinOpt && underBroadcastThreshold(left.df, right.df))
-        broadcastJoin(left, right, leftPrefix, rightPrefix)
+        broadcastJoin(left, right, leftPre, rightPre)
       else
-        unionJoin(left, right, leftPrefix, rightPrefix, tsPartitionVal, fraction, skipNulls)
+        unionJoin(left, right, leftPre, rightPre, tsPartitionVal, fraction, skipNulls)
 
     tolerance.fold(joined)(t =>
       applyTolerance(joined, t, s"${rightPrefix}_", s"${rightPrefix}_${right.tsCol}"))
@@ -79,12 +82,12 @@ object AsOfJoin {
   // ---------------------------------------------------------------- default
   private def unionJoin(
       left0: TSDF, right0: TSDF,
-      leftPrefix: Option[String], rightPrefix: String,
+      leftPrefix: Option[String], rightPrefix: Option[String],
       tsPartitionVal: Option[Long], fraction: Double,
       skipNulls: Boolean): TSDF = {
 
     val left = withPrefix(left0, leftPrefix)
-    val right = withPrefix(right0, Some(rightPrefix))
+    val right = withPrefix(right0, rightPrefix)
     val series = left.partitionCols
 
     val leftCols = left.df.columns.filterNot(series.contains).toSeq
@@ -158,10 +161,10 @@ object AsOfJoin {
   // -------------------------------------------------------------- broadcast
   private def broadcastJoin(
       left0: TSDF, right0: TSDF,
-      leftPrefix: Option[String], rightPrefix: String): TSDF = {
+      leftPrefix: Option[String], rightPrefix: Option[String]): TSDF = {
 
     val left = withPrefix(left0, leftPrefix)
-    val right = withPrefix(right0, Some(rightPrefix))
+    val right = withPrefix(right0, rightPrefix)
     val series = left.partitionCols
 
     val w = Window.partitionBy(series.map(col): _*).orderBy(col(right.tsCol).asc)

@@ -48,7 +48,8 @@ object Interpolation {
       if (tsdf.resampleSpec.isDefined) tsdf
       else Resample.aggregate(tsdf, freq, func)
 
-    val targets = targetColsOpt.getOrElse(resampled.metricCols)
+    // default = every observational column, numeric or not (tsdf.py:1331-1333)
+    val targets = targetColsOpt.getOrElse(resampled.observationalCols)
     // linear/zero require numeric targets (interpol.py:104-113)
     if (method == "linear" || method == "zero") {
       val types = resampled.df.schema.fields.map(f => f.name -> f.dataType).toMap

@@ -115,29 +115,54 @@ case class TSDF(
     latest(k).df.orderBy(seriesCols :+ ts.asc: _*)
 
   // ---- describe (tsdf.py:622-700) ----
-  /** Spark describe ∪ per-column missing %, plus global summary columns. */
+  /** One unioned summary DataFrame, reference shape: a `global` row (series
+    * count, min/max ts, inferred granularity) followed by Spark `describe()`
+    * rows and a `missing_vals_pct` row, with the four global attributes as
+    * leading columns. Eager (3 jobs) like the reference. Granularity is
+    * derived from exact integer epoch-µs rather than the double-seconds CASE
+    * (identical for any representable timestamp, engine-reproducible). */
   def describe(): DataFrame = {
-    val base = df.describe()
-    val missing = df.select(df.columns.map { c =>
-      (round(sum(when(col(c).isNull, 1).otherwise(0)) * 100.0 / count(lit(1)), 2))
-        .cast(StringType).alias(c)
-    }.toIndexedSeq: _*).withColumn("summary", lit("missing_pct"))
-    base.unionByName(missing.select("summary", df.columns.toIndexedSeq: _*))
+    val dblTsCol = s"${tsCol}_dbl"
+    val thisDf = df.withColumn(dblTsCol, ts.cast(DoubleType))
+    val nonTsCols = thisDf.schema.fields
+      .filterNot(_.dataType == TimestampType).map(_.name).toSeq
+    val missing = thisDf
+      .select(nonTsCols.map(c =>
+        (lit(100) * count(when(col(c).isNull, lit(1))) / count(lit(1)))
+          .cast(StringType).alias(c)): _*)
+      .select(lit("missing_vals_pct").alias("summary") +: nonTsCols.map(col): _*)
+    val descStats = thisDf.describe()
+      .unionByName(missing, allowMissingColumns = true)
+    // eager global attributes (reference behavior, tsdf.py:651-666)
+    val uniqueTs = thisDf.select(partitionCols.map(col): _*).distinct().count()
+    val mm = df.agg(min(ts).cast(StringType), max(ts).cast(StringType)).head()
+    val us = unix_micros(ts)
+    val granularity = df.agg(min(
+      when(pmod(us, lit(1000000L)) =!= 0, "1-millis")
+        .when(pmod(us, lit(60L * 1000000)) =!= 0, "2-seconds")
+        .when(pmod(us, lit(3600L * 1000000)) =!= 0, "3-minutes")
+        .when(pmod(us, lit(86400L * 1000000)) =!= 0, "4-hours")
+        .otherwise("5-days"))).head().getString(0).substring(2)
+    val nonSummary = descStats.columns.filterNot(_ == "summary").toSeq
+    val globalCols = Seq("unique_time_series_count", "min_ts", "max_ts", "granularity")
+    val shaped = descStats.select(
+      (col("summary") +: globalCols.map(c => lit(" ").alias(c))) ++
+        nonSummary.map(col): _*)
+    val globalRow = descStats.limit(1).select(
+      lit("global").alias("summary") +:
+        Seq(lit(uniqueTs.toString).alias("unique_time_series_count"),
+          lit(mm.getString(0)).alias("min_ts"),
+          lit(mm.getString(1)).alias("max_ts"),
+          lit(granularity).alias("granularity")) ++:
+        nonSummary.map(c => lit(" ").alias(c)): _*)
+    globalRow.unionByName(shaped)
   }
 
-  /** Global diagnostics: series count, min/max ts, inferred granularity. */
-  def summary(): DataFrame = {
-    val granularity = when(max(expr(s"unix_timestamp($tsCol) % 60")) > 0, "second")
-      .when(max(expr(s"unix_timestamp($tsCol) % 3600")) > 0, "minute")
-      .when(max(expr(s"unix_timestamp($tsCol) % 86400")) > 0, "hour")
-      .otherwise("day")
-    df.agg(
-      countDistinct(struct(seriesCols: _*)).alias("n_series"),
-      count(lit(1)).alias("n_rows"),
-      min(ts).alias("min_ts"),
-      max(ts).alias("max_ts"),
-      granularity.alias("granularity"))
-  }
+  /** Resample pre-flight summary (ref utils.py:53-136). */
+  def calculateTimeHorizon(freq: String): DataFrame = TimeHorizon.summary(this, freq)
+
+  /** Per-series expected-bucket diagnostics behind [[calculateTimeHorizon]]. */
+  def timeHorizonPerSeries(freq: String): DataFrame = TimeHorizon.perSeries(this, freq)
 
   // ---- delegated operators (separate modules) ----
   def asofJoin(
@@ -198,6 +223,28 @@ case class TSDF(
 case class ResampleSpec(freq: String, func: String)
 
 object TSDF {
+
+  /** Reference-parity constructor: like the case-class ctor, but a
+    * StringType ts column is proactively converted to the nano-precision
+    * double epoch (validated against one sampled value) and replaces the
+    * original, exactly as the reference does at construction
+    * (tsdf.py:35-77). Non-string ts columns pass through untouched. */
+  def of(df: DataFrame, tsCol: String, partitionCols: Seq[String] = Seq.empty,
+      sequenceCol: Option[String] = None): TSDF = {
+    df.schema.find(_.name.equalsIgnoreCase(tsCol)).map(_.dataType) match {
+      case Some(StringType) =>
+        df.select(col(tsCol)).limit(1).collect().headOption
+          .map(_.getString(0)).filter(_ != null).foreach { sample =>
+            require(isValidTsString(sample),
+              s"ts string column '$tsCol' is not 'YYYY-MM-DD[ T]HH:MM:SS[.f+]': $sample")
+          }
+        val converted = parseNanosTimestamp(df, tsCol, "__parsed_ts", "__double_ts")
+          .drop(tsCol, "__parsed_ts")
+          .withColumnRenamed("__double_ts", tsCol)
+        TSDF(converted, tsCol, partitionCols, sequenceCol)
+      case _ => TSDF(df, tsCol, partitionCols, sequenceCol)
+    }
+  }
 
   /** Nanosecond-precision string-timestamp ingestion.
     *

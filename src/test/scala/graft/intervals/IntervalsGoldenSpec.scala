@@ -1,0 +1,84 @@
+package graft.intervals
+
+import org.apache.spark.sql.functions._
+
+import graft.{GoldenFixtures, SparkTestBase}
+
+/** Golden tests ported from the reference intervals suite
+  * (/root/reference/python/tests/intervals_tests.py:30-414, fixtures
+  * intervals_tests.json), including the issue-268 regression. */
+class IntervalsGoldenSpec extends SparkTestBase {
+
+  private lazy val fx = new GoldenFixtures(spark, "intervals_tests.json")
+  private def tc(name: String) = fx.testCase("IntervalsDFTests", name)
+
+  private def disjointCase(name: String): Unit = test(s"make_disjoint: $name") {
+    val t = tc(name)
+    val in = fx.idf(t.get("init"))
+    val expected = fx.idf(t.get("expected"))
+    assertDfEquality(in.makeDisjoint().df, expected.df)
+  }
+
+  disjointCase("test_make_disjoint")
+  disjointCase("test_make_disjoint_contains_interval_already_disjoint")
+  disjointCase("test_make_disjoint_contains_intervals_equal")
+  disjointCase("test_make_disjoint_intervals_same_start")
+  disjointCase("test_make_disjoint_intervals_same_end")
+  disjointCase("test_make_disjoint_multiple_series")
+  disjointCase("test_make_disjoint_single_metric")
+  disjointCase("test_make_disjoint_interval_is_subset")
+  disjointCase("test_make_disjoint_issue_268")
+
+  test("fromStackedMetrics (discovered metric names)") {
+    val t = tc("test_fromStackedMetrics_series_list")
+    val in = fx.df(t.get("init"))
+      .withColumn("start_ts", to_timestamp(col("start_ts")))
+      .withColumn("end_ts", to_timestamp(col("end_ts")))
+    val out = IntervalsDF.fromStackedMetrics(in, "start_ts", "end_ts",
+      Seq("series_1"), "metric_name", "metric_value")
+    assertDfEquality(out.df, fx.idf(t.get("expected")).df)
+  }
+
+  test("fromStackedMetrics (explicit metric names, no discovery job)") {
+    val t = tc("test_fromStackedMetrics_metric_names")
+    val in = fx.df(t.get("init"))
+      .withColumn("start_ts", to_timestamp(col("start_ts")))
+      .withColumn("end_ts", to_timestamp(col("end_ts")))
+    val out = IntervalsDF.fromStackedMetrics(in, "start_ts", "end_ts",
+      Seq("series_1"), "metric_name", "metric_value",
+      metricNames = Seq("metric_1", "metric_2"))
+    assertDfEquality(out.df, fx.idf(t.get("expected")).df)
+  }
+
+  test("union and unionByName double the row count") {
+    val t = tc("test_union_other_idf")
+    val a = fx.idf(t.get("init"))
+    val b = fx.idf(t.get("init"))
+    assert(a.union(b).df.count() == a.df.count() + b.df.count())
+    assert(a.unionByName(b).df.count() == a.df.count() + b.df.count())
+  }
+
+  test("unionByName with mismatched columns fails analysis") {
+    val t = tc("test_unionByName_extra_column")
+    val extra = fx.idf(t.get("init_extra_col"))
+    val base = fx.idf(t.get("init"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      extra.unionByName(base).df.collect()
+    }
+  }
+
+  test("toDF returns the wrapped frame") {
+    val t = tc("test_toDF")
+    val in = fx.idf(t.get("init"))
+    assertDfEquality(in.df, fx.df(t.get("init")))
+  }
+
+  test("toDF(stack=true) unpivots to long form") {
+    val t = tc("test_toDF_stack")
+    val in = fx.idf(t.get("init"))
+    val expected = fx.df(t.get("expected"))
+      .withColumn("start_ts", to_timestamp(col("start_ts")))
+      .withColumn("end_ts", to_timestamp(col("end_ts")))
+    assertDfEquality(in.toStacked(), expected)
+  }
+}
