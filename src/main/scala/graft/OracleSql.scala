@@ -183,13 +183,12 @@ object OracleSql {
       """WITH x AS (SELECT user_id, ts, (value >= 10.0) AS high FROM events),
         |y AS (SELECT user_id, ts, high, lag(ts) OVER w AS pts, lag(high) OVER w AS ph
         |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |z AS (SELECT user_id, ts,
-        |  CASE WHEN pts IS NULL OR NOT coalesce(high = ph, false) THEN 1 ELSE 0 END AS chg FROM y),
-        |si AS (SELECT user_id, ts, sum(chg) OVER
+        |z AS (SELECT user_id, ts, pts, NOT (high = ph) AS chg FROM y WHERE pts IS NOT NULL),
+        |i AS (SELECT user_id, ts, pts, chg, sum(CASE WHEN chg THEN 1 ELSE 0 END) OVER
         |  (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM z)
-        |SELECT user_id, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
-        |FROM si GROUP BY user_id, sid""".stripMargin,
+        |SELECT user_id, epoch_us(min(pts)) AS start_us, epoch_us(max(ts)) AS end_us
+        |FROM i WHERE NOT chg GROUP BY user_id, sid""".stripMargin,
 
     "q_bars" ->
       """SELECT user_id, epoch_us(date_trunc('day', ts)) AS ts_us,

@@ -49,7 +49,7 @@ object Resample {
   val Ceil = "ceil"
 
   def aggregate(tsdf: TSDF, freq: String, func: String, fill: Boolean = false,
-      metricCols: Option[Seq[String]] = None): TSDF = {
+      metricCols: Option[Seq[String]] = None, prefix: Option[String] = None): TSDF = {
     val spec = parseFreq(freq)
     val metrics = metricCols.getOrElse(tsdf.observationalCols)
     val series = tsdf.partitionCols
@@ -76,22 +76,32 @@ object Resample {
           case Min  => c => min(col(c))
           case Max  => c => max(col(c))
         }
-        val numericSet = {
-          val byName = tsdf.df.schema.fields
-            .map(f => f.name -> f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-            .toMap
-          metrics.filter(byName)
+        // min/max order any orderable type; mean over a non-numeric column is
+        // the reference's lenient-cast avg (all-null double, resample.py
+        // :157-201) — replicated with try_cast since Spark 4 is ANSI by
+        // default and a plain cast would throw
+        val numericByName = tsdf.df.schema.fields
+          .map(f => f.name -> f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+          .toMap
+        val aggs = metrics.map { c =>
+          if (func == Mean && !numericByName(c))
+            avg(expr(s"try_cast($c as double)")).alias(c)
+          else aggFn(c).alias(c)
         }
-        val aggs = numericSet.map(c => aggFn(c).alias(c))
         grouped
           .agg(aggs.head, aggs.tail: _*)
           .select((series.map(col) :+ col("__bucket").alias(tsdf.tsCol)) ++
-            numericSet.map(col): _*)
+            metrics.map(col): _*)
       case other => throw new IllegalArgumentException(
         s"unsupported resample func '$other' (floor|mean|min|max|ceil)")
     }
 
-    val result = if (fill) upsampleFill(aggregated, tsdf.tsCol, series, spec) else aggregated
+    // optional prefix on the sampled metric columns (resample.py prefix arg)
+    val prefixed = prefix.filter(_.nonEmpty).fold(aggregated) { p =>
+      aggregated.columns.filterNot(c => series.contains(c) || c == tsdf.tsCol)
+        .foldLeft(aggregated)((df, c) => df.withColumnRenamed(c, s"${p}_$c"))
+    }
+    val result = if (fill) upsampleFill(prefixed, tsdf.tsCol, series, spec) else prefixed
     TSDF(result, tsdf.tsCol, series, None, resampleSpec = Some(ResampleSpec(freq, func)))
   }
 

@@ -33,8 +33,11 @@ object Stats {
       .rangeBetween(lower, Window.currentRow)
     val out = cols.foldLeft(tsdf.df) { (df, c) =>
       val v = col(c)
+      // square in double: float*float would round at float precision and the
+      // (n·Σx² − (Σx)²) cancellation amplifies that into the 2nd decimal
+      val vd = v.cast(DoubleType)
       val cnt = count(v).over(w)
-      val sd = momentStddev(cnt, sum(v).over(w), sum(v * v).over(w))
+      val sd = momentStddev(cnt, sum(vd).over(w), sum(vd * vd).over(w))
       df.withColumn(s"mean_$c", avg(v).over(w))
         .withColumn(s"count_$c", cnt)
         .withColumn(s"min_$c", min(v).over(w))
@@ -55,9 +58,10 @@ object Stats {
     val bucket = window(tsdf.ts, spec.sparkInterval).getField("start")
     val aggs = cols.flatMap { c =>
       val v = col(c)
+      val vd = v.cast(DoubleType) // square in double (see withRangeStats)
       Seq(avg(v).alias(s"mean_$c"), count(v).alias(s"count_$c"),
         min(v).alias(s"min_$c"), max(v).alias(s"max_$c"),
-        sum(v).alias(s"sum_$c"), sum(v * v).alias(s"__s2_$c"))
+        sum(v).alias(s"sum_$c"), sum(vd * vd).alias(s"__s2_$c"))
     }
     val out = tsdf.df
       .withColumn("__bucket", bucket)
@@ -130,8 +134,8 @@ object Stats {
       stateDefinition: Either[String, (Column, Column) => Column]): DataFrame = {
     val w = tsdf.baseWindow()
     val compare: (Column, Column) => Column = stateDefinition match {
-      case Left("=")   => (a, b) => a === b
-      case Left("!=")  => (a, b) => a =!= b
+      case Left("=") | Left("==")  => (a, b) => a === b
+      case Left("!=") | Left("<>") => (a, b) => a =!= b
       case Left("<")   => (a, b) => a < b
       case Left("<=")  => (a, b) => a <= b
       case Left("<=>") => (a, b) => a <=> b
@@ -140,23 +144,27 @@ object Stats {
       case Left(other) => throw new IllegalArgumentException(s"bad state operator '$other'")
       case Right(fn)   => fn
     }
-    val withPrev = metricCols.foldLeft(
-      tsdf.df.withColumn("__prev_ts", lag(tsdf.ts, 1).over(w))) { (df, c) =>
-      df.withColumn(s"__prev_$c", lag(col(c), 1).over(w))
+    // mirror the reference exactly (tsdf.py:1570-1616): drop each series'
+    // first row, keep only rows whose state HELD vs the previous row
+    // (state_change false; nulls from null-vs-null compares drop too), then
+    // collapse each run to [min(previous_ts), max(ts)]
+    val compares = metricCols.zipWithIndex.map { case (c, i) =>
+      compare(col(c), lag(col(c), 1).over(w)).alias(s"__cmp_$i")
     }
-    // state holds if every metric satisfies the predicate vs its predecessor
-    val sameState = metricCols.map(c => compare(col(c), col(s"__prev_$c")))
-      .reduce(_ && _)
-    val change = when(col("__prev_ts").isNull || !coalesce(sameState, lit(false)), 1)
-      .otherwise(0)
-    val withId = withPrev
-      .withColumn("__state_change", change)
-      .withColumn("__state_id", sum(col("__state_change")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    withId
-      .groupBy((tsdf.partitionCols :+ "__state_id").map(col): _*)
-      .agg(min(tsdf.ts).alias("start_ts"), max(tsdf.ts).alias("end_ts"))
-      .drop("__state_id")
+    val withCmp = tsdf.df
+      .withColumn("__previous_ts", lag(tsdf.ts, 1).over(w))
+      .select(col("*") +: compares: _*)
+      .filter(col("__previous_ts").isNotNull)
+      .withColumn("__state_change",
+        array_contains(array(metricCols.indices.map(i => col(s"__cmp_$i")): _*),
+          lit(false)))
+    withCmp
+      .withColumn("__state_incrementer",
+        sum(col("__state_change").cast("int")).over(w))
+      .filter(!col("__state_change"))
+      .groupBy((tsdf.partitionCols :+ "__state_incrementer").map(col): _*)
+      .agg(min(col("__previous_ts")).alias("start_ts"), max(tsdf.ts).alias("end_ts"))
+      .drop("__state_incrementer")
       .select((tsdf.partitionCols.map(col) :+ col("start_ts")) :+ col("end_ts"): _*)
   }
 

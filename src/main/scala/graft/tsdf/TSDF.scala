@@ -177,8 +177,9 @@ case class TSDF(
     AsOfJoin(this, right, leftPrefix, rightPrefix, tsPartitionVal, fraction,
       skipNulls, sqlJoinOpt, tolerance)
 
-  def resample(freq: String, func: String, fill: Boolean = false): TSDF =
-    Resample.aggregate(this, freq, func, fill)
+  def resample(freq: String, func: String, fill: Boolean = false,
+      metricCols: Option[Seq[String]] = None, prefix: Option[String] = None): TSDF =
+    Resample.aggregate(this, freq, func, fill, metricCols, prefix)
 
   def interpolate(
       method: String,

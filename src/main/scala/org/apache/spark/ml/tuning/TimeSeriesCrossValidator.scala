@@ -40,8 +40,9 @@ class TimeSeriesCrossValidator(override val uid: String) extends CrossValidator 
   def setSeriesIdCols(v: Seq[String]): this.type = set(seriesIdCols, v.toArray)
   def setGap(v: Int): this.type = set(gap, v)
 
-  /** Chronological folds (ml.py:79-119). */
-  private[tuning] def tsKFold(dataset: DataFrame): Seq[(DataFrame, DataFrame)] =
+  /** Chronological folds (ml.py:79-119) — public so callers can inspect or
+    * reuse the splits outside a fit. */
+  def tsKFold(dataset: DataFrame): Seq[(DataFrame, DataFrame)] =
     _root_.graft.ml.TimeSeriesCrossValidator.kFold(
       dataset, $(timeSeriesCol), getSeriesIdCols, $(numFolds), $(gap))
 

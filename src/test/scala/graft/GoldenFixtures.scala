@@ -91,9 +91,18 @@ class GoldenFixtures(spark: SparkSession, fileName: String) {
     }
 
   /** Build the Spark DataFrame of a fixture entry (base.py as_sdf). */
+  /** pyspark accepts both "a INT, b STRING" and "a: INT, b: STRING" schema
+    * strings (falling back to struct<...> parsing); mirror that. */
+  private def parseSchema(ddl: String): StructType =
+    try StructType.fromDDL(ddl)
+    catch {
+      case _: Exception =>
+        DataType.fromDDL(s"struct<$ddl>").asInstanceOf[StructType]
+    }
+
   def df(entry: JsonNode): DataFrame = {
     val dfn = entry.get("df")
-    val schema = StructType.fromDDL(dfn.get("schema").asText())
+    val schema = parseSchema(dfn.get("schema").asText())
     val dataNode = dfn.get("data")
     val rows: Seq[Row] =
       if (dataNode.isTextual) csvRows(dataNode.asText(), schema)
