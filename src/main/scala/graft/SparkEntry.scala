@@ -314,13 +314,24 @@ object SparkEntry {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).alias("keep_id"), count(lit(1)).alias("n_dups"))
 
+  /** Exact all-pairs ground truth, restructured so the quadratic join only
+    * shuffles (id, lang, size) triples: J(A,B) ≤ min|A|,|B| / max|A|,|B|, so
+    * pairs failing the size-ratio bound are discarded before the token
+    * arrays are fetched for the surviving candidates. Lossless — the oracle
+    * keeps the naive formulation. */
   private def qJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("lang"),
       Dedup.shingles(col("text"), 1).alias("toks"))
-    val a = d.select(col("doc_id").alias("doc_id_a"), col("lang"), col("toks").alias("ta"))
-    val b = d.select(col("doc_id").alias("doc_id_b"), col("lang"), col("toks").alias("tb"))
-    a.join(b, Seq("lang"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
+    val sizes = d.select(col("doc_id"), col("lang"), size(col("toks")).alias("n"))
+    val cand = sizes.select(col("doc_id").alias("doc_id_a"), col("lang"), col("n").alias("na"))
+      .join(sizes.select(col("doc_id").alias("doc_id_b"), col("lang"), col("n").alias("nb")),
+        Seq("lang"))
+      .filter(col("doc_id_a") < col("doc_id_b") &&
+        least(col("na"), col("nb")).cast(DoubleType) / greatest(col("na"), col("nb")) >= 0.5)
+      .select(col("doc_id_a"), col("doc_id_b"))
+    cand
+      .join(d.select(col("doc_id").alias("doc_id_a"), col("toks").alias("ta")), Seq("doc_id_a"))
+      .join(d.select(col("doc_id").alias("doc_id_b"), col("toks").alias("tb")), Seq("doc_id_b"))
       .withColumn("jaccard", Dedup.jaccard(col("ta"), col("tb")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
