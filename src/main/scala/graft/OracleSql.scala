@@ -271,7 +271,8 @@ object OracleSql {
          |FROM documents GROUP BY 1""".stripMargin,
 
     "q_jaccard_pairs" ->
-      s"""WITH d AS (SELECT doc_id, lang, list_distinct(string_split($norm, ' ')) AS toks
+      s"""WITH d AS (SELECT doc_id, lang,
+         |  list_transform(list_distinct(string_split($norm, ' ')), x -> ${Hashing.polyHashSql("x")}) AS toks
          |  FROM documents),
          |p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
          |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
@@ -397,10 +398,10 @@ object OracleSql {
          |  FROM clamped a JOIN clamped b
          |  ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
          |verify AS (SELECT p.doc_id_a, p.doc_id_b,
-         |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-         |  ((len(x.sh) + len(y.sh)) - CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)) AS jaccard
-         |  FROM pairs p JOIN shg x ON p.doc_id_a = x.doc_id
-         |  JOIN shg y ON p.doc_id_b = y.doc_id)
+         |  CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+         |  ((len(x.hs) + len(y.hs)) - CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)) AS jaccard
+         |  FROM pairs p JOIN hsh x ON p.doc_id_a = x.doc_id
+         |  JOIN hsh y ON p.doc_id_b = y.doc_id)
          |SELECT doc_id_a, doc_id_b, jaccard FROM verify WHERE jaccard >= 0.4""".stripMargin
     },
 

@@ -314,27 +314,24 @@ object SparkEntry {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).alias("keep_id"), count(lit(1)).alias("n_dups"))
 
-  /** Exact all-pairs ground truth, restructured so the quadratic join only
-    * shuffles (id, lang, size) triples: J(A,B) ≤ min|A|,|B| / max|A|,|B|, so
-    * pairs failing the size-ratio bound are discarded before the token
-    * arrays are fetched for the surviving candidates. Lossless — the oracle
-    * keeps the naive formulation. */
+  /** Exact all-pairs ground truth over HASHED token sets: the quadratic
+    * per-language join intersects arrays of 61-bit polynomial hashes rather
+    * than strings (long equality beats string hashing inside the 10⁷-pair
+    * `array_intersect` hot loop), with the lossless size-ratio bound
+    * short-circuiting ahead of each intersect. The oracle replays the same
+    * hashing, so the comparison stays bit-exact. */
   private def qJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("lang"),
-      Dedup.shingles(col("text"), 1).alias("toks"))
-    val sizes = d.select(col("doc_id"), col("lang"), size(col("toks")).alias("n"))
-    val cand = sizes.select(col("doc_id").alias("doc_id_a"), col("lang"), col("n").alias("na"))
-      .join(sizes.select(col("doc_id").alias("doc_id_b"), col("lang"), col("n").alias("nb")),
-        Seq("lang"))
-      .filter(col("doc_id_a") < col("doc_id_b") &&
-        least(col("na"), col("nb")).cast(DoubleType) / greatest(col("na"), col("nb")) >= 0.5)
-      .select(col("doc_id_a"), col("doc_id_b"))
-    cand
-      .join(d.select(col("doc_id").alias("doc_id_a"), col("toks").alias("ta")), Seq("doc_id_a"))
-      .join(d.select(col("doc_id").alias("doc_id_b"), col("toks").alias("tb")), Seq("doc_id_b"))
-      .withColumn("jaccard", Dedup.jaccard(col("ta"), col("tb")))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
+      Dedup.shingleHashes(Dedup.shingles(col("text"), 1)).alias("toks"))
+    val a = d.select(col("doc_id").alias("doc_id_a"), col("lang"), col("toks").alias("ta"))
+    val b = d.select(col("doc_id").alias("doc_id_b"), col("lang"), col("toks").alias("tb"))
+    val ratio = least(size(col("ta")), size(col("tb"))).cast(DoubleType) /
+      greatest(size(col("ta")), size(col("tb")))
+    a.join(b, Seq("lang"))
+      .filter(col("doc_id_a") < col("doc_id_b") && ratio >= 0.5 &&
+        Dedup.jaccard(col("ta"), col("tb")) >= 0.5)
+      .select(col("doc_id_a"), col("doc_id_b"),
+        Dedup.jaccard(col("ta"), col("tb")).alias("jaccard"))
   }
 
   /** Banding retuned r2→r3: rowsPerBand=2 collided ~s² per band and the

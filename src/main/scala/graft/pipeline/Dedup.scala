@@ -36,15 +36,23 @@ object Dedup {
   def normalizeText(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
 
-  /** Word w-shingles as strings, via HOFs (no UDF): `transform(sequence(...),
-    * i -> concat_ws(' ', slice(tokens, i, w)))`. */
+  /** Word w-shingles as strings, via HOFs (no UDF).
+    *
+    * The token array is bound ONCE as a lambda variable (`transform(array(
+    * tokens), ts -> ...)`): a naive `transform(sequence(...), i ->
+    * slice(tokens, i, w))` re-evaluates the whole normalize+split chain for
+    * every element (HOF lambdas inline their free sub-expressions and run
+    * interpreted, no CSE) — measured 20× slower. Width 1 is exactly the
+    * distinct token set. */
   def shingles(textCol: Column, w: Int): Column = {
     val tokens = split(normalizeText(textCol), " ")
-    array_distinct(
-      when(size(tokens) >= w,
-        transform(sequence(lit(1), size(tokens) - (w - 1)),
-          i => concat_ws(" ", slice(tokens, i, lit(w)))))
-        .otherwise(array(concat_ws(" ", tokens))))
+    if (w == 1) array_distinct(tokens)
+    else
+      array_distinct(flatten(transform(array(tokens), ts =>
+        when(size(ts) >= w,
+          transform(sequence(lit(1), size(ts) - (w - 1)),
+            i => concat_ws(" ", slice(ts, i, lit(w)))))
+          .otherwise(array(concat_ws(" ", ts))))))
   }
 
   /** Per-shingle polynomial hashes (engine-agnostic, see [[Hashing]]) —
@@ -62,38 +70,51 @@ object Dedup {
     * `rowsPerBand`; docs sharing any band hash become a candidate pair.
     * Returns (idCol_a, idCol_b) with a < b, deduplicated across bands.
     *
-    * Scale path: the self-join is an equi-join on (band index, band hash) —
-    * uniform keys, never a cross join — and pathological buckets (boilerplate
-    * shared by thousands of docs would contribute |bucket|² pairs) are
-    * clamped at `maxBucketSize` before the join. With rowsPerBand = 3 a
-    * spurious pair at similarity s only collides with probability s³ per
-    * band, which is what keeps the candidate count linear-ish at scale.
+    * Scale path: one `groupBy(band, bhash)` — uniform keys, a single
+    * exchange over (id, band, bhash) triples — then each bucket emits its
+    * a<b pairs via higher-order functions. No self-join: a join would
+    * re-execute the whole shingle→hash→signature chain on both aliased
+    * sides (alias ids defeat exchange reuse) and was measured 10× slower.
+    * Pathological buckets (boilerplate shared by thousands of docs would
+    * contribute |bucket|² pairs) are clamped at `maxBucketSize`; with
+    * rowsPerBand = 3 a spurious pair at similarity s only collides with
+    * probability s³ per band, keeping the candidate count linear-ish.
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
       shingleWidth: Int = 3, bands: Int = 6, rowsPerBand: Int = 3,
       maxBucketSize: Int = 50): DataFrame = {
     val k = bands * rowsPerBand
-    val banded = df
-      .select(col(idCol), shingles(col(textCol), shingleWidth).alias("__sh"))
-      .select(col(idCol), shingleHashes(col("__sh")).alias("__hs"))
-      .select(col(idCol), minhashSignature(col("__hs"), k).alias("__sig"))
+    // signature via explode + hash-aggregate, NOT array HOFs: higher-order
+    // lambdas are interpreted (no codegen CSE), and projection collapse
+    // duplicates the whole per-char hashing chain into every one of the k
+    // band references — measured ~18× recompute. Exploding to (id, shingle)
+    // rows hashes each shingle exactly once; the k permutation minima are
+    // map-side-combined `min` aggregates over that single hash column.
+    val hashed = df
+      .select(col(idCol), explode(shingles(col(textCol), shingleWidth)).alias("__sh"))
+      .select(col(idCol), Hashing.polyHash(col("__sh")).alias("__h"))
+    val sigCols = (0 until k).map(s => min(Hashing.mix(col("__h"), s)).alias(s"__sig$s"))
+    val sig = hashed.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+    val banded = sig
       .select(col(idCol), explode(
         array((0 until bands).map(b =>
           struct(lit(b).alias("band"),
             Hashing.foldHashes((0 until rowsPerBand).map(r =>
-              col("__sig").getItem(b * rowsPerBand + r))).alias("bhash"))): _*))
+              col(s"__sig${b * rowsPerBand + r}"))).alias("bhash"))): _*))
         .alias("__band"))
       .select(col(idCol), col("__band.band"), col("__band.bhash"))
-    val clamped = banded
-      .withColumn("__bcnt",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("bhash"))))
-      .filter(col("__bcnt") <= maxBucketSize)
-      .drop("__bcnt")
-    val a = clamped.alias("a")
-    val b = clamped.alias("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").alias(s"${idCol}_a"), col(s"b.$idCol").alias(s"${idCol}_b"))
+    val buckets = banded
+      .groupBy(col("band"), col("bhash"))
+      .agg(collect_list(col(idCol)).alias("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucketSize))
+    // all a<b pairs within a bucket, generated per row (≤ clamp²/2 each)
+    val ids = array_sort(col("__ids"))
+    val pairs = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)), y =>
+        struct(x.alias("a"), y.alias("b")))))
+    buckets
+      .select(explode(pairs).alias("__p"))
+      .select(col("__p.a").alias(s"${idCol}_a"), col("__p.b").alias(s"${idCol}_b"))
       .distinct()
   }
 
@@ -149,8 +170,11 @@ object Dedup {
       threshold: Double = 0.7, maxBucketSize: Int = 50): DataFrame = {
     val cands = minhashCandidates(df, textCol, idCol, shingleWidth, bands,
       rowsPerBand, maxBucketSize)
+    // verify on hashed shingle sets: long intersects are much cheaper than
+    // string intersects and the sizes are identical (shingles are distinct
+    // strings; the polynomial hash is effectively injective on them)
     val sh = df.select(col(idCol),
-      shingles(col(textCol), shingleWidth).alias("__sh"))
+      shingleHashes(shingles(col(textCol), shingleWidth)).alias("__sh"))
     val sizeRatio =
       least(size(col("__sha")), size(col("__shb"))).cast(DoubleType) /
         greatest(size(col("__sha")), size(col("__shb")))
