@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Dedup
+import graft.tsdf.TSDF
+
+/** Physical-plan shape assertions: the properties that make these operators
+  * viable at 100 TB — shuffle counts, broadcast selection, filter/column
+  * pushdown — locked in as tests so a refactor can't silently regress them. */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def exchanges(df: DataFrame): Int =
+    "Exchange hashpartitioning".r.findAllIn(plan(df)).size
+
+  private def eventsDf = {
+    import spark.implicits._
+    (0 until 1000).map { i =>
+      (i % 7L, java.sql.Timestamp.valueOf(f"2024-01-01 ${i / 60 % 24}%02d:${i % 60}%02d:00"),
+        i.toDouble)
+    }.toDF("user_id", "ts", "value")
+  }
+
+  test("as-of union path shuffles exactly once") {
+    val left = TSDF(eventsDf.select(col("user_id"), col("ts"), col("value")), "ts", Seq("user_id"))
+    val right = TSDF(eventsDf.select(col("user_id"), col("ts"),
+      (col("value") * 2).alias("quote")), "ts", Seq("user_id"))
+    val joined = left.asofJoin(right).df
+    // one hash exchange on the series key; the union/window/filter pipeline
+    // must not introduce extra shuffles
+    assert(exchanges(joined) == 1, plan(joined))
+  }
+
+  test("as-of broadcast path picks a BroadcastHashJoin") {
+    val left = TSDF(eventsDf, "ts", Seq("user_id"))
+    val right = TSDF(eventsDf.select(col("user_id"), col("ts"),
+      (col("value") * 2).alias("quote")), "ts", Seq("user_id"))
+    val joined = left.asofJoin(right, sqlJoinOpt = true).df
+    assert(plan(joined).contains("BroadcastHashJoin"), plan(joined))
+  }
+
+  test("resample is one partial+final aggregate, one shuffle") {
+    val t = TSDF(eventsDf, "ts", Seq("user_id")).resample("1 hour", "mean")
+    assert(exchanges(t.df) == 1, plan(t.df))
+    assert("HashAggregate".r.findAllIn(plan(t.df)).size == 2, plan(t.df))
+  }
+
+  test("grouped stats keep partial aggregation (map-side combine)") {
+    val t = TSDF(eventsDf, "ts", Seq("user_id")).withGroupedStats(Seq("value"), "1 hour")
+    assert(exchanges(t.df) == 1, plan(t.df))
+  }
+
+  test("parquet scan gets filter pushdown and column pruning") {
+    val dir = "/root/testdata/sf0.001"
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .select(col("l_returnflag"), col("l_quantity"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    // pruned read schema: only the 3 referenced columns reach the scan
+    assert(p.contains("ReadSchema") &&
+      !p.contains("l_extendedprice"), p)
+  }
+
+  test("minhash candidate generation is shuffle-bounded (no join, no cross)") {
+    import spark.implicits._
+    val docs = (0 until 50)
+      .map(i => (i.toLong, s"some repeated text body number ${i % 5} with shared words"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(docs, "text", "doc_id", 2, 6, 3, 50)
+    val p = plan(cands)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // signature agg + bucket agg + distinct = exactly 3 hash exchanges
+    assert(exchanges(cands) == 3, p)
+  }
+
+  test("broadcast hints survive in the star-schema join") {
+    val dir = "/root/testdata/sf0.001"
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/supplier.parquet"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(spark.read.parquet(s"$dir/nation.parquet")),
+        col("s_nationkey") === col("n_nationkey"))
+    assert(plan(df).contains("BroadcastHashJoin"), plan(df))
+  }
+}
