@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkTestBase
+import graft.tsdf.TSDF
+
+/** The streaming operators produce the same answers as their batch
+  * counterparts once the watermark finalizes the buckets. */
+class StreamingTSDFSpec extends SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    ("u1", ts("2024-01-01 00:00:10"), 1.0),
+    ("u1", ts("2024-01-01 00:00:40"), 3.0),
+    ("u1", ts("2024-01-01 00:01:10"), 5.0),
+    ("u2", ts("2024-01-01 00:00:20"), 7.0),
+    ("u2", ts("2024-01-01 00:02:05"), 9.0),
+    // late-ish event far in the future so the watermark passes everything above
+    ("u2", ts("2024-01-01 01:00:00"), 0.0))
+
+  test("streaming resample(mean) matches the batch operator") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val streamDf = mem.toDF().toDF("user_id", "ts", "value")
+    val out = StreamingTSDF.resample(streamDf, "ts", Seq("user_id"),
+      "1 minute", "mean", watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("resampled")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("resampled")
+      .select(col("user_id"), col("ts"), col("value"))
+    val batch = TSDF(rows.toDF("user_id", "ts", "value"), "ts", Seq("user_id"))
+      .resample("1 minute", "mean").df
+      // append mode only emits buckets sealed by the watermark, which the
+      // final 01:00:00 event has pushed past every earlier bucket
+      .filter(col("ts") < ts("2024-01-01 01:00:00"))
+    assertDfEquality(streamed, batch)
+  }
+
+  test("streaming grouped stats emit watermark-finalized buckets") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val out = StreamingTSDF.groupedStats(mem.toDF().toDF("user_id", "ts", "value"),
+      "ts", Seq("user_id"), Seq("value"), "1 minute", watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("gstats")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("gstats")
+    // u1 00:00, u1 00:01, u2 00:00, u2 00:02 sealed; the 01:00 bucket stays open
+    assert(got.count() == 4)
+    val u1 = got.filter(col("user_id") === "u1" && col("ts") === ts("2024-01-01 00:00:00"))
+      .select("mean_value", "count_value", "sum_value").collect().head
+    assert(u1.getDouble(0) == 2.0 && u1.getLong(1) == 2L && u1.getDouble(2) == 4.0)
+  }
+
+  test("stateful run extraction closes intervals on state change") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val out = StreamingTSDF.stateIntervalRuns(mem.toDF().toDF("user_id", "ts", "metric"),
+      "ts", Seq("user_id"), Seq("metric"))
+    val q = out.writeStream.format("memory").queryName("runs")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      ("u1", ts("2024-01-01 00:00:00"), 1.0),
+      ("u1", ts("2024-01-01 00:00:10"), 1.0),
+      ("u1", ts("2024-01-01 00:00:20"), 1.0))
+    q.processAllAvailable()
+    // run still open — nothing emitted yet
+    assert(spark.table("runs").count() == 0)
+    mem.addData(("u1", ts("2024-01-01 00:00:30"), 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val runs = spark.table("runs").collect()
+    assert(runs.length == 1)
+    assert(runs.head.getAs[Timestamp]("start_ts") == ts("2024-01-01 00:00:00"))
+    assert(runs.head.getAs[Timestamp]("end_ts") == ts("2024-01-01 00:00:20"))
+  }
+}
