@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+
+/** Unit coverage for pipeline pieces not exercised by the golden suites or
+  * the sf-scale oracle queries. */
+class PipelineUnitSpec extends SparkTestBase {
+
+  test("hamming64 counts differing bits") {
+    val df = spark.range(1).select(
+      Dedup.hamming64(lit(0L), lit(-1L)).alias("h1"),
+      Dedup.hamming64(lit(0b1011L), lit(0b0001L)).alias("h2"),
+      Dedup.hamming64(lit(42L), lit(42L)).alias("h3"))
+    val r = df.collect().head
+    assert(r.getInt(0) == 64 && r.getInt(1) == 2 && r.getInt(2) == 0)
+  }
+
+  test("multimodal frame-sampling plan explodes video payloads only") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "videopayload!"), // length 13 % 3 == 1 -> audio... depends on stub
+      (2L, "abcdef"), (3L, "abc"), (4L, "ab"))
+      .toDF("doc_id", "payload")
+      .withColumn("payload", col("payload").cast(BinaryType))
+    val withMeta = Multimodal.withMediaMeta(df, "payload")
+    val videos = withMeta.filter(col("media_meta.media_type") === "video")
+    val frames = Multimodal.sampleFramePlan(withMeta, "doc_id", "media_meta", 10000L)
+    // every sampled frame belongs to a video row, stepped by everyMs
+    val nVid = videos.count()
+    if (nVid > 0) {
+      val perDoc = frames.groupBy("doc_id").agg(count(lit(1)).alias("n"),
+        max("frame_ts_ms").alias("mx"))
+      val joined = perDoc.join(videos, "doc_id")
+        .filter(col("mx") > col("media_meta.duration_ms")).count()
+      assert(joined == 0)
+      assert(frames.filter(col("frame_ts_ms") % 10000 =!= 0).count() == 0)
+    }
+    assert(frames.join(withMeta.filter(col("media_meta.media_type") =!= "video"),
+      "doc_id").count() == 0)
+  }
+
+  test("decodeStub is deterministic and byte-sensitive") {
+    val a = Multimodal.decodeStub("hello".getBytes("UTF-8"), 8)
+    val b = Multimodal.decodeStub("hello".getBytes("UTF-8"), 8)
+    val c = Multimodal.decodeStub("hellp".getBytes("UTF-8"), 8)
+    assert(a.toSeq == b.toSeq)
+    assert(a.toSeq != c.toSeq)
+    assert(a.length == 8 && a.forall(v => v >= 0.0 && v < 1.0))
+  }
+
+  test("JVM scalar hash equals the Column-form hash for ASCII input") {
+    val jvm = Hashing.polyHashBytes("training data".getBytes("UTF-8"))
+    val viaColumn = spark.range(1)
+      .select(Hashing.polyHash(lit("training data")).alias("h"))
+      .collect().head.getLong(0)
+    assert(jvm == viaColumn)
+  }
+
+  test("language detection picks the dominant marker language") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat and the dog of the house went to the park",
+      "der Hund und die Katze und das Haus",
+      "le chat et la maison et les arbres").toDF("text")
+    val langs = df.select(TextAnalysis.detectLanguage(col("text")).alias("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(langs == Seq("en", "de", "fr"))
+  }
+
+  test("bpe token estimate is bounded below by the word count") {
+    import spark.implicits._
+    val df = Seq("a b c d e f", "internationalization", "").toDF("text")
+    val rows = df.select(TextAnalysis.tokenCount(col("text")).alias("n"),
+      TextAnalysis.bpeTokenEstimate(col("text")).alias("bpe")).collect()
+    rows.foreach(r => assert(r.getInt(1) >= r.getInt(0)))
+    assert(rows(0).getInt(0) == 6 && rows(0).getInt(1) == 6)
+    assert(rows(2).getInt(0) == 0)
+  }
+}
