@@ -353,12 +353,15 @@ object SparkEntry {
       transform(col("embedding"), x => round(x.cast(DoubleType) * 1000)).alias("q"))
 
   private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
-    val d = quantized(s, dir)
-    val a = d.select(col("vec_id").alias("vec_id_a"), col("label"), col("q").alias("qa"))
-    val b = d.select(col("vec_id").alias("vec_id_b"), col("label"), col("q").alias("qb"))
+    val d = quantized(s, dir).withColumn("__n", Similarity.l2norm(col("q")))
+    val a = d.select(col("vec_id").alias("vec_id_a"), col("label"),
+      col("q").alias("qa"), col("__n").alias("na"))
+    val b = d.select(col("vec_id").alias("vec_id_b"), col("label"),
+      col("q").alias("qb"), col("__n").alias("nb"))
     a.join(b, Seq("label"))
       .filter(col("vec_id_a") < col("vec_id_b"))
-      .withColumn("cosine", Similarity.cosine(col("qa"), col("qb")))
+      .withColumn("cosine",
+        Similarity.dot(col("qa"), col("qb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= 0.3)
       .select(col("vec_id_a"), col("vec_id_b"), col("cosine"))
   }

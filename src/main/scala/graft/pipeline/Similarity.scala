@@ -37,11 +37,16 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    // norms precomputed per vector, not per pair — same IEEE ops on the same
+    // inputs, so the cosine stays bit-identical while the pairwise work
+    // drops from three dot products to one
     val q = queries.select(col(idCol).alias("query_id"),
       asDouble(col(vecCol)).alias("__qv"))
+      .withColumn("__qn", l2norm(col("__qv")))
     val c = corpus.select(col(idCol).alias("neighbor_id"),
       asDouble(col(vecCol)).alias("__cv"))
-    val sim = cosine(col("__qv"), col("__cv"))
+      .withColumn("__cn", l2norm(col("__cv")))
+    val sim = dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     q.crossJoin(c)
@@ -84,16 +89,18 @@ object Similarity {
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int, nBits: Int = 8): DataFrame = {
     val withBucket = df.select(col(idCol), asDouble(col(vecCol)).alias("__v"))
+      .withColumn("__n", l2norm(col("__v")))
       .withColumn("__bucket", lshBucket(col("__v"), dim, nBits))
     val a = withBucket.select(col(idCol).alias("query_id"),
-      col("__v").alias("__qv"), col("__bucket"))
+      col("__v").alias("__qv"), col("__n").alias("__qn"), col("__bucket"))
     val b = withBucket.select(col(idCol).alias("neighbor_id"),
-      col("__v").alias("__cv"), col("__bucket"))
+      col("__v").alias("__cv"), col("__n").alias("__cn"), col("__bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     a.join(b, Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
@@ -103,14 +110,16 @@ object Similarity {
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, nBits: Int = 6): DataFrame = {
     val withBucket = df.select(col(idCol), asDouble(col(vecCol)).alias("__v"))
+      .withColumn("__n", l2norm(col("__v")))
       .withColumn("__bucket", lshBucket(col("__v"), dim, nBits))
     val a = withBucket.select(col(idCol).alias(s"${idCol}_a"),
-      col("__v").alias("__va"), col("__bucket"))
+      col("__v").alias("__va"), col("__n").alias("__na"), col("__bucket"))
     val b = withBucket.select(col(idCol).alias(s"${idCol}_b"),
-      col("__v").alias("__vb"), col("__bucket"))
+      col("__v").alias("__vb"), col("__n").alias("__nb"), col("__bucket"))
     a.join(b, Seq("__bucket"))
       .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
-      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .withColumn("cosine",
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cosine") >= threshold)
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("cosine"))
   }
