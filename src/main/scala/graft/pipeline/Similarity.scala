@@ -86,21 +86,35 @@ object Similarity {
   /** Approximate top-k: candidates restricted to the query's LSH bucket
     * (single equi-join on the bucket id). Recall grows with fewer bits /
     * multiple probes; this is the 100 TB-shaped path — no cross join. */
-  def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      k: Int, nBits: Int = 8): DataFrame = {
-    val withBucket = df.select(col(idCol), asDouble(col(vecCol)).alias("__v"))
+  /** (id, vector, norm) entries grouped per LSH bucket, clamped — the shared
+    * scaffolding of the bucketed operators. One groupBy exchange; no
+    * self-join (aliased self-joins re-execute the bucket pipeline on both
+    * sides), and a degenerate bucket can never go quadratic past the clamp. */
+  private def bucketEntries(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int, maxBucketSize: Int): DataFrame =
+    df.select(col(idCol), asDouble(col(vecCol)).alias("__v"))
       .withColumn("__n", l2norm(col("__v")))
       .withColumn("__bucket", lshBucket(col("__v"), dim, nBits))
-    val a = withBucket.select(col(idCol).alias("query_id"),
-      col("__v").alias("__qv"), col("__n").alias("__qn"), col("__bucket"))
-    val b = withBucket.select(col(idCol).alias("neighbor_id"),
-      col("__v").alias("__cv"), col("__n").alias("__cn"), col("__bucket"))
+      .groupBy(col("__bucket"))
+      .agg(collect_list(struct(col(idCol).alias("id"), col("__v").alias("v"),
+        col("__n").alias("n"))).alias("__e"))
+      .filter(size(col("__e")).between(2, maxBucketSize))
+      .withColumn("__e", array_sort(col("__e"))) // by id: deterministic pairing
+
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, nBits: Int = 8, maxBucketSize: Int = 4096): DataFrame = {
+    val buckets = bucketEntries(df, idCol, vecCol, dim, nBits, maxBucketSize)
+    // ordered pairs: each entry against every other entry of its bucket
+    val es = col("__e")
+    val pairs = flatten(transform(es, x =>
+      transform(filter(es, y => y.getField("id") =!= x.getField("id")), y =>
+        struct(x.alias("a"), y.alias("b")))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    a.join(b, Seq("__bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    buckets.select(explode(pairs).alias("__p"))
+      .select(col("__p.a.id").alias("query_id"), col("__p.b.id").alias("neighbor_id"),
+        (dot(col("__p.a.v"), col("__p.b.v")) / (col("__p.a.n") * col("__p.b.n")))
+          .alias("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
@@ -108,19 +122,15 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs above a threshold (a < b). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      threshold: Double, nBits: Int = 6): DataFrame = {
-    val withBucket = df.select(col(idCol), asDouble(col(vecCol)).alias("__v"))
-      .withColumn("__n", l2norm(col("__v")))
-      .withColumn("__bucket", lshBucket(col("__v"), dim, nBits))
-    val a = withBucket.select(col(idCol).alias(s"${idCol}_a"),
-      col("__v").alias("__va"), col("__n").alias("__na"), col("__bucket"))
-    val b = withBucket.select(col(idCol).alias(s"${idCol}_b"),
-      col("__v").alias("__vb"), col("__n").alias("__nb"), col("__bucket"))
-    a.join(b, Seq("__bucket"))
-      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
-      .withColumn("cosine",
-        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      threshold: Double, nBits: Int = 6, maxBucketSize: Int = 4096): DataFrame = {
+    val buckets = bucketEntries(df, idCol, vecCol, dim, nBits, maxBucketSize)
+    val es = col("__e")
+    val pairs = flatten(transform(es, (x, i) =>
+      transform(slice(es, i + 2, size(es)), y => struct(x.alias("a"), y.alias("b")))))
+    buckets.select(explode(pairs).alias("__p"))
+      .select(col("__p.a.id").alias(s"${idCol}_a"), col("__p.b.id").alias(s"${idCol}_b"),
+        (dot(col("__p.a.v"), col("__p.b.v")) / (col("__p.a.n") * col("__p.b.n")))
+          .alias("cosine"))
       .filter(col("cosine") >= threshold)
-      .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("cosine"))
   }
 }
