@@ -67,6 +67,44 @@ class StreamingTSDFSpec extends SparkTestBase {
     assert(u1.getDouble(0) == 2.0 && u1.getLong(1) == 2L && u1.getDouble(2) == 4.0)
   }
 
+  test("streaming as-of join matches the batch operator across micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val leftRows = Seq(
+      ("u1", ts("2024-01-01 00:00:15"), 100L),
+      ("u1", ts("2024-01-01 00:00:45"), 101L),
+      ("u2", ts("2024-01-01 00:00:05"), 200L), // before any quote → nulls
+      ("u2", ts("2024-01-01 00:01:30"), 201L))
+    val rightRows = Seq(
+      ("u1", ts("2024-01-01 00:00:10"), 1.5),
+      ("u1", ts("2024-01-01 00:00:30"), 2.5),
+      ("u2", ts("2024-01-01 00:01:00"), 3.5))
+    val memL = MemoryStream[(String, Timestamp, Long)]
+    val memR = MemoryStream[(String, Timestamp, Double)]
+    val out = StreamingTSDF.asofJoin(
+      memL.toDF().toDF("user_id", "ts", "event_id").drop("event_id"),
+      memR.toDF().toDF("user_id", "ts", "quote"),
+      "ts", Seq("user_id"), Seq("quote"))
+    val q = out.writeStream.format("memory").queryName("asof")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: first half of each stream; batch 2: the rest
+    memR.addData(rightRows.take(2): _*)
+    memL.addData(leftRows.take(2): _*)
+    q.processAllAvailable()
+    memR.addData(rightRows.drop(2): _*)
+    memL.addData(leftRows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("asof")
+    val batch = TSDF(leftRows.toDF("user_id", "ts", "event_id").drop("event_id"),
+      "ts", Seq("user_id"))
+      .asofJoin(TSDF(rightRows.toDF("user_id", "ts", "quote"), "ts", Seq("user_id")))
+      .df.select(col("user_id").alias("series"), col("ts"),
+        col("right_ts"), col("right_quote"))
+    assertDfEquality(streamed, batch)
+  }
+
   test("stateful run extraction closes intervals on state change") {
     val spark2 = spark
     import spark2.implicits._
