@@ -66,6 +66,20 @@ object OracleSql {
       s"(CASE WHEN list_dot_product($vec, $plane) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** CTE chain replaying [[Similarity.bucketEntries]] + the sub-bucket split
+    * of [[Similarity.subBucketPairs]] over the quantized embeddings CTE `q`:
+    * primary bucket = low `nBits` sign bits, sub-key xh = the next
+    * [[Similarity.SubBucketBits]] bits, s = xh % ceil(m/clamp), r = id rank
+    * within (bucket, s). Ends with CTE `rk`. */
+  private def lshSubBucketSql(nBits: Int, clamp: Int): String = {
+    val full = lshBucketSql("q", 64, nBits + Similarity.SubBucketBits)
+    s"""bk AS (SELECT vec_id, q, ($full) % ${1L << nBits} AS bucket,
+       |  ($full) // ${1L << nBits} AS xh FROM q),
+       |cnt AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS m FROM bk),
+       |sb AS (SELECT *, xh % greatest(1, CAST(ceil(m / $clamp.0) AS BIGINT)) AS s FROM cnt),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY bucket, s ORDER BY vec_id) AS r FROM sb)""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
 
     "q_slice_between" ->
@@ -367,23 +381,29 @@ object OracleSql {
     "q_rolling_fp" ->
       s"SELECT doc_id, ${Hashing.polyHashSql(norm)} AS rh FROM documents",
 
-    // Full MinHash-LSH replay: shingle → polyhash → k-permutation signature →
-    // band hashes → bucket-clamped self-join → exact-Jaccard verify. Same
-    // constants as Dedup.nearDuplicates(shingleWidth=2, b=6, r=3, clamp=50,
-    // t=0.4); the lossless size-ratio prefilter is intentionally NOT
-    // replayed (it never removes a qualifying pair).
+    // Full MinHash-LSH replay: shingle → polyhash → (k+2)-permutation
+    // signature → band hashes → sub-bucketed self-join → exact-Jaccard
+    // verify. Same constants as Dedup.nearDuplicates(shingleWidth=2, b=6,
+    // r=3, clamp=50, t=0.4). Oversized buckets are split, not dropped:
+    // nSub = ceil(m/clamp) sub-buckets keyed by (xh % nSub) where xh folds
+    // the two extra signature minima, and within a sub-bucket only the first
+    // `clamp` id-ordered members act as left pair elements ("pool") —
+    // replaying Similarity.subBucketPairs exactly. The lossless size-ratio
+    // prefilter is intentionally NOT replayed (it never removes a qualifying
+    // pair).
     "q_minhash_pairs" -> {
       val bands = 6; val rpb = 3; val k = bands * rpb; val clamp = 50
       val shingleExpr =
         "CASE WHEN len(toks) >= 2 THEN list_distinct(list_transform(" +
           "generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) " +
           "ELSE [array_to_string(toks, ' ')] END"
-      val sigList = (0 until k)
+      val sigList = (0 until k + 2)
         .map(s => s"list_min(list_transform(hs, h -> ${Hashing.mixSql("h", s)}))")
         .mkString("[", ",\n    ", "]")
+      val xh = Hashing.foldHashesSql(Seq(s"sig[${k + 1}]", s"sig[${k + 2}]"))
       val bandSelects = (0 until bands).map { b =>
         val bh = Hashing.foldHashesSql((0 until rpb).map(i => s"sig[${b * rpb + i + 1}]"))
-        s"SELECT doc_id, $b AS band, $bh AS bhash FROM sig"
+        s"SELECT doc_id, $xh AS xh, $b AS band, $bh AS bhash FROM sig"
       }.mkString("\n  UNION ALL\n  ")
       s"""WITH d AS (SELECT doc_id, $norm AS nrm FROM documents),
          |t AS (SELECT doc_id, string_split(nrm, ' ') AS toks FROM d),
@@ -392,11 +412,13 @@ object OracleSql {
          |sig AS (SELECT doc_id, $sigList AS sig FROM hsh),
          |banded AS (
          |  $bandSelects),
-         |clamped AS (SELECT * FROM banded
-         |  QUALIFY count(*) OVER (PARTITION BY band, bhash) <= $clamp),
+         |cnt AS (SELECT *, count(*) OVER (PARTITION BY band, bhash) AS m FROM banded),
+         |sb AS (SELECT *, xh % greatest(1, CAST(ceil(m / $clamp.0) AS BIGINT)) AS s FROM cnt),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY band, bhash, s ORDER BY doc_id) AS r FROM sb),
          |pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-         |  FROM clamped a JOIN clamped b
-         |  ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+         |  FROM rk a JOIN rk b
+         |  ON a.band = b.band AND a.bhash = b.bhash AND a.s = b.s
+         |  AND a.doc_id < b.doc_id AND a.r <= $clamp),
          |verify AS (SELECT p.doc_id_a, p.doc_id_b,
          |  CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
          |  ((len(x.hs) + len(y.hs)) - CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)) AS jaccard
@@ -426,10 +448,11 @@ object OracleSql {
 
     "q_ann_lsh" ->
       s"""WITH q AS (SELECT vec_id, $qv AS q FROM embeddings),
-         |bk AS (SELECT vec_id, q, ${lshBucketSql("q", 64, 6)} AS bucket FROM q),
+         |${lshSubBucketSql(nBits = 6, clamp = 4096)},
          |s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |  ${cosSql("a.q", "b.q")} AS cosine
-         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |  FROM rk a JOIN rk b ON a.bucket = b.bucket AND a.s = b.s
+         |  AND a.vec_id <> b.vec_id AND b.r <= 4096),
          |r AS (SELECT query_id, neighbor_id, cosine,
          |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
          |  FROM s)
@@ -438,10 +461,11 @@ object OracleSql {
 
     "q_embed_neardup_lsh" ->
       s"""WITH q AS (SELECT vec_id, $qv AS q FROM embeddings),
-         |bk AS (SELECT vec_id, q, ${lshBucketSql("q", 64, 6)} AS bucket FROM q),
+         |${lshSubBucketSql(nBits = 6, clamp = 4096)},
          |p AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
          |  ${cosSql("a.q", "b.q")} AS cosine
-         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |  FROM rk a JOIN rk b ON a.bucket = b.bucket AND a.s = b.s
+         |  AND a.vec_id < b.vec_id AND a.r <= 4096)
          |SELECT vec_id_a, vec_id_b, cosine FROM p WHERE cosine >= 0.3""".stripMargin,
 
     "q_multimodal" -> {

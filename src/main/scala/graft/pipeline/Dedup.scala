@@ -76,7 +76,11 @@ object Dedup {
     * re-execute the whole shingle→hash→signature chain on both aliased
     * sides (alias ids defeat exchange reuse) and was measured 10× slower.
     * Pathological buckets (boilerplate shared by thousands of docs would
-    * contribute |bucket|² pairs) are clamped at `maxBucketSize`; with
+    * contribute |bucket|² pairs) are split, not dropped, past
+    * `maxBucketSize`: [[Similarity.subBucketPairs]] sub-buckets them by a
+    * fold of two *extra* signature minima — identical/near-identical docs
+    * share those minima, so the boilerplate clusters the clamp used to
+    * discard stay together and still emit (linearly many) pairs. With
     * rowsPerBand = 3 a spurious pair at similarity s only collides with
     * probability s³ per band, keeping the candidate count linear-ish.
     */
@@ -88,33 +92,33 @@ object Dedup {
     // lambdas are interpreted (no codegen CSE), and projection collapse
     // duplicates the whole per-char hashing chain into every one of the k
     // band references — measured ~18× recompute. Exploding to (id, shingle)
-    // rows hashes each shingle exactly once; the k permutation minima are
-    // map-side-combined `min` aggregates over that single hash column.
+    // rows hashes each shingle exactly once; the k+2 permutation minima are
+    // map-side-combined `min` aggregates over that single hash column (the
+    // extra two feed the oversized-bucket sub-key).
     val hashed = df
       .select(col(idCol), explode(shingles(col(textCol), shingleWidth)).alias("__sh"))
       .select(col(idCol), Hashing.polyHash(col("__sh")).alias("__h"))
-    val sigCols = (0 until k).map(s => min(Hashing.mix(col("__h"), s)).alias(s"__sig$s"))
+    val sigCols = (0 until k + 2).map(s => min(Hashing.mix(col("__h"), s)).alias(s"__sig$s"))
     val sig = hashed.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+    val xh = Hashing.foldHashes(Seq(col(s"__sig$k"), col(s"__sig${k + 1}")))
     val banded = sig
-      .select(col(idCol), explode(
+      .select(col(idCol), xh.alias("__xh"), explode(
         array((0 until bands).map(b =>
           struct(lit(b).alias("band"),
             Hashing.foldHashes((0 until rowsPerBand).map(r =>
               col(s"__sig${b * rowsPerBand + r}"))).alias("bhash"))): _*))
         .alias("__band"))
-      .select(col(idCol), col("__band.band"), col("__band.bhash"))
+      .select(col(idCol), col("__xh"), col("__band.band"), col("__band.bhash"))
     val buckets = banded
       .groupBy(col("band"), col("bhash"))
-      .agg(collect_list(col(idCol)).alias("__ids"))
-      .filter(size(col("__ids")).between(2, maxBucketSize))
-    // all a<b pairs within a bucket, generated per row (≤ clamp²/2 each)
-    val ids = array_sort(col("__ids"))
-    val pairs = flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + 2, size(ids)), y =>
-        struct(x.alias("a"), y.alias("b")))))
+      .agg(collect_list(struct(col(idCol).alias("id"), col("__xh").alias("xh")))
+        .alias("__e"))
+      .filter(size(col("__e")) >= 2)
+    val pairs = Similarity.subBucketPairs(array_sort(col("__e")), maxBucketSize,
+      ordered = false)
     buckets
       .select(explode(pairs).alias("__p"))
-      .select(col("__p.a").alias(s"${idCol}_a"), col("__p.b").alias(s"${idCol}_b"))
+      .select(col("__p.a.id").alias(s"${idCol}_a"), col("__p.b.id").alias(s"${idCol}_b"))
       .distinct()
   }
 

@@ -83,32 +83,71 @@ object Similarity {
     bits.reduce[Column](_ + _)
   }
 
+  /** Extra hyperplane bits per vector, used only to sub-bucket oversized
+    * LSH buckets deterministically (never to widen the primary bucket id). */
+  val SubBucketBits = 6
+
+  /** Binds `a` once as a lambda variable: HOF lambdas are interpreted with no
+    * CSE and inline free sub-expressions, so a derived array referenced
+    * inside a per-element lambda would otherwise re-evaluate per element. */
+  private def bindArr(a: Column)(f: Column => Column): Column =
+    element_at(transform(array(a), f), 1)
+
+  /** Candidate pairs within one bucket's id-sorted entries array, with a
+    * deterministic sub-bucket split instead of a silent drop for oversized
+    * buckets: nSub = ceil(size/c) sub-buckets keyed by `pmod(xh, nSub)` (a
+    * secondary hash that identical/near-identical members share, so the
+    * boilerplate-heavy clusters dedup exists to catch stay together), then
+    * within each sub-bucket a "pool" of the first `c` entries bounds output
+    * at size×c. size ≤ c ⇒ nSub = 1 and pool = whole group — exactly the
+    * unclamped all-pairs semantics. `ordered = false` emits a<b pairs whose
+    * left element is in the pool; `ordered = true` pairs every entry (query)
+    * against the pool (neighbors). Entry structs must expose `id` and `xh`.
+    */
+  def subBucketPairs(entriesSorted: Column, c: Int, ordered: Boolean): Column =
+    bindArr(entriesSorted) { es =>
+      val nSub = greatest(lit(1L), ceil(size(es) / lit(c.toDouble)).cast("long"))
+      flatten(transform(sequence(lit(0L), nSub - 1), s =>
+        bindArr(filter(es, e => pmod(e.getField("xh"), nSub) === s)) { sub =>
+          if (ordered)
+            flatten(transform(sub, x =>
+              transform(filter(slice(sub, 1, c), y =>
+                y.getField("id") =!= x.getField("id")),
+                y => struct(x.alias("a"), y.alias("b")))))
+          else
+            flatten(transform(slice(sub, 1, c), (x, i) =>
+              transform(slice(sub, i + 2, size(sub)), y =>
+                struct(x.alias("a"), y.alias("b")))))
+        }))
+    }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket
     * (single equi-join on the bucket id). Recall grows with fewer bits /
     * multiple probes; this is the 100 TB-shaped path — no cross join. */
-  /** (id, vector, norm) entries grouped per LSH bucket, clamped — the shared
+  /** (id, vector, norm, xh) entries grouped per LSH bucket — the shared
     * scaffolding of the bucketed operators. One groupBy exchange; no
     * self-join (aliased self-joins re-execute the bucket pipeline on both
-    * sides), and a degenerate bucket can never go quadratic past the clamp. */
+    * sides). Oversized buckets are handled downstream by [[subBucketPairs]]
+    * using the [[SubBucketBits]] extra sign bits carried in `xh`. */
   private def bucketEntries(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, nBits: Int, maxBucketSize: Int): DataFrame =
+      dim: Int, nBits: Int): DataFrame = {
+    val full = lshBucket(col("__v"), dim, nBits + SubBucketBits)
     df.select(col(idCol), asDouble(col(vecCol)).alias("__v"))
       .withColumn("__n", l2norm(col("__v")))
-      .withColumn("__bucket", lshBucket(col("__v"), dim, nBits))
+      .withColumn("__full", full)
+      .withColumn("__bucket", col("__full").bitwiseAND(lit((1L << nBits) - 1)))
+      .withColumn("__xh", shiftright(col("__full"), nBits))
       .groupBy(col("__bucket"))
       .agg(collect_list(struct(col(idCol).alias("id"), col("__v").alias("v"),
-        col("__n").alias("n"))).alias("__e"))
-      .filter(size(col("__e")).between(2, maxBucketSize))
+        col("__n").alias("n"), col("__xh").alias("xh"))).alias("__e"))
+      .filter(size(col("__e")) >= 2)
       .withColumn("__e", array_sort(col("__e"))) // by id: deterministic pairing
+  }
 
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int, nBits: Int = 8, maxBucketSize: Int = 4096): DataFrame = {
-    val buckets = bucketEntries(df, idCol, vecCol, dim, nBits, maxBucketSize)
-    // ordered pairs: each entry against every other entry of its bucket
-    val es = col("__e")
-    val pairs = flatten(transform(es, x =>
-      transform(filter(es, y => y.getField("id") =!= x.getField("id")), y =>
-        struct(x.alias("a"), y.alias("b")))))
+    val buckets = bucketEntries(df, idCol, vecCol, dim, nBits)
+    val pairs = subBucketPairs(col("__e"), maxBucketSize, ordered = true)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     buckets.select(explode(pairs).alias("__p"))
@@ -123,10 +162,8 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs above a threshold (a < b). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, nBits: Int = 6, maxBucketSize: Int = 4096): DataFrame = {
-    val buckets = bucketEntries(df, idCol, vecCol, dim, nBits, maxBucketSize)
-    val es = col("__e")
-    val pairs = flatten(transform(es, (x, i) =>
-      transform(slice(es, i + 2, size(es)), y => struct(x.alias("a"), y.alias("b")))))
+    val buckets = bucketEntries(df, idCol, vecCol, dim, nBits)
+    val pairs = subBucketPairs(col("__e"), maxBucketSize, ordered = false)
     buckets.select(explode(pairs).alias("__p"))
       .select(col("__p.a.id").alias(s"${idCol}_a"), col("__p.b.id").alias(s"${idCol}_b"),
         (dot(col("__p.a.v"), col("__p.b.v")) / (col("__p.a.n") * col("__p.b.n")))

@@ -51,6 +51,55 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(a.length == 8 && a.forall(v => v >= 0.0 && v < 1.0))
   }
 
+  test("oversized MinHash buckets are split, not dropped: every member still pairs") {
+    import spark.implicits._
+    // 10 identical docs -> every band bucket holds all 10, far above clamp=3.
+    // All members share the sub-key (identical signatures), so they land in
+    // one sub-group whose first-3 "pool" pairs with everything after it:
+    // 9 + 8 + 7 = 24 distinct pairs, and every doc appears in at least one.
+    val docs = (1L to 10L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog boilerplate"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id", maxBucketSize = 3)
+      .collect()
+    assert(pairs.length == 24)
+    val seen = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(seen == (1L to 10L).toSet)
+    // and the verified near-dup path keeps them (jaccard = 1.0 for identical)
+    val nd = Dedup.nearDuplicates(docs, "text", "doc_id", maxBucketSize = 3)
+    assert(nd.count() == 24)
+  }
+
+  test("small MinHash buckets keep exact all-pairs semantics under the clamp") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id", maxBucketSize = 50)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("oversized embedding LSH buckets are split, not dropped") {
+    import spark.implicits._
+    // 8 identical vectors share bucket AND sub-key: pool of 3 pairs with the
+    // rest -> 7 + 6 + 5 = 18 near-dup pairs, every vector present.
+    val vecs = (1L to 8L).map(i => (i, Seq(1.0, 2.0, 3.0, 4.0))).toDF("vec_id", "v")
+    val nd = Similarity.embeddingNearDup(vecs, "vec_id", "v", dim = 4,
+      threshold = 0.9, nBits = 4, maxBucketSize = 3).collect()
+    assert(nd.length == 18)
+    assert(nd.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet == (1L to 8L).toSet)
+    // ordered variant: every vector acts as a query against the pool
+    val topk = Similarity.lshTopK(vecs, "vec_id", "v", dim = 4, k = 2,
+      nBits = 4, maxBucketSize = 3)
+    val perQuery = topk.groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perQuery.keySet == (1L to 8L).toSet)
+    assert(perQuery.values.forall(_ == 2L))
+  }
+
   test("JVM scalar hash equals the Column-form hash for ASCII input") {
     val jvm = Hashing.polyHashBytes("training data".getBytes("UTF-8"))
     val viaColumn = spark.range(1)
