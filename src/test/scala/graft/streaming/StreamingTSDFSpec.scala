@@ -100,9 +100,54 @@ class StreamingTSDFSpec extends SparkTestBase {
     val batch = TSDF(leftRows.toDF("user_id", "ts", "event_id").drop("event_id"),
       "ts", Seq("user_id"))
       .asofJoin(TSDF(rightRows.toDF("user_id", "ts", "quote"), "ts", Seq("user_id")))
-      .df.select(col("user_id").alias("series"), col("ts"),
-        col("right_ts"), col("right_quote"))
+      .df.select(col("user_id"), col("ts"), col("right_ts"), col("right_quote"))
     assertDfEquality(streamed, batch)
+  }
+
+  test("streaming as-of join keeps space-containing multi-column series distinct") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ("x y", "z") and ("x", "y z") collapse to the same key under a
+    // space-joined series key; the unit-separator key must keep them apart,
+    // and the output must carry the original typed series columns.
+    val leftRows = Seq(
+      ("x y", "z", ts("2024-01-01 00:00:20")),
+      ("x", "y z", ts("2024-01-01 00:00:20")))
+    val rightRows = Seq(("x", "y z", ts("2024-01-01 00:00:10"), 9.9))
+    val memL = MemoryStream[(String, String, Timestamp)]
+    val memR = MemoryStream[(String, String, Timestamp, Double)]
+    val out = StreamingTSDF.asofJoin(
+      memL.toDF().toDF("a", "b", "ts"),
+      memR.toDF().toDF("a", "b", "ts", "quote"),
+      "ts", Seq("a", "b"), Seq("quote"))
+    val q = out.writeStream.format("memory").queryName("asof_collide")
+      .outputMode(OutputMode.Append()).start()
+    memR.addData(rightRows: _*)
+    memL.addData(leftRows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_collide")
+    assert(got.columns.toSeq == Seq("a", "b", "ts", "right_ts", "right_quote"))
+    // the ("x y", "z") series has no right rows -> must stay null
+    val collided = got.filter(col("a") === "x y" && col("b") === "z").collect()
+    assert(collided.length == 1 && collided.head.isNullAt(4))
+    val real = got.filter(col("a") === "x" && col("b") === "y z").collect()
+    assert(real.length == 1 && real.head.getDouble(4) == 9.9)
+  }
+
+  test("streaming resample and groupedStats reject empty metric lists") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val df = mem.toDF().toDF("user_id", "ts")
+    intercept[IllegalArgumentException] {
+      StreamingTSDF.resample(df, "ts", Seq("user_id"), "1 minute", "mean")
+    }
+    intercept[IllegalArgumentException] {
+      StreamingTSDF.groupedStats(df, "ts", Seq("user_id"), Seq.empty, "1 minute")
+    }
   }
 
   test("stateful run extraction closes intervals on state change") {
