@@ -63,6 +63,16 @@ case class IntervalsDF(
 
   /** Split overlapping intervals into a disjoint cover per series. */
   def makeDisjoint(): IntervalsDF = {
+    // Empty seriesIds would reduce the cover-join condition to a pure range
+    // predicate — a BroadcastNestedLoopJoin over all segments × all
+    // intervals. A constant dummy group key keeps it an equi-join (the data
+    // is semantically one series, so the single resulting group is inherent,
+    // as in the reference's single-group path).
+    if (seriesIds.isEmpty) {
+      val out = copy(df = df.withColumn("__grp_all", lit(0)),
+        seriesIds = Seq("__grp_all")).makeDisjoint()
+      return copy(df = out.df.drop("__grp_all"))
+    }
     val ms = metricCols
     val series = seriesIds.map(col)
 

@@ -108,7 +108,7 @@ object AsOfJoin {
 
     val combinedTs = coalesce(col(left.tsCol), col(right.tsCol))
     val seqOrder: Seq[Column] =
-      (left.sequenceCol.toSeq ++ right.sequenceCol.toSeq).map(c => coalesce(col(c)).asc)
+      (left.sequenceCol.toSeq ++ right.sequenceCol.toSeq).map(c => col(c).asc)
 
     val (bucketed, partKeys, cleanup) = tsPartitionVal match {
       case None => (unioned.withColumn("__combined_ts", combinedTs), series, identity[DataFrame] _)

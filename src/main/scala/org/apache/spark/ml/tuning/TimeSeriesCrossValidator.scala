@@ -53,13 +53,23 @@ class TimeSeriesCrossValidator(override val uid: String) extends CrossValidator 
     val epm = $(estimatorParamMaps)
     val folds = tsKFold(dataset.toDF)
     val metrics = new Array[Double](epm.length)
+    // honor the inherited `parallelism` param like upstream CrossValidator:
+    // param maps within a fold fit/evaluate concurrently on its executor
+    // (parallelism = 1 degrades to the same-thread context)
+    val ec = getExecutionContext
     folds.foreach { case (train, test) =>
-      val models = est.fit(train, epm)
+      val futures = epm.toSeq.map { pm =>
+        scala.concurrent.Future {
+          val model = est.fit(train, pm).asInstanceOf[Model[_]]
+          eval.evaluate(model.transform(test, pm))
+        }(ec)
+      }
+      val foldMetrics = futures.map(f =>
+        org.apache.spark.util.ThreadUtils.awaitResult(
+          f, scala.concurrent.duration.Duration.Inf))
       var i = 0
       while (i < epm.length) {
-        val m = eval.evaluate(
-          models(i).asInstanceOf[Model[_]].transform(test, epm(i)))
-        metrics(i) += m / folds.size
+        metrics(i) += foldMetrics(i) / folds.size
         i += 1
       }
     }

@@ -50,6 +50,26 @@ class IntervalsGoldenSpec extends SparkTestBase {
     assertDfEquality(out.df, fx.idf(t.get("expected")).df)
   }
 
+  test("makeDisjoint with empty seriesIds stays an equi-join and is correct") {
+    import java.sql.Timestamp
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val in = IntervalsDF(Seq(
+      (ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00"), 1.0),
+      (ts("2024-01-01 01:00:00"), ts("2024-01-01 03:00:00"), 2.0))
+      .toDF("start_ts", "end_ts", "m"), "start_ts", "end_ts", Seq.empty)
+    val out = in.makeDisjoint()
+    val p = out.df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(out.df.columns.toSeq == Seq("start_ts", "end_ts", "m"))
+    val rows = out.df.orderBy("start_ts").collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(
+      (ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"), 1.0),
+      (ts("2024-01-01 01:00:00"), ts("2024-01-01 03:00:00"), 2.0)))
+  }
+
   test("union and unionByName double the row count") {
     val t = tc("test_union_other_idf")
     val a = fx.idf(t.get("init"))
