@@ -246,6 +246,38 @@ object OracleSql {
         |  max(value) AS value
         |FROM g2 GROUP BY user_id, grp""".stripMargin,
 
+    "q_slice_ops" -> {
+      val pivot = "TIMESTAMP '2024-01-15 00:00:00'"
+      def top(op: String, cond: String, dir: String, n: Int) =
+        s"""SELECT '$op' AS op, user_id, epoch_us(ts) AS ts_us, event_id FROM
+           |(SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts $dir) AS rn
+           | FROM events WHERE $cond) t WHERE rn <= $n""".stripMargin
+      s"""SELECT 'at_min' AS op, user_id, epoch_us(ts) AS ts_us, event_id
+         |FROM events WHERE ts = (SELECT min(ts) FROM events)
+         |UNION ALL ${top("prior_to", s"ts <= $pivot", "DESC", 2)}
+         |UNION ALL ${top("subsequent_to", s"ts >= $pivot", "ASC", 2)}
+         |UNION ALL ${top("last_before", s"ts < $pivot", "DESC", 1)}
+         |UNION ALL ${top("first_after", s"ts > $pivot", "ASC", 1)}""".stripMargin
+    },
+
+    "q_intervals_union" -> {
+      def iv(t: String) =
+        s"""SELECT user_id, epoch_us(ts) AS start_us,
+           |epoch_us(ts + INTERVAL 1 HOUR) AS end_us, value
+           |FROM events WHERE event_type = '$t'""".stripMargin
+      // positional union of clicks + purchases, then by-name union of the
+      // purchases again (column order is irrelevant to the value multiset)
+      s"${iv("click")} UNION ALL ${iv("purchase")} UNION ALL ${iv("purchase")}"
+    },
+
+    // replays what the sink derives and persists: event_dt partition (epoch
+    // days) and the HHmmss-as-double event_time; value/ts round-trip exactly
+    "q_write_roundtrip" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, value,
+        |CAST(CAST(strftime(ts, '%H%M%S') AS BIGINT) AS DOUBLE) AS event_time,
+        |CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS event_dt_days
+        |FROM events""".stripMargin,
+
     "q_cv_folds" ->
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |CAST(ntile(6) OVER (PARTITION BY user_id ORDER BY ts) - 1 AS BIGINT) AS split_idx

@@ -57,6 +57,24 @@ object SparkEntry {
       .df.select(col("user_id"), usec(col("ts")).alias("ts_us"),
         col("event_id"), col("event_type"), col("value"))
 
+  /** The point-slice family (at/before/after/atOrBefore/atOrAfter via
+    * priorTo/subsequentTo/latest/earliest) in one tagged union. `at` anchors
+    * on the global min ts (a one-row eager lookup, like the reference's
+    * display helpers) so it provably matches rows. */
+  private def qSliceOps(s: SparkSession, dir: String): DataFrame = {
+    val t = TSDF(events(s, dir).select(col("user_id"), col("ts"), col("event_id")),
+      "ts", Seq("user_id"))
+    val pivot = "2024-01-15 00:00:00"
+    val minTs = t.df.agg(min(col("ts"))).collect().head.getTimestamp(0)
+    def tag(name: String, d: DataFrame) = d.select(lit(name).alias("op"),
+      col("user_id"), usec(col("ts")).alias("ts_us"), col("event_id"))
+    tag("at_min", t.at(minTs).df)
+      .unionByName(tag("prior_to", t.priorTo(pivot, 2).df))
+      .unionByName(tag("subsequent_to", t.subsequentTo(pivot, 2).df))
+      .unionByName(tag("last_before", t.before(pivot).latest(1).df))
+      .unionByName(tag("first_after", t.after(pivot).earliest(1).df))
+  }
+
   private def qLatestN(s: SparkSession, dir: String): DataFrame =
     TSDF(events(s, dir), "ts", Seq("user_id")).latest(3)
       .df.select(col("user_id"), usec(col("ts")).alias("ts_us"),
@@ -218,6 +236,37 @@ object SparkEntry {
     iv.makeDisjoint()
       .df.select(col("user_id"), usec(col("start_ts")).alias("start_us"),
         usec(col("end_ts")).alias("end_us"), col("value"))
+  }
+
+  /** Positional union + by-name union (with reordered columns) of interval
+    * frames, intervals.py:280-339. */
+  private def qIntervalsUnion(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    def iv(t: String) = IntervalsDF(
+      ev.filter(col("event_type") === t).select(col("user_id"),
+        col("ts").alias("start_ts"),
+        (col("ts") + expr("interval 1 hour")).alias("end_ts"), col("value")),
+      "start_ts", "end_ts", Seq("user_id"))
+    val a = iv("click")
+    val b = iv("purchase")
+    val reordered = b.copy(df = b.df.select("end_ts", "value", "user_id", "start_ts"))
+    a.union(b).unionByName(reordered)
+      .df.select(col("user_id"), usec(col("start_ts")).alias("start_us"),
+        usec(col("end_ts")).alias("end_us"), col("value"))
+  }
+
+  /** Write through the time-partitioned sink, read the files back, and emit
+    * the persisted columns (incl. the derived event_dt partition and
+    * event_time) — proving the io path round-trips values exactly. */
+  private def qWriteRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val t = TSDF(events(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "ts", Seq("user_id"))
+    val path = System.getProperty("java.io.tmpdir") +
+      "/graft_roundtrip_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    graft.io.TSDFWriter.write(t, path)
+    s.read.parquet(path).select(col("user_id"), usec(col("ts")).alias("ts_us"),
+      col("value"), col("event_time"),
+      datediff(col("event_dt"), lit("1970-01-01")).cast(LongType).alias("event_dt_days"))
   }
 
   private def qTimeHorizon(s: SparkSession, dir: String): DataFrame =
@@ -479,6 +528,9 @@ object SparkEntry {
     "q_intervals_pivot" -> qIntervalsPivot _,
     "q_intervals_stack" -> qIntervalsStack _,
     "q_intervals_disjoint" -> qIntervalsDisjoint _,
+    "q_slice_ops" -> qSliceOps _,
+    "q_intervals_union" -> qIntervalsUnion _,
+    "q_write_roundtrip" -> qWriteRoundtrip _,
     "q_cv_folds" -> qCvFolds _,
     "q1_pricing_summary" -> qPricingSummary _,
     "q_revenue_nation" -> qRevenueNation _,
