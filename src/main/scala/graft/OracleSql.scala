@@ -530,6 +530,23 @@ object OracleSql {
           |  WHEN epoch_us(ts) % 3600000000 <> 0 THEN '3-minutes'
           |  WHEN epoch_us(ts) % 86400000000 <> 0 THEN '4-hours'
           |  ELSE '5-days' END), 3)""".stripMargin
+      // fixed-4-decimal rendering from integer/string ops — replays
+      // TSDF.describe's fmt4 digit for digit
+      def fmt4(x: String) = {
+        val sc = s"CAST(round(($x) * 10000) AS BIGINT)"
+        s"(CASE WHEN $sc < 0 THEN '-' ELSE '' END) || " +
+          s"CAST(abs($sc) // 10000 AS VARCHAR) || '.' || " +
+          s"lpad(CAST(abs($sc) % 10000 AS VARCHAR), 4, '0')"
+      }
+      // moment-sum stddev with the same op order as TSDF.describe: sums in
+      // double (exact on these magnitudes), count*(count-1) in integers
+      def sd(c: String, scaled: Boolean) = {
+        val v = if (scaled) s"round($c * 100)" else s"CAST($c AS DOUBLE)"
+        val div = if (scaled) " / 100" else ""
+        s"""CASE WHEN count($c) > 1 THEN
+           |sqrt((CAST(count($c) AS DOUBLE) * sum(($v) * ($v)) - sum($v) * sum($v))
+           |  / (count($c) * (count($c) - 1)))$div END""".stripMargin
+      }
       def row(summary: String, vals: Seq[String], globals: Seq[String]) =
         s"SELECT '$summary' AS summary, ${globals(0)} AS unique_time_series_count, " +
           s"${globals(1)} AS min_ts, ${globals(2)} AS max_ts, ${globals(3)} AS granularity, " +
@@ -541,6 +558,12 @@ object OracleSql {
           Seq("CAST(count(DISTINCT user_id) AS VARCHAR)", "CAST(min(ts) AS VARCHAR)",
             "CAST(max(ts) AS VARCHAR)", gran)),
         row("count", cols.map(c => s"CAST(count($c) AS VARCHAR)"), blank),
+        row("mean", Seq(fmt4("avg(CAST(event_id AS DOUBLE))"),
+          fmt4("avg(CAST(user_id AS DOUBLE))"), "CAST(NULL AS VARCHAR)",
+          fmt4("avg(round(value * 100)) / 100")), blank),
+        row("stddev", Seq(fmt4(sd("event_id", scaled = false)),
+          fmt4(sd("user_id", scaled = false)), "CAST(NULL AS VARCHAR)",
+          fmt4(sd("value", scaled = true))), blank),
         row("min", cols.map(c => s"CAST(min($c) AS VARCHAR)"), blank),
         row("max", cols.map(c => s"CAST(max($c) AS VARCHAR)"), blank),
         row("missing_vals_pct",

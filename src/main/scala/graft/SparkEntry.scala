@@ -275,13 +275,12 @@ object SparkEntry {
       .select(col("user_id"), usec(col("min_ts")).alias("min_ts_us"),
         usec(col("max_ts")).alias("max_ts_us"), col("actual_rows"), col("num_values"))
 
-  /** describe() output restricted to its deterministic rows/columns: mean
-    * and stddev rows stringify doubles with engine-specific formatting, and
-    * the ts_dbl column's min/max stringify in scientific notation — both are
-    * part of the operator's surface but not cross-engine hashable. */
+  /** Full describe() output (all six summary rows — mean/stddev render as
+    * deterministic fixed-4-decimal strings, so no row filter is needed). The
+    * ts_dbl helper column stays excluded: its min/max stringify in
+    * engine-specific scientific notation. */
   private def qDescribe(s: SparkSession, dir: String): DataFrame =
     TSDF(events(s, dir), "ts", Seq("user_id")).describe()
-      .filter(!col("summary").isin("mean", "stddev"))
       .select(col("summary"), col("unique_time_series_count"), col("min_ts"),
         col("max_ts"), col("granularity"),
         col("event_id"), col("user_id"), col("event_type"), col("value"))

@@ -124,15 +124,52 @@ case class TSDF(
   def describe(): DataFrame = {
     val dblTsCol = s"${tsCol}_dbl"
     val thisDf = df.withColumn(dblTsCol, ts.cast(DoubleType))
-    val nonTsCols = thisDf.schema.fields
-      .filterNot(_.dataType == TimestampType).map(_.name).toSeq
-    val missing = thisDf
-      .select(nonTsCols.map(c =>
-        (lit(100) * count(when(col(c).isNull, lit(1))) / count(lit(1)))
-          .cast(StringType).alias(c)): _*)
-      .select(lit("missing_vals_pct").alias("summary") +: nonTsCols.map(col): _*)
-    val descStats = thisDf.describe()
-      .unionByName(missing, allowMissingColumns = true)
+    val nonTsFields = thisDf.schema.fields
+      .filterNot(_.dataType == TimestampType).toSeq
+    val nonTsCols = nonTsFields.map(_.name)
+
+    // Deterministic 4-decimal rendering built from integer/string ops — the
+    // same digits in any engine, unlike Double.toString (whose shortest-repr
+    // output is engine- and JDK-version-specific). Means/stddevs of
+    // fractional metrics are computed on exact integer cents so their sums
+    // are order-independent; see the determinism notes in SparkEntry.
+    def fmt4(x: Column): Column = {
+      val sc = round(x * 10000).cast(LongType)
+      val asb = abs(sc)
+      when(x.isNull, lit(null).cast(StringType)).otherwise(concat(
+        when(sc < 0, lit("-")).otherwise(lit("")),
+        floor(asb.cast(DoubleType) / 10000).cast(LongType).cast(StringType),
+        lit("."), lpad(pmod(asb, lit(10000L)).cast(StringType), 4, "0")))
+    }
+    def momentSd(c: Column, scale: Double): Column = {
+      val cnt = count(c)
+      val s1 = sum(c)
+      val s2 = sum(c * c)
+      when(cnt > 1, sqrt((cnt * s2 - s1 * s1) / (cnt * (cnt - 1))) / scale)
+    }
+    def meanOf(f: StructField): Column = f.dataType match {
+      case DoubleType | FloatType => fmt4(avg(round(col(f.name) * 100)) / 100)
+      case _: NumericType => fmt4(avg(col(f.name)))
+      case _ => lit(null).cast(StringType)
+    }
+    def sdOf(f: StructField): Column = f.dataType match {
+      case DoubleType | FloatType => fmt4(momentSd(round(col(f.name) * 100), 100.0))
+      case _: NumericType => fmt4(momentSd(col(f.name).cast(DoubleType), 1.0))
+      case _ => lit(null).cast(StringType)
+    }
+    def aggRow(name: String, valueFor: StructField => Column): DataFrame =
+      thisDf.groupBy().agg(
+        valueFor(nonTsFields.head).cast(StringType).alias(nonTsFields.head.name),
+        nonTsFields.tail.map(f => valueFor(f).cast(StringType).alias(f.name)): _*)
+        .select(lit(name).alias("summary") +: nonTsCols.map(col): _*)
+
+    val descStats = aggRow("count", f => count(col(f.name)))
+      .unionByName(aggRow("mean", meanOf))
+      .unionByName(aggRow("stddev", sdOf))
+      .unionByName(aggRow("min", f => min(col(f.name))))
+      .unionByName(aggRow("max", f => max(col(f.name))))
+      .unionByName(aggRow("missing_vals_pct",
+        f => lit(100) * count(when(col(f.name).isNull, lit(1))) / count(lit(1))))
     // eager global attributes (reference behavior, tsdf.py:651-666)
     val uniqueTs = thisDf.select(partitionCols.map(col): _*).distinct().count()
     val mm = df.agg(min(ts).cast(StringType), max(ts).cast(StringType)).head()
