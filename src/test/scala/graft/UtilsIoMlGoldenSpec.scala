@@ -42,6 +42,35 @@ class UtilsIoMlGoldenSpec extends SparkTestBase {
     assert(back.columns.contains("event_time"))
   }
 
+  test("table write replaces only the partitions present in the new data") {
+    import java.sql.Timestamp
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.tsdf.TSDF
+    def ts(s: String) = Timestamp.valueOf(s)
+    val table = "graft_tbl_roundtrip"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      val day1 = Seq(("u1", ts("2024-01-01 01:00:00"), 1.0),
+        ("u1", ts("2024-01-01 02:00:00"), 2.0))
+      val day2 = Seq(("u1", ts("2024-01-02 03:00:00"), 3.0))
+      TSDFWriter.writeTable(
+        TSDF((day1 ++ day2).toDF("user_id", "ts", "value"), "ts", Seq("user_id")), table)
+      assert(spark.table(table).count() == 3)
+      // re-write ONLY day 2 with different data: day 1 must survive intact
+      val day2v2 = Seq(("u1", ts("2024-01-02 04:00:00"), 9.0),
+        ("u1", ts("2024-01-02 05:00:00"), 9.5))
+      TSDFWriter.writeTable(
+        TSDF(day2v2.toDF("user_id", "ts", "value"), "ts", Seq("user_id")), table)
+      val back = spark.table(table)
+      assert(back.count() == 4)
+      assert(back.filter(col("event_dt") === "2024-01-01").count() == 2)
+      val d2 = back.filter(col("event_dt") === "2024-01-02")
+        .select("value").collect().map(_.getDouble(0)).sorted.toSeq
+      assert(d2 == Seq(9.0, 9.5))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("kFold over the trades fixture yields numFolds chronological pairs") {
     val fx = new GoldenFixtures(spark, "ml_tests.json")
     val t = fx.testCase("TimeSeriesCrossValidatorTests", "test_kfolds")
