@@ -491,6 +491,24 @@ object OracleSql {
          |SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id, cosine
          |FROM r WHERE rn <= 3""".stripMargin,
 
+    // Multi-probe ANN with the FULL <=3-bit perturbation sequence: probing
+    // every mask of popcount 0..3 makes the margin ranking irrelevant (set
+    // equality), so the replay is simply bucket XOR mask over those masks.
+    "q_ann_multiprobe" ->
+      s"""WITH q AS (SELECT vec_id, $qv AS q FROM embeddings),
+         |bk AS (SELECT vec_id, q, ${lshBucketSql("q", 64, 6)} AS bucket FROM q),
+         |qs AS (SELECT * FROM bk WHERE vec_id < 20),
+         |pm AS (SELECT mask FROM range(0, 64) t(mask) WHERE bit_count(mask) <= 3),
+         |pr AS (SELECT vec_id, q, xor(bucket, mask) AS bucket FROM qs, pm),
+         |s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  ${cosSql("a.q", "b.q")} AS cosine
+         |  FROM pr a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cosine,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+         |  FROM s)
+         |SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id, cosine
+         |FROM r WHERE rn <= 3""".stripMargin,
+
     "q_embed_neardup_lsh" ->
       s"""WITH q AS (SELECT vec_id, $qv AS q FROM embeddings),
          |${lshSubBucketSql(nBits = 6, clamp = 4096)},

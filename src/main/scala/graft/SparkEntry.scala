@@ -422,6 +422,17 @@ object SparkEntry {
         col("neighbor_id"), col("cosine"))
   }
 
+  /** Multi-probe ANN: same ground-truth query set as q_ann_topk, probing the
+    * full ≤3-bit perturbation sequence (recall ≥ 0.9 vs brute force,
+    * asserted in PipelineUnitSpec). */
+  private def qAnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val d = quantized(s, dir)
+    Similarity.lshTopKMultiProbe(d.filter(col("vec_id") < 20), d, "vec_id", "q",
+      dim = 64, k = 3, nBits = 6, probes = 41)
+      .select(col("query_id"), col("rank").cast(LongType).alias("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(quantized(s, dir), "vec_id", "q", dim = 64, k = 3, nBits = 6)
       .select(col("query_id"), col("rank").cast(LongType).alias("rank"),
@@ -542,6 +553,7 @@ object SparkEntry {
     "q_embed_neardup_lsh" -> qEmbedNearDupLsh _,
     "q_ann_topk" -> qAnnTopk _,
     "q_ann_lsh" -> qAnnLsh _,
+    "q_ann_multiprobe" -> qAnnMultiprobe _,
     "q_lang_id" -> qLangId _,
     "q_quality" -> qQuality _,
     "q_token_count" -> qTokenCount _,

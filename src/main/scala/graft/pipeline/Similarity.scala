@@ -159,6 +159,68 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** The query's own sign-LSH bucket plus the first `probes` buckets of a
+    * query-directed probing sequence (Lv et al., multi-probe LSH): all 1-bit
+    * and 2-bit perturbations ranked by total |margin| of the flipped bits —
+    * a vector close to a hyperplane is nearly as likely on its other side,
+    * so low-margin flips are exactly the buckets its true neighbors fall
+    * into. Per-bit dot products are computed once and bound as a lambda
+    * value; everything derived reads struct fields (cheap scalar ops). */
+  def probeBuckets(vec: Column, dim: Int, nBits: Int, probes: Int): Column = {
+    val planes = planeMatrix(dim, nBits)
+    val perBit = array((0 until nBits).map { p =>
+      val d = dot(vec, typedLit(planes(p)))
+      struct(abs(d).alias("m"), lit(p).alias("p"), (d >= 0).alias("pos"))
+    }: _*)
+    bindArr(perBit) { arr =>
+      val bit = (e: Column) => pow(lit(2.0), e.getField("p")).cast("long")
+      val bucket = aggregate(arr, lit(0L), (acc, e) =>
+        acc + when(e.getField("pos"), bit(e)).otherwise(lit(0L)))
+      val singles = transform(arr, e =>
+        struct(e.getField("m").alias("s"), bit(e).alias("mask")))
+      val pairs = flatten(transform(arr, (x, i) =>
+        transform(slice(arr, i + 2, size(arr)), y =>
+          struct((x.getField("m") + y.getField("m")).alias("s"),
+            (bit(x) + bit(y)).alias("mask")))))
+      val triples = flatten(flatten(transform(arr, (x, i) =>
+        transform(slice(arr, i + 2, size(arr)), (y, j) =>
+          transform(slice(arr, i + j + 3, size(arr)), z =>
+            struct((x.getField("m") + y.getField("m") + z.getField("m")).alias("s"),
+              (bit(x) + bit(y) + bit(z)).alias("mask")))))))
+      val flips = transform(
+        slice(array_sort(concat(singles, pairs, triples)), 1, probes),
+        e => bucket.bitwiseXOR(e.getField("mask")))
+      concat(array(bucket), flips)
+    }
+  }
+
+  /** Multi-probe ANN top-k: corpus vectors key by their bucket; each query
+    * probes its own bucket plus the `probes` smallest-margin single-bit
+    * flips. One equi-join on the bucket id — no cross join; each
+    * (query, neighbor) candidate appears at most once because a corpus
+    * vector lives in exactly one bucket and the probe set is distinct. */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, nBits: Int = 8, probes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).alias("neighbor_id"),
+      asDouble(col(vecCol)).alias("__cv"))
+      .withColumn("__cn", l2norm(col("__cv")))
+      .withColumn("__bucket", lshBucket(col("__cv"), dim, nBits))
+    val q = queries.select(col(idCol).alias("query_id"),
+      asDouble(col(vecCol)).alias("__qv"))
+      .withColumn("__qn", l2norm(col("__qv")))
+      .withColumn("__bucket",
+        explode(probeBuckets(col("__qv"), dim, nBits, probes)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    q.join(c, "__bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (a < b). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, nBits: Int = 6, maxBucketSize: Int = 4096): DataFrame = {

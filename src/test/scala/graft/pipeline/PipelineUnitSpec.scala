@@ -100,6 +100,25 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(perQuery.values.forall(_ == 2L))
   }
 
+  test("multi-probe LSH reaches recall >= 0.9 vs brute-force ground truth") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast(DoubleType) * 1000)).alias("q"))
+    val queries = emb.filter(col("vec_id") < 20)
+    val gt = Similarity.bruteForceTopK(queries, emb, "vec_id", "q", k = 3)
+      .select("query_id", "neighbor_id")
+    val single = Similarity.lshTopKMultiProbe(queries, emb, "vec_id", "q",
+      dim = 64, k = 3, nBits = 6, probes = 0).select("query_id", "neighbor_id")
+    val multi = Similarity.lshTopKMultiProbe(queries, emb, "vec_id", "q",
+      dim = 64, k = 3, nBits = 6, probes = 41).select("query_id", "neighbor_id")
+    val gtN = gt.count().toDouble
+    val singleRecall = gt.intersect(single).count() / gtN
+    val multiRecall = gt.intersect(multi).count() / gtN
+    assert(multiRecall >= 0.9, s"multi-probe recall $multiRecall < 0.9")
+    assert(multiRecall >= singleRecall,
+      s"multi-probe recall $multiRecall worse than single-bucket $singleRecall")
+  }
+
   test("JVM scalar hash equals the Column-form hash for ASCII input") {
     val jvm = Hashing.polyHashBytes("training data".getBytes("UTF-8"))
     val viaColumn = spark.range(1)
