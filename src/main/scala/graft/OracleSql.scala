@@ -80,6 +80,27 @@ object OracleSql {
        |rk AS (SELECT *, row_number() OVER (PARTITION BY bucket, s ORDER BY vec_id) AS r FROM sb)""".stripMargin
   }
 
+  /** CTE chain computing the 61-bit SimHash per doc, ending with
+    * `sh(doc_id, simhash)` — shared by q_simhash and q_simhash_pairs. */
+  private val simhashCte: String = {
+    val nb = Dedup.SimhashBits
+    val h = Hashing.combineSql(Hashing.mixSql("ph", 0), Hashing.mixSql("ph", 1))
+    val bitSums = (0 until nb)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n  ")
+    val packed = (0 until nb)
+      .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, $norm AS nrm FROM documents),
+       |tok AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS t FROM d),
+       |ph AS (SELECT doc_id, ${Hashing.polyHashSql("t")} AS ph FROM tok),
+       |h AS (SELECT doc_id, $h AS h FROM ph),
+       |bits AS (SELECT doc_id,
+       |  $bitSums
+       |  FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $packed AS simhash FROM bits)""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
 
     "q_slice_between" ->
@@ -459,23 +480,35 @@ object OracleSql {
          |SELECT doc_id_a, doc_id_b, jaccard FROM verify WHERE jaccard >= 0.4""".stripMargin
     },
 
-    "q_simhash" -> {
+    "q_simhash" ->
+      s"""$simhashCte
+         |SELECT doc_id, simhash FROM sh""".stripMargin,
+
+    // SimHash banded near-dup replay: pigeonhole bands over the 61 bits
+    // (maxHamming=6 -> 7 bands of width 9/9/9/9/9/9/7), sub-bucket split as
+    // in Dedup.simhashPairs (xh = the fingerprint itself), exact bit_count
+    // verify.
+    "q_simhash_pairs" -> {
+      val d = 6; val b = d + 1; val clamp = 4096
       val nb = Dedup.SimhashBits
-      val h = Hashing.combineSql(Hashing.mixSql("ph", 0), Hashing.mixSql("ph", 1))
-      val bitSums = (0 until nb)
-        .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
-        .mkString(",\n  ")
-      val packed = (0 until nb)
-        .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH d AS (SELECT doc_id, $norm AS nrm FROM documents),
-         |tok AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS t FROM d),
-         |ph AS (SELECT doc_id, ${Hashing.polyHashSql("t")} AS ph FROM tok),
-         |h AS (SELECT doc_id, $h AS h FROM ph),
-         |bits AS (SELECT doc_id,
-         |  $bitSums
-         |  FROM h GROUP BY doc_id)
-         |SELECT doc_id, $packed AS simhash FROM bits""".stripMargin
+      val w = (nb + b - 1) / b
+      val bandSelects = (0 until b).map { i =>
+        val width = math.min(w, nb - i * w)
+        s"SELECT doc_id, simhash, $i AS band, " +
+          s"(simhash >> ${i * w}) & ${(1L << width) - 1} AS bval FROM sh"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""$simhashCte,
+         |banded AS (
+         |  $bandSelects),
+         |cnt AS (SELECT *, count(*) OVER (PARTITION BY band, bval) AS m FROM banded),
+         |sb AS (SELECT *, simhash % greatest(1, CAST(ceil(m / $clamp.0) AS BIGINT)) AS s FROM cnt),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY band, bval, s ORDER BY doc_id) AS r FROM sb),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |  a.simhash AS ha, b.simhash AS hb
+         |  FROM rk a JOIN rk b ON a.band = b.band AND a.bval = b.bval AND a.s = b.s
+         |  AND a.doc_id < b.doc_id AND a.r <= $clamp)
+         |SELECT doc_id_a, doc_id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM pairs WHERE bit_count(xor(ha, hb)) <= $d""".stripMargin
     },
 
     "q_ann_lsh" ->

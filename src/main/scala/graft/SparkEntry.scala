@@ -394,6 +394,11 @@ object SparkEntry {
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), "text", "doc_id")
 
+  /** SimHash-banded near-dup pairs, hamming ≤ 6 (loose enough to produce
+    * rows on the synthetic corpus). */
+  private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxHamming = 6)
+
   /** milli-quantized embeddings: integer-valued doubles → order-independent
     * exact dot products */
   private def quantized(s: SparkSession, dir: String): DataFrame =
@@ -549,6 +554,7 @@ object SparkEntry {
     "q_jaccard_pairs" -> qJaccardPairs _,
     "q_minhash_pairs" -> qMinhashPairs _,
     "q_simhash" -> qSimhash _,
+    "q_simhash_pairs" -> qSimhashPairs _,
     "q_embed_neardup" -> qEmbedNearDup _,
     "q_embed_neardup_lsh" -> qEmbedNearDupLsh _,
     "q_ann_topk" -> qAnnTopk _,

@@ -154,6 +154,44 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-duplicate pairs with hamming distance ≤ `maxHamming`.
+    *
+    * Pigeonhole banding: the 61 informative bits split into maxHamming+1
+    * contiguous bands, so any pair within the distance budget shares at
+    * least one band exactly — candidates are a single groupBy on
+    * (band, band value), pairs emit via [[Similarity.subBucketPairs]] (the
+    * full fingerprint doubles as the oversized-bucket sub-key AND the verify
+    * payload, so no second join), then an exact `bit_count` verify. One
+    * exchange for the simhash aggregation, one for the banding — the
+    * 100 TB-shaped plan for fingerprint dedup. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
+    val b = maxHamming + 1
+    val w = (SimhashBits + b - 1) / b
+    val sh = simhash(df, textCol, idCol)
+    val banded = sh.select(col(idCol), col("simhash"), explode(
+      array((0 until b).map { i =>
+        val width = math.min(w, SimhashBits - i * w)
+        struct(lit(i).alias("band"),
+          shiftright(col("simhash"), i * w)
+            .bitwiseAND(lit((1L << width) - 1)).alias("bval"))
+      }: _*)).alias("__b"))
+      .select(col(idCol), col("simhash"), col("__b.band"), col("__b.bval"))
+    val buckets = banded.groupBy(col("band"), col("bval"))
+      .agg(collect_list(struct(col(idCol).alias("id"),
+        col("simhash").alias("xh"))).alias("__e"))
+      .filter(size(col("__e")) >= 2)
+    val pairs = Similarity.subBucketPairs(array_sort(col("__e")), maxBucketSize,
+      ordered = false)
+    buckets.select(explode(pairs).alias("__p"))
+      .select(col("__p.a.id").alias(s"${idCol}_a"), col("__p.a.xh").alias("__ha"),
+        col("__p.b.id").alias(s"${idCol}_b"), col("__p.b.xh").alias("__hb"))
+      .distinct()
+      .withColumn("hamming", hamming64(col("__ha"), col("__hb")).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("hamming"))
+  }
+
   /** n-gram Jaccard similarity for candidate pairs — exact verify stage after
     * LSH candidate generation. |A∩B| / (|A|+|B|-|A∩B|) on distinct shingle
     * sets. */

@@ -100,6 +100,23 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(perQuery.values.forall(_ == 2L))
   }
 
+  test("simhashPairs finds near-identical docs and skips unrelated ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      (3L, "completely unrelated text about database engines and query planners"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    // identical docs pair at hamming 0
+    val same = Dedup.simhashPairs(Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text"),
+      "text", "doc_id", maxHamming = 0).collect()
+    assert(same.length == 1 && same.head.getLong(2) == 0L)
+  }
+
   test("multi-probe LSH reaches recall >= 0.9 vs brute-force ground truth") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
       .select(col("vec_id"),
