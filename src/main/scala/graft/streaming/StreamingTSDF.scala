@@ -98,7 +98,8 @@ object StreamingTSDF {
 
   // ------------------------------------------------ streaming as-of join
   // not private: encoder-generated code must be able to access these
-  case class AsOfEvent(series: String, tsUs: Long, side: Int, vals: Seq[Double])
+  case class AsOfEvent(series: String, tsUs: Long, side: Int, vals: Seq[Double],
+      eventTime: java.sql.Timestamp)
   case class LastRight(tsUs: Long, vals: Seq[Double])
   case class AsOfOut(series: String, tsUs: Long, rightTsUs: Option[Long],
       rightVals: Option[Seq[Double]])
@@ -116,37 +117,63 @@ object StreamingTSDF {
     * re-runs when exactness over late data matters).
     *
     * v1 contract: right-side payload is its numeric metric columns.
+    *
+    * `stateTtl` (optional): evict a series' state once the event-time
+    * watermark passes its last right observation by the TTL — bounds total
+    * state by the number of *active* series instead of all series ever
+    * seen. Left rows arriving after eviction join to null (the same answer
+    * a batch re-run over the retained window would give).
     */
   def asofJoin(left: DataFrame, right: DataFrame, tsCol: String,
-      seriesCols: Seq[String], rightMetricCols: Seq[String]): DataFrame = {
+      seriesCols: Seq[String], rightMetricCols: Seq[String],
+      stateTtl: Option[String] = None): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
-    def keyed(df: DataFrame, side: Int, vals: Seq[String]) = df.select(
-      seriesKey(seriesCols).alias("series"),
-      unix_micros(col(tsCol)).alias("tsUs"),
-      lit(side).alias("side"),
-      array(vals.map(col(_).cast(DoubleType)): _*).alias("vals"))
+    def keyed(df0: DataFrame, side: Int, vals: Seq[String]) = {
+      // the watermark must be declared on a column that SURVIVES into the
+      // stateful operator's input, so keep the raw timestamp alongside the
+      // derived micros and watermark it after the projection
+      val base = df0.select(
+        seriesKey(seriesCols).alias("series"),
+        unix_micros(col(tsCol)).alias("tsUs"),
+        lit(side).alias("side"),
+        array(vals.map(col(_).cast(DoubleType)): _*).alias("vals"),
+        col(tsCol).alias("eventTime"))
+      stateTtl.fold(base)(ttl => base.withWatermark("eventTime", ttl))
+    }
     val unioned = keyed(left, 1, Seq.empty)
       .unionByName(keyed(right, -1, rightMetricCols))
       .as[AsOfEvent]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     val out = unioned
       .groupByKey(_.series)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (key: String, rows: Iterator[AsOfEvent], state: GroupState[LastRight]) =>
-          // right (-1) before left (1) at equal ts — inclusive as-of
-          val sorted = rows.toSeq.sortBy(e => (e.tsUs, e.side))
-          var last = state.getOption.orNull
-          val outRows = Seq.newBuilder[AsOfOut]
-          sorted.foreach { e =>
-            if (e.side < 0) {
-              if (last == null || e.tsUs >= last.tsUs) last = LastRight(e.tsUs, e.vals)
-            } else {
-              outRows += AsOfOut(key, e.tsUs,
-                Option(last).map(_.tsUs), Option(last).map(_.vals))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // right (-1) before left (1) at equal ts — inclusive as-of
+            val sorted = rows.toSeq.sortBy(e => (e.tsUs, e.side))
+            var last = state.getOption.orNull
+            val outRows = Seq.newBuilder[AsOfOut]
+            sorted.foreach { e =>
+              if (e.side < 0) {
+                if (last == null || e.tsUs >= last.tsUs) last = LastRight(e.tsUs, e.vals)
+              } else {
+                outRows += AsOfOut(key, e.tsUs,
+                  Option(last).map(_.tsUs), Option(last).map(_.vals))
+              }
             }
+            if (last != null) {
+              state.update(last)
+              stateTtl.foreach(ttl => state.setTimeoutTimestamp(
+                math.max(last.tsUs / 1000, state.getCurrentWatermarkMs() + 1), ttl))
+            }
+            outRows.result().iterator
           }
-          if (last != null) state.update(last)
-          outRows.result().iterator
       }
     val metricsOut = rightMetricCols.zipWithIndex.map { case (m, i) =>
       element_at(col("rightVals"), i + 1).alias(s"right_$m")
@@ -159,7 +186,8 @@ object StreamingTSDF {
   }
 
   // ------------------------------------------------ stateful run tracking
-  case class ObsEvent(series: String, tsUs: Long, metrics: Seq[Double])
+  case class ObsEvent(series: String, tsUs: Long, metrics: Seq[Double],
+      eventTime: java.sql.Timestamp)
   case class RunState(startUs: Long, lastUs: Long, metrics: Seq[Double],
       observations: Int)
 
@@ -171,35 +199,56 @@ object StreamingTSDF {
     * batch are sorted by event time; LATE rows arriving after their run
     * closed start a new run rather than rewriting history — the documented
     * streaming-consistency trade-off vs the batch operator.
+    *
+    * `stateTtl` (optional): once the watermark passes the run's last
+    * observation by the TTL, the open run is emitted as closed and its
+    * state evicted — so idle series both flush their final run (which
+    * otherwise only a state *change* emits) and stop occupying memory.
     */
   def stateIntervalRuns(df: DataFrame, tsCol: String, seriesCols: Seq[String],
-      metricCols: Seq[String]): DataFrame = {
+      metricCols: Seq[String], stateTtl: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val events = df.select(
+    val projected = df.select(
       seriesKey(seriesCols).alias("series"),
       unix_micros(col(tsCol)).alias("tsUs"),
-      array(metricCols.map(col(_).cast(DoubleType)): _*).alias("metrics"))
-      .as[ObsEvent]
+      array(metricCols.map(col(_).cast(DoubleType)): _*).alias("metrics"),
+      col(tsCol).alias("eventTime"))
+    val events = stateTtl.fold(projected)(ttl =>
+      projected.withWatermark("eventTime", ttl)).as[ObsEvent]
 
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     val out = events
       .groupByKey(_.series)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (key: String, rows: Iterator[ObsEvent], state: GroupState[RunState]) =>
-          val sorted = rows.toSeq.sortBy(_.tsUs)
-          var cur = state.getOption.orNull
-          val closed = Seq.newBuilder[(String, Long, Long)]
-          sorted.foreach { e =>
-            if (cur == null) cur = RunState(e.tsUs, e.tsUs, e.metrics, 1)
-            else if (cur.metrics == e.metrics)
-              cur = cur.copy(lastUs = e.tsUs, observations = cur.observations + 1)
-            else {
-              if (cur.observations >= 2) closed += ((key, cur.startUs, cur.lastUs))
-              cur = RunState(e.tsUs, e.tsUs, e.metrics, 1)
+          if (state.hasTimedOut) {
+            val cur = state.get
+            state.remove()
+            if (cur.observations >= 2) Iterator((key, cur.startUs, cur.lastUs))
+            else Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.tsUs)
+            var cur = state.getOption.orNull
+            val closed = Seq.newBuilder[(String, Long, Long)]
+            sorted.foreach { e =>
+              if (cur == null) cur = RunState(e.tsUs, e.tsUs, e.metrics, 1)
+              else if (cur.metrics == e.metrics)
+                cur = cur.copy(lastUs = e.tsUs, observations = cur.observations + 1)
+              else {
+                if (cur.observations >= 2) closed += ((key, cur.startUs, cur.lastUs))
+                cur = RunState(e.tsUs, e.tsUs, e.metrics, 1)
+              }
             }
+            if (cur != null) {
+              state.update(cur)
+              stateTtl.foreach(ttl => state.setTimeoutTimestamp(
+                math.max(cur.lastUs / 1000, state.getCurrentWatermarkMs() + 1), ttl))
+            }
+            closed.result().iterator
           }
-          if (cur != null) state.update(cur)
-          closed.result().iterator
       }
       .toDF("series", "start_us", "end_us")
     out

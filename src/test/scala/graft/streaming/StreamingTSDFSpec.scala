@@ -150,6 +150,62 @@ class StreamingTSDFSpec extends SparkTestBase {
     }
   }
 
+  test("run-tracker TTL flushes the open run once the watermark passes it") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val out = StreamingTSDF.stateIntervalRuns(mem.toDF().toDF("user_id", "ts", "metric"),
+      "ts", Seq("user_id"), Seq("metric"), stateTtl = Some("1 minute"))
+    val q = out.writeStream.format("memory").queryName("runs_ttl")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      ("u1", ts("2024-01-01 00:00:00"), 1.0),
+      ("u1", ts("2024-01-01 00:00:20"), 1.0))
+    q.processAllAvailable()
+    assert(spark.table("runs_ttl").count() == 0) // run still open
+    // another series far in the future pushes the watermark past u1's TTL;
+    // u1's open run must flush via the event-time timeout, not a state change
+    mem.addData(("u2", ts("2024-01-01 01:00:00"), 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val runs = spark.table("runs_ttl").collect()
+    assert(runs.length == 1)
+    assert(runs.head.getAs[String]("user_id") == "u1")
+    assert(runs.head.getAs[Timestamp]("end_ts") == ts("2024-01-01 00:00:20"))
+  }
+
+  test("as-of join TTL evicts idle series state") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[(String, Timestamp, Long)]
+    val memR = MemoryStream[(String, Timestamp, Double)]
+    val out = StreamingTSDF.asofJoin(
+      memL.toDF().toDF("user_id", "ts", "event_id").drop("event_id"),
+      memR.toDF().toDF("user_id", "ts", "quote"),
+      "ts", Seq("user_id"), Seq("quote"), stateTtl = Some("1 minute"))
+    val q = out.writeStream.format("memory").queryName("asof_ttl")
+      .outputMode(OutputMode.Append()).start()
+    // u1's quote, then both streams jump far past the TTL (watermark = min
+    // of the two inputs, so both must advance)
+    memR.addData(("u1", ts("2024-01-01 00:00:00"), 1.5))
+    memL.addData(("zz", ts("2024-01-01 02:00:00"), 1L))
+    q.processAllAvailable()
+    memR.addData(("zz", ts("2024-01-01 02:00:00"), 0.0))
+    memL.addData(("zz", ts("2024-01-01 02:00:01"), 2L))
+    q.processAllAvailable()
+    // u1's state is evicted: a fresh left row gets a null right side
+    memL.addData(("u1", ts("2024-01-01 02:30:00"), 3L))
+    memR.addData(("zz", ts("2024-01-01 02:30:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("asof_ttl")
+      .filter(col("user_id") === "u1").collect()
+    assert(u1.length == 1)
+    assert(u1.head.isNullAt(3), "evicted series must join to null")
+  }
+
   test("stateful run extraction closes intervals on state change") {
     val spark2 = spark
     import spark2.implicits._
