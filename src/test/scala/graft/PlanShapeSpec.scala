@@ -78,6 +78,31 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exchanges(cands) == 3, p)
   }
 
+  test("simhash pairing has no join at all: banding + inline verify") {
+    import spark.implicits._
+    val docs = (0 until 50)
+      .map(i => (i.toLong, s"some repeated text body number ${i % 5} with shared words"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 6)
+    val p = plan(pairs)
+    assert(!p.contains("Join"), p)
+    // simhash agg + band-bucket agg + pair distinct = 3 hash exchanges
+    assert(exchanges(pairs) == 3, p)
+  }
+
+  test("multi-probe ANN is a single bucket equi-join, never a cross join") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    val vecs = (0 until 100)
+      .map(i => (i.toLong, (0 until 16).map(d => ((i * 31 + d * 7) % 13).toDouble)))
+      .toDF("vec_id", "v")
+    val ann = Similarity.lshTopKMultiProbe(vecs, vecs, "vec_id", "v",
+      dim = 16, k = 3, nBits = 6, probes = 10)
+    val p = plan(ann)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p) // equi-join on the bucket id is present
+  }
+
   test("broadcast hints survive in the star-schema join") {
     val dir = "/root/testdata/sf0.001"
     val df = spark.read.parquet(s"$dir/lineitem.parquet")
