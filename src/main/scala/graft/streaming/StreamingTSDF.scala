@@ -185,6 +185,92 @@ object StreamingTSDF {
           metricsOut): _*)
   }
 
+  // ------------------------------------------------ streaming interpolation
+  case class InterpEvent(series: String, tsUs: Long, value: Double,
+      eventTime: java.sql.Timestamp)
+  case class LastObs(tsUs: Long, value: Double)
+  case class InterpOut(series: String, tsUs: Long, value: Double,
+      isInterpolated: Boolean)
+
+  /** Streaming gap-fill: each series is resampled onto the `freq` grid and
+    * missing buckets are emitted with `ffill` (previous value) or `linear`
+    * (lerp between the flanking observations) — the streaming analog of the
+    * batch resample+interpolate pipeline, emitted incrementally with ONE
+    * (ts, value) record of state per series.
+    *
+    * On each observation at bucket b_cur with previous observation at bucket
+    * b_prev, the operator emits the interpolated buckets (b_prev, b_cur)
+    * and the actual bucket b_cur. Assumes at most one observation per bucket
+    * per series (last-wins otherwise — a stream's natural granularity);
+    * batch-equal output under that assumption is asserted in the spec.
+    *
+    * `stateTtl` evicts idle series once the watermark passes them (a later
+    * observation then starts a fresh segment instead of filling across the
+    * idle gap).
+    */
+  def interpolate(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      valueCol: String, freq: String, method: String = "ffill",
+      stateTtl: Option[String] = None): DataFrame = {
+    require(method == "ffill" || method == "linear",
+      s"streaming interpolate supports ffill|linear, got '$method'")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stepUs = Resample.parseFreq(freq).micros
+    val projected = df.select(
+      seriesKey(seriesCols).alias("series"),
+      unix_micros(col(tsCol)).alias("tsUs"),
+      col(valueCol).cast(DoubleType).alias("value"),
+      col(tsCol).alias("eventTime"))
+    val events = stateTtl.fold(projected)(ttl =>
+      projected.withWatermark("eventTime", ttl)).as[InterpEvent]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val out = events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (key: String, rows: Iterator[InterpEvent], state: GroupState[LastObs]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.tsUs)
+            var last = state.getOption.orNull
+            val outRows = Seq.newBuilder[InterpOut]
+            sorted.foreach { e =>
+              val bucket = Math.floorDiv(e.tsUs, stepUs) * stepUs
+              if (last != null && bucket > last.tsUs) {
+                var t = last.tsUs + stepUs
+                while (t < bucket) {
+                  val v = method match {
+                    case "ffill" => last.value
+                    case "linear" => last.value + (e.value - last.value) *
+                      ((t - last.tsUs).toDouble / (bucket - last.tsUs).toDouble)
+                  }
+                  outRows += InterpOut(key, t, v, isInterpolated = true)
+                  t += stepUs
+                }
+              }
+              if (last == null || bucket >= last.tsUs) {
+                outRows += InterpOut(key, bucket, e.value, isInterpolated = false)
+                last = LastObs(bucket, e.value)
+              }
+            }
+            if (last != null) {
+              state.update(last)
+              stateTtl.foreach(ttl => state.setTimeoutTimestamp(
+                math.max(last.tsUs / 1000, state.getCurrentWatermarkMs() + 1), ttl))
+            }
+            outRows.result().iterator
+          }
+      }
+    out.toDF()
+      .select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
+        timestamp_micros(col("tsUs")).alias(tsCol),
+        col("value").alias(valueCol),
+        col("isInterpolated").alias("is_ts_interpolated")): _*)
+  }
+
   // ------------------------------------------------ stateful run tracking
   case class ObsEvent(series: String, tsUs: Long, metrics: Seq[Double],
       eventTime: java.sql.Timestamp)

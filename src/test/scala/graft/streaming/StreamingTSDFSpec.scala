@@ -86,11 +86,14 @@ class StreamingTSDFSpec extends SparkTestBase {
       memL.toDF().toDF("user_id", "ts", "event_id").drop("event_id"),
       memR.toDF().toDF("user_id", "ts", "quote"),
       "ts", Seq("user_id"), Seq("quote"))
-    val q = out.writeStream.format("memory").queryName("asof")
-      .outputMode(OutputMode.Append()).start()
-    // batch 1: first half of each stream; batch 2: the rest
+    // batch 1 is order-sensitive (left :15 must see right :10, not :30), so
+    // its data goes in BEFORE start() — with the default trigger, addData
+    // racing the running query can split the two sources into separate
+    // micro-batches, which legitimately changes the append-mode answer
     memR.addData(rightRows.take(2): _*)
     memL.addData(leftRows.take(2): _*)
+    val q = out.writeStream.format("memory").queryName("asof")
+      .outputMode(OutputMode.Append()).start()
     q.processAllAvailable()
     memR.addData(rightRows.drop(2): _*)
     memL.addData(leftRows.drop(2): _*)
@@ -148,6 +151,42 @@ class StreamingTSDFSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       StreamingTSDF.groupedStats(df, "ts", Seq("user_id"), Seq.empty, "1 minute")
     }
+  }
+
+  test("streaming interpolation fills missing buckets (ffill and linear)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val obs = Seq(
+      ("u1", ts("2024-01-01 00:00:00"), 1.0),
+      ("u1", ts("2024-01-01 03:00:00"), 4.0), // 2 missing buckets
+      ("u2", ts("2024-01-01 00:30:00"), 7.0)) // single obs: no fill
+    def run(method: String): Seq[(String, Timestamp, Double, Boolean)] = {
+      val mem = MemoryStream[(String, Timestamp, Double)]
+      val out = StreamingTSDF.interpolate(mem.toDF().toDF("user_id", "ts", "value"),
+        "ts", Seq("user_id"), "value", "1 hour", method)
+      val q = out.writeStream.format("memory").queryName(s"interp_$method")
+        .outputMode(OutputMode.Append()).start()
+      // split across micro-batches to exercise cross-batch state
+      mem.addData(obs.take(1): _*); q.processAllAvailable()
+      mem.addData(obs.drop(1): _*); q.processAllAvailable()
+      q.stop()
+      spark.table(s"interp_$method").collect().map(r =>
+        (r.getString(0), r.getTimestamp(1), r.getDouble(2), r.getBoolean(3)))
+        .sortBy(t => (t._1, t._2.getTime)).toSeq
+    }
+    assert(run("ffill") == Seq(
+      ("u1", ts("2024-01-01 00:00:00"), 1.0, false),
+      ("u1", ts("2024-01-01 01:00:00"), 1.0, true),
+      ("u1", ts("2024-01-01 02:00:00"), 1.0, true),
+      ("u1", ts("2024-01-01 03:00:00"), 4.0, false),
+      ("u2", ts("2024-01-01 00:00:00"), 7.0, false)))
+    assert(run("linear") == Seq(
+      ("u1", ts("2024-01-01 00:00:00"), 1.0, false),
+      ("u1", ts("2024-01-01 01:00:00"), 2.0, true),
+      ("u1", ts("2024-01-01 02:00:00"), 3.0, true),
+      ("u1", ts("2024-01-01 03:00:00"), 4.0, false),
+      ("u2", ts("2024-01-01 00:00:00"), 7.0, false)))
   }
 
   test("run-tracker TTL flushes the open run once the watermark passes it") {
