@@ -438,6 +438,19 @@ object SparkEntry {
         col("neighbor_id"), col("cosine"))
   }
 
+  /** IVF ANN on the same ground-truth query set: codebook = the 16 lowest-id
+    * quantized embeddings (deterministic, oracle-replayable; a k-means
+    * codebook drops in the same way), nprobe = 4 of 16 cells. */
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val d = quantized(s, dir)
+    val centroids = d.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select("q").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    Similarity.ivfTopK(d.filter(col("vec_id") < 20), d, "vec_id", "q",
+      k = 3, centroids = centroids, nprobe = 4)
+      .select(col("query_id"), col("rank").cast(LongType).alias("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(quantized(s, dir), "vec_id", "q", dim = 64, k = 3, nBits = 6)
       .select(col("query_id"), col("rank").cast(LongType).alias("rank"),
@@ -560,6 +573,7 @@ object SparkEntry {
     "q_ann_topk" -> qAnnTopk _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_multiprobe" -> qAnnMultiprobe _,
+    "q_ann_ivf" -> qAnnIvf _,
     "q_lang_id" -> qLangId _,
     "q_quality" -> qQuality _,
     "q_token_count" -> qTokenCount _,

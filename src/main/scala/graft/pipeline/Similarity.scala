@@ -221,6 +221,55 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Squared L2 distance of two double arrays (exact on integer-quantized
+    * vectors, so cross-engine reproducible regardless of summation order). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
+
+  /** IVF-style ANN top-k: a small coarse-quantizer codebook (`centroids`,
+    * cell id = position) partitions the corpus into cells via nearest-
+    * centroid assignment; each query probes its `nprobe` nearest cells and
+    * ranks candidates by exact cosine. The codebook is driver-side by
+    * construction (dozens-to-thousands of centroids — k-means output in a
+    * real deployment, any deterministic sample for testing) and is attached
+    * as an array literal, so assignment is pure Column algebra: no join
+    * against the codebook, and the corpus side is one groupBy-free
+    * projection. Candidates flow through a single equi-join on the cell id.
+    * Distance ties break toward the lowest cell id in both engines. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Seq[Seq[Double]], nprobe: Int): DataFrame = {
+    require(centroids.nonEmpty && nprobe >= 1)
+    val nlist = centroids.size
+    val centLit = typedLit(centroids)
+    def dists(v: Column): Column = transform(centLit, c => l2sq(v, c))
+    def nearestCell(v: Column): Column = bindArr(dists(v)) { d =>
+      array_position(d, array_min(d)) - 1
+    }
+    def probeCells(v: Column): Column = bindArr(dists(v)) { d =>
+      val ranked = array_sort(zip_with(d,
+        sequence(lit(0L), lit(nlist.toLong - 1)),
+        (dist, i) => struct(dist.alias("d"), i.alias("i"))))
+      transform(slice(ranked, 1, nprobe), e => e.getField("i"))
+    }
+    val c = corpus.select(col(idCol).alias("neighbor_id"),
+      asDouble(col(vecCol)).alias("__cv"))
+      .withColumn("__cn", l2norm(col("__cv")))
+      .withColumn("__cell", nearestCell(col("__cv")))
+    val q = queries.select(col(idCol).alias("query_id"),
+      asDouble(col(vecCol)).alias("__qv"))
+      .withColumn("__qn", l2norm(col("__qv")))
+      .withColumn("__cell", explode(probeCells(col("__qv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    q.join(c, "__cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (a < b). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, nBits: Int = 6, maxBucketSize: Int = 4096): DataFrame = {

@@ -100,6 +100,28 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(perQuery.values.forall(_ == 2L))
   }
 
+  test("ivfTopK finds in-cell neighbors; nprobe=all recovers brute force") {
+    import spark.implicits._
+    // two well-separated clusters around the two centroids
+    val vecs = Seq(
+      (1L, Seq(10.0, 0.0)), (2L, Seq(11.0, 0.0)), (3L, Seq(10.0, 1.0)),
+      (4L, Seq(0.0, 10.0)), (5L, Seq(0.0, 11.0)), (6L, Seq(1.0, 10.0)))
+      .toDF("vec_id", "v")
+    val centroids = Seq(Seq(10.0, 0.0), Seq(0.0, 10.0))
+    val one = Similarity.ivfTopK(vecs, vecs, "vec_id", "v", k = 2,
+      centroids, nprobe = 1).collect()
+    // probing one cell keeps every neighbor inside the query's own cluster
+    one.foreach { r =>
+      val sameCluster = (r.getLong(0) <= 3) == (r.getLong(2) <= 3)
+      assert(sameCluster, s"$r crossed clusters with nprobe=1")
+    }
+    // probing every cell must equal the exact brute force
+    val all = Similarity.ivfTopK(vecs, vecs, "vec_id", "v", k = 2,
+      centroids, nprobe = 2)
+    val bf = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "v", k = 2)
+    assertDfEquality(all, bf)
+  }
+
   test("simhashPairs finds near-identical docs and skips unrelated ones") {
     import spark.implicits._
     val docs = Seq(
