@@ -80,6 +80,42 @@ object Multimodal {
       .toDF()
   }
 
+  /** Deterministic fake resize: payload bytes → a byte stream sized to the
+    * target dimensions (1 byte per 256 pixels, floor 16).
+    * ??? REAL RESIZE GOES HERE — the signature (bytes + target dims in,
+    * bytes out, batch-iterated per partition) is the production contract. */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val n = math.max(16, w * h / 256)
+    val hash = Hashing.polyHashBytes(bytes)
+    Array.tabulate(n)(i => (Hashing.mixLong(hash, i) % 256L).toByte)
+  }
+
+  /** Resize image payloads to `targetW`×`targetH` via `mapPartitions`;
+    * non-image rows pass through untouched. Output keeps the input schema:
+    * the payload column is replaced and the metadata struct's width/height
+    * updated. The codec sits behind [[resizeStub]]. */
+  def resizeImages(df: DataFrame, idCol: String, payloadCol: String,
+      metaCol: String, targetW: Int, targetH: Int): DataFrame = {
+    val schema = StructType(Seq(
+      df.schema(idCol),
+      StructField(payloadCol, BinaryType),
+      df.schema(metaCol)))
+    df.select(col(idCol), col(payloadCol), col(metaCol))
+      .mapPartitions { it =>
+        it.map { r =>
+          val meta = r.getStruct(2)
+          if (meta != null && meta.getAs[String]("media_type") == "image") {
+            val bytes = r.getAs[Array[Byte]](1)
+            val resized = resizeStub(
+              if (bytes == null) Array.emptyByteArray else bytes, targetW, targetH)
+            Row(r.get(0), resized, Row(meta.get(0), meta.get(1),
+              targetW, targetH, meta.get(4)))
+          } else Row(r.get(0), r.get(1), meta)
+        }
+      }(Encoders.row(schema))
+      .toDF()
+  }
+
   /** Deterministic frame sampling plan for video payloads: every `everyMs`
     * milliseconds within the (stubbed) duration — pure Column algebra, the
     * explode shape a real frame extractor plugs into. */

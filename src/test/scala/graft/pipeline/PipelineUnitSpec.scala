@@ -42,6 +42,30 @@ class PipelineUnitSpec extends SparkTestBase {
       "doc_id").count() == 0)
   }
 
+  test("resizeImages updates image payload + dims, passes others through") {
+    import spark.implicits._
+    // lengths chosen so doc 1 (len 6, %3==0) is an image and doc 2 is not
+    val df = Seq((1L, "imgimg"), (2L, "audio"))
+      .toDF("doc_id", "payload")
+      .withColumn("payload", col("payload").cast(BinaryType))
+    val withMeta = Multimodal.withMediaMeta(df, "payload")
+    val out = Multimodal.resizeImages(withMeta, "doc_id", "payload", "media_meta",
+      targetW = 64, targetH = 64)
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    val img = rows(1L)
+    assert(img.getStruct(2).getAs[Int]("width") == 64)
+    assert(img.getStruct(2).getAs[Int]("height") == 64)
+    assert(img.getAs[Array[Byte]](1).length == math.max(16, 64 * 64 / 256))
+    val other = rows(2L)
+    assert(new String(other.getAs[Array[Byte]](1), "UTF-8") == "audio")
+    assert(other.getStruct(2).getAs[Int]("width") != 64 ||
+      other.getStruct(2).getAs[Int]("height") != 64)
+    // deterministic: same input -> same bytes
+    val again = Multimodal.resizeImages(withMeta, "doc_id", "payload", "media_meta",
+      64, 64).collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(again(1L).toSeq == img.getAs[Array[Byte]](1).toSeq)
+  }
+
   test("decodeStub is deterministic and byte-sensitive") {
     val a = Multimodal.decodeStub("hello".getBytes("UTF-8"), 8)
     val b = Multimodal.decodeStub("hello".getBytes("UTF-8"), 8)
