@@ -485,11 +485,11 @@ object OracleSql {
          |SELECT doc_id, simhash FROM sh""".stripMargin,
 
     // SimHash banded near-dup replay: pigeonhole bands over the 61 bits
-    // (maxHamming=6 -> 7 bands of width 9/9/9/9/9/9/7), sub-bucket split as
+    // (maxHamming=3 -> 4 bands of width 16/16/16/13), sub-bucket split as
     // in Dedup.simhashPairs (xh = the fingerprint itself), exact bit_count
     // verify.
     "q_simhash_pairs" -> {
-      val d = 6; val b = d + 1; val clamp = 4096
+      val d = 3; val b = d + 1; val clamp = 4096
       val nb = Dedup.SimhashBits
       val w = (nb + b - 1) / b
       val bandSelects = (0 until b).map { i =>

@@ -394,10 +394,11 @@ object SparkEntry {
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), "text", "doc_id")
 
-  /** SimHash-banded near-dup pairs, hamming ≤ 6 (loose enough to produce
-    * rows on the synthetic corpus). */
+  /** SimHash-banded near-dup pairs, hamming ≤ 3: 4 bands of ~15 bits, so a
+    * spurious band collision is ~1/32k per pair — candidate volume stays
+    * linear-ish at scale (hamming ≤ 6's 9-bit bands collided 64× more). */
   private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxHamming = 6)
+    Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxHamming = 3)
 
   /** milli-quantized embeddings: integer-valued doubles → order-independent
     * exact dot products */
