@@ -37,12 +37,14 @@ object Hashing {
   def bCoef(s: Int): Long = (s.toLong * 40503L + 7L) % P
 
   // -------------------------------------------------- Catalyst Column forms
-  /** Polynomial hash of a string column, one `aggregate` over its chars.
-    * Empty string hashes to 0 (split("", "") yields [""], ascii("") is 0 in
-    * both engines — probed explicitly). */
+  /** Polynomial hash of a string column — the native codegen'd
+    * [[graft.functions.PolyHash]] expression (one static-call fold over the
+    * string, vs the interpreted per-char HOF lambda it replaced: that
+    * `aggregate(split(c, ""), …)` form was the hot spot of every hashing
+    * pipeline). Empty string hashes to 0 in both forms and both engines. */
   def polyHash(c: Column): Column =
-    aggregate(split(c, ""), lit(0L),
-      (acc, ch) => pmod(acc * B + coalesce(ascii(ch).cast(LongType), lit(0L)), lit(P)))
+    org.apache.spark.sql.GraftColumns.column(
+      graft.functions.PolyHash(org.apache.spark.sql.GraftColumns.expression(c)))
 
   /** Per-seed affine remix of a mod-P hash. */
   def mix(h: Column, s: Int): Column = pmod(h * aCoef(s) + bCoef(s), lit(P))

@@ -1,0 +1,11 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge for wrapping custom Catalyst expressions as user-facing Columns:
+  * `ExpressionUtils` is `private[sql]`, so the conversion lives in this
+  * package (same precedent as the TimeSeriesCrossValidator placement). */
+object GraftColumns {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
