@@ -147,6 +147,32 @@ class TsdfGoldenSpec extends SparkTestBase {
     }
   }
 
+  test("showSlice returns the k most recent rows per series, globally ordered") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val rows = Seq(
+      ("u1", ts("2024-01-01 00:00:00"), 1.0), ("u1", ts("2024-01-01 00:01:00"), 2.0),
+      ("u1", ts("2024-01-01 00:02:00"), 3.0), ("u2", ts("2024-01-01 00:00:30"), 4.0))
+    val sliced = TSDF(rows.toDF("user_id", "ts", "value"), "ts", Seq("user_id"))
+      .showSlice(k = 2).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+    assert(sliced == Seq(
+      ("u1", ts("2024-01-01 00:01:00"), 2.0), ("u1", ts("2024-01-01 00:02:00"), 3.0),
+      ("u2", ts("2024-01-01 00:00:30"), 4.0)))
+  }
+
+  test("withPartitionCols rebinds the series and revalidates columns") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val df = Seq(("u1", "s1", Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("user_id", "sym", "ts", "value")
+    val t = TSDF(df, "ts", Seq("user_id"))
+    val rebound = t.withPartitionCols(Seq("sym"))
+    assert(rebound.partitionCols == Seq("sym"))
+    assert(rebound.latest(1).df.count() == 1)
+  }
+
   // ------------------------------------------------------------ fourier
   private def fourierCase(name: String): Unit = test(s"fourier: $name") {
     val t = fx.testCase("FourierTransformTest", name)
