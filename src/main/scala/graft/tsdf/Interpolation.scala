@@ -12,18 +12,25 @@ import org.apache.spark.sql.types._
   *
   * Pipeline (interpol.py:304-448, re-expressed as pure DataFrame algebra):
   *  1. resample to the target freq if not already resampled;
-  *  2. per series, generate missing buckets with
+  *  2. per target column, capture fill context on the RESAMPLED rows:
+  *     previous non-null at-or-before, next non-null at-or-after, and next
+  *     non-null strictly-after (for generated rows), via
+  *     `last(when(v.isNotNull, struct(ts, v)), ignoreNulls)` windows;
+  *  3. per series, generate missing buckets with
   *     `explode(sequence(ts, next_ts - freq, freq))` — one generated row per
-  *     absent bucket, `is_ts_interpolated` flagging the synthetic ones;
-  *  3. per target column, locate the previous and next non-null observation
-  *     with `last(when(v.isNotNull, struct(ts, v)), ignoreNulls)` over a
-  *     forward and a reverse-ordered unbounded-preceding window;
+  *     absent bucket, `is_ts_interpolated` flagging the synthetic ones, each
+  *     spine row reading its pre-computed context (a generated row's prev is
+  *     its segment head's inclusive-prev; its next is the head's
+  *     strictly-after capture — no actual rows exist in between);
   *  4. fill: zero→0, null→null, ffill→prev, bfill→next, linear→
   *     `prev + (next - prev) * (t - prev_t) / (next_t - prev_t)`.
   *
-  * All windows share the one hash-partition exchange on the series keys; the
-  * reverse-ordered window costs one extra sort within partitions (noted in
-  * SURVEY §4) — unavoidable without losing bfill semantics.
+  * Capturing context BEFORE the explode means both window sorts run over the
+  * compact resampled rows — the dense spine (the ~freq× larger exploded
+  * output) is never sorted at all, which at 100 TB is the difference between
+  * sorting observations and sorting the gap-filled universe. One exchange on
+  * the series keys; one asc + one desc sort (the strictly-after capture
+  * rides the desc sort as a second frame).
   */
 object Interpolation {
 
@@ -62,10 +69,27 @@ object Interpolation {
     val tsCol = resampled.tsCol
     val w = Window.partitionBy(series.map(col): _*).orderBy(col(tsCol).asc)
 
-    // ---- step 2: dense spine via sequence-explode (interpol.py:399-417) ----
-    val withNext = resampled.df.withColumn("__next_ts", lead(col(tsCol), 1).over(w))
+    // ---- step 2: fill context on the compact resampled rows ----
+    val wFwdCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRevCum = Window.partitionBy(series.map(col): _*).orderBy(col(tsCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // desc order + frame ending one row earlier = first non-null STRICTLY
+    // after the current timestamp (what a generated row in (ts, next_ts)
+    // needs — its next actual observation is exactly next_ts's)
+    val wRevExcl = Window.partitionBy(series.map(col): _*).orderBy(col(tsCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ctx = targets.foldLeft(
+      resampled.df.withColumn("__next_ts", lead(col(tsCol), 1).over(w))) { (df, c) =>
+      val v = col(c)
+      val obs = when(v.isNotNull, struct(col(tsCol).alias("t"), v.alias("v")))
+      df.withColumn(s"__prev_$c", last(obs, ignoreNulls = true).over(wFwdCum))
+        .withColumn(s"__nincl_$c", last(obs, ignoreNulls = true).over(wRevCum))
+        .withColumn(s"__nexcl_$c", last(obs, ignoreNulls = true).over(wRevExcl))
+    }
+
+    // ---- step 3: dense spine via sequence-explode (interpol.py:399-417) ----
     val interval = expr(s"interval ${spec.sparkInterval}")
-    val spine = withNext
+    val spine = ctx
       .withColumn("__new_ts",
         explode(sequence(col(tsCol),
           when(col("__next_ts").isNull, col(tsCol))
@@ -73,32 +97,17 @@ object Interpolation {
           interval)))
       .withColumn("is_ts_interpolated", col("__new_ts") =!= col(tsCol))
 
-    // synthetic rows carry the source row's values — null them out
-    val cleared = targets.foldLeft(spine) { (df, c) =>
-      df.withColumn(c, when(col("is_ts_interpolated"), lit(null)).otherwise(col(c)))
-    }
-
-    val wFwd = Window.partitionBy(series.map(col): _*)
-      .orderBy(col("__new_ts").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wRev = Window.partitionBy(series.map(col): _*)
-      .orderBy(col("__new_ts").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    // ---- steps 3+4 per target column ----
-    val filled = targets.foldLeft(cleared) { (df, c) =>
-      val v = col(c)
-      val prevS = last(when(v.isNotNull, struct(col("__new_ts").alias("t"), v.alias("v"))),
-        ignoreNulls = true).over(wFwd)
-      val nextS = last(when(v.isNotNull, struct(col("__new_ts").alias("t"), v.alias("v"))),
-        ignoreNulls = true).over(wRev)
-      val df1 = df
-        .withColumn(s"__prev_$c", prevS)
-        .withColumn(s"__next_$c", nextS)
-      val prevV = col(s"__prev_$c").getField("v")
-      val prevT = col(s"__prev_$c").getField("t").cast(DoubleType)
-      val nextV = col(s"__next_$c").getField("v")
-      val nextT = col(s"__next_$c").getField("t").cast(DoubleType)
+    // ---- step 4 per target column (no window touches the spine) ----
+    val filled = targets.foldLeft(spine) { (df, c) =>
+      // synthetic rows carry the source row's values — treat them as null
+      val v = when(col("is_ts_interpolated"), lit(null)).otherwise(col(c))
+      val prevS = col(s"__prev_$c")
+      val nextS = when(col("is_ts_interpolated"), col(s"__nexcl_$c"))
+        .otherwise(col(s"__nincl_$c"))
+      val prevV = prevS.getField("v")
+      val prevT = prevS.getField("t").cast(DoubleType)
+      val nextV = nextS.getField("v")
+      val nextT = nextS.getField("t").cast(DoubleType)
       val t = col("__new_ts").cast(DoubleType)
       val fillExpr: Column = method match {
         case "zero"  => coalesce(v, lit(0.0))
@@ -115,10 +124,10 @@ object Interpolation {
                 ((t - prevT) / (nextT - prevT)))
             .otherwise(lit(null).cast(DoubleType))
       }
-      df1
+      df
         .withColumn(s"is_interpolated_$c", v.isNull)
         .withColumn(c, fillExpr)
-        .drop(s"__prev_$c", s"__next_$c")
+        .drop(s"__prev_$c", s"__nincl_$c", s"__nexcl_$c")
     }
 
     val flagCols =
