@@ -185,6 +185,19 @@ object StreamingTSDF {
           metricsOut): _*)
   }
 
+  /** Streaming exact dedup on a normalized-text fingerprint: the streaming
+    * face of `Dedup.exactNormalized`. State per fingerprint is bounded by
+    * the watermark (`dropDuplicatesWithinWatermark`): two copies arriving
+    * within `watermarkDelay` of each other dedup; state older than the
+    * watermark is evicted — the standard at-scale trade of exactness-
+    * forever vs bounded state. Emits the first-seen row per fingerprint. */
+  def dedupNormalized(df: DataFrame, tsCol: String, textCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    df.withColumn("__fp", md5(graft.pipeline.Dedup.normalizeText(col(textCol))))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   // ------------------------------------------------ streaming interpolation
   case class InterpEvent(series: String, tsUs: Long, value: Double,
       eventTime: java.sql.Timestamp)

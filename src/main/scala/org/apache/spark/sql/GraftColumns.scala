@@ -8,4 +8,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumns {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a function on an already-running session (`sessionState` is
+    * private[sql]); the extensions path covers session construction. */
+  def registerFunction(spark: SparkSession,
+      descriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+        org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+        Seq[Expression] => Expression)): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(descriptor._1, descriptor._2, descriptor._3)
 }

@@ -182,6 +182,17 @@ class PipelineUnitSpec extends SparkTestBase {
       s"multi-probe recall $multiRecall worse than single-bucket $singleRecall")
   }
 
+  test("graft_poly_hash registers as a SQL function and matches the JVM hash") {
+    graft.functions.GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT graft_poly_hash('training data') AS h")
+      .collect().head.getLong(0)
+    assert(viaSql == Hashing.polyHashBytes("training data".getBytes("UTF-8")))
+    // constant folding applies: the plan should carry a literal, not a scan
+    val plan = spark.sql("SELECT graft_poly_hash('abc') AS h")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("graft_poly_hash"), plan)
+  }
+
   test("JVM scalar hash equals the Column-form hash for ASCII input") {
     val jvm = Hashing.polyHashBytes("training data".getBytes("UTF-8"))
     val viaColumn = spark.range(1)

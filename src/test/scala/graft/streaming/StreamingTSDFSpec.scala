@@ -153,6 +153,25 @@ class StreamingTSDFSpec extends SparkTestBase {
     }
   }
 
+  test("streaming dedup keeps the first copy of a normalized duplicate") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingTSDF.dedupNormalized(mem.toDF().toDF("doc_id", "ts", "text"),
+      "ts", "text", watermarkDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      (1L, ts("2024-01-01 00:00:00"), "Hello,  World!"),
+      (2L, ts("2024-01-01 00:00:10"), "hello world"), // same fingerprint
+      (3L, ts("2024-01-01 00:00:20"), "something else"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L))
+  }
+
   test("streaming interpolation fills missing buckets (ffill and linear)") {
     val spark2 = spark
     import spark2.implicits._
