@@ -103,6 +103,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("Join"), p) // equi-join on the bucket id is present
   }
 
+  test("interpolation never sorts the exploded spine") {
+    val t = TSDF(eventsDf, "ts", Seq("user_id"))
+      .resample("1 hour", "mean").interpolate("linear")
+    val p = plan(t.df)
+    val gen = p.indexOf("Generate")
+    val sort = p.indexOf("Sort")
+    assert(gen >= 0 && sort >= 0, p)
+    // tree prints parents first: every Sort must sit BELOW the explode
+    // (window context is captured on the compact resampled rows)
+    assert(gen < sort, p)
+  }
+
   test("broadcast hints survive in the star-schema join") {
     val dir = "/root/testdata/sf0.001"
     val df = spark.read.parquet(s"$dir/lineitem.parquet")
