@@ -153,6 +153,31 @@ class StreamingTSDFSpec extends SparkTestBase {
     }
   }
 
+  test("stream-static near-dup flags incoming docs that match the corpus") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river"),
+      (101L, "an entirely different reference document about query engines"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingDedup.nearDupAgainstCorpus(
+      mem.toDF().toDF("doc_id", "ts", "text"), corpus,
+      "text", "doc_id", "ts", shingleWidth = 2, threshold = 0.5)
+    val q = out.writeStream.format("memory").queryName("stream_neardup")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      (1L, ts("2024-01-01 00:00:00"),
+        "the quick brown fox jumps over the lazy dog near the river today"),
+      (2L, ts("2024-01-01 00:00:10"), "totally novel content with no match at all"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stream_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 100L)), got.mkString(","))
+  }
+
   test("streaming dedup keeps the first copy of a normalized duplicate") {
     val spark2 = spark
     import spark2.implicits._
