@@ -369,17 +369,19 @@ object SparkEntry {
     * short-circuiting ahead of each intersect. The oracle replays the same
     * hashing, so the comparison stays bit-exact. */
   private def qJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    // token sets sorted ONCE per doc so every pair verifies with the
+    // codegen'd two-pointer merge instead of a per-pair hash-set build
     val d = docs(s, dir).select(col("doc_id"), col("lang"),
-      Dedup.shingleHashes(Dedup.shingles(col("text"), 1)).alias("toks"))
+      array_sort(Dedup.shingleHashes(Dedup.shingles(col("text"), 1))).alias("toks"))
     val a = d.select(col("doc_id").alias("doc_id_a"), col("lang"), col("toks").alias("ta"))
     val b = d.select(col("doc_id").alias("doc_id_b"), col("lang"), col("toks").alias("tb"))
     val ratio = least(size(col("ta")), size(col("tb"))).cast(DoubleType) /
       greatest(size(col("ta")), size(col("tb")))
     a.join(b, Seq("lang"))
       .filter(col("doc_id_a") < col("doc_id_b") && ratio >= 0.5 &&
-        Dedup.jaccard(col("ta"), col("tb")) >= 0.5)
+        Dedup.jaccardSorted(col("ta"), col("tb")) >= 0.5)
       .select(col("doc_id_a"), col("doc_id_b"),
-        Dedup.jaccard(col("ta"), col("tb")).alias("jaccard"))
+        Dedup.jaccardSorted(col("ta"), col("tb")).alias("jaccard"))
   }
 
   /** Banding retuned r2→r3: rowsPerBand=2 collided ~s² per band and the

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** |A ∩ B| for two SORTED arrays of distinct non-null longs, as one
+  * codegen'd two-pointer merge.
+  *
+  * `size(array_intersect(a, b))` builds a hash set per evaluation — per
+  * candidate PAIR in a dedup verify stage. Sorting each document's hash set
+  * once (`array_sort` at projection time, n log n per doc) converts every
+  * pairwise verify into an O(|A|+|B|) merge with no allocation, which is the
+  * difference between the verify stage being allocation-bound and
+  * memory-bandwidth-bound at corpus scale. Inputs MUST be sorted and
+  * duplicate-free (shingle/hash sets are) — equal to `array_intersect`
+  * semantics under that contract, asserted against it in tests.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_size"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectSize.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedIntersectSize.count($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectSize {
+  /** Static target for generated code. */
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}

@@ -200,6 +200,19 @@ object Dedup {
     inter / (size(shA) + size(shB) - inter)
   }
 
+  /** [[jaccard]] for SORTED distinct long-hash arrays: the codegen'd
+    * two-pointer merge ([[graft.functions.SortedIntersectSize]]) replaces
+    * `array_intersect`'s per-pair hash-set build. Sort each document's hash
+    * set ONCE at projection time; every candidate pair then verifies
+    * allocation-free. Same value as [[jaccard]] on the same sets. */
+  def jaccardSorted(shA: Column, shB: Column): Column = {
+    import org.apache.spark.sql.GraftColumns
+    val inter = GraftColumns.column(graft.functions.SortedIntersectSize(
+      GraftColumns.expression(shA), GraftColumns.expression(shB)))
+      .cast(DoubleType)
+    inter / (size(shA) + size(shB) - inter)
+  }
+
   /** LSH candidates verified with exact Jaccard ≥ threshold.
     *
     * Before touching the shingle arrays, candidates are prefiltered on the
@@ -212,11 +225,12 @@ object Dedup {
       threshold: Double = 0.7, maxBucketSize: Int = 50): DataFrame = {
     val cands = minhashCandidates(df, textCol, idCol, shingleWidth, bands,
       rowsPerBand, maxBucketSize)
-    // verify on hashed shingle sets: long intersects are much cheaper than
-    // string intersects and the sizes are identical (shingles are distinct
-    // strings; the polynomial hash is effectively injective on them)
+    // verify on SORTED hashed shingle sets: long merges are much cheaper
+    // than string intersects, the sizes are identical (shingles are distinct
+    // strings; the polynomial hash is effectively injective on them), and
+    // sorting once per doc lets every pair use the two-pointer merge
     val sh = df.select(col(idCol),
-      shingleHashes(shingles(col(textCol), shingleWidth)).alias("__sh"))
+      array_sort(shingleHashes(shingles(col(textCol), shingleWidth))).alias("__sh"))
     val sizeRatio =
       least(size(col("__sha")), size(col("__shb"))).cast(DoubleType) /
         greatest(size(col("__sha")), size(col("__shb")))
@@ -226,7 +240,7 @@ object Dedup {
       .join(sh.withColumnRenamed(idCol, s"${idCol}_b").withColumnRenamed("__sh", "__shb"),
         s"${idCol}_b")
       .filter(sizeRatio >= threshold)
-      .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
+      .withColumn("jaccard", jaccardSorted(col("__sha"), col("__shb")))
       .filter(col("jaccard") >= threshold)
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
   }

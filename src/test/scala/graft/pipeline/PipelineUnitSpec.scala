@@ -182,6 +182,23 @@ class PipelineUnitSpec extends SparkTestBase {
       s"multi-probe recall $multiRecall worse than single-bucket $singleRecall")
   }
 
+  test("sorted-merge intersect size equals array_intersect on random sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      (i, a, b)
+    }
+    val df = rows.toDF("i", "a", "b")
+    val mism = df.filter(
+      org.apache.spark.sql.GraftColumns.column(graft.functions.SortedIntersectSize(
+        org.apache.spark.sql.GraftColumns.expression(col("a")),
+        org.apache.spark.sql.GraftColumns.expression(col("b"))))
+        =!= size(array_intersect(col("a"), col("b")))).count()
+    assert(mism == 0)
+  }
+
   test("graft_poly_hash registers as a SQL function and matches the JVM hash") {
     graft.functions.GraftExtensions.register(spark)
     val viaSql = spark.sql("SELECT graft_poly_hash('training data') AS h")
