@@ -18,12 +18,18 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Sequential dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** Sequential dot product of two double arrays — the codegen'd
+    * [[graft.functions.DotProduct]] (bit-identical left-to-right sum; the
+    * interpreted `aggregate(zip_with(...))` HOF it replaced was the dominant
+    * cost of the embedding pipelines). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumns
+    GraftColumns.column(graft.functions.DotProduct(
+      GraftColumns.expression(a), GraftColumns.expression(b)))
+  }
 
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+  /** `sqrt(dot(a, a))` — same accumulation order as the HOF it replaced. */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
