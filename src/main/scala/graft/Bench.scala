@@ -11,9 +11,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen/parquet-footer warmup so the first timed query doesn't
-    // absorb one-time session costs (~6s at sf0.1)
+    // absorb one-time session costs (~6s at sf0.1). Touch the hot columns of
+    // each table once — count() alone prunes to metadata and leaves the
+    // first real scan cold.
     spark.read.parquet(s"$sfDir/region.parquet").count()
     spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("sum(length(text))").collect()
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("sum(size(embedding))").collect()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("sum(value)", "count(event_type)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("sum(l_quantity)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
