@@ -86,16 +86,16 @@ object OracleSql {
     val nb = Dedup.SimhashBits
     val h = Hashing.combineSql(Hashing.mixSql("ph", 0), Hashing.mixSql("ph", 1))
     val bitSums = (0 until nb)
-      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .map(j => s"sum((h >> $j) & 1) AS b$j")
       .mkString(",\n  ")
     val packed = (0 until nb)
-      .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .map(j => s"(CASE WHEN b$j * 2 > n THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
     s"""WITH d AS (SELECT doc_id, $norm AS nrm FROM documents),
        |tok AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS t FROM d),
        |ph AS (SELECT doc_id, ${Hashing.polyHashSql("t")} AS ph FROM tok),
        |h AS (SELECT doc_id, $h AS h FROM ph),
-       |bits AS (SELECT doc_id,
+       |bits AS (SELECT doc_id, count(*) AS n,
        |  $bitSums
        |  FROM h GROUP BY doc_id),
        |sh AS (SELECT doc_id, $packed AS simhash FROM bits)""".stripMargin

@@ -138,12 +138,14 @@ object Dedup {
       .withColumn("__ph", Hashing.polyHash(col("__tok")))
       .withColumn("__h",
         Hashing.combine(Hashing.mix(col("__ph"), 0), Hashing.mix(col("__ph"), 1)))
-    val bitSums = (0 until SimhashBits).map { j =>
-      sum(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .alias(s"__b$j")
+    // sum the raw bit instead of a ±1 CASE per bit (the sign-sum b_j equals
+    // 2·s_j − n, so "b_j > 0" is "2·s_j > n") — ~60 fewer branches in the
+    // aggregate's generated code, same values
+    val bitSums = count(lit(1)).alias("__n") +: (0 until SimhashBits).map { j =>
+      sum(shiftright(col("__h"), j).bitwiseAND(1)).alias(s"__b$j")
     }
     val packed = (0 until SimhashBits).map { j =>
-      when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+      when(col(s"__b$j") * 2 > col("__n"), lit(1L << j)).otherwise(lit(0L))
     }.reduce[Column](_ + _)
     exploded
       .groupBy(col(idCol))
