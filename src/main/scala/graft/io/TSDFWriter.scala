@@ -57,7 +57,7 @@ object TSDFWriter {
       try {
         // insertInto matches columns by position: align with the table
         val cols = spark.table(tableName).columns
-        df.select(cols.map(col): _*).write.mode("overwrite").insertInto(tableName)
+        df.select(cols.toIndexedSeq.map(col): _*).write.mode("overwrite").insertInto(tableName)
       } finally prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)

@@ -51,7 +51,7 @@ class TimeSeriesCrossValidator(override val uid: String) extends CrossValidator 
     val est = $(estimator)
     val eval = $(evaluator)
     val epm = $(estimatorParamMaps)
-    val folds = tsKFold(dataset.toDF)
+    val folds = tsKFold(dataset.toDF())
     val metrics = new Array[Double](epm.length)
     // honor the inherited `parallelism` param like upstream CrossValidator:
     // param maps within a fold fit/evaluate concurrently on its executor
