@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Squared L2 distance of two double arrays as one codegen'd loop —
+  * bit-identical to `aggregate(zip_with(a, b, (x, y) => (x-y)*(x-y)), 0.0,
+  * (acc, x) => acc + x)` (strict left-to-right accumulation) without the
+  * per-element interpretation tax. See [[DotProduct]] for the rationale. */
+case class L2SqDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2sq"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    L2SqDistance.dist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.L2SqDistance.dist($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SqDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+object L2SqDistance {
+  /** Static target for generated code. Strict left-to-right accumulation. */
+  def dist(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+}

@@ -228,9 +228,13 @@ object Similarity {
   }
 
   /** Squared L2 distance of two double arrays (exact on integer-quantized
-    * vectors, so cross-engine reproducible regardless of summation order). */
-  def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
+    * vectors, so cross-engine reproducible regardless of summation order) —
+    * the codegen'd [[graft.functions.L2SqDistance]]. */
+  def l2sq(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumns
+    GraftColumns.column(graft.functions.L2SqDistance(
+      GraftColumns.expression(a), GraftColumns.expression(b)))
+  }
 
   /** IVF-style ANN top-k: a small coarse-quantizer codebook (`centroids`,
     * cell id = position) partitions the corpus into cells via nearest-
