@@ -124,6 +124,39 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(perQuery.values.forall(_ == 2L))
   }
 
+  test("subBucketPairs invariants hold on random buckets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val cases = (0 until 12).map { t =>
+      val n = 1 + rnd.nextInt(60)
+      val c = 2 + rnd.nextInt(7)
+      val xhs = Seq.fill(n)(rnd.nextInt(1000).toLong)
+      (t, c, (0L until n.toLong).map(i => (i, xhs(i.toInt))))
+    }
+    cases.foreach { case (t, c, entries) =>
+      val n = entries.size
+      val df = Seq(entries).toDF("raw")
+        .select(transform(col("raw"), e =>
+          struct(e.getField("_1").alias("id"), e.getField("_2").alias("xh"))).alias("__e"))
+      val pairs = df.select(explode(
+        Similarity.subBucketPairs(array_sort(col("__e")), c, ordered = false)).alias("p"))
+        .select(col("p.a.id").alias("a"), col("p.a.xh").alias("xa"),
+          col("p.b.id").alias("b"), col("p.b.xh").alias("xb"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val nSub = math.max(1, math.ceil(n.toDouble / c).toLong)
+      // ordering, same-sub membership, no duplicates, bounded output
+      pairs.foreach { case (a, xa, b, xb) =>
+        assert(a < b, s"case $t: pair not ordered")
+        assert(xa % nSub == xb % nSub, s"case $t: pair crosses sub-buckets")
+      }
+      val keys = pairs.map(p => (p._1, p._3))
+      assert(keys.distinct.length == keys.length, s"case $t: duplicate pairs")
+      assert(pairs.length <= n * c, s"case $t: output exceeds size*clamp")
+      if (n <= c) assert(pairs.length == n * (n - 1) / 2,
+        s"case $t: small bucket must emit exact all-pairs (${pairs.length} vs ${n * (n - 1) / 2})")
+    }
+  }
+
   test("ivfTopK finds in-cell neighbors; nprobe=all recovers brute force") {
     import spark.implicits._
     // two well-separated clusters around the two centroids
