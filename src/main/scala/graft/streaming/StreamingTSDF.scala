@@ -185,6 +185,23 @@ object StreamingTSDF {
           metricsOut): _*)
   }
 
+  /** Streaming VWAP: volume-weighted average price per tumbling event-time
+    * bucket, watermark-finalized — the streaming face of the batch `vwap`
+    * operator (one partial+final aggregate, map-side combinable sums). */
+  def vwap(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      priceCol: String, volumeCol: String, freq: String,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val spec = Resample.parseFreq(freq)
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(seriesCols.map(col) :+ window(col(tsCol), spec.sparkInterval).alias("__w"): _*)
+      .agg(
+        (sum(col(priceCol) * col(volumeCol)) / sum(col(volumeCol))).alias("vwap"),
+        max(col(priceCol)).alias(s"max_$priceCol"),
+        sum(col(volumeCol)).alias(s"sum_$volumeCol"))
+      .withColumn(tsCol, col("__w.start"))
+      .drop("__w")
+  }
+
   /** Streaming exact dedup on a normalized-text fingerprint: the streaming
     * face of `Dedup.exactNormalized`. State per fingerprint is bounded by
     * the watermark (`dropDuplicatesWithinWatermark`): two copies arriving

@@ -153,6 +153,30 @@ class StreamingTSDFSpec extends SparkTestBase {
     }
   }
 
+  test("streaming vwap matches the hand-computed bucket value") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double, Double)]
+    val out = StreamingTSDF.vwap(mem.toDF().toDF("sym", "ts", "price", "vol"),
+      "ts", Seq("sym"), "price", "vol", "1 minute", watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("vwap_stream")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      ("A", ts("2024-01-01 00:00:10"), 10.0, 2.0),
+      ("A", ts("2024-01-01 00:00:40"), 20.0, 6.0),
+      // far-future row seals the first bucket
+      ("A", ts("2024-01-01 01:00:00"), 1.0, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val r = spark.table("vwap_stream")
+      .filter(col("ts") === ts("2024-01-01 00:00:00")).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Double]("vwap") == (10.0 * 2 + 20.0 * 6) / 8.0)
+    assert(r.head.getAs[Double]("max_price") == 20.0)
+    assert(r.head.getAs[Double]("sum_vol") == 8.0)
+  }
+
   test("stream-static near-dup flags incoming docs that match the corpus") {
     val spark2 = spark
     import spark2.implicits._
