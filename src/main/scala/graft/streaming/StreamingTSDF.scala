@@ -185,6 +185,63 @@ object StreamingTSDF {
           metricsOut): _*)
   }
 
+  // ------------------------------------------------ streaming EMA
+  case class EmaEvent(series: String, tsUs: Long, value: Double,
+      eventTime: java.sql.Timestamp)
+  case class EmaState(ema: Double)
+
+  /** Streaming exponential moving average: ema' = α·x + (1−α)·ema per
+    * series, one double of state. This is the EXACT infinite-horizon
+    * recursion — the batch operator approximates it with a 5-term lag
+    * window (reference semantics), so the two converge as the window grows
+    * but are not bit-equal by design. Rows inside a micro-batch process in
+    * event-time order; optional `stateTtl` evicts idle series. */
+  def ema(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      valueCol: String, alpha: Double,
+      stateTtl: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val projected = df.select(
+      seriesKey(seriesCols).alias("series"),
+      unix_micros(col(tsCol)).alias("tsUs"),
+      col(valueCol).cast(DoubleType).alias("value"),
+      col(tsCol).alias("eventTime"))
+    val events = stateTtl.fold(projected)(ttl =>
+      projected.withWatermark("eventTime", ttl)).as[EmaEvent]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val out = events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (key: String, rows: Iterator[EmaEvent], state: GroupState[EmaState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.tsUs)
+            var cur = state.getOption.orNull
+            val outRows = sorted.map { e =>
+              cur = if (cur == null) EmaState(e.value)
+                else EmaState(alpha * e.value + (1 - alpha) * cur.ema)
+              (key, e.tsUs, e.value, cur.ema)
+            }
+            if (cur != null) {
+              state.update(cur)
+              stateTtl.foreach(ttl => state.setTimeoutTimestamp(
+                math.max(sorted.last.tsUs / 1000,
+                  state.getCurrentWatermarkMs() + 1), ttl))
+            }
+            outRows.iterator
+          }
+      }
+      .toDF("series", "tsUs", "value", "ema")
+    out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
+      timestamp_micros(col("tsUs")).alias(tsCol),
+      col("value").alias(valueCol),
+      col("ema").alias(s"ema_$valueCol")): _*)
+  }
+
   /** Streaming VWAP: volume-weighted average price per tumbling event-time
     * bucket, watermark-finalized — the streaming face of the batch `vwap`
     * operator (one partial+final aggregate, map-side combinable sums). */

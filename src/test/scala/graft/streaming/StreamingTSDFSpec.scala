@@ -153,6 +153,27 @@ class StreamingTSDFSpec extends SparkTestBase {
     }
   }
 
+  test("streaming ema applies the exact recursion across micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val out = StreamingTSDF.ema(mem.toDF().toDF("user_id", "ts", "value"),
+      "ts", Seq("user_id"), "value", alpha = 0.5)
+    val q = out.writeStream.format("memory").queryName("ema_stream")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(("u1", ts("2024-01-01 00:00:00"), 4.0)); q.processAllAvailable()
+    mem.addData(
+      ("u1", ts("2024-01-01 00:00:10"), 8.0),
+      ("u1", ts("2024-01-01 00:00:20"), 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ema_stream").orderBy("ts").collect()
+      .map(r => r.getAs[Double]("ema_value")).toSeq
+    // 4; 0.5*8 + 0.5*4 = 6; 0.5*2 + 0.5*6 = 4
+    assert(got == Seq(4.0, 6.0, 4.0))
+  }
+
   test("streaming vwap matches the hand-computed bucket value") {
     val spark2 = spark
     import spark2.implicits._
