@@ -25,7 +25,13 @@ object Bench {
       .selectExpr("sum(value)", "count(event_type)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .selectExpr("sum(l_quantity)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated subset for local iteration; driver leaves it
+    // unset and benches everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

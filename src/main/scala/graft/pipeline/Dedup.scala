@@ -127,9 +127,22 @@ object Dedup {
     * structurally zero so their sign-sums are never positive. */
   val SimhashBits = 61
 
+  /** Number of 21-bit lanes packed per accumulator long in [[simhash]]. */
+  private val SimhashLaneBits = 21
+
   /** SimHash fingerprint per document: sign-sum of per-token hash bits.
     * Explode + single groupBy (map-side combinable); the token hash is the
-    * engine-agnostic [[Hashing]] combine so a SQL oracle can replay it. */
+    * engine-agnostic [[Hashing]] combine so a SQL oracle can replay it.
+    *
+    * The 61 per-bit counts are packed into 21 long accumulators of three
+    * 21-bit lanes each: `(h >> j) & laneMask` contributes bits j, j+21 and
+    * j+42 of the token hash to one sum column, so the per-token aggregate
+    * evaluates 21 expressions instead of 61 and the hash-aggregate buffer
+    * shrinks to a third. The per-bit decode (lane k of accumulator j holds
+    * the count of bit j + 21k) runs once per *document* on the aggregated
+    * row, not once per token. Lanes carry exact counts up to 2^21−1 tokens
+    * per document with no cross-lane carry, and the top lane peaks at bit 62
+    * so the signed long sum cannot overflow under ANSI mode. */
   def simhash(df: DataFrame, textCol: String, idCol: String,
       outCol: String = "simhash"): DataFrame = {
     val tokens = split(normalizeText(col(textCol)), " ")
@@ -138,18 +151,20 @@ object Dedup {
       .withColumn("__ph", Hashing.polyHash(col("__tok")))
       .withColumn("__h",
         Hashing.combine(Hashing.mix(col("__ph"), 0), Hashing.mix(col("__ph"), 1)))
-    // sum the raw bit instead of a ±1 CASE per bit (the sign-sum b_j equals
-    // 2·s_j − n, so "b_j > 0" is "2·s_j > n") — ~60 fewer branches in the
-    // aggregate's generated code, same values
-    val bitSums = count(lit(1)).alias("__n") +: (0 until SimhashBits).map { j =>
-      sum(shiftright(col("__h"), j).bitwiseAND(1)).alias(s"__b$j")
+    val laneMask = 1L | (1L << SimhashLaneBits) | (1L << (2 * SimhashLaneBits))
+    val lanes = count(lit(1)).alias("__n") +: (0 until SimhashLaneBits).map { j =>
+      sum(shiftright(col("__h"), j).bitwiseAND(lit(laneMask))).alias(s"__s$j")
     }
-    val packed = (0 until SimhashBits).map { j =>
-      when(col(s"__b$j") * 2 > col("__n"), lit(1L << j)).otherwise(lit(0L))
+    // sign-sum b_j equals 2·s_j − n, so "b_j > 0" is "2·s_j > n"
+    val packed = (0 until SimhashBits).map { b =>
+      val cnt = shiftright(col(s"__s${b % SimhashLaneBits}"),
+        SimhashLaneBits * (b / SimhashLaneBits))
+        .bitwiseAND(lit((1L << SimhashLaneBits) - 1))
+      when(cnt * 2 > col("__n"), lit(1L << b)).otherwise(lit(0L))
     }.reduce[Column](_ + _)
     exploded
       .groupBy(col(idCol))
-      .agg(bitSums.head, bitSums.tail: _*)
+      .agg(lanes.head, lanes.tail: _*)
       .select(col(idCol), packed.alias(outCol))
   }
 
