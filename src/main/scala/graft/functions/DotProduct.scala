@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Dot product of two double arrays as one codegen'd multiply-add loop.
   *
@@ -19,6 +20,17 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+
+  // a clean analysis error beats a runtime ClassCastException now that the
+  // expression is reachable from SQL (graft_dot); float embeddings must be
+  // cast to array<double> by the caller, as the pipelines do
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<DOUBLE> arguments, got ${l.sql} and ${r.sql}")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     DotProduct.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -16,22 +16,53 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.polyHashDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  val polyHashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("graft_poly_hash"),
-    new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
+
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def unary(name: String, clazz: Class[_],
+      build: Expression => Expression): Descriptor = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
     (children: Seq[Expression]) => {
-      require(children.size == 1, "graft_poly_hash takes exactly one argument")
-      PolyHash(children.head)
+      require(children.size == 1, s"$name takes exactly one argument")
+      build(children.head)
     })
+
+  private def binary(name: String, clazz: Class[_],
+      build: (Expression, Expression) => Expression): Descriptor = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, s"$name takes exactly two arguments")
+      build(children.head, children(1))
+    })
+
+  val polyHashDescriptor: Descriptor =
+    unary("graft_poly_hash", classOf[PolyHash], PolyHash.apply)
+
+  val dotDescriptor: Descriptor =
+    binary("graft_dot", classOf[DotProduct], DotProduct.apply)
+
+  val l2SqDescriptor: Descriptor =
+    binary("graft_l2sq", classOf[L2SqDistance], L2SqDistance.apply)
+
+  val sortedIntersectSizeDescriptor: Descriptor =
+    binary("graft_sorted_intersect_size", classOf[SortedIntersectSize],
+      SortedIntersectSize.apply)
+
+  val descriptors: Seq[Descriptor] =
+    Seq(polyHashDescriptor, dotDescriptor, l2SqDescriptor,
+      sortedIntersectSizeDescriptor)
 
   /** Imperative registration on an already-running session (notebooks / REPLs
     * that can't pass `spark.sql.extensions` at startup). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    org.apache.spark.sql.GraftColumns.registerFunction(spark, polyHashDescriptor)
+    descriptors.foreach(
+      org.apache.spark.sql.GraftColumns.registerFunction(spark, _))
 }

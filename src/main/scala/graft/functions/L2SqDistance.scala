@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Squared L2 distance of two double arrays as one codegen'd loop —
   * bit-identical to `aggregate(zip_with(a, b, (x, y) => (x-y)*(x-y)), 0.0,
@@ -14,6 +15,14 @@ case class L2SqDistance(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_l2sq"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<DOUBLE> arguments, got ${l.sql} and ${r.sql}")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     L2SqDistance.dist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

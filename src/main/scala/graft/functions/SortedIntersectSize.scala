@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** |A ∩ B| for two SORTED arrays of distinct non-null longs, as one
   * codegen'd two-pointer merge.
@@ -22,6 +23,14 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_sorted_intersect_size"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<BIGINT> arguments, got ${l.sql} and ${r.sql}")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     SortedIntersectSize.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -243,6 +243,27 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(!plan.contains("graft_poly_hash"), plan)
   }
 
+  test("graft_dot / graft_l2sq / graft_sorted_intersect_size register as SQL functions") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |graft_l2sq(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS l,
+        |graft_sorted_intersect_size(array(1L, 3L, 5L), array(3L, 5L, 7L)) AS s
+        |""".stripMargin).collect().head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 8.0)
+    assert(r.getInt(2) == 2)
+    // all three are foldable: a constant-input call optimizes to a literal
+    val plan = spark.sql(
+      "SELECT graft_dot(array(1.0D), array(2.0D)) AS d").queryExecution
+      .optimizedPlan.toString
+    assert(!plan.contains("graft_dot"), plan)
+    // wrong input types fail analysis, not execution
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dot(array(1.0F), array(2.0F))").collect()
+    }
+  }
+
   test("JVM scalar hash equals the Column-form hash for ASCII input") {
     val jvm = Hashing.polyHashBytes("training data".getBytes("UTF-8"))
     val viaColumn = spark.range(1)
