@@ -280,6 +280,54 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Deterministic DataFrame-algebra Lloyd's k-means for the IVF coarse
+    * quantizer: trains the `centroids` codebook [[ivfTopK]] takes as input,
+    * closing the path end-to-end.
+    *
+    * Seeding is hash-deterministic (the `nlist` vectors whose
+    * [[Hashing.polyHash]]-of-id sorts lowest), so training is reproducible
+    * across runs and cluster layouts — no RNG state. Each iteration is one
+    * distributed pass: assign every vector to its nearest centroid (argmin
+    * over an array-literal codebook, pure Column algebra — no join), then
+    * `posexplode` + groupBy(cell, dim) + avg for the new means; only
+    * nlist × dim aggregated rows ever reach the driver, matching the
+    * documented "codebook is driver-side" contract. Empty cells keep their
+    * previous centroid. On integer-quantized vectors (the pipeline's oracle
+    * convention) the per-cell sums are exact in IEEE doubles regardless of
+    * partial-aggregation order, so the trained codebook is bit-deterministic.
+    */
+  def trainIvfCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 5): Seq[Seq[Double]] = {
+    require(nlist >= 1 && iters >= 0, "nlist >= 1 and iters >= 0 required")
+    val vecs = corpus.select(col(idCol).alias("__id"),
+      asDouble(col(vecCol)).alias("__v"))
+    var centroids: Seq[Seq[Double]] = vecs
+      .withColumn("__h", Hashing.mix(Hashing.polyHash(col("__id").cast("string")), 0))
+      .orderBy(col("__h"), col("__id").cast("string"))
+      .limit(nlist)
+      .select("__v")
+      .collect()
+      .map(_.getSeq[Double](0).toSeq)
+      .toSeq
+    for (_ <- 0 until iters) {
+      val centLit = typedLit(centroids)
+      val nearestCell = bindArr(transform(centLit, c => l2sq(col("__v"), c))) {
+        d => array_position(d, array_min(d)) - 1
+      }
+      val means = vecs
+        .select(nearestCell.alias("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy(col("__cell"), col("__pos"))
+        .agg(avg(col("__x")).alias("__m"))
+        .collect()
+      val next = centroids.map(_.toArray).toArray
+      means.foreach { r =>
+        next(r.getLong(0).toInt)(r.getInt(1)) = r.getDouble(2)
+      }
+      centroids = next.map(_.toSeq).toSeq
+    }
+    centroids
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (a < b). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, nBits: Int = 6, maxBucketSize: Int = 4096): DataFrame = {

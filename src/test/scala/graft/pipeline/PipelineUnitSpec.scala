@@ -179,6 +179,31 @@ class PipelineUnitSpec extends SparkTestBase {
     assertDfEquality(all, bf)
   }
 
+  test("trainIvfCodebook converges deterministically and feeds ivfTopK end-to-end") {
+    import spark.implicits._
+    // three integer-quantized clusters; exact per-cell sums make training
+    // bit-deterministic regardless of partial-aggregation order
+    val vecs = (for {
+      (cx, cy, base) <- Seq((100.0, 0.0, 0L), (0.0, 100.0, 10L), (70.0, 70.0, 20L))
+      i <- 0 until 5
+    } yield (base + i, Seq(cx + i, cy + (i % 2)))).toDF("vec_id", "v")
+    val trained = Similarity.trainIvfCodebook(vecs, "vec_id", "v", nlist = 3, iters = 5)
+    val again = Similarity.trainIvfCodebook(vecs, "vec_id", "v", nlist = 3, iters = 5)
+    assert(trained == again, "training must be bit-deterministic")
+    // after convergence the codebook holds each cluster's exact mean
+    val expectedMeans = Set(Seq(102.0, 0.4), Seq(2.0, 100.4), Seq(72.0, 70.4))
+    assert(trained.toSet == expectedMeans, trained.toString)
+    // the trained codebook slots into ivfTopK unchanged: nprobe=1 keeps all
+    // neighbors inside the query's own cluster
+    val one = Similarity.ivfTopK(vecs, vecs, "vec_id", "v", k = 2,
+      trained, nprobe = 1).collect()
+    assert(one.nonEmpty)
+    one.foreach { r =>
+      assert(r.getLong(0) / 10L == r.getLong(2) / 10L,
+        s"$r crossed clusters with nprobe=1 on the trained codebook")
+    }
+  }
+
   test("simhashPairs finds near-identical docs and skips unrelated ones") {
     import spark.implicits._
     val docs = Seq(
