@@ -214,6 +214,23 @@ object OracleSql {
          |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)""".stripMargin
     },
 
+    // the exact EMA recursion replayed as a recursive CTE stepping row rank
+    // rn -> rn+1 per series: 0.5·x + 0.5·prev is the same IEEE op sequence
+    // the EmaExact window aggregate runs, so doubles match bit-for-bit
+    // (alpha = 0.5 is exact in binary; no decimal-literal drift)
+    "q_ema_exact" ->
+      """WITH RECURSIVE t AS (
+        |SELECT user_id, epoch_us(ts) AS ts_us, value,
+        |row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
+        |r AS (
+        |SELECT user_id, ts_us, value, rn, CAST(value AS DOUBLE) AS ema_exact_value
+        |FROM t WHERE rn = 1
+        |UNION ALL
+        |SELECT t.user_id, t.ts_us, t.value, t.rn,
+        |0.5 * t.value + 0.5 * r.ema_exact_value AS ema_exact_value
+        |FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+        |SELECT user_id, ts_us, value, ema_exact_value FROM r""".stripMargin,
+
     "q_state_intervals" ->
       """WITH x AS (SELECT user_id, ts, (value >= 10.0) AS high FROM events),
         |y AS (SELECT user_id, ts, high, lag(ts) OVER w AS pts, lag(high) OVER w AS ph

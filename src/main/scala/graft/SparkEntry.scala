@@ -187,6 +187,12 @@ object SparkEntry {
       .df.select(col("user_id"), usec(col("ts")).alias("ts_us"), col("value"),
         col("ema_value"))
 
+  private def qEmaExact(s: SparkSession, dir: String): DataFrame =
+    eventsTsdf(s, dir, "user_id", col("value"))
+      .emaExact("value", alpha = 0.5)
+      .df.select(col("user_id"), usec(col("ts")).alias("ts_us"), col("value"),
+        col("ema_exact_value"))
+
   private def qStateIntervals(s: SparkSession, dir: String): DataFrame = {
     val base = events(s, dir).select(col("user_id"), col("ts"),
       (col("value") >= 10.0).alias("high"))
@@ -554,6 +560,7 @@ object SparkEntry {
     "q_grouped_stats" -> qGroupedStats _,
     "q_vwap" -> qVwap _,
     "q_ema" -> qEma _,
+    "q_ema_exact" -> qEmaExact _,
     "q_state_intervals" -> qStateIntervals _,
     "q_bars" -> qBars _,
     "q_intervals_pivot" -> qIntervalsPivot _,

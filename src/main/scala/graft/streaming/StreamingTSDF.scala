@@ -287,9 +287,12 @@ object StreamingTSDF {
     *
     * On each observation at bucket b_cur with previous observation at bucket
     * b_prev, the operator emits the interpolated buckets (b_prev, b_cur)
-    * and the actual bucket b_cur. Assumes at most one observation per bucket
-    * per series (last-wins otherwise — a stream's natural granularity);
-    * batch-equal output under that assumption is asserted in the spec.
+    * and the actual bucket b_cur. The FIRST observation in a bucket wins;
+    * later observations landing in an already-emitted bucket are ignored, so
+    * an append sink sees each (series, bucket) exactly once — the same
+    * granularity as batch `resample(freq, "floor")`, whose resample +
+    * interpolate pipeline this operator equals row-for-row (asserted
+    * differentially on random series in the spec).
     *
     * `stateTtl` evicts idle series once the watermark passes them (a later
     * observation then starts a fresh segment instead of filling across the
@@ -338,7 +341,9 @@ object StreamingTSDF {
                   t += stepUs
                 }
               }
-              if (last == null || bucket >= last.tsUs) {
+              // strictly greater: a second observation in an already-emitted
+              // bucket must not re-emit it (append sinks would see duplicates)
+              if (last == null || bucket > last.tsUs) {
                 outRows += InterpOut(key, bucket, e.value, isInterpolated = false)
                 last = LastObs(bucket, e.value)
               }

@@ -109,6 +109,20 @@ object Stats {
     tsdf.copy(df = tsdf.df.withColumn(s"ema_$colToCalc", emaExpr))
   }
 
+  /** Exact one-pass EMA — ema_0 = x_0, ema_t = α·x_t + (1−α)·ema_{t−1} — as
+    * a running window aggregate ([[graft.functions.EmaExact]], updated
+    * incrementally over the growing frame: one pass per series, one double
+    * of state). The exact batch twin of the streaming `ema` recursion,
+    * complementing the reference-parity truncated-lag approximation [[ema]]. */
+  def emaExact(tsdf: TSDF, colToCalc: String, alpha: Double): TSDF = {
+    val w = tsdf.baseWindow().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val agg = org.apache.spark.sql.GraftColumns.column(
+      graft.functions.EmaExact(
+        org.apache.spark.sql.GraftColumns.expression(col(colToCalc).cast(DoubleType)),
+        alpha).toAggregateExpression())
+    tsdf.copy(df = tsdf.df.withColumn(s"ema_exact_$colToCalc", agg.over(w)))
+  }
+
   /** 2-D lookback feature tensor: collect_list(array(cols)) over the previous
     * `lookbackWindowSize` rows (tsdf.py:1073-1110). */
   def withLookbackFeatures(tsdf: TSDF, featureCols: Seq[String],

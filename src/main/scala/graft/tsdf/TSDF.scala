@@ -241,6 +241,9 @@ case class TSDF(
   def ema(colToCalc: String, window: Int = 30, expFactor: Double = 0.2): TSDF =
     Stats.ema(this, colToCalc, window, expFactor)
 
+  def emaExact(colToCalc: String, alpha: Double): TSDF =
+    Stats.emaExact(this, colToCalc, alpha)
+
   def withLookbackFeatures(featureCols: Seq[String], lookbackWindowSize: Int,
       exactSize: Boolean = true, featureColName: String = "features"): TSDF =
     Stats.withLookbackFeatures(this, featureCols, lookbackWindowSize, exactSize, featureColName)

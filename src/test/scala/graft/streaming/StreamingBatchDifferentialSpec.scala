@@ -1,0 +1,134 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkTestBase
+import graft.tsdf.TSDF
+
+/** Randomized differential properties: each streaming operator must equal
+  * its batch twin on arbitrary series, not just the hand-built examples.
+  *
+  * Values are integer-valued doubles so every sum is exact in IEEE doubles
+  * regardless of partial-aggregation order — equality is bit-exact, with no
+  * tolerance to hide a real defect behind. Timestamps are distinct within a
+  * series, matching the operators' documented granularity contracts.
+  */
+class StreamingBatchDifferentialSpec extends SparkTestBase {
+
+  private val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime // ms
+  private def at(minuteTenths: Int) = new Timestamp(base + minuteTenths * 6000L)
+  private val sentinel = new Timestamp(base + 86400_000L) // +1 day seals all
+
+  /** Random (series, ts, value) rows: per series, distinct times on a
+    * 6-second lattice over ~40 minutes, integer values. */
+  private def randomSeries(rnd: scala.util.Random, pinEnds: Boolean): Seq[(String, Timestamp, Double)] =
+    Seq("u1", "u2", "u3").flatMap { s =>
+      val nTicks = 400
+      val count = 2 + rnd.nextInt(12)
+      val offsets = rnd.shuffle((1 until nTicks - 1).toList).take(count)
+      val all = if (pinEnds) 0 :: nTicks - 1 :: offsets else offsets
+      all.distinct.sorted.map(o => (s, at(o), rnd.nextInt(1000).toDouble))
+    }
+
+  private var runId = 0
+  private def runStream(rows: Seq[(String, Timestamp, Double)],
+      build: DataFrame => DataFrame): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    runId += 1
+    val name = s"diff_sink_$runId"
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val out = build(mem.toDF().toDF("user_id", "ts", "value"))
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("property: streaming resample(mean) equals batch resample on random series") {
+    val rnd = new scala.util.Random(42)
+    (0 until 4).foreach { trial =>
+      val rows = randomSeries(rnd, pinEnds = false) :+ (("u1", sentinel, 0.0))
+      val streamed = runStream(rows, df =>
+        StreamingTSDF.resample(df, "ts", Seq("user_id"), "1 minute", "mean",
+          watermarkDelay = "0 seconds"))
+        .select("user_id", "ts", "value")
+      val spark2 = spark
+      import spark2.implicits._
+      val batch = TSDF(rows.toDF("user_id", "ts", "value"), "ts", Seq("user_id"))
+        .resample("1 minute", "mean").df
+        .filter(col("ts") < sentinel)
+      withClue(s"trial $trial: ") { assertDfEquality(streamed, batch) }
+    }
+  }
+
+  test("property: streaming vwap equals batch vwap on random series") {
+    val rnd = new scala.util.Random(43)
+    (0 until 4).foreach { trial =>
+      val rows = randomSeries(rnd, pinEnds = false) :+ (("u1", sentinel, 0.0))
+      // price = value, volume = a deterministic integer of the row
+      val withVol = (df: DataFrame) =>
+        df.withColumn("volume", (col("value") % 7 + 1).cast("double"))
+      val streamed = runStream(rows, df =>
+        StreamingTSDF.vwap(withVol(df), "ts", Seq("user_id"), "value", "volume",
+          "1 minute", watermarkDelay = "0 seconds"))
+        .select("user_id", "ts", "vwap", "max_value")
+      val spark2 = spark
+      import spark2.implicits._
+      val batch = graft.tsdf.Stats.vwap(
+        TSDF(withVol(rows.toDF("user_id", "ts", "value")), "ts", Seq("user_id")),
+        "m", "volume", "value").df
+        .filter(col("ts") < sentinel)
+        .select("user_id", "ts", "vwap", "max_value")
+      withClue(s"trial $trial: ") { assertDfEquality(streamed, batch) }
+    }
+  }
+
+  test("property: streaming ema equals batch emaExact on random series") {
+    val rnd = new scala.util.Random(44)
+    (0 until 4).foreach { trial =>
+      val rows = randomSeries(rnd, pinEnds = false)
+      val streamed = runStream(rows, df =>
+        StreamingTSDF.ema(df, "ts", Seq("user_id"), "value", alpha = 0.3))
+        .select(col("user_id"), col("ts"), col("value"),
+          col("ema_value").alias("ema"))
+      val spark2 = spark
+      import spark2.implicits._
+      val batch = TSDF(rows.toDF("user_id", "ts", "value"), "ts", Seq("user_id"))
+        .emaExact("value", alpha = 0.3).df
+        .select(col("user_id"), col("ts"), col("value"),
+          col("ema_exact_value").alias("ema"))
+      // same recursion, same IEEE op order: bit-identical, alpha need not be
+      // exactly representable
+      withClue(s"trial $trial: ") { assertDfEquality(streamed, batch) }
+    }
+  }
+
+  test("property: streaming interpolate equals batch resample(floor)+interpolate") {
+    val rnd = new scala.util.Random(45)
+    for (trial <- 0 until 3; method <- Seq("ffill", "linear")) {
+      // ends pinned so the batch spine (first..last bucket per series) spans
+      // the same range the streaming operator emits
+      val rows = randomSeries(rnd, pinEnds = true)
+      val streamed = runStream(rows, df =>
+        StreamingTSDF.interpolate(df, "ts", Seq("user_id"), "value",
+          "1 minute", method))
+        .select("user_id", "ts", "value", "is_ts_interpolated")
+      val spark2 = spark
+      import spark2.implicits._
+      val batch = TSDF(rows.toDF("user_id", "ts", "value"), "ts", Seq("user_id"))
+        .resample("1 minute", "floor")
+        .interpolate(method, showInterpolated = true)
+        .df.select("user_id", "ts", "value", "is_ts_interpolated")
+      withClue(s"trial $trial ($method): ") { assertDfEquality(streamed, batch) }
+    }
+  }
+}
