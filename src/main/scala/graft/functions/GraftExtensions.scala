@@ -56,9 +56,14 @@ object GraftExtensions {
     binary("graft_sorted_intersect_size", classOf[SortedIntersectSize],
       SortedIntersectSize.apply)
 
+  val zorderDescriptor: Descriptor = (
+    FunctionIdentifier("graft_zorder"),
+    new ExpressionInfo(MortonInterleave.getClass.getName, "graft_zorder"),
+    (children: Seq[Expression]) => MortonInterleave(children))
+
   val descriptors: Seq[Descriptor] =
     Seq(polyHashDescriptor, dotDescriptor, l2SqDescriptor,
-      sortedIntersectSizeDescriptor)
+      sortedIntersectSizeDescriptor, zorderDescriptor)
 
   /** Imperative registration on an already-running session (notebooks / REPLs
     * that can't pass `spark.sql.extensions` at startup). */

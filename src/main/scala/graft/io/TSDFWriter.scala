@@ -21,20 +21,29 @@ import org.apache.spark.sql.functions._
 object TSDFWriter {
 
   /** Shared shaping: derive the partition date + intra-day time, cluster one
-    * output file per date, order rows for page-stat pruning. */
-  private def prepared(tsdf: TSDF, optimizationCols: Seq[String]): DataFrame = {
+    * output file per date, order rows for page-stat pruning.
+    *
+    * `zorderCols` (2-3 numeric/timestamp columns): lay rows out along the
+    * Z-curve of those keys instead of the lexicographic sort — multi-column
+    * data skipping, the OSS equivalent of the reference's `OPTIMIZE ...
+    * ZORDER BY` pass (io.py:26-61). Costs one extra min/max aggregate job
+    * (see [[ZOrder.zvalue]]). */
+  private def prepared(tsdf: TSDF, optimizationCols: Seq[String],
+      zorderCols: Seq[String] = Seq.empty): DataFrame = {
     val df = tsdf.df
       .withColumn("event_dt", to_date(tsdf.ts))
       .withColumn("event_time",
         date_format(tsdf.ts, "HHmmss").cast("double"))
-    val sortCols = (tsdf.partitionCols ++ optimizationCols :+ tsdf.tsCol).map(col)
+    val sortCols =
+      if (zorderCols.nonEmpty) Seq(ZOrder.zvalue(df, zorderCols))
+      else (tsdf.partitionCols ++ optimizationCols :+ tsdf.tsCol).map(col)
     df.repartition(col("event_dt"))
       .sortWithinPartitions(sortCols: _*)
   }
 
   def write(tsdf: TSDF, path: String, optimizationCols: Seq[String] = Seq.empty,
-      format: String = "parquet"): Unit =
-    prepared(tsdf, optimizationCols)
+      format: String = "parquet", zorderCols: Seq[String] = Seq.empty): Unit =
+    prepared(tsdf, optimizationCols, zorderCols)
       .write.format(format)
       .partitionBy("event_dt")
       .mode("overwrite")
@@ -51,17 +60,22 @@ object TSDFWriter {
     val spark = tsdf.df.sparkSession
     val df = prepared(tsdf, optimizationCols)
     if (spark.catalog.tableExists(tableName)) {
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "dynamic")
-      try {
-        // insertInto matches columns by position: align with the table
-        val cols = spark.table(tableName).columns
-        df.select(cols.toIndexedSeq.map(col): _*).write.mode("overwrite").insertInto(tableName)
-      } finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
+      // dynamic overwrite needs the session conf (the per-write writer
+      // option is not honored on the v1 insertInto path, and writeTo()
+      // rejects v1 tables). Setting it on a session CLONE — shared catalog,
+      // isolated conf — keeps concurrent writes/queries on the caller's
+      // session from racing on the overwrite mode.
+      val iso = spark.newSession()
+      iso.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // insertInto matches columns by position: align with the table
+      val cols = iso.table(tableName).columns
+      org.apache.spark.sql.GraftColumns.inSession(iso, df)
+        .select(cols.toIndexedSeq.map(col): _*)
+        .write.mode("overwrite")
+        .insertInto(tableName)
+      // the insert refreshed the clone's view of the table; invalidate the
+      // caller's cached file listing too
+      spark.catalog.refreshTable(tableName)
     } else {
       df.write.format(format)
         .partitionBy("event_dt")

@@ -9,6 +9,14 @@ object GraftColumns {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Re-root a DataFrame's (analyzed, so temp-view-free) plan onto another
+    * session — used to run a write under an isolated session clone whose
+    * conf can be set freely without racing the caller's session
+    * (`Dataset.ofRows` is private[sql]). */
+  def inSession(session: SparkSession, df: Dataset[Row]): DataFrame =
+    classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession],
+      df.queryExecution.analyzed)
+
   /** Register a function on an already-running session (`sessionState` is
     * private[sql]); the extensions path covers session construction. */
   def registerFunction(spark: SparkSession,
