@@ -221,8 +221,17 @@ object Dedup {
     * two-pointer merge ([[graft.functions.SortedIntersectSize]]) replaces
     * `array_intersect`'s per-pair hash-set build. Sort each document's hash
     * set ONCE at projection time; every candidate pair then verifies
-    * allocation-free. Same value as [[jaccard]] on the same sets. */
-  def jaccardSorted(shA: Column, shB: Column): Column = {
+    * allocation-free. Same value as [[jaccard]] on the same sets.
+    *
+    * WARNING — unchecked precondition: both arrays MUST be ascending-sorted
+    * and duplicate-free (`array_sort(array_distinct(...))`, which shingle
+    * hash sets already are). The merge does not validate this — unsorted or
+    * duplicated input silently yields a wrong intersection count. The
+    * parameter names carry the contract; there is deliberately no per-pair
+    * runtime check, which would cost what the sorted merge saves. */
+  def jaccardSorted(sortedDistinctA: Column, sortedDistinctB: Column): Column = {
+    val shA = sortedDistinctA
+    val shB = sortedDistinctB
     import org.apache.spark.sql.GraftColumns
     val inter = GraftColumns.column(graft.functions.SortedIntersectSize(
       GraftColumns.expression(shA), GraftColumns.expression(shB)))

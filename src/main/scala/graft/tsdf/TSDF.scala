@@ -120,7 +120,17 @@ case class TSDF(
     * rows and a `missing_vals_pct` row, with the four global attributes as
     * leading columns. Eager (3 jobs) like the reference. Granularity is
     * derived from exact integer epoch-µs rather than the double-seconds CASE
-    * (identical for any representable timestamp, engine-reproducible). */
+    * (identical for any representable timestamp, engine-reproducible).
+    *
+    * NOTE — determinism trade-off: `mean` and `stddev` of Double/Float
+    * columns are computed on cent-quantized values (`round(x·100)/100`), so
+    * for data with more than 2 decimal places they are approximations of the
+    * raw-value statistics. Quantization makes the sums order-independent —
+    * the summary renders the same digits on any engine, partitioning or run,
+    * which a raw double aggregate cannot guarantee. Integer-typed columns
+    * are summarized exactly. Use `withGroupedStats` (or a plain `agg`) when
+    * full-precision floating-point moments matter more than reproducible
+    * display output. */
   def describe(): DataFrame = {
     val dblTsCol = s"${tsCol}_dbl"
     val thisDf = df.withColumn(dblTsCol, ts.cast(DoubleType))
