@@ -204,21 +204,44 @@ object Similarity {
     * probes its own bucket plus the `probes` smallest-margin single-bit
     * flips. One equi-join on the bucket id — no cross join; each
     * (query, neighbor) candidate appears at most once because a corpus
-    * vector lives in exactly one bucket and the probe set is distinct. */
+    * vector lives in exactly one bucket and the probe set is distinct.
+    *
+    * Skew guard: a hot corpus bucket (boilerplate-like embedding pileups)
+    * would otherwise concentrate its whole query×corpus fan-in on one join
+    * task. Buckets past `maxBucketSize` are SPLIT, not capped: the corpus
+    * key becomes (bucket, xh % nSub) using the [[SubBucketBits]] extra sign
+    * bits, and each probing query explodes over that bucket's nSub sub-keys
+    * — the candidate set (and therefore the result and its oracle) is
+    * bit-identical, only the key granularity changes. The per-bucket count
+    * table is at most 2^nBits rows, so both helper joins broadcast; no new
+    * shuffle. Identical vectors share xh and still pile into one sub-key —
+    * inherent, since dropping them would change the answer. */
   def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, dim: Int, k: Int, nBits: Int = 8, probes: Int = 8): DataFrame = {
-    val c = corpus.select(col(idCol).alias("neighbor_id"),
+      vecCol: String, dim: Int, k: Int, nBits: Int = 8, probes: Int = 8,
+      maxBucketSize: Int = 4096): DataFrame = {
+    val cFull = corpus.select(col(idCol).alias("neighbor_id"),
       asDouble(col(vecCol)).alias("__cv"))
       .withColumn("__cn", l2norm(col("__cv")))
-      .withColumn("__bucket", lshBucket(col("__cv"), dim, nBits))
+      .withColumn("__full", lshBucket(col("__cv"), dim, nBits + SubBucketBits))
+      .withColumn("__bucket", col("__full").bitwiseAND(lit((1L << nBits) - 1)))
+      .withColumn("__xh", shiftright(col("__full"), nBits))
+    val counts = cFull.groupBy(col("__bucket")).agg(
+      greatest(lit(1L),
+        ceil(count(lit(1)) / lit(maxBucketSize.toDouble)).cast("long"))
+        .alias("__nsub"))
+    val c = cFull.join(broadcast(counts), "__bucket")
+      .withColumn("__sub", pmod(col("__xh"), col("__nsub")))
     val q = queries.select(col(idCol).alias("query_id"),
       asDouble(col(vecCol)).alias("__qv"))
       .withColumn("__qn", l2norm(col("__qv")))
       .withColumn("__bucket",
         explode(probeBuckets(col("__qv"), dim, nBits, probes)))
+      // inner: probe buckets with no corpus rows contributed nothing before
+      .join(broadcast(counts), Seq("__bucket"))
+      .withColumn("__sub", explode(sequence(lit(0L), col("__nsub") - 1)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    q.join(c, "__bucket")
+    q.join(c, Seq("__bucket", "__sub"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))

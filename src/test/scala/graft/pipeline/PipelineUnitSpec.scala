@@ -240,6 +240,20 @@ class PipelineUnitSpec extends SparkTestBase {
       s"multi-probe recall $multiRecall worse than single-bucket $singleRecall")
   }
 
+  test("multi-probe sub-bucket split leaves the result bit-identical") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast(DoubleType) * 1000)).alias("q"))
+    val queries = emb.filter(col("vec_id") < 20)
+    // maxBucketSize=1 forces every bucket through the sub-key split; the
+    // candidate set — and so the ranked answer — must not change
+    val whole = Similarity.lshTopKMultiProbe(queries, emb, "vec_id", "q",
+      dim = 64, k = 3, nBits = 6, probes = 8, maxBucketSize = Int.MaxValue)
+    val split = Similarity.lshTopKMultiProbe(queries, emb, "vec_id", "q",
+      dim = 64, k = 3, nBits = 6, probes = 8, maxBucketSize = 1)
+    assertDfEquality(split, whole)
+  }
+
   test("sorted-merge intersect size equals array_intersect on random sets") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
