@@ -87,9 +87,15 @@ case class IntervalsDF(
     val series = seriesIds.map(col)
 
     // overlap depth per series: the end event (−1) sorts before the start
-    // event (+1) at an equal boundary, so touching intervals don't stack
+    // event (+1) at an equal boundary, so touching intervals don't stack.
+    // Depth is bounded by the series' interval count, so the windowed probe
+    // only runs over series whose count exceeds the threshold (a cheap
+    // partial+final aggregate prefilter) — for typical data the window
+    // sorts nothing at all.
+    val bigKeys = df.groupBy(series: _*).agg(count(lit(1)).alias("__cnt"))
+      .filter(col("__cnt") > depthThreshold).select(series: _*)
     val wd = Window.partitionBy(series: _*).orderBy(col("__b"), col("__d"))
-    val depths = df
+    val depths = df.join(bigKeys, seriesIds, "left_semi")
       .select(series :+ explode(array(
         struct(col(startTs).alias("__b"), lit(1).alias("__d")),
         struct(col(endTs).alias("__b"), lit(-1).alias("__d")))).alias("__e"): _*)
