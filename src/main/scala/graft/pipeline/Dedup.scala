@@ -109,15 +109,10 @@ object Dedup {
               col(s"__sig${b * rowsPerBand + r}"))).alias("bhash"))): _*))
         .alias("__band"))
       .select(col(idCol), col("__xh"), col("__band.band"), col("__band.bhash"))
-    val buckets = banded
-      .groupBy(col("band"), col("bhash"))
-      .agg(collect_list(struct(col(idCol).alias("id"), col("__xh").alias("xh")))
-        .alias("__e"))
-      .filter(size(col("__e")) >= 2)
-    val pairs = Similarity.subBucketPairs(array_sort(col("__e")), maxBucketSize,
-      ordered = false)
-    buckets
-      .select(explode(pairs).alias("__p"))
+    Similarity.subBucketPairsRelational(banded,
+      Seq(col("band"), col("bhash")), col("__xh"),
+      struct(col(idCol).alias("id"), col("__xh").alias("xh")),
+      maxBucketSize, ordered = false)
       .select(col("__p.a.id").alias(s"${idCol}_a"), col("__p.b.id").alias(s"${idCol}_b"))
       .distinct()
   }
@@ -194,13 +189,10 @@ object Dedup {
             .bitwiseAND(lit((1L << width) - 1)).alias("bval"))
       }: _*)).alias("__b"))
       .select(col(idCol), col("simhash"), col("__b.band"), col("__b.bval"))
-    val buckets = banded.groupBy(col("band"), col("bval"))
-      .agg(collect_list(struct(col(idCol).alias("id"),
-        col("simhash").alias("xh"))).alias("__e"))
-      .filter(size(col("__e")) >= 2)
-    val pairs = Similarity.subBucketPairs(array_sort(col("__e")), maxBucketSize,
-      ordered = false)
-    buckets.select(explode(pairs).alias("__p"))
+    Similarity.subBucketPairsRelational(banded,
+      Seq(col("band"), col("bval")), col("simhash"),
+      struct(col(idCol).alias("id"), col("simhash").alias("xh")),
+      maxBucketSize, ordered = false)
       .select(col("__p.a.id").alias(s"${idCol}_a"), col("__p.a.xh").alias("__ha"),
         col("__p.b.id").alias(s"${idCol}_b"), col("__p.b.xh").alias("__hb"))
       .distinct()

@@ -114,28 +114,65 @@ object Similarity {
     bindArr(entriesSorted) { es =>
       val nSub = greatest(lit(1L), ceil(size(es) / lit(c.toDouble)).cast("long"))
       flatten(transform(sequence(lit(0L), nSub - 1), s =>
-        bindArr(filter(es, e => pmod(e.getField("xh"), nSub) === s)) { sub =>
-          if (ordered)
-            flatten(transform(sub, x =>
-              transform(filter(slice(sub, 1, c), y =>
-                y.getField("id") =!= x.getField("id")),
-                y => struct(x.alias("a"), y.alias("b")))))
-          else
-            flatten(transform(slice(sub, 1, c), (x, i) =>
-              transform(slice(sub, i + 2, size(sub)), y =>
-                struct(x.alias("a"), y.alias("b")))))
-        }))
+        pairsWithinSub(filter(es, e => pmod(e.getField("xh"), nSub) === s), c, ordered)))
     }
+
+  /** All-pairs within ONE sub-bucket's id-sorted entries, pool-clamped —
+    * the shared inner step of [[subBucketPairs]] and
+    * [[subBucketPairsRelational]]. */
+  private def pairsWithinSub(subCol: Column, c: Int, ordered: Boolean): Column =
+    bindArr(subCol) { sub =>
+      if (ordered)
+        flatten(transform(sub, x =>
+          transform(filter(slice(sub, 1, c), y =>
+            y.getField("id") =!= x.getField("id")),
+            y => struct(x.alias("a"), y.alias("b")))))
+      else
+        flatten(transform(slice(sub, 1, c), (x, i) =>
+          transform(slice(sub, i + 2, size(sub)), y =>
+            struct(x.alias("a"), y.alias("b")))))
+    }
+
+  /** [[subBucketPairs]] with the sub-bucket MEMBERSHIP computed relationally
+    * — the production form for the bucketed pair pipelines.
+    *
+    * The array form partitions a bucket by running nSub `filter` passes over
+    * the whole entries array: O(m²/c) per oversized bucket, which the sf1
+    * self-gate exposed as 17-27× superlinear scaling on duplicate-heavy
+    * data. Here the per-bucket count comes from an unordered window on the
+    * bucket key and rows group directly by (bucket, xh % nSub); the window's
+    * exchange already clusters the finer key, so the groupBy adds NO second
+    * shuffle and each sub-bucket pays one O(|sub|·c) pair pass. Membership,
+    * pool and pair order are bit-identical to the array form (differential-
+    * tested), so the existing DuckDB oracle replays are untouched.
+    *
+    * `banded`: one row per bucket entry; `entry` must expose `id` and `xh`.
+    * Returns one row per pair, column `__p` = struct(a, b). */
+  def subBucketPairsRelational(banded: DataFrame, bucketCols: Seq[Column],
+      xh: Column, entry: Column, c: Int, ordered: Boolean): DataFrame = {
+    val w = Window.partitionBy(bucketCols: _*)
+    val nSub = greatest(lit(1L),
+      ceil(count(lit(1)).over(w) / lit(c.toDouble)).cast("long"))
+    banded
+      .withColumn("__s", pmod(xh, nSub))
+      .withColumn("__entry", entry)
+      .groupBy(bucketCols :+ col("__s"): _*)
+      .agg(collect_list(col("__entry")).alias("__e"))
+      .filter(size(col("__e")) >= 2)
+      .select(explode(
+        pairsWithinSub(array_sort(col("__e")), c, ordered)).alias("__p"))
+  }
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket
     * (single equi-join on the bucket id). Recall grows with fewer bits /
     * multiple probes; this is the 100 TB-shaped path — no cross join. */
-  /** (id, vector, norm, xh) entries grouped per LSH bucket — the shared
-    * scaffolding of the bucketed operators. One groupBy exchange; no
-    * self-join (aliased self-joins re-execute the bucket pipeline on both
-    * sides). Oversized buckets are handled downstream by [[subBucketPairs]]
-    * using the [[SubBucketBits]] extra sign bits carried in `xh`. */
-  private def bucketEntries(df: DataFrame, idCol: String, vecCol: String,
+  /** One (id, vector, norm, bucket, xh) row per vector — the shared
+    * scaffolding of the bucketed operators, feeding
+    * [[subBucketPairsRelational]]. No self-join (aliased self-joins
+    * re-execute the bucket pipeline on both sides). Oversized buckets are
+    * handled downstream using the [[SubBucketBits]] extra sign bits carried
+    * in `xh`. */
+  private def bucketRows(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, nBits: Int): DataFrame = {
     val full = lshBucket(col("__v"), dim, nBits + SubBucketBits)
     df.select(col(idCol), asDouble(col(vecCol)).alias("__v"))
@@ -143,20 +180,19 @@ object Similarity {
       .withColumn("__full", full)
       .withColumn("__bucket", col("__full").bitwiseAND(lit((1L << nBits) - 1)))
       .withColumn("__xh", shiftright(col("__full"), nBits))
-      .groupBy(col("__bucket"))
-      .agg(collect_list(struct(col(idCol).alias("id"), col("__v").alias("v"),
-        col("__n").alias("n"), col("__xh").alias("xh"))).alias("__e"))
-      .filter(size(col("__e")) >= 2)
-      .withColumn("__e", array_sort(col("__e"))) // by id: deterministic pairing
   }
+
+  private def vecEntry(idCol: String): Column =
+    struct(col(idCol).alias("id"), col("__v").alias("v"),
+      col("__n").alias("n"), col("__xh").alias("xh"))
 
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int, nBits: Int = 8, maxBucketSize: Int = 4096): DataFrame = {
-    val buckets = bucketEntries(df, idCol, vecCol, dim, nBits)
-    val pairs = subBucketPairs(col("__e"), maxBucketSize, ordered = true)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    buckets.select(explode(pairs).alias("__p"))
+    subBucketPairsRelational(bucketRows(df, idCol, vecCol, dim, nBits),
+      Seq(col("__bucket")), col("__xh"), vecEntry(idCol),
+      maxBucketSize, ordered = true)
       .select(col("__p.a.id").alias("query_id"), col("__p.b.id").alias("neighbor_id"),
         (dot(col("__p.a.v"), col("__p.b.v")) / (col("__p.a.n") * col("__p.b.n")))
           .alias("cosine"))
@@ -354,9 +390,9 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs above a threshold (a < b). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, nBits: Int = 6, maxBucketSize: Int = 4096): DataFrame = {
-    val buckets = bucketEntries(df, idCol, vecCol, dim, nBits)
-    val pairs = subBucketPairs(col("__e"), maxBucketSize, ordered = false)
-    buckets.select(explode(pairs).alias("__p"))
+    subBucketPairsRelational(bucketRows(df, idCol, vecCol, dim, nBits),
+      Seq(col("__bucket")), col("__xh"), vecEntry(idCol),
+      maxBucketSize, ordered = false)
       .select(col("__p.a.id").alias(s"${idCol}_a"), col("__p.b.id").alias(s"${idCol}_b"),
         (dot(col("__p.a.v"), col("__p.b.v")) / (col("__p.a.n") * col("__p.b.n")))
           .alias("cosine"))

@@ -240,6 +240,35 @@ class PipelineUnitSpec extends SparkTestBase {
       s"multi-probe recall $multiRecall worse than single-bucket $singleRecall")
   }
 
+  test("relational sub-bucket pairs equal the array-form spec on random buckets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    (0 until 5).foreach { trial =>
+      // skewed bucket sizes incl. far-over-clamp; duplicate-heavy xh values
+      val rows = (0 until 400).map { i =>
+        val bucket = rnd.nextInt(4).toLong
+        val xh = rnd.nextInt(6).toLong
+        (i.toLong, bucket, xh)
+      }
+      val df = rows.toDF("id", "bucket", "xh")
+      for (ordered <- Seq(true, false); clamp <- Seq(3, 1000)) {
+        val relational = Similarity.subBucketPairsRelational(df,
+          Seq(col("bucket")), col("xh"),
+          struct(col("id"), col("xh")), clamp, ordered)
+          .select(col("__p.a.id").alias("a"), col("__p.b.id").alias("b"))
+        val viaArray = df.groupBy(col("bucket"))
+          .agg(collect_list(struct(col("id"), col("xh"))).alias("__e"))
+          .filter(size(col("__e")) >= 2)
+          .select(explode(Similarity.subBucketPairs(
+            array_sort(col("__e")), clamp, ordered)).alias("__p"))
+          .select(col("__p.a.id").alias("a"), col("__p.b.id").alias("b"))
+        withClue(s"trial $trial ordered=$ordered clamp=$clamp: ") {
+          assertDfEquality(relational, viaArray)
+        }
+      }
+    }
+  }
+
   test("multi-probe sub-bucket split leaves the result bit-identical") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
       .select(col("vec_id"),
