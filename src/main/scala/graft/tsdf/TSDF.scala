@@ -277,9 +277,17 @@ object TSDF {
 
   /** Reference-parity constructor: like the case-class ctor, but a
     * StringType ts column is proactively converted to the nano-precision
-    * double epoch (validated against one sampled value) and replaces the
-    * original, exactly as the reference does at construction
-    * (tsdf.py:35-77). Non-string ts columns pass through untouched. */
+    * double epoch and replaces the original, exactly as the reference does
+    * at construction (tsdf.py:35-77). Non-string ts columns pass through
+    * untouched.
+    *
+    * Validation is two eager jobs (the constructor is eager by reference
+    * parity anyway): a one-row sample checked against the reference's
+    * format regex for a first-class message, then a full
+    * `try_to_timestamp IS NULL` count so a malformed string ANYWHERE in the
+    * data fails construction instead of silently parsing to null rows later
+    * (the reference shares that silent-null behavior; this is deliberately
+    * stricter). */
   def of(df: DataFrame, tsCol: String, partitionCols: Seq[String] = Seq.empty,
       sequenceCol: Option[String] = None): TSDF = {
     df.schema.find(_.name.equalsIgnoreCase(tsCol)).map(_.dataType) match {
@@ -289,6 +297,10 @@ object TSDF {
             require(isValidTsString(sample),
               s"ts string column '$tsCol' is not 'YYYY-MM-DD[ T]HH:MM:SS[.f+]': $sample")
           }
+        val bad = df.filter(col(tsCol).isNotNull &&
+          try_to_timestamp(col(tsCol)).isNull).count()
+        require(bad == 0,
+          s"$bad row(s) of ts string column '$tsCol' fail to parse as timestamps")
         val converted = parseNanosTimestamp(df, tsCol, "__parsed_ts", "__double_ts")
           .drop(tsCol, "__parsed_ts")
           .withColumnRenamed("__double_ts", tsCol)

@@ -162,6 +162,19 @@ class TsdfGoldenSpec extends SparkTestBase {
       ("u2", ts("2024-01-01 00:00:30"), 4.0)))
   }
 
+  test("TSDF.of rejects a malformed ts string anywhere in the data") {
+    val spark2 = spark
+    import spark2.implicits._
+    val good = Seq(("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 00:00:01"))
+    assert(TSDF.of(good.toDF("k", "ts"), "ts", Seq("k")).df.count() == 2)
+    // the first row samples valid, the bad row hides later in the data
+    val bad = good :+ (("a", "not-a-timestamp"))
+    val e = intercept[IllegalArgumentException] {
+      TSDF.of(bad.toDF("k", "ts"), "ts", Seq("k"))
+    }
+    assert(e.getMessage.contains("fail to parse"), e.getMessage)
+  }
+
   test("withPartitionCols rebinds the series and revalidates columns") {
     import spark.implicits._
     import java.sql.Timestamp
