@@ -324,9 +324,9 @@ object OracleSql {
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |sum(l_quantity) AS sum_qty,
-        |sum(round(l_extendedprice * 100)) / 100.0 AS sum_base_price,
-        |sum(round(l_extendedprice * 100) * (100 - round(l_discount * 100))) / 10000.0 AS sum_disc_price,
-        |sum(round(l_extendedprice * 100) * (100 - round(l_discount * 100)) * (100 + round(l_tax * 100))) / 1000000.0 AS sum_charge,
+        |sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+        |sum(CAST(round(l_extendedprice * 100) * (100 - round(l_discount * 100)) AS BIGINT)) / 10000.0 AS sum_disc_price,
+        |sum(CAST(round(l_extendedprice * 100) * (100 - round(l_discount * 100)) * (100 + round(l_tax * 100)) AS BIGINT)) / 1000000.0 AS sum_charge,
         |avg(l_quantity) AS avg_qty,
         |avg(round(l_extendedprice * 100)) / 100.0 AS avg_price,
         |avg(round(l_discount * 100)) / 100.0 AS avg_disc,

@@ -334,10 +334,16 @@ object SparkEntry {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).alias("sum_qty"),
-        (sum(col("epc")) / 100.0).alias("sum_base_price"),
-        (sum(col("epc") * (lit(100) - col("dc"))) / 10000.0).alias("sum_disc_price"),
-        (sum(col("epc") * (lit(100) - col("dc")) * (lit(100) + col("tc"))) / 1000000.0)
-          .alias("sum_charge"),
+        // sum the integer-scaled terms as LONGs: the charge sum passes 2^53
+        // at sf1, where a double sum loses exactness and goes order-
+        // dependent (observed as a last-ulp oracle mismatch); long sums stay
+        // exact to 9.2e18 and the final long->double division is the same
+        // rounding in every engine
+        (sum(col("epc").cast("long")) / 100.0).alias("sum_base_price"),
+        (sum((col("epc") * (lit(100) - col("dc"))).cast("long")) / 10000.0)
+          .alias("sum_disc_price"),
+        (sum((col("epc") * (lit(100) - col("dc")) * (lit(100) + col("tc"))).cast("long"))
+          / 1000000.0).alias("sum_charge"),
         avg(col("l_quantity")).alias("avg_qty"),
         (avg(col("epc")) / 100.0).alias("avg_price"),
         (avg(col("dc")) / 100.0).alias("avg_disc"),
