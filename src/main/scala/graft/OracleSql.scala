@@ -316,6 +316,13 @@ object OracleSql {
         |CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS event_dt_days
         |FROM events""".stripMargin,
 
+    // same multiset as q_write_roundtrip: the z-curve changes only layout
+    "q_write_zorder" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, value,
+        |CAST(CAST(strftime(ts, '%H%M%S') AS BIGINT) AS DOUBLE) AS event_time,
+        |CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS event_dt_days
+        |FROM events""".stripMargin,
+
     "q_cv_folds" ->
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |CAST(ntile(6) OVER (PARTITION BY user_id ORDER BY ts) - 1 AS BIGINT) AS split_idx

@@ -275,6 +275,20 @@ object SparkEntry {
       datediff(col("event_dt"), lit("1970-01-01")).cast(LongType).alias("event_dt_days"))
   }
 
+  /** Same round-trip as [[qWriteRoundtrip]] but laid out along the Z-curve
+    * of (ts, value) — covers MortonInterleave + ZOrder.zvalue end-to-end;
+    * the oracle is layout-independent (sorted-multiset compare). */
+  private def qWriteZorder(s: SparkSession, dir: String): DataFrame = {
+    val t = TSDF(events(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "ts", Seq("user_id"))
+    val path = System.getProperty("java.io.tmpdir") +
+      "/graft_zorder_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    graft.io.TSDFWriter.write(t, path, zorderCols = Seq("ts", "value"))
+    s.read.parquet(path).select(col("user_id"), usec(col("ts")).alias("ts_us"),
+      col("value"), col("event_time"),
+      datediff(col("event_dt"), lit("1970-01-01")).cast(LongType).alias("event_dt_days"))
+  }
+
   private def qTimeHorizon(s: SparkSession, dir: String): DataFrame =
     TSDF(events(s, dir).select("user_id", "ts"), "ts", Seq("user_id"))
       .timeHorizonPerSeries("1 hour")
@@ -575,6 +589,7 @@ object SparkEntry {
     "q_slice_ops" -> qSliceOps _,
     "q_intervals_union" -> qIntervalsUnion _,
     "q_write_roundtrip" -> qWriteRoundtrip _,
+    "q_write_zorder" -> qWriteZorder _,
     "q_cv_folds" -> qCvFolds _,
     "q1_pricing_summary" -> qPricingSummary _,
     "q_revenue_nation" -> qRevenueNation _,
