@@ -58,6 +58,45 @@ object OracleSql {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** Strict left-to-right squared-L2 replay of
+    * [[graft.functions.L2SqDistance]]'s loop: per-element squares first,
+    * then a sequential fold — the same IEEE op order, so doubles match. */
+  private def l2sqSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i]))), " +
+      s"(acc, x) -> acc + x)"
+
+  /** CTE chain replaying [[Similarity.trainIvfCodebook]]: hash-deterministic
+    * seeding, then `iters` unrolled Lloyd iterations (argmin assignment with
+    * ties to the lowest cell, per-(cell, dim) means, empty cells keep the
+    * previous centroid). Ends with CTE `c$iters(cell, cv)`. */
+  private def ivfTrainCtes(nlist: Int, iters: Int): String = {
+    val seedHash = Hashing.mixSql(Hashing.polyHashSql("CAST(vec_id AS VARCHAR)"), 0)
+    val sb = new StringBuilder
+    sb ++= s"""q AS (SELECT vec_id, $qv AS q FROM embeddings),
+       |h AS (SELECT vec_id, q, $seedHash AS h FROM q),
+       |c0 AS (SELECT cell, q AS cv FROM (SELECT q, row_number()
+       |  OVER (ORDER BY h, CAST(vec_id AS VARCHAR)) - 1 AS cell FROM h)
+       |  WHERE cell < $nlist),
+       |""".stripMargin
+    for (k <- 1 to iters) {
+      val prev = s"c${k - 1}"
+      sb ++= s"""a$k AS (SELECT vec_id, q, cell FROM (
+         |  SELECT h.vec_id, h.q, c.cell, row_number() OVER (
+         |    PARTITION BY h.vec_id ORDER BY ${l2sqSql("h.q", "c.cv")}, c.cell) AS rk
+         |  FROM q h, $prev c) WHERE rk = 1),
+         |m$k AS (SELECT cell, pos, avg(x) AS m FROM (
+         |  SELECT cell, unnest(q) AS x, unnest(range(1, len(q)+1)) AS pos FROM a$k)
+         |  GROUP BY cell, pos),
+         |c$k AS (SELECT c.cell AS cell, list(COALESCE(m.m, c.cv[c.p]) ORDER BY c.p) AS cv
+         |  FROM (SELECT cell, cv, unnest(range(1, len(cv)+1)) AS p FROM $prev) c
+         |  LEFT JOIN m$k m ON m.cell = c.cell AND m.pos = c.p
+         |  GROUP BY c.cell),
+         |""".stripMargin
+    }
+    sb.toString.stripSuffix(",\n")
+  }
+
   /** sign-LSH bucket id from the shared integer plane matrix (dim 64) */
   private def lshBucketSql(vec: String, dim: Int, nBits: Int): String =
     (0 until nBits).map { p =>
@@ -315,6 +354,12 @@ object OracleSql {
         |CAST(CAST(strftime(ts, '%H%M%S') AS BIGINT) AS DOUBLE) AS event_time,
         |CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS event_dt_days
         |FROM events""".stripMargin,
+
+    // the trained codebook replayed via two unrolled Lloyd iterations
+    "q_ivf_train" ->
+      s"""WITH ${ivfTrainCtes(4, 2)}
+         |SELECT cell, unnest(range(1, len(cv)+1)) AS pos,
+         |unnest(cv) AS mean_value FROM c2""".stripMargin,
 
     // same multiset as q_write_roundtrip: the z-curve changes only layout
     "q_write_zorder" ->

@@ -480,6 +480,21 @@ object SparkEntry {
         col("neighbor_id"), col("cosine"))
   }
 
+  /** The trained IVF codebook itself as the query output: k-means over the
+    * quantized embeddings (nlist=4, iters=2), emitted as one row per
+    * (cell, 1-based dim). The oracle unrolls both Lloyd iterations as
+    * DuckDB CTEs — exact-integer vectors make every per-cell mean an exact
+    * sum/count, so the codebook doubles match bit-for-bit. */
+  private def qIvfTrain(s: SparkSession, dir: String): DataFrame = {
+    val d = quantized(s, dir).select(col("vec_id"), col("q"))
+    val cb = Similarity.trainIvfCodebook(d, "vec_id", "q", nlist = 4, iters = 2)
+    val rows = for ((c, cell) <- cb.zipWithIndex; (v, pos) <- c.zipWithIndex)
+      yield (cell.toLong, pos.toLong + 1L, v)
+    val s2 = s
+    import s2.implicits._
+    rows.toDF("cell", "pos", "mean_value")
+  }
+
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(quantized(s, dir), "vec_id", "q", dim = 64, k = 3, nBits = 6)
       .select(col("query_id"), col("rank").cast(LongType).alias("rank"),
@@ -590,6 +605,7 @@ object SparkEntry {
     "q_intervals_union" -> qIntervalsUnion _,
     "q_write_roundtrip" -> qWriteRoundtrip _,
     "q_write_zorder" -> qWriteZorder _,
+    "q_ivf_train" -> qIvfTrain _,
     "q_cv_folds" -> qCvFolds _,
     "q1_pricing_summary" -> qPricingSummary _,
     "q_revenue_nation" -> qRevenueNation _,
