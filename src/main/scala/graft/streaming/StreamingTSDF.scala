@@ -185,6 +185,32 @@ object StreamingTSDF {
           metricsOut): _*)
   }
 
+  /** Stream-stream tolerance join: each left row pairs with EVERY right row
+    * of its series whose timestamp lies in [left.ts − tolerance, left.ts] —
+    * the windowed relaxation of the as-of join (which keeps only the latest
+    * such row), built on Spark's native watermarked stream-stream join so
+    * state cleanup, late-data handling and scale-out come from the engine:
+    * both sides shuffle once on the series key and right-side state is
+    * dropped as the watermark passes `tolerance + delay`. Prefer this over
+    * [[asofJoin]] when downstream wants all-matches (feature windows) or
+    * when exact engine-managed state bounds matter more than latest-only
+    * semantics. */
+  def toleranceJoin(left: DataFrame, right: DataFrame, tsCol: String,
+      seriesCols: Seq[String], rightMetricCols: Seq[String], tolerance: String,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val lw = left.withWatermark(tsCol, watermarkDelay).alias("l")
+    val rw = right
+      .select((seriesCols :+ tsCol).map(col) ++ rightMetricCols.map(col): _*)
+      .withWatermark(tsCol, watermarkDelay).alias("r")
+    val cond = seriesCols.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _) &&
+      col(s"r.$tsCol") <= col(s"l.$tsCol") &&
+      col(s"r.$tsCol") >= col(s"l.$tsCol") - expr(s"INTERVAL $tolerance")
+    lw.join(rw, cond, "inner")
+      .select(left.columns.map(c => col(s"l.$c")) ++
+        (col(s"r.$tsCol").alias(s"right_$tsCol") +:
+          rightMetricCols.map(m => col(s"r.$m").alias(s"right_$m"))): _*)
+  }
+
   // ------------------------------------------------ streaming EMA
   case class EmaEvent(series: String, tsUs: Long, value: Double,
       eventTime: java.sql.Timestamp)

@@ -112,6 +112,41 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("property: stream-stream tolerance join equals the batch join on random series") {
+    val rnd = new scala.util.Random(46)
+    (0 until 3).foreach { trial =>
+      val leftRows = randomSeries(rnd, pinEnds = false)
+      val rightRows = randomSeries(rnd, pinEnds = false)
+      val spark2 = spark
+      import spark2.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val memL = MemoryStream[(String, Timestamp, Double)]
+      val memR = MemoryStream[(String, Timestamp, Double)]
+      runId += 1
+      val name = s"tol_sink_$runId"
+      val out = StreamingTSDF.toleranceJoin(
+        memL.toDF().toDF("user_id", "ts", "value"),
+        memR.toDF().toDF("user_id", "ts", "rv"),
+        "ts", Seq("user_id"), Seq("rv"), tolerance = "5 minutes")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      memL.addData(leftRows: _*)
+      memR.addData(rightRows: _*)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table(name)
+      val l = leftRows.toDF("user_id", "ts", "value").alias("l")
+      val r = rightRows.toDF("user_id", "ts", "rv").alias("r")
+      val batch = l.join(r,
+        col("l.user_id") === col("r.user_id") &&
+          col("r.ts") <= col("l.ts") &&
+          col("r.ts") >= col("l.ts") - expr("INTERVAL 5 minutes"), "inner")
+        .select(col("l.user_id"), col("l.ts"), col("l.value"),
+          col("r.ts").alias("right_ts"), col("r.rv").alias("right_rv"))
+      withClue(s"trial $trial: ") { assertDfEquality(streamed, batch) }
+    }
+  }
+
   test("property: streaming interpolate equals batch resample(floor)+interpolate") {
     val rnd = new scala.util.Random(45)
     for (trial <- 0 until 3; method <- Seq("ffill", "linear")) {
