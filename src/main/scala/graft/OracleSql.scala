@@ -253,6 +253,18 @@ object OracleSql {
          |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)""".stripMargin
     },
 
+    // gaps-and-islands session assignment: break where the integer-us gap
+    // from the previous event exceeds 30 minutes, running sum of breaks
+    "q_sessionize" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us, ts, value,
+        |lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events)
+        |SELECT user_id, ts_us, value,
+        |CAST(sum(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+        |  AS session_id
+        |FROM l""".stripMargin,
+
     // the exact EMA recursion replayed as a recursive CTE stepping row rank
     // rn -> rn+1 per series: 0.5·x + 0.5·prev is the same IEEE op sequence
     // the EmaExact window aggregate runs, so doubles match bit-for-bit

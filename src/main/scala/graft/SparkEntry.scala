@@ -187,6 +187,12 @@ object SparkEntry {
       .df.select(col("user_id"), usec(col("ts")).alias("ts_us"), col("value"),
         col("ema_value"))
 
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    eventsTsdf(s, dir, "user_id", col("value"))
+      .sessionize(gapSeconds = 1800)
+      .df.select(col("user_id"), usec(col("ts")).alias("ts_us"), col("value"),
+        col("session_id"))
+
   private def qEmaExact(s: SparkSession, dir: String): DataFrame =
     eventsTsdf(s, dir, "user_id", col("value"))
       .emaExact("value", alpha = 0.5)
@@ -596,6 +602,7 @@ object SparkEntry {
     "q_vwap" -> qVwap _,
     "q_ema" -> qEma _,
     "q_ema_exact" -> qEmaExact _,
+    "q_sessionize" -> qSessionize _,
     "q_state_intervals" -> qStateIntervals _,
     "q_bars" -> qBars _,
     "q_intervals_pivot" -> qIntervalsPivot _,

@@ -285,6 +285,20 @@ object StreamingTSDF {
       .drop("__w")
   }
 
+  /** Streaming sessionization: per-series session aggregates via Spark's
+    * native `session_window` (dynamic-gap event-time windows) — sessions
+    * close and emit once the watermark passes `gap` past their last event.
+    * The streaming face of [[graft.tsdf.Sessionize.intervals]] (equality
+    * asserted differentially on random series). */
+  def sessionIntervals(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      gap: String, watermarkDelay: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(seriesCols.map(col) :+ session_window(col(tsCol), gap).alias("__w"): _*)
+      .agg(min(col(tsCol)).alias("session_start"),
+        max(col(tsCol)).alias("session_end"),
+        count(lit(1)).alias("n_events"))
+      .drop("__w")
+
   /** Streaming exact dedup on a normalized-text fingerprint: the streaming
     * face of `Dedup.exactNormalized`. State per fingerprint is bounded by
     * the watermark (`dropDuplicatesWithinWatermark`): two copies arriving

@@ -254,6 +254,9 @@ case class TSDF(
   def emaExact(colToCalc: String, alpha: Double): TSDF =
     Stats.emaExact(this, colToCalc, alpha)
 
+  def sessionize(gapSeconds: Long): TSDF =
+    copy(df = Sessionize.assign(df, tsCol, partitionCols, gapSeconds))
+
   def withLookbackFeatures(featureCols: Seq[String], lookbackWindowSize: Int,
       exactSize: Boolean = true, featureColName: String = "features"): TSDF =
     Stats.withLookbackFeatures(this, featureCols, lookbackWindowSize, exactSize, featureColName)

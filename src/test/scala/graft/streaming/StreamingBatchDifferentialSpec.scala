@@ -112,6 +112,28 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("property: streaming session_window intervals equal batch sessionize on random series") {
+    val rnd = new scala.util.Random(47)
+    (0 until 4).foreach { trial =>
+      // gap of 145s is off the 6s data lattice, so no inter-event gap ever
+      // EQUALS the threshold — where batch (gap > g breaks) and
+      // session_window (gap >= g breaks) boundary conventions would differ
+      val rows = randomSeries(rnd, pinEnds = false) :+ (("u1", sentinel, 0.0))
+      val streamed = runStream(rows, df =>
+        StreamingTSDF.sessionIntervals(df, "ts", Seq("user_id"),
+          gap = "145 seconds", watermarkDelay = "0 seconds"))
+        .select("user_id", "session_start", "session_end", "n_events")
+        .filter(col("session_start") < sentinel)
+      val spark2 = spark
+      import spark2.implicits._
+      val batch = graft.tsdf.Sessionize.intervals(
+        rows.toDF("user_id", "ts", "value"), "ts", Seq("user_id"), gapSeconds = 145)
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+        .filter(col("session_start") < sentinel)
+      withClue(s"trial $trial: ") { assertDfEquality(streamed, batch) }
+    }
+  }
+
   test("property: stream-stream tolerance join equals the batch join on random series") {
     val rnd = new scala.util.Random(46)
     (0 until 3).foreach { trial =>
