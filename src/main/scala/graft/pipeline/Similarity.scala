@@ -387,6 +387,74 @@ object Similarity {
     centroids
   }
 
+  /** Product-quantization codes: the vector splits into `codebooks.size`
+    * contiguous subvectors; codes(m) = argmin_j l2sq(sub_m(v),
+    * codebooks(m)(j)), ties to the lowest j. Pure column algebra against
+    * array-literal sub-codebooks (no join); on integer-quantized vectors
+    * every distance is an exact integer, so encoding is engine-exact. */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    array(codebooks.zipWithIndex.map { case (cb, m) =>
+      val subDim = cb.head.size
+      val sub = slice(vec, m * subDim + 1, subDim)
+      bindArr(transform(typedLit(cb), c => l2sq(sub, c))) { d =>
+        array_position(d, array_min(d)) - 1
+      }
+    }: _*)
+  }
+
+  /** IVF-PQ ANN top-k: coarse cells route candidates (argmin over the
+    * `centroids` literal, `nprobe` nearest cells probed — same scaffold as
+    * [[ivfTopK]]); candidates rank by the PQ asymmetric distance — the sum
+    * over subspaces of l2sq(sub_m(query), codebook centroid named by the
+    * candidate's code). The corpus stores only M small codes per vector
+    * (the 100 TB memory story: 4 bytes instead of 256 at dim 64/M=4); the
+    * query side evaluates its M×ks distance table via the codegen'd
+    * [[graft.functions.L2SqDistance]]. Raw-vector PQ (no residuals),
+    * integer-exact end to end, ADC ties break to the lowest neighbor id. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Seq[Seq[Double]], nprobe: Int,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(centroids.nonEmpty && nprobe >= 1 && codebooks.nonEmpty)
+    val nlist = centroids.size
+    val centLit = typedLit(centroids)
+    def dists(v: Column): Column = transform(centLit, c => l2sq(v, c))
+    def nearestCell(v: Column): Column = bindArr(dists(v)) { d =>
+      array_position(d, array_min(d)) - 1
+    }
+    def probeCells(v: Column): Column = bindArr(dists(v)) { d =>
+      val ranked = array_sort(zip_with(d,
+        sequence(lit(0L), lit(nlist.toLong - 1)),
+        (dist, i) => struct(dist.alias("d"), i.alias("i"))))
+      transform(slice(ranked, 1, nprobe), e => e.getField("i"))
+    }
+    val c = corpus.select(col(idCol).alias("neighbor_id"),
+      asDouble(col(vecCol)).alias("__cv"))
+      .withColumn("__cell", nearestCell(col("__cv")))
+      .withColumn("__codes", pqEncode(col("__cv"), codebooks))
+      .drop("__cv")
+    // per-query ADC table: dtable(m)(j) = l2sq(sub_m(q), codebooks(m)(j))
+    val q = queries.select(col(idCol).alias("query_id"),
+      asDouble(col(vecCol)).alias("__qv"))
+      .withColumn("__dt", array(codebooks.zipWithIndex.map { case (cb, m) =>
+        val subDim = cb.head.size
+        transform(typedLit(cb), cc => l2sq(slice(col("__qv"), m * subDim + 1, subDim), cc))
+      }: _*))
+      .withColumn("__cell", explode(probeCells(col("__qv"))))
+      .drop("__qv")
+    val adc = codebooks.indices.map { m =>
+      element_at(element_at(col("__dt"), m + 1),
+        (element_at(col("__codes"), m + 1) + 1L).cast("int"))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    q.join(c, "__cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (a < b). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, nBits: Int = 6, maxBucketSize: Int = 4096): DataFrame = {

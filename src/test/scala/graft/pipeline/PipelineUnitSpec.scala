@@ -204,6 +204,29 @@ class PipelineUnitSpec extends SparkTestBase {
     }
   }
 
+  test("ivfPqTopK keeps neighbors in-cluster; ADC prefers the query's own cluster") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(10.0, 0.0, 0.0, 10.0)), (2L, Seq(11.0, 0.0, 0.0, 11.0)),
+      (3L, Seq(10.0, 1.0, 1.0, 10.0)),
+      (4L, Seq(0.0, 10.0, 10.0, 0.0)), (5L, Seq(0.0, 11.0, 11.0, 0.0)),
+      (6L, Seq(1.0, 10.0, 10.0, 1.0)))
+      .toDF("vec_id", "v")
+    val centroids = Seq(Seq(10.0, 0.0, 0.0, 10.0), Seq(0.0, 10.0, 10.0, 0.0))
+    // sub-codebooks: two dim-2 subspaces, sub-centroids from the same two
+    val codebooks = (0 until 2).map(m => centroids.map(_.slice(m * 2, m * 2 + 2)))
+    val out = Similarity.ivfPqTopK(vecs, vecs, "vec_id", "v", k = 2,
+      centroids, nprobe = 1, codebooks).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val sameCluster = (r.getLong(0) <= 3) == (r.getLong(2) <= 3)
+      assert(sameCluster, s"$r crossed clusters")
+      // ADC to a same-cluster code is the distance to the cluster's
+      // sub-centroids: small for in-cluster candidates
+      assert(r.getDouble(3) <= 12.0, s"$r ADC unexpectedly large")
+    }
+  }
+
   test("simhashPairs finds near-identical docs and skips unrelated ones") {
     import spark.implicits._
     val docs = Seq(
