@@ -525,6 +525,40 @@ object OracleSql {
     // replaying Similarity.subBucketPairs exactly. The lossless size-ratio
     // prefilter is intentionally NOT replayed (it never removes a qualifying
     // pair).
+    // cross-corpus contamination: same banding as q_minhash_pairs on both
+    // sides (side B = doc_id % 7), plain (band, bhash) join, set-jaccard
+    // verify on distinct hashed shingles
+    "q_contamination" -> {
+      val bands = 6; val rpb = 3; val k = bands * rpb
+      val shingleExpr =
+        "CASE WHEN len(toks) >= 2 THEN list_distinct(list_transform(" +
+          "generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) " +
+          "ELSE [array_to_string(toks, ' ')] END"
+      val sigList = (0 until k)
+        .map(s => s"list_min(list_transform(hs, h -> ${Hashing.mixSql("h", s)}))")
+        .mkString("[", ",\n    ", "]")
+      val bandSelects = (0 until bands).map { b =>
+        val bh = Hashing.foldHashesSql((0 until rpb).map(i => s"sig[${b * rpb + i + 1}]"))
+        s"SELECT doc_id, $b AS band, $bh AS bhash FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH d AS (SELECT doc_id, $norm AS nrm FROM documents),
+         |t AS (SELECT doc_id, string_split(nrm, ' ') AS toks FROM d),
+         |shg AS (SELECT doc_id, $shingleExpr AS sh FROM t),
+         |hsh AS (SELECT doc_id, list_distinct(list_transform(sh, x -> ${Hashing.polyHashSql("x")})) AS hs FROM shg),
+         |sig AS (SELECT doc_id, $sigList AS sig FROM hsh),
+         |banded AS (
+         |  $bandSelects),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bhash = b.bhash
+         |  WHERE b.doc_id % 7 = 0),
+         |verify AS (SELECT p.doc_id_a, p.doc_id_b,
+         |  CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+         |  ((len(x.hs) + len(y.hs)) - CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)) AS jaccard
+         |  FROM pairs p JOIN hsh x ON x.doc_id = p.doc_id_a
+         |  JOIN hsh y ON y.doc_id = p.doc_id_b)
+         |SELECT doc_id_a, doc_id_b, jaccard FROM verify WHERE jaccard >= 0.7""".stripMargin
+    },
+
     "q_minhash_pairs" -> {
       val bands = 6; val rpb = 3; val k = bands * rpb; val clamp = 50
       val shingleExpr =

@@ -187,6 +187,15 @@ object SparkEntry {
       .df.select(col("user_id"), usec(col("ts")).alias("ts_us"), col("value"),
         col("ema_value"))
 
+  /** Contamination check: near-dups between the corpus and a deterministic
+    * "eval" subset (doc_id % 7 = 0) — overlapping docs pair with themselves
+    * at jaccard 1.0 plus any genuine near-dups across the sides. */
+  private def qContamination(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Dedup.crossCorpusNearDuplicates(
+      docs(s, dir), docs(s, dir).filter(col("doc_id") % 7 === 0),
+      "text", "doc_id", shingleWidth = 2, bands = 6, rowsPerBand = 3,
+      threshold = 0.7)
+
   private def qSessionize(s: SparkSession, dir: String): DataFrame =
     eventsTsdf(s, dir, "user_id", col("value"))
       .sessionize(gapSeconds = 1800)
@@ -617,6 +626,7 @@ object SparkEntry {
     "q_ema" -> qEma _,
     "q_ema_exact" -> qEmaExact _,
     "q_sessionize" -> qSessionize _,
+    "q_contamination" -> qContamination _,
     "q_state_intervals" -> qStateIntervals _,
     "q_bars" -> qBars _,
     "q_intervals_pivot" -> qIntervalsPivot _,

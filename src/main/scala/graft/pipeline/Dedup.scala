@@ -231,6 +231,34 @@ object Dedup {
     inter / (size(shA) + size(shB) - inter)
   }
 
+  /** Cross-corpus near-duplicates — the contamination check (does the eval
+    * set leak into the training corpus?): pairs (a, b, jaccard ≥ threshold)
+    * between TWO corpora. Both sides band with the batch fast path
+    * ([[graft.streaming.StreamingDedup.bandedCorpus]] — explode +
+    * hash-aggregate signature minima); candidates are one (band, bhash)
+    * equi-join, verified with the codegen'd sorted-merge Jaccard. Shuffles:
+    * two signature aggregates + the join + the final distinct; the eval
+    * side is typically small enough for AQE to broadcast. */
+  def crossCorpusNearDuplicates(a: DataFrame, b: DataFrame, textCol: String,
+      idCol: String, shingleWidth: Int = 3, bands: Int = 6,
+      rowsPerBand: Int = 3, threshold: Double = 0.7): DataFrame = {
+    import graft.streaming.StreamingDedup.bandedCorpus
+    def side(df: DataFrame, suffix: String) =
+      bandedCorpus(df, textCol, idCol, shingleWidth, bands, rowsPerBand)
+        .select(col(idCol).alias(s"${idCol}_$suffix"),
+          array_sort(col("__sh")).alias(s"__sh$suffix"),
+          col("band"), col("bhash"))
+    val sizeRatio =
+      least(size(col("__sha")), size(col("__shb"))).cast(DoubleType) /
+        greatest(size(col("__sha")), size(col("__shb")))
+    side(a, "a").join(side(b, "b"), Seq("band", "bhash"))
+      .filter(sizeRatio >= threshold)
+      .withColumn("jaccard", jaccardSorted(col("__sha"), col("__shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
+      .distinct()
+  }
+
   /** LSH candidates verified with exact Jaccard ≥ threshold.
     *
     * Before touching the shingle arrays, candidates are prefiltered on the

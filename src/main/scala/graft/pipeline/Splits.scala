@@ -1,0 +1,38 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines.
+  *
+  * `randomSplit` is seed-dependent AND partitioning-dependent (a repartition
+  * reshuffles the split); hashing a stable id is neither: every row lands in
+  * the same split on every run, any cluster, any engine — which is what
+  * train/val/test contracts need. Pure column algebra over the
+  * engine-agnostic [[Hashing]] so the assignment replays in SQL oracles. */
+object Splits {
+
+  /** Split index in [0, weights.size) per row: the id hashes to a uniform
+    * bucket in [0, total), and cumulative weight ranges carve the buckets.
+    * Integer weights make the carve exact (e.g. 8/1/1 for 80/10/10). */
+  def splitIndex(idCol: Column, weights: Seq[Int]): Column = {
+    require(weights.nonEmpty && weights.forall(_ > 0), "weights must be positive")
+    val total = weights.sum
+    val bucket = pmod(Hashing.mix(Hashing.polyHash(idCol.cast("string")), 7), lit(total))
+    val bounds = weights.scanLeft(0)(_ + _)
+    (0 until weights.size).map { i =>
+      when(bucket >= bounds(i) && bucket < bounds(i + 1), lit(i.toLong))
+    }.reduce(_ otherwise _).otherwise(lit(0L))
+  }
+
+  /** Tag every row with its `split` index (0-based, in weight order). */
+  def assign(df: DataFrame, idCol: String, weights: Seq[Int],
+      outCol: String = "split"): DataFrame =
+    df.withColumn(outCol, splitIndex(col(idCol), weights))
+
+  /** The rows of one split — `assign` + filter, for `df.transform` chains. */
+  def take(df: DataFrame, idCol: String, weights: Seq[Int], idx: Int): DataFrame = {
+    require(idx >= 0 && idx < weights.size, s"split $idx out of range")
+    df.filter(splitIndex(col(idCol), weights) === idx.toLong)
+  }
+}
