@@ -525,6 +525,16 @@ object OracleSql {
     // replaying Similarity.subBucketPairs exactly. The lossless size-ratio
     // prefilter is intentionally NOT replayed (it never removes a qualifying
     // pair).
+    // deterministic 8/1/1 split: hash bucket in [0, 10), ranges carve splits
+    "q_split_assign" -> {
+      val bucket =
+        s"(${Hashing.mixSql(Hashing.polyHashSql("CAST(doc_id AS VARCHAR)"), 7)}) % 10"
+      s"""SELECT doc_id,
+         |CAST(CASE WHEN $bucket < 8 THEN 0 WHEN $bucket < 9 THEN 1 ELSE 2 END AS BIGINT)
+         |  AS split
+         |FROM documents""".stripMargin
+    },
+
     // cross-corpus contamination: same banding as q_minhash_pairs on both
     // sides (side B = doc_id % 7), plain (band, bhash) join, set-jaccard
     // verify on distinct hashed shingles

@@ -196,6 +196,11 @@ object SparkEntry {
       "text", "doc_id", shingleWidth = 2, bands = 6, rowsPerBand = 3,
       threshold = 0.7)
 
+  /** 80/10/10 deterministic train/val/test assignment over documents. */
+  private def qSplitAssign(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Splits.assign(
+      docs(s, dir).select("doc_id"), "doc_id", Seq(8, 1, 1))
+
   private def qSessionize(s: SparkSession, dir: String): DataFrame =
     eventsTsdf(s, dir, "user_id", col("value"))
       .sessionize(gapSeconds = 1800)
@@ -627,6 +632,7 @@ object SparkEntry {
     "q_ema_exact" -> qEmaExact _,
     "q_sessionize" -> qSessionize _,
     "q_contamination" -> qContamination _,
+    "q_split_assign" -> qSplitAssign _,
     "q_state_intervals" -> qStateIntervals _,
     "q_bars" -> qBars _,
     "q_intervals_pivot" -> qIntervalsPivot _,

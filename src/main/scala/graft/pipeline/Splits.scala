@@ -20,9 +20,13 @@ object Splits {
     val total = weights.sum
     val bucket = pmod(Hashing.mix(Hashing.polyHash(idCol.cast("string")), 7), lit(total))
     val bounds = weights.scanLeft(0)(_ + _)
-    (0 until weights.size).map { i =>
-      when(bucket >= bounds(i) && bucket < bounds(i + 1), lit(i.toLong))
-    }.reduce(_ otherwise _).otherwise(lit(0L))
+    // single CASE chain: bucket < bounds(i+1) picks split i; the last split
+    // is the otherwise (bucket is always < total)
+    (1 until weights.size - 1)
+      .foldLeft(when(bucket < bounds(1), lit(0L))) { (acc, i) =>
+        acc.when(bucket < bounds(i + 1), lit(i.toLong))
+      }
+      .otherwise(lit(weights.size.toLong - 1))
   }
 
   /** Tag every row with its `split` index (0-based, in weight order). */
