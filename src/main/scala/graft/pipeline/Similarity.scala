@@ -387,6 +387,23 @@ object Similarity {
     centroids
   }
 
+  /** Train the PQ sub-codebooks: per subspace, deterministic Lloyd's
+    * k-means over the sliced subvectors — [[trainIvfCodebook]] applied M
+    * times (M·iters distributed passes; M is small by construction). The
+    * result feeds [[pqEncode]]/[[ivfPqTopK]] unchanged and inherits the
+    * bit-determinism of the underlying trainer on integer-quantized
+    * vectors. */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ks: Int, iters: Int = 5): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    (0 until m).map { i =>
+      val sub = corpus.select(col(idCol),
+        slice(asDouble(col(vecCol)), i * subDim + 1, subDim).alias("__sub"))
+      trainIvfCodebook(sub, idCol, "__sub", ks, iters)
+    }
+  }
+
   /** Product-quantization codes: the vector splits into `codebooks.size`
     * contiguous subvectors; codes(m) = argmin_j l2sq(sub_m(v),
     * codebooks(m)(j)), ties to the lowest j. Pure column algebra against

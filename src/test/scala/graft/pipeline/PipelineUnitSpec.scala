@@ -204,6 +204,32 @@ class PipelineUnitSpec extends SparkTestBase {
     }
   }
 
+  test("trainPqCodebooks converges per subspace and feeds ivfPqTopK end-to-end") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(10.0, 0.0, 0.0, 10.0)), (2L, Seq(12.0, 0.0, 0.0, 12.0)),
+      (3L, Seq(10.0, 2.0, 2.0, 10.0)),
+      (4L, Seq(0.0, 10.0, 10.0, 0.0)), (5L, Seq(0.0, 12.0, 12.0, 0.0)),
+      (6L, Seq(2.0, 10.0, 10.0, 2.0)))
+      .toDF("vec_id", "v")
+    val cbs = Similarity.trainPqCodebooks(vecs, "vec_id", "v",
+      dim = 4, m = 2, ks = 2, iters = 4)
+    assert(cbs.size == 2 && cbs.forall(_.size == 2))
+    val again = Similarity.trainPqCodebooks(vecs, "vec_id", "v",
+      dim = 4, m = 2, ks = 2, iters = 4)
+    assert(cbs == again, "PQ training must be bit-deterministic")
+    // each subspace's codebook holds the two sub-cluster means
+    val sub0 = cbs.head.map(_.map(math.round)).toSet
+    assert(sub0 == Set(Seq(11L, 1L), Seq(1L, 11L)), cbs.head.toString)
+    val centroids = Seq(Seq(10.0, 0.0, 0.0, 10.0), Seq(0.0, 10.0, 10.0, 0.0))
+    val out = Similarity.ivfPqTopK(vecs, vecs, "vec_id", "v", k = 2,
+      centroids, nprobe = 1, cbs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert((r.getLong(0) <= 3) == (r.getLong(2) <= 3), s"$r crossed clusters")
+    }
+  }
+
   test("ivfPqTopK keeps neighbors in-cluster; ADC prefers the query's own cluster") {
     import spark.implicits._
     val vecs = Seq(
