@@ -90,6 +90,41 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exchanges(pairs) == 3, p)
   }
 
+  test("sessionize is one series exchange (both window passes reuse it)") {
+    import spark.implicits._
+    val rows = (0 until 100).map(i =>
+      ("u" + i % 3, new java.sql.Timestamp(i * 60000L), i.toDouble))
+      .toDF("user_id", "ts", "value")
+    val out = graft.tsdf.Sessionize.assign(rows, "ts", Seq("user_id"), 1800)
+    assert(exchanges(out) == 1, plan(out))
+  }
+
+  test("IVF-PQ candidates flow through the cell equi-join, never a cross join") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    val vecs = (0 until 60)
+      .map(i => (i.toLong, (0 until 16).map(d => ((i * 31 + d * 7) % 13).toDouble)))
+      .toDF("vec_id", "v")
+    val cents = (0 until 4).map(c => (0 until 16).map(d => ((c * 17 + d) % 13).toDouble))
+    val cbs = (0 until 4).map(m => cents.map(_.slice(m * 4, m * 4 + 4)))
+    val ann = Similarity.ivfPqTopK(vecs, vecs, "vec_id", "v", k = 3,
+      cents, nprobe = 2, cbs)
+    val p = plan(ann)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("cross-corpus contamination is band equi-joins only, no cross join") {
+    import spark.implicits._
+    val docs = (0 until 50)
+      .map(i => (i.toLong, s"some repeated text body number ${i % 5} with shared words"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossCorpusNearDuplicates(docs,
+      docs.filter(col("doc_id") % 7 === 0), "text", "doc_id", shingleWidth = 2)
+    val p = plan(out)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("multi-probe ANN is a single bucket equi-join, never a cross join") {
     import spark.implicits._
     import graft.pipeline.Similarity
