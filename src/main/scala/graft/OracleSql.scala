@@ -739,6 +739,53 @@ object OracleSql {
          |FROM r WHERE rn <= 3""".stripMargin
     },
 
+    // residual IVF-PQ: as q_ann_ivfpq but both sides encode/score against
+    // (vector - cell centroid); integer residuals keep everything exact
+    "q_ann_ivfpq_res" -> {
+      val d2 = "list_dot_product(a.q, a.q) - 2 * list_dot_product(a.q, c.cv) + " +
+        "list_dot_product(c.cv, c.cv)"
+      def sub(e: String, m: String) = s"list_slice($e, ($m)*16+1, ($m)*16+16)"
+      val qs = sub("p.rq", "cd.m")
+      s"""WITH q AS (SELECT vec_id, $qv AS q FROM embeddings),
+         |cent AS (SELECT vec_id AS cell, q AS cv FROM q WHERE vec_id < 16),
+         |scb AS (SELECT ms.m, cell AS j, ${sub("cv", "ms.m")} AS scv
+         |  FROM cent, (SELECT unnest([0, 1, 2, 3]) AS m) ms),
+         |ca AS (SELECT a.vec_id, a.q, c.cell, $d2 AS dist FROM q a CROSS JOIN cent c),
+         |arg AS (SELECT vec_id, q, cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r FROM ca) t
+         |  WHERE r = 1),
+         |rv AS (SELECT b.vec_id, b.cell,
+         |  list_transform(range(1, len(b.q)+1), i -> b.q[i] - c.cv[i]) AS rv
+         |  FROM arg b JOIN cent c ON c.cell = b.cell),
+         |qp AS (SELECT vec_id, q, cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
+         |   FROM ca WHERE vec_id < 20) t
+         |  WHERE r <= 4),
+         |qr AS (SELECT p.vec_id, p.cell,
+         |  list_transform(range(1, len(p.q)+1), i -> p.q[i] - c.cv[i]) AS rq
+         |  FROM qp p JOIN cent c ON c.cell = p.cell),
+         |cdist AS (SELECT a.vec_id, s.m, s.j,
+         |  list_dot_product(${sub("a.rv", "s.m")}, ${sub("a.rv", "s.m")})
+         |  - 2 * list_dot_product(${sub("a.rv", "s.m")}, s.scv)
+         |  + list_dot_product(s.scv, s.scv) AS d
+         |  FROM rv a CROSS JOIN scb s),
+         |codes AS (SELECT vec_id, m, j AS code FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS r
+         |   FROM cdist) t WHERE r = 1),
+         |s1 AS (SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  sum(list_dot_product($qs, $qs) - 2 * list_dot_product($qs, sc.scv)
+         |      + list_dot_product(sc.scv, sc.scv)) AS adc_dist
+         |  FROM qr p JOIN rv b ON p.cell = b.cell AND p.vec_id <> b.vec_id
+         |  JOIN codes cd ON cd.vec_id = b.vec_id
+         |  JOIN scb sc ON sc.m = cd.m AND sc.j = cd.code
+         |  GROUP BY p.vec_id, b.vec_id),
+         |r AS (SELECT query_id, neighbor_id, adc_dist,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+         |  FROM s1)
+         |SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id, adc_dist
+         |FROM r WHERE rn <= 3""".stripMargin
+    },
+
     "q_embed_neardup_lsh" ->
       s"""WITH q AS (SELECT vec_id, $qv AS q FROM embeddings),
          |${lshSubBucketSql(nBits = 6, clamp = 4096)},

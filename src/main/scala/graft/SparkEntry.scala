@@ -529,6 +529,20 @@ object SparkEntry {
         col("neighbor_id"), col("adc_dist"))
   }
 
+  /** Residual IVF-PQ: same codebooks, vectors encoded against their cell
+    * centroid (FAISS-style IVF-ADC). Integer residuals stay exact. */
+  private def qAnnIvfPqRes(s: SparkSession, dir: String): DataFrame = {
+    val d = quantized(s, dir)
+    val cents = d.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select("q").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val codebooks = (0 until 4).map(m => cents.map(_.slice(m * 16, m * 16 + 16)))
+    Similarity.ivfPqTopK(d.filter(col("vec_id") < 20), d, "vec_id", "q",
+      k = 3, centroids = cents, nprobe = 4, codebooks = codebooks,
+      residual = true)
+      .select(col("query_id"), col("rank").cast(LongType).alias("rank"),
+        col("neighbor_id"), col("adc_dist"))
+  }
+
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(quantized(s, dir), "vec_id", "q", dim = 64, k = 3, nBits = 6)
       .select(col("query_id"), col("rank").cast(LongType).alias("rank"),
@@ -644,6 +658,7 @@ object SparkEntry {
     "q_write_zorder" -> qWriteZorder _,
     "q_ivf_train" -> qIvfTrain _,
     "q_ann_ivfpq" -> qAnnIvfPq _,
+    "q_ann_ivfpq_res" -> qAnnIvfPqRes _,
     "q_cv_folds" -> qCvFolds _,
     "q1_pricing_summary" -> qPricingSummary _,
     "q_revenue_nation" -> qRevenueNation _,

@@ -426,11 +426,19 @@ object Similarity {
     * candidate's code). The corpus stores only M small codes per vector
     * (the 100 TB memory story: 4 bytes instead of 256 at dim 64/M=4); the
     * query side evaluates its M×ks distance table via the codegen'd
-    * [[graft.functions.L2SqDistance]]. Raw-vector PQ (no residuals),
-    * integer-exact end to end, ADC ties break to the lowest neighbor id. */
+    * [[graft.functions.L2SqDistance]]. Integer-exact end to end, ADC ties
+    * break to the lowest neighbor id.
+    *
+    * `residual = true` encodes `v − centroid[cell]` instead of the raw
+    * vector (the FAISS-style IVF-ADC refinement: residuals are smaller, so
+    * the same sub-codebooks quantize them more finely). The query-side
+    * distance table is then per probed cell (its residual depends on the
+    * cell), costing nprobe tables instead of one. Residuals of
+    * integer-quantized vectors against integer centroids stay integers —
+    * still oracle-exact. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Seq[Seq[Double]], nprobe: Int,
-      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+      codebooks: Seq[Seq[Seq[Double]]], residual: Boolean = false): DataFrame = {
     require(centroids.nonEmpty && nprobe >= 1 && codebooks.nonEmpty)
     val nlist = centroids.size
     val centLit = typedLit(centroids)
@@ -444,19 +452,28 @@ object Similarity {
         (dist, i) => struct(dist.alias("d"), i.alias("i"))))
       transform(slice(ranked, 1, nprobe), e => e.getField("i"))
     }
-    val c = corpus.select(col(idCol).alias("neighbor_id"),
+    def minusCent(v: Column, cell: Column): Column =
+      zip_with(v, element_at(centLit, (cell + 1).cast("int")), _ - _)
+    def dtable(v: Column): Column = array(codebooks.zipWithIndex.map { case (cb, m) =>
+      val subDim = cb.head.size
+      transform(typedLit(cb), cc => l2sq(slice(v, m * subDim + 1, subDim), cc))
+    }: _*)
+    val c0 = corpus.select(col(idCol).alias("neighbor_id"),
       asDouble(col(vecCol)).alias("__cv"))
       .withColumn("__cell", nearestCell(col("__cv")))
-      .withColumn("__codes", pqEncode(col("__cv"), codebooks))
+    val c = (if (residual)
+      c0.withColumn("__codes", pqEncode(minusCent(col("__cv"), col("__cell")), codebooks))
+    else c0.withColumn("__codes", pqEncode(col("__cv"), codebooks)))
       .drop("__cv")
-    // per-query ADC table: dtable(m)(j) = l2sq(sub_m(q), codebooks(m)(j))
-    val q = queries.select(col(idCol).alias("query_id"),
+    // per-query ADC table: dtable(m)(j) = l2sq(sub_m(q or residual), cb(m)(j))
+    val q0 = queries.select(col(idCol).alias("query_id"),
       asDouble(col(vecCol)).alias("__qv"))
-      .withColumn("__dt", array(codebooks.zipWithIndex.map { case (cb, m) =>
-        val subDim = cb.head.size
-        transform(typedLit(cb), cc => l2sq(slice(col("__qv"), m * subDim + 1, subDim), cc))
-      }: _*))
-      .withColumn("__cell", explode(probeCells(col("__qv"))))
+    val q = (if (residual)
+      q0.withColumn("__cell", explode(probeCells(col("__qv"))))
+        .withColumn("__dt", dtable(minusCent(col("__qv"), col("__cell"))))
+    else
+      q0.withColumn("__dt", dtable(col("__qv")))
+        .withColumn("__cell", explode(probeCells(col("__qv")))))
       .drop("__qv")
     val adc = codebooks.indices.map { m =>
       element_at(element_at(col("__dt"), m + 1),
