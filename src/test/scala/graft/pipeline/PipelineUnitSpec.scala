@@ -204,6 +204,25 @@ class PipelineUnitSpec extends SparkTestBase {
     }
   }
 
+  test("hash splits are deterministic, complete, and near the 8/1/1 weights") {
+    import spark.implicits._
+    val ids = (0L until 10000L).toDF("id")
+    val counts = Splits.assign(ids, "id", Seq(8, 1, 1))
+      .groupBy("split").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(0L, 1L, 2L), counts.toString)
+    assert(counts.values.sum == 10000L)
+    assert(math.abs(counts(0L) - 8000L) < 400, counts.toString)
+    assert(math.abs(counts(1L) - 1000L) < 200, counts.toString)
+    // deterministic: a repartitioned re-run assigns identically
+    val a = Splits.assign(ids, "id", Seq(8, 1, 1)).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Splits.assign(ids.repartition(7), "id", Seq(8, 1, 1)).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "split assignment must not depend on partitioning")
+    // take() partitions the id space
+    val sizes = (0 until 3).map(i => Splits.take(ids, "id", Seq(8, 1, 1), i).count()).sum
+    assert(sizes == 10000L)
+  }
+
   test("trainPqCodebooks converges per subspace and feeds ivfPqTopK end-to-end") {
     import spark.implicits._
     val vecs = Seq(

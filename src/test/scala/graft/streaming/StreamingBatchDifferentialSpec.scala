@@ -169,6 +169,46 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("streaming PQ top-k equals the batch ivfPqTopK ranking") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two integer clusters, dim 4, M=2 subspaces
+    val corpusRows = Seq(
+      (1L, Seq(10.0, 0.0, 0.0, 10.0)), (2L, Seq(11.0, 0.0, 0.0, 11.0)),
+      (3L, Seq(10.0, 1.0, 1.0, 10.0)), (4L, Seq(0.0, 10.0, 10.0, 0.0)),
+      (5L, Seq(0.0, 11.0, 11.0, 0.0)), (6L, Seq(1.0, 10.0, 10.0, 1.0)))
+    val corpus = corpusRows.toDF("vec_id", "v")
+    val centroids = Seq(Seq(10.0, 0.0, 0.0, 10.0), Seq(0.0, 10.0, 10.0, 0.0))
+    val cbs = (0 until 2).map(m => centroids.map(_.slice(m * 2, m * 2 + 2)))
+    val queryRows = Seq(
+      (101L, Timestamp.valueOf("2024-03-01 00:00:00"), Seq(10.0, 0.5, 0.5, 10.0)),
+      (102L, Timestamp.valueOf("2024-03-01 00:00:06"), Seq(0.5, 10.0, 10.0, 0.5)))
+    val mem = MemoryStream[(Long, Timestamp, Seq[Double])]
+    runId += 1
+    val name = s"pq_sink_$runId"
+    val out = StreamingAnn.pqTopKStream(
+      mem.toDF().toDF("vec_id", "ts", "v"), corpus, "vec_id", "ts", "v",
+      k = 2, centroids, nprobe = 1, cbs, watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(queryRows: _*)
+    q.processAllAvailable()
+    // a second batch advances the watermark past both query rows
+    mem.addData((999L, Timestamp.valueOf("2024-03-02 00:00:00"), Seq(0.0, 0.0, 0.0, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name)
+      .filter(col("query_id") =!= 999L) // the watermark-advancing sentinel
+      .select(col("query_id"), explode(col("topk")).alias("c"))
+      .select(col("query_id"), col("c.neighbor_id"), col("c.adc_dist"))
+    val batch = graft.pipeline.Similarity.ivfPqTopK(
+      queryRows.map(r => (r._1, r._3)).toDF("vec_id", "v"), corpus,
+      "vec_id", "v", k = 2, centroids, nprobe = 1, cbs)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"))
+    assertDfEquality(streamed, batch)
+  }
+
   test("property: streaming interpolate equals batch resample(floor)+interpolate") {
     val rnd = new scala.util.Random(45)
     for (trial <- 0 until 3; method <- Seq("ffill", "linear")) {
