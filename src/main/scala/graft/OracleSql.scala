@@ -253,6 +253,17 @@ object OracleSql {
          |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)""".stripMargin
     },
 
+    // exact rank-arithmetic quantiles: value at rank max(1, ceil(p*n))
+    "q_quantiles" ->
+      """WITH r AS (SELECT user_id, value,
+        |row_number() OVER (PARTITION BY user_id ORDER BY value) AS rn,
+        |count(*) OVER (PARTITION BY user_id) AS n FROM events)
+        |SELECT user_id,
+        |max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN value END) AS p50,
+        |max(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT)) THEN value END) AS p90,
+        |max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT)) THEN value END) AS p99
+        |FROM r GROUP BY user_id""".stripMargin,
+
     // gaps-and-islands session assignment: break where the integer-us gap
     // from the previous event exceeds 30 minutes, running sum of breaks
     "q_sessionize" ->

@@ -207,6 +207,11 @@ object SparkEntry {
       .df.select(col("user_id"), usec(col("ts")).alias("ts_us"), col("value"),
         col("session_id"))
 
+  private def qQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.tsdf.Stats.quantiles(
+      events(s, dir).select(col("user_id"), col("value")),
+      "value", Seq("user_id"), Seq(0.5, 0.9, 0.99))
+
   private def qEmaExact(s: SparkSession, dir: String): DataFrame =
     eventsTsdf(s, dir, "user_id", col("value"))
       .emaExact("value", alpha = 0.5)
@@ -647,6 +652,7 @@ object SparkEntry {
     "q_sessionize" -> qSessionize _,
     "q_contamination" -> qContamination _,
     "q_split_assign" -> qSplitAssign _,
+    "q_quantiles" -> qQuantiles _,
     "q_state_intervals" -> qStateIntervals _,
     "q_bars" -> qBars _,
     "q_intervals_pivot" -> qIntervalsPivot _,

@@ -123,6 +123,30 @@ object Stats {
     tsdf.copy(df = tsdf.df.withColumn(s"ema_exact_$colToCalc", agg.over(w)))
   }
 
+  /** Exact per-series quantiles by rank arithmetic: q_p = the value at rank
+    * max(1, ceil(p·n)) in the value-sorted series — the "lower"
+    * interpolation convention, a pure function of the value multiset, so
+    * the result is deterministic under duplicate values and engine-exact
+    * (unlike `approx_percentile`'s sketch). One window pass + one aggregate
+    * on the same series exchange; output one row per series with a `p<NN>`
+    * column per probability. */
+  def quantiles(df: org.apache.spark.sql.DataFrame, valueCol: String,
+      seriesCols: Seq[String], probs: Seq[Double]): org.apache.spark.sql.DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      "probs must be in (0, 1]")
+    val w = Window.partitionBy(seriesCols.map(col): _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(seriesCols.map(col): _*)
+    val ranked = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val aggs = probs.map { p =>
+      val target = greatest(lit(1L), ceil(lit(p) * col("__n")).cast(LongType))
+      max(when(col("__rn") === target, col(valueCol)))
+        .alias("p" + math.round(p * 100).toInt)
+    }
+    ranked.groupBy(seriesCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** 2-D lookback feature tensor: collect_list(array(cols)) over the previous
     * `lookbackWindowSize` rows (tsdf.py:1073-1110). */
   def withLookbackFeatures(tsdf: TSDF, featureCols: Seq[String],
