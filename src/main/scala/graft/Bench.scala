@@ -1,19 +1,36 @@
 package graft
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness. Prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`
+  * and also writes it to `bench_out.json` (plus per-rep raw timings to
+  * `bench_detail.json`) so downstream tooling can read clean JSON instead
+  * of scraping the sbt log tail.
+  *
+  * Methodology: one untimed warm-up pass over every selected query (JIT,
+  * codegen cache, parquet footers, OS page cache), then
+  * `SPARK_GRAFT_BENCH_REPS` (default 3) timed passes; the reported number
+  * per query is the median across passes. A single-pass timing in registry
+  * order conflates run-order/JIT effects with plan cost — e.g. round 5
+  * measured q_dedup_exact at 3.3× its true cost purely from cold-start.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt.max(0)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen/parquet-footer warmup so the first timed query doesn't
-    // absorb one-time session costs (~6s at sf0.1). Touch the hot columns of
-    // each table once — count() alone prunes to metadata and leaves the
-    // first real scan cold.
+    // Session warm-up: touch the hot columns of each table once — count()
+    // alone prunes to metadata and leaves the first real scan cold.
     spark.read.parquet(s"$sfDir/region.parquet").count()
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/documents.parquet")
@@ -29,17 +46,38 @@ object Bench {
     // unset and benches everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results = SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .toSeq
+    def runOnce(): Seq[(String, Double)] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    for (_ <- 1 to warmups) runOnce()
+    val passes = (1 to reps).map(_ => runOnce().toMap)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = selected.map { case (name, _) =>
+      name -> median(passes.map(_(name)))
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":$warmups}"""
+    val detail = selected.map { case (name, _) =>
+      s"\"" + name + "\":" + passes.map(_(name)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    try {
+      Files.write(Paths.get("bench_out.json"),
+        (line + "\n").getBytes(StandardCharsets.UTF_8))
+      Files.write(Paths.get("bench_detail.json"),
+        (detail + "\n").getBytes(StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -71,7 +71,9 @@ case class IntervalsDF(
     * an O(n·log n) per-series sweep-line in `flatMapGroups` that reproduces
     * the exact "max (start, end, value) struct wins" merge of the relational
     * path (differential-tested on random inputs). The depth probe and both
-    * routing joins shuffle on the same series key as the main plan. */
+    * routing joins shuffle on the same series key as the main plan, and are
+    * skipped entirely (one cheap count-aggregate action) when no series has
+    * enough intervals to possibly exceed the threshold. */
   def makeDisjoint(depthThreshold: Int = IntervalsDF.DefaultDepthThreshold): IntervalsDF = {
     // Empty seriesIds would reduce the cover-join condition to a pure range
     // predicate — a BroadcastNestedLoopJoin over all segments × all
@@ -94,19 +96,25 @@ case class IntervalsDF(
     // sorts nothing at all.
     val bigKeys = df.groupBy(series: _*).agg(count(lit(1)).alias("__cnt"))
       .filter(col("__cnt") > depthThreshold).select(series: _*)
-    val wd = Window.partitionBy(series: _*).orderBy(col("__b"), col("__d"))
-    val depths = df.join(bigKeys, seriesIds, "left_semi")
-      .select(series :+ explode(array(
-        struct(col(startTs).alias("__b"), lit(1).alias("__d")),
-        struct(col(endTs).alias("__b"), lit(-1).alias("__d")))).alias("__e"): _*)
-      .select(series :+ col("__e.__b").alias("__b") :+ col("__e.__d").alias("__d"): _*)
-      .withColumn("__run", sum(col("__d")).over(
-        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(series: _*).agg(max(col("__run")).alias("__depth"))
-    val deepKeys = depths.filter(col("__depth") > depthThreshold).select(series: _*)
     val work = df.select((seriesIds ++ Seq(startTs, endTs) ++ ms).map(col): _*)
-    val merged = relationalMerge(work.join(deepKeys, seriesIds, "left_anti"), ms)
-      .unionByName(sweepMerge(work.join(deepKeys, seriesIds, "left_semi"), ms))
+    // One action on the tiny count aggregate decides routing: when NO series
+    // has more intervals than the threshold (the common case), none can be
+    // deep, so the window probe and both routing joins are skipped entirely
+    // and the whole input takes the relational path unmodified.
+    val merged = if (bigKeys.isEmpty) relationalMerge(work, ms) else {
+      val wd = Window.partitionBy(series: _*).orderBy(col("__b"), col("__d"))
+      val depths = df.join(bigKeys, seriesIds, "left_semi")
+        .select(series :+ explode(array(
+          struct(col(startTs).alias("__b"), lit(1).alias("__d")),
+          struct(col(endTs).alias("__b"), lit(-1).alias("__d")))).alias("__e"): _*)
+        .select(series :+ col("__e.__b").alias("__b") :+ col("__e.__d").alias("__d"): _*)
+        .withColumn("__run", sum(col("__d")).over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(series: _*).agg(max(col("__run")).alias("__depth"))
+      val deepKeys = depths.filter(col("__depth") > depthThreshold).select(series: _*)
+      relationalMerge(work.join(deepKeys, seriesIds, "left_anti"), ms)
+        .unionByName(sweepMerge(work.join(deepKeys, seriesIds, "left_semi"), ms))
+    }
 
     // 4. coalesce adjacent segments whose metric vectors are identical
     //    (null-safe) — the issue-268 semantics (reference regression

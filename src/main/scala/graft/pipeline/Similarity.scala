@@ -251,7 +251,15 @@ object Similarity {
     * bit-identical, only the key granularity changes. The per-bucket count
     * table is at most 2^nBits rows, so both helper joins broadcast; no new
     * shuffle. Identical vectors share xh and still pile into one sub-key —
-    * inherent, since dropping them would change the answer. */
+    * inherent, since dropping them would change the answer.
+    *
+    * The guard is decided by ONE action on that tiny count aggregate
+    * (`max(count)` over ≤2^nBits rows): when no bucket exceeds
+    * `maxBucketSize` — the common case on healthy embeddings — the query
+    * flows through a plain single equi-join with zero sub-key machinery,
+    * identical results. The deciding pass over the corpus is not extra
+    * work: the previous always-on guard evaluated the same count aggregate
+    * inside the main job anyway. */
   def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int, nBits: Int = 8, probes: Int = 8,
       maxBucketSize: Int = 4096): DataFrame = {
@@ -261,23 +269,32 @@ object Similarity {
       .withColumn("__full", lshBucket(col("__cv"), dim, nBits + SubBucketBits))
       .withColumn("__bucket", col("__full").bitwiseAND(lit((1L << nBits) - 1)))
       .withColumn("__xh", shiftright(col("__full"), nBits))
-    val counts = cFull.groupBy(col("__bucket")).agg(
-      greatest(lit(1L),
-        ceil(count(lit(1)) / lit(maxBucketSize.toDouble)).cast("long"))
-        .alias("__nsub"))
-    val c = cFull.join(broadcast(counts), "__bucket")
-      .withColumn("__sub", pmod(col("__xh"), col("__nsub")))
-    val q = queries.select(col(idCol).alias("query_id"),
+    val counts = cFull.groupBy(col("__bucket"))
+      .agg(count(lit(1)).alias("__cnt"))
+    val maxCnt = Option(counts.agg(max(col("__cnt"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val qBase = queries.select(col(idCol).alias("query_id"),
       asDouble(col(vecCol)).alias("__qv"))
       .withColumn("__qn", l2norm(col("__qv")))
       .withColumn("__bucket",
         explode(probeBuckets(col("__qv"), dim, nBits, probes)))
+    val joined = if (maxCnt <= maxBucketSize) {
+      qBase.join(cFull.drop("__full", "__xh"), Seq("__bucket"))
+    } else {
+      val nsub = counts.select(col("__bucket"),
+        greatest(lit(1L),
+          ceil(col("__cnt") / lit(maxBucketSize.toDouble)).cast("long"))
+          .alias("__nsub"))
+      val c = cFull.join(broadcast(nsub), "__bucket")
+        .withColumn("__sub", pmod(col("__xh"), col("__nsub")))
       // inner: probe buckets with no corpus rows contributed nothing before
-      .join(broadcast(counts), Seq("__bucket"))
-      .withColumn("__sub", explode(sequence(lit(0L), col("__nsub") - 1)))
+      val q = qBase.join(broadcast(nsub), Seq("__bucket"))
+        .withColumn("__sub", explode(sequence(lit(0L), col("__nsub") - 1)))
+      q.join(c, Seq("__bucket", "__sub"))
+    }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    q.join(c, Seq("__bucket", "__sub"))
+    joined
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
@@ -387,21 +404,55 @@ object Similarity {
     centroids
   }
 
-  /** Train the PQ sub-codebooks: per subspace, deterministic Lloyd's
-    * k-means over the sliced subvectors — [[trainIvfCodebook]] applied M
-    * times (M·iters distributed passes; M is small by construction). The
-    * result feeds [[pqEncode]]/[[ivfPqTopK]] unchanged and inherits the
-    * bit-determinism of the underlying trainer on integer-quantized
-    * vectors. */
+  /** Train the PQ sub-codebooks: deterministic Lloyd's k-means over the
+    * sliced subvectors of ALL M subspaces at once — each iteration is ONE
+    * distributed pass (`posexplode` by subspace, assign against the
+    * subspace's own sub-codebook picked out of a single array literal,
+    * `groupBy(subspace, cell, pos)` + avg), instead of M separate trainers
+    * (M·iters jobs). Seeds are the same ks lowest-hash ids the per-subspace
+    * form picks (the hash only reads the id, so every subspace seeds from
+    * the same rows), and on integer-quantized vectors the per-cell sums are
+    * exact in IEEE doubles — so the result is bit-identical to the
+    * per-subspace form (asserted by PqTrainerSpec) and feeds
+    * [[pqEncode]]/[[ivfPqTopK]] unchanged. */
   def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, ks: Int, iters: Int = 5): Seq[Seq[Seq[Double]]] = {
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into $m subspaces")
+    require(ks >= 1 && iters >= 0, "ks >= 1 and iters >= 0 required")
     val subDim = dim / m
-    (0 until m).map { i =>
-      val sub = corpus.select(col(idCol),
-        slice(asDouble(col(vecCol)), i * subDim + 1, subDim).alias("__sub"))
-      trainIvfCodebook(sub, idCol, "__sub", ks, iters)
+    val vecs = corpus.select(col(idCol).alias("__id"),
+      asDouble(col(vecCol)).alias("__v"))
+    val seedVecs = vecs
+      .withColumn("__h", Hashing.mix(Hashing.polyHash(col("__id").cast("string")), 0))
+      .orderBy(col("__h"), col("__id").cast("string"))
+      .limit(ks)
+      .select("__v")
+      .collect()
+      .map(_.getSeq[Double](0).toSeq)
+      .toSeq
+    var codebooks: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(i => seedVecs.map(_.slice(i * subDim, (i + 1) * subDim)))
+    val subRows = vecs.select(col("__id"),
+      posexplode(array((0 until m).map(i =>
+        slice(col("__v"), i * subDim + 1, subDim)): _*)).as(Seq("__m", "__sub")))
+    for (_ <- 0 until iters) {
+      val myCb = element_at(typedLit(codebooks), col("__m") + 1)
+      val nearest = bindArr(transform(myCb, c => l2sq(col("__sub"), c))) { d =>
+        array_position(d, array_min(d)) - 1
+      }
+      val means = subRows
+        .select(col("__m"), nearest.alias("__cell"),
+          posexplode(col("__sub")).as(Seq("__pos", "__x")))
+        .groupBy(col("__m"), col("__cell"), col("__pos"))
+        .agg(avg(col("__x")).alias("__mv"))
+        .collect()
+      val next = codebooks.map(_.map(_.toArray).toArray).toArray
+      means.foreach { r =>
+        next(r.getInt(0))(r.getLong(1).toInt)(r.getInt(2)) = r.getDouble(3)
+      }
+      codebooks = next.map(_.map(_.toSeq).toSeq).toSeq
     }
+    codebooks
   }
 
   /** Product-quantization codes: the vector splits into `codebooks.size`

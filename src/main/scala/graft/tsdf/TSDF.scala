@@ -284,33 +284,63 @@ object TSDF {
     * at construction (tsdf.py:35-77). Non-string ts columns pass through
     * untouched.
     *
-    * Validation is two eager jobs (the constructor is eager by reference
-    * parity anyway): a one-row sample checked against the reference's
-    * format regex for a first-class message, then a full
-    * `try_to_timestamp IS NULL` count so a malformed string ANYWHERE in the
-    * data fails construction instead of silently parsing to null rows later
-    * (the reference shares that silent-null behavior; this is deliberately
-    * stricter). */
+    * Validation is scale-aware via `validate`:
+    *  - `"full"`: a one-row sample checked against the reference's format
+    *    regex for a first-class message, then a full `try_to_timestamp IS
+    *    NULL` count so a malformed string ANYWHERE fails construction
+    *    instead of silently parsing to null rows later (the reference has
+    *    that silent-null behavior; this is deliberately stricter).
+    *  - `"sample"`: only the one-row format check — one tiny job.
+    *  - `"off"`: no validation job at all; malformed strings surface as
+    *    null timestamps downstream, exactly like the reference.
+    *  - `"auto"` (default): `"full"` when Catalyst's plan-size estimate
+    *    (`optimizedPlan.stats.sizeInBytes`) is at most
+    *    [[FullValidationMaxBytes]], else `"sample"` — so constructing over
+    *    a 100 TB input never silently full-scans it before the first real
+    *    query. */
   def of(df: DataFrame, tsCol: String, partitionCols: Seq[String] = Seq.empty,
-      sequenceCol: Option[String] = None): TSDF = {
+      sequenceCol: Option[String] = None, validate: String = "auto"): TSDF = {
     df.schema.find(_.name.equalsIgnoreCase(tsCol)).map(_.dataType) match {
       case Some(StringType) =>
-        df.select(col(tsCol)).limit(1).collect().headOption
-          .map(_.getString(0)).filter(_ != null).foreach { sample =>
-            require(isValidTsString(sample),
-              s"ts string column '$tsCol' is not 'YYYY-MM-DD[ T]HH:MM:SS[.f+]': $sample")
-          }
-        val bad = df.filter(col(tsCol).isNotNull &&
-          try_to_timestamp(col(tsCol)).isNull).count()
-        require(bad == 0,
-          s"$bad row(s) of ts string column '$tsCol' fail to parse as timestamps")
-        val converted = parseNanosTimestamp(df, tsCol, "__parsed_ts", "__double_ts")
+        val mode = validate match {
+          case "auto" =>
+            val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+            if (bytes <= BigInt(FullValidationMaxBytes)) "full" else "sample"
+          case m @ ("full" | "sample" | "off") => m
+          case other => throw new IllegalArgumentException(
+            s"validate must be one of auto|full|sample|off, got '$other'")
+        }
+        if (mode != "off") {
+          df.select(col(tsCol)).limit(1).collect().headOption
+            .map(_.getString(0)).filter(_ != null).foreach { sample =>
+              require(isValidTsString(sample),
+                s"ts string column '$tsCol' is not 'YYYY-MM-DD[ T]HH:MM:SS[.f+]': $sample")
+            }
+        }
+        if (mode == "full") {
+          val bad = df.filter(col(tsCol).isNotNull &&
+            try_to_timestamp(col(tsCol)).isNull).count()
+          require(bad == 0,
+            s"$bad row(s) of ts string column '$tsCol' fail to parse as timestamps")
+        }
+        // full mode proved every string parses, so the strict (ANSI-faulting)
+        // conversion is safe; sample/off must tolerate malformed rows as
+        // silent nulls, matching the reference's behavior
+        val converted = parseNanosTimestamp(df, tsCol, "__parsed_ts",
+          "__double_ts", lenient = mode != "full")
           .drop(tsCol, "__parsed_ts")
           .withColumnRenamed("__double_ts", tsCol)
         TSDF(converted, tsCol, partitionCols, sequenceCol)
       case _ => TSDF(df, tsCol, partitionCols, sequenceCol)
     }
   }
+
+  /** `validate = "auto"` threshold: inputs whose Catalyst size estimate
+    * exceeds this (4 GiB) get the sample check only — a constructor that
+    * full-scans a cluster-scale input twice before the first query is a
+    * scale trap, while below this a full scan is sub-second on any
+    * executor fleet. */
+  val FullValidationMaxBytes: Long = 4L << 30
 
   /** Nanosecond-precision string-timestamp ingestion.
     *
@@ -320,11 +350,21 @@ object TSDF {
     * from the string.
     */
   def parseNanosTimestamp(df: DataFrame, tsStringCol: String,
-      parsedTsCol: String = "parsed_ts", doubleTsCol: String = "double_ts"): DataFrame = {
-    val frac = when(col(tsStringCol).contains("."),
+      parsedTsCol: String = "parsed_ts", doubleTsCol: String = "double_ts",
+      lenient: Boolean = false): DataFrame = {
+    // lenient: malformed strings become null timestamps (and null double
+    // epochs) instead of ANSI runtime faults — the reference's silent-null
+    // ingestion; strings that DO parse convert identically in both modes
+    val parsed =
+      if (lenient) try_to_timestamp(col(tsStringCol))
+      else to_timestamp(col(tsStringCol))
+    val rawFrac = when(col(tsStringCol).contains("."),
       concat(lit("0."), split(col(tsStringCol), "\\.").getItem(1)))
-      .otherwise(lit("0.0")).cast(DoubleType)
-    df.withColumn(parsedTsCol, to_timestamp(col(tsStringCol)))
+      .otherwise(lit("0.0"))
+    val frac =
+      (if (lenient) when(col(parsedTsCol).isNotNull, rawFrac).otherwise(lit("0.0"))
+       else rawFrac).cast(DoubleType)
+    df.withColumn(parsedTsCol, parsed)
       .withColumn(doubleTsCol,
         col(parsedTsCol).cast(DoubleType).cast("long").cast(DoubleType) + frac)
   }

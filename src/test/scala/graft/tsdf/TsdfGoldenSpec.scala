@@ -175,6 +175,34 @@ class TsdfGoldenSpec extends SparkTestBase {
     assert(e.getMessage.contains("fail to parse"), e.getMessage)
   }
 
+  test("TSDF.of validate modes: sample/off skip the full scan, full catches") {
+    val spark2 = spark
+    import spark2.implicits._
+    val good = Seq(("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 00:00:01"))
+    val bad = good :+ (("a", "not-a-timestamp"))
+    // sample: first row passes the format check; the hidden bad row parses
+    // to a null timestamp downstream instead of failing construction
+    val tSample = TSDF.of(bad.toDF("k", "ts"), "ts", Seq("k"), validate = "sample")
+    assert(tSample.df.count() == 3)
+    // off: constructs even when the FIRST row is malformed — zero jobs
+    val tOff = TSDF.of(Seq(("a", "nope")).toDF("k", "ts"), "ts", Seq("k"),
+      validate = "off")
+    assert(tOff.df.count() == 1)
+    // sample still rejects a malformed first row
+    intercept[IllegalArgumentException] {
+      TSDF.of(Seq(("a", "nope")).toDF("k", "ts"), "ts", Seq("k"),
+        validate = "sample")
+    }
+    // explicit full rejects the hidden bad row (auto does too on small data
+    // — the previous test exercises the auto default)
+    intercept[IllegalArgumentException] {
+      TSDF.of(bad.toDF("k", "ts"), "ts", Seq("k"), validate = "full")
+    }
+    intercept[IllegalArgumentException] {
+      TSDF.of(good.toDF("k", "ts"), "ts", Seq("k"), validate = "bogus")
+    }
+  }
+
   test("withPartitionCols rebinds the series and revalidates columns") {
     import spark.implicits._
     import java.sql.Timestamp
