@@ -140,6 +140,48 @@ object OracleSql {
        |sh AS (SELECT doc_id, $packed AS simhash FROM bits)""".stripMargin
   }
 
+  /** Full DuckDB replay of [[Similarity.ivfPqTopK]] with the q_ann_ivfpq
+    * parameter convention (coarse cells + PQ codes + ADC sum) — shared by
+    * the batch query and its single-batch streaming twin. */
+  private val ivfPqSql: String = {
+    val d2 = "list_dot_product(a.q, a.q) - 2 * list_dot_product(a.q, c.cv) + " +
+      "list_dot_product(c.cv, c.cv)"
+    def sub(e: String, m: String) = s"list_slice($e, ($m)*16+1, ($m)*16+16)"
+    val qs = sub("p.q", "cd.m")
+    s"""WITH q AS (SELECT vec_id, $qv AS q FROM embeddings),
+       |cent AS (SELECT vec_id AS cell, q AS cv FROM q WHERE vec_id < 16),
+       |scb AS (SELECT ms.m, cell AS j, ${sub("cv", "ms.m")} AS scv
+       |  FROM cent, (SELECT unnest([0, 1, 2, 3]) AS m) ms),
+       |ca AS (SELECT a.vec_id, a.q, c.cell, $d2 AS dist FROM q a CROSS JOIN cent c),
+       |arg AS (SELECT vec_id, q, cell FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r FROM ca) t
+       |  WHERE r = 1),
+       |qp AS (SELECT vec_id, q, cell FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
+       |   FROM ca WHERE vec_id < 20) t
+       |  WHERE r <= 4),
+       |cdist AS (SELECT a.vec_id, s.m, s.j,
+       |  list_dot_product(${sub("a.q", "s.m")}, ${sub("a.q", "s.m")})
+       |  - 2 * list_dot_product(${sub("a.q", "s.m")}, s.scv)
+       |  + list_dot_product(s.scv, s.scv) AS d
+       |  FROM q a CROSS JOIN scb s),
+       |codes AS (SELECT vec_id, m, j AS code FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS r
+       |   FROM cdist) t WHERE r = 1),
+       |s1 AS (SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |  sum(list_dot_product($qs, $qs) - 2 * list_dot_product($qs, sc.scv)
+       |      + list_dot_product(sc.scv, sc.scv)) AS adc_dist
+       |  FROM qp p JOIN arg b ON p.cell = b.cell AND p.vec_id <> b.vec_id
+       |  JOIN codes cd ON cd.vec_id = b.vec_id
+       |  JOIN scb sc ON sc.m = cd.m AND sc.j = cd.code
+       |  GROUP BY p.vec_id, b.vec_id),
+       |r AS (SELECT query_id, neighbor_id, adc_dist,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+       |  FROM s1)
+       |SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id, adc_dist
+       |FROM r WHERE rn <= 3""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
 
     "q_slice_between" ->
@@ -155,6 +197,15 @@ object OracleSql {
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value FROM
         |(SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts ASC) AS rn FROM events) t
         |WHERE rn <= 2""".stripMargin,
+
+    "q_tsdf_projection" ->
+      """SELECT 'by_user' AS op, user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM
+        |(SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) t WHERE rn <= 1
+        |UNION ALL
+        |SELECT 'by_type' AS op, user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM
+        |(SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) t WHERE rn <= 2""".stripMargin,
 
     "q_asof" ->
       s"""SELECT l.user_id, epoch_us(l.ts) AS ts_us, l.event_id, l.value,
@@ -502,6 +553,46 @@ object OracleSql {
          |FROM f""".stripMargin
     },
 
+    "q_quality_v2" -> {
+      def top(g: String) =
+        s"""CASE WHEN len($g) >= 1 THEN
+           |  CAST(list_max(list_transform(list_distinct($g),
+           |    g -> len(list_filter($g, x -> x = g)))) AS DOUBLE) / len($g)
+           |  ELSE 0.0 END""".stripMargin
+      def r6(e: String) = s"floor(($e) * 1000000 + 0.5) / 1000000.0"
+      // newlines become spaces before normalization (see
+      // TextAnalysis.joinLines) so words never merge across line breaks
+      val norm2 = norm.replace("lower(text)",
+        "lower(replace(text, chr(10), ' '))")
+      s"""WITH x AS (SELECT doc_id,
+         |  string_split(text, chr(10)) AS lines,
+         |  string_split($norm2, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, lines, toks,
+         |  CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS g2,
+         |  CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [] END AS g3
+         |  FROM x),
+         |f AS (SELECT doc_id,
+         |  CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) AS dl,
+         |  CAST(len(list_filter(lines, l -> ends_with(trim(l), '...'))) AS DOUBLE)
+         |    / len(lines) AS el,
+         |  CAST(len(list_filter(lines, l -> starts_with(trim(l), '-')
+         |    OR starts_with(trim(l), '*'))) AS DOUBLE) / len(lines) AS bl,
+         |  CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dt,
+         |  ${top("g2")} AS t2,
+         |  ${top("g3")} AS t3
+         |  FROM g)
+         |SELECT doc_id,
+         |  ${r6("dl")} AS dup_line_frac,
+         |  ${r6("el")} AS ellipsis_line_frac,
+         |  ${r6("bl")} AS bullet_line_frac,
+         |  ${r6("dt")} AS dup_token_frac,
+         |  ${r6("t2")} AS top2gram_frac,
+         |  ${r6("t3")} AS top3gram_frac
+         |FROM f""".stripMargin
+    },
+
     "q_token_count" -> {
       val nt = "CASE WHEN length(tt) = 0 THEN 0 ELSE length(tt) - length(replace(tt, ' ', '')) + 1 END"
       s"""WITH x AS (SELECT doc_id, text, trim(regexp_replace(text, ' +', ' ', 'g')) AS tt
@@ -711,44 +802,19 @@ object OracleSql {
     // argmin; ADC = sum over subspaces of the exact-integer distance to the
     // coded sub-centroid (a^2-2ab+b^2 form equals the left-to-right l2sq
     // fold exactly on integer vectors)
-    "q_ann_ivfpq" -> {
-      val d2 = "list_dot_product(a.q, a.q) - 2 * list_dot_product(a.q, c.cv) + " +
-        "list_dot_product(c.cv, c.cv)"
-      def sub(e: String, m: String) = s"list_slice($e, ($m)*16+1, ($m)*16+16)"
-      val qs = sub("p.q", "cd.m")
-      s"""WITH q AS (SELECT vec_id, $qv AS q FROM embeddings),
-         |cent AS (SELECT vec_id AS cell, q AS cv FROM q WHERE vec_id < 16),
-         |scb AS (SELECT ms.m, cell AS j, ${sub("cv", "ms.m")} AS scv
-         |  FROM cent, (SELECT unnest([0, 1, 2, 3]) AS m) ms),
-         |ca AS (SELECT a.vec_id, a.q, c.cell, $d2 AS dist FROM q a CROSS JOIN cent c),
-         |arg AS (SELECT vec_id, q, cell FROM
-         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r FROM ca) t
-         |  WHERE r = 1),
-         |qp AS (SELECT vec_id, q, cell FROM
-         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
-         |   FROM ca WHERE vec_id < 20) t
-         |  WHERE r <= 4),
-         |cdist AS (SELECT a.vec_id, s.m, s.j,
-         |  list_dot_product(${sub("a.q", "s.m")}, ${sub("a.q", "s.m")})
-         |  - 2 * list_dot_product(${sub("a.q", "s.m")}, s.scv)
-         |  + list_dot_product(s.scv, s.scv) AS d
-         |  FROM q a CROSS JOIN scb s),
-         |codes AS (SELECT vec_id, m, j AS code FROM
-         |  (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS r
-         |   FROM cdist) t WHERE r = 1),
-         |s1 AS (SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |  sum(list_dot_product($qs, $qs) - 2 * list_dot_product($qs, sc.scv)
-         |      + list_dot_product(sc.scv, sc.scv)) AS adc_dist
-         |  FROM qp p JOIN arg b ON p.cell = b.cell AND p.vec_id <> b.vec_id
-         |  JOIN codes cd ON cd.vec_id = b.vec_id
-         |  JOIN scb sc ON sc.m = cd.m AND sc.j = cd.code
-         |  GROUP BY p.vec_id, b.vec_id),
-         |r AS (SELECT query_id, neighbor_id, adc_dist,
-         |  row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
-         |  FROM s1)
-         |SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id, adc_dist
-         |FROM r WHERE rn <= 3""".stripMargin
-    },
+    "q_ann_ivfpq" -> ivfPqSql,
+
+    // the streaming PQ top-k runs the same parameters/codebooks as
+    // q_ann_ivfpq in a single-batch watermarked query — same replay
+    "q_stream_pq_topk" -> ivfPqSql,
+
+    "q_stream_tolerance_join" ->
+      """SELECT l.user_id, epoch_us(l.ts) AS ts_us, l.event_id, l.value,
+        |  epoch_us(r.ts) AS right_ts_us, r.value AS right_value
+        |FROM (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click') l
+        |JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        |ON l.user_id = r.user_id AND r.ts <= l.ts
+        |  AND r.ts >= l.ts - INTERVAL 1 HOUR""".stripMargin,
 
     // residual IVF-PQ: as q_ann_ivfpq but both sides encode/score against
     // (vector - cell centroid); integer residuals keep everything exact

@@ -85,6 +85,21 @@ object SparkEntry {
       .df.select(col("user_id"), usec(col("ts")).alias("ts_us"),
         col("event_id"), col("event_type"), col("value"))
 
+  /** `select` invariant-keeping projection, `withPartitionCols` series
+    * rebinding and `showSlice` top-k in one tagged union — §2 rows 6/13/15,
+    * previously verified only by the sbt suite. `event_id` as sequenceCol
+    * makes latest()'s tie-break deterministic in both engines. */
+  private def qTsdfProjection(s: SparkSession, dir: String): DataFrame = {
+    val t = TSDF(events(s, dir), "ts", Seq("user_id"), Some("event_id"))
+      .select("user_id", "ts", "event_id", "event_type") // drops value, keeps invariants
+    def tag(name: String, d: DataFrame) = d.select(lit(name).alias("op"),
+      col("user_id"), col("event_type"), usec(col("ts")).alias("ts_us"),
+      col("event_id"))
+    tag("by_user", t.showSlice(k = 1))
+      .unionByName(tag("by_type",
+        t.withPartitionCols(Seq("event_type")).showSlice(k = 2)))
+  }
+
   private def clicks(s: SparkSession, dir: String): TSDF =
     TSDF(events(s, dir).filter(col("event_type") === "click")
       .select("user_id", "ts", "event_id", "value"), "ts", Seq("user_id"))
@@ -548,6 +563,87 @@ object SparkEntry {
         col("neighbor_id"), col("adc_dist"))
   }
 
+  // ------------------------------------------- streaming (single-batch runs)
+  /** Unique in-session memory-sink names: these queries re-run across
+    * verify/bench passes within one session. */
+  private val sinkId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Stream-stream tolerance join as a REAL streaming query: clicks and
+    * purchases feed two MemoryStreams in one batch, the watermarked join
+    * runs to completion, the memory sink comes back as a plain DataFrame.
+    * Single-batch execution makes the result equal the batch range join by
+    * construction, so the DuckDB oracle replays it exactly; multi-batch
+    * randomized equivalence lives in StreamingBatchDifferentialSpec. */
+  private def qStreamToleranceJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    val ev = events(s, dir)
+    val clicksRows = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSeq
+    val purchRows = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+    val memL = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val memR = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val out = graft.streaming.StreamingTSDF.toleranceJoin(
+      memL.toDF().toDF("user_id", "ts", "event_id", "value"),
+      memR.toDF().toDF("user_id", "ts", "value"),
+      "ts", Seq("user_id"), Seq("value"), tolerance = "1 hour")
+    val name = s"stream_tol_sink_${sinkId.incrementAndGet()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    memL.addData(clicksRows: _*)
+    memR.addData(purchRows: _*)
+    q.processAllAvailable()
+    q.stop()
+    s.table(name).select(col("user_id"), usec(col("ts")).alias("ts_us"),
+      col("event_id"), col("value"), usec(col("right_ts")).alias("right_ts_us"),
+      col("right_value"))
+  }
+
+  /** Streaming PQ top-k against the static quantized corpus, run as a real
+    * watermarked streaming query (one data batch + one sentinel batch that
+    * advances the watermark to seal the top-k aggregate). Same codebook
+    * convention and parameters as q_ann_ivfpq, so the same DuckDB PQ replay
+    * is the oracle. */
+  private def qStreamPqTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    val d = quantized(s, dir)
+    val cents = d.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select("q").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val codebooks = (0 until 4).map(m => cents.map(_.slice(m * 16, m * 16 + 16)))
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val queryRows = d.filter(col("vec_id") < 20).orderBy("vec_id")
+      .select("vec_id", "q").as[(Long, Seq[Double])].collect().toSeq
+      .map { case (id, v) =>
+        (id, new java.sql.Timestamp(base.getTime + id * 1000L), v)
+      }
+    val sentinel = (999999L,
+      java.sql.Timestamp.valueOf("2024-03-02 00:00:00"), queryRows.head._3)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Seq[Double])]
+    val out = graft.streaming.StreamingAnn.pqTopKStream(
+      mem.toDF().toDF("vec_id", "ts", "v"),
+      d.select(col("vec_id"), col("q").alias("v")), "vec_id", "ts", "v",
+      k = 3, centroids = cents, nprobe = 4, codebooks = codebooks,
+      watermarkDelay = "0 seconds")
+    val name = s"stream_pq_sink_${sinkId.incrementAndGet()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    mem.addData(queryRows: _*)
+    q.processAllAvailable()
+    mem.addData(sentinel)
+    q.processAllAvailable()
+    q.stop()
+    s.table(name).filter(col("query_id") =!= 999999L)
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "c")))
+      .select(col("query_id"), (col("pos") + 1).cast(LongType).alias("rank"),
+        col("c.neighbor_id"), col("c.adc_dist"))
+  }
+
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(quantized(s, dir), "vec_id", "q", dim = 64, k = 3, nBits = 6)
       .select(col("query_id"), col("rank").cast(LongType).alias("rank"),
@@ -567,6 +663,10 @@ object SparkEntry {
     docs(s, dir).select(col("doc_id") +: comps.head.cast(LongType).alias("n_tokens") +:
       comps.tail: _*)
   }
+
+  private def qQualityV2(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id") +: TextAnalysis.repetitionSignals(col("text")): _*)
 
   private def qTokenCount(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
@@ -629,6 +729,9 @@ object SparkEntry {
     "q_slice_between" -> qSliceBetween _,
     "q_latest_n" -> qLatestN _,
     "q_earliest_n" -> qEarliestN _,
+    "q_tsdf_projection" -> qTsdfProjection _,
+    "q_stream_tolerance_join" -> qStreamToleranceJoin _,
+    "q_stream_pq_topk" -> qStreamPqTopk _,
     "q_asof" -> qAsof _,
     "q_asof_tolerance" -> qAsofTolerance _,
     "q_asof_bcast" -> qAsofBcast _,
@@ -682,6 +785,7 @@ object SparkEntry {
     "q_ann_ivf" -> qAnnIvf _,
     "q_lang_id" -> qLangId _,
     "q_quality" -> qQuality _,
+    "q_quality_v2" -> qQualityV2 _,
     "q_token_count" -> qTokenCount _,
     "q_fingerprint" -> qFingerprint _,
     "q_rolling_fp" -> qRollingFp _,

@@ -86,6 +86,66 @@ object TextAnalysis {
       score.alias("quality_score"))
   }
 
+  /** Binds `a` once as a lambda variable — HOF lambdas are interpreted with
+    * no CSE, so a derived array referenced inside a per-element lambda would
+    * otherwise re-evaluate its whole producing chain per element. */
+  private def bindArr(a: Column)(f: Column => Column): Column =
+    element_at(transform(array(a), f), 1)
+
+  /** Newlines become spaces before normalization so words never merge
+    * across line breaks ([[Dedup.normalizeText]] strips characters outside
+    * [a-z0-9 ] instead of separating on them). */
+  private def joinLines(text: Column): Column =
+    regexp_replace(text, "\n", " ")
+
+  /** Gopher-style repetition/boilerplate signals (Rae et al. 2021, §A1.1
+    * repetition filters — public paper): duplicate-line fraction,
+    * ellipsis-/bullet-line ratios, duplicate-token fraction and top-2/3-gram
+    * fractions. Pure per-row Column algebra over the shared
+    * normalize/tokenize kernels — no shuffle at all, so the operator is
+    * embarrassingly parallel at any scale; each document is bounded, so the
+    * per-doc O(distinct·total) gram count is constant work per row.
+    * All fractions are deterministically rounded to 6 decimals
+    * ([[roundDet]]) for cross-engine replay. */
+  def repetitionSignals(text: Column): Seq[Column] = {
+    val lineSigs = bindArr(split(text, "\n")) { lines =>
+      val nl = size(lines).cast(DoubleType)
+      val dup = (size(lines) - size(array_distinct(lines))).cast(DoubleType) / nl
+      val ell = size(filter(lines, l =>
+        endswith(trim(l), lit("...")))).cast(DoubleType) / nl
+      val bul = size(filter(lines, l =>
+        startswith(trim(l), lit("-")) || startswith(trim(l), lit("*"))))
+        .cast(DoubleType) / nl
+      struct(dup.alias("dl"), ell.alias("el"), bul.alias("bl"))
+    }
+    val dupTok = bindArr(split(Dedup.normalizeText(joinLines(text)), " ")) { toks =>
+      (size(toks) - size(array_distinct(toks))).cast(DoubleType) / size(toks)
+    }
+    Seq(
+      roundDet(lineSigs.getField("dl"), 6).alias("dup_line_frac"),
+      roundDet(lineSigs.getField("el"), 6).alias("ellipsis_line_frac"),
+      roundDet(lineSigs.getField("bl"), 6).alias("bullet_line_frac"),
+      roundDet(dupTok, 6).alias("dup_token_frac"),
+      topNgramFraction(text, 2).alias("top2gram_frac"),
+      topNgramFraction(text, 3).alias("top3gram_frac"))
+  }
+
+  /** Fraction of all word w-grams occupied by the single most frequent one
+    * — high values flag templated/boilerplate text. Counts are per-row HOF
+    * passes over the bound gram array (documents are bounded; no shuffle). */
+  def topNgramFraction(text: Column, w: Int): Column = roundDet(
+    bindArr(split(Dedup.normalizeText(joinLines(text)), " ")) { toks =>
+      bindArr(when(size(toks) >= w,
+        transform(sequence(lit(1), size(toks) - (w - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(w)))))
+        .otherwise(typedLit(Seq.empty[String]))) { grams =>
+        when(size(grams) >= 1,
+          array_max(transform(array_distinct(grams), g =>
+            size(filter(grams, x => x === g)))).cast(DoubleType) / size(grams))
+          .otherwise(lit(0.0))
+      }
+    }, 6)
+
   /** Content fingerprint: md5 of the normalized text (lowercase, alnum+space,
     * collapsed whitespace) — stable under formatting changes. */
   def fingerprint(text: Column): Column = md5(Dedup.normalizeText(text))

@@ -419,6 +419,38 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(langs == Seq("en", "de", "fr"))
   }
 
+  test("repetition signals flag duplicate lines, bullets, ellipses, n-grams") {
+    import spark.implicits._
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val text = Seq(
+      "alpha beta", "alpha beta", "- bullet one", "* bullet two",
+      "trailing dots ...", "unique line").mkString("\n")
+    val r = Seq((1L, text)).toDF("doc_id", "text")
+      .select(col("doc_id") +: TextAnalysis.repetitionSignals(col("text")): _*)
+      .collect().head
+    assert(r.getDouble(1) == r6(1.0 / 6)) // one repeated line of six
+    assert(r.getDouble(2) == r6(1.0 / 6)) // one ellipsis-terminated line
+    assert(r.getDouble(3) == r6(2.0 / 6)) // two bullet lines
+    // tokens: alpha beta alpha beta bullet one bullet two trailing dots
+    //         unique line → 12 tokens, 9 distinct → dup 3/12
+    assert(r.getDouble(4) == r6(3.0 / 12))
+    // 11 2-grams; "alpha beta" occurs twice, everything else once → 2/11
+    assert(r.getDouble(5) == r6(2.0 / 11))
+    // 10 3-grams, all distinct → 1/10
+    assert(r.getDouble(6) == r6(1.0 / 10))
+  }
+
+  test("repetition signals degenerate inputs: empty and single-token text") {
+    import spark.implicits._
+    val rows = Seq((1L, ""), (2L, "word"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id") +: TextAnalysis.repetitionSignals(col("text")): _*)
+      .orderBy("doc_id").collect()
+    rows.foreach { r =>
+      (1 to 6).foreach(i => assert(r.getDouble(i) == 0.0, s"col $i of $r"))
+    }
+  }
+
   test("bpe token estimate is bounded below by the word count") {
     import spark.implicits._
     val df = Seq("a b c d e f", "internationalization", "").toDF("text")
