@@ -140,6 +140,34 @@ object OracleSql {
        |sh AS (SELECT doc_id, $packed AS simhash FROM bits)""".stripMargin
   }
 
+  /** [[simhashCte]] extended with the banded near-dup pair replay of
+    * [[Dedup.simhashPairs]] (maxHamming=3): ends with CTE
+    * `spairs(doc_id_a, doc_id_b, hamming)` — shared by q_simhash_pairs and
+    * the q_dedup_clusters component oracle. */
+  private val simhashPairsCtes: String = {
+    val d = 3; val b = d + 1; val clamp = 4096
+    val nb = Dedup.SimhashBits
+    val w = (nb + b - 1) / b
+    val bandSelects = (0 until b).map { i =>
+      val width = math.min(w, nb - i * w)
+      s"SELECT doc_id, simhash, $i AS band, " +
+        s"(simhash >> ${i * w}) & ${(1L << width) - 1} AS bval FROM sh"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$simhashCte,
+       |banded AS (
+       |  $bandSelects),
+       |cnt AS (SELECT *, count(*) OVER (PARTITION BY band, bval) AS m FROM banded),
+       |sb AS (SELECT *, simhash % greatest(1, CAST(ceil(m / $clamp.0) AS BIGINT)) AS s FROM cnt),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY band, bval, s ORDER BY doc_id) AS r FROM sb),
+       |prs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       |  a.simhash AS ha, b.simhash AS hb
+       |  FROM rk a JOIN rk b ON a.band = b.band AND a.bval = b.bval AND a.s = b.s
+       |  AND a.doc_id < b.doc_id AND a.r <= $clamp),
+       |spairs AS (SELECT doc_id_a, doc_id_b,
+       |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |  FROM prs WHERE bit_count(xor(ha, hb)) <= $d)""".stripMargin
+  }
+
   /** Full DuckDB replay of [[Similarity.ivfPqTopK]] with the q_ann_ivfpq
     * parameter convention (coarse cells + PQ codes + ADC sum) — shared by
     * the batch query and its single-batch streaming twin. */
@@ -715,27 +743,29 @@ object OracleSql {
     // (maxHamming=3 -> 4 bands of width 16/16/16/13), sub-bucket split as
     // in Dedup.simhashPairs (xh = the fingerprint itself), exact bit_count
     // verify.
-    "q_simhash_pairs" -> {
-      val d = 3; val b = d + 1; val clamp = 4096
-      val nb = Dedup.SimhashBits
-      val w = (nb + b - 1) / b
-      val bandSelects = (0 until b).map { i =>
-        val width = math.min(w, nb - i * w)
-        s"SELECT doc_id, simhash, $i AS band, " +
-          s"(simhash >> ${i * w}) & ${(1L << width) - 1} AS bval FROM sh"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""$simhashCte,
-         |banded AS (
-         |  $bandSelects),
-         |cnt AS (SELECT *, count(*) OVER (PARTITION BY band, bval) AS m FROM banded),
-         |sb AS (SELECT *, simhash % greatest(1, CAST(ceil(m / $clamp.0) AS BIGINT)) AS s FROM cnt),
-         |rk AS (SELECT *, row_number() OVER (PARTITION BY band, bval, s ORDER BY doc_id) AS r FROM sb),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-         |  a.simhash AS ha, b.simhash AS hb
-         |  FROM rk a JOIN rk b ON a.band = b.band AND a.bval = b.bval AND a.s = b.s
-         |  AND a.doc_id < b.doc_id AND a.r <= $clamp)
-         |SELECT doc_id_a, doc_id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-         |FROM pairs WHERE bit_count(xor(ha, hb)) <= $d""".stripMargin
+    "q_simhash_pairs" ->
+      s"""$simhashPairsCtes
+         |SELECT doc_id_a, doc_id_b, hamming FROM spairs""".stripMargin,
+
+    // Connected components over the simhash pair graph via recursive
+    // reachability: every doc reaches itself (singletons keep their own id),
+    // cluster_id = min reachable id through the symmetric edge closure —
+    // the same fixpoint Dedup.clusterAssignments' min-label propagation
+    // converges to.
+    "q_dedup_clusters" -> {
+      val chain = simhashPairsCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
+      s"""$chain,
+         |e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM spairs
+         |  UNION SELECT doc_id_b, doc_id_a FROM spairs),
+         |reach AS (
+         |  SELECT doc_id AS src, doc_id AS dst FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+         |lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  doc_id = cluster_id AS is_canonical
+         |FROM lab""".stripMargin
     },
 
     "q_ann_lsh" ->

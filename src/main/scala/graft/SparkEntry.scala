@@ -468,6 +468,14 @@ object SparkEntry {
   private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxHamming = 3)
 
+  /** Near-dup clusters from the simhash pair graph: connected-component
+    * labels (min-label propagation), cluster sizes, and the keep-one
+    * canonical flag — pairwise dedup made actionable. */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxHamming = 3)
+    Dedup.dedupClusters(docs(s, dir), "doc_id", edges)
+  }
+
   /** milli-quantized embeddings: integer-valued doubles → order-independent
     * exact dot products */
   private def quantized(s: SparkSession, dir: String): DataFrame =
@@ -574,7 +582,21 @@ object SparkEntry {
     * Single-batch execution makes the result equal the batch range join by
     * construction, so the DuckDB oracle replays it exactly; multi-batch
     * randomized equivalence lives in StreamingBatchDifferentialSpec. */
-  private def qStreamToleranceJoin(s: SparkSession, dir: String): DataFrame = {
+  /** The single-batch streaming twins run on a cloned session with few
+    * shuffle partitions: stream state-store commit cost is per partition per
+    * micro-batch (each store fsyncs a delta file), so 32 partitions × four
+    * join state stores dominated wall time for a 40k-row batch that needs no
+    * such parallelism. Conf isolation via `newSession` (shared catalog and
+    * SparkContext, fresh conf) — the caller's session keeps its
+    * partitioning. */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", 4)
+    ss
+  }
+
+  private def qStreamToleranceJoin(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = s.sqlContext
@@ -608,7 +630,8 @@ object SparkEntry {
     * advances the watermark to seal the top-k aggregate). Same codebook
     * convention and parameters as q_ann_ivfpq, so the same DuckDB PQ replay
     * is the oracle. */
-  private def qStreamPqTopk(s: SparkSession, dir: String): DataFrame = {
+  private def qStreamPqTopk(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = s.sqlContext
@@ -777,6 +800,7 @@ object SparkEntry {
     "q_minhash_pairs" -> qMinhashPairs _,
     "q_simhash" -> qSimhash _,
     "q_simhash_pairs" -> qSimhashPairs _,
+    "q_dedup_clusters" -> qDedupClusters _,
     "q_embed_neardup" -> qEmbedNearDup _,
     "q_embed_neardup_lsh" -> qEmbedNearDupLsh _,
     "q_ann_topk" -> qAnnTopk _,

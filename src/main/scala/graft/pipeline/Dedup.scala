@@ -201,6 +201,138 @@ object Dedup {
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("hamming"))
   }
 
+  /** Connected-component labels over a near-duplicate pair list — the step
+    * that turns pairwise dedup output (minhash/simhash/embedding pairs) into
+    * actionable "keep one document per duplicate cluster" decisions. Returns
+    * `(id, cluster_id)` for every id appearing in `edges`, where
+    * `cluster_id` = the minimum id in the component (deterministic and
+    * partitioning-independent: min is order-insensitive).
+    *
+    * Algorithm: distributed min-label propagation (HashMin) accelerated
+    * with pointer jumping. Each pass folds together three label sources —
+    * the current label, the neighbors' labels (one equi-join along edges),
+    * and the label's own label (one self-join: path compression) — into a
+    * min-aggregate. The edge step moves a component's minimum one hop; the
+    * jump step halves the remaining pointer depth, so convergence is
+    * O(log diameter) passes instead of O(diameter) — chains through
+    * templated near-dups would otherwise cost a full shuffle round per hop.
+    * All joins/aggregates shuffle on uniformly-distributed id keys: a
+    * 1000-executor-shaped plan. Convergence is detected from one tiny
+    * two-value aggregate per pass — labels only ever decrease, so the label
+    * sum strictly decreases until fixpoint and `sum unchanged` == converged
+    * (no join against the previous labels needed). `localCheckpoint`
+    * truncates the growing lineage each pass (on a real cluster prefer
+    * reliable `checkpoint` to survive executor loss; same plan shape).
+    */
+  def clusterAssignments(edges: DataFrame, aCol: String, bCol: String,
+      maxIterations: Int = 50, driverMaxEdges: Long = 4000000L): DataFrame = {
+    val sym = edges.select(col(aCol).alias("id"), col(bCol).alias("nbr"))
+      .union(edges.select(col(bCol).alias("id"), col(aCol).alias("nbr")))
+      .distinct()
+      .localCheckpoint(true)
+    // The pair graph is orders of magnitude smaller than the corpus (only
+    // docs with a near-dup appear), so up to `driverMaxEdges` edges the
+    // exact answer comes from one collect + union-find — O(E α(E)), no
+    // per-pass job overhead. The distributed loop below is the
+    // beyond-driver fallback (billions of pairs), same hybrid shape as
+    // IntervalsDF.makeDisjoint's sweep-line escape hatch.
+    if (sym.count() <= driverMaxEdges) {
+      val spark = edges.sparkSession
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      sym.select(col("id"), col("nbr")).collect().foreach { row =>
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      }
+      val ids = parent.keySet ++ parent.values
+      // union-by-min keeps the root the smallest id seen so far, but a later
+      // smaller id can still be unioned under a larger root via find — one
+      // final min-per-root pass makes the label the true component minimum
+      val rootMin = scala.collection.mutable.HashMap.empty[Long, Long]
+      ids.foreach { id =>
+        val r = find(id)
+        rootMin(r) = math.min(rootMin.getOrElse(r, Long.MaxValue), id)
+      }
+      val out = ids.toSeq.map(id => (id, rootMin(find(id))))
+      import spark.implicits._
+      return out.toDF("id", "cluster_id")
+    }
+    var labels = sym.groupBy(col("id"))
+      .agg(least(min(col("nbr")), col("id")).alias("cluster_id"))
+      .localCheckpoint(true)
+    var prevSum: Option[Long] = None
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIterations) {
+      val t0 = System.nanoTime()
+      val agg = labels.agg(sum(col("cluster_id")), count(lit(1))).head()
+      val sumNow = agg.getLong(0)
+      converged = prevSum.contains(sumNow)
+      prevSum = Some(sumNow)
+      if (!converged) {
+        // distinct column names sidestep self-join attribute ambiguity
+        // (labels shares lineage with sym through the checkpointed plan)
+        val nbrLabels = labels.select(col("id").alias("__nid"),
+          col("cluster_id").alias("__nlabel"))
+        val prop = sym.join(nbrLabels, col("nbr") === col("__nid"))
+          .select(col("id"), col("__nlabel").alias("cluster_id"))
+        val jump = labels.join(nbrLabels, col("cluster_id") === col("__nid"))
+          .select(col("id"), col("__nlabel").alias("cluster_id"))
+        val next = labels.union(prop).union(jump)
+          .groupBy(col("id"))
+          .agg(min(col("cluster_id")).alias("cluster_id"))
+          .localCheckpoint(true)
+        labels = next
+        it += 1
+      }
+      if (sys.env.contains("GRAFT_DEBUG_CC"))
+        println(f"[cc] pass $it sum=${agg.getLong(0)} n=${agg.getLong(1)} " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2fs converged=$converged")
+    }
+    labels
+  }
+
+  /** Cluster materialization over a corpus: every document gets its
+    * near-duplicate `cluster_id` (itself if it has no near-dup), the cluster
+    * size, and `is_canonical` — the keep-one-per-cluster decision (canonical
+    * = lowest id, matching [[exact]]'s convention). `edges` is any pair
+    * DataFrame (`idCol_a`, `idCol_b`), e.g. [[simhashPairs]] /
+    * [[nearDuplicates]] output. The corpus join is a left join on the id
+    * (labels side is |dup docs| ≤ |corpus|, typically ≪ and broadcastable);
+    * cluster sizes come from a pre-aggregated per-cluster count.
+    *
+    * Scale shape: the corpus is never shuffled — both the label and the
+    * size tables contain only ids that appear in a near-dup pair (≪ corpus
+    * on any real dataset; boilerplate-heavy corpora cap out at the pair
+    * stage's bucket clamps), so they broadcast and the corpus flows through
+    * two map-side joins. A corpus-wide `count over (partition by cluster)`
+    * window would instead sort 100 TB by cluster key for a column that is 1
+    * almost everywhere. */
+  def dedupClusters(df: DataFrame, idCol: String, edges: DataFrame): DataFrame = {
+    val labels = clusterAssignments(edges, s"${idCol}_a", s"${idCol}_b")
+      .withColumnRenamed("id", "__lid")
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).alias("__csize"))
+    val assigned = df.select(col(idCol))
+      .join(broadcast(labels), col(idCol) === col("__lid"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).alias("cluster_id"))
+    assigned
+      .join(broadcast(sizes), Seq("cluster_id"), "left")
+      .withColumn("cluster_size", coalesce(col("__csize"), lit(1L)))
+      .drop("__csize")
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        (col(idCol) === col("cluster_id")).alias("is_canonical"))
+  }
+
   /** n-gram Jaccard similarity for candidate pairs — exact verify stage after
     * LSH candidate generation. |A∩B| / (|A|+|B|-|A∩B|) on distinct shingle
     * sets. */

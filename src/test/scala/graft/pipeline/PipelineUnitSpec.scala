@@ -451,6 +451,37 @@ class PipelineUnitSpec extends SparkTestBase {
     }
   }
 
+  test("clusterAssignments labels components with their minimum id") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3 forces several propagation passes) plus
+    // clique {10,11,12}
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L)).toDF("doc_id_a", "doc_id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L)
+    // driver union-find fast path and the distributed min-label loop
+    // (forced by driverMaxEdges = 0) must agree exactly
+    val fast = Dedup.clusterAssignments(edges, "doc_id_a", "doc_id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.clusterAssignments(edges, "doc_id_a", "doc_id_b",
+        driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == expected)
+    assert(dist == expected)
+  }
+
+  test("dedupClusters marks one canonical doc per cluster, singletons too") {
+    import spark.implicits._
+    val corpus = (1L to 6L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_id_a", "doc_id_b")
+    val out = Dedup.dedupClusters(corpus, "doc_id", edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
+      (4L, 4L, 1L, true), (5L, 5L, 2L, true), (6L, 5L, 2L, false)))
+  }
+
   test("bpe token estimate is bounded below by the word count") {
     import spark.implicits._
     val df = Seq("a b c d e f", "internationalization", "").toDF("text")
