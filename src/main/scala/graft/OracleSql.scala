@@ -621,6 +621,77 @@ object OracleSql {
          |FROM f""".stripMargin
     },
 
+    // PII detection/redaction replay: identical injected text, identical
+    // Java-regex∩RE2 patterns (generated from Pii.Patterns — single source
+    // of truth), DuckDB's 'g' flag matching Spark's replace-all default.
+    "q_pii" -> {
+      val inj = "text || ' Contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || " +
+        "'.7 call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || " +
+        "'-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+        "' ssn 123-45-6789'"
+      val counts = graft.pipeline.Pii.Patterns.map { case (name, pat, _) =>
+        s"CAST(len(regexp_extract_all(t, '$pat')) AS BIGINT) AS n_$name"
+      }.mkString(",\n  ")
+      val redacted = graft.pipeline.Pii.Patterns.foldLeft("t") {
+        case (e, (_, pat, repl)) => s"regexp_replace($e, '$pat', '$repl', 'g')"
+      }
+      s"""WITH x AS (SELECT doc_id, $inj AS t FROM documents)
+         |SELECT doc_id,
+         |  $counts,
+         |  md5($redacted) AS redacted_md5
+         |FROM x""".stripMargin
+    },
+
+    // BM25 replay: same Lucene-form idf, same fixed-term-order pivot sum
+    // (float addition order matters), same deterministic rounding + tiebreak.
+    "q_bm25" -> {
+      val terms = SparkEntry.Bm25Terms
+      val k = 20
+      val termList = terms.map(t => s"'$t'").mkString(", ")
+      val avgdl = "(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))"
+      val idf = "ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))"
+      val contrib =
+        s"($idf * (tf * 2.2)) / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / $avgdl))"
+      val pivots = terms.zipWithIndex.map { case (t, i) =>
+        s"max(CASE WHEN term = '$t' THEN c END) AS c$i"
+      }.mkString(",\n  ")
+      val score = terms.indices.map(i => s"coalesce(c$i, 0.0)").mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, $norm AS nrm FROM documents),
+         |tok AS (SELECT doc_id, len(string_split(nrm, ' ')) AS dl,
+         |  unnest(string_split(nrm, ' ')) AS term FROM d),
+         |qt AS (SELECT * FROM tok WHERE term IN ($termList)),
+         |tf AS (SELECT doc_id, term, max(dl) AS dl, count(*) AS tf
+         |  FROM qt GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY term),
+         |stats AS (SELECT count(*) AS n,
+         |  CAST(sum(len(string_split(nrm, ' '))) AS BIGINT) AS tot FROM d),
+         |ct AS (SELECT tf.doc_id, tf.term, $contrib AS c
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+         |sc AS (SELECT doc_id,
+         |  $pivots
+         |  FROM ct GROUP BY doc_id),
+         |r AS (SELECT doc_id, floor(($score) * 10000.0 + 0.5) / 10000.0 AS score FROM sc),
+         |t AS (SELECT doc_id, score,
+         |  row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM r)
+         |SELECT doc_id, CAST(rnk AS BIGINT) AS "rank", score FROM t
+         |WHERE rnk <= $k""".stripMargin
+    },
+
+    // deterministic stratified sample: integer hash-bucket threshold per
+    // stratum (no floats anywhere in the predicate)
+    "q_stratified_sample" -> {
+      val buckets = 1000000
+      val bucket =
+        s"(${Hashing.mixSql(Hashing.polyHashSql("CAST(doc_id AS VARCHAR)"), 11)}) % $buckets"
+      val cases = SparkEntry.StratifiedFractions.toSeq.sortBy(_._1)
+        .map { case (s, f) => s"WHEN lang = '$s' THEN ${math.round(f * buckets)}" }
+        .mkString(" ")
+      val default = math.round(0.1 * buckets)
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $bucket < (CASE $cases ELSE $default END)""".stripMargin
+    },
+
     "q_token_count" -> {
       val nt = "CASE WHEN length(tt) = 0 THEN 0 ELSE length(tt) - length(replace(tt, ' ', '')) + 1 END"
       s"""WITH x AS (SELECT doc_id, text, trim(regexp_replace(text, ' +', ' ', 'g')) AS tt

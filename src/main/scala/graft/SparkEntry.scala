@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import graft.tsdf.{TSDF, Resample, Stats, Interpolation}
 import graft.intervals.IntervalsDF
 import graft.ml.TimeSeriesCrossValidator
-import graft.pipeline.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.pipeline.{Dedup, Similarity, TextAnalysis, Multimodal, Pii, Retrieval}
 
 /** Driver contract: one `queries` entry per implemented operator
   * (SURVEY.md §2 + training-data pipeline ops), each with a DuckDB-runnable
@@ -691,6 +691,40 @@ object SparkEntry {
     docs(s, dir).select(
       col("doc_id") +: TextAnalysis.repetitionSignals(col("text")): _*)
 
+  /** The synthetic corpus contains no PII, so every doc gets deterministic
+    * id-derived addresses/numbers appended before detection — the regex
+    * machinery is exercised on every row and both engines see identical
+    * input. */
+  private def piiInjectedText: Column = concat(col("text"),
+    lit(" Contact user"), col("doc_id").cast(StringType),
+    lit("@example.com from 10.0."),
+    (col("doc_id") % 256).cast(StringType), lit(".7 call 555-"),
+    lpad((col("doc_id") % 1000).cast(StringType), 3, "0"), lit("-"),
+    lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+    lit(" ssn 123-45-6789"))
+
+  private def qPii(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), piiInjectedText.alias("__t"))
+      .select(col("doc_id") +: (Pii.counts(col("__t")) :+
+        md5(Pii.redact(col("__t"))).alias("redacted_md5")): _*)
+
+  /** Query terms for the BM25 oracle query — all present in the synthetic
+    * vocabulary with different document frequencies. */
+  val Bm25Terms: Seq[String] = Seq("customer", "vector", "stream", "window")
+
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopK(docs(s, dir), "text", "doc_id", Bm25Terms, k = 20)
+
+  /** Per-language sampling fractions — `es`/`zh` fall through to the
+    * default, exercising that path. */
+  val StratifiedFractions: Map[String, Double] =
+    Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2)
+
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Splits.stratifiedSample(
+      docs(s, dir).select(col("doc_id"), col("lang")), "doc_id", "lang",
+      StratifiedFractions, defaultFraction = 0.1)
+
   private def qTokenCount(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).cast(LongType).alias("n_tokens"),
@@ -810,6 +844,9 @@ object SparkEntry {
     "q_lang_id" -> qLangId _,
     "q_quality" -> qQuality _,
     "q_quality_v2" -> qQualityV2 _,
+    "q_pii" -> qPii _,
+    "q_bm25" -> qBm25 _,
+    "q_stratified_sample" -> qStratifiedSample _,
     "q_token_count" -> qTokenCount _,
     "q_fingerprint" -> qFingerprint _,
     "q_rolling_fp" -> qRollingFp _,

@@ -1,0 +1,45 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** PII detection and redaction for training-data pipelines: per-category
+  * match counts plus a redacted text column (emails, IPv4 addresses,
+  * phone numbers, SSN-shaped ids).
+  *
+  * Patterns are restricted to the Java-regex ∩ RE2 common subset —
+  * character classes, bounded repetition, ASCII `\b` word boundaries; no
+  * backreferences or lookaround — so Spark (java.util.regex), DuckDB (RE2)
+  * and any RE2-based scale-out engine match byte-identically. Everything is
+  * per-row Column algebra: zero shuffles, embarrassingly parallel at any
+  * corpus size, and the regexes stay inside whole-stage codegen.
+  */
+object Pii {
+
+  /** (category, pattern, replacement token), applied in order. Email runs
+    * first so an address's digits can't be half-claimed by the numeric
+    * patterns; SSN (strict `ddd-dd-dddd`) and phone (`ddd[-.]ddd[-.]dddd`)
+    * shapes are mutually exclusive by digit-group lengths. */
+  val Patterns: Seq[(String, String, String)] = Seq(
+    ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phones", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"))
+
+  /** Per-category non-overlapping match counts, each computed independently
+    * on the raw text (a character consumed by one category still counts
+    * toward another — counts answer "how much PII of kind X", not "what
+    * does redaction remove"). */
+  def counts(text: Column): Seq[Column] =
+    Patterns.map { case (name, pat, _) =>
+      regexp_count(text, lit(pat)).cast(LongType).alias(s"n_$name")
+    }
+
+  /** Text with every PII match replaced by its category token, categories
+    * applied in [[Patterns]] order. */
+  def redact(text: Column): Column =
+    Patterns.foldLeft(text) { case (t, (_, pat, repl)) =>
+      regexp_replace(t, pat, repl)
+    }
+}

@@ -39,4 +39,29 @@ object Splits {
     require(idx >= 0 && idx < weights.size, s"split $idx out of range")
     df.filter(splitIndex(col(idCol), weights) === idx.toLong)
   }
+
+  /** Deterministic stratified sampling: keep a per-stratum fraction of rows
+    * (e.g. language rebalancing — downsample English, keep all of a
+    * low-resource stratum). The id hashes to a uniform bucket in
+    * [0, `buckets`); a row survives iff its bucket clears the stratum's
+    * integer threshold `round(fraction · buckets)` — pure integer compare,
+    * no floats, so the SAME rows survive on any run, partitioning, or
+    * engine (unlike `df.sample`, which is rng-and-partition dependent).
+    * Strata missing from `fractions` get `defaultFraction`. One
+    * zero-shuffle filter pass; the when-chain is a broadcast-free literal
+    * lookup that stays inside codegen. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      seed: Int = 11, buckets: Int = 1000000): DataFrame = {
+    require(buckets > 0)
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1))
+    val bucket = pmod(
+      Hashing.mix(Hashing.polyHash(col(idCol).cast("string")), seed), lit(buckets))
+    def thr(f: Double): Long = math.round(f * buckets)
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldLeft[Column](lit(thr(defaultFraction))) { case (acc, (s, f)) =>
+        when(col(stratumCol) === s, lit(thr(f))).otherwise(acc)
+      }
+    df.filter(bucket < threshold)
+  }
 }

@@ -482,6 +482,67 @@ class PipelineUnitSpec extends SparkTestBase {
       (4L, 4L, 1L, true), (5L, 5L, 2L, true), (6L, 5L, 2L, false)))
   }
 
+  test("pii counts and redaction hit every category exactly once") {
+    import spark.implicits._
+    val text = "mail a.b-c_1@ex-ample.org, host 192.168.0.1, " +
+      "call 555-123-4567, ssn 987-65-4321 end"
+    val r = Seq(text).toDF("t")
+      .select(Pii.counts(col("t")) :+ Pii.redact(col("t")).alias("red"): _*)
+      .collect().head
+    assert((0 to 3).map(r.getLong) == Seq(1L, 1L, 1L, 1L))
+    assert(r.getString(4) ==
+      "mail <EMAIL>, host <IP>, call <PHONE>, ssn <SSN> end")
+  }
+
+  test("pii redaction leaves clean text untouched") {
+    import spark.implicits._
+    val clean = "no personal data here, just 42 numbers and words."
+    val r = Seq(clean).toDF("t")
+      .select(Pii.counts(col("t")) :+ Pii.redact(col("t")).alias("red"): _*)
+      .collect().head
+    assert((0 to 3).map(r.getLong).forall(_ == 0L))
+    assert(r.getString(4) == clean)
+  }
+
+  test("bm25 ranks the doc with more query-term mass first") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark stream stream stream window"),
+      (2L, "spark window"),
+      (3L, "unrelated words entirely here"),
+      (4L, "stream window stream window spark spark spark")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(corpus, "text", "doc_id",
+      Seq("stream", "window"), k = 3).collect()
+    // doc 3 has no query terms -> absent; scores strictly ordered
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    val scores = out.sortBy(_.getLong(1)).map(_.getDouble(2))
+    assert(scores.sliding(2).forall(p => p(0) >= p(1)))
+    assert(scores.forall(_ > 0))
+  }
+
+  test("stratified sample is deterministic and follows the hash threshold") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val frac = Map("en" -> 0.5)
+    val a = Splits.stratifiedSample(df, "doc_id", "lang", frac,
+      defaultFraction = 0.1).collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = Splits.stratifiedSample(df, "doc_id", "lang", frac,
+      defaultFraction = 0.1).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.sorted.toSeq == b.sorted.toSeq)
+    // JVM-side replay of the same integer predicate
+    def bucket(id: Long): Long =
+      Hashing.mixLong(Hashing.polyHashBytes(id.toString.getBytes("UTF-8")), 11) % 1000000L
+    val expect = (0L until 2000L).filter { i =>
+      bucket(i) < (if (i % 2 == 0) 500000L else 100000L)
+    }.toSet
+    assert(a.map(_._1).toSet == expect)
+    // sanity: each stratum is near its target fraction
+    val en = a.count(_._2 == "en"); val zh = a.count(_._2 == "zh")
+    assert(math.abs(en / 1000.0 - 0.5) < 0.1 && math.abs(zh / 1000.0 - 0.1) < 0.06)
+  }
+
   test("bpe token estimate is bounded below by the word count") {
     import spark.implicits._
     val df = Seq("a b c d e f", "internationalization", "").toDF("text")
