@@ -648,11 +648,16 @@ object SparkEntry {
     val sentinel = (999999L,
       java.sql.Timestamp.valueOf("2024-03-02 00:00:00"), queryRows.head._3)
     val mem = MemoryStream[(Long, java.sql.Timestamp, Seq[Double])]
+    // Encode + persist the static corpus ONCE: the stream-static join
+    // re-evaluates the static plan every micro-batch otherwise.
+    val encoded = graft.streaming.StreamingAnn.encodeCorpus(
+      d.select(col("vec_id"), col("q").alias("v")), "vec_id", "v",
+      cents, codebooks).persist()
     val out = graft.streaming.StreamingAnn.pqTopKStream(
       mem.toDF().toDF("vec_id", "ts", "v"),
       d.select(col("vec_id"), col("q").alias("v")), "vec_id", "ts", "v",
       k = 3, centroids = cents, nprobe = 4, codebooks = codebooks,
-      watermarkDelay = "0 seconds")
+      watermarkDelay = "0 seconds", encodedCorpus = Some(encoded))
     val name = s"stream_pq_sink_${sinkId.incrementAndGet()}"
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
@@ -661,6 +666,7 @@ object SparkEntry {
     mem.addData(sentinel)
     q.processAllAvailable()
     q.stop()
+    encoded.unpersist()
     s.table(name).filter(col("query_id") =!= 999999L)
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "c")))
       .select(col("query_id"), (col("pos") + 1).cast(LongType).alias("rank"),

@@ -20,25 +20,39 @@ import graft.pipeline.Similarity
   * neighbor id, matching the batch [[Similarity.ivfPqTopK]] ordering. */
 object StreamingAnn {
 
-  def pqTopKStream(queries: DataFrame, corpus: DataFrame, idCol: String,
-      tsCol: String, vecCol: String, k: Int, centroids: Seq[Seq[Double]],
-      nprobe: Int, codebooks: Seq[Seq[Seq[Double]]],
-      watermarkDelay: String = "10 minutes"): DataFrame = {
-    require(centroids.nonEmpty && nprobe >= 1 && codebooks.nonEmpty)
-    val nlist = centroids.size
-    val centLit = typedLit(centroids)
-    def asDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
-    def bind(a: Column)(f: Column => Column): Column =
-      element_at(transform(array(a), f), 1)
-    def dists(v: Column): Column = transform(centLit, c => Similarity.l2sq(v, c))
-    val c = corpus.select(col(idCol).alias("neighbor_id"),
+  private def asDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
+  private def bind(a: Column)(f: Column => Column): Column =
+    element_at(transform(array(a), f), 1)
+  private def dists(centroids: Seq[Seq[Double]], v: Column): Column =
+    transform(typedLit(centroids), c => Similarity.l2sq(v, c))
+
+  /** The static corpus side of [[pqTopKStream]]: coarse cell id + PQ codes
+    * per vector, as `(neighbor_id, __cell, __codes)`. A stream-static join
+    * re-evaluates the static plan EVERY micro-batch — encode once and
+    * `persist()` the result (or write it out) before starting the stream;
+    * at corpus scale this is the difference between a lookup join and
+    * re-encoding 100 TB per trigger. */
+  def encodeCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    corpus.select(col(idCol).alias("neighbor_id"),
       asDouble(col(vecCol)).alias("__cv"))
-      .withColumn("__cell", bind(dists(col("__cv"))) { d =>
+      .withColumn("__cell", bind(dists(centroids, col("__cv"))) { d =>
         array_position(d, array_min(d)) - 1
       })
       .withColumn("__codes", Similarity.pqEncode(col("__cv"), codebooks))
       .drop("__cv")
-    val probe = bind(dists(col("__qv"))) { d =>
+
+  def pqTopKStream(queries: DataFrame, corpus: DataFrame, idCol: String,
+      tsCol: String, vecCol: String, k: Int, centroids: Seq[Seq[Double]],
+      nprobe: Int, codebooks: Seq[Seq[Seq[Double]]],
+      watermarkDelay: String = "10 minutes",
+      encodedCorpus: Option[DataFrame] = None): DataFrame = {
+    require(centroids.nonEmpty && nprobe >= 1 && codebooks.nonEmpty)
+    val nlist = centroids.size
+    val c = encodedCorpus.getOrElse(
+      encodeCorpus(corpus, idCol, vecCol, centroids, codebooks))
+    val probe = bind(dists(centroids, col("__qv"))) { d =>
       val ranked = array_sort(zip_with(d,
         sequence(lit(0L), lit(nlist.toLong - 1)),
         (dist, i) => struct(dist.alias("d"), i.alias("i"))))
