@@ -692,6 +692,71 @@ object OracleSql {
          |WHERE $bucket < (CASE $cases ELSE $default END)""".stripMargin
     },
 
+    // span-level 3-gram decontamination: distinct hashed 3-grams per doc,
+    // eval gram set = docs with doc_id % 7 = 0, left-join hit counting —
+    // replays Dedup.ngramDecontaminate(w = 3) exactly
+    "q_decontam_ngram" -> {
+      val shingle3 =
+        "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(" +
+          "generate_series(1, len(toks) - 2), " +
+          "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) " +
+          "ELSE [array_to_string(toks, ' ')] END"
+      s"""WITH d AS (SELECT doc_id, string_split($norm, ' ') AS toks FROM documents),
+         |shg AS (SELECT doc_id, $shingle3 AS sh FROM d),
+         |hs AS (SELECT doc_id,
+         |  list_distinct(list_transform(sh, x -> ${Hashing.polyHashSql("x")})) AS gs FROM shg),
+         |ev AS (SELECT DISTINCT unnest(gs) AS g FROM hs WHERE doc_id % 7 = 0),
+         |ex AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM hs),
+         |j AS (SELECT ex.doc_id, ex.n_grams,
+         |  CASE WHEN ev.g IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM ex LEFT JOIN ev ON ex.g = ev.g)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |  CAST(sum(hit) AS BIGINT) AS hit_grams,
+         |  floor((CAST(sum(hit) AS DOUBLE) / n_grams) * 1000000 + 0.5) / 1000000.0
+         |    AS hit_frac
+         |FROM j GROUP BY doc_id, n_grams""".stripMargin
+    },
+
+    // concat-and-chunk packing: running token sum per source in doc_id
+    // order; double division is exact below 2^53 tokens per group
+    "q_pack_sequences" -> {
+      val nt = "CASE WHEN length(tt) = 0 THEN 0 ELSE length(tt) - length(replace(tt, ' ', '')) + 1 END"
+      s"""WITH x AS (SELECT source, doc_id, text,
+         |  trim(regexp_replace(text, ' +', ' ', 'g')) AS tt FROM documents),
+         |t AS (SELECT source, doc_id,
+         |  CAST(greatest(CAST(ceil(length(text) / 4.0) AS BIGINT), $nt) AS BIGINT) AS tokens
+         |  FROM x),
+         |c AS (SELECT source, doc_id, tokens,
+         |  sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS strt
+         |  FROM t)
+         |SELECT source, doc_id, tokens,
+         |  CAST(floor(strt / 2048.0) AS BIGINT) AS seq_id,
+         |  CAST(strt % 2048 AS BIGINT) AS seq_off
+         |FROM c""".stripMargin
+    },
+
+    // median/MAD anomaly summary: both medians by the same lower-rank
+    // convention as q_quantiles; dev/threshold arithmetic is the identical
+    // IEEE op sequence in both engines
+    "q_anomaly_mad" ->
+      s"""WITH r AS (SELECT user_id, value,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY value) AS rn,
+         |  count(*) OVER (PARTITION BY user_id) AS n FROM events),
+         |m AS (SELECT *, max(CASE WHEN rn = greatest(1,
+         |    CAST(ceil(0.5 * n) AS BIGINT)) THEN value END)
+         |  OVER (PARTITION BY user_id) AS med FROM r),
+         |d AS (SELECT *, abs(value - med) AS dev FROM m),
+         |r2 AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY dev) AS rn2
+         |  FROM d),
+         |m2 AS (SELECT *, max(CASE WHEN rn2 = greatest(1,
+         |    CAST(ceil(0.5 * n) AS BIGINT)) THEN dev END)
+         |  OVER (PARTITION BY user_id) AS mad FROM r2)
+         |SELECT user_id, count(*) AS n, max(med) AS med, max(mad) AS mad,
+         |  CAST(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_anomalies
+         |FROM m2 GROUP BY user_id""".stripMargin,
+
     "q_token_count" -> {
       val nt = "CASE WHEN length(tt) = 0 THEN 0 ELSE length(tt) - length(replace(tt, ' ', '')) + 1 END"
       s"""WITH x AS (SELECT doc_id, text, trim(regexp_replace(text, ' +', ' ', 'g')) AS tt

@@ -731,6 +731,25 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), col("lang")), "doc_id", "lang",
       StratifiedFractions, defaultFraction = 0.1)
 
+  /** Span-level 3-gram decontamination against the same deterministic eval
+    * subset as q_contamination (doc_id % 7) — eval docs hit themselves at
+    * frac 1.0; genuine shared spans show up as partial fractions. */
+  private def qDecontamNgram(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Dedup.ngramDecontaminate(
+      docs(s, dir), docs(s, dir).filter(col("doc_id") % 7 === 0),
+      "text", "doc_id", w = 3)
+      .select(col("doc_id"), col("n_grams").cast(LongType).alias("n_grams"),
+        col("hit_grams"), col("hit_frac"))
+
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Packing.packSequences(
+      docs(s, dir), "text", "doc_id", Seq("source"), capacity = 2048)
+
+  private def qAnomalyMad(s: SparkSession, dir: String): DataFrame =
+    graft.tsdf.Stats.robustAnomalies(
+      events(s, dir).select(col("user_id"), col("value")),
+      "value", Seq("user_id"), k = 3.0)
+
   private def qTokenCount(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).cast(LongType).alias("n_tokens"),
@@ -853,6 +872,9 @@ object SparkEntry {
     "q_pii" -> qPii _,
     "q_bm25" -> qBm25 _,
     "q_stratified_sample" -> qStratifiedSample _,
+    "q_decontam_ngram" -> qDecontamNgram _,
+    "q_pack_sequences" -> qPackSequences _,
+    "q_anomaly_mad" -> qAnomalyMad _,
     "q_token_count" -> qTokenCount _,
     "q_fingerprint" -> qFingerprint _,
     "q_rolling_fp" -> qRollingFp _,

@@ -422,4 +422,36 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
   }
+
+  /** Span-level n-gram decontamination (the GPT-3/PaLM recipe, cf. Brown et
+    * al. 2020 §C): per corpus document, the fraction of its distinct word
+    * w-grams that also occur ANYWHERE in the eval corpus. Where
+    * [[crossCorpusNearDuplicates]] flags whole near-duplicate documents,
+    * this catches verbatim spans (a quoted benchmark question inside an
+    * otherwise-unrelated page).
+    *
+    * Plan shape at scale: the eval side collapses to ONE distinct hashed
+    * gram set (tiny — eval suites are MBs against a 100 TB corpus) that
+    * AQE broadcasts into the probe join; the corpus makes one pass
+    * (shingle → hash → explode) and one groupBy on the doc id. No
+    * self-join, no skew (per-doc grams are distinct).
+    *
+    * Output: (id, n_grams, hit_grams, hit_frac) for every corpus document,
+    * hit_frac deterministic-rounded to 6 places. */
+  def ngramDecontaminate(corpus: DataFrame, eval: DataFrame, textCol: String,
+      idCol: String, w: Int = 3): DataFrame = {
+    def gramSet(c: Column) = array_distinct(shingleHashes(shingles(c, w)))
+    val evalGrams = eval
+      .select(explode(gramSet(col(textCol))).alias("__g")).distinct()
+      .withColumn("__hit", lit(1))
+    corpus
+      .select(col(idCol), gramSet(col(textCol)).alias("__gs"))
+      .select(col(idCol), size(col("__gs")).alias("n_grams"),
+        explode(col("__gs")).alias("__g"))
+      .join(evalGrams, Seq("__g"), "left")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(col("__hit")).alias("hit_grams"))
+      .withColumn("hit_frac", TextAnalysis.roundDet(
+        col("hit_grams").cast(DoubleType) / col("n_grams"), 6))
+  }
 }

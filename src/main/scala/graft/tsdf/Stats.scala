@@ -147,6 +147,43 @@ object Stats {
     ranked.groupBy(seriesCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Robust per-series anomaly summary via median / MAD (median absolute
+    * deviation): a point is anomalous when |x − median| > k·MAD — the
+    * outlier-resistant cousin of the z-score (a few extreme points cannot
+    * drag the threshold the way they drag mean/stddev). Both medians use
+    * the same "lower" rank convention as [[quantiles]] (value at rank
+    * ceil(n/2) in sorted order) so the result is an exact function of the
+    * value multiset, engine-reproducible with no sketch.
+    *
+    * Plan shape: ONE exchange on the series key — the value-ordered and
+    * deviation-ordered windows and the final groupBy all reuse the same
+    * hash partitioning (two in-partition sorts, zero joins). Output one
+    * row per series: (series, n, med, mad, n_anomalies). */
+  def robustAnomalies(df: DataFrame, valueCol: String,
+      seriesCols: Seq[String], k: Double = 3.0): DataFrame = {
+    val sc = seriesCols.map(col)
+    val wAll = Window.partitionBy(sc: _*)
+    def lowerMedian(rnOf: Column, of: Column): Column =
+      max(when(rnOf === greatest(lit(1L),
+        ceil(lit(0.5) * count(lit(1)).over(wAll)).cast(LongType)), of))
+        .over(wAll)
+    val wVal = wAll.orderBy(col(valueCol))
+    val withMed = df
+      .withColumn("__rn", row_number().over(wVal))
+      .withColumn("__med", lowerMedian(col("__rn"), col(valueCol)))
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+    val wDev = wAll.orderBy(col("__dev"))
+    val withMad = withMed
+      .withColumn("__rn2", row_number().over(wDev))
+      .withColumn("__mad", lowerMedian(col("__rn2"), col("__dev")))
+    withMad.groupBy(sc: _*).agg(
+      count(lit(1)).alias("n"),
+      max(col("__med")).alias("med"),
+      max(col("__mad")).alias("mad"),
+      sum(when(col("__dev") > lit(k) * col("__mad"), 1L).otherwise(0L))
+        .alias("n_anomalies"))
+  }
+
   /** 2-D lookback feature tensor: collect_list(array(cols)) over the previous
     * `lookbackWindowSize` rows (tsdf.py:1073-1110). */
   def withLookbackFeatures(tsdf: TSDF, featureCols: Seq[String],

@@ -552,4 +552,67 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(rows(0).getInt(0) == 6 && rows(0).getInt(1) == 6)
     assert(rows(2).getInt(0) == 0)
   }
+
+  test("ngram decontamination flags exactly the shared spans") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content with no overlap here"),
+      (3L, "quick brown fox appears in this one too")).toDF("doc_id", "text")
+    val eval = Seq((100L, "a quick brown fox story")).toDF("doc_id", "text")
+    val out = Dedup.ngramDecontaminate(corpus, eval, "text", "doc_id", w = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: grams 7, only "quick brown fox" shared
+    assert(out(1L) == ((7, 1L, 0.142857)))
+    assert(out(2L)._2 == 0L && out(2L)._3 == 0.0)
+    assert(out(3L)._2 == 1L) // "quick brown fox"
+  }
+
+  test("sequence packing is contiguous chunking per group") {
+    import spark.implicits._
+    // texts sized so token estimates are exact: len/4 ceil, one word each
+    def txt(tokens: Int): String = "x" * (tokens * 4)
+    val df = Seq(
+      (1L, "g", txt(1000)), (2L, "g", txt(1000)), (3L, "g", txt(1000)),
+      (4L, "h", txt(3000))).toDF("doc_id", "source", "text")
+    val out = Packing.packSequences(df, "text", "doc_id", Seq("source"), 2048)
+      .collect().map(r => (r.getLong(1), r.getString(0), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    // g: starts 0, 1000, 2000 -> seqs 0, 0, 0(starts at 2000 < 2048)
+    assert(out(0) == ((1L, "g", 1000L, 0L, 0L)))
+    assert(out(1) == ((2L, "g", 1000L, 0L, 1000L)))
+    assert(out(2) == ((3L, "g", 1000L, 0L, 2000L)))
+    // h: independent stream, starts at 0
+    assert(out(3) == ((4L, "h", 3000L, 0L, 0L)))
+    // fill report: group g = one 3000-token stream over capacity 2048
+    val fill = Packing.sequenceFill(df, "text", "doc_id", Seq("source"), 2048)
+      .filter(col("source") === "g").collect()
+    assert(fill.length == 1 && fill.head.getLong(2) == 3L &&
+      fill.head.getLong(3) == 3000L)
+  }
+
+  test("robust MAD anomalies resist the outlier that drags stddev") {
+    import spark.implicits._
+    // 9 points near 10 plus one wild outlier; mean/stddev would swallow it
+    val vals = Seq(9.0, 10.0, 10.0, 10.0, 10.0, 10.0, 11.0, 11.0, 12.0, 1000.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("sid", "i", "value")
+    val r = graft.tsdf.Stats.robustAnomalies(df, "value", Seq("sid"), k = 3.0)
+      .collect().head
+    // lower-median of 10 values = 5th sorted = 10.0; devs sorted:
+    // 0,0,0,0,0,1,1,1,2,990 -> MAD = 5th = 0.0... all nonzero devs anomalous
+    assert(r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 10.0)
+    assert(r.getDouble(3) == 0.0)
+    assert(r.getLong(4) == 5L) // devs 1,1,1,2,990 exceed 3*0 = 0
+    // and with a spread series the threshold behaves
+    val spread = (1 to 101).map(i => (2L, i.toLong, i.toDouble))
+      .toDF("sid", "i", "value")
+    val r2 = graft.tsdf.Stats.robustAnomalies(spread, "value", Seq("sid"), k = 1.0)
+      .collect().head
+    assert(r2.getDouble(2) == 51.0) // median
+    assert(r2.getDouble(3) == 25.0) // MAD of 1..101 around 51
+    assert(r2.getLong(4) == 50L) // |x-51| > 25 -> 1..25 and 77..101
+  }
 }
