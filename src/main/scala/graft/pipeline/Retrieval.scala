@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -38,19 +38,29 @@ object Retrieval {
       .filter(col("__term").isin(queryTerms: _*))
     val tf = tokens.groupBy(col(idCol), col("__term"))
       .agg(max(col("__dl")).alias("__dl"), count(lit(1)).alias("__tf"))
-    // tiny aggregates: document frequency per query term; corpus N + total
-    // token count (second, column-pruned corpus pass)
-    val dfreq = tokens.select(col(idCol), col("__term")).distinct()
-      .groupBy(col("__term")).agg(count(lit(1)).alias("__df"))
+    // corpus stats in ONE column-pruned pass with no explode: N, total
+    // token count, AND per-term document frequency — a term occurs in a
+    // doc iff " term " substrings the padded single-spaced normalization,
+    // so df needs no token explode / distinct (the length-replace trick
+    // is codegen'd and literal, no regex)
+    val padded = concat(lit(" "), Dedup.normalizeText(col(textCol)), lit(" "))
+    val dfAggs = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(TextAnalysis.occurrences(padded, s" $t ") > 0, 1L)
+        .otherwise(0L)).alias(s"__df$i")
+    }
     val stats = df.agg(count(lit(1)).alias("__n"),
-      sum(size(toks).cast(LongType)).alias("__tot"))
+      sum(size(toks).cast(LongType)).alias("__tot") +: dfAggs: _*)
     val avgdl = col("__tot").cast(DoubleType) / col("__n").cast(DoubleType)
-    val idf = log(lit(1.0) +
-      (col("__n").cast(DoubleType) - col("__df") + 0.5) / (col("__df") + 0.5))
+    def idfOf(dfc: Column) = log(lit(1.0) +
+      (col("__n").cast(DoubleType) - dfc + 0.5) / (dfc + 0.5))
+    // per-row idf: CASE over the fixed term list (term -> its df column)
+    val idf = queryTerms.zipWithIndex.tail
+      .foldLeft(idfOf(col("__df0"))) { case (acc, (t, i)) =>
+        when(col("__term") === t, idfOf(col(s"__df$i"))).otherwise(acc)
+      }
     val contrib = idf * (col("__tf") * (k1 + 1.0)) /
       (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast(DoubleType) / avgdl))
     val scored = tf
-      .join(broadcast(dfreq), "__term")
       .crossJoin(broadcast(stats))
       .select(col(idCol), col("__term"), contrib.alias("__c"))
     // fixed-order pivot sum: term_1 + term_2 + ... — row-order independent
