@@ -736,6 +736,51 @@ object OracleSql {
          |FROM c""".stripMargin
     },
 
+    // boilerplate line removal over the same injected footers as the Spark
+    // query; string_agg(ORDER BY i) skips the NULLs the CASE leaves for
+    // removed lines, coalesce('') matches Spark's empty array_join
+    "q_boilerplate" -> {
+      val injected = "text || chr(10) || 'Subscribe to our newsletter' || " +
+        "chr(10) || 'Copyright ' || source || " +
+        "(CASE WHEN doc_id % 50 = 0 THEN chr(10) || 'Rare footer' ELSE '' END)"
+      s"""WITH x AS (SELECT doc_id, $injected AS t FROM documents),
+         |l AS (SELECT doc_id, len(string_split(t, chr(10))) AS n_lines,
+         |  unnest(string_split(t, chr(10))) AS line,
+         |  unnest(range(1, len(string_split(t, chr(10))) + 1)) AS i FROM x),
+         |b AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS c
+         |  FROM l GROUP BY line) WHERE c >= 20),
+         |j AS (SELECT l.doc_id, l.n_lines, l.i, l.line, b.line AS bl
+         |  FROM l LEFT JOIN b ON l.line = b.line)
+         |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN bl IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  md5(coalesce(string_agg(CASE WHEN bl IS NULL THEN line END, chr(10)
+         |    ORDER BY i), '')) AS clean_fp
+         |FROM j GROUP BY doc_id, n_lines""".stripMargin
+    },
+
+    // token-budget mixture at hash-bucket granularity: per-(source, bucket)
+    // token sums, prefix over buckets, keep buckets starting inside the
+    // budget — replays Splits.tokenBudgetMixture(seed = 13, buckets = 4096)
+    "q_mixture_budget" -> {
+      val nt = "CASE WHEN length(tt) = 0 THEN 0 ELSE length(tt) - length(replace(tt, ' ', '')) + 1 END"
+      val bucket =
+        s"(${Hashing.mixSql(Hashing.polyHashSql("CAST(doc_id AS VARCHAR)"), 13)}) % 4096"
+      val budget = SparkEntry.MixtureBudgets.toSeq.sortBy(_._1)
+        .map { case (s, v) => s"WHEN source = '$s' THEN $v" }
+        .mkString("CASE ", " ", " ELSE 200 END")
+      s"""WITH x AS (SELECT doc_id, source, text,
+         |  trim(regexp_replace(text, ' +', ' ', 'g')) AS tt FROM documents),
+         |t AS (SELECT doc_id, source,
+         |  CAST(greatest(CAST(ceil(length(text) / 4.0) AS BIGINT), $nt) AS BIGINT) AS tokens,
+         |  $bucket AS b FROM x),
+         |pb AS (SELECT source, b, sum(tokens) AS bt FROM t GROUP BY source, b),
+         |ks AS (SELECT source, b, sum(bt) OVER (PARTITION BY source ORDER BY b
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bt AS strt FROM pb),
+         |keep AS (SELECT source, b FROM ks WHERE strt < ($budget))
+         |SELECT t.doc_id, t.source, t.tokens
+         |FROM t JOIN keep ON t.source = keep.source AND t.b = keep.b""".stripMargin
+    },
+
     // median/MAD anomaly summary: both medians by the same lower-rank
     // convention as q_quantiles; dev/threshold arithmetic is the identical
     // IEEE op sequence in both engines

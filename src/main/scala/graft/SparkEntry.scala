@@ -731,6 +731,32 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), col("lang")), "doc_id", "lang",
       StratifiedFractions, defaultFraction = 0.1)
 
+  /** Footer lines injected so the single-line synthetic corpus exercises
+    * boilerplate detection (same trick as q_pii): one line shared by every
+    * doc, one per source (25 docs at sf0.01), one rare (doc_id % 50). With
+    * minDocs = 20 the rare line survives at sf0.01. */
+  private def boilerInjectedText: Column = concat(col("text"),
+    lit("\nSubscribe to our newsletter"),
+    lit("\nCopyright "), col("source"),
+    when(col("doc_id") % 50 === 0, lit("\nRare footer")).otherwise(lit("")))
+
+  private def qBoilerplate(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Dedup.removeBoilerplateLines(
+      docs(s, dir).select(col("doc_id"), boilerInjectedText.alias("__t")),
+      "__t", "doc_id", minDocs = 20)
+      .select(col("doc_id"), col("n_lines").cast(LongType).alias("n_lines"),
+        col("n_removed"), col("clean_fp"))
+
+  /** Per-source token budgets: two named sources capped hard, the rest at
+    * the small default — exercises both the named and fall-through paths. */
+  val MixtureBudgets: Map[String, Long] = Map("src0" -> 1000L, "src1" -> 500L)
+
+  private def qMixtureBudget(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Splits.tokenBudgetMixture(
+      docs(s, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.bpeTokenEstimate(col("text")).cast(LongType).alias("tokens")),
+      "doc_id", "source", "tokens", MixtureBudgets, defaultBudget = 200L)
+
   /** Span-level 3-gram decontamination against the same deterministic eval
     * subset as q_contamination (doc_id % 7) — eval docs hit themselves at
     * frac 1.0; genuine shared spans show up as partial fractions. */
@@ -875,6 +901,8 @@ object SparkEntry {
     "q_decontam_ngram" -> qDecontamNgram _,
     "q_pack_sequences" -> qPackSequences _,
     "q_anomaly_mad" -> qAnomalyMad _,
+    "q_boilerplate" -> qBoilerplate _,
+    "q_mixture_budget" -> qMixtureBudget _,
     "q_token_count" -> qTokenCount _,
     "q_fingerprint" -> qFingerprint _,
     "q_rolling_fp" -> qRollingFp _,

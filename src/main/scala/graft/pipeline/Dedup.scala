@@ -423,6 +423,43 @@ object Dedup {
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
   }
 
+  /** Cross-document boilerplate line removal (the CCNet/RefinedWeb cleanup):
+    * a line occurring in ≥ `minDocs` distinct documents is boilerplate
+    * (cookie banners, nav text, footers) and is stripped from every
+    * document; per-document line order is otherwise preserved.
+    *
+    * Plan shape at scale: one explode pass; the boilerplate line set is a
+    * (distinct doc, line) aggregate filtered to high-df lines — by
+    * definition a tiny fraction of distinct lines — broadcast into a
+    * null-marking left join (not an anti-join, so fully-boilerplate
+    * documents still emit a row); one groupBy on the doc id rebuilds the
+    * text. Blank shared lines count as boilerplate like any other line.
+    *
+    * Output: (id, n_lines, n_removed, clean_fp) with `clean_fp` the md5 of
+    * the newline-rejoined kept lines (fingerprint, not the full text, so
+    * the result stays narrow). */
+  def removeBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
+      minDocs: Int): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val arr = split(col(textCol), "\n")
+    val lines = df.select(col(idCol), size(arr).alias("n_lines"),
+      posexplode(arr).as(Seq("__i", "__line")))
+    val boiler = lines.select(col(idCol), col("__line")).distinct()
+      .groupBy(col("__line")).agg(count(lit(1)).alias("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__line").alias("__bl"))
+    lines.join(broadcast(boiler), col("__line") === col("__bl"), "left")
+      .groupBy(col(idCol), col("n_lines"))
+      .agg(
+        sum(when(col("__bl").isNotNull, 1L).otherwise(0L)).alias("n_removed"),
+        // collect_list skips the null the `when` leaves for removed lines;
+        // array_sort on (i, line) structs restores document order
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("__bl").isNull,
+            struct(col("__i"), col("__line"))))),
+          s => s.getField("__line")), "\n")).alias("clean_fp"))
+  }
+
   /** Span-level n-gram decontamination (the GPT-3/PaLM recipe, cf. Brown et
     * al. 2020 §C): per corpus document, the fraction of its distinct word
     * w-grams that also occur ANYWHERE in the eval corpus. Where

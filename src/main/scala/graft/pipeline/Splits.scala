@@ -1,7 +1,9 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Deterministic dataset splitting for training pipelines.
   *
@@ -63,5 +65,47 @@ object Splits {
         when(col(stratumCol) === s, lit(thr(f))).otherwise(acc)
       }
     df.filter(bucket < threshold)
+  }
+
+  /** Deterministic token-budget mixture: per stratum (source/domain/
+    * language), keep documents until the stratum's token budget fills —
+    * the "data mixture" step of a pretraining pipeline (e.g. cap web text
+    * at N tokens while keeping all of a small high-quality source).
+    *
+    * Selection is at HASH-BUCKET granularity, which is what makes it
+    * work at 100 TB: docs hash into `buckets` uniform buckets; per-
+    * (stratum, bucket) token sums are a tiny aggregate (strata × buckets
+    * rows); a prefix sum over that aggregate (window over ≤`buckets` rows
+    * per stratum — never over documents, so no giant single partition)
+    * picks the buckets whose cumulative start lies inside the budget, and
+    * a broadcast semi-join keeps their documents. Overshoot is bounded by
+    * one bucket's tokens (≈ total/buckets per stratum). Fully
+    * deterministic: same rows survive on any run, partitioning, engine.
+    *
+    * Strata absent from `budgets` get `defaultBudget` (0 = drop). */
+  def tokenBudgetMixture(df: DataFrame, idCol: String, stratumCol: String,
+      tokensCol: String, budgets: Map[String, Long], defaultBudget: Long = 0L,
+      seed: Int = 13, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0 && (budgets.values ++ Seq(defaultBudget)).forall(_ >= 0))
+    val bucket = pmod(
+      Hashing.mix(Hashing.polyHash(col(idCol).cast("string")), seed), lit(buckets))
+    val perBucket = df
+      .select(col(stratumCol), bucket.alias("__b"),
+        col(tokensCol).cast(LongType).alias("__t"))
+      .groupBy(col(stratumCol), col("__b"))
+      .agg(sum(col("__t")).alias("__bt"))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = budgets.toSeq.sortBy(_._1)
+      .foldLeft[Column](lit(defaultBudget)) { case (acc, (s, b)) =>
+        when(col(stratumCol) === s, lit(b)).otherwise(acc)
+      }
+    val keepBuckets = perBucket
+      .withColumn("__start", sum(col("__bt")).over(w) - col("__bt"))
+      .filter(col("__start") < budget)
+      .select(col(stratumCol), col("__b"))
+    df.withColumn("__b", bucket)
+      .join(broadcast(keepBuckets), Seq(stratumCol, "__b"), "left_semi")
+      .select(df.columns.map(col): _*) // using-cols jump first; restore order
   }
 }

@@ -592,6 +592,57 @@ class PipelineUnitSpec extends SparkTestBase {
       fill.head.getLong(3) == 3000L)
   }
 
+  test("boilerplate lines are removed; fully-boilerplate docs still emit") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "unique one\nshared footer\nmore unique"),
+      (2L, "different body\nshared footer"),
+      (3L, "third body\nshared footer"),
+      (4L, "shared footer")).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplateLines(df, "text", "doc_id", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.size == 4)
+    assert(out(1L)._1 == 3 && out(1L)._2 == 1L)
+    assert(out(2L) == ((2, 1L, md5hex("different body"))))
+    assert(out(4L) == ((1, 1L, md5hex("")))) // all lines removed, row kept
+    assert(out(1L)._3 == md5hex("unique one\nmore unique")) // order preserved
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("token-budget mixture keeps whole buckets up to the budget") {
+    import spark.implicits._
+    val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "a" else "b", 10L))
+      .toDF("doc_id", "source", "tokens")
+    val out = Splits.tokenBudgetMixture(df, "doc_id", "source", "tokens",
+      Map("a" -> 500L), defaultBudget = 0L, buckets = 16)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // source b has zero budget -> gone entirely
+    assert(out.forall(_._2 == "a"))
+    // kept tokens: >= budget (bucket granularity overshoots), and bounded
+    // by budget + one bucket (~200 docs / 16 buckets * 10 tokens)
+    val kept = out.length * 10
+    assert(kept >= 500 && kept <= 500 + 200, s"kept $kept")
+    // determinism: same rows on re-run
+    val again = Splits.tokenBudgetMixture(df, "doc_id", "source", "tokens",
+      Map("a" -> 500L), defaultBudget = 0L, buckets = 16)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+    // JVM replay of the bucket prefix: buckets sorted by id, cumsum < 500
+    val bucketOf = (id: Long) =>
+      Hashing.mixLong(Hashing.polyHashBytes(id.toString.getBytes("UTF-8")), 13) % 16L
+    val aDocs = (0L until 400L by 2).map(i => (bucketOf(i), i))
+    val perBucket = aDocs.groupBy(_._1).view.mapValues(_.size * 10L).toMap
+    val keepB = perBucket.toSeq.sortBy(_._1)
+      .scanLeft((-1L, 0L, 0L)) { case ((_, cum, _), (b, t)) => (b, cum + t, cum) }
+      .drop(1).filter(_._3 < 500L).map(_._1).toSet
+    val expect = aDocs.filter(d => keepB(d._1)).map(_._2).toSet
+    assert(out.map(_._1).toSet == expect)
+  }
+
   test("robust MAD anomalies resist the outlier that drags stddev") {
     import spark.implicits._
     // 9 points near 10 plus one wild outlier; mean/stddev would swallow it
