@@ -1083,6 +1083,27 @@ object OracleSql {
          |  AND a.vec_id < b.vec_id AND a.r <= 4096)
          |SELECT vec_id_a, vec_id_b, cosine FROM p WHERE cosine >= 0.3""".stripMargin,
 
+    // SemDeDup: the q_embed_neardup_lsh pair set as edges, transitive
+    // closure via recursive CTE, min-id cluster labels (same shape as
+    // q_dedup_clusters)
+    "q_semdedup" ->
+      s"""WITH RECURSIVE q AS (SELECT vec_id, $qv AS q FROM embeddings),
+         |${lshSubBucketSql(nBits = 6, clamp = 4096)},
+         |p AS (SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM rk a JOIN rk b ON a.bucket = b.bucket AND a.s = b.s
+         |  AND a.vec_id < b.vec_id AND a.r <= 4096
+         |  WHERE ${cosSql("a.q", "b.q")} >= 0.3),
+         |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+         |reach AS (
+         |  SELECT vec_id AS src, vec_id AS dst FROM embeddings
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+         |lab AS (SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT vec_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  vec_id = cluster_id AS is_canonical
+         |FROM lab""".stripMargin,
+
     "q_multimodal" -> {
       val ph = Hashing.polyHashSql("p")
       s"""WITH d AS (SELECT doc_id, $norm AS p FROM documents),

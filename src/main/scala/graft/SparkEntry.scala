@@ -832,6 +832,17 @@ object SparkEntry {
     Similarity.embeddingNearDup(quantized(s, dir), "vec_id", "q",
       dim = 64, threshold = 0.3, nBits = 6)
 
+  /** SemDeDup (Abbas et al. 2023): semantic near-duplicate CLUSTERS over
+    * embeddings — the LSH-bucketed cosine pairs are the edge set, connected
+    * components label each group, and the minimum-id member is the one
+    * representative a curation pipeline keeps. Pure composition of
+    * [[Similarity.embeddingNearDup]] + [[Dedup.dedupClusters]]. */
+  private def qSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.embeddingNearDup(quantized(s, dir), "vec_id", "q",
+      dim = 64, threshold = 0.3, nBits = 6)
+    Dedup.dedupClusters(emb(s, dir).select(col("vec_id")), "vec_id", edges)
+  }
+
   // ================================================================ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_slice_between" -> qSliceBetween _,
@@ -888,6 +899,7 @@ object SparkEntry {
     "q_dedup_clusters" -> qDedupClusters _,
     "q_embed_neardup" -> qEmbedNearDup _,
     "q_embed_neardup_lsh" -> qEmbedNearDupLsh _,
+    "q_semdedup" -> qSemdedup _,
     "q_ann_topk" -> qAnnTopk _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_multiprobe" -> qAnnMultiprobe _,
