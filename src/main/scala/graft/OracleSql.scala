@@ -171,7 +171,14 @@ object OracleSql {
   /** Full DuckDB replay of [[Similarity.ivfPqTopK]] with the q_ann_ivfpq
     * parameter convention (coarse cells + PQ codes + ADC sum) — shared by
     * the batch query and its single-batch streaming twin. */
-  private val ivfPqSql: String = {
+  private val ivfPqSql: String =
+    s"""$ivfPqCtes
+       |SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id, adc_dist
+       |FROM r WHERE rn <= 3""".stripMargin
+
+  /** The shared IVF-PQ CTE chain, ending at `r` = per-query ADC ranking
+    * (also reused by the re-rank oracle, which reads a deeper shortlist). */
+  private lazy val ivfPqCtes: String = {
     val d2 = "list_dot_product(a.q, a.q) - 2 * list_dot_product(a.q, c.cv) + " +
       "list_dot_product(c.cv, c.cv)"
     def sub(e: String, m: String) = s"list_slice($e, ($m)*16+1, ($m)*16+16)"
@@ -205,10 +212,26 @@ object OracleSql {
        |  GROUP BY p.vec_id, b.vec_id),
        |r AS (SELECT query_id, neighbor_id, adc_dist,
        |  row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
-       |  FROM s1)
-       |SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id, adc_dist
-       |FROM r WHERE rn <= 3""".stripMargin
+       |  FROM s1)""".stripMargin
   }
+
+  /** Replay of [[Similarity.ivfPqTopKRerank]] (q_ann_rerank convention):
+    * the ADC shortlist at rn <= k·refine = 9, re-ranked by exact cosine
+    * over the true (quantized) vectors — same operand order as the Spark
+    * side (`dot / (qn * cn)`), so the doubles match bit-for-bit. */
+  private val ivfPqRerankSql: String =
+    s"""$ivfPqCtes,
+       |short AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 9),
+       |rr AS (SELECT s.query_id, s.neighbor_id,
+       |  list_dot_product(a.q, b.q) /
+       |    (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) AS cosine
+       |  FROM short s JOIN q a ON a.vec_id = s.query_id
+       |  JOIN q b ON b.vec_id = s.neighbor_id),
+       |rk AS (SELECT query_id, neighbor_id, cosine,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |  FROM rr)
+       |SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id, cosine
+       |FROM rk WHERE rn <= 3""".stripMargin
 
   val all: Map[String, String] = Map(
 
@@ -1014,6 +1037,8 @@ object OracleSql {
     // coded sub-centroid (a^2-2ab+b^2 form equals the left-to-right l2sq
     // fold exactly on integer vectors)
     "q_ann_ivfpq" -> ivfPqSql,
+
+    "q_ann_rerank" -> ivfPqRerankSql,
 
     // the streaming PQ top-k runs the same parameters/codebooks as
     // q_ann_ivfpq in a single-batch watermarked query — same replay

@@ -571,6 +571,21 @@ object SparkEntry {
         col("neighbor_id"), col("adc_dist"))
   }
 
+  /** Two-stage retrieval: the q_ann_ivfpq ADC shortlist widened to
+    * k·refine = 9 candidates, then re-ranked by exact cosine over the true
+    * vectors (corpus joins the broadcast shortlist by id — codes drive the
+    * scan, full-precision vectors are read for the shortlist only). */
+  private def qAnnRerank(s: SparkSession, dir: String): DataFrame = {
+    val d = quantized(s, dir)
+    val cents = d.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select("q").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val codebooks = (0 until 4).map(m => cents.map(_.slice(m * 16, m * 16 + 16)))
+    Similarity.ivfPqTopKRerank(d.filter(col("vec_id") < 20), d, "vec_id", "q",
+      k = 3, centroids = cents, nprobe = 4, codebooks = codebooks, refine = 3)
+      .select(col("query_id"), col("rank").cast(LongType).alias("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
   // ------------------------------------------- streaming (single-batch runs)
   /** Unique in-session memory-sink names: these queries re-run across
     * verify/bench passes within one session. */
@@ -887,6 +902,7 @@ object SparkEntry {
     "q_ivf_train" -> qIvfTrain _,
     "q_ann_ivfpq" -> qAnnIvfPq _,
     "q_ann_ivfpq_res" -> qAnnIvfPqRes _,
+    "q_ann_rerank" -> qAnnRerank _,
     "q_cv_folds" -> qCvFolds _,
     "q1_pricing_summary" -> qPricingSummary _,
     "q_revenue_nation" -> qRevenueNation _,

@@ -540,6 +540,42 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
   }
 
+  /** Two-stage IVF-PQ retrieval with exact re-rank — the production ANN
+    * pattern (FAISS `IndexRefine`): stage 1 scores the whole corpus by cheap
+    * PQ codes ([[ivfPqTopK]]) and keeps a shortlist of `k * refine`
+    * candidates per query; stage 2 fetches ONLY the shortlist's true vectors
+    * (an equi-join on the corpus id whose probe side is |queries|·k·refine
+    * rows — broadcast, so the corpus never shuffles) and re-ranks them by
+    * exact cosine. At 100 TB the corpus scan side carries M one-byte codes
+    * per vector through stage 1; full-precision vectors are read for the
+    * tiny shortlist only. Ties break to the lowest neighbor id, like
+    * [[bruteForceTopK]], so when the shortlist contains the true top-k the
+    * output is bit-identical to brute force. */
+  def ivfPqTopKRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Seq[Seq[Double]], nprobe: Int,
+      codebooks: Seq[Seq[Seq[Double]]], refine: Int,
+      residual: Boolean = false): DataFrame = {
+    require(refine >= 1, "refine factor must be >= 1")
+    val shortlist = ivfPqTopK(queries, corpus, idCol, vecCol, k * refine,
+      centroids, nprobe, codebooks, residual)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(idCol).alias("neighbor_id"),
+      asDouble(col(vecCol)).alias("__cv"))
+      .withColumn("__cn", l2norm(col("__cv")))
+    val q = queries.select(col(idCol).alias("query_id"),
+      asDouble(col(vecCol)).alias("__qv"))
+      .withColumn("__qn", l2norm(col("__qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(broadcast(shortlist), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cosine",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (a < b). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, nBits: Int = 6, maxBucketSize: Int = 4096): DataFrame = {

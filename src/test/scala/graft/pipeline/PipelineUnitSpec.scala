@@ -308,6 +308,40 @@ class PipelineUnitSpec extends SparkTestBase {
       s"multi-probe recall $multiRecall worse than single-bucket $singleRecall")
   }
 
+  test("IVF-PQ rerank recall >= plain IVF-PQ recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast(DoubleType) * 1000)).alias("q"))
+    val queries = emb.filter(col("vec_id") < 20)
+    val cents = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select("q").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val cbs = (0 until 4).map(m => cents.map(_.slice(m * 16, m * 16 + 16)))
+    val gt = Similarity.bruteForceTopK(queries, emb, "vec_id", "q", k = 3)
+      .select("query_id", "neighbor_id")
+    val pq = Similarity.ivfPqTopK(queries, emb, "vec_id", "q", k = 3,
+      centroids = cents, nprobe = 4, codebooks = cbs)
+      .select("query_id", "neighbor_id")
+    val rr = Similarity.ivfPqTopKRerank(queries, emb, "vec_id", "q", k = 3,
+      centroids = cents, nprobe = 4, codebooks = cbs, refine = 3)
+      .select("query_id", "neighbor_id")
+    val gtN = gt.count().toDouble
+    val pqRecall = gt.intersect(pq).count() / gtN
+    val rrRecall = gt.intersect(rr).count() / gtN
+    assert(rrRecall >= pqRecall,
+      s"rerank recall $rrRecall worse than raw ADC ranking $pqRecall")
+    // within the shortlist the cosine ordering is exact, so every rerank row
+    // that IS a true top-3 neighbor carries the brute-force cosine
+    val rrRows = Similarity.ivfPqTopKRerank(queries, emb, "vec_id", "q", k = 3,
+      centroids = cents, nprobe = 4, codebooks = cbs, refine = 3)
+    val bfRows = Similarity.bruteForceTopK(queries, emb, "vec_id", "q", k = 3)
+    val joined = rrRows.select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .join(bfRows.select(col("query_id"), col("neighbor_id"),
+        col("cosine").alias("bf_cosine")), Seq("query_id", "neighbor_id"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getDouble(2) == r.getDouble(3)))
+  }
+
   test("relational sub-bucket pairs equal the array-form spec on random buckets") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)
