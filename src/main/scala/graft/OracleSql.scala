@@ -825,6 +825,57 @@ object OracleSql {
          |    AS n_anomalies
          |FROM m2 GROUP BY user_id""".stripMargin,
 
+    // ACF replay: the BIGINT moment sums (DuckDB promotes sum() to HUGEINT;
+    // the integer values are identical) assembled with the same operation
+    // order as Stats.acf — mu, then den = s2 − 2·mu·s + n·mu², then
+    // num_l = sxy_l − mu·(sx_l + sy_l) + nl_l·mu².
+    "q_acf" -> {
+      def lagAggs(l: Int) =
+        s"""count(l$l) AS nl$l, sum(c * l$l) AS sxy$l,
+           |  sum(CASE WHEN l$l IS NOT NULL THEN c END) AS sx$l, sum(l$l) AS sy$l""".stripMargin
+      def lagRow(l: Int) =
+        s"""SELECT user_id, CAST($l AS BIGINT) AS "lag", nl$l AS n_pairs,
+           |  CASE WHEN den <> 0 THEN
+           |    (CAST(sxy$l AS DOUBLE) - mu * (sx$l + sy$l) + nl$l * mu * mu) / den
+           |  END AS acf FROM m2""".stripMargin
+      s"""WITH c AS (SELECT user_id, ts, event_id,
+         |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         |l AS (SELECT user_id, c,
+         |  lag(c, 1) OVER w AS l1, lag(c, 2) OVER w AS l2, lag(c, 3) OVER w AS l3
+         |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |a AS (SELECT user_id, count(*) AS n, sum(c) AS s, sum(c * c) AS s2,
+         |  ${lagAggs(1)},
+         |  ${lagAggs(2)},
+         |  ${lagAggs(3)}
+         |  FROM l GROUP BY user_id),
+         |m AS (SELECT *, CAST(s AS DOUBLE) / n AS mu FROM a),
+         |m2 AS (SELECT *, CAST(s2 AS DOUBLE) - 2.0 * mu * s + n * mu * mu AS den FROM m)
+         |${lagRow(1)}
+         |UNION ALL
+         |${lagRow(2)}
+         |UNION ALL
+         |${lagRow(3)}""".stripMargin
+    },
+
+    // CUSUM replay: exact BIGINT prefix sums; |S_t| = abs(cum − rn·mu) with
+    // mu = s/n computed first, matching Stats.cusum's operand order.
+    "q_cusum" ->
+      """WITH c AS (SELECT user_id, ts, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |l AS (SELECT user_id, ts, event_id, c,
+        |  sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n,
+        |  sum(c) OVER (PARTITION BY user_id) AS s
+        |  FROM c),
+        |a AS (SELECT user_id, ts, event_id, n,
+        |  abs(CAST(cum AS DOUBLE) - rn * (CAST(s AS DOUBLE) / n)) AS abs_s FROM l),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |  ORDER BY abs_s DESC, ts, event_id) AS pick FROM a)
+        |SELECT user_id, n, abs_s AS cusum_max_abs, epoch_us(ts) AS changepoint_ts_us
+        |FROM r WHERE pick = 1""".stripMargin,
+
     "q_token_count" -> {
       val nt = "CASE WHEN length(tt) = 0 THEN 0 ELSE length(tt) - length(replace(tt, ' ', '')) + 1 END"
       s"""WITH x AS (SELECT doc_id, text, trim(regexp_replace(text, ' +', ' ', 'g')) AS tt

@@ -791,6 +791,25 @@ object SparkEntry {
       events(s, dir).select(col("user_id"), col("value")),
       "value", Seq("user_id"), k = 3.0)
 
+  /** Per-series autocorrelation at lags 1..3 of the cent-quantized value —
+    * exact BIGINT moment sums assembled into the ACF ratio in one fixed
+    * operation order, so the doubles replay bit-for-bit in DuckDB. */
+  private def qAcf(s: SparkSession, dir: String): DataFrame =
+    graft.tsdf.Stats.acf(
+      events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+        cents(col("value")).cast(LongType).alias("vc")),
+      "ts", "vc", Seq("user_id"), maxLag = 3, tieCols = Seq("event_id"))
+
+  /** CUSUM change-point per user: argmax_t |Σ_{i≤t} c_i − t·μ| over the
+    * cent-quantized value, ties to the earliest row. */
+  private def qCusum(s: SparkSession, dir: String): DataFrame =
+    graft.tsdf.Stats.cusum(
+      events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+        cents(col("value")).cast(LongType).alias("vc")),
+      "ts", "vc", Seq("user_id"), tieCols = Seq("event_id"))
+      .select(col("user_id"), col("n"), col("cusum_max_abs"),
+        usec(col("changepoint_ts")).alias("changepoint_ts_us"))
+
   private def qTokenCount(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).cast(LongType).alias("n_tokens"),
@@ -929,6 +948,8 @@ object SparkEntry {
     "q_decontam_ngram" -> qDecontamNgram _,
     "q_pack_sequences" -> qPackSequences _,
     "q_anomaly_mad" -> qAnomalyMad _,
+    "q_acf" -> qAcf _,
+    "q_cusum" -> qCusum _,
     "q_boilerplate" -> qBoilerplate _,
     "q_mixture_budget" -> qMixtureBudget _,
     "q_token_count" -> qTokenCount _,

@@ -269,4 +269,98 @@ object Stats {
           col("__close").getField(m).alias(s"close_$m"))): _*)
     TSDF(out, tsdf.tsCol, tsdf.partitionCols, None)
   }
+
+  /** Per-series autocorrelation function at lags 1..maxLag:
+    * r_l = Σ_{t>l}(x_t − μ)(x_{t−l} − μ) / Σ_t(x_t − μ)², with μ the series
+    * mean — the standard ACF estimator (shared global mean and full-series
+    * denominator).
+    *
+    * `valueCol` must be integer-valued (pre-quantized, e.g. cents): every
+    * aggregate is then an exact BIGINT sum (Σx, Σx², Σx_t·x_{t−l}, and the
+    * per-lag marginal sums over the paired rows), and the ratio is assembled
+    * from those integers with one fixed operation order — so the output
+    * doubles are engine-reproducible bit-for-bit, with no order-dependent
+    * double accumulation anywhere. Plan shape: ONE series exchange — the
+    * maxLag lag columns ride a single window sort and feed a single grouped
+    * aggregate; the per-lag rows unpack from an array literal (no join, no
+    * second shuffle). Constant series (zero variance) emit null acf.
+    *
+    * `tieCols` break ordering ties among equal timestamps so the lag
+    * pairing is deterministic. Output: one row per (series, lag):
+    * (series..., lag, n_pairs, acf). */
+  def acf(df: DataFrame, tsCol: String, valueCol: String,
+      seriesCols: Seq[String], maxLag: Int, tieCols: Seq[String] = Nil): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val sc = seriesCols.map(col)
+    val w = Window.partitionBy(sc: _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    val lagged = (1 to maxLag).foldLeft(
+      df.withColumn("__c", col(valueCol).cast(LongType))) { (d, l) =>
+      d.withColumn(s"__lag$l", lag(col("__c"), l).over(w))
+    }
+    val baseAggs = Seq(
+      count(lit(1)).alias("__n"),
+      sum(col("__c")).alias("__s"),
+      sum(col("__c") * col("__c")).alias("__s2"))
+    val lagAggs = (1 to maxLag).flatMap { l =>
+      val lc = col(s"__lag$l")
+      Seq(count(lc).alias(s"__nl$l"),
+        sum(col("__c") * lc).alias(s"__sxy$l"),
+        sum(when(lc.isNotNull, col("__c"))).alias(s"__sx$l"),
+        sum(lc).alias(s"__sy$l"))
+    }
+    val agg = lagged.groupBy(sc: _*)
+      .agg(baseAggs.head, (baseAggs.tail ++ lagAggs): _*)
+    val mu = col("__s").cast(DoubleType) / col("__n")
+    val den = col("__s2").cast(DoubleType) - lit(2.0) * mu * col("__s") +
+      col("__n") * mu * mu
+    val perLag = array((1 to maxLag).map { l =>
+      val num = col(s"__sxy$l").cast(DoubleType) -
+        mu * (col(s"__sx$l") + col(s"__sy$l")) + col(s"__nl$l") * mu * mu
+      struct(lit(l.toLong).alias("lag"), col(s"__nl$l").alias("n_pairs"),
+        when(den =!= 0.0, num / den).alias("acf"))
+    }: _*)
+    agg.select(sc :+ explode(perLag).alias("__e"): _*)
+      .select(sc ++ Seq(col("__e.lag").alias("lag"),
+        col("__e.n_pairs").alias("n_pairs"), col("__e.acf").alias("acf")): _*)
+  }
+
+  /** CUSUM change-point summary per series: S_t = Σ_{i≤t} x_i − t·μ (the
+    * cumulative deviation from the series mean); the location maximizing
+    * |S_t| is the classic CUSUM single change-point estimate, and
+    * max|S_t| its strength (compare against a threshold — e.g. a multiple
+    * of the series stddev·√n — to decide whether a shift exists at all).
+    *
+    * `valueCol` must be integer-valued (e.g. cents): the running prefix sum
+    * is then an exact BIGINT, so S_t = cum − t·μ is a single
+    * deterministically-ordered double expression — engine-exact, no
+    * order-dependent accumulation. Plan shape: ONE series exchange (running
+    * sum, series totals, and the argmax ranking all reuse the same
+    * partitioning). Ties on |S_t| break to the earliest (ts, tieCols) row.
+    * Output one row per series: (series..., n, cusum_max_abs,
+    * changepoint_ts = ts of the argmax row). */
+  def cusum(df: DataFrame, tsCol: String, valueCol: String,
+      seriesCols: Seq[String], tieCols: Seq[String] = Nil): DataFrame = {
+    val sc = seriesCols.map(col)
+    val ord = (tsCol +: tieCols).map(col)
+    val wAll = Window.partitionBy(sc: _*)
+    val wCum = wAll.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = df
+      .withColumn("__c", col(valueCol).cast(LongType))
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__rn", row_number().over(wAll.orderBy(ord: _*)))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s", sum(col("__c")).over(wAll))
+    val mu = col("__s").cast(DoubleType) / col("__n")
+    val absS = abs(col("__cum").cast(DoubleType) - col("__rn") * mu)
+    val ranked = staged
+      .withColumn("__abs_s", absS)
+      .withColumn("__pick", row_number().over(
+        wAll.orderBy(col("__abs_s").desc +: ord.map(_.asc): _*)))
+    ranked.filter(col("__pick") === 1)
+      .select(sc ++ Seq(col("__n").alias("n"),
+        col("__abs_s").alias("cusum_max_abs"),
+        col(tsCol).alias("changepoint_ts")): _*)
+  }
 }

@@ -677,6 +677,43 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(out.map(_._1).toSet == expect)
   }
 
+  test("ACF: lag-1 of an alternating series is -1, constant series is null") {
+    import spark.implicits._
+    // perfect alternation => r_1 = -1, r_2 = +1 (up to the truncated-pair
+    // boundary terms of the estimator on finite n — use the exact values)
+    val alt = (0 until 8).map(i => (1L, i.toLong, i.toLong,
+      if (i % 2 == 0) 10.0 else -10.0))
+    val const = (0 until 8).map(i => (2L, i.toLong, i.toLong, 5.0))
+    val df = (alt ++ const).toDF("sid", "t", "eid", "v")
+      .select(col("sid"), col("t"), col("eid"), (col("v") * 100).alias("vc"))
+    val r = graft.tsdf.Stats.acf(df, "t", "vc", Seq("sid"), maxLag = 2,
+      tieCols = Seq("eid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2),
+        if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toMap
+    // alternating +-1000 cents, mean 0: num_1 = sum of 7 products of
+    // opposite signs = -7*10^6, den = 8*10^6
+    assert(r((1L, 1L)) == ((7L, Some(-0.875))))
+    assert(r((1L, 2L)) == ((6L, Some(0.75))))
+    // constant series: zero variance => null acf, pairs still counted
+    assert(r((2L, 1L)) == ((7L, None)))
+    assert(r((2L, 2L)) == ((6L, None)))
+  }
+
+  test("CUSUM finds the level-shift point of a step series") {
+    import spark.implicits._
+    // 10 points at 0 then 10 points at 100: |S_t| peaks exactly at the step
+    val step = (0 until 20).map(i => (1L, i.toLong, i.toLong,
+      if (i < 10) 0.0 else 100.0))
+    val df = step.toDF("sid", "t", "eid", "v")
+      .select(col("sid"), col("t"), col("eid"), (col("v") * 100).alias("vc"))
+    val r = graft.tsdf.Stats.cusum(df, "t", "vc", Seq("sid"),
+      tieCols = Seq("eid")).collect().head
+    assert(r.getLong(1) == 20L)
+    // mean = 5000 cents; S_t = -5000t for t<=10, max |S| at t = 10 (row t=9)
+    assert(r.getDouble(2) == 50000.0)
+    assert(r.getLong(3) == 9L)
+  }
+
   test("robust MAD anomalies resist the outlier that drags stddev") {
     import spark.implicits._
     // 9 points near 10 plus one wild outlier; mean/stddev would swallow it
