@@ -857,6 +857,30 @@ object OracleSql {
          |${lagRow(3)}""".stripMargin
     },
 
+    // histogram drift: 50/50 hash split, 32-char length buckets; the TV
+    // numerator is the exact cross-multiplied |cnt_a*nb - cnt_b*na|
+    "q_drift" -> {
+      val split =
+        s"(${Hashing.mixSql(Hashing.polyHashSql("CAST(doc_id AS VARCHAR)"), 7)}) % 2"
+      s"""WITH s AS (SELECT doc_id, least(20, n_chars // 32) AS bucket,
+         |  CASE WHEN $split < 1 THEN 0 ELSE 1 END AS split FROM documents),
+         |ca AS (SELECT bucket, count(*) AS cnt_a FROM s WHERE split = 0 GROUP BY bucket),
+         |cb AS (SELECT bucket, count(*) AS cnt_b FROM s WHERE split = 1 GROUP BY bucket),
+         |j AS (SELECT coalesce(ca.bucket, cb.bucket) AS bucket,
+         |  coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+         |  FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket),
+         |t AS (SELECT *, sum(cnt_a) OVER () AS na, sum(cnt_b) OVER () AS nb,
+         |  abs(cnt_a * sum(cnt_b) OVER () - cnt_b * sum(cnt_a) OVER ()) AS diff
+         |  FROM j),
+         |t2 AS (SELECT *, sum(diff) OVER () AS tvnum FROM t)
+         |SELECT bucket, CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
+         |  CAST(cnt_a AS DOUBLE) / na AS pa,
+         |  CAST(cnt_b AS DOUBLE) / nb AS pb,
+         |  CAST(diff AS BIGINT) AS abs_diff_scaled,
+         |  0.5 * CAST(tvnum AS DOUBLE) / (na * nb) AS tv_distance
+         |FROM t2""".stripMargin
+    },
+
     // CUSUM replay: exact BIGINT prefix sums; |S_t| = abs(cum − rn·mu) with
     // mu = s/n computed first, matching Stats.cusum's operand order.
     "q_cusum" ->

@@ -810,6 +810,19 @@ object SparkEntry {
       .select(col("user_id"), col("n"), col("cusum_max_abs"),
         usec(col("changepoint_ts")).alias("changepoint_ts_us"))
 
+  /** Histogram drift between the halves of a deterministic 50/50 hash
+    * split of documents, bucketed by length (32-char bins capped at 20):
+    * per-bucket counts/proportions plus the exact total-variation distance
+    * assembled from cross-multiplied integer counts. */
+  private def qDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("split",
+        graft.pipeline.Splits.splitIndex(col("doc_id"), Seq(1, 1)))
+      .withColumn("bucket", least(lit(20L), expr("n_chars div 32")))
+    graft.pipeline.Drift.histogramDrift(
+      d.filter(col("split") === 0L), d.filter(col("split") === 1L), "bucket")
+  }
+
   private def qTokenCount(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).cast(LongType).alias("n_tokens"),
@@ -950,6 +963,7 @@ object SparkEntry {
     "q_anomaly_mad" -> qAnomalyMad _,
     "q_acf" -> qAcf _,
     "q_cusum" -> qCusum _,
+    "q_drift" -> qDrift _,
     "q_boilerplate" -> qBoilerplate _,
     "q_mixture_budget" -> qMixtureBudget _,
     "q_token_count" -> qTokenCount _,

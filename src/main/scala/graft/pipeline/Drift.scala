@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Distribution-drift measurement between two corpus cohorts — the
+  * monitoring step of a training-data pipeline (did this month's crawl
+  * shift against last month's? does the val split mirror train?).
+  *
+  * All comparisons are assembled from exact integer counts: the per-bucket
+  * proportion difference |p_a − p_b| is computed as the cross-multiplied
+  * |cnt_a·n_b − cnt_b·n_a| (an exact BIGINT — no per-bucket double
+  * rounding and no order-dependent double accumulation), and only the final
+  * scalar divisions are floating point, in one fixed operation order — so
+  * results replay bit-for-bit in any engine. Exactness holds while cohort
+  * sizes stay below ~3·10⁹ rows (cnt·n < 2⁶³); beyond that, swap the two
+  * products to decimal(38,0).
+  */
+object Drift {
+
+  /** Per-bucket histogram comparison of cohorts `a` and `b` over
+    * `bucketCol`, plus the total-variation distance
+    * TV = ½ Σ_buckets |p_a − p_b| (in [0, 1]; 0 = identical distributions,
+    * 1 = disjoint support) repeated on every row.
+    *
+    * Plan shape: each cohort collapses to one partial+final count aggregate
+    * keyed by bucket (the only data-sized work); everything after the full
+    * outer join runs on #buckets rows, so the unpartitioned window totals
+    * are a few-row, single-task step by construction. Buckets missing from
+    * one cohort count as zero there.
+    *
+    * Output: (bucket, cnt_a, cnt_b, pa, pb, abs_diff_scaled =
+    * |cnt_a·n_b − cnt_b·n_a|, tv_distance). */
+  def histogramDrift(a: DataFrame, b: DataFrame, bucketCol: String): DataFrame = {
+    val ca = a.groupBy(col(bucketCol)).agg(count(lit(1)).alias("cnt_a"))
+    val cb = b.groupBy(col(bucketCol)).agg(count(lit(1)).alias("cnt_b"))
+    val joined = ca.join(cb, Seq(bucketCol), "full_outer")
+      .select(col(bucketCol),
+        coalesce(col("cnt_a"), lit(0L)).alias("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).alias("cnt_b"))
+    val wTot = Window.partitionBy() // #buckets rows — tiny by construction
+    val staged = joined
+      .withColumn("__na", sum(col("cnt_a")).over(wTot))
+      .withColumn("__nb", sum(col("cnt_b")).over(wTot))
+      .withColumn("__diff",
+        abs(col("cnt_a") * col("__nb") - col("cnt_b") * col("__na")))
+    staged
+      .withColumn("__tvnum", sum(col("__diff")).over(wTot))
+      .select(col(bucketCol),
+        col("cnt_a"), col("cnt_b"),
+        (col("cnt_a").cast(DoubleType) / col("__na")).alias("pa"),
+        (col("cnt_b").cast(DoubleType) / col("__nb")).alias("pb"),
+        col("__diff").alias("abs_diff_scaled"),
+        (lit(0.5) * col("__tvnum").cast(DoubleType) /
+          (col("__na") * col("__nb"))).alias("tv_distance"))
+  }
+}

@@ -714,6 +714,30 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(r.getLong(3) == 9L)
   }
 
+  test("histogram drift: TV distance is exact and bounds hold") {
+    import spark.implicits._
+    // cohort a: 3 rows in bucket 0, 1 in bucket 1; cohort b: 1 and 3.
+    // pa = (0.75, 0.25), pb = (0.25, 0.75) -> TV = 0.5*(0.5+0.5) = 0.5
+    val a = Seq(0L, 0L, 0L, 1L).toDF("bucket")
+    val b = Seq(0L, 1L, 1L, 1L).toDF("bucket")
+    val r = graft.pipeline.Drift.histogramDrift(a, b, "bucket")
+      .orderBy("bucket").collect()
+    assert(r.length == 2)
+    assert(r.forall(_.getDouble(6) == 0.5))
+    assert(r(0).getLong(1) == 3L && r(0).getLong(2) == 1L)
+    assert(r(0).getDouble(3) == 0.75 && r(0).getDouble(4) == 0.25)
+    // |3*4 - 1*4| = 8
+    assert(r(0).getLong(5) == 8L)
+    // identical cohorts -> TV 0; disjoint buckets -> TV 1
+    val same = graft.pipeline.Drift.histogramDrift(a, a, "bucket").collect()
+    assert(same.forall(_.getDouble(6) == 0.0))
+    val disj = graft.pipeline.Drift.histogramDrift(
+      Seq(0L, 0L).toDF("bucket"), Seq(1L, 1L, 1L).toDF("bucket"), "bucket")
+      .collect()
+    assert(disj.forall(_.getDouble(6) == 1.0))
+    assert(disj.length == 2 && disj.map(_.getLong(1)).sum == 2L)
+  }
+
   test("robust MAD anomalies resist the outlier that drags stddev") {
     import spark.implicits._
     // 9 points near 10 plus one wild outlier; mean/stddev would swallow it
