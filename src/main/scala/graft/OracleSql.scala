@@ -857,6 +857,24 @@ object OracleSql {
          |${lagRow(3)}""".stripMargin
     },
 
+    // ExactSubstr chunk dedup: non-overlapping 8-word chunks, winner =
+    // min (doc_id, pos) per chunk via row_number, md5 of kept chunks
+    "q_exact_substr" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  unnest(list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+        |    i -> array_to_string(list_slice(toks, i*8+1, i*8+8), ' '))) AS chunk,
+        |  unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS pos FROM t),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY chunk
+        |  ORDER BY doc_id, pos) AS rn FROM c)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+        |    ORDER BY pos), '')) AS clean_fp
+        |FROM r GROUP BY doc_id""".stripMargin,
+
     // histogram drift: 50/50 hash split, 32-char length buckets; the TV
     // numerator is the exact cross-multiplied |cnt_a*nb - cnt_b*na|
     "q_drift" -> {

@@ -810,6 +810,11 @@ object SparkEntry {
       .select(col("user_id"), col("n"), col("cusum_max_abs"),
         usec(col("changepoint_ts")).alias("changepoint_ts_us"))
 
+  /** ExactSubstr-style chunk dedup over documents: consecutive 8-word
+    * chunks deduped corpus-wide, first occurrence wins. */
+  private def qExactSubstr(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstringDedup(docs(s, dir), "text", "doc_id", chunkWords = 8)
+
   /** Histogram drift between the halves of a deterministic 50/50 hash
     * split of documents, bucketed by length (32-char bins capped at 20):
     * per-bucket counts/proportions plus the exact total-variation distance
@@ -964,6 +969,7 @@ object SparkEntry {
     "q_acf" -> qAcf _,
     "q_cusum" -> qCusum _,
     "q_drift" -> qDrift _,
+    "q_exact_substr" -> qExactSubstr _,
     "q_boilerplate" -> qBoilerplate _,
     "q_mixture_budget" -> qMixtureBudget _,
     "q_token_count" -> qTokenCount _,

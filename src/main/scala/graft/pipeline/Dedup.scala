@@ -491,4 +491,48 @@ object Dedup {
       .withColumn("hit_frac", TextAnalysis.roundDet(
         col("hit_grams").cast(DoubleType) / col("n_grams"), 6))
   }
+
+  /** Corpus-wide exact substring dedup (the ExactSubstr recipe of Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models Better",
+    * at chunk granularity): the whitespace-normalized token stream splits
+    * into consecutive non-overlapping `chunkWords`-word chunks; a chunk
+    * occurring anywhere else in the corpus keeps only its FIRST occurrence
+    * (lowest id, then lowest position) and every later copy is removed —
+    * catching verbatim shared spans inside otherwise-distinct documents,
+    * which whole-document dedup never sees.
+    *
+    * Plan shape at scale: one explode pass, then ONE exchange keyed on the
+    * chunk text — a per-chunk `row_number` picks winners (groups are the
+    * duplicate multiplicity, nearly always tiny) and the per-document
+    * groupBy rebuilds counts and the kept-text fingerprint. Production
+    * would key the exchange on a 128-bit chunk hash to keep the shuffle
+    * narrow; the text key here keeps the oracle exact (the reference
+    * suffix-array pass is a single-node construction Spark replaces with
+    * this shuffle).
+    *
+    * Output: (id, n_chunks, n_removed, clean_fp = md5 of the kept chunks
+    * space-joined in document order). Empty documents emit no row (they
+    * have no chunks). */
+  def exactSubstringDedup(df: DataFrame, textCol: String, idCol: String,
+      chunkWords: Int = 8): DataFrame = {
+    require(chunkWords >= 1, "chunkWords must be >= 1")
+    val toks = split(trim(regexp_replace(col(textCol), " +", " ")), " ")
+    val nChunks = ceil(size(col("__toks")) / lit(chunkWords.toDouble)).cast(LongType)
+    val chunkArr = when(size(col("__toks")) > 0,
+      transform(sequence(lit(0L), nChunks - 1), i =>
+        array_join(slice(col("__toks"),
+          (i * chunkWords + 1).cast(IntegerType), lit(chunkWords)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val chunks = df.select(col(idCol), toks.alias("__toks"))
+      .select(col(idCol), posexplode(chunkArr).as(Seq("__pos", "__chunk")))
+    val w = Window.partitionBy(col("__chunk")).orderBy(col(idCol), col("__pos"))
+    chunks.withColumn("__rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).alias("n_chunks"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).alias("n_removed"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("__rn") === 1,
+            struct(col("__pos"), col("__chunk"))))),
+          s => s.getField("__chunk")), " ")).alias("clean_fp"))
+  }
 }

@@ -714,6 +714,28 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(r.getLong(3) == 9L)
   }
 
+  test("exact substring dedup keeps first occurrence, removes later copies") {
+    import spark.implicits._
+    // doc 1 = AB, doc 2 = copy of A + fresh C, doc 3 = fresh then copy of B
+    val a = "w1 w2"; val b = "w3 w4"; val c = "w5 w6"; val d = "w7 w8"
+    val docsDf = Seq((1L, s"$a $b"), (2L, s"$a $c"), (3L, s"$d $b"))
+      .toDF("doc_id", "text")
+    val r = Dedup.exactSubstringDedup(docsDf, "text", "doc_id", chunkWords = 2)
+      .orderBy("doc_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((1L, 2L, 0L), (2L, 2L, 1L), (3L, 2L, 1L)))
+    // doc 2 keeps only "w5 w6"; doc 3 keeps only "w7 w8"
+    val md5of = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r(1).getString(3) == md5of(c))
+    assert(r(2).getString(3) == md5of(d))
+    // a fully-duplicated doc still emits a row with an empty-text fingerprint
+    val dup = Seq((1L, a), (2L, a)).toDF("doc_id", "text")
+    val r2 = Dedup.exactSubstringDedup(dup, "text", "doc_id", chunkWords = 2)
+      .orderBy("doc_id").collect()
+    assert(r2(1).getLong(2) == 1L && r2(1).getString(3) == md5of(""))
+  }
+
   test("histogram drift: TV distance is exact and bounds hold") {
     import spark.implicits._
     // cohort a: 3 rows in bucket 0, 1 in bucket 1; cohort b: 1 and 3.
