@@ -233,6 +233,14 @@ object SparkEntry {
       .df.select(col("user_id"), usec(col("ts")).alias("ts_us"), col("value"),
         col("ema_exact_value"))
 
+  /** Exact Holt level+trend smoothing (α=0.5, β=0.25 — exact binary
+    * fractions, so the recursive-CTE oracle replays bit-for-bit). */
+  private def qHoltExact(s: SparkSession, dir: String): DataFrame =
+    eventsTsdf(s, dir, "user_id", col("value"))
+      .holtExact("value", alpha = 0.5, beta = 0.25)
+      .df.select(col("user_id"), usec(col("ts")).alias("ts_us"), col("value"),
+        col("holt_level_value"), col("holt_trend_value"))
+
   private def qStateIntervals(s: SparkSession, dir: String): DataFrame = {
     val base = events(s, dir).select(col("user_id"), col("ts"),
       (col("value") >= 10.0).alias("high"))
@@ -923,6 +931,7 @@ object SparkEntry {
     "q_vwap" -> qVwap _,
     "q_ema" -> qEma _,
     "q_ema_exact" -> qEmaExact _,
+    "q_holt_exact" -> qHoltExact _,
     "q_sessionize" -> qSessionize _,
     "q_contamination" -> qContamination _,
     "q_split_assign" -> qSplitAssign _,

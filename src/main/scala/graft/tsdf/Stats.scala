@@ -123,6 +123,23 @@ object Stats {
     tsdf.copy(df = tsdf.df.withColumn(s"ema_exact_$colToCalc", agg.over(w)))
   }
 
+  /** Exact Holt double-exponential smoothing over each series: adds
+    * `holt_level_<col>` and `holt_trend_<col>` from the one-pass
+    * level/trend recursion (see [[graft.functions.HoltExact]]). */
+  def holtExact(tsdf: TSDF, colToCalc: String, alpha: Double,
+      beta: Double): TSDF = {
+    val w = tsdf.baseWindow().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val agg = org.apache.spark.sql.GraftColumns.column(
+      graft.functions.HoltExact(
+        org.apache.spark.sql.GraftColumns.expression(col(colToCalc).cast(DoubleType)),
+        alpha, beta).toAggregateExpression())
+    tsdf.copy(df = tsdf.df
+      .withColumn("__holt", agg.over(w))
+      .withColumn(s"holt_level_$colToCalc", col("__holt.level"))
+      .withColumn(s"holt_trend_$colToCalc", col("__holt.trend"))
+      .drop("__holt"))
+  }
+
   /** Exact per-series quantiles by rank arithmetic: q_p = the value at rank
     * max(1, ceil(p·n)) in the value-sorted series — the "lower"
     * interpolation convention, a pure function of the value multiset, so

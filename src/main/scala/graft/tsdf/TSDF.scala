@@ -254,6 +254,9 @@ case class TSDF(
   def emaExact(colToCalc: String, alpha: Double): TSDF =
     Stats.emaExact(this, colToCalc, alpha)
 
+  def holtExact(colToCalc: String, alpha: Double, beta: Double): TSDF =
+    Stats.holtExact(this, colToCalc, alpha, beta)
+
   def sessionize(gapSeconds: Long): TSDF =
     copy(df = Sessionize.assign(df, tsCol, partitionCols, gapSeconds))
 

@@ -714,6 +714,39 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(r.getLong(3) == 9L)
   }
 
+  test("Holt exact smoothing matches the driver-side recursion and tracks ramps") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val xs = (0 until 50).map(_ => rnd.nextDouble() * 100)
+    val df = xs.zipWithIndex.map { case (x, i) =>
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"), x)
+    }.toDF("sid", "ts", "value")
+    val (alpha, beta) = (0.5, 0.25)
+    val got = graft.tsdf.Stats.holtExact(
+      graft.tsdf.TSDF(df, "ts", Seq("sid")), "value", alpha, beta)
+      .df.orderBy("ts").select("holt_level_value", "holt_trend_value").collect()
+    var l = xs.head; var b = 0.0
+    got.zipWithIndex.foreach { case (r, i) =>
+      if (i > 0) {
+        val nl = alpha * xs(i) + (1 - alpha) * (l + b)
+        b = beta * (nl - l) + (1 - beta) * b
+        l = nl
+      }
+      assert(r.getDouble(0) == l && r.getDouble(1) == b, s"row $i")
+    }
+    // on a pure ramp the one-step forecast level+trend converges to the next value
+    val ramp = (0 until 200).map(i => (2L,
+      java.sql.Timestamp.valueOf(f"2024-01-01 01:${i / 60}%02d:${i % 60}%02d"),
+      10.0 + 2.0 * i)).toDF("sid", "ts", "value")
+    val tail = graft.tsdf.Stats.holtExact(
+      graft.tsdf.TSDF(ramp, "ts", Seq("sid")), "value", alpha, beta)
+      .df.orderBy("ts").collect().last
+    val forecast = tail.getDouble(3) + tail.getDouble(4)
+    val next = 10.0 + 2.0 * 200
+    assert(math.abs(forecast - next) < 0.01,
+      s"ramp forecast $forecast vs $next — trend term not converging")
+  }
+
   test("exact substring dedup keeps first occurrence, removes later copies") {
     import spark.implicits._
     // doc 1 = AB, doc 2 = copy of A + fresh C, doc 3 = fresh then copy of B
