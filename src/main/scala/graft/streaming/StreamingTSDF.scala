@@ -268,6 +268,65 @@ object StreamingTSDF {
       col("ema").alias(s"ema_$valueCol")): _*)
   }
 
+  case class HoltState(level: Double, trend: Double)
+
+  /** Streaming Holt double-exponential smoothing: the level/trend recursion
+    * of [[graft.functions.HoltExact]] carried as two doubles of per-series
+    * state — bit-identical to the batch window aggregate on the same data
+    * (same IEEE ops in the same order; asserted differentially). Rows
+    * inside a micro-batch process in event-time order; optional `stateTtl`
+    * evicts idle series. */
+  def holt(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      valueCol: String, alpha: Double, beta: Double,
+      stateTtl: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val projected = df.select(
+      seriesKey(seriesCols).alias("series"),
+      unix_micros(col(tsCol)).alias("tsUs"),
+      col(valueCol).cast(DoubleType).alias("value"),
+      col(tsCol).alias("eventTime"))
+    val events = stateTtl.fold(projected)(ttl =>
+      projected.withWatermark("eventTime", ttl)).as[EmaEvent]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val out = events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (key: String, rows: Iterator[EmaEvent], state: GroupState[HoltState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.tsUs)
+            var cur = state.getOption.orNull
+            val outRows = sorted.map { e =>
+              cur = if (cur == null) HoltState(e.value, 0.0)
+                else {
+                  val newLevel = alpha * e.value + (1 - alpha) * (cur.level + cur.trend)
+                  HoltState(newLevel,
+                    beta * (newLevel - cur.level) + (1 - beta) * cur.trend)
+                }
+              (key, e.tsUs, e.value, cur.level, cur.trend)
+            }
+            if (cur != null) {
+              state.update(cur)
+              stateTtl.foreach(ttl => state.setTimeoutTimestamp(
+                math.max(sorted.last.tsUs / 1000,
+                  state.getCurrentWatermarkMs() + 1), ttl))
+            }
+            outRows.iterator
+          }
+      }
+      .toDF("series", "tsUs", "value", "level", "trend")
+    out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
+      timestamp_micros(col("tsUs")).alias(tsCol),
+      col("value").alias(valueCol),
+      col("level").alias(s"holt_level_$valueCol"),
+      col("trend").alias(s"holt_trend_$valueCol")): _*)
+  }
+
   /** Streaming VWAP: volume-weighted average price per tumbling event-time
     * bucket, watermark-finalized — the streaming face of the batch `vwap`
     * operator (one partial+final aggregate, map-side combinable sums). */

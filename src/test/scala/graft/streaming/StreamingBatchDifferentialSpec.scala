@@ -112,6 +112,27 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("property: streaming holt equals batch holtExact on random series") {
+    val rnd = new scala.util.Random(46)
+    (0 until 4).foreach { trial =>
+      val rows = randomSeries(rnd, pinEnds = false)
+      val streamed = runStream(rows, df =>
+        StreamingTSDF.holt(df, "ts", Seq("user_id"), "value",
+          alpha = 0.3, beta = 0.1))
+        .select(col("user_id"), col("ts"), col("value"),
+          col("holt_level_value").alias("lvl"), col("holt_trend_value").alias("trd"))
+      val spark2 = spark
+      import spark2.implicits._
+      val batch = TSDF(rows.toDF("user_id", "ts", "value"), "ts", Seq("user_id"))
+        .holtExact("value", alpha = 0.3, beta = 0.1).df
+        .select(col("user_id"), col("ts"), col("value"),
+          col("holt_level_value").alias("lvl"), col("holt_trend_value").alias("trd"))
+      // same recursion, same IEEE op order: bit-identical even with
+      // non-binary alpha/beta
+      withClue(s"trial $trial: ") { assertDfEquality(streamed, batch) }
+    }
+  }
+
   test("property: streaming session_window intervals equal batch sessionize on random series") {
     val rnd = new scala.util.Random(47)
     (0 until 4).foreach { trial =>
