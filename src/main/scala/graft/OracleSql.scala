@@ -878,6 +878,33 @@ object OracleSql {
          |${lagRow(3)}""".stripMargin
     },
 
+    // top-50 3-grams by document frequency (distinct grams per doc)
+    "q_top_ngrams" -> {
+      val shingle3 =
+        "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(" +
+          "generate_series(1, len(toks) - 2), " +
+          "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) " +
+          "ELSE [array_to_string(toks, ' ')] END"
+      s"""WITH d AS (SELECT doc_id, $norm AS nrm FROM documents),
+         |t AS (SELECT doc_id, string_split(nrm, ' ') AS toks FROM d),
+         |shg AS (SELECT doc_id, $shingle3 AS sh FROM t),
+         |g AS (SELECT unnest(sh) AS gram FROM shg),
+         |c AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY gram),
+         |r AS (SELECT *, row_number() OVER (ORDER BY n_docs DESC, gram) AS rnk FROM c)
+         |SELECT CAST(rnk AS BIGINT) AS "rank", gram, n_docs FROM r
+         |WHERE rnk <= 50""".stripMargin
+    },
+
+    // deterministic 5-per-source sample: lowest (mix(polyhash(id)), id)
+    "q_sample_k" -> {
+      val h = Hashing.mixSql(Hashing.polyHashSql("CAST(doc_id AS VARCHAR)"), 17)
+      s"""WITH x AS (SELECT doc_id, source, ($h) AS hh FROM documents),
+         |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+         |  ORDER BY hh, doc_id) AS sample_rank FROM x)
+         |SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+         |FROM r WHERE sample_rank <= 5""".stripMargin
+    },
+
     // ExactSubstr chunk dedup: non-overlapping 8-word chunks, winner =
     // min (doc_id, pos) per chunk via row_number, md5 of kept chunks
     "q_exact_substr" ->

@@ -818,6 +818,19 @@ object SparkEntry {
       .select(col("user_id"), col("n"), col("cusum_max_abs"),
         usec(col("changepoint_ts")).alias("changepoint_ts_us"))
 
+  /** Corpus-wide top-50 word 3-grams by document frequency (vocabulary /
+    * boilerplate-phrase mining). */
+  private def qTopNgrams(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topNgrams(docs(s, dir), "text", n = 3, k = 50)
+
+  /** Deterministic 5-per-source sample pinned by (hash(doc_id), doc_id). */
+  private def qSampleK(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Splits.sampleKPerStratum(
+      docs(s, dir).select(col("doc_id"), col("source")),
+      "doc_id", "source", k = 5)
+      .select(col("doc_id"), col("source"),
+        col("sample_rank").cast(LongType).alias("sample_rank"))
+
   /** ExactSubstr-style chunk dedup over documents: consecutive 8-word
     * chunks deduped corpus-wide, first occurrence wins. */
   private def qExactSubstr(s: SparkSession, dir: String): DataFrame =
@@ -979,6 +992,8 @@ object SparkEntry {
     "q_cusum" -> qCusum _,
     "q_drift" -> qDrift _,
     "q_exact_substr" -> qExactSubstr _,
+    "q_top_ngrams" -> qTopNgrams _,
+    "q_sample_k" -> qSampleK _,
     "q_boilerplate" -> qBoilerplate _,
     "q_mixture_budget" -> qMixtureBudget _,
     "q_token_count" -> qTokenCount _,

@@ -67,6 +67,24 @@ object Splits {
     df.filter(bucket < threshold)
   }
 
+  /** Deterministic k-per-stratum sample: the k rows with the lowest
+    * (hash(id), id) per stratum — a fixed-size uniform sample whose
+    * membership is stable under reruns, repartitioning, and engine changes
+    * (the property `df.sample` + `limit` lacks), so eval sets and debug
+    * slices stay pinned. One exchange on the stratum key; the per-stratum
+    * sort is a top-k window, and rows beyond k never leave the map side
+    * when AQE sees the filter. Output: input columns + `sample_rank`
+    * (1-based within the stratum). */
+  def sampleKPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+      k: Int, seed: Int = 17): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val h = Hashing.mix(Hashing.polyHash(col(idCol).cast("string")), seed)
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(h.asc, col(idCol).asc)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Deterministic token-budget mixture: per stratum (source/domain/
     * language), keep documents until the stratum's token budget fills —
     * the "data mixture" step of a pretraining pipeline (e.g. cap web text

@@ -155,4 +155,30 @@ object TextAnalysis {
     * replay it exactly. */
   def rollingHash(text: Column): Column =
     Hashing.polyHash(Dedup.normalizeText(text))
+
+  /** Corpus-wide top-k word n-grams by document frequency — the vocabulary
+    * mining pass behind stopword lists and boilerplate phrase discovery
+    * (an n-gram in a large share of documents is template text, not
+    * content). Grams are distinct per document ([[Dedup.shingles]]), so
+    * the count is a true document frequency.
+    *
+    * Plan shape at scale: one explode pass into a gram-keyed count
+    * aggregate (map-side combinable, uniformly distributed keys), then a
+    * global top-k — Spark plans orderBy+limit as per-partition TakeOrdered
+    * + a k-row driver merge, so no full sort and no single-partition
+    * shuffle of the gram table. Ties break lexicographically. Output:
+    * (rank, gram, n_docs). */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    require(n >= 1 && k >= 1, "n and k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    df.select(explode(Dedup.shingles(col(textCol), n)).alias("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).alias("n_docs"))
+      .orderBy(col("n_docs").desc, col("gram").asc)
+      .limit(k)
+      // rank assignment runs on k rows post-limit — single tiny partition
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_docs").desc, col("gram").asc)))
+      .select(col("rank").cast(LongType).alias("rank"), col("gram"),
+        col("n_docs"))
+  }
 }

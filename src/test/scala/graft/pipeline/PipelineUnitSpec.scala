@@ -714,6 +714,29 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(r.getLong(3) == 9L)
   }
 
+  test("sampleKPerStratum is stable under repartitioning and caps per stratum") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    val s1 = graft.pipeline.Splits.sampleKPerStratum(df, "doc_id", "source", 7)
+      .select("doc_id", "source", "sample_rank").collect().toSet
+    val s2 = graft.pipeline.Splits.sampleKPerStratum(
+      df.repartition(13), "doc_id", "source", 7)
+      .select("doc_id", "source", "sample_rank").collect().toSet
+    assert(s1 == s2)
+    assert(s1.groupBy(_.getString(1)).forall(_._2.size == 7))
+  }
+
+  test("topNgrams ranks by document frequency with lexicographic ties") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "red fox jumps"), (2L, "red fox jumps"), (3L, "red fox sleeps"),
+      (4L, "one red fox jumps high")).toDF("doc_id", "text")
+    val r = TextAnalysis.topNgrams(df, "text", n = 2, k = 3).collect()
+    assert(r.map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSeq ==
+      Seq((1L, "red fox", 4L), (2L, "fox jumps", 3L), (3L, "fox sleeps", 1L)))
+  }
+
   test("Holt exact smoothing matches the driver-side recursion and tracks ramps") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
