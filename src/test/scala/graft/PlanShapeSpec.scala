@@ -150,6 +150,46 @@ class PlanShapeSpec extends SparkTestBase {
     assert(gen < sort, p)
   }
 
+  test("ACF rides one series exchange: lag window and aggregate co-partition") {
+    val out = graft.tsdf.Stats.acf(eventsDf, "ts", "value", Seq("user_id"),
+      maxLag = 3)
+    assert(exchanges(out) == 1, plan(out))
+    // partial aggregation must survive (map-side combine on the moment sums)
+    assert("HashAggregate".r.findAllIn(plan(out)).size == 2, plan(out))
+  }
+
+  test("CUSUM reuses one series exchange for cum-sums, totals, and argmax") {
+    val out = graft.tsdf.Stats.cusum(eventsDf, "ts", "value", Seq("user_id"))
+    assert(exchanges(out) == 1, plan(out))
+  }
+
+  test("exact substring dedup: chunk exchange + doc aggregate, nothing more") {
+    import spark.implicits._
+    val docsDf = (0 until 100)
+      .map(i => (i.toLong, s"w$i x$i y$i z$i a${i % 5} b${i % 5}"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstringDedup(docsDf, "text", "doc_id", chunkWords = 2)
+    assert(exchanges(out) == 2, plan(out))
+    assert(!plan(out).contains("CartesianProduct"), plan(out))
+  }
+
+  test("IVF-PQ rerank broadcasts the shortlist into the corpus join") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000)).alias("q"))
+    val cents = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select("q").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val cbs = (0 until 4).map(m => cents.map(_.slice(m * 16, m * 16 + 16)))
+    val out = graft.pipeline.Similarity.ivfPqTopKRerank(
+      emb.filter(col("vec_id") < 20), emb, "vec_id", "q", k = 3,
+      centroids = cents, nprobe = 4, codebooks = cbs, refine = 3)
+    val p = plan(out)
+    // the true-vector fetch must be broadcast (corpus never reshuffles for
+    // the rerank) and nothing may degenerate to a cartesian product
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("broadcast hints survive in the star-schema join") {
     val dir = "/root/testdata/sf0.001"
     val df = spark.read.parquet(s"$dir/lineitem.parquet")
