@@ -780,6 +780,28 @@ object OracleSql {
          |FROM c""".stripMargin
     },
 
+    // per-sequence fill report: the q_pack_sequences CTE + one groupBy
+    "q_seq_fill" -> {
+      val nt = "CASE WHEN length(tt) = 0 THEN 0 ELSE length(tt) - length(replace(tt, ' ', '')) + 1 END"
+      s"""WITH x AS (SELECT source, doc_id, text,
+         |  trim(regexp_replace(text, ' +', ' ', 'g')) AS tt FROM documents),
+         |t AS (SELECT source, doc_id,
+         |  CAST(greatest(CAST(ceil(length(text) / 4.0) AS BIGINT), $nt) AS BIGINT) AS tokens
+         |  FROM x),
+         |c AS (SELECT source, doc_id, tokens,
+         |  sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS strt
+         |  FROM t),
+         |p AS (SELECT source, doc_id, tokens,
+         |  CAST(floor(strt / 2048.0) AS BIGINT) AS seq_id,
+         |  CAST(strt % 2048 AS BIGINT) AS seq_off
+         |FROM c)
+         |SELECT source, seq_id, count(*) AS n_docs,
+         |  CAST(sum(tokens) AS BIGINT) AS doc_tokens,
+         |  min(seq_off) AS first_off
+         |FROM p GROUP BY source, seq_id""".stripMargin
+    },
+
     // boilerplate line removal over the same injected footers as the Spark
     // query; string_agg(ORDER BY i) skips the NULLs the CASE leaves for
     // removed lines, coalesce('') matches Spark's empty array_join

@@ -794,6 +794,11 @@ object SparkEntry {
     graft.pipeline.Packing.packSequences(
       docs(s, dir), "text", "doc_id", Seq("source"), capacity = 2048)
 
+  /** Per-training-sequence fill report from the same packing pass. */
+  private def qSeqFill(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Packing.sequenceFill(
+      docs(s, dir), "text", "doc_id", Seq("source"), capacity = 2048)
+
   private def qAnomalyMad(s: SparkSession, dir: String): DataFrame =
     graft.tsdf.Stats.robustAnomalies(
       events(s, dir).select(col("user_id"), col("value")),
@@ -987,6 +992,7 @@ object SparkEntry {
     "q_stratified_sample" -> qStratifiedSample _,
     "q_decontam_ngram" -> qDecontamNgram _,
     "q_pack_sequences" -> qPackSequences _,
+    "q_seq_fill" -> qSeqFill _,
     "q_anomaly_mad" -> qAnomalyMad _,
     "q_acf" -> qAcf _,
     "q_cusum" -> qCusum _,
