@@ -233,6 +233,24 @@ object OracleSql {
        |SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id, cosine
        |FROM rk WHERE rn <= 3""".stripMargin
 
+  private val holtSql: String =
+      """WITH RECURSIVE t AS (
+        |SELECT user_id, epoch_us(ts) AS ts_us, value,
+        |row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
+        |r AS (
+        |SELECT user_id, ts_us, value, rn,
+        |CAST(value AS DOUBLE) AS holt_level_value,
+        |CAST(0.0 AS DOUBLE) AS holt_trend_value
+        |FROM t WHERE rn = 1
+        |UNION ALL
+        |SELECT t.user_id, t.ts_us, t.value, t.rn,
+        |0.5 * t.value + 0.5 * (r.holt_level_value + r.holt_trend_value)
+        |  AS holt_level_value,
+        |0.25 * ((0.5 * t.value + 0.5 * (r.holt_level_value + r.holt_trend_value))
+        |  - r.holt_level_value) + 0.75 * r.holt_trend_value AS holt_trend_value
+        |FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+        |SELECT user_id, ts_us, value, holt_level_value, holt_trend_value FROM r""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "q_slice_between" ->
@@ -398,23 +416,11 @@ object OracleSql {
     // Holt recursion replay: level computed once per step; the trend line
     // re-states the same level expression so both engines evaluate the
     // identical fixed-order IEEE arithmetic (α=0.5, β=0.25 exact binary)
-    "q_holt_exact" ->
-      """WITH RECURSIVE t AS (
-        |SELECT user_id, epoch_us(ts) AS ts_us, value,
-        |row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
-        |r AS (
-        |SELECT user_id, ts_us, value, rn,
-        |CAST(value AS DOUBLE) AS holt_level_value,
-        |CAST(0.0 AS DOUBLE) AS holt_trend_value
-        |FROM t WHERE rn = 1
-        |UNION ALL
-        |SELECT t.user_id, t.ts_us, t.value, t.rn,
-        |0.5 * t.value + 0.5 * (r.holt_level_value + r.holt_trend_value)
-        |  AS holt_level_value,
-        |0.25 * ((0.5 * t.value + 0.5 * (r.holt_level_value + r.holt_trend_value))
-        |  - r.holt_level_value) + 0.75 * r.holt_trend_value AS holt_trend_value
-        |FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1)
-        |SELECT user_id, ts_us, value, holt_level_value, holt_trend_value FROM r""".stripMargin,
+    "q_holt_exact" -> holtSql,
+
+    // single-batch streaming Holt: bit-identical to the batch window
+    // aggregate, same recursive-CTE replay
+    "q_stream_holt" -> holtSql,
 
     "q_state_intervals" ->
       """WITH x AS (SELECT user_id, ts, (value >= 10.0) AS high FROM events),

@@ -618,6 +618,31 @@ object SparkEntry {
     ss
   }
 
+  /** Streaming Holt as a REAL single-batch streaming query — bit-identical
+    * to the batch window aggregate by construction, so it shares
+    * q_holt_exact's recursive-CTE oracle. */
+  private def qStreamHolt(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    val rows = events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val out = graft.streaming.StreamingTSDF.holt(
+      mem.toDF().toDF("user_id", "ts", "value"), "ts", Seq("user_id"),
+      "value", alpha = 0.5, beta = 0.25)
+    val name = s"stream_holt_sink_${sinkId.incrementAndGet()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    s.table(name).select(col("user_id"), usec(col("ts")).alias("ts_us"),
+      col("value"), col("holt_level_value"), col("holt_trend_value"))
+  }
+
   private def qStreamToleranceJoin(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
     import s.implicits._
@@ -950,6 +975,7 @@ object SparkEntry {
     "q_ema" -> qEma _,
     "q_ema_exact" -> qEmaExact _,
     "q_holt_exact" -> qHoltExact _,
+    "q_stream_holt" -> qStreamHolt _,
     "q_sessionize" -> qSessionize _,
     "q_contamination" -> qContamination _,
     "q_split_assign" -> qSplitAssign _,
