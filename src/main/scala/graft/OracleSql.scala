@@ -422,6 +422,26 @@ object OracleSql {
     // aggregate, same recursive-CTE replay
     "q_stream_holt" -> holtSql,
 
+    // 5-row rolling median: frame multiset -> sort -> lower-median rank
+    "q_rolling_median" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us, value,
+        |  list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS fr
+        |  FROM events)
+        |SELECT user_id, ts_us, value,
+        |  fr[CAST(greatest(1, CAST(ceil(len(fr) / 2.0) AS BIGINT)) AS BIGINT)]
+        |    AS rolling_median_value
+        |FROM l""".stripMargin,
+
+    // gaps > 6h between consecutive observations; exact integer-us filter
+    "q_gaps" ->
+      """WITH l AS (SELECT user_id, ts, epoch_us(ts) AS us,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events)
+        |SELECT user_id, epoch_us(pts) AS gap_start_us, us AS gap_end_us,
+        |  CAST(us - epoch_us(pts) AS DOUBLE) / 1000000 AS gap_seconds
+        |FROM l WHERE pts IS NOT NULL AND us - epoch_us(pts) > 21600000000""".stripMargin,
+
     "q_state_intervals" ->
       """WITH x AS (SELECT user_id, ts, (value >= 10.0) AS high FROM events),
         |y AS (SELECT user_id, ts, high, lag(ts) OVER w AS pts, lag(high) OVER w AS ph

@@ -241,6 +241,23 @@ object SparkEntry {
       .df.select(col("user_id"), usec(col("ts")).alias("ts_us"), col("value"),
         col("holt_level_value"), col("holt_trend_value"))
 
+  /** Exact 5-row rolling median per user (lower-median rank convention). */
+  private def qRollingMedian(s: SparkSession, dir: String): DataFrame =
+    graft.tsdf.Stats.rollingMedian(
+      events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+        col("value")),
+      "ts", "value", Seq("user_id"), window = 5, tieCols = Seq("event_id"))
+      .select(col("user_id"), usec(col("ts")).alias("ts_us"), col("value"),
+        col("rolling_median_value"))
+
+  /** Observation gaps longer than 6 hours per user. */
+  private def qGaps(s: SparkSession, dir: String): DataFrame =
+    graft.tsdf.Stats.gaps(
+      events(s, dir).select(col("user_id"), col("ts"), col("event_id")),
+      "ts", Seq("user_id"), minGapSeconds = 21600L, tieCols = Seq("event_id"))
+      .select(col("user_id"), usec(col("gap_start")).alias("gap_start_us"),
+        usec(col("gap_end")).alias("gap_end_us"), col("gap_seconds"))
+
   private def qStateIntervals(s: SparkSession, dir: String): DataFrame = {
     val base = events(s, dir).select(col("user_id"), col("ts"),
       (col("value") >= 10.0).alias("high"))
@@ -976,6 +993,8 @@ object SparkEntry {
     "q_ema_exact" -> qEmaExact _,
     "q_holt_exact" -> qHoltExact _,
     "q_stream_holt" -> qStreamHolt _,
+    "q_rolling_median" -> qRollingMedian _,
+    "q_gaps" -> qGaps _,
     "q_sessionize" -> qSessionize _,
     "q_contamination" -> qContamination _,
     "q_split_assign" -> qSplitAssign _,

@@ -342,6 +342,51 @@ object Stats {
         col("__e.n_pairs").alias("n_pairs"), col("__e.acf").alias("acf")): _*)
   }
 
+  /** Exact rolling median over the previous `window` rows of each series
+    * (frame = window−1 preceding .. current). The frame's values collect
+    * into an array, sort, and take the lower median — the rank convention
+    * of [[quantiles]], a pure function of the frame multiset, so the
+    * result is engine-exact with no sketch. O(w log w) per row: meant for
+    * the usual smoothing widths (tens..hundreds); for w in the millions
+    * use [[robustAnomalies]]' whole-series median instead. One series
+    * exchange; `tieCols` pin frame membership under timestamp ties.
+    * Output: input row + `rolling_median_<col>`. */
+  def rollingMedian(df: DataFrame, tsCol: String, valueCol: String,
+      seriesCols: Seq[String], window: Int,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val frame = array_sort(collect_list(col(valueCol)).over(w))
+    val med = element_at(frame,
+      greatest(lit(1), ceil(size(frame) / 2.0).cast(IntegerType)))
+    df.withColumn(s"rolling_median_$valueCol", med)
+  }
+
+  /** Per-series gap report: intervals between consecutive observations
+    * longer than `minGapSeconds` — the data-quality scan that tells you
+    * where a sensor went dark (the complement of [[Sessionize]]: sessions
+    * keep the dense runs, this reports the holes). One window pass on one
+    * series exchange. Output: (series..., gap_start, gap_end,
+    * gap_seconds); the filter compares exact integer µs, the reported
+    * seconds are one double division (identical in any IEEE engine). */
+  def gaps(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      minGapSeconds: Long, tieCols: Seq[String] = Nil): DataFrame = {
+    require(minGapSeconds >= 0, "minGapSeconds must be >= 0")
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    df.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .filter(col("__prev").isNotNull &&
+        unix_micros(col(tsCol)) - unix_micros(col("__prev")) >
+          minGapSeconds * 1000000L)
+      .select(seriesCols.map(col) ++ Seq(
+        col("__prev").alias("gap_start"),
+        col(tsCol).alias("gap_end"),
+        ((unix_micros(col(tsCol)) - unix_micros(col("__prev"))) / 1000000L)
+          .alias("gap_seconds")): _*)
+  }
+
   /** CUSUM change-point summary per series: S_t = Σ_{i≤t} x_i − t·μ (the
     * cumulative deviation from the series mean); the location maximizing
     * |S_t| is the classic CUSUM single change-point estimate, and

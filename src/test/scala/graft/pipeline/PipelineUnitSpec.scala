@@ -699,6 +699,29 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(r((2L, 2L)) == ((6L, None)))
   }
 
+  test("rolling median smooths spikes; gaps reports only long holes") {
+    import spark.implicits._
+    val rows = Seq(10.0, 10.0, 500.0, 10.0, 10.0, 12.0).zipWithIndex.map {
+      case (v, i) => (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:0$i:00"),
+        i.toLong, v)
+    }
+    val df = rows.toDF("sid", "ts", "eid", "v")
+    val med = graft.tsdf.Stats.rollingMedian(df, "ts", "v", Seq("sid"),
+      window = 3, tieCols = Seq("eid"))
+      .orderBy("ts").select("rolling_median_v").collect().map(_.getDouble(0))
+    // frames: [10] [10,10] [10,10,500] [10,500,10] [500,10,10] [10,10,12]
+    assert(med.toSeq == Seq(10.0, 10.0, 10.0, 10.0, 10.0, 10.0))
+    // one 3-hour hole in an otherwise minute-spaced series
+    val g = Seq("00:00:00", "00:01:00", "03:01:00", "03:02:00").zipWithIndex
+      .map { case (t, i) => (1L, java.sql.Timestamp.valueOf(s"2024-01-02 $t"),
+        i.toLong) }
+      .toDF("sid", "ts", "eid")
+    val found = graft.tsdf.Stats.gaps(g, "ts", Seq("sid"),
+      minGapSeconds = 3600L, tieCols = Seq("eid")).collect()
+    assert(found.length == 1)
+    assert(found.head.getDouble(3) == 10800.0)
+  }
+
   test("CUSUM finds the level-shift point of a step series") {
     import spark.implicits._
     // 10 points at 0 then 10 points at 100: |S_t| peaks exactly at the step
