@@ -422,6 +422,21 @@ object OracleSql {
     // aggregate, same recursive-CTE replay
     "q_stream_holt" -> holtSql,
 
+    // interval overlap join (half-open): plain theta join is the oracle for
+    // the bin-decomposed equi-join
+    "q_interval_join" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+        |  epoch_us(ts + INTERVAL 2 HOUR) AS e FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS right_event_id, epoch_us(ts) AS rs,
+        |  epoch_us(ts + INTERVAL 2 HOUR) AS re FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id, c.s AS start_us,
+        |  p.right_event_id, p.rs AS right_start_us,
+        |  greatest(c.s, p.rs) AS ov_start_us, least(c.e, p.re) AS ov_end_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND c.s < p.re AND p.rs < c.e""".stripMargin,
+
     // 5-row rolling median: frame multiset -> sort -> lower-median rank
     "q_rolling_median" ->
       """WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us, value,

@@ -299,6 +299,27 @@ object SparkEntry {
         col("metric_name"), col("metric_value"))
   }
 
+  /** Scalable interval overlap join: click 2h-windows vs purchase
+    * 2h-windows per user, decomposed into a time-bin equi-join (never a
+    * per-series cross product); each true pair emitted once by its
+    * overlap-start bin. */
+  private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    def iv(t: String) = IntervalsDF(
+      ev.filter(col("event_type") === t).select(col("user_id"),
+        col("ts").alias("start_ts"),
+        (col("ts") + expr("interval 2 hours")).alias("end_ts"),
+        col("event_id")),
+      "start_ts", "end_ts", Seq("user_id"))
+    iv("click").overlapJoin(iv("purchase"), binSeconds = 3600L)
+      .select(col("user_id"), col("event_id"),
+        usec(col("start_ts")).alias("start_us"),
+        col("right_event_id"),
+        usec(col("right_start_ts")).alias("right_start_us"),
+        usec(col("overlap_start_ts")).alias("ov_start_us"),
+        usec(col("overlap_end_ts")).alias("ov_end_us"))
+  }
+
   private def qIntervalsDisjoint(s: SparkSession, dir: String): DataFrame = {
     val iv = IntervalsDF(
       events(s, dir).select(col("user_id"), col("ts").alias("start_ts"),
@@ -1004,6 +1025,7 @@ object SparkEntry {
     "q_intervals_pivot" -> qIntervalsPivot _,
     "q_intervals_stack" -> qIntervalsStack _,
     "q_intervals_disjoint" -> qIntervalsDisjoint _,
+    "q_interval_join" -> qIntervalJoin _,
     "q_slice_ops" -> qSliceOps _,
     "q_intervals_union" -> qIntervalsUnion _,
     "q_write_roundtrip" -> qWriteRoundtrip _,

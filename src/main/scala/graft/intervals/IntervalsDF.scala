@@ -42,6 +42,54 @@ case class IntervalsDF(
   def window: org.apache.spark.sql.expressions.WindowSpec =
     Window.partitionBy(seriesIds.map(col): _*).orderBy(col(startTs), col(endTs))
 
+  /** Overlapping-interval join against `other` on the shared series ids:
+    * one row per pair of intervals with `start < other.end AND other.start
+    * < end` (half-open convention — touching endpoints do not overlap),
+    * carrying both payloads plus the intersection bounds.
+    *
+    * The naive theta-join is a per-series cross product — quadratic in the
+    * busiest series. Here each interval explodes into the fixed-width time
+    * bins it covers and candidates pair through a plain (series, bin)
+    * EQUI-join — the standard scalable range-join decomposition, which
+    * shuffles on uniformly-distributed bin keys instead of nesting loops.
+    * A pair spanning several shared bins is emitted exactly ONCE, by the
+    * bin containing the overlap's start — a filter, not a distinct pass.
+    * Pick `binSeconds` near the typical interval length: per-side explode
+    * cost is span/bin rows per interval, and per-bin fan-in stays bounded
+    * when bins are not much wider than intervals.
+    *
+    * Output: seriesIds ++ left payload ++ `right_`-prefixed right payload
+    * ++ (overlap_start_ts, overlap_end_ts). */
+  def overlapJoin(other: IntervalsDF, binSeconds: Long = 3600L,
+      rightPrefix: String = "right_"): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    require(seriesIds == other.seriesIds,
+      s"series ids must match: $seriesIds vs ${other.seriesIds}")
+    val w = binSeconds * 1000000L
+    def binned(iv: IntervalsDF, prefix: String, sTag: String, eTag: String) = {
+      val payload = iv.df.columns.filterNot(iv.seriesIds.contains)
+      val renamed = payload.foldLeft(iv.df) { (d, c) =>
+        if (prefix.isEmpty) d else d.withColumnRenamed(c, prefix + c)
+      }
+      renamed
+        .withColumn(sTag, unix_micros(col(prefix + iv.startTs)))
+        .withColumn(eTag, unix_micros(col(prefix + iv.endTs)))
+        .filter(col(eTag) > col(sTag))
+        .withColumn("__bin",
+          explode(sequence(expr(s"$sTag div $w"), expr(s"($eTag - 1) div $w"))))
+    }
+    val l = binned(this, "", "__su", "__eu")
+    val r = binned(other, rightPrefix, "__rsu", "__reu")
+    l.join(r, seriesIds :+ "__bin", "inner")
+      .filter(col("__su") < col("__reu") && col("__rsu") < col("__eu"))
+      .filter(expr(s"greatest(__su, __rsu) div $w") === col("__bin"))
+      .withColumn("overlap_start_ts",
+        timestamp_micros(greatest(col("__su"), col("__rsu"))))
+      .withColumn("overlap_end_ts",
+        timestamp_micros(least(col("__eu"), col("__reu"))))
+      .drop("__bin", "__su", "__eu", "__rsu", "__reu")
+  }
+
   /** Positional union (no dedup), intervals.py:280-300. */
   def union(other: IntervalsDF): IntervalsDF = copy(df = df.union(other.df))
 

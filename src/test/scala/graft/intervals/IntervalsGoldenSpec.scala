@@ -70,6 +70,42 @@ class IntervalsGoldenSpec extends SparkTestBase {
       (ts("2024-01-01 01:00:00"), ts("2024-01-01 03:00:00"), 2.0)))
   }
 
+  test("overlapJoin equals the theta join, emits each pair once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    def mk(n: Int, tag: String) = (0 until n).map { i =>
+      val s = rnd.nextInt(100000)
+      (rnd.nextInt(3).toLong, s"$tag$i",
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)),
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s + 1 + rnd.nextInt(20000))))
+    }.toDF("sid", "tag", "start_ts", "end_ts")
+    val a = mk(80, "a"); val b = mk(80, "b")
+    val got = IntervalsDF(a, "start_ts", "end_ts", Seq("sid"))
+      .overlapJoin(IntervalsDF(b, "start_ts", "end_ts", Seq("sid")),
+        binSeconds = 3600L)
+      .select("sid", "tag", "right_tag").as[(Long, String, String)]
+      .collect().toSeq
+    // each true pair appears exactly once
+    assert(got.size == got.toSet.size, "duplicate pair emitted")
+    val expected = a.alias("l").join(b.alias("r"),
+      col("l.sid") === col("r.sid") &&
+        col("l.start_ts") < col("r.end_ts") &&
+        col("r.start_ts") < col("l.end_ts"))
+      .select(col("l.sid"), col("l.tag"), col("r.tag"))
+      .as[(Long, String, String)].collect().toSet
+    assert(got.toSet == expected)
+    assert(expected.nonEmpty)
+    // half-open: touching intervals do not pair
+    val t1 = Seq((1L, "x", ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")))
+      .toDF("sid", "tag", "start_ts", "end_ts")
+    val t2 = Seq((1L, "y", ts("2024-01-01 01:00:00"), ts("2024-01-01 02:00:00")))
+      .toDF("sid", "tag", "start_ts", "end_ts")
+    assert(IntervalsDF(t1, "start_ts", "end_ts", Seq("sid"))
+      .overlapJoin(IntervalsDF(t2, "start_ts", "end_ts", Seq("sid"))).count() == 0)
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
   test("union and unionByName double the row count") {
     val t = tc("test_union_other_idf")
     val a = fx.idf(t.get("init"))
