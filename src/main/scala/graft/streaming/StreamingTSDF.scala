@@ -327,6 +327,63 @@ object StreamingTSDF {
       col("trend").alias(s"holt_trend_$valueCol")): _*)
   }
 
+  case class RollMedState(recent: Seq[Double])
+
+  /** Streaming rolling median over the trailing `window` observations per
+    * series — bounded state (window−1 doubles per series), the streaming
+    * twin of [[graft.tsdf.Stats.rollingMedian]] (same lower-median rank on
+    * the same frame multiset, so bit-identical on the same data; asserted
+    * differentially). Rows inside a micro-batch process in event-time
+    * order; optional `stateTtl` evicts idle series. */
+  def rollingMedian(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      valueCol: String, window: Int,
+      stateTtl: Option[String] = None): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val projected = df.select(
+      seriesKey(seriesCols).alias("series"),
+      unix_micros(col(tsCol)).alias("tsUs"),
+      col(valueCol).cast(DoubleType).alias("value"),
+      col(tsCol).alias("eventTime"))
+    val events = stateTtl.fold(projected)(ttl =>
+      projected.withWatermark("eventTime", ttl)).as[EmaEvent]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val out = events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (key: String, rows: Iterator[EmaEvent], state: GroupState[RollMedState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.tsUs)
+            var recent = state.getOption.map(_.recent.toVector).getOrElse(Vector.empty)
+            val outRows = sorted.map { e =>
+              val frame = (recent :+ e.value).takeRight(window)
+              val fs = frame.sorted
+              val med = fs(math.max(1, math.ceil(fs.size / 2.0).toInt) - 1)
+              recent = (recent :+ e.value).takeRight(window - 1)
+              (key, e.tsUs, e.value, med)
+            }
+            if (sorted.nonEmpty) {
+              state.update(RollMedState(recent))
+              stateTtl.foreach(ttl => state.setTimeoutTimestamp(
+                math.max(sorted.last.tsUs / 1000,
+                  state.getCurrentWatermarkMs() + 1), ttl))
+            }
+            outRows.iterator
+          }
+      }
+      .toDF("series", "tsUs", "value", "med")
+    out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
+      timestamp_micros(col("tsUs")).alias(tsCol),
+      col("value").alias(valueCol),
+      col("med").alias(s"rolling_median_$valueCol")): _*)
+  }
+
   /** Streaming VWAP: volume-weighted average price per tumbling event-time
     * bucket, watermark-finalized — the streaming face of the batch `vwap`
     * operator (one partial+final aggregate, map-side combinable sums). */

@@ -133,6 +133,26 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("property: streaming rolling median equals batch rollingMedian on random series") {
+    val rnd = new scala.util.Random(48)
+    (0 until 4).foreach { trial =>
+      val rows = randomSeries(rnd, pinEnds = false)
+      val streamed = runStream(rows, df =>
+        StreamingTSDF.rollingMedian(df, "ts", Seq("user_id"), "value", window = 5))
+        .select(col("user_id"), col("ts"), col("value"),
+          col("rolling_median_value").alias("med"))
+      val spark2 = spark
+      import spark2.implicits._
+      val batch = graft.tsdf.Stats.rollingMedian(
+        rows.toDF("user_id", "ts", "value"), "ts", "value", Seq("user_id"),
+        window = 5)
+        .select(col("user_id"), col("ts"), col("value"),
+          col("rolling_median_value").alias("med"))
+      // identical frame multisets and rank convention: bit-identical
+      withClue(s"trial $trial: ") { assertDfEquality(streamed, batch) }
+    }
+  }
+
   test("property: streaming session_window intervals equal batch sessionize on random series") {
     val rnd = new scala.util.Random(47)
     (0 until 4).foreach { trial =>
