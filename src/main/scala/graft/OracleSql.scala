@@ -251,6 +251,18 @@ object OracleSql {
         |FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1)
         |SELECT user_id, ts_us, value, holt_level_value, holt_trend_value FROM r""".stripMargin
 
+  /** 5-row rolling median replay, shared by the batch window query and its
+    * single-batch streaming twin. */
+  private val rollMedSql: String =
+    """WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us, value,
+      |  list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS fr
+      |  FROM events)
+      |SELECT user_id, ts_us, value,
+      |  fr[CAST(greatest(1, CAST(ceil(len(fr) / 2.0) AS BIGINT)) AS BIGINT)]
+      |    AS rolling_median_value
+      |FROM l""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "q_slice_between" ->
@@ -438,15 +450,10 @@ object OracleSql {
         |  AND c.s < p.re AND p.rs < c.e""".stripMargin,
 
     // 5-row rolling median: frame multiset -> sort -> lower-median rank
-    "q_rolling_median" ->
-      """WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us, value,
-        |  list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS fr
-        |  FROM events)
-        |SELECT user_id, ts_us, value,
-        |  fr[CAST(greatest(1, CAST(ceil(len(fr) / 2.0) AS BIGINT)) AS BIGINT)]
-        |    AS rolling_median_value
-        |FROM l""".stripMargin,
+    "q_rolling_median" -> rollMedSql,
+
+    // single-batch streaming rolling median: same frame multiset + rank
+    "q_stream_rollmed" -> rollMedSql,
 
     // gaps > 6h between consecutive observations; exact integer-us filter
     "q_gaps" ->

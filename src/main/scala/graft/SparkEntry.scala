@@ -681,6 +681,31 @@ object SparkEntry {
       col("value"), col("holt_level_value"), col("holt_trend_value"))
   }
 
+  /** Streaming rolling median as a single-batch streaming query — shares
+    * q_rolling_median's oracle (same frame multiset + rank convention;
+    * events' per-user timestamps are unique, so ordering agrees). */
+  private def qStreamRollMed(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    val rows = events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val out = graft.streaming.StreamingTSDF.rollingMedian(
+      mem.toDF().toDF("user_id", "ts", "value"), "ts", Seq("user_id"),
+      "value", window = 5)
+    val name = s"stream_rollmed_sink_${sinkId.incrementAndGet()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    s.table(name).select(col("user_id"), usec(col("ts")).alias("ts_us"),
+      col("value"), col("rolling_median_value"))
+  }
+
   private def qStreamToleranceJoin(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
     import s.implicits._
@@ -1015,6 +1040,7 @@ object SparkEntry {
     "q_holt_exact" -> qHoltExact _,
     "q_stream_holt" -> qStreamHolt _,
     "q_rolling_median" -> qRollingMedian _,
+    "q_stream_rollmed" -> qStreamRollMed _,
     "q_gaps" -> qGaps _,
     "q_sessionize" -> qSessionize _,
     "q_contamination" -> qContamination _,
