@@ -384,6 +384,62 @@ object StreamingTSDF {
       col("med").alias(s"rolling_median_$valueCol")): _*)
   }
 
+  case class GapState(lastTsUs: Long)
+
+  /** Streaming observation-gap detector: emits one row per inter-event hole
+    * longer than `minGapSeconds`, per series — one long of state (the last
+    * seen timestamp), the streaming twin of [[graft.tsdf.Stats.gaps]]
+    * (asserted differentially). The gap row emits when the closing event
+    * arrives. Optional `stateTtl` evicts idle series — note an evicted
+    * series forgets its last timestamp, so a hole spanning the eviction is
+    * not reported (the TTL bounds both state and lookback by design). */
+  def gaps(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      minGapSeconds: Long, stateTtl: Option[String] = None): DataFrame = {
+    require(minGapSeconds >= 0, "minGapSeconds must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val projected = df.select(
+      seriesKey(seriesCols).alias("series"),
+      unix_micros(col(tsCol)).alias("tsUs"),
+      lit(0.0).alias("value"),
+      col(tsCol).alias("eventTime"))
+    val events = stateTtl.fold(projected)(ttl =>
+      projected.withWatermark("eventTime", ttl)).as[EmaEvent]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val minGapUs = minGapSeconds * 1000000L
+    val out = events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (key: String, rows: Iterator[EmaEvent], state: GroupState[GapState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.tsUs)
+            var last = state.getOption.map(_.lastTsUs)
+            val outRows = sorted.flatMap { e =>
+              val gap = last.filter(l => e.tsUs - l > minGapUs)
+                .map(l => (key, l, e.tsUs))
+              last = Some(e.tsUs)
+              gap
+            }
+            last.foreach { l =>
+              state.update(GapState(l))
+              stateTtl.foreach(ttl => state.setTimeoutTimestamp(
+                math.max(l / 1000, state.getCurrentWatermarkMs() + 1), ttl))
+            }
+            outRows.iterator
+          }
+      }
+      .toDF("series", "startUs", "endUs")
+    out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
+      timestamp_micros(col("startUs")).alias("gap_start"),
+      timestamp_micros(col("endUs")).alias("gap_end"),
+      ((col("endUs") - col("startUs")) / lit(1000000L)).alias("gap_seconds")): _*)
+  }
+
   /** Streaming VWAP: volume-weighted average price per tumbling event-time
     * bucket, watermark-finalized — the streaming face of the batch `vwap`
     * operator (one partial+final aggregate, map-side combinable sums). */

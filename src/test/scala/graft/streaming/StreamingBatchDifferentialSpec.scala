@@ -153,6 +153,23 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("property: streaming gaps equals batch gaps on random series") {
+    val rnd = new scala.util.Random(49)
+    (0 until 4).foreach { trial =>
+      val rows = randomSeries(rnd, pinEnds = false)
+      val streamed = runStream(rows, df =>
+        StreamingTSDF.gaps(df, "ts", Seq("user_id"), minGapSeconds = 30))
+        .select("user_id", "gap_start", "gap_end", "gap_seconds")
+      val spark2 = spark
+      import spark2.implicits._
+      val batch = graft.tsdf.Stats.gaps(
+        rows.toDF("user_id", "ts", "value"), "ts", Seq("user_id"),
+        minGapSeconds = 30)
+        .select("user_id", "gap_start", "gap_end", "gap_seconds")
+      withClue(s"trial $trial: ") { assertDfEquality(streamed, batch) }
+    }
+  }
+
   test("property: streaming session_window intervals equal batch sessionize on random series") {
     val rnd = new scala.util.Random(47)
     (0 until 4).foreach { trial =>
