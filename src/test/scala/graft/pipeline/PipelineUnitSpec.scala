@@ -737,6 +737,44 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(r.getLong(3) == 9L)
   }
 
+  test("end-to-end pipeline: dedup -> quality -> decontaminate -> split -> pack") {
+    // the composition a real training-data build runs, on the sf0.001 corpus
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n0 = docsDf.count()
+    // 1. drop exact duplicates (normalized fingerprint)
+    val deduped = docsDf.join(
+      Dedup.exactNormalized(docsDf, "text", "doc_id")
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val n1 = deduped.count()
+    assert(n1 <= n0 && n1 > 0)
+    // 2. keep docs that clear a quality floor
+    val scored = deduped.select(
+      (deduped.columns.map(col) ++ TextAnalysis.qualityScore(col("text"))): _*)
+    val kept = scored.filter(col("quality_score") >= 0.2)
+    val n2 = kept.count()
+    assert(n2 > 0 && n2 <= n1)
+    // 3. flag eval-set contamination (doc_id % 13 as the "benchmark")
+    val evalSet = docsDf.filter(col("doc_id") % 13 === 0)
+    val contaminated = Dedup.ngramDecontaminate(kept, evalSet, "text", "doc_id", w = 3)
+      .filter(col("hit_frac") >= 0.8).select(col("doc_id"))
+    val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
+    val n3 = clean.count()
+    assert(n3 > 0 && n3 < n2) // eval members hit themselves -> some removal
+    // 4. deterministic 80/10/10 split, then pack the train split
+    val split = graft.pipeline.Splits.assign(clean, "doc_id", Seq(8, 1, 1))
+    val train = split.filter(col("split") === 0L)
+    assert(train.count() > 0)
+    val packed = graft.pipeline.Packing.packSequences(
+      train, "text", "doc_id", Seq("source"), capacity = 1024)
+    // every doc assigned, offsets inside capacity, seq ids contiguous from 0
+    assert(packed.count() == train.count())
+    assert(packed.filter(col("seq_off") >= 1024 || col("seq_off") < 0).count() == 0)
+    val maxSeq = packed.groupBy("source").agg(max("seq_id").alias("m"),
+      countDistinct("seq_id").alias("d")).collect()
+    maxSeq.foreach(r => assert(r.getLong(2) == r.getLong(1) + 1,
+      s"non-contiguous seq ids for ${r.get(0)}"))
+  }
+
   test("sampleKPerStratum is stable under repartitioning and caps per stratum") {
     import spark.implicits._
     val df = (1L to 200L).map(i => (i, if (i % 3 == 0) "a" else "b"))
