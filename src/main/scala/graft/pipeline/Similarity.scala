@@ -271,7 +271,7 @@ object Similarity {
       .withColumn("__xh", shiftright(col("__full"), nBits))
     val counts = cFull.groupBy(col("__bucket"))
       .agg(count(lit(1)).alias("__cnt"))
-    val maxCnt = Option(counts.agg(max(col("__cnt"))).head.get(0))
+    val maxCnt = Option(counts.agg(max(col("__cnt"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val qBase = queries.select(col(idCol).alias("query_id"),
       asDouble(col(vecCol)).alias("__qv"))

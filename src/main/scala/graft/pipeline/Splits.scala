@@ -124,6 +124,6 @@ object Splits {
       .select(col(stratumCol), col("__b"))
     df.withColumn("__b", bucket)
       .join(broadcast(keepBuckets), Seq(stratumCol, "__b"), "left_semi")
-      .select(df.columns.map(col): _*) // using-cols jump first; restore order
+      .select(df.columns.toIndexedSeq.map(col): _*) // using-cols jump first; restore order
   }
 }

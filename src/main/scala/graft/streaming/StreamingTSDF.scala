@@ -206,7 +206,7 @@ object StreamingTSDF {
       col(s"r.$tsCol") <= col(s"l.$tsCol") &&
       col(s"r.$tsCol") >= col(s"l.$tsCol") - expr(s"INTERVAL $tolerance")
     lw.join(rw, cond, "inner")
-      .select(left.columns.map(c => col(s"l.$c")) ++
+      .select(left.columns.toIndexedSeq.map(c => col(s"l.$c")) ++
         (col(s"r.$tsCol").alias(s"right_$tsCol") +:
           rightMetricCols.map(m => col(s"r.$m").alias(s"right_$m"))): _*)
   }
