@@ -543,6 +543,10 @@ object OracleSql {
 
     // replays what the sink derives and persists: event_dt partition (epoch
     // days) and the HHmmss-as-double event_time; value/ts round-trip exactly
+    // bucketed-table round-trip is value-faithful (layout-independent)
+    "q_write_bucketed" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, value FROM events""",
+
     "q_write_roundtrip" ->
       """SELECT user_id, epoch_us(ts) AS ts_us, value,
         |CAST(CAST(strftime(ts, '%H%M%S') AS BIGINT) AS DOUBLE) AS event_time,

@@ -361,6 +361,18 @@ object SparkEntry {
       datediff(col("event_dt"), lit("1970-01-01")).cast(LongType).alias("event_dt_days"))
   }
 
+  /** Series-bucketed catalog-table round-trip: bucketBy(user_id) +
+    * sortBy(user_id, ts), read back value-faithfully (the shuffle-free
+    * read plans are asserted in BucketedWriteSpec). */
+  private def qWriteBucketed(s: SparkSession, dir: String): DataFrame = {
+    val t = TSDF(events(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "ts", Seq("user_id"))
+    val table = "graft_bucketed_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    graft.io.TSDFWriter.writeBucketedTable(t, table, numBuckets = 8)
+    s.table(table).select(col("user_id"), usec(col("ts")).alias("ts_us"),
+      col("value"))
+  }
+
   /** Same round-trip as [[qWriteRoundtrip]] but laid out along the Z-curve
     * of (ts, value) — covers MortonInterleave + ZOrder.zvalue end-to-end;
     * the oracle is layout-independent (sorted-multiset compare). */
@@ -1055,6 +1067,7 @@ object SparkEntry {
     "q_slice_ops" -> qSliceOps _,
     "q_intervals_union" -> qIntervalsUnion _,
     "q_write_roundtrip" -> qWriteRoundtrip _,
+    "q_write_bucketed" -> qWriteBucketed _,
     "q_write_zorder" -> qWriteZorder _,
     "q_ivf_train" -> qIvfTrain _,
     "q_ann_ivfpq" -> qAnnIvfPq _,

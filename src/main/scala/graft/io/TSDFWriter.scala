@@ -49,6 +49,28 @@ object TSDFWriter {
       .mode("overwrite")
       .save(path)
 
+  /** Series-bucketed catalog table: `bucketBy(numBuckets, seriesCols)` +
+    * `sortBy(series, ts)` — the layout that makes series-keyed analytics
+    * shuffle-free at read time. A window/groupBy partitioned by the series
+    * key, and an equi-join between two tables bucketed the same way, reuse
+    * the on-disk hash-bucket placement instead of exchanging 100 TB
+    * (plan-asserted in the spec: zero `Exchange hashpartitioning`). The
+    * in-bucket (series, ts) sort also feeds sort-merge reads without a
+    * re-sort. This is the long-lived-table complement of [[write]]'s
+    * date-partitioned layout: partition by date for pruning when queries
+    * slice time, bucket by series when queries group/join series. */
+  def writeBucketedTable(tsdf: TSDF, tableName: String, numBuckets: Int,
+      format: String = "parquet"): Unit = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    require(tsdf.partitionCols.nonEmpty, "bucketing needs series columns")
+    tsdf.df.write.format(format)
+      .bucketBy(numBuckets, tsdf.partitionCols.head, tsdf.partitionCols.tail: _*)
+      .sortBy(tsdf.partitionCols.head,
+        (tsdf.partitionCols.tail :+ tsdf.tsCol): _*)
+      .mode("overwrite")
+      .saveAsTable(tableName)
+  }
+
   /** Write to a catalog table, replacing only the partitions the incoming
     * data touches (io.py:40-51's `replaceWhere` semantics). First write
     * creates the partitioned table; subsequent writes `insertInto` under
