@@ -368,6 +368,13 @@ object SparkEntry {
     val t = TSDF(events(s, dir).select(col("user_id"), col("ts"), col("value")),
       "ts", Seq("user_id"))
     val table = "graft_bucketed_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // idempotent across sessions: a prior session's managed-table location
+    // survives in the warehouse dir without a catalog entry, and
+    // saveAsTable then refuses with LOCATION_ALREADY_EXISTS
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir") + "/" + table)
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
     graft.io.TSDFWriter.writeBucketedTable(t, table, numBuckets = 8)
     s.table(table).select(col("user_id"), usec(col("ts")).alias("ts_us"),
       col("value"))
