@@ -293,6 +293,15 @@ object OracleSql {
          |epoch_us(r.ts) AS right_ts_us, r.value AS right_value
          |${asofBase.format("LEFT")}""".stripMargin,
 
+    // forward as-of: DuckDB infers direction from the inequality; picks
+    // the smallest r.ts >= l.ts per left row
+    "q_asof_next" ->
+      """SELECT l.user_id, epoch_us(l.ts) AS ts_us, l.event_id, l.value,
+        |epoch_us(r.ts) AS right_ts_us, r.value AS right_value
+        |FROM (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        |ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
+
     "q_asof_tolerance" ->
       s"""SELECT user_id, ts_us, event_id, value,
          |CASE WHEN ts_us - right_ts_us > 3600000000 THEN NULL ELSE right_ts_us END AS right_ts_us,

@@ -125,6 +125,10 @@ object SparkEntry {
     asofOut(clicks(s, dir)
       .asofJoin(purchases(s, dir), tsPartitionVal = Some(86400L), fraction = 0.5).df)
 
+  /** Forward as-of: each click attaches the NEXT purchase (right.ts >= ts). */
+  private def qAsofNext(s: SparkSession, dir: String): DataFrame =
+    asofOut(clicks(s, dir).asofJoinNext(purchases(s, dir)).df)
+
   private def qResampleAvg(s: SparkSession, dir: String): DataFrame =
     eventsTsdf(s, dir, "event_type", cents(col("value")).alias("c"))
       .resample("1 hour", "mean")
@@ -1037,6 +1041,7 @@ object SparkEntry {
     "q_stream_tolerance_join" -> qStreamToleranceJoin _,
     "q_stream_pq_topk" -> qStreamPqTopk _,
     "q_asof" -> qAsof _,
+    "q_asof_next" -> qAsofNext _,
     "q_asof_tolerance" -> qAsofTolerance _,
     "q_asof_bcast" -> qAsofBcast _,
     "q_asof_skew" -> qAsofSkew _,

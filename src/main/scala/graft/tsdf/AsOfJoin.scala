@@ -200,4 +200,31 @@ object AsOfJoin {
     }.drop("__stale")
     t.copy(df = nulled)
   }
+
+  /** Forward ("next event") as-of join: attach the EARLIEST right row with
+    * `right.ts >= left.ts` per series — the mirror of the prior-row default
+    * (click → next purchase, order → next shipment event).
+    *
+    * Realized by negating event time (exact integer-µs negation, which
+    * reverses order and preserves ties) on both sides, running the
+    * backward union path unchanged, and negating the output timestamps
+    * back — the same single-exchange plan, the same tolerance semantics
+    * (the backward `l − r ∈ [0, t]` post-filter becomes `r − l ∈ [0, t]`
+    * under negation), zero duplicated join logic. */
+  def forward(left: TSDF, right: TSDF, leftPrefix: Option[String],
+      rightPrefix: String, skipNulls: Boolean,
+      tolerance: Option[Double]): TSDF = {
+    def negate(t: TSDF): TSDF =
+      t.copy(df = t.df.withColumn(t.tsCol,
+        timestamp_micros(-unix_micros(col(t.tsCol)))))
+    val joined = apply(negate(left), negate(right), leftPrefix, rightPrefix,
+      tsPartitionVal = None, fraction = 0.5, skipNulls = skipNulls,
+      sqlJoinOpt = false, tolerance = tolerance)
+    val leftTsOut = leftPrefix.filter(_.nonEmpty)
+      .map(p => s"${p}_${left.tsCol}").getOrElse(left.tsCol)
+    val rightTsOut = s"${rightPrefix}_${right.tsCol}"
+    joined.copy(df = joined.df
+      .withColumn(leftTsOut, timestamp_micros(-unix_micros(col(leftTsOut))))
+      .withColumn(rightTsOut, timestamp_micros(-unix_micros(col(rightTsOut)))))
+  }
 }

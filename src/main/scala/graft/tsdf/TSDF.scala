@@ -224,6 +224,15 @@ case class TSDF(
     AsOfJoin(this, right, leftPrefix, rightPrefix, tsPartitionVal, fraction,
       skipNulls, sqlJoinOpt, tolerance)
 
+  /** Forward as-of: attach the earliest right row with right.ts >= ts. */
+  def asofJoinNext(
+      right: TSDF,
+      leftPrefix: Option[String] = None,
+      rightPrefix: String = "right",
+      skipNulls: Boolean = true,
+      tolerance: Option[Double] = None): TSDF =
+    AsOfJoin.forward(this, right, leftPrefix, rightPrefix, skipNulls, tolerance)
+
   def resample(freq: String, func: String, fill: Boolean = false,
       metricCols: Option[Seq[String]] = None, prefix: Option[String] = None): TSDF =
     Resample.aggregate(this, freq, func, fill, metricCols, prefix)

@@ -699,6 +699,30 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(r((2L, 2L)) == ((6L, None)))
   }
 
+  test("forward as-of attaches the next right row, honors equality and tolerance") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = graft.tsdf.TSDF(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 12:00:00"), 2.0),
+      (1L, ts("2024-01-01 23:00:00"), 3.0)).toDF("sid", "ts", "v"),
+      "ts", Seq("sid"))
+    val right = graft.tsdf.TSDF(Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10.0), // before everything: never next
+      (1L, ts("2024-01-01 12:00:00"), 20.0), // equality: attaches to 12:00
+      (1L, ts("2024-01-01 13:00:00"), 30.0)).toDF("sid", "ts", "q"),
+      "ts", Seq("sid"))
+    val out = left.asofJoinNext(right).df.orderBy("ts")
+      .select("v", "right_q").collect()
+      .map(r => (r.getDouble(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(out.toSeq == Seq((1.0, Some(20.0)), (2.0, Some(20.0)), (3.0, None)))
+    // tolerance: next-within-1h only
+    val tol = left.asofJoinNext(right, tolerance = Some(3600.0)).df.orderBy("ts")
+      .select("v", "right_q").collect()
+      .map(r => (r.getDouble(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(tol.toSeq == Seq((1.0, None), (2.0, Some(20.0)), (3.0, None)))
+  }
+
   test("rolling median smooths spikes; gaps reports only long holes") {
     import spark.implicits._
     val rows = Seq(10.0, 10.0, 500.0, 10.0, 10.0, 12.0).zipWithIndex.map {
