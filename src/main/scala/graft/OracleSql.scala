@@ -336,6 +336,12 @@ object OracleSql {
         |max_by(value, ts) AS value, max_by(event_id, ts) AS event_id
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    "q_resample_sum" ->
+      """SELECT event_type, epoch_us(date_trunc('hour', ts)) AS ts_us,
+        |sum(round(value * 100)) / 100.0 AS sum_value,
+        |count(event_id) AS n_rows
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "q_upsample_fill" ->
       """WITH agg AS (SELECT event_type, date_trunc('hour', ts) AS h,
         |  avg(round(value * 100)) AS c FROM events GROUP BY 1, 2),

@@ -147,6 +147,19 @@ object SparkEntry {
       .df.select(col("user_id"), usec(col("ts")).alias("ts_us"),
         col("value"), col("event_id"))
 
+  /** Per-bucket totals: sum of exact cents and row count per hour. */
+  private def qResampleSum(s: SparkSession, dir: String): DataFrame = {
+    val t = eventsTsdf(s, dir, "event_type", cents(col("value")).alias("c"),
+      col("event_id"))
+    val sums = t.resample("1 hour", "sum").df
+      .select(col("event_type"), col("ts"), (col("c") / 100.0).alias("sum_value"))
+    val counts = t.resample("1 hour", "count").df
+      .select(col("event_type"), col("ts"), col("event_id").alias("n_rows"))
+    sums.join(counts, Seq("event_type", "ts"))
+      .select(col("event_type"), usec(col("ts")).alias("ts_us"),
+        col("sum_value"), col("n_rows"))
+  }
+
   private def qUpsampleFill(s: SparkSession, dir: String): DataFrame =
     eventsTsdf(s, dir, "event_type", cents(col("value")).alias("c"))
       .resample("1 hour", "mean", fill = true)
@@ -1051,6 +1064,7 @@ object SparkEntry {
     "q_resample_avg" -> qResampleAvg _,
     "q_resample_floor" -> qResampleFloor _,
     "q_resample_ceil" -> qResampleCeil _,
+    "q_resample_sum" -> qResampleSum _,
     "q_upsample_fill" -> qUpsampleFill _,
     "q_interp_linear" -> qInterpLinear _,
     "q_interp_ffill" -> qInterpFfill _,

@@ -47,6 +47,8 @@ object Resample {
   val Min = "min"
   val Max = "max"
   val Ceil = "ceil"
+  val Sum = "sum"
+  val Count = "count"
 
   def aggregate(tsdf: TSDF, freq: String, func: String, fill: Boolean = false,
       metricCols: Option[Seq[String]] = None, prefix: Option[String] = None): TSDF = {
@@ -70,11 +72,15 @@ object Resample {
           .agg(max(struct((tsdf.tsCol +: metrics).map(col): _*)).alias("__c"))
           .select((series.map(col) :+ col("__bucket").alias(tsdf.tsCol)) ++
             metrics.map(m => col("__c").getField(m).alias(m)): _*)
-      case Mean | Min | Max =>
+      case Mean | Min | Max | Sum | Count =>
         val aggFn: String => Column = func match {
-          case Mean => c => avg(col(c))
-          case Min  => c => min(col(c))
-          case Max  => c => max(col(c))
+          case Mean  => c => avg(col(c))
+          case Min   => c => min(col(c))
+          case Max   => c => max(col(c))
+          // sum/count extend the reference's five funcs (resample.py has no
+          // per-bucket totals; pipelines constantly need them)
+          case Sum   => c => sum(col(c))
+          case Count => c => count(col(c))
         }
         // min/max order any orderable type; mean over a non-numeric column is
         // the reference's lenient-cast avg (all-null double, resample.py
@@ -84,8 +90,9 @@ object Resample {
           .map(f => f.name -> f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
           .toMap
         val aggs = metrics.map { c =>
-          if (func == Mean && !numericByName(c))
-            avg(expr(s"try_cast($c as double)")).alias(c)
+          if ((func == Mean || func == Sum) && !numericByName(c))
+            (if (func == Mean) avg(expr(s"try_cast($c as double)"))
+             else sum(expr(s"try_cast($c as double)"))).alias(c)
           else aggFn(c).alias(c)
         }
         grouped
@@ -93,7 +100,7 @@ object Resample {
           .select((series.map(col) :+ col("__bucket").alias(tsdf.tsCol)) ++
             metrics.map(col): _*)
       case other => throw new IllegalArgumentException(
-        s"unsupported resample func '$other' (floor|mean|min|max|ceil)")
+        s"unsupported resample func '$other' (floor|mean|min|max|ceil|sum|count)")
     }
 
     // optional prefix on the sampled metric columns (resample.py prefix arg)
