@@ -342,6 +342,21 @@ object OracleSql {
         |count(event_id) AS n_rows
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // min-max decimation: the min row and max row per (user, hour); ties
+    // by (value, ts); UNION (not ALL) collapses single-row buckets
+    "q_downsample_minmax" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket, ts, value,
+        |  event_id FROM events),
+        |lo AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+        |  ORDER BY value, ts) AS rn FROM b) t WHERE rn = 1),
+        |hi AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+        |  ORDER BY value DESC, ts DESC) AS rn FROM b) t WHERE rn = 1)
+        |SELECT user_id, epoch_us(bucket) AS bucket_us, epoch_us(ts) AS ts_us,
+        |  value, event_id FROM lo
+        |UNION
+        |SELECT user_id, epoch_us(bucket) AS bucket_us, epoch_us(ts) AS ts_us,
+        |  value, event_id FROM hi""".stripMargin,
+
     "q_upsample_fill" ->
       """WITH agg AS (SELECT event_type, date_trunc('hour', ts) AS h,
         |  avg(round(value * 100)) AS c FROM events GROUP BY 1, 2),

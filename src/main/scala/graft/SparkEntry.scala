@@ -147,6 +147,15 @@ object SparkEntry {
       .df.select(col("user_id"), usec(col("ts")).alias("ts_us"),
         col("value"), col("event_id"))
 
+  /** Extreme-preserving decimation: per (user, hour) keep the rows with
+    * the min and max value — ≤ 2 rows per bucket, ties by (value, ts). */
+  private def qDownsampleMinmax(s: SparkSession, dir: String): DataFrame =
+    Resample.downsampleMinMax(
+      eventsTsdf(s, dir, "user_id", col("value"), col("event_id")),
+      "1 hour", "value")
+      .select(col("user_id"), usec(col("bucket_ts")).alias("bucket_us"),
+        usec(col("ts")).alias("ts_us"), col("value"), col("event_id"))
+
   /** Per-bucket totals: sum of exact cents and row count per hour. */
   private def qResampleSum(s: SparkSession, dir: String): DataFrame = {
     val t = eventsTsdf(s, dir, "event_type", cents(col("value")).alias("c"),
@@ -1065,6 +1074,7 @@ object SparkEntry {
     "q_resample_floor" -> qResampleFloor _,
     "q_resample_ceil" -> qResampleCeil _,
     "q_resample_sum" -> qResampleSum _,
+    "q_downsample_minmax" -> qDownsampleMinmax _,
     "q_upsample_fill" -> qUpsampleFill _,
     "q_interp_linear" -> qInterpLinear _,
     "q_interp_ffill" -> qInterpFfill _,

@@ -130,6 +130,32 @@ object Resample {
       .join(aggregated, series :+ tsCol, "left_outer")
       .na.fill(0, numericMetrics)
   }
+
+  /** Min-max downsampling: per (series, `freq` bucket) keep the ROWS that
+    * attain the bucket's minimum and maximum of `valueCol` — the
+    * extreme-preserving decimation plotting and alerting pipelines use
+    * (unlike `resample(mean)`, spikes survive; unlike [[graft.tsdf.Stats
+    * .calcBars]], the original rows come through with all their columns).
+    * Output rate is ≤ 2 rows per bucket regardless of input density.
+    *
+    * One partial+final aggregate on the (series, bucket) key — argmin and
+    * argmax ride min/max-of-struct; ties break by (value, ts) so the
+    * selection is deterministic; a single-row bucket emits once
+    * (`array_distinct` before the explode, no second shuffle). Output:
+    * input columns + `bucket_ts`. */
+  def downsampleMinMax(tsdf: TSDF, freq: String, valueCol: String): DataFrame = {
+    val spec = parseFreq(freq)
+    val bucket = window(tsdf.ts, spec.sparkInterval).getField("start")
+    val cols = tsdf.df.columns.toIndexedSeq
+    val payload = struct(cols.map(col): _*)
+    val key = struct(col(valueCol), tsdf.ts)
+    tsdf.df.withColumn("__bucket", bucket)
+      .groupBy((tsdf.partitionCols :+ "__bucket").map(col): _*)
+      .agg(min_by(payload, key).alias("__lo"), max_by(payload, key).alias("__hi"))
+      .select(col("__bucket").alias("bucket_ts"),
+        explode(array_distinct(array(col("__lo"), col("__hi")))).alias("__r"))
+      .select(col("bucket_ts") +: cols.map(c => col(s"__r.$c")): _*)
+  }
 }
 
 /** Parsed resample frequency. */

@@ -723,6 +723,24 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(tol.toSeq == Seq((1.0, None), (2.0, Some(20.0)), (3.0, None)))
   }
 
+  test("min-max downsample keeps extremes, at most 2 rows per bucket") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 60 one-minute points in one hour with a spike and a dip inside
+    val rows = (0 until 60).map { i =>
+      val v = if (i == 17) 999.0 else if (i == 41) -999.0 else 10.0 + i * 0.1
+      (1L, ts(f"2024-01-01 05:$i%02d:00"), v, i.toLong)
+    } :+ ((1L, ts("2024-01-01 06:00:00"), 5.0, 60L)) // lone row, next bucket
+    val out = graft.tsdf.Resample.downsampleMinMax(
+      graft.tsdf.TSDF(rows.toDF("sid", "ts", "v", "eid"), "ts", Seq("sid")),
+      "1 hour", "v").collect()
+    val byBucket = out.groupBy(_.getTimestamp(0))
+    assert(byBucket.forall(_._2.length <= 2))
+    val hour5 = byBucket(ts("2024-01-01 05:00:00")).map(_.getDouble(3)).sorted
+    assert(hour5.toSeq == Seq(-999.0, 999.0)) // spike AND dip survive
+    assert(byBucket(ts("2024-01-01 06:00:00")).length == 1) // no dup row
+  }
+
   test("rolling median smooths spikes; gaps reports only long holes") {
     import spark.implicits._
     val rows = Seq(10.0, 10.0, 500.0, 10.0, 10.0, 12.0).zipWithIndex.map {
