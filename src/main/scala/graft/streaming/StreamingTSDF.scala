@@ -457,6 +457,26 @@ object StreamingTSDF {
       .drop("__w")
   }
 
+  /** Streaming min-max downsample: per (series, tumbling bucket) the rows
+    * attaining the bucket min and max of `valueCol`, watermark-finalized —
+    * the streaming face of [[graft.tsdf.Resample.downsampleMinMax]] (same
+    * argmin/argmax struct idiom and (value, ts) tie-break; asserted
+    * differentially). ≤ 2 output rows per bucket regardless of input rate. */
+  def downsampleMinMax(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      freq: String, valueCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val spec = Resample.parseFreq(freq)
+    val cols = df.columns.toIndexedSeq
+    val payload = struct(cols.map(col): _*)
+    val key = struct(col(valueCol), col(tsCol))
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(seriesCols.map(col) :+ window(col(tsCol), spec.sparkInterval).alias("__w"): _*)
+      .agg(min_by(payload, key).alias("__lo"), max_by(payload, key).alias("__hi"))
+      .select(col("__w.start").alias("bucket_ts"),
+        explode(array_distinct(array(col("__lo"), col("__hi")))).alias("__r"))
+      .select(col("bucket_ts") +: cols.map(c => col(s"__r.$c")): _*)
+  }
+
   /** Streaming sessionization: per-series session aggregates via Spark's
     * native `session_window` (dynamic-gap event-time windows) — sessions
     * close and emit once the watermark passes `gap` past their last event.

@@ -153,6 +153,26 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("property: streaming min-max downsample equals batch on random series") {
+    val rnd = new scala.util.Random(50)
+    (0 until 4).foreach { trial =>
+      val rows = randomSeries(rnd, pinEnds = false) :+ (("u1", sentinel, 0.0))
+      val streamed = runStream(rows, df =>
+        StreamingTSDF.downsampleMinMax(df, "ts", Seq("user_id"),
+          "1 minute", "value", watermarkDelay = "0 seconds"))
+        .select("user_id", "bucket_ts", "ts", "value")
+        .filter(col("bucket_ts") < sentinel)
+      val spark2 = spark
+      import spark2.implicits._
+      val batch = graft.tsdf.Resample.downsampleMinMax(
+        TSDF(rows.toDF("user_id", "ts", "value"), "ts", Seq("user_id")),
+        "1 minute", "value")
+        .select("user_id", "bucket_ts", "ts", "value")
+        .filter(col("bucket_ts") < sentinel)
+      withClue(s"trial $trial: ") { assertDfEquality(streamed, batch) }
+    }
+  }
+
   test("property: streaming gaps equals batch gaps on random series") {
     val rnd = new scala.util.Random(49)
     (0 until 4).foreach { trial =>
