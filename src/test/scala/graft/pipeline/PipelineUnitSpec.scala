@@ -764,6 +764,62 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(found.head.getDouble(3) == 10800.0)
   }
 
+  test("property: ACF matches a naive driver-side estimator on random series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(51)
+    (0 until 3).foreach { trial =>
+      val n = 30 + rnd.nextInt(40)
+      val xs = (0 until n).map(_ => rnd.nextInt(2000).toLong - 1000L)
+      val df = xs.zipWithIndex.map { case (x, i) => (1L, i.toLong, i.toLong, x) }
+        .toDF("sid", "t", "eid", "c")
+      val got = graft.tsdf.Stats.acf(df, "t", "c", Seq("sid"), maxLag = 4,
+        tieCols = Seq("eid"))
+        .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+      val mu = xs.sum.toDouble / n
+      val den = xs.map(x => (x - mu) * (x - mu)).sum
+      (1 to 4).foreach { l =>
+        val num = (l until n).map(t => (xs(t) - mu) * (xs(t - l) - mu)).sum
+        val expected = num / den
+        assert(math.abs(got(l.toLong) - expected) < 1e-9,
+          s"trial $trial lag $l: ${got(l.toLong)} vs $expected")
+      }
+    }
+  }
+
+  test("stateless pipeline ops (splits, stratified sample, quality) run on streams") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    // splits + stratified sampling + quality scoring are pure column
+    // algebra, so the SAME operator code runs on a stream unchanged
+    val out = graft.pipeline.Splits.assign(
+      graft.pipeline.Splits.stratifiedSample(
+        mem.toDF().toDF("doc_id", "source", "text"),
+        "doc_id", "source", Map("a" -> 1.0), defaultFraction = 0.5),
+      "doc_id", Seq(8, 1, 1))
+      .select(col("doc_id") +: col("split") +:
+        TextAnalysis.qualityScore(col("text")): _*)
+    val q = out.writeStream.format("memory").queryName("stateless_ops_sink")
+      .outputMode("append").start()
+    val rows = (1L to 100L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", s"some document text number $i"))
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stateless_ops_sink")
+    // batch twin must agree row-for-row
+    val batch = graft.pipeline.Splits.assign(
+      graft.pipeline.Splits.stratifiedSample(
+        rows.toDF("doc_id", "source", "text"),
+        "doc_id", "source", Map("a" -> 1.0), defaultFraction = 0.5),
+      "doc_id", Seq(8, 1, 1))
+      .select(col("doc_id") +: col("split") +:
+        TextAnalysis.qualityScore(col("text")): _*)
+    assert(got.collect().map(_.toSeq).toSet == batch.collect().map(_.toSeq).toSet)
+    assert(got.count() > 50) // all of "a", about half of "b"
+  }
+
   test("CUSUM finds the level-shift point of a step series") {
     import spark.implicits._
     // 10 points at 0 then 10 points at 100: |S_t| peaks exactly at the step
