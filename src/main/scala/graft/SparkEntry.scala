@@ -877,6 +877,20 @@ object SparkEntry {
   private def qBm25(s: SparkSession, dir: String): DataFrame =
     Retrieval.bm25TopK(docs(s, dir), "text", "doc_id", Bm25Terms, k = 20)
 
+  /** Query batch for the multi-query BM25 oracle — overlapping term sets so
+    * shared terms are aggregated once and fanned out per query. */
+  val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("customer", "vector"),
+    2L -> Seq("stream", "window"),
+    3L -> Seq("customer", "stream", "window"))
+
+  private def qBm25Multi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Bm25Queries.toDF("query_id", "terms")
+    Retrieval.bm25TopKMultiQuery(docs(s, dir), "text", "doc_id",
+      queries, "query_id", "terms", k = 10)
+  }
+
   /** Per-language sampling fractions — `es`/`zh` fall through to the
     * default, exercising that path. */
   val StratifiedFractions: Map[String, Double] =
@@ -1131,6 +1145,7 @@ object SparkEntry {
     "q_quality_v2" -> qQualityV2 _,
     "q_pii" -> qPii _,
     "q_bm25" -> qBm25 _,
+    "q_bm25_multi" -> qBm25Multi _,
     "q_stratified_sample" -> qStratifiedSample _,
     "q_decontam_ngram" -> qDecontamNgram _,
     "q_pack_sequences" -> qPackSequences _,

@@ -58,15 +58,28 @@ case class IntervalsDF(
     * cost is span/bin rows per interval, and per-bin fan-in stays bounded
     * when bins are not much wider than intervals.
     *
+    * Long-interval guard: an interval spanning more than
+    * `maxBinsPerInterval` bins (a year-long outlier at 1 h bins is 8,760
+    * rows) does NOT explode — such intervals route through a hybrid side:
+    * they join the other side's intervals on the plain series equi-key with
+    * the overlap predicate as a filter. Long intervals are assumed to be
+    * outliers, so that side is small; AQE sees its runtime size and
+    * broadcasts it (and when it is empty, propagates the empty relation so
+    * the extra branches cost nothing). Without the guard a mixed workload
+    * (mostly short + a few very long intervals) quietly goes quadratic-ish
+    * in explode volume.
+    *
     * Output: seriesIds ++ left payload ++ `right_`-prefixed right payload
     * ++ (overlap_start_ts, overlap_end_ts). */
   def overlapJoin(other: IntervalsDF, binSeconds: Long = 3600L,
-      rightPrefix: String = "right_"): DataFrame = {
+      rightPrefix: String = "right_",
+      maxBinsPerInterval: Long = 256L): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
+    require(maxBinsPerInterval >= 1, "maxBinsPerInterval must be >= 1")
     require(seriesIds == other.seriesIds,
       s"series ids must match: $seriesIds vs ${other.seriesIds}")
     val w = binSeconds * 1000000L
-    def binned(iv: IntervalsDF, prefix: String, sTag: String, eTag: String) = {
+    def prepared(iv: IntervalsDF, prefix: String, sTag: String, eTag: String) = {
       val payload = iv.df.columns.filterNot(iv.seriesIds.contains)
       val renamed = payload.foldLeft(iv.df) { (d, c) =>
         if (prefix.isEmpty) d else d.withColumnRenamed(c, prefix + c)
@@ -75,19 +88,37 @@ case class IntervalsDF(
         .withColumn(sTag, unix_micros(col(prefix + iv.startTs)))
         .withColumn(eTag, unix_micros(col(prefix + iv.endTs)))
         .filter(col(eTag) > col(sTag))
+        .withColumn("__nbins",
+          expr(s"($eTag - 1) div $w - $sTag div $w + 1"))
+    }
+    def short(p: DataFrame, sTag: String, eTag: String) =
+      p.filter(col("__nbins") <= maxBinsPerInterval)
         .withColumn("__bin",
           explode(sequence(expr(s"$sTag div $w"), expr(s"($eTag - 1) div $w"))))
-    }
-    val l = binned(this, "", "__su", "__eu")
-    val r = binned(other, rightPrefix, "__rsu", "__reu")
-    l.join(r, seriesIds :+ "__bin", "inner")
-      .filter(col("__su") < col("__reu") && col("__rsu") < col("__eu"))
-      .filter(expr(s"greatest(__su, __rsu) div $w") === col("__bin"))
+    val lp = prepared(this, "", "__su", "__eu")
+    val rp = prepared(other, rightPrefix, "__rsu", "__reu")
+    val overlap = col("__su") < col("__reu") && col("__rsu") < col("__eu")
+    def finish(joined: DataFrame): DataFrame = joined
+      .filter(overlap)
       .withColumn("overlap_start_ts",
         timestamp_micros(greatest(col("__su"), col("__rsu"))))
       .withColumn("overlap_end_ts",
         timestamp_micros(least(col("__eu"), col("__reu"))))
-      .drop("__bin", "__su", "__eu", "__rsu", "__reu")
+      .drop("__bin", "__nbins", "__su", "__eu", "__rsu", "__reu")
+    // short×short: the bin equi-join, each pair emitted by its overlap-start bin
+    val a = finish(short(lp, "__su", "__eu")
+      .join(short(rp, "__rsu", "__reu").drop("__nbins"), seriesIds :+ "__bin", "inner")
+      .filter(expr(s"greatest(__su, __rsu) div $w") === col("__bin")))
+    // long-left × all-right, short-left × long-right: series equi-join;
+    // the three branches partition the pair space, so a plain union (no
+    // distinct) keeps each pair exactly once
+    val b = finish(lp.filter(col("__nbins") > maxBinsPerInterval).drop("__nbins")
+      .join(rp.drop("__nbins"), seriesIds, "inner"))
+    val c = finish(lp.filter(col("__nbins") <= maxBinsPerInterval).drop("__nbins")
+      .join(rp.filter(col("__nbins") > maxBinsPerInterval).drop("__nbins"),
+        seriesIds, "inner"))
+    val cols = a.columns.map(col)
+    a.select(cols: _*).union(b.select(cols: _*)).union(c.select(cols: _*))
   }
 
   /** Positional union (no dedup), intervals.py:280-300. */

@@ -300,33 +300,51 @@ object Dedup {
     labels
   }
 
+  /** Hint `df` for broadcast only when its measured row count is at or
+    * below `maxRows`; otherwise leave it unhinted so the planner (and AQE,
+    * with runtime sizes) picks the join strategy. A forced `broadcast()`
+    * over a set whose size the caller cannot bound turns "too big to
+    * broadcast" into executor OOM instead of a planner fallback. */
+  private def broadcastIfAtMost(df: DataFrame, rows: Long, maxRows: Long): DataFrame =
+    if (rows <= maxRows) broadcast(df) else df
+
   /** Cluster materialization over a corpus: every document gets its
     * near-duplicate `cluster_id` (itself if it has no near-dup), the cluster
     * size, and `is_canonical` — the keep-one-per-cluster decision (canonical
     * = lowest id, matching [[exact]]'s convention). `edges` is any pair
     * DataFrame (`idCol_a`, `idCol_b`), e.g. [[simhashPairs]] /
-    * [[nearDuplicates]] output. The corpus join is a left join on the id
-    * (labels side is |dup docs| ≤ |corpus|, typically ≪ and broadcastable);
+    * [[nearDuplicates]] output. The corpus join is a left join on the id;
     * cluster sizes come from a pre-aggregated per-cluster count.
     *
-    * Scale shape: the corpus is never shuffled — both the label and the
-    * size tables contain only ids that appear in a near-dup pair (≪ corpus
-    * on any real dataset; boilerplate-heavy corpora cap out at the pair
-    * stage's bucket clamps), so they broadcast and the corpus flows through
-    * two map-side joins. A corpus-wide `count over (partition by cluster)`
-    * window would instead sort 100 TB by cluster key for a column that is 1
-    * almost everywhere. */
-  def dedupClusters(df: DataFrame, idCol: String, edges: DataFrame): DataFrame = {
+    * Scale shape: the label and size tables contain only ids that appear in
+    * a near-dup pair — usually ≪ corpus, but NOT boundable a priori (web
+    * corpora run 30%+ near-dup rates, making labels O(corpus)). The
+    * broadcast decision is therefore gated on the measured label count
+    * (cheap: labels are already materialized by the checkpoint inside
+    * [[clusterAssignments]]): at or below `maxBroadcastRows` both joins are
+    * broadcast hints and the corpus is never shuffled; above it the hint is
+    * dropped and the planner falls back to a shuffle join (AQE can still
+    * broadcast from runtime sizes). A corpus-wide `count over (partition by
+    * cluster)` window would instead sort 100 TB by cluster key for a column
+    * that is 1 almost everywhere. */
+  def dedupClusters(df: DataFrame, idCol: String, edges: DataFrame,
+      maxBroadcastRows: Long = 10000000L): DataFrame = {
     val labels = clusterAssignments(edges, s"${idCol}_a", s"${idCol}_b")
       .withColumnRenamed("id", "__lid")
+    // labels is checkpointed (distributed path) or driver-local (union-find
+    // fast path), so this count is a cheap scan, not a plan re-execution
+    val nLabels = labels.count()
     val sizes = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).alias("__csize"))
     val assigned = df.select(col(idCol))
-      .join(broadcast(labels), col(idCol) === col("__lid"), "left")
+      .join(broadcastIfAtMost(labels, nLabels, maxBroadcastRows),
+        col(idCol) === col("__lid"), "left")
       .select(col(idCol),
         coalesce(col("cluster_id"), col(idCol)).alias("cluster_id"))
     assigned
-      .join(broadcast(sizes), Seq("cluster_id"), "left")
+      // |sizes| ≤ |labels|, so the same measured gate covers it
+      .join(broadcastIfAtMost(sizes, nLabels, maxBroadcastRows),
+        Seq("cluster_id"), "left")
       .withColumn("cluster_size", coalesce(col("__csize"), lit(1L)))
       .drop("__csize")
       .select(col(idCol), col("cluster_id"), col("cluster_size"),
@@ -429,17 +447,24 @@ object Dedup {
     * document; per-document line order is otherwise preserved.
     *
     * Plan shape at scale: one explode pass; the boilerplate line set is a
-    * (distinct doc, line) aggregate filtered to high-df lines — by
-    * definition a tiny fraction of distinct lines — broadcast into a
-    * null-marking left join (not an anti-join, so fully-boilerplate
+    * (distinct doc, line) aggregate filtered to high-df lines, joined into
+    * a null-marking left join (not an anti-join, so fully-boilerplate
     * documents still emit a row); one groupBy on the doc id rebuilds the
     * text. Blank shared lines count as boilerplate like any other line.
+    *
+    * The boilerplate set is usually tiny, but with small `minDocs` it holds
+    * EVERY line duplicated anywhere in the corpus — unbounded. It is
+    * materialized once (`localCheckpoint`; prefer reliable `checkpoint` on
+    * a real cluster) and the broadcast hint is gated on its measured count:
+    * at or below `maxBroadcastRows` the corpus flows through one map-side
+    * join; above it the hint is dropped and the planner shuffle-joins (AQE
+    * may still broadcast from runtime sizes).
     *
     * Output: (id, n_lines, n_removed, clean_fp) with `clean_fp` the md5 of
     * the newline-rejoined kept lines (fingerprint, not the full text, so
     * the result stays narrow). */
   def removeBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
-      minDocs: Int): DataFrame = {
+      minDocs: Int, maxBroadcastRows: Long = 10000000L): DataFrame = {
     require(minDocs >= 2, "minDocs must be >= 2")
     val arr = split(col(textCol), "\n")
     val lines = df.select(col(idCol), size(arr).alias("n_lines"),
@@ -448,7 +473,10 @@ object Dedup {
       .groupBy(col("__line")).agg(count(lit(1)).alias("__docs"))
       .filter(col("__docs") >= minDocs)
       .select(col("__line").alias("__bl"))
-    lines.join(broadcast(boiler), col("__line") === col("__bl"), "left")
+      .localCheckpoint(true)
+    val nBoiler = boiler.count()
+    lines.join(broadcastIfAtMost(boiler, nBoiler, maxBroadcastRows),
+        col("__line") === col("__bl"), "left")
       .groupBy(col(idCol), col("n_lines"))
       .agg(
         sum(when(col("__bl").isNotNull, 1L).otherwise(0L)).alias("n_removed"),
@@ -501,22 +529,28 @@ object Dedup {
     * catching verbatim shared spans inside otherwise-distinct documents,
     * which whole-document dedup never sees.
     *
-    * Plan shape at scale: one explode pass, then ONE exchange keyed on the
-    * chunk text — a per-chunk `row_number` picks winners (groups are the
-    * duplicate multiplicity, nearly always tiny) and the per-document
-    * groupBy rebuilds counts and the kept-text fingerprint. Production
-    * would key the exchange on a 128-bit chunk hash to keep the shuffle
-    * narrow; the text key here keeps the oracle exact (the reference
-    * suffix-array pass is a single-node construction Spark replaces with
-    * this shuffle).
+    * Plan shape at scale: one explode pass; winners are a map-side-
+    * combinable `min(struct(id, pos))` per chunk joined back on the chunk
+    * key. A `row_number` window over `partitionBy(chunk)` would instead
+    * sort the ENTIRE duplicate class of a ubiquitous boilerplate chunk in
+    * one task — window skew, which AQE cannot split; the aggregate shrinks
+    * each class to one row before the exchange and the join-back is a
+    * plain equi-join AQE's skew handling can split. Production would key
+    * the exchange on a 128-bit chunk hash to keep the shuffle narrow; the
+    * text key here keeps the oracle exact (the reference suffix-array pass
+    * is a single-node construction Spark replaces with this shuffle).
     *
     * Output: (id, n_chunks, n_removed, clean_fp = md5 of the kept chunks
-    * space-joined in document order). Empty documents emit no row (they
-    * have no chunks). */
+    * space-joined in document order). Empty or whitespace-only documents
+    * emit no row — they have no chunks (gated on the trimmed text length:
+    * `split(trim(''))` is `[""]`, so a token-array-size gate would leak one
+    * empty chunk per blank document and dedup them corpus-wide). */
   def exactSubstringDedup(df: DataFrame, textCol: String, idCol: String,
       chunkWords: Int = 8): DataFrame = {
     require(chunkWords >= 1, "chunkWords must be >= 1")
-    val toks = split(trim(regexp_replace(col(textCol), " +", " ")), " ")
+    val toks = when(length(trim(col(textCol))) > 0,
+      split(trim(regexp_replace(col(textCol), " +", " ")), " "))
+      .otherwise(array().cast(ArrayType(StringType)))
     val nChunks = ceil(size(col("__toks")) / lit(chunkWords.toDouble)).cast(LongType)
     val chunkArr = when(size(col("__toks")) > 0,
       transform(sequence(lit(0L), nChunks - 1), i =>
@@ -525,13 +559,16 @@ object Dedup {
       .otherwise(array().cast(ArrayType(StringType)))
     val chunks = df.select(col(idCol), toks.alias("__toks"))
       .select(col(idCol), posexplode(chunkArr).as(Seq("__pos", "__chunk")))
-    val w = Window.partitionBy(col("__chunk")).orderBy(col(idCol), col("__pos"))
-    chunks.withColumn("__rn", row_number().over(w))
+    val winners = chunks.groupBy(col("__chunk"))
+      .agg(min(struct(col(idCol), col("__pos"))).alias("__w"))
+    chunks.join(winners, Seq("__chunk"))
+      .withColumn("__keep",
+        col("__w")(idCol) === col(idCol) && col("__w")("__pos") === col("__pos"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).alias("n_chunks"),
-        sum(when(col("__rn") > 1, 1L).otherwise(0L)).alias("n_removed"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).alias("n_removed"),
         md5(array_join(transform(
-          array_sort(collect_list(when(col("__rn") === 1,
+          array_sort(collect_list(when(col("__keep"),
             struct(col("__pos"), col("__chunk"))))),
           s => s.getField("__chunk")), " ")).alias("clean_fp"))
   }

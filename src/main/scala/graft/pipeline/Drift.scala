@@ -31,6 +31,9 @@ object Drift {
     * are a few-row, single-task step by construction. Buckets missing from
     * one cohort count as zero there.
     *
+    * An empty cohort has no defined proportions: its `pa`/`pb` and the
+    * `tv_distance` emit as null (guarded division), never NaN/Infinity.
+    *
     * Output: (bucket, cnt_a, cnt_b, pa, pb, abs_diff_scaled =
     * |cnt_a·n_b − cnt_b·n_a|, tv_distance). */
   def histogramDrift(a: DataFrame, b: DataFrame, bucketCol: String): DataFrame = {
@@ -50,10 +53,13 @@ object Drift {
       .withColumn("__tvnum", sum(col("__diff")).over(wTot))
       .select(col(bucketCol),
         col("cnt_a"), col("cnt_b"),
-        (col("cnt_a").cast(DoubleType) / col("__na")).alias("pa"),
-        (col("cnt_b").cast(DoubleType) / col("__nb")).alias("pb"),
+        when(col("__na") > 0,
+          col("cnt_a").cast(DoubleType) / col("__na")).alias("pa"),
+        when(col("__nb") > 0,
+          col("cnt_b").cast(DoubleType) / col("__nb")).alias("pb"),
         col("__diff").alias("abs_diff_scaled"),
-        (lit(0.5) * col("__tvnum").cast(DoubleType) /
-          (col("__na") * col("__nb"))).alias("tv_distance"))
+        when(col("__na") > 0 && col("__nb") > 0,
+          lit(0.5) * col("__tvnum").cast(DoubleType) /
+            (col("__na") * col("__nb"))).alias("tv_distance"))
   }
 }

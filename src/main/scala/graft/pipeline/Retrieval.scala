@@ -81,4 +81,63 @@ object Retrieval {
           .orderBy(col("score").desc, col(idCol).asc)).cast(LongType))
       .select(col(idCol), col("rank"), col("score"))
   }
+
+  /** Multi-query BM25 top-k: score a whole batch of queries in ONE corpus
+    * pass. `queries` is a DataFrame (`queryIdCol`, `termsCol`: array of
+    * terms); output is (queryIdCol, idCol, rank, score), the per-query
+    * top-k.
+    *
+    * Scale shape: the distinct term set across all queries (tiny — query
+    * batches are KBs against a 100 TB corpus) joins the corpus token
+    * stream, so only (doc, query-term) occurrences ever shuffle, shared by
+    * every query that mentions the term; document frequency and the corpus
+    * stats are aggregates of that same filtered stream (no per-query corpus
+    * scan, unlike running [[bm25TopK]] per query). The per-query fan-out
+    * happens after aggregation, on (doc, term) rows.
+    *
+    * Determinism for cross-engine replay: [[bm25TopK]]'s fixed-order pivot
+    * does not extend to a relational query set, so per-term contributions
+    * are instead quantized to exact BIGINT micro-units
+    * (`floor(c·10⁶ + 0.5)` — contributions are positive, so this is
+    * half-up in any engine) and summed as integers — order-independent by
+    * construction; only the final score is one double division, then
+    * [[TextAnalysis.roundDet]]. Per-query ranking sorts only that query's
+    * matching docs (window keyed by query id; skew is bounded by the
+    * busiest query's match count). */
+  def bm25TopKMultiQuery(df: DataFrame, textCol: String, idCol: String,
+      queries: DataFrame, queryIdCol: String, termsCol: String,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qt = queries.select(col(queryIdCol).alias("__qid"),
+      explode(col(termsCol)).alias("__term")).distinct()
+    val terms = qt.select(col("__term")).distinct()
+    val toks = split(Dedup.normalizeText(col(textCol)), " ")
+    val tokens = df.select(col(idCol), size(toks).alias("__dl"),
+        explode(toks).alias("__term"))
+      .join(terms, Seq("__term")) // AQE broadcasts the tiny term set
+    val tf = tokens.groupBy(col(idCol), col("__term"))
+      .agg(max(col("__dl")).alias("__dl"), count(lit(1)).alias("__tf"))
+    // per-term document frequency falls out of tf (one row per (doc, term))
+    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).alias("__df"))
+    val stats = df.agg(count(lit(1)).alias("__n"),
+      sum(size(toks).cast(LongType)).alias("__tot"))
+    val avgdl = col("__tot").cast(DoubleType) / col("__n").cast(DoubleType)
+    val idf = log(lit(1.0) +
+      (col("__n").cast(DoubleType) - col("__df") + 0.5) / (col("__df") + 0.5))
+    val contrib = idf * (col("__tf") * (k1 + 1.0)) /
+      (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast(DoubleType) / avgdl))
+    val scaled = tf.join(dfreq, Seq("__term"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("__term"),
+        floor(contrib * 1e6 + 0.5).cast(LongType).alias("__cs"))
+    val perQueryDoc = scaled.join(qt, Seq("__term"))
+      .groupBy(col("__qid"), col(idCol))
+      .agg(sum(col("__cs")).alias("__s"))
+      .select(col("__qid"), col(idCol),
+        TextAnalysis.roundDet(col("__s").cast(DoubleType) / 1e6, 4).alias("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid")).orderBy(col("score").desc, col(idCol).asc)
+    perQueryDoc.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("__qid").alias(queryIdCol), col(idCol), col("rank"), col("score"))
+  }
 }

@@ -214,14 +214,18 @@ object StreamingTSDF {
   // ------------------------------------------------ streaming EMA
   case class EmaEvent(series: String, tsUs: Long, value: Double,
       eventTime: java.sql.Timestamp)
-  case class EmaState(ema: Double)
+  case class EmaState(ema: Double, lastTsUs: Long)
 
   /** Streaming exponential moving average: ema' = α·x + (1−α)·ema per
     * series, one double of state. This is the EXACT infinite-horizon
     * recursion — the batch operator approximates it with a 5-term lag
     * window (reference semantics), so the two converge as the window grows
     * but are not bit-equal by design. Rows inside a micro-batch process in
-    * event-time order; optional `stateTtl` evicts idle series. */
+    * event-time order; a row arriving strictly older than the last
+    * processed timestamp is DROPPED, not folded in — folding it would
+    * rewind per-series state that on-time history already advanced (use a
+    * watermark sized to the expected lateness if late rows must count).
+    * Optional `stateTtl` evicts idle series. */
   def ema(df: DataFrame, tsCol: String, seriesCols: Seq[String],
       valueCol: String, alpha: Double,
       stateTtl: Option[String] = None): DataFrame = {
@@ -247,15 +251,18 @@ object StreamingTSDF {
           } else {
             val sorted = rows.toSeq.sortBy(_.tsUs)
             var cur = state.getOption.orNull
-            val outRows = sorted.map { e =>
-              cur = if (cur == null) EmaState(e.value)
-                else EmaState(alpha * e.value + (1 - alpha) * cur.ema)
-              (key, e.tsUs, e.value, cur.ema)
+            val outRows = sorted.flatMap { e =>
+              if (cur != null && e.tsUs < cur.lastTsUs) None
+              else {
+                cur = if (cur == null) EmaState(e.value, e.tsUs)
+                  else EmaState(alpha * e.value + (1 - alpha) * cur.ema, e.tsUs)
+                Some((key, e.tsUs, e.value, cur.ema))
+              }
             }
             if (cur != null) {
               state.update(cur)
               stateTtl.foreach(ttl => state.setTimeoutTimestamp(
-                math.max(sorted.last.tsUs / 1000,
+                math.max(cur.lastTsUs / 1000,
                   state.getCurrentWatermarkMs() + 1), ttl))
             }
             outRows.iterator
@@ -268,14 +275,15 @@ object StreamingTSDF {
       col("ema").alias(s"ema_$valueCol")): _*)
   }
 
-  case class HoltState(level: Double, trend: Double)
+  case class HoltState(level: Double, trend: Double, lastTsUs: Long)
 
   /** Streaming Holt double-exponential smoothing: the level/trend recursion
     * of [[graft.functions.HoltExact]] carried as two doubles of per-series
     * state — bit-identical to the batch window aggregate on the same data
     * (same IEEE ops in the same order; asserted differentially). Rows
-    * inside a micro-batch process in event-time order; optional `stateTtl`
-    * evicts idle series. */
+    * inside a micro-batch process in event-time order; a row strictly older
+    * than the last processed timestamp is DROPPED (state cannot rewind —
+    * see [[ema]]). Optional `stateTtl` evicts idle series. */
   def holt(df: DataFrame, tsCol: String, seriesCols: Seq[String],
       valueCol: String, alpha: Double, beta: Double,
       stateTtl: Option[String] = None): DataFrame = {
@@ -301,19 +309,22 @@ object StreamingTSDF {
           } else {
             val sorted = rows.toSeq.sortBy(_.tsUs)
             var cur = state.getOption.orNull
-            val outRows = sorted.map { e =>
-              cur = if (cur == null) HoltState(e.value, 0.0)
-                else {
-                  val newLevel = alpha * e.value + (1 - alpha) * (cur.level + cur.trend)
-                  HoltState(newLevel,
-                    beta * (newLevel - cur.level) + (1 - beta) * cur.trend)
-                }
-              (key, e.tsUs, e.value, cur.level, cur.trend)
+            val outRows = sorted.flatMap { e =>
+              if (cur != null && e.tsUs < cur.lastTsUs) None
+              else {
+                cur = if (cur == null) HoltState(e.value, 0.0, e.tsUs)
+                  else {
+                    val newLevel = alpha * e.value + (1 - alpha) * (cur.level + cur.trend)
+                    HoltState(newLevel,
+                      beta * (newLevel - cur.level) + (1 - beta) * cur.trend, e.tsUs)
+                  }
+                Some((key, e.tsUs, e.value, cur.level, cur.trend))
+              }
             }
             if (cur != null) {
               state.update(cur)
               stateTtl.foreach(ttl => state.setTimeoutTimestamp(
-                math.max(sorted.last.tsUs / 1000,
+                math.max(cur.lastTsUs / 1000,
                   state.getCurrentWatermarkMs() + 1), ttl))
             }
             outRows.iterator
@@ -327,14 +338,16 @@ object StreamingTSDF {
       col("trend").alias(s"holt_trend_$valueCol")): _*)
   }
 
-  case class RollMedState(recent: Seq[Double])
+  case class RollMedState(recent: Seq[Double], lastTsUs: Long)
 
   /** Streaming rolling median over the trailing `window` observations per
     * series — bounded state (window−1 doubles per series), the streaming
     * twin of [[graft.tsdf.Stats.rollingMedian]] (same lower-median rank on
     * the same frame multiset, so bit-identical on the same data; asserted
     * differentially). Rows inside a micro-batch process in event-time
-    * order; optional `stateTtl` evicts idle series. */
+    * order; a row strictly older than the last processed timestamp is
+    * DROPPED (state cannot rewind — see [[ema]]). Optional `stateTtl`
+    * evicts idle series. */
   def rollingMedian(df: DataFrame, tsCol: String, seriesCols: Seq[String],
       valueCol: String, window: Int,
       stateTtl: Option[String] = None): DataFrame = {
@@ -361,17 +374,22 @@ object StreamingTSDF {
           } else {
             val sorted = rows.toSeq.sortBy(_.tsUs)
             var recent = state.getOption.map(_.recent.toVector).getOrElse(Vector.empty)
-            val outRows = sorted.map { e =>
-              val frame = (recent :+ e.value).takeRight(window)
-              val fs = frame.sorted
-              val med = fs(math.max(1, math.ceil(fs.size / 2.0).toInt) - 1)
-              recent = (recent :+ e.value).takeRight(window - 1)
-              (key, e.tsUs, e.value, med)
+            var lastTs = state.getOption.map(_.lastTsUs).getOrElse(Long.MinValue)
+            val outRows = sorted.flatMap { e =>
+              if (e.tsUs < lastTs) None
+              else {
+                val frame = (recent :+ e.value).takeRight(window)
+                val fs = frame.sorted
+                val med = fs(math.max(1, math.ceil(fs.size / 2.0).toInt) - 1)
+                recent = (recent :+ e.value).takeRight(window - 1)
+                lastTs = e.tsUs
+                Some((key, e.tsUs, e.value, med))
+              }
             }
-            if (sorted.nonEmpty) {
-              state.update(RollMedState(recent))
+            if (outRows.nonEmpty || state.exists) {
+              state.update(RollMedState(recent, lastTs))
               stateTtl.foreach(ttl => state.setTimeoutTimestamp(
-                math.max(sorted.last.tsUs / 1000,
+                math.max(lastTs / 1000,
                   state.getCurrentWatermarkMs() + 1), ttl))
             }
             outRows.iterator
@@ -390,7 +408,9 @@ object StreamingTSDF {
     * longer than `minGapSeconds`, per series — one long of state (the last
     * seen timestamp), the streaming twin of [[graft.tsdf.Stats.gaps]]
     * (asserted differentially). The gap row emits when the closing event
-    * arrives. Optional `stateTtl` evicts idle series — note an evicted
+    * arrives. A row strictly older than the last processed timestamp is
+    * DROPPED (state cannot rewind — see [[ema]]). Optional `stateTtl`
+    * evicts idle series — note an evicted
     * series forgets its last timestamp, so a hole spanning the eviction is
     * not reported (the TTL bounds both state and lookback by design). */
   def gaps(df: DataFrame, tsCol: String, seriesCols: Seq[String],
@@ -420,10 +440,16 @@ object StreamingTSDF {
             val sorted = rows.toSeq.sortBy(_.tsUs)
             var last = state.getOption.map(_.lastTsUs)
             val outRows = sorted.flatMap { e =>
-              val gap = last.filter(l => e.tsUs - l > minGapUs)
-                .map(l => (key, l, e.tsUs))
-              last = Some(e.tsUs)
-              gap
+              // a row strictly older than the processed history is dropped:
+              // folding it in would rewind `last`, and the next on-time row
+              // could then report a gap that on-time history already closed
+              if (last.exists(e.tsUs < _)) None
+              else {
+                val gap = last.filter(l => e.tsUs - l > minGapUs)
+                  .map(l => (key, l, e.tsUs))
+                last = Some(e.tsUs)
+                gap
+              }
             }
             last.foreach { l =>
               state.update(GapState(l))

@@ -210,21 +210,38 @@ object AsOfJoin {
     * backward union path unchanged, and negating the output timestamps
     * back — the same single-exchange plan, the same tolerance semantics
     * (the backward `l − r ∈ [0, t]` post-filter becomes `r − l ∈ [0, t]`
-    * under negation), zero duplicated join logic. */
+    * under negation), zero duplicated join logic. A `sequenceCol` (the
+    * tie-break among equal timestamps) must reverse WITH the time axis —
+    * otherwise the union window would pick the opposite end of the
+    * sequence order among equal-ts rows — so numeric sequence columns are
+    * negated alongside (and restored on output); non-numeric ones have no
+    * generic order reversal and are rejected. */
   def forward(left: TSDF, right: TSDF, leftPrefix: Option[String],
       rightPrefix: String, skipNulls: Boolean,
       tolerance: Option[Double]): TSDF = {
-    def negate(t: TSDF): TSDF =
-      t.copy(df = t.df.withColumn(t.tsCol,
-        timestamp_micros(-unix_micros(col(t.tsCol)))))
-    val joined = apply(negate(left), negate(right), leftPrefix, rightPrefix,
+    def negateTsdf(t: TSDF): TSDF = {
+      t.sequenceCol.foreach { s =>
+        val dt = t.df.schema(t.df.columns.find(_.equalsIgnoreCase(s)).getOrElse(s)).dataType
+        require(dt.isInstanceOf[NumericType],
+          s"forward as-of reverses the sequence tie-break by negation, which " +
+            s"needs a numeric sequence column; '$s' is $dt")
+      }
+      val tsNeg = t.df.withColumn(t.tsCol,
+        timestamp_micros(-unix_micros(col(t.tsCol))))
+      t.copy(df = t.sequenceCol.fold(tsNeg)(s => tsNeg.withColumn(s, -col(s))))
+    }
+    val joined = apply(negateTsdf(left), negateTsdf(right), leftPrefix, rightPrefix,
       tsPartitionVal = None, fraction = 0.5, skipNulls = skipNulls,
       sqlJoinOpt = false, tolerance = tolerance)
-    val leftTsOut = leftPrefix.filter(_.nonEmpty)
-      .map(p => s"${p}_${left.tsCol}").getOrElse(left.tsCol)
-    val rightTsOut = s"${rightPrefix}_${right.tsCol}"
-    joined.copy(df = joined.df
-      .withColumn(leftTsOut, timestamp_micros(-unix_micros(col(leftTsOut))))
-      .withColumn(rightTsOut, timestamp_micros(-unix_micros(col(rightTsOut)))))
+    def leftOut(c: String) = leftPrefix.filter(_.nonEmpty)
+      .map(p => s"${p}_$c").getOrElse(c)
+    val tsRestores = Seq(leftOut(left.tsCol), s"${rightPrefix}_${right.tsCol}")
+    val seqRestores = left.sequenceCol.map(leftOut).toSeq ++
+      right.sequenceCol.map(s => s"${rightPrefix}_$s").toSeq
+    val restored = seqRestores.filter(joined.df.columns.contains)
+      .foldLeft(tsRestores.foldLeft(joined.df) { (d, c) =>
+        d.withColumn(c, timestamp_micros(-unix_micros(col(c))))
+      }) { (d, c) => d.withColumn(c, -col(c)) }
+    joined.copy(df = restored)
   }
 }

@@ -139,10 +139,13 @@ object Resample {
     * Output rate is ≤ 2 rows per bucket regardless of input density.
     *
     * One partial+final aggregate on the (series, bucket) key — argmin and
-    * argmax ride min/max-of-struct; ties break by (value, ts) so the
-    * selection is deterministic; a single-row bucket emits once
-    * (`array_distinct` before the explode, no second shuffle). Output:
-    * input columns + `bucket_ts`. */
+    * argmax ride min/max-of-struct with (value, ts) as the tie-break key,
+    * so the selection is deterministic WHEN (value, ts) is unique within a
+    * bucket; rows sharing the exact same (value, ts) are interchangeable to
+    * `min_by`/`max_by` and an arbitrary one of them is kept (pass a
+    * uniquified value expression if full payload determinism matters).
+    * A single-row bucket emits once (`array_distinct` before the explode,
+    * no second shuffle). Output: input columns + `bucket_ts`. */
   def downsampleMinMax(tsdf: TSDF, freq: String, valueCol: String): DataFrame = {
     val spec = parseFreq(freq)
     val bucket = window(tsdf.ts, spec.sparkInterval).getField("start")

@@ -287,12 +287,25 @@ object Stats {
     TSDF(out, tsdf.tsCol, tsdf.partitionCols, None)
   }
 
+  /** Cast to BIGINT, failing loudly on non-integer input: a silent
+    * `cast(LongType)` would truncate toward zero and yield
+    * plausible-but-wrong statistics. Nulls pass through (the aggregates
+    * already skip them); the check is one codegen'd comparison per row and
+    * the error branch only evaluates on offending rows. */
+  private def integralOrFail(c: Column, op: String): Column =
+    when(c.isNull || c === floor(c), c.cast(LongType))
+      .otherwise(raise_error(concat(lit(
+        s"$op requires an integer-valued value column (pre-quantize, e.g. " +
+          "to cents, or pass a quantized expression): found non-integer "),
+        c.cast(StringType))).cast(LongType))
+
   /** Per-series autocorrelation function at lags 1..maxLag:
     * r_l = Σ_{t>l}(x_t − μ)(x_{t−l} − μ) / Σ_t(x_t − μ)², with μ the series
     * mean — the standard ACF estimator (shared global mean and full-series
     * denominator).
     *
-    * `valueCol` must be integer-valued (pre-quantized, e.g. cents): every
+    * `valueCol` must be integer-valued (pre-quantized, e.g. cents;
+    * enforced per row — non-integer input raises): every
     * aggregate is then an exact BIGINT sum (Σx, Σx², Σx_t·x_{t−l}, and the
     * per-lag marginal sums over the paired rows), and the ratio is assembled
     * from those integers with one fixed operation order — so the output
@@ -312,7 +325,7 @@ object Stats {
     val w = Window.partitionBy(sc: _*)
       .orderBy((tsCol +: tieCols).map(col): _*)
     val lagged = (1 to maxLag).foldLeft(
-      df.withColumn("__c", col(valueCol).cast(LongType))) { (d, l) =>
+      df.withColumn("__c", integralOrFail(col(valueCol), "acf"))) { (d, l) =>
       d.withColumn(s"__lag$l", lag(col("__c"), l).over(w))
     }
     val baseAggs = Seq(
@@ -393,7 +406,8 @@ object Stats {
     * max|S_t| its strength (compare against a threshold — e.g. a multiple
     * of the series stddev·√n — to decide whether a shift exists at all).
     *
-    * `valueCol` must be integer-valued (e.g. cents): the running prefix sum
+    * `valueCol` must be integer-valued (e.g. cents; enforced per row —
+    * non-integer input raises): the running prefix sum
     * is then an exact BIGINT, so S_t = cum − t·μ is a single
     * deterministically-ordered double expression — engine-exact, no
     * order-dependent accumulation. Plan shape: ONE series exchange (running
@@ -409,7 +423,7 @@ object Stats {
     val wCum = wAll.orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val staged = df
-      .withColumn("__c", col(valueCol).cast(LongType))
+      .withColumn("__c", integralOrFail(col(valueCol), "cusum"))
       .withColumn("__cum", sum(col("__c")).over(wCum))
       .withColumn("__rn", row_number().over(wAll.orderBy(ord: _*)))
       .withColumn("__n", count(lit(1)).over(wAll))

@@ -213,4 +213,52 @@ class PlanShapeSpec extends SparkTestBase {
         col("s_nationkey") === col("n_nationkey"))
     assert(plan(df).contains("BroadcastHashJoin"), plan(df))
   }
+
+  // autoBroadcastJoinThreshold=-1 disables planner-initiated broadcasts, so
+  // a BroadcastHashJoin in these plans can only come from our explicit hint
+  // — isolating exactly the size-gate decision under test
+  private def withoutAutoBroadcast[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("dedupClusters broadcast is size-gated: hint when small, shuffle join past the cap") {
+    import spark.implicits._
+    val corpus = (1L to 6L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (5L, 6L)).toDF("doc_id_a", "doc_id_b")
+    withoutAutoBroadcast {
+      val hinted = Dedup.dedupClusters(corpus, "doc_id", edges)
+      assert("BroadcastHashJoin".r.findAllIn(plan(hinted)).size >= 2, plan(hinted))
+      val gated = Dedup.dedupClusters(corpus, "doc_id", edges,
+        maxBroadcastRows = 0L)
+      assert(!plan(gated).contains("BroadcastHashJoin"), plan(gated))
+      assert(plan(gated).contains("SortMergeJoin"), plan(gated))
+      assertDfEquality(gated, hinted)
+    }
+  }
+
+  test("removeBoilerplateLines broadcast is size-gated with identical results") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "keep me\nshared footer"),
+      (2L, "other text\nshared footer"),
+      (3L, "unique line\nshared footer")).toDF("doc_id", "text")
+    withoutAutoBroadcast {
+      val hinted = Dedup.removeBoilerplateLines(df, "text", "doc_id", minDocs = 2)
+      assert(plan(hinted).contains("BroadcastHashJoin"), plan(hinted))
+      val gated = Dedup.removeBoilerplateLines(df, "text", "doc_id", minDocs = 2,
+        maxBroadcastRows = 0L)
+      assert(!plan(gated).contains("BroadcastHashJoin"), plan(gated))
+      assert(plan(gated).contains("SortMergeJoin"), plan(gated))
+      assertDfEquality(gated, hinted)
+    }
+  }
+
+  test("exact substring dedup plans no window over the chunk key") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val r = Dedup.exactSubstringDedup(df, "text", "doc_id", chunkWords = 2)
+    assert(!plan(r).contains("Window"), plan(r))
+  }
 }

@@ -106,6 +106,42 @@ class IntervalsGoldenSpec extends SparkTestBase {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("overlapJoin long-interval hybrid: month-long outliers neither explode nor get lost") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(33)
+    def shortRows(tag: String, n: Int) = (0 until n).map { i =>
+      val s = rnd.nextInt(200000)
+      (1L, s"$tag$i",
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)),
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s + 1 + rnd.nextInt(5000))))
+    }
+    val month = 30L * 24 * 3600 // 720 one-hour bins, far past the 24-bin cap
+    def long(tag: String) = (1L, tag,
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0)),
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(month)))
+    val a = (shortRows("a", 40) :+ long("aLONG")).toDF("sid", "tag", "start_ts", "end_ts")
+    val b = (shortRows("b", 40) :+ long("bLONG")).toDF("sid", "tag", "start_ts", "end_ts")
+    val ivA = IntervalsDF(a, "start_ts", "end_ts", Seq("sid"))
+    val ivB = IntervalsDF(b, "start_ts", "end_ts", Seq("sid"))
+    val got = ivA.overlapJoin(ivB, binSeconds = 3600L, maxBinsPerInterval = 24L)
+      .select("sid", "tag", "right_tag").as[(Long, String, String)].collect().toSeq
+    assert(got.size == got.toSet.size, "duplicate pair emitted")
+    val expected = a.alias("l").join(b.alias("r"),
+      col("l.sid") === col("r.sid") &&
+        col("l.start_ts") < col("r.end_ts") &&
+        col("r.start_ts") < col("l.end_ts"))
+      .select(col("l.sid"), col("l.tag"), col("r.tag"))
+      .as[(Long, String, String)].collect().toSet
+    assert(got.toSet == expected)
+    // both long sides pair with everything in range, including each other
+    assert(got.toSet.contains((1L, "aLONG", "bLONG")))
+    // raising the cap so everything explodes must not change the answer
+    val allShort = ivA.overlapJoin(ivB, binSeconds = 3600L,
+        maxBinsPerInterval = 1000000L)
+      .select("sid", "tag", "right_tag").as[(Long, String, String)].collect()
+    assert(allShort.toSet == expected && allShort.length == allShort.toSet.size)
+  }
+
   test("union and unionByName double the row count") {
     val t = tc("test_union_other_idf")
     val a = fx.idf(t.get("init"))

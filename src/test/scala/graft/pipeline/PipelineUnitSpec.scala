@@ -951,6 +951,95 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(r2(1).getLong(2) == 1L && r2(1).getString(3) == md5of(""))
   }
 
+  test("exact substring dedup: a 100k-duplicated boilerplate chunk is skew-safe") {
+    import spark.implicits._
+    // every doc is the same single 8-word chunk: under the old
+    // row_number-over-chunk-window plan, all 100k rows sorted in ONE task;
+    // the min-struct aggregate + join-back shape finishes quickly and the
+    // lowest doc id wins
+    val n = 100000L
+    val docsDf = spark.range(1, n + 1).select(col("id").alias("doc_id"),
+      lit("same boiler plate chunk text repeated everywhere forever").alias("text"))
+    val agg = Dedup.exactSubstringDedup(docsDf, "text", "doc_id", chunkWords = 8)
+      .agg(count(lit(1)).alias("rows"), sum("n_removed").alias("removed"),
+        min(when(col("n_removed") === 0, col("doc_id"))).alias("winner"))
+      .collect().head
+    assert(agg.getLong(0) == n)     // every doc emits a row
+    assert(agg.getLong(1) == n - 1) // all but one lose their only chunk
+    assert(agg.getLong(2) == 1L)    // the winner is the lowest id
+  }
+
+  test("exact substring dedup: blank documents emit no row") {
+    import spark.implicits._
+    // split(trim('')) is [""], so a size-based gate would emit one empty
+    // chunk per blank doc and dedup them corpus-wide; the contract is that
+    // blank docs have no chunks at all
+    val df = Seq((1L, "a b"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val r = Dedup.exactSubstringDedup(df, "text", "doc_id", chunkWords = 2)
+    assert(r.select("doc_id").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("acf and cusum reject non-integer value columns loudly") {
+    import spark.implicits._
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(_.toString).mkString(" | ")
+    val bad = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2.5))
+      .toDF("sid", "ts", "v")
+    val eAcf = intercept[Throwable] {
+      graft.tsdf.Stats.acf(bad, "ts", "v", Seq("sid"), maxLag = 1).collect()
+    }
+    assert(chain(eAcf).contains("integer-valued"), chain(eAcf))
+    val eCusum = intercept[Throwable] {
+      graft.tsdf.Stats.cusum(bad, "ts", "v", Seq("sid")).collect()
+    }
+    assert(chain(eCusum).contains("integer-valued"), chain(eCusum))
+    // integer-valued doubles still pass
+    val ok = bad.withColumn("v", floor(col("v")))
+    assert(graft.tsdf.Stats.acf(ok, "ts", "v", Seq("sid"), maxLag = 1).count() == 1)
+    assert(graft.tsdf.Stats.cusum(ok, "ts", "v", Seq("sid")).count() == 1)
+  }
+
+  test("forward as-of with a sequence column picks the first-in-sequence tie row") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = graft.tsdf.TSDF(
+      Seq((1L, ts("2024-01-01 10:00:00"), 0L, 1.0)).toDF("sid", "ts", "seq", "v"),
+      "ts", Seq("sid"), Some("seq"))
+    // two right rows at the SAME future timestamp: the next event is the
+    // one earliest in sequence order (seq=1), not the latest
+    val right = graft.tsdf.TSDF(Seq(
+      (1L, ts("2024-01-01 11:00:00"), 1L, 10.0),
+      (1L, ts("2024-01-01 11:00:00"), 2L, 20.0)).toDF("sid", "ts", "seq", "q"),
+      "ts", Seq("sid"), Some("seq"))
+    val out = left.asofJoinNext(right).df.collect().head
+    val qIdx = out.fieldIndex("right_q")
+    assert(out.getDouble(qIdx) == 10.0, out)
+    // sequence values come back un-negated
+    assert(out.getLong(out.fieldIndex("right_seq")) == 1L, out)
+    assert(out.getLong(out.fieldIndex("seq")) == 0L, out)
+    // non-numeric sequence columns are rejected with a clear message
+    val badSeq = graft.tsdf.TSDF(
+      Seq((1L, ts("2024-01-01 10:00:00"), "x", 1.0)).toDF("sid", "ts", "seq", "v"),
+      "ts", Seq("sid"), Some("seq"))
+    val e = intercept[IllegalArgumentException] { badSeq.asofJoinNext(badSeq) }
+    assert(e.getMessage.contains("numeric sequence column"), e.getMessage)
+  }
+
+  test("histogram drift with an empty cohort yields null proportions, not NaN") {
+    import spark.implicits._
+    val a = Seq(0L, 0L, 1L).toDF("bucket")
+    val b = a.filter(lit(false))
+    val r = graft.pipeline.Drift.histogramDrift(a, b, "bucket").collect()
+    assert(r.length == 2)
+    r.foreach { row =>
+      assert(!row.isNullAt(row.fieldIndex("pa")))
+      assert(row.isNullAt(row.fieldIndex("pb")), row)
+      assert(row.isNullAt(row.fieldIndex("tv_distance")), row)
+    }
+  }
+
   test("histogram drift: TV distance is exact and bounds hold") {
     import spark.implicits._
     // cohort a: 3 rows in bucket 0, 1 in bucket 1; cohort b: 1 and 3.

@@ -334,6 +334,55 @@ class StreamingTSDFSpec extends SparkTestBase {
     assert(u1.head.isNullAt(3), "evicted series must join to null")
   }
 
+  test("gaps and ema drop cross-batch late rows instead of rewinding state") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memG = MemoryStream[(String, Timestamp, Double)]
+    val gapsOut = StreamingTSDF.gaps(memG.toDF().toDF("user_id", "ts", "v"),
+      "ts", Seq("user_id"), minGapSeconds = 240L)
+    val qg = gapsOut.writeStream.format("memory").queryName("late_gaps")
+      .outputMode(OutputMode.Append()).start()
+    memG.addData(
+      ("u1", ts("2024-01-01 00:00:10"), 1.0),
+      ("u1", ts("2024-01-01 00:10:00"), 2.0))
+    qg.processAllAvailable()
+    // 00:05:00 arrives AFTER state already advanced to 00:10:00: it must be
+    // dropped — folding it in would rewind `last` and make the next row
+    // report a 00:05:00→00:20:00 gap that on-time history already bounds
+    memG.addData(
+      ("u1", ts("2024-01-01 00:05:00"), 99.0),
+      ("u1", ts("2024-01-01 00:20:00"), 3.0))
+    qg.processAllAvailable()
+    qg.stop()
+    val gapRows = spark.table("late_gaps")
+      .select("gap_start", "gap_end").collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1))).toSet
+    assert(gapRows == Set(
+      (ts("2024-01-01 00:00:10"), ts("2024-01-01 00:10:00")),
+      (ts("2024-01-01 00:10:00"), ts("2024-01-01 00:20:00"))), gapRows)
+
+    val memE = MemoryStream[(String, Timestamp, Double)]
+    val emaOut = StreamingTSDF.ema(memE.toDF().toDF("user_id", "ts", "v"),
+      "ts", Seq("user_id"), "v", alpha = 0.5)
+    val qe = emaOut.writeStream.format("memory").queryName("late_ema")
+      .outputMode(OutputMode.Append()).start()
+    memE.addData(("u1", ts("2024-01-01 00:00:10"), 1.0),
+      ("u1", ts("2024-01-01 00:10:00"), 2.0))
+    qe.processAllAvailable()
+    memE.addData(("u1", ts("2024-01-01 00:05:00"), 99.0),
+      ("u1", ts("2024-01-01 00:20:00"), 3.0))
+    qe.processAllAvailable()
+    qe.stop()
+    val emaRows = spark.table("late_ema")
+      .select("ts", s"ema_v").collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(1))).toMap
+    // the late 00:05:00 row emits nothing and leaves state untouched:
+    // ema(00:20) = 0.5*3 + 0.5*ema(00:10) with ema(00:10) = 0.5*2 + 0.5*1
+    assert(!emaRows.contains(ts("2024-01-01 00:05:00")), emaRows)
+    assert(emaRows(ts("2024-01-01 00:20:00")) == 0.5 * 3.0 + 0.5 * 1.5, emaRows)
+  }
+
   test("stateful run extraction closes intervals on state change") {
     val spark2 = spark
     import spark2.implicits._
