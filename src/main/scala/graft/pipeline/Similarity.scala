@@ -146,6 +146,16 @@ object Similarity {
     * pool and pair order are bit-identical to the array form (differential-
     * tested), so the existing DuckDB oracle replays are untouched.
     *
+    * Pair EMISSION is two chained lazy generators, not one explode of a
+    * pre-built pairs array: `ExplodeBase.eval` materializes its whole input
+    * array per row, and a sub-bucket of m entries emits up to m·c pair
+    * structs — with vector payloads (two 64-dim doubles per pair) that is
+    * hundreds of MB PER BUCKET ROW held at once, times the task
+    * concurrency (the root cause of the sf1 q_semdedup 8 GiB OOM; measured
+    * ~335 MB/bucket × 32 tasks). Exploding the pool member first and its
+    * id-sorted tail second keeps only one bucket array per in-flight row;
+    * the pair set is unchanged (same pool clamp, same a<b tail slice).
+    *
     * `banded`: one row per bucket entry; `entry` must expose `id` and `xh`.
     * Returns one row per pair, column `__p` = struct(a, b). */
   def subBucketPairsRelational(banded: DataFrame, bucketCols: Seq[Column],
@@ -153,14 +163,27 @@ object Similarity {
     val w = Window.partitionBy(bucketCols: _*)
     val nSub = greatest(lit(1L),
       ceil(count(lit(1)).over(w) / lit(c.toDouble)).cast("long"))
-    banded
+    val grouped = banded
       .withColumn("__s", pmod(xh, nSub))
       .withColumn("__entry", entry)
       .groupBy(bucketCols :+ col("__s"): _*)
-      .agg(collect_list(col("__entry")).alias("__e"))
-      .filter(size(col("__e")) >= 2)
-      .select(explode(
-        pairsWithinSub(array_sort(col("__e")), c, ordered)).alias("__p"))
+      .agg(collect_list(col("__entry")).alias("__e0"))
+      .filter(size(col("__e0")) >= 2)
+      .select(array_sort(col("__e0")).alias("__e"))
+    if (ordered)
+      // every entry (query) pairs against the pool = first c entries
+      grouped
+        .select(col("__e"), explode(col("__e")).alias("__x"))
+        .select(col("__x"), explode(filter(slice(col("__e"), 1, c),
+          y => y.getField("id") =!= col("__x").getField("id"))).alias("__y"))
+        .select(struct(col("__x").alias("a"), col("__y").alias("b")).alias("__p"))
+    else
+      // pool member i (0-based) pairs with the tail after it: a < b once
+      grouped
+        .select(col("__e"), posexplode(slice(col("__e"), 1, c)).as(Seq("__i", "__x")))
+        .select(col("__x"), explode(
+          slice(col("__e"), col("__i") + 2, size(col("__e")))).alias("__y"))
+        .select(struct(col("__x").alias("a"), col("__y").alias("b")).alias("__p"))
   }
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket
