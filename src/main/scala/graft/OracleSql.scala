@@ -479,6 +479,19 @@ object OracleSql {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND c.s < p.re AND p.rs < c.e""".stripMargin,
 
+    // point-in-interval join (half-open containment): plain theta join is
+    // the oracle for the bin-decomposed equi-join
+    "q_point_in_interval" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+        |  WHERE event_type = 'click'),
+        |i AS (SELECT user_id, event_id AS interval_iv_id, epoch_us(ts) AS s,
+        |  epoch_us(ts + INTERVAL 2 HOUR) AS e FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, p.t AS ts_us, i.interval_iv_id,
+        |  i.s AS iv_start_us, i.e AS iv_end_us
+        |FROM p JOIN i ON p.user_id = i.user_id
+        |  AND i.s <= p.t AND p.t < i.e""".stripMargin,
+
     // 5-row rolling median: frame multiset -> sort -> lower-median rank
     "q_rolling_median" -> rollMedSql,
 
@@ -705,6 +718,87 @@ object OracleSql {
          |  floor(sr * 1000000 + 0.5) / 1000000.0 AS stopword_ratio,
          |  floor((ls * 0.4 + wls * 0.3 + ss * 0.3) * 10000 + 0.5) / 10000.0 AS quality_score
          |FROM f""".stripMargin
+    },
+
+    // HTML strip: same RE2-subset patterns as TextAnalysis.stripHtml, with
+    // DuckDB's 'g' flag standing in for Java's replace-all default
+    "q_strip_html" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><style type="text/css">body { color: #fff; }</style></head><body><h1 class="t">Doc '
+        |  || CAST(doc_id AS VARCHAR)
+        |  || '</h1><script>var x = 1 < 2 && 3 > 2;</script><p id="b">'
+        |  || text
+        |  || '</p><br/><div>tail &amp;amp; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>'
+        |  AS html FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
+        |  '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+        |  '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS x FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s1),
+        |s3 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(x,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', ''''), '&amp;', '&') AS x FROM s2),
+        |f AS (SELECT doc_id, trim(regexp_replace(x, '\s+', ' ', 'g')) AS x FROM s3)
+        |SELECT doc_id, md5(x) AS stripped_md5,
+        |  CAST(length(x) AS BIGINT) AS n_chars_stripped FROM f""".stripMargin,
+
+    // URL canonicalization + dedup: same RE2-subset rules as
+    // TextAnalysis.normalizeUrl; query params filtered via list ops (order-
+    // preserving, robust to adjacent tracking params)
+    "q_url_dedup" ->
+      """WITH u0 AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 'HTTP://WWW.Example.COM:80/Docs/' || CAST(doc_id // 4 AS VARCHAR) || '/?utm_source=x&utm_medium=y'
+        |    WHEN 1 THEN 'http://example.com/Docs/' || CAST(doc_id // 4 AS VARCHAR)
+        |    WHEN 2 THEN 'https://Sub.Example.com:443/p/' || CAST(doc_id // 4 AS VARCHAR) || '?a=1&utm_campaign=z&fbclid=abc#frag'
+        |    ELSE 'https://sub.example.com/p/' || CAST(doc_id // 4 AS VARCHAR) || '?a=1' END AS url
+        |  FROM documents),
+        |t1 AS (SELECT doc_id, url, trim(url) AS t FROM u0),
+        |t2 AS (SELECT *, lower(regexp_extract(t, '^([^/?#]*//[^/?#]*)', 1))
+        |  || regexp_replace(t, '^[^/?#]*//[^/?#]*', '') AS h FROM t1),
+        |t3 AS (SELECT *, regexp_replace(h, '^(https?://)www\.', '\1') AS h2 FROM t2),
+        |t4 AS (SELECT *, regexp_replace(regexp_replace(h2,
+        |  '^(http://[^/?#:]*):80([/?#]|$)', '\1\2'),
+        |  '^(https://[^/?#:]*):443([/?#]|$)', '\1\2') AS h3 FROM t3),
+        |t5 AS (SELECT *, regexp_replace(h3, '#.*$', '') AS nf FROM t4),
+        |t6 AS (SELECT *,
+        |  regexp_replace(regexp_extract(nf, '^([^?]*)', 1), '/+$', '') AS base,
+        |  regexp_extract(nf, '^[^?]*\?(.*)$', 1) AS qs FROM t5),
+        |t7 AS (SELECT *, coalesce(array_to_string(list_filter(string_split(qs, '&'),
+        |  p -> p <> '' AND NOT regexp_matches(p,
+        |    '^(utm_[^=&]*|fbclid|gclid|ref)(=.*)?$')), '&'), '') AS kept FROM t6),
+        |u AS (SELECT doc_id, url, base ||
+        |  CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical_url
+        |  FROM t7),
+        |w AS (SELECT canonical_url, min(doc_id) AS win FROM u GROUP BY canonical_url)
+        |SELECT u.doc_id, u.url, u.canonical_url, u.doc_id = w.win AS is_kept
+        |FROM u JOIN w ON u.canonical_url = w.canonical_url""".stripMargin,
+
+    // quality-weighted sampling: q_quality's score CTEs + the deterministic
+    // hash-threshold filter of Splits.weightedSample (seed 19, 1e6 buckets)
+    "q_weighted_sample" -> {
+      val nt = "CASE WHEN length(tt) = 0 THEN 0 ELSE length(tt) - length(replace(tt, ' ', '')) + 1 END"
+      val stop = Seq(" the ", " a ", " and ", " of ", " to ", " in ")
+        .map(sw => occ("pt", sw)).mkString(" + ")
+      val h = s"(${Hashing.mixSql(Hashing.polyHashSql("CAST(doc_id AS VARCHAR)"), 19)}) % 1000000"
+      s"""WITH x AS (SELECT doc_id, text, length(text) AS nc,
+         |  trim(regexp_replace(text, ' +', ' ', 'g')) AS tt,
+         |  ' ' || lower(text) || ' ' AS pt FROM documents),
+         |y AS (SELECT doc_id, text, nc, pt, $nt AS nt FROM x),
+         |z AS (SELECT doc_id, nc, nt,
+         |  CAST(nc AS DOUBLE) / nt AS mwl,
+         |  CAST(($stop) AS DOUBLE) / nt AS sr
+         |  FROM y),
+         |f AS (SELECT doc_id,
+         |  least(CAST(nc AS DOUBLE) / 500.0, 1.0) AS ls,
+         |  CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END AS wls,
+         |  least(sr * 5.0, 1.0) AS ss
+         |  FROM z),
+         |q AS (SELECT doc_id,
+         |  floor((ls * 0.4 + wls * 0.3 + ss * 0.3) * 10000 + 0.5) / 10000.0 AS quality_score
+         |  FROM f)
+         |SELECT doc_id, quality_score FROM q
+         |WHERE ($h) < CAST(floor(quality_score * 1000000) AS BIGINT)""".stripMargin
     },
 
     "q_quality_v2" -> {
@@ -1086,6 +1180,65 @@ object OracleSql {
          |  0.5 * CAST(tvnum AS DOUBLE) / (na * nb) AS tv_distance
          |FROM t2""".stripMargin
     },
+
+    // chi-square + Hellinger drift: exact integer cross-products per
+    // bucket; double totals via an explicit bucket-ordered left fold
+    // (list_reduce), never an engine-ordered window sum
+    "q_drift_stats" -> {
+      val split =
+        s"(${Hashing.mixSql(Hashing.polyHashSql("CAST(doc_id AS VARCHAR)"), 7)}) % 2"
+      s"""WITH s AS (SELECT doc_id, least(20, n_chars // 32) AS bucket,
+         |  CASE WHEN $split < 1 THEN 0 ELSE 1 END AS split FROM documents),
+         |ca AS (SELECT bucket, count(*) AS cnt_a FROM s WHERE split = 0 GROUP BY bucket),
+         |cb AS (SELECT bucket, count(*) AS cnt_b FROM s WHERE split = 1 GROUP BY bucket),
+         |j AS (SELECT coalesce(ca.bucket, cb.bucket) AS bucket,
+         |  coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+         |  FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket),
+         |t AS (SELECT *, sum(cnt_a) OVER () AS na, sum(cnt_b) OVER () AS nb,
+         |  count(*) OVER () AS k FROM j),
+         |u AS (SELECT *, CAST(cnt_a * nb - cnt_b * na AS DOUBLE) AS d,
+         |  cnt_a + cnt_b AS tt FROM t),
+         |v AS (SELECT *,
+         |  CASE WHEN na > 0 AND nb > 0 THEN
+         |    d * d / CAST(tt * na * nb AS DOUBLE) END AS chi2_term,
+         |  CASE WHEN na > 0 AND nb > 0 THEN
+         |    sqrt((CAST(cnt_a AS DOUBLE) / na) * (CAST(cnt_b AS DOUBLE) / nb))
+         |  END AS bc_term FROM u),
+         |tot AS (SELECT
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list(chi2_term ORDER BY bucket)), (a, b) -> a + b) AS cs,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list(bc_term ORDER BY bucket)), (a, b) -> a + b) AS bs FROM v)
+         |SELECT bucket, CAST(cnt_a AS BIGINT) AS cnt_a,
+         |  CAST(cnt_b AS BIGINT) AS cnt_b, chi2_term,
+         |  CASE WHEN na > 0 AND nb > 0 THEN cs END AS chi2_stat, bc_term,
+         |  CASE WHEN na > 0 AND nb > 0 THEN
+         |    sqrt(greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - bs))
+         |  END AS hellinger,
+         |  CAST(k - 1 AS BIGINT) AS df
+         |FROM v, tot""".stripMargin
+    },
+
+    // rolling trend correlation: exact BIGINT frame sums of (value, index),
+    // r assembled in the same fixed operand order as Stats.rollingTrendCorr
+    "q_rolling_corr" ->
+      """WITH c AS (SELECT user_id, ts, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |w AS (SELECT *, row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id) AS y FROM c),
+        |r AS (SELECT *, count(*) OVER f AS n,
+        |  sum(vc) OVER f AS sx, sum(vc * vc) OVER f AS sx2,
+        |  sum(y) OVER f AS sy, sum(y * y) OVER f AS sy2,
+        |  sum(vc * y) OVER f AS sxy
+        |  FROM w WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, epoch_us(ts) AS ts_us, event_id, vc,
+        |  CASE WHEN n >= 2 AND n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+        |    THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)))
+        |  END AS trend_corr_vc
+        |FROM r""".stripMargin,
 
     // CUSUM replay: exact BIGINT prefix sums; |S_t| = abs(cum − rn·mu) with
     // mu = s/n computed first, matching Stats.cusum's operand order.

@@ -346,6 +346,24 @@ object SparkEntry {
         usec(col("overlap_end_ts")).alias("ov_end_us"))
   }
 
+  /** Tag click events with the purchase-derived interval containing them. */
+  private def qPointInInterval(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val iv = IntervalsDF(
+      ev.filter(col("event_type") === "purchase").select(col("user_id"),
+        col("ts").alias("start_ts"),
+        (col("ts") + expr("interval 2 hours")).alias("end_ts"),
+        col("event_id").alias("iv_id")),
+      "start_ts", "end_ts", Seq("user_id"))
+    val pts = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    iv.pointJoin(pts, "ts", binSeconds = 3600L)
+      .select(col("user_id"), col("event_id"), usec(col("ts")).alias("ts_us"),
+        col("interval_iv_id"),
+        usec(col("interval_start_ts")).alias("iv_start_us"),
+        usec(col("interval_end_ts")).alias("iv_end_us"))
+  }
+
   private def qIntervalsDisjoint(s: SparkSession, dir: String): DataFrame = {
     val iv = IntervalsDF(
       events(s, dir).select(col("user_id"), col("ts").alias("start_ts"),
@@ -960,6 +978,16 @@ object SparkEntry {
         cents(col("value")).cast(LongType).alias("vc")),
       "ts", "vc", Seq("user_id"), maxLag = 3, tieCols = Seq("event_id"))
 
+  /** Rolling trend correlation over the trailing 20 observations of the
+    * cent-quantized value, per user. */
+  private def qRollingCorr(s: SparkSession, dir: String): DataFrame =
+    graft.tsdf.Stats.rollingTrendCorr(
+      events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+        cents(col("value")).cast(LongType).alias("vc")),
+      "ts", "vc", Seq("user_id"), window = 20, tieCols = Seq("event_id"))
+      .select(col("user_id"), usec(col("ts")).alias("ts_us"), col("event_id"),
+        col("vc"), col("trend_corr_vc"))
+
   /** CUSUM change-point per user: argmax_t |Σ_{i≤t} c_i − t·μ| over the
     * cent-quantized value, ties to the earliest row. */
   private def qCusum(s: SparkSession, dir: String): DataFrame =
@@ -999,6 +1027,64 @@ object SparkEntry {
       .withColumn("bucket", least(lit(20L), expr("n_chars div 32")))
     graft.pipeline.Drift.histogramDrift(
       d.filter(col("split") === 0L), d.filter(col("split") === 1L), "bucket")
+  }
+
+  /** Chi-square + Hellinger drift over the same cohorts as [[qDrift]]. */
+  private def qDriftStats(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("split",
+        graft.pipeline.Splits.splitIndex(col("doc_id"), Seq(1, 1)))
+      .withColumn("bucket", least(lit(20L), expr("n_chars div 32")))
+    graft.pipeline.Drift.driftStats(
+      d.filter(col("split") === 0L), d.filter(col("split") === 1L), "bucket")
+  }
+
+  /** The corpus carries no markup, so every doc is wrapped in a
+    * deterministic HTML shell (tags, a script, a style, entities) before
+    * extraction — both engines see identical input and the full rule set
+    * fires on every row. */
+  private def qStripHtml(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><style type=\"text/css\">body { color: #fff; }</style></head>"),
+      lit("<body><h1 class=\"t\">Doc "), col("doc_id").cast(StringType),
+      lit("</h1><script>var x = 1 < 2 && 3 > 2;</script><p id=\"b\">"),
+      col("text"),
+      lit("</p><br/><div>tail &amp;amp; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>"))
+    docs(s, dir).select(col("doc_id"),
+      md5(TextAnalysis.stripHtml(html)).alias("stripped_md5"),
+      length(TextAnalysis.stripHtml(html)).cast(LongType).alias("n_chars_stripped"))
+  }
+
+  /** Synthetic URL variants per doc — four spellings (case, www, default
+    * ports, tracking params, fragments, trailing slash) that collapse
+    * pairwise under normalization, so the canonical key dedups across
+    * spelling families. */
+  private def qUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val stem = expr("doc_id div 4").cast(StringType)
+    val url = when(col("doc_id") % 4 === 0, concat(
+        lit("HTTP://WWW.Example.COM:80/Docs/"), stem,
+        lit("/?utm_source=x&utm_medium=y")))
+      .when(col("doc_id") % 4 === 1, concat(
+        lit("http://example.com/Docs/"), stem))
+      .when(col("doc_id") % 4 === 2, concat(
+        lit("https://Sub.Example.com:443/p/"), stem,
+        lit("?a=1&utm_campaign=z&fbclid=abc#frag")))
+      .otherwise(concat(lit("https://sub.example.com/p/"), stem, lit("?a=1")))
+    val withUrl = docs(s, dir).select(col("doc_id"), url.alias("url"))
+      .withColumn("canonical_url", TextAnalysis.normalizeUrl(col("url")))
+    val winners = withUrl.groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).alias("__winner"))
+    withUrl.join(winners, Seq("canonical_url"), "inner")
+      .select(col("doc_id"), col("url"), col("canonical_url"),
+        (col("doc_id") === col("__winner")).alias("is_kept"))
+  }
+
+  /** Quality-weighted sampling: survival probability = the quality score
+    * of [[qQuality]]. */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val comps = TextAnalysis.qualityScore(col("text"))
+    val scored = docs(s, dir).select(col("doc_id"), comps.last)
+    graft.pipeline.Splits.weightedSample(scored, "doc_id", "quality_score")
   }
 
   private def qTokenCount(s: SparkSession, dir: String): DataFrame =
@@ -1114,6 +1200,7 @@ object SparkEntry {
     "q_intervals_stack" -> qIntervalsStack _,
     "q_intervals_disjoint" -> qIntervalsDisjoint _,
     "q_interval_join" -> qIntervalJoin _,
+    "q_point_in_interval" -> qPointInInterval _,
     "q_slice_ops" -> qSliceOps _,
     "q_intervals_union" -> qIntervalsUnion _,
     "q_write_roundtrip" -> qWriteRoundtrip _,
@@ -1142,6 +1229,9 @@ object SparkEntry {
     "q_ann_ivf" -> qAnnIvf _,
     "q_lang_id" -> qLangId _,
     "q_quality" -> qQuality _,
+    "q_strip_html" -> qStripHtml _,
+    "q_url_dedup" -> qUrlDedup _,
+    "q_weighted_sample" -> qWeightedSample _,
     "q_quality_v2" -> qQualityV2 _,
     "q_pii" -> qPii _,
     "q_bm25" -> qBm25 _,
@@ -1152,8 +1242,10 @@ object SparkEntry {
     "q_seq_fill" -> qSeqFill _,
     "q_anomaly_mad" -> qAnomalyMad _,
     "q_acf" -> qAcf _,
+    "q_rolling_corr" -> qRollingCorr _,
     "q_cusum" -> qCusum _,
     "q_drift" -> qDrift _,
+    "q_drift_stats" -> qDriftStats _,
     "q_exact_substr" -> qExactSubstr _,
     "q_top_ngrams" -> qTopNgrams _,
     "q_sample_k" -> qSampleK _,

@@ -117,8 +117,58 @@ case class IntervalsDF(
     val c = finish(lp.filter(col("__nbins") <= maxBinsPerInterval).drop("__nbins")
       .join(rp.filter(col("__nbins") > maxBinsPerInterval).drop("__nbins"),
         seriesIds, "inner"))
-    val cols = a.columns.map(col)
+    val cols = a.columns.toIndexedSeq.map(col)
     a.select(cols: _*).union(b.select(cols: _*)).union(c.select(cols: _*))
+  }
+
+  /** Point-in-interval join: one row per (point, interval) pair with
+    * `start <= point.ts < end` on the shared series ids — the "tag every
+    * event with its containing regime/session/maintenance window" step.
+    * A point inside k overlapping intervals emits k rows; make the
+    * intervals disjoint first ([[makeDisjoint]]) for at-most-one semantics.
+    *
+    * Same scalable decomposition as [[overlapJoin]]: intervals explode into
+    * the fixed-width time bins they cover, each point computes its single
+    * bin, and candidates pair through a plain (series, bin) EQUI-join — a
+    * point's bin is unique, so each qualifying pair matches exactly one bin
+    * row and no dedup pass exists. Intervals spanning more than
+    * `maxBinsPerInterval` bins skip the explode and route through the
+    * hybrid series-keyed side (assumed rare ⇒ AQE broadcasts it), so one
+    * year-long outlier cannot inflate explode volume.
+    *
+    * Output: seriesIds ++ point payload ++ `prefix`-renamed interval
+    * payload. */
+  def pointJoin(points: DataFrame, pointTs: String, binSeconds: Long = 3600L,
+      prefix: String = "interval_",
+      maxBinsPerInterval: Long = 256L): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    require(maxBinsPerInterval >= 1, "maxBinsPerInterval must be >= 1")
+    require(seriesIds.forall(points.columns.contains),
+      s"points must carry the series id columns $seriesIds")
+    val w = binSeconds * 1000000L
+    val ivPayload = df.columns.filterNot(seriesIds.contains)
+    val iv = ivPayload.foldLeft(df)((d, c) => d.withColumnRenamed(c, prefix + c))
+      .withColumn("__su", unix_micros(col(prefix + startTs)))
+      .withColumn("__eu", unix_micros(col(prefix + endTs)))
+      .filter(col("__eu") > col("__su"))
+      .withColumn("__nbins", expr(s"(__eu - 1) div $w - __su div $w + 1"))
+    val pts = points
+      .withColumn("__pu", unix_micros(col(pointTs)))
+      .withColumn("__bin", expr(s"__pu div $w"))
+    val contains = col("__su") <= col("__pu") && col("__pu") < col("__eu")
+    def finish(joined: DataFrame): DataFrame = joined.filter(contains)
+      .drop("__bin", "__nbins", "__su", "__eu", "__pu")
+    val short = finish(pts.join(
+      iv.filter(col("__nbins") <= maxBinsPerInterval)
+        .withColumn("__bin",
+          explode(sequence(expr(s"__su div $w"), expr(s"(__eu - 1) div $w"))))
+        .drop("__nbins"),
+      seriesIds :+ "__bin", "inner"))
+    val long = finish(pts.drop("__bin").join(
+      iv.filter(col("__nbins") > maxBinsPerInterval).drop("__nbins"),
+      seriesIds, "inner"))
+    val cols = short.columns.toIndexedSeq.map(col)
+    short.select(cols: _*).union(long.select(cols: _*))
   }
 
   /** Positional union (no dedup), intervals.py:280-300. */

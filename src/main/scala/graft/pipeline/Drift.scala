@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -61,5 +61,75 @@ object Drift {
         when(col("__na") > 0 && col("__nb") > 0,
           lit(0.5) * col("__tvnum").cast(DoubleType) /
             (col("__na") * col("__nb"))).alias("tv_distance"))
+  }
+
+  /** Chi-square homogeneity statistic + Hellinger affinity between cohorts
+    * `a` and `b`, one row per bucket in bucket order with running totals —
+    * the last row carries the full statistics.
+    *
+    * Both are assembled only from operations IEEE 754 defines as exactly
+    * rounded (÷, ×, √) over exact integer counts, so the values replay
+    * bit-for-bit in any engine — the reason PSI/KL (which need `ln`, whose
+    * rounding is libm-dependent) are NOT offered here. Accumulation order
+    * matters for double sums, so the running totals are prefix sums in
+    * bucket order (`rows unbounded preceding`), never an unordered
+    * aggregate.
+    *
+    * Per bucket with d = cnt_a·n_b − cnt_b·n_a (exact BIGINT):
+    *  - `chi2_term` = d²/(t·n_a·n_b) where t = cnt_a + cnt_b — the exact
+    *    algebraic collapse of Σ_cohort (O−E)²/E for the 2×K homogeneity
+    *    table (E from pooled margins);
+    *  - `bc_term` = √(p_a·p_b) — the Bhattacharyya coefficient summand.
+    *  - `chi2_stat` / `hellinger` = totals repeated on every row (the
+    *    [[histogramDrift]] `tv_distance` convention); Hellinger distance
+    *    = √(max(0, 1 − Σ bc)) ∈ [0, 1]. `df` = K−1 degrees of freedom.
+    *
+    * The double totals are EXPLICIT left folds over the bucket-ordered term
+    * list (`aggregate(collect_list over ordered full frame)`), not plain
+    * window sums — a window sum's accumulation order is an engine-internal
+    * choice (sequential vs pairwise segment tree), and two orders differ in
+    * low bits; the fold pins one order both engines replay (DuckDB:
+    * `list_reduce(list(term ORDER BY bucket))`).
+    *
+    * Exactness bounds: products stay in BIGINT range for cohorts below
+    * ~3·10⁹ rows (as [[histogramDrift]]); d² is squared in double space
+    * (exactly rounded) so it never overflows.
+    *
+    * Plan shape: identical to [[histogramDrift]] — two count aggregates,
+    * a #buckets-row full outer join, tiny single-task windows. */
+  def driftStats(a: DataFrame, b: DataFrame, bucketCol: String): DataFrame = {
+    val ca = a.groupBy(col(bucketCol)).agg(count(lit(1)).alias("cnt_a"))
+    val cb = b.groupBy(col(bucketCol)).agg(count(lit(1)).alias("cnt_b"))
+    val joined = ca.join(cb, Seq(bucketCol), "full_outer")
+      .select(col(bucketCol),
+        coalesce(col("cnt_a"), lit(0L)).alias("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).alias("cnt_b"))
+    val wTot = Window.partitionBy() // #buckets rows — tiny by construction
+    val wOrd = Window.partitionBy().orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val staged = joined
+      .withColumn("__na", sum(col("cnt_a")).over(wTot))
+      .withColumn("__nb", sum(col("cnt_b")).over(wTot))
+      .withColumn("__k", count(lit(1)).over(wTot))
+      .withColumn("__d",
+        (col("cnt_a") * col("__nb") - col("cnt_b") * col("__na")).cast(DoubleType))
+      .withColumn("__t", col("cnt_a") + col("cnt_b"))
+    val ok = col("__na") > 0 && col("__nb") > 0
+    val terms = staged
+      .withColumn("chi2_term", when(ok,
+        col("__d") * col("__d") /
+          (col("__t") * col("__na") * col("__nb")).cast(DoubleType)))
+      .withColumn("bc_term", when(ok, sqrt(
+        (col("cnt_a").cast(DoubleType) / col("__na")) *
+          (col("cnt_b").cast(DoubleType) / col("__nb")))))
+    def fold(c: Column): Column =
+      aggregate(collect_list(c).over(wOrd), lit(0.0), (acc, x) => acc + x)
+    terms
+      .withColumn("chi2_stat", when(ok, fold(col("chi2_term"))))
+      .withColumn("hellinger", when(ok,
+        sqrt(greatest(lit(0.0), lit(1.0) - fold(col("bc_term"))))))
+      .select(col(bucketCol), col("cnt_a"), col("cnt_b"),
+        col("chi2_term"), col("chi2_stat"), col("bc_term"), col("hellinger"),
+        (col("__k") - 1).alias("df"))
   }
 }

@@ -67,6 +67,24 @@ object Splits {
     df.filter(bucket < threshold)
   }
 
+  /** Deterministic per-row weighted (importance) sampling: each row
+    * survives with probability `weightCol` ∈ [0, 1] — quality-score-biased
+    * corpus selection ("keep high-quality docs, thin the rest"), the
+    * per-row generalization of [[stratifiedSample]]'s per-stratum
+    * fractions. The id hashes to a uniform bucket in [0, `buckets`); a row
+    * survives iff `bucket < floor(weight · buckets)` — one double multiply
+    * (exactly rounded, so engine-reproducible) and an integer compare.
+    * Same rows survive on any run, partitioning, or engine; weights
+    * outside [0, 1] clamp. One zero-shuffle filter pass. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      seed: Int = 19, buckets: Int = 1000000): DataFrame = {
+    require(buckets > 0)
+    val bucket = pmod(
+      Hashing.mix(Hashing.polyHash(col(idCol).cast("string")), seed), lit(buckets))
+    val w = least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0))
+    df.filter(bucket < floor(w * buckets).cast(LongType))
+  }
+
   /** Deterministic k-per-stratum sample: the k rows with the lowest
     * (hash(id), id) per stratum — a fixed-size uniform sample whose
     * membership is stable under reruns, repartitioning, and engine changes

@@ -181,4 +181,54 @@ object TextAnalysis {
       .select(col("rank").cast(LongType).alias("rank"), col("gram"),
         col("n_docs"))
   }
+
+  /** Plain text from HTML-ish markup — the extraction step between a crawl
+    * and every text operator above. Regex-grade (like the reference
+    * pipelines' fallback path, not a DOM parser): `<script>`/`<style>`
+    * elements drop with their content, every remaining tag drops, the
+    * common entities decode, whitespace collapses. Pure Column algebra —
+    * zero shuffle, stays in whole-stage codegen. */
+  // Every regex below stays inside the RE2 subset (no backreferences, no
+  // lookaround) so the DuckDB oracle replays the exact same patterns.
+  def stripHtml(html: Column): Column = {
+    val noScript = Seq("script", "style").foldLeft(html) { (c, el) =>
+      regexp_replace(c, s"(?is)<$el\\b[^>]*>.*?</$el\\s*>", " ")
+    }
+    val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&" // amp last: &amp;lt; is the literal "&lt;"
+    ).foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Canonical URL for dedup keys — crawl frontiers and web-corpus dedup
+    * pipelines key on this, not the raw string (C4/RefinedWeb drop ~10-20%
+    * of pages on URL identity alone). Normalizations, each a plain
+    * regexp/case rule so any SQL engine replays them: lowercase scheme +
+    * host, strip a leading `www.`, drop default ports (:80 http, :443
+    * https), drop the fragment, drop tracking params (utm_*, fbclid,
+    * gclid, ref), drop an emptied `?`, collapse a trailing slash on a
+    * non-root path. Path/query case and order are preserved — they are
+    * semantic. Zero shuffle. */
+  def normalizeUrl(url: Column): Column = {
+    val t = trim(url)
+    // lowercase scheme://host[:port] (authority = chars up to /, ?, or #)
+    val hostLower = concat(
+      lower(regexp_extract(t, "^([^/?#]*//[^/?#]*)", 1)),
+      regexp_replace(t, "^[^/?#]*//[^/?#]*", ""))
+    val noWww = regexp_replace(hostLower, "^(https?://)www\\.", "$1")
+    val noPort = regexp_replace(
+      regexp_replace(noWww, "^(http://[^/?#:]*):80([/?#]|$)", "$1$2"),
+      "^(https://[^/?#:]*):443([/?#]|$)", "$1$2")
+    val noFrag = regexp_replace(noPort, "#.*$", "")
+    // query params: split on &, drop tracking keys and empty segments,
+    // rejoin — order-preserving and robust to ANY run of adjacent tracking
+    // params (a delimiter-consuming regex replace is not)
+    val base = regexp_replace(regexp_extract(noFrag, "^([^?]*)", 1), "/+$", "")
+    val qs = regexp_extract(noFrag, "^[^?]*\\?(.*)$", 1)
+    val kept = array_join(filter(split(qs, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=&]*|fbclid|gclid|ref)(=.*)?$")), "&")
+    concat(base, when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
 }

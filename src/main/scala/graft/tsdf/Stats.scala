@@ -377,6 +377,51 @@ object Stats {
     df.withColumn(s"rolling_median_$valueCol", med)
   }
 
+  /** Rolling trend correlation: Pearson r between the value and its
+    * observation index over the trailing `window` rows of each series — a
+    * bounded [−1, 1] local-trend indicator (≈ +1 sustained rise, ≈ −1
+    * sustained fall, ≈ 0 flat/noise), the windowed twin of a slope test.
+    *
+    * `valueCol` must be integer-valued (e.g. cents; enforced per row):
+    * with x integer and y = row index, every frame sum (n, Σx, Σx², Σy,
+    * Σy², Σxy) is an exact BIGINT window aggregate, and
+    * r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)) is
+    * assembled from those integers in one fixed operation order using only
+    * exactly-rounded IEEE ops (cast, ×, √, ÷) — engine-reproducible
+    * bit-for-bit. Exactness bound: n·Σx² must stay below 2⁵³
+    * (window · max|x|² · window < 9·10¹⁵ — holds for cent-scale values and
+    * smoothing-scale windows). Frames shorter than 2 rows or with zero
+    * variance emit null. ONE series exchange — the index and every frame
+    * sum ride the same window sort. Output: input row +
+    * `trend_corr_<col>`. */
+  def rollingTrendCorr(df: DataFrame, tsCol: String, valueCol: String,
+      seriesCols: Seq[String], window: Int,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    val ord = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    val w = ord.rowsBetween(-(window - 1), Window.currentRow)
+    val x = col("__x")
+    val y = col("__y")
+    val staged = df
+      .withColumn("__x", integralOrFail(col(valueCol), "rollingTrendCorr"))
+      .withColumn("__y", row_number().over(ord).cast(LongType))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(x).over(w))
+      .withColumn("__sx2", sum(x * x).over(w))
+      .withColumn("__sy", sum(y).over(w))
+      .withColumn("__sy2", sum(y * y).over(w))
+      .withColumn("__sxy", sum(x * y).over(w))
+    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast(DoubleType)
+    val dx = col("__n") * col("__sx2") - col("__sx") * col("__sx")
+    val dy = col("__n") * col("__sy2") - col("__sy") * col("__sy")
+    val r = when(col("__n") >= 2 && dx > 0 && dy > 0,
+      num / (sqrt(dx.cast(DoubleType)) * sqrt(dy.cast(DoubleType))))
+    staged.withColumn(s"trend_corr_$valueCol", r)
+      .drop("__x", "__y", "__n", "__sx", "__sx2", "__sy", "__sy2", "__sxy")
+  }
+
   /** Per-series gap report: intervals between consecutive observations
     * longer than `minGapSeconds` — the data-quality scan that tells you
     * where a sensor went dark (the complement of [[Sessionize]]: sessions

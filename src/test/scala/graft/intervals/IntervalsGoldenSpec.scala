@@ -142,6 +142,45 @@ class IntervalsGoldenSpec extends SparkTestBase {
     assert(allShort.toSet == expected && allShort.length == allShort.toSet.size)
   }
 
+  test("pointJoin equals the theta containment join, incl. long intervals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(55)
+    val iv = ((0 until 60).map { i =>
+      val s = rnd.nextInt(200000)
+      (rnd.nextInt(3).toLong, s"iv$i",
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)),
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s + 1 + rnd.nextInt(20000))))
+    } :+ ((1L, "ivLONG",
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0)),
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(30L * 24 * 3600)))))
+      .toDF("sid", "ivtag", "start_ts", "end_ts")
+    val pts = (0 until 200).map { i =>
+      (rnd.nextInt(3).toLong, i.toLong,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(rnd.nextInt(250000))))
+    }.toDF("sid", "pid", "ts")
+    val got = IntervalsDF(iv, "start_ts", "end_ts", Seq("sid"))
+      .pointJoin(pts, "ts", binSeconds = 3600L, maxBinsPerInterval = 24L)
+      .select("sid", "pid", "interval_ivtag").as[(Long, Long, String)]
+      .collect().toSeq
+    assert(got.size == got.toSet.size, "duplicate pair emitted")
+    val expected = pts.alias("p").join(iv.alias("i"),
+      col("p.sid") === col("i.sid") &&
+        col("i.start_ts") <= col("p.ts") && col("p.ts") < col("i.end_ts"))
+      .select(col("p.sid"), col("p.pid"), col("i.ivtag"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(got.toSet == expected)
+    assert(expected.exists(_._3 == "ivLONG"), "long interval must contribute")
+    assert(expected.exists(_._3 != "ivLONG"), "short intervals must contribute")
+    // half-open: a point at end_ts is outside, at start_ts inside
+    val one = Seq((1L, "e", ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")))
+      .toDF("sid", "ivtag", "start_ts", "end_ts")
+    val edge = Seq((1L, 1L, ts("2024-01-01 01:00:00")),
+      (1L, 2L, ts("2024-01-01 00:00:00"))).toDF("sid", "pid", "ts")
+    val hits = IntervalsDF(one, "start_ts", "end_ts", Seq("sid"))
+      .pointJoin(edge, "ts").select("pid").as[Long].collect().toSeq
+    assert(hits == Seq(2L))
+  }
+
   test("union and unionByName double the row count") {
     val t = tc("test_union_other_idf")
     val a = fx.idf(t.get("init"))

@@ -1087,4 +1087,128 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(r2.getDouble(3) == 25.0) // MAD of 1..101 around 51
     assert(r2.getLong(4) == 50L) // |x-51| > 25 -> 1..25 and 77..101
   }
+
+  test("normalizeUrl canonicalizes case, ports, tracking params, fragments") {
+    import spark.implicits._
+    val cases = Seq(
+      // (input, expected canonical)
+      ("HTTP://WWW.Example.COM:80/Docs/1/?utm_source=x&utm_medium=y",
+        "http://example.com/Docs/1"),
+      ("http://example.com/Docs/1", "http://example.com/Docs/1"),
+      ("https://Sub.Example.com:443/p/9?a=1&utm_campaign=z&fbclid=abc#frag",
+        "https://sub.example.com/p/9?a=1"),
+      // three ADJACENT tracking params — the delimiter-consuming-regex trap
+      ("https://a.com/x?utm_a=1&utm_b=2&utm_c=3&keep=1",
+        "https://a.com/x?keep=1"),
+      ("https://a.com/x?utm_a=1&utm_b=2&utm_c=3", "https://a.com/x"),
+      // param ORDER is semantic and preserved; case of path/query preserved
+      ("https://a.com/Path?b=2&a=1", "https://a.com/Path?b=2&a=1"),
+      // :8080 is NOT a default port; ref/gclid/valueless utm_ drop
+      ("http://a.com:8080/x?ref=fb&gclid=9&utm_src",
+        "http://a.com:8080/x"),
+      // root trailing slash collapses; www without scheme-match stays
+      ("https://www.a.com/", "https://a.com"),
+      ("https://a.com///", "https://a.com"))
+    val got = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.normalizeUrl(col("url"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("stripHtml drops script/style with content, tags, decodes entities") {
+    import spark.implicits._
+    val html = "<html><head><style media=\"all\">p { x: 1 > 0; }</style></head>" +
+      "<body>A <b>bold</b> move &amp; a <br/> break.&nbsp;1 &lt; 2." +
+      "<script type=\"text/js\">if (1 < 2) { alert(\"</p>\"); }</script> End.</body>"
+    val got = Seq(html).toDF("h")
+      .select(TextAnalysis.stripHtml(col("h"))).as[String].collect().head
+    // script content (incl. the decoy "</p>" inside the JS string) and style
+    // content (incl. its ">") drop entirely; entities decode AFTER tag
+    // stripping so the decoded "<" survives as text
+    assert(got == "A bold move & a break. 1 < 2. End.")
+    // &amp;lt; decodes to the literal "&lt;", not "<" (amp decoded last)
+    val dbl = Seq("x &amp;lt; y").toDF("h")
+      .select(TextAnalysis.stripHtml(col("h"))).as[String].collect().head
+    assert(dbl == "x &lt; y")
+  }
+
+  test("driftStats: zero on identical cohorts, maximal on disjoint support") {
+    import spark.implicits._
+    val a = (1 to 40).map(i => Tuple1(i % 4)).toDF("bucket")
+    val same = Drift.driftStats(a, a, "bucket").collect()
+    assert(same.forall(r => r.getDouble(r.fieldIndex("chi2_stat")) == 0.0))
+    assert(same.forall(r => r.getDouble(r.fieldIndex("hellinger")) == 0.0))
+    assert(same.forall(r => r.getLong(r.fieldIndex("df")) == 3L))
+    val b = (1 to 40).map(i => Tuple1(4 + i % 4)).toDF("bucket")
+    val disj = Drift.driftStats(a, b, "bucket").collect()
+    assert(disj.forall(r => r.getDouble(r.fieldIndex("hellinger")) == 1.0))
+    // chi2 for fully disjoint 2xK table = n_a + n_b
+    assert(disj.forall(r => r.getDouble(r.fieldIndex("chi2_stat")) == 80.0))
+  }
+
+  test("weightedSample: weight 1 keeps all, 0 keeps none, monotone in weight") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, 0.3)).toDF("id", "w")
+    assert(Splits.weightedSample(df.withColumn("w", lit(1.0)), "id", "w")
+      .count() == 500)
+    assert(Splits.weightedSample(df.withColumn("w", lit(0.0)), "id", "w")
+      .count() == 0)
+    val lo = Splits.weightedSample(df, "id", "w").select("id")
+      .as[Long].collect().toSet
+    val hi = Splits.weightedSample(df.withColumn("w", lit(0.7)), "id", "w")
+      .select("id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi), "raising every weight must only add survivors")
+    assert(lo.nonEmpty && hi.size > lo.size && hi.size < 500)
+    // out-of-range weights clamp instead of throwing
+    assert(Splits.weightedSample(df.withColumn("w", lit(7.5)), "id", "w")
+      .count() == 500)
+  }
+
+  test("rollingTrendCorr: +1 on rises, -1 on falls, null on constants") {
+    import spark.implicits._
+    val rise = (1 to 30).map(i => (1L, i.toLong, i.toLong * 3))
+    val fall = (1 to 30).map(i => (2L, i.toLong, 1000L - i * 7))
+    val flat = (1 to 30).map(i => (3L, i.toLong, 5L))
+    val df = (rise ++ fall ++ flat).toDF("sid", "ts", "v")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val r = graft.tsdf.Stats.rollingTrendCorr(df, "ts", "v", Seq("sid"), 5)
+    val by = r.select("sid", "trend_corr_v").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(x =>
+        if (x.isNullAt(1)) None else Some(x.getDouble(1))).toSeq).toMap
+    // first row of each series: frame of 1 -> null; afterwards ±1 up to the
+    // two sqrt roundings (sqrt(a²d)·sqrt(d) ≠ a·d exactly for a ≠ 2^k)
+    assert(by(1L).head.isEmpty &&
+      by(1L).tail.forall(v => math.abs(v.get - 1.0) < 1e-12))
+    assert(by(2L).head.isEmpty &&
+      by(2L).tail.forall(v => math.abs(v.get + 1.0) < 1e-12))
+    assert(by(3L).forall(_.isEmpty))
+    // differential vs driver-side Pearson on a random walk
+    val rnd = new scala.util.Random(77)
+    var acc = 0L
+    val walk = (1 to 200).map { i =>
+      acc += rnd.nextInt(21) - 10; (9L, i.toLong, acc)
+    }
+    val wdf = walk.toDF("sid", "ts", "v")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val gotW = graft.tsdf.Stats.rollingTrendCorr(wdf, "ts", "v", Seq("sid"), 20)
+      .orderBy("ts").select("trend_corr_v").collect()
+      .map(x => if (x.isNullAt(0)) None else Some(x.getDouble(0)))
+    val vals = walk.map(_._3.toDouble)
+    val expW = vals.indices.map { i =>
+      val fr = vals.slice(math.max(0, i - 19), i + 1)
+      val n = fr.size.toDouble
+      val ys = (1 to fr.size).map(_.toDouble)
+      val sx = fr.sum; val sy = ys.sum
+      val dx = n * fr.map(x => x * x).sum - sx * sx
+      val dy = n * ys.map(y => y * y).sum - sy * sy
+      if (n < 2 || dx <= 0 || dy <= 0) None
+      else Some((n * fr.zip(ys).map { case (x, y) => x * y }.sum - sx * sy) /
+        (math.sqrt(dx) * math.sqrt(dy)))
+    }
+    gotW.zip(expW).foreach { case (g, e) =>
+      (g, e) match {
+        case (Some(gv), Some(ev)) => assert(math.abs(gv - ev) < 1e-9)
+        case (a, b) => assert(a == b)
+      }
+    }
+  }
 }
