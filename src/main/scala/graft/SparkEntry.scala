@@ -701,8 +701,8 @@ object SparkEntry {
   private val sinkId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Stream-stream tolerance join as a REAL streaming query: clicks and
-    * purchases feed two MemoryStreams in one batch, the watermarked join
-    * runs to completion, the memory sink comes back as a plain DataFrame.
+    * purchases arrive through two file-source streams in one AvailableNow
+    * batch, the watermarked join runs to completion into a parquet sink.
     * Single-batch execution makes the result equal the batch range join by
     * construction, so the DuckDB oracle replays it exactly; multi-batch
     * randomized equivalence lives in StreamingBatchDifferentialSpec. */
@@ -719,28 +719,46 @@ object SparkEntry {
     ss
   }
 
+  /** File-source stream over events.parquet with the physical schema (ts =
+    * raw nanos long): the feed stays DISTRIBUTED — the MemoryStream harness
+    * it replaces collected the whole input to the driver and shipped it
+    * inside every task binary (46 MiB tasks at sf1). One parquet file and
+    * no per-trigger limits ⇒ AvailableNow processes everything as a single
+    * micro-batch, preserving the single-batch = batch-oracle equality. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = s.read.parquet(s"$dir/events.parquet").schema
+    // the file source wants a DIRECTORY; the glob filter pins the one table
+    s.readStream.schema(sch).option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming frame to completion through a PARQUET sink (results
+    * never gather on the driver, unlike the memory sink) and read the
+    * output back as a plain DataFrame. */
+  private def runStream(s: SparkSession, out: DataFrame): DataFrame = {
+    val dst = java.nio.file.Files.createTempDirectory("graft_stream_out_")
+      .toString
+    val q = out.writeStream.format("parquet")
+      .option("path", s"$dst/data")
+      .option("checkpointLocation", s"$dst/chk")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$dst/data")
+  }
+
   /** Streaming Holt as a REAL single-batch streaming query — bit-identical
     * to the batch window aggregate by construction, so it shares
     * q_holt_exact's recursive-CTE oracle. */
   private def qStreamHolt(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
-    import s.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx = s.sqlContext
-    val rows = events(s, dir)
-      .select(col("user_id"), col("ts"), col("value"))
-      .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
-    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
     val out = graft.streaming.StreamingTSDF.holt(
-      mem.toDF().toDF("user_id", "ts", "value"), "ts", Seq("user_id"),
-      "value", alpha = 0.5, beta = 0.25)
-    val name = s"stream_holt_sink_${sinkId.incrementAndGet()}"
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    mem.addData(rows: _*)
-    q.processAllAvailable()
-    q.stop()
-    s.table(name).select(col("user_id"), usec(col("ts")).alias("ts_us"),
+      eventsStream(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "ts", Seq("user_id"), "value", alpha = 0.5, beta = 0.25)
+    runStream(s, out).select(col("user_id"), usec(col("ts")).alias("ts_us"),
       col("value"), col("holt_level_value"), col("holt_trend_value"))
   }
 
@@ -749,52 +767,23 @@ object SparkEntry {
     * events' per-user timestamps are unique, so ordering agrees). */
   private def qStreamRollMed(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
-    import s.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx = s.sqlContext
-    val rows = events(s, dir)
-      .select(col("user_id"), col("ts"), col("value"))
-      .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
-    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
     val out = graft.streaming.StreamingTSDF.rollingMedian(
-      mem.toDF().toDF("user_id", "ts", "value"), "ts", Seq("user_id"),
-      "value", window = 5)
-    val name = s"stream_rollmed_sink_${sinkId.incrementAndGet()}"
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    mem.addData(rows: _*)
-    q.processAllAvailable()
-    q.stop()
-    s.table(name).select(col("user_id"), usec(col("ts")).alias("ts_us"),
+      eventsStream(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "ts", Seq("user_id"), "value", window = 5)
+    runStream(s, out).select(col("user_id"), usec(col("ts")).alias("ts_us"),
       col("value"), col("rolling_median_value"))
   }
 
   private def qStreamToleranceJoin(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
-    import s.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx = s.sqlContext
-    val ev = events(s, dir)
-    val clicksRows = ev.filter(col("event_type") === "click")
+    val clicks = eventsStream(s, dir).filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSeq
-    val purchRows = ev.filter(col("event_type") === "purchase")
+    val purchases = eventsStream(s, dir).filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("value"))
-      .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
-    val memL = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
-    val memR = MemoryStream[(Long, java.sql.Timestamp, Double)]
     val out = graft.streaming.StreamingTSDF.toleranceJoin(
-      memL.toDF().toDF("user_id", "ts", "event_id", "value"),
-      memR.toDF().toDF("user_id", "ts", "value"),
+      clicks, purchases,
       "ts", Seq("user_id"), Seq("value"), tolerance = "1 hour")
-    val name = s"stream_tol_sink_${sinkId.incrementAndGet()}"
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    memL.addData(clicksRows: _*)
-    memR.addData(purchRows: _*)
-    q.processAllAvailable()
-    q.stop()
-    s.table(name).select(col("user_id"), usec(col("ts")).alias("ts_us"),
+    runStream(s, out).select(col("user_id"), usec(col("ts")).alias("ts_us"),
       col("event_id"), col("value"), usec(col("right_ts")).alias("right_ts_us"),
       col("right_value"))
   }
