@@ -204,6 +204,24 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("__bin"), p)
   }
 
+  test("point-in-interval join is a bin equi-join, never a nested loop") {
+    import spark.implicits._
+    val iv = (0 until 200).map { i =>
+      (i % 5L, i.toLong,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i * 600L)),
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i * 600L + 7200L)))
+    }.toDF("sid", "tag", "start_ts", "end_ts")
+    val pts = (0 until 500).map { i =>
+      (i % 5L, i.toLong,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i * 251L)))
+    }.toDF("sid", "pid", "ts")
+    val out = graft.intervals.IntervalsDF(iv, "start_ts", "end_ts", Seq("sid"))
+      .pointJoin(pts, "ts", binSeconds = 3600L)
+    val p = plan(out)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("__bin"), p)
+  }
+
   test("broadcast hints survive in the star-schema join") {
     val dir = "/root/testdata/sf0.001"
     val df = spark.read.parquet(s"$dir/lineitem.parquet")
