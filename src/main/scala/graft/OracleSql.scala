@@ -302,6 +302,27 @@ object OracleSql {
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
         |ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
 
+    // nearest as-of: backward + forward ASOF joins, smaller distance wins,
+    // backward on ties (exact integer-us distances)
+    "q_asof_nearest" ->
+      """WITH l AS (SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT l.user_id, l.ts, l.event_id, l.value,
+        |    r.ts AS bts, r.value AS bval
+        |  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+        |f AS (SELECT l.user_id, l.event_id, f2.ts AS fts, f2.value AS fval
+        |  FROM l ASOF LEFT JOIN r f2 ON l.user_id = f2.user_id AND l.ts <= f2.ts),
+        |j AS (SELECT b.*, f.fts, f.fval,
+        |  (bts IS NOT NULL AND (fts IS NULL OR
+        |    epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts)))
+        |    AS use_back
+        |  FROM b JOIN f ON b.user_id = f.user_id AND b.event_id = f.event_id)
+        |SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+        |  epoch_us(CASE WHEN use_back THEN bts ELSE fts END) AS right_ts_us,
+        |  CASE WHEN use_back THEN bval ELSE fval END AS right_value
+        |FROM j""".stripMargin,
+
     "q_asof_tolerance" ->
       s"""SELECT user_id, ts_us, event_id, value,
          |CASE WHEN ts_us - right_ts_us > 3600000000 THEN NULL ELSE right_ts_us END AS right_ts_us,
@@ -1239,6 +1260,35 @@ object OracleSql {
         |       sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)))
         |  END AS trend_corr_vc
         |FROM r""".stripMargin,
+
+    // calendar features: sub-day fields from exact integer epoch-us
+    // division, date fields from the shared proleptic-Gregorian functions
+    "q_time_features" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us,
+        |  CAST(year(ts) AS BIGINT) AS year,
+        |  CAST(month(ts) AS BIGINT) AS month,
+        |  CAST(day(ts) AS BIGINT) AS day,
+        |  (CAST(month(ts) AS BIGINT) + 2) // 3 AS quarter,
+        |  (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |  (epoch_us(ts) // 60000000) % 60 AS minute,
+        |  ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow,
+        |  ((epoch_us(ts) // 86400000000) + 3) % 7 >= 5 AS is_weekend
+        |FROM events""".stripMargin,
+
+    // winsorize: clip bounds via the q_quantiles rank convention, the clip
+    // itself is pure selection (least/greatest), engine-exact
+    "q_winsorize" ->
+      """WITH r AS (SELECT user_id, ts, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY value) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n FROM events),
+        |b AS (SELECT *,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT))
+        |    THEN value END) OVER (PARTITION BY user_id) AS lo,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+        |    THEN value END) OVER (PARTITION BY user_id) AS hi
+        |  FROM r)
+        |SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+        |  least(greatest(value, lo), hi) AS value_w FROM b""".stripMargin,
 
     // CUSUM replay: exact BIGINT prefix sums; |S_t| = abs(cum − rn·mu) with
     // mu = s/n computed first, matching Stats.cusum's operand order.

@@ -129,6 +129,11 @@ object SparkEntry {
   private def qAsofNext(s: SparkSession, dir: String): DataFrame =
     asofOut(clicks(s, dir).asofJoinNext(purchases(s, dir)).df)
 
+  /** Nearest as-of: each click attaches the CLOSEST purchase in time,
+    * backward winning ties. */
+  private def qAsofNearest(s: SparkSession, dir: String): DataFrame =
+    asofOut(clicks(s, dir).asofJoinNearest(purchases(s, dir)).df)
+
   private def qResampleAvg(s: SparkSession, dir: String): DataFrame =
     eventsTsdf(s, dir, "event_type", cents(col("value")).alias("c"))
       .resample("1 hour", "mean")
@@ -967,6 +972,22 @@ object SparkEntry {
         cents(col("value")).cast(LongType).alias("vc")),
       "ts", "vc", Seq("user_id"), maxLag = 3, tieCols = Seq("event_id"))
 
+  /** Calendar covariates from exact integer epoch-µs arithmetic. */
+  private def qTimeFeatures(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(col("event_id") +:
+      usec(col("ts")).alias("ts_us") +:
+      graft.tsdf.TimeFeatures.calendar(col("ts")): _*)
+
+  /** Per-user winsorization of the raw value at the exact 5th/95th
+    * percentile bounds. */
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame =
+    graft.tsdf.Stats.winsorize(
+      events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+        col("value")),
+      "value", Seq("user_id"), pLo = 0.05, pHi = 0.95)
+      .select(col("user_id"), usec(col("ts")).alias("ts_us"), col("event_id"),
+        col("value"), col("value_w"))
+
   /** Rolling trend correlation over the trailing 20 observations of the
     * cent-quantized value, per user. */
   private def qRollingCorr(s: SparkSession, dir: String): DataFrame =
@@ -1153,6 +1174,7 @@ object SparkEntry {
     "q_stream_pq_topk" -> qStreamPqTopk _,
     "q_asof" -> qAsof _,
     "q_asof_next" -> qAsofNext _,
+    "q_asof_nearest" -> qAsofNearest _,
     "q_asof_tolerance" -> qAsofTolerance _,
     "q_asof_bcast" -> qAsofBcast _,
     "q_asof_skew" -> qAsofSkew _,
@@ -1232,6 +1254,8 @@ object SparkEntry {
     "q_anomaly_mad" -> qAnomalyMad _,
     "q_acf" -> qAcf _,
     "q_rolling_corr" -> qRollingCorr _,
+    "q_time_features" -> qTimeFeatures _,
+    "q_winsorize" -> qWinsorize _,
     "q_cusum" -> qCusum _,
     "q_drift" -> qDrift _,
     "q_drift_stats" -> qDriftStats _,

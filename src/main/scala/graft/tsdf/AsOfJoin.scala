@@ -244,4 +244,77 @@ object AsOfJoin {
       }) { (d, c) => d.withColumn(c, -col(c)) }
     joined.copy(df = restored)
   }
+
+  /** Nearest-event as-of join: attach the right row minimizing
+    * |right.ts − left.ts| per series — backward and forward in one
+    * operator (sensor fusion / "closest reading" alignment). Equal
+    * distances (including an exact-ts match, distance 0 both ways) prefer
+    * the backward row — the prior-row default's convention.
+    *
+    * Plan shape: ONE series exchange. Both sides null-pad and union (as
+    * the backward path); the trailing right row rides
+    * `last(struct(right cols)) over (… rows unbounded preceding)` and the
+    * leading right row `first(struct(right cols)) over (… rows unbounded
+    * following)` — two window sorts sharing one partitioning, not two
+    * joins. Each candidate is a whole struct, so the chosen values are
+    * guaranteed row-consistent (never column A from the prior row and
+    * column B from the next). `tolerance` (seconds) nulls the right side
+    * where the chosen distance exceeds it — exact integer-µs compare.
+    *
+    * Sequence columns have no meaning across two directions at once and
+    * are rejected. */
+  def nearest(left0: TSDF, right0: TSDF, leftPrefix: Option[String],
+      rightPrefix: String, tolerance: Option[Double]): TSDF = {
+    require(left0.sequenceCol.isEmpty && right0.sequenceCol.isEmpty,
+      "nearest as-of does not support sequence columns")
+    require(left0.partitionCols == right0.partitionCols,
+      s"as-of join requires matching series columns: " +
+        s"${left0.partitionCols} vs ${right0.partitionCols}")
+    val left = withPrefix(left0, leftPrefix.filter(_.nonEmpty))
+    val right = withPrefix(right0, Some(rightPrefix).filter(_.nonEmpty))
+    val series = left.partitionCols
+    val leftCols = left.df.columns.filterNot(series.contains).toSeq
+    val rightCols = right.df.columns.filterNot(series.contains).toSeq
+    def pad(df: DataFrame, ownCols: Seq[String], otherDf: DataFrame,
+        otherCols: Seq[String], recInd: Int): DataFrame = {
+      val otherTypes = otherDf.schema.fields.map(f => f.name -> f.dataType).toMap
+      df.select(
+        (series.map(col) ++ ownCols.map(col) ++
+          otherCols.map(c => lit(null).cast(otherTypes(c)).alias(c)) :+
+          lit(recInd).alias("__rec_ind")): _*)
+    }
+    val unioned = pad(left.df, leftCols, right.df, rightCols, 1)
+      .unionByName(pad(right.df, rightCols, left.df, leftCols, -1))
+      .withColumn("__combined_ts", coalesce(col(left.tsCol), col(right.tsCol)))
+    val rightStruct = when(col("__rec_ind") === -1,
+      struct(rightCols.map(col): _*))
+    // backward: right rows sort BEFORE the left row at equal ts (asc
+    // rec_ind: -1 < 1), so an exact-ts match is a backward hit
+    val wBack = Window.partitionBy(series.map(col): _*)
+      .orderBy(col("__combined_ts").asc, col("__rec_ind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward: at equal ts the left row sorts first (desc rec_ind), so the
+    // frame still sees the equal-ts right row — symmetric candidates
+    val wFwd = Window.partitionBy(series.map(col): _*)
+      .orderBy(col("__combined_ts").asc, col("__rec_ind").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rightTs = right.tsCol // prefixed name (or the original if no prefix)
+    val staged = unioned
+      .withColumn("__back", last(rightStruct, ignoreNulls = true).over(wBack))
+      .withColumn("__fwd", first(rightStruct, ignoreNulls = true).over(wFwd))
+      .filter(col(left.tsCol).isNotNull)
+    val lts = unix_micros(col(left.tsCol))
+    val db = lts - unix_micros(col("__back").getField(rightTs))
+    val df_ = unix_micros(col("__fwd").getField(rightTs)) - lts
+    val useBack = col("__back").isNotNull &&
+      (col("__fwd").isNull || db <= df_)
+    val chosen = when(useBack, col("__back")).otherwise(col("__fwd"))
+    val inTol = tolerance.fold(lit(true)) { t =>
+      when(useBack, db).otherwise(df_) <= math.round(t * 1e6)
+    }
+    val picked = rightCols.foldLeft(staged) { (d, c) =>
+      d.withColumn(c, when(inTol, chosen.getField(c)))
+    }.drop("__rec_ind", "__combined_ts", "__back", "__fwd")
+    TSDF(picked, left.tsCol, series, None)
+  }
 }

@@ -164,6 +164,32 @@ object Stats {
     ranked.groupBy(seriesCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-series winsorization: clip values to the [pLo, pHi] exact
+    * quantiles of their own series — the robust tail-taming step before
+    * scale-sensitive featurization (unlike dropping outliers, row count
+    * and alignment are preserved). Quantiles use [[quantiles]]' "lower"
+    * rank convention, so the clip bounds are members of the value multiset
+    * and the output is engine-exact (clipping selects, never computes).
+    *
+    * Plan shape: ONE series exchange — the value-ordered rank window, the
+    * whole-partition bound extraction, and the clip all reuse the same
+    * partitioning (no join back). Output: input row + `<col>_w`. */
+  def winsorize(df: DataFrame, valueCol: String, seriesCols: Seq[String],
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo > 0 && pHi <= 1 && pLo < pHi, "need 0 < pLo < pHi <= 1")
+    val w = Window.partitionBy(seriesCols.map(col): _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(seriesCols.map(col): _*)
+    def bound(p: Double) = {
+      val target = greatest(lit(1L), ceil(lit(p) * col("__n")).cast(LongType))
+      max(when(col("__rn") === target, col(valueCol))).over(wAll)
+    }
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), bound(pLo)), bound(pHi)))
+      .drop("__rn", "__n")
+  }
+
   /** Robust per-series anomaly summary via median / MAD (median absolute
     * deviation): a point is anomalous when |x − median| > k·MAD — the
     * outlier-resistant cousin of the z-score (a few extreme points cannot

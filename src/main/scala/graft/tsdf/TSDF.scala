@@ -233,6 +233,15 @@ case class TSDF(
       tolerance: Option[Double] = None): TSDF =
     AsOfJoin.forward(this, right, leftPrefix, rightPrefix, skipNulls, tolerance)
 
+  /** Nearest as-of: attach the right row minimizing |right.ts − ts|;
+    * equal distances prefer the backward row. */
+  def asofJoinNearest(
+      right: TSDF,
+      leftPrefix: Option[String] = None,
+      rightPrefix: String = "right",
+      tolerance: Option[Double] = None): TSDF =
+    AsOfJoin.nearest(this, right, leftPrefix, rightPrefix, tolerance)
+
   def resample(freq: String, func: String, fill: Boolean = false,
       metricCols: Option[Seq[String]] = None, prefix: Option[String] = None): TSDF =
     Resample.aggregate(this, freq, func, fill, metricCols, prefix)

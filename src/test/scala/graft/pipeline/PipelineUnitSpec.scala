@@ -1163,6 +1163,53 @@ class PipelineUnitSpec extends SparkTestBase {
       .count() == 500)
   }
 
+  test("winsorize clips to in-multiset bounds and preserves row count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 400).map(i =>
+      (i % 3L, i.toLong, rnd.nextInt(1000).toDouble)) :+
+      (0L, 1000L, 1e9) :+ (0L, 1001L, -1e9) // extreme outliers
+    val df = rows.toDF("sid", "ts", "v")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val got = graft.tsdf.Stats.winsorize(df, "v", Seq("sid"), 0.05, 0.95)
+    assert(got.count() == rows.size)
+    val bySid = got.select("sid", "v", "v_w").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r =>
+        (r.getDouble(1), r.getDouble(2)))).toMap
+    bySid.foreach { case (sid, vs) =>
+      val sorted = vs.map(_._1).sorted
+      val n = sorted.length
+      val lo = sorted(math.max(1, math.ceil(0.05 * n).toInt) - 1)
+      val hi = sorted(math.max(1, math.ceil(0.95 * n).toInt) - 1)
+      vs.foreach { case (v, w) =>
+        assert(w == math.min(math.max(v, lo), hi), s"sid=$sid v=$v w=$w")
+      }
+      // bounds are members of the value multiset
+      assert(vs.map(_._1).contains(lo) && vs.map(_._1).contains(hi))
+    }
+    // the planted outliers are clipped
+    assert(bySid(0L).forall { case (_, w) => w < 1e9 && w > -1e9 })
+  }
+
+  test("calendar features match known dates and stay integer-exact") {
+    import spark.implicits._
+    val cases = Seq(
+      "2024-01-01 00:00:00", // Monday, Q1
+      "2024-02-29 23:59:00", // leap Thursday
+      "2024-03-15 13:45:00", // Friday, Q1
+      "2024-06-30 12:00:00", // Sunday, Q2
+      "1970-01-01 00:00:00") // Thursday, epoch
+    val got = cases.toDF("s")
+      .select(graft.tsdf.TimeFeatures.calendar(
+        to_timestamp(col("s"))): _*).collect()
+    def row(i: Int) = got(i)
+    assert(row(0).toSeq == Seq(2024L, 1L, 1L, 1L, 0L, 0L, 0L, false))
+    assert(row(1).toSeq == Seq(2024L, 2L, 29L, 1L, 23L, 59L, 3L, false))
+    assert(row(2).toSeq == Seq(2024L, 3L, 15L, 1L, 13L, 45L, 4L, false))
+    assert(row(3).toSeq == Seq(2024L, 6L, 30L, 2L, 12L, 0L, 6L, true))
+    assert(row(4).toSeq == Seq(1970L, 1L, 1L, 1L, 0L, 0L, 3L, false))
+  }
+
   test("rollingTrendCorr: +1 on rises, -1 on falls, null on constants") {
     import spark.implicits._
     val rise = (1 to 30).map(i => (1L, i.toLong, i.toLong * 3))
