@@ -35,6 +35,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exchanges(joined) == 1, plan(joined))
   }
 
+  test("nearest as-of shuffles exactly once for both window directions") {
+    val left = TSDF(eventsDf.select(col("user_id"), col("ts"), col("value")), "ts", Seq("user_id"))
+    val right = TSDF(eventsDf.select(col("user_id"), col("ts"),
+      (col("value") * 2).alias("quote")), "ts", Seq("user_id"))
+    val joined = left.asofJoinNearest(right).df
+    // backward last() and forward first() share one hash exchange — two
+    // in-partition sorts, never a second shuffle or a self-join
+    assert(exchanges(joined) == 1, plan(joined))
+    assert(!plan(joined).contains("SortMergeJoin"), plan(joined))
+  }
+
   test("as-of broadcast path picks a BroadcastHashJoin") {
     val left = TSDF(eventsDf, "ts", Seq("user_id"))
     val right = TSDF(eventsDf.select(col("user_id"), col("ts"),
