@@ -16,6 +16,42 @@ object OracleSql {
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
   /** occurrences of a marker in padded lowercase text */
+  // multi-query BM25 replay - shared by q_bm25_multi (one-pass) and
+  // q_bm25_indexed (postings-index path): the index form is an exact
+  // integer identity of the one-pass stats, so one oracle covers both
+  private val bm25MultiSql: String = {
+      val qvals = SparkEntry.Bm25Queries
+        .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+        .mkString(", ")
+      val k = 10
+      val avgdl = "(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))"
+      val idf = "ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))"
+      val contrib =
+        s"($idf * (tf * 2.2)) / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / $avgdl))"
+      s"""WITH q(query_id, term) AS (SELECT * FROM (VALUES $qvals)),
+         |d AS (SELECT doc_id, $norm AS nrm FROM documents),
+         |tok AS (SELECT doc_id, len(string_split(nrm, ' ')) AS dl,
+         |  unnest(string_split(nrm, ' ')) AS term FROM d),
+         |qt AS (SELECT * FROM tok WHERE term IN (SELECT DISTINCT term FROM q)),
+         |tf AS (SELECT doc_id, term, max(dl) AS dl, count(*) AS tf
+         |  FROM qt GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |stats AS (SELECT count(*) AS n,
+         |  CAST(sum(len(string_split(nrm, ' '))) AS BIGINT) AS tot FROM d),
+         |ct AS (SELECT tf.doc_id, tf.term,
+         |  CAST(floor(($contrib) * 1000000.0 + 0.5) AS BIGINT) AS cs
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+         |sc AS (SELECT q.query_id, ct.doc_id, sum(ct.cs) AS s
+         |  FROM ct JOIN q USING (term) GROUP BY q.query_id, ct.doc_id),
+         |r AS (SELECT query_id, doc_id,
+         |  floor((CAST(s AS DOUBLE) / 1000000.0) * 10000.0 + 0.5) / 10000.0 AS score
+         |  FROM sc),
+         |t AS (SELECT query_id, doc_id, score, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM r)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |  CAST(rnk AS BIGINT) AS "rank", score FROM t WHERE rnk <= $k""".stripMargin
+    }
+
   private def occ(hay: String, needle: String): String = {
     val n = needle.replace("'", "''")
     s"CAST((length($hay) - length(replace($hay, '$n', ''))) / ${needle.length} AS BIGINT)"
@@ -922,38 +958,9 @@ object OracleSql {
     // multi-query BM25: per-term contributions quantized to exact BIGINT
     // micro-units (floor(c*1e6 + 0.5); positive, so half-up in any engine)
     // and integer-summed per (query, doc) — order-independent, replayable
-    "q_bm25_multi" -> {
-      val qvals = SparkEntry.Bm25Queries
-        .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
-        .mkString(", ")
-      val k = 10
-      val avgdl = "(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))"
-      val idf = "ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))"
-      val contrib =
-        s"($idf * (tf * 2.2)) / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / $avgdl))"
-      s"""WITH q(query_id, term) AS (SELECT * FROM (VALUES $qvals)),
-         |d AS (SELECT doc_id, $norm AS nrm FROM documents),
-         |tok AS (SELECT doc_id, len(string_split(nrm, ' ')) AS dl,
-         |  unnest(string_split(nrm, ' ')) AS term FROM d),
-         |qt AS (SELECT * FROM tok WHERE term IN (SELECT DISTINCT term FROM q)),
-         |tf AS (SELECT doc_id, term, max(dl) AS dl, count(*) AS tf
-         |  FROM qt GROUP BY doc_id, term),
-         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |stats AS (SELECT count(*) AS n,
-         |  CAST(sum(len(string_split(nrm, ' '))) AS BIGINT) AS tot FROM d),
-         |ct AS (SELECT tf.doc_id, tf.term,
-         |  CAST(floor(($contrib) * 1000000.0 + 0.5) AS BIGINT) AS cs
-         |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
-         |sc AS (SELECT q.query_id, ct.doc_id, sum(ct.cs) AS s
-         |  FROM ct JOIN q USING (term) GROUP BY q.query_id, ct.doc_id),
-         |r AS (SELECT query_id, doc_id,
-         |  floor((CAST(s AS DOUBLE) / 1000000.0) * 10000.0 + 0.5) / 10000.0 AS score
-         |  FROM sc),
-         |t AS (SELECT query_id, doc_id, score, row_number() OVER (
-         |  PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM r)
-         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
-         |  CAST(rnk AS BIGINT) AS "rank", score FROM t WHERE rnk <= $k""".stripMargin
-    },
+    "q_bm25_multi" -> bm25MultiSql,
+
+    "q_bm25_indexed" -> bm25MultiSql,
 
     // deterministic stratified sample: integer hash-bucket threshold per
     // stratum (no floats anywhere in the predicate)

@@ -903,6 +903,21 @@ object SparkEntry {
       queries, "query_id", "terms", k = 10)
   }
 
+  /** Index-backed BM25: build the postings index, round-trip it through a
+    * term-sorted parquet layout (row-group pruning on the term filter),
+    * score the same query batch — bit-identical to q_bm25_multi, so it
+    * shares that oracle. */
+  private def qBm25Indexed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = System.getProperty("java.io.tmpdir") +
+      "/graft_postings_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    Retrieval.buildPostingsIndex(docs(s, dir), "text", "doc_id")
+      .repartition(8, col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(path)
+    Retrieval.bm25TopKFromIndex(s.read.parquet(path), "doc_id",
+      Bm25Queries.toDF("query_id", "terms"), "query_id", "terms", k = 10)
+  }
+
   /** Per-language sampling fractions — `es`/`zh` fall through to the
     * default, exercising that path. */
   val StratifiedFractions: Map[String, Double] =
@@ -1247,6 +1262,7 @@ object SparkEntry {
     "q_pii" -> qPii _,
     "q_bm25" -> qBm25 _,
     "q_bm25_multi" -> qBm25Multi _,
+    "q_bm25_indexed" -> qBm25Indexed _,
     "q_stratified_sample" -> qStratifiedSample _,
     "q_decontam_ngram" -> qDecontamNgram _,
     "q_pack_sequences" -> qPackSequences _,

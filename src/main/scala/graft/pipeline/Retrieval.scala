@@ -116,10 +116,55 @@ object Retrieval {
       .join(terms, Seq("__term")) // AQE broadcasts the tiny term set
     val tf = tokens.groupBy(col(idCol), col("__term"))
       .agg(max(col("__dl")).alias("__dl"), count(lit(1)).alias("__tf"))
-    // per-term document frequency falls out of tf (one row per (doc, term))
-    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).alias("__df"))
     val stats = df.agg(count(lit(1)).alias("__n"),
       sum(size(toks).cast(LongType)).alias("__tot"))
+    scoreTf(tf, stats, qt, idCol, queryIdCol, k, k1, b)
+  }
+
+  /** Materialized postings index: ONE corpus tokenization pass into
+    * (term, id, tf, dl) — the "build once, query many" layout real
+    * retrieval over 100 TB uses (write it sorted by term so scans of a
+    * query's postings prune row groups on the term min/max stats). `dl`
+    * is denormalized per posting so scoring never rejoins the corpus. */
+  def buildPostingsIndex(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val toks = split(Dedup.normalizeText(col(textCol)), " ")
+    df.select(col(idCol), size(toks).alias("dl"),
+        explode(toks).alias("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).alias("tf"), max(col("dl")).alias("dl"))
+  }
+
+  /** Multi-query BM25 over a prebuilt [[buildPostingsIndex]] table —
+    * bit-identical to [[bm25TopKMultiQuery]] on the same corpus (the
+    * corpus stats N = distinct ids and Σtokens = Σtf are exact integer
+    * identities of the one-pass form, and the scoring tail is the shared
+    * code path), without re-tokenizing the corpus per batch. The term
+    * filter lands on the index scan, so a query batch touches only its
+    * own postings. Requires unique `idCol` values (any real corpus). */
+  def bm25TopKFromIndex(postings: DataFrame, idCol: String,
+      queries: DataFrame, queryIdCol: String, termsCol: String,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qt = queries.select(col(queryIdCol).alias("__qid"),
+      explode(col(termsCol)).alias("__term")).distinct()
+    val terms = qt.select(col("__term")).distinct()
+    val tf = postings.select(col("term").alias("__term"), col(idCol),
+        col("dl").alias("__dl"), col("tf").alias("__tf"))
+      .join(terms, Seq("__term"))
+    val stats = postings.agg(count_distinct(col(idCol)).alias("__n"),
+      sum(col("tf")).alias("__tot"))
+    scoreTf(tf, stats, qt, idCol, queryIdCol, k, k1, b)
+  }
+
+  /** Shared BM25 scoring tail: per-term contributions quantized to exact
+    * BIGINT micro-units (order-independent sums), one double division at
+    * the end, per-query top-k window. `tf` = (__term, idCol, __dl, __tf)
+    * already filtered to query terms; `stats` = one row (__n, __tot). */
+  private def scoreTf(tf: DataFrame, stats: DataFrame, qt: DataFrame,
+      idCol: String, queryIdCol: String, k: Int, k1: Double,
+      b: Double): DataFrame = {
+    // per-term document frequency falls out of tf (one row per (doc, term))
+    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).alias("__df"))
     val avgdl = col("__tot").cast(DoubleType) / col("__n").cast(DoubleType)
     val idf = log(lit(1.0) +
       (col("__n").cast(DoubleType) - col("__df") + 0.5) / (col("__df") + 0.5))

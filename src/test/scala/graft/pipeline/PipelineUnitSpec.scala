@@ -1163,6 +1163,30 @@ class PipelineUnitSpec extends SparkTestBase {
       .count() == 500)
   }
 
+  test("bm25 postings-index path equals the one-pass multi-query path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docs = (1 to 60).map { i =>
+      (i.toLong, (0 until 5 + rnd.nextInt(20))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val queries = Seq((1L, Seq("alpha", "beta")), (2L, Seq("gamma")),
+      (3L, Seq("delta", "zeta", "alpha"))).toDF("query_id", "terms")
+    val onePass = Retrieval.bm25TopKMultiQuery(docs, "text", "doc_id",
+      queries, "query_id", "terms", k = 5).collect().toSet
+    val index = Retrieval.buildPostingsIndex(docs, "text", "doc_id")
+    val viaIndex = Retrieval.bm25TopKFromIndex(index, "doc_id",
+      queries, "query_id", "terms", k = 5).collect().toSet
+    assert(onePass == viaIndex)
+    assert(onePass.nonEmpty)
+    // the index itself is consistent: sum(tf) per doc equals dl
+    val bad = index.groupBy("doc_id")
+      .agg(sum("tf").alias("s"), max("dl").alias("d"))
+      .filter(col("s") =!= col("d")).count()
+    assert(bad == 0)
+  }
+
   test("winsorize clips to in-multiset bounds and preserves row count") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
