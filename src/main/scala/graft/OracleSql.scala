@@ -962,6 +962,15 @@ object OracleSql {
 
     "q_bm25_indexed" -> bm25MultiSql,
 
+    // the postings index rows themselves (doc_id % 17 slice)
+    "q_postings_index" ->
+      s"""WITH d AS (SELECT doc_id, $norm AS nrm FROM documents
+         |  WHERE doc_id % 17 = 0),
+         |tok AS (SELECT doc_id, len(string_split(nrm, ' ')) AS dl,
+         |  unnest(string_split(nrm, ' ')) AS term FROM d)
+         |SELECT term, doc_id, count(*) AS tf, max(dl) AS dl
+         |FROM tok GROUP BY term, doc_id""".stripMargin,
+
     // deterministic stratified sample: integer hash-bucket threshold per
     // stratum (no floats anywhere in the predicate)
     "q_stratified_sample" -> {

@@ -918,6 +918,13 @@ object SparkEntry {
       Bm25Queries.toDF("query_id", "terms"), "query_id", "terms", k = 10)
   }
 
+  /** The postings index itself, oracle-gated row-for-row (restricted to a
+    * doc_id slice to keep the dump small — the full index is
+    * corpus-token-sized). */
+  private def qPostingsIndex(s: SparkSession, dir: String): DataFrame =
+    Retrieval.buildPostingsIndex(
+      docs(s, dir).filter(col("doc_id") % 17 === 0), "text", "doc_id")
+
   /** Per-language sampling fractions — `es`/`zh` fall through to the
     * default, exercising that path. */
   val StratifiedFractions: Map[String, Double] =
@@ -1263,6 +1270,7 @@ object SparkEntry {
     "q_bm25" -> qBm25 _,
     "q_bm25_multi" -> qBm25Multi _,
     "q_bm25_indexed" -> qBm25Indexed _,
+    "q_postings_index" -> qPostingsIndex _,
     "q_stratified_sample" -> qStratifiedSample _,
     "q_decontam_ngram" -> qDecontamNgram _,
     "q_pack_sequences" -> qPackSequences _,
