@@ -253,13 +253,15 @@ object AsOfJoin {
     *
     * Plan shape: ONE series exchange. Both sides null-pad and union (as
     * the backward path); the trailing right row rides
-    * `last(struct(right cols)) over (… rows unbounded preceding)` and the
-    * leading right row `first(struct(right cols)) over (… rows unbounded
-    * following)` — two window sorts sharing one partitioning, not two
-    * joins. Each candidate is a whole struct, so the chosen values are
-    * guaranteed row-consistent (never column A from the prior row and
-    * column B from the next). `tolerance` (seconds) nulls the right side
-    * where the chosen distance exceeds it — exact integer-µs compare.
+    * `last(struct(right cols))` over the ascending running frame and the
+    * leading right row the same `last` over the DESCENDING running frame —
+    * two window sorts sharing one partitioning, not two joins, and both
+    * frames are O(n) streaming accumulations (no unbounded-following
+    * frame, whose execution re-scans to the partition end per row). Each
+    * candidate is a whole struct, so the chosen values are guaranteed
+    * row-consistent (never column A from the prior row and column B from
+    * the next). `tolerance` (seconds) nulls the right side where the
+    * chosen distance exceeds it — exact integer-µs compare.
     *
     * Sequence columns have no meaning across two directions at once and
     * are rejected. */
@@ -293,15 +295,19 @@ object AsOfJoin {
     val wBack = Window.partitionBy(series.map(col): _*)
       .orderBy(col("__combined_ts").asc, col("__rec_ind").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // forward: at equal ts the left row sorts first (desc rec_ind), so the
-    // frame still sees the equal-ts right row — symmetric candidates
+    // forward candidate via a DESCENDING-time running frame (rec_ind still
+    // asc, so the equal-ts right row is inside the frame): `last` over
+    // [unbounded preceding, current] in desc order = the right row with the
+    // smallest ts >= this row's ts. Both frames are running frames — O(n)
+    // streaming accumulation; a (currentRow, unboundedFollowing) frame
+    // would re-scan to the partition end PER ROW (quadratic per series).
     val wFwd = Window.partitionBy(series.map(col): _*)
-      .orderBy(col("__combined_ts").asc, col("__rec_ind").desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("__combined_ts").desc, col("__rec_ind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val rightTs = right.tsCol // prefixed name (or the original if no prefix)
     val staged = unioned
       .withColumn("__back", last(rightStruct, ignoreNulls = true).over(wBack))
-      .withColumn("__fwd", first(rightStruct, ignoreNulls = true).over(wFwd))
+      .withColumn("__fwd", last(rightStruct, ignoreNulls = true).over(wFwd))
       .filter(col(left.tsCol).isNotNull)
     val lts = unix_micros(col(left.tsCol))
     val db = lts - unix_micros(col("__back").getField(rightTs))
