@@ -1325,6 +1325,92 @@ object OracleSql {
         |SELECT user_id, n, abs_s AS cusum_max_abs, epoch_us(ts) AS changepoint_ts_us
         |FROM r WHERE pick = 1""".stripMargin,
 
+    // Page's CUSUM control chart: the clamped recursion unrolled by the
+    // reflection identity S_t = P_t - min(0, min_j P_j) -- two exact
+    // BIGINT window aggregates per side, no recursive CTE
+    "q_cusum_control" ->
+      """WITH c AS (SELECT user_id, ts, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |p AS (SELECT user_id, ts, event_id, vc,
+        |  sum(vc - 5000 - 500) OVER w AS phi,
+        |  sum(5000 - 500 - vc) OVER w AS plo
+        |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT *, min(phi) OVER w AS mhi, min(plo) OVER w AS mlo
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, epoch_us(ts) AS ts_us, event_id, vc,
+        |  CAST(phi - least(0, mhi) AS BIGINT) AS cusum_hi,
+        |  CAST(plo - least(0, mlo) AS BIGINT) AS cusum_lo,
+        |  (phi - least(0, mhi) > 20000) OR (plo - least(0, mlo) > 20000)
+        |    AS alert
+        |FROM m""".stripMargin,
+
+    // streaming twin: same integers, no event_id in the projection
+    // (per-user timestamps are unique, so the ordering agrees)
+    "q_stream_cusum" ->
+      """WITH c AS (SELECT user_id, ts,
+        |  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |p AS (SELECT user_id, ts, vc,
+        |  sum(vc - 5000 - 500) OVER w AS phi,
+        |  sum(5000 - 500 - vc) OVER w AS plo
+        |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT *, min(phi) OVER w AS mhi, min(plo) OVER w AS mlo
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, epoch_us(ts) AS ts_us, vc,
+        |  CAST(phi - least(0, mhi) AS BIGINT) AS cusum_hi,
+        |  CAST(plo - least(0, mlo) AS BIGINT) AS cusum_lo,
+        |  (phi - least(0, mhi) > 20000) OR (plo - least(0, mlo) > 20000)
+        |    AS alert
+        |FROM m""".stripMargin,
+
+    // rolling OLS slope: exact BIGINT frame sums, one fixed-order division
+    "q_rolling_slope" ->
+      """WITH c AS (SELECT user_id, ts, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |w AS (SELECT *, row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id) AS i FROM c),
+        |r AS (SELECT *, count(*) OVER f AS n,
+        |  sum(i) OVER f AS si, sum(i * i) OVER f AS si2,
+        |  sum(vc) OVER f AS sy, sum(i * vc) OVER f AS siy
+        |  FROM w WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, epoch_us(ts) AS ts_us, event_id, vc,
+        |  CASE WHEN n >= 2 AND n * si2 - si * si > 0
+        |    THEN CAST(n * siy - si * sy AS DOUBLE) /
+        |      CAST(n * si2 - si * si AS DOUBLE)
+        |  END AS slope_vc
+        |FROM r""".stripMargin,
+
+    // incremental dedup triage of the doc_id%4==0 batch against the
+    // fingerprint index of the rest of the corpus
+    "q_dedup_incremental" ->
+      s"""WITH fp AS (SELECT doc_id, md5($norm) AS fp FROM documents),
+         |idx AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 4 <> 0),
+         |batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 4 = 0),
+         |w AS (SELECT fp, min(doc_id) AS win FROM batch GROUP BY fp)
+         |SELECT b.doc_id, b.fp,
+         |  CASE WHEN i.fp IS NOT NULL THEN 'dup_existing'
+         |       WHEN w.win <> b.doc_id THEN 'dup_batch'
+         |       ELSE 'kept' END AS status
+         |FROM batch b LEFT JOIN idx i USING (fp) JOIN w USING (fp)""".stripMargin,
+
+    // intra-document first-occurrence segment dedup (token granularity);
+    // DuckDB's indexed list_filter i is 1-based, Spark's filter index is
+    // 0-based -- both compare against the 1-based first-occurrence position
+    "q_para_dedup" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS ps
+        |  FROM documents),
+        |k AS (SELECT doc_id, ps,
+        |  list_filter(ps, (x, i) -> list_position(ps, x) = i) AS keep
+        |  FROM s)
+        |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_paras,
+        |  CAST(len(ps) - len(keep) AS BIGINT) AS n_removed,
+        |  md5(array_to_string(keep, ' ')) AS clean_fp
+        |FROM k""".stripMargin,
+
     "q_token_count" -> {
       val nt = "CASE WHEN length(tt) = 0 THEN 0 ELSE length(tt) - length(replace(tt, ' ', '')) + 1 END"
       s"""WITH x AS (SELECT doc_id, text, trim(regexp_replace(text, ' +', ' ', 'g')) AS tt

@@ -1038,6 +1038,59 @@ object SparkEntry {
       .select(col("user_id"), col("n"), col("cusum_max_abs"),
         usec(col("changepoint_ts")).alias("changepoint_ts_us"))
 
+  /** Page's CUSUM control chart per user vs a 50.00 target (cents: 5000),
+    * slack 5.00, threshold 200.00 — both chart sides are exact BIGINTs
+    * from the reflection-identity window plan. */
+  private def qCusumControl(s: SparkSession, dir: String): DataFrame =
+    graft.tsdf.Stats.cusumControl(
+      events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+        cents(col("value")).cast(LongType).alias("vc")),
+      "ts", "vc", Seq("user_id"), target = 5000L, slack = 500L,
+      threshold = 20000L, tieCols = Seq("event_id"))
+      .select(col("user_id"), usec(col("ts")).alias("ts_us"), col("event_id"),
+        col("vc"), col("cusum_hi"), col("cusum_lo"), col("alert"))
+
+  /** Streaming CUSUM control chart as a real single-batch streaming query —
+    * the same exact integers as the batch plan by construction (per-user
+    * timestamps are unique, so ordering agrees). */
+  private def qStreamCusum(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val out = graft.streaming.StreamingTSDF.cusumControl(
+      eventsStream(s, dir).select(col("user_id"), col("ts"),
+        cents(col("value")).cast(LongType).alias("vc")),
+      "ts", Seq("user_id"), "vc", target = 5000L, slack = 500L,
+      threshold = 20000L)
+    runStream(s, out).select(col("user_id"), usec(col("ts")).alias("ts_us"),
+      col("vc"), col("cusum_hi"), col("cusum_lo"), col("alert"))
+  }
+
+  /** Rolling OLS slope of the cent-quantized value over the trailing 20
+    * observations, per user. */
+  private def qRollingSlope(s: SparkSession, dir: String): DataFrame =
+    graft.tsdf.Stats.rollingSlope(
+      events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+        cents(col("value")).cast(LongType).alias("vc")),
+      "ts", "vc", Seq("user_id"), window = 20, tieCols = Seq("event_id"))
+      .select(col("user_id"), usec(col("ts")).alias("ts_us"), col("event_id"),
+        col("vc"), col("slope_vc"))
+
+  /** Incremental dedup: documents with doc_id % 4 == 0 arrive as the new
+    * batch; the rest are the accumulated corpus whose fingerprints form
+    * the index the batch is triaged against. */
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val index = d.filter(col("doc_id") % 4 =!= 0)
+      .select(TextAnalysis.fingerprint(col("text")).alias("fp"))
+    Dedup.incrementalDedup(d.filter(col("doc_id") % 4 === 0), index,
+      "text", "doc_id")
+  }
+
+  /** Intra-document first-occurrence segment dedup at token granularity
+    * (sep = " " — the only segmentation this single-line corpus has; the
+    * operator's "\n" default covers true paragraphs, unit-tested). */
+  private def qParaDedup(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dedupParagraphs(docs(s, dir), "text", "doc_id", sep = " ")
+
   /** Corpus-wide top-50 word 3-grams by document frequency (vocabulary /
     * boilerplate-phrase mining). */
   private def qTopNgrams(s: SparkSession, dir: String): DataFrame =
@@ -1289,6 +1342,9 @@ object SparkEntry {
     "q_time_features" -> qTimeFeatures _,
     "q_winsorize" -> qWinsorize _,
     "q_cusum" -> qCusum _,
+    "q_cusum_control" -> qCusumControl _,
+    "q_stream_cusum" -> qStreamCusum _,
+    "q_rolling_slope" -> qRollingSlope _,
     "q_drift" -> qDrift _,
     "q_drift_stats" -> qDriftStats _,
     "q_exact_substr" -> qExactSubstr _,
@@ -1298,6 +1354,8 @@ object SparkEntry {
     "q_mixture_budget" -> qMixtureBudget _,
     "q_token_count" -> qTokenCount _,
     "q_fingerprint" -> qFingerprint _,
+    "q_dedup_incremental" -> qDedupIncremental _,
+    "q_para_dedup" -> qParaDedup _,
     "q_rolling_fp" -> qRollingFp _,
     "q_fourier" -> qFourier _,
     "q_lookback" -> qLookback _,

@@ -351,6 +351,47 @@ object Dedup {
         (col(idCol) === col("cluster_id")).alias("is_canonical"))
   }
 
+  /** Incremental exact dedup: triage a NEW document batch against an
+    * existing corpus fingerprint index — the actual ingestion path at
+    * corpus scale, where re-deduplicating the whole corpus per arriving
+    * batch is not an option. `index` is the fingerprint store (one `fp`
+    * column, md5 of [[normalizeText]] — [[TextAnalysis.fingerprint]]'s
+    * convention, so the store is just that query's output accumulated
+    * over prior batches).
+    *
+    * Status per batch document:
+    *   - `dup_existing` — its fingerprint is already in the index;
+    *   - `dup_batch`    — new fingerprint, but a lower-id batch row has it;
+    *   - `kept`         — first occurrence anywhere (lowest batch id,
+    *                      matching [[exact]]'s canonical convention).
+    *
+    * Plan shape at scale — the index is the 100 TB side and must never
+    * shuffle: the batch's distinct fingerprints (small) hit the index via
+    * a `left_semi` probe whose BUILD side is the batch, so the index
+    * scans once (fp-sorted/bucketed stores additionally prune row
+    * groups) and only the matched fingerprints (≤ batch size) come back.
+    * Both join-backs onto the batch are batch-sized — AQE broadcasts
+    * them from runtime stats (no forced hint, mirroring
+    * [[ngramDecontaminate]]). The batch-internal winner is a map-side
+    * `min(id)` per fingerprint, skew-tolerant like [[exactSubstringDedup]].
+    *
+    * Output: (id, fp, status). */
+  def incrementalDedup(batch: DataFrame, index: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val fps = batch.select(col(idCol), md5(normalizeText(col(textCol))).alias("fp"))
+    val batchFps = fps.select(col("fp")).distinct()
+    val hits = index.select(col("fp")).distinct()
+      .join(batchFps, Seq("fp"), "left_semi")
+      .withColumn("__in_index", lit(1))
+    val winners = fps.groupBy(col("fp")).agg(min(col(idCol)).alias("__win"))
+    fps.join(hits, Seq("fp"), "left")
+      .join(winners, Seq("fp"))
+      .select(col(idCol), col("fp"),
+        when(col("__in_index").isNotNull, "dup_existing")
+          .when(col("__win") =!= col(idCol), "dup_batch")
+          .otherwise("kept").alias("status"))
+  }
+
   /** n-gram Jaccard similarity for candidate pairs — exact verify stage after
     * LSH candidate generation. |A∩B| / (|A|+|B|-|A∩B|) on distinct shingle
     * sets. */

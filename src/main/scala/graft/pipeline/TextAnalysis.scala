@@ -156,6 +156,41 @@ object TextAnalysis {
   def rollingHash(text: Column): Column =
     Hashing.polyHash(Dedup.normalizeText(text))
 
+  /** Intra-document paragraph dedup: drop every repeat of a paragraph
+    * WITHIN its document, keeping first occurrences in order — the
+    * application pass for the repetition the Gopher signals
+    * ([[qualitySignalsV2]]) only measure (templated pages repeat nav
+    * blocks and list fragments many times inside one document; corpus
+    * dedup never looks inside a single doc).
+    *
+    * Pure per-row HOF algebra — ZERO shuffle, whole-stage codegen'd, the
+    * 100 TB plan is embarrassingly parallel: paragraph i (split on
+    * newline) survives iff `array_position(paras, paras[i]) == i+1`,
+    * i.e. it is the first occurrence of its text. Quadratic in the
+    * per-doc paragraph count (array_position is a scan) — fine at
+    * document scale, and the constant is a codegen'd string compare.
+    * `list_position`/indexed `list_filter` replay it verbatim in DuckDB.
+    *
+    * Output: (id, n_paras, n_removed, clean_fp = md5 of the kept
+    * segments `sep`-rejoined). A document with no repeats keeps its
+    * exact text modulo the split/join round trip. `sep` picks the
+    * segmentation granularity (newline = paragraphs; " " = per-doc
+    * first-occurrence token dedup — the vocab-order view). */
+  def dedupParagraphs(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n"): DataFrame = {
+    val paras = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    df.select(col(idCol), paras.alias("__ps"))
+      .select(col(idCol),
+        size(col("__ps")).alias("n_paras"),
+        filter(col("__ps"), (x, i) =>
+          array_position(col("__ps"), x) === (i + 1).cast(LongType))
+          .alias("__keep"))
+      .select(col(idCol),
+        col("n_paras").cast(LongType).alias("n_paras"),
+        (col("n_paras") - size(col("__keep"))).cast(LongType).alias("n_removed"),
+        md5(array_join(col("__keep"), sep)).alias("clean_fp"))
+  }
+
   /** Corpus-wide top-k word n-grams by document frequency — the vocabulary
     * mining pass behind stopword lists and boilerplate phrase discovery
     * (an n-gram in a large share of documents is template text, not

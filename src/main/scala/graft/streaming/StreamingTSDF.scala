@@ -466,6 +466,83 @@ object StreamingTSDF {
       ((col("endUs") - col("startUs")) / lit(1000000L)).alias("gap_seconds")): _*)
   }
 
+  case class CusumEvent(series: String, tsUs: Long, value: Long)
+  case class CusumState(sumHi: Long, minHi: Long, sumLo: Long, minLo: Long,
+      lastTsUs: Long)
+
+  /** Streaming Page's CUSUM control chart: the sequential drift detector
+    * [[graft.tsdf.Stats.cusumControl]] as four longs of per-series state —
+    * the prefix sum and its running minimum for each side, which the
+    * reflection identity S_t = P_t − min(0, min_j P_j) turns into the
+    * clamped CUSUM recursion with no recomputation. Exact integer
+    * arithmetic end to end, so the stream is bit-identical to the batch
+    * window plan on the same data (asserted differentially). Rows inside
+    * a micro-batch process in event-time order; a row strictly older than
+    * the last processed timestamp is DROPPED (state cannot rewind — see
+    * [[ema]]). Optional `stateTtl` evicts idle series (an evicted series
+    * restarts its chart from zero — TTL bounds state by design). */
+  def cusumControl(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      valueCol: String, target: Long, slack: Long, threshold: Long,
+      stateTtl: Option[String] = None): DataFrame = {
+    require(slack >= 0, "slack must be >= 0")
+    require(threshold > 0, "threshold must be > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val projected = df.select(
+      seriesKey(seriesCols).alias("series"),
+      unix_micros(col(tsCol)).alias("tsUs"),
+      graft.tsdf.Stats.integralOrFail(col(valueCol), "cusumControl")
+        .alias("value"),
+      col(tsCol).alias("eventTime"))
+    val events = stateTtl.fold(projected)(ttl =>
+      projected.withWatermark("eventTime", ttl)).as[CusumEvent]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val out = events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (key: String, rows: Iterator[CusumEvent], state: GroupState[CusumState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.tsUs)
+            var cur = state.getOption.orNull
+            val outRows = sorted.flatMap { e =>
+              if (cur != null && e.tsUs < cur.lastTsUs) None
+              else {
+                val pHi = (if (cur == null) 0L else cur.sumHi) +
+                  (e.value - target - slack)
+                val pLo = (if (cur == null) 0L else cur.sumLo) +
+                  (target - slack - e.value)
+                val mHi = if (cur == null) pHi else math.min(cur.minHi, pHi)
+                val mLo = if (cur == null) pLo else math.min(cur.minLo, pLo)
+                cur = CusumState(pHi, mHi, pLo, mLo, e.tsUs)
+                val sHi = pHi - math.min(0L, mHi)
+                val sLo = pLo - math.min(0L, mLo)
+                Some((key, e.tsUs, e.value, sHi, sLo,
+                  sHi > threshold || sLo > threshold))
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              stateTtl.foreach(ttl => state.setTimeoutTimestamp(
+                math.max(cur.lastTsUs / 1000,
+                  state.getCurrentWatermarkMs() + 1), ttl))
+            }
+            outRows.iterator
+          }
+      }
+      .toDF("series", "tsUs", "value", "cusumHi", "cusumLo", "alert")
+    out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
+      timestamp_micros(col("tsUs")).alias(tsCol),
+      col("value").alias(valueCol),
+      col("cusumHi").alias("cusum_hi"),
+      col("cusumLo").alias("cusum_lo"),
+      col("alert")): _*)
+  }
+
   /** Streaming VWAP: volume-weighted average price per tumbling event-time
     * bucket, watermark-finalized — the streaming face of the batch `vwap`
     * operator (one partial+final aggregate, map-side combinable sums). */

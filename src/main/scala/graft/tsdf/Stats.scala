@@ -318,7 +318,7 @@ object Stats {
     * plausible-but-wrong statistics. Nulls pass through (the aggregates
     * already skip them); the check is one codegen'd comparison per row and
     * the error branch only evaluates on offending rows. */
-  private def integralOrFail(c: Column, op: String): Column =
+  private[graft] def integralOrFail(c: Column, op: String): Column =
     when(c.isNull || c === floor(c), c.cast(LongType))
       .otherwise(raise_error(concat(lit(
         s"$op requires an integer-valued value column (pre-quantize, e.g. " +
@@ -509,5 +509,87 @@ object Stats {
       .select(sc ++ Seq(col("__n").alias("n"),
         col("__abs_s").alias("cusum_max_abs"),
         col(tsCol).alias("changepoint_ts")): _*)
+  }
+
+  /** Page's two-sided CUSUM control chart per series: the sequential
+    * drift detector run against a KNOWN target level (where [[cusum]] is
+    * the retrospective single change-point estimate against the series'
+    * own mean). Per row,
+    * S⁺_t = max(0, S⁺_{t−1} + (x_t − target − slack)) and
+    * S⁻_t = max(0, S⁻_{t−1} + (target − slack − x_t)); an alert fires
+    * when either side exceeds `threshold`.
+    *
+    * The clamped recursion is NOT computed recursively: by the reflection
+    * identity max-plus recursions unroll to
+    * S_t = P_t − min(0, min_{j≤t} P_j) with P the plain prefix sum of the
+    * drifts — so both sides are two running BIGINT window aggregates
+    * (sum + min) over ONE series exchange, exact integer arithmetic end
+    * to end (`valueCol`, `target`, `slack`, `threshold` all in the same
+    * quantized units, e.g. cents; integrality enforced per row). No
+    * recursive CTE, no state loop — and the identical identity gives the
+    * streaming twin its O(1) per-key state.
+    *
+    * Output: input row + (cusum_hi, cusum_lo, alert) — all exact BIGINTs
+    * plus a boolean, engine-replayable bit-for-bit. */
+  def cusumControl(df: DataFrame, tsCol: String, valueCol: String,
+      seriesCols: Seq[String], target: Long, slack: Long, threshold: Long,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(slack >= 0, "slack must be >= 0")
+    require(threshold > 0, "threshold must be > 0")
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = integralOrFail(col(valueCol), "cusumControl")
+    val staged = df
+      .withColumn("__dhi", x - lit(target) - lit(slack))
+      .withColumn("__dlo", lit(target) - lit(slack) - x)
+    val prefixed = staged
+      .withColumn("__phi", sum(col("__dhi")).over(w))
+      .withColumn("__plo", sum(col("__dlo")).over(w))
+      .withColumn("__mhi", min(col("__phi")).over(w))
+      .withColumn("__mlo", min(col("__plo")).over(w))
+    val sHi = col("__phi") - least(lit(0L), col("__mhi"))
+    val sLo = col("__plo") - least(lit(0L), col("__mlo"))
+    prefixed
+      .withColumn("cusum_hi", sHi)
+      .withColumn("cusum_lo", sLo)
+      .withColumn("alert", sHi > threshold || sLo > threshold)
+      .drop("__dhi", "__dlo", "__phi", "__plo", "__mhi", "__mlo")
+  }
+
+  /** Rolling OLS slope of the value against its observation index over
+    * the trailing `window` rows of each series — the magnitude companion
+    * to [[rollingTrendCorr]]'s direction (units: value per observation
+    * step). slope = (n·Σiy − Σi·Σy) / (n·Σi² − (Σi)²) with i the global
+    * row index and y the (integer-enforced) value: every frame sum is an
+    * exact BIGINT window aggregate riding the SAME single series
+    * exchange, and the slope is one fixed-order double expression —
+    * engine-reproducible bit-for-bit (same 2⁵³ headroom bound as
+    * rollingTrendCorr; the global index cancels out of the frame-local
+    * differences). Frames shorter than 2 rows emit null. Output: input
+    * row + `slope_<col>`. */
+  def rollingSlope(df: DataFrame, tsCol: String, valueCol: String,
+      seriesCols: Seq[String], window: Int,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    val ord = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    val w = ord.rowsBetween(-(window - 1), Window.currentRow)
+    val i = col("__i")
+    val y = col("__v")
+    val staged = df
+      .withColumn("__v", integralOrFail(col(valueCol), "rollingSlope"))
+      .withColumn("__i", row_number().over(ord).cast(LongType))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__si", sum(i).over(w))
+      .withColumn("__si2", sum(i * i).over(w))
+      .withColumn("__sy", sum(y).over(w))
+      .withColumn("__siy", sum(i * y).over(w))
+    val num = (col("__n") * col("__siy") - col("__si") * col("__sy"))
+      .cast(DoubleType)
+    val den = col("__n") * col("__si2") - col("__si") * col("__si")
+    val slope = when(col("__n") >= 2 && den > 0, num / den.cast(DoubleType))
+    staged.withColumn(s"slope_$valueCol", slope)
+      .drop("__v", "__i", "__n", "__si", "__si2", "__sy", "__siy")
   }
 }

@@ -1282,4 +1282,104 @@ class PipelineUnitSpec extends SparkTestBase {
       }
     }
   }
+
+  test("cusumControl matches the naive clamped recursion exactly") {
+    import spark.implicits._
+    // random integer walk; the reflection-identity window plan must equal
+    // S_t = max(0, S_{t-1} + drift) run literally, side by side
+    val rnd = new scala.util.Random(91)
+    val rows = (1 to 300).map(i => (1L, i.toLong, (rnd.nextInt(201) - 100).toLong))
+    val df = rows.toDF("sid", "ts", "v")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val got = graft.tsdf.Stats.cusumControl(df, "ts", "v", Seq("sid"),
+      target = 5L, slack = 2L, threshold = 50L)
+      .orderBy("ts").select("cusum_hi", "cusum_lo", "alert").collect()
+    var sHi = 0L; var sLo = 0L
+    rows.zip(got).foreach { case ((_, _, x), r) =>
+      sHi = math.max(0L, sHi + (x - 5L - 2L))
+      sLo = math.max(0L, sLo + (5L - 2L - x))
+      assert(r.getLong(0) == sHi, s"hi at x=$x")
+      assert(r.getLong(1) == sLo, s"lo at x=$x")
+      assert(r.getBoolean(2) == (sHi > 50L || sLo > 50L))
+    }
+    // reject path: non-integer values raise loudly
+    val bad = Seq((1L, 1L, 1.5)).toDF("sid", "ts", "v")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val e = intercept[Exception] {
+      graft.tsdf.Stats.cusumControl(bad, "ts", "v", Seq("sid"),
+        target = 0L, slack = 0L, threshold = 1L).collect()
+    }
+    assert(e.getMessage.contains("cusumControl"))
+  }
+
+  test("rollingSlope: exact slope on a line, OLS differential on a walk") {
+    import spark.implicits._
+    // y = 7i + 3: slope exactly 7 once the frame has 2+ rows
+    val line = (1 to 40).map(i => (1L, i.toLong, 7L * i + 3))
+    val ldf = line.toDF("sid", "ts", "v")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val lineGot = graft.tsdf.Stats.rollingSlope(ldf, "ts", "v", Seq("sid"), 10)
+      .orderBy("ts").select("slope_v").collect()
+    assert(lineGot.head.isNullAt(0))
+    assert(lineGot.tail.forall(_.getDouble(0) == 7.0))
+    // differential vs driver-side OLS on a random walk
+    val rnd = new scala.util.Random(78)
+    var acc = 0L
+    val walk = (1 to 200).map { i => acc += rnd.nextInt(21) - 10; (9L, i.toLong, acc) }
+    val wdf = walk.toDF("sid", "ts", "v")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val got = graft.tsdf.Stats.rollingSlope(wdf, "ts", "v", Seq("sid"), 20)
+      .orderBy("ts").select("slope_v").collect()
+      .map(x => if (x.isNullAt(0)) None else Some(x.getDouble(0)))
+    val vals = walk.map(_._3.toDouble)
+    val exp = vals.indices.map { i =>
+      val fr = vals.slice(math.max(0, i - 19), i + 1)
+      val n = fr.size.toDouble
+      val xs = (1 to fr.size).map(_.toDouble)
+      val den = n * xs.map(x => x * x).sum - xs.sum * xs.sum
+      if (fr.size < 2 || den <= 0) None
+      else Some((n * fr.zip(xs).map { case (y, x) => x * y }.sum -
+        xs.sum * fr.sum) / den)
+    }
+    got.zip(exp).foreach {
+      case (Some(g), Some(e)) => assert(math.abs(g - e) < 1e-9)
+      case (a, b) => assert(a == b)
+    }
+  }
+
+  test("incrementalDedup triages kept / dup_batch / dup_existing") {
+    import spark.implicits._
+    val index = Seq("seen doc").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")).alias("fp"))
+    val batch = Seq(
+      (1L, "fresh doc"),   // kept (first of its fp in the batch)
+      (2L, "fresh doc"),   // dup_batch (id 1 wins)
+      (3L, "Seen DOC!"),   // dup_existing (normalizes to the indexed fp)
+      (4L, "other doc")    // kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(batch, index, "text", "doc_id")
+      .orderBy("doc_id").select("doc_id", "status").as[(Long, String)]
+      .collect().toSeq
+    assert(got == Seq((1L, "kept"), (2L, "dup_batch"),
+      (3L, "dup_existing"), (4L, "kept")))
+  }
+
+  test("dedupParagraphs keeps first occurrences in order (newline sep)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "nav bar\nintro text\nnav bar\nbody text\nnav bar"),
+      (2L, "only paragraph"),
+      (3L, "a\na\na\na")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupParagraphs(df, "text", "doc_id")
+      .orderBy("doc_id")
+      .select("doc_id", "n_paras", "n_removed", "clean_fp")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    def fp(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == Seq(
+      (1L, 5L, 2L, fp("nav bar\nintro text\nbody text")),
+      (2L, 1L, 0L, fp("only paragraph")),
+      (3L, 4L, 3L, fp("a"))))
+  }
 }

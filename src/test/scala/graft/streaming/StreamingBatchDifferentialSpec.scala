@@ -173,6 +173,26 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("property: streaming cusumControl equals batch on random series") {
+    val rnd = new scala.util.Random(47)
+    (0 until 4).foreach { trial =>
+      val rows = randomSeries(rnd, pinEnds = false)
+      val streamed = runStream(rows, df =>
+        StreamingTSDF.cusumControl(df, "ts", Seq("user_id"), "value",
+          target = 500L, slack = 10L, threshold = 2000L))
+        .select("user_id", "ts", "value", "cusum_hi", "cusum_lo", "alert")
+      val spark2 = spark
+      import spark2.implicits._
+      val batch = graft.tsdf.Stats.cusumControl(
+        rows.toDF("user_id", "ts", "value"), "ts", "value", Seq("user_id"),
+        target = 500L, slack = 10L, threshold = 2000L)
+        .select(col("user_id"), col("ts"), col("value").cast("long"),
+          col("cusum_hi"), col("cusum_lo"), col("alert"))
+      // exact integer arithmetic on both sides: bit-identical always
+      withClue(s"trial $trial: ") { assertDfEquality(streamed, batch) }
+    }
+  }
+
   test("property: streaming gaps equals batch gaps on random series") {
     val rnd = new scala.util.Random(49)
     (0 until 4).foreach { trial =>
