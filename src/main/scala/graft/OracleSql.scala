@@ -552,6 +552,62 @@ object OracleSql {
     // 5-row rolling median: frame multiset -> sort -> lower-median rank
     "q_rolling_median" -> rollMedSql,
 
+    // exact lower-median per (user, day) on cent values — same rank
+    // convention as rollMedSql
+    "q_resample_median" ->
+      """WITH c AS (SELECT user_id, date_trunc('day', ts) AS d,
+        |  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |g AS (SELECT user_id, d, list_sort(list(vc)) AS fr
+        |  FROM c GROUP BY user_id, d)
+        |SELECT user_id, epoch_us(d) AS ts_us,
+        |  fr[CAST(ceil(len(fr) / 2.0) AS BIGINT)] AS median_vc
+        |FROM g""".stripMargin,
+
+    // step-function TWAP per (user, 6h): weight = µs to next obs in the
+    // bucket (last obs until bucket end); exact HUGEINT weighted sum,
+    // one double division
+    "q_twap" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS tu, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |b AS (SELECT *, tu - tu % 21600000000 AS bu FROM c),
+        |w AS (SELECT *, coalesce(lead(tu) OVER (PARTITION BY user_id, bu
+        |    ORDER BY tu, event_id), bu + 21600000000) - tu AS wt FROM b)
+        |SELECT user_id, bu AS bucket_us, count(*) AS n_obs,
+        |  CAST(sum(wt) AS BIGINT) AS span_us,
+        |  CASE WHEN sum(wt) > 0 THEN
+        |    CAST(sum(CAST(vc AS HUGEINT) * wt) AS DOUBLE) /
+        |      CAST(sum(wt) AS DOUBLE) END AS twap
+        |FROM w GROUP BY user_id, bu""".stripMargin,
+
+    // level-50 crossings: pure comparisons on the raw doubles
+    "q_threshold_cross" ->
+      """WITH w AS (SELECT user_id, ts, event_id, value,
+        |  lag(value) OVER wd AS pv, lag(ts) OVER wd AS pts
+        |  FROM events WINDOW wd AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, epoch_us(ts) AS ts_us, epoch_us(pts) AS prev_ts_us,
+        |  pv AS prev_value, value,
+        |  CASE WHEN pv < 50.0 AND value >= 50.0 THEN 'up'
+        |       ELSE 'down' END AS direction
+        |FROM w WHERE pv IS NOT NULL AND
+        |  ((pv < 50.0 AND value >= 50.0) OR (pv >= 50.0 AND value < 50.0))""".stripMargin,
+
+    // Bollinger: exact BIGINT frame sums, fixed assembly
+    // mid = sx/n, dev = sqrt(n*sx2 - sx^2)/n, band = mid +- 2*dev
+    "q_bollinger" ->
+      """WITH c AS (SELECT user_id, ts, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |r AS (SELECT *, count(*) OVER f AS n,
+        |  sum(vc) OVER f AS sx, sum(vc * vc) OVER f AS sx2
+        |  FROM c WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, epoch_us(ts) AS ts_us, event_id, vc,
+        |  CAST(sx AS DOUBLE) / n AS bb_mid,
+        |  CAST(sx AS DOUBLE) / n +
+        |    2.0 * (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) / n) AS bb_upper,
+        |  CAST(sx AS DOUBLE) / n -
+        |    2.0 * (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) / n) AS bb_lower
+        |FROM r""".stripMargin,
+
     // single-batch streaming rolling median: same frame multiset + rank
     "q_stream_rollmed" -> rollMedSql,
 

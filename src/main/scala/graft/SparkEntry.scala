@@ -174,6 +174,44 @@ object SparkEntry {
         col("sum_value"), col("n_rows"))
   }
 
+  /** Exact lower-median resample: per (user, day) median cents value. */
+  private def qResampleMedian(s: SparkSession, dir: String): DataFrame =
+    eventsTsdf(s, dir, "user_id", cents(col("value")).cast(LongType).alias("vc"))
+      .resample("1 day", "median")
+      .df.select(col("user_id"), usec(col("ts")).alias("ts_us"),
+        col("vc").alias("median_vc"))
+
+  /** Step-function TWAP per (user, 6 h bucket): exact integer-µs weights
+    * over cent values, one double division per bucket. */
+  private def qTwap(s: SparkSession, dir: String): DataFrame =
+    Stats.twap(eventsTsdf(s, dir, "user_id",
+        cents(col("value")).cast(LongType).alias("vc"), col("event_id")),
+      "6 hours", "vc", tieCols = Seq("event_id"))
+      .select(col("user_id"), usec(col("bucket_ts")).alias("bucket_us"),
+        col("n_obs"), col("span_us"), col("twap"))
+
+  /** Level-50 crossing report on the raw double values (comparisons
+    * only — no quantization needed). */
+  private def qThresholdCross(s: SparkSession, dir: String): DataFrame =
+    Stats.thresholdCrossings(
+      events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+        col("value")),
+      "ts", "value", Seq("user_id"), threshold = 50.0,
+      tieCols = Seq("event_id"))
+      .select(col("user_id"), usec(col("ts")).alias("ts_us"),
+        usec(col("prev_ts")).alias("prev_ts_us"), col("prev_value"),
+        col("value"), col("direction"))
+
+  /** Bollinger bands (window 20, k = 2) from exact BIGINT frame sums. */
+  private def qBollinger(s: SparkSession, dir: String): DataFrame =
+    Stats.rollingBands(
+      events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+        cents(col("value")).cast(LongType).alias("vc")),
+      "ts", "vc", Seq("user_id"), window = 20, k = 2.0,
+      tieCols = Seq("event_id"))
+      .select(col("user_id"), usec(col("ts")).alias("ts_us"), col("event_id"),
+        col("vc"), col("bb_mid"), col("bb_upper"), col("bb_lower"))
+
   private def qUpsampleFill(s: SparkSession, dir: String): DataFrame =
     eventsTsdf(s, dir, "event_type", cents(col("value")).alias("c"))
       .resample("1 hour", "mean", fill = true)
@@ -1268,6 +1306,10 @@ object SparkEntry {
     "q_resample_floor" -> qResampleFloor _,
     "q_resample_ceil" -> qResampleCeil _,
     "q_resample_sum" -> qResampleSum _,
+    "q_resample_median" -> qResampleMedian _,
+    "q_twap" -> qTwap _,
+    "q_threshold_cross" -> qThresholdCross _,
+    "q_bollinger" -> qBollinger _,
     "q_downsample_minmax" -> qDownsampleMinmax _,
     "q_upsample_fill" -> qUpsampleFill _,
     "q_interp_linear" -> qInterpLinear _,

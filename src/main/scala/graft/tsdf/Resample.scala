@@ -49,6 +49,7 @@ object Resample {
   val Ceil = "ceil"
   val Sum = "sum"
   val Count = "count"
+  val Median = "median"
 
   def aggregate(tsdf: TSDF, freq: String, func: String, fill: Boolean = false,
       metricCols: Option[Seq[String]] = None, prefix: Option[String] = None): TSDF = {
@@ -72,6 +73,25 @@ object Resample {
           .agg(max(struct((tsdf.tsCol +: metrics).map(col): _*)).alias("__c"))
           .select((series.map(col) :+ col("__bucket").alias(tsdf.tsCol)) ++
             metrics.map(m => col("__c").getField(m).alias(m)): _*)
+      case Median =>
+        // exact lower median (the rank convention of Stats.quantiles /
+        // rollingMedian): the bucket's values collect, sort, and index —
+        // a pure function of the bucket multiset, engine-exact with no
+        // sketch (percentile_approx would not replay in another engine).
+        // Memory is bounded by the largest single bucket, the same bound
+        // resample itself implies.
+        val aggs = metrics.map { c =>
+          val arr = array_sort(collect_list(col(c)))
+          // collect_list drops nulls; an all-null bucket yields an empty
+          // array, guarded to null (ANSI element_at would throw on it)
+          when(size(arr) > 0, element_at(arr,
+            ceil(size(arr) / 2.0).cast(org.apache.spark.sql.types.IntegerType)))
+            .alias(c)
+        }
+        grouped
+          .agg(aggs.head, aggs.tail: _*)
+          .select((series.map(col) :+ col("__bucket").alias(tsdf.tsCol)) ++
+            metrics.map(col): _*)
       case Mean | Min | Max | Sum | Count =>
         val aggFn: String => Column = func match {
           case Mean  => c => avg(col(c))
@@ -100,7 +120,8 @@ object Resample {
           .select((series.map(col) :+ col("__bucket").alias(tsdf.tsCol)) ++
             metrics.map(col): _*)
       case other => throw new IllegalArgumentException(
-        s"unsupported resample func '$other' (floor|mean|min|max|ceil|sum|count)")
+        s"unsupported resample func '$other' " +
+          "(floor|mean|min|max|ceil|sum|count|median)")
     }
 
     // optional prefix on the sampled metric columns (resample.py prefix arg)

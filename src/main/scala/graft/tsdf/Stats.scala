@@ -557,6 +557,117 @@ object Stats {
       .drop("__dhi", "__dlo", "__phi", "__plo", "__mhi", "__mlo")
   }
 
+  /** Time-weighted average per (series, `freq` bucket) under the standard
+    * step-function (last-observation-carried-forward) reading: each
+    * observation's value holds from its timestamp until the NEXT
+    * observation in the same bucket, the bucket's last observation until
+    * the bucket end. The TWAP twin of [[vwap]] — sparse, irregularly
+    * spaced observations no longer let a burst of ticks dominate the
+    * bucket mean. Carry-in across bucket boundaries is deliberately
+    * excluded (a bucket with no observations emits nothing; the first
+    * observation of a bucket starts the clock), so every bucket is a pure
+    * function of its own rows.
+    *
+    * `valueCol` must be integer-valued (e.g. cents; enforced per row):
+    * weights are exact integer µs, the weighted sum accumulates as
+    * DECIMAL(38,0) (a 1 h bucket of cent-scale values alone approaches
+    * 2⁶³ in BIGINT), and the final twap is one double division —
+    * engine-reproducible bit-for-bit. Plan shape: the lead() window and
+    * the bucket aggregate share ONE (series, bucket) exchange. `tieCols`
+    * pin the ordering among equal timestamps. Output: (series...,
+    * bucket_ts, n_obs, span_us, twap). */
+  def twap(tsdf: TSDF, freq: String, valueCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val spec = Resample.parseFreq(freq)
+    val series = tsdf.partitionCols
+    val bucket = window(tsdf.ts, spec.sparkInterval).getField("start")
+    val keyCols = (series :+ "__bucket").map(col)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy((tsdf.tsCol +: tieCols).map(col): _*)
+    val tsUs = unix_micros(tsdf.ts)
+    val bucketEndUs = unix_micros(col("__bucket")) + lit(spec.micros)
+    val staged = tsdf.df
+      .withColumn("__c", integralOrFail(col(valueCol), "twap"))
+      .withColumn("__bucket", bucket)
+      .withColumn("__w",
+        coalesce(lead(tsUs, 1).over(w), bucketEndUs) - tsUs)
+    staged.groupBy(keyCols: _*)
+      .agg(count(lit(1)).alias("n_obs"),
+        sum(col("__w")).alias("span_us"),
+        sum(col("__c").cast(DecimalType(38, 0)) * col("__w")).alias("__num"))
+      .select(series.map(col) ++ Seq(
+        col("__bucket").alias("bucket_ts"), col("n_obs"), col("span_us"),
+        when(col("span_us") > 0,
+          col("__num").cast(DoubleType) / col("span_us").cast(DoubleType))
+          .alias("twap")): _*)
+  }
+
+  /** Threshold-crossing detector per series: emits one row per UP
+    * crossing (previous value < `threshold` ≤ value) and DOWN crossing
+    * (previous value ≥ `threshold` > value) — the alerting primitive
+    * behind level breaches, capacity limits, and hysteresis-free state
+    * flips ([[extractStateIntervals]] tracks arbitrary state runs; this
+    * reports the instants a numeric level is pierced). Pure comparisons
+    * on the raw values — no arithmetic, so ANY numeric type is
+    * engine-exact as-is (no quantization precondition). A series' first
+    * observation has no previous row and cannot cross. One window pass on
+    * one series exchange. Output: (series..., ts (crossing row), prev_ts,
+    * prev_value, value, direction 'up'|'down'). */
+  def thresholdCrossings(df: DataFrame, tsCol: String, valueCol: String,
+      seriesCols: Seq[String], threshold: Double,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    val v = col(valueCol)
+    val pv = col("__prev_v")
+    val staged = df
+      .withColumn("__prev_v", lag(v, 1).over(w))
+      .withColumn("__prev_ts", lag(col(tsCol), 1).over(w))
+    val up = pv < threshold && v >= threshold
+    val down = pv >= threshold && v < threshold
+    staged.filter(pv.isNotNull && (up || down))
+      .select(seriesCols.map(col) ++ Seq(
+        col(tsCol), col("__prev_ts").alias("prev_ts"),
+        pv.alias("prev_value"), v.alias("value"),
+        when(up, lit("up")).otherwise(lit("down")).alias("direction")): _*)
+  }
+
+  /** Bollinger bands over the trailing `window` rows of each series:
+    * mid = frame mean, band half-width = `k` · population stddev of the
+    * frame (the classic chart uses k = 2). `valueCol` must be
+    * integer-valued (e.g. cents; enforced per row): the frame sums
+    * (n, Σx, Σx²) are exact BIGINT window aggregates on ONE series
+    * exchange, and mid = Σx/n, dev = √(n·Σx² − (Σx)²)/n,
+    * upper/lower = mid ± k·dev are fixed-order expressions of those
+    * integers using only exactly-rounded IEEE ops — engine-reproducible
+    * bit-for-bit when `k` is exactly representable (2.0, 1.5, ...).
+    * Same 2⁵³ headroom bound as [[rollingTrendCorr]]
+    * (window · max|x|² < 9·10¹⁵). Single-row frames emit a zero-width
+    * band; output: input row + (bb_mid, bb_upper, bb_lower). */
+  def rollingBands(df: DataFrame, tsCol: String, valueCol: String,
+      seriesCols: Seq[String], window: Int, k: Double = 2.0,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(k >= 0, "k must be >= 0")
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val x = col("__x")
+    val staged = df
+      .withColumn("__x", integralOrFail(col(valueCol), "rollingBands"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(x).over(w))
+      .withColumn("__sx2", sum(x * x).over(w))
+    val mid = col("__sx").cast(DoubleType) / col("__n")
+    val dev = sqrt((col("__n") * col("__sx2") - col("__sx") * col("__sx"))
+      .cast(DoubleType)) / col("__n")
+    staged
+      .withColumn("bb_mid", mid)
+      .withColumn("bb_upper", mid + lit(k) * dev)
+      .withColumn("bb_lower", mid - lit(k) * dev)
+      .drop("__x", "__n", "__sx", "__sx2")
+  }
+
   /** Rolling OLS slope of the value against its observation index over
     * the trailing `window` rows of each series — the magnitude companion
     * to [[rollingTrendCorr]]'s direction (units: value per observation

@@ -1382,4 +1382,96 @@ class PipelineUnitSpec extends SparkTestBase {
       (2L, 1L, 0L, fp("only paragraph")),
       (3L, 4L, 3L, fp("a"))))
   }
+
+  test("twap weights each value by its µs holding time within the bucket") {
+    import spark.implicits._
+    // one 60 s bucket: 10 for 10 s, 20 for 20 s, 40 until bucket end (30 s)
+    val df = Seq((1L, 0L, 10L), (1L, 10L, 20L), (1L, 30L, 40L),
+      // second bucket, single obs at +5 s: holds 55 s, twap = value
+      (1L, 65L, 7L))
+      .toDF("sid", "ts", "v").withColumn("ts", timestamp_seconds(col("ts")))
+    val t = graft.tsdf.TSDF(df, "ts", Seq("sid"))
+    val got = graft.tsdf.Stats.twap(t, "1 minute", "v")
+      .orderBy("bucket_ts")
+      .select("n_obs", "span_us", "twap").as[(Long, Long, Double)]
+      .collect().toSeq
+    val b1 = (10.0 * 10 + 20.0 * 20 + 40.0 * 30) / 60
+    assert(got == Seq((3L, 60000000L, b1), (1L, 55000000L, 7.0)))
+    // a tick burst cannot dominate: 100 instantaneous repeats weigh ~0
+    val burst = (Seq((2L, 0L, 100L)) ++ (1 to 100).map(i => (2L, 30L, 999L)))
+      .toDF("sid", "ts", "v").withColumn("ts", timestamp_seconds(col("ts")))
+    val tb = graft.tsdf.Stats.twap(
+      graft.tsdf.TSDF(burst, "ts", Seq("sid")), "1 minute", "v")
+      .select("twap").as[Double].head()
+    // 100 holds 30 s, the 100 zero-width 999s then one 999 for 30 s
+    assert(math.abs(tb - (100.0 * 30 + 999.0 * 30) / 60) < 1e-12)
+    // reject path: non-integer values raise loudly
+    val bad = Seq((1L, 1L, 1.5)).toDF("sid", "ts", "v")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val e = intercept[Exception] {
+      graft.tsdf.Stats.twap(
+        graft.tsdf.TSDF(bad, "ts", Seq("sid")), "1 minute", "v").collect()
+    }
+    assert(e.getMessage.contains("twap"))
+  }
+
+  test("thresholdCrossings reports up/down pierces only, never touches") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 60.0),  // up at t=2
+      (1L, 3L, 50.0),                  // stays >= 50: no event
+      (1L, 4L, 49.9),                  // down at t=4
+      (1L, 5L, 50.0),                  // up at t=5 (exact touch counts as >=)
+      (2L, 1L, 80.0)                   // first row never crosses
+    ).toDF("sid", "ts", "v").withColumn("ts", timestamp_seconds(col("ts")))
+    val got = graft.tsdf.Stats.thresholdCrossings(
+      df, "ts", "v", Seq("sid"), 50.0)
+      .orderBy("ts").select("sid", "direction", "prev_value", "value")
+      .as[(Long, String, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, "up", 10.0, 60.0), (1L, "down", 50.0, 49.9),
+      (1L, "up", 49.9, 50.0)))
+  }
+
+  test("rollingBands: exact band on constants, differential on a walk") {
+    import spark.implicits._
+    val flat = (1 to 10).map(i => (1L, i.toLong, 7L))
+    val fdf = flat.toDF("sid", "ts", "v")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val fb = graft.tsdf.Stats.rollingBands(fdf, "ts", "v", Seq("sid"), 5)
+      .select("bb_mid", "bb_upper", "bb_lower").as[(Double, Double, Double)]
+      .collect()
+    assert(fb.forall { case (m, u, l) => m == 7.0 && u == 7.0 && l == 7.0 })
+    val rnd = new scala.util.Random(13)
+    var acc = 100L
+    val walk = (1 to 150).map { i =>
+      acc += rnd.nextInt(11) - 5; (9L, i.toLong, acc)
+    }
+    val wdf = walk.toDF("sid", "ts", "v")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val got = graft.tsdf.Stats.rollingBands(wdf, "ts", "v", Seq("sid"), 20)
+      .orderBy("ts").select("bb_mid", "bb_upper", "bb_lower")
+      .as[(Double, Double, Double)].collect()
+    val vals = walk.map(_._3.toDouble)
+    vals.indices.foreach { i =>
+      val fr = vals.slice(math.max(0, i - 19), i + 1)
+      val n = fr.size.toDouble
+      val mid = fr.sum / n
+      val dev = math.sqrt(n * fr.map(x => x * x).sum - fr.sum * fr.sum) / n
+      assert(math.abs(got(i)._1 - mid) < 1e-9)
+      assert(math.abs(got(i)._2 - (mid + 2.0 * dev)) < 1e-9)
+      assert(math.abs(got(i)._3 - (mid - 2.0 * dev)) < 1e-9)
+    }
+  }
+
+  test("resample median takes the exact lower median per bucket") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, 30L), (1L, 2L, 10L), (1L, 3L, 20L), (1L, 4L, 90L), // even: lower
+      (2L, 1L, 5L), (2L, 2L, 50L), (2L, 3L, 40L)                  // odd: middle
+    ).toDF("sid", "ts", "v").withColumn("ts", timestamp_seconds(col("ts")))
+    val t = graft.tsdf.TSDF(df, "ts", Seq("sid"))
+    val got = t.resample("1 minute", "median").df
+      .orderBy("sid").select("sid", "v").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 20L), (2L, 40L)))
+  }
 }
