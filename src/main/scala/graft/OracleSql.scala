@@ -287,6 +287,33 @@ object OracleSql {
         |FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1)
         |SELECT user_id, ts_us, value, holt_level_value, holt_trend_value FROM r""".stripMargin
 
+  /** Recursive-CTE replay of the exact Kalman predict/update double
+    * recursion (q=0.25, r=4.0, p0=4.0), shared by the batch window query
+    * and its single-batch streaming twin; per step pp = p+q,
+    * k = pp/(pp+r), m += k*(y-m), p = (1-k)*pp. */
+  private val kalmanSql: String = {
+    val pp = "(r.kalman_var_value + 0.25)"
+    val k = s"($pp / ($pp + 4.0))"
+    s"""WITH RECURSIVE t AS (
+       |SELECT user_id, epoch_us(ts) AS ts_us, value,
+       |row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
+       |r AS (
+       |SELECT user_id, ts_us, value, rn,
+       |CAST(value AS DOUBLE) AS kalman_level_value,
+       |CAST(4.0 AS DOUBLE) AS kalman_var_value,
+       |CAST(1.0 AS DOUBLE) AS kalman_gain_value
+       |FROM t WHERE rn = 1
+       |UNION ALL
+       |SELECT t.user_id, t.ts_us, t.value, t.rn,
+       |r.kalman_level_value + $k * (t.value - r.kalman_level_value)
+       |  AS kalman_level_value,
+       |(1.0 - $k) * $pp AS kalman_var_value,
+       |$k AS kalman_gain_value
+       |FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+       |SELECT user_id, ts_us, value, kalman_level_value, kalman_var_value,
+       |  kalman_gain_value FROM r""".stripMargin
+  }
+
   /** 5-row rolling median replay, shared by the batch window query and its
     * single-batch streaming twin. */
   private val rollMedSql: String =
@@ -517,9 +544,60 @@ object OracleSql {
     // identical fixed-order IEEE arithmetic (α=0.5, β=0.25 exact binary)
     "q_holt_exact" -> holtSql,
 
+    // 1-D local-level Kalman: recursive-CTE replay (see kalmanSql)
+    "q_kalman" -> kalmanSql,
+
+    // CCF at lags -2..2 between hourly cent totals (x) and hourly row
+    // counts (y) per user: exact BIGINT sums, acf-style fixed assembly
+    "q_ccf" -> {
+      def nm(l: Int) = s"$l".replace("-", "m")
+      def shifted(l: Int) =
+        if (l == 0) "yn"
+        else if (l > 0) s"lag(yn, $l) OVER w"
+        else s"lead(yn, ${-l}) OVER w"
+      val lags = -2 to 2
+      val lagCols = lags.map(l => s"${shifted(l)} AS y_${nm(l)}").mkString(",\n  ")
+      val lagAggs = lags.map { l =>
+        val s = nm(l)
+        s"""count(y_$s) AS nl$s, sum(xc * y_$s) AS sxy$s,
+           |  sum(CASE WHEN y_$s IS NOT NULL THEN xc END) AS sxl$s,
+           |  sum(y_$s) AS syl$s""".stripMargin
+      }.mkString(",\n  ")
+      def lagRow(l: Int) = {
+        val s = nm(l)
+        s"""SELECT user_id, CAST($l AS BIGINT) AS "lag",
+           |  CAST(nl$s AS BIGINT) AS n_pairs,
+           |  CASE WHEN denx > 0 AND deny > 0 THEN
+           |    (CAST(sxy$s AS DOUBLE) - muy * sxl$s - mux * syl$s
+           |      + nl$s * mux * muy) / (sqrt(denx) * sqrt(deny))
+           |  END AS ccf FROM m2""".stripMargin
+      }
+      s"""WITH h AS (SELECT user_id, date_trunc('hour', ts) AS ts,
+         |  sum(CAST(round(value * 100) AS BIGINT)) AS xc, count(*) AS yn
+         |  FROM events GROUP BY 1, 2),
+         |l AS (SELECT user_id, xc, yn,
+         |  $lagCols
+         |  FROM h WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |a AS (SELECT user_id, count(*) AS n, sum(xc) AS sx,
+         |  sum(xc * xc) AS sx2, sum(yn) AS sy, sum(yn * yn) AS sy2,
+         |  $lagAggs
+         |  FROM l GROUP BY user_id),
+         |m AS (SELECT *, CAST(sx AS DOUBLE) / n AS mux,
+         |  CAST(sy AS DOUBLE) / n AS muy FROM a),
+         |m2 AS (SELECT *,
+         |  CAST(sx2 AS DOUBLE) - 2.0 * mux * sx + n * mux * mux AS denx,
+         |  CAST(sy2 AS DOUBLE) - 2.0 * muy * sy + n * muy * muy AS deny
+         |  FROM m)
+         |${lags.map(lagRow).mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
     // single-batch streaming Holt: bit-identical to the batch window
     // aggregate, same recursive-CTE replay
     "q_stream_holt" -> holtSql,
+
+    // single-batch streaming Kalman: bit-identical to the batch window
+    // aggregate, same recursive-CTE replay
+    "q_stream_kalman" -> kalmanSql,
 
     // interval overlap join (half-open): plain theta join is the oracle for
     // the bin-decomposed equi-join

@@ -310,6 +310,28 @@ object SparkEntry {
       .df.select(col("user_id"), usec(col("ts")).alias("ts_us"), col("value"),
         col("holt_level_value"), col("holt_trend_value"))
 
+  /** 1-D local-level Kalman filter per user (q = 0.25, r = 4.0, p0 = r):
+    * every step is a fixed-order IEEE expression, replayed by a
+    * recursive CTE in the oracle. */
+  private def qKalman(s: SparkSession, dir: String): DataFrame =
+    eventsTsdf(s, dir, "user_id", col("value"))
+      .kalmanLevel("value", q = 0.25, r = 4.0)
+      .df.select(col("user_id"), usec(col("ts")).alias("ts_us"), col("value"),
+        col("kalman_level_value"), col("kalman_var_value"),
+        col("kalman_gain_value"))
+
+  /** CCF between hourly activity (row count) and hourly value totals per
+    * user at lags −2..2 — does activity lead value or trail it? Both
+    * metrics exact integers over one resample + one series exchange. */
+  private def qCcf(s: SparkSession, dir: String): DataFrame = {
+    val hourly = events(s, dir)
+      .groupBy(col("user_id"),
+        date_trunc("hour", col("ts")).alias("ts"))
+      .agg(sum(cents(col("value")).cast(LongType)).alias("xc"),
+        count(lit(1)).alias("yn"))
+    graft.tsdf.Stats.ccf(hourly, "ts", "xc", "yn", Seq("user_id"), maxLag = 2)
+  }
+
   /** Exact 5-row rolling median per user (lower-median rank convention). */
   private def qRollingMedian(s: SparkSession, dir: String): DataFrame =
     graft.tsdf.Stats.rollingMedian(
@@ -803,6 +825,18 @@ object SparkEntry {
       "ts", Seq("user_id"), "value", alpha = 0.5, beta = 0.25)
     runStream(s, out).select(col("user_id"), usec(col("ts")).alias("ts_us"),
       col("value"), col("holt_level_value"), col("holt_trend_value"))
+  }
+
+  /** Streaming Kalman as a single-batch streaming query — shares
+    * q_kalman's recursive-CTE oracle (same IEEE recursion). */
+  private def qStreamKalman(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val out = graft.streaming.StreamingTSDF.kalmanLevel(
+      eventsStream(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "ts", Seq("user_id"), "value", q = 0.25, r = 4.0)
+    runStream(s, out).select(col("user_id"), usec(col("ts")).alias("ts_us"),
+      col("value"), col("kalman_level_value"), col("kalman_var_value"),
+      col("kalman_gain_value"))
   }
 
   /** Streaming rolling median as a single-batch streaming query — shares
@@ -1322,7 +1356,10 @@ object SparkEntry {
     "q_ema" -> qEma _,
     "q_ema_exact" -> qEmaExact _,
     "q_holt_exact" -> qHoltExact _,
+    "q_kalman" -> qKalman _,
+    "q_ccf" -> qCcf _,
     "q_stream_holt" -> qStreamHolt _,
+    "q_stream_kalman" -> qStreamKalman _,
     "q_rolling_median" -> qRollingMedian _,
     "q_stream_rollmed" -> qStreamRollMed _,
     "q_gaps" -> qGaps _,

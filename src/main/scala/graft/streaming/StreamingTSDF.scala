@@ -338,6 +338,72 @@ object StreamingTSDF {
       col("trend").alias(s"holt_trend_$valueCol")): _*)
   }
 
+  case class KalmanState(m: Double, p: Double, k: Double, lastTsUs: Long)
+
+  /** Streaming 1-D local-level Kalman filter: the predict/update recursion
+    * of [[graft.functions.KalmanExact]] carried as three doubles of
+    * per-series state — bit-identical to the batch window aggregate on the
+    * same data (same IEEE ops in the same order; asserted differentially).
+    * Rows inside a micro-batch process in event-time order; a row strictly
+    * older than the last processed timestamp is DROPPED (state cannot
+    * rewind — see [[ema]]). Optional `stateTtl` evicts idle series. */
+  def kalmanLevel(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      valueCol: String, q: Double, r: Double, p0: Option[Double] = None,
+      stateTtl: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val initP = p0.getOrElse(r)
+    val projected = df.select(
+      seriesKey(seriesCols).alias("series"),
+      unix_micros(col(tsCol)).alias("tsUs"),
+      col(valueCol).cast(DoubleType).alias("value"),
+      col(tsCol).alias("eventTime"))
+    val events = stateTtl.fold(projected)(ttl =>
+      projected.withWatermark("eventTime", ttl)).as[EmaEvent]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val out = events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (key: String, rows: Iterator[EmaEvent], state: GroupState[KalmanState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.tsUs)
+            var cur = state.getOption.orNull
+            val outRows = sorted.flatMap { e =>
+              if (cur != null && e.tsUs < cur.lastTsUs) None
+              else {
+                cur = if (cur == null) KalmanState(e.value, initP, 1.0, e.tsUs)
+                  else {
+                    val pPred = cur.p + q
+                    val k = pPred / (pPred + r)
+                    KalmanState(cur.m + k * (e.value - cur.m),
+                      (1.0 - k) * pPred, k, e.tsUs)
+                  }
+                Some((key, e.tsUs, e.value, cur.m, cur.p, cur.k))
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              stateTtl.foreach(ttl => state.setTimeoutTimestamp(
+                math.max(cur.lastTsUs / 1000,
+                  state.getCurrentWatermarkMs() + 1), ttl))
+            }
+            outRows.iterator
+          }
+      }
+      .toDF("series", "tsUs", "value", "level", "variance", "gain")
+    out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
+      timestamp_micros(col("tsUs")).alias(tsCol),
+      col("value").alias(valueCol),
+      col("level").alias(s"kalman_level_$valueCol"),
+      col("variance").alias(s"kalman_var_$valueCol"),
+      col("gain").alias(s"kalman_gain_$valueCol")): _*)
+  }
+
   case class RollMedState(recent: Seq[Double], lastTsUs: Long)
 
   /** Streaming rolling median over the trailing `window` observations per

@@ -140,6 +140,97 @@ object Stats {
       .drop("__holt"))
   }
 
+  /** 1-D local-level Kalman filter over each series: adds
+    * `kalman_level_<col>`, `kalman_var_<col>`, `kalman_gain_<col>` from
+    * the one-pass predict/update recursion (see
+    * [[graft.functions.KalmanExact]]). `q` is the per-step process
+    * (drift) variance, `r` the observation-noise variance, `p0` the
+    * initial level uncertainty (defaults to `r`). */
+  def kalmanLevel(tsdf: TSDF, colToCalc: String, q: Double, r: Double,
+      p0: Option[Double] = None): TSDF = {
+    val w = tsdf.baseWindow().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val agg = org.apache.spark.sql.GraftColumns.column(
+      graft.functions.KalmanExact(
+        org.apache.spark.sql.GraftColumns.expression(col(colToCalc).cast(DoubleType)),
+        q, r, p0.getOrElse(r)).toAggregateExpression())
+    tsdf.copy(df = tsdf.df
+      .withColumn("__kf", agg.over(w))
+      .withColumn(s"kalman_level_$colToCalc", col("__kf.level"))
+      .withColumn(s"kalman_var_$colToCalc", col("__kf.variance"))
+      .withColumn(s"kalman_gain_$colToCalc", col("__kf.gain"))
+      .drop("__kf"))
+  }
+
+  /** Per-series cross-correlation function between two metrics at lags
+    * −maxLag..maxLag: r_l = Σ(x_t − μx)(y_{t−l} − μy) / √(Σ(x − μx)² ·
+    * Σ(y − μy)²) — the standard CCF estimator (full-series means and
+    * denominators, numerator over the lag-l paired rows). Positive lags
+    * mean y LEADS x by l observations, negative lags mean y lags x; lag 0
+    * is the plain Pearson cross-correlation.
+    *
+    * Both `xCol` and `yCol` must be integer-valued (pre-quantized, e.g.
+    * cents; enforced per row): every aggregate is an exact BIGINT sum
+    * (Σx, Σx², Σy, Σy², Σ x_t·y_{t−l}, and the per-lag marginal sums over
+    * the paired rows), and each r_l is assembled from those integers in
+    * one fixed operation order — engine-reproducible bit-for-bit, like
+    * [[acf]] (this is acf's two-series generalization; acf(x) =
+    * ccf(x, x) restricted to positive lags). Plan shape: ONE series
+    * exchange — all 2·maxLag lag/lead columns ride a single window sort
+    * and feed a single grouped aggregate; per-lag rows unpack from an
+    * array literal. Zero-variance series emit null ccf. Output: one row
+    * per (series, lag): (series..., lag, n_pairs, ccf). */
+  def ccf(df: DataFrame, tsCol: String, xCol: String, yCol: String,
+      seriesCols: Seq[String], maxLag: Int,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(maxLag >= 0, "maxLag must be >= 0")
+    val sc = seriesCols.map(col)
+    val w = Window.partitionBy(sc: _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    val lags = (-maxLag to maxLag).toSeq
+    def yl(l: Int) = col(s"__y_$l".replace("-", "m"))
+    val staged = lags.foldLeft(df
+      .withColumn("__x", integralOrFail(col(xCol), "ccf"))
+      .withColumn("__y", integralOrFail(col(yCol), "ccf"))) { (d, l) =>
+      val shifted =
+        if (l == 0) col("__y")
+        else if (l > 0) lag(col("__y"), l).over(w)
+        else lead(col("__y"), -l).over(w)
+      d.withColumn(s"__y_$l".replace("-", "m"), shifted)
+    }
+    val baseAggs = Seq(
+      count(lit(1)).alias("__n"),
+      sum(col("__x")).alias("__sx"),
+      sum(col("__x") * col("__x")).alias("__sx2"),
+      sum(col("__y")).alias("__sy"),
+      sum(col("__y") * col("__y")).alias("__sy2"))
+    val lagAggs = lags.flatMap { l =>
+      val s = s"$l".replace("-", "m")
+      Seq(count(yl(l)).alias(s"__nl$s"),
+        sum(col("__x") * yl(l)).alias(s"__sxy$s"),
+        sum(when(yl(l).isNotNull, col("__x"))).alias(s"__sxl$s"),
+        sum(yl(l)).alias(s"__syl$s"))
+    }
+    val agg = staged.groupBy(sc: _*)
+      .agg(baseAggs.head, (baseAggs.tail ++ lagAggs): _*)
+    val mux = col("__sx").cast(DoubleType) / col("__n")
+    val muy = col("__sy").cast(DoubleType) / col("__n")
+    val denx = col("__sx2").cast(DoubleType) - lit(2.0) * mux * col("__sx") +
+      col("__n") * mux * mux
+    val deny = col("__sy2").cast(DoubleType) - lit(2.0) * muy * col("__sy") +
+      col("__n") * muy * muy
+    val perLag = array(lags.map { l =>
+      val s = s"$l".replace("-", "m")
+      val num = col(s"__sxy$s").cast(DoubleType) - muy * col(s"__sxl$s") -
+        mux * col(s"__syl$s") + col(s"__nl$s") * mux * muy
+      struct(lit(l.toLong).alias("lag"), col(s"__nl$s").alias("n_pairs"),
+        when(denx > 0.0 && deny > 0.0,
+          num / (sqrt(denx) * sqrt(deny))).alias("ccf"))
+    }: _*)
+    agg.select(sc :+ explode(perLag).alias("__e"): _*)
+      .select(sc ++ Seq(col("__e.lag").alias("lag"),
+        col("__e.n_pairs").alias("n_pairs"), col("__e.ccf").alias("ccf")): _*)
+  }
+
   /** Exact per-series quantiles by rank arithmetic: q_p = the value at rank
     * max(1, ceil(p·n)) in the value-sorted series — the "lower"
     * interpolation convention, a pure function of the value multiset, so

@@ -275,6 +275,10 @@ case class TSDF(
   def holtExact(colToCalc: String, alpha: Double, beta: Double): TSDF =
     Stats.holtExact(this, colToCalc, alpha, beta)
 
+  def kalmanLevel(colToCalc: String, q: Double, r: Double,
+      p0: Option[Double] = None): TSDF =
+    Stats.kalmanLevel(this, colToCalc, q, r, p0)
+
   def sessionize(gapSeconds: Long): TSDF =
     copy(df = Sessionize.assign(df, tsCol, partitionCols, gapSeconds))
 

@@ -1463,6 +1463,75 @@ class PipelineUnitSpec extends SparkTestBase {
     }
   }
 
+  test("kalmanLevel matches the naive predict/update recursion exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 200).map(i =>
+      (1L, i.toLong, (rnd.nextInt(2001) - 1000) / 8.0))
+    val df = rows.toDF("sid", "ts", "v")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val t = graft.tsdf.TSDF(df, "ts", Seq("sid"))
+    val got = graft.tsdf.Stats.kalmanLevel(t, "v", q = 0.25, r = 4.0)
+      .df.orderBy("ts")
+      .select("kalman_level_v", "kalman_var_v", "kalman_gain_v")
+      .as[(Double, Double, Double)].collect()
+    var m = 0.0; var p = 0.0; var set = false
+    rows.zip(got).foreach { case ((_, _, y), (gm, gp, gk)) =>
+      if (!set) { m = y; p = 4.0; set = true
+        assert(gm == m && gp == p && gk == 1.0)
+      } else {
+        val pp = p + 0.25
+        val k = pp / (pp + 4.0)
+        m = m + k * (y - m)
+        p = (1.0 - k) * pp
+        assert(gm == m, s"level at y=$y")
+        assert(gp == p && gk == k)
+      }
+    }
+    // gain decays toward the steady state and the variance stabilizes
+    assert(got.last._3 < 0.5 && got.last._3 > 0.0)
+    assert(math.abs(got(198)._2 - got(199)._2) < 1e-9)
+  }
+
+  test("ccf: lag-0 equals Pearson, self-ccf at lag l equals acf, leads detected") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val xs = (1 to 120).map(_ => rnd.nextInt(100).toLong)
+    // y leads x by 2: x_t = y_{t-2} + noise -> ccf peaks at lag +2
+    val ys = xs.drop(2) ++ Seq(0L, 0L)
+    val rows = xs.indices.map(i => (1L, (i + 1).toLong, xs(i), ys(i)))
+    val df = rows.toDF("sid", "ts", "x", "y")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val got = graft.tsdf.Stats.ccf(df, "ts", "x", "y", Seq("sid"), maxLag = 3)
+      .collect().map(r => r.getLong(1) -> (if (r.isNullAt(3)) None
+        else Some(r.getDouble(3)))).toMap
+    assert(got.size == 7 && got.keySet == (-3L to 3L).toSet)
+    // y_t == x_{t+2}: y anticipates x by 2 steps, so the pairs
+    // (x_t, y_{t-l}) line up (y_{t-2} == x_t) at lag +2 — the documented
+    // "positive lag = y leads x" convention
+    val peak = got(2L).get
+    assert(peak > 0.95, s"peak at +2 was $peak")
+    assert(got.filter(_._1 != 2L).values.flatten.forall(v => v < peak))
+    // lag 0 equals driver-side Pearson
+    val n = xs.size.toDouble
+    val mx = xs.sum / n; val my = ys.sum / n
+    val num = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val den = math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum) *
+      math.sqrt(ys.map(b => (b - my) * (b - my)).sum)
+    assert(math.abs(got(0L).get - num / den) < 1e-9)
+    // self-ccf at positive lags equals acf on the same series
+    val sdf = rows.map(r => (r._1, r._2, r._3)).toDF("sid", "ts", "x")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val selfCcf = graft.tsdf.Stats.ccf(sdf, "ts", "x", "x", Seq("sid"), 3)
+      .filter(col("lag") > 0).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val acf = graft.tsdf.Stats.acf(sdf, "ts", "x", Seq("sid"), 3)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    (1L to 3L).foreach { l =>
+      assert(math.abs(selfCcf(l) - acf(l)) < 1e-12, s"lag $l")
+    }
+  }
+
   test("resample median takes the exact lower median per bucket") {
     import spark.implicits._
     val df = Seq(

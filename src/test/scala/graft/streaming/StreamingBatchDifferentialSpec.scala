@@ -133,6 +133,31 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("property: streaming kalmanLevel equals batch on random series") {
+    val rnd = new scala.util.Random(53)
+    (0 until 4).foreach { trial =>
+      val rows = randomSeries(rnd, pinEnds = false)
+      val streamed = runStream(rows, df =>
+        StreamingTSDF.kalmanLevel(df, "ts", Seq("user_id"), "value",
+          q = 0.3, r = 2.7))
+        .select(col("user_id"), col("ts"), col("value"),
+          col("kalman_level_value").alias("m"),
+          col("kalman_var_value").alias("p"),
+          col("kalman_gain_value").alias("k"))
+      val spark2 = spark
+      import spark2.implicits._
+      val batch = TSDF(rows.toDF("user_id", "ts", "value"), "ts", Seq("user_id"))
+        .kalmanLevel("value", q = 0.3, r = 2.7).df
+        .select(col("user_id"), col("ts"), col("value"),
+          col("kalman_level_value").alias("m"),
+          col("kalman_var_value").alias("p"),
+          col("kalman_gain_value").alias("k"))
+      // same recursion, same IEEE op order: bit-identical even with
+      // non-binary q/r
+      withClue(s"trial $trial: ") { assertDfEquality(streamed, batch) }
+    }
+  }
+
   test("property: streaming rolling median equals batch rollingMedian on random series") {
     val rnd = new scala.util.Random(48)
     (0 until 4).foreach { trial =>
