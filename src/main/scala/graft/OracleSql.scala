@@ -314,6 +314,36 @@ object OracleSql {
        |  kalman_gain_value FROM r""".stripMargin
   }
 
+  /** Boundary-delta sweep for interval coverage algebra: running per-side
+    * depths over sorted (+1/−1) boundary events, keep elementary segments
+    * passing `keepCond`, coalesce adjacent survivors via an island sum. */
+  private def intervalAlgebraSql(keepCond: String): String =
+    s"""WITH a AS (SELECT user_id, epoch_us(ts) AS s,
+       |  epoch_us(ts + INTERVAL 2 HOUR) AS e FROM events
+       |  WHERE event_type = 'click'),
+       |b AS (SELECT user_id, epoch_us(ts) AS s,
+       |  epoch_us(ts + INTERVAL 2 HOUR) AS e FROM events
+       |  WHERE event_type = 'purchase'),
+       |ev AS (
+       |  SELECT user_id, s AS t, CAST(1 AS BIGINT) AS da, CAST(0 AS BIGINT) AS db FROM a
+       |  UNION ALL SELECT user_id, e, -1, 0 FROM a
+       |  UNION ALL SELECT user_id, s, 0, 1 FROM b
+       |  UNION ALL SELECT user_id, e, 0, -1 FROM b),
+       |r AS (SELECT user_id, t,
+       |  sum(da) OVER w AS deptha, sum(db) OVER w AS depthb,
+       |  lead(t) OVER (PARTITION BY user_id ORDER BY t, da, db) AS nxt
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, da, db
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |k AS (SELECT user_id, t, nxt FROM r
+       |  WHERE nxt > t AND $keepCond),
+       |i AS (SELECT user_id, t, nxt,
+       |  CASE WHEN t = lag(nxt) OVER (PARTITION BY user_id ORDER BY t)
+       |    THEN 0 ELSE 1 END AS nw FROM k),
+       |i2 AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY t
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM i)
+       |SELECT user_id, min(t) AS start_us, max(nxt) AS end_us
+       |FROM i2 GROUP BY user_id, isl""".stripMargin
+
   /** 5-row rolling median replay, shared by the batch window query and its
     * single-batch streaming twin. */
   private val rollMedSql: String =
@@ -613,6 +643,12 @@ object OracleSql {
         |  greatest(c.s, p.rs) AS ov_start_us, least(c.e, p.re) AS ov_end_us
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND c.s < p.re AND p.rs < c.e""".stripMargin,
+
+    // coverage set algebra: the same boundary-delta sweep replayed in SQL
+    // (ties at equal t break on (da, db) in both engines; see
+    // IntervalsDF.coverageAlgebra)
+    "q_interval_intersect" -> intervalAlgebraSql("deptha > 0 AND depthb > 0"),
+    "q_interval_subtract" -> intervalAlgebraSql("deptha > 0 AND depthb = 0"),
 
     // point-in-interval join (half-open containment): plain theta join is
     // the oracle for the bin-decomposed equi-join

@@ -411,6 +411,28 @@ object SparkEntry {
         usec(col("overlap_end_ts")).alias("ov_end_us"))
   }
 
+  /** Coverage set algebra between the click- and purchase-derived
+    * interval sets: disjoint intervals of A∩B / A\B per user via the
+    * boundary-delta sweep (no join, no explode). */
+  private def qIntervalAlgebra(s: SparkSession, dir: String,
+      op: String): DataFrame = {
+    val ev = events(s, dir)
+    def iv(t: String) = IntervalsDF(
+      ev.filter(col("event_type") === t).select(col("user_id"),
+        col("ts").alias("start_ts"),
+        (col("ts") + expr("interval 2 hours")).alias("end_ts")),
+      "start_ts", "end_ts", Seq("user_id"))
+    val a = iv("click"); val b = iv("purchase")
+    val r = if (op == "intersect") a.intersectCoverage(b)
+            else a.subtractCoverage(b)
+    r.df.select(col("user_id"), usec(col("start_ts")).alias("start_us"),
+      usec(col("end_ts")).alias("end_us"))
+  }
+  private def qIntervalIntersect(s: SparkSession, dir: String): DataFrame =
+    qIntervalAlgebra(s, dir, "intersect")
+  private def qIntervalSubtract(s: SparkSession, dir: String): DataFrame =
+    qIntervalAlgebra(s, dir, "subtract")
+
   /** Tag click events with the purchase-derived interval containing them. */
   private def qPointInInterval(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
@@ -1373,6 +1395,8 @@ object SparkEntry {
     "q_intervals_stack" -> qIntervalsStack _,
     "q_intervals_disjoint" -> qIntervalsDisjoint _,
     "q_interval_join" -> qIntervalJoin _,
+    "q_interval_intersect" -> qIntervalIntersect _,
+    "q_interval_subtract" -> qIntervalSubtract _,
     "q_point_in_interval" -> qPointInInterval _,
     "q_slice_ops" -> qSliceOps _,
     "q_intervals_union" -> qIntervalsUnion _,

@@ -171,6 +171,81 @@ case class IntervalsDF(
     short.select(cols: _*).union(long.select(cols: _*))
   }
 
+  /** Interval set algebra on COVERAGE: both sides are read as the union of
+    * their half-open intervals per series (self-overlaps and duplicates
+    * are fine — only covered-or-not matters), and the result is the
+    * maximal disjoint intervals of `A ∩ B` ([[intersectCoverage]]) or
+    * `A \ B` ([[subtractCoverage]]). Metric columns do not survive set
+    * algebra and are dropped; output schema = seriesIds + (startTs,
+    * endTs).
+    *
+    * Execution is a boundary-delta sweep, all relational: each interval
+    * contributes (+1 at start, −1 at end) to its side's running depth;
+    * elementary segments between consecutive boundary rows keep
+    * depth-based membership (`A ∩ B`: both depths > 0; `A \ B`: left
+    * depth > 0, right = 0), and adjacent kept segments coalesce via an
+    * island window. NO join and NO explode beyond the fixed 2 rows per
+    * interval — boundary volume is linear in interval count, every window
+    * rides ONE series exchange (the island merge reuses the same hash
+    * partitioning), and ties at equal boundary timestamps resolve
+    * order-independently (intermediate rows at a shared t are zero-width
+    * and filtered; the surviving row carries the full delta sum, which is
+    * commutative). Scales to arbitrarily deep overlap where a pairwise
+    * approach (overlapJoin + dedup) would be quadratic in depth. */
+  def intersectCoverage(other: IntervalsDF): IntervalsDF =
+    coverageAlgebra(other, (da, db) => da > 0 && db > 0)
+
+  /** `A \ B` on coverage — see [[intersectCoverage]] for semantics and
+    * the sweep plan. */
+  def subtractCoverage(other: IntervalsDF): IntervalsDF =
+    coverageAlgebra(other, (da, db) => da > 0 && db === 0)
+
+  private def coverageAlgebra(other: IntervalsDF,
+      keep: (Column, Column) => Column): IntervalsDF = {
+    require(seriesIds == other.seriesIds,
+      s"series ids must match: $seriesIds vs ${other.seriesIds}")
+    require(seriesIds.nonEmpty,
+      "coverage algebra needs at least one series id column")
+    def deltas(iv: IntervalsDF, mine: Boolean) = {
+      val su = unix_micros(col(iv.startTs))
+      val eu = unix_micros(col(iv.endTs))
+      val d = (dd: Column) => if (mine) dd else lit(0L)
+      val o = (dd: Column) => if (mine) lit(0L) else dd
+      iv.df.filter(eu > su)
+        .select(seriesIds.map(col) :+ explode(array(
+          struct(su.alias("t"), lit(1L).alias("dd")),
+          struct(eu.alias("t"), lit(-1L).alias("dd")))).alias("__e"): _*)
+        .select(seriesIds.map(col) ++ Seq(col("__e.t").alias("__t"),
+          d(col("__e.dd")).alias("__da"), o(col("__e.dd")).alias("__db")): _*)
+    }
+    val sc = seriesIds.map(col)
+    // ties at equal t break on the delta columns so the running depths and
+    // lead() agree row-for-row in any engine (remaining ties are identical
+    // rows, interchangeable under commutative sums)
+    val ord = Window.partitionBy(sc: _*)
+      .orderBy(col("__t"), col("__da"), col("__db"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val segs = deltas(this, mine = true)
+      .unionByName(deltas(other, mine = false))
+      .withColumn("__deptha", sum(col("__da")).over(run))
+      .withColumn("__depthb", sum(col("__db")).over(run))
+      .withColumn("__next", lead(col("__t"), 1).over(ord))
+      .filter(col("__next") > col("__t") &&
+        keep(col("__deptha"), col("__depthb")))
+    val islOrd = Window.partitionBy(sc: _*).orderBy(col("__t"))
+    val islRun = islOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = segs
+      .withColumn("__new",
+        when(col("__t") === lag(col("__next"), 1).over(islOrd), 0L)
+          .otherwise(1L))
+      .withColumn("__isl", sum(col("__new")).over(islRun))
+      .groupBy(sc :+ col("__isl"): _*)
+      .agg(min(col("__t")).alias("__s"), max(col("__next")).alias("__e"))
+      .select(sc ++ Seq(timestamp_micros(col("__s")).alias(startTs),
+        timestamp_micros(col("__e")).alias(endTs)): _*)
+    IntervalsDF(merged, startTs, endTs, seriesIds)
+  }
+
   /** Positional union (no dedup), intervals.py:280-300. */
   def union(other: IntervalsDF): IntervalsDF = copy(df = df.union(other.df))
 

@@ -174,6 +174,41 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exchanges(out) == 1, plan(out))
   }
 
+  test("coverage algebra plans no join: boundary sweep + island merge only") {
+    import graft.intervals.IntervalsDF
+    val a = IntervalsDF(eventsDf.select(col("user_id"),
+      col("ts").alias("start_ts"),
+      (col("ts") + expr("interval 1 hour")).alias("end_ts")),
+      "start_ts", "end_ts", Seq("user_id"))
+    val b = IntervalsDF(eventsDf.select(col("user_id"),
+      (col("ts") + expr("interval 30 minutes")).alias("start_ts"),
+      (col("ts") + expr("interval 2 hours")).alias("end_ts")),
+      "start_ts", "end_ts", Seq("user_id"))
+    Seq(a.intersectCoverage(b).df, a.subtractCoverage(b).df).foreach { out =>
+      val p = plan(out)
+      assert(!p.contains("Join"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      // the running-depth window and the island window share the series
+      // hash partitioning; only the final (series, island) aggregate and
+      // the union's initial distribution add exchanges — all key-bounded
+      assert(exchanges(out) <= 3, p)
+    }
+  }
+
+  test("TWAP lead window and bucket aggregate share one exchange") {
+    val t = TSDF(eventsDf, "ts", Seq("user_id"))
+    val out = graft.tsdf.Stats.twap(t, "1 hour", "value")
+    assert(exchanges(out) == 1, plan(out))
+  }
+
+  test("CCF rides one series exchange like ACF") {
+    val out = graft.tsdf.Stats.ccf(eventsDf
+      .withColumn("v2", col("value") * 2), "ts", "value", "v2",
+      Seq("user_id"), maxLag = 2)
+    assert(exchanges(out) == 1, plan(out))
+    assert("HashAggregate".r.findAllIn(plan(out)).size == 2, plan(out))
+  }
+
   test("exact substring dedup: chunk exchange + doc aggregate, nothing more") {
     import spark.implicits._
     val docsDf = (0 until 100)

@@ -181,6 +181,86 @@ class IntervalsGoldenSpec extends SparkTestBase {
     assert(hits == Seq(2L))
   }
 
+  test("coverage algebra: hand-built adjacency, nesting, self-overlap") {
+    import spark.implicits._
+    def iv(rows: Seq[(Long, Int, Int)]) = IntervalsDF(
+      rows.map { case (s, a, b) =>
+        (s, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(a)),
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(b)))
+      }.toDF("sid", "start_ts", "end_ts"), "start_ts", "end_ts", Seq("sid"))
+    def spans(r: IntervalsDF) = r.df
+      .select(col("sid"), unix_micros(col("start_ts")) / 1000000L,
+        unix_micros(col("end_ts")) / 1000000L)
+      .as[(Long, Double, Double)].collect().toSet
+      .map((t: (Long, Double, Double)) => (t._1, t._2.toInt, t._3.toInt))
+    // A covers [0,10) twice (self-overlap) + [20,30); B = [5,25)
+    val a = iv(Seq((1L, 0, 10), (1L, 2, 10), (1L, 20, 30)))
+    val b = iv(Seq((1L, 5, 25)))
+    assert(spans(a.intersectCoverage(b)) == Set((1L, 5, 10), (1L, 20, 25)))
+    assert(spans(a.subtractCoverage(b)) == Set((1L, 0, 5), (1L, 25, 30)))
+    // adjacency coalesces: A = [0,5)+[5,10) minus nothing = one interval
+    val adj = iv(Seq((2L, 0, 5), (2L, 5, 10)))
+    val none = iv(Seq.empty[(Long, Int, Int)])
+    assert(spans(adj.subtractCoverage(none)) == Set((2L, 0, 10)))
+    // nesting: B strictly inside A splits A in two
+    val outer = iv(Seq((3L, 0, 100)))
+    val inner = iv(Seq((3L, 40, 60)))
+    assert(spans(outer.subtractCoverage(inner)) ==
+      Set((3L, 0, 40), (3L, 60, 100)))
+    assert(spans(outer.intersectCoverage(inner)) == Set((3L, 40, 60)))
+    // B covering A entirely -> empty subtraction; disjoint -> empty intersect
+    assert(inner.subtractCoverage(outer).df.count() == 0)
+    assert(iv(Seq((4L, 0, 5))).intersectCoverage(iv(Seq((4L, 6, 9))))
+      .df.count() == 0)
+    // half-open: touching intervals do not intersect
+    assert(iv(Seq((5L, 0, 5))).intersectCoverage(iv(Seq((5L, 5, 9))))
+      .df.count() == 0)
+  }
+
+  test("coverage algebra differential vs brute-force second-by-second sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(33)
+    def mk(n: Int) = (0 until n).map { _ =>
+      val s = rnd.nextInt(500)
+      (rnd.nextInt(2).toLong, s, s + 1 + rnd.nextInt(80))
+    }
+    val ar = mk(40); val br = mk(40)
+    def toDfIv(rows: Seq[(Long, Int, Int)]) = IntervalsDF(
+      rows.map { case (s, a, b) =>
+        (s, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(a)),
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(b)))
+      }.toDF("sid", "start_ts", "end_ts"), "start_ts", "end_ts", Seq("sid"))
+    def cover(rows: Seq[(Long, Int, Int)], sid: Long): Set[Int] =
+      rows.filter(_._1 == sid).flatMap(r => r._2 until r._3).toSet
+    def gotSet(r: IntervalsDF, sid: Long): Set[Int] = r.df
+      .filter(col("sid") === sid)
+      .select(unix_micros(col("start_ts")), unix_micros(col("end_ts")))
+      .as[(Long, Long)].collect()
+      .flatMap { case (s, e) => (s / 1000000L).toInt until (e / 1000000L).toInt }
+      .toSet
+    val a = toDfIv(ar); val b = toDfIv(br)
+    val inter = a.intersectCoverage(b)
+    val sub = a.subtractCoverage(b)
+    Seq(0L, 1L).foreach { sid =>
+      val ca = cover(ar, sid); val cb = cover(br, sid)
+      assert(gotSet(inter, sid) == (ca intersect cb), s"intersect sid=$sid")
+      assert(gotSet(sub, sid) == (ca diff cb), s"subtract sid=$sid")
+    }
+    // results are disjoint and coalesced: no two output intervals touch
+    Seq(inter, sub).foreach { r =>
+      val rows = r.df.select(col("sid"), unix_micros(col("start_ts")),
+        unix_micros(col("end_ts"))).as[(Long, Long, Long)].collect()
+        .groupBy(_._1).values
+      rows.foreach { ivs =>
+        val sorted = ivs.sortBy(_._2)
+        sorted.sliding(2).foreach {
+          case Array((_, _, e1), (_, s2, _)) => assert(e1 < s2)
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("union and unionByName double the row count") {
     val t = tc("test_union_other_idf")
     val a = fx.idf(t.get("init"))
