@@ -52,6 +52,63 @@ object OracleSql {
          |  CAST(rnk AS BIGINT) AS "rank", score FROM t WHERE rnk <= $k""".stripMargin
     }
 
+  /** TF-IDF replay over the same query batch: log-tf · smooth-idf, same
+    * micro-unit quantization + fixed rounding as the BM25 tail. */
+  private val tfidfSql: String = {
+    val qvals = SparkEntry.Bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    val contrib = "((1.0 + ln(CAST(tf AS DOUBLE))) * ln(1.0 + CAST(n AS DOUBLE) / df))"
+    s"""WITH q(query_id, term) AS (SELECT * FROM (VALUES $qvals)),
+       |d AS (SELECT doc_id, $norm AS nrm FROM documents),
+       |tok AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS term FROM d),
+       |qt AS (SELECT * FROM tok WHERE term IN (SELECT DISTINCT term FROM q)),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |stats AS (SELECT count(*) AS n FROM d),
+       |ct AS (SELECT tf.doc_id, tf.term,
+       |  CAST(floor(($contrib) * 1000000.0 + 0.5) AS BIGINT) AS cs
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+       |sc AS (SELECT q.query_id, ct.doc_id, sum(ct.cs) AS s
+       |  FROM ct JOIN q USING (term) GROUP BY q.query_id, ct.doc_id),
+       |r AS (SELECT query_id, doc_id,
+       |  floor((CAST(s AS DOUBLE) / 1000000.0) * 10000.0 + 0.5) / 10000.0 AS score
+       |  FROM sc),
+       |t AS (SELECT query_id, doc_id, score, row_number() OVER (
+       |  PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM r)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       |  CAST(rnk AS BIGINT) AS "rank", score FROM t WHERE rnk <= 10""".stripMargin
+  }
+
+  /** SQ8 replay: per-dimension bounds, 0..255 codes, integer squared-L2. */
+  private val annSq8Sql: String = {
+    val dim = 64
+    val bounds = (1 to dim)
+      .map(i => s"min(v[$i]) AS mn$i, max(v[$i]) AS mx$i").mkString(", ")
+    val codes = (1 to dim).map { i =>
+      s"CASE WHEN mx$i > mn$i THEN least(255, greatest(0, " +
+        s"floor((v[$i] - mn$i) / (mx$i - mn$i) * 255.0 + 0.5))) " +
+        s"ELSE 0 END AS c$i"
+    }.mkString(",\n  ")
+    val dist = (1 to dim)
+      .map(i => s"(q.c$i - c.c$i) * (q.c$i - c.c$i)").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |b AS (SELECT $bounds FROM e),
+       |coded AS (SELECT vec_id,
+       |  $codes
+       |  FROM e CROSS JOIN b),
+       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  CAST($dist AS BIGINT) AS code_dist
+       |  FROM coded q JOIN coded c
+       |    ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY code_dist, neighbor_id) AS rnk FROM p)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", neighbor_id,
+       |  code_dist FROM r WHERE rnk <= 3""".stripMargin
+  }
+
   private def occ(hay: String, needle: String): String = {
     val n = needle.replace("'", "''")
     s"CAST((length($hay) - length(replace($hay, '$n', ''))) / ${needle.length} AS BIGINT)"
@@ -1131,6 +1188,72 @@ object OracleSql {
     "q_bm25_multi" -> bm25MultiSql,
 
     "q_bm25_indexed" -> bm25MultiSql,
+
+    // TF-IDF over the same postings index + query batch
+    "q_tfidf" -> tfidfSql,
+
+    // SQ8 code-space top-k (integer distances, exact everywhere)
+    "q_ann_sq8" -> annSq8Sql,
+
+    // KMV distinct-token sketch per source: k=256 min distinct hashes;
+    // (k-1)*P / kth as one double division, exact count under k
+    "q_kmv_distinct" -> {
+      val h = Hashing.mixSql(Hashing.polyHashSql("tok"), 17)
+      val scale = 255.0 * Hashing.P // exact integer-valued double
+      s"""WITH t AS (SELECT source,
+         |  unnest(string_split($norm, ' ')) AS tok FROM documents),
+         |h AS (SELECT DISTINCT source, ($h) AS hh FROM t),
+         |r AS (SELECT source, hh, row_number() OVER (PARTITION BY source
+         |  ORDER BY hh) AS rn FROM h),
+         |k AS (SELECT source, count(*) AS n_kept,
+         |  CAST(max(hh) AS BIGINT) AS kth_hash
+         |  FROM r WHERE rn <= 256 GROUP BY source)
+         |SELECT source, n_kept, kth_hash,
+         |  CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+         |       ELSE $scale / kth_hash END AS distinct_est
+         |FROM k""".stripMargin
+    },
+
+    // registered-domain rollup of the synthesized 5-host URL set
+    "q_domain_stats" -> {
+      val url = """CASE doc_id % 5
+        | WHEN 0 THEN 'https://WWW.News.Example.COM/a'
+        | WHEN 1 THEN 'http://blog.example.com:8080/p?x=1'
+        | WHEN 2 THEN 'https://spam.tracker.net/lp'
+        | WHEN 3 THEN 'https://Docs.Example.ORG/ref#top'
+        | ELSE 'https://example.com/' END""".stripMargin
+      val host = "regexp_replace(regexp_replace(regexp_replace(" +
+        "lower(regexp_extract(trim(url), '^[^/?#]*//([^/?#]*)', 1)), " +
+        "'^[^@]*@', ''), ':[0-9]+$', ''), '^www\\.', '')"
+      s"""WITH u AS (SELECT doc_id, n_chars, ($url) AS url FROM documents),
+         |hh AS (SELECT doc_id, n_chars, $host AS host FROM u),
+         |d AS (SELECT doc_id, n_chars,
+         |  CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) = ''
+         |    THEN host ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+         |  END AS domain FROM hh)
+         |SELECT domain, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  domain IN ('tracker.net') AS blocked
+         |FROM d GROUP BY domain""".stripMargin
+    },
+
+    // histogram-partitioned curriculum shards (4 shards, desc n_chars,
+    // ~equal token mass; integer cut arithmetic)
+    "q_curriculum" -> {
+      val nt = "CASE WHEN length(tt) = 0 THEN 0 ELSE length(tt) - length(replace(tt, ' ', '')) + 1 END"
+      s"""WITH t AS (SELECT doc_id, n_chars,
+         |  CAST($nt AS BIGINT) AS n_tokens FROM (SELECT doc_id, n_chars,
+         |    trim(regexp_replace(text, ' +', ' ', 'g')) AS tt FROM documents)),
+         |hist AS (SELECT n_chars AS s, sum(n_tokens) AS bt
+         |  FROM t GROUP BY n_chars),
+         |w AS (SELECT s, coalesce(sum(bt) OVER (ORDER BY s DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+         |  sum(bt) OVER () AS total FROM hist),
+         |m AS (SELECT s, least(3, CAST(floor(CAST(cumb AS DOUBLE) /
+         |  floor((total + 3) / 4)) AS BIGINT)) AS shard FROM w)
+         |SELECT t.doc_id, t.n_chars, t.n_tokens, m.shard
+         |FROM t JOIN m ON t.n_chars = m.s""".stripMargin
+    },
 
     // the postings index rows themselves (doc_id % 17 slice)
     "q_postings_index" ->

@@ -1006,8 +1006,9 @@ object SparkEntry {
     * which is exactly what the index exists to avoid. The bench therefore
     * measures the amortized QUERY path (warm-up builds; the corpus data
     * under an sf dir is immutable). */
-  private def qBm25Indexed(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Build-once-per-sf-dir postings index (term-sorted parquet), shared
+    * by every index-backed retrieval query. */
+  private def postingsIndex(s: SparkSession, dir: String): DataFrame = {
     val path = System.getProperty("java.io.tmpdir") +
       "/graft_postings_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -1016,9 +1017,69 @@ object SparkEntry {
       Retrieval.buildPostingsIndex(docs(s, dir), "text", "doc_id")
         .repartition(8, col("term")).sortWithinPartitions("term")
         .write.mode("overwrite").parquet(path)
-    Retrieval.bm25TopKFromIndex(s.read.parquet(path), "doc_id",
+    s.read.parquet(path)
+  }
+
+  private def qBm25Indexed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Retrieval.bm25TopKFromIndex(postingsIndex(s, dir), "doc_id",
       Bm25Queries.toDF("query_id", "terms"), "query_id", "terms", k = 10)
   }
+
+  /** TF-IDF (log-tf · smooth-idf) over the same postings index and query
+    * batch — the length-normalization-free ranking twin of q_bm25_indexed. */
+  private def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Retrieval.tfidfTopKFromIndex(postingsIndex(s, dir), "doc_id",
+      Bm25Queries.toDF("query_id", "terms"), "query_id", "terms", k = 10)
+  }
+
+  /** SQ8 scalar-quantized ANN: per-dimension bounds from one aggregate
+    * pass, 0..255 byte codes, exact integer squared-L2 in code space. */
+  private def qAnnSq8(s: SparkSession, dir: String): DataFrame = {
+    val d = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val (mins, maxs) = Similarity.sq8TrainBounds(d, "embedding", 64)
+    Similarity.sq8TopK(d.filter(col("vec_id") < 20), d, "vec_id",
+      "embedding", mins, maxs, k = 3)
+      .select(col("query_id"), col("rank").cast(LongType).alias("rank"),
+        col("neighbor_id"), col("code_dist").cast(LongType).alias("code_dist"))
+  }
+
+  /** KMV distinct-token estimate per source (k = 256 minimum hash values;
+    * groups under k report exact counts). */
+  private def qKmv(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("source"),
+      explode(split(Dedup.normalizeText(col("text")), " ")).alias("tok"))
+    graft.pipeline.Sketch.kmvDistinct(toks, Seq("source"), col("tok"), k = 256)
+  }
+
+  /** Registered-domain rollup over synthesized URLs (5 hosts across 3
+    * registered domains, one blocklisted): doc counts + total chars +
+    * blocked flag per domain. */
+  private def qDomainStats(s: SparkSession, dir: String): DataFrame = {
+    val host = col("doc_id") % 5
+    val url = when(host === 0, lit("https://WWW.News.Example.COM/a"))
+      .when(host === 1, lit("http://blog.example.com:8080/p?x=1"))
+      .when(host === 2, lit("https://spam.tracker.net/lp"))
+      .when(host === 3, lit("https://Docs.Example.ORG/ref#top"))
+      .otherwise(lit("https://example.com/"))
+    val blocklist = Seq("tracker.net")
+    docs(s, dir)
+      .withColumn("domain", TextAnalysis.registeredDomain(url))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).alias("n_docs"),
+        sum(col("n_chars")).alias("total_chars"))
+      .withColumn("blocked", col("domain").isin(blocklist: _*))
+  }
+
+  /** Histogram-partitioned curriculum shards: 4 shards of ~equal token
+    * mass in descending n_chars order — no global row sort. */
+  private def qCurriculum(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Splits.curriculumShards(
+      docs(s, dir).select(col("doc_id"), col("n_chars"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType).alias("n_tokens")),
+      "n_chars", "n_tokens", nShards = 4)
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("shard"))
 
   /** The postings index itself, oracle-gated row-for-row (restricted to a
     * doc_id slice to keep the dump small — the full index is
@@ -1434,6 +1495,11 @@ object SparkEntry {
     "q_bm25" -> qBm25 _,
     "q_bm25_multi" -> qBm25Multi _,
     "q_bm25_indexed" -> qBm25Indexed _,
+    "q_tfidf" -> qTfidf _,
+    "q_ann_sq8" -> qAnnSq8 _,
+    "q_kmv_distinct" -> qKmv _,
+    "q_domain_stats" -> qDomainStats _,
+    "q_curriculum" -> qCurriculum _,
     "q_postings_index" -> qPostingsIndex _,
     "q_stratified_sample" -> qStratifiedSample _,
     "q_decontam_ngram" -> qDecontamNgram _,

@@ -156,6 +156,47 @@ object Retrieval {
     scoreTf(tf, stats, qt, idCol, queryIdCol, k, k1, b)
   }
 
+  /** Multi-query TF-IDF top-k over a prebuilt [[buildPostingsIndex]]
+    * table — the classic log-tf · smooth-idf weighting
+    * (w = (1 + ln tf) · ln(1 + N/df)), the length-normalization-free
+    * cousin of BM25 for when document length IS signal (short spammy docs
+    * shouldn't outrank long substantive ones term-for-term). Same
+    * determinism scheme as the BM25 tail: per-term contributions quantize
+    * to exact BIGINT micro-units (positive, so floor(+0.5) is half-up
+    * anywhere), the per-(query, doc) sum is order-independent integer
+    * arithmetic, and only the final score is one double division +
+    * [[TextAnalysis.roundDet]]. The term filter lands on the index scan.
+    * Output: (queryIdCol, idCol, rank, score). */
+  def tfidfTopKFromIndex(postings: DataFrame, idCol: String,
+      queries: DataFrame, queryIdCol: String, termsCol: String,
+      k: Int = 10): DataFrame = {
+    val qt = queries.select(col(queryIdCol).alias("__qid"),
+      explode(col(termsCol)).alias("__term")).distinct()
+    val terms = qt.select(col("__term")).distinct()
+    val tf = postings.select(col("term").alias("__term"), col(idCol),
+        col("tf").alias("__tf"))
+      .join(terms, Seq("__term"))
+    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).alias("__df"))
+    val stats = postings.agg(count_distinct(col(idCol)).alias("__n"))
+    val contrib = (lit(1.0) + log(col("__tf").cast(DoubleType))) *
+      log(lit(1.0) + col("__n").cast(DoubleType) / col("__df"))
+    val scaled = tf.join(dfreq, Seq("__term"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("__term"),
+        floor(contrib * 1e6 + 0.5).cast(LongType).alias("__cs"))
+    val perQueryDoc = scaled.join(qt, Seq("__term"))
+      .groupBy(col("__qid"), col(idCol))
+      .agg(sum(col("__cs")).alias("__s"))
+      .select(col("__qid"), col(idCol),
+        TextAnalysis.roundDet(col("__s").cast(DoubleType) / 1e6, 4).alias("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid")).orderBy(col("score").desc, col(idCol).asc)
+    perQueryDoc.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("__qid").alias(queryIdCol), col(idCol), col("rank"),
+        col("score"))
+  }
+
   /** Shared BM25 scoring tail: per-term contributions quantized to exact
     * BIGINT micro-units (order-independent sums), one double division at
     * the end, per-query top-k window. `tf` = (__term, idCol, __dl, __tf)

@@ -599,6 +599,68 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Per-dimension [min, max] bounds for [[sq8Encode]] — ONE map-side-
+    * combinable aggregate pass (2·dim scalar min/max, no explode, no
+    * shuffle beyond the single-row reduce); 2·dim doubles to the driver. */
+  def sq8TrainBounds(corpus: DataFrame, vecCol: String,
+      dim: Int): (Seq[Double], Seq[Double]) = {
+    require(dim >= 1, "dim must be >= 1")
+    val v = asDouble(col(vecCol))
+    val aggs = (1 to dim).flatMap { i =>
+      Seq(min(element_at(v, i)).alias(s"mn$i"),
+        max(element_at(v, i)).alias(s"mx$i"))
+    }
+    val row = corpus.agg(aggs.head, aggs.tail: _*).collect().head
+    val mins = (0 until dim).map(i => row.getDouble(2 * i))
+    val maxs = (0 until dim).map(i => row.getDouble(2 * i + 1))
+    (mins, maxs)
+  }
+
+  /** SQ8 scalar quantization: per-dimension affine map onto 0..255 codes —
+    * the 4× storage codec (byte per dimension instead of a float) that
+    * production vector stores scan instead of raw vectors. code_i =
+    * clamp(floor((x_i − min_i)/(max_i − min_i)·255 + 0.5)); `floor(+0.5)`
+    * is half-up in any engine (codes are non-negative), constant
+    * dimensions map to 0 — every step is a fixed-order scalar expression,
+    * so codes replay bit-identically elsewhere. */
+  def sq8Encode(vec: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    val mnLit = typedLit(mins)
+    val mxLit = typedLit(maxs)
+    transform(asDouble(vec), (x, i) => {
+      val mn = element_at(mnLit, i + 1)
+      val mx = element_at(mxLit, i + 1)
+      when(mx > mn,
+        least(lit(255L), greatest(lit(0L),
+          floor((x - mn) / (mx - mn) * 255.0 + 0.5))))
+        .otherwise(lit(0L))
+    })
+  }
+
+  /** Exact top-k in SQ8 code space: integer squared-L2 over the codes
+    * (Σ(ca−cb)² ≤ dim·255² — exact in doubles, no FP rounding anywhere),
+    * ties by neighbor id. The declared-small query side crosses the coded
+    * corpus — the same contract as [[bruteForceTopK]], but each corpus
+    * vector is 4× smaller and the distance is pure integer arithmetic;
+    * for corpus-×-corpus scale, feed the codes through the IVF cell
+    * routing instead. Output: (query_id, rank, neighbor_id, code_dist). */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, mins: Seq[Double], maxs: Seq[Double],
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).alias("query_id"),
+      asDouble(sq8Encode(col(vecCol), mins, maxs)).alias("__qc"))
+    val c = corpus.select(col(idCol).alias("neighbor_id"),
+      asDouble(sq8Encode(col(vecCol), mins, maxs)).alias("__cc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("code_dist").asc, col("neighbor_id").asc)
+    q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("code_dist", l2sq(col("__qc"), col("__cc")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("code_dist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (a < b). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, nBits: Int = 6, maxBucketSize: Int = 4096): DataFrame = {

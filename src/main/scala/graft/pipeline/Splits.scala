@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Deterministic dataset splitting for training pipelines.
   *
@@ -143,5 +143,49 @@ object Splits {
     df.withColumn("__b", bucket)
       .join(broadcast(keepBuckets), Seq(stratumCol, "__b"), "left_semi")
       .select(df.columns.toIndexedSeq.map(col): _*) // using-cols jump first; restore order
+  }
+
+  /** Curriculum shard assignment: rows sort conceptually by `scoreCol`
+    * DESCENDING (easiest/highest-quality first) and split into `nShards`
+    * contiguous shards of roughly equal total `tokensCol` — the standard
+    * curriculum / annealing data layout (shard 0 = the best slice,
+    * trained first or last per recipe).
+    *
+    * NO global row sort: like [[tokenBudgetMixture]], the cut points come
+    * from a histogram — per-score-value token sums (scores are enforced
+    * integer-valued, i.e. pre-quantized, so the histogram is bounded by
+    * the score resolution, NOT the corpus), a prefix sum over that tiny
+    * aggregate ordered by score desc, and
+    * shard = min(nShards−1, cumBefore div ceil(total/nShards)) — exact
+    * integer arithmetic end to end. Rows sharing a score value land in
+    * the same shard (granularity = one score bucket; shard token totals
+    * deviate by at most one bucket's tokens). The histogram windows run
+    * over score-distinct rows only — never over documents — and the
+    * score→shard map joins back as a broadcast.
+    * Output: input row + `shard`. */
+  def curriculumShards(df: DataFrame, scoreCol: String, tokensCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val hist = df
+      .select(graft.tsdf.Stats.integralOrFail(col(scoreCol), "curriculumShards")
+        .alias("__s"), col(tokensCol).cast(LongType).alias("__t"))
+      .groupBy(col("__s")).agg(sum(col("__t")).alias("__bt"))
+    val ord = Window.orderBy(col("__s").desc)
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val total = sum(col("__bt")).over(all)
+    val cumBefore = coalesce(sum(col("__bt")).over(before), lit(0L))
+    // ceil(total/n) as an exact integer (floor of a double division of
+    // integers < 2^53 — exact in any engine)
+    val budget = floor((total + lit((nShards - 1).toLong)) / lit(nShards.toLong))
+    val shardMap = hist.select(col("__s"),
+      least(lit((nShards - 1).toLong),
+        floor(cumBefore.cast(DoubleType) / budget).cast(LongType))
+        .alias("shard"))
+    df.withColumn("__s",
+        graft.tsdf.Stats.integralOrFail(col(scoreCol), "curriculumShards"))
+      .join(broadcast(shardMap), Seq("__s"))
+      .drop("__s")
   }
 }

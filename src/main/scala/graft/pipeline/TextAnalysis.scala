@@ -246,6 +246,29 @@ object TextAnalysis {
     * gclid, ref), drop an emptied `?`, collapse a trailing slash on a
     * non-root path. Path/query case and order are preserved — they are
     * semantic. Zero shuffle. */
+  /** Lowercased URL host: the authority between `//` and the first
+    * `/?#`, minus userinfo, port, and a leading `www.`. Pure RE2-subset
+    * regex algebra (no lookaround), replayable in any engine. */
+  def urlHost(url: Column): Column = {
+    val auth = lower(regexp_extract(trim(url), "^[^/?#]*//([^/?#]*)", 1))
+    val noUser = regexp_replace(auth, "^[^@]*@", "")
+    val noPort = regexp_replace(noUser, ":[0-9]+$", "")
+    regexp_replace(noPort, "^www\\.", "")
+  }
+
+  /** Registered domain = the last two dot-labels of [[urlHost]]
+    * (`blog.example.com` → `example.com`) — the per-site rollup key for
+    * domain-level corpus curation (quotas, blocklists, quality priors).
+    * Deliberately naive: a real public-suffix list needs external data
+    * (offline here); multi-label suffixes like `co.uk` roll up one level
+    * too far, which is the documented trade. Single-label hosts pass
+    * through unchanged. */
+  def registeredDomain(url: Column): Column = {
+    val host = urlHost(url)
+    val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    when(last2 === "", host).otherwise(last2)
+  }
+
   def normalizeUrl(url: Column): Column = {
     val t = trim(url)
     // lowercase scheme://host[:port] (authority = chars up to /, ?, or #)

@@ -1463,6 +1463,163 @@ class PipelineUnitSpec extends SparkTestBase {
     }
   }
 
+  test("sq8 codes hit the rails and round-trip distances match driver math") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.0f, 10.0f, 5.0f)),
+      (2L, Seq(10.0f, 0.0f, 5.0f)),
+      (3L, Seq(5.0f, 5.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val (mins, maxs) = Similarity.sq8TrainBounds(vecs, "embedding", 3)
+    assert(mins == Seq(0.0, 0.0, 5.0) && maxs == Seq(10.0, 10.0, 5.0))
+    val codes = vecs.select(col("vec_id"),
+      Similarity.sq8Encode(col("embedding"), mins, maxs).alias("c"))
+      .orderBy("vec_id").as[(Long, Seq[Long])].collect()
+    // min -> 0, max -> 255, midpoint -> 128 (127.5 + 0.5 floors to 128),
+    // constant dimension -> 0
+    assert(codes(0)._2 == Seq(0L, 255L, 0L))
+    assert(codes(1)._2 == Seq(255L, 0L, 0L))
+    assert(codes(2)._2 == Seq(128L, 128L, 0L))
+    val topk = Similarity.sq8TopK(vecs.filter(col("vec_id") === 3), vecs,
+      "vec_id", "embedding", mins, maxs, k = 2)
+      .orderBy("rank").select("neighbor_id", "code_dist")
+      .as[(Long, Double)].collect().toSeq
+    // dist(3,1) = dist(3,2) = 128^2 + 127^2; ties break by id
+    assert(topk == Seq((1L, 128.0 * 128 + 127.0 * 127),
+      (2L, 128.0 * 128 + 127.0 * 127)))
+  }
+
+  test("sq8 top-1 recalls the exact nearest neighbor on clustered data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val dim = 16
+    val rows = (0 until 200).map { i =>
+      val center = (i % 4) * 50.0
+      (i.toLong, (0 until dim).map(_ =>
+        (center + rnd.nextInt(11) - 5).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (mins, maxs) = Similarity.sq8TrainBounds(df, "embedding", dim)
+    val got = Similarity.sq8TopK(df.filter(col("vec_id") < 10), df,
+      "vec_id", "embedding", mins, maxs, k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // exact L2 nearest on the raw vectors, driver-side
+    (0L until 10L).foreach { q =>
+      val qv = rows(q.toInt)._2.map(_.toDouble)
+      val best = rows.filter(_._1 != q).minBy { case (_, v) =>
+        (qv.zip(v.map(_.toDouble)).map { case (a, b) =>
+          (a - b) * (a - b)
+        }.sum, 0)
+      }._1
+      // same cluster at minimum; codes at 8-bit resolution over a 160-unit
+      // range must agree on the exact argmin almost always — require the
+      // neighbor to sit in the query's cluster and allow code-level ties
+      assert(got(q) % 4 == q % 4, s"query $q -> ${got(q)}")
+      val gotDist = {
+        val v = rows(got(q).toInt)._2.map(_.toDouble)
+        qv.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      val bestDist = {
+        val v = rows(best.toInt)._2.map(_.toDouble)
+        qv.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      assert(gotDist <= bestDist * 1.3, s"query $q: $gotDist vs $bestDist")
+    }
+  }
+
+  test("kmvDistinct: exact under k, within 25% above k") {
+    import spark.implicits._
+    val small = (1 to 100).map(i => ("small", s"tok$i")) ++
+      (1 to 100).map(i => ("small", s"tok$i")) // duplicates change nothing
+    val big = (1 to 20000).map(i => ("big", s"item${i % 8000}"))
+    val df = (small ++ big).toDF("grp", "item")
+    val got = graft.pipeline.Sketch.kmvDistinct(df, Seq("grp"), col("item"),
+      k = 256).collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    assert(got("small")._1 == 100L && got("small")._2 == 100.0)
+    assert(got("big")._1 == 256L)
+    assert(math.abs(got("big")._2 - 8000.0) / 8000.0 < 0.25,
+      s"estimate ${got("big")._2}")
+  }
+
+  test("registeredDomain handles www/port/userinfo/multi-label hosts") {
+    import spark.implicits._
+    val cases = Seq(
+      "https://WWW.News.Example.COM:443/a?b=1#f" -> "example.com",
+      "http://user:pw@blog.example.org:8080/" -> "example.org",
+      "https://example.com" -> "example.com",
+      "http://localhost/x" -> "localhost",
+      "https://a.b.c.d.example.net/deep" -> "example.net")
+    val got = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.registeredDomain(col("url"))).as[String]
+      .collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("tfidf ranks heavier and rarer terms higher; matches driver math") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple apple banana"),
+      (2L, "apple banana banana banana"),
+      (3L, "cherry cherry cherry cherry"),
+      (4L, "apple banana cherry durian"),
+      (5L, "unrelated words only here")
+    ).toDF("doc_id", "text")
+    val postings = Retrieval.buildPostingsIndex(docs, "text", "doc_id")
+    val queries = Seq((1L, Seq("apple", "cherry"))).toDF("query_id", "terms")
+    val got = Retrieval.tfidfTopKFromIndex(postings, "doc_id", queries,
+      "query_id", "terms", k = 5)
+      .orderBy("rank").select("doc_id", "score").as[(Long, Double)]
+      .collect().toSeq
+    // driver replay: w = (1 + ln tf) * ln(1 + N/df), micro-quantized
+    val n = 5.0
+    def w(tf: Int, df: Int) =
+      math.floor((1.0 + math.log(tf)) * math.log(1.0 + n / df) * 1e6 + 0.5)
+    def score(parts: Double*) =
+      math.floor(parts.sum / 1e6 * 1e4 + 0.5) / 1e4
+    val expected = Seq(
+      3L -> score(w(4, 2)),           // cherry tf=4, df=2
+      4L -> score(w(1, 3), w(1, 2)),  // apple + cherry once each beats...
+      1L -> score(w(3, 3)),           // ...log-damped apple tf=3
+      2L -> score(w(1, 3)))           // apple once
+    assert(got == expected)
+    // rarer cherry (df=2) outweighs apple (df=3) at equal tf
+    assert(w(1, 2) > w(1, 3))
+  }
+
+  test("curriculumShards: contiguous desc-score shards of ~equal token mass") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val rows = (1 to 1000).map(i =>
+      (i.toLong, (rnd.nextInt(50) + 1).toLong, (rnd.nextInt(200) + 1).toLong))
+    val df = rows.toDF("id", "score", "toks")
+    val got = graft.pipeline.Splits.curriculumShards(df, "score", "toks", 4)
+      .select("id", "score", "toks", "shard")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.size == 1000)
+    assert(got.map(_._4).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    // contiguity: shard is monotone non-decreasing as score decreases
+    val byScore = got.groupBy(_._2).view
+      .mapValues(_.map(_._4).toSet).toMap
+    byScore.values.foreach(s => assert(s.size == 1, "score split across shards"))
+    val ordered = byScore.toSeq.sortBy(-_._1).map(_._2.head)
+    assert(ordered == ordered.sorted)
+    // balance: every shard within one score-bucket's tokens of the budget
+    val total = rows.map(_._3).sum
+    val budget = (total + 3) / 4
+    val maxBucket = got.groupBy(_._2).values.map(_.map(_._3).sum).max
+    val shardTotals = got.groupBy(_._4).view.mapValues(_.map(_._3).sum).toMap
+    shardTotals.foreach { case (sh, t) =>
+      assert(t <= budget + maxBucket, s"shard $sh overweight: $t")
+    }
+    // reject path: non-integer scores raise loudly
+    val bad = Seq((1L, 1.5, 10L)).toDF("id", "score", "toks")
+    val e = intercept[Exception] {
+      graft.pipeline.Splits.curriculumShards(bad, "score", "toks", 4).collect()
+    }
+    assert(e.getMessage.contains("curriculumShards"))
+  }
+
   test("kalmanLevel matches the naive predict/update recursion exactly") {
     import spark.implicits._
     val rnd = new scala.util.Random(29)
