@@ -634,6 +634,87 @@ object OracleSql {
     // 1-D local-level Kalman: recursive-CTE replay (see kalmanSql)
     "q_kalman" -> kalmanSql,
 
+    // running peak + drawdown: max over a running frame is
+    // order-independent, so raw doubles replay engine-exact
+    "q_drawdown" ->
+      """WITH t AS (
+        |SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |  CAST(value AS DOUBLE) AS x,
+        |  max(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |FROM events)
+        |SELECT user_id, ts_us, event_id, x AS value, peak AS peak_value,
+        |  peak - x AS drawdown_value FROM t""".stripMargin,
+
+    // Wilder RSI (n=14, EMA-seeded): the gain/loss EMA recursions replayed
+    // as one recursive CTE; 1.0/14 and (1 - 1.0/14) are the identical IEEE
+    // quotient/difference both engines compute, so every step matches
+    "q_rsi" ->
+      """WITH RECURSIVE t AS (
+        |SELECT user_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS x,
+        |row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
+        |d AS (
+        |SELECT user_id, ts_us, x, rn,
+        |x - lag(x) OVER (PARTITION BY user_id ORDER BY rn) AS dl FROM t),
+        |r AS (
+        |SELECT user_id, ts_us, x, rn,
+        |greatest(dl, 0.0) AS ag, greatest(-dl, 0.0) AS al
+        |FROM d WHERE rn = 2
+        |UNION ALL
+        |SELECT d.user_id, d.ts_us, d.x, d.rn,
+        |(1.0/14) * greatest(d.dl, 0.0) + (1 - 1.0/14) * r.ag AS ag,
+        |(1.0/14) * greatest(-d.dl, 0.0) + (1 - 1.0/14) * r.al AS al
+        |FROM r JOIN d ON d.user_id = r.user_id AND d.rn = r.rn + 1)
+        |SELECT user_id, ts_us, x AS value, CAST(NULL AS DOUBLE) AS rsi_value
+        |FROM t WHERE rn = 1
+        |UNION ALL
+        |SELECT user_id, ts_us, x AS value,
+        |CASE WHEN ag + al <> 0 THEN 100.0 * ag / (ag + al) END AS rsi_value
+        |FROM r""".stripMargin,
+
+    // MACD 12/26/9: one recursion carries fast, slow, and signal states;
+    // the signal step re-states both EMA lines so the macd input is the
+    // same IEEE difference the engine materializes
+    "q_macd" ->
+      """WITH RECURSIVE t AS (
+        |SELECT user_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS x,
+        |row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
+        |r AS (
+        |SELECT user_id, ts_us, x, rn, x AS f, x AS s, x - x AS sig
+        |FROM t WHERE rn = 1
+        |UNION ALL
+        |SELECT t.user_id, t.ts_us, t.x, t.rn,
+        |(2.0/13) * t.x + (1 - 2.0/13) * r.f AS f,
+        |(2.0/27) * t.x + (1 - 2.0/27) * r.s AS s,
+        |(2.0/10) * (((2.0/13) * t.x + (1 - 2.0/13) * r.f)
+        |  - ((2.0/27) * t.x + (1 - 2.0/27) * r.s)) + (1 - 2.0/10) * r.sig AS sig
+        |FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+        |SELECT user_id, ts_us, x AS value, f - s AS macd_value,
+        |sig AS macd_signal_value, (f - s) - sig AS macd_hist_value
+        |FROM r""".stripMargin,
+
+    // strict local maxima within ±3 rows: bounded max frames are
+    // order-independent; endpoints can be peaks (missing side = -inf),
+    // plateaus never qualify, single-row series get a null excess
+    "q_peaks" ->
+      """WITH t AS (
+        |SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |  CAST(value AS DOUBLE) AS x FROM events),
+        |m AS (
+        |SELECT user_id, ts_us, event_id, x,
+        |  max(x) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ml,
+        |  max(x) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS mr FROM t)
+        |SELECT user_id, ts_us, event_id, x AS value,
+        |  CASE WHEN ml IS NOT NULL OR mr IS NOT NULL THEN
+        |    x - greatest(coalesce(ml, CAST('-infinity' AS DOUBLE)),
+        |                 coalesce(mr, CAST('-infinity' AS DOUBLE))) END AS excess
+        |FROM m
+        |WHERE x > coalesce(ml, CAST('-infinity' AS DOUBLE))
+        |  AND x > coalesce(mr, CAST('-infinity' AS DOUBLE))""".stripMargin,
+
     // CCF at lags -2..2 between hourly cent totals (x) and hourly row
     // counts (y) per user: exact BIGINT sums, acf-style fixed assembly
     "q_ccf" -> {

@@ -320,6 +320,40 @@ object SparkEntry {
         col("kalman_level_value"), col("kalman_var_value"),
         col("kalman_gain_value"))
 
+  /** Running peak + drawdown per user over raw value doubles (running max
+    * is order-independent — no quantization needed). */
+  private def qDrawdown(s: SparkSession, dir: String): DataFrame =
+    graft.tsdf.Stats.drawdown(
+      events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+        col("value")),
+      "ts", "value", Seq("user_id"), tieCols = Seq("event_id"))
+      .select(col("user_id"), usec(col("ts")).alias("ts_us"), col("event_id"),
+        col("value"), col("peak_value"), col("drawdown_value"))
+
+  /** Wilder RSI (n = 14, EMA-seeded) per user; recursive-CTE oracle. */
+  private def qRsi(s: SparkSession, dir: String): DataFrame =
+    eventsTsdf(s, dir, "user_id", col("value"))
+      .rsi("value", n = 14)
+      .df.select(col("user_id"), usec(col("ts")).alias("ts_us"), col("value"),
+        col("rsi_value"))
+
+  /** MACD 12/26/9 per user; one oracle recursion carries all three EMA
+    * states. */
+  private def qMacd(s: SparkSession, dir: String): DataFrame =
+    eventsTsdf(s, dir, "user_id", col("value"))
+      .macd("value")
+      .df.select(col("user_id"), usec(col("ts")).alias("ts_us"), col("value"),
+        col("macd_value"), col("macd_signal_value"), col("macd_hist_value"))
+
+  /** Strict local maxima within ±3 rows per user. */
+  private def qPeaks(s: SparkSession, dir: String): DataFrame =
+    graft.tsdf.Stats.peaks(
+      events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+        col("value")),
+      "ts", "value", Seq("user_id"), w = 3, tieCols = Seq("event_id"))
+      .select(col("user_id"), usec(col("ts")).alias("ts_us"), col("event_id"),
+        col("value"), col("excess"))
+
   /** CCF between hourly activity (row count) and hourly value totals per
     * user at lags −2..2 — does activity lead value or trail it? Both
     * metrics exact integers over one resample + one series exchange. */
@@ -1440,6 +1474,10 @@ object SparkEntry {
     "q_ema_exact" -> qEmaExact _,
     "q_holt_exact" -> qHoltExact _,
     "q_kalman" -> qKalman _,
+    "q_drawdown" -> qDrawdown _,
+    "q_rsi" -> qRsi _,
+    "q_macd" -> qMacd _,
+    "q_peaks" -> qPeaks _,
     "q_ccf" -> qCcf _,
     "q_stream_holt" -> qStreamHolt _,
     "q_stream_kalman" -> qStreamKalman _,

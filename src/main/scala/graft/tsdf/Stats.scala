@@ -794,4 +794,115 @@ object Stats {
     staged.withColumn(s"slope_$valueCol", slope)
       .drop("__v", "__i", "__n", "__si", "__si2", "__sy", "__siy")
   }
+
+  /** Running peak and drawdown per series: `peak_<col>` is the running
+    * maximum of the value seen so far (max is order-independent, so raw
+    * doubles are engine-exact here — no integer quantization needed) and
+    * `drawdown_<col>` = peak − value, the depth below the high-water mark.
+    * ONE series exchange, one running window frame. Max drawdown per
+    * series is then a plain `max(drawdown_<col>)` aggregate on top. */
+  def drawdown(df: DataFrame, tsCol: String, valueCol: String,
+      seriesCols: Seq[String], tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = col(valueCol).cast(DoubleType)
+    val peak = max(x).over(w)
+    df.withColumn(s"peak_$valueCol", peak)
+      .withColumn(s"drawdown_$valueCol", col(s"peak_$valueCol") - x)
+  }
+
+  /** Relative Strength Index (Wilder, EMA-seeded variant): moves
+    * Δ_t = x_t − x_{t−1} split into gain = max(Δ, 0) and loss = max(−Δ, 0),
+    * each smoothed by the exact EMA recursion with α = 1/n
+    * ([[graft.functions.EmaExact]]; the state seeds with the FIRST move
+    * rather than Wilder's n-bar simple average — a documented variant that
+    * keeps the whole filter a single fixed-order recursion).
+    * rsi = 100·ag/(ag + al); null before the first move and while
+    * ag + al = 0 (no movement yet). The lag pass and both running EMAs
+    * share one series exchange and one sort; a recursive-CTE oracle
+    * replays every IEEE step bit-for-bit (same scheme as EMA/Holt/Kalman).
+    * Output: input row + `rsi_<col>`. */
+  def rsi(tsdf: TSDF, colToCalc: String, n: Int): TSDF = {
+    require(n >= 1, "n must be >= 1")
+    val alpha = 1.0 / n
+    val lagW = tsdf.baseWindow()
+    val runW = lagW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = col(colToCalc).cast(DoubleType)
+    def ema(c: Column) = org.apache.spark.sql.GraftColumns.column(
+      graft.functions.EmaExact(
+        org.apache.spark.sql.GraftColumns.expression(c),
+        alpha).toAggregateExpression())
+    // the lag must materialize BEFORE the EMA window consumes it: a window
+    // expression cannot be the child of another window aggregate
+    val staged = tsdf.df.withColumn("__d", x - lag(x, 1).over(lagW))
+    val gain = when(col("__d").isNotNull, greatest(col("__d"), lit(0.0)))
+    val loss = when(col("__d").isNotNull, greatest(-col("__d"), lit(0.0)))
+    val smoothed = staged
+      .withColumn("__ag", ema(gain).over(runW))
+      .withColumn("__al", ema(loss).over(runW))
+    val ag = col("__ag"); val al = col("__al")
+    val out = when(ag.isNotNull && al.isNotNull && (ag + al) =!= 0.0,
+      lit(100.0) * ag / (ag + al))
+    tsdf.copy(df = smoothed.withColumn(s"rsi_$colToCalc", out)
+      .drop("__d", "__ag", "__al"))
+  }
+
+  /** MACD (12/26/9 by default): fast and slow exact-EMA lines over the
+    * value (α = 2/(n+1), the classic convention — both engines compute the
+    * identical IEEE quotient), `macd_<col>` = fast − slow, signal = exact
+    * EMA of the macd line, `macd_hist_<col>` = macd − signal. The fast/slow
+    * EMAs ride one running frame; the signal EMA consumes the materialized
+    * macd column in a second window pass over the SAME partitioning —
+    * no extra exchange, Catalyst reuses the sort. Recursive-CTE oracle
+    * carries all three recursions in one step. */
+  def macd(tsdf: TSDF, colToCalc: String, fast: Int = 12, slow: Int = 26,
+      signal: Int = 9): TSDF = {
+    require(fast >= 1 && slow >= 1 && signal >= 1, "spans must be >= 1")
+    val runW = tsdf.baseWindow()
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def ema(c: Column, span: Int) = org.apache.spark.sql.GraftColumns.column(
+      graft.functions.EmaExact(
+        org.apache.spark.sql.GraftColumns.expression(c),
+        2.0 / (span + 1)).toAggregateExpression())
+    val x = col(colToCalc).cast(DoubleType)
+    val staged = tsdf.df
+      .withColumn("__f", ema(x, fast).over(runW))
+      .withColumn("__s", ema(x, slow).over(runW))
+      .withColumn(s"macd_$colToCalc", col("__f") - col("__s"))
+    val out = staged
+      .withColumn(s"macd_signal_$colToCalc",
+        ema(col(s"macd_$colToCalc"), signal).over(runW))
+      .withColumn(s"macd_hist_$colToCalc",
+        col(s"macd_$colToCalc") - col(s"macd_signal_$colToCalc"))
+      .drop("__f", "__s")
+    tsdf.copy(df = out)
+  }
+
+  /** Strict local maxima: a row is a peak iff its value is strictly
+    * greater than every value within `w` rows on BOTH sides (missing
+    * neighbors at series edges don't block — an endpoint can be a peak;
+    * plateaus never qualify, so the rule is deterministic without a
+    * tie-break). `excess` = value − max(either side), null for a
+    * single-row series (no sides at all). Two bounded frames on one
+    * series exchange; max is order-independent so raw doubles replay
+    * engine-exact. Output: peak rows only, input row + `excess`. */
+  def peaks(df: DataFrame, tsCol: String, valueCol: String,
+      seriesCols: Seq[String], w: Int, tieCols: Seq[String] = Nil): DataFrame = {
+    require(w >= 1, "w must be >= 1")
+    val ord = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    val x = col(valueCol).cast(DoubleType)
+    val negInf = lit(Double.NegativeInfinity)
+    val staged = df
+      .withColumn("__ml", max(x).over(ord.rowsBetween(-w, -1)))
+      .withColumn("__mr", max(x).over(ord.rowsBetween(1, w)))
+    val ml = col("__ml"); val mr = col("__mr")
+    staged
+      .where(x > coalesce(ml, negInf) && x > coalesce(mr, negInf))
+      .withColumn("excess",
+        when(ml.isNotNull || mr.isNotNull,
+          x - greatest(coalesce(ml, negInf), coalesce(mr, negInf))))
+      .drop("__ml", "__mr")
+  }
 }

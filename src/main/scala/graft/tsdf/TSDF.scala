@@ -279,6 +279,13 @@ case class TSDF(
       p0: Option[Double] = None): TSDF =
     Stats.kalmanLevel(this, colToCalc, q, r, p0)
 
+  def rsi(colToCalc: String, n: Int): TSDF =
+    Stats.rsi(this, colToCalc, n)
+
+  def macd(colToCalc: String, fast: Int = 12, slow: Int = 26,
+      signal: Int = 9): TSDF =
+    Stats.macd(this, colToCalc, fast, slow, signal)
+
   def sessionize(gapSeconds: Long): TSDF =
     copy(df = Sessionize.assign(df, tsCol, partitionCols, gapSeconds))
 

@@ -1700,4 +1700,94 @@ class PipelineUnitSpec extends SparkTestBase {
       .orderBy("sid").select("sid", "v").as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 20L), (2L, 40L)))
   }
+
+  test("drawdown tracks the running high-water mark per series") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, 100.0), (1L, 2L, 120.0), (1L, 3L, 90.0), (1L, 4L, 110.0),
+      (1L, 5L, 130.0), (2L, 1L, 50.0)
+    ).toDF("sid", "ts", "v").withColumn("ts", timestamp_seconds(col("ts")))
+    val got = graft.tsdf.Stats.drawdown(df, "ts", "v", Seq("sid"))
+      .orderBy("sid", "ts").select("peak_v", "drawdown_v")
+      .as[(Double, Double)].collect().toSeq
+    assert(got == Seq((100.0, 0.0), (120.0, 0.0), (120.0, 30.0),
+      (120.0, 10.0), (130.0, 0.0), (50.0, 0.0)))
+  }
+
+  test("rsi matches the naive Wilder EMA-seeded recursion exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val vals = (1 to 150).map(_ => rnd.nextInt(2001) / 8.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, (i + 1).toLong, v) }
+      .toDF("sid", "ts", "v").withColumn("ts", timestamp_seconds(col("ts")))
+    val got = graft.tsdf.TSDF(df, "ts", Seq("sid")).rsi("v", n = 14)
+      .df.orderBy("ts").select("rsi_v")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.head.isEmpty) // no move yet on the first row
+    val a = 1.0 / 14
+    var ag = 0.0; var al = 0.0
+    vals.indices.drop(1).foreach { i =>
+      val d = vals(i) - vals(i - 1)
+      val (g, l) = (math.max(d, 0.0), math.max(-d, 0.0))
+      if (i == 1) { ag = g; al = l }
+      else { ag = a * g + (1 - a) * ag; al = a * l + (1 - a) * al }
+      val want = if (ag + al != 0.0) Some(100.0 * ag / (ag + al)) else None
+      assert(got(i) == want, s"row $i")
+    }
+    // monotone run pins the bounds: all gains -> 100
+    val up = (1 to 20).map(i => (3L, i.toLong, i * 10.0))
+      .toDF("sid", "ts", "v").withColumn("ts", timestamp_seconds(col("ts")))
+    val upRsi = graft.tsdf.TSDF(up, "ts", Seq("sid")).rsi("v", 14)
+      .df.orderBy("ts").select("rsi_v").collect().drop(1)
+    assert(upRsi.forall(_.getDouble(0) == 100.0))
+  }
+
+  test("macd matches the naive triple-EMA recursion exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vals = (1 to 150).map(_ => rnd.nextInt(2001) / 8.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, (i + 1).toLong, v) }
+      .toDF("sid", "ts", "v").withColumn("ts", timestamp_seconds(col("ts")))
+    val got = graft.tsdf.TSDF(df, "ts", Seq("sid")).macd("v")
+      .df.orderBy("ts").select("macd_v", "macd_signal_v", "macd_hist_v")
+      .as[(Double, Double, Double)].collect()
+    val (af, as_, asig) = (2.0 / 13, 2.0 / 27, 2.0 / 10)
+    var f = 0.0; var s = 0.0; var sig = 0.0
+    vals.indices.foreach { i =>
+      if (i == 0) { f = vals(0); s = vals(0); sig = f - s }
+      else {
+        f = af * vals(i) + (1 - af) * f
+        s = as_ * vals(i) + (1 - as_) * s
+        sig = asig * (f - s) + (1 - asig) * sig
+      }
+      assert(got(i)._1 == f - s, s"macd at $i")
+      assert(got(i)._2 == sig && got(i)._3 == (f - s) - sig, s"signal at $i")
+    }
+  }
+
+  test("peaks: strict local maxima only, endpoints allowed, plateaus never") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, 5.0), (1L, 2L, 9.0), (1L, 3L, 9.0), (1L, 4L, 2.0), // plateau
+      (1L, 5L, 8.0), (1L, 6L, 3.0),                               // peak at 5
+      (2L, 1L, 7.0), (2L, 2L, 4.0),                               // endpoint peak
+      (3L, 1L, 1.0)                                               // lone row
+    ).toDF("sid", "ts", "v").withColumn("ts", timestamp_seconds(col("ts")))
+    val got = graft.tsdf.Stats.peaks(df, "ts", "v", Seq("sid"), w = 2)
+      .orderBy("sid", "ts").select("sid", "v", "excess")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    // series 1: the 9.0 plateau blocks both members (not strictly greater);
+    // 8.0 at t=5 beats {9.0? no — it is within 2 rows}. Check: t=5 left
+    // frame is {9.0(t=3), 2.0(t=4)} -> 8.0 < 9.0, NOT a peak.
+    // So series 1 has no peaks at w=2. Series 2: endpoint 7.0 wins.
+    // Series 3: lone row is a peak with null excess.
+    assert(got == Seq((2L, 7.0, Some(3.0)), (3L, 1.0, None)))
+    // w=1 frees t=5 in series 1 (left neighbor 2.0, right 3.0)
+    val w1 = graft.tsdf.Stats.peaks(df.filter(col("sid") === 1),
+      "ts", "v", Seq("sid"), w = 1)
+      .orderBy("ts").select("v", "excess").as[(Double, Double)]
+      .collect().toSeq
+    assert(w1 == Seq((8.0, 5.0)))
+  }
 }
