@@ -715,6 +715,44 @@ object OracleSql {
         |WHERE x > coalesce(ml, CAST('-infinity' AS DOUBLE))
         |  AND x > coalesce(mr, CAST('-infinity' AS DOUBLE))""".stripMargin,
 
+    // hour-of-day seasonal decomposition: hourly cent totals (exact
+    // BIGINT), phase mean = one sum/count division, deseasonalized = one
+    // further subtraction — both fixed IEEE ops
+    "q_seasonal" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bts,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total
+        |  FROM events GROUP BY 1, 2),
+        |bp AS (SELECT user_id, bts, total,
+        |  (epoch_us(bts) // 3600000000) % 24 AS phase FROM b),
+        |p AS (SELECT user_id, phase,
+        |  CAST(sum(total) AS BIGINT) AS ps, count(*) AS pn
+        |  FROM bp GROUP BY 1, 2)
+        |SELECT bp.user_id, epoch_us(bp.bts) AS bucket_ts_us, bp.phase,
+        |  bp.total, CAST(p.ps AS DOUBLE) / p.pn AS phase_mean,
+        |  CAST(bp.total AS DOUBLE) - CAST(p.ps AS DOUBLE) / p.pn
+        |    AS deseasonalized
+        |FROM bp JOIN p ON p.user_id = bp.user_id AND p.phase = bp.phase""".stripMargin,
+
+    // robust scaling: median/quartiles are SELECTED multiset members
+    // (lower rank convention), the scale expression two fixed IEEE ops
+    "q_robust_scale" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |  CAST(value AS DOUBLE) AS x,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY value) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n FROM events),
+        |q AS (SELECT user_id,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT))
+        |    THEN x END) AS q1,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+        |    THEN x END) AS med,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * n) AS BIGINT))
+        |    THEN x END) AS q3
+        |  FROM t GROUP BY user_id)
+        |SELECT t.user_id, t.ts_us, t.event_id, t.x AS value,
+        |  CASE WHEN (q.q3 - q.q1) <> 0 THEN (t.x - q.med) / (q.q3 - q.q1) END
+        |    AS value_robust
+        |FROM t JOIN q ON q.user_id = t.user_id""".stripMargin,
+
     // CCF at lags -2..2 between hourly cent totals (x) and hourly row
     // counts (y) per user: exact BIGINT sums, acf-style fixed assembly
     "q_ccf" -> {
@@ -1293,6 +1331,59 @@ object OracleSql {
          |  CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
          |       ELSE $scale / kth_hash END AS distinct_est
          |FROM k""".stripMargin
+    },
+
+    // Count-Min sketch replay: the 3×512 grid of exact counters rebuilt
+    // with the same polynomial-hash addressing, probes read min over rows
+    "q_cms_heavy" -> {
+      def cell(r: Int) = s"((${Hashing.mixSql("h", 53 + r)}) % 512)"
+      s"""WITH t AS (SELECT unnest(string_split($norm, ' ')) AS tok
+         |  FROM documents),
+         |th AS (SELECT tok, ${Hashing.polyHashSql("tok")} AS h FROM t),
+         |ex AS (SELECT tok, count(*) AS true_cnt FROM t GROUP BY tok
+         |  HAVING count(*) >= 50),
+         |c AS (
+         |  SELECT 0 AS rw, ${cell(0)} AS bucket, count(*) AS cnt
+         |    FROM th GROUP BY 2
+         |  UNION ALL SELECT 1, ${cell(1)}, count(*) FROM th GROUP BY 2
+         |  UNION ALL SELECT 2, ${cell(2)}, count(*) FROM th GROUP BY 2),
+         |ph AS (SELECT tok, true_cnt, ${Hashing.polyHashSql("tok")} AS h
+         |  FROM ex),
+         |pa AS (
+         |  SELECT tok, true_cnt, 0 AS rw, ${cell(0)} AS bucket FROM ph
+         |  UNION ALL SELECT tok, true_cnt, 1, ${cell(1)} FROM ph
+         |  UNION ALL SELECT tok, true_cnt, 2, ${cell(2)} FROM ph),
+         |e AS (SELECT pa.tok, pa.true_cnt,
+         |  min(coalesce(c.cnt, 0)) AS cms_est
+         |  FROM pa LEFT JOIN c ON c.rw = pa.rw AND c.bucket = pa.bucket
+         |  GROUP BY 1, 2)
+         |SELECT tok, true_cnt, cms_est, cms_est - true_cnt AS over_err
+         |FROM e""".stripMargin
+    },
+
+    // Bloom replay: positions from the same hash family, 31-bit words so
+    // mask arithmetic stays exact in BIGINTs; the word OR is a
+    // distinct-sum of power-of-two masks in both engines
+    "q_bloom" -> {
+      def pos(r: Int) = s"((${Hashing.mixSql("h", 97 + r)}) % ${1 << 15})"
+      val addr = (0 until 3).map { r =>
+        s"SELECT doc_id, (${pos(r)}) // 31 AS word, " +
+          s"(CAST(1 AS BIGINT) << CAST((${pos(r)}) % 31 AS INTEGER)) AS mask FROM dh"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH d AS (SELECT doc_id, $norm AS item FROM documents),
+         |dh AS (SELECT doc_id, ${Hashing.polyHashSql("item")} AS h FROM d),
+         |ha AS (
+         |  $addr),
+         |wb AS (SELECT word, sum(mask) AS word_mask FROM (
+         |  SELECT DISTINCT word, mask FROM ha WHERE doc_id % 3 <> 0)
+         |  GROUP BY word),
+         |pr AS (SELECT ha.doc_id,
+         |  CASE WHEN wb.word_mask IS NOT NULL
+         |    AND (wb.word_mask & ha.mask) <> 0 THEN 1 ELSE 0 END AS ok
+         |  FROM ha LEFT JOIN wb ON wb.word = ha.word)
+         |SELECT doc_id, (sum(ok) = count(*)) AS bloom_hit,
+         |  (doc_id % 3 <> 0) AS in_history
+         |FROM pr GROUP BY doc_id""".stripMargin
     },
 
     // registered-domain rollup of the synthesized 5-host URL set
@@ -1989,6 +2080,46 @@ object OracleSql {
          |  FROM s)
          |SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id, cosine
          |FROM r WHERE rn <= 3""".stripMargin
+    },
+
+    // recall@3 of the q_ann_ivf list vs the q_ann_topk brute force: both
+    // CTE chains replayed verbatim, intersected per query
+    "q_ann_recall" -> {
+      val d2 = "list_dot_product(a.q, a.q) - 2 * list_dot_product(a.q, c.cv) + " +
+        "list_dot_product(c.cv, c.cv)"
+      s"""WITH q AS (SELECT vec_id, $qv AS q FROM embeddings),
+         |cent AS (SELECT vec_id AS cell, q AS cv FROM q WHERE vec_id < 16),
+         |ca AS (SELECT a.vec_id, a.q, c.cell, $d2 AS dist FROM q a CROSS JOIN cent c),
+         |arg AS (SELECT vec_id, q, cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r FROM ca) t
+         |  WHERE r = 1),
+         |qp AS (SELECT vec_id, q, cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
+         |   FROM ca WHERE vec_id < 20) t
+         |  WHERE r <= 4),
+         |s1 AS (SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  ${cosSql("p.q", "b.q")} AS cosine
+         |  FROM qp p JOIN arg b ON p.cell = b.cell AND p.vec_id <> b.vec_id),
+         |ivf AS (SELECT query_id, neighbor_id FROM
+         |  (SELECT query_id, neighbor_id,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+         |   FROM s1) t WHERE rn <= 3),
+         |s2 AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  ${cosSql("a.q", "b.q")} AS cosine
+         |  FROM (SELECT * FROM q WHERE vec_id < 20) a CROSS JOIN q b
+         |  WHERE a.vec_id <> b.vec_id),
+         |ex AS (SELECT query_id, neighbor_id FROM
+         |  (SELECT query_id, neighbor_id,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+         |   FROM s2) t WHERE rn <= 3),
+         |h AS (SELECT ivf.query_id, count(*) AS n_hits
+         |  FROM ivf JOIN ex ON ex.query_id = ivf.query_id
+         |    AND ex.neighbor_id = ivf.neighbor_id
+         |  GROUP BY 1)
+         |SELECT e.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 3 AS recall
+         |FROM (SELECT DISTINCT query_id FROM ex) e
+         |LEFT JOIN h ON h.query_id = e.query_id""".stripMargin
     },
 
     // IVF-PQ replay: coarse cells as in q_ann_ivf; sub-codebooks = the same

@@ -1087,6 +1087,69 @@ object SparkEntry {
     graft.pipeline.Sketch.kmvDistinct(toks, Seq("source"), col("tok"), k = 256)
   }
 
+  /** Count-Min sketch (width 512 × depth 3) over the corpus tokens, probed
+    * with every token whose exact count ≥ 50: the CMS estimate is an upper
+    * bound (never under, over only on collisions), and the exact counts
+    * sit alongside so the error is visible in the output. */
+  private def qCmsHeavy(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(
+      explode(split(Dedup.normalizeText(col("text")), " ")).alias("tok"))
+    val sketch = graft.pipeline.Sketch.cmsBuild(
+      toks, col("tok"), width = 512, depth = 3)
+    val heavy = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).alias("true_cnt"))
+      .filter(col("true_cnt") >= 50)
+    graft.pipeline.Sketch.cmsEstimate(
+      heavy, sketch, col("tok"), width = 512, depth = 3)
+      .join(heavy, col("item") === col("tok"))
+      .select(col("tok"), col("true_cnt"), col("cms_est"),
+        (col("cms_est") - col("true_cnt")).alias("over_err"))
+  }
+
+  /** Bloom filter (2^15 bits, 3 hashes) over the normalized-text
+    * fingerprints of the "historical" docs (doc_id % 3 ≠ 0), probed with
+    * every doc: zero false negatives by construction; hits outside the
+    * history are hash collisions or genuine duplicate texts. */
+  private def qBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      Dedup.normalizeText(col("text")).alias("item"))
+    val filter = graft.pipeline.Sketch.bloomBuild(
+      d.filter(col("doc_id") % 3 =!= 0), col("item"),
+      mBits = 1 << 15, depth = 3)
+    graft.pipeline.Sketch.bloomProbe(d, filter, col("item"),
+      mBits = 1 << 15, depth = 3)
+      .select(col("doc_id"), col("bloom_hit"),
+        (col("doc_id") % 3 =!= 0).alias("in_history"))
+  }
+
+  /** Recall@3 of the IVF index (nprobe 4 of 16 cells) against brute-force
+    * cosine on the shared 20-query ground-truth set — the ANN quality
+    * gauge as a first-class operator. */
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    Similarity.annRecall(qAnnIvf(s, dir), qAnnTopk(s, dir), k = 3)
+  }
+
+  /** Hour-of-day seasonal decomposition of per-user hourly cent totals
+    * (freq = 1 hour, period = 24): phase mean from exact integer sums,
+    * deseasonalized = total − phase_mean. */
+  private def qSeasonal(s: SparkSession, dir: String): DataFrame =
+    graft.tsdf.Stats.seasonalAdjust(
+      events(s, dir).select(col("user_id"), col("ts"),
+        cents(col("value")).alias("vc")),
+      "ts", "vc", Seq("user_id"), freq = "1 hour", period = 24)
+      .select(col("user_id"), usec(col("bucket_ts")).alias("bucket_ts_us"),
+        col("phase"), col("total"), col("phase_mean"), col("deseasonalized"))
+
+  /** Robust scaling of event values per user: (x − median) / IQR with
+    * exact selected quantiles (nulls where IQR = 0). */
+  private def qRobustScale(s: SparkSession, dir: String): DataFrame =
+    graft.tsdf.Stats.robustScale(
+      events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+        col("value")),
+      "value", Seq("user_id"))
+      .select(col("user_id"), usec(col("ts")).alias("ts_us"), col("event_id"),
+        col("value"), col("value_robust"))
+
   /** Registered-domain rollup over synthesized URLs (5 hosts across 3
     * registered domains, one blocklisted): doc counts + total chars +
     * blocked flag per domain. */
@@ -1536,6 +1599,11 @@ object SparkEntry {
     "q_tfidf" -> qTfidf _,
     "q_ann_sq8" -> qAnnSq8 _,
     "q_kmv_distinct" -> qKmv _,
+    "q_cms_heavy" -> qCmsHeavy _,
+    "q_bloom" -> qBloom _,
+    "q_ann_recall" -> qAnnRecall _,
+    "q_seasonal" -> qSeasonal _,
+    "q_robust_scale" -> qRobustScale _,
     "q_domain_stats" -> qDomainStats _,
     "q_curriculum" -> qCurriculum _,
     "q_postings_index" -> qPostingsIndex _,

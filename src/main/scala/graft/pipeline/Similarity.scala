@@ -661,6 +661,29 @@ object Similarity {
         col("code_dist"))
   }
 
+  /** Recall@k of an approximate neighbor list against the exact one: per
+    * query, n_hits = |approx ∩ exact| and recall = n_hits / k — the
+    * standard ANN quality gauge, here as a first-class operator so an
+    * index's parameters (nprobe, nBits, probes…) can be tuned from a
+    * sampled query set ON the cluster before committing a corpus-wide
+    * build. Both inputs are (query_id, neighbor_id[, …]) top-k frames
+    * (e.g. [[ivfTopK]] vs [[bruteForceTopK]] on a query sample). Exact
+    * integer intersection counts; the single terminal division is
+    * engine-exact. Queries absent from `approx` (e.g. empty probe cells)
+    * still report recall 0. Output: (query_id, n_hits, recall). */
+  def annRecall(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = a.join(e, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).alias("__h"))
+    e.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__h"), lit(0L)).alias("n_hits"),
+        (coalesce(col("__h"), lit(0L)).cast(DoubleType) / k).alias("recall"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (a < b). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, nBits: Int = 6, maxBucketSize: Int = 4096): DataFrame = {

@@ -50,4 +50,122 @@ object Sketch {
           .otherwise(lit((k - 1).toDouble * Hashing.P) / col("kth_hash"))
           .alias("distinct_est")): _*)
   }
+
+  /** One (row, bucket) pair per depth row for `itemCol` — the shared
+    * addressing of [[cmsBuild]] and [[cmsEstimate]] (the two MUST agree or
+    * probes read the wrong counters). */
+  private def cmsAddresses(itemCol: Column, width: Int, depth: Int,
+      seed: Int): Column = {
+    val h = Hashing.polyHash(itemCol)
+    array((0 until depth).map { r =>
+      struct(lit(r.toLong).alias("row"),
+        pmod(Hashing.mix(h, seed + r), lit(width.toLong)).alias("bucket"))
+    }: _*)
+  }
+
+  /** Count-Min sketch build: a depth × width grid of EXACT counters, stored
+    * sparsely as (row, bucket, cnt) — empty counters are absent (they read
+    * as 0 at probe time), so the materialized sketch never exceeds
+    * depth × width rows regardless of corpus size. Counting is one explode
+    * (depth rows per item) + one hash aggregate — map-side combined, and
+    * the sketch is mergeable across shards/days by summing cnt per cell.
+    * Every address comes from the engine-agnostic [[Hashing]] family, so
+    * the whole grid — and any estimate read from it — replays
+    * bit-identically in DuckDB.
+    *
+    * Reference scope note: tempo has no sketches; at 100 TB a CMS answers
+    * "how often does this token/URL/fingerprint occur" in O(depth) probed
+    * cells instead of a corpus-wide count per question. */
+  def cmsBuild(df: DataFrame, itemCol: Column, width: Int, depth: Int,
+      seed: Int = 53): DataFrame = {
+    require(width >= 2 && depth >= 1, "need width >= 2, depth >= 1")
+    df.select(explode(cmsAddresses(itemCol, width, depth, seed)).alias("__a"))
+      .groupBy(col("__a.row").alias("row"), col("__a.bucket").alias("bucket"))
+      .agg(count(lit(1)).alias("cnt"))
+  }
+
+  /** Probe a [[cmsBuild]] sketch: est(item) = min over rows of the item's
+    * counter (absent counter = 0) — the classic CMS upper bound: never
+    * under the true count, over it only on collisions. `probes` should be
+    * small (a candidate list); the sketch side is ≤ depth × width rows, so
+    * AQE broadcasts it and the probe never reshuffles the corpus.
+    * Output: item, cms_est. */
+  def cmsEstimate(probes: DataFrame, sketch: DataFrame, itemCol: Column,
+      width: Int, depth: Int, seed: Int = 53): DataFrame = {
+    require(width >= 2 && depth >= 1, "need width >= 2, depth >= 1")
+    probes
+      .select(itemCol.alias("item")).distinct()
+      .select(col("item"),
+        explode(cmsAddresses(col("item"), width, depth, seed)).alias("__a"))
+      .join(sketch, col("__a.row") === sketch("row") &&
+        col("__a.bucket") === sketch("bucket"), "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).alias("cms_est"))
+  }
+
+  /** Bits per Bloom word — 31, so every mask and OR'd word stays < 2^31:
+    * exact in Spark longs, DuckDB BIGINTs, and the oracle replay (no
+    * engine-specific 64-bit shift/sign semantics anywhere). */
+  val BloomBitsPerWord = 31
+
+  /** One (word, mask) pair per hash for `itemCol` — shared addressing of
+    * [[bloomBuild]] and [[bloomProbe]]. */
+  private def bloomAddresses(itemCol: Column, mBits: Int, depth: Int,
+      seed: Int): Column = {
+    val h = Hashing.polyHash(itemCol)
+    array((0 until depth).map { r =>
+      val pos = pmod(Hashing.mix(h, seed + r), lit(mBits.toLong))
+      struct((pos / BloomBitsPerWord).cast(LongType).alias("word"),
+        call_function("shiftleft", lit(1L),
+          (pos % BloomBitsPerWord).cast(
+            org.apache.spark.sql.types.IntegerType)).alias("mask"))
+    }: _*)
+  }
+
+  /** Bloom filter build over `itemCol`: m bits in 31-bit words, stored
+    * sparsely as (word, word_mask) — only words with at least one set bit
+    * materialize, so the filter is at most m/31 rows however large the
+    * input. The word OR is `sum(DISTINCT mask)` (masks are distinct powers
+    * of two, so the distinct-sum IS the bitwise OR) — plain integer
+    * arithmetic that map-side combines and replays in any engine. Filters
+    * from two corpora union by re-OR-ing per word (same distinct-sum after
+    * unpacking, or bitwise OR of the packed words).
+    *
+    * The 100 TB use: yesterday's fingerprint index folded to ~m/31 longs
+    * that every ingest executor holds, answering "definitely new?" without
+    * joining the historical corpus ([[Dedup.incrementalDedup]]'s anti-join
+    * stays the exact path; the Bloom pass prunes its probe side). */
+  def bloomBuild(df: DataFrame, itemCol: Column, mBits: Int, depth: Int,
+      seed: Int = 97): DataFrame = {
+    require(mBits >= BloomBitsPerWord && depth >= 1,
+      s"need mBits >= $BloomBitsPerWord, depth >= 1")
+    df.select(explode(bloomAddresses(itemCol, mBits, depth, seed)).alias("__a"))
+      .select(col("__a.word").alias("word"), col("__a.mask").alias("mask"))
+      .distinct()
+      .groupBy(col("word"))
+      .agg(sum(col("mask")).alias("word_mask"))
+  }
+
+  /** Probe a [[bloomBuild]] filter: an item is a hit iff ALL depth probe
+    * bits are set (zero false negatives; false positives at the classic
+    * (1−e^{−dn/m})^d rate). The filter side is tiny (≤ m/31 rows) so AQE
+    * broadcasts it; the probe side streams through map-side.
+    * Output: probe rows + bloom_hit. */
+  def bloomProbe(probes: DataFrame, filter: DataFrame, itemCol: Column,
+      mBits: Int, depth: Int, seed: Int = 97): DataFrame = {
+    require(mBits >= BloomBitsPerWord && depth >= 1,
+      s"need mBits >= $BloomBitsPerWord, depth >= 1")
+    val probed = probes
+      .withColumn("__a", explode(bloomAddresses(itemCol, mBits, depth, seed)))
+      .join(filter, col("__a.word") === filter("word"), "left")
+      .withColumn("__ok",
+        when(col("word_mask").isNotNull &&
+          (col("word_mask").bitwiseAND(col("__a.mask")) =!= 0L), 1L)
+          .otherwise(0L))
+    // hit iff every exploded probe row found its bit; comparing against
+    // count(*) (not the constant depth) keeps duplicated probe rows correct
+    probed
+      .groupBy(probes.columns.map(col): _*)
+      .agg((sum(col("__ok")) === count(lit(1))).alias("bloom_hit"))
+  }
 }

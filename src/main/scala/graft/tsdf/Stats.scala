@@ -905,4 +905,72 @@ object Stats {
           x - greatest(coalesce(ml, negInf), coalesce(mr, negInf))))
       .drop("__ml", "__mr")
   }
+
+  /** Seasonal-phase decomposition: resample each series to `freq` buckets
+    * (exact BIGINT totals; integer precondition enforced per row), assign
+    * each bucket its phase = (bucket_epoch_µs / freq_µs) mod `period`, and
+    * subtract the per-(series, phase) mean total — e.g. freq = "1 hour",
+    * period = 24 removes the hour-of-day profile. The phase mean is one
+    * exact-integer sum/count division and the deseasonalized value one
+    * further IEEE subtraction, both fixed-order, so the doubles replay
+    * engine-exact.
+    *
+    * Plan shape: the resample aggregate is the only corpus-scale exchange;
+    * the phase-profile table is ≤ series × period rows, so AQE broadcasts
+    * the join back (never a corpus reshuffle). Output one row per
+    * (series, bucket): (series..., bucket_ts, phase, total, phase_mean,
+    * deseasonalized). */
+  def seasonalAdjust(df: DataFrame, tsCol: String, valueCol: String,
+      seriesCols: Seq[String], freq: String, period: Int): DataFrame = {
+    require(period >= 2, "period must be >= 2")
+    val spec = Resample.parseFreq(freq)
+    val sc = seriesCols.map(col)
+    val buckets = df
+      .withColumn("__c", integralOrFail(col(valueCol), "seasonalAdjust"))
+      .groupBy(sc :+ window(col(tsCol), spec.sparkInterval)
+        .getField("start").alias("bucket_ts"): _*)
+      .agg(sum(col("__c")).alias("total"))
+      .withColumn("phase",
+        // integral `div` keeps the whole phase computation in BIGINTs
+        // (bucket starts are exact multiples of the freq, but no step here
+        // should depend on that)
+        pmod(expr(s"unix_micros(bucket_ts) div ${spec.micros}"),
+          lit(period.toLong)))
+    val profile = buckets.groupBy(sc :+ col("phase"): _*)
+      .agg(sum(col("total")).alias("__ps"), count(lit(1)).alias("__pn"))
+      .withColumn("phase_mean", col("__ps").cast(DoubleType) / col("__pn"))
+      .drop("__ps", "__pn")
+    buckets.join(profile, seriesCols :+ "phase")
+      .withColumn("deseasonalized",
+        col("total").cast(DoubleType) - col("phase_mean"))
+  }
+
+  /** Robust scaling: (x − median) / IQR per series, the outlier-resistant
+    * cousin of the z-score (a handful of extremes cannot drag the location
+    * or the scale). Median and quartiles use [[quantiles]]' "lower" rank
+    * convention, so both are SELECTED members of the value multiset; the
+    * subtraction and division are two fixed IEEE operations on top —
+    * engine-exact with raw doubles, no quantization needed. Zero IQR
+    * (constant-ish series) yields null. Plan shape: ONE series exchange —
+    * the value-ordered rank window, the whole-partition quartile
+    * extraction, and the scaling reuse the same partitioning (no join
+    * back; same shape as [[winsorize]]). Output: input row +
+    * `<col>_robust`. */
+  def robustScale(df: DataFrame, valueCol: String,
+      seriesCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(seriesCols.map(col): _*)
+    def q(p: Double) = {
+      val target = greatest(lit(1L), ceil(lit(p) * col("__n")).cast(LongType))
+      max(when(col("__rn") === target, col(valueCol).cast(DoubleType)))
+        .over(wAll)
+    }
+    val iqr = q(0.75) - q(0.25)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn(s"${valueCol}_robust",
+        when(iqr =!= 0.0,
+          (col(valueCol).cast(DoubleType) - q(0.5)) / iqr))
+      .drop("__rn", "__n")
+  }
 }

@@ -1790,4 +1790,107 @@ class PipelineUnitSpec extends SparkTestBase {
       .collect().toSeq
     assert(w1 == Seq((8.0, 5.0)))
   }
+
+  test("cms estimates are never under the true count, exact sans collision") {
+    import spark.implicits._
+    val items = Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++
+      Seq.fill(3)("gamma") ++ (1 to 50).map(i => s"tail$i")
+    val df = items.toDF("item")
+    val sk = Sketch.cmsBuild(df, col("item"), width = 256, depth = 3)
+    // sketch never exceeds depth x width cells and total mass is conserved
+    // per row (each of the 3 rows counts every item exactly once)
+    val perRow = sk.groupBy("row").agg(sum("cnt")).as[(Long, Long)]
+      .collect().toMap
+    assert(perRow == Map(0L -> items.size.toLong, 1L -> items.size.toLong,
+      2L -> items.size.toLong))
+    val probes = Seq("alpha", "beta", "gamma", "absent").toDF("item")
+    val est = Sketch.cmsEstimate(probes, sk, col("item"), 256, 3)
+      .as[(String, Long)].collect().toMap
+    assert(est("alpha") >= 40 && est("beta") >= 25 && est("gamma") >= 3)
+    // width 256 over ~53 distinct items: with 3 independent rows a probe
+    // colliding in ALL rows is vanishingly unlikely; assert exactness
+    assert(est("alpha") == 40 && est("beta") == 25 && est("gamma") == 3)
+    assert(est("absent") == 0)
+  }
+
+  test("bloom has zero false negatives; probe agrees with membership") {
+    import spark.implicits._
+    val history = (1 to 300).map(i => s"doc-fp-$i").toDF("item")
+    val filter = Sketch.bloomBuild(history, col("item"),
+      mBits = 1 << 14, depth = 3)
+    // sparse word count bounded by m/31
+    assert(filter.count() <= (1 << 14) / 31 + 1)
+    val probes = ((1 to 300).map(i => s"doc-fp-$i") ++
+      (1 to 300).map(i => s"fresh-$i")).toDF("item")
+    val got = Sketch.bloomProbe(probes, filter, col("item"), 1 << 14, 3)
+      .as[(String, Boolean)].collect().toMap
+    // every member hits (no false negatives, the bloom contract)
+    (1 to 300).foreach(i => assert(got(s"doc-fp-$i"), s"member $i missed"))
+    // FP rate at n=300, m=16384, d=3 is ~2e-4 — allow a couple
+    val fps = (1 to 300).count(i => got(s"fresh-$i"))
+    assert(fps <= 3, s"$fps false positives is far above the expected rate")
+  }
+
+  test("annRecall counts exact hits and reports absent queries as zero") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L),
+      (3L, 30L), (3L, 31L), (3L, 32L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 99L), // 2/3
+      (2L, 20L), (2L, 21L), (2L, 22L))                // 3/3; query 3 absent
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.annRecall(approx, exact, k = 3)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 2.0 / 3), (2L, 3L, 1.0), (3L, 0L, 0.0)))
+  }
+
+  test("seasonalAdjust removes a planted hour-of-day profile") {
+    import spark.implicits._
+    // 4 days x 24 hours, value = 100*hour + noise-free residual = day index
+    val rows = for (d <- 0 until 4; h <- 0 until 24)
+      yield (1L, d * 86400L + h * 3600L, (100 * h + d).toLong)
+    val df = rows.toDF("sid", "ts", "v")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val got = graft.tsdf.Stats.seasonalAdjust(
+      df, "ts", "v", Seq("sid"), "1 hour", 24)
+      .orderBy("bucket_ts")
+      .select("phase", "total", "phase_mean", "deseasonalized")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length == 96)
+    got.zipWithIndex.foreach { case ((phase, total, mean, des), i) =>
+      val (d, h) = (i / 24, i % 24)
+      assert(phase == h.toLong, s"phase at $i")
+      assert(total == 100L * h + d)
+      assert(mean == 100.0 * h + 1.5) // mean of day residuals 0,1,2,3
+      assert(des == d - 1.5, s"deseasonalized at $i")
+    }
+    // non-integer input fails loudly
+    val bad = Seq((1L, 1L, 1.5)).toDF("sid", "ts", "v")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val e = intercept[Exception] {
+      graft.tsdf.Stats.seasonalAdjust(bad, "ts", "v", Seq("sid"),
+        "1 hour", 24).collect()
+    }
+    assert(e.getMessage.contains("seasonalAdjust"))
+  }
+
+  test("robustScale centers at the median and scales by IQR; zero IQR nulls") {
+    import spark.implicits._
+    // n=8: q1 at rank ceil(0.25*8)=2, med rank 4, q3 rank 6
+    val vals = Seq(10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("sid", "ts", "v")
+    val got = graft.tsdf.Stats.robustScale(df, "v", Seq("sid"))
+      .orderBy("ts").select("v_robust").as[Double].collect()
+    val (q1, med, q3) = (20.0, 40.0, 60.0)
+    vals.zip(got).foreach { case (v, r) =>
+      assert(r == (v - med) / (q3 - q1), s"at $v")
+    }
+    // constant series: IQR 0 -> null
+    val const = Seq((2L, 1L, 5.0), (2L, 2L, 5.0), (2L, 3L, 5.0))
+      .toDF("sid", "ts", "v")
+    val cn = graft.tsdf.Stats.robustScale(const, "v", Seq("sid"))
+      .select("v_robust").collect()
+    assert(cn.forall(_.isNullAt(0)))
+  }
 }
