@@ -2320,5 +2320,87 @@ object OracleSql {
         |  CAST(floor(fr * 100 + 0.25) AS BIGINT) AS ft_real_c,
         |  CAST(floor(fi * 100 + 0.25) AS BIGINT) AS ft_imag_c
         |FROM d""".stripMargin,
+
+    // top-3 periodogram bins: power from the SAME quantized cents as
+    // q_fourier (rc² + ic² exact integers), so the per-user ranking is
+    // engine-deterministic; positive freqs only, ties by freq
+    "q_spectrum" ->
+      """WITH x AS (SELECT user_id, ts, value,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS BIGINT) AS j,
+        |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n FROM events),
+        |d AS (SELECT a.user_id, a.j, a.n,
+        |  sum(b.value * cos(2 * pi() * ((a.j * b.j) % a.n) / a.n)) AS fr,
+        |  sum(-b.value * sin(2 * pi() * ((a.j * b.j) % a.n) / a.n)) AS fi
+        |  FROM x a JOIN x b ON a.user_id = b.user_id
+        |  GROUP BY a.user_id, a.j, a.n),
+        |p AS (SELECT user_id,
+        |  (CASE WHEN j < (n - 1) // 2 + 1 THEN j ELSE j - n END) / (n * 1.0) AS freq,
+        |  CAST(floor(fr * 100 + 0.25) AS BIGINT) AS rc,
+        |  CAST(floor(fi * 100 + 0.25) AS BIGINT) AS ic
+        |  FROM d),
+        |pw AS (SELECT user_id, freq, rc * rc + ic * ic AS power_c
+        |  FROM p WHERE freq > 0),
+        |r AS (SELECT user_id, freq, power_c,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY power_c DESC, freq ASC) AS rn FROM pw)
+        |SELECT user_id, CAST(rn AS BIGINT) AS "rank", freq, power_c
+        |FROM r WHERE rn <= 3""".stripMargin,
+
+    // Flesch reading ease replay: the three integer counts use the shared
+    // tokenCount trick + regexp_extract_all (RE2-subset patterns), the
+    // score the identical fixed IEEE assembly
+    "q_readability" ->
+      """WITH x AS (SELECT doc_id, text,
+        |  trim(regexp_replace(text, ' +', ' ', 'g')) AS tt FROM documents),
+        |y AS (SELECT doc_id,
+        |  CAST(CASE WHEN length(tt) = 0 THEN 0
+        |    ELSE length(tt) - length(replace(tt, ' ', '')) + 1 END AS BIGINT) AS w,
+        |  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS s,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS sy
+        |  FROM x)
+        |SELECT doc_id, w AS n_words, s AS n_sentences, sy AS n_syllables,
+        |  CASE WHEN w > 0 THEN 206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+        |    - 84.6 * (CAST(sy AS DOUBLE) / w) END AS flesch
+        |FROM y""".stripMargin,
+
+    // snapshot diff: both snapshot fingerprints are md5 of the SAME
+    // normalized text both engines compute; one full outer join
+    "q_snapshot_diff" -> {
+      s"""WITH o AS (SELECT doc_id, md5($norm) AS old_fp
+         |  FROM documents WHERE doc_id % 4 <> 1),
+         |nv AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 10 = 0 THEN text || ' updated' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 4 <> 2),
+         |nw AS (SELECT doc_id, md5($norm) AS new_fp FROM nv)
+         |SELECT coalesce(o.doc_id, nw.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN nw.doc_id IS NULL THEN 'removed'
+         |       WHEN old_fp <> new_fp THEN 'changed'
+         |       ELSE 'unchanged' END AS status,
+         |  old_fp, new_fp
+         |FROM o FULL OUTER JOIN nw ON nw.doc_id = o.doc_id""".stripMargin
+    },
+
+    // column profile: exact counts per profiled lineitem column
+    "q_profile" -> {
+      val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate",
+        "l_discount")
+      cols.map(c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct
+           |  FROM lineitem""".stripMargin).mkString("\nUNION ALL ")
+    },
+
+    // streaming drawdown twin: running max per user over unique-per-user
+    // event timestamps — same math as q_drawdown, no tie column needed
+    "q_stream_drawdown" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |  CAST(value AS DOUBLE) AS x,
+        |  max(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id
+        |    ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |FROM events)
+        |SELECT user_id, ts_us, x AS value, peak AS peak_value,
+        |  peak - x AS drawdown_value FROM t""".stripMargin,
   )
 }

@@ -1150,6 +1150,66 @@ object SparkEntry {
       .select(col("user_id"), usec(col("ts")).alias("ts_us"), col("event_id"),
         col("value"), col("value_robust"))
 
+  /** Top-3 power-spectrum bins per user: power from the SAME quantized
+    * cents as q_fourier (rc² + ic² — exact integers, so the ranking is
+    * engine-deterministic), positive frequencies only, ties by freq. */
+  private def qSpectrum(s: SparkSession, dir: String): DataFrame = {
+    val f = eventsTsdf(s, dir, "user_id", col("value"))
+      .fourierTransform(timestep = 1.0, valueCol = "value")
+      .df.select(col("user_id"), col("freq"),
+        floor(col("ft_real") * 100 + 0.25).cast(LongType).alias("__rc"),
+        floor(col("ft_imag") * 100 + 0.25).cast(LongType).alias("__ic"))
+      .filter(col("freq") > 0)
+      .withColumn("power_c",
+        col("__rc") * col("__rc") + col("__ic") * col("__ic"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("power_c").desc, col("freq").asc)
+    f.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("user_id"), col("rank").cast(LongType).alias("rank"),
+        col("freq"), col("power_c"))
+  }
+
+  /** Flesch reading ease per doc from exact integer word/sentence/syllable
+    * counts, fixed IEEE assembly. */
+  private def qReadability(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id") +:
+      TextAnalysis.readability(col("text")): _*)
+
+  /** Snapshot diff between two simulated corpus versions: old = doc_id
+    * % 4 ≠ 1, new = doc_id % 4 ≠ 2 with every 10th doc's text amended —
+    * classifies added / removed / changed / unchanged by normalized-text
+    * fingerprint. */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val oldSnap = d.filter(col("doc_id") % 4 =!= 1)
+    val newSnap = d.filter(col("doc_id") % 4 =!= 2)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")))
+    Dedup.snapshotDiff(oldSnap, newSnap, "text", "doc_id")
+  }
+
+  /** Column completeness/cardinality profile of lineitem (exact distinct
+    * counts at the correctness scale; the 100 TB path samples or swaps in
+    * the KMV estimate). */
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Profile.describe(tbl(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate",
+        "l_discount"))
+
+  /** Streaming drawdown as a single-batch streaming query — running max is
+    * order-independent, so the twin shares q_drawdown's math on the
+    * unique-per-user event timestamps. */
+  private def qStreamDrawdown(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val out = graft.streaming.StreamingTSDF.drawdown(
+      eventsStream(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "ts", Seq("user_id"), "value")
+    runStream(s, out).select(col("user_id"), usec(col("ts")).alias("ts_us"),
+      col("value"), col("peak_value"), col("drawdown_value"))
+  }
+
   /** Registered-domain rollup over synthesized URLs (5 hosts across 3
     * registered domains, one blocklisted): doc counts + total chars +
     * blocked flag per domain. */
@@ -1604,6 +1664,11 @@ object SparkEntry {
     "q_ann_recall" -> qAnnRecall _,
     "q_seasonal" -> qSeasonal _,
     "q_robust_scale" -> qRobustScale _,
+    "q_spectrum" -> qSpectrum _,
+    "q_readability" -> qReadability _,
+    "q_snapshot_diff" -> qSnapshotDiff _,
+    "q_profile" -> qProfile _,
+    "q_stream_drawdown" -> qStreamDrawdown _,
     "q_domain_stats" -> qDomainStats _,
     "q_curriculum" -> qCurriculum _,
     "q_postings_index" -> qPostingsIndex _,

@@ -392,6 +392,28 @@ object Dedup {
           .otherwise("kept").alias("status"))
   }
 
+  /** Corpus snapshot diff: classify every document id across two corpus
+    * snapshots as `added` (new only), `removed` (old only), `changed`
+    * (both, fingerprint differs), or `unchanged` — the audit step between
+    * two ingest runs ("what actually moved?") before reprocessing anything
+    * downstream. Fingerprint = md5 of the normalized text (the
+    * [[incrementalDedup]] convention, so the two share an index).
+    * ONE full outer equi-join on the id — both sides shuffle once on the
+    * same key, no skew surface (ids are unique per snapshot).
+    * Output: (id, status, old_fp, new_fp). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    def fp(df: DataFrame, out: String) =
+      df.select(col(idCol), md5(normalizeText(col(textCol))).alias(out))
+    fp(oldDf, "old_fp").join(fp(newDf, "new_fp"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged").alias("status"),
+        col("old_fp"), col("new_fp"))
+  }
+
   /** n-gram Jaccard similarity for candidate pairs — exact verify stage after
     * LSH candidate generation. |A∩B| / (|A|+|B|-|A∩B|) on distinct shingle
     * sets. */

@@ -289,4 +289,27 @@ object TextAnalysis {
       p =!= "" && !p.rlike("^(utm_[^=&]*|fbclid|gclid|ref)(=.*)?$")), "&")
     concat(base, when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
   }
+
+  /** Flesch reading-ease readability from three exact integer counts:
+    * words (single-space-normalized token count), sentences (runs of
+    * `.!?`, floored at 1 so fragments still score), and syllables (vowel
+    * groups `[aeiouy]+` per lowercased text — the standard heuristic).
+    * flesch = 206.835 − 1.015·(W/S) − 84.6·(SY/W), assembled in that fixed
+    * IEEE order from the integer counts, so the score replays
+    * bit-identically in any engine (every sub-pattern is in the RE2 subset
+    * both regex engines agree on). Empty/whitespace docs score null.
+    * Zero shuffle — pure per-row Column algebra.
+    * Output columns: (n_words, n_sentences, n_syllables, flesch). */
+  def readability(text: Column): Seq[Column] = {
+    val words = tokenCount(text).cast(LongType)
+    val sentences = greatest(lit(1L),
+      regexp_count(text, lit("[.!?]+")).cast(LongType))
+    val syllables = regexp_count(lower(text), lit("[aeiouy]+")).cast(LongType)
+    val flesch = when(words > 0,
+      lit(206.835) -
+        lit(1.015) * (words.cast(DoubleType) / sentences) -
+        lit(84.6) * (syllables.cast(DoubleType) / words))
+    Seq(words.alias("n_words"), sentences.alias("n_sentences"),
+      syllables.alias("n_syllables"), flesch.alias("flesch"))
+  }
 }

@@ -275,6 +275,64 @@ object StreamingTSDF {
       col("ema").alias(s"ema_$valueCol")): _*)
   }
 
+  case class PeakState(peak: Double, lastTsUs: Long)
+
+  /** Streaming running peak + drawdown: one double of per-series state (the
+    * high-water mark). Max is order-independent so the twin matches
+    * [[graft.tsdf.Stats.drawdown]] bit-for-bit on raw doubles; rows inside
+    * a micro-batch process in event-time order and a row strictly older
+    * than the last processed timestamp is DROPPED (state cannot rewind —
+    * same late-data contract as [[ema]]). Output: series + ts + value +
+    * `peak_<col>` + `drawdown_<col>`. */
+  def drawdown(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      valueCol: String, stateTtl: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val projected = df.select(
+      seriesKey(seriesCols).alias("series"),
+      unix_micros(col(tsCol)).alias("tsUs"),
+      col(valueCol).cast(DoubleType).alias("value"),
+      col(tsCol).alias("eventTime"))
+    val events = stateTtl.fold(projected)(ttl =>
+      projected.withWatermark("eventTime", ttl)).as[EmaEvent]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val out = events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (key: String, rows: Iterator[EmaEvent], state: GroupState[PeakState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.tsUs)
+            var cur = state.getOption.orNull
+            val outRows = sorted.flatMap { e =>
+              if (cur != null && e.tsUs < cur.lastTsUs) None
+              else {
+                cur = if (cur == null) PeakState(e.value, e.tsUs)
+                  else PeakState(math.max(cur.peak, e.value), e.tsUs)
+                Some((key, e.tsUs, e.value, cur.peak, cur.peak - e.value))
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              stateTtl.foreach(ttl => state.setTimeoutTimestamp(
+                math.max(cur.lastTsUs / 1000,
+                  state.getCurrentWatermarkMs() + 1), ttl))
+            }
+            outRows.iterator
+          }
+      }
+      .toDF("series", "tsUs", "value", "peak", "drawdown")
+    out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
+      timestamp_micros(col("tsUs")).alias(tsCol),
+      col("value").alias(valueCol),
+      col("peak").alias(s"peak_$valueCol"),
+      col("drawdown").alias(s"drawdown_$valueCol")): _*)
+  }
+
   case class HoltState(level: Double, trend: Double, lastTsUs: Long)
 
   /** Streaming Holt double-exponential smoothing: the level/trend recursion

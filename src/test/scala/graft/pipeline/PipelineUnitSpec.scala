@@ -1893,4 +1893,51 @@ class PipelineUnitSpec extends SparkTestBase {
       .select("v_robust").collect()
     assert(cn.forall(_.isNullAt(0)))
   }
+
+  test("readability counts words/sentences/syllables and assembles Flesch") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The cat sat. The dog ran!"),
+      (2L, "no terminator here"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id") +: TextAnalysis.readability(col("text")): _*)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    // doc 1: 6 words, 2 sentences, syllables: e-a-a-e-o-a = vowel groups:
+    // "the"(1) "cat"(1) "sat"(1) "the"(1) "dog"(1) "ran"(1) = 6
+    val f1 = 206.835 - 1.015 * (6.0 / 2) - 84.6 * (6.0 / 6)
+    assert(got(0) == ((1L, 6L, 2L, 6L, Some(f1))))
+    // doc 2: 3 words, sentences floored at 1; "no"(1) "terminator"(4:
+    // e,i,a,o) "here"(2: e,e) = 7 syllables
+    val f2 = 206.835 - 1.015 * (3.0 / 1) - 84.6 * (7.0 / 3)
+    assert(got(1) == ((2L, 3L, 1L, 7L, Some(f2))))
+    // empty doc: zero words -> null score
+    assert(got(2) == ((3L, 0L, 1L, 0L, None)))
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("id", "text")
+    val newSnap = Seq((2L, "beta"), (3L, "gamma CHANGED"), (4L, "delta"))
+      .toDF("id", "text")
+    val got = Dedup.snapshotDiff(oldSnap, newSnap, "text", "id")
+      .orderBy("id").select("id", "status").as[(Long, String)]
+      .collect().toSeq
+    assert(got == Seq((1L, "removed"), (2L, "unchanged"), (3L, "changed"),
+      (4L, "added")))
+  }
+
+  test("Profile.describe reports exact completeness and cardinality") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1), Some("a")), (Some(1), None), (Some(2), Some("b")),
+      (None, Some("a"))
+    ).toDF("k", "s")
+    val got = Profile.describe(df, Seq("k", "s"))
+      .orderBy("column").as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("k", 4L, 3L, 2L), ("s", 4L, 3L, 2L)))
+  }
 }

@@ -133,6 +133,25 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("property: streaming drawdown equals batch on random series") {
+    val rnd = new scala.util.Random(61)
+    (0 until 4).foreach { trial =>
+      val rows = randomSeries(rnd, pinEnds = false)
+      val streamed = runStream(rows, df =>
+        StreamingTSDF.drawdown(df, "ts", Seq("user_id"), "value"))
+        .select(col("user_id"), col("ts"), col("value"),
+          col("peak_value").alias("pk"), col("drawdown_value").alias("dd"))
+      val batch = graft.tsdf.Stats.drawdown(
+        { val spark2 = spark; import spark2.implicits._
+          rows.toDF("user_id", "ts", "value") },
+        "ts", "value", Seq("user_id"))
+        .select(col("user_id"), col("ts"), col("value"),
+          col("peak_value").alias("pk"), col("drawdown_value").alias("dd"))
+      // running max is order-independent: bit-identical on raw doubles
+      withClue(s"trial $trial: ") { assertDfEquality(streamed, batch) }
+    }
+  }
+
   test("property: streaming kalmanLevel equals batch on random series") {
     val rnd = new scala.util.Random(53)
     (0 until 4).foreach { trial =>
