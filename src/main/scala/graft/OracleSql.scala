@@ -2391,6 +2391,110 @@ object OracleSql {
            |  FROM lineitem""".stripMargin).mkString("\nUNION ALL ")
     },
 
+    // ordered re-anchored funnel: selected min-timestamps per step,
+    // later steps only after the previous completed
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+        |s1 AS (SELECT user_id, min(tu) AS t1_us FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(tu) AS t2_us FROM e
+        |  JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE event_type = 'click' AND tu > t1_us GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(tu) AS t3_us FROM e
+        |  JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE event_type = 'purchase' AND tu > t2_us GROUP BY 1)
+        |SELECT s1.user_id, s1.t1_us, s2.t2_us, s3.t3_us,
+        |  CAST(1 + (CASE WHEN s2.t2_us IS NOT NULL THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s3.t3_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS depth
+        |FROM s1
+        |LEFT JOIN s2 ON s2.user_id = s1.user_id
+        |LEFT JOIN s3 ON s3.user_id = s1.user_id""".stripMargin,
+
+    // weekly retention cohorts on 7-day epoch periods (no calendar/ISO
+    // conventions); exact counts, one terminal division
+    "q_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |  epoch_us(ts) // 604800000000 AS p FROM events),
+        |c AS (SELECT user_id, min(p) AS cohort_period FROM a GROUP BY 1),
+        |s AS (SELECT cohort_period, count(*) AS cohort_size FROM c GROUP BY 1),
+        |n AS (SELECT c.cohort_period, a.p - c.cohort_period AS k,
+        |  count(*) AS n_active
+        |  FROM a JOIN c ON c.user_id = a.user_id GROUP BY 1, 2)
+        |SELECT n.cohort_period, n.k, n.n_active, s.cohort_size,
+        |  CAST(n.n_active AS DOUBLE) / s.cohort_size AS retention
+        |FROM n JOIN s ON s.cohort_period = n.cohort_period""".stripMargin,
+
+    // trailing-7-day active users via the day-explode decomposition
+    "q_wau" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |  epoch_us(ts) // 86400000000 AS dd FROM events),
+        |sp AS (SELECT max(dd) AS hi FROM d),
+        |x AS (SELECT DISTINCT user_id, dd + r AS day_idx
+        |  FROM d, range(7) t(r))
+        |SELECT day_idx, CAST(day_idx * 86400000000 AS BIGINT) AS day_ts_us,
+        |  count(*) AS active_users
+        |FROM x, sp WHERE x.day_idx <= sp.hi
+        |GROUP BY 1""".stripMargin,
+
+    // inter-arrival stats: second-quantized exact BIGINT moment sums,
+    // fixed IEEE mean/sd/cv assembly (sqrt is correctly rounded)
+    "q_interarrival" ->
+      """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tu,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |g AS (SELECT user_id,
+        |  (tu - lag(tu) OVER (PARTITION BY user_id ORDER BY rn)) // 1000000 AS gp
+        |  FROM t),
+        |a AS (SELECT user_id, count(gp) AS n_gaps,
+        |  CAST(sum(gp) AS BIGINT) AS s1,
+        |  CAST(sum(gp * gp) AS BIGINT) AS s2 FROM g GROUP BY 1)
+        |SELECT user_id, n_gaps,
+        |  CASE WHEN n_gaps > 0 THEN CAST(s1 AS DOUBLE) / n_gaps END
+        |    AS mean_gap_s,
+        |  CASE WHEN n_gaps > 1 AND CAST(s1 AS DOUBLE) / n_gaps <> 0 THEN
+        |    sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)
+        |      / (n_gaps * (n_gaps - 1))) / (CAST(s1 AS DOUBLE) / n_gaps) END
+        |    AS cv_gap
+        |FROM a""".stripMargin,
+
+    // EW mean/variance recursion replayed as a recursive CTE with the
+    // identical IEEE operation order (d uses the PREVIOUS mean)
+    "q_ewm_var" ->
+      """WITH RECURSIVE t AS (
+        |SELECT user_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS x,
+        |row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
+        |r AS (
+        |SELECT user_id, ts_us, x, rn, x AS m, CAST(0 AS DOUBLE) AS v
+        |FROM t WHERE rn = 1
+        |UNION ALL
+        |SELECT t.user_id, t.ts_us, t.x, t.rn,
+        |0.25 * t.x + (1 - 0.25) * r.m AS m,
+        |(1 - 0.25) * r.v + 0.25 * (t.x - r.m) * (t.x - r.m) * (1 - 0.25) AS v
+        |FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+        |SELECT user_id, ts_us, x AS value, m AS ewm_mean_value,
+        |v AS ewm_var_value FROM r""".stripMargin,
+
+    // Hampel despike: frame median and MAD are exact selections from the
+    // sorted ±3 frame list; k·MAD comparison is fixed IEEE arithmetic
+    "q_hampel" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |  CAST(value AS DOUBLE) AS x FROM events),
+        |f AS (SELECT user_id, ts_us, event_id, x,
+        |  list_sort(list(x) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS fr FROM t),
+        |m AS (SELECT *, fr[CAST(ceil(len(fr) / 2.0) AS INTEGER)] AS med
+        |  FROM f),
+        |d AS (SELECT *, list_sort(list_transform(fr,
+        |  e -> abs(e - med)))[CAST(ceil(len(fr) / 2.0) AS INTEGER)] AS mad
+        |  FROM m)
+        |SELECT user_id, ts_us, event_id, x AS value,
+        |  (mad > 0 AND abs(x - med) > 3.0 * mad) AS value_spike,
+        |  CASE WHEN mad > 0 AND abs(x - med) > 3.0 * mad THEN med ELSE x END
+        |    AS value_hampel
+        |FROM d""".stripMargin,
+
     // streaming drawdown twin: running max per user over unique-per-user
     // event timestamps — same math as q_drawdown, no tie column needed
     "q_stream_drawdown" ->

@@ -1198,6 +1198,50 @@ object SparkEntry {
       Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate",
         "l_discount"))
 
+  /** Ordered view→click→purchase funnel per user: earliest re-anchored
+    * completion chain, selected timestamps only. */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Analytics.funnel(events(s, dir), "ts", "user_id",
+      "event_type", Seq("view", "click", "purchase"))
+
+  /** Weekly retention cohorts (7-day epoch periods — no calendar
+    * conventions): retention = active/cohort_size, one terminal
+    * division. */
+  private def qRetention(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Analytics.retentionCohorts(events(s, dir), "ts",
+      "user_id", periodDays = 7)
+
+  /** Trailing-7-day active users per observed day (WAU) via the
+    * day-explode decomposition — exact distinct, no sliding state. */
+  private def qWau(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Analytics.slidingActiveUsers(events(s, dir), "ts",
+      "user_id", windowDays = 7)
+
+  /** Inter-arrival gap statistics per user: mean gap + coefficient of
+    * variation from exact second-quantized BIGINT moment sums. */
+  private def qInterArrival(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Analytics.interArrival(events(s, dir), "ts",
+      Seq("user_id"), tieCols = Seq("event_id"))
+
+  /** EW mean + variance (RiskMetrics volatility), α = 0.25; recursive-CTE
+    * oracle replays the one-pass recursion bit-for-bit. */
+  private def qEwmVar(s: SparkSession, dir: String): DataFrame =
+    eventsTsdf(s, dir, "user_id", col("value"))
+      .ewmVolatility("value", alpha = 0.25)
+      .df.select(col("user_id"), usec(col("ts")).alias("ts_us"), col("value"),
+        col("ewm_mean_value"), col("ewm_var_value"))
+
+  /** Hampel despike (±3 rows, k = 3): replace with the frame median when
+    * more than k·MAD away — exact selections, fixed IEEE comparisons. */
+  private def qHampel(s: SparkSession, dir: String): DataFrame =
+    graft.tsdf.Stats.hampel(
+      events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+        col("value")),
+      "ts", "value", Seq("user_id"), w = 3, k = 3.0,
+      tieCols = Seq("event_id"))
+      .select(col("user_id"), usec(col("ts")).alias("ts_us"), col("event_id"),
+        col("value"), col("value_spike"), col("value_hampel"))
+
   /** Streaming drawdown as a single-batch streaming query — running max is
     * order-independent, so the twin shares q_drawdown's math on the
     * unique-per-user event timestamps. */
@@ -1669,6 +1713,12 @@ object SparkEntry {
     "q_snapshot_diff" -> qSnapshotDiff _,
     "q_profile" -> qProfile _,
     "q_stream_drawdown" -> qStreamDrawdown _,
+    "q_funnel" -> qFunnel _,
+    "q_retention" -> qRetention _,
+    "q_wau" -> qWau _,
+    "q_interarrival" -> qInterArrival _,
+    "q_ewm_var" -> qEwmVar _,
+    "q_hampel" -> qHampel _,
     "q_domain_stats" -> qDomainStats _,
     "q_curriculum" -> qCurriculum _,
     "q_postings_index" -> qPostingsIndex _,

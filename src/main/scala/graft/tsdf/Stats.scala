@@ -956,6 +956,67 @@ object Stats {
     * extraction, and the scaling reuse the same partitioning (no join
     * back; same shape as [[winsorize]]). Output: input row +
     * `<col>_robust`. */
+  /** Exponentially-weighted mean + variance (RiskMetrics volatility) per
+    * series: adds `ewm_mean_<col>` and `ewm_var_<col>` from the one-pass
+    * recursion in [[graft.functions.EwmVarExact]] (two doubles of state;
+    * ONE series exchange, one running frame; a recursive-CTE oracle
+    * replays every IEEE step). The EW stddev is `sqrt(ewm_var_<col>)` on
+    * top — sqrt is correctly-rounded IEEE, so even that stays
+    * engine-exact. */
+  def ewmVolatility(tsdf: TSDF, colToCalc: String, alpha: Double): TSDF = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val w = tsdf.baseWindow()
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val agg = org.apache.spark.sql.GraftColumns.column(
+      graft.functions.EwmVarExact(
+        org.apache.spark.sql.GraftColumns.expression(
+          col(colToCalc).cast(DoubleType)),
+        alpha).toAggregateExpression())
+    tsdf.copy(df = tsdf.df
+      .withColumn("__ewm", agg.over(w))
+      .withColumn(s"ewm_mean_$colToCalc", col("__ewm.mean"))
+      .withColumn(s"ewm_var_$colToCalc", col("__ewm.variance"))
+      .drop("__ewm"))
+  }
+
+  /** Hampel filter: replace a point with the window median when it sits
+    * more than `k`·MAD from it — the standard robust despiker (unlike a
+    * rolling-mean filter, a single spike cannot drag the reference level).
+    * Window = centered ±w rows; median and MAD are exact lower-median
+    * SELECTIONS from the frame multiset (same rank convention as
+    * [[quantiles]]), and the k·MAD comparison is fixed IEEE arithmetic —
+    * engine-exact on raw doubles. A zero MAD (≥ half the frame identical)
+    * flags only exact deviations... nothing: |x−med| > 0 would flag any
+    * deviation, so the guard requires mad > 0 (the conservative choice —
+    * constant neighborhoods never despike). Cost O(w log w) per row
+    * (documented smoothing-width contract, same as [[rollingMedian]]);
+    * ONE series exchange. Adds `<col>_hampel` (the filtered series) and
+    * `<col>_spike` (whether the point was replaced). */
+  def hampel(df: DataFrame, tsCol: String, valueCol: String,
+      seriesCols: Seq[String], w: Int, k: Double = 3.0,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(w >= 1, "w must be >= 1")
+    val ord = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+      .rowsBetween(-w, w)
+    val x = col(valueCol).cast(DoubleType)
+    def lowerMed(arr: Column): Column = {
+      val sorted = array_sort(arr)
+      element_at(sorted, ceil(size(sorted) / 2.0).cast(IntegerType))
+    }
+    val staged = df.withColumn("__fr", collect_list(x).over(ord))
+    val med = lowerMed(col("__fr"))
+    val mad = lowerMed(transform(col("__fr"), e => abs(e - col("__med"))))
+    val out = staged
+      .withColumn("__med", med)
+      .withColumn("__mad", mad)
+      .withColumn(s"${valueCol}_spike",
+        col("__mad") > 0.0 && abs(x - col("__med")) > lit(k) * col("__mad"))
+      .withColumn(s"${valueCol}_hampel",
+        when(col(s"${valueCol}_spike"), col("__med")).otherwise(x))
+    out.drop("__fr", "__med", "__mad")
+  }
+
   def robustScale(df: DataFrame, valueCol: String,
       seriesCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(seriesCols.map(col): _*).orderBy(col(valueCol))

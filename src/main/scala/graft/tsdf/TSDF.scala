@@ -282,6 +282,9 @@ case class TSDF(
   def rsi(colToCalc: String, n: Int): TSDF =
     Stats.rsi(this, colToCalc, n)
 
+  def ewmVolatility(colToCalc: String, alpha: Double): TSDF =
+    Stats.ewmVolatility(this, colToCalc, alpha)
+
   def macd(colToCalc: String, fast: Int = 12, slow: Int = 26,
       signal: Int = 9): TSDF =
     Stats.macd(this, colToCalc, fast, slow, signal)

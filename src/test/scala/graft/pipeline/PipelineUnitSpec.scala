@@ -1940,4 +1940,129 @@ class PipelineUnitSpec extends SparkTestBase {
       .orderBy("column").as[(String, Long, Long, Long)].collect().toSeq
     assert(got == Seq(("k", 4L, 3L, 2L), ("s", 4L, 3L, 2L)))
   }
+
+  test("funnel re-anchors: later steps only count after the previous one") {
+    import spark.implicits._
+    val df = Seq(
+      // A: view(10) click(20) purchase(30) — full depth
+      ("A", 10L, "view"), ("A", 20L, "click"), ("A", 30L, "purchase"),
+      // B: click(5) BEFORE view(10); second click(15) counts; no purchase
+      ("B", 5L, "click"), ("B", 10L, "view"), ("B", 15L, "click"),
+      // C: view only
+      ("C", 40L, "view"),
+      // D: purchase without view — not in the funnel at all
+      ("D", 50L, "purchase")
+    ).toDF("u", "ts", "et").withColumn("ts", timestamp_seconds(col("ts")))
+    val got = Analytics.funnel(df, "ts", "u", "et",
+      Seq("view", "click", "purchase"))
+      .orderBy("u")
+      .collect().map(r => (r.getString(0),
+        (1 to 3).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i) / 1000000L)),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("A", Seq(Some(10L), Some(20L), Some(30L)), 3L),
+      ("B", Seq(Some(10L), Some(15L), None), 2L),
+      ("C", Seq(Some(40L), None, None), 1L)))
+  }
+
+  test("retentionCohorts counts per-cohort periodic activity exactly") {
+    import spark.implicits._
+    val day = 86400L
+    val df = Seq(
+      // cohort 0: u1 active periods 0,1; u2 active period 0 only
+      ("u1", 0L), ("u1", 7 * day), ("u2", day),
+      // cohort 1: u3 active periods 1,2
+      ("u3", 8 * day), ("u3", 15 * day)
+    ).toDF("u", "ts").withColumn("ts", timestamp_seconds(col("ts")))
+    val got = Analytics.retentionCohorts(df, "ts", "u", periodDays = 7)
+      .orderBy("cohort_period", "k")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L, 2L, 1.0), (0L, 1L, 1L, 2L, 0.5),
+      (1L, 0L, 1L, 1L, 1.0), (1L, 1L, 1L, 1L, 1.0)))
+  }
+
+  test("slidingActiveUsers counts trailing-window distinct users per day") {
+    import spark.implicits._
+    val day = 86400L
+    val df = Seq(
+      ("u1", 0L), ("u2", 0L),          // day 0
+      ("u1", day),                     // day 1
+      ("u3", 3 * day)                  // day 3
+    ).toDF("u", "ts").withColumn("ts", timestamp_seconds(col("ts")))
+    val got = Analytics.slidingActiveUsers(df, "ts", "u", windowDays = 2)
+      .orderBy("day_idx").select("day_idx", "active_users")
+      .as[(Long, Long)].collect().toSeq
+    // day0: {u1,u2}; day1: {u1(d0),u2(d0),u1(d1)}={u1,u2}... window=2 ->
+    // day1 covers days 0-1: {u1,u2}; day2 covers 1-2: {u1}; day3: {u3}
+    assert(got == Seq((0L, 2L), (1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("interArrival: constant gaps give cv 0, known series exact") {
+    import spark.implicits._
+    val const = (0 until 10).map(i => ("a", i * 60L))
+      .toDF("u", "ts").withColumn("ts", timestamp_seconds(col("ts")))
+    val gotC = Analytics.interArrival(const, "ts", Seq("u"))
+      .as[(String, Long, Double, Double)].head()
+    assert(gotC == (("a", 9L, 60.0, 0.0)))
+    // gaps 10, 20, 30 s: mean 20, sample sd 10, cv 0.5
+    val df = Seq(("b", 0L), ("b", 10L), ("b", 30L), ("b", 60L))
+      .toDF("u", "ts").withColumn("ts", timestamp_seconds(col("ts")))
+    val got = Analytics.interArrival(df, "ts", Seq("u"))
+      .as[(String, Long, Double, Double)].head()
+    assert(got._2 == 3L && got._3 == 20.0 && got._4 == 0.5)
+    // single-row series: no gaps, null stats
+    val one = Seq(("c", 5L)).toDF("u", "ts")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val g1 = Analytics.interArrival(one, "ts", Seq("u")).collect()(0)
+    assert(g1.getLong(1) == 0L && g1.isNullAt(2) && g1.isNullAt(3))
+  }
+
+  test("ewmVolatility matches the naive mean/variance recursion exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val vals = (1 to 200).map(_ => rnd.nextInt(2001) / 8.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, (i + 1).toLong, v) }
+      .toDF("sid", "ts", "v").withColumn("ts", timestamp_seconds(col("ts")))
+    val got = graft.tsdf.TSDF(df, "ts", Seq("sid"))
+      .ewmVolatility("v", alpha = 0.3)
+      .df.orderBy("ts").select("ewm_mean_v", "ewm_var_v")
+      .as[(Double, Double)].collect()
+    var m = 0.0; var vv = 0.0
+    vals.indices.foreach { i =>
+      if (i == 0) { m = vals(0); vv = 0.0 }
+      else {
+        val d = vals(i) - m
+        m = 0.3 * vals(i) + (1 - 0.3) * m
+        vv = (1 - 0.3) * vv + 0.3 * d * d * (1 - 0.3)
+      }
+      assert(got(i)._1 == m, s"mean at $i")
+      assert(got(i)._2 == vv, s"var at $i")
+      assert(got(i)._2 >= 0.0)
+    }
+  }
+
+  test("hampel replaces spikes with the frame median, keeps normal points") {
+    import spark.implicits._
+    val base = Seq(10.0, 11.0, 10.0, 11.0, 500.0, 10.0, 11.0, 10.0, 11.0)
+    val df = base.zipWithIndex.map { case (v, i) => (1L, (i + 1).toLong, v) }
+      .toDF("sid", "ts", "v").withColumn("ts", timestamp_seconds(col("ts")))
+    val got = graft.tsdf.Stats.hampel(df, "ts", "v", Seq("sid"), w = 3)
+      .orderBy("ts").select("v", "v_spike", "v_hampel")
+      .as[(Double, Boolean, Double)].collect().toSeq
+    // only the 500 is a spike; it is replaced by its frame median
+    assert(got.count(_._2) == 1)
+    val spike = got(4)
+    assert(spike._1 == 500.0 && spike._2 && spike._3 != 500.0 &&
+      spike._3 <= 11.0)
+    got.zipWithIndex.filterNot(_._2 == 4).foreach { case ((v, s, h), _) =>
+      assert(!s && h == v)
+    }
+    // constant series: MAD 0 -> never despiked (conservative guard)
+    val const = (1 to 8).map(i => (2L, i.toLong, 7.0))
+      .toDF("sid", "ts", "v").withColumn("ts", timestamp_seconds(col("ts")))
+    val cg = graft.tsdf.Stats.hampel(const, "ts", "v", Seq("sid"), w = 2)
+      .select("v_spike", "v_hampel").as[(Boolean, Double)].collect()
+    assert(cg.forall { case (s, h) => !s && h == 7.0 })
+  }
 }
