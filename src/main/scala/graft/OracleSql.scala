@@ -147,6 +147,48 @@ object OracleSql {
   private val momentSd =
     "CASE WHEN cnt > 1 THEN sqrt((cnt * s2 - s1 * s1) / (cnt * (cnt - 1))) END"
 
+  /** Wilder RSI recursion (shared by the batch query and its streaming
+    * twin — same IEEE steps, same output columns). */
+  private val rsiSql =
+    """WITH RECURSIVE t AS (
+      |SELECT user_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS x,
+      |row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
+      |d AS (
+      |SELECT user_id, ts_us, x, rn,
+      |x - lag(x) OVER (PARTITION BY user_id ORDER BY rn) AS dl FROM t),
+      |r AS (
+      |SELECT user_id, ts_us, x, rn,
+      |greatest(dl, 0.0) AS ag, greatest(-dl, 0.0) AS al
+      |FROM d WHERE rn = 2
+      |UNION ALL
+      |SELECT d.user_id, d.ts_us, d.x, d.rn,
+      |(1.0/14) * greatest(d.dl, 0.0) + (1 - 1.0/14) * r.ag AS ag,
+      |(1.0/14) * greatest(-d.dl, 0.0) + (1 - 1.0/14) * r.al AS al
+      |FROM r JOIN d ON d.user_id = r.user_id AND d.rn = r.rn + 1)
+      |SELECT user_id, ts_us, x AS value, CAST(NULL AS DOUBLE) AS rsi_value
+      |FROM t WHERE rn = 1
+      |UNION ALL
+      |SELECT user_id, ts_us, x AS value,
+      |CASE WHEN ag + al <> 0 THEN 100.0 * ag / (ag + al) END AS rsi_value
+      |FROM r""".stripMargin
+
+  /** EW mean/variance recursion (shared by the batch query and its
+    * streaming twin). */
+  private val ewmVarSql =
+    """WITH RECURSIVE t AS (
+      |SELECT user_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS x,
+      |row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
+      |r AS (
+      |SELECT user_id, ts_us, x, rn, x AS m, CAST(0 AS DOUBLE) AS v
+      |FROM t WHERE rn = 1
+      |UNION ALL
+      |SELECT t.user_id, t.ts_us, t.x, t.rn,
+      |0.25 * t.x + (1 - 0.25) * r.m AS m,
+      |(1 - 0.25) * r.v + 0.25 * (t.x - r.m) * (t.x - r.m) * (1 - 0.25) AS v
+      |FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+      |SELECT user_id, ts_us, x AS value, m AS ewm_mean_value,
+      |v AS ewm_var_value FROM r""".stripMargin
+
   private val qv = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))"
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
@@ -650,28 +692,8 @@ object OracleSql {
     // Wilder RSI (n=14, EMA-seeded): the gain/loss EMA recursions replayed
     // as one recursive CTE; 1.0/14 and (1 - 1.0/14) are the identical IEEE
     // quotient/difference both engines compute, so every step matches
-    "q_rsi" ->
-      """WITH RECURSIVE t AS (
-        |SELECT user_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS x,
-        |row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
-        |d AS (
-        |SELECT user_id, ts_us, x, rn,
-        |x - lag(x) OVER (PARTITION BY user_id ORDER BY rn) AS dl FROM t),
-        |r AS (
-        |SELECT user_id, ts_us, x, rn,
-        |greatest(dl, 0.0) AS ag, greatest(-dl, 0.0) AS al
-        |FROM d WHERE rn = 2
-        |UNION ALL
-        |SELECT d.user_id, d.ts_us, d.x, d.rn,
-        |(1.0/14) * greatest(d.dl, 0.0) + (1 - 1.0/14) * r.ag AS ag,
-        |(1.0/14) * greatest(-d.dl, 0.0) + (1 - 1.0/14) * r.al AS al
-        |FROM r JOIN d ON d.user_id = r.user_id AND d.rn = r.rn + 1)
-        |SELECT user_id, ts_us, x AS value, CAST(NULL AS DOUBLE) AS rsi_value
-        |FROM t WHERE rn = 1
-        |UNION ALL
-        |SELECT user_id, ts_us, x AS value,
-        |CASE WHEN ag + al <> 0 THEN 100.0 * ag / (ag + al) END AS rsi_value
-        |FROM r""".stripMargin,
+    "q_rsi" -> rsiSql,
+    "q_stream_rsi" -> rsiSql,
 
     // MACD 12/26/9: one recursion carries fast, slow, and signal states;
     // the signal step re-states both EMA lines so the macd input is the
@@ -2458,22 +2480,8 @@ object OracleSql {
         |    AS cv_gap
         |FROM a""".stripMargin,
 
-    // EW mean/variance recursion replayed as a recursive CTE with the
-    // identical IEEE operation order (d uses the PREVIOUS mean)
-    "q_ewm_var" ->
-      """WITH RECURSIVE t AS (
-        |SELECT user_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS x,
-        |row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
-        |r AS (
-        |SELECT user_id, ts_us, x, rn, x AS m, CAST(0 AS DOUBLE) AS v
-        |FROM t WHERE rn = 1
-        |UNION ALL
-        |SELECT t.user_id, t.ts_us, t.x, t.rn,
-        |0.25 * t.x + (1 - 0.25) * r.m AS m,
-        |(1 - 0.25) * r.v + 0.25 * (t.x - r.m) * (t.x - r.m) * (1 - 0.25) AS v
-        |FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1)
-        |SELECT user_id, ts_us, x AS value, m AS ewm_mean_value,
-        |v AS ewm_var_value FROM r""".stripMargin,
+    "q_ewm_var" -> ewmVarSql,
+    "q_stream_ewm_var" -> ewmVarSql,
 
     // Hampel despike: frame median and MAD are exact selections from the
     // sorted ±3 frame list; k·MAD comparison is fixed IEEE arithmetic

@@ -1242,6 +1242,27 @@ object SparkEntry {
       .select(col("user_id"), usec(col("ts")).alias("ts_us"), col("event_id"),
         col("value"), col("value_spike"), col("value_hampel"))
 
+  /** Streaming EW mean/variance twin — shares q_ewm_var's recursive-CTE
+    * oracle (same IEEE recursion, same columns). */
+  private def qStreamEwmVar(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val out = graft.streaming.StreamingTSDF.ewmVolatility(
+      eventsStream(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "ts", Seq("user_id"), "value", alpha = 0.25)
+    runStream(s, out).select(col("user_id"), usec(col("ts")).alias("ts_us"),
+      col("value"), col("ewm_mean_value"), col("ewm_var_value"))
+  }
+
+  /** Streaming Wilder RSI twin — shares q_rsi's recursive-CTE oracle. */
+  private def qStreamRsi(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val out = graft.streaming.StreamingTSDF.rsi(
+      eventsStream(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "ts", Seq("user_id"), "value", n = 14)
+    runStream(s, out).select(col("user_id"), usec(col("ts")).alias("ts_us"),
+      col("value"), col("rsi_value"))
+  }
+
   /** Streaming drawdown as a single-batch streaming query — running max is
     * order-independent, so the twin shares q_drawdown's math on the
     * unique-per-user event timestamps. */
@@ -1719,6 +1740,8 @@ object SparkEntry {
     "q_interarrival" -> qInterArrival _,
     "q_ewm_var" -> qEwmVar _,
     "q_hampel" -> qHampel _,
+    "q_stream_ewm_var" -> qStreamEwmVar _,
+    "q_stream_rsi" -> qStreamRsi _,
     "q_domain_stats" -> qDomainStats _,
     "q_curriculum" -> qCurriculum _,
     "q_postings_index" -> qPostingsIndex _,

@@ -275,6 +275,144 @@ object StreamingTSDF {
       col("ema").alias(s"ema_$valueCol")): _*)
   }
 
+  case class EwmVarState(mean: Double, variance: Double, lastTsUs: Long)
+
+  /** Streaming EW mean + variance: the [[graft.functions.EwmVarExact]]
+    * recursion carried as two doubles of per-series state — bit-identical
+    * to the batch window aggregate (same IEEE ops in the same order;
+    * asserted differentially). Late rows are DROPPED (state cannot
+    * rewind). Output: series + ts + value + `ewm_mean_<col>` +
+    * `ewm_var_<col>`. */
+  def ewmVolatility(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      valueCol: String, alpha: Double,
+      stateTtl: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val projected = df.select(
+      seriesKey(seriesCols).alias("series"),
+      unix_micros(col(tsCol)).alias("tsUs"),
+      col(valueCol).cast(DoubleType).alias("value"),
+      col(tsCol).alias("eventTime"))
+    val events = stateTtl.fold(projected)(ttl =>
+      projected.withWatermark("eventTime", ttl)).as[EmaEvent]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val out = events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (key: String, rows: Iterator[EmaEvent], state: GroupState[EwmVarState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.tsUs)
+            var cur = state.getOption.orNull
+            val outRows = sorted.flatMap { e =>
+              if (cur != null && e.tsUs < cur.lastTsUs) None
+              else {
+                cur = if (cur == null) EwmVarState(e.value, 0.0, e.tsUs)
+                else {
+                  val d = e.value - cur.mean
+                  EwmVarState(
+                    alpha * e.value + (1 - alpha) * cur.mean,
+                    (1 - alpha) * cur.variance + alpha * d * d * (1 - alpha),
+                    e.tsUs)
+                }
+                Some((key, e.tsUs, e.value, cur.mean, cur.variance))
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              stateTtl.foreach(ttl => state.setTimeoutTimestamp(
+                math.max(cur.lastTsUs / 1000,
+                  state.getCurrentWatermarkMs() + 1), ttl))
+            }
+            outRows.iterator
+          }
+      }
+      .toDF("series", "tsUs", "value", "mean", "variance")
+    out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
+      timestamp_micros(col("tsUs")).alias(tsCol),
+      col("value").alias(valueCol),
+      col("mean").alias(s"ewm_mean_$valueCol"),
+      col("variance").alias(s"ewm_var_$valueCol")): _*)
+  }
+
+  case class RsiState(avgGain: Double, avgLoss: Double, lastValue: Double,
+      nMoves: Long, lastTsUs: Long)
+
+  /** Streaming Wilder RSI (EMA-seeded, the [[graft.tsdf.Stats.rsi]]
+    * variant): per-series state is the two EMA accumulators + the previous
+    * value — bit-identical to the batch form (differentially asserted).
+    * The first row of a series emits a null rsi (no move yet); late rows
+    * are DROPPED. Output: series + ts + value + `rsi_<col>`. */
+  def rsi(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      valueCol: String, n: Int,
+      stateTtl: Option[String] = None): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val alpha = 1.0 / n
+    val spark = df.sparkSession
+    import spark.implicits._
+    val projected = df.select(
+      seriesKey(seriesCols).alias("series"),
+      unix_micros(col(tsCol)).alias("tsUs"),
+      col(valueCol).cast(DoubleType).alias("value"),
+      col(tsCol).alias("eventTime"))
+    val events = stateTtl.fold(projected)(ttl =>
+      projected.withWatermark("eventTime", ttl)).as[EmaEvent]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val out = events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (key: String, rows: Iterator[EmaEvent], state: GroupState[RsiState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.tsUs)
+            var cur = state.getOption.orNull
+            val outRows = sorted.flatMap { e =>
+              if (cur != null && e.tsUs < cur.lastTsUs) None
+              else {
+                cur = if (cur == null)
+                  RsiState(0.0, 0.0, e.value, 0L, e.tsUs)
+                else {
+                  val d = e.value - cur.lastValue
+                  val g = math.max(d, 0.0)
+                  val l = math.max(-d, 0.0)
+                  if (cur.nMoves == 0L)
+                    RsiState(g, l, e.value, 1L, e.tsUs)
+                  else RsiState(
+                    alpha * g + (1 - alpha) * cur.avgGain,
+                    alpha * l + (1 - alpha) * cur.avgLoss,
+                    e.value, cur.nMoves + 1L, e.tsUs)
+                }
+                val rsi: java.lang.Double =
+                  if (cur.nMoves == 0L || cur.avgGain + cur.avgLoss == 0.0)
+                    null
+                  else 100.0 * cur.avgGain / (cur.avgGain + cur.avgLoss)
+                Some((key, e.tsUs, e.value, Option(rsi).map(_.doubleValue)))
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              stateTtl.foreach(ttl => state.setTimeoutTimestamp(
+                math.max(cur.lastTsUs / 1000,
+                  state.getCurrentWatermarkMs() + 1), ttl))
+            }
+            outRows.iterator
+          }
+      }
+      .toDF("series", "tsUs", "value", "rsi")
+    out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
+      timestamp_micros(col("tsUs")).alias(tsCol),
+      col("value").alias(valueCol),
+      col("rsi").alias(s"rsi_$valueCol")): _*)
+  }
+
   case class PeakState(peak: Double, lastTsUs: Long)
 
   /** Streaming running peak + drawdown: one double of per-series state (the

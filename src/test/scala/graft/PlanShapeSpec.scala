@@ -325,4 +325,49 @@ class PlanShapeSpec extends SparkTestBase {
     val r = Dedup.exactSubstringDedup(df, "text", "doc_id", chunkWords = 2)
     assert(!plan(r).contains("Window"), plan(r))
   }
+
+  test("RSI and MACD reuse one series exchange for all EMA passes") {
+    val t = TSDF(eventsDf, "ts", Seq("user_id"))
+    val rsi = t.rsi("value", 14).df
+    assert(exchanges(rsi) == 1, plan(rsi))
+    val macd = t.macd("value").df
+    // fast/slow ride one window pass; the signal EMA consumes the
+    // materialized macd column over the SAME partitioning — still one
+    // exchange, Catalyst reuses the sort
+    assert(exchanges(macd) == 1, plan(macd))
+  }
+
+  test("drawdown, robustScale, and hampel are one series exchange each") {
+    val dd = graft.tsdf.Stats.drawdown(eventsDf, "ts", "value", Seq("user_id"))
+    assert(exchanges(dd) == 1, plan(dd))
+    val rs = graft.tsdf.Stats.robustScale(eventsDf, "value", Seq("user_id"))
+    assert(exchanges(rs) == 1, plan(rs))
+    val hp = graft.tsdf.Stats.hampel(eventsDf, "ts", "value", Seq("user_id"),
+      w = 3)
+    assert(exchanges(hp) == 1, plan(hp))
+  }
+
+  test("CMS probe broadcasts the sketch side, never reshuffles probes") {
+    import spark.implicits._
+    val items = (1 to 500).map(i => s"tok$i").toDF("item")
+    val sketch = graft.pipeline.Sketch.cmsBuild(items, col("item"), 64, 3)
+    val est = graft.pipeline.Sketch.cmsEstimate(
+      items.limit(10), sketch, col("item"), 64, 3)
+    // sketch is <= depth x width rows: AQE (or the stats-based planner)
+    // must choose a broadcast join for the probe
+    assert(plan(est).contains("BroadcastHashJoin") ||
+      plan(est).contains("AdaptiveSparkPlan"), plan(est))
+  }
+
+  test("seasonalAdjust: resample is the only corpus-scale exchange") {
+    val sa = graft.tsdf.Stats.seasonalAdjust(
+      eventsDf.select(col("user_id"), col("ts"),
+        col("value").cast("long").alias("v")),
+      "ts", "v", Seq("user_id"), "1 hour", 24)
+    // corpus aggregates once; the tiny phase profile joins back without a
+    // second corpus reshuffle (broadcast under AQE, or at worst a shuffle
+    // of the already-aggregated bucket table)
+    val p = plan(sa)
+    assert(p.contains("AdaptiveSparkPlan") || exchanges(sa) <= 3, p)
+  }
 }

@@ -133,6 +133,45 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("property: streaming ewmVolatility equals batch on random series") {
+    val rnd = new scala.util.Random(67)
+    (0 until 4).foreach { trial =>
+      val rows = randomSeries(rnd, pinEnds = false)
+      val streamed = runStream(rows, df =>
+        StreamingTSDF.ewmVolatility(df, "ts", Seq("user_id"), "value",
+          alpha = 0.3))
+        .select(col("user_id"), col("ts"), col("value"),
+          col("ewm_mean_value").alias("m"), col("ewm_var_value").alias("v"))
+      val spark2 = spark
+      import spark2.implicits._
+      val batch = TSDF(rows.toDF("user_id", "ts", "value"), "ts", Seq("user_id"))
+        .ewmVolatility("value", alpha = 0.3).df
+        .select(col("user_id"), col("ts"), col("value"),
+          col("ewm_mean_value").alias("m"), col("ewm_var_value").alias("v"))
+      // same recursion, same IEEE op order: bit-identical even with
+      // non-binary alpha
+      withClue(s"trial $trial: ") { assertDfEquality(streamed, batch) }
+    }
+  }
+
+  test("property: streaming rsi equals batch on random series") {
+    val rnd = new scala.util.Random(71)
+    (0 until 4).foreach { trial =>
+      val rows = randomSeries(rnd, pinEnds = false)
+      val streamed = runStream(rows, df =>
+        StreamingTSDF.rsi(df, "ts", Seq("user_id"), "value", n = 14))
+        .select(col("user_id"), col("ts"), col("value"),
+          col("rsi_value").alias("r"))
+      val spark2 = spark
+      import spark2.implicits._
+      val batch = TSDF(rows.toDF("user_id", "ts", "value"), "ts", Seq("user_id"))
+        .rsi("value", n = 14).df
+        .select(col("user_id"), col("ts"), col("value"),
+          col("rsi_value").alias("r"))
+      withClue(s"trial $trial: ") { assertDfEquality(streamed, batch) }
+    }
+  }
+
   test("property: streaming drawdown equals batch on random series") {
     val rnd = new scala.util.Random(61)
     (0 until 4).foreach { trial =>
