@@ -147,6 +147,26 @@ object OracleSql {
   private val momentSd =
     "CASE WHEN cnt > 1 THEN sqrt((cnt * s2 - s1 * s1) / (cnt * (cnt - 1))) END"
 
+  /** MACD triple-EMA recursion (shared by the batch query and its
+    * streaming twin). */
+  private val macdSql =
+    """WITH RECURSIVE t AS (
+      |SELECT user_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS x,
+      |row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
+      |r AS (
+      |SELECT user_id, ts_us, x, rn, x AS f, x AS s, x - x AS sig
+      |FROM t WHERE rn = 1
+      |UNION ALL
+      |SELECT t.user_id, t.ts_us, t.x, t.rn,
+      |(2.0/13) * t.x + (1 - 2.0/13) * r.f AS f,
+      |(2.0/27) * t.x + (1 - 2.0/27) * r.s AS s,
+      |(2.0/10) * (((2.0/13) * t.x + (1 - 2.0/13) * r.f)
+      |  - ((2.0/27) * t.x + (1 - 2.0/27) * r.s)) + (1 - 2.0/10) * r.sig AS sig
+      |FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+      |SELECT user_id, ts_us, x AS value, f - s AS macd_value,
+      |sig AS macd_signal_value, (f - s) - sig AS macd_hist_value
+      |FROM r""".stripMargin
+
   /** Wilder RSI recursion (shared by the batch query and its streaming
     * twin — same IEEE steps, same output columns). */
   private val rsiSql =
@@ -698,23 +718,8 @@ object OracleSql {
     // MACD 12/26/9: one recursion carries fast, slow, and signal states;
     // the signal step re-states both EMA lines so the macd input is the
     // same IEEE difference the engine materializes
-    "q_macd" ->
-      """WITH RECURSIVE t AS (
-        |SELECT user_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS x,
-        |row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
-        |r AS (
-        |SELECT user_id, ts_us, x, rn, x AS f, x AS s, x - x AS sig
-        |FROM t WHERE rn = 1
-        |UNION ALL
-        |SELECT t.user_id, t.ts_us, t.x, t.rn,
-        |(2.0/13) * t.x + (1 - 2.0/13) * r.f AS f,
-        |(2.0/27) * t.x + (1 - 2.0/27) * r.s AS s,
-        |(2.0/10) * (((2.0/13) * t.x + (1 - 2.0/13) * r.f)
-        |  - ((2.0/27) * t.x + (1 - 2.0/27) * r.s)) + (1 - 2.0/10) * r.sig AS sig
-        |FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1)
-        |SELECT user_id, ts_us, x AS value, f - s AS macd_value,
-        |sig AS macd_signal_value, (f - s) - sig AS macd_hist_value
-        |FROM r""".stripMargin,
+    "q_macd" -> macdSql,
+    "q_stream_macd" -> macdSql,
 
     // strict local maxima within ±3 rows: bounded max frames are
     // order-independent; endpoints can be peaks (missing side = -inf),

@@ -1263,6 +1263,17 @@ object SparkEntry {
       col("value"), col("rsi_value"))
   }
 
+  /** Streaming MACD twin — shares q_macd's recursive-CTE oracle. */
+  private def qStreamMacd(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val out = graft.streaming.StreamingTSDF.macd(
+      eventsStream(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "ts", Seq("user_id"), "value")
+    runStream(s, out).select(col("user_id"), usec(col("ts")).alias("ts_us"),
+      col("value"), col("macd_value"), col("macd_signal_value"),
+      col("macd_hist_value"))
+  }
+
   /** Streaming drawdown as a single-batch streaming query — running max is
     * order-independent, so the twin shares q_drawdown's math on the
     * unique-per-user event timestamps. */
@@ -1742,6 +1753,7 @@ object SparkEntry {
     "q_hampel" -> qHampel _,
     "q_stream_ewm_var" -> qStreamEwmVar _,
     "q_stream_rsi" -> qStreamRsi _,
+    "q_stream_macd" -> qStreamMacd _,
     "q_domain_stats" -> qDomainStats _,
     "q_curriculum" -> qCurriculum _,
     "q_postings_index" -> qPostingsIndex _,

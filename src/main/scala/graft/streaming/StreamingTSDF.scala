@@ -413,6 +413,79 @@ object StreamingTSDF {
       col("rsi").alias(s"rsi_$valueCol")): _*)
   }
 
+  case class MacdState(fast: Double, slow: Double, signal: Double,
+      lastTsUs: Long)
+
+  /** Streaming MACD: the three exact-EMA recursions of
+    * [[graft.tsdf.Stats.macd]] carried as three doubles of per-series
+    * state — bit-identical to the batch form (the signal EMA consumes the
+    * just-updated fast−slow difference, exactly as the batch second window
+    * pass consumes the materialized macd column). Late rows are DROPPED.
+    * Output: series + ts + value + `macd_<col>` + `macd_signal_<col>` +
+    * `macd_hist_<col>`. */
+  def macd(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      valueCol: String, fast: Int = 12, slow: Int = 26, signal: Int = 9,
+      stateTtl: Option[String] = None): DataFrame = {
+    require(fast >= 1 && slow >= 1 && signal >= 1, "spans must be >= 1")
+    val af = 2.0 / (fast + 1)
+    val as = 2.0 / (slow + 1)
+    val asig = 2.0 / (signal + 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val projected = df.select(
+      seriesKey(seriesCols).alias("series"),
+      unix_micros(col(tsCol)).alias("tsUs"),
+      col(valueCol).cast(DoubleType).alias("value"),
+      col(tsCol).alias("eventTime"))
+    val events = stateTtl.fold(projected)(ttl =>
+      projected.withWatermark("eventTime", ttl)).as[EmaEvent]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val out = events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (key: String, rows: Iterator[EmaEvent], state: GroupState[MacdState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.tsUs)
+            var cur = state.getOption.orNull
+            val outRows = sorted.flatMap { e =>
+              if (cur != null && e.tsUs < cur.lastTsUs) None
+              else {
+                cur = if (cur == null) {
+                  val f = e.value; val s = e.value
+                  MacdState(f, s, f - s, e.tsUs)
+                } else {
+                  val f = af * e.value + (1 - af) * cur.fast
+                  val s = as * e.value + (1 - as) * cur.slow
+                  val m = f - s
+                  MacdState(f, s, asig * m + (1 - asig) * cur.signal, e.tsUs)
+                }
+                val m = cur.fast - cur.slow
+                Some((key, e.tsUs, e.value, m, cur.signal, m - cur.signal))
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              stateTtl.foreach(ttl => state.setTimeoutTimestamp(
+                math.max(cur.lastTsUs / 1000,
+                  state.getCurrentWatermarkMs() + 1), ttl))
+            }
+            outRows.iterator
+          }
+      }
+      .toDF("series", "tsUs", "value", "macd", "signal", "hist")
+    out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
+      timestamp_micros(col("tsUs")).alias(tsCol),
+      col("value").alias(valueCol),
+      col("macd").alias(s"macd_$valueCol"),
+      col("signal").alias(s"macd_signal_$valueCol"),
+      col("hist").alias(s"macd_hist_$valueCol")): _*)
+  }
+
   case class PeakState(peak: Double, lastTsUs: Long)
 
   /** Streaming running peak + drawdown: one double of per-series state (the

@@ -172,6 +172,26 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("property: streaming macd equals batch on random series") {
+    val rnd = new scala.util.Random(73)
+    (0 until 4).foreach { trial =>
+      val rows = randomSeries(rnd, pinEnds = false)
+      val streamed = runStream(rows, df =>
+        StreamingTSDF.macd(df, "ts", Seq("user_id"), "value"))
+        .select(col("user_id"), col("ts"), col("value"),
+          col("macd_value").alias("m"), col("macd_signal_value").alias("s"),
+          col("macd_hist_value").alias("h"))
+      val spark2 = spark
+      import spark2.implicits._
+      val batch = TSDF(rows.toDF("user_id", "ts", "value"), "ts", Seq("user_id"))
+        .macd("value").df
+        .select(col("user_id"), col("ts"), col("value"),
+          col("macd_value").alias("m"), col("macd_signal_value").alias("s"),
+          col("macd_hist_value").alias("h"))
+      withClue(s"trial $trial: ") { assertDfEquality(streamed, batch) }
+    }
+  }
+
   test("property: streaming drawdown equals batch on random series") {
     val rnd = new scala.util.Random(61)
     (0 until 4).foreach { trial =>
