@@ -2464,6 +2464,68 @@ object OracleSql {
         |FROM x, sp WHERE x.day_idx <= sp.hi
         |GROUP BY 1""".stripMargin,
 
+    // trailing-window KMV: merged per-day k-min sets re-ranked per report
+    // day — the sketch-merge replay with the same hash family
+    "q_wau_kmv" -> {
+      val h = Hashing.mixSql(
+        Hashing.polyHashSql("CAST(user_id AS VARCHAR)"), 17)
+      val scale = 63.0 * Hashing.P
+      s"""WITH d AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS b,
+         |  ($h) AS h FROM events),
+         |pb AS (SELECT b, h FROM (SELECT b, h,
+         |  row_number() OVER (PARTITION BY b ORDER BY h) AS rn FROM d)
+         |  WHERE rn <= 64),
+         |sp AS (SELECT max(b) AS hi FROM pb),
+         |m AS (SELECT DISTINCT pb.b + r AS bucket, h
+         |  FROM pb, range(7) t(r), sp WHERE pb.b + r <= sp.hi),
+         |f AS (SELECT bucket, h,
+         |  row_number() OVER (PARTITION BY bucket ORDER BY h) AS rn FROM m),
+         |k AS (SELECT bucket, count(*) AS n_kept,
+         |  CAST(max(h) AS BIGINT) AS kth_hash
+         |  FROM f WHERE rn <= 64 GROUP BY 1)
+         |SELECT bucket, n_kept, kth_hash,
+         |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+         |       ELSE $scale / kth_hash END AS distinct_est
+         |FROM k""".stripMargin
+    },
+
+    // exact trailing-window p90: selection at rank ceil(0.9·n) from the
+    // sorted 20-row frame list
+    "q_rolling_p90" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |  CAST(value AS DOUBLE) AS x FROM events),
+        |f AS (SELECT user_id, ts_us, event_id, x,
+        |  list_sort(list(x) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) AS fr FROM t)
+        |SELECT user_id, ts_us, event_id, x AS value,
+        |  fr[CAST(greatest(1, ceil(0.9 * len(fr))) AS INTEGER)]
+        |    AS rolling_p90_value
+        |FROM f""".stripMargin,
+
+    // per-session rollup over the q_sessionize assignment: exact integer
+    // spans/counts/cents
+    "q_session_stats" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us, ts, event_type,
+        |  value,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |a AS (SELECT user_id, ts_us, event_type, value,
+        |  CAST(sum(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+        |    THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+        |    AS BIGINT) AS session_id
+        |  FROM l)
+        |SELECT user_id, session_id, min(ts_us) AS start_us,
+        |  max(ts_us) AS end_us, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  (max(ts_us) - min(ts_us)) // 1000000 AS duration_s
+        |FROM a GROUP BY 1, 2""".stripMargin,
+
     // inter-arrival stats: second-quantized exact BIGINT moment sums,
     // fixed IEEE mean/sd/cv assembly (sqrt is correctly rounded)
     "q_interarrival" ->

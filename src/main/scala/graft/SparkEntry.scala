@@ -1198,6 +1198,43 @@ object SparkEntry {
       Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate",
         "l_discount"))
 
+  /** Trailing-7-day distinct-user ESTIMATE per day from merged per-day
+    * KMV sets (k = 64) — the sketch-merge scale path next to q_wau's
+    * exact day-explode twin. */
+  private def qWauKmv(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sketch.kmvDistinctTrailing(
+      events(s, dir).select(col("ts"), col("user_id")),
+      expr("unix_micros(ts) div 86400000000"),
+      col("user_id").cast(StringType), k = 64, windowBuckets = 7)
+
+  /** Exact trailing-20-row p90 per user (lower rank convention). */
+  private def qRollingP90(s: SparkSession, dir: String): DataFrame =
+    graft.tsdf.Stats.rollingQuantile(
+      events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+        col("value")),
+      "ts", "value", Seq("user_id"), window = 20, p = 0.9,
+      tieCols = Seq("event_id"))
+      .select(col("user_id"), usec(col("ts")).alias("ts_us"), col("event_id"),
+        col("value"), col("rolling_p90_value"))
+
+  /** Per-session rollup over 30-minute inactivity sessions: span, event
+    * count, purchases, exact cent totals — the composition of sessionize +
+    * one aggregate every clickstream pipeline runs. */
+  private def qSessionStats(s: SparkSession, dir: String): DataFrame =
+    graft.tsdf.Sessionize.assign(
+      events(s, dir).select(col("user_id"), col("ts"), col("event_type"),
+        col("value")),
+      "ts", Seq("user_id"), gapSeconds = 1800)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(usec(col("ts"))).alias("start_us"),
+        max(usec(col("ts"))).alias("end_us"),
+        count(lit(1)).alias("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .alias("n_purchases"),
+        sum(cents(col("value")).cast(LongType)).alias("total_cents"))
+      .withColumn("duration_s",
+        expr("(end_us - start_us) div 1000000"))
+
   /** Ordered view→click→purchase funnel per user: earliest re-anchored
     * completion chain, selected timestamps only. */
   private def qFunnel(s: SparkSession, dir: String): DataFrame =
@@ -1748,6 +1785,9 @@ object SparkEntry {
     "q_funnel" -> qFunnel _,
     "q_retention" -> qRetention _,
     "q_wau" -> qWau _,
+    "q_wau_kmv" -> qWauKmv _,
+    "q_rolling_p90" -> qRollingP90 _,
+    "q_session_stats" -> qSessionStats _,
     "q_interarrival" -> qInterArrival _,
     "q_ewm_var" -> qEwmVar _,
     "q_hampel" -> qHampel _,

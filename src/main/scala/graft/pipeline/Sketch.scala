@@ -103,6 +103,49 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).alias("cms_est"))
   }
 
+  /** Trailing-window KMV distinct estimate: for every observed bucket (an
+    * integer time index — day, hour…), estimate the distinct `itemCol`
+    * count over the trailing `windowBuckets` buckets from MERGED per-bucket
+    * k-min sets. The KMV merge property makes this exact-as-a-sketch: the
+    * k smallest hashes of a union are each among the k smallest of their
+    * own bucket, so merging per-bucket k-min sets and re-taking the k
+    * smallest gives the union's true k-min set — sliding distinct counts
+    * without ever re-scanning the window's raw data (the 100 TB WAU/MAU
+    * path; the exact day-explode twin re-shuffles every (item, day) pair
+    * instead). Buckets with fewer than k distinct merged hashes report
+    * exact counts, like [[kmvDistinct]].
+    *
+    * Plan shape: one full-volume distinct on (bucket, hash); everything
+    * after runs on ≤ k rows per bucket (rank → explode × windowBuckets →
+    * distinct → rank). Output: (bucket, n_kept, kth_hash, distinct_est). */
+  def kmvDistinctTrailing(df: DataFrame, bucketCol: Column, itemCol: Column,
+      k: Int, windowBuckets: Int, seed: Int = 17): DataFrame = {
+    require(k >= 2 && windowBuckets >= 1, "need k >= 2, windowBuckets >= 1")
+    val hashed = df.select(bucketCol.cast(LongType).alias("__b"),
+      Hashing.mix(Hashing.polyHash(itemCol), seed).alias("__h")).distinct()
+    val wB = Window.partitionBy(col("__b")).orderBy(col("__h"))
+    val perBucket = hashed
+      .withColumn("__rn", row_number().over(wB))
+      .filter(col("__rn") <= k)
+    val span = perBucket.agg(max(col("__b")).alias("__hi"))
+    val merged = perBucket
+      .withColumn("bucket",
+        explode(sequence(col("__b"), col("__b") + (windowBuckets - 1))))
+      .select(col("bucket"), col("__h")).distinct()
+      .crossJoin(broadcast(span))
+      .filter(col("bucket") <= col("__hi"))
+    val wR = Window.partitionBy(col("bucket")).orderBy(col("__h"))
+    merged
+      .withColumn("__rn", row_number().over(wR))
+      .filter(col("__rn") <= k)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).alias("n_kept"), max(col("__h")).alias("kth_hash"))
+      .select(col("bucket"), col("n_kept"), col("kth_hash"),
+        when(col("n_kept") < k, col("n_kept").cast(DoubleType))
+          .otherwise(lit((k - 1).toDouble * Hashing.P) / col("kth_hash"))
+          .alias("distinct_est"))
+  }
+
   /** Bits per Bloom word — 31, so every mask and OR'd word stays < 2^31:
     * exact in Spark longs, DuckDB BIGINTs, and the oracle replay (no
     * engine-specific 64-bit shift/sign semantics anywhere). */

@@ -1017,6 +1017,27 @@ object Stats {
     out.drop("__fr", "__med", "__mad")
   }
 
+  /** Exact trailing-window quantile: the value at rank
+    * max(1, ⌈p·n⌉) of the sorted trailing `window`-row frame — the same
+    * "lower" rank convention as [[quantiles]], generalized from
+    * [[rollingMedian]] to any p. SELECTION from the frame multiset, so raw
+    * doubles replay engine-exact; O(w log w) per row (smoothing-width
+    * contract); ONE series exchange. Adds `rolling_p<pp>_<col>`. */
+  def rollingQuantile(df: DataFrame, tsCol: String, valueCol: String,
+      seriesCols: Seq[String], window: Int, p: Double,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(p > 0 && p <= 1, "p must be in (0, 1]")
+    val ord = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val arr = array_sort(collect_list(col(valueCol).cast(DoubleType)).over(ord))
+    val target = greatest(lit(1),
+      ceil(lit(p) * size(arr)).cast(IntegerType))
+    df.withColumn(
+      s"rolling_p${math.round(p * 100)}_$valueCol", element_at(arr, target))
+  }
+
   def robustScale(df: DataFrame, valueCol: String,
       seriesCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(seriesCols.map(col): _*).orderBy(col(valueCol))

@@ -2042,6 +2042,52 @@ class PipelineUnitSpec extends SparkTestBase {
     }
   }
 
+  test("kmvDistinctTrailing merges per-bucket k-min sets correctly") {
+    import spark.implicits._
+    // buckets 0..3, disjoint small item sets; k large enough that every
+    // estimate is EXACT (n_kept < k) -> trailing counts must be the true
+    // distinct unions
+    val rows = Seq(
+      (0L, "a"), (0L, "b"),
+      (1L, "b"), (1L, "c"),
+      (3L, "d")
+    ).toDF("b", "item")
+    val got = graft.pipeline.Sketch.kmvDistinctTrailing(
+      rows, col("b"), col("item"), k = 16, windowBuckets = 2)
+      .orderBy("bucket").select("bucket", "distinct_est")
+      .as[(Long, Double)].collect().toSeq
+    // window 2 trailing: bucket0={a,b}=2; b1={a,b,c}=3; b2={b,c}=2;
+    // b3={d}=1; bucket 4 clipped (beyond max observed)
+    assert(got == Seq((0L, 2.0), (1L, 3.0), (2L, 2.0), (3L, 1.0)))
+    // estimate mode: 500 distinct items in one bucket, k=64 -> within 20%
+    val big = (1 to 500).map(i => (0L, s"item$i")).toDF("b", "item")
+    val est = graft.pipeline.Sketch.kmvDistinctTrailing(
+      big, col("b"), col("item"), k = 64, windowBuckets = 1)
+      .select("distinct_est").as[Double].head()
+    assert(math.abs(est - 500) / 500.0 < 0.2, s"estimate $est")
+  }
+
+  test("rollingQuantile selects the exact trailing-frame quantile") {
+    import spark.implicits._
+    val vals = Seq(5.0, 1.0, 9.0, 3.0, 7.0, 2.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, (i + 1).toLong, v) }
+      .toDF("sid", "ts", "v").withColumn("ts", timestamp_seconds(col("ts")))
+    val got = graft.tsdf.Stats.rollingQuantile(
+      df, "ts", "v", Seq("sid"), window = 3, p = 0.9)
+      .orderBy("ts").select("rolling_p90_v").as[Double].collect().toSeq
+    // trailing 3-row frames, rank ceil(0.9*n): n=1 -> max; n=2 -> rank 2
+    // (max); n=3 -> rank 3 (max of frame)
+    assert(got == Seq(5.0, 5.0, 9.0, 9.0, 9.0, 7.0))
+    // p=0.5 equals rollingMedian's lower-median convention
+    val med = graft.tsdf.Stats.rollingQuantile(
+      df, "ts", "v", Seq("sid"), window = 3, p = 0.5)
+      .orderBy("ts").select("rolling_p50_v").as[Double].collect().toSeq
+    val ref = graft.tsdf.Stats.rollingMedian(
+      df, "ts", "v", Seq("sid"), window = 3)
+      .orderBy("ts").select("rolling_median_v").as[Double].collect().toSeq
+    assert(med == ref)
+  }
+
   test("hampel replaces spikes with the frame median, keeps normal points") {
     import spark.implicits._
     val base = Seq(10.0, 11.0, 10.0, 11.0, 500.0, 10.0, 11.0, 10.0, 11.0)
