@@ -147,6 +147,42 @@ object OracleSql {
   private val momentSd =
     "CASE WHEN cnt > 1 THEN sqrt((cnt * s2 - s1 * s1) / (cnt * (cnt - 1))) END"
 
+  /** MinHash-LSH candidate CTE chain (shingle → polyhash → signature →
+    * band hashes → sub-bucketed self-join), ending with CTE
+    * `pairs(doc_id_a, doc_id_b)` — shared by every query that verifies the
+    * same candidate set with a different metric. Same constants as
+    * Dedup.minhashCandidates(shingleWidth=2, b=6, r=3, clamp=50);
+    * oversized buckets split, not dropped. */
+  private def minhashCandCtes: String = {
+    val bands = 6; val rpb = 3; val k = bands * rpb; val clamp = 50
+    val shingleExpr =
+      "CASE WHEN len(toks) >= 2 THEN list_distinct(list_transform(" +
+        "generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) " +
+        "ELSE [array_to_string(toks, ' ')] END"
+    val sigList = (0 until k + 2)
+      .map(s => s"list_min(list_transform(hs, h -> ${Hashing.mixSql("h", s)}))")
+      .mkString("[", ",\n    ", "]")
+    val xh = Hashing.foldHashesSql(Seq(s"sig[${k + 1}]", s"sig[${k + 2}]"))
+    val bandSelects = (0 until bands).map { b =>
+      val bh = Hashing.foldHashesSql((0 until rpb).map(i => s"sig[${b * rpb + i + 1}]"))
+      s"SELECT doc_id, $xh AS xh, $b AS band, $bh AS bhash FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH d AS (SELECT doc_id, $norm AS nrm FROM documents),
+       |t AS (SELECT doc_id, string_split(nrm, ' ') AS toks FROM d),
+       |shg AS (SELECT doc_id, $shingleExpr AS sh FROM t),
+       |hsh AS (SELECT doc_id, list_transform(sh, x -> ${Hashing.polyHashSql("x")}) AS hs FROM shg),
+       |sig AS (SELECT doc_id, $sigList AS sig FROM hsh),
+       |banded AS (
+       |  $bandSelects),
+       |cnt AS (SELECT *, count(*) OVER (PARTITION BY band, bhash) AS m FROM banded),
+       |sb AS (SELECT *, xh % greatest(1, CAST(ceil(m / $clamp.0) AS BIGINT)) AS s FROM cnt),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY band, bhash, s ORDER BY doc_id) AS r FROM sb),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+       |  FROM rk a JOIN rk b
+       |  ON a.band = b.band AND a.bhash = b.bhash AND a.s = b.s
+       |  AND a.doc_id < b.doc_id AND a.r <= $clamp)""".stripMargin
+  }
+
   /** MACD triple-EMA recursion (shared by the batch query and its
     * streaming twin). */
   private val macdSql =
@@ -1982,39 +2018,25 @@ object OracleSql {
     },
 
     "q_minhash_pairs" -> {
-      val bands = 6; val rpb = 3; val k = bands * rpb; val clamp = 50
-      val shingleExpr =
-        "CASE WHEN len(toks) >= 2 THEN list_distinct(list_transform(" +
-          "generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) " +
-          "ELSE [array_to_string(toks, ' ')] END"
-      val sigList = (0 until k + 2)
-        .map(s => s"list_min(list_transform(hs, h -> ${Hashing.mixSql("h", s)}))")
-        .mkString("[", ",\n    ", "]")
-      val xh = Hashing.foldHashesSql(Seq(s"sig[${k + 1}]", s"sig[${k + 2}]"))
-      val bandSelects = (0 until bands).map { b =>
-        val bh = Hashing.foldHashesSql((0 until rpb).map(i => s"sig[${b * rpb + i + 1}]"))
-        s"SELECT doc_id, $xh AS xh, $b AS band, $bh AS bhash FROM sig"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""WITH d AS (SELECT doc_id, $norm AS nrm FROM documents),
-         |t AS (SELECT doc_id, string_split(nrm, ' ') AS toks FROM d),
-         |shg AS (SELECT doc_id, $shingleExpr AS sh FROM t),
-         |hsh AS (SELECT doc_id, list_transform(sh, x -> ${Hashing.polyHashSql("x")}) AS hs FROM shg),
-         |sig AS (SELECT doc_id, $sigList AS sig FROM hsh),
-         |banded AS (
-         |  $bandSelects),
-         |cnt AS (SELECT *, count(*) OVER (PARTITION BY band, bhash) AS m FROM banded),
-         |sb AS (SELECT *, xh % greatest(1, CAST(ceil(m / $clamp.0) AS BIGINT)) AS s FROM cnt),
-         |rk AS (SELECT *, row_number() OVER (PARTITION BY band, bhash, s ORDER BY doc_id) AS r FROM sb),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-         |  FROM rk a JOIN rk b
-         |  ON a.band = b.band AND a.bhash = b.bhash AND a.s = b.s
-         |  AND a.doc_id < b.doc_id AND a.r <= $clamp),
+      s"""$minhashCandCtes,
          |verify AS (SELECT p.doc_id_a, p.doc_id_b,
          |  CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
          |  ((len(x.hs) + len(y.hs)) - CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)) AS jaccard
          |  FROM pairs p JOIN hsh x ON p.doc_id_a = x.doc_id
          |  JOIN hsh y ON p.doc_id_b = y.doc_id)
          |SELECT doc_id_a, doc_id_b, jaccard FROM verify WHERE jaccard >= 0.4""".stripMargin
+    },
+
+    // same candidate set verified by exact Levenshtein on the normalized
+    // texts (the length-gap prefilter is lossless and not replayed)
+    "q_editdist_pairs" -> {
+      s"""$minhashCandCtes,
+         |ed AS (SELECT p.doc_id_a, p.doc_id_b,
+         |  CAST(levenshtein(x.nrm, y.nrm) AS BIGINT) AS edit_dist
+         |  FROM pairs p JOIN d x ON p.doc_id_a = x.doc_id
+         |  JOIN d y ON p.doc_id_b = y.doc_id)
+         |SELECT doc_id_a, doc_id_b, edit_dist FROM ed
+         |WHERE edit_dist <= 50""".stripMargin
     },
 
     "q_simhash" ->
@@ -2463,6 +2485,15 @@ object OracleSql {
         |  count(*) AS active_users
         |FROM x, sp WHERE x.day_idx <= sp.hi
         |GROUP BY 1""".stripMargin,
+
+    // k-anonymity gate: exact quasi-identifier combination counts
+    "q_k_anon" ->
+      """WITH t AS (SELECT event_id, event_type,
+        |  CAST(hour(ts) AS BIGINT) AS hr FROM events)
+        |SELECT event_id, event_type, hr,
+        |  count(*) OVER (PARTITION BY event_type, hr) AS group_n,
+        |  (count(*) OVER (PARTITION BY event_type, hr) >= 60) AS k_anon_ok
+        |FROM t""".stripMargin,
 
     // trailing-window KMV: merged per-day k-min sets re-ranked per report
     // day — the sketch-merge replay with the same hash family

@@ -1198,6 +1198,19 @@ object SparkEntry {
       Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate",
         "l_discount"))
 
+  /** MinHash candidates verified by exact Levenshtein ≤ 50 on normalized
+    * text — the in-place-edit near-dup detector next to the Jaccard one. */
+  private def qEditdistPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistanceNearDup(docs(s, dir), "text", "doc_id", maxDist = 50)
+
+  /** k-anonymity gate on (event_type, hour-of-day) quasi-identifiers,
+    * k = 60: exact combination counts, releasable flag per row. */
+  private def qKAnon(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Pii.kAnonymize(
+      events(s, dir).select(col("event_id"), col("event_type"),
+        hour(col("ts")).cast(LongType).alias("hr")),
+      Seq("event_type", "hr"), k = 60)
+
   /** Trailing-7-day distinct-user ESTIMATE per day from merged per-day
     * KMV sets (k = 64) — the sketch-merge scale path next to q_wau's
     * exact day-explode twin. */
@@ -1788,6 +1801,8 @@ object SparkEntry {
     "q_wau_kmv" -> qWauKmv _,
     "q_rolling_p90" -> qRollingP90 _,
     "q_session_stats" -> qSessionStats _,
+    "q_editdist_pairs" -> qEditdistPairs _,
+    "q_k_anon" -> qKAnon _,
     "q_interarrival" -> qInterArrival _,
     "q_ewm_var" -> qEwmVar _,
     "q_hampel" -> qHampel _,

@@ -414,6 +414,35 @@ object Dedup {
         col("old_fp"), col("new_fp"))
   }
 
+  /** Edit-distance-verified near-duplicate pairs: MinHash-LSH candidate
+    * generation (same banding as [[nearDuplicates]]) verified by exact
+    * Levenshtein distance on the normalized texts — the right verify
+    * metric when near-dups are small in-place EDITS (typo fixes, template
+    * substitutions) rather than shingle-set drift: Jaccard punishes a
+    * 1-char edit in every line, edit distance counts it once. A lossless
+    * |len(a) − len(b)| ≤ maxDist prefilter skips the O(la·lb) DP for
+    * hopeless candidates (the length gap lower-bounds the distance, so no
+    * qualifying pair is dropped and oracles need not replay it).
+    * Output: (idCol_a, idCol_b, edit_dist ≤ maxDist). */
+  def editDistanceNearDup(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int, shingleWidth: Int = 2, bands: Int = 6,
+      rowsPerBand: Int = 3, maxBucketSize: Int = 50): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val cands = minhashCandidates(df, textCol, idCol, shingleWidth, bands,
+      rowsPerBand, maxBucketSize)
+    val t = df.select(col(idCol), normalizeText(col(textCol)).alias("__t"))
+    cands
+      .join(t.withColumnRenamed(idCol, s"${idCol}_a")
+        .withColumnRenamed("__t", "__ta"), s"${idCol}_a")
+      .join(t.withColumnRenamed(idCol, s"${idCol}_b")
+        .withColumnRenamed("__t", "__tb"), s"${idCol}_b")
+      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("__ta"), col("__tb")).cast(LongType))
+      .filter(col("edit_dist") <= maxDist)
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("edit_dist"))
+  }
+
   /** n-gram Jaccard similarity for candidate pairs — exact verify stage after
     * LSH candidate generation. |A∩B| / (|A|+|B|-|A∩B|) on distinct shingle
     * sets. */

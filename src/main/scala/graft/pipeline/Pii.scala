@@ -42,4 +42,20 @@ object Pii {
     Patterns.foldLeft(text) { case (t, (_, pat, repl)) =>
       regexp_replace(t, pat, repl)
     }
+
+  /** k-anonymity gate: a row is releasable iff its quasi-identifier
+    * combination is shared by at least `k` rows — the suppression rule a
+    * dataset release applies AFTER regex redaction (rare attribute
+    * combinations re-identify even with direct identifiers scrubbed).
+    * Adds `group_n` (exact combination count) and `k_anon_ok`; callers
+    * filter or generalize the failing rows. ONE exchange on the
+    * quasi-identifier key (count window). */
+  def kAnonymize(df: org.apache.spark.sql.DataFrame, quasiCols: Seq[String],
+      k: Long): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+    df.withColumn("group_n", count(lit(1)).over(w))
+      .withColumn("k_anon_ok", col("group_n") >= k)
+  }
 }

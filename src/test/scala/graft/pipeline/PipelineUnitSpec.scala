@@ -2042,6 +2042,36 @@ class PipelineUnitSpec extends SparkTestBase {
     }
   }
 
+  test("editDistanceNearDup verifies LSH candidates by Levenshtein") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "completely unrelated text about spark physical plans and joins")
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistanceNearDup(df, "text", "doc_id", maxDist = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    // dog->cat is a 3-char substitution; doc 3 shares no shingles
+    assert(got == Seq((1L, 2L, 3L)))
+    // tighter budget drops the pair
+    val none = Dedup.editDistanceNearDup(df, "text", "doc_id", maxDist = 2)
+      .count()
+    assert(none == 0L)
+  }
+
+  test("kAnonymize flags quasi-identifier combos below k") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L), ("a", 1L), ("a", 1L),  // combo of 3
+      ("b", 1L), ("b", 1L),             // combo of 2
+      ("c", 2L)                         // singleton
+    ).toDF("t", "h")
+    val got = Pii.kAnonymize(df, Seq("t", "h"), k = 3)
+      .select("t", "group_n", "k_anon_ok").distinct()
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(got == Set(("a", 3L, true), ("b", 2L, false), ("c", 1L, false)))
+  }
+
   test("kmvDistinctTrailing merges per-bucket k-min sets correctly") {
     import spark.implicits._
     // buckets 0..3, disjoint small item sets; k large enough that every
