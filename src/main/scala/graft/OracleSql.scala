@@ -757,6 +757,80 @@ object OracleSql {
     "q_macd" -> macdSql,
     "q_stream_macd" -> macdSql,
 
+    // ATR-14 over daily bars: OHLC are selections of raw doubles, the TR
+    // CASE replays Spark's fixed IEEE assembly, and the Wilder recursion
+    // (alpha = 1/14, seeded from the first TR) steps through a recursive
+    // CTE exactly like the RSI/MACD oracles
+    "q_atr" ->
+      """WITH RECURSIVE b AS (
+        |SELECT user_id, epoch_us(date_trunc('day', ts)) AS ts_us,
+        |max(value) AS high_value, min(value) AS low_value,
+        |max_by(value, ts) AS close_value,
+        |row_number() OVER (PARTITION BY user_id
+        |  ORDER BY date_trunc('day', ts)) AS rn
+        |FROM events GROUP BY user_id, date_trunc('day', ts)),
+        |d AS (
+        |SELECT *, lag(close_value) OVER (PARTITION BY user_id ORDER BY rn)
+        |  AS pc FROM b),
+        |t AS (
+        |SELECT user_id, ts_us, high_value, low_value, close_value, rn,
+        |CASE WHEN pc IS NULL THEN high_value - low_value
+        |ELSE greatest(high_value - low_value, abs(high_value - pc),
+        |  abs(low_value - pc)) END AS tr
+        |FROM d),
+        |r AS (
+        |SELECT user_id, ts_us, high_value, low_value, close_value, rn, tr,
+        |  tr AS atr FROM t WHERE rn = 1
+        |UNION ALL
+        |SELECT t.user_id, t.ts_us, t.high_value, t.low_value, t.close_value,
+        |  t.rn, t.tr, (1.0/14) * t.tr + (1 - 1.0/14) * r.atr AS atr
+        |FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+        |SELECT user_id, ts_us, high_value, low_value, close_value, tr, atr
+        |FROM r""".stripMargin,
+
+    // stochastic %K(14)/%D(3): ll/hh are frame selections, %K one
+    // fixed-order expression, %D an explicit left-to-right 3-term sum —
+    // null while lags are missing, null %K on flat frames
+    "q_stochastic" ->
+      """WITH t AS (
+        |SELECT user_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS x
+        |FROM events),
+        |m AS (
+        |SELECT user_id, ts_us, x,
+        |min(x) OVER w AS ll, max(x) OVER w AS hh
+        |FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |k AS (
+        |SELECT user_id, ts_us, x,
+        |CASE WHEN hh <> ll THEN 100.0 * (x - ll) / (hh - ll) END AS pct_k
+        |FROM m)
+        |SELECT user_id, ts_us, x AS value, pct_k,
+        |(lag(pct_k, 2) OVER (PARTITION BY user_id ORDER BY ts_us)
+        | + lag(pct_k, 1) OVER (PARTITION BY user_id ORDER BY ts_us)
+        | + pct_k) / 3.0 AS pct_d
+        |FROM k""".stripMargin,
+
+    // OBV over daily bars: signed exact-BIGINT volume accumulation; the
+    // close comparison runs on raw doubles (selections are engine-exact)
+    "q_obv" ->
+      """WITH b AS (
+        |SELECT user_id, epoch_us(date_trunc('day', ts)) AS ts_us,
+        |max_by(value, ts) AS close_value, count(*) AS volume
+        |FROM events GROUP BY 1, 2),
+        |d AS (
+        |SELECT *, lag(close_value) OVER (PARTITION BY user_id ORDER BY ts_us)
+        |  AS pc FROM b),
+        |s AS (
+        |SELECT user_id, ts_us, close_value, volume,
+        |CASE WHEN pc IS NULL THEN CAST(0 AS BIGINT)
+        |WHEN close_value > pc THEN volume
+        |WHEN close_value < pc THEN -volume ELSE CAST(0 AS BIGINT) END AS sv
+        |FROM d)
+        |SELECT user_id, ts_us, close_value, volume,
+        |CAST(sum(sv) OVER (PARTITION BY user_id ORDER BY ts_us
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+        |FROM s""".stripMargin,
+
     // strict local maxima within ±3 rows: bounded max frames are
     // order-independent; endpoints can be peaks (missing side = -inf),
     // plateaus never qualify, single-row series get a null excess

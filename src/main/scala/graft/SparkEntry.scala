@@ -345,6 +345,38 @@ object SparkEntry {
       .df.select(col("user_id"), usec(col("ts")).alias("ts_us"), col("value"),
         col("macd_value"), col("macd_signal_value"), col("macd_hist_value"))
 
+  /** ATR-14 over daily OHLC bars per user (Wilder recursion replayed by a
+    * recursive-CTE oracle over the same bar aggregate). */
+  private def qAtr(s: SparkSession, dir: String): DataFrame = {
+    val bars = eventsTsdf(s, dir, "user_id", col("value"))
+      .calcBars("1 day", Seq("value")).df
+    Stats.atr(bars, "ts", Seq("user_id"),
+        "high_value", "low_value", "close_value", n = 14)
+      .select(col("user_id"), usec(col("ts")).alias("ts_us"),
+        col("high_value"), col("low_value"), col("close_value"),
+        col("tr"), col("atr"))
+  }
+
+  /** Stochastic oscillator %K(14)/%D(3) per user on the raw event series. */
+  private def qStochastic(s: SparkSession, dir: String): DataFrame =
+    Stats.stochastic(
+        events(s, dir).select(col("user_id"), col("ts"), col("value")),
+        "ts", "value", Seq("user_id"), window = 14)
+      .select(col("user_id"), usec(col("ts")).alias("ts_us"), col("value"),
+        col("pct_k"), col("pct_d"))
+
+  /** On-balance volume over daily bars per user: close = last value of the
+    * day, volume = event count (exact BIGINT accumulation). */
+  private def qObv(s: SparkSession, dir: String): DataFrame = {
+    val bars = events(s, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).alias("ts"))
+      .agg(max_by(col("value"), col("ts")).alias("close_value"),
+        count(lit(1)).alias("volume"))
+    Stats.obv(bars, "ts", Seq("user_id"), "close_value", "volume")
+      .select(col("user_id"), usec(col("ts")).alias("ts_us"),
+        col("close_value"), col("volume"), col("obv"))
+  }
+
   /** Strict local maxima within ±3 rows per user. */
   private def qPeaks(s: SparkSession, dir: String): DataFrame =
     graft.tsdf.Stats.peaks(
@@ -1726,6 +1758,9 @@ object SparkEntry {
     "q_drawdown" -> qDrawdown _,
     "q_rsi" -> qRsi _,
     "q_macd" -> qMacd _,
+    "q_atr" -> qAtr _,
+    "q_stochastic" -> qStochastic _,
+    "q_obv" -> qObv _,
     "q_peaks" -> qPeaks _,
     "q_ccf" -> qCcf _,
     "q_stream_holt" -> qStreamHolt _,

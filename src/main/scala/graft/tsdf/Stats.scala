@@ -1055,4 +1055,85 @@ object Stats {
           (col(valueCol).cast(DoubleType) - q(0.5)) / iqr))
       .drop("__rn", "__n")
   }
+
+  /** Average true range over an OHLC bar series: true range = max(high−low,
+    * |high−prevClose|, |low−prevClose|) (first bar: high−low), smoothed by
+    * Wilder's recursion atr_t = (1/n)·tr_t + (1−1/n)·atr_{t−1} seeded from
+    * the first bar's TR — the [[graft.functions.EmaExact]] aggregate with
+    * α = 1/n (EMA seeding, the standard streaming-friendly variant of
+    * Wilder's SMA-of-first-n seed; documented divergence). OHLC values are
+    * SELECTIONS of raw doubles (min/max/first/last of observations), the TR
+    * assembly is fixed IEEE order, and the recursion replays per step in a
+    * recursive-CTE oracle — bit-reproducible end to end. The lag pass and
+    * the running EMA share ONE series exchange. Output: input bar row +
+    * `tr` + `atr`. */
+  def atr(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      highCol: String, lowCol: String, closeCol: String, n: Int = 14,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val lagW = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    val runW = lagW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hi = col(highCol).cast(DoubleType)
+    val lo = col(lowCol).cast(DoubleType)
+    val pc = lag(col(closeCol).cast(DoubleType), 1).over(lagW)
+    val tr = when(pc.isNull, hi - lo)
+      .otherwise(greatest(hi - lo, abs(hi - pc), abs(lo - pc)))
+    val ema = org.apache.spark.sql.GraftColumns.column(
+      graft.functions.EmaExact(
+        org.apache.spark.sql.GraftColumns.expression(col("tr")),
+        1.0 / n).toAggregateExpression())
+    df.withColumn("tr", tr).withColumn("atr", ema.over(runW))
+  }
+
+  /** Stochastic oscillator: %K = 100·(x − ll)/(hh − ll) with ll/hh the
+    * min/max over the trailing `window` rows (partial frames at the series
+    * head use the rows available, the common convention), %D the 3-row
+    * moving mean of %K. ll/hh are SELECTIONS (raw doubles), %K is one
+    * fixed-order IEEE expression, and %D sums three %K values in explicit
+    * left-to-right order — both engines produce identical bits. %K is null
+    * when the frame is flat (hh = ll); %D is null until three %K values
+    * exist. Both window passes ride ONE series exchange (the %D lags reuse
+    * the %K sort). Output: input row + `pct_k` + `pct_d`. */
+  def stochastic(df: DataFrame, tsCol: String, valueCol: String,
+      seriesCols: Seq[String], window: Int = 14,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val ord = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    val w = ord.rowsBetween(-(window - 1), Window.currentRow)
+    val x = col(valueCol).cast(DoubleType)
+    val ll = min(x).over(w)
+    val hh = max(x).over(w)
+    val k = when(hh =!= ll, lit(100.0) * (x - ll) / (hh - ll))
+    val staged = df.withColumn("pct_k", k)
+    staged.withColumn("pct_d",
+      (lag(col("pct_k"), 2).over(ord) + lag(col("pct_k"), 1).over(ord) +
+        col("pct_k")) / lit(3.0))
+  }
+
+  /** On-balance volume: obv_t = obv_{t−1} + sign(close_t − close_{t−1})·vol_t
+    * (first bar contributes 0) — the classic volume-flow accumulation
+    * indicator. `volumeCol` must be integer-valued (enforced), so the
+    * running sum is an exact BIGINT — order-independent and
+    * engine-reproducible; the close comparison is on raw doubles (exact).
+    * One series exchange (lag + running sum share the sort). Output: input
+    * row + `obv`. */
+  def obv(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      closeCol: String, volumeCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val lagW = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    val runW = lagW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val close = col(closeCol).cast(DoubleType)
+    val pc = lag(close, 1).over(lagW)
+    // direction × checked volume (not a branch on the volume) so the
+    // integer check evaluates on EVERY row, including zero-direction ones
+    val dir = when(pc.isNull, lit(0L)).when(close > pc, lit(1L))
+      .when(close < pc, lit(-1L)).otherwise(lit(0L))
+    val signed = integralOrFail(col(volumeCol), "obv") * dir
+    df.withColumn("__sv", signed)
+      .withColumn("obv", sum(col("__sv")).over(runW))
+      .drop("__sv")
+  }
 }

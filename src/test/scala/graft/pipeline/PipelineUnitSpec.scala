@@ -2141,4 +2141,76 @@ class PipelineUnitSpec extends SparkTestBase {
       .select("v_spike", "v_hampel").as[(Boolean, Double)].collect()
     assert(cg.forall { case (s, h) => !s && h == 7.0 })
   }
+
+  test("atr matches the naive Wilder recursion bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(91)
+    val bars = (1 to 120).map { i =>
+      val lo = rnd.nextInt(1000) / 4.0
+      val hi = lo + rnd.nextInt(400) / 4.0
+      val cl = lo + (hi - lo) * (rnd.nextInt(5) / 4.0)
+      (1L, i.toLong, hi, lo, cl)
+    }
+    val df = bars.toDF("sid", "ts", "h", "l", "c")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val got = graft.tsdf.Stats.atr(df, "ts", Seq("sid"), "h", "l", "c", n = 14)
+      .orderBy("ts").select("tr", "atr").as[(Double, Double)].collect().toSeq
+    var atr = 0.0; var pc = Double.NaN
+    val exp = bars.map { case (_, _, hi, lo, cl) =>
+      val tr = if (pc.isNaN) hi - lo
+        else math.max(hi - lo, math.max(math.abs(hi - pc), math.abs(lo - pc)))
+      atr = if (pc.isNaN) tr else (1.0 / 14) * tr + (1 - 1.0 / 14) * atr
+      pc = cl
+      (tr, atr)
+    }
+    assert(got == exp)
+  }
+
+  test("stochastic %K/%D match the naive trailing-frame replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(92)
+    val vals = (1 to 100).map(_ => rnd.nextInt(400) / 4.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, (i + 1).toLong, v) }
+      .toDF("sid", "ts", "v").withColumn("ts", timestamp_seconds(col("ts")))
+    val got = graft.tsdf.Stats.stochastic(df, "ts", "v", Seq("sid"), window = 14)
+      .orderBy("ts").select("pct_k", "pct_d").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    val ks = vals.indices.map { i =>
+      val fr = vals.slice(math.max(0, i - 13), i + 1)
+      val (ll, hh) = (fr.min, fr.max)
+      if (hh == ll) None else Some(100.0 * (vals(i) - ll) / (hh - ll))
+    }
+    val ds = vals.indices.map { i =>
+      if (i < 2) None
+      else for (a <- ks(i - 2); b <- ks(i - 1); c <- ks(i))
+        yield (a + b + c) / 3.0
+    }
+    assert(got.toSeq == ks.zip(ds))
+    // flat frame -> null %K
+    val flat = (1 to 5).map(i => (2L, i.toLong, 3.0))
+      .toDF("sid", "ts", "v").withColumn("ts", timestamp_seconds(col("ts")))
+    val fg = graft.tsdf.Stats.stochastic(flat, "ts", "v", Seq("sid"), 14)
+      .select("pct_k").collect()
+    assert(fg.forall(_.isNullAt(0)))
+  }
+
+  test("obv accumulates signed volume exactly; rejects fractional volume") {
+    import spark.implicits._
+    val rows = Seq( // (ts, close, vol)
+      (1L, 10.0, 5L), (2L, 12.0, 3L), (3L, 12.0, 9L), (4L, 11.0, 4L),
+      (5L, 13.0, 2L))
+    val df = rows.map { case (t, c, v) => (1L, t, c, v) }
+      .toDF("sid", "ts", "c", "vol")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val got = graft.tsdf.Stats.obv(df, "ts", Seq("sid"), "c", "vol")
+      .orderBy("ts").select("obv").as[Long].collect().toSeq
+    assert(got == Seq(0L, 3L, 3L, -1L, 1L))
+    val bad = Seq((1L, 1L, 1.0, 1.5)).toDF("sid", "ts", "c", "vol")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val e = intercept[Exception] {
+      graft.tsdf.Stats.obv(bad, "ts", Seq("sid"), "c", "vol").collect()
+    }
+    assert(e.getMessage.contains("obv"))
+  }
 }
