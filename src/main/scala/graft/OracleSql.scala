@@ -2101,6 +2101,62 @@ object OracleSql {
          |SELECT doc_id_a, doc_id_b, jaccard FROM verify WHERE jaccard >= 0.4""".stripMargin
     },
 
+    // same LSH candidate chain scored by containment |A∩B|/min(|A|,|B|):
+    // integer intersection size over the identical hashed shingle sets,
+    // one terminal division
+    "q_containment" -> {
+      s"""$minhashCandCtes,
+         |ver AS (SELECT p.doc_id_a, p.doc_id_b,
+         |  CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+         |  least(len(x.hs), len(y.hs)) AS containment
+         |  FROM pairs p JOIN hsh x ON p.doc_id_a = x.doc_id
+         |  JOIN hsh y ON p.doc_id_b = y.doc_id)
+         |SELECT doc_id_a, doc_id_b, containment FROM ver
+         |WHERE containment >= 0.6""".stripMargin
+    },
+
+    // 64-token chunks at stride 32 over whitespace tokens: chunk count
+    // 1 + ceil((n-64)/32) (floor-of-double is exact below 2^53), list_slice
+    // clamps the tail exactly like Spark's slice
+    "q_chunk_docs" ->
+      """WITH w AS (
+        |SELECT doc_id, trim(regexp_replace(text, '[ \n\t\r]+', ' ', 'g')) AS ws
+        |FROM documents),
+        |d AS (
+        |SELECT doc_id, string_split(ws, ' ') AS toks
+        |FROM w WHERE length(ws) > 0),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+        |c AS (SELECT doc_id, toks,
+        |  CASE WHEN n <= 64 THEN 1
+        |  ELSE 1 + CAST(floor(CAST(n - 64 + 31 AS DOUBLE) / 32) AS BIGINT)
+        |  END AS nc FROM n),
+        |e AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_idx FROM c)
+        |SELECT doc_id, chunk_idx,
+        |CAST(len(list_slice(toks, 1 + chunk_idx * 32, chunk_idx * 32 + 64))
+        |  AS BIGINT) AS n_tokens,
+        |array_to_string(list_slice(toks, 1 + chunk_idx * 32,
+        |  chunk_idx * 32 + 64), ' ') AS chunk_text
+        |FROM e""".stripMargin,
+
+    // lexical diversity: exact (doc, token) counts then per-doc rollup;
+    // the three ratios are single terminal divisions
+    "q_lexical" ->
+      s"""WITH tok AS (
+         |SELECT doc_id, unnest(string_split($norm, ' ')) AS tok
+         |FROM documents),
+         |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok
+         |  WHERE tok <> '' GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  count(*) AS n_types,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |  CAST(sum(length(tok) * c) AS BIGINT) AS sumlen
+         |  FROM tc GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_types, n_hapax,
+         |CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+         |CAST(n_hapax AS DOUBLE) / n_types AS hapax_ratio,
+         |CAST(sumlen AS DOUBLE) / n_tokens AS mean_token_len
+         |FROM a""".stripMargin,
+
     // same candidate set verified by exact Levenshtein on the normalized
     // texts (the length-gap prefilter is lossless and not replayed)
     "q_editdist_pairs" -> {

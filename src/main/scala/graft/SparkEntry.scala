@@ -1566,6 +1566,23 @@ object SparkEntry {
   private def qTopNgrams(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topNgrams(docs(s, dir), "text", n = 3, k = 50)
 
+  /** RAG-style overlapping token-window chunking: 64-token chunks at
+    * stride 32, tail always covered. */
+  private def qChunkDocs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocuments(docs(s, dir), "text", "doc_id",
+      chunkTokens = 64, strideTokens = 32)
+
+  /** Per-document lexical-diversity profile (TTR / hapax / token length). */
+  private def qLexical(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lexicalStats(docs(s, dir), "text", "doc_id")
+
+  /** Containment-verified near-dup pairs over the same LSH candidate chain
+    * as q_minhash_pairs — catches short-in-long subsumption. */
+  private def qContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentNearDup(docs(s, dir), "text", "doc_id",
+      shingleWidth = 2, bands = 6, rowsPerBand = 3, threshold = 0.6,
+      maxBucketSize = 50)
+
   /** Deterministic 5-per-source sample pinned by (hash(doc_id), doc_id). */
   private def qSampleK(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Splits.sampleKPerStratum(
@@ -1797,6 +1814,9 @@ object SparkEntry {
     "q_dedup_exact" -> qDedupExact _,
     "q_jaccard_pairs" -> qJaccardPairs _,
     "q_minhash_pairs" -> qMinhashPairs _,
+    "q_containment" -> qContainment _,
+    "q_chunk_docs" -> qChunkDocs _,
+    "q_lexical" -> qLexical _,
     "q_simhash" -> qSimhash _,
     "q_simhash_pairs" -> qSimhashPairs _,
     "q_dedup_clusters" -> qDedupClusters _,

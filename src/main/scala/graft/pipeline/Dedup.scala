@@ -533,6 +533,42 @@ object Dedup {
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
   }
 
+  /** Containment-verified near-duplicate pairs: MinHash-LSH candidates
+    * scored by C(A,B) = |A∩B| / min(|A|,|B|) on distinct shingle sets —
+    * the asymmetric-duplication metric: a short document fully embedded in
+    * a long one has containment ≈ 1 where Jaccard ≈ |A|/|B| stays tiny, so
+    * a Jaccard threshold never fires. Candidate recall still follows
+    * MinHash (which tracks Jaccard): pairs qualify when banding surfaces
+    * them, and the oracle replays the identical chain — the honest contract
+    * is "containment over LSH candidates", not all-pairs containment.
+    * There is deliberately NO size-ratio prefilter here: that bound is a
+    * Jaccard identity and would silently drop exactly the skewed-size pairs
+    * containment exists to catch. Verification is the codegen'd two-pointer
+    * sorted merge, one intersection per candidate.
+    * Output: (idCol_a, idCol_b, containment ≥ threshold). */
+  def containmentNearDup(df: DataFrame, textCol: String, idCol: String,
+      shingleWidth: Int = 2, bands: Int = 6, rowsPerBand: Int = 3,
+      threshold: Double = 0.9, maxBucketSize: Int = 50): DataFrame = {
+    import org.apache.spark.sql.GraftColumns
+    val cands = minhashCandidates(df, textCol, idCol, shingleWidth, bands,
+      rowsPerBand, maxBucketSize)
+    val sh = df.select(col(idCol),
+      array_sort(shingleHashes(shingles(col(textCol), shingleWidth)))
+        .alias("__sh"))
+    val inter = GraftColumns.column(graft.functions.SortedIntersectSize(
+      GraftColumns.expression(col("__sha")),
+      GraftColumns.expression(col("__shb"))))
+    cands
+      .join(sh.withColumnRenamed(idCol, s"${idCol}_a")
+        .withColumnRenamed("__sh", "__sha"), s"${idCol}_a")
+      .join(sh.withColumnRenamed(idCol, s"${idCol}_b")
+        .withColumnRenamed("__sh", "__shb"), s"${idCol}_b")
+      .withColumn("containment",
+        inter.cast(DoubleType) / least(size(col("__sha")), size(col("__shb"))))
+      .filter(col("containment") >= threshold)
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("containment"))
+  }
+
   /** Cross-document boilerplate line removal (the CCNet/RefinedWeb cleanup):
     * a line occurring in ≥ `minDocs` distinct documents is boilerplate
     * (cookie banners, nav text, footers) and is stripped from every

@@ -312,4 +312,74 @@ object TextAnalysis {
     Seq(words.alias("n_words"), sentences.alias("n_sentences"),
       syllables.alias("n_syllables"), flesch.alias("flesch"))
   }
+
+  /** Raw-text whitespace tokens: runs of space/newline/tab/CR collapse to
+    * one space (explicit char class — identical in Java regex and RE2), so
+    * the token array is the same in any engine. */
+  private def wsTokens(text: Column): Column =
+    split(trim(regexp_replace(text, "[ \\n\\t\\r]+", " ")), " ")
+
+  /** Fixed-size overlapping token-window chunks — the RAG / context-window
+    * splitting pass: chunk i covers tokens [1 + i·stride, 1 + i·stride +
+    * chunkTokens − 1] of the whitespace-token array, and the chunk count
+    * 1 + ⌈max(0, n − chunkTokens)/stride⌉ guarantees the tail is always
+    * covered (the last chunk may be short; no chunk starts past the end).
+    * Blank/whitespace-only documents emit no row. Pure per-row explode —
+    * zero shuffle, output volume ≈ n/stride rows per document at any
+    * corpus size. The ⌈·⌉ runs as floor-of-double division: token counts
+    * are far inside 2⁵³, so the double quotient is exact.
+    * Output: (idCol, chunk_idx, n_tokens, chunk_text). */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int = 64, strideTokens: Int = 32): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    require(strideTokens >= 1 && strideTokens <= chunkTokens,
+      "strideTokens must be in [1, chunkTokens]")
+    val n = size(col("__toks")).cast(LongType)
+    val nc = when(n <= chunkTokens, lit(1L)).otherwise(lit(1L) +
+      floor((n - chunkTokens + (strideTokens - 1)).cast(DoubleType) /
+        strideTokens).cast(LongType))
+    // gate on the ws-NORMALIZED string: trim() strips spaces only, so a
+    // newline-only document would otherwise emit one empty chunk
+    df.select(col(idCol),
+        trim(regexp_replace(col(textCol), "[ \\n\\t\\r]+", " ")).alias("__ws"))
+      .filter(length(col("__ws")) > 0)
+      .select(col(idCol), split(col("__ws"), " ").alias("__toks"))
+      .withColumn("__nc", nc)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0L), col("__nc") - 1)).alias("chunk_idx"))
+      .withColumn("__chunk", slice(col("__toks"),
+        (col("chunk_idx") * strideTokens + 1).cast(IntegerType),
+        lit(chunkTokens)))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__chunk")).cast(LongType).alias("n_tokens"),
+        concat_ws(" ", col("__chunk")).alias("chunk_text"))
+  }
+
+  /** Per-document lexical-diversity profile over normalized word tokens:
+    * token count, type (distinct-token) count, type-token ratio, hapax
+    * legomenon count/ratio (words occurring once — the classic vocabulary
+    * richness signal), and mean token length. All counts are exact BIGINTs
+    * from two map-side-combinable aggregates — (doc, token) then (doc) —
+    * one shuffle chain on uniformly distributed keys; the three ratios are
+    * single terminal IEEE divisions. Documents with no alphanumeric
+    * content emit no row.
+    * Output: (idCol, n_tokens, n_types, n_hapax, ttr, hapax_ratio,
+    * mean_token_len). */
+  def lexicalStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tc = df
+      .select(col(idCol),
+        explode(split(Dedup.normalizeText(col(textCol)), " ")).alias("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).alias("__c"))
+    tc.groupBy(col(idCol)).agg(
+        sum(col("__c")).alias("n_tokens"),
+        count(lit(1)).alias("n_types"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).alias("n_hapax"),
+        sum(length(col("__tok")).cast(LongType) * col("__c")).alias("__sumlen"))
+      .select(col(idCol), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast(DoubleType) / col("n_tokens")).alias("ttr"),
+        (col("n_hapax").cast(DoubleType) / col("n_types")).alias("hapax_ratio"),
+        (col("__sumlen").cast(DoubleType) / col("n_tokens"))
+          .alias("mean_token_len"))
+  }
 }

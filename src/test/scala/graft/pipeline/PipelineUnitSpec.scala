@@ -2142,6 +2142,57 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(cg.forall { case (s, h) => !s && h == 7.0 })
   }
 
+  test("chunkDocuments covers every token, clamps the tail, skips blanks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
+      (2L, "a b c"),                                  // shorter than chunk
+      (3L, "   \n  "))                                // blank -> no rows
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(docs, "text", "doc_id",
+        chunkTokens = 4, strideTokens = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "n_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val exp = Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"), (1L, 1L, 4L, "t3 t4 t5 t6"),
+      (1L, 2L, 4L, "t5 t6 t7 t8"), (1L, 3L, 4L, "t7 t8 t9 t10"),
+      (2L, 0L, 3L, "a b c"))
+    assert(got == exp)
+    // every token of doc 1 appears in some chunk (tail covered)
+    val covered = got.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+  }
+
+  test("lexicalStats computes exact TTR / hapax / mean length") {
+    import spark.implicits._
+    val docs = Seq((1L, "The cat, the DOG!"), (2L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lexicalStats(docs, "text", "doc_id")
+      .select("doc_id", "n_tokens", "n_types", "n_hapax", "ttr",
+        "hapax_ratio", "mean_token_len")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    // normalized: "the cat the dog" -> the:2 cat:1 dog:1
+    assert(got == Seq((1L, 4L, 3L, 2L, 3.0 / 4, 2.0 / 3, 12.0 / 4)))
+  }
+
+  test("containmentNearDup flags short-in-long subsumption Jaccard misses") {
+    import spark.implicits._
+    val short = (1 to 12).map(i => s"w$i").mkString(" ")
+    val long = short + " x13 x14"
+    val docs = Seq((1L, short), (2L, long), (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentNearDup(docs, "text", "doc_id",
+        threshold = 0.9)
+      .select("doc_id_a", "doc_id_b", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    // short's 11 bigrams all appear in long (which adds the seam bigram
+    // and x13-x14) -> containment 1.0; Jaccard is 11/13 ~ 0.85 and would
+    // miss the 0.9 threshold
+    assert(got.map(t => (t._1, t._2)) == Seq((1L, 2L)))
+    assert(got.head._3 == 1.0)
+  }
+
   test("atr matches the naive Wilder recursion bit-for-bit") {
     import spark.implicits._
     val rnd = new scala.util.Random(91)
