@@ -183,6 +183,52 @@ object OracleSql {
        |  AND a.doc_id < b.doc_id AND a.r <= $clamp)""".stripMargin
   }
 
+  /** 30-min session assignment + item extraction (shared by q_cooccur and
+    * q_pagerank): the same gaps-and-islands CTE as q_session_stats, item =
+    * the digit run of the props JSON. */
+  private def basketCtes: String =
+    """WITH l AS (SELECT user_id, ts, props, epoch_us(ts) AS ts_us,
+      |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM events),
+      |a AS (SELECT user_id, props,
+      |  CAST(sum(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+      |    THEN 1 ELSE 0 END)
+      |  OVER (PARTITION BY user_id ORDER BY ts
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+      |    AS BIGINT) AS session_id
+      |  FROM l),
+      |bask AS (SELECT DISTINCT user_id, session_id,
+      |  CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item FROM a)""".stripMargin
+
+  /** Exact-integer PageRank replay: the 10 iterations unroll into chained
+    * CTE pairs (inbound contribution sum, then rank refresh over the full
+    * node set). */
+  private def pagerankSql: String = {
+    val scale = 1000000000000L
+    val iters = (1 to 10).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+         |  CAST(sum(((r.rank * 85) // 100) // e.deg) AS BIGINT) AS s
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node GROUP BY 1),
+         |r$i AS (SELECT nd.node,
+         |  (SELECT base FROM bs) + coalesce(c.s, CAST(0 AS BIGINT)) AS rank
+         |  FROM nodes nd LEFT JOIN c$i c ON nd.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$basketCtes,
+       |edges0 AS (SELECT DISTINCT x.item AS src, y.item AS dst
+       |  FROM bask x JOIN bask y ON x.user_id = y.user_id
+       |  AND x.session_id = y.session_id AND x.item <> y.item),
+       |deg AS (SELECT src, count(*) AS deg FROM edges0 GROUP BY 1),
+       |edges AS (SELECT e.src, e.dst, d.deg FROM edges0 e
+       |  JOIN deg d ON e.src = d.src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges0
+       |  UNION SELECT DISTINCT dst AS node FROM edges0),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |bs AS (SELECT (($scale * 15) // 100) // n AS base FROM nn),
+       |r0 AS (SELECT node, $scale // (SELECT n FROM nn) AS rank FROM nodes),
+       |$iters
+       |SELECT node, rank FROM r10""".stripMargin
+  }
+
   /** MACD triple-EMA recursion (shared by the batch query and its
     * streaming twin). */
   private val macdSql =
@@ -2572,6 +2618,33 @@ object OracleSql {
 
     // ordered re-anchored funnel: selected min-timestamps per step,
     // later steps only after the previous completed
+    // market-basket co-occurrence over 30-min session item sets: exact
+    // pair/item/session counts, support and lift as single terminal
+    // divisions on exact BIGINT products
+    "q_cooccur" ->
+      s"""$basketCtes,
+         |pairs AS (SELECT x.item AS item_a, y.item AS item_b,
+         |  count(*) AS n_ab
+         |  FROM bask x JOIN bask y ON x.user_id = y.user_id
+         |  AND x.session_id = y.session_id AND x.item < y.item
+         |  GROUP BY 1, 2),
+         |ic AS (SELECT item, count(*) AS n FROM bask GROUP BY 1),
+         |ns AS (SELECT count(*) AS n_sessions FROM
+         |  (SELECT DISTINCT user_id, session_id FROM bask))
+         |SELECT p.item_a, p.item_b, p.n_ab, a.n AS n_a, b.n AS n_b,
+         |ns.n_sessions,
+         |CAST(p.n_ab AS DOUBLE) / ns.n_sessions AS support,
+         |CAST(p.n_ab * ns.n_sessions AS DOUBLE) / CAST(a.n * b.n AS DOUBLE)
+         |  AS lift
+         |FROM pairs p JOIN ic a ON p.item_a = a.item
+         |JOIN ic b ON p.item_b = b.item CROSS JOIN ns""".stripMargin,
+
+    // exact-integer PageRank, 10 unrolled iterations over the symmetric
+    // session co-occurrence graph: every step is BIGINT floor arithmetic
+    // (all operands positive, so DuckDB's floor-div // equals Spark's
+    // truncating div), so the ranks replay bit-for-bit
+    "q_pagerank" -> pagerankSql,
+
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
         |s1 AS (SELECT user_id, min(tu) AS t1_us FROM e

@@ -1280,6 +1280,34 @@ object SparkEntry {
       .withColumn("duration_s",
         expr("(end_us - start_us) div 1000000"))
 
+  /** Session item baskets: 30-min sessions per user, item = the numeric
+    * `k` of the props JSON (RE2-safe digit extraction, replayed verbatim
+    * by DuckDB). */
+  private def sessionBaskets(s: SparkSession, dir: String): DataFrame =
+    graft.tsdf.Sessionize.assign(
+      events(s, dir).select(col("user_id"), col("ts"), col("props")),
+      "ts", Seq("user_id"), gapSeconds = 1800)
+      .select(col("user_id"), col("session_id"),
+        regexp_extract(col("props"), "[0-9]+", 0).cast(LongType)
+          .alias("item"))
+
+  /** Market-basket co-occurrence with exact lift over session item sets. */
+  private def qCooccur(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Analytics.cooccurrence(sessionBaskets(s, dir),
+      Seq("user_id", "session_id"), "item")
+
+  /** Exact-integer PageRank (10 iterations) over the symmetric session
+    * co-occurrence item graph. */
+  private def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val b = sessionBaskets(s, dir).distinct()
+    val edges = b.join(b.withColumnRenamed("item", "item_b"),
+        Seq("user_id", "session_id"))
+      .filter(col("item") =!= col("item_b"))
+      .select(col("item").alias("src"), col("item_b").alias("dst"))
+      .distinct()
+    graft.pipeline.Analytics.pagerank(edges, "src", "dst", iterations = 10)
+  }
+
   /** Ordered view→click→purchase funnel per user: earliest re-anchored
     * completion chain, selected timestamps only. */
   private def qFunnel(s: SparkSession, dir: String): DataFrame =
@@ -1851,6 +1879,8 @@ object SparkEntry {
     "q_profile" -> qProfile _,
     "q_stream_drawdown" -> qStreamDrawdown _,
     "q_funnel" -> qFunnel _,
+    "q_cooccur" -> qCooccur _,
+    "q_pagerank" -> qPagerank _,
     "q_retention" -> qRetention _,
     "q_wau" -> qWau _,
     "q_wau_kmv" -> qWauKmv _,

@@ -131,4 +131,86 @@ object Analytics {
       when(n > 0, mean).alias("mean_gap_s"),
       when(n > 1 && mean =!= 0.0, sd / mean).alias("cv_gap")): _*)
   }
+
+  /** Item co-occurrence with exact lift — the market-basket affinity pass:
+    * a "basket" is the DISTINCT item set of a session (any composite
+    * session key), n_ab = sessions containing both items of a pair,
+    * lift = (n_ab·N)/(n_a·n_b) (> 1 ⇒ the pair co-occurs more than
+    * independence predicts). All counts are exact BIGINTs; support/lift
+    * are single terminal divisions on exact integer products (the casts
+    * round identically in any engine).
+    *
+    * Plan shape: one distinct on (session, item), a session-keyed
+    * self-join for pair generation (per-session cost is |basket|² — cap
+    * baskets upstream if a session can hold thousands of distinct items),
+    * then map-side-combinable counts; the per-item counts and the one-row
+    * session total join back by AQE's choice (no forced broadcast).
+    * Output: (item_a, item_b, n_ab, n_a, n_b, n_sessions, support, lift). */
+  def cooccurrence(df: DataFrame, sessionCols: Seq[String],
+      itemCol: String): DataFrame = {
+    require(sessionCols.nonEmpty, "need at least one session key column")
+    val sess = sessionCols.map(col)
+    val baskets = df.select(sess :+ col(itemCol).alias("item_a"): _*).distinct()
+    val nSess = baskets.select(sess: _*).distinct()
+      .agg(count(lit(1)).alias("n_sessions"))
+    val itemCounts = baskets.groupBy(col("item_a")).agg(count(lit(1)).alias("n"))
+    val pairs = baskets
+      .join(baskets.withColumnRenamed("item_a", "item_b"), sessionCols)
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).alias("n_ab"))
+    pairs
+      .join(itemCounts.withColumnRenamed("n", "n_a"), Seq("item_a"))
+      .join(itemCounts.withColumnRenamed("item_a", "item_b")
+        .withColumnRenamed("n", "n_b"), Seq("item_b"))
+      .crossJoin(broadcast(nSess))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_sessions"),
+        (col("n_ab").cast(DoubleType) / col("n_sessions")).alias("support"),
+        ((col("n_ab") * col("n_sessions")).cast(DoubleType) /
+          (col("n_a") * col("n_b")).cast(DoubleType)).alias("lift"))
+  }
+
+  /** Exact-integer PageRank over an edge list — every arithmetic step is a
+    * BIGINT operation, so the result is bit-identical on any engine, any
+    * partitioning, any iteration parallelism (float PageRank is not: the
+    * per-node Σ of double contributions is order-dependent). Ranks live in
+    * `scale`-units (default 10¹²): rank₀ = scale div N, each iteration
+    * rank(v) = base + Σ_{u→v} (rank(u)·85 div 100) div outdeg(u) with
+    * base = (scale·15 div 100) div N. Integer floor drops sub-unit mass
+    * and dangling-node mass is discarded (a symmetric graph — e.g. the
+    * [[cooccurrence]] pair graph — has none); both losses are
+    * deterministic and bounded by one scale-unit per node per iteration.
+    *
+    * Plan shape: the classic distributed iteration — `iterations` rounds
+    * of (edge ⋈ rank on src) → dst-keyed partial-agg sum → left-join back
+    * to the node set. Edges and outdegrees are computed once; each round
+    * is two shuffles on uniform keys. At production scale persist the
+    * (src, dst, deg) table and checkpoint ranks every few rounds to cut
+    * lineage — semantics are unaffected. Output: (node, rank). */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 10, scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val nodes = edges.select(col(srcCol).alias("node"))
+      .union(edges.select(col(dstCol).alias("node"))).distinct()
+    val n = nodes.count() // one documented driver-side scalar (graph order)
+    require(n > 0, "pagerank needs a non-empty graph")
+    val base = (scale * 15L / 100L) / n
+    val withDeg = edges
+      .join(edges.groupBy(col(srcCol)).agg(count(lit(1)).alias("__deg")),
+        Seq(srcCol))
+      .select(col(srcCol).alias("node"), col(dstCol).alias("__dst"),
+        col("__deg"))
+    var ranks = nodes.select(col("node"), lit(scale / n).alias("rank"))
+    for (_ <- 1 to iterations) {
+      val inbound = withDeg.join(ranks, Seq("node"))
+        .select(col("__dst").alias("node"),
+          expr("((rank * 85) div 100) div __deg").alias("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).alias("__s"))
+      ranks = nodes.join(inbound, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("__s"), lit(0L))).alias("rank"))
+    }
+    ranks
+  }
 }

@@ -2142,6 +2142,48 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(cg.forall { case (s, h) => !s && h == 7.0 })
   }
 
+  test("cooccurrence computes exact pair counts and lift") {
+    import spark.implicits._
+    // sessions: s1={a,b}, s2={a,b}, s3={a,c}, s4={b} (with a duplicate row)
+    val rows = Seq(
+      (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (2L, "b"),
+      (3L, "a"), (3L, "c"), (4L, "b"))
+    val df = rows.toDF("sid", "item")
+    val got = Analytics.cooccurrence(df, Seq("sid"), "item")
+      .orderBy("item_a", "item_b")
+      .select("item_a", "item_b", "n_ab", "n_a", "n_b", "n_sessions",
+        "support", "lift")
+      .as[(String, String, Long, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 2L, 3L, 3L, 4L, 2.0 / 4, 8.0 / 9),
+      ("a", "c", 1L, 3L, 1L, 4L, 1.0 / 4, 4.0 / 3)))
+  }
+
+  test("pagerank matches a driver-side replay of the integer recursion") {
+    import spark.implicits._
+    // directed: 1->2, 2->1, 2->3, 3->1  (node 1: deg 1, 2: deg 2, 3: deg 1)
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val iters = 10; val scale = 1000000000000L
+    val got = Analytics.pagerank(edges, "src", "dst", iters)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // driver replay with identical integer ops
+    val es = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L))
+    val deg = es.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = 3L
+    val base = (scale * 15L / 100L) / n
+    var r = Map(1L -> scale / n, 2L -> scale / n, 3L -> scale / n)
+    for (_ <- 1 to iters) {
+      val in = es.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (s, _) => ((r(s) * 85L) / 100L) / deg(s) }.sum
+      }
+      r = r.keys.map(k => k -> (base + in.getOrElse(k, 0L))).toMap
+    }
+    assert(got == r.toSeq.sortBy(_._1))
+    // node 1 has two in-links and should outrank the others
+    assert(r(1L) > r(2L) && r(1L) > r(3L))
+  }
+
   test("chunkDocuments covers every token, clamps the tail, skips blanks") {
     import spark.implicits._
     val docs = Seq(
