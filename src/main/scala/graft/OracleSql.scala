@@ -183,6 +183,40 @@ object OracleSql {
        |  AND a.doc_id < b.doc_id AND a.r <= $clamp)""".stripMargin
   }
 
+  /** Threshold-crossing events (shared by the batch query and its
+    * streaming twin). */
+  private val thresholdCrossSql =
+    """WITH w AS (SELECT user_id, ts, event_id, value,
+      |  lag(value) OVER wd AS pv, lag(ts) OVER wd AS pts
+      |  FROM events WINDOW wd AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, epoch_us(ts) AS ts_us, epoch_us(pts) AS prev_ts_us,
+      |  pv AS prev_value, value,
+      |  CASE WHEN pv < 50.0 AND value >= 50.0 THEN 'up'
+      |       ELSE 'down' END AS direction
+      |FROM w WHERE pv IS NOT NULL AND
+      |  ((pv < 50.0 AND value >= 50.0) OR (pv >= 50.0 AND value < 50.0))""".stripMargin
+
+  /** Stochastic %K/%D replay (shared by the batch query and its streaming
+    * twin). */
+  private val stochasticSql =
+    """WITH t AS (
+      |SELECT user_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS x
+      |FROM events),
+      |m AS (
+      |SELECT user_id, ts_us, x,
+      |min(x) OVER w AS ll, max(x) OVER w AS hh
+      |FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+      |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+      |k AS (
+      |SELECT user_id, ts_us, x,
+      |CASE WHEN hh <> ll THEN 100.0 * (x - ll) / (hh - ll) END AS pct_k
+      |FROM m)
+      |SELECT user_id, ts_us, x AS value, pct_k,
+      |(lag(pct_k, 2) OVER (PARTITION BY user_id ORDER BY ts_us)
+      | + lag(pct_k, 1) OVER (PARTITION BY user_id ORDER BY ts_us)
+      | + pct_k) / 3.0 AS pct_d
+      |FROM k""".stripMargin
+
   /** 30-min session assignment + item extraction (shared by q_cooccur and
     * q_pagerank): the same gaps-and-islands CTE as q_session_stats, item =
     * the digit run of the props JSON. */
@@ -836,25 +870,10 @@ object OracleSql {
 
     // stochastic %K(14)/%D(3): ll/hh are frame selections, %K one
     // fixed-order expression, %D an explicit left-to-right 3-term sum —
-    // null while lags are missing, null %K on flat frames
-    "q_stochastic" ->
-      """WITH t AS (
-        |SELECT user_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS x
-        |FROM events),
-        |m AS (
-        |SELECT user_id, ts_us, x,
-        |min(x) OVER w AS ll, max(x) OVER w AS hh
-        |FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
-        |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
-        |k AS (
-        |SELECT user_id, ts_us, x,
-        |CASE WHEN hh <> ll THEN 100.0 * (x - ll) / (hh - ll) END AS pct_k
-        |FROM m)
-        |SELECT user_id, ts_us, x AS value, pct_k,
-        |(lag(pct_k, 2) OVER (PARTITION BY user_id ORDER BY ts_us)
-        | + lag(pct_k, 1) OVER (PARTITION BY user_id ORDER BY ts_us)
-        | + pct_k) / 3.0 AS pct_d
-        |FROM k""".stripMargin,
+    // null while lags are missing, null %K on flat frames (shared by the
+    // streaming twin)
+    "q_stochastic" -> stochasticSql,
+    "q_stream_stochastic" -> stochasticSql,
 
     // OBV over daily bars: signed exact-BIGINT volume accumulation; the
     // close comparison runs on raw doubles (selections are engine-exact)
@@ -1053,16 +1072,8 @@ object OracleSql {
         |FROM w GROUP BY user_id, bu""".stripMargin,
 
     // level-50 crossings: pure comparisons on the raw doubles
-    "q_threshold_cross" ->
-      """WITH w AS (SELECT user_id, ts, event_id, value,
-        |  lag(value) OVER wd AS pv, lag(ts) OVER wd AS pts
-        |  FROM events WINDOW wd AS (PARTITION BY user_id ORDER BY ts, event_id))
-        |SELECT user_id, epoch_us(ts) AS ts_us, epoch_us(pts) AS prev_ts_us,
-        |  pv AS prev_value, value,
-        |  CASE WHEN pv < 50.0 AND value >= 50.0 THEN 'up'
-        |       ELSE 'down' END AS direction
-        |FROM w WHERE pv IS NOT NULL AND
-        |  ((pv < 50.0 AND value >= 50.0) OR (pv >= 50.0 AND value < 50.0))""".stripMargin,
+    "q_threshold_cross" -> thresholdCrossSql,
+    "q_stream_threshold" -> thresholdCrossSql,
 
     // Bollinger: exact BIGINT frame sums, fixed assembly
     // mid = sx/n, dev = sqrt(n*sx2 - sx^2)/n, band = mid +- 2*dev

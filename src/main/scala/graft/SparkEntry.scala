@@ -1384,6 +1384,29 @@ object SparkEntry {
       col("macd_hist_value"))
   }
 
+  /** Streaming threshold-crossing twin — shares q_threshold_cross's oracle
+    * (event timestamps are unique per user, so the tie column the batch
+    * query carries is inert). */
+  private def qStreamThreshold(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val out = graft.streaming.StreamingTSDF.thresholdCrossings(
+      eventsStream(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "ts", Seq("user_id"), "value", threshold = 50.0)
+    runStream(s, out).select(col("user_id"), usec(col("ts")).alias("ts_us"),
+      usec(col("prev_ts")).alias("prev_ts_us"), col("prev_value"),
+      col("value"), col("direction"))
+  }
+
+  /** Streaming stochastic-oscillator twin — shares q_stochastic's oracle. */
+  private def qStreamStochastic(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val out = graft.streaming.StreamingTSDF.stochastic(
+      eventsStream(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "ts", Seq("user_id"), "value", window = 14)
+    runStream(s, out).select(col("user_id"), usec(col("ts")).alias("ts_us"),
+      col("value"), col("pct_k"), col("pct_d"))
+  }
+
   /** Streaming drawdown as a single-batch streaming query — running max is
     * order-independent, so the twin shares q_drawdown's math on the
     * unique-per-user event timestamps. */
@@ -1894,6 +1917,8 @@ object SparkEntry {
     "q_stream_ewm_var" -> qStreamEwmVar _,
     "q_stream_rsi" -> qStreamRsi _,
     "q_stream_macd" -> qStreamMacd _,
+    "q_stream_threshold" -> qStreamThreshold _,
+    "q_stream_stochastic" -> qStreamStochastic _,
     "q_domain_stats" -> qDomainStats _,
     "q_curriculum" -> qCurriculum _,
     "q_postings_index" -> qPostingsIndex _,

@@ -1104,4 +1104,141 @@ object StreamingTSDF {
       .withColumn("end_ts", timestamp_micros(col("end_us")))
       .select(typedSeriesCols(df.schema, seriesCols) :+ col("start_ts") :+ col("end_ts"): _*)
   }
+
+  case class ThreshState(lastValue: Double, lastTsUs: Long)
+
+  /** Streaming threshold-crossing detector: one (value, ts) pair of state
+    * per series, the twin of [[graft.tsdf.Stats.thresholdCrossings]] —
+    * emits a row only when the series crosses `threshold` between
+    * consecutive observations. Late rows (older than the last processed
+    * timestamp) are DROPPED, matching the in-order contract of the other
+    * indicator twins. Output: series + (ts, prev_ts, prev_value, value,
+    * direction). */
+  def thresholdCrossings(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      valueCol: String, threshold: Double,
+      stateTtl: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val projected = df.select(
+      seriesKey(seriesCols).alias("series"),
+      unix_micros(col(tsCol)).alias("tsUs"),
+      col(valueCol).cast(DoubleType).alias("value"),
+      col(tsCol).alias("eventTime"))
+    val events = stateTtl.fold(projected)(ttl =>
+      projected.withWatermark("eventTime", ttl)).as[EmaEvent]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val out = events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (key: String, rows: Iterator[EmaEvent], state: GroupState[ThreshState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.tsUs)
+            var cur = state.getOption.orNull
+            val outRows = sorted.flatMap { e =>
+              if (cur != null && e.tsUs < cur.lastTsUs) None
+              else {
+                val emit =
+                  if (cur == null) None
+                  else {
+                    val up = cur.lastValue < threshold && e.value >= threshold
+                    val down = cur.lastValue >= threshold && e.value < threshold
+                    if (up || down)
+                      Some((key, e.tsUs, cur.lastTsUs, cur.lastValue,
+                        e.value, if (up) "up" else "down"))
+                    else None
+                  }
+                cur = ThreshState(e.value, e.tsUs)
+                emit
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              stateTtl.foreach(ttl => state.setTimeoutTimestamp(
+                math.max(cur.lastTsUs / 1000,
+                  state.getCurrentWatermarkMs() + 1), ttl))
+            }
+            outRows.iterator
+          }
+      }
+      .toDF("series", "tsUs", "prevTsUs", "prev_value", "value", "direction")
+    out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
+      timestamp_micros(col("tsUs")).alias(tsCol),
+      timestamp_micros(col("prevTsUs")).alias("prev_ts"),
+      col("prev_value"), col("value").alias(valueCol), col("direction")): _*)
+  }
+
+  case class StochState(recent: Seq[Double], k1: Option[Double],
+      k2: Option[Double], lastTsUs: Long)
+
+  /** Streaming stochastic oscillator: per-series state is the trailing
+    * `window − 1` values (the frame buffer, like [[rollingMedian]]) plus
+    * the previous two %K values for the %D mean — bit-identical to
+    * [[graft.tsdf.Stats.stochastic]] (same selections, same fixed-order
+    * IEEE assembly; differentially asserted). Late rows are DROPPED.
+    * Output: series + ts + value + pct_k + pct_d. */
+  def stochastic(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      valueCol: String, window: Int,
+      stateTtl: Option[String] = None): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val projected = df.select(
+      seriesKey(seriesCols).alias("series"),
+      unix_micros(col(tsCol)).alias("tsUs"),
+      col(valueCol).cast(DoubleType).alias("value"),
+      col(tsCol).alias("eventTime"))
+    val events = stateTtl.fold(projected)(ttl =>
+      projected.withWatermark("eventTime", ttl)).as[EmaEvent]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val out = events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (key: String, rows: Iterator[EmaEvent], state: GroupState[StochState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.tsUs)
+            var cur = state.getOption.getOrElse(
+              StochState(Vector.empty, None, None, Long.MinValue))
+            var seen = state.exists
+            val outRows = sorted.flatMap { e =>
+              if (seen && e.tsUs < cur.lastTsUs) None
+              else {
+                seen = true
+                val frame = (cur.recent :+ e.value).takeRight(window)
+                val ll = frame.min
+                val hh = frame.max
+                val k: Option[Double] =
+                  if (hh == ll) None
+                  else Some(100.0 * (e.value - ll) / (hh - ll))
+                val d: Option[Double] =
+                  for (a <- cur.k2; b <- cur.k1; c <- k)
+                    yield (a + b + c) / 3.0
+                cur = StochState((cur.recent :+ e.value).takeRight(window - 1),
+                  k, cur.k1, e.tsUs)
+                Some((key, e.tsUs, e.value, k, d))
+              }
+            }
+            if (seen) {
+              state.update(cur)
+              stateTtl.foreach(ttl => state.setTimeoutTimestamp(
+                math.max(cur.lastTsUs / 1000,
+                  state.getCurrentWatermarkMs() + 1), ttl))
+            }
+            outRows.iterator
+          }
+      }
+      .toDF("series", "tsUs", "value", "pct_k", "pct_d")
+    out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
+      timestamp_micros(col("tsUs")).alias(tsCol),
+      col("value").alias(valueCol), col("pct_k"), col("pct_d")): _*)
+  }
 }

@@ -211,6 +211,46 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("property: streaming thresholdCrossings equals batch on random series") {
+    val rnd = new scala.util.Random(67)
+    (0 until 4).foreach { trial =>
+      val rows = randomSeries(rnd, pinEnds = false)
+      val streamed = runStream(rows, df =>
+        StreamingTSDF.thresholdCrossings(df, "ts", Seq("user_id"), "value",
+          threshold = 500.0))
+        .select(col("user_id"), col("ts"), col("prev_ts"),
+          col("prev_value"), col("value"), col("direction"))
+      val spark2 = spark
+      import spark2.implicits._
+      val batch = graft.tsdf.Stats.thresholdCrossings(
+        rows.toDF("user_id", "ts", "value"),
+        "ts", "value", Seq("user_id"), threshold = 500.0)
+        .select(col("user_id"), col("ts"), col("prev_ts"),
+          col("prev_value"), col("value"), col("direction"))
+      withClue(s"trial $trial: ") { assertDfEquality(streamed, batch) }
+    }
+  }
+
+  test("property: streaming stochastic equals batch on random series") {
+    val rnd = new scala.util.Random(68)
+    (0 until 4).foreach { trial =>
+      val rows = randomSeries(rnd, pinEnds = false)
+      val streamed = runStream(rows, df =>
+        StreamingTSDF.stochastic(df, "ts", Seq("user_id"), "value",
+          window = 5))
+        .select(col("user_id"), col("ts"), col("value"),
+          col("pct_k"), col("pct_d"))
+      val spark2 = spark
+      import spark2.implicits._
+      val batch = graft.tsdf.Stats.stochastic(
+        rows.toDF("user_id", "ts", "value"),
+        "ts", "value", Seq("user_id"), window = 5)
+        .select(col("user_id"), col("ts"), col("value"),
+          col("pct_k"), col("pct_d"))
+      withClue(s"trial $trial: ") { assertDfEquality(streamed, batch) }
+    }
+  }
+
   test("property: streaming kalmanLevel equals batch on random series") {
     val rnd = new scala.util.Random(53)
     (0 until 4).foreach { trial =>
