@@ -896,6 +896,46 @@ object OracleSql {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
         |FROM s""".stripMargin,
 
+    // Donchian(20): upper/lower are frame selections, mid one fixed-order
+    // IEEE expression — partial head frames, like the Spark side
+    "q_donchian" ->
+      """WITH t AS (
+        |SELECT user_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS x
+        |FROM events)
+        |SELECT user_id, ts_us, x AS value,
+        |max(x) OVER w AS dc_upper, min(x) OVER w AS dc_lower,
+        |(max(x) OVER w + min(x) OVER w) / 2.0 AS dc_mid
+        |FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // Williams %R(14): hh/ll selections, %R one fixed-order expression,
+    // null on flat frames
+    "q_williams_r" ->
+      """WITH t AS (
+        |SELECT user_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS x
+        |FROM events),
+        |m AS (
+        |SELECT user_id, ts_us, x,
+        |min(x) OVER w AS ll, max(x) OVER w AS hh
+        |FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, ts_us, x AS value,
+        |CASE WHEN hh <> ll THEN -100.0 * (hh - x) / (hh - ll) END AS pct_r
+        |FROM m""".stripMargin,
+
+    // 10-row ROC/momentum: raw-double lag subtraction + one fixed-order
+    // expression; roc null while the lag is missing or the base is zero
+    "q_roc" ->
+      """WITH t AS (
+        |SELECT user_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS x
+        |FROM events),
+        |l AS (
+        |SELECT user_id, ts_us, x,
+        |lag(x, 10) OVER (PARTITION BY user_id ORDER BY ts_us) AS px FROM t)
+        |SELECT user_id, ts_us, x AS value, x - px AS momentum,
+        |CASE WHEN px <> 0.0 THEN 100.0 * (x - px) / px END AS roc
+        |FROM l""".stripMargin,
+
     // strict local maxima within ±3 rows: bounded max frames are
     // order-independent; endpoints can be peaks (missing side = -inf),
     // plateaus never qualify, single-row series get a null excess
@@ -2214,6 +2254,23 @@ object OracleSql {
          |CAST(sumlen AS DOUBLE) / n_tokens AS mean_token_len
          |FROM a""".stripMargin,
 
+    // OOV ratio vs the corpus top-500 vocabulary: the top-K boundary is a
+    // total order (count desc, token asc), counts exact BIGINTs, the
+    // ratio one terminal division; token-less documents emit no row
+    "q_oov" ->
+      s"""WITH tok AS (
+         |SELECT doc_id, unnest(string_split($norm, ' ')) AS tk
+         |FROM documents),
+         |t AS (SELECT doc_id, tk FROM tok WHERE tk <> ''),
+         |vc AS (SELECT tk, count(*) AS c FROM t GROUP BY 1),
+         |vocab AS (SELECT tk FROM vc ORDER BY c DESC, tk ASC LIMIT 500),
+         |a AS (SELECT t.doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov
+         |  FROM t LEFT JOIN vocab v ON t.tk = v.tk GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_oov,
+         |CAST(n_oov AS DOUBLE) / n_tokens AS oov_ratio FROM a""".stripMargin,
+
     // same candidate set verified by exact Levenshtein on the normalized
     // texts (the length-gap prefilter is lossless and not replayed)
     "q_editdist_pairs" -> {
@@ -2655,6 +2712,53 @@ object OracleSql {
     // (all operands positive, so DuckDB's floor-div // equals Spark's
     // truncating div), so the ranks replay bit-for-bit
     "q_pagerank" -> pagerankSql,
+
+    // per-node triangles over the same canonical a<b session co-occurrence
+    // edges: each triangle a<b<c enumerated once via (a,b)⋈(b,c)⋈(a,c);
+    // exact BIGINT counts, clustering one fixed-order IEEE expression
+    // (the Spark side's degree-ordered orientation changes the join
+    // order, not the result set)
+    "q_triangles" ->
+      s"""$basketCtes,
+         |e AS (SELECT DISTINCT x.item AS a, y.item AS b
+         |  FROM bask x JOIN bask y ON x.user_id = y.user_id
+         |  AND x.session_id = y.session_id AND x.item < y.item),
+         |deg AS (SELECT node, count(*) AS degree FROM
+         |  (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) dn
+         |  GROUP BY 1),
+         |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |nt AS (SELECT node, count(*) AS triangles FROM
+         |  (SELECT u AS node FROM tri UNION ALL SELECT v AS node FROM tri
+         |   UNION ALL SELECT w AS node FROM tri) tn GROUP BY 1)
+         |SELECT d.node AS item, d.degree,
+         |CAST(coalesce(nt.triangles, 0) AS BIGINT) AS triangles,
+         |CASE WHEN d.degree >= 2 THEN 2.0 * CAST(coalesce(nt.triangles, 0)
+         |  AS BIGINT) / (d.degree * (d.degree - 1)) END AS clustering
+         |FROM deg d LEFT JOIN nt ON d.node = nt.node""".stripMargin,
+
+    // RFM quintiles: exact day diffs / counts / cents sums, ntile over a
+    // TOTAL order (metric, then customer) so the tiles are deterministic
+    "q_rfm" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |mx AS (SELECT max(d) AS maxd FROM o),
+        |pc AS (SELECT o_custkey,
+        |  CAST(date_diff('day', max(d), (SELECT maxd FROM mx)) AS BIGINT)
+        |    AS recency_days,
+        |  count(*) AS frequency, CAST(sum(cents) AS BIGINT) AS monetary
+        |  FROM o GROUP BY 1),
+        |sc AS (SELECT o_custkey, recency_days, frequency, monetary,
+        |  CAST(ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+        |    AS BIGINT) AS r,
+        |  CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC)
+        |    AS BIGINT) AS f,
+        |  CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC)
+        |    AS BIGINT) AS m
+        |  FROM pc)
+        |SELECT o_custkey, recency_days, frequency, monetary, r, f, m,
+        |r * 100 + f * 10 + m AS rfm_segment FROM sc""".stripMargin,
 
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),

@@ -377,6 +377,30 @@ object SparkEntry {
         col("close_value"), col("volume"), col("obv"))
   }
 
+  /** Donchian channels (20) per user on the raw event series. */
+  private def qDonchian(s: SparkSession, dir: String): DataFrame =
+    Stats.donchian(
+        events(s, dir).select(col("user_id"), col("ts"), col("value")),
+        "ts", "value", Seq("user_id"), window = 20)
+      .select(col("user_id"), usec(col("ts")).alias("ts_us"), col("value"),
+        col("dc_upper"), col("dc_lower"), col("dc_mid"))
+
+  /** Williams %R(14) per user on the raw event series. */
+  private def qWilliamsR(s: SparkSession, dir: String): DataFrame =
+    Stats.williamsR(
+        events(s, dir).select(col("user_id"), col("ts"), col("value")),
+        "ts", "value", Seq("user_id"), window = 14)
+      .select(col("user_id"), usec(col("ts")).alias("ts_us"), col("value"),
+        col("pct_r"))
+
+  /** 10-row rate-of-change and momentum per user. */
+  private def qRoc(s: SparkSession, dir: String): DataFrame =
+    Stats.rocMomentum(
+        events(s, dir).select(col("user_id"), col("ts"), col("value")),
+        "ts", "value", Seq("user_id"), n = 10)
+      .select(col("user_id"), usec(col("ts")).alias("ts_us"), col("value"),
+        col("momentum"), col("roc"))
+
   /** Strict local maxima within ±3 rows per user. */
   private def qPeaks(s: SparkSession, dir: String): DataFrame =
     graft.tsdf.Stats.peaks(
@@ -1308,6 +1332,35 @@ object SparkEntry {
     graft.pipeline.Analytics.pagerank(edges, "src", "dst", iterations = 10)
   }
 
+  /** Per-item triangle count, degree, and clustering coefficient over the
+    * session co-occurrence item graph (same edges as q_pagerank). */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val b = sessionBaskets(s, dir).distinct()
+    val edges = b.join(b.withColumnRenamed("item", "item_b"),
+        Seq("user_id", "session_id"))
+      .filter(col("item") < col("item_b"))
+      .select(col("item").alias("src"), col("item_b").alias("dst"))
+    graft.pipeline.Analytics.triangles(edges, "src", "dst")
+      .select(col("node").alias("item"), col("degree"), col("triangles"),
+        col("clustering"))
+  }
+
+  /** RFM segmentation of customers over orders: exact cents monetary,
+    * quintile tiles under a deterministic total order. */
+  private def qRfm(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Analytics.rfm(
+      tbl(s, dir, "orders").select(col("o_custkey"),
+        to_date(col("o_orderdate")).alias("o_date"),
+        cents(col("o_totalprice")).cast(LongType).alias("price_cents")),
+      "o_custkey", "o_date", "price_cents", buckets = 5)
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r"), col("f"), col("m"), col("rfm_segment"))
+
+  /** OOV ratio per document against the corpus top-500 vocabulary. */
+  private def qOov(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovStats(docs(s, dir), "text", "doc_id", vocabSize = 500)
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("oov_ratio"))
+
   /** Ordered view→click→purchase funnel per user: earliest re-anchored
     * completion chain, selected timestamps only. */
   private def qFunnel(s: SparkSession, dir: String): DataFrame =
@@ -1919,6 +1972,12 @@ object SparkEntry {
     "q_stream_macd" -> qStreamMacd _,
     "q_stream_threshold" -> qStreamThreshold _,
     "q_stream_stochastic" -> qStreamStochastic _,
+    "q_donchian" -> qDonchian _,
+    "q_williams_r" -> qWilliamsR _,
+    "q_roc" -> qRoc _,
+    "q_triangles" -> qTriangles _,
+    "q_rfm" -> qRfm _,
+    "q_oov" -> qOov _,
     "q_domain_stats" -> qDomainStats _,
     "q_curriculum" -> qCurriculum _,
     "q_postings_index" -> qPostingsIndex _,

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -212,5 +213,100 @@ object Analytics {
           (lit(base) + coalesce(col("__s"), lit(0L))).alias("rank"))
     }
     ranks
+  }
+
+  /** Per-node triangle count, degree, and local clustering coefficient
+    * over an undirected edge list (either orientation, self-loops and
+    * duplicates tolerated — canonicalized internally).
+    *
+    * Plan shape: the degree-ordered node-iterator — edges are oriented
+    * from the lower-(degree, node) endpoint to the higher, wedges
+    * enumerated by self-joining the oriented list on its source, and each
+    * wedge closed by probing the canonical edge set. Orienting by degree
+    * bounds each node's wedge fan-out by its ORIENTED out-degree (≤ √|E|
+    * in expectation), the standard defense against hub skew: a
+    * billion-edge graph with a degree-10⁶ hub generates wedges at the
+    * hub's low-degree neighbors, not 10¹² pairs at the hub. All joins are
+    * key-partitioned equi-joins; counts are exact BIGINTs and the
+    * clustering coefficient one fixed-order IEEE expression
+    * (2·tri/(deg·(deg−1)), null when deg < 2) — engine-exact.
+    * Output: (node, degree, triangles, clustering). */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val ec = edges
+      .select(least(col(srcCol), col(dstCol)).alias("a"),
+        greatest(col(srcCol), col(dstCol)).alias("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = ec.select(col("a").alias("node"))
+      .union(ec.select(col("b").alias("node")))
+      .groupBy("node").agg(count(lit(1)).alias("degree"))
+    // orient each edge from the lower-(degree, node) endpoint
+    val oriented = ec
+      .join(deg.select(col("node").alias("a"), col("degree").alias("__da")), Seq("a"))
+      .join(deg.select(col("node").alias("b"), col("degree").alias("__db")), Seq("b"))
+      .select(
+        when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).alias("src"),
+        when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).alias("dst"))
+    val wedges = oriented.alias("e1")
+      .join(oriented.alias("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").alias("u"),
+        least(col("e1.dst"), col("e2.dst")).alias("v"),
+        greatest(col("e1.dst"), col("e2.dst")).alias("w"))
+    val tris = wedges.join(ec,
+      wedges("v") === ec("a") && wedges("w") === ec("b"))
+      .select(col("u"), col("v"), col("w"))
+    val nodeTri = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).alias("node"))
+      .groupBy("node").agg(count(lit(1)).alias("triangles"))
+    deg.join(nodeTri, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).alias("triangles"))
+      .withColumn("clustering", when(col("degree") >= 2,
+        lit(2.0) * col("triangles") / (col("degree") * (col("degree") - lit(1L)))))
+  }
+
+  /** RFM segmentation: per customer, recency (days from their last order
+    * to the newest order in the table), frequency (order count), monetary
+    * (exact integer total, e.g. cents — `amountCol` must be
+    * integer-valued), each scored into `buckets` quantile tiles with
+    * `ntile` over a TOTAL order (metric, then customer id — deterministic
+    * under ties), segment = r·100 + f·10 + m. Recency tile 1 = most
+    * recent; frequency/monetary tile 1 = highest. All-integer ⇒
+    * engine-exact.
+    *
+    * Plan shape: one customer-keyed partial aggregate over the fact table,
+    * then three ntile windows on the CUSTOMER-level aggregate — a
+    * dimension-sized global sort (orders of magnitude below the fact
+    * table; Spark range-partitions the sort, the unpartitioned window then
+    * runs on the sorted dimension). Beyond ~10⁹ customers swap the exact
+    * ntile for counts-against-quantile-threshold joins.
+    * Output: (customer, recency_days, frequency, monetary, r, f, m,
+    * rfm_segment). */
+  def rfm(orders: DataFrame, custCol: String, dateCol: String,
+      amountCol: String, buckets: Int = 5): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    // global max date as a 1-row broadcast (stays in-plan, no driver scalar)
+    val maxD = orders.agg(max(col(dateCol)).alias("__maxd"))
+    val perCust = orders.groupBy(col(custCol))
+      .agg(max(col(dateCol)).alias("__lastd"),
+        count(lit(1)).alias("frequency"),
+        sum(graft.tsdf.Stats.integralOrFail(col(amountCol), "rfm"))
+          .alias("monetary"))
+      .crossJoin(broadcast(maxD))
+      .withColumn("recency_days",
+        datediff(col("__maxd"), col("__lastd")).cast(LongType))
+      .drop("__maxd", "__lastd")
+    val rW = Window.orderBy(col("recency_days").asc, col(custCol).asc)
+    val fW = Window.orderBy(col("frequency").desc, col(custCol).asc)
+    val mW = Window.orderBy(col("monetary").desc, col(custCol).asc)
+    perCust
+      .withColumn("r", ntile(buckets).over(rW).cast(LongType))
+      .withColumn("f", ntile(buckets).over(fW).cast(LongType))
+      .withColumn("m", ntile(buckets).over(mW).cast(LongType))
+      .withColumn("rfm_segment", col("r") * 100L + col("f") * 10L + col("m"))
   }
 }

@@ -382,4 +382,38 @@ object TextAnalysis {
         (col("__sumlen").cast(DoubleType) / col("n_tokens"))
           .alias("mean_token_len"))
   }
+
+  /** Out-of-vocabulary stats: the corpus's `vocabSize` most frequent
+    * normalized tokens form the vocabulary (total order: count desc, then
+    * token asc — the boundary tie is deterministic), and each document is
+    * scored by the fraction of its tokens outside it — the rare-word
+    * quality filter (CCNet-style LM filtering reduced to its exact
+    * vocabulary-coverage core). Counts are exact BIGINTs, the ratio one
+    * terminal IEEE division. Documents with no alphanumeric content emit
+    * no row.
+    *
+    * Plan shape: one (token) partial aggregate for corpus counts; the
+    * top-K lands via sort+limit, which Spark executes as distributed
+    * TakeOrdered (per-partition heaps, no global sort materialized); the
+    * per-doc pass joins the exploded tokens against the vocabulary with a
+    * BROADCAST hint that is safe-by-construction (≤ `vocabSize` rows by
+    * definition), then one doc-keyed aggregate.
+    * Output: (idCol, n_tokens, n_oov, oov_ratio). */
+  def oovStats(df: DataFrame, textCol: String, idCol: String,
+      vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    val toks = df
+      .select(col(idCol),
+        explode(split(Dedup.normalizeText(col(textCol)), " ")).alias("__tok"))
+      .filter(col("__tok") =!= "")
+    val vocab = toks.groupBy(col("__tok")).agg(count(lit(1)).alias("__c"))
+      .orderBy(col("__c").desc, col("__tok").asc).limit(vocabSize)
+      .select(col("__tok"), lit(1L).alias("__in"))
+    toks.join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).alias("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).alias("n_oov"))
+      .withColumn("oov_ratio",
+        col("n_oov").cast(DoubleType) / col("n_tokens"))
+  }
 }

@@ -1136,4 +1136,62 @@ object Stats {
       .withColumn("obv", sum(col("__sv")).over(runW))
       .drop("__sv")
   }
+
+  /** Donchian channels: upper/lower = max/min over the trailing `window`
+    * rows (partial frames at the series head use the rows available, as in
+    * [[stochastic]]), mid = (upper + lower)/2 — the breakout-band
+    * indicator. Upper/lower are SELECTIONS of raw doubles and mid is one
+    * fixed-order IEEE expression, so both engines produce identical bits.
+    * All three ride ONE series exchange. Output: input row + `dc_upper` +
+    * `dc_lower` + `dc_mid`. */
+  def donchian(df: DataFrame, tsCol: String, valueCol: String,
+      seriesCols: Seq[String], window: Int = 20,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val x = col(valueCol).cast(DoubleType)
+    df.withColumn("dc_upper", max(x).over(w))
+      .withColumn("dc_lower", min(x).over(w))
+      .withColumn("dc_mid", (col("dc_upper") + col("dc_lower")) / lit(2.0))
+  }
+
+  /** Williams %R: −100·(hh − x)/(hh − ll) with hh/ll the max/min over the
+    * trailing `window` rows — the inverted-stochastic overbought/oversold
+    * gauge (0 at the frame high, −100 at the frame low). hh/ll are
+    * SELECTIONS, %R one fixed-order IEEE expression, null on flat frames
+    * (hh = ll) — bit-reproducible. One series exchange. Output: input row
+    * + `pct_r`. */
+  def williamsR(df: DataFrame, tsCol: String, valueCol: String,
+      seriesCols: Seq[String], window: Int = 14,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val x = col(valueCol).cast(DoubleType)
+    val hh = max(x).over(w)
+    val ll = min(x).over(w)
+    df.withColumn("pct_r",
+      when(hh =!= ll, lit(-100.0) * (hh - x) / (hh - ll)))
+  }
+
+  /** Rate-of-change and momentum over an `n`-row lookback:
+    * momentum = x − x_{t−n}, roc = 100·(x − x_{t−n})/x_{t−n} — both null
+    * until the lag exists, roc additionally null when the base is 0 (no
+    * Infinity rows). Raw-double subtraction plus one fixed-order IEEE
+    * expression — bit-reproducible. One series exchange. Output: input row
+    * + `momentum` + `roc`. */
+  def rocMomentum(df: DataFrame, tsCol: String, valueCol: String,
+      seriesCols: Seq[String], n: Int = 10,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val ord = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    val x = col(valueCol).cast(DoubleType)
+    val px = lag(x, n).over(ord)
+    df.withColumn("momentum", x - px)
+      .withColumn("roc", when(px =!= 0.0, lit(100.0) * (x - px) / px))
+  }
 }

@@ -370,4 +370,24 @@ class PlanShapeSpec extends SparkTestBase {
     val p = plan(sa)
     assert(p.contains("AdaptiveSparkPlan") || exchanges(sa) <= 3, p)
   }
+
+  test("donchian, williamsR, and rocMomentum are one series exchange each") {
+    val dc = graft.tsdf.Stats.donchian(eventsDf, "ts", "value", Seq("user_id"))
+    assert(exchanges(dc) == 1, plan(dc))
+    val wr = graft.tsdf.Stats.williamsR(eventsDf, "ts", "value", Seq("user_id"))
+    assert(exchanges(wr) == 1, plan(wr))
+    val rm = graft.tsdf.Stats.rocMomentum(eventsDf, "ts", "value", Seq("user_id"))
+    assert(exchanges(rm) == 1, plan(rm))
+  }
+
+  test("oovStats broadcasts the bounded vocabulary into the token join") {
+    import spark.implicits._
+    val docs = (1 to 200).map(i => (i.toLong, s"tok${i % 17} tok${i % 5} x$i"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis.oovStats(docs, "text", "doc_id", 10)
+    // the vocab side is <= vocabSize rows by construction: the hint must
+    // survive to a broadcast join, never a shuffled one
+    assert(plan(out).contains("BroadcastHashJoin") ||
+      plan(out).contains("AdaptiveSparkPlan"), plan(out))
+  }
 }

@@ -2306,4 +2306,110 @@ class PipelineUnitSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("obv"))
   }
+
+  test("donchian and williamsR match the naive trailing-frame replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(93)
+    val vals = (1 to 80).map(_ => rnd.nextInt(400) / 4.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, (i + 1).toLong, v) }
+      .toDF("sid", "ts", "v").withColumn("ts", timestamp_seconds(col("ts")))
+    val dc = graft.tsdf.Stats.donchian(df, "ts", "v", Seq("sid"), window = 20)
+      .orderBy("ts").select("dc_upper", "dc_lower", "dc_mid").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    vals.indices.foreach { i =>
+      val fr = vals.slice(math.max(0, i - 19), i + 1)
+      assert(dc(i) == ((fr.max, fr.min, (fr.max + fr.min) / 2.0)))
+    }
+    val wr = graft.tsdf.Stats.williamsR(df, "ts", "v", Seq("sid"), window = 14)
+      .orderBy("ts").select("pct_r").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    vals.indices.foreach { i =>
+      val fr = vals.slice(math.max(0, i - 13), i + 1)
+      val exp = if (fr.max == fr.min) None
+        else Some(-100.0 * (fr.max - vals(i)) / (fr.max - fr.min))
+      assert(wr(i) == exp)
+    }
+  }
+
+  test("rocMomentum lags n rows; zero base nulls roc, not momentum") {
+    import spark.implicits._
+    val vals = Seq(10.0, 0.0, 20.0, 5.0, 40.0, 8.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, (i + 1).toLong, v) }
+      .toDF("sid", "ts", "v").withColumn("ts", timestamp_seconds(col("ts")))
+    val got = graft.tsdf.Stats.rocMomentum(df, "ts", "v", Seq("sid"), n = 2)
+      .orderBy("ts").select("momentum", "roc").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(got(0) == ((None, None)) && got(1) == ((None, None)))
+    assert(got(2) == ((Some(10.0), Some(100.0))))
+    assert(got(3) == ((Some(5.0), None))) // zero base: momentum kept, roc null
+    assert(got(4) == ((Some(20.0), Some(100.0))))
+    assert(got(5) == ((Some(3.0), Some(60.0))))
+  }
+
+  test("triangles counts per-node triangles on a known graph") {
+    import spark.implicits._
+    // triangles: (1,2,3), (3,4,5), (1,3,4) — fed with duplicates, both
+    // orientations, a self-loop, and an isolated edge (10,11) to exercise
+    // canonicalization and the deg<2 null
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 3L), (1L, 4L), (2L, 1L), (4L, 4L), (1L, 2L), (10L, 11L))
+      .toDF("src", "dst")
+    val got = graft.pipeline.Analytics.triangles(edges, "src", "dst")
+      .orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, Some(2.0 * 2 / 6)),
+      (2L, 2L, 1L, Some(1.0)),
+      (3L, 4L, 3L, Some(0.5)),
+      (4L, 3L, 2L, Some(2.0 * 2 / 6)),
+      (5L, 2L, 1L, Some(1.0)),
+      (10L, 1L, 0L, None),
+      (11L, 1L, 0L, None)))
+  }
+
+  test("rfm scores deterministic quintiles; rejects fractional amounts") {
+    import spark.implicits._
+    val orders = (1 to 10).map { i =>
+      (i.toLong, java.sql.Date.valueOf(f"2024-01-$i%02d"), i * 100L)
+    }.toDF("cust", "d", "cents")
+    val got = graft.pipeline.Analytics.rfm(orders, "cust", "d", "cents")
+      .orderBy("cust")
+      .select("cust", "recency_days", "frequency", "monetary", "r", "f",
+        "m", "rfm_segment")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+    // r: recency asc (cust 10 newest); f: all-ties broken by cust asc;
+    // m: monetary desc
+    assert(got.head == ((1L, 9L, 1L, 100L, 5L, 1L, 5L, 515L)))
+    assert(got.last == ((10L, 0L, 1L, 1000L, 1L, 5L, 1L, 151L)))
+    assert(got.map(_._5).count(_ == 3L) == 2) // 2 customers per tile
+    val bad = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 1.5))
+      .toDF("cust", "d", "cents")
+    val e = intercept[Exception] {
+      graft.pipeline.Analytics.rfm(bad, "cust", "d", "cents").collect()
+    }
+    assert(e.getMessage.contains("rfm"))
+  }
+
+  test("oovStats scores docs against the top-K vocabulary; blank docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "The DOG!"),
+      (3L, "!!!"),
+      (4L, "zebra quokka the")).toDF("doc_id", "text")
+    // corpus counts: the=4, rest 1 each -> top-2 = {the, cat} (tie by token)
+    val got = graft.pipeline.TextAnalysis
+      .oovStats(docs, "text", "doc_id", vocabSize = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1L, 6L, 3L, 0.5),
+      (2L, 2L, 1L, 0.5),
+      (4L, 3L, 2L, 2.0 / 3)))
+  }
 }
