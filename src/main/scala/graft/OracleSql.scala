@@ -217,6 +217,18 @@ object OracleSql {
       | + pct_k) / 3.0 AS pct_d
       |FROM k""".stripMargin
 
+  /** Donchian(20) channel replay (shared by the batch query and its
+    * streaming twin). */
+  private val donchianSql =
+    """WITH t AS (
+      |SELECT user_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS x
+      |FROM events)
+      |SELECT user_id, ts_us, x AS value,
+      |max(x) OVER w AS dc_upper, min(x) OVER w AS dc_lower,
+      |(max(x) OVER w + min(x) OVER w) / 2.0 AS dc_mid
+      |FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+      |  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** 30-min session assignment + item extraction (shared by q_cooccur and
     * q_pagerank): the same gaps-and-islands CTE as q_session_stats, item =
     * the digit run of the props JSON. */
@@ -897,16 +909,10 @@ object OracleSql {
         |FROM s""".stripMargin,
 
     // Donchian(20): upper/lower are frame selections, mid one fixed-order
-    // IEEE expression — partial head frames, like the Spark side
-    "q_donchian" ->
-      """WITH t AS (
-        |SELECT user_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS x
-        |FROM events)
-        |SELECT user_id, ts_us, x AS value,
-        |max(x) OVER w AS dc_upper, min(x) OVER w AS dc_lower,
-        |(max(x) OVER w + min(x) OVER w) / 2.0 AS dc_mid
-        |FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
-        |  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // IEEE expression — partial head frames, like the Spark side (shared
+    // by the streaming twin)
+    "q_donchian" -> donchianSql,
+    "q_stream_donchian" -> donchianSql,
 
     // Williams %R(14): hh/ll selections, %R one fixed-order expression,
     // null on flat frames

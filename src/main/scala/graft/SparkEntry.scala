@@ -1450,6 +1450,16 @@ object SparkEntry {
       col("value"), col("direction"))
   }
 
+  /** Streaming Donchian-channel twin — shares q_donchian's oracle. */
+  private def qStreamDonchian(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val out = graft.streaming.StreamingTSDF.donchian(
+      eventsStream(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "ts", Seq("user_id"), "value", window = 20)
+    runStream(s, out).select(col("user_id"), usec(col("ts")).alias("ts_us"),
+      col("value"), col("dc_upper"), col("dc_lower"), col("dc_mid"))
+  }
+
   /** Streaming stochastic-oscillator twin — shares q_stochastic's oracle. */
   private def qStreamStochastic(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
@@ -1972,6 +1982,7 @@ object SparkEntry {
     "q_stream_macd" -> qStreamMacd _,
     "q_stream_threshold" -> qStreamThreshold _,
     "q_stream_stochastic" -> qStreamStochastic _,
+    "q_stream_donchian" -> qStreamDonchian _,
     "q_donchian" -> qDonchian _,
     "q_williams_r" -> qWilliamsR _,
     "q_roc" -> qRoc _,

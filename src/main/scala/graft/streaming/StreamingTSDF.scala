@@ -1241,4 +1241,69 @@ object StreamingTSDF {
       timestamp_micros(col("tsUs")).alias(tsCol),
       col("value").alias(valueCol), col("pct_k"), col("pct_d")): _*)
   }
+
+  case class DonchianState(recent: Seq[Double], lastTsUs: Long)
+
+  /** Streaming Donchian channels: per-series state is the trailing
+    * `window − 1` values, the twin of [[graft.tsdf.Stats.donchian]] —
+    * upper/lower are frame selections, mid the same fixed-order IEEE
+    * expression (differentially asserted bit-identical). Late rows are
+    * DROPPED. Output: series + ts + value + dc_upper + dc_lower +
+    * dc_mid. */
+  def donchian(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      valueCol: String, window: Int,
+      stateTtl: Option[String] = None): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val projected = df.select(
+      seriesKey(seriesCols).alias("series"),
+      unix_micros(col(tsCol)).alias("tsUs"),
+      col(valueCol).cast(DoubleType).alias("value"),
+      col(tsCol).alias("eventTime"))
+    val events = stateTtl.fold(projected)(ttl =>
+      projected.withWatermark("eventTime", ttl)).as[EmaEvent]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val out = events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (key: String, rows: Iterator[EmaEvent], state: GroupState[DonchianState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.tsUs)
+            var cur = state.getOption.getOrElse(
+              DonchianState(Vector.empty, Long.MinValue))
+            var seen = state.exists
+            val outRows = sorted.flatMap { e =>
+              if (seen && e.tsUs < cur.lastTsUs) None
+              else {
+                seen = true
+                val frame = (cur.recent :+ e.value).takeRight(window)
+                val upper = frame.max
+                val lower = frame.min
+                cur = DonchianState(
+                  (cur.recent :+ e.value).takeRight(window - 1), e.tsUs)
+                Some((key, e.tsUs, e.value, upper, lower,
+                  (upper + lower) / 2.0))
+              }
+            }
+            if (seen) {
+              state.update(cur)
+              stateTtl.foreach(ttl => state.setTimeoutTimestamp(
+                math.max(cur.lastTsUs / 1000,
+                  state.getCurrentWatermarkMs() + 1), ttl))
+            }
+            outRows.iterator
+          }
+      }
+      .toDF("series", "tsUs", "value", "dc_upper", "dc_lower", "dc_mid")
+    out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
+      timestamp_micros(col("tsUs")).alias(tsCol),
+      col("value").alias(valueCol), col("dc_upper"), col("dc_lower"),
+      col("dc_mid")): _*)
+  }
 }

@@ -251,6 +251,26 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("property: streaming donchian equals batch on random series") {
+    val rnd = new scala.util.Random(69)
+    (0 until 4).foreach { trial =>
+      val rows = randomSeries(rnd, pinEnds = false)
+      val streamed = runStream(rows, df =>
+        StreamingTSDF.donchian(df, "ts", Seq("user_id"), "value",
+          window = 5))
+        .select(col("user_id"), col("ts"), col("value"),
+          col("dc_upper"), col("dc_lower"), col("dc_mid"))
+      val spark2 = spark
+      import spark2.implicits._
+      val batch = graft.tsdf.Stats.donchian(
+        rows.toDF("user_id", "ts", "value"),
+        "ts", "value", Seq("user_id"), window = 5)
+        .select(col("user_id"), col("ts"), col("value"),
+          col("dc_upper"), col("dc_lower"), col("dc_mid"))
+      withClue(s"trial $trial: ") { assertDfEquality(streamed, batch) }
+    }
+  }
+
   test("property: streaming kalmanLevel equals batch on random series") {
     val rnd = new scala.util.Random(53)
     (0 until 4).foreach { trial =>
