@@ -929,6 +929,35 @@ object OracleSql {
         |CASE WHEN hh <> ll THEN -100.0 * (hh - x) / (hh - ll) END AS pct_r
         |FROM m""".stripMargin,
 
+    // SAX(20, 4): exact integer segment sums, moment-sum z-scores, CASE
+    // binning at the equiprobable breakpoints; null z/symbol for
+    // 1-segment or constant series
+    "q_sax" ->
+      s"""WITH t AS (
+         |SELECT user_id, epoch_us(ts) AS tu,
+         |CAST(round(value * 100) AS BIGINT) AS c,
+         |row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+         |FROM events),
+         |g AS (SELECT user_id, CAST((rn - 1) // 20 AS BIGINT) AS segment,
+         |min(tu) AS start_ts_us, count(*) AS n_rows,
+         |CAST(sum(c) AS BIGINT) AS seg_sum
+         |FROM t GROUP BY 1, 2),
+         |m AS (SELECT user_id, segment, start_ts_us, n_rows, seg_sum,
+         |count(*) OVER w AS cnt,
+         |CAST(sum(seg_sum) OVER w AS BIGINT) AS s1,
+         |sum(CAST(seg_sum AS DOUBLE) * CAST(seg_sum AS DOUBLE)) OVER w AS s2
+         |FROM g WINDOW w AS (PARTITION BY user_id)),
+         |z AS (SELECT user_id, segment, start_ts_us, n_rows, seg_sum,
+         |CASE WHEN ($momentSd) <> 0
+         |  THEN (CAST(seg_sum AS DOUBLE) - CAST(s1 AS DOUBLE) / cnt)
+         |    / ($momentSd)
+         |END AS z FROM m)
+         |SELECT user_id, segment, start_ts_us, n_rows, seg_sum, z,
+         |CASE WHEN z IS NOT NULL THEN
+         |  CASE WHEN z < -0.67 THEN 'a' WHEN z < 0.0 THEN 'b'
+         |       WHEN z < 0.67 THEN 'c' ELSE 'd' END
+         |END AS symbol FROM z""".stripMargin,
+
     // 10-row ROC/momentum: raw-double lag subtraction + one fixed-order
     // expression; roc null while the lag is missing or the base is zero
     "q_roc" ->

@@ -393,6 +393,16 @@ object SparkEntry {
       .select(col("user_id"), usec(col("ts")).alias("ts_us"), col("value"),
         col("pct_r"))
 
+  /** SAX symbols over 20-row segments of each user's cents series,
+    * alphabet 4. */
+  private def qSax(s: SparkSession, dir: String): DataFrame =
+    Stats.sax(
+        events(s, dir).select(col("user_id"), col("ts"),
+          cents(col("value")).cast(LongType).alias("c")),
+        "ts", "c", Seq("user_id"), segmentRows = 20, alphabet = 4)
+      .select(col("user_id"), col("segment"), col("start_ts_us"),
+        col("n_rows"), col("seg_sum"), col("z"), col("symbol"))
+
   /** 10-row rate-of-change and momentum per user. */
   private def qRoc(s: SparkSession, dir: String): DataFrame =
     Stats.rocMomentum(
@@ -1986,6 +1996,7 @@ object SparkEntry {
     "q_donchian" -> qDonchian _,
     "q_williams_r" -> qWilliamsR _,
     "q_roc" -> qRoc _,
+    "q_sax" -> qSax _,
     "q_triangles" -> qTriangles _,
     "q_rfm" -> qRfm _,
     "q_oov" -> qOov _,

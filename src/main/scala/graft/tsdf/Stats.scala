@@ -1194,4 +1194,70 @@ object Stats {
     df.withColumn("momentum", x - px)
       .withColumn("roc", when(px =!= 0.0, lit(100.0) * (x - px) / px))
   }
+
+  /** The classic SAX equiprobable N(0,1) breakpoints (Lin et al. 2003),
+    * alphabet sizes 2–8. */
+  private val saxBreakpoints: Map[Int, Seq[Double]] = Map(
+    2 -> Seq(0.0),
+    3 -> Seq(-0.43, 0.43),
+    4 -> Seq(-0.67, 0.0, 0.67),
+    5 -> Seq(-0.84, -0.25, 0.25, 0.84),
+    6 -> Seq(-0.97, -0.43, 0.0, 0.43, 0.97),
+    7 -> Seq(-1.07, -0.57, -0.18, 0.18, 0.57, 1.07),
+    8 -> Seq(-1.15, -0.67, -0.32, 0.0, 0.32, 0.67, 1.15))
+
+  /** SAX symbolization: each series is cut into consecutive
+    * `segmentRows`-row segments (by row position), each segment reduced to
+    * its EXACT integer sum (PAA up to the constant 1/w factor —
+    * z-normalization is affine-invariant, so symbols are identical),
+    * segment sums z-scored per series with the moment-sum stddev (exact
+    * BIGINT Σs; Σs² as integer-valued doubles, exact while < 2⁵³), and
+    * each z bucketed into `alphabet` symbols ('a' lowest) at the standard
+    * equiprobable N(0,1) breakpoints — the indexable symbolic sketch for
+    * similarity search and motif grouping. `valueCol` must be
+    * integer-valued (scale to cents upstream; enforced). z/symbol are null
+    * for 1-segment or constant series (σ undefined/0).
+    *
+    * Plan shape: one series exchange for the row-number pass, one
+    * (series, segment) partial aggregate, one series-partition window for
+    * the moments — no global operation, no driver state. Every step is
+    * exact-integer or fixed-order IEEE, so the DuckDB oracle replays
+    * bit-for-bit.
+    * Output: series cols + (segment, start_ts_us, n_rows, seg_sum, z,
+    * symbol). */
+  def sax(df: DataFrame, tsCol: String, valueCol: String,
+      seriesCols: Seq[String], segmentRows: Int, alphabet: Int = 4,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(segmentRows >= 1, "segmentRows must be >= 1")
+    require(saxBreakpoints.contains(alphabet),
+      s"alphabet must be in ${saxBreakpoints.keys.toSeq.sorted.mkString("..")}")
+    val ord = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    val segs = df
+      .withColumn("__v", integralOrFail(col(valueCol), "sax"))
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("segment",
+        expr(s"CAST((__rn - 1) div $segmentRows AS BIGINT)"))
+      .groupBy((seriesCols.map(col) :+ col("segment")): _*)
+      .agg(min(unix_micros(col(tsCol))).alias("start_ts_us"),
+        count(lit(1)).alias("n_rows"),
+        sum(col("__v")).alias("seg_sum"))
+    val sw = Window.partitionBy(seriesCols.map(col): _*)
+    val sd = col("seg_sum").cast(DoubleType)
+    val withMoments = segs
+      .withColumn("__cnt", count(lit(1)).over(sw))
+      .withColumn("__s1", sum(col("seg_sum")).over(sw))
+      .withColumn("__s2", sum(sd * sd).over(sw))
+    val m = col("__s1").cast(DoubleType) / col("__cnt")
+    val sig = momentStddev(col("__cnt"), col("__s1"), col("__s2"))
+    val z = when(sig =!= 0.0, (sd - m) / sig)
+    val letters = (0 until alphabet).map(i => ('a' + i).toChar.toString)
+    val symbol = saxBreakpoints(alphabet).zip(letters).foldRight(
+      lit(letters.last): Column) { case ((bp, l), acc) =>
+      when(col("z") < bp, l).otherwise(acc)
+    }
+    withMoments.withColumn("z", z)
+      .withColumn("symbol", when(col("z").isNotNull, symbol))
+      .drop("__cnt", "__s1", "__s2")
+  }
 }

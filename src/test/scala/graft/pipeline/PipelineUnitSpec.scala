@@ -2394,6 +2394,32 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(e.getMessage.contains("rfm"))
   }
 
+  test("sax symbolizes z-scored segment sums; constant series null out") {
+    import spark.implicits._
+    val rows = (1 to 12).map(i => (1L, i.toLong, i.toLong)) ++
+      (1 to 6).map(i => (2L, i.toLong, 5L))
+    val df = rows.toDF("sid", "ts", "v")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val got = graft.tsdf.Stats.sax(df, "ts", "v", Seq("sid"),
+        segmentRows = 3, alphabet = 4)
+      .orderBy("sid", "segment")
+      .select("sid", "segment", "n_rows", "seg_sum", "symbol")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getString(4))))
+      .toSeq
+    // sums 6/15/24/33, mean 19.5, sample sd sqrt(135) -> z ±1.16, ±0.39
+    assert(got == Seq(
+      (1L, 0L, 3L, 6L, Some("a")), (1L, 1L, 3L, 15L, Some("b")),
+      (1L, 2L, 3L, 24L, Some("c")), (1L, 3L, 3L, 33L, Some("d")),
+      (2L, 0L, 3L, 15L, None), (2L, 1L, 3L, 15L, None)))
+    val bad = Seq((1L, 1L, 1.5)).toDF("sid", "ts", "v")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val e = intercept[Exception] {
+      graft.tsdf.Stats.sax(bad, "ts", "v", Seq("sid"), 2).collect()
+    }
+    assert(e.getMessage.contains("sax"))
+  }
+
   test("oovStats scores docs against the top-K vocabulary; blank docs drop") {
     import spark.implicits._
     val docs = Seq(
