@@ -534,6 +534,63 @@ object OracleSql {
         |FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1)
         |SELECT user_id, ts_us, value, holt_level_value, holt_trend_value FROM r""".stripMargin
 
+  /** Recursive-CTE replay of the exact additive Holt-Winters triple
+    * recursion (α=0.5, β=0.25, γ=0.5, m=24) over hourly mean-cents bars:
+    * the seasonal ring rides as a rotated LIST column (head = next factor
+    * to consume, `sl[2:] || [s_new]` per step — the same representation
+    * the Spark aggregate uses), the warm-up mean accumulates
+    * left-to-right, and every level/trend/seasonal expression is
+    * re-stated textually so both engines evaluate identical fixed-order
+    * IEEE arithmetic. */
+  private def holtWintersRec(sourceCtes: String): String = {
+    val lvlNew = "(0.5 * (b.x - r.sl[1]) + 0.5 * (r.lvl + r.trd))"
+    val sNew = s"(0.5 * (b.x - $lvlNew) + 0.5 * r.sl[1])"
+    s"""WITH RECURSIVE $sourceCtes,
+       |r AS (
+       |SELECT user_id, ts_us, x, rn,
+       |[x] AS wl, x AS ws,
+       |CAST(NULL AS DOUBLE) AS lvl, CAST(NULL AS DOUBLE) AS trd,
+       |CAST(NULL AS DOUBLE[]) AS sl, CAST(NULL AS DOUBLE) AS hw_seasonal
+       |FROM b WHERE rn = 1
+       |UNION ALL
+       |SELECT b.user_id, b.ts_us, b.x, b.rn,
+       |CASE WHEN b.rn < 24 THEN r.wl || [b.x] END AS wl,
+       |CASE WHEN b.rn <= 24 THEN r.ws + b.x END AS ws,
+       |CASE WHEN b.rn < 24 THEN CAST(NULL AS DOUBLE)
+       |     WHEN b.rn = 24 THEN (r.ws + b.x) / 24.0
+       |     ELSE $lvlNew END AS lvl,
+       |CASE WHEN b.rn < 24 THEN CAST(NULL AS DOUBLE)
+       |     WHEN b.rn = 24 THEN 0.0
+       |     ELSE (0.25 * ($lvlNew - r.lvl) + 0.75 * r.trd) END AS trd,
+       |CASE WHEN b.rn < 24 THEN CAST(NULL AS DOUBLE[])
+       |     WHEN b.rn = 24 THEN list_transform(r.wl || [b.x],
+       |       v -> v - (r.ws + b.x) / 24.0)
+       |     ELSE r.sl[2:] || [$sNew] END AS sl,
+       |CASE WHEN b.rn > 24 THEN $sNew END AS hw_seasonal
+       |FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+       |SELECT user_id, ts_us, x,
+       |CASE WHEN rn > 24 THEN lvl END AS hw_level,
+       |CASE WHEN rn > 24 THEN trd END AS hw_trend,
+       |hw_seasonal FROM r""".stripMargin
+  }
+
+  private val holtWintersSql: String = holtWintersRec(
+    """b0 AS (
+      |SELECT user_id, date_trunc('hour', ts) AS h,
+      |avg(round(value * 100)) AS x FROM events GROUP BY 1, 2),
+      |b AS (SELECT user_id, epoch_us(h) AS ts_us, x,
+      |row_number() OVER (PARTITION BY user_id ORDER BY h) AS rn
+      |FROM b0)""".stripMargin)
+
+  /** The same Holt-Winters recursion over the RAW per-user event series
+    * (the streaming twin's input — no bar aggregation upstream of the
+    * stateful operator). */
+  private val holtWintersRawSql: String = holtWintersRec(
+    """b AS (
+      |SELECT user_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS x,
+      |row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      |FROM events)""".stripMargin)
+
   /** Recursive-CTE replay of the exact Kalman predict/update double
     * recursion (q=0.25, r=4.0, p0=4.0), shared by the batch window query
     * and its single-batch streaming twin; per step pp = p+q,
@@ -823,6 +880,12 @@ object OracleSql {
 
     // 1-D local-level Kalman: recursive-CTE replay (see kalmanSql)
     "q_kalman" -> kalmanSql,
+
+    // additive Holt-Winters over hourly bars: recursive-CTE replay with a
+    // rotated LIST seasonal ring (see holtWintersSql); the streaming twin
+    // runs the same recursion on the raw per-user series
+    "q_holt_winters" -> holtWintersSql,
+    "q_stream_hw" -> holtWintersRawSql,
 
     // running peak + drawdown: max over a running frame is
     // order-independent, so raw doubles replay engine-exact

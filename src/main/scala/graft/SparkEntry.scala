@@ -393,6 +393,19 @@ object SparkEntry {
       .select(col("user_id"), usec(col("ts")).alias("ts_us"), col("value"),
         col("pct_r"))
 
+  /** Additive Holt-Winters (α=.5, β=.25, γ=.5, m=24) on hourly mean-cents
+    * bars per user — null through the first 24 bars (the warm-up
+    * season). */
+  private def qHoltWinters(s: SparkSession, dir: String): DataFrame = {
+    val bars = events(s, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).alias("ts"))
+      .agg(avg(cents(col("value"))).alias("x"))
+    Stats.holtWinters(bars, "ts", "x", Seq("user_id"),
+        alpha = 0.5, beta = 0.25, gamma = 0.5, m = 24)
+      .select(col("user_id"), usec(col("ts")).alias("ts_us"), col("x"),
+        col("hw_level"), col("hw_trend"), col("hw_seasonal"))
+  }
+
   /** SAX symbols over 20-row segments of each user's cents series,
     * alphabet 4. */
   private def qSax(s: SparkSession, dir: String): DataFrame =
@@ -1470,6 +1483,19 @@ object SparkEntry {
       col("value"), col("dc_upper"), col("dc_lower"), col("dc_mid"))
   }
 
+  /** Streaming Holt-Winters twin on the raw per-user series (m=24) —
+    * oracle is the same recursion replayed over raw values. */
+  private def qStreamHw(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val out = graft.streaming.StreamingTSDF.holtWinters(
+      eventsStream(s, dir).select(col("user_id"), col("ts"), col("value")),
+      "ts", Seq("user_id"), "value",
+      alpha = 0.5, beta = 0.25, gamma = 0.5, m = 24)
+    runStream(s, out).select(col("user_id"), usec(col("ts")).alias("ts_us"),
+      col("value").alias("x"), col("hw_level"), col("hw_trend"),
+      col("hw_seasonal"))
+  }
+
   /** Streaming stochastic-oscillator twin — shares q_stochastic's oracle. */
   private def qStreamStochastic(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
@@ -1993,10 +2019,12 @@ object SparkEntry {
     "q_stream_threshold" -> qStreamThreshold _,
     "q_stream_stochastic" -> qStreamStochastic _,
     "q_stream_donchian" -> qStreamDonchian _,
+    "q_stream_hw" -> qStreamHw _,
     "q_donchian" -> qDonchian _,
     "q_williams_r" -> qWilliamsR _,
     "q_roc" -> qRoc _,
     "q_sax" -> qSax _,
+    "q_holt_winters" -> qHoltWinters _,
     "q_triangles" -> qTriangles _,
     "q_rfm" -> qRfm _,
     "q_oov" -> qOov _,

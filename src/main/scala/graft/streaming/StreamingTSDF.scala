@@ -1306,4 +1306,90 @@ object StreamingTSDF {
       col("value").alias(valueCol), col("dc_upper"), col("dc_lower"),
       col("dc_mid")): _*)
   }
+
+  case class HwState(cnt: Int, warmSum: Double, level: Double,
+      trend: Double, ring: Seq[Double], lastTsUs: Long)
+
+  /** Streaming additive Holt-Winters: per-series state is the warm-up
+    * accumulator plus the rotated `m`-factor seasonal ring — the twin of
+    * [[graft.tsdf.Stats.holtWinters]] / [[graft.functions
+    * .HoltWintersExact]], bit-identical by construction (same fixed-order
+    * IEEE recursion, same rotation; differentially asserted). Emits null
+    * level/trend/seasonal through the first season. Late rows are
+    * DROPPED. Output: series + ts + value + hw_level + hw_trend +
+    * hw_seasonal. */
+  def holtWinters(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      valueCol: String, alpha: Double, beta: Double, gamma: Double, m: Int,
+      stateTtl: Option[String] = None): DataFrame = {
+    require(m >= 2, "season length m must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val projected = df.select(
+      seriesKey(seriesCols).alias("series"),
+      unix_micros(col(tsCol)).alias("tsUs"),
+      col(valueCol).cast(DoubleType).alias("value"),
+      col(tsCol).alias("eventTime"))
+    val events = stateTtl.fold(projected)(ttl =>
+      projected.withWatermark("eventTime", ttl)).as[EmaEvent]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val out = events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (key: String, rows: Iterator[EmaEvent], state: GroupState[HwState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.tsUs)
+            var cur = state.getOption.getOrElse(
+              HwState(0, 0.0, 0.0, 0.0, Vector.empty, Long.MinValue))
+            var seen = state.exists
+            val outRows = sorted.flatMap { e =>
+              if (seen && e.tsUs < cur.lastTsUs) None
+              else {
+                seen = true
+                val x = e.value
+                val cnt = cur.cnt + 1
+                cur =
+                  if (cnt < m)
+                    cur.copy(cnt = cnt, warmSum = cur.warmSum + x,
+                      ring = cur.ring :+ x, lastTsUs = e.tsUs)
+                  else if (cnt == m) {
+                    val ws = cur.warmSum + x
+                    val level = ws / m
+                    HwState(cnt, ws, level, 0.0,
+                      (cur.ring :+ x).map(w => w - level), e.tsUs)
+                  } else {
+                    val sPrev = cur.ring.head
+                    val nl = alpha * (x - sPrev) +
+                      (1 - alpha) * (cur.level + cur.trend)
+                    val nt = beta * (nl - cur.level) + (1 - beta) * cur.trend
+                    val sNew = gamma * (x - nl) + (1 - gamma) * sPrev
+                    HwState(cnt, cur.warmSum, nl, nt,
+                      cur.ring.tail :+ sNew, e.tsUs)
+                  }
+                val emit: (Option[Double], Option[Double], Option[Double]) =
+                  if (cnt > m)
+                    (Some(cur.level), Some(cur.trend), Some(cur.ring.last))
+                  else (None, None, None)
+                Some((key, e.tsUs, x, emit._1, emit._2, emit._3))
+              }
+            }
+            if (seen) {
+              state.update(cur)
+              stateTtl.foreach(ttl => state.setTimeoutTimestamp(
+                math.max(cur.lastTsUs / 1000,
+                  state.getCurrentWatermarkMs() + 1), ttl))
+            }
+            outRows.iterator
+          }
+      }
+      .toDF("series", "tsUs", "value", "hw_level", "hw_trend", "hw_seasonal")
+    out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
+      timestamp_micros(col("tsUs")).alias(tsCol),
+      col("value").alias(valueCol), col("hw_level"), col("hw_trend"),
+      col("hw_seasonal")): _*)
+  }
 }

@@ -140,6 +140,29 @@ object Stats {
       .drop("__holt"))
   }
 
+  /** Additive Holt-Winters (level + trend + season of `m` observations)
+    * over each series: adds `hw_level`, `hw_trend`, `hw_seasonal` from the
+    * one-pass triple recursion (see [[graft.functions.HoltWintersExact]]
+    * for the exact warm-up/update definition; null through the first
+    * season). One series exchange — the running window shares the sort. */
+  def holtWinters(df: DataFrame, tsCol: String, valueCol: String,
+      seriesCols: Seq[String], alpha: Double, beta: Double, gamma: Double,
+      m: Int, tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val agg = org.apache.spark.sql.GraftColumns.column(
+      graft.functions.HoltWintersExact(
+        org.apache.spark.sql.GraftColumns.expression(
+          col(valueCol).cast(DoubleType)),
+        alpha, beta, gamma, m).toAggregateExpression())
+    df.withColumn("__hw", agg.over(w))
+      .withColumn("hw_level", col("__hw.level"))
+      .withColumn("hw_trend", col("__hw.trend"))
+      .withColumn("hw_seasonal", col("__hw.seasonal"))
+      .drop("__hw")
+  }
+
   /** 1-D local-level Kalman filter over each series: adds
     * `kalman_level_<col>`, `kalman_var_<col>`, `kalman_gain_<col>` from
     * the one-pass predict/update recursion (see

@@ -2394,6 +2394,39 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(e.getMessage.contains("rfm"))
   }
 
+  test("holtWinters matches the naive triple recursion; warm-up nulls") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(94)
+    val m = 4
+    val vals = (0 until 40).map(i =>
+      50.0 + 10 * (i % m) + rnd.nextInt(100) / 10.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, (i + 1).toLong, v) }
+      .toDF("sid", "ts", "v").withColumn("ts", timestamp_seconds(col("ts")))
+    val got = graft.tsdf.Stats.holtWinters(df, "ts", "v", Seq("sid"),
+        alpha = 0.5, beta = 0.25, gamma = 0.5, m = m)
+      .orderBy("ts").select("hw_level", "hw_trend", "hw_seasonal").collect()
+      .map(r => if (r.isNullAt(0)) None
+        else Some((r.getDouble(0), r.getDouble(1), r.getDouble(2))))
+    // naive replay of the exact recursion
+    var level = vals.take(m).foldLeft(0.0)(_ + _) / m
+    var trend = 0.0
+    var ring = vals.take(m).map(_ - level).toVector
+    val exp = vals.indices.map { i =>
+      if (i < m) None
+      else {
+        val x = vals(i)
+        val sPrev = ring.head
+        val nl = 0.5 * (x - sPrev) + 0.5 * (level + trend)
+        trend = 0.25 * (nl - level) + 0.75 * trend
+        level = nl
+        val sNew = 0.5 * (x - nl) + 0.5 * sPrev
+        ring = ring.tail :+ sNew
+        Some((level, trend, sNew))
+      }
+    }
+    assert(got.toSeq == exp)
+  }
+
   test("sax symbolizes z-scored segment sums; constant series null out") {
     import spark.implicits._
     val rows = (1 to 12).map(i => (1L, i.toLong, i.toLong)) ++

@@ -271,6 +271,27 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("property: streaming holtWinters equals batch on random series") {
+    val rnd = new scala.util.Random(70)
+    (0 until 4).foreach { trial =>
+      val rows = randomSeries(rnd, pinEnds = false)
+      val streamed = runStream(rows, df =>
+        StreamingTSDF.holtWinters(df, "ts", Seq("user_id"), "value",
+          alpha = 0.5, beta = 0.25, gamma = 0.5, m = 5))
+        .select(col("user_id"), col("ts"), col("value"),
+          col("hw_level"), col("hw_trend"), col("hw_seasonal"))
+      val spark2 = spark
+      import spark2.implicits._
+      val batch = graft.tsdf.Stats.holtWinters(
+        rows.toDF("user_id", "ts", "value"),
+        "ts", "value", Seq("user_id"),
+        alpha = 0.5, beta = 0.25, gamma = 0.5, m = 5)
+        .select(col("user_id"), col("ts"), col("value"),
+          col("hw_level"), col("hw_trend"), col("hw_seasonal"))
+      withClue(s"trial $trial: ") { assertDfEquality(streamed, batch) }
+    }
+  }
+
   test("property: streaming kalmanLevel equals batch on random series") {
     val rnd = new scala.util.Random(53)
     (0 until 4).foreach { trial =>
