@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, Hashing, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Hashing, Profile, Similarity, TextAnalysis}
 
 /** DuckDB oracle SQL, one entry per SQL-expressible query in
   * [[SparkEntry.queries]]. Each statement is written to be *value-identical*
@@ -2910,6 +2910,43 @@ object OracleSql {
         |  count(*) OVER (PARTITION BY event_type, hr) AS group_n,
         |  (count(*) OVER (PARTITION BY event_type, hr) >= 60) AS k_anon_ok
         |FROM t""".stripMargin,
+
+    // l-diversity: exact distinct-sensitive counts per quasi group,
+    // joined back row-level
+    "q_l_diversity" ->
+      """WITH t AS (SELECT event_id, user_id, event_type,
+        |  CAST(hour(ts) AS BIGINT) AS hr FROM events),
+        |g AS (SELECT event_type, hr, count(*) AS group_l FROM
+        |  (SELECT DISTINCT event_type, hr, user_id FROM t) x GROUP BY 1, 2)
+        |SELECT t.event_id, t.event_type, t.hr, g.group_l,
+        |(g.group_l >= 20) AS l_diverse_ok
+        |FROM t JOIN g ON t.event_type = g.event_type AND t.hr = g.hr"""
+        .stripMargin,
+
+    // Benford audit: first digit from the integer's decimal string (no
+    // log10 on the data path), exact counts, expected_p embedded as the
+    // same JVM-computed double literals the Spark plan uses
+    "q_benford" -> {
+      // CAST('…' AS DOUBLE): a bare literal parses as DECIMAL first and
+      // re-rounds — string→double is correctly rounded to the JVM value
+      val cases = (1 to 9).map(d =>
+        s"WHEN digit = $d THEN CAST('${Profile.benfordP(d)}' AS DOUBLE)")
+        .mkString(" ")
+      s"""WITH t AS (SELECT event_type,
+         |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         |p AS (SELECT event_type,
+         |  CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM t WHERE c > 0),
+         |g AS (SELECT event_type, digit, count(*) AS n FROM p GROUP BY 1, 2),
+         |w AS (SELECT event_type, digit, n,
+         |  CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_total
+         |  FROM g),
+         |f AS (SELECT event_type, digit, n, n_total,
+         |  CAST(n AS DOUBLE) / n_total AS observed_p,
+         |  CASE $cases END AS expected_p FROM w)
+         |SELECT event_type, digit, n, n_total, observed_p, expected_p,
+         |observed_p - expected_p AS dev FROM f""".stripMargin
+    },
 
     // trailing-window KMV: merged per-day k-min sets re-ranked per report
     // day — the sketch-merge replay with the same hash family

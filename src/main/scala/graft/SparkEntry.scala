@@ -1379,6 +1379,25 @@ object SparkEntry {
       .select(col("o_custkey"), col("recency_days"), col("frequency"),
         col("monetary"), col("r"), col("f"), col("m"), col("rfm_segment"))
 
+  /** l-diversity gate over (event_type, hour) groups with user_id as the
+    * sensitive attribute, l = 20. */
+  private def qLDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Pii.lDiversity(
+      events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), hour(col("ts")).cast(LongType).alias("hr")),
+      Seq("event_type", "hr"), "user_id", l = 20)
+      .select(col("event_id"), col("event_type"), col("hr"),
+        col("group_l"), col("l_diverse_ok"))
+
+  /** Benford first-digit audit of cents(value) per event type. */
+  private def qBenford(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Profile.benfordDigits(
+      events(s, dir).select(col("event_type"),
+        cents(col("value")).cast(LongType).alias("c")),
+      "c", Seq("event_type"))
+      .select(col("event_type"), col("digit"), col("n"), col("n_total"),
+        col("observed_p"), col("expected_p"), col("dev"))
+
   /** OOV ratio per document against the corpus top-500 vocabulary. */
   private def qOov(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.oovStats(docs(s, dir), "text", "doc_id", vocabSize = 500)
@@ -2028,6 +2047,8 @@ object SparkEntry {
     "q_triangles" -> qTriangles _,
     "q_rfm" -> qRfm _,
     "q_oov" -> qOov _,
+    "q_l_diversity" -> qLDiversity _,
+    "q_benford" -> qBenford _,
     "q_domain_stats" -> qDomainStats _,
     "q_curriculum" -> qCurriculum _,
     "q_postings_index" -> qPostingsIndex _,

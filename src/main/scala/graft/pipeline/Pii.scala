@@ -58,4 +58,25 @@ object Pii {
     df.withColumn("group_n", count(lit(1)).over(w))
       .withColumn("k_anon_ok", col("group_n") >= k)
   }
+
+  /** l-diversity gate: a row is releasable iff its quasi-identifier
+    * combination covers at least `l` DISTINCT values of the sensitive
+    * attribute — the companion to [[kAnonymize]] (a large group whose
+    * sensitive value is constant still leaks it; k-anonymity alone can't
+    * see that). Adds `group_l` (exact distinct-sensitive count) and
+    * `l_diverse_ok`. Distinct-count windows can't partial-aggregate, so
+    * the count runs as a (quasi, sensitive) two-level aggregate joined
+    * back on the quasi key — both shuffles on the same key, map-side
+    * combinable. */
+  def lDiversity(df: org.apache.spark.sql.DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): org.apache.spark.sql.DataFrame = {
+    require(l >= 1, "l must be >= 1")
+    val groups = df
+      .groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).alias("__n"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).alias("group_l"))
+    df.join(groups, quasiCols)
+      .withColumn("l_diverse_ok", col("group_l") >= l)
+  }
 }

@@ -33,4 +33,40 @@ object Profile {
         col(s"__nd_$c").alias("n_distinct"))): _*)
     wide.select(explode(entries).alias("__e")).select(col("__e.*"))
   }
+
+  /** The nine Benford first-digit proportions log₁₀(1 + 1/d), computed
+    * once on the JVM so the oracle can embed the identical double
+    * literals. */
+  private[graft] val benfordP: Map[Int, Double] =
+    (1 to 9).map(d => d -> math.log10(1 + 1.0 / d)).toMap
+
+  /** Benford first-digit audit: for each group, the distribution of first
+    * significant digits of a POSITIVE integer-valued column (scale to
+    * cents upstream; zero/negative rows are excluded) against Benford's
+    * law — the classic fabricated-data / unit-mixup screen. The first
+    * digit comes from the integer's decimal string (no log10 on the data
+    * path — digit extraction is exact at power-of-ten boundaries), counts
+    * are exact BIGINTs, `observed_p` one terminal division, `expected_p` a
+    * shared JVM-computed literal, `dev` one subtraction. ONE exchange on
+    * (group, digit) + a group-total window.
+    * Output: groupCols + (digit, n, n_total, observed_p, expected_p,
+    * dev). */
+  def benfordDigits(df: DataFrame, valueCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val v = graft.tsdf.Stats.integralOrFail(col(valueCol), "benfordDigits")
+    val digit = substring(col("__v").cast("string"), 1, 1).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val expected = (1 to 9).foldRight(lit(null).cast("double")) {
+      case (d, acc) => when(col("digit") === d, lit(benfordP(d))).otherwise(acc)
+    }
+    df.withColumn("__v", v).filter(col("__v") > 0)
+      .withColumn("digit", digit)
+      .groupBy((groupCols.map(col) :+ col("digit")): _*)
+      .agg(count(lit(1)).alias("n"))
+      .withColumn("n_total", sum(col("n")).over(w))
+      .withColumn("observed_p", col("n").cast("double") / col("n_total"))
+      .withColumn("expected_p", expected)
+      .withColumn("dev", col("observed_p") - col("expected_p"))
+  }
 }

@@ -2394,6 +2394,41 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(e.getMessage.contains("rfm"))
   }
 
+  test("lDiversity counts distinct sensitive values per quasi group") {
+    import spark.implicits._
+    val rows = Seq(("A", "x"), ("A", "y"), ("A", "z"), ("A", "x"),
+      ("B", "x"), ("B", "x"), ("B", "x"))
+    val df = rows.toDF("q", "s")
+    val got = graft.pipeline.Pii.lDiversity(df, Seq("q"), "s", l = 2)
+      .select("q", "group_l", "l_diverse_ok")
+      .distinct().orderBy("q")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .toSeq
+    assert(got == Seq(("A", 3L, true), ("B", 1L, false)))
+  }
+
+  test("benfordDigits audits first digits of positive integers exactly") {
+    import spark.implicits._
+    val df = ((1L to 99L) ++ Seq(0L, -5L)).map(("g", _)).toDF("g", "c")
+    val got = graft.pipeline.Profile.benfordDigits(df, "c", Seq("g"))
+      .orderBy("digit")
+      .select("digit", "n", "n_total", "observed_p", "expected_p")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    // 1..99: each digit d appears 11 times (d itself + d0..d9); zero and
+    // negative rows are excluded
+    assert(got.map(t => (t._1, t._2, t._3)) ==
+      (1L to 9L).map(d => (d, 11L, 99L)))
+    assert(got.forall(t => t._4 == 11.0 / 99))
+    assert(got.map(_._5) ==
+      (1 to 9).map(graft.pipeline.Profile.benfordP))
+    val bad = Seq(("g", 1.5)).toDF("g", "c")
+    val e = intercept[Exception] {
+      graft.pipeline.Profile.benfordDigits(bad, "c", Seq("g")).collect()
+    }
+    assert(e.getMessage.contains("benfordDigits"))
+  }
+
   test("holtWinters matches the naive triple recursion; warm-up nulls") {
     import spark.implicits._
     val rnd = new scala.util.Random(94)
