@@ -144,8 +144,12 @@ object OracleSql {
       |  is_ts_interpolated, (v IS NULL) AS is_interpolated_value
       |FROM ctx""".stripMargin
 
+  // moments cast to double BEFORE any product — mirrors Stats.momentStddev
+  // exactly so neither engine can BIGINT-overflow on s1*s1 at large |Σx|
   private val momentSd =
-    "CASE WHEN cnt > 1 THEN sqrt((cnt * s2 - s1 * s1) / (cnt * (cnt - 1))) END"
+    "CASE WHEN cnt > 1 THEN sqrt((CAST(cnt AS DOUBLE) * CAST(s2 AS DOUBLE) " +
+      "- CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) " +
+      "/ (CAST(cnt AS DOUBLE) * (CAST(cnt AS DOUBLE) - 1.0))) END"
 
   /** MinHash-LSH candidate CTE chain (shingle → polyhash → signature →
     * band hashes → sub-bucketed self-join), ending with CTE
@@ -244,7 +248,8 @@ object OracleSql {
       |    AS BIGINT) AS session_id
       |  FROM l),
       |bask AS (SELECT DISTINCT user_id, session_id,
-      |  CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item FROM a)""".stripMargin
+      |  CAST(NULLIF(regexp_extract(props, '[0-9]+'), '') AS BIGINT) AS item
+      |  FROM a)""".stripMargin
 
   /** Exact-integer PageRank replay: the 10 iterations unroll into chained
     * CTE pairs (inbound contribution sum, then rank refresh over the full
@@ -2611,16 +2616,45 @@ object OracleSql {
          |  vec_id = cluster_id AS is_canonical
          |FROM lab""".stripMargin,
 
+    // media_type/width now state what the REAL header parser must read back
+    // from the doc_id-derived synthesized payloads (Multimodal
+    // .synthesizeMediaPayload arithmetic); f0 still replays the ASCII
+    // feature-stub hash codepoint for codepoint.
     "q_multimodal" -> {
       val ph = Hashing.polyHashSql("p")
       s"""WITH d AS (SELECT doc_id, $norm AS p FROM documents),
-         |h AS (SELECT doc_id, length(p) AS n, $ph AS ph FROM d)
+         |h AS (SELECT doc_id, $ph AS ph FROM d)
          |SELECT doc_id,
-         |  CASE WHEN n % 3 = 0 THEN 'image' WHEN n % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-         |  CAST(${Hashing.mixSql("ph", 0)} % 1024 + 32 AS INT) AS width,
+         |  CASE WHEN doc_id % 4 IN (0, 1) THEN 'image'
+         |       WHEN doc_id % 4 = 2 THEN 'audio' ELSE 'video' END AS media_type,
+         |  CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 32 + doc_id % 1000 END
+         |    AS INT) AS width,
          |  (${Hashing.mixSql("ph", 16)} % 1000) / 1000.0 AS f0
          |FROM h""".stripMargin
     },
+
+    // Real-header-parser differential: the Spark side builds spec-valid
+    // PNG/JPEG/WAV/MP4 bytes from doc_id arithmetic and parses them back;
+    // the oracle states the same fields from the arithmetic alone — any
+    // byte-offset mistake in builder or parser breaks the hash match.
+    "q_media_meta_real" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 IN (0, 1) THEN 'image'
+        |       WHEN doc_id % 4 = 2 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |       WHEN 2 THEN 'wav' ELSE 'mp4' END AS format,
+        |  CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 32 + doc_id % 1000 END
+        |    AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 32 + (doc_id * 7) % 1000 END
+        |    AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 4 = 2
+        |         THEN (2 * (100 + doc_id % 2000) * 1000)
+        |              // (2 * (8000 + (doc_id % 8) * 1000))
+        |       WHEN doc_id % 4 = 3
+        |         THEN ((5000 + doc_id % 100000) * 1000)
+        |              // (600 + (doc_id % 10) * 100)
+        |       END AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
 
     "q_time_horizon" ->
       """WITH g AS (SELECT user_id, min(ts) AS mn, max(ts) AS mx, count(*) AS actual_rows
@@ -2912,15 +2946,19 @@ object OracleSql {
         |FROM t""".stripMargin,
 
     // l-diversity: exact distinct-sensitive counts per quasi group,
-    // joined back row-level
+    // joined back row-level. Null-safe LEFT join + NULL-sensitive
+    // exclusion mirror Pii.lDiversity's explicit NULL policy.
     "q_l_diversity" ->
       """WITH t AS (SELECT event_id, user_id, event_type,
         |  CAST(hour(ts) AS BIGINT) AS hr FROM events),
         |g AS (SELECT event_type, hr, count(*) AS group_l FROM
-        |  (SELECT DISTINCT event_type, hr, user_id FROM t) x GROUP BY 1, 2)
-        |SELECT t.event_id, t.event_type, t.hr, g.group_l,
-        |(g.group_l >= 20) AS l_diverse_ok
-        |FROM t JOIN g ON t.event_type = g.event_type AND t.hr = g.hr"""
+        |  (SELECT DISTINCT event_type, hr, user_id FROM t
+        |   WHERE user_id IS NOT NULL) x GROUP BY 1, 2)
+        |SELECT t.event_id, t.event_type, t.hr,
+        |CAST(coalesce(g.group_l, 0) AS BIGINT) AS group_l,
+        |(CAST(coalesce(g.group_l, 0) AS BIGINT) >= 20) AS l_diverse_ok
+        |FROM t LEFT JOIN g ON t.event_type IS NOT DISTINCT FROM g.event_type
+        |  AND t.hr IS NOT DISTINCT FROM g.hr"""
         .stripMargin,
 
     // Benford audit: first digit from the integer's decimal string (no

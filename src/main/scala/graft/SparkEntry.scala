@@ -28,9 +28,19 @@ object SparkEntry {
   /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 only reads via
     * the nanos-as-long legacy conf; values are µs-precision, so convert the
     * raw nanos to a proper µs timestamp with exact integer division. */
+  /** events.ts arrives either as parquet TIMESTAMP(NANOS) read as raw longs
+    * (nanosAsLong, pre-r9 testdata) or as TIMESTAMP(MICROS) read as
+    * TIMESTAMP_NTZ (r9+ testdata) — normalize both to a UTC-instant
+    * TimestampType column (sessions pin timeZone=UTC, so the NTZ cast is
+    * wall-clock-preserving and matches DuckDB's naive TIMESTAMP). */
   private def events(s: SparkSession, dir: String) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = tbl(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   private def docs(s: SparkSession, dir: String) = tbl(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = tbl(s, dir, "embeddings")
@@ -660,13 +670,19 @@ object SparkEntry {
     * ordering for current epochs while carrying the parsed nanos digits). */
   private def qAsofNanos(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = tbl(s, dir, "events") // ts: LongType raw nanos
-    // sub-µs digits are zeroed: DuckDB truncates parquet TIMESTAMP(NANOS) to
-    // µs on read, so the oracle can only see µs — the 9-digit parse path is
-    // exercised either way
+    val raw0 = tbl(s, dir, "events")
+    // normalize either raw-nanos longs (pre-r9 testdata) or TIMESTAMP(MICROS)
+    // (r9+) to a single __ts_ns long column; sub-µs digits are zeroed either
+    // way (DuckDB truncates parquet nanos to µs on read), so the 9-digit
+    // parse path is exercised identically
+    val raw = raw0.schema("ts").dataType match {
+      case LongType => raw0.withColumn("__ts_ns", col("ts"))
+      case _ => raw0.withColumn("__ts_ns",
+        unix_micros(col("ts").cast(TimestampType)) * 1000)
+    }
     val tsStr = concat(
-      date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH:mm:ss"),
-      lit("."), lpad(expr("ts % 1000000000 div 1000 * 1000").cast(StringType), 9, "0"))
+      date_format(timestamp_micros(expr("__ts_ns div 1000")), "yyyy-MM-dd HH:mm:ss"),
+      lit("."), lpad(expr("__ts_ns % 1000000000 div 1000 * 1000").cast(StringType), 9, "0"))
     val parsed = TSDF.parseNanosTimestamp(
       raw.select(col("user_id"), col("event_type"), col("event_id"), col("value"),
         tsStr.alias("ts_str")),
@@ -929,9 +945,13 @@ object SparkEntry {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sch = s.read.parquet(s"$dir/events.parquet").schema
     // the file source wants a DIRECTORY; the glob filter pins the one table
-    s.readStream.schema(sch).option("pathGlobFilter", "events.parquet")
+    val src = s.readStream.schema(sch).option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    sch("ts").dataType match {
+      case LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => src.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Run a streaming frame to completion through a PARQUET sink (results
@@ -1873,18 +1893,36 @@ object SparkEntry {
         to_json(transform(col("features"),
           a => transform(a, x => x.cast(LongType)))).alias("features"))
 
-  /** Payload = normalized (ASCII-only) text as binary so the JVM byte-level
+  /** Metadata comes from REAL header parsing over spec-valid synthesized
+    * payloads (doc_id-derived arithmetic the oracle replays without bytes);
+    * the feature payload stays normalized ASCII text so the JVM byte-level
     * stub hash equals the oracle's codepoint-level hash. */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
-    val withPayload = docs(s, dir)
+    val textPayload = docs(s, dir)
       .select(col("doc_id"), Dedup.normalizeText(col("text")).cast(BinaryType).alias("payload"))
-    val withMeta = Multimodal.withMediaMeta(withPayload, "payload")
-    val feats = Multimodal.extractFeatures(withMeta, "doc_id", "payload", featureDim = 8)
-    withMeta.join(feats, "doc_id")
+    val feats = Multimodal.extractFeatures(textPayload, "doc_id", "payload", featureDim = 8)
+    val media = Multimodal.withMediaMeta(
+      Multimodal.synthesizeMediaPayload(docs(s, dir).select(col("doc_id")), "doc_id"),
+      "payload")
+    media.join(feats, "doc_id")
       .select(col("doc_id"), col("media_meta.media_type").alias("media_type"),
         col("media_meta.width").alias("width"),
         element_at(col("features"), 1).alias("f0"))
   }
+
+  /** Full differential on the real header parser: every [[Multimodal.MediaMeta]]
+    * field parsed back from spec-valid PNG/JPEG/WAV/MP4 bytes, compared to
+    * the oracle stating the same fields from doc_id arithmetic alone. */
+  private def qMediaMetaReal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.withMediaMeta(
+      Multimodal.synthesizeMediaPayload(docs(s, dir).select(col("doc_id")), "doc_id"),
+      "payload")
+      .select(col("doc_id"),
+        col("media_meta.media_type").alias("media_type"),
+        col("media_meta.format").alias("format"),
+        col("media_meta.width").alias("width"),
+        col("media_meta.height").alias("height"),
+        col("media_meta.duration_ms").alias("duration_ms"))
 
   /** Scale-safe embedding near-dup: the bucketed LSH plan (equi-join on the
     * sign-LSH bucket) rather than the per-label all-pairs ground truth. */
@@ -2080,6 +2118,7 @@ object SparkEntry {
     "q_fourier" -> qFourier _,
     "q_lookback" -> qLookback _,
     "q_multimodal" -> qMultimodal _,
+    "q_media_meta_real" -> qMediaMetaReal _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -185,34 +185,51 @@ object Analytics {
     *
     * Plan shape: the classic distributed iteration — `iterations` rounds
     * of (edge ⋈ rank on src) → dst-keyed partial-agg sum → left-join back
-    * to the node set. Edges and outdegrees are computed once; each round
-    * is two shuffles on uniform keys. At production scale persist the
-    * (src, dst, deg) table and checkpoint ranks every few rounds to cut
-    * lineage — semantics are unaffected. Output: (node, rank). */
+    * to the node set. The node set and the (src, dst, deg) table are
+    * persisted ONCE inside the function (the `n = count()` action
+    * materializes both, so every iteration reuses the cached tables
+    * instead of re-deriving the edge distinct/degree joins from raw
+    * lineage), ranks are `localCheckpoint`ed every [[PagerankCheckpointEvery]]
+    * rounds so the per-iteration plan stays O(1) deep instead of nesting
+    * the full prior lineage, and the final result is eagerly checkpointed
+    * so the caches can be dropped before returning — semantics are
+    * unaffected, arithmetic is still exact BIGINT. Each round is two
+    * shuffles on uniform keys. Output: (node, rank). */
+  val PagerankCheckpointEvery = 5
+
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10, scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val nodes = edges.select(col(srcCol).alias("node"))
       .union(edges.select(col(dstCol).alias("node"))).distinct()
-    val n = nodes.count() // one documented driver-side scalar (graph order)
-    require(n > 0, "pagerank needs a non-empty graph")
-    val base = (scale * 15L / 100L) / n
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withDeg = edges
       .join(edges.groupBy(col(srcCol)).agg(count(lit(1)).alias("__deg")),
         Seq(srcCol))
       .select(col(srcCol).alias("node"), col(dstCol).alias("__dst"),
         col("__deg"))
-    var ranks = nodes.select(col("node"), lit(scale / n).alias("rank"))
-    for (_ <- 1 to iterations) {
-      val inbound = withDeg.join(ranks, Seq("node"))
-        .select(col("__dst").alias("node"),
-          expr("((rank * 85) div 100) div __deg").alias("__c"))
-        .groupBy(col("node")).agg(sum(col("__c")).alias("__s"))
-      ranks = nodes.join(inbound, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + coalesce(col("__s"), lit(0L))).alias("rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = nodes.count() // one documented driver-side scalar (graph order)
+      require(n > 0, "pagerank needs a non-empty graph")
+      val base = (scale * 15L / 100L) / n
+      var ranks = nodes.select(col("node"), lit(scale / n).alias("rank"))
+      for (i <- 1 to iterations) {
+        val inbound = withDeg.join(ranks, Seq("node"))
+          .select(col("__dst").alias("node"),
+            expr("((rank * 85) div 100) div __deg").alias("__c"))
+          .groupBy(col("node")).agg(sum(col("__c")).alias("__s"))
+        ranks = nodes.join(inbound, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + coalesce(col("__s"), lit(0L))).alias("rank"))
+        if (i % PagerankCheckpointEvery == 0 || i == iterations)
+          ranks = ranks.localCheckpoint(true)
+      }
+      ranks
+    } finally {
+      nodes.unpersist(false)
+      withDeg.unpersist(false)
     }
-    ranks
   }
 
   /** Per-node triangle count, degree, and local clustering coefficient

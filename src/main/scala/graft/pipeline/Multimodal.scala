@@ -8,43 +8,260 @@ import org.apache.spark.sql.types._
   * columns with a typed metadata struct, plus batch-shaped decode /
   * feature-extract / resize / frame-sample operators.
   *
-  * The Spark-side mechanics — schema, partition sizing, per-partition batch
-  * iteration, output shape — are real and tested. The *codec* itself is
-  * STUBBED: this container has no image/audio libraries, so `decodeStub`
-  * derives a deterministic fake decode from the payload bytes. Swap
-  * `decodeStub` for a real codec (e.g. javacpp-ffmpeg / TwelveMonkeys) at
-  * deployment; nothing else changes.
+  * Metadata extraction ([[withMediaMeta]]) is REAL header parsing — pure
+  * byte-offset arithmetic over PNG IHDR, JPEG SOF markers, WAV RIFF chunks
+  * and MP4 mvhd boxes; no codec library involved. Only the *pixel/sample
+  * decode* is stubbed: this container has no image/audio libraries, so
+  * `decodeStub` derives a deterministic fake decode from the payload bytes.
+  * Swap `decodeStub` for a real codec (e.g. javacpp-ffmpeg / TwelveMonkeys)
+  * at deployment; nothing else changes.
   *
-  * The stub arithmetic is the engine-agnostic [[Hashing]] polynomial, so for
-  * ASCII payloads (bytes == codepoints) a DuckDB oracle can replay both the
-  * metadata struct and the extracted features bit-for-bit — the plumbing is
-  * correctness-gated even though the codec is fake.
+  * The stub feature arithmetic is the engine-agnostic [[Hashing]]
+  * polynomial, so for ASCII payloads (bytes == codepoints) a DuckDB oracle
+  * can replay the extracted features bit-for-bit; the header parser is
+  * correctness-gated by `q_media_meta_real`, which parses payloads
+  * synthesized from arithmetic the oracle replays without touching bytes.
   */
 object Multimodal {
 
   /** Canonical multimodal schema fragment. */
   val MediaMeta: StructType = StructType(Seq(
     StructField("media_type", StringType),   // image | audio | video
-    StructField("format", StringType),       // e.g. jpeg, wav, mp4
+    StructField("format", StringType),       // png | jpeg | wav | mp4
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("duration_ms", LongType)))
 
-  /** Attach a metadata struct inferred from payload headers.
-    * STUB: deterministic pseudo-metadata derived from byte length + payload
-    * hash (pure Column algebra — stays in codegen). */
+  // ---- byte readers (bounds-checked by callers) ----
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** Parsed header metadata, or all-null when the payload matches no known
+    * container. Fields follow [[MediaMeta]]. */
+  private[pipeline] def parseMediaMeta(bytes: Array[Byte])
+      : (String, String, Option[Int], Option[Int], Option[Long]) = {
+    val none = (null: String, null: String,
+      None: Option[Int], None: Option[Int], None: Option[Long])
+    if (bytes == null || bytes.length < 12) return none
+    // PNG: 8-byte signature, then the IHDR chunk (len + "IHDR" + w/h BE32).
+    if (bytes.length >= 24 &&
+        (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
+        bytes(3) == 'G' && bytes(4) == 0x0D && bytes(5) == 0x0A &&
+        bytes(6) == 0x1A && bytes(7) == 0x0A && tag(bytes, 12) == "IHDR") {
+      val w = be32(bytes, 16); val h = be32(bytes, 20)
+      return ("image", "png", Some(w.toInt), Some(h.toInt), None)
+    }
+    // JPEG: SOI then marker segments; SOFn carries precision/height/width.
+    if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) {
+      var i = 2
+      while (i + 3 < bytes.length) {
+        if ((bytes(i) & 0xFF) != 0xFF) return ("image", "jpeg", None, None, None)
+        val marker = bytes(i + 1) & 0xFF
+        if (marker == 0xD8 || marker == 0x01 ||
+            (marker >= 0xD0 && marker <= 0xD7)) {
+          i += 2 // standalone marker, no length field
+        } else if (marker == 0xD9 || marker == 0xDA) {
+          return ("image", "jpeg", None, None, None) // EOI/SOS before any SOF
+        } else {
+          val segLen = be16(bytes, i + 2)
+          val isSof = marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+          if (isSof && i + 8 < bytes.length) {
+            val h = be16(bytes, i + 5); val w = be16(bytes, i + 7)
+            return ("image", "jpeg", Some(w), Some(h), None)
+          }
+          i += 2 + segLen
+        }
+      }
+      return ("image", "jpeg", None, None, None)
+    }
+    // WAV: RIFF/WAVE, then chunk walk for "fmt " (byteRate) + "data" (size).
+    if (tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE") {
+      var o = 12L
+      var byteRate = 0L; var dataSize = -1L
+      while (o + 8 <= bytes.length) {
+        val oi = o.toInt
+        val id = tag(bytes, oi); val sz = le32(bytes, oi + 4)
+        if (id == "fmt " && o + 24 <= bytes.length) byteRate = le32(bytes, oi + 16)
+        if (id == "data") dataSize = sz
+        o += 8L + sz + (sz & 1L) // chunks are word-aligned
+      }
+      val dur = if (byteRate > 0 && dataSize >= 0)
+        Some(dataSize * 1000L / byteRate) else None
+      return ("audio", "wav", None, None, dur)
+    }
+    // MP4 (ISO BMFF): top-level box walk to moov, then mvhd
+    // (timescale + duration; v0 = 32-bit fields, v1 = 64-bit times).
+    if (bytes.length >= 12 && tag(bytes, 4) == "ftyp") {
+      var o = 0
+      while (o + 8 <= bytes.length) {
+        val sz = be32(bytes, o); val id = tag(bytes, o + 4)
+        if (id == "moov") {
+          var c = o + 8
+          val end = math.min(o + sz, bytes.length.toLong).toInt
+          while (c + 8 <= end) {
+            val csz = be32(bytes, c)
+            if (tag(bytes, c + 4) == "mvhd" && c + 32 <= end) {
+              val version = bytes(c + 8) & 0xFF
+              val (ts, dur) =
+                if (version == 1 && c + 40 <= end)
+                  (be32(bytes, c + 28), be64(bytes, c + 32))
+                else (be32(bytes, c + 20), be32(bytes, c + 24))
+              val ms = if (ts > 0) Some(dur * 1000L / ts) else None
+              return ("video", "mp4", None, None, ms)
+            }
+            c += math.max(8L, csz).toInt
+          }
+        }
+        o += math.max(8L, sz).toInt
+      }
+      return ("video", "mp4", None, None, None)
+    }
+    none
+  }
+
+  /** Attach a metadata struct parsed from REAL payload headers (PNG / JPEG /
+    * WAV / MP4 — byte arithmetic only, see [[parseMediaMeta]]); payloads
+    * matching no known container get an all-null struct. Runs as a
+    * per-partition row map (no shuffle, embarrassingly parallel). */
   def withMediaMeta(df: DataFrame, payloadCol: String,
       metaCol: String = "media_meta"): DataFrame = {
-    val p = col(payloadCol)
-    val n = length(p) // byte length for binary columns
-    val h = Hashing.polyHash(p.cast(StringType))
-    df.withColumn(metaCol, struct(
-      when(pmod(n, lit(3)) === 0, "image").when(pmod(n, lit(3)) === 1, "audio")
-        .otherwise("video").alias("media_type"),
-      when(pmod(n, lit(2)) === 0, "jpeg").otherwise("wav").alias("format"),
-      (pmod(Hashing.mix(h, 0), lit(1024)) + 32).cast(IntegerType).alias("width"),
-      (pmod(Hashing.mix(h, 1), lit(1024)) + 32).cast(IntegerType).alias("height"),
-      pmod(Hashing.mix(h, 2), lit(60000)).alias("duration_ms")))
+    val outSchema = StructType(df.schema.fields :+ StructField(metaCol, MediaMeta))
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val (mt, fmt, w, h, dur) = parseMediaMeta(r.getAs[Array[Byte]](pIdx))
+        Row.fromSeq(r.toSeq :+ Row(mt, fmt,
+          w.map(Integer.valueOf).orNull, h.map(Integer.valueOf).orNull,
+          dur.map(java.lang.Long.valueOf).orNull))
+      }
+    }(Encoders.row(outSchema)).toDF()
+  }
+
+  // ---- spec-valid payload builders (fixtures + q_media_meta_real) ----
+
+  private def crc32(b: Array[Byte], off: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(b, off, len)
+    c.getValue
+  }
+  private def putBE32(b: Array[Byte], i: Int, v: Long): Unit = {
+    b(i) = ((v >>> 24) & 0xFF).toByte; b(i + 1) = ((v >>> 16) & 0xFF).toByte
+    b(i + 2) = ((v >>> 8) & 0xFF).toByte; b(i + 3) = (v & 0xFF).toByte
+  }
+  private def putLE32(b: Array[Byte], i: Int, v: Long): Unit = {
+    b(i) = (v & 0xFF).toByte; b(i + 1) = ((v >>> 8) & 0xFF).toByte
+    b(i + 2) = ((v >>> 16) & 0xFF).toByte; b(i + 3) = ((v >>> 24) & 0xFF).toByte
+  }
+  private def putTag(b: Array[Byte], i: Int, t: String): Unit = {
+    val a = t.getBytes("US-ASCII")
+    System.arraycopy(a, 0, b, i, 4)
+  }
+
+  /** Minimal spec-valid PNG: signature + IHDR (real CRC) + empty IDAT + IEND. */
+  def buildPng(width: Int, height: Int): Array[Byte] = {
+    val b = new Array[Byte](8 + 25 + 12 + 12)
+    val sig = Array[Int](0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)
+    System.arraycopy(sig, 0, b, 0, 8)
+    putBE32(b, 8, 13); putTag(b, 12, "IHDR")
+    putBE32(b, 16, width); putBE32(b, 20, height)
+    b(24) = 8; b(25) = 2; b(26) = 0; b(27) = 0; b(28) = 0 // depth/color/etc
+    putBE32(b, 29, crc32(b, 12, 17))
+    putBE32(b, 33, 0); putTag(b, 37, "IDAT"); putBE32(b, 41, crc32(b, 37, 4))
+    putBE32(b, 45, 0); putTag(b, 49, "IEND"); putBE32(b, 53, crc32(b, 49, 4))
+    b
+  }
+
+  /** Minimal spec-valid JPEG: SOI + JFIF APP0 + SOF0 (1 component) + EOI —
+    * the APP0 ahead of SOF0 exercises the marker walk. */
+  def buildJpeg(width: Int, height: Int): Array[Byte] = {
+    require(width <= 0xFFFF && height <= 0xFFFF, "JPEG dims are u16")
+    val app0 = Array[Int](0xFF, 0xE0, 0, 16,
+      'J', 'F', 'I', 'F', 0, 1, 2, 0, 0, 1, 0, 1, 0, 0).map(_.toByte)
+    val sof = Array[Int](0xFF, 0xC0, 0, 11, 8,
+      (height >> 8) & 0xFF, height & 0xFF,
+      (width >> 8) & 0xFF, width & 0xFF,
+      1, 1, 0x11, 0).map(_.toByte)
+    Array[Int](0xFF, 0xD8).map(_.toByte) ++ app0 ++ sof ++
+      Array[Int](0xFF, 0xD9).map(_.toByte)
+  }
+
+  /** Minimal spec-valid PCM WAV: RIFF/WAVE + fmt (mono 16-bit) + data of
+    * `dataBytes` zero samples. duration_ms = dataBytes·1000 / (2·sampleRate). */
+  def buildWav(sampleRate: Int, dataBytes: Int): Array[Byte] = {
+    val b = new Array[Byte](44 + dataBytes)
+    putTag(b, 0, "RIFF"); putLE32(b, 4, 36L + dataBytes); putTag(b, 8, "WAVE")
+    putTag(b, 12, "fmt "); putLE32(b, 16, 16)
+    b(20) = 1; b(21) = 0 // PCM
+    b(22) = 1; b(23) = 0 // mono
+    putLE32(b, 24, sampleRate)
+    putLE32(b, 28, sampleRate * 2L) // byteRate = rate · ch · bits/8
+    b(32) = 2; b(33) = 0             // blockAlign
+    b(34) = 16; b(35) = 0            // bitsPerSample
+    putTag(b, 36, "data"); putLE32(b, 40, dataBytes)
+    b
+  }
+
+  /** Minimal spec-valid MP4: ftyp + moov{mvhd v0} with the given movie
+    * timescale and duration (in timescale units). */
+  def buildMp4(timescale: Int, durationUnits: Long): Array[Byte] = {
+    val ftyp = new Array[Byte](20)
+    putBE32(ftyp, 0, 20); putTag(ftyp, 4, "ftyp"); putTag(ftyp, 8, "isom")
+    putBE32(ftyp, 12, 512); putTag(ftyp, 16, "isom")
+    val mvhd = new Array[Byte](108)
+    putBE32(mvhd, 0, 108); putTag(mvhd, 4, "mvhd")
+    putBE32(mvhd, 20, timescale); putBE32(mvhd, 24, durationUnits)
+    putBE32(mvhd, 28, 0x00010000L) // rate 1.0
+    mvhd(32) = 0x01; mvhd(33) = 0 // volume 1.0
+    putBE32(mvhd, 48, 0x00010000L); putBE32(mvhd, 64, 0x00010000L)
+    putBE32(mvhd, 80, 0x40000000L) // identity matrix
+    putBE32(mvhd, 104, 0xFFFFFFFFL) // next track id
+    val moov = new Array[Byte](8 + 108)
+    putBE32(moov, 0, 8 + 108); putTag(moov, 4, "moov")
+    System.arraycopy(mvhd, 0, moov, 8, 108)
+    ftyp ++ moov
+  }
+
+  /** Deterministic media fixture column: doc_id % 4 selects the container
+    * (0=png, 1=jpeg, 2=wav, 3=mp4) and every header field derives from
+    * doc_id by the arithmetic below — so an oracle can state the expected
+    * [[withMediaMeta]] output from doc_id alone, without touching bytes:
+    *  - png/jpeg: width = 32 + id % 1000, height = 32 + (id·7) % 1000
+    *  - wav: sampleRate = 8000 + (id % 8)·1000, dataBytes = 2·(100 + id % 2000)
+    *    ⇒ duration_ms = dataBytes·1000 div (2·sampleRate)
+    *  - mp4: timescale = 600 + (id % 10)·100, duration = 5000 + id % 100000
+    *    ⇒ duration_ms = duration·1000 div timescale */
+  def synthesizeMediaPayload(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(payloadCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = (id % 4) match {
+          case 0 => buildPng((32 + id % 1000).toInt, (32 + (id * 7) % 1000).toInt)
+          case 1 => buildJpeg((32 + id % 1000).toInt, (32 + (id * 7) % 1000).toInt)
+          case 2 => buildWav((8000 + (id % 8) * 1000).toInt,
+            (2 * (100 + id % 2000)).toInt)
+          case _ => buildMp4((600 + (id % 10) * 100).toInt, 5000 + id % 100000)
+        }
+        Row.fromSeq(r.toSeq :+ payload)
+      }
+    }(Encoders.row(outSchema)).toDF()
   }
 
   /** Feature seeds start above the metadata seeds (0..2). */

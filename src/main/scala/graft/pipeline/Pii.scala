@@ -65,18 +65,34 @@ object Pii {
     * sensitive value is constant still leaks it; k-anonymity alone can't
     * see that). Adds `group_l` (exact distinct-sensitive count) and
     * `l_diverse_ok`. Distinct-count windows can't partial-aggregate, so
-    * the count runs as a (quasi, sensitive) two-level aggregate joined
-    * back on the quasi key — both shuffles on the same key, map-side
-    * combinable. */
+    * the count runs as a distinct + aggregate on the quasi key joined
+    * back row-level — both shuffles on the same key, map-side combinable.
+    *
+    * NULL policy (explicit): a NULL sensitive value does NOT count toward
+    * `l` (an absent attribute can't diversify what an attacker learns
+    * from the group), and rows whose quasi-identifier contains NULLs are
+    * KEPT and gated like any other group — the join back is null-safe
+    * (`<=>`) and LEFT, matching [[kAnonymize]]'s window semantics, so no
+    * row silently disappears from the release gate. A quasi group whose
+    * sensitive values are all NULL gets `group_l = 0`. */
   def lDiversity(df: org.apache.spark.sql.DataFrame, quasiCols: Seq[String],
       sensitiveCol: String, l: Long): org.apache.spark.sql.DataFrame = {
     require(l >= 1, "l must be >= 1")
+    val gq = quasiCols.map(c => s"__g_$c")
     val groups = df
-      .groupBy((quasiCols :+ sensitiveCol).map(col): _*)
-      .agg(count(lit(1)).alias("__n"))
+      .select((quasiCols :+ sensitiveCol).map(col): _*)
+      .filter(col(sensitiveCol).isNotNull)
+      .distinct()
       .groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).alias("group_l"))
-    df.join(groups, quasiCols)
+    val renamed = quasiCols.zip(gq).foldLeft(groups) {
+      case (d, (n, gn)) => d.withColumnRenamed(n, gn)
+    }
+    val cond = quasiCols.zip(gq).map { case (n, gn) => col(n) <=> col(gn) }
+      .reduce(_ && _)
+    df.join(renamed, cond, "left")
+      .drop(gq: _*)
+      .withColumn("group_l", coalesce(col("group_l"), lit(0L)))
       .withColumn("l_diverse_ok", col("group_l") >= l)
   }
 }

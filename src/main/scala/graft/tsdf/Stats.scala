@@ -1,7 +1,7 @@
 package graft.tsdf
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -16,9 +16,17 @@ object Stats {
     * Unlike one-pass Welford (what built-in `stddev` uses), this is a pure
     * function of order-independent sums — on integer-scaled metrics the
     * result is bit-reproducible across engines/partitionings. Guarded null
-    * for n ≤ 1. */
-  private[graft] def momentStddev(cnt: Column, s1: Column, s2: Column): Column =
-    when(cnt > 1, sqrt((cnt * s2 - s1 * s1) / (cnt * (cnt - 1))))
+    * for n ≤ 1. All three moments are cast to double BEFORE any product:
+    * a BIGINT s1·s1 silently wraps in Spark (non-ANSI) once |Σx| exceeds
+    * ~3.0e9 while DuckDB errors on the same overflow — casting first makes
+    * both engines run the identical IEEE expression at any magnitude (the
+    * oracle's momentSd mirrors this cast order). */
+  private[graft] def momentStddev(cnt: Column, s1: Column, s2: Column): Column = {
+    val c = cnt.cast(DoubleType)
+    val a = s1.cast(DoubleType)
+    val b = s2.cast(DoubleType)
+    when(cnt > 1, sqrt((c * b - a * a) / (c * (c - lit(1.0)))))
+  }
 
   def withRangeStats(tsdf: TSDF, colsToSummarize: Seq[String],
       rangeBackWindowSecs: Long): TSDF = {
@@ -495,6 +503,53 @@ object Stats {
         col("__e.n_pairs").alias("n_pairs"), col("__e.acf").alias("acf")): _*)
   }
 
+  /** Window-skew escape for bounded rows-frame computations: run `body`
+    * (which adds columns from a `[lo, hi]` rows-frame window) over
+    * (series, chunk) sub-partitions instead of whole series, with the
+    * `max(−lo, hi)` boundary rows of each neighboring chunk replicated as
+    * context so every frame still sees its full multiset — results are
+    * EXACT, bit-identical to the single-partition plan, but a hot series
+    * of N rows now runs as ⌈N/chunkRows⌉ parallel tasks instead of one.
+    * (A whole-series rows window puts the entire series in one task — the
+    * skew trap this routes around at 100 TB.) Cost: one extra row_number
+    * pass + ≤(|lo|+hi)/chunkRows fractional row duplication.
+    * `chunkRows <= 0` keeps the classic one-exchange whole-series plan. */
+  private def withChunkedFrame(df: DataFrame, tsCol: String,
+      seriesCols: Seq[String], tieCols: Seq[String], lo: Int, hi: Int,
+      chunkRows: Int)(body: (DataFrame, WindowSpec) => DataFrame): DataFrame = {
+    require(lo <= 0 && hi >= 0, "frame must contain the current row")
+    if (chunkRows <= 0) {
+      val w = Window.partitionBy(seriesCols.map(col): _*)
+        .orderBy((tsCol +: tieCols).map(col): _*)
+        .rowsBetween(lo, hi)
+      body(df, w)
+    } else {
+      require(chunkRows >= math.max(-lo, hi) + 1,
+        s"chunkRows must cover the frame width (${math.max(-lo, hi) + 1})")
+      val c = chunkRows.toLong
+      val ord = Window.partitionBy(seriesCols.map(col): _*)
+        .orderBy((tsCol +: tieCols).map(col): _*)
+      val staged = df
+        .withColumn("__rn", row_number().over(ord).cast(LongType))
+        .withColumn("__home", expr(s"(__rn - 1) div $c"))
+      // a row is context for the NEXT chunk when within |lo| rows of its
+      // chunk's end, for the PREVIOUS when within hi rows of its start
+      val targets = array(
+        col("__home"),
+        when(col("__rn") > (col("__home") + 1) * c + lo, col("__home") + 1),
+        when(col("__home") > 0 && col("__rn") <= col("__home") * c + hi,
+          col("__home") - 1))
+      val exploded = staged.withColumn("__chunk",
+        explode(filter(targets, t => t.isNotNull)))
+      val w = Window
+        .partitionBy(seriesCols.map(col) :+ col("__chunk"): _*)
+        .orderBy(col("__rn")).rowsBetween(lo, hi)
+      body(exploded, w)
+        .filter(col("__chunk") === col("__home"))
+        .drop("__rn", "__home", "__chunk")
+    }
+  }
+
   /** Exact rolling median over the previous `window` rows of each series
     * (frame = window−1 preceding .. current). The frame's values collect
     * into an array, sort, and take the lower median — the rank convention
@@ -503,18 +558,21 @@ object Stats {
     * the usual smoothing widths (tens..hundreds); for w in the millions
     * use [[robustAnomalies]]' whole-series median instead. One series
     * exchange; `tieCols` pin frame membership under timestamp ties.
+    * `chunkRows > 0` routes through [[withChunkedFrame]] — same exact
+    * result, but a single hot series parallelizes across
+    * ⌈rows/chunkRows⌉ tasks (the 100 TB skew defense).
     * Output: input row + `rolling_median_<col>`. */
   def rollingMedian(df: DataFrame, tsCol: String, valueCol: String,
       seriesCols: Seq[String], window: Int,
-      tieCols: Seq[String] = Nil): DataFrame = {
+      tieCols: Seq[String] = Nil, chunkRows: Int = 0): DataFrame = {
     require(window >= 1, "window must be >= 1")
-    val w = Window.partitionBy(seriesCols.map(col): _*)
-      .orderBy((tsCol +: tieCols).map(col): _*)
-      .rowsBetween(-(window - 1), Window.currentRow)
-    val frame = array_sort(collect_list(col(valueCol)).over(w))
-    val med = element_at(frame,
-      greatest(lit(1), ceil(size(frame) / 2.0).cast(IntegerType)))
-    df.withColumn(s"rolling_median_$valueCol", med)
+    withChunkedFrame(df, tsCol, seriesCols, tieCols,
+      -(window - 1), 0, chunkRows) { (d, w) =>
+      val frame = array_sort(collect_list(col(valueCol)).over(w))
+      val med = element_at(frame,
+        greatest(lit(1), ceil(size(frame) / 2.0).cast(IntegerType)))
+      d.withColumn(s"rolling_median_$valueCol", med)
+    }
   }
 
   /** Rolling trend correlation: Pearson r between the value and its

@@ -18,36 +18,69 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(r.getInt(0) == 64 && r.getInt(1) == 2 && r.getInt(2) == 0)
   }
 
+  test("parseMediaMeta reads PNG/JPEG/WAV/MP4 headers at spec offsets") {
+    // builder bytes asserted against the container specs FIRST, so a
+    // mirrored builder+parser offset mistake cannot self-validate
+    val png = Multimodal.buildPng(640, 480)
+    assert(png.slice(16, 24).map(_ & 0xFF).toSeq ==
+      Seq(0, 0, 2, 0x80, 0, 0, 1, 0xE0)) // w=640 BE, h=480 BE per PNG spec
+    val jpg = Multimodal.buildJpeg(320, 200)
+    assert((jpg(20) & 0xFF) == 0xFF && (jpg(21) & 0xFF) == 0xC0)
+    assert(((jpg(25) & 0xFF) << 8 | (jpg(26) & 0xFF)) == 200) // SOF0 height
+    assert(((jpg(27) & 0xFF) << 8 | (jpg(28) & 0xFF)) == 320) // SOF0 width
+    val wav = Multimodal.buildWav(16000, 64000)
+    assert(wav.slice(24, 28).map(_ & 0xFF).toSeq ==
+      Seq(0x80, 0x3E, 0, 0)) // 16000 LE at fmt+sampleRate offset
+    assert(wav.slice(40, 44).map(_ & 0xFF).toSeq == Seq(0, 0xFA, 0, 0)) // 64000 LE
+    val mp4 = Multimodal.buildMp4(600, 12345L)
+    assert(mp4.slice(48, 56).map(_ & 0xFF).toSeq ==
+      Seq(0, 0, 2, 0x58, 0, 0, 0x30, 0x39)) // mvhd timescale+duration BE
+    // parser reads them all back
+    assert(Multimodal.parseMediaMeta(png) ==
+      ("image", "png", Some(640), Some(480), None))
+    assert(Multimodal.parseMediaMeta(jpg) ==
+      ("image", "jpeg", Some(320), Some(200), None))
+    // wav: 64000 bytes / (2·16000 B/s) = 2000 ms
+    assert(Multimodal.parseMediaMeta(wav) ==
+      ("audio", "wav", None, None, Some(2000L)))
+    // mp4: 12345 units / 600 units/s = 20575 ms
+    assert(Multimodal.parseMediaMeta(mp4) ==
+      ("video", "mp4", None, None, Some(20575L)))
+    // non-media bytes -> all-null meta
+    assert(Multimodal.parseMediaMeta("just some text".getBytes("UTF-8")) ==
+      (null, null, None, None, None))
+    assert(Multimodal.parseMediaMeta(Array.emptyByteArray) ==
+      (null, null, None, None, None))
+  }
+
   test("multimodal frame-sampling plan explodes video payloads only") {
     import spark.implicits._
-    val df = Seq(
-      (1L, "videopayload!"), // length 13 % 3 == 1 -> audio... depends on stub
-      (2L, "abcdef"), (3L, "abc"), (4L, "ab"))
-      .toDF("doc_id", "payload")
-      .withColumn("payload", col("payload").cast(BinaryType))
-    val withMeta = Multimodal.withMediaMeta(df, "payload")
+    // ids 0..7 cover png/jpeg/wav/mp4 twice (id % 4 picks the container)
+    val df = spark.range(8).toDF("doc_id")
+    val withMeta = Multimodal.withMediaMeta(
+      Multimodal.synthesizeMediaPayload(df, "doc_id"), "payload")
     val videos = withMeta.filter(col("media_meta.media_type") === "video")
     val frames = Multimodal.sampleFramePlan(withMeta, "doc_id", "media_meta", 10000L)
     // every sampled frame belongs to a video row, stepped by everyMs
     val nVid = videos.count()
-    if (nVid > 0) {
-      val perDoc = frames.groupBy("doc_id").agg(count(lit(1)).alias("n"),
-        max("frame_ts_ms").alias("mx"))
-      val joined = perDoc.join(videos, "doc_id")
-        .filter(col("mx") > col("media_meta.duration_ms")).count()
-      assert(joined == 0)
-      assert(frames.filter(col("frame_ts_ms") % 10000 =!= 0).count() == 0)
-    }
+    assert(nVid == 2) // ids 3 and 7
+    val perDoc = frames.groupBy("doc_id").agg(count(lit(1)).alias("n"),
+      max("frame_ts_ms").alias("mx"))
+    val joined = perDoc.join(videos, "doc_id")
+      .filter(col("mx") > col("media_meta.duration_ms")).count()
+    assert(joined == 0)
+    assert(frames.filter(col("frame_ts_ms") % 10000 =!= 0).count() == 0)
     assert(frames.join(withMeta.filter(col("media_meta.media_type") =!= "video"),
       "doc_id").count() == 0)
   }
 
   test("resizeImages updates image payload + dims, passes others through") {
     import spark.implicits._
-    // lengths chosen so doc 1 (len 6, %3==0) is an image and doc 2 is not
-    val df = Seq((1L, "imgimg"), (2L, "audio"))
+    // doc 1: a real PNG (image); doc 2: a real WAV (audio) — passthrough
+    val df = Seq(
+      (1L, Multimodal.buildPng(100, 80)),
+      (2L, Multimodal.buildWav(8000, 1600)))
       .toDF("doc_id", "payload")
-      .withColumn("payload", col("payload").cast(BinaryType))
     val withMeta = Multimodal.withMediaMeta(df, "payload")
     val out = Multimodal.resizeImages(withMeta, "doc_id", "payload", "media_meta",
       targetW = 64, targetH = 64)
@@ -57,9 +90,10 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(img.getStruct(2).getAs[Int]("height") == 64)
     assert(img.getAs[Array[Byte]](1).length == math.max(16, 64 * 64 / 256))
     val other = rows(2L)
-    assert(new String(other.getAs[Array[Byte]](1), "UTF-8") == "audio")
-    assert(other.getStruct(2).getAs[Int]("width") != 64 ||
-      other.getStruct(2).getAs[Int]("height") != 64)
+    assert(other.getAs[Array[Byte]](1).toSeq ==
+      Multimodal.buildWav(8000, 1600).toSeq) // untouched passthrough
+    assert(other.getStruct(2).isNullAt(
+      other.getStruct(2).fieldIndex("width"))) // audio has no dims
     // deterministic: same input -> same bytes
     val again = Multimodal.resizeImages(withMeta, "doc_id", "payload", "media_meta",
       64, 64).collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
@@ -2182,6 +2216,25 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(got == r.toSeq.sortBy(_._1))
     // node 1 has two in-links and should outrank the others
     assert(r(1L) > r(2L) && r(1L) > r(3L))
+  }
+
+  test("pagerank plan stays O(1) deep — lineage cut by localCheckpoint") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    def planNodes(iters: Int): Int = {
+      val plan = Analytics.pagerank(edges, "src", "dst", iters)
+        .queryExecution.optimizedPlan
+      var n = 0
+      plan.foreach(_ => n += 1)
+      n
+    }
+    // the returned frame is eagerly localCheckpoint'ed, so its plan is a
+    // bare scan of materialized blocks — identical size no matter how many
+    // iterations ran (pre-fix it nested the full per-round join lineage)
+    val p3 = planNodes(3)
+    val p12 = planNodes(12)
+    assert(p3 == p12)
+    assert(p12 <= 3, s"expected a bare checkpoint scan, got $p12 plan nodes")
   }
 
   test("chunkDocuments covers every token, clamps the tail, skips blanks") {
