@@ -321,7 +321,9 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { r =>
           val meta = r.getStruct(2)
-          if (meta != null && meta.getAs[String]("media_type") == "image") {
+          // positional access: rows flowing between same-stage mapPartitions
+          // calls carry no schema (field 0 = media_type per MediaMeta)
+          if (meta != null && !meta.isNullAt(0) && meta.getString(0) == "image") {
             val bytes = r.getAs[Array[Byte]](1)
             val resized = resizeStub(
               if (bytes == null) Array.emptyByteArray else bytes, targetW, targetH)

@@ -512,7 +512,10 @@ object Stats {
     * of N rows now runs as ⌈N/chunkRows⌉ parallel tasks instead of one.
     * (A whole-series rows window puts the entire series in one task — the
     * skew trap this routes around at 100 TB.) Cost: one extra row_number
-    * pass + ≤(|lo|+hi)/chunkRows fractional row duplication.
+    * pass + ≤(|lo|+hi)/chunkRows fractional row duplication. The
+    * row_number pass still sorts each series in one task, but does O(1)
+    * work per row — it's the O(frame·log frame)-per-row body that moves to
+    * ⌈N/chunkRows⌉ parallel tasks, which is where the wall-clock lives.
     * `chunkRows <= 0` keeps the classic one-exchange whole-series plan. */
   private def withChunkedFrame(df: DataFrame, tsCol: String,
       seriesCols: Seq[String], tieCols: Seq[String], lo: Int, hi: Int,
@@ -1075,27 +1078,27 @@ object Stats {
     * `<col>_spike` (whether the point was replaced). */
   def hampel(df: DataFrame, tsCol: String, valueCol: String,
       seriesCols: Seq[String], w: Int, k: Double = 3.0,
-      tieCols: Seq[String] = Nil): DataFrame = {
+      tieCols: Seq[String] = Nil, chunkRows: Int = 0): DataFrame = {
     require(w >= 1, "w must be >= 1")
-    val ord = Window.partitionBy(seriesCols.map(col): _*)
-      .orderBy((tsCol +: tieCols).map(col): _*)
-      .rowsBetween(-w, w)
     val x = col(valueCol).cast(DoubleType)
     def lowerMed(arr: Column): Column = {
       val sorted = array_sort(arr)
       element_at(sorted, ceil(size(sorted) / 2.0).cast(IntegerType))
     }
-    val staged = df.withColumn("__fr", collect_list(x).over(ord))
-    val med = lowerMed(col("__fr"))
-    val mad = lowerMed(transform(col("__fr"), e => abs(e - col("__med"))))
-    val out = staged
-      .withColumn("__med", med)
-      .withColumn("__mad", mad)
-      .withColumn(s"${valueCol}_spike",
-        col("__mad") > 0.0 && abs(x - col("__med")) > lit(k) * col("__mad"))
-      .withColumn(s"${valueCol}_hampel",
-        when(col(s"${valueCol}_spike"), col("__med")).otherwise(x))
-    out.drop("__fr", "__med", "__mad")
+    withChunkedFrame(df, tsCol, seriesCols, tieCols, -w, w, chunkRows) {
+      (d, spec) =>
+      val staged = d.withColumn("__fr", collect_list(x).over(spec))
+      val med = lowerMed(col("__fr"))
+      val mad = lowerMed(transform(col("__fr"), e => abs(e - col("__med"))))
+      staged
+        .withColumn("__med", med)
+        .withColumn("__mad", mad)
+        .withColumn(s"${valueCol}_spike",
+          col("__mad") > 0.0 && abs(x - col("__med")) > lit(k) * col("__mad"))
+        .withColumn(s"${valueCol}_hampel",
+          when(col(s"${valueCol}_spike"), col("__med")).otherwise(x))
+        .drop("__fr", "__med", "__mad")
+    }
   }
 
   /** Exact trailing-window quantile: the value at rank
@@ -1106,17 +1109,17 @@ object Stats {
     * contract); ONE series exchange. Adds `rolling_p<pp>_<col>`. */
   def rollingQuantile(df: DataFrame, tsCol: String, valueCol: String,
       seriesCols: Seq[String], window: Int, p: Double,
-      tieCols: Seq[String] = Nil): DataFrame = {
+      tieCols: Seq[String] = Nil, chunkRows: Int = 0): DataFrame = {
     require(window >= 1, "window must be >= 1")
     require(p > 0 && p <= 1, "p must be in (0, 1]")
-    val ord = Window.partitionBy(seriesCols.map(col): _*)
-      .orderBy((tsCol +: tieCols).map(col): _*)
-      .rowsBetween(-(window - 1), Window.currentRow)
-    val arr = array_sort(collect_list(col(valueCol).cast(DoubleType)).over(ord))
-    val target = greatest(lit(1),
-      ceil(lit(p) * size(arr)).cast(IntegerType))
-    df.withColumn(
-      s"rolling_p${math.round(p * 100)}_$valueCol", element_at(arr, target))
+    withChunkedFrame(df, tsCol, seriesCols, tieCols,
+      -(window - 1), 0, chunkRows) { (d, spec) =>
+      val arr = array_sort(collect_list(col(valueCol).cast(DoubleType)).over(spec))
+      val target = greatest(lit(1),
+        ceil(lit(p) * size(arr)).cast(IntegerType))
+      d.withColumn(
+        s"rolling_p${math.round(p * 100)}_$valueCol", element_at(arr, target))
+    }
   }
 
   def robustScale(df: DataFrame, valueCol: String,

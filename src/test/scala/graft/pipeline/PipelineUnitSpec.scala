@@ -2176,6 +2176,66 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(cg.forall { case (s, h) => !s && h == 7.0 })
   }
 
+  test("chunked rolling frames are bit-identical to whole-series plans") {
+    import spark.implicits._
+    // two series, sizes straddling several chunk boundaries, values with
+    // duplicates so median/quantile selection is exercised on ties
+    val df = spark.range(5000).select(
+      (col("id") % 2).alias("sid"), col("id").alias("ts"),
+      (pmod(col("id") * 2654435761L, lit(997)).cast("double")).alias("v"))
+    def sig(d: org.apache.spark.sql.DataFrame, c: String): Seq[org.apache.spark.sql.Row] =
+      d.agg(sum(col(c)), count(col(c)), sum(hash(col("sid"), col("ts"),
+        col(c)).cast("long"))).collect().toSeq
+    val mPlain = graft.tsdf.Stats.rollingMedian(df, "ts", "v", Seq("sid"), 37)
+    val mChunk = graft.tsdf.Stats.rollingMedian(df, "ts", "v", Seq("sid"), 37,
+      chunkRows = 256)
+    assert(sig(mPlain, "rolling_median_v") == sig(mChunk, "rolling_median_v"))
+    val qPlain = graft.tsdf.Stats.rollingQuantile(df, "ts", "v", Seq("sid"),
+      64, 0.9)
+    val qChunk = graft.tsdf.Stats.rollingQuantile(df, "ts", "v", Seq("sid"),
+      64, 0.9, chunkRows = 300)
+    assert(sig(qPlain, "rolling_p90_v") == sig(qChunk, "rolling_p90_v"))
+    // hampel's frame is centered — context must replicate BOTH directions
+    val hPlain = graft.tsdf.Stats.hampel(df, "ts", "v", Seq("sid"), w = 21)
+    val hChunk = graft.tsdf.Stats.hampel(df, "ts", "v", Seq("sid"), w = 21,
+      chunkRows = 128)
+    assert(sig(hPlain, "v_hampel") == sig(hChunk, "v_hampel"))
+    assert(hChunk.filter(col("v_spike")).count() ==
+      hPlain.filter(col("v_spike")).count())
+    // chunk boundary degenerate: chunkRows exactly the frame width
+    val mEdge = graft.tsdf.Stats.rollingMedian(df, "ts", "v", Seq("sid"), 37,
+      chunkRows = 37)
+    assert(sig(mEdge, "rolling_median_v") == sig(mPlain, "rolling_median_v"))
+  }
+
+  test("one hot series parallelizes under chunked rolling (skew budget)") {
+    import spark.implicits._
+    // a single 1M-row series: the whole-series plan pins one task with
+    // O(w log w) work per row; the chunked plan must spread the frame work
+    // across tasks and finish well inside a CI-scale budget
+    val n = 1000000
+    val one = spark.range(n).select(lit(0L).alias("sid"),
+      col("id").alias("ts"),
+      pmod(col("id") * 1103515245L, lit(4099)).cast("double").alias("v"))
+    val t0 = System.nanoTime()
+    val out = graft.tsdf.Stats.rollingMedian(one, "ts", "v", Seq("sid"),
+      window = 101, chunkRows = 65536)
+    val agg = out.agg(count(col("rolling_median_v")),
+      sum(col("rolling_median_v"))).collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(agg.getLong(0) == n)
+    assert(secs < 120.0, s"chunked hot-series rolling median took $secs s")
+    // and the chunked answer matches the whole-series plan on a prefix
+    // (full-series comparison would itself pay the skew cost being avoided)
+    val prefix = one.filter(col("ts") < 20000)
+    val a = graft.tsdf.Stats.rollingMedian(prefix, "ts", "v", Seq("sid"), 101)
+      .agg(sum(col("rolling_median_v"))).collect().head.getDouble(0)
+    val b = graft.tsdf.Stats.rollingMedian(prefix, "ts", "v", Seq("sid"), 101,
+      chunkRows = 4096)
+      .agg(sum(col("rolling_median_v"))).collect().head.getDouble(0)
+    assert(a == b)
+  }
+
   test("cooccurrence computes exact pair counts and lift") {
     import spark.implicits._
     // sessions: s1={a,b}, s2={a,b}, s3={a,c}, s4={b} (with a duplicate row)
