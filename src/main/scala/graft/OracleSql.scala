@@ -665,7 +665,36 @@ object OracleSql {
       |    AS rolling_median_value
       |FROM l""".stripMargin
 
-  val all: Map[String, String] = Map(
+  /** Per-method ANN recall report: each approximate method's existing
+    * oracle replay is nested as a subquery, LEFT-joined against the exact
+    * brute-force top-3, and reduced to one (method, n_possible, n_hits,
+    * recall@3) row — exact integer counts, one IEEE division. */
+  private def annMethodsSql(m: Map[String, String]): String = {
+    val methods = Seq(
+      "lsh" -> "q_ann_lsh", "multiprobe" -> "q_ann_multiprobe",
+      "ivf" -> "q_ann_ivf", "ivfpq" -> "q_ann_ivfpq",
+      "ivfpq_res" -> "q_ann_ivfpq_res", "sq8" -> "q_ann_sq8",
+      "rerank" -> "q_ann_rerank")
+    val ex = m("q_ann_topk")
+    methods.map { case (name, key) =>
+      s"""SELECT '$name' AS method,
+         |  CAST(count(*) AS BIGINT) AS n_possible,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*) AS recall_at_3
+         |FROM ($ex) ex LEFT JOIN (${m(key)}) a
+         |  ON a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
+  val all: Map[String, String] = {
+    val base = baseAll
+    base + ("q_ann_methods" -> annMethodsSql(base))
+  }
+
+  private def baseAll: Map[String, String] = Map(
 
     "q_slice_between" ->
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value FROM events

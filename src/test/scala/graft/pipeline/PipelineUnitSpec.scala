@@ -2278,23 +2278,35 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(r(1L) > r(2L) && r(1L) > r(3L))
   }
 
-  test("pagerank plan stays O(1) deep — lineage cut by localCheckpoint") {
+  test("pagerank hygiene knobs: checkpoint cadence cuts lineage, every " +
+      "path is bit-identical") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     def planNodes(iters: Int): Int = {
-      val plan = Analytics.pagerank(edges, "src", "dst", iters)
-        .queryExecution.optimizedPlan
+      val plan = Analytics.pagerank(edges, "src", "dst", iters,
+        checkpointEvery = 5).queryExecution.optimizedPlan
       var n = 0
       plan.foreach(_ => n += 1)
       n
     }
-    // the returned frame is eagerly localCheckpoint'ed, so its plan is a
-    // bare scan of materialized blocks — identical size no matter how many
-    // iterations ran (pre-fix it nested the full per-round join lineage)
+    // with a checkpoint cadence the returned frame is a bare scan of
+    // materialized blocks — identical plan size no matter how many
+    // iterations ran (the lazy default nests the full per-round lineage,
+    // by measured choice: see the pagerank scaladoc)
     val p3 = planNodes(3)
     val p12 = planNodes(12)
     assert(p3 == p12)
     assert(p12 <= 3, s"expected a bare checkpoint scan, got $p12 plan nodes")
+    // exact integer ranks: lazy, persisted, and checkpointed paths agree
+    // bit for bit
+    def run(persist: Boolean, ckpt: Int) =
+      Analytics.pagerank(edges, "src", "dst", 7,
+        persistEdges = persist, checkpointEvery = ckpt)
+        .orderBy("node").as[(Long, Long)].collect().toSeq
+    val base = run(persist = false, ckpt = 0)
+    assert(run(persist = true, ckpt = 0) == base)
+    assert(run(persist = true, ckpt = 3) == base)
+    assert(run(persist = false, ckpt = 3) == base)
   }
 
   test("chunkDocuments covers every token, clamps the tail, skips blanks") {
