@@ -38,29 +38,26 @@ object Retrieval {
       .filter(col("__term").isin(queryTerms: _*))
     val tf = tokens.groupBy(col(idCol), col("__term"))
       .agg(max(col("__dl")).alias("__dl"), count(lit(1)).alias("__tf"))
-    // corpus stats in ONE column-pruned pass with no explode: N, total
-    // token count, AND per-term document frequency — a term occurs in a
-    // doc iff " term " substrings the padded single-spaced normalization,
-    // so df needs no token explode / distinct (the length-replace trick
-    // is codegen'd and literal, no regex)
-    val padded = concat(lit(" "), Dedup.normalizeText(col(textCol)), lit(" "))
-    val dfAggs = queryTerms.zipWithIndex.map { case (t, i) =>
-      sum(when(TextAnalysis.occurrences(padded, s" $t ") > 0, 1L)
-        .otherwise(0L)).alias(s"__df$i")
-    }
+    // per-term document frequency is an exact identity of the tf table
+    // (one row per (doc, term) ⇒ df_t = tf's row count for the term), so
+    // no second corpus text pass — the previous shape re-scanned the full
+    // normalized text once per query term for a substring probe. Corpus
+    // stats (N, Σtokens) stay a column-pruned single aggregate.
+    val dfs = tf.groupBy(col("__term")).agg(count(lit(1)).alias("__df"))
     val stats = df.agg(count(lit(1)).alias("__n"),
-      sum(size(toks).cast(LongType)).alias("__tot") +: dfAggs: _*)
+      sum(size(toks).cast(LongType)).alias("__tot"))
     val avgdl = col("__tot").cast(DoubleType) / col("__n").cast(DoubleType)
-    def idfOf(dfc: Column) = log(lit(1.0) +
+    val dfc = col("__df")
+    val idf = log(lit(1.0) +
       (col("__n").cast(DoubleType) - dfc + 0.5) / (dfc + 0.5))
-    // per-row idf: CASE over the fixed term list (term -> its df column)
-    val idf = queryTerms.zipWithIndex.tail
-      .foldLeft(idfOf(col("__df0"))) { case (acc, (t, i)) =>
-        when(col("__term") === t, idfOf(col(s"__df$i"))).otherwise(acc)
-      }
     val contrib = idf * (col("__tf") * (k1 + 1.0)) /
       (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast(DoubleType) / avgdl))
+    // no broadcast hint on dfs: a hint would force the tf subplan to
+    // compute twice (build + probe), while the plain join lets
+    // ReuseExchange share tf's aggregate exchange between both references
+    // and AQE still broadcasts the tiny aggregated build side at runtime
     val scored = tf
+      .join(dfs, Seq("__term"))
       .crossJoin(broadcast(stats))
       .select(col(idCol), col("__term"), contrib.alias("__c"))
     // fixed-order pivot sum: term_1 + term_2 + ... — row-order independent

@@ -1307,6 +1307,15 @@ object Stats {
     * the moments — no global operation, no driver state. Every step is
     * exact-integer or fixed-order IEEE, so the DuckDB oracle replays
     * bit-for-bit.
+    *
+    * Skew bound (why no chunked escape like [[rollingMedian]]'s): a hot
+    * series costs its single-task row_number sort O(n log n) with O(1)
+    * work per row — no per-row frame collection — and every later stage
+    * shrinks the series by the segment width (map-side-combinable
+    * aggregate, then a window over n/segmentRows segment rows). A 10⁶-row
+    * series is a ~10⁶-row sort in one task (sub-second) followed by
+    * parallel segment work; the frame-collecting operators the chunked
+    * escape exists for pay O(w log w) PER ROW in that one task instead.
     * Output: series cols + (segment, start_ts_us, n_rows, seg_sum, z,
     * symbol). */
   def sax(df: DataFrame, tsCol: String, valueCol: String,
