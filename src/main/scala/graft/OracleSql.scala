@@ -2662,6 +2662,18 @@ object OracleSql {
          |FROM h""".stripMargin
     },
 
+    // frame-sampling plan over the parsed MP4 durations: inclusive
+    // 5-second lattice per video doc, duration restated from the
+    // synthesizeMediaPayload arithmetic
+    "q_frame_plan" ->
+      """WITH v AS (SELECT doc_id,
+        |  ((5000 + doc_id % 100000) * 1000)
+        |    // (600 + (doc_id % 10) * 100) AS dur
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT v.doc_id, CAST(t.f AS BIGINT) AS frame_ts_ms
+        |FROM v, unnest(generate_series(0, v.dur, 5000)) AS t(f)"""
+        .stripMargin,
+
     // Real-header-parser differential: the Spark side builds spec-valid
     // PNG/JPEG/WAV/MP4 bytes from doc_id arithmetic and parses them back;
     // the oracle states the same fields from the arithmetic alone — any

@@ -1937,6 +1937,17 @@ object SparkEntry {
         element_at(col("features"), 1).alias("f0"))
   }
 
+  /** Frame-sampling plan over the REAL parsed MP4 durations: one row per
+    * (video doc, frame timestamp) on a 5-second lattice — the explode
+    * shape a frame extractor fans out over. The oracle replays the
+    * duration arithmetic and the inclusive series without touching bytes. */
+  private def qFramePlan(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFramePlan(
+      Multimodal.withMediaMeta(
+        Multimodal.synthesizeMediaPayload(docs(s, dir).select(col("doc_id")), "doc_id"),
+        "payload"),
+      "doc_id", "media_meta", everyMs = 5000L)
+
   /** Full differential on the real header parser: every [[Multimodal.MediaMeta]]
     * field parsed back from spec-valid PNG/JPEG/WAV/MP4 bytes, compared to
     * the oracle stating the same fields from doc_id arithmetic alone. */
@@ -2147,6 +2158,7 @@ object SparkEntry {
     "q_lookback" -> qLookback _,
     "q_multimodal" -> qMultimodal _,
     "q_media_meta_real" -> qMediaMetaReal _,
+    "q_frame_plan" -> qFramePlan _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
