@@ -437,9 +437,13 @@ object Dedup {
       .join(t.withColumnRenamed(idCol, s"${idCol}_b")
         .withColumnRenamed("__t", "__tb"), s"${idCol}_b")
       .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
+      // thresholded levenshtein: banded O(len·maxDist) DP per pair instead
+      // of the full O(len²) matrix; pairs beyond the bound return -1 and
+      // are dropped — the surviving (pair, distance) set is identical, so
+      // the DuckDB oracle (plain levenshtein + filter) replays unchanged
       .withColumn("edit_dist",
-        levenshtein(col("__ta"), col("__tb")).cast(LongType))
-      .filter(col("edit_dist") <= maxDist)
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast(LongType))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("edit_dist"))
   }
 
