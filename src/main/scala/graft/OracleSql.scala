@@ -1378,6 +1378,31 @@ object OracleSql {
         |CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS event_dt_days
         |FROM events""".stripMargin,
 
+    // Hilbert index replay: the identical per-level rotate-and-reflect
+    // arithmetic as graft.functions.HilbertIndex.hilbert2, run as a
+    // recursive CTE over (x, y, s, d) — pure integer ops, s halves from
+    // 2^(bits-1) to 0, rows finish when s = 0.
+    "q_hilbert" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT o_orderkey, CAST(o_orderkey % 256 AS BIGINT) AS x0,
+        |         CAST(o_custkey % 256 AS BIGINT) AS y0
+        |  FROM orders WHERE o_orderkey < 4000),
+        |walk AS (
+        |  SELECT o_orderkey, x0, y0, x0 AS x, y0 AS y,
+        |         CAST(128 AS BIGINT) AS s, CAST(0 AS BIGINT) AS d
+        |  FROM pts
+        |  UNION ALL
+        |  SELECT o_orderkey, x0, y0,
+        |    CASE WHEN (y // s) % 2 = 1 THEN x
+        |         WHEN (x // s) % 2 = 1 THEN 255 - y ELSE y END,
+        |    CASE WHEN (y // s) % 2 = 1 THEN y
+        |         WHEN (x // s) % 2 = 1 THEN 255 - x ELSE x END,
+        |    s // 2,
+        |    d + s * s * xor(3 * ((x // s) % 2), (y // s) % 2)
+        |  FROM walk WHERE s >= 1)
+        |SELECT o_orderkey, x0 AS x, y0 AS y, d AS hilbert_d
+        |FROM walk WHERE s = 0""".stripMargin,
+
     "q_cv_folds" ->
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |CAST(ntile(6) OVER (PARTITION BY user_id ORDER BY ts) - 1 AS BIGINT) AS split_idx
@@ -1697,6 +1722,60 @@ object OracleSql {
          |  CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
          |       ELSE $scale / kth_hash END AS distinct_est
          |FROM k""".stripMargin
+    },
+
+    // HyperLogLog replay: 64 registers over the 30-bit polynomial hash,
+    // rho via an unrolled bit-length CASE chain, harmonic sum in integer
+    // space (s_int), estimate = one division of two exact doubles. The
+    // Spark side builds two parity-shard sketches and max-merges them;
+    // merge == combined build exactly, so the replay builds once.
+    "q_hll_distinct" -> {
+      val h = Hashing.mixSql(Hashing.polyHashSql("tok"), 29)
+      val bl = (24 to 1 by -1)
+        .map(k => s"WHEN w >= ${1L << (k - 1)} THEN $k").mkString(" ")
+      val r2 = 1L << 25
+      s"""WITH t AS (SELECT source,
+         |  unnest(string_split($norm, ' ')) AS tok FROM documents),
+         |h AS (SELECT source, ($h) AS hh FROM t),
+         |b AS (SELECT source, hh % 64 AS bucket, hh // 64 AS w FROM h),
+         |reg AS (SELECT source, bucket,
+         |  max(25 - (CASE $bl ELSE 0 END)) AS register
+         |  FROM b GROUP BY source, bucket),
+         |g AS (SELECT source, count(*) AS n_set,
+         |  CAST(sum((CAST(1 AS BIGINT) << (25 - register))) AS BIGINT) AS s_set
+         |  FROM reg GROUP BY source)
+         |SELECT source, 64 - n_set AS n_zero,
+         |  s_set + (64 - n_set) * $r2 AS s_int,
+         |  (709.0 * ${64.0 * 64.0 * r2}) /
+         |    (1000.0 * CAST(s_set + (64 - n_set) * $r2 AS DOUBLE)) AS hll_est
+         |FROM g""".stripMargin
+    },
+
+    // Char-trigram LM replay: model = floor(1e6·cnt3/cnt2) per trigram of
+    // the '##'-padded normalized text (trained on even doc_ids), scores =
+    // order-independent integer sums + one final division. The Spark
+    // floor-div is (x − x mod d)/d with an exact-multiple numerator ==
+    // DuckDB's integer `//`.
+    "q_lm_score" -> {
+      s"""WITH p AS (SELECT doc_id, '##' || $norm || '#' AS pad
+         |  FROM documents),
+         |tr AS (SELECT doc_id, substr(pad, CAST(i AS INTEGER), 3) AS tri
+         |  FROM (SELECT doc_id, pad,
+         |    unnest(range(1, len(pad) - 1)) AS i FROM p)),
+         |m3 AS (SELECT tri, count(*) AS cnt3 FROM tr
+         |  WHERE doc_id % 2 = 0 GROUP BY tri),
+         |m2 AS (SELECT substr(tri, 1, 2) AS ctx,
+         |  CAST(sum(cnt3) AS BIGINT) AS cnt2 FROM m3 GROUP BY 1),
+         |model AS (SELECT tri, (1000000 * cnt3) // cnt2 AS prob_micro
+         |  FROM m3 JOIN m2 ON substr(m3.tri, 1, 2) = m2.ctx),
+         |s AS (SELECT t.doc_id, count(*) AS n_tri,
+         |  CAST(sum(CASE WHEN prob_micro IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS oov_tri,
+         |  CAST(sum(coalesce(prob_micro, 0)) AS BIGINT) AS sum_prob_micro
+         |  FROM tr t LEFT JOIN model USING (tri) GROUP BY t.doc_id)
+         |SELECT doc_id, n_tri, oov_tri, sum_prob_micro,
+         |  CAST(sum_prob_micro AS DOUBLE) / CAST(n_tri AS DOUBLE) AS lm_score
+         |FROM s""".stripMargin
     },
 
     // Count-Min sketch replay: the 3×512 grid of exact counters rebuilt

@@ -648,6 +648,23 @@ object SparkEntry {
       datediff(col("event_dt"), lit("1970-01-01")).cast(LongType).alias("event_dt_days"))
   }
 
+  /** Hilbert-curve index gate: the codegen'd rotate-and-reflect walk
+    * ([[graft.functions.Hilbert2]], order 8) over integer grid coordinates
+    * derived from the orders table, replayed in the oracle as a recursive
+    * CTE running the SAME per-level arithmetic — pins the curve the
+    * hilbert write layout sorts by ([[graft.io.ZOrder.hvalue]]). */
+  private def qHilbert(s: SparkSession, dir: String): DataFrame = {
+    val o = tbl(s, dir, "orders").filter(col("o_orderkey") < 4000)
+      .select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(256L)).cast(LongType).alias("x"),
+        pmod(col("o_custkey"), lit(256L)).cast(LongType).alias("y"))
+    o.select(col("o_orderkey"), col("x"), col("y"),
+      org.apache.spark.sql.GraftColumns.column(graft.functions.Hilbert2(8,
+        org.apache.spark.sql.GraftColumns.expression(col("x")),
+        org.apache.spark.sql.GraftColumns.expression(col("y"))))
+        .alias("hilbert_d"))
+  }
+
   private def qTimeHorizon(s: SparkSession, dir: String): DataFrame =
     TSDF(events(s, dir).select("user_id", "ts"), "ts", Seq("user_id"))
       .timeHorizonPerSeries("1 hour")
@@ -1184,6 +1201,37 @@ object SparkEntry {
     val toks = docs(s, dir).select(col("source"),
       explode(split(Dedup.normalizeText(col("text")), " ")).alias("tok"))
     graft.pipeline.Sketch.kmvDistinct(toks, Seq("source"), col("tok"), k = 256)
+  }
+
+  /** HyperLogLog distinct-token estimate per source (m = 64 registers over
+    * the 30-bit engine-agnostic hash; register file and estimate replay in
+    * integer arithmetic — [[graft.pipeline.Sketch.hllRegisters]]). The
+    * sketch is built separately on the two doc_id-parity halves of the
+    * corpus and MERGED (max per register cell) — the 100 TB shard-merge
+    * path exercised inside the oracle gate: merge(A, B) == build(A ∪ B)
+    * exactly, so the oracle replays one combined build. */
+  private def qHll(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"), col("source"),
+      explode(split(Dedup.normalizeText(col("text")), " ")).alias("tok"))
+    val ra = graft.pipeline.Sketch.hllRegisters(
+      toks.filter(col("doc_id") % 2 === 0), Seq("source"), col("tok"))
+    val rb = graft.pipeline.Sketch.hllRegisters(
+      toks.filter(col("doc_id") % 2 =!= 0), Seq("source"), col("tok"))
+    val merged = graft.pipeline.Sketch.hllMerge(ra, rb, Seq("source"))
+    graft.pipeline.Sketch.hllEstimate(merged, Seq("source"))
+      .select(col("source"), col("n_zero"), col("s_int"), col("hll_est"))
+  }
+
+  /** Character-trigram LM fluency score: model trained on the even-doc_id
+    * half of the corpus (one aggregate pass; ≤ |Σ|³ rows — broadcast-sized
+    * by construction), every document scored by average trigram
+    * probability in integer micro-units; odd docs can hit OOV trigrams.
+    * See [[graft.pipeline.LangModel]]. */
+  private def qLmScore(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val model = graft.pipeline.LangModel.trainCharTrigramModel(
+      d.filter(col("doc_id") % 2 === 0), col("text"))
+    graft.pipeline.LangModel.scoreDocs(d, Seq("doc_id"), col("text"), model)
   }
 
   /** Count-Min sketch (width 512 × depth 3) over the corpus tokens, probed
@@ -2048,6 +2096,7 @@ object SparkEntry {
     "q_write_roundtrip" -> qWriteRoundtrip _,
     "q_write_bucketed" -> qWriteBucketed _,
     "q_write_zorder" -> qWriteZorder _,
+    "q_hilbert" -> qHilbert _,
     "q_ivf_train" -> qIvfTrain _,
     "q_ann_ivfpq" -> qAnnIvfPq _,
     "q_ann_ivfpq_res" -> qAnnIvfPqRes _,
@@ -2085,6 +2134,8 @@ object SparkEntry {
     "q_tfidf" -> qTfidf _,
     "q_ann_sq8" -> qAnnSq8 _,
     "q_kmv_distinct" -> qKmv _,
+    "q_hll_distinct" -> qHll _,
+    "q_lm_score" -> qLmScore _,
     "q_cms_heavy" -> qCmsHeavy _,
     "q_bloom" -> qBloom _,
     "q_ann_recall" -> qAnnRecall _,

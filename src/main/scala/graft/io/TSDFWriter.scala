@@ -29,21 +29,31 @@ object TSDFWriter {
     * ZORDER BY` pass (io.py:26-61). Costs one extra min/max aggregate job
     * (see [[ZOrder.zvalue]]). */
   private def prepared(tsdf: TSDF, optimizationCols: Seq[String],
-      zorderCols: Seq[String] = Seq.empty): DataFrame = {
+      zorderCols: Seq[String] = Seq.empty,
+      curve: String = "zorder"): DataFrame = {
     val df = tsdf.df
       .withColumn("event_dt", to_date(tsdf.ts))
       .withColumn("event_time",
         date_format(tsdf.ts, "HHmmss").cast("double"))
     val sortCols =
-      if (zorderCols.nonEmpty) Seq(ZOrder.zvalue(df, zorderCols))
+      if (zorderCols.nonEmpty) curve match {
+        case "zorder" => Seq(ZOrder.zvalue(df, zorderCols))
+        case "hilbert" => Seq(ZOrder.hvalue(df, zorderCols))
+        case other => throw new IllegalArgumentException(
+          s"curve must be 'zorder' or 'hilbert', got '$other'")
+      }
       else (tsdf.partitionCols ++ optimizationCols :+ tsdf.tsCol).map(col)
     df.repartition(col("event_dt"))
       .sortWithinPartitions(sortCols: _*)
   }
 
+  /** `curve = "hilbert"` (2 layout columns only) lays rows on the Hilbert
+    * curve instead of the Z-curve — Delta's `OPTIMIZE` offers the same
+    * choice; see [[ZOrder.hvalue]] for why its envelopes are tighter. */
   def write(tsdf: TSDF, path: String, optimizationCols: Seq[String] = Seq.empty,
-      format: String = "parquet", zorderCols: Seq[String] = Seq.empty): Unit =
-    prepared(tsdf, optimizationCols, zorderCols)
+      format: String = "parquet", zorderCols: Seq[String] = Seq.empty,
+      curve: String = "zorder"): Unit =
+    prepared(tsdf, optimizationCols, zorderCols, curve)
       .write.format(format)
       .partitionBy("event_dt")
       .mode("overwrite")

@@ -31,6 +31,30 @@ object ZOrder {
     require(cols.size == 2 || cols.size == 3,
       s"zorder takes 2 or 3 columns, got ${cols.size}")
     val b = math.min(bits, bitsFor(cols.size))
+    org.apache.spark.sql.GraftColumns.column(
+      MortonInterleave(bucketRanks(df, cols, b)
+        .map(org.apache.spark.sql.GraftColumns.expression)))
+  }
+
+  /** Hilbert-curve sort key for exactly 2 columns — same equal-width rank
+    * derivation as [[zvalue]], indexed by [[graft.functions.HilbertIndex]]
+    * instead of the Morton interleave. Every curve step is Manhattan-
+    * adjacent, so row-group min/max envelopes per dimension are at least
+    * as tight as the Z-curve's (Delta's `OPTIMIZE` offers the same choice
+    * of curves; reference io.py:26-61). */
+  def hvalue(df: DataFrame, cols: Seq[String], bits: Int = 16): Column = {
+    require(cols.size == 2, s"hilbert takes exactly 2 columns, got ${cols.size}")
+    val b = math.min(bits, 31)
+    val Seq(x, y) = bucketRanks(df, cols, b)
+    org.apache.spark.sql.GraftColumns.column(graft.functions.Hilbert2(b,
+      org.apache.spark.sql.GraftColumns.expression(x),
+      org.apache.spark.sql.GraftColumns.expression(y)))
+  }
+
+  /** Equal-width bucket ranks in [0, 2^bits) for each column — the shared
+    * one-stats-job rank derivation of [[zvalue]]/[[hvalue]]. */
+  private def bucketRanks(df: DataFrame, cols: Seq[String],
+      b: Int): Seq[Column] = {
     val nb = 1L << b
     val keys = cols.map { c =>
       df.schema(c).dataType match {
@@ -44,7 +68,7 @@ object ZOrder {
       .agg(keys.flatMap(k => Seq(min(k), max(k))).head,
         keys.flatMap(k => Seq(min(k), max(k))).tail: _*)
       .head()
-    val ranks = keys.zipWithIndex.map { case (k, i) =>
+    keys.zipWithIndex.map { case (k, i) =>
       if (statRow.isNullAt(2 * i) || statRow.isNullAt(2 * i + 1)) lit(0L)
       else {
       val (lo, hi) = (statRow.getDouble(2 * i), statRow.getDouble(2 * i + 1))
@@ -55,7 +79,5 @@ object ZOrder {
         lit(0L))
       }
     }
-    org.apache.spark.sql.GraftColumns.column(
-      MortonInterleave(ranks.map(org.apache.spark.sql.GraftColumns.expression)))
   }
 }

@@ -146,6 +146,109 @@ object Sketch {
           .alias("distinct_est"))
   }
 
+  /** Bits of the [[Hashing]] value space (P < 2^30) — fixes the HLL
+    * rho range so register arithmetic stays exact in 64-bit integers. */
+  val HllHashBits = 30
+
+  /** Rational HLL bias constants alpha_m = hllAlphaNum(m)/1000 for the
+    * small-m table, and the closed form 7213·m/(10000·m+10790) beyond —
+    * kept rational so the estimate is a single IEEE division of two
+    * exactly-representable integers (engine-bit-identical). */
+  private def hllAlpha(m: Int): (Double, Double) = m match {
+    case 16 => (673.0, 1000.0)
+    case 32 => (697.0, 1000.0)
+    case 64 => (709.0, 1000.0)
+    case _ => (7213.0 * m, 10000.0 * m + 10790.0)
+  }
+
+  /** Bit length of a non-negative integer column (0 for 0) as an unrolled
+    * comparison chain — no log2 float round-trip, so the value replays
+    * exactly as the equivalent CASE chain in any SQL engine. */
+  private def bitLen(c: Column, maxBits: Int): Column =
+    (maxBits to 1 by -1).foldRight(lit(0): Column) { (k, els) =>
+      when(c >= lit(1L << (k - 1)), lit(k)).otherwise(els)
+    }
+
+  /** HyperLogLog register build: per group, the max leading-zero rank
+    * (rho) of the hashed items in each of m = 2^bucketBits buckets, stored
+    * sparsely as (group…, bucket, register) — untouched buckets are absent
+    * and read as register 0 at estimate time, so a group's sketch is at
+    * most m rows regardless of input size. One hash aggregate (map-side
+    * combined max); registers from different shards/days/corpora merge by
+    * `max` per cell ([[hllMerge]]), which is EXACT: registers(A ∪ B) ==
+    * merge(registers(A), registers(B)) by construction, the property that
+    * makes HLL the classic 100 TB distinct-count path (KMV here keeps k
+    * hashes per group; HLL keeps m 5-bit ranks — smaller state, and the
+    * merge is a max instead of a re-rank).
+    *
+    * Determinism: bucket = h mod m and w = h div m over the 30-bit
+    * [[Hashing]] space; rho = (30 − bucketBits) + 1 − bitlen(w) via an
+    * unrolled comparison chain — all integer ops, bit-identical in DuckDB.
+    *
+    * Reference scope note: tempo has no sketches (pipeline-side surface,
+    * like the rest of this module). */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], itemCol: Column,
+      bucketBits: Int = 6, seed: Int = 29): DataFrame = {
+    require(bucketBits >= 4 && bucketBits <= 14, "need 4 <= bucketBits <= 14")
+    val gc = groupCols.map(col)
+    val m = 1L << bucketBits
+    val wBits = HllHashBits - bucketBits
+    val h = Hashing.mix(Hashing.polyHash(itemCol), seed)
+    df.select(gc ++ Seq(
+        pmod(h, lit(m)).alias("bucket"),
+        (h / lit(m)).cast(LongType).alias("__w")): _*)
+      .groupBy(gc :+ col("bucket"): _*)
+      .agg(max(lit(wBits + 1) - bitLen(col("__w"), wBits)).alias("register"))
+  }
+
+  /** Merge two [[hllRegisters]] sketches over the same group/bucket layout:
+    * max per cell. Exactly equals the sketch of the unioned inputs. */
+  def hllMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val gc = groupCols.map(col)
+    a.unionByName(b)
+      .groupBy(gc :+ col("bucket"): _*)
+      .agg(max(col("register")).alias("register"))
+  }
+
+  /** Read a distinct-count estimate from an [[hllRegisters]] sketch.
+    *
+    * The harmonic mean is computed in INTEGER space: with R = max rho,
+    * s_int = Σ_j 2^(R − M_j) (absent buckets contribute 2^R) ≤ m·2^R
+    * < 2^45, so the sum is exact and order-independent; the estimate
+    * alpha_m·m²/Σ2^(−M_j) = (alphaNum·m²·2^R) / (alphaDen·s_int) is then
+    * one IEEE division of exactly-representable doubles — bit-identical
+    * in any engine, no float-summation order hazard.
+    *
+    * Output per group: n_zero (empty buckets), s_int, hll_est (raw HLL —
+    * the oracle-gated column), hll_est_lc (linear-counting correction
+    * `m·ln(m/n_zero)` applied in the classic raw < 2.5m ∧ n_zero > 0
+    * region — `ln` is transcendental and so JVM-side only; exclude this
+    * column from cross-engine gates and from use when groups may sit in
+    * the correction region of a replayed pipeline). */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String],
+      bucketBits: Int = 6): DataFrame = {
+    val gc = groupCols.map(col)
+    val m = 1 << bucketBits
+    val r = HllHashBits - bucketBits + 1
+    val (aNum, aDen) = hllAlpha(m)
+    val grouped = registers
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).alias("__n_set"),
+        sum(call_function("shiftleft", lit(1L),
+          (lit(r) - col("register")).cast(IntegerType))).alias("__s_set"))
+    val sInt = col("__s_set") + (lit(m.toLong) - col("__n_set")) * lit(1L << r)
+    val raw = (lit(aNum) * lit(m.toDouble * m.toDouble * (1L << r))) /
+      (lit(aDen) * sInt.cast(DoubleType))
+    grouped.select(gc ++ Seq(
+      (lit(m.toLong) - col("__n_set")).alias("n_zero"),
+      sInt.alias("s_int"),
+      raw.alias("hll_est"),
+      when(col("__n_set") < m && raw < lit(2.5 * m),
+        lit(m.toDouble) * log(lit(m.toDouble) /
+          (lit(m.toLong) - col("__n_set")).cast(DoubleType)))
+        .otherwise(raw).alias("hll_est_lc")): _*)
+  }
+
   /** Bits per Bloom word — 31, so every mask and OR'd word stays < 2^31:
     * exact in Spark longs, DuckDB BIGINTs, and the oracle replay (no
     * engine-specific 64-bit shift/sign semantics anywhere). */

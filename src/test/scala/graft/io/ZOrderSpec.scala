@@ -75,6 +75,56 @@ class ZOrderSpec extends SparkTestBase {
     assert(zHit <= lexHit / 2, s"z-order not selective: $zHit vs lex $lexHit")
   }
 
+  test("hilbert2 is a bijection with Manhattan-adjacent consecutive steps") {
+    import graft.functions.HilbertIndex.hilbert2
+    val bits = 4
+    val n = 1 << bits
+    val byD = (for (x <- 0 until n; y <- 0 until n)
+      yield hilbert2(bits, x, y) -> (x, y)).toMap
+    // bijection: all n*n indices 0..n^2-1 hit exactly once
+    assert(byD.keySet == (0L until (n.toLong * n)).toSet)
+    // the defining Hilbert property (and what Morton lacks): every step
+    // along the curve moves to a Manhattan-adjacent cell
+    (0L until n.toLong * n - 1).foreach { d =>
+      val (x1, y1) = byD(d)
+      val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"step $d: ($x1,$y1) -> ($x2,$y2)")
+    }
+  }
+
+  test("hilbert layout is at least as chunk-selective as z-order") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 4096).map(_ => (rnd.nextInt(256), rnd.nextInt(256)))
+    val df = rows.toDF("x", "y")
+    val h = ZOrder.hvalue(df, Seq("x", "y"), bits = 8)
+    val z = ZOrder.zvalue(df, Seq("x", "y"), bits = 8)
+    def matchingChunks(sorted: Array[(Int, Int)]): Int =
+      sorted.grouped(64).count { ch =>
+        val ys = ch.map(_._2); ys.min <= 7 && 7 <= ys.max
+      }
+    def sortedBy(c: org.apache.spark.sql.Column) =
+      df.orderBy(c).select("x", "y").collect().map(r => (r.getInt(0), r.getInt(1)))
+    val (hHit, zHit) = (matchingChunks(sortedBy(h)), matchingChunks(sortedBy(z)))
+    assert(hHit <= zHit, s"hilbert $hHit vs zorder $zHit chunks match y=7")
+    assert(hHit <= 16, s"hilbert not selective: $hHit/64")
+  }
+
+  test("curve=hilbert write round-trips the same rows") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (0 until 500).map(i =>
+      ("s" + i % 5, new java.sql.Timestamp(ts0 + i * 60000L), i.toDouble))
+    val in = TSDF(rows.toDF("series", "ts", "value"), "ts", Seq("series"))
+    val dir = Files.createTempDirectory("hilbert_write").toString + "/out"
+    TSDFWriter.write(in, dir, zorderCols = Seq("ts", "value"), curve = "hilbert")
+    val back = spark.read.parquet(dir).select("series", "ts", "value")
+    assertDfEquality(back, in.df)
+  }
+
   test("zorderCols write round-trips the same rows") {
     val spark2 = spark
     import spark2.implicits._

@@ -1576,6 +1576,55 @@ class PipelineUnitSpec extends SparkTestBase {
       s"estimate ${got("big")._2}")
   }
 
+  test("hll: merge of shard sketches equals combined build, est within 15%") {
+    import spark.implicits._
+    val items = (1 to 12000).map(i => ("g", s"item${i % 5000}", i % 2))
+    val df = items.toDF("grp", "item", "shard")
+    val all = Sketch.hllRegisters(df, Seq("grp"), col("item"))
+    val a = Sketch.hllRegisters(df.filter($"shard" === 0), Seq("grp"), col("item"))
+    val b = Sketch.hllRegisters(df.filter($"shard" === 1), Seq("grp"), col("item"))
+    val merged = Sketch.hllMerge(a, b, Seq("grp"))
+    // the HLL merge property, exactly: max-per-cell == build of the union
+    assertDfEquality(merged, all)
+    val est = Sketch.hllEstimate(merged, Seq("grp"))
+      .select($"hll_est").as[Double].head()
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.15, s"estimate $est")
+    // m=64 raw HLL: expected relative error ~1.04/sqrt(64) = 13%
+  }
+
+  test("hll: linear-counting column kicks in on small groups") {
+    import spark.implicits._
+    val df = (1 to 20).map(i => ("s", s"v$i")).toDF("grp", "item")
+    val regs = Sketch.hllRegisters(df, Seq("grp"), col("item"))
+    val row = Sketch.hllEstimate(regs, Seq("grp")).collect().head
+    val nZero = row.getAs[Long]("n_zero")
+    val lc = row.getAs[Double]("hll_est_lc")
+    assert(nZero > 0L)
+    assert(lc == 64.0 * math.log(64.0 / nZero))
+    assert(math.abs(lc - 20.0) < 6.0, s"linear count $lc")
+  }
+
+  test("lm: trigram model probs and doc scores match hand computation") {
+    import spark.implicits._
+    val corpus = Seq("ab", "ab", "ac").toDF("text")
+    val model = LangModel.trainCharTrigramModel(corpus, col("text"))
+    val probs = model.as[(String, Long)].collect().toMap
+    // corpus trigrams of '##'-padded text: ##a x3, #ab x2, #ac x1, ab# x2, ac# x1
+    assert(probs == Map("##a" -> 1000000L, "#ab" -> 666666L,
+      "#ac" -> 333333L, "ab#" -> 1000000L, "ac#" -> 1000000L))
+    val scored = LangModel.scoreDocs(
+      Seq((1L, "ab"), (2L, "zz")).toDF("doc_id", "text"),
+      Seq("doc_id"), col("text"), model)
+      .orderBy("doc_id").collect()
+    assert(scored(0).getAs[Long]("n_tri") == 3L)
+    assert(scored(0).getAs[Long]("oov_tri") == 0L)
+    assert(scored(0).getAs[Long]("sum_prob_micro") == 2666666L)
+    assert(scored(0).getAs[Double]("lm_score") == 2666666.0 / 3.0)
+    // unseen chars: every trigram OOV, score 0
+    assert(scored(1).getAs[Long]("oov_tri") == 3L)
+    assert(scored(1).getAs[Long]("sum_prob_micro") == 0L)
+  }
+
   test("registeredDomain handles www/port/userinfo/multi-label hosts") {
     import spark.implicits._
     val cases = Seq(
