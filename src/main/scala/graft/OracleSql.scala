@@ -1751,6 +1751,50 @@ object OracleSql {
          |FROM g""".stripMargin
     },
 
+    // Streaming HLL replay: the stream's max-rolled register changelog
+    // equals the batch register build over the same rows, so the replay is
+    // the q_hll_distinct arithmetic over (event_type, user_id).
+    "q_stream_hll" -> {
+      val h = Hashing.mixSql(
+        Hashing.polyHashSql("CAST(user_id AS VARCHAR)"), 29)
+      val bl = (24 to 1 by -1)
+        .map(k => s"WHEN w >= ${1L << (k - 1)} THEN $k").mkString(" ")
+      val r2 = 1L << 25
+      s"""WITH h AS (SELECT event_type, ($h) AS hh FROM events),
+         |b AS (SELECT event_type, hh % 64 AS bucket, hh // 64 AS w FROM h),
+         |reg AS (SELECT event_type, bucket,
+         |  max(25 - (CASE $bl ELSE 0 END)) AS register
+         |  FROM b GROUP BY event_type, bucket),
+         |g AS (SELECT event_type, count(*) AS n_set,
+         |  CAST(sum((CAST(1 AS BIGINT) << (25 - register))) AS BIGINT) AS s_set
+         |  FROM reg GROUP BY event_type)
+         |SELECT event_type, 64 - n_set AS n_zero,
+         |  s_set + (64 - n_set) * $r2 AS s_int,
+         |  (709.0 * ${64.0 * 64.0 * r2}) /
+         |    (1000.0 * CAST(s_set + (64 - n_set) * $r2 AS DOUBLE)) AS hll_est
+         |FROM g""".stripMargin
+    },
+
+    // Histogram-quantile replay: 256 exact-count bins of width 2 over
+    // [0, 512) per event_type (shard merge == combined build, so the
+    // replay bins once), quantile = upper edge of the first bin whose
+    // cumulative count reaches ceil(q·n).
+    "q_hist_quantile" ->
+      """WITH h AS (SELECT event_type,
+        |    least(255, greatest(0, CAST(floor((value - 0.0) / 2.0) AS BIGINT))) AS bin,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM h),
+        |p AS (SELECT event_type, q, bin, n
+        |  FROM c CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        |  WHERE cum >= CAST(ceil(q * n) AS BIGINT))
+        |SELECT event_type, q, min(bin) AS bin, max(n) AS n,
+        |  0.0 + CAST(min(bin) + 1 AS DOUBLE) * 2.0 AS q_est
+        |FROM p GROUP BY event_type, q""".stripMargin,
+
     // Char-trigram LM replay: model = floor(1e6·cnt3/cnt2) per trigram of
     // the '##'-padded normalized text (trained on even doc_ids), scores =
     // order-independent integer sums + one final division. The Spark

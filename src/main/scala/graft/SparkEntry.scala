@@ -999,6 +999,24 @@ object SparkEntry {
       col("value"), col("holt_level_value"), col("holt_trend_value"))
   }
 
+  /** Streaming HLL distinct-user sketch per event type: the register
+    * CHANGELOG from the stateful builder
+    * ([[graft.streaming.StreamingTSDF.hllRegisters]]) max-rolled into the
+    * register file, then estimated with the batch reader — the oracle
+    * replays the equivalent batch build (stream == batch by construction;
+    * the cells come from the same expressions). */
+  private def qStreamHll(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val regsStream = graft.streaming.StreamingTSDF.hllRegisters(
+      eventsStream(s, dir).select(col("event_type"), col("ts"), col("user_id")),
+      "ts", Seq("event_type"), col("user_id").cast(StringType))
+    val rolled = runStream(s, regsStream)
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("register")).alias("register"))
+    graft.pipeline.Sketch.hllEstimate(rolled, Seq("event_type"))
+      .select(col("event_type"), col("n_zero"), col("s_int"), col("hll_est"))
+  }
+
   /** Streaming Kalman as a single-batch streaming query — shares
     * q_kalman's recursive-CTE oracle (same IEEE recursion). */
   private def qStreamKalman(s0: SparkSession, dir: String): DataFrame = {
@@ -1220,6 +1238,24 @@ object SparkEntry {
     val merged = graft.pipeline.Sketch.hllMerge(ra, rb, Seq("source"))
     graft.pipeline.Sketch.hllEstimate(merged, Seq("source"))
       .select(col("source"), col("n_zero"), col("s_int"), col("hll_est"))
+  }
+
+  /** Histogram-sketch quantiles of event value per type: 256 exact-count
+    * bins over [0, 512) built on the two user_id-parity shards and MERGED
+    * (sum per bin — the deterministic 100 TB quantile sketch; see
+    * [[graft.pipeline.Sketch.histogram]]), then p50/p90/p99 read as first
+    * cumulative-rank bin edges. */
+  private def qHistQuantile(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_type"), col("user_id"), col("value"))
+    val ha = graft.pipeline.Sketch.histogram(
+      e.filter(col("user_id") % 2 === 0), Seq("event_type"), col("value"),
+      0.0, 512.0, 256)
+    val hb = graft.pipeline.Sketch.histogram(
+      e.filter(col("user_id") % 2 =!= 0), Seq("event_type"), col("value"),
+      0.0, 512.0, 256)
+    val m = graft.pipeline.Sketch.histMerge(ha, hb, Seq("event_type"))
+    graft.pipeline.Sketch.histQuantiles(m, Seq("event_type"),
+      0.0, 512.0, 256, Seq(0.5, 0.9, 0.99))
   }
 
   /** Character-trigram LM fluency score: model trained on the even-doc_id
@@ -2074,6 +2110,7 @@ object SparkEntry {
     "q_peaks" -> qPeaks _,
     "q_ccf" -> qCcf _,
     "q_stream_holt" -> qStreamHolt _,
+    "q_stream_hll" -> qStreamHll _,
     "q_stream_kalman" -> qStreamKalman _,
     "q_rolling_median" -> qRollingMedian _,
     "q_stream_rollmed" -> qStreamRollMed _,
@@ -2136,6 +2173,7 @@ object SparkEntry {
     "q_kmv_distinct" -> qKmv _,
     "q_hll_distinct" -> qHll _,
     "q_lm_score" -> qLmScore _,
+    "q_hist_quantile" -> qHistQuantile _,
     "q_cms_heavy" -> qCmsHeavy _,
     "q_bloom" -> qBloom _,
     "q_ann_recall" -> qAnnRecall _,

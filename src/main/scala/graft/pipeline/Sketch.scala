@@ -146,6 +146,61 @@ object Sketch {
           .alias("distinct_est"))
   }
 
+  /** Equal-width histogram sketch: per group, exact counts of `valueCol`
+    * in nBins fixed bins over [lo, hi) — out-of-range values clamp into
+    * the edge bins (they stay counted; the caller picks bounds wide
+    * enough that clamping is the tail, not the body). One map-side-
+    * combinable aggregate; sketches merge across shards/days by summing
+    * cnt per (group, bin) — the deterministic 100 TB quantile path
+    * (t-digest/GK sketches depend on input order and would not replay
+    * across engines; a fixed-bin histogram is a pure function of the
+    * value multiset). Output: group…, bin, cnt. */
+  def histogram(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 2 && hi > lo, "need nBins >= 2 and hi > lo")
+    val gc = groupCols.map(col)
+    val w = (hi - lo) / nBins
+    val bin = least(lit(nBins.toLong - 1), greatest(lit(0L),
+      floor((valueCol - lit(lo)) / lit(w)).cast(LongType)))
+    df.select(gc :+ bin.alias("bin"): _*)
+      .groupBy(gc :+ col("bin"): _*)
+      .agg(count(lit(1)).alias("cnt"))
+  }
+
+  /** Merge two [[histogram]] sketches over the same bin layout. */
+  def histMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val gc = groupCols.map(col)
+    a.unionByName(b)
+      .groupBy(gc :+ col("bin"): _*)
+      .agg(sum(col("cnt")).alias("cnt"))
+  }
+
+  /** Read quantile estimates from a [[histogram]] sketch: for each q, the
+    * UPPER edge of the first bin whose cumulative count reaches
+    * rank = ceil(q·n) — a deterministic overestimate within one bin width
+    * of the true quantile. All rank arithmetic is integer except the
+    * ceil(q·n) product and the final edge expression, each a fixed
+    * sequence of IEEE ops on exact inputs (engine-bit-identical).
+    * Output per group × q: group…, q, bin, n, q_est. */
+  def histQuantiles(hist: DataFrame, groupCols: Seq[String], lo: Double,
+      hi: Double, nBins: Int, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be in (0, 1]")
+    val gc = groupCols.map(col)
+    val w = (hi - lo) / nBins
+    val wCum = Window.partitionBy(gc: _*).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(gc: _*)
+    val cum = hist
+      .withColumn("__cum", sum(col("cnt")).over(wCum))
+      .withColumn("__n", sum(col("cnt")).over(wTot))
+    val probe = cum.withColumn("q", explode(array(qs.map(lit): _*)))
+      .filter(col("__cum") >= ceil(col("q") * col("__n")).cast(LongType))
+    probe.groupBy(gc :+ col("q"): _*)
+      .agg(min(col("bin")).alias("bin"), max(col("__n")).alias("n"))
+      .withColumn("q_est", lit(lo) + (col("bin") + 1).cast(DoubleType) * lit(w))
+  }
+
   /** Bits of the [[Hashing]] value space (P < 2^30) — fixes the HLL
     * rho range so register arithmetic stays exact in 64-bit integers. */
   val HllHashBits = 30
@@ -189,16 +244,25 @@ object Sketch {
     * like the rest of this module). */
   def hllRegisters(df: DataFrame, groupCols: Seq[String], itemCol: Column,
       bucketBits: Int = 6, seed: Int = 29): DataFrame = {
-    require(bucketBits >= 4 && bucketBits <= 14, "need 4 <= bucketBits <= 14")
     val gc = groupCols.map(col)
+    val (bucket, rho) = hllCells(itemCol, bucketBits, seed)
+    df.select(gc ++ Seq(bucket.alias("bucket"), rho.alias("__rho")): _*)
+      .groupBy(gc :+ col("bucket"): _*)
+      .agg(max(col("__rho")).alias("register"))
+  }
+
+  /** (bucket, rho) cell coordinates of one item — the shared addressing of
+    * [[hllRegisters]] and the streaming register builder
+    * ([[graft.streaming.StreamingTSDF.hllRegisters]]); the two MUST agree
+    * or batch and stream sketches diverge. */
+  private[graft] def hllCells(itemCol: Column, bucketBits: Int,
+      seed: Int): (Column, Column) = {
+    require(bucketBits >= 4 && bucketBits <= 14, "need 4 <= bucketBits <= 14")
     val m = 1L << bucketBits
     val wBits = HllHashBits - bucketBits
     val h = Hashing.mix(Hashing.polyHash(itemCol), seed)
-    df.select(gc ++ Seq(
-        pmod(h, lit(m)).alias("bucket"),
-        (h / lit(m)).cast(LongType).alias("__w")): _*)
-      .groupBy(gc :+ col("bucket"): _*)
-      .agg(max(lit(wBits + 1) - bitLen(col("__w"), wBits)).alias("register"))
+    (pmod(h, lit(m)),
+      lit(wBits + 1) - bitLen((h / lit(m)).cast(LongType), wBits))
   }
 
   /** Merge two [[hllRegisters]] sketches over the same group/bucket layout:

@@ -942,6 +942,71 @@ object StreamingTSDF {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  // ------------------------------------------------ streaming HLL registers
+  case class HllEvent(series: String, bucket: Long, rho: Int,
+      eventTime: java.sql.Timestamp)
+  case class HllRegState(regs: Array[Int])
+
+  /** Streaming HyperLogLog register build: per series, the max-rho register
+    * file of [[graft.pipeline.Sketch.hllRegisters]] carried as m small ints
+    * of state, emitted as a CHANGELOG — each micro-batch emits only the
+    * cells it raised. Registers only grow, so `max(register) per (series,
+    * bucket)` over the sink at ANY point reconstructs the exact batch
+    * register file of everything ingested so far (single-batch: the sink
+    * IS the register file); [[graft.pipeline.Sketch.hllEstimate]] then
+    * reads distinct-count estimates from the rollup. The cell coordinates
+    * come from the shared [[graft.pipeline.Sketch.hllCells]] expressions,
+    * so batch and stream sketches are bit-identical by construction.
+    *
+    * State is m ints per series — bounded, merge-free, watermark-evictable
+    * via `stateTtl` — the streaming face of the same 100 TB mergeable-
+    * sketch story as the batch builder. Late rows are harmless (a register
+    * can only be raised, never needs rewinding); eviction via ttl starts a
+    * fresh sketch for series idle past the watermark. */
+  def hllRegisters(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      itemCol: Column, bucketBits: Int = 6, seed: Int = 29,
+      stateTtl: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = 1 << bucketBits
+    val (bucket, rho) = graft.pipeline.Sketch.hllCells(itemCol, bucketBits, seed)
+    val projected = df.select(
+      seriesKey(seriesCols).alias("series"),
+      bucket.alias("bucket"), rho.cast(IntegerType).alias("rho"),
+      col(tsCol).alias("eventTime"))
+      .filter(col("bucket").isNotNull) // null items carry no cell
+    val events = stateTtl.fold(projected)(ttl =>
+      projected.withWatermark("eventTime", ttl)).as[HllEvent]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val out = events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (key: String, rows: Iterator[HllEvent], state: GroupState[HllRegState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val regs = state.getOption.map(_.regs).getOrElse(new Array[Int](m))
+            val changed = scala.collection.mutable.SortedSet.empty[Int]
+            var maxTsMs = Long.MinValue
+            rows.foreach { e =>
+              val b = e.bucket.toInt
+              if (e.rho > regs(b)) { regs(b) = e.rho; changed += b }
+              maxTsMs = math.max(maxTsMs, e.eventTime.getTime)
+            }
+            state.update(HllRegState(regs))
+            stateTtl.foreach(ttl => state.setTimeoutTimestamp(
+              math.max(maxTsMs, state.getCurrentWatermarkMs() + 1), ttl))
+            changed.iterator.map(b => (key, b.toLong, regs(b)))
+          }
+      }
+      .toDF("series", "bucket", "register")
+    out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
+      col("bucket"), col("register")): _*)
+  }
+
   // ------------------------------------------------ streaming interpolation
   case class InterpEvent(series: String, tsUs: Long, value: Double,
       eventTime: java.sql.Timestamp)

@@ -1604,6 +1604,33 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(math.abs(lc - 20.0) < 6.0, s"linear count $lc")
   }
 
+  test("histogram: shard merge equals combined build; quantile within a bin") {
+    import spark.implicits._
+    val vals = (1 to 1000).map(i => ("g", i.toDouble, i % 2))
+    val df = vals.toDF("grp", "v", "shard")
+    val all = Sketch.histogram(df, Seq("grp"), col("v"), 0.0, 1024.0, 256)
+    val a = Sketch.histogram(df.filter($"shard" === 0), Seq("grp"), col("v"), 0.0, 1024.0, 256)
+    val b = Sketch.histogram(df.filter($"shard" === 1), Seq("grp"), col("v"), 0.0, 1024.0, 256)
+    val merged = Sketch.histMerge(a, b, Seq("grp"))
+    assertDfEquality(merged, all)
+    val got = Sketch.histQuantiles(merged, Seq("grp"), 0.0, 1024.0, 256,
+      Seq(0.5, 0.9)).collect()
+      .map(r => r.getAs[Double]("q") -> r.getAs[Double]("q_est")).toMap
+    // true p50 = 500, p90 = 900; estimate is the containing bin's upper
+    // edge (bin width 4) — within one width above the true value
+    assert(got(0.5) >= 500.0 && got(0.5) <= 504.0, s"p50 ${got(0.5)}")
+    assert(got(0.9) >= 900.0 && got(0.9) <= 904.0, s"p90 ${got(0.9)}")
+  }
+
+  test("histogram: out-of-range values clamp into edge bins, stay counted") {
+    import spark.implicits._
+    val df = Seq(("g", -5.0), ("g", 0.5), ("g", 99.5), ("g", 250.0))
+      .toDF("grp", "v")
+    val h = Sketch.histogram(df, Seq("grp"), col("v"), 0.0, 100.0, 10)
+      .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("cnt")).toMap
+    assert(h == Map(0L -> 2L, 9L -> 2L)) // -5 clamps low, 250 clamps high
+  }
+
   test("lm: trigram model probs and doc scores match hand computation") {
     import spark.implicits._
     val corpus = Seq("ab", "ab", "ac").toDF("text")

@@ -195,6 +195,23 @@ class StreamingResumeSpec extends SparkTestBase {
     assertDfEquality(streamed, batch)
   }
 
+  test("streaming hll changelog max-rolls to the batch register file over 4 batches") {
+    val rnd = new scala.util.Random(95)
+    val rows = randomSeries(rnd)
+    val spark2 = spark
+    import spark2.implicits._
+    val sink = runChunkedStream(rows, 4, df =>
+      StreamingTSDF.hllRegisters(df, "ts", Seq("user_id"),
+        col("value").cast("string")))
+    val rolled = sink.groupBy(col("user_id"), col("bucket"))
+      .agg(max(col("register")).alias("register"))
+    val batch = graft.pipeline.Sketch.hllRegisters(
+      rows.toDF("user_id", "ts", "value"), Seq("user_id"),
+      col("value").cast("string"))
+    // register changelog rollup == batch register file, bit-exact
+    assertDfEquality(rolled, batch)
+  }
+
   test("streaming dedup state survives micro-batch boundaries") {
     val spark2 = spark
     import spark2.implicits._
