@@ -1751,6 +1751,50 @@ object OracleSql {
          |FROM g""".stripMargin
     },
 
+    // Pairwise-correlation replay: identical fixed-point moments (BIGINT
+    // sums of scaled longs) and the identical IEEE op sequence for the
+    // Pearson formula (mult/sub/sqrt are correctly rounded — bit-equal).
+    "q_corr" -> {
+      val scales = Seq("l_quantity" -> 100L, "l_extendedprice" -> 1L,
+        "l_discount" -> 10000L, "l_tax" -> 10000L)
+      val scaledSel = scales.map { case (c, s) =>
+        s"CAST(floor($c * $s.0 + 0.5) AS BIGINT) AS s_$c" }.mkString(", ")
+      val pairs = for {
+        i <- scales.indices; j <- scales.indices if i < j
+      } yield (scales(i)._1, scales(j)._1)
+      val pairSqls = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_x, '$b' AS col_y, count(*) AS n,
+           |CAST(sum(s_$a) AS BIGINT) AS sx, CAST(sum(s_$b) AS BIGINT) AS sy,
+           |CAST(sum(s_$a * s_$a) AS BIGINT) AS sxx,
+           |CAST(sum(s_$b * s_$b) AS BIGINT) AS syy,
+           |CAST(sum(s_$a * s_$b) AS BIGINT) AS sxy FROM sc""".stripMargin
+      }
+      val dn = "CAST(n AS DOUBLE)"
+      val den = s"(sqrt($dn * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+        s"sqrt($dn * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+      s"""WITH sc AS (SELECT $scaledSel FROM lineitem),
+         |m AS (${pairSqls.mkString("\nUNION ALL\n")})
+         |SELECT col_x, col_y, n,
+         |  CASE WHEN $den > 0.0
+         |    THEN ($dn * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / $den
+         |  END AS corr
+         |FROM m""".stripMargin
+    },
+
+    // Simpson concentration replay: the in-row run-length fold equals the
+    // relational (doc, token) pair count — same integers, one division.
+    "q_simpson" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  unnest(string_split($norm, ' ')) AS tok FROM documents),
+         |c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2),
+         |s AS (SELECT doc_id, CAST(sum(n * (n - 1)) AS BIGINT) AS rep_pairs,
+         |  CAST(sum(n) AS BIGINT) AS n_tokens FROM c GROUP BY 1)
+         |SELECT doc_id, n_tokens, rep_pairs,
+         |  CASE WHEN n_tokens >= 2 THEN CAST(rep_pairs AS DOUBLE) /
+         |    (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))
+         |  END AS simpson_d
+         |FROM s""".stripMargin,
+
     // Streaming HLL replay: the stream's max-rolled register changelog
     // equals the batch register build over the same rows, so the replay is
     // the q_hll_distinct arithmetic over (event_type, user_id).

@@ -1240,6 +1240,22 @@ object SparkEntry {
       .select(col("source"), col("n_zero"), col("s_int"), col("hll_est"))
   }
 
+  /** Pairwise Pearson correlation of the lineitem numeric columns from
+    * ONE pass of exact fixed-point moments ([[graft.pipeline.Profile
+    * .pairwiseCorrelation]]; scales sized so every moment stays below
+    * 2^63 at sf1000 — dollar resolution for extendedprice). */
+  private def qCorr(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Profile.pairwiseCorrelation(tbl(s, dir, "lineitem"),
+      Seq("l_quantity" -> 100L, "l_extendedprice" -> 1L,
+        "l_discount" -> 10000L, "l_tax" -> 10000L))
+
+  /** Simpson repeated-token concentration per document — shuffle-free
+    * in-row fold ([[graft.pipeline.TextAnalysis.simpsonDiversity]]),
+    * replayed relationally by the oracle. */
+  private def qSimpson(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id") +: TextAnalysis.simpsonDiversity(col("text")): _*)
+
   /** Histogram-sketch quantiles of event value per type: 256 exact-count
     * bins over [0, 512) built on the two user_id-parity shards and MERGED
     * (sum per bin — the deterministic 100 TB quantile sketch; see
@@ -2174,6 +2190,8 @@ object SparkEntry {
     "q_hll_distinct" -> qHll _,
     "q_lm_score" -> qLmScore _,
     "q_hist_quantile" -> qHistQuantile _,
+    "q_corr" -> qCorr _,
+    "q_simpson" -> qSimpson _,
     "q_cms_heavy" -> qCmsHeavy _,
     "q_bloom" -> qBloom _,
     "q_ann_recall" -> qAnnRecall _,

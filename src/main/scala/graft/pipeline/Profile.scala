@@ -34,6 +34,58 @@ object Profile {
     wide.select(explode(entries).alias("__e")).select(col("__e.*"))
   }
 
+  /** Pairwise Pearson correlation over fixed-point-scaled columns in ONE
+    * aggregate pass: every Σx, Σx², Σxy moment is an exact BIGINT sum of
+    * scaled longs (order-independent — a raw double Σxy would depend on
+    * partition merge order), pivoted to one row per column pair, with the
+    * final Pearson formula a fixed sequence of IEEE ops (mult/sub/sqrt are
+    * all correctly rounded, so the doubles replay bit-identically in any
+    * engine).
+    *
+    * `cols` maps each column to its fixed-point scale (x → round(x·scale)
+    * as BIGINT). Magnitude bound (caller-owned, like the SAX cents bound):
+    * Σ(x·scale)² and Σ|x·y·scale_x·scale_y| must stay below 2^63 — Spark
+    * wraps silently past it while DuckDB errors. scale·max|x| ≤ ~10^6 with
+    * row counts ≤ ~10^6·n safely fits; pick dollar resolution for big
+    * monetary columns rather than cents if needed.
+    *
+    * Output: (col_x, col_y, n, corr) for each unordered pair, corr null
+    * when either column is constant. */
+  def pairwiseCorrelation(df: DataFrame,
+      cols: Seq[(String, Long)]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val names = cols.map(_._1)
+    val scaled = cols.map { case (c, s) =>
+      floor(col(c) * lit(s.toDouble) + lit(0.5)).cast(LongType).alias(s"__$c")
+    }
+    val pairs = for {
+      i <- names.indices; j <- names.indices if i < j
+    } yield (names(i), names(j))
+    val aggs = count(lit(1)).alias("__n") +:
+      (names.flatMap(c => Seq(
+        sum(col(s"__$c")).alias(s"__s_$c"),
+        sum(col(s"__$c") * col(s"__$c")).alias(s"__ss_$c"))) ++
+        pairs.map { case (a, b) =>
+          sum(col(s"__$a") * col(s"__$b")).alias(s"__sp_${a}_$b")
+        })
+    val wide = df.select(scaled: _*).agg(aggs.head, aggs.tail: _*)
+    val entries = array(pairs.map { case (a, b) =>
+      struct(lit(a).alias("col_x"), lit(b).alias("col_y"),
+        col("__n").alias("n"),
+        col(s"__s_$a").alias("sx"), col(s"__s_$b").alias("sy"),
+        col(s"__ss_$a").alias("sxx"), col(s"__ss_$b").alias("syy"),
+        col(s"__sp_${a}_$b").alias("sxy"))
+    }: _*)
+    def d(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val e = wide.select(explode(entries).alias("__e")).select(col("__e.*"))
+    val num = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val denx = sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+    val deny = sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))
+    e.select(col("col_x"), col("col_y"), col("n"),
+      when(denx * deny > 0.0, num / (denx * deny)).alias("corr"))
+  }
+
   /** The nine Benford first-digit proportions log₁₀(1 + 1/d), computed
     * once on the JVM so the oracle can embed the identical double
     * literals. */

@@ -55,6 +55,34 @@ object TextAnalysis {
     }._2
   }
 
+  /** Simpson repeated-token concentration: D = Σ nᵢ(nᵢ−1) / (N(N−1)) —
+    * the probability two randomly drawn tokens are equal (1 − D is the
+    * Simpson diversity index). High D flags keyword-stuffed / template /
+    * low-entropy documents; unlike Shannon entropy it needs no log, so the
+    * statistic is an exact integer pair count plus ONE division and
+    * replays bit-identically in any engine.
+    *
+    * Computed WITHOUT a shuffle: tokens of one document live in one row,
+    * so a sort + single fold over the token array (run-length pair
+    * counting: extending a run of k adds 2k pairs) does per-doc what a
+    * (doc, token) groupBy would — the oracle replays relationally and the
+    * multisets agree. Returns (n_tokens, rep_pairs, simpson_d); simpson_d
+    * is null for docs with fewer than 2 tokens. */
+  def simpsonDiversity(text: Column): Seq[Column] = {
+    val sorted = array_sort(split(Dedup.normalizeText(text), " "))
+    val n = size(sorted).cast(LongType)
+    val rep = aggregate(sorted,
+      struct(lit("").alias("prev"), lit(0L).alias("run"), lit(0L).alias("s")),
+      (a, t) => struct(t.alias("prev"),
+        when(t === a("prev"), a("run") + 1).otherwise(lit(1L)).alias("run"),
+        (a("s") + when(t === a("prev"), a("run") * 2).otherwise(lit(0L)))
+          .alias("s")),
+      a => a("s"))
+    Seq(n.alias("n_tokens"), rep.alias("rep_pairs"),
+      when(n >= 2, rep.cast(DoubleType) /
+        (n.cast(DoubleType) * (n - 1).cast(DoubleType))).alias("simpson_d"))
+  }
+
   /** Deterministic decimal rounding: floor(x·10^d + 0.5)/10^d. Pure IEEE
     * ops — bit-identical in any engine, unlike `round()` (Spark rounds the
     * shortest decimal string of the double, DuckDB rounds the binary value;

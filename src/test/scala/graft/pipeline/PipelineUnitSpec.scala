@@ -1631,6 +1631,49 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(h == Map(0L -> 2L, 9L -> 2L)) // -5 clamps low, 250 clamps high
   }
 
+  test("pairwiseCorrelation: ±1 on linear columns, null on constants") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toDouble, 2.0 * i, -i.toDouble, 7.0))
+      .toDF("x", "y", "z", "c")
+    val got = Profile.pairwiseCorrelation(df,
+      Seq("x" -> 1L, "y" -> 1L, "z" -> 1L, "c" -> 1L)).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(math.abs(got(("x", "y")).get - 1.0) < 1e-12)
+    assert(math.abs(got(("x", "z")).get + 1.0) < 1e-12)
+    assert(math.abs(got(("y", "z")).get + 1.0) < 1e-12)
+    assert(got(("x", "c")).isEmpty) // constant column: zero variance -> null
+  }
+
+  test("pairwiseCorrelation matches a direct double computation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 500).map { _ =>
+      val x = rnd.nextInt(1000).toDouble
+      (x, x * 0.5 + rnd.nextInt(200))
+    }
+    val got = Profile.pairwiseCorrelation(rows.toDF("a", "b"),
+      Seq("a" -> 1L, "b" -> 1L)).collect().head.getAs[Double]("corr")
+    val xs = rows.map(_._1); val ys = rows.map(r => math.floor(r._2 + 0.5))
+    val n = xs.size.toDouble
+    val num = n * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum
+    val den = math.sqrt(n * xs.map(a => a * a).sum - xs.sum * xs.sum) *
+      math.sqrt(n * ys.map(b => b * b).sum - ys.sum * ys.sum)
+    assert(math.abs(got - num / den) < 1e-9, s"$got vs ${num / den}")
+  }
+
+  test("simpsonDiversity: run-length pair count matches hand computation") {
+    import spark.implicits._
+    val got = Seq((1L, "a a b"), (2L, "x"), (3L, "t t t t"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id") +: TextAnalysis.simpsonDiversity(col("text")): _*)
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(1) == 3L && got(0).getLong(2) == 2L)
+    assert(got(0).getDouble(3) == 2.0 / 6.0)
+    assert(got(1).getLong(1) == 1L && got(1).getLong(2) == 0L && got(1).isNullAt(3))
+    assert(got(2).getLong(2) == 12L && got(2).getDouble(3) == 1.0)
+  }
+
   test("lm: trigram model probs and doc scores match hand computation") {
     import spark.implicits._
     val corpus = Seq("ab", "ab", "ac").toDF("text")
