@@ -60,18 +60,20 @@ object LangModel {
 
   /** Train: (tri, prob_micro) where prob_micro = floor(1e6 · cnt(tri) /
     * cnt(ctx)) and ctx is the trigram's leading 2 chars — the context
-    * count is DERIVED from the trigram table (its per-ctx sum), so
-    * training is one corpus pass. The floor division is computed as
-    * (x − x mod d) / d: the numerator is an exact multiple of d, so the
-    * one double division is exact and the result replays as integer `//`
-    * in any engine. */
+    * count is DERIVED from the trigram table as a window sum over its
+    * ≤ |Σ|³ rows, so training is exactly ONE corpus pass (a ctx
+    * re-aggregation joined back would re-derive the corpus explode as a
+    * second scan unless runtime exchange reuse catches it — plan-audited).
+    * The floor division is computed as (x − x mod d) / d: the numerator
+    * is an exact multiple of d, so the one double division is exact and
+    * the result replays as integer `//` in any engine. */
   def trainCharTrigramModel(df: DataFrame, textCol: Column): DataFrame = {
     val tri = explodeTrigrams(df, textCol, Seq.empty)
       .groupBy(col("tri")).agg(count(lit(1)).alias("cnt3"))
-    val ctx = tri.groupBy(substring(col("tri"), 1, 2).alias("ctx"))
-      .agg(sum(col("cnt3")).alias("cnt2"))
+    val wCtx = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring(col("tri"), 1, 2))
     val x = lit(1000000L) * col("cnt3")
-    tri.join(ctx, substring(tri("tri"), 1, 2) === ctx("ctx"))
+    tri.withColumn("cnt2", sum(col("cnt3")).over(wCtx))
       .select(col("tri"),
         ((x - pmod(x, col("cnt2"))) / col("cnt2")).cast(LongType)
           .alias("prob_micro"))
