@@ -1781,6 +1781,16 @@ object OracleSql {
          |FROM m""".stripMargin
     },
 
+    // Key-skew replay: exact per-key counts, deterministic top-20 via the
+    // (cnt DESC, key ASC) tie-break, one share division.
+    "q_key_skew" ->
+      """WITH c AS (SELECT CAST(l_suppkey AS VARCHAR) AS key, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+        |SELECT key, cnt, total,
+        |  CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM c, t ORDER BY cnt DESC, key ASC LIMIT 20""".stripMargin,
+
     // Simpson concentration replay: the in-row run-length fold equals the
     // relational (doc, token) pair count — same integers, one division.
     "q_simpson" ->

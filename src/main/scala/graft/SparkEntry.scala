@@ -1249,6 +1249,13 @@ object SparkEntry {
       Seq("l_quantity" -> 100L, "l_extendedprice" -> 1L,
         "l_discount" -> 10000L, "l_tax" -> 10000L))
 
+  /** Key-skew diagnostic: the 20 heaviest l_suppkey values with exact
+    * shares ([[graft.pipeline.Profile.keySkew]]) — the pre-join probe
+    * that picks plain shuffle vs salting vs AQE skew split. */
+  private def qKeySkew(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Profile.keySkew(tbl(s, dir, "lineitem"),
+      col("l_suppkey"), k = 20)
+
   /** Simpson repeated-token concentration per document — shuffle-free
     * in-row fold ([[graft.pipeline.TextAnalysis.simpsonDiversity]]),
     * replayed relationally by the oracle. */
@@ -2192,6 +2199,7 @@ object SparkEntry {
     "q_hist_quantile" -> qHistQuantile _,
     "q_corr" -> qCorr _,
     "q_simpson" -> qSimpson _,
+    "q_key_skew" -> qKeySkew _,
     "q_cms_heavy" -> qCmsHeavy _,
     "q_bloom" -> qBloom _,
     "q_ann_recall" -> qAnnRecall _,

@@ -34,6 +34,30 @@ object Profile {
     wide.select(explode(entries).alias("__e")).select(col("__e.*"))
   }
 
+  /** Key-skew diagnostic for join/groupBy planning: the k heaviest values
+    * of `keyCol` with exact counts and their share of all rows — the
+    * number that decides between a plain shuffle join, salting, or an AQE
+    * skew split at 100 TB (one hot key taking >1/parallelism of the rows
+    * serializes the stage). One map-side-combinable count aggregate, then
+    * TakeOrdered over the distinct keys (no global sort materialization);
+    * ties break on the key itself so the answer is deterministic.
+    * Output: (key, cnt, total, share). */
+  def keySkew(df: DataFrame, keyCol: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.types.DoubleType
+    val counts = df.select(keyCol.cast("string").alias("key"))
+      .groupBy(col("key")).agg(count(lit(1)).alias("cnt"))
+    // both branches hang off the SAME groupBy exchange, so runtime
+    // exchange reuse computes the key counts (and the corpus scan) once
+    val total = counts.agg(sum(col("cnt")).alias("total"))
+    counts.orderBy(col("cnt").desc, col("key").asc).limit(k)
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("cnt"), col("total"),
+        (col("cnt").cast(DoubleType) / col("total").cast(DoubleType))
+          .alias("share"))
+  }
+
   /** Pairwise Pearson correlation over fixed-point-scaled columns in ONE
     * aggregate pass: every Σx, Σx², Σxy moment is an exact BIGINT sum of
     * scaled longs (order-independent — a raw double Σxy would depend on

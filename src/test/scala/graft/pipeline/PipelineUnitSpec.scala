@@ -1631,6 +1631,17 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(h == Map(0L -> 2L, 9L -> 2L)) // -5 clamps low, 250 clamps high
   }
 
+  test("keySkew: exact counts, deterministic tie-break, shares sum sanely") {
+    import spark.implicits._
+    val rows = Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++
+      Seq.fill(3)("also3") ++ Seq("cold")
+    val got = Profile.keySkew(rows.toDF("k"), col("k"), k = 3).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("hot", "also3", "warm"))
+    assert(got.map(_.getLong(1)).toSeq == Seq(6L, 3L, 3L))
+    assert(got.forall(_.getLong(2) == 13L))
+    assert(got.head.getDouble(3) == 6.0 / 13.0)
+  }
+
   test("pairwiseCorrelation: ±1 on linear columns, null on constants") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toDouble, 2.0 * i, -i.toDouble, 7.0))
