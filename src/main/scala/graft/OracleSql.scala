@@ -15,6 +15,25 @@ object OracleSql {
   private val norm =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
+  /** 256 width-2 bins over [0, 512) per event_type, p50/90/99 as first
+    * cumulative-rank bin upper edges — shared by q_hist_quantile and
+    * q_stream_hist (both reconstruct the identical histogram). */
+  private val histQuantileSql =
+    """WITH h AS (SELECT event_type,
+      |    least(255, greatest(0, CAST(floor((value - 0.0) / 2.0) AS BIGINT))) AS bin,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |c AS (SELECT event_type, bin,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM h),
+      |p AS (SELECT event_type, q, bin, n
+      |  FROM c CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+      |  WHERE cum >= CAST(ceil(q * n) AS BIGINT))
+      |SELECT event_type, q, min(bin) AS bin, max(n) AS n,
+      |  0.0 + CAST(min(bin) + 1 AS DOUBLE) * 2.0 AS q_est
+      |FROM p GROUP BY event_type, q""".stripMargin
+
   /** occurrences of a marker in padded lowercase text */
   // multi-query BM25 replay - shared by q_bm25_multi (one-pass) and
   // q_bm25_indexed (postings-index path): the index form is an exact
@@ -1832,22 +1851,37 @@ object OracleSql {
     // Histogram-quantile replay: 256 exact-count bins of width 2 over
     // [0, 512) per event_type (shard merge == combined build, so the
     // replay bins once), quantile = upper edge of the first bin whose
-    // cumulative count reaches ceil(q·n).
-    "q_hist_quantile" ->
-      """WITH h AS (SELECT event_type,
-        |    least(255, greatest(0, CAST(floor((value - 0.0) / 2.0) AS BIGINT))) AS bin,
-        |    count(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |c AS (SELECT event_type, bin,
-        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
-        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
-        |  FROM h),
-        |p AS (SELECT event_type, q, bin, n
-        |  FROM c CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q)
-        |  WHERE cum >= CAST(ceil(q * n) AS BIGINT))
-        |SELECT event_type, q, min(bin) AS bin, max(n) AS n,
-        |  0.0 + CAST(min(bin) + 1 AS DOUBLE) * 2.0 AS q_est
-        |FROM p GROUP BY event_type, q""".stripMargin,
+    // cumulative count reaches ceil(q·n). Shared by q_hist_quantile
+    // (batch parity-shard merge) and q_stream_hist (per-batch delta
+    // changelog sum-rollup) — both reconstruct the same histogram.
+    "q_hist_quantile" -> histQuantileSql,
+    "q_stream_hist" -> histQuantileSql,
+
+    // Tf-cosine pair replay: identical pruned postings self-join —
+    // integer dots/norms, stop-term guard at df <= 100, one division by
+    // two correctly-rounded sqrts.
+    "q_tfcos_pairs" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  unnest(string_split($norm, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |k AS (SELECT term, doc_id, tf FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY term) AS dfc FROM tf)
+         |  WHERE dfc <= 100),
+         |n AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+         |  FROM k GROUP BY 1),
+         |d AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+         |  FROM k a JOIN k b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_id_a, doc_id_b, dot,
+         |  CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         |    AS cosine
+         |FROM d JOIN n na ON d.doc_id_a = na.doc_id
+         |       JOIN n nb ON d.doc_id_b = nb.doc_id
+         |WHERE CAST(dot AS DOUBLE) /
+         |  (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         |  >= 0.5""".stripMargin,
 
     // Char-trigram LM replay: model = floor(1e6·cnt3/cnt2) per trigram of
     // the '##'-padded normalized text (trained on even doc_ids), scores =

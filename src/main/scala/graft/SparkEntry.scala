@@ -1017,6 +1017,23 @@ object SparkEntry {
       .select(col("event_type"), col("n_zero"), col("s_int"), col("hll_est"))
   }
 
+  /** Streaming histogram sketch: per-batch bin-count DELTAS
+    * ([[graft.streaming.StreamingTSDF.histogramDeltas]]) sum-rolled into
+    * the exact batch histogram, quantiles read with the batch reader —
+    * same final answer as q_hist_quantile (identical data, identical
+    * bins), so it shares that oracle. */
+  private def qStreamHist(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val deltas = graft.streaming.StreamingTSDF.histogramDeltas(
+      eventsStream(s, dir).select(col("event_type"), col("ts"), col("value")),
+      "ts", Seq("event_type"), col("value"), 0.0, 512.0, 256)
+    val rolled = runStream(s, deltas)
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("cnt")).alias("cnt"))
+    graft.pipeline.Sketch.histQuantiles(rolled, Seq("event_type"),
+      0.0, 512.0, 256, Seq(0.5, 0.9, 0.99))
+  }
+
   /** Streaming Kalman as a single-batch streaming query — shares
     * q_kalman's recursive-CTE oracle (same IEEE recursion). */
   private def qStreamKalman(s0: SparkSession, dir: String): DataFrame = {
@@ -1248,6 +1265,14 @@ object SparkEntry {
     graft.pipeline.Profile.pairwiseCorrelation(tbl(s, dir, "lineitem"),
       Seq("l_quantity" -> 100L, "l_extendedprice" -> 1L,
         "l_discount" -> 10000L, "l_tax" -> 10000L))
+
+  /** Term-weighted (tf-cosine) near-duplicate pairs through the pruned
+    * postings self-join ([[graft.pipeline.Dedup.tfCosinePairs]]); terms
+    * in more than 100 docs dropped before the join (the quadratic-fan-out
+    * stop-term guard). */
+  private def qTfcosPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.tfCosinePairs(docs(s, dir), "text", "doc_id",
+      threshold = 0.5, maxDf = 100)
 
   /** Key-skew diagnostic: the 20 heaviest l_suppkey values with exact
     * shares ([[graft.pipeline.Profile.keySkew]]) — the pre-join probe
@@ -2200,6 +2225,8 @@ object SparkEntry {
     "q_corr" -> qCorr _,
     "q_simpson" -> qSimpson _,
     "q_key_skew" -> qKeySkew _,
+    "q_tfcos_pairs" -> qTfcosPairs _,
+    "q_stream_hist" -> qStreamHist _,
     "q_cms_heavy" -> qCmsHeavy _,
     "q_bloom" -> qBloom _,
     "q_ann_recall" -> qAnnRecall _,

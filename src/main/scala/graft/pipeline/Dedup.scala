@@ -573,6 +573,57 @@ object Dedup {
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("containment"))
   }
 
+  /** Term-weighted (tf-cosine) near-duplicate pairs through a postings
+    * self-join — the SPARSE-vector sibling of the dense-embedding
+    * [[Similarity]] paths and the set-based minhash/containment family:
+    * documents sharing rare vocabulary in similar proportions score high
+    * even when shingle sets diverge (paraphrase with reordering).
+    *
+    * Plan shape at scale: one tokenize pass → (term, doc, tf) aggregate;
+    * terms with document frequency > `maxDf` are DROPPED before the
+    * self-join (the stop-term guard: a term in k docs contributes k² pair
+    * rows, so common words — which carry no dedup signal — would
+    * otherwise quadratically dominate; the bound makes per-term fan-out
+    * ≤ maxDf², the same explicit-cap discipline as the minhash bucket
+    * splits). Cosine is computed in the pruned term space: integer dot
+    * products and squared norms (order-independent BIGINT sums), then one
+    * division by two correctly-rounded sqrts — engine-bit-identical.
+    *
+    * Output: (idCol_a, idCol_b, dot, cosine) for pairs with
+    * cosine ≥ threshold, a < b. */
+  def tfCosinePairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, maxDf: Int): DataFrame = {
+    require(maxDf >= 2, "maxDf must be >= 2")
+    val tf = df.select(col(idCol),
+        explode(split(normalizeText(col(textCol)), " ")).alias("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).alias("tf"))
+    val kept = tf
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .filter(col("__df") <= maxDf)
+      .select(col("term"), col(idCol), col("tf"))
+    val norms = kept.groupBy(col(idCol))
+      .agg(sum(col("tf") * col("tf")).alias("n2"))
+    val a = kept.select(col("term"), col(idCol).alias(s"${idCol}_a"),
+      col("tf").alias("__tfa"))
+    val b = kept.select(col("term"), col(idCol).alias(s"${idCol}_b"),
+      col("tf").alias("__tfb"))
+    val dots = a.join(b, Seq("term"))
+      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+      .groupBy(col(s"${idCol}_a"), col(s"${idCol}_b"))
+      .agg(sum(col("__tfa") * col("__tfb")).alias("dot"))
+    val cosine = col("dot").cast(DoubleType) /
+      (sqrt(col("__n2a").cast(DoubleType)) * sqrt(col("__n2b").cast(DoubleType)))
+    dots
+      .join(norms.select(col(idCol).alias(s"${idCol}_a"),
+        col("n2").alias("__n2a")), s"${idCol}_a")
+      .join(norms.select(col(idCol).alias(s"${idCol}_b"),
+        col("n2").alias("__n2b")), s"${idCol}_b")
+      .withColumn("cosine", cosine)
+      .filter(col("cosine") >= threshold)
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("dot"), col("cosine"))
+  }
+
   /** Cross-document boilerplate line removal (the CCNet/RefinedWeb cleanup):
     * a line occurring in ≥ `minDocs` distinct documents is boilerplate
     * (cookie banners, nav text, footers) and is stripped from every

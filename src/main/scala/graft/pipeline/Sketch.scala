@@ -157,14 +157,23 @@ object Sketch {
     * value multiset). Output: group…, bin, cnt. */
   def histogram(df: DataFrame, groupCols: Seq[String], valueCol: Column,
       lo: Double, hi: Double, nBins: Int): DataFrame = {
-    require(nBins >= 2 && hi > lo, "need nBins >= 2 and hi > lo")
     val gc = groupCols.map(col)
-    val w = (hi - lo) / nBins
-    val bin = least(lit(nBins.toLong - 1), greatest(lit(0L),
-      floor((valueCol - lit(lo)) / lit(w)).cast(LongType)))
+    val bin = histBin(valueCol, lo, hi, nBins)
     df.select(gc :+ bin.alias("bin"): _*)
       .groupBy(gc :+ col("bin"): _*)
       .agg(count(lit(1)).alias("cnt"))
+  }
+
+  /** Clamped equal-width bin index — the shared binning of [[histogram]]
+    * and the streaming delta builder
+    * ([[graft.streaming.StreamingTSDF.histogramDeltas]]); the two MUST
+    * agree or batch and stream sketches diverge. */
+  private[graft] def histBin(valueCol: Column, lo: Double, hi: Double,
+      nBins: Int): Column = {
+    require(nBins >= 2 && hi > lo, "need nBins >= 2 and hi > lo")
+    val w = (hi - lo) / nBins
+    least(lit(nBins.toLong - 1), greatest(lit(0L),
+      floor((valueCol - lit(lo)) / lit(w)).cast(LongType)))
   }
 
   /** Merge two [[histogram]] sketches over the same bin layout. */

@@ -1007,6 +1007,43 @@ object StreamingTSDF {
       col("bucket"), col("register")): _*)
   }
 
+  // ----------------------------------------------- streaming histogram
+  case class HistEvent(series: String, bin: Long,
+      eventTime: java.sql.Timestamp)
+
+  /** Streaming histogram-sketch feed: per micro-batch, the exact bin
+    * counts of the batch's rows per series — COUNT DELTAS, so a plain
+    * `sum(cnt) per (series, bin)` over the sink reconstructs the exact
+    * [[graft.pipeline.Sketch.histogram]] of everything ingested (counts
+    * are additive; the rollup at any point is the sketch so far, and
+    * [[graft.pipeline.Sketch.histQuantiles]] reads quantiles from it).
+    * Bins come from the shared [[graft.pipeline.Sketch.histBin]]
+    * expression, so batch and stream cannot drift. The operator carries
+    * NO cross-batch state (deltas need none) — `flatMapGroupsWithState`
+    * is used only to legally aggregate inside an append-mode stream;
+    * nothing is stored, nothing can leak. */
+  def histogramDeltas(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      valueCol: Column, lo: Double, hi: Double, nBins: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val projected = df.select(
+      seriesKey(seriesCols).alias("series"),
+      graft.pipeline.Sketch.histBin(valueCol, lo, hi, nBins).alias("bin"),
+      col(tsCol).alias("eventTime"))
+      .filter(col("bin").isNotNull).as[HistEvent]
+    val out = projected
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[HistEvent], state: GroupState[Long]) =>
+          rows.toSeq.groupBy(_.bin).iterator
+            .map { case (bin, rs) => (key, bin, rs.size.toLong) }
+      }
+      .toDF("series", "bin", "cnt")
+    out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
+      col("bin"), col("cnt")): _*)
+  }
+
   // ------------------------------------------------ streaming interpolation
   case class InterpEvent(series: String, tsUs: Long, value: Double,
       eventTime: java.sql.Timestamp)

@@ -1631,6 +1631,30 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(h == Map(0L -> 2L, 9L -> 2L)) // -5 clamps low, 250 clamps high
   }
 
+  test("tfCosinePairs: identical docs score 1.0, stop-terms are pruned") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // identical to 1
+      (3L, "epsilon zeta eta theta"), // disjoint from 1/2
+      (4L, "alpha beta iota kappa")) // shares 2 of 4 terms with 1/2
+      .toDF("doc_id", "text")
+    val got = Dedup.tfCosinePairs(docs, "text", "doc_id",
+      threshold = 0.4, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Double]("cosine")).toMap
+    assert(got((1L, 2L)) == 1.0) // identical in the pruned space
+    // 1-4 and 2-4 share alpha/beta: dot 2, norms 2 -> cosine 0.5
+    assert(got((1L, 4L)) == 0.5 && got((2L, 4L)) == 0.5)
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // with maxDf = 2, alpha/beta (df 3) become stop terms: 1-4 loses all
+    // shared vocabulary and only the identical pair survives
+    val strict = Dedup.tfCosinePairs(docs, "text", "doc_id",
+      threshold = 0.1, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((1L, 2L)))
+  }
+
   test("keySkew: exact counts, deterministic tie-break, shares sum sanely") {
     import spark.implicits._
     val rows = Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++

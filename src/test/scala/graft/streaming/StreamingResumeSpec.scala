@@ -212,6 +212,22 @@ class StreamingResumeSpec extends SparkTestBase {
     assertDfEquality(rolled, batch)
   }
 
+  test("streaming histogram deltas sum-roll to the batch histogram over 4 batches") {
+    val rnd = new scala.util.Random(96)
+    val rows = randomSeries(rnd)
+    val spark2 = spark
+    import spark2.implicits._
+    val sink = runChunkedStream(rows, 4, df =>
+      StreamingTSDF.histogramDeltas(df, "ts", Seq("user_id"),
+        col("value"), 0.0, 1024.0, 64))
+    val rolled = sink.groupBy(col("user_id"), col("bin"))
+      .agg(sum(col("cnt")).alias("cnt"))
+    val batch = graft.pipeline.Sketch.histogram(
+      rows.toDF("user_id", "ts", "value"), Seq("user_id"),
+      col("value"), 0.0, 1024.0, 64)
+    assertDfEquality(rolled, batch)
+  }
+
   test("streaming dedup state survives micro-batch boundaries") {
     val spark2 = spark
     import spark2.implicits._
