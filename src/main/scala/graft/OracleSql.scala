@@ -3263,6 +3263,34 @@ object OracleSql {
          |FROM k""".stripMargin
     },
 
+    // Trailing-HLL WAU replay: register merge over a window equals the
+    // register build over the window's unioned rows, so the replay
+    // day-explodes once and builds per-window registers directly.
+    "q_wau_hll" -> {
+      val h = Hashing.mixSql(
+        Hashing.polyHashSql("CAST(user_id AS VARCHAR)"), 29)
+      val bl = (24 to 1 by -1)
+        .map(k => s"WHEN wv >= ${1L << (k - 1)} THEN $k").mkString(" ")
+      val r2 = 1L << 25
+      s"""WITH b AS (SELECT epoch_us(ts) // 86400000000 AS b,
+         |  ($h) AS hh FROM events),
+         |sp AS (SELECT max(b) AS hi FROM b),
+         |w AS (SELECT DISTINCT b.b + r AS win, hh
+         |  FROM b, range(7) t(r), sp WHERE b.b + r <= sp.hi),
+         |cells AS (SELECT win, hh % 64 AS bucket, hh // 64 AS wv FROM w),
+         |reg AS (SELECT win, bucket,
+         |  max(25 - (CASE $bl ELSE 0 END)) AS register
+         |  FROM cells GROUP BY win, bucket),
+         |g AS (SELECT win, count(*) AS n_set,
+         |  CAST(sum((CAST(1 AS BIGINT) << (25 - register))) AS BIGINT) AS s_set
+         |  FROM reg GROUP BY win)
+         |SELECT win, 64 - n_set AS n_zero,
+         |  s_set + (64 - n_set) * $r2 AS s_int,
+         |  (709.0 * ${64.0 * 64.0 * r2}) /
+         |    (1000.0 * CAST(s_set + (64 - n_set) * $r2 AS DOUBLE)) AS hll_est
+         |FROM g""".stripMargin
+    },
+
     // exact trailing-window p90: selection at rank ceil(0.9·n) from the
     // sorted 20-row frame list
     "q_rolling_p90" ->

@@ -1478,6 +1478,16 @@ object SparkEntry {
       expr("unix_micros(ts) div 86400000000"),
       col("user_id").cast(StringType), k = 64, windowBuckets = 7)
 
+  /** Trailing-7-day WAU via merged HLL register files
+    * ([[graft.pipeline.Sketch.hllDistinctTrailing]]) — the register-merge
+    * sibling of q_wau_kmv over the same day buckets. */
+  private def qWauHll(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sketch.hllDistinctTrailing(
+      events(s, dir).select(col("ts"), col("user_id")),
+      expr("unix_micros(ts) div 86400000000"),
+      col("user_id").cast(StringType), windowBuckets = 7)
+      .select(col("win"), col("n_zero"), col("s_int"), col("hll_est"))
+
   /** Exact trailing-20-row p90 per user (lower rank convention). */
   private def qRollingP90(s: SparkSession, dir: String): DataFrame =
     graft.tsdf.Stats.rollingQuantile(
@@ -2244,6 +2254,7 @@ object SparkEntry {
     "q_retention" -> qRetention _,
     "q_wau" -> qWau _,
     "q_wau_kmv" -> qWauKmv _,
+    "q_wau_hll" -> qWauHll _,
     "q_rolling_p90" -> qRollingP90 _,
     "q_session_stats" -> qSessionStats _,
     "q_editdist_pairs" -> qEditdistPairs _,

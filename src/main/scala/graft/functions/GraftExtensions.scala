@@ -61,9 +61,28 @@ object GraftExtensions {
     new ExpressionInfo(MortonInterleave.getClass.getName, "graft_zorder"),
     (children: Seq[Expression]) => MortonInterleave(children))
 
+  /** graft_hilbert(bits, x, y): bits must be a foldable integer literal
+    * (the curve order is a plan constant, like a window frame size). */
+  val hilbertDescriptor: Descriptor = (
+    FunctionIdentifier("graft_hilbert"),
+    new ExpressionInfo(HilbertIndex.getClass.getName, "graft_hilbert"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "graft_hilbert takes (bits, x, y)")
+      require(children.head.foldable,
+        "graft_hilbert bits must be a literal")
+      val bits = children.head.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_hilbert bits must be an integer literal, got $other")
+      }
+      Hilbert2(bits, children(1), children(2))
+    })
+
   val descriptors: Seq[Descriptor] =
     Seq(polyHashDescriptor, dotDescriptor, l2SqDescriptor,
-      sortedIntersectSizeDescriptor, zorderDescriptor)
+      sortedIntersectSizeDescriptor, zorderDescriptor, hilbertDescriptor)
 
   /** Imperative registration on an already-running session (notebooks / REPLs
     * that can't pass `spark.sql.extensions` at startup). */

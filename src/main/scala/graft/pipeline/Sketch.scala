@@ -283,6 +283,35 @@ object Sketch {
       .agg(max(col("register")).alias("register"))
   }
 
+  /** Trailing-window HLL distinct estimate (the WAU/MAU register path):
+    * per observed integer time bucket, merge the trailing `windowBuckets`
+    * per-bucket register files by max and estimate — the HLL face of
+    * [[kmvDistinctTrailing]]. Register merge is exact (max per cell ==
+    * build over the union), so sliding distinct counts never re-scan the
+    * window's raw rows: one full-volume register aggregate, then
+    * everything slides on ≤ m rows per bucket. Per-bucket state is m
+    * 5-bit ranks vs KMV's k hashes — the smaller-state trade, at HLL's
+    * ~1.04/√m relative error. Output: (win, n_zero, s_int, hll_est). */
+  def hllDistinctTrailing(df: DataFrame, bucketCol: Column, itemCol: Column,
+      windowBuckets: Int, bucketBits: Int = 6, seed: Int = 29): DataFrame = {
+    require(windowBuckets >= 1, "need windowBuckets >= 1")
+    val (cell, rho) = hllCells(itemCol, bucketBits, seed)
+    val perBucket = df
+      .select(bucketCol.cast(LongType).alias("__b"),
+        cell.alias("bucket"), rho.alias("__rho"))
+      .groupBy(col("__b"), col("bucket"))
+      .agg(max(col("__rho")).alias("register"))
+    val span = perBucket.agg(max(col("__b")).alias("__hi"))
+    val merged = perBucket
+      .withColumn("win",
+        explode(sequence(col("__b"), col("__b") + (windowBuckets - 1))))
+      .crossJoin(broadcast(span))
+      .filter(col("win") <= col("__hi"))
+      .groupBy(col("win"), col("bucket"))
+      .agg(max(col("register")).alias("register"))
+    hllEstimate(merged, Seq("win"), bucketBits)
+  }
+
   /** Read a distinct-count estimate from an [[hllRegisters]] sketch.
     *
     * The harmonic mean is computed in INTEGER space: with R = max rho,

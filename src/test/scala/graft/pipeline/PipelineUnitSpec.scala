@@ -447,6 +447,18 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(!plan.contains("graft_poly_hash"), plan)
   }
 
+  test("graft_hilbert registers as a SQL function and matches the JVM walk") {
+    graft.functions.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_hilbert(8, 200L, 77L) AS h").collect().head.getLong(0)
+    assert(viaSql == graft.functions.HilbertIndex.hilbert2(8, 200L, 77L))
+    // non-literal bits is an analysis error, not a runtime surprise
+    intercept[Exception] {
+      spark.sql("SELECT graft_hilbert(CAST(rand()*8 AS INT), 1L, 2L)")
+        .collect()
+    }
+  }
+
   test("graft_dot / graft_l2sq / graft_sorted_intersect_size register as SQL functions") {
     graft.functions.GraftExtensions.register(spark)
     val r = spark.sql(
@@ -1590,6 +1602,28 @@ class PipelineUnitSpec extends SparkTestBase {
       .select($"hll_est").as[Double].head()
     assert(math.abs(est - 5000.0) / 5000.0 < 0.15, s"estimate $est")
     // m=64 raw HLL: expected relative error ~1.04/sqrt(64) = 13%
+  }
+
+  test("hllDistinctTrailing equals a fresh build over each window's raw rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 3000).map(_ =>
+      (rnd.nextInt(10).toLong, s"u${rnd.nextInt(800)}"))
+    val df = rows.toDF("b", "item")
+    val got = Sketch.hllDistinctTrailing(df, col("b"), col("item"),
+      windowBuckets = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.nonEmpty)
+    got.keys.foreach { win =>
+      val sub = df.filter(col("b") >= win - 2 && col("b") <= win)
+      val exp = Sketch.hllEstimate(
+        Sketch.hllRegisters(sub, Seq.empty, col("item")), Seq.empty)
+        .collect().head
+      // window merge == fresh build over the window's rows, bit-exact
+      assert(got(win) == ((exp.getLong(0), exp.getLong(1), exp.getDouble(2))),
+        s"win $win")
+    }
   }
 
   test("hll: linear-counting column kicks in on small groups") {
