@@ -3291,6 +3291,59 @@ object OracleSql {
          |FROM g""".stripMargin
     },
 
+    // SCD2 replay: lag IS DISTINCT FROM collapses no-op re-emits (the
+    // null-safe struct compare), lead derives [valid_from, valid_to).
+    "q_scd2" ->
+      """WITH c AS (SELECT user_id, ts, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |ch AS (SELECT user_id, ts, event_type FROM c
+        |  WHERE prev IS DISTINCT FROM event_type),
+        |v AS (SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+        |    AS valid_to_us
+        |  FROM ch)
+        |SELECT user_id, event_type, valid_from_us, valid_to_us,
+        |  valid_to_us IS NULL AS is_current FROM v""".stripMargin,
+
+    // Point-in-time lookup replay: same dim build on the event_id%3
+    // third, left-joined on id + validity range.
+    "q_scd2_lookup" ->
+      """WITH c AS (SELECT user_id, ts, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events WHERE event_id % 3 = 0),
+        |ch AS (SELECT user_id, ts, event_type FROM c
+        |  WHERE prev IS DISTINCT FROM event_type),
+        |v AS (SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+        |    AS valid_to_us
+        |  FROM ch)
+        |SELECT f.user_id, epoch_us(f.ts) AS ts_us, f.event_id,
+        |  v.event_type AS dim_event_type, v.valid_from_us AS v_from_us
+        |FROM events f LEFT JOIN v ON f.user_id = v.user_id
+        |  AND epoch_us(f.ts) >= v.valid_from_us
+        |  AND (v.valid_to_us IS NULL OR epoch_us(f.ts) < v.valid_to_us)"""
+        .stripMargin,
+
+    // Cross-sectional z replay: exact BIGINT hour-bucket moments, every
+    // product after a double cast, one sqrt + one division.
+    "q_cross_z" ->
+      """WITH b AS (SELECT event_id, user_id,
+        |  epoch_us(ts) // 3600000000 AS bucket,
+        |  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS cs_n,
+        |  CAST(sum(cents) OVER (PARTITION BY bucket) AS BIGINT) AS s1,
+        |  CAST(sum(cents * cents) OVER (PARTITION BY bucket) AS BIGINT) AS s2
+        |  FROM b)
+        |SELECT event_id, user_id, bucket, cents, cs_n,
+        |  CASE WHEN sqrt(CAST(cs_n AS DOUBLE) * CAST(s2 AS DOUBLE) -
+        |      CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) > 0.0
+        |    THEN (CAST(cs_n AS DOUBLE) * CAST(cents AS DOUBLE) -
+        |        CAST(s1 AS DOUBLE)) /
+        |      sqrt(CAST(cs_n AS DOUBLE) * CAST(s2 AS DOUBLE) -
+        |        CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |  END AS cs_z FROM m""".stripMargin,
+
     // exact trailing-window p90: selection at rank ceil(0.9·n) from the
     // sorted 20-row frame list
     "q_rolling_p90" ->

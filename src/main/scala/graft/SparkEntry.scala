@@ -1488,6 +1488,45 @@ object SparkEntry {
       col("user_id").cast(StringType), windowBuckets = 7)
       .select(col("win"), col("n_zero"), col("s_int"), col("hll_est"))
 
+  /** SCD2 dimension build from the event log: per user, event_type
+    * versions with [valid_from, valid_to) validity, no-op re-emits
+    * collapsed ([[graft.pipeline.Cdc.scd2FromLog]]). */
+  private def qScd2(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Cdc.scd2FromLog(
+      events(s, dir).select(col("user_id"), col("ts"), col("event_type")),
+      "user_id", "ts", Seq("event_type"))
+      .select(col("user_id"), col("event_type"),
+        usec(col("valid_from")).alias("valid_from_us"),
+        usec(col("valid_to")).alias("valid_to_us"), col("is_current"))
+
+  /** Point-in-time dimension lookup: every event joined to the version
+    * live at its timestamp from a dim built on a THIRD of the log
+    * (facts before the first version get nulls — the no-leakage
+    * training-data join, [[graft.pipeline.Cdc.asOfLookup]]). */
+  private def qScd2Lookup(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val dim = graft.pipeline.Cdc.scd2FromLog(
+      ev.filter(col("event_id") % 3 === 0)
+        .select(col("user_id"), col("ts"), col("event_type")),
+      "user_id", "ts", Seq("event_type"))
+    graft.pipeline.Cdc.asOfLookup(
+      ev.select(col("user_id"), col("ts"), col("event_id")), dim,
+      "user_id", "ts")
+      .select(col("user_id"), usec(col("ts")).alias("ts_us"),
+        col("event_id"), col("dim_event_type"),
+        usec(col("dim_valid_from")).alias("v_from_us"))
+  }
+
+  /** Cross-sectional z-score of event value against all events in the
+    * same hour ([[graft.tsdf.Stats.crossSectionalZ]] — exact integer
+    * moments, fixed IEEE op sequence). */
+  private def qCrossZ(s: SparkSession, dir: String): DataFrame =
+    graft.tsdf.Stats.crossSectionalZ(
+      events(s, dir).select(col("event_id"), col("user_id"), col("ts"),
+        col("value")),
+      Seq("event_id", "user_id"),
+      expr("unix_micros(ts) div 3600000000"), col("value"))
+
   /** Exact trailing-20-row p90 per user (lower rank convention). */
   private def qRollingP90(s: SparkSession, dir: String): DataFrame =
     graft.tsdf.Stats.rollingQuantile(
@@ -2255,6 +2294,9 @@ object SparkEntry {
     "q_wau" -> qWau _,
     "q_wau_kmv" -> qWauKmv _,
     "q_wau_hll" -> qWauHll _,
+    "q_scd2" -> qScd2 _,
+    "q_scd2_lookup" -> qScd2Lookup _,
+    "q_cross_z" -> qCrossZ _,
     "q_rolling_p90" -> qRollingP90 _,
     "q_session_stats" -> qSessionStats _,
     "q_editdist_pairs" -> qEditdistPairs _,

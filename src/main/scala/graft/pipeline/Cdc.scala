@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (SCD type 2) maintenance — the standard
+  * warehouse shape for "what did this row look like at time t", built
+  * from an append-only change log in one pass.
+  *
+  * 100 TB design: one window per id (the same shuffle any per-key
+  * sessionization pays), no self-join, no driver state; re-running on a
+  * longer log is idempotent because versions are a pure function of the
+  * (id, ts)-ordered attribute sequence. Collapsing no-op updates BEFORE
+  * the validity windows keeps output proportional to true changes, not
+  * log volume (upstream systems love re-emitting unchanged rows).
+  *
+  * Reference scope note: tempo has no table-maintenance surface; this
+  * serves the pipeline side (dimension snapshots for training-data joins
+  * — "which label/config was live when this example was logged").
+  */
+object Cdc {
+
+  /** Versioned rows from a change log: for each id, keep only rows whose
+    * tracked attributes differ from the previous row (null-safe struct
+    * compare), then derive `valid_from` = change ts, `valid_to` = next
+    * change ts (null = still current), `is_current`. Requires unique
+    * (id, ts) pairs — the log's natural key. */
+  def scd2FromLog(log: DataFrame, idCol: String, tsCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "need at least one tracked attribute")
+    val w = Window.partitionBy(col(idCol)).orderBy(col(tsCol))
+    val attrs = struct(attrCols.map(col): _*)
+    val changed = log
+      .select(col(idCol) +: col(tsCol) +: attrCols.map(col): _*)
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      // null-safe: first row (null prev) and genuine changes survive;
+      // a no-op re-emit (prev <=> attrs) is dropped
+      .filter(!(col("__prev") <=> attrs))
+      .drop("__prev")
+    changed
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(tsCol)
+  }
+
+  /** Point-in-time lookup against a [[scd2FromLog]] dimension: attach the
+    * attribute version live at each fact row's timestamp (the training-
+    * data join: label/config as of example time — no leakage from later
+    * versions). Interval semantics [valid_from, valid_to); facts before
+    * the first version get null attributes. Implemented as an equi-join
+    * on the id plus validity-range predicates, so Catalyst plans a hash
+    * join on the id (the range filter rides along) — no as-of sort pass
+    * needed because versions per id are few. */
+  def asOfLookup(facts: DataFrame, dim: DataFrame, idCol: String,
+      factTsCol: String): DataFrame = {
+    // unique names on the dim side — a post-join drop by Column can
+    // resolve to the wrong twin of an ambiguous id
+    val d = dim.columns.foldLeft(dim)((acc, c) =>
+      acc.withColumnRenamed(c, if (c == idCol) "__dim_id" else s"dim_$c"))
+    facts.join(d,
+      facts(idCol) === d("__dim_id") &&
+        facts(factTsCol) >= d("dim_valid_from") &&
+        (d("dim_valid_to").isNull || facts(factTsCol) < d("dim_valid_to")),
+      "left")
+      .drop("__dim_id", "dim_is_current")
+  }
+}

@@ -1353,4 +1353,40 @@ object Stats {
       .withColumn("symbol", when(col("z").isNotNull, symbol))
       .drop("__cnt", "__s1", "__s2")
   }
+
+  /** Cross-sectional z-score: standardize `valueCol` ACROSS rows sharing a
+    * time bucket — the transpose of [[withRangeStats]]' per-series-over-
+    * time z, used to rank entities against their peers at one moment
+    * (factor scores, per-hour user anomaly, leaderboard normalization).
+    *
+    * Determinism: values quantize to scaled longs (floor(x·scale + 0.5));
+    * per-bucket moments (s1 = Σx, s2 = Σx²) are exact BIGINT window sums
+    * — order-independent, with the caller-owned bound
+    * scale²·max|x|²·bucketRows < 2^63 (Spark wraps silently past it,
+    * DuckDB errors loudly); z = (n·x − s1) / sqrt(n·s2 − s1²) with every
+    * PRODUCT taken after a double cast (BIGINT s1² would overflow — the
+    * momentStddev discipline) — a fixed IEEE op sequence,
+    * engine-bit-identical. Population-σ convention; buckets with zero
+    * variance or a single row yield null. Output: keep columns + bucket +
+    * cents + cs_n + cs_z. */
+  def crossSectionalZ(df: DataFrame, keepCols: Seq[String],
+      bucketCol: Column, valueCol: Column,
+      scale: Long = 100L): DataFrame = {
+    val cents = floor(valueCol * lit(scale.toDouble) + lit(0.5))
+      .cast(LongType)
+    val base = df.select(keepCols.map(col) :+ bucketCol.alias("bucket") :+
+      cents.alias("cents"): _*)
+    val w = Window.partitionBy(col("bucket"))
+    def d(c: Column) = c.cast(DoubleType)
+    val withM = base
+      .withColumn("cs_n", count(lit(1)).over(w))
+      .withColumn("__s1", sum(col("cents")).over(w))
+      .withColumn("__s2", sum(col("cents") * col("cents")).over(w))
+    val den = sqrt(d(col("cs_n")) * d(col("__s2")) -
+      d(col("__s1")) * d(col("__s1")))
+    val num = d(col("cs_n")) * d(col("cents")) - d(col("__s1"))
+    withM
+      .withColumn("cs_z", when(den > 0.0, num / den))
+      .drop("__s1", "__s2")
+  }
 }

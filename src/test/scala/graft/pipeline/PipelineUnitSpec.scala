@@ -1689,6 +1689,56 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(strict == Set((1L, 2L)))
   }
 
+  test("scd2FromLog collapses no-op re-emits and derives validity intervals") {
+    import spark.implicits._
+    def t(i: Int) = new java.sql.Timestamp(1700000000000L + i * 60000L)
+    val log = Seq(
+      ("u1", t(1), "A"), ("u1", t(2), "A"), ("u1", t(3), "B"),
+      ("u1", t(4), "B"), ("u1", t(5), "A"), ("u2", t(1), "X"))
+      .toDF("user_id", "ts", "state")
+    val got = Cdc.scd2FromLog(log, "user_id", "ts", Seq("state"))
+      .orderBy("user_id", "valid_from")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      ("u1", "A", t(1), Some(t(3)), false),
+      ("u1", "B", t(3), Some(t(5)), false),
+      ("u1", "A", t(5), None, true),
+      ("u2", "X", t(1), None, true)))
+  }
+
+  test("asOfLookup attaches the version live at fact time, null before first") {
+    import spark.implicits._
+    def t(i: Int) = new java.sql.Timestamp(1700000000000L + i * 60000L)
+    val dim = Cdc.scd2FromLog(
+      Seq(("u1", t(2), "A"), ("u1", t(5), "B")).toDF("user_id", "ts", "state"),
+      "user_id", "ts", Seq("state"))
+    val facts = Seq(("u1", t(1), 1L), ("u1", t(2), 2L), ("u1", t(4), 3L),
+      ("u1", t(5), 4L), ("u1", t(9), 5L)).toDF("user_id", "ts", "fact_id")
+    val got = Cdc.asOfLookup(facts, dim, "user_id", "ts")
+      .orderBy("fact_id")
+      .collect().map(r => r.getAs[Long]("fact_id") ->
+        Option(r.getAs[String]("dim_state"))).toMap
+    assert(got == Map(1L -> None, 2L -> Some("A"), 3L -> Some("A"),
+      4L -> Some("B"), 5L -> Some("B")))
+  }
+
+  test("crossSectionalZ: hand-checked moments, null on zero variance") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, 1.0), (2L, 0L, 2.0), (3L, 0L, 3.0),
+      (4L, 1L, 7.0), (5L, 1L, 7.0)).toDF("id", "b", "v")
+    val got = graft.tsdf.Stats.crossSectionalZ(df, Seq("id"),
+      col("b"), col("v")).collect()
+      .map(r => r.getAs[Long]("id") ->
+        Option(r.get(r.fieldIndex("cs_z"))).map(_.asInstanceOf[Double]))
+      .toMap
+    // bucket 0: cents (100,200,300): z = (3x - 600)/sqrt(3*140000 - 360000)
+    assert(got(2L).get == 0.0)
+    assert(math.abs(got(3L).get - 300.0 / math.sqrt(60000.0)) < 1e-12)
+    assert(math.abs(got(1L).get + 300.0 / math.sqrt(60000.0)) < 1e-12)
+    assert(got(4L).isEmpty && got(5L).isEmpty) // zero-variance bucket
+  }
+
   test("keySkew: exact counts, deterministic tie-break, shares sum sanely") {
     import spark.implicits._
     val rows = Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++
