@@ -1800,6 +1800,23 @@ object OracleSql {
          |FROM m""".stripMargin
     },
 
+    // Table-fingerprint replay: identical canonical row repr (unit-sep
+    // concat, chr(1)-marked nulls), same polynomial hash, commutative
+    // integer sums — multiset-equal tables fingerprint identically in
+    // any engine.
+    "q_table_fp" -> {
+      val repr = "concat_ws(chr(31), " +
+        Seq("CAST(o_orderkey AS VARCHAR)", "CAST(o_custkey AS VARCHAR)",
+          "o_orderstatus", "o_orderpriority")
+          .map(c => s"coalesce($c, chr(1) || 'null')").mkString(", ") + ")"
+      val h = Hashing.mixSql(Hashing.polyHashSql("repr"), 41)
+      s"""WITH r AS (SELECT $repr AS repr FROM orders),
+         |h AS (SELECT ($h) AS h FROM r)
+         |SELECT count(*) AS n_rows, CAST(sum(h) AS BIGINT) AS hash_sum,
+         |  CAST(sum((h * h) % ${Hashing.P}) AS BIGINT) AS hash_sq_sum
+         |FROM h""".stripMargin
+    },
+
     // Key-skew replay: exact per-key counts, deterministic top-20 via the
     // (cnt DESC, key ASC) tie-break, one share division.
     "q_key_skew" ->

@@ -1274,6 +1274,13 @@ object SparkEntry {
     Dedup.tfCosinePairs(docs(s, dir), "text", "doc_id",
       threshold = 0.5, maxDf = 100)
 
+  /** Order-independent orders-table fingerprint over its non-float
+    * columns ([[graft.pipeline.Profile.tableFingerprint]]) — snapshot
+    * equality as three integers. */
+  private def qTableFp(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Profile.tableFingerprint(tbl(s, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+
   /** Key-skew diagnostic: the 20 heaviest l_suppkey values with exact
     * shares ([[graft.pipeline.Profile.keySkew]]) — the pre-join probe
     * that picks plain shuffle vs salting vs AQE skew split. */
@@ -2297,6 +2304,7 @@ object SparkEntry {
     "q_scd2" -> qScd2 _,
     "q_scd2_lookup" -> qScd2Lookup _,
     "q_cross_z" -> qCrossZ _,
+    "q_table_fp" -> qTableFp _,
     "q_rolling_p90" -> qRollingP90 _,
     "q_session_stats" -> qSessionStats _,
     "q_editdist_pairs" -> qEditdistPairs _,

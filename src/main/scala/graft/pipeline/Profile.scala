@@ -34,6 +34,32 @@ object Profile {
     wide.select(explode(entries).alias("__e")).select(col("__e.*"))
   }
 
+  /** Order-independent table fingerprint: one row of
+    * (n_rows, hash_sum, hash_sq_sum) where each row contributes the
+    * engine-agnostic polynomial hash of its canonical representation —
+    * commutative integer sums, so the fingerprint is a pure function of
+    * the row MULTISET (partitioning, file order, shuffle plans are all
+    * invisible) and two snapshots compare by three integers instead of a
+    * full sort-merge diff. The squared-hash sum (reduced mod P before
+    * summing — exact in 64 bits at any row count up to ~2^33) catches
+    * edits that preserve the plain sum. Map-side combinable; shard
+    * fingerprints merge by adding the three counters.
+    *
+    * `cols` should be integer/string/date columns: floating-point columns
+    * render engine-specific strings and must be quantized first (the
+    * cents discipline used across this codebase). Nulls are marked
+    * distinctly from the string "null". */
+  def tableFingerprint(df: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val repr = concat_ws("\u001f",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0001null"))): _*)
+    val h = Hashing.mix(Hashing.polyHash(repr), 41)
+    df.agg(count(lit(1)).alias("n_rows"),
+      sum(h).alias("hash_sum"),
+      sum(pmod(h * h, lit(Hashing.P))).alias("hash_sq_sum"))
+  }
+
   /** Key-skew diagnostic for join/groupBy planning: the k heaviest values
     * of `keyCol` with exact counts and their share of all rows — the
     * number that decides between a plain shuffle join, salting, or an AQE

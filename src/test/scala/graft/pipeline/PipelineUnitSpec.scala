@@ -1689,6 +1689,60 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(strict == Set((1L, 2L)))
   }
 
+  test("tableFingerprint: partitioning-invariant, change-sensitive, mergeable") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => (i.toLong, s"name$i", if (i % 7 == 0) null else s"v$i"))
+    val df = rows.toDF("id", "name", "attr")
+    def fp(d: org.apache.spark.sql.DataFrame) =
+      Profile.tableFingerprint(d, Seq("id", "name", "attr")).collect().head
+    val base = fp(df)
+    assert(fp(df.repartition(7)) == base) // multiset function, layout-blind
+    assert(fp(df.orderBy(org.apache.spark.sql.functions.rand(3))) == base)
+    val changed = rows.updated(10, (11L, "name11", "TAMPERED"))
+      .toDF("id", "name", "attr")
+    assert(fp(changed) != base)
+    // shard merge: counters add
+    val a = fp(df.filter($"id" % 2 === 0)); val b = fp(df.filter($"id" % 2 === 1))
+    assert(a.getLong(0) + b.getLong(0) == base.getLong(0))
+    assert(a.getLong(1) + b.getLong(1) == base.getLong(1))
+    assert(a.getLong(2) + b.getLong(2) == base.getLong(2))
+  }
+
+  test("property: scd2 intervals tile per id and lookup returns the logged attr") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    (1 to 3).foreach { _ =>
+      val log = (for {
+        id <- 1 to 8
+        t <- 1 to (3 + rnd.nextInt(15))
+      } yield (s"id$id", new java.sql.Timestamp(1700000000000L + t * 60000L),
+        s"s${rnd.nextInt(3)}")).toDF("id", "ts", "state")
+      val dim = Cdc.scd2FromLog(log, "id", "ts", Seq("state"))
+      val byId = dim.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2),
+          Option(r.getTimestamp(3))))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3.getTime)).toMap
+      byId.foreach { case (_, vs) =>
+        // consecutive versions tile: valid_to == next valid_from; last open
+        vs.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a._4.contains(b._3))
+            assert(a._2 != b._2, "adjacent versions must differ")
+          case _ =>
+        }
+        assert(vs.last._4.isEmpty)
+      }
+      // looking up the log against its own dim returns each row's attr
+      val looked = Cdc.asOfLookup(
+        log.toDF("id", "ts", "orig"), dim, "id", "ts")
+        .collect()
+      looked.foreach { r =>
+        assert(r.getString(r.fieldIndex("orig")) ==
+          r.getString(r.fieldIndex("dim_state")))
+      }
+    }
+  }
+
   test("scd2FromLog collapses no-op re-emits and derives validity intervals") {
     import spark.implicits._
     def t(i: Int) = new java.sql.Timestamp(1700000000000L + i * 60000L)
