@@ -1800,6 +1800,74 @@ object OracleSql {
          |FROM m""".stripMargin
     },
 
+    // LTTB replay: the per-bucket argmax is sequential (each kept point
+    // feeds the next bucket's triangle areas), so the CTE scans ONE
+    // candidate per recursion step carrying (prev kept point, best-so-far
+    // of the current bucket); a bucket boundary commits the best as the
+    // new kept point. Identical integer bucket math, exact-integer
+    // centroids, fixed-IEEE areas, strict-> tie-keeps-earliest.
+    "q_lttb" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT user_id, epoch_us(ts) AS x,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1
+        |      AS BIGINT) AS i,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |keepall AS (SELECT user_id, x, y FROM pts WHERE n <= 16),
+        |big AS (SELECT * FROM pts WHERE n > 16),
+        |mid AS (SELECT user_id, x, y, i, ((i - 1) * 14) // (n - 2) AS k
+        |  FROM big WHERE i BETWEEN 1 AND n - 2),
+        |anch AS (SELECT user_id, k, CAST(sum(x) AS BIGINT) AS sx,
+        |  CAST(sum(y) AS BIGINT) AS sy, count(*) AS c
+        |  FROM mid GROUP BY 1, 2),
+        |lastp AS (SELECT user_id, x, y, i FROM big WHERE i = n - 1),
+        |cand AS (
+        |  SELECT user_id, x, y, i, k FROM mid
+        |  UNION ALL SELECT user_id, x, y, i, CAST(14 AS BIGINT) FROM lastp),
+        |walk AS (
+        |  SELECT b.user_id, b.i, CAST(-1 AS BIGINT) AS k,
+        |    b.x AS selx, b.y AS sely,
+        |    CAST(NULL AS BIGINT) AS bx, CAST(NULL AS BIGINT) AS by1,
+        |    CAST(NULL AS DOUBLE) AS ba,
+        |    CAST(NULL AS BIGINT) AS ex, CAST(NULL AS BIGINT) AS ey
+        |  FROM big b WHERE b.i = 0
+        |  UNION ALL
+        |  SELECT w.user_id, c.i, c.k,
+        |    CASE WHEN c.k > w.k AND w.bx IS NOT NULL THEN w.bx
+        |         ELSE w.selx END AS nselx,
+        |    CASE WHEN c.k > w.k AND w.bx IS NOT NULL THEN w.by1
+        |         ELSE w.sely END AS nsely,
+        |    CASE WHEN c.k > w.k OR area > w.ba THEN c.x ELSE w.bx END,
+        |    CASE WHEN c.k > w.k OR area > w.ba THEN c.y ELSE w.by1 END,
+        |    CASE WHEN c.k > w.k OR area > w.ba THEN area ELSE w.ba END,
+        |    CASE WHEN c.k > w.k AND w.bx IS NOT NULL THEN w.bx END,
+        |    CASE WHEN c.k > w.k AND w.bx IS NOT NULL THEN w.by1 END
+        |  FROM walk w
+        |  JOIN cand c ON c.user_id = w.user_id AND c.i = w.i + 1
+        |  LEFT JOIN anch a ON a.user_id = w.user_id AND a.k = c.k + 1
+        |  JOIN lastp l ON l.user_id = w.user_id,
+        |  LATERAL (SELECT
+        |    CASE WHEN a.c IS NULL THEN CAST(l.x AS DOUBLE)
+        |         ELSE CAST(a.sx AS DOUBLE) / CAST(a.c AS DOUBLE) END AS ax,
+        |    CASE WHEN a.c IS NULL THEN CAST(l.y AS DOUBLE)
+        |         ELSE CAST(a.sy AS DOUBLE) / CAST(a.c AS DOUBLE) END AS ay,
+        |    CASE WHEN c.k > w.k AND w.bx IS NOT NULL THEN w.bx
+        |         ELSE w.selx END AS px,
+        |    CASE WHEN c.k > w.k AND w.bx IS NOT NULL THEN w.by1
+        |         ELSE w.sely END AS py) anc,
+        |  LATERAL (SELECT
+        |    abs((CAST(anc.px AS DOUBLE) - anc.ax) *
+        |          (CAST(c.y AS DOUBLE) - CAST(anc.py AS DOUBLE)) -
+        |        (CAST(anc.px AS DOUBLE) - CAST(c.x AS DOUBLE)) *
+        |          (anc.ay - CAST(anc.py AS DOUBLE))) AS area) ar
+        |)
+        |SELECT user_id, x, y FROM keepall
+        |UNION ALL SELECT user_id, ex AS x, ey AS y FROM walk
+        |  WHERE ex IS NOT NULL
+        |UNION ALL SELECT user_id, x, y FROM big WHERE i = 0
+        |UNION ALL SELECT user_id, x, y FROM lastp""".stripMargin,
+
     // Table-fingerprint replay: identical canonical row repr (unit-sep
     // concat, chr(1)-marked nulls), same polynomial hash, commutative
     // integer sums — multiset-equal tables fingerprint identically in

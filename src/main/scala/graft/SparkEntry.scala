@@ -1534,6 +1534,25 @@ object SparkEntry {
       Seq("event_id", "user_id"),
       expr("unix_micros(ts) div 3600000000"), col("value"))
 
+  /** LTTB shape-preserving downsample to 16 points per user
+    * ([[graft.functions.LttbSelect]] — deterministic integer buckets +
+    * fixed-IEEE triangle areas; the oracle replays the sequential
+    * selection as a recursive candidate-scan CTE). */
+  private def qLttb(s: SparkSession, dir: String): DataFrame = {
+    val pts = events(s, dir).select(col("user_id"),
+      struct(usec(col("ts")).alias("x"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast(LongType)
+          .alias("y")).alias("p"))
+    pts.groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("p"))).alias("ps"))
+      .select(col("user_id"),
+        explode(org.apache.spark.sql.GraftColumns.column(
+          graft.functions.LttbSelect(
+            org.apache.spark.sql.GraftColumns.expression(col("ps")), 16)))
+          .alias("p"))
+      .select(col("user_id"), col("p.x").alias("x"), col("p.y").alias("y"))
+  }
+
   /** Exact trailing-20-row p90 per user (lower rank convention). */
   private def qRollingP90(s: SparkSession, dir: String): DataFrame =
     graft.tsdf.Stats.rollingQuantile(
@@ -2305,6 +2324,7 @@ object SparkEntry {
     "q_scd2_lookup" -> qScd2Lookup _,
     "q_cross_z" -> qCrossZ _,
     "q_table_fp" -> qTableFp _,
+    "q_lttb" -> qLttb _,
     "q_rolling_p90" -> qRollingP90 _,
     "q_session_stats" -> qSessionStats _,
     "q_editdist_pairs" -> qEditdistPairs _,

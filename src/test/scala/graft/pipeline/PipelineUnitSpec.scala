@@ -1689,6 +1689,35 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(strict == Set((1L, 2L)))
   }
 
+  test("lttb: endpoints kept, one point per bucket, spike preserved") {
+    import graft.functions.Lttb.lttbIndices
+    val n = 500
+    val xs = Array.tabulate(n)(i => 1000L + i * 60L)
+    val rnd = new scala.util.Random(13)
+    val ys = Array.tabulate(n)(_ => 100L + rnd.nextInt(10))
+    ys(237) = 100000L // a spike LTTB must keep
+    val idx = lttbIndices(xs, ys, 20)
+    assert(idx.length == 20)
+    assert(idx.head == 0 && idx.last == n - 1)
+    assert(idx.sameElements(idx.sorted.distinct), "strictly increasing")
+    assert(idx.contains(237), "spike dropped")
+    // small series pass through untouched
+    assert(lttbIndices(xs.take(7), ys.take(7), 16).sameElements(0 until 7))
+    // the expression form selects the same points through a plan
+    val spark2 = spark
+    import spark2.implicits._
+    val df = xs.zip(ys).toSeq.toDF("x", "y")
+      .agg(org.apache.spark.sql.functions.array_sort(
+        org.apache.spark.sql.functions.collect_list(
+          org.apache.spark.sql.functions.struct($"x", $"y"))).as("ps"))
+      .select(org.apache.spark.sql.GraftColumns.column(
+        graft.functions.LttbSelect(
+          org.apache.spark.sql.GraftColumns.expression($"ps"), 20)).as("sel"))
+    val got = df.selectExpr("transform(sel, p -> p.x) AS sx")
+      .as[Seq[Long]].head()
+    assert(got == idx.map(xs(_)).toSeq)
+  }
+
   test("tableFingerprint: partitioning-invariant, change-sensitive, mergeable") {
     import spark.implicits._
     val rows = (1 to 500).map(i => (i.toLong, s"name$i", if (i % 7 == 0) null else s"v$i"))
