@@ -1942,6 +1942,21 @@ object OracleSql {
     "q_hist_quantile" -> histQuantileSql,
     "q_stream_hist" -> histQuantileSql,
 
+    // Two-pass exact-quantile replay: the oracle ranks ALL cents values
+    // globally — the bin-decomposed two-pass selection must return the
+    // identical cents at rank ceil(q·n) (cents order is globally
+    // non-decreasing across histogram bins, so the decomposition is a
+    // true selection, not an approximation).
+    "q_exact_quantile" ->
+      """WITH b AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+        |    AS cents FROM events),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+        |  count(*) OVER () AS n FROM b),
+        |p AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        |SELECT p.q, CAST(ceil(p.q * r.n) AS BIGINT) AS rank, r.n AS n,
+        |  r.cents, CAST(r.cents AS DOUBLE) / 100.0 AS value
+        |FROM p JOIN r ON r.rn = CAST(ceil(p.q * r.n) AS BIGINT)""".stripMargin,
+
     // Tf-cosine pair replay: identical pruned postings self-join —
     // integer dots/norms, stop-term guard at df <= 100, one division by
     // two correctly-rounded sqrts.

@@ -1257,6 +1257,15 @@ object SparkEntry {
       .select(col("source"), col("n_zero"), col("s_int"), col("hll_est"))
   }
 
+  /** EXACT p50/p90/p99 of event value in two passes (coarse histogram →
+    * rank only the target bin; [[graft.pipeline.Sketch
+    * .exactQuantiles2Pass]]) — the no-global-sort exact-percentile path;
+    * the oracle ranks globally and must agree value-exactly. */
+  private def qExactQuantile(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sketch.exactQuantiles2Pass(
+      events(s, dir).select(col("value")), col("value"),
+      Seq(0.5, 0.9, 0.99), 0.0, 512.0, 256)
+
   /** Pairwise Pearson correlation of the lineitem numeric columns from
     * ONE pass of exact fixed-point moments ([[graft.pipeline.Profile
     * .pairwiseCorrelation]]; scales sized so every moment stays below
@@ -2325,6 +2334,7 @@ object SparkEntry {
     "q_cross_z" -> qCrossZ _,
     "q_table_fp" -> qTableFp _,
     "q_lttb" -> qLttb _,
+    "q_exact_quantile" -> qExactQuantile _,
     "q_rolling_p90" -> qRollingP90 _,
     "q_session_stats" -> qSessionStats _,
     "q_editdist_pairs" -> qEditdistPairs _,

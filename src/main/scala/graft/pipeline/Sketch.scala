@@ -210,6 +210,53 @@ object Sketch {
       .withColumn("q_est", lit(lo) + (col("bin") + 1).cast(DoubleType) * lit(w))
   }
 
+  /** EXACT quantile in two passes — the distributed-quickselect shape
+    * that replaces a full global sort at 100 TB: pass 1 builds the
+    * [[histogram]] (map-side-combinable; its ≤ nBins rows collect to the
+    * driver as a bounded literal, same discipline as the ANN codebooks)
+    * and locates the bin holding rank ceil(q·n); pass 2 ranks ONLY that
+    * bin's rows (shuffle volume = one bin, ~n/nBins under spread data;
+    * adversarially concentrated data degrades to the bin size — documented
+    * bound, recurse with tighter [lo, hi) if it matters). Values quantize
+    * to scaled longs, so the answer is value-exact and tie-order-blind
+    * (equal cents rank to the same cents). Lower-rank convention:
+    * rank r = ceil(q·n), 1-based ascending.
+    *
+    * Output one row per q: (q, rank, n, cents, value) — `value` is
+    * cents/scale, one exact IEEE division. */
+  def exactQuantiles2Pass(df: DataFrame, valueCol: Column, qs: Seq[Double],
+      lo: Double, hi: Double, nBins: Int, scale: Long = 100L): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = floor(valueCol * lit(scale.toDouble) + lit(0.5))
+      .cast(LongType)
+    val vals = df.select(cents.alias("__c"),
+      histBin(valueCol, lo, hi, nBins).alias("__bin"))
+    val hist = vals.groupBy(col("__bin"))
+      .agg(count(lit(1)).alias("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val n = hist.map(_._2).sum
+    val targets = qs.map { q =>
+      val r = math.ceil(q * n).toLong
+      var cum = 0L
+      val (bin, before) = hist.collectFirst {
+        case (b, c) if { cum += c; cum >= r } => (b, cum - c)
+      }.getOrElse((nBins.toLong - 1, 0L))
+      (q, r, bin, r - before) // rank within the bin
+    }
+    val probes = targets.toDF("q", "rank", "__bin", "__inbin")
+    val w = Window.partitionBy(col("__bin")).orderBy(col("__c"))
+    val ranked = vals
+      .join(broadcast(probes.select(col("__bin")).distinct()), Seq("__bin"))
+      .withColumn("__rn", row_number().over(w))
+    ranked.join(broadcast(probes),
+        ranked("__bin") === probes("__bin") && col("__rn") === col("__inbin"))
+      .select(col("q"), col("rank"), lit(n).alias("n"), col("__c").alias("cents"),
+        (col("__c").cast(DoubleType) / lit(scale.toDouble)).alias("value"))
+  }
+
   /** Bits of the [[Hashing]] value space (P < 2^30) — fixes the HLL
     * rho range so register arithmetic stays exact in 64-bit integers. */
   val HllHashBits = 30

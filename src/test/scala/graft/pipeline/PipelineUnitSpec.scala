@@ -1656,6 +1656,21 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(got(0.9) >= 900.0 && got(0.9) <= 904.0, s"p90 ${got(0.9)}")
   }
 
+  test("exactQuantiles2Pass equals a global sort selection") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vals = (1 to 5000).map(_ => rnd.nextDouble() * 400.0)
+    val df = vals.toDF("v")
+    val got = Sketch.exactQuantiles2Pass(df, col("v"),
+      Seq(0.25, 0.5, 0.9, 0.99, 1.0), 0.0, 512.0, 64)
+      .collect().map(r => r.getAs[Double]("q") -> r.getAs[Long]("cents")).toMap
+    val sorted = vals.map(v => math.floor(v * 100.0 + 0.5).toLong).sorted
+    Seq(0.25, 0.5, 0.9, 0.99, 1.0).foreach { q =>
+      val r = math.ceil(q * sorted.size).toInt
+      assert(got(q) == sorted(r - 1), s"q=$q")
+    }
+  }
+
   test("histogram: out-of-range values clamp into edge bins, stay counted") {
     import spark.implicits._
     val df = Seq(("g", -5.0), ("g", 0.5), ("g", 99.5), ("g", 250.0))
