@@ -2759,6 +2759,62 @@ object OracleSql {
          |FROM lab""".stripMargin
     },
 
+    // Canonical-by-score replay: the q_dedup_clusters reach/label chain
+    // plus a per-cluster (score DESC, id ASC) rank.
+    "q_dedup_canonical" -> {
+      val chain = simhashPairsCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
+      s"""$chain,
+         |e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM spairs
+         |  UNION SELECT doc_id_b, doc_id_a FROM spairs),
+         |reach AS (
+         |  SELECT doc_id AS src, doc_id AS dst FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+         |lab AS (SELECT src AS doc_id, min(dst) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |sc AS (SELECT doc_id, CAST(length($norm) AS BIGINT) AS score
+         |  FROM documents),
+         |j AS (SELECT l.doc_id, s.score, l.cluster_id,
+         |  count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
+         |  FROM lab l JOIN sc s USING (doc_id))
+         |SELECT doc_id, score, cluster_id, cluster_size,
+         |  row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY score DESC, doc_id ASC) = 1 AS is_canonical
+         |FROM j""".stripMargin
+    },
+
+    // Walk-forward purged-CV replay: ntile folds per series, per-fold
+    // min-ts starts, role CASE with the embargo in exact microseconds.
+    "q_walk_forward" ->
+      """WITH f AS (SELECT user_id, ts, event_id,
+        |  CAST(ntile(5) OVER (PARTITION BY user_id ORDER BY ts) - 1
+        |    AS BIGINT) AS fold FROM events),
+        |st AS (SELECT user_id, fold AS fold_eval,
+        |  min(epoch_us(ts)) AS fstart FROM f GROUP BY 1, 2),
+        |x AS (SELECT f.user_id, f.ts, f.event_id, f.fold,
+        |    CAST(e.fold_eval AS BIGINT) AS fold_eval, st.fstart,
+        |    CASE WHEN f.fold = e.fold_eval THEN 'val'
+        |         WHEN f.fold < e.fold_eval
+        |           AND epoch_us(f.ts) < st.fstart - 3600000000
+        |           THEN 'train' END AS role
+        |  FROM f
+        |  CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS fold_eval) e
+        |  JOIN st ON st.user_id = f.user_id AND st.fold_eval = e.fold_eval)
+        |SELECT user_id, epoch_us(ts) AS ts_us, event_id, fold, fold_eval,
+        |  role
+        |FROM x WHERE role IS NOT NULL""".stripMargin,
+
+    // Group-leakage-safe split replay: the q_split_assign carve keyed on
+    // the group column.
+    "q_split_group" -> {
+      val bucket =
+        s"(${Hashing.mixSql(Hashing.polyHashSql("source"), 7)}) % 10"
+      s"""SELECT doc_id, source,
+         |CAST(CASE WHEN $bucket < 8 THEN 0 WHEN $bucket < 9 THEN 1
+         |  ELSE 2 END AS BIGINT) AS split
+         |FROM documents""".stripMargin
+    },
+
     "q_ann_lsh" ->
       s"""WITH q AS (SELECT vec_id, $qv AS q FROM embeddings),
          |${lshSubBucketSql(nBits = 6, clamp = 4096)},

@@ -818,6 +818,36 @@ object SparkEntry {
     Dedup.dedupClusters(docs(s, dir), "doc_id", edges)
   }
 
+  /** Score-aware canonical pick per near-dup cluster (longest normalized
+    * text wins, ties to min id — [[graft.pipeline.Dedup
+    * .canonicalByScore]] over the same simhash edges as
+    * q_dedup_clusters). */
+  private def qDedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val edges = Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 3)
+    Dedup.canonicalByScore(d, "doc_id", edges,
+      length(Dedup.normalizeText(col("text"))).cast(LongType))
+  }
+
+  /** Walk-forward purged CV with a 1-hour embargo
+    * ([[graft.pipeline.Splits.walkForwardFolds]]): per eval fold, its
+    * validation rows plus strictly-earlier training rows clearing the
+    * embargo before the fold start. */
+  private def qWalkForward(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Splits.walkForwardFolds(
+      events(s, dir).select(col("user_id"), col("ts"), col("event_id")),
+      "ts", Seq("user_id"), nFolds = 5, embargoSecs = 3600L)
+      .select(col("user_id"), usec(col("ts")).alias("ts_us"),
+        col("event_id"), col("fold"), col("fold_eval"), col("role"))
+
+  /** Group-leakage-safe split: the hash split keyed on the GROUP column
+    * (source), so every document of a domain lands in the same split —
+    * near-duplicates within a domain cannot straddle train/test. */
+  private def qSplitGroup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("source"))
+      .withColumn("split",
+        graft.pipeline.Splits.splitIndex(col("source"), Seq(8, 1, 1)))
+
   /** milli-quantized embeddings: integer-valued doubles → order-independent
     * exact dot products */
   private def quantized(s: SparkSession, dir: String): DataFrame =
@@ -2335,6 +2365,9 @@ object SparkEntry {
     "q_table_fp" -> qTableFp _,
     "q_lttb" -> qLttb _,
     "q_exact_quantile" -> qExactQuantile _,
+    "q_dedup_canonical" -> qDedupCanonical _,
+    "q_walk_forward" -> qWalkForward _,
+    "q_split_group" -> qSplitGroup _,
     "q_rolling_p90" -> qRollingP90 _,
     "q_session_stats" -> qSessionStats _,
     "q_editdist_pairs" -> qEditdistPairs _,

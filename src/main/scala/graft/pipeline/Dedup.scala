@@ -351,6 +351,25 @@ object Dedup {
         (col(idCol) === col("cluster_id")).alias("is_canonical"))
   }
 
+  /** Score-aware canonical selection per near-duplicate cluster: where
+    * [[dedupClusters]] keeps the min-id representative, real pipelines
+    * keep the BEST member (longest text, highest quality score, freshest
+    * crawl). One ranked window per cluster over the [[dedupClusters]]
+    * assignment — deterministic: highest score wins, ties fall to the
+    * smallest id. Output: (id, score, cluster_id, cluster_size,
+    * is_canonical). */
+  def canonicalByScore(df: DataFrame, idCol: String, edges: DataFrame,
+      scoreCol: Column,
+      maxBroadcastRows: Long = 10000000L): DataFrame = {
+    val asg = dedupClusters(df, idCol, edges, maxBroadcastRows)
+      .select(col(idCol), col("cluster_id"), col("cluster_size"))
+    val scored = df.select(col(idCol), scoreCol.alias("score"))
+      .join(asg, idCol)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("is_canonical", row_number().over(w) === 1)
+  }
+
   /** Incremental exact dedup: triage a NEW document batch against an
     * existing corpus fingerprint index — the actual ingestion path at
     * corpus scale, where re-deduplicating the whole corpus per arriving

@@ -42,6 +42,43 @@ object Splits {
     df.filter(splitIndex(col(idCol), weights) === idx.toLong)
   }
 
+  /** Walk-forward cross-validation folds with a PURGE EMBARGO — the
+    * time-series ML hygiene split: per series, rows ntile into `nFolds`
+    * time-ordered folds; for each evaluation fold f ≥ 1 the output holds
+    * its validation rows (fold f) and the training rows from STRICTLY
+    * EARLIER folds whose timestamp also clears `embargoSecs` before the
+    * fold's first row — purging the boundary window where lookahead
+    * leaks through overlapping feature windows (the López de Prado
+    * purged-CV discipline, walk-forward flavor). No future fold ever
+    * appears in a training set.
+    *
+    * Plan shape: one per-series window (the ntile), one tiny
+    * (series × fold) min aggregate broadcast back, and a bounded
+    * ×(nFolds−1) explode — no self-joins over the data. Output: input
+    * cols + fold + fold_eval + role ('train' | 'val'). */
+  def walkForwardFolds(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      nFolds: Int, embargoSecs: Long): DataFrame = {
+    require(nFolds >= 2, "need nFolds >= 2")
+    require(embargoSecs >= 0, "embargo must be >= 0")
+    val sc = seriesCols.map(col)
+    val w = Window.partitionBy(sc: _*).orderBy(col(tsCol))
+    val withFold = df.withColumn("fold",
+      (ntile(nFolds).over(w) - 1).cast(LongType))
+    val starts = withFold
+      .groupBy(sc :+ col("fold").alias("fold_eval"): _*)
+      .agg(min(unix_micros(col(tsCol))).alias("__fstart"))
+    val evals = withFold.withColumn("fold_eval",
+      explode(array((1 until nFolds).map(i => lit(i.toLong)): _*)))
+    val role = when(col("fold") === col("fold_eval"), lit("val"))
+      .when(col("fold") < col("fold_eval") &&
+        unix_micros(col(tsCol)) <
+          col("__fstart") - lit(embargoSecs * 1000000L), lit("train"))
+    evals.join(broadcast(starts), seriesCols :+ "fold_eval")
+      .withColumn("role", role)
+      .filter(col("role").isNotNull)
+      .drop("__fstart")
+  }
+
   /** Deterministic stratified sampling: keep a per-stratum fraction of rows
     * (e.g. language rebalancing — downsample English, keep all of a
     * low-resource stratum). The id hashes to a uniform bucket in

@@ -1733,6 +1733,43 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(got == idx.map(xs(_)).toSeq)
   }
 
+  test("walkForwardFolds: no future in train, embargo purges the boundary") {
+    import spark.implicits._
+    def t(i: Int) = new java.sql.Timestamp(1700000000000L + i * 60000L)
+    // 20 rows, 4 folds of 5; embargo 120s = 2 rows
+    val df = (1 to 20).map(i => ("u", t(i), i.toLong)).toDF("uid", "ts", "rid")
+    val got = Splits.walkForwardFolds(df, "ts", Seq("uid"),
+      nFolds = 4, embargoSecs = 120L).collect()
+      .map(r => (r.getAs[Long]("rid"), r.getAs[Long]("fold"),
+        r.getAs[Long]("fold_eval"), r.getAs[String]("role")))
+    got.foreach { case (rid, fold, fe, role) =>
+      if (role == "val") assert(fold == fe)
+      else {
+        assert(fold < fe, s"future fold $fold in train for eval $fe")
+        // fold fe starts at rid = 5*fe + 1; embargo excludes the 2 rows
+        // at (start-2, start-1)
+        assert(rid < 5 * fe + 1 - 2, s"embargo leak: rid $rid eval $fe")
+      }
+    }
+    // eval fold 1: train = rows 1..3 (4, 5 purged), val = rows 6..10
+    val f1 = got.filter(_._3 == 1L)
+    assert(f1.filter(_._4 == "train").map(_._1).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(f1.filter(_._4 == "val").map(_._1).sorted.toSeq == (6L to 10L))
+  }
+
+  test("canonicalByScore keeps the best-scored member per cluster") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa"), (2L, "aaaa"), (3L, "zz")).toDF("doc_id", "text")
+    val edges = Seq((1L, 2L)).toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.canonicalByScore(docs, "doc_id", edges,
+      length(col("text")).cast("long"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_canonical"))).toMap
+    assert(got(2L) == ((1L, true))) // longer text wins over min-id
+    assert(got(1L) == ((1L, false)))
+    assert(got(3L) == ((3L, true))) // singleton is its own canonical
+  }
+
   test("tableFingerprint: partitioning-invariant, change-sensitive, mergeable") {
     import spark.implicits._
     val rows = (1 to 500).map(i => (i.toLong, s"name$i", if (i % 7 == 0) null else s"v$i"))
