@@ -764,11 +764,14 @@ object SparkEntry {
   }
 
   // ------------------------------------------------------------- pipeline
+  /** Exact normalized-text dedup THROUGH the library API
+    * ([[graft.pipeline.Dedup.exactNormalized]] — the single
+    * min-struct aggregate): canonical (lowest) id and group size per
+    * fingerprint. */
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(TextAnalysis.fingerprint(col("text")).alias("fp"), col("doc_id"))
-      .groupBy(col("fp"))
-      .agg(min(col("doc_id")).alias("keep_id"), count(lit(1)).alias("n_dups"))
+    Dedup.exactNormalized(docs(s, dir).select(col("doc_id"), col("text")),
+        "text", "doc_id", fpCol = Some("fp"), countCol = Some("n_dups"))
+      .select(col("fp"), col("doc_id").alias("keep_id"), col("n_dups"))
 
   /** Exact all-pairs ground truth over HASHED token sets: the quadratic
     * per-language join intersects arrays of 61-bit polynomial hashes rather

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -18,19 +17,40 @@ import org.apache.spark.sql.types._
 object Dedup {
 
   /** Exact dedup: canonical row per duplicate group = the one with the lowest
-    * `idCol`. Hash-groupBy on the full key — one shuffle, map-side combine. */
-  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    * `idCol`. One hash-groupBy on the full key with a `min(struct(id,
+    * payload…))` argmin — map-side combinable, so a key duplicated 100k×
+    * partial-aggregates inside every input task instead of sorting all its
+    * copies in one window task (the window-skew shape this replaced; see
+    * [[exactSubstringDedup]] for the same lesson on substring chunks).
+    * `idCol` leads the struct, so with unique ids the min IS the lowest-id
+    * row; remaining columns ride along as payload (struct comparison never
+    * reaches them when ids are unique, but they must still be orderable
+    * types — no maps). Column order of the input is preserved.
+    * `countCol`, when set, appends the duplicate-group size. */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String,
+      countCol: Option[String] = None): DataFrame = {
+    val payload = df.columns.filterNot(c => keyCols.contains(c) || c == idCol)
+    val winner = min(struct((idCol +: payload.toSeq).map(col): _*)).alias("__w")
+    val aggs = winner +: countCol.map(n => count(lit(1)).alias(n)).toSeq
+    df.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(df.columns.toIndexedSeq.map(c =>
+        if (keyCols.contains(c)) col(c) else col(s"__w.$c").alias(c))
+        ++ countCol.map(col): _*)
   }
 
   /** Exact text dedup on a normalized fingerprint (lowercase, strip non
-    * [a-z0-9 ], collapse whitespace) — catches trivially-reformatted copies. */
-  def exactNormalized(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    * [a-z0-9 ], collapse whitespace) — catches trivially-reformatted copies.
+    * `fpCol` keeps the fingerprint in the output; `countCol` appends the
+    * duplicate-group size (both ride [[exact]]'s single aggregate). */
+  def exactNormalized(df: DataFrame, textCol: String, idCol: String,
+      fpCol: Option[String] = None, countCol: Option[String] = None): DataFrame = {
     val fp = md5(normalizeText(col(textCol)))
-    exact(df.withColumn("__fp", fp), Seq("__fp"), idCol).drop("__fp")
+    val out = exact(df.withColumn("__fp", fp), Seq("__fp"), idCol, countCol)
+    fpCol match {
+      case Some(n) => out.withColumnRenamed("__fp", n)
+      case None    => out.drop("__fp")
+    }
   }
 
   def normalizeText(c: Column): Column =
@@ -354,9 +374,19 @@ object Dedup {
   /** Score-aware canonical selection per near-duplicate cluster: where
     * [[dedupClusters]] keeps the min-id representative, real pipelines
     * keep the BEST member (longest text, highest quality score, freshest
-    * crawl). One ranked window per cluster over the [[dedupClusters]]
-    * assignment — deterministic: highest score wins, ties fall to the
-    * smallest id. Output: (id, score, cluster_id, cluster_size,
+    * crawl). Deterministic: highest score wins, ties fall to the smallest
+    * id.
+    *
+    * Winner selection is a `min(struct(-score, id))` ARGMIN AGGREGATE per
+    * cluster, joined back — map-side combinable, so a Zipfian boilerplate
+    * mega-cluster (millions of members is the realistic near-dup
+    * distribution) partial-aggregates in every input task instead of
+    * sorting all its members in the one window task a
+    * `row_number over (partition by cluster_id)` would pin it to. The
+    * join-back's build side holds ONE row per cluster, so the probe is
+    * skew-free no matter how large the biggest cluster is. Requires a
+    * numeric `scoreCol` (it is negated for the argmin); `idCol` any
+    * orderable type. Output: (id, score, cluster_id, cluster_size,
     * is_canonical). */
   def canonicalByScore(df: DataFrame, idCol: String, edges: DataFrame,
       scoreCol: Column,
@@ -365,9 +395,14 @@ object Dedup {
       .select(col(idCol), col("cluster_id"), col("cluster_size"))
     val scored = df.select(col(idCol), scoreCol.alias("score"))
       .join(asg, idCol)
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("score").desc, col(idCol).asc)
-    scored.withColumn("is_canonical", row_number().over(w) === 1)
+    val winners = scored.groupBy(col("cluster_id"))
+      .agg(min(struct((-col("score")).alias("ns"), col(idCol).alias("wid")))
+        .alias("__w"))
+      .select(col("cluster_id"), col("__w.wid").alias("__wid"))
+    scored.join(winners, Seq("cluster_id"))
+      .withColumn("is_canonical", col(idCol) === col("__wid"))
+      .select(col(idCol), col("score"), col("cluster_id"),
+        col("cluster_size"), col("is_canonical"))
   }
 
   /** Incremental exact dedup: triage a NEW document batch against an
@@ -617,9 +652,20 @@ object Dedup {
         explode(split(normalizeText(col(textCol)), " ")).alias("term"))
       .groupBy(col("term"), col(idCol))
       .agg(count(lit(1)).alias("tf"))
-    val kept = tf
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    // document frequency as a map-side-combinable COUNT AGGREGATE, filtered
+    // BEFORE joining back: a stop term appearing in every document
+    // partial-counts inside each input task and then its one aggregate row
+    // is dropped by the maxDf filter — it never fans its postings list into
+    // a single task, which is exactly what the `count over (partition by
+    // term)` window this replaced did (the hottest keys were the ones being
+    // thrown away). The surviving term set has ≤ maxDf docs per term, so
+    // the join-back is skew-free by construction (AQE broadcasts it when
+    // the pruned vocabulary is small).
+    val rare = tf.groupBy(col("term"))
+      .agg(count(lit(1)).alias("__df"))
       .filter(col("__df") <= maxDf)
+      .select(col("term"))
+    val kept = tf.join(rare, Seq("term"))
       .select(col("term"), col(idCol), col("tf"))
     val norms = kept.groupBy(col(idCol))
       .agg(sum(col("tf") * col("tf")).alias("n2"))

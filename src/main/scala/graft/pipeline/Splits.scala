@@ -52,10 +52,16 @@ object Splits {
     * purged-CV discipline, walk-forward flavor). No future fold ever
     * appears in a training set.
     *
-    * Plan shape: one per-series window (the ntile), one tiny
-    * (series × fold) min aggregate broadcast back, and a bounded
-    * ×(nFolds−1) explode — no self-joins over the data. Output: input
-    * cols + fold + fold_eval + role ('train' | 'val'). */
+    * Plan shape: one per-series window (the ntile), one (series × fold)
+    * min aggregate joined back on (series, fold_eval), and a bounded
+    * ×(nFolds−1) explode — no self-joins over the data. The aggregate's
+    * row count is nSeries × nFolds — UNBOUNDED in series cardinality, so
+    * it carries no forced broadcast hint: AQE broadcasts it from runtime
+    * stats when it is actually small and falls back to a shuffle join on
+    * the uniform (series, fold_eval) key when it is not (the
+    * [[graft.pipeline.Dedup.removeBoilerplateLines]] lesson — a forced
+    * hint on an unbounded side is a driver OOM at 10M series). Output:
+    * input cols + fold + fold_eval + role ('train' | 'val'). */
   def walkForwardFolds(df: DataFrame, tsCol: String, seriesCols: Seq[String],
       nFolds: Int, embargoSecs: Long): DataFrame = {
     require(nFolds >= 2, "need nFolds >= 2")
@@ -73,7 +79,7 @@ object Splits {
       .when(col("fold") < col("fold_eval") &&
         unix_micros(col(tsCol)) <
           col("__fstart") - lit(embargoSecs * 1000000L), lit("train"))
-    evals.join(broadcast(starts), seriesCols :+ "fold_eval")
+    evals.join(starts, seriesCols :+ "fold_eval")
       .withColumn("role", role)
       .filter(col("role").isNotNull)
       .drop("__fstart")

@@ -403,4 +403,53 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan(out).contains("BroadcastHashJoin") ||
       plan(out).contains("AdaptiveSparkPlan"), plan(out))
   }
+
+  test("exact dedup / canonical pick / tf-cosine df plan as aggregates, " +
+      "never as windows over the dup key") {
+    import spark.implicits._
+    val docs = (1 to 300).map(i => (i.toLong, s"body ${i % 40} tail$i"))
+      .toDF("doc_id", "text")
+    val ex = Dedup.exactNormalized(docs, "text", "doc_id",
+      fpCol = Some("fp"), countCol = Some("n"))
+    // partial + final aggregate pair (struct min buffers force
+    // SortAggregate — per-partition sorts, still map-side combined),
+    // no WindowExec sort of a hot key
+    assert(!plan(ex).contains("Window"), plan(ex))
+    assert(plan(ex).contains("partial_min(struct"), plan(ex))
+    val edges = Seq((1L, 2L)).toDF("doc_id_a", "doc_id_b")
+    val cb = Dedup.canonicalByScore(docs, "doc_id", edges,
+      length(col("text")).cast("long"))
+    assert(!plan(cb).contains("row_number"), plan(cb))
+    val tc = Dedup.tfCosinePairs(docs, "text", "doc_id", 0.5, 100)
+    assert(!plan(tc).contains("Window"), plan(tc))
+  }
+
+  test("walkForwardFolds carries no forced broadcast; both join paths " +
+      "agree") {
+    import graft.pipeline.Splits
+    val df = eventsDf
+    val out = Splits.walkForwardFolds(df, "ts", Seq("user_id"), 4, 60L)
+    // the (series x fold) aggregate is unbounded in series cardinality:
+    // no hint may survive to the optimizer — AQE picks the strategy
+    assert(!out.queryExecution.optimizedPlan.toString.contains("ResolvedHint"),
+      out.queryExecution.optimizedPlan.toString)
+    val rows = out.select(col("user_id"), col("ts"), col("fold"),
+      col("fold_eval"), col("role")).collect().map(_.toSeq).toSet
+    // force the shuffle-join path and re-run: identical output
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.foreach(spark.conf.set(_, "-1"))
+      val shuffled = Splits.walkForwardFolds(df, "ts", Seq("user_id"), 4, 60L)
+      assert(plan(shuffled).contains("SortMergeJoin") ||
+        plan(shuffled).contains("ShuffledHashJoin"), plan(shuffled))
+      val rows2 = shuffled.select(col("user_id"), col("ts"), col("fold"),
+        col("fold_eval"), col("role")).collect().map(_.toSeq).toSet
+      assert(rows2 == rows)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -3004,4 +3004,135 @@ class PipelineUnitSpec extends SparkTestBase {
       (2L, 2L, 1L, 0.5),
       (4L, 3L, 2L, 2.0 / 3)))
   }
+
+  test("Dedup.exact survives a 100k-duplicated key as an aggregate " +
+      "(keySkew dogfood surfaces the planted hot fingerprint)") {
+    import spark.implicits._
+    // one text duplicated 100k times + 1000 unique docs, spread over all
+    // partitions: the window shape this replaced would sort every copy of
+    // the hot fingerprint in ONE task; the min-struct aggregate
+    // partial-combines it everywhere
+    val hot = (0 until 100000).map(i => (100000L + i, "the same exact text"))
+    val uniq = (0 until 1000).map(i => (i.toLong, s"unique document body $i"))
+    val df = (hot ++ uniq).toDF("doc_id", "text").repartition(32)
+    // dogfood the skew diagnostic: it must surface the planted hot key
+    val skew = Profile.keySkew(
+      df.select(TextAnalysis.fingerprint(col("text")).alias("fp")),
+      col("fp"), 1).collect().head
+    assert(skew.getLong(1) == 100000L, s"hot count ${skew.getLong(1)}")
+    assert(skew.getAs[Double]("share") > 0.98)
+    val out = Dedup.exactNormalized(df, "text", "doc_id",
+      countCol = Some("n_dups"))
+    // aggregate, not window: no per-key sort task for the hot fingerprint
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    val rows = out.collect()
+    assert(rows.length == 1001)
+    val hotRow = rows.filter(_.getAs[Long]("n_dups") == 100000L)
+    assert(hotRow.length == 1 && hotRow.head.getAs[Long]("doc_id") == 100000L)
+    assert(rows.filter(_.getAs[Long]("n_dups") == 1L).length == 1000)
+    // full canonical rows survive (payload rides the min-struct)
+    assert(hotRow.head.getAs[String]("text") == "the same exact text")
+  }
+
+  test("canonicalByScore: equal scores with unequal text fall to the " +
+      "smallest id (tie golden)") {
+    import spark.implicits._
+    // 1-2-3 one cluster, scores tie at 4 for ids 1 and 3, id 2 lower:
+    // winner must be id 1 (min id among the score-tied), NOT text order
+    val docs = Seq((1L, "abcd"), (2L, "xy"), (3L, "zzzz")).toDF("doc_id", "text")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.canonicalByScore(docs, "doc_id", edges,
+      length(col("text")).cast("long"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("is_canonical")).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("canonicalByScore survives a 20k-member mega-cluster as an argmin " +
+      "aggregate") {
+    import spark.implicits._
+    // star graph: one boilerplate cluster holding every doc — the Zipfian
+    // shape where a cluster_id window would sort all members in one task
+    val n = 20000
+    val docs = (0 until n).map(_.toLong).toDF("doc_id")
+      .repartition(32)
+    val edges = (1 until n).map(i => (0L, i.toLong)).toDF("doc_id_a", "doc_id_b")
+    val out = Dedup.canonicalByScore(docs, "doc_id", edges,
+      (col("doc_id") % 100).cast("long"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"), plan)
+    val rows = out.collect()
+    assert(rows.length == n)
+    assert(rows.forall(_.getAs[Long]("cluster_size") == n.toLong))
+    // max score 99 ties across 200 members; winner = the smallest such id
+    val canon = rows.filter(_.getAs[Boolean]("is_canonical"))
+    assert(canon.length == 1 && canon.head.getAs[Long]("doc_id") == 99L)
+  }
+
+  test("tfCosinePairs prunes a corpus-wide stop term without windowing " +
+      "its postings (keySkew dogfood)") {
+    import spark.implicits._
+    // "ubiquitous" appears in all 2000 docs (df 2000 >> maxDf): the df
+    // window this replaced would pile its whole postings list into one
+    // task before dropping it; the count aggregate never materializes it
+    val docs = (0 until 2000).map { i =>
+      val rare = if (i <= 1) "twin alpha beta" else s"solo$i only$i"
+      (i.toLong, s"ubiquitous $rare")
+    }.toDF("doc_id", "text").repartition(32)
+    val term = explode(split(Dedup.normalizeText(col("text")), " ")).alias("t")
+    val skew = Profile.keySkew(docs.select(term), col("t"), 1).collect().head
+    assert(skew.getString(0) == "ubiquitous" && skew.getLong(1) == 2000L)
+    val out = Dedup.tfCosinePairs(docs, "text", "doc_id",
+      threshold = 0.5, maxDf = 10)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getAs[Double]("cosine")))
+    // only the planted twin pair shares surviving vocabulary (cosine of
+    // identical docs is 1 up to the one sqrt·sqrt rounding)
+    assert(pairs.length == 1)
+    assert(pairs.head._1 == 0L && pairs.head._2 == 1L &&
+      math.abs(pairs.head._3 - 1.0) < 1e-12)
+  }
+
+  test("property: walkForwardFolds never leaks future or embargoed rows " +
+      "into train") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val spark2 = spark
+    import spark2.implicits._
+    val gen = for {
+      nSeries <- Gen.choose(1, 3)
+      nFolds <- Gen.choose(2, 5)
+      embargoSecs <- Gen.oneOf(0L, 60L, 3600L)
+      rowsPer <- Gen.choose(nFolds, 40)
+      // irregular per-row ts steps so fold boundaries land arbitrarily
+      steps <- Gen.listOfN(nSeries * rowsPer, Gen.choose(1L, 7200L))
+    } yield (nSeries, nFolds, embargoSecs, rowsPer, steps)
+    val prop = Prop.forAll(gen) { case (nSeries, nFolds, embargo, rowsPer, steps) =>
+      val it = steps.iterator
+      val rows = for {
+        s <- 0 until nSeries
+        acc = Iterator.iterate(1700000000L)(t => t + it.next()).take(rowsPer).toSeq
+        (t, i) <- acc.zipWithIndex
+      } yield (s.toLong, new java.sql.Timestamp(t * 1000L), (s * 10000 + i).toLong)
+      val df = rows.toDF("sid", "ts", "rid")
+      val got = Splits.walkForwardFolds(df, "ts", Seq("sid"), nFolds, embargo)
+        .select(col("sid"), col("ts").cast("long").alias("tsec"),
+          col("fold"), col("fold_eval"), col("role"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4)))
+      // per (series, eval fold): every train ts clears the embargo before
+      // the fold's first VAL row, and no fold ≥ eval ever appears in train
+      val minVal = got.filter(_._5 == "val")
+        .groupBy(t => (t._1, t._4)).view.mapValues(_.map(_._2).min).toMap
+      got.forall { case (sid, tsec, fold, fe, role) =>
+        if (role == "val") fold == fe
+        else fold < fe && tsec < minVal((sid, fe)) - embargo
+      } && got.map(_._4).distinct.forall(fe => fe >= 1 && fe < nFolds)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
