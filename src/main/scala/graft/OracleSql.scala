@@ -1739,7 +1739,7 @@ object OracleSql {
          |  FROM r WHERE rn <= 256 GROUP BY source)
          |SELECT source, n_kept, kth_hash,
          |  CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
-         |       ELSE $scale / kth_hash END AS distinct_est
+         |       ELSE $scale / greatest(kth_hash, 1) END AS distinct_est
          |FROM k""".stripMargin
     },
 
@@ -3415,7 +3415,7 @@ object OracleSql {
          |  FROM f WHERE rn <= 64 GROUP BY 1)
          |SELECT bucket, n_kept, kth_hash,
          |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
-         |       ELSE $scale / kth_hash END AS distinct_est
+         |       ELSE $scale / greatest(kth_hash, 1) END AS distinct_est
          |FROM k""".stripMargin
     },
 
@@ -3450,14 +3450,15 @@ object OracleSql {
     // SCD2 replay: lag IS DISTINCT FROM collapses no-op re-emits (the
     // null-safe struct compare), lead derives [valid_from, valid_to).
     "q_scd2" ->
-      """WITH c AS (SELECT user_id, ts, event_type,
-        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      """WITH c AS (SELECT user_id, ts, event_type, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev
         |  FROM events),
-        |ch AS (SELECT user_id, ts, event_type FROM c
+        |ch AS (SELECT user_id, ts, event_type, event_id FROM c
         |  WHERE prev IS DISTINCT FROM event_type),
         |v AS (SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
-        |  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
-        |    AS valid_to_us
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id)) AS valid_to_us
         |  FROM ch)
         |SELECT user_id, event_type, valid_from_us, valid_to_us,
         |  valid_to_us IS NULL AS is_current FROM v""".stripMargin,
@@ -3465,14 +3466,15 @@ object OracleSql {
     // Point-in-time lookup replay: same dim build on the event_id%3
     // third, left-joined on id + validity range.
     "q_scd2_lookup" ->
-      """WITH c AS (SELECT user_id, ts, event_type,
-        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      """WITH c AS (SELECT user_id, ts, event_type, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev
         |  FROM events WHERE event_id % 3 = 0),
-        |ch AS (SELECT user_id, ts, event_type FROM c
+        |ch AS (SELECT user_id, ts, event_type, event_id FROM c
         |  WHERE prev IS DISTINCT FROM event_type),
         |v AS (SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
-        |  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
-        |    AS valid_to_us
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id)) AS valid_to_us
         |  FROM ch)
         |SELECT f.user_id, epoch_us(f.ts) AS ts_us, f.event_id,
         |  v.event_type AS dim_event_type, v.valid_from_us AS v_from_us

@@ -1542,8 +1542,9 @@ object SparkEntry {
     * collapsed ([[graft.pipeline.Cdc.scd2FromLog]]). */
   private def qScd2(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Cdc.scd2FromLog(
-      events(s, dir).select(col("user_id"), col("ts"), col("event_type")),
-      "user_id", "ts", Seq("event_type"))
+      events(s, dir).select(col("user_id"), col("ts"), col("event_type"),
+        col("event_id")),
+      "user_id", "ts", Seq("event_type"), tieCols = Seq("event_id"))
       .select(col("user_id"), col("event_type"),
         usec(col("valid_from")).alias("valid_from_us"),
         usec(col("valid_to")).alias("valid_to_us"), col("is_current"))
@@ -1556,8 +1557,8 @@ object SparkEntry {
     val ev = events(s, dir)
     val dim = graft.pipeline.Cdc.scd2FromLog(
       ev.filter(col("event_id") % 3 === 0)
-        .select(col("user_id"), col("ts"), col("event_type")),
-      "user_id", "ts", Seq("event_type"))
+        .select(col("user_id"), col("ts"), col("event_type"), col("event_id")),
+      "user_id", "ts", Seq("event_type"), tieCols = Seq("event_id"))
     graft.pipeline.Cdc.asOfLookup(
       ev.select(col("user_id"), col("ts"), col("event_id")), dim,
       "user_id", "ts")

@@ -98,11 +98,16 @@ case class LttbSelect(child: Expression, nOut: Int)
   override def prettyName: String = "graft_lttb"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StructType(Array(a, b)), _)
+    // containsNull arrays are rejected at ANALYSIS time: a null element
+    // would otherwise surface as an eval-time NullPointerException from
+    // getStruct (collect_list-built arrays — the intended producer — are
+    // containsNull = false, so this costs legitimate callers nothing)
+    case ArrayType(StructType(Array(a, b)), false)
         if a.dataType == LongType && b.dataType == LongType =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<struct<bigint, bigint>>, got ${other.sql}")
+      s"$prettyName requires array<struct<bigint, bigint>> without null " +
+        s"elements, got ${other.sql}")
   }
 
   override protected def nullSafeEval(input: Any): Any = {

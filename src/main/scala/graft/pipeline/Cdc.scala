@@ -24,15 +24,38 @@ object Cdc {
   /** Versioned rows from a change log: for each id, keep only rows whose
     * tracked attributes differ from the previous row (null-safe struct
     * compare), then derive `valid_from` = change ts, `valid_to` = next
-    * change ts (null = still current), `is_current`. Requires unique
-    * (id, ts) pairs — the log's natural key. */
+    * change ts (null = still current), `is_current`.
+    *
+    * Version selection is only deterministic if the window order is total
+    * per id: pass `tieCols` (e.g. a log sequence/offset column) whenever
+    * (id, ts) pairs can repeat — with an empty `tieCols`, duplicate
+    * (id, ts) rows make the kept version engine- AND partition-dependent,
+    * so that shape is rejected up front via a one-pass duplicate probe
+    * rather than silently producing unstable dimensions. Tie columns ride
+    * the windows only; they are dropped from the output. */
   def scd2FromLog(log: DataFrame, idCol: String, tsCol: String,
-      attrCols: Seq[String]): DataFrame = {
+      attrCols: Seq[String], tieCols: Seq[String] = Nil): DataFrame = {
     require(attrCols.nonEmpty, "need at least one tracked attribute")
-    val w = Window.partitionBy(col(idCol)).orderBy(col(tsCol))
+    require(tieCols.forall(c => !attrCols.contains(c) && c != idCol && c != tsCol),
+      "tieCols must be distinct from id/ts/attr columns")
+    val orderCols = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(idCol)).orderBy(orderCols: _*)
     val attrs = struct(attrCols.map(col): _*)
-    val changed = log
-      .select(col(idCol) +: col(tsCol) +: attrCols.map(col): _*)
+    val base = log
+      .select(col(idCol) +: col(tsCol) +: (attrCols ++ tieCols).map(col): _*)
+    if (tieCols.isEmpty) {
+      // enforce the documented unique-(id, ts) precondition instead of
+      // assuming it: one map-side-combinable count aggregate, failing fast
+      // on the first duplicate natural key
+      val dup = base.groupBy(col(idCol), col(tsCol))
+        .agg(count(lit(1)).alias("__n")).filter(col("__n") > 1L).limit(1)
+        .collect()
+      require(dup.isEmpty,
+        s"duplicate ($idCol, $tsCol) pairs in the change log (e.g. " +
+          s"${dup.headOption.map(_.toSeq.take(2)).getOrElse(Nil)}): pass " +
+          "tieCols (a sequence/offset column) for a total version order")
+    }
+    val changed = base
       .withColumn("__prev", lag(attrs, 1).over(w))
       // null-safe: first row (null prev) and genuine changes survive;
       // a no-op re-emit (prev <=> attrs) is dropped
@@ -42,7 +65,7 @@ object Cdc {
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
-      .drop(tsCol)
+      .drop(tsCol +: tieCols: _*)
   }
 
   /** Point-in-time lookup against a [[scd2FromLog]] dimension: attach the

@@ -45,9 +45,15 @@ object Sketch {
       .filter(col("__rn") <= k)
     ranked.groupBy(gc: _*)
       .agg(count(lit(1)).alias("n_kept"), max(col("__h")).alias("kth_hash"))
+      // kth_hash = 0 in the estimate branch is unreachable with k >= 2
+      // distinct non-negative hashes (their max is >= k-1 >= 1), but the
+      // greatest() guard makes division-by-zero impossible by
+      // construction rather than by argument; the oracle replay carries
+      // the identical guard
       .select(gc ++ Seq(col("n_kept"), col("kth_hash"),
         when(col("n_kept") < k, col("n_kept").cast(DoubleType))
-          .otherwise(lit((k - 1).toDouble * Hashing.P) / col("kth_hash"))
+          .otherwise(lit((k - 1).toDouble * Hashing.P) /
+            greatest(col("kth_hash"), lit(1L)))
           .alias("distinct_est")): _*)
   }
 
@@ -142,7 +148,8 @@ object Sketch {
       .agg(count(lit(1)).alias("n_kept"), max(col("__h")).alias("kth_hash"))
       .select(col("bucket"), col("n_kept"), col("kth_hash"),
         when(col("n_kept") < k, col("n_kept").cast(DoubleType))
-          .otherwise(lit((k - 1).toDouble * Hashing.P) / col("kth_hash"))
+          .otherwise(lit((k - 1).toDouble * Hashing.P) /
+            greatest(col("kth_hash"), lit(1L))) // see [[kmvDistinct]]
           .alias("distinct_est"))
   }
 
@@ -160,6 +167,10 @@ object Sketch {
     val gc = groupCols.map(col)
     val bin = histBin(valueCol, lo, hi, nBins)
     df.select(gc :+ bin.alias("bin"): _*)
+      // null/NaN values bin to null and are excluded — the SAME exclusion
+      // the streaming delta builder applies, so batch and stream sketches
+      // cannot diverge on dirty values
+      .filter(col("bin").isNotNull)
       .groupBy(gc :+ col("bin"): _*)
       .agg(count(lit(1)).alias("cnt"))
   }
@@ -167,13 +178,20 @@ object Sketch {
   /** Clamped equal-width bin index — the shared binning of [[histogram]]
     * and the streaming delta builder
     * ([[graft.streaming.StreamingTSDF.histogramDeltas]]); the two MUST
-    * agree or batch and stream sketches diverge. */
+    * agree or batch and stream sketches diverge. Null AND NaN values map
+    * to a null bin (NaN would otherwise clamp silently into bin 0 through
+    * `cast(NaN as long) = 0`); both builders filter null bins out. */
   private[graft] def histBin(valueCol: Column, lo: Double, hi: Double,
       nBins: Int): Column = {
     require(nBins >= 2 && hi > lo, "need nBins >= 2 and hi > lo")
     val w = (hi - lo) / nBins
-    least(lit(nBins.toLong - 1), greatest(lit(0L),
-      floor((valueCol - lit(lo)) / lit(w)).cast(LongType)))
+    val v = valueCol.cast(DoubleType)
+    // the null guard must be EXPLICIT: greatest/least skip null operands,
+    // so without it a null value silently clamps into bin 0 (isnan(null)
+    // is false, not null — it doesn't short-circuit either)
+    when(v.isNull || isnan(v), lit(null).cast(LongType))
+      .otherwise(least(lit(nBins.toLong - 1), greatest(lit(0L),
+        floor((v - lit(lo)) / lit(w)).cast(LongType))))
   }
 
   /** Merge two [[histogram]] sketches over the same bin layout. */
@@ -233,7 +251,12 @@ object Sketch {
     val cents = floor(valueCol * lit(scale.toDouble) + lit(0.5))
       .cast(LongType)
     val vals = df.select(cents.alias("__c"),
-      histBin(valueCol, lo, hi, nBins).alias("__bin"))
+        histBin(valueCol, lo, hi, nBins).alias("__bin"))
+      // null/NaN values have a null bin; dropping them here keeps the
+      // driver-side getLong from silently folding them into bin 0 and
+      // corrupting the rank arithmetic (ranks are over clean values only,
+      // matching [[histogram]]'s exclusion)
+      .filter(col("__bin").isNotNull)
     val hist = vals.groupBy(col("__bin"))
       .agg(count(lit(1)).alias("cnt"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)

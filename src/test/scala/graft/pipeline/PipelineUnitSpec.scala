@@ -3095,6 +3095,68 @@ class PipelineUnitSpec extends SparkTestBase {
       math.abs(pairs.head._3 - 1.0) < 1e-12)
   }
 
+  test("histogram and exactQuantiles2Pass exclude null/NaN values like the " +
+      "streaming builder") {
+    import spark.implicits._
+    val clean = (1 to 100).map(i => ("g", i.toDouble))
+    val dirty = clean ++ Seq(("g", Double.NaN), ("g", Double.NaN))
+    val dirtyDf = dirty.toDF("g", "v")
+      .union(Seq(("g", "x")).toDF("g", "x").select(col("g"),
+        lit(null).cast("double").alias("v")))
+    def histMap(d: org.apache.spark.sql.DataFrame) =
+      Sketch.histogram(d, Seq("g"), col("v"), 0.0, 100.0, 10)
+        .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("cnt")).toMap
+    // dirty rows vanish: sketch equals the clean build, no null bin row
+    assert(histMap(dirtyDf) == histMap(clean.toDF("g", "v")))
+    assert(histMap(dirtyDf).values.sum == 100L)
+    // exact quantiles rank over clean values only (the null bin would have
+    // corrupted the driver-side rank arithmetic via getLong(null) = 0)
+    val med = Sketch.exactQuantiles2Pass(dirtyDf, col("v"), Seq(0.5),
+      0.0, 100.0, 10).collect().head
+    assert(med.getAs[Long]("n") == 100L)
+    assert(med.getAs[Long]("cents") == 5000L)
+  }
+
+  test("scd2FromLog rejects duplicate (id, ts) without tieCols and is " +
+      "deterministic with them") {
+    import spark.implicits._
+    def t(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    val dup = Seq((1L, t(1), "a", 10L), (1L, t(1), "b", 11L),
+      (1L, t(2), "c", 12L)).toDF("id", "ts", "attr", "seq")
+    val e = intercept[IllegalArgumentException] {
+      Cdc.scd2FromLog(dup.select("id", "ts", "attr"), "id", "ts", Seq("attr"))
+    }
+    assert(e.getMessage.contains("tieCols"))
+    // with the tie column the version order is total: a@1, b@1(zero-width
+    // tie interval), c@2 — stable under repartitioning
+    val got = Cdc.scd2FromLog(dup, "id", "ts", Seq("attr"), tieCols = Seq("seq"))
+      .orderBy("valid_from", "attr")
+      .collect().map(r => (r.getAs[String]("attr"),
+        r.getAs[java.sql.Timestamp]("valid_to") == null))
+    assert(got.toSeq == Seq(("a", false), ("b", false), ("c", true)))
+    val got2 = Cdc.scd2FromLog(dup.repartition(7), "id", "ts", Seq("attr"),
+      tieCols = Seq("seq")).orderBy("valid_from", "attr")
+      .collect().map(_.getAs[String]("attr"))
+    assert(got2.toSeq == Seq("a", "b", "c"))
+    // unique (id, ts) logs still pass without tieCols
+    assert(Cdc.scd2FromLog(dup.filter(col("seq") =!= 11L)
+      .select("id", "ts", "attr"), "id", "ts", Seq("attr")).count() == 2L)
+  }
+
+  test("LttbSelect rejects containsNull arrays at analysis time") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("x", "y")
+      // array() of a when-null struct -> containsNull = true
+      .select(array(when(col("x") > 0, struct(col("x"), col("y")))).alias("ps"))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(org.apache.spark.sql.GraftColumns.column(
+        graft.functions.LttbSelect(
+          org.apache.spark.sql.GraftColumns.expression(col("ps")), 3)))
+        .collect()
+    }
+    assert(e.getMessage.contains("graft_lttb"))
+  }
+
   test("property: walkForwardFolds never leaks future or embargoed rows " +
       "into train") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
