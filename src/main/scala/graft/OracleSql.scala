@@ -3064,6 +3064,26 @@ object OracleSql {
         |       END AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
 
+    // PNG decode replay: the engine inflates + unfilters real zlib
+    // scanlines; the oracle restates the decoded sample sums from the
+    // generating arithmetic (sample(r,c,ch) = (id%251 + 5r + 3c + 11ch)
+    // % 256) via lateral range expansion — no byte ever touched here, so
+    // a decoder bug cannot self-validate.
+    "q_decode_png" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w,
+        |  8 + (doc_id * 3) % 24 AS h,
+        |  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS nch
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h, nch,
+        |  (doc_id % 251 + 5 * r.r + 3 * c.c + 11 * ch.ch) % 256 AS p
+        |  FROM d, range(31) r(r), range(31) c(c), range(3) ch(ch)
+        |  WHERE r.r < h AND c.c < w AND ch.ch < nch)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(nch AS INT) AS channels, count(*) AS n_samples,
+        |  CAST(sum(p) AS BIGINT) AS sample_sum,
+        |  CAST(sum(p) AS DOUBLE) / count(*) AS mean_sample
+        |FROM px GROUP BY doc_id, w, h, nch""".stripMargin,
+
     "q_time_horizon" ->
       """WITH g AS (SELECT user_id, min(ts) AS mn, max(ts) AS mx, count(*) AS actual_rows
         |  FROM events GROUP BY 1),

@@ -2212,6 +2212,17 @@ object SparkEntry {
         col("media_meta.height").alias("height"),
         col("media_meta.duration_ms").alias("duration_ms"))
 
+  /** REAL PNG pixel decode end to end ([[graft.pipeline.Multimodal
+    * .decodePng]]): payloads synthesized with genuine zlib streams and all
+    * five scanline filters, inflated + unfiltered by the engine, per-image
+    * exact sample sums; the oracle restates the sums from the generating
+    * doc_id arithmetic without touching a byte. */
+  private def qDecodePng(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pngPixelStats(
+      Multimodal.synthesizePngPayload(docs(s, dir).select(col("doc_id")),
+        "doc_id"),
+      "doc_id", "payload")
+
   /** Scale-safe embedding near-dup: the bucketed LSH plan (equi-join on the
     * sign-LSH bucket) rather than the per-label all-pairs ground truth. */
   private def qEmbedNearDupLsh(s: SparkSession, dir: String): DataFrame =
@@ -2428,6 +2439,7 @@ object SparkEntry {
     "q_lookback" -> qLookback _,
     "q_multimodal" -> qMultimodal _,
     "q_media_meta_real" -> qMediaMetaReal _,
+    "q_decode_png" -> qDecodePng _,
     "q_frame_plan" -> qFramePlan _,
   )
 

@@ -3157,6 +3157,59 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(e.getMessage.contains("graft_lttb"))
   }
 
+  test("decodePng round-trips all five scanline filters and agrees with " +
+      "the JDK's independent ImageIO decoder") {
+    val rnd = new scala.util.Random(41)
+    for ((channels, w, h) <- Seq((3, 13, 9), (1, 8, 11), (3, 1, 5), (1, 1, 1))) {
+      val samples = Array.fill(w * h * channels)(rnd.nextInt(256))
+      // every row gets a different filter type — all five occur for h >= 5
+      val png = Multimodal.buildPngWithPixels(w, h, channels, samples,
+        r => r % 5)
+      val img = Multimodal.decodePng(png).get
+      assert(img.width == w && img.height == h && img.channels == channels)
+      assert(img.samples.sameElements(samples),
+        s"round-trip mismatch at ($channels, $w, $h)")
+      // differential against javax.imageio — an INDEPENDENT full PNG
+      // decoder in the JDK, so a mirrored builder+decoder bug in the
+      // filter arithmetic cannot self-validate
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(bi != null, "ImageIO rejected the builder's PNG")
+      val raster = bi.getRaster
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until channels)
+        assert(raster.getSample(x, y, c) ==
+          samples((y * w + x) * channels + c), s"ImageIO mismatch at ($x,$y,$c)")
+    }
+    // reject paths: wrong container, truncated stream, empty IDAT
+    assert(Multimodal.decodePng(Multimodal.buildJpeg(10, 10)).isEmpty)
+    val full = Multimodal.buildPngWithPixels(8, 8, 3,
+      Array.fill(192)(7), _ => 0)
+    // cut inside the IDAT payload (sig 8 + IHDR 25 + chunk header 8 = 41)
+    assert(Multimodal.decodePng(full.take(44)).isEmpty)
+    assert(Multimodal.decodePng(Multimodal.buildPng(8, 8)).isEmpty)
+  }
+
+  test("pngPixelStats decodes synthesized payloads to the arithmetic sums") {
+    import spark.implicits._
+    val ids = (0L until 64L).toDF("doc_id")
+    val got = Multimodal.pngPixelStats(
+      Multimodal.synthesizePngPayload(ids, "doc_id"), "doc_id", "payload")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.size == 64)
+    for (id <- 0L until 64L) {
+      val w = (8 + id % 24).toInt; val h = (8 + id * 3 % 24).toInt
+      val ch = if (id % 5 == 0) 1 else 3
+      var expect = 0L
+      for (r <- 0 until h; c <- 0 until w; k <- 0 until ch)
+        expect += (id % 251 + 5 * r + 3 * c + 11 * k) % 256
+      val row = got(id)
+      assert(row.getAs[Int]("width") == w && row.getAs[Int]("height") == h)
+      assert(row.getAs[Int]("channels") == ch)
+      assert(row.getAs[Long]("sample_sum") == expect, s"id $id")
+      assert(row.getAs[Long]("n_samples") == w.toLong * h * ch)
+    }
+  }
+
   test("property: walkForwardFolds never leaks future or embargoed rows " +
       "into train") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
