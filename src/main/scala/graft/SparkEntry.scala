@@ -1006,9 +1006,19 @@ object SparkEntry {
 
   /** Run a streaming frame to completion through a PARQUET sink (results
     * never gather on the driver, unlike the memory sink) and read the
-    * output back as a plain DataFrame. */
+    * output back as a plain DataFrame.
+    *
+    * The scratch checkpoint + sink live on tmpfs when available: a
+    * single-batch AvailableNow run pays ~20 fsyncs (offset/commit WALs,
+    * per-partition state deltas, sink manifest) that are pure harness
+    * overhead for a throwaway query — production deployments point the
+    * checkpoint at durable storage and none of this path changes. */
   private def runStream(s: SparkSession, out: DataFrame): DataFrame = {
-    val dst = java.nio.file.Files.createTempDirectory("graft_stream_out_")
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val dst = (if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, "graft_stream_out_")
+    else java.nio.file.Files.createTempDirectory("graft_stream_out_"))
       .toString
     val q = out.writeStream.format("parquet")
       .option("path", s"$dst/data")
@@ -1017,7 +1027,9 @@ object SparkEntry {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(s"$dst/data")
+    // the result schema is the stream frame's own — passing it skips the
+    // footer-sampling schema-inference job on every read-back
+    s.read.schema(out.schema).parquet(s"$dst/data")
   }
 
   /** Streaming Holt as a REAL single-batch streaming query — bit-identical
