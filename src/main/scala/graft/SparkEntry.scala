@@ -1379,6 +1379,19 @@ object SparkEntry {
     graft.pipeline.LangModel.scoreDocs(d, Seq("doc_id"), col("text"), model)
   }
 
+  /** DSIR-style importance weights against the English slice as the
+    * target domain ([[graft.pipeline.Dsir.importanceWeights]]): hashed
+    * unigram+bigram profiles (4096 buckets), exact micro-unit likelihood
+    * ratios, mean ratio per doc — the domain-targeted data-selection
+    * score. */
+  private def qDsir(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.pipeline.Dsir.importanceWeights(
+      d.select(col("doc_id"), col("text")),
+      d.filter(col("lang") === "en").select(col("text")),
+      "text", "doc_id", buckets = 4096)
+  }
+
   /** Count-Min sketch (width 512 × depth 3) over the corpus tokens, probed
     * with every token whose exact count ≥ 50: the CMS estimate is an upper
     * bound (never under, over only on collisions), and the exact counts
@@ -2362,6 +2375,7 @@ object SparkEntry {
     "q_kmv_distinct" -> qKmv _,
     "q_hll_distinct" -> qHll _,
     "q_lm_score" -> qLmScore _,
+    "q_dsir" -> qDsir _,
     "q_hist_quantile" -> qHistQuantile _,
     "q_corr" -> qCorr _,
     "q_simpson" -> qSimpson _,

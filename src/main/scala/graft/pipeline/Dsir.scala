@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Hashed n-gram importance weighting for domain-targeted data selection —
+  * the DSIR recipe (Xie et al. 2023, "Data Selection for Language Models
+  * via Importance Resampling"): score every raw-corpus document by how much
+  * more likely its hashed unigram+bigram profile is under a small TARGET
+  * corpus (the domain you want more of) than under the raw corpus itself,
+  * then keep the top slice / sample proportionally.
+  *
+  * 100 TB design:
+  *  - Model state is bounded by the BUCKET count, not the vocabulary:
+  *    grams hash into `buckets` cells, so each corpus profile is ≤ buckets
+  *    rows after one map-side-combinable count aggregate — broadcast-sized
+  *    by construction, joined into the scoring pass without a hint (AQE).
+  *  - Scoring is one explode over the raw corpus; partial aggregation
+  *    collapses (partition, doc) before the shuffle, so shuffle volume is
+  *    O(#docs), not O(#grams).
+  *  - Determinism: the paper's log-likelihood-ratio sum is replaced by
+  *    fixed-point likelihood RATIOS — per-bucket probabilities in exact
+  *    micro-units (floor division via (x − x mod d)/d, exact in both
+  *    engines), per-gram ratio in milli-units, per-doc sums exact BIGINT
+  *    adds, one final IEEE division. A transcendental log would not replay
+  *    bit-identically across engines (the [[LangModel]] trade); the
+  *    arithmetic-mean-of-ratios keeps the same "target-like grams score
+  *    high" ordering signal and is exactly reproducible anywhere.
+  *    Magnitude bound (caller-owned, the [[Profile.pairwiseCorrelation]]
+  *    discipline): scale·(maxBucketCnt+1) must stay below 2^53, which the
+  *    default scale=1e6 holds to ~9e9 grams per bucket (≈ 10^13 corpus
+  *    grams at 8k buckets).
+  */
+object Dsir {
+
+  /** Exact floor(x / d) for non-negative integer columns: the numerator is
+    * made an exact multiple of d, so the one double division is exact. */
+  private def floorDivExact(x: Column, d: Column): Column =
+    ((x - pmod(x, d)) / d).cast(LongType)
+
+  /** Word unigrams ++ bigrams WITH multiplicity (DSIR counts occurrences,
+    * unlike [[Dedup.shingles]]' distinct sets). The token array is bound
+    * once as a lambda variable — the Dedup.shingles CSE lesson. */
+  private[pipeline] def grams(textCol: Column): Column = {
+    val toks = split(Dedup.normalizeText(textCol), " ")
+    flatten(transform(array(toks), ts =>
+      concat(ts,
+        when(size(ts) >= 2,
+          transform(sequence(lit(1), size(ts) - 1),
+            i => concat_ws(" ", slice(ts, i, lit(2)))))
+          .otherwise(array().cast(ArrayType(StringType))))))
+  }
+
+  private def bucketOf(g: Column, buckets: Int, seed: Int): Column =
+    pmod(Hashing.mix(Hashing.polyHash(g), seed), lit(buckets.toLong))
+
+  /** Hashed gram profile of a corpus: (b, cnt), ≤ `buckets` rows. One
+    * corpus scan, map-side combined. */
+  def hashedGramCounts(df: DataFrame, textCol: Column, buckets: Int,
+      seed: Int = 23): DataFrame =
+    df.select(explode(grams(textCol)).alias("__g"))
+      .select(bucketOf(col("__g"), buckets, seed).alias("b"))
+      .groupBy(col("b")).agg(count(lit(1)).alias("cnt"))
+
+  /** Per-bucket likelihood-ratio table from target + raw profiles:
+    * ratio_milli(b) = floor(1000 · pT_u(b) / max(pR_u(b), 1)) with
+    * pX_u(b) = floor(scale · (cntX(b)+1) / (totalX + buckets)) — add-one
+    * smoothing over the bucket space, all divisions exact floor. The
+    * windows run over ≤ `buckets` rows (never over data). */
+  def ratioTable(target: DataFrame, raw: DataFrame, textCol: Column,
+      buckets: Int, seed: Int = 23, scale: Long = 1000000L): DataFrame = {
+    val t = hashedGramCounts(target, textCol, buckets, seed)
+      .withColumnRenamed("cnt", "__ct")
+    val r = hashedGramCounts(raw, textCol, buckets, seed)
+      .withColumnRenamed("cnt", "__cr")
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val j = t.join(r, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("__ct"), lit(0L)).alias("__ct"),
+        coalesce(col("__cr"), lit(0L)).alias("__cr"))
+      .withColumn("__tt", sum(col("__ct")).over(all))
+      .withColumn("__tr", sum(col("__cr")).over(all))
+    val pT = floorDivExact(lit(scale) * (col("__ct") + 1L),
+      col("__tt") + lit(buckets.toLong))
+    val pR = floorDivExact(lit(scale) * (col("__cr") + 1L),
+      col("__tr") + lit(buckets.toLong))
+    j.select(col("b"),
+      floorDivExact(lit(1000L) * pT, greatest(pR, lit(1L)))
+        .alias("ratio_milli"))
+  }
+
+  /** Importance weight per raw-corpus document against a target corpus.
+    * Output: (idCol, n_grams, sum_ratio_milli, dsir_weight) — the weight
+    * is the mean per-gram likelihood ratio in milli-units (1000 ≈ "looks
+    * equally target-like and raw-like"; higher = more target-like), one
+    * IEEE division of exact integers. Grams absent from BOTH profiles
+    * still hit a bucket (hashing is total), so every gram scores. */
+  def importanceWeights(raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, buckets: Int = 8192, seed: Int = 23,
+      scale: Long = 1000000L): DataFrame = {
+    val ratios = ratioTable(target, raw, col(textCol), buckets, seed, scale)
+    raw.select(col(idCol), explode(grams(col(textCol))).alias("__g"))
+      .select(col(idCol), bucketOf(col("__g"), buckets, seed).alias("b"))
+      .join(ratios, Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).alias("n_grams"),
+        sum(col("ratio_milli")).alias("sum_ratio_milli"))
+      .withColumn("dsir_weight",
+        col("sum_ratio_milli").cast(DoubleType) / col("n_grams").cast(DoubleType))
+  }
+}

@@ -3210,6 +3210,39 @@ class PipelineUnitSpec extends SparkTestBase {
     }
   }
 
+  test("Dsir.importanceWeights ranks target-like docs above off-domain " +
+      "docs, deterministically") {
+    import spark.implicits._
+    // target: cooking vocabulary; raw corpus: cooking docs + legal docs
+    val target = Seq.tabulate(20)(i =>
+      s"simmer the onion broth and season the sauce well $i")
+      .toDF("text")
+    val raw = (Seq.tabulate(10)(i =>
+      (i.toLong, s"simmer the onion broth and season the sauce gently $i")) ++
+      Seq.tabulate(10)(i =>
+        (100L + i, s"the party of the first part hereby waives clause $i")))
+      .toDF("doc_id", "text")
+    val got = Dsir.importanceWeights(raw, target, "text", "doc_id",
+      buckets = 1024)
+    val w = got.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Double]("dsir_weight")).toMap
+    assert(w.size == 20)
+    val cook = (0L until 10L).map(w)
+    val legal = (100L until 110L).map(w)
+    assert(cook.min > legal.max,
+      s"cooking ${cook.min} should outscore legal ${legal.max}")
+    // n_grams = unigrams + bigrams with multiplicity: 10 tokens -> 10 + 9
+    val n = got.filter(col("doc_id") === 0L).collect().head
+      .getAs[Long]("n_grams")
+    assert(n == 19L)
+    // deterministic under repartitioning (exact integer sums)
+    val again = Dsir.importanceWeights(raw.repartition(13), target, "text",
+      "doc_id", buckets = 1024)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("dsir_weight")).toMap
+    assert(again == w)
+  }
+
   test("property: walkForwardFolds never leaks future or embargoed rows " +
       "into train") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
