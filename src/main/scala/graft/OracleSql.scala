@@ -1988,6 +1988,22 @@ object OracleSql {
     // order-independent integer sums + one final division. The Spark
     // floor-div is (x − x mod d)/d with an exact-multiple numerator ==
     // DuckDB's integer `//`.
+    // Score-percentile replay: identical 256-bin clamped binning over
+    // [0, 512), strictly-lower-bin cumulative counts, exact floor
+    // division to milli-units.
+    "q_score_calib" ->
+      """WITH b AS (SELECT event_id,
+        |  least(255, greatest(0, CAST(floor(value / 2.0) AS BIGINT))) AS bin
+        |  FROM events),
+        |h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+        |m AS (SELECT bin,
+        |  CAST((1000 * COALESCE(sum(cnt) OVER (ORDER BY bin
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |    // (sum(cnt) OVER ()) AS BIGINT) AS percentile_milli
+        |  FROM h)
+        |SELECT b.event_id, m.percentile_milli
+        |FROM b LEFT JOIN m USING (bin)""".stripMargin,
+
     // DSIR replay: same hashed unigram+bigram buckets (polyhash + affine
     // mix, mod 4096), same add-one-smoothed micro-unit probabilities via
     // exact integer floor division (// here, (x - x mod d)/d on the Spark

@@ -1392,6 +1392,16 @@ object SparkEntry {
       "text", "doc_id", buckets = 4096)
   }
 
+  /** Corpus-wide score-percentile calibration over the event values
+    * ([[graft.pipeline.Sketch.withScorePercentile]]): each event's
+    * bin-granular ECDF rank in milli-units from the 256-bin histogram
+    * sketch — exact integers, no global sort. */
+  private def qScoreCalib(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sketch.withScorePercentile(
+      events(s, dir).select(col("event_id"), col("value")),
+      col("value"), 0.0, 512.0, 256)
+      .select(col("event_id"), col("percentile_milli"))
+
   /** Count-Min sketch (width 512 × depth 3) over the corpus tokens, probed
     * with every token whose exact count ≥ 50: the CMS estimate is an upper
     * bound (never under, over only on collisions), and the exact counts
@@ -2376,6 +2386,7 @@ object SparkEntry {
     "q_hll_distinct" -> qHll _,
     "q_lm_score" -> qLmScore _,
     "q_dsir" -> qDsir _,
+    "q_score_calib" -> qScoreCalib _,
     "q_hist_quantile" -> qHistQuantile _,
     "q_corr" -> qCorr _,
     "q_simpson" -> qSimpson _,

@@ -228,6 +228,34 @@ object Sketch {
       .withColumn("q_est", lit(lo) + (col("bin") + 1).cast(DoubleType) * lit(w))
   }
 
+  /** Corpus-wide score calibration: attach each row's percentile rank
+    * (milli-units, bin-granular ECDF) computed from the bounded
+    * [[histogram]] sketch — the "turn a raw quality score into a corpus
+    * percentile before thresholding" step of a selection pipeline, without
+    * any global sort: percentile_milli = floor(1000 · cumBelow / total)
+    * where cumBelow counts rows in strictly lower bins, so rows sharing a
+    * bin share a percentile (granularity = one bin width; widen nBins for
+    * finer ranks). One corpus aggregate (map-side combined), prefix sums
+    * over ≤ nBins rows, and a join-back on the bin that AQE broadcasts —
+    * exact integer arithmetic end to end, engine-replayable. Rows with
+    * null/NaN scores get a null percentile (the [[histBin]] exclusion). */
+  def withScorePercentile(df: DataFrame, valueCol: Column, lo: Double,
+      hi: Double, nBins: Int, outCol: String = "percentile_milli"): DataFrame = {
+    val h = histogram(df, Seq.empty, valueCol, lo, hi, nBins)
+    val before = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val below = coalesce(sum(col("cnt")).over(before), lit(0L))
+    val total = sum(col("cnt")).over(all)
+    val x = lit(1000L) * below
+    val m = h.select(col("bin").alias("__pb"),
+      ((x - pmod(x, total)) / total).cast(LongType).alias(outCol))
+    df.withColumn("__pbin", histBin(valueCol, lo, hi, nBins))
+      .join(m, col("__pbin") === col("__pb"), "left")
+      .drop("__pbin", "__pb")
+  }
+
   /** EXACT quantile in two passes — the distributed-quickselect shape
     * that replaces a full global sort at 100 TB: pass 1 builds the
     * [[histogram]] (map-side-combinable; its ≤ nBins rows collect to the

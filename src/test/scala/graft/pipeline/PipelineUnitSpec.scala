@@ -3243,6 +3243,24 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(again == w)
   }
 
+  test("withScorePercentile assigns bin-granular ECDF ranks; dirty scores " +
+      "get null") {
+    import spark.implicits._
+    // 100 clean values 0..99 into 10 bins over [0,100) + a null + a NaN
+    val df = ((0 until 100).map(i => (i.toLong, i.toDouble)) :+
+      (900L, Double.NaN)).toDF("id", "v")
+      .union(Seq((901L, "x")).toDF("id", "x").select(col("id"),
+        lit(null).cast("double").alias("v")))
+    val got = Sketch.withScorePercentile(df, col("v"), 0.0, 100.0, 10)
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Long]("percentile_milli")).map(_.toLong))
+      .toMap
+    // value 0..9 -> bin 0 -> 0 below -> 0; 50..59 -> bin 5 -> 500; 95 -> 900
+    assert(got(0L) == Some(0L) && got(5L) == Some(0L))
+    assert(got(50L) == Some(500L) && got(95L) == Some(900L))
+    assert(got(900L).isEmpty && got(901L).isEmpty)
+  }
+
   test("property: walkForwardFolds never leaks future or embargoed rows " +
       "into train") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
