@@ -3514,6 +3514,16 @@ object OracleSql {
 
     // SCD2 replay: lag IS DISTINCT FROM collapses no-op re-emits (the
     // null-safe struct compare), lead derives [valid_from, valid_to).
+    // Streaming SCD2 changelog replay: the batch version rows (the same
+    // collapsed change set) without the derivable valid_to.
+    "q_stream_scd2" ->
+      """WITH c AS (SELECT user_id, ts, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM c
+        |WHERE prev IS DISTINCT FROM event_type""".stripMargin,
+
     "q_scd2" ->
       """WITH c AS (SELECT user_id, ts, event_type, event_id,
         |  lag(event_type) OVER (PARTITION BY user_id

@@ -2035,6 +2035,21 @@ object SparkEntry {
       col("vc"), col("cusum_hi"), col("cusum_lo"), col("alert"))
   }
 
+  /** Streaming SCD2 changelog as a real single-batch streaming query
+    * ([[graft.streaming.StreamingTSDF.scd2Changelog]]): per user, the
+    * collapsed event_type change set in (ts, event_id) order — exactly
+    * the batch [[graft.pipeline.Cdc.scd2FromLog]] version rows without
+    * the derivable valid_to. */
+  private def qStreamScd2(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val out = graft.streaming.StreamingTSDF.scd2Changelog(
+      eventsStream(s, dir).select(col("user_id"), col("ts"),
+        col("event_type"), col("event_id")),
+      Seq("user_id"), "ts", Seq("event_type"), "event_id")
+    runStream(s, out).select(col("user_id"), usec(col("ts")).alias("ts_us"),
+      col("event_type"))
+  }
+
   /** Rolling OLS slope of the cent-quantized value over the trailing 20
     * observations, per user. */
   private def qRollingSlope(s: SparkSession, dir: String): DataFrame =
@@ -2459,6 +2474,7 @@ object SparkEntry {
     "q_cusum" -> qCusum _,
     "q_cusum_control" -> qCusumControl _,
     "q_stream_cusum" -> qStreamCusum _,
+    "q_stream_scd2" -> qStreamScd2 _,
     "q_rolling_slope" -> qRollingSlope _,
     "q_drift" -> qDrift _,
     "q_drift_stats" -> qDriftStats _,

@@ -1494,4 +1494,78 @@ object StreamingTSDF {
       col("value").alias(valueCol), col("hw_level"), col("hw_trend"),
       col("hw_seasonal")): _*)
   }
+
+  // ------------------------------------------------- streaming SCD2 changelog
+  case class Scd2Event(series: String, tsUs: Long, tie: Long,
+      attrs: Seq[String], eventTime: java.sql.Timestamp)
+  case class Scd2State(attrs: Seq[String], lastTsUs: Long, lastTie: Long)
+
+  /** Streaming SCD2 CHANGELOG — the dimension-maintenance face of
+    * [[graft.pipeline.Cdc.scd2FromLog]]: per id, emit a row whenever the
+    * tracked attributes differ (null-safe) from the previous change, in
+    * (ts, tie) order; no-op re-emits are dropped. The emitted rows are
+    * exactly the batch operator's collapsed change set (its `valid_from`
+    * rows) — `valid_to` is a derivable view (lead over the changelog), so
+    * the append-only sink stays monotone and never rewrites history.
+    * State per id is ONE attribute tuple (constant size; `stateTtl`
+    * evicts ids idle past the watermark). Rows arriving out of order
+    * across micro-batches (ts below the id's last change) are skipped —
+    * the same documented append-mode trade as [[asOfJoin]]; within a
+    * micro-batch, rows process in (ts, tie) order. `tieCol` totalizes the
+    * order on duplicate timestamps like the batch tieCols. */
+  def scd2Changelog(df: DataFrame, idCols: Seq[String], tsCol: String,
+      attrCols: Seq[String], tieCol: String,
+      stateTtl: Option[String] = None): DataFrame = {
+    require(attrCols.nonEmpty, "need at least one tracked attribute")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val projected = df.select(
+      seriesKey(idCols).alias("series"),
+      unix_micros(col(tsCol)).alias("tsUs"),
+      col(tieCol).cast(LongType).alias("tie"),
+      array(attrCols.map(col(_).cast(StringType)): _*).alias("attrs"),
+      col(tsCol).alias("eventTime"))
+    val events = stateTtl.fold(projected)(ttl =>
+      projected.withWatermark("eventTime", ttl)).as[Scd2Event]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val out = events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (key: String, rows: Iterator[Scd2Event], state: GroupState[Scd2State]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.tsUs, e.tie))
+            var cur = state.getOption.orNull
+            val outRows = sorted.flatMap { e =>
+              val late = cur != null && (e.tsUs < cur.lastTsUs ||
+                (e.tsUs == cur.lastTsUs && e.tie <= cur.lastTie))
+              if (late) None
+              else {
+                // null-safe element compare: Seq equality treats null
+                // elements as equal, mirroring the batch <=> struct
+                val changed = cur == null || cur.attrs != e.attrs
+                cur = Scd2State(e.attrs, e.tsUs, e.tie)
+                if (changed) Some((key, e.tsUs, e.attrs)) else None
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              stateTtl.foreach(ttl => state.setTimeoutTimestamp(
+                math.max(cur.lastTsUs / 1000,
+                  state.getCurrentWatermarkMs() + 1), ttl))
+            }
+            outRows.iterator
+          }
+      }
+      .toDF("series", "tsUs", "attrs")
+    out.select(typedSeriesCols(df.schema, idCols) ++
+      (timestamp_micros(col("tsUs")).alias(tsCol) +:
+        attrCols.zipWithIndex.map { case (a, i) =>
+          col("attrs").getItem(i).cast(df.schema(a).dataType).alias(a)
+        }): _*)
+  }
 }

@@ -510,4 +510,47 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
       withClue(s"trial $trial ($method): ") { assertDfEquality(streamed, batch) }
     }
   }
+
+  test("property: streaming scd2Changelog equals batch scd2FromLog change " +
+      "set across micro-batches (with ts ties)") {
+    val rnd = new scala.util.Random(47)
+    (0 until 4).foreach { trial =>
+      // per user: in-order rows on a lattice, attrs drawn from 3 values so
+      // no-op re-emits are common; some DUPLICATE timestamps (tie on seq)
+      var seq = 0L
+      val rows = Seq("u1", "u2").flatMap { u =>
+        (0 until 20).flatMap { i =>
+          val dup = rnd.nextInt(4) == 0
+          (0 until (if (dup) 2 else 1)).map { _ =>
+            seq += 1
+            (u, at(i * 10), s"state${rnd.nextInt(3)}", seq)
+          }
+        }
+      }.sortBy(r => (r._2.getTime, r._4))
+      val spark2 = spark
+      import spark2.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      runId += 1
+      val name = s"scd2_sink_$runId"
+      val mem = MemoryStream[(String, Timestamp, String, Long)]
+      val out = StreamingTSDF.scd2Changelog(
+        mem.toDF().toDF("user_id", "ts", "event_type", "event_id"),
+        Seq("user_id"), "ts", Seq("event_type"), "event_id")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      // three micro-batches in event order: state must carry across them
+      rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val streamed = spark.table(name)
+      val batch = graft.pipeline.Cdc.scd2FromLog(
+        rows.toDF("user_id", "ts", "event_type", "event_id"),
+        "user_id", "ts", Seq("event_type"), tieCols = Seq("event_id"))
+        .select(col("user_id"), col("valid_from").alias("ts"),
+          col("event_type"))
+      withClue(s"trial $trial: ") { assertDfEquality(streamed, batch) }
+    }
+  }
 }
