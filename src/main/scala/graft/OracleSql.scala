@@ -362,6 +362,29 @@ object OracleSql {
       |v AS ewm_var_value FROM r""".stripMargin
 
   private val qv = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))"
+
+  private lazy val ivfReplaySql: String = {
+    val d2 = "list_dot_product(a.q, a.q) - 2 * list_dot_product(a.q, c.cv) + " +
+      "list_dot_product(c.cv, c.cv)"
+    s"""WITH q AS (SELECT vec_id, $qv AS q FROM embeddings),
+       |cent AS (SELECT vec_id AS cell, q AS cv FROM q WHERE vec_id < 16),
+       |ca AS (SELECT a.vec_id, a.q, c.cell, $d2 AS dist FROM q a CROSS JOIN cent c),
+       |arg AS (SELECT vec_id, q, cell FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r FROM ca) t
+       |  WHERE r = 1),
+       |qp AS (SELECT vec_id, q, cell FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
+       |   FROM ca WHERE vec_id < 20) t
+       |  WHERE r <= 4),
+       |s AS (SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |  ${cosSql("p.q", "b.q")} AS cosine
+       |  FROM qp p JOIN arg b ON p.cell = b.cell AND p.vec_id <> b.vec_id),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+       |  FROM s)
+       |SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id, cosine
+       |FROM r WHERE rn <= 3""".stripMargin
+  }
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
@@ -2896,28 +2919,12 @@ object OracleSql {
     // vectors (a.a - 2a.b + b.b == sum((a-b)^2) exactly), ties toward the
     // lowest cell id — matching Similarity.ivfTopK's array_position /
     // struct-sort tie-breaks.
-    "q_ann_ivf" -> {
-      val d2 = "list_dot_product(a.q, a.q) - 2 * list_dot_product(a.q, c.cv) + " +
-        "list_dot_product(c.cv, c.cv)"
-      s"""WITH q AS (SELECT vec_id, $qv AS q FROM embeddings),
-         |cent AS (SELECT vec_id AS cell, q AS cv FROM q WHERE vec_id < 16),
-         |ca AS (SELECT a.vec_id, a.q, c.cell, $d2 AS dist FROM q a CROSS JOIN cent c),
-         |arg AS (SELECT vec_id, q, cell FROM
-         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r FROM ca) t
-         |  WHERE r = 1),
-         |qp AS (SELECT vec_id, q, cell FROM
-         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
-         |   FROM ca WHERE vec_id < 20) t
-         |  WHERE r <= 4),
-         |s AS (SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |  ${cosSql("p.q", "b.q")} AS cosine
-         |  FROM qp p JOIN arg b ON p.cell = b.cell AND p.vec_id <> b.vec_id),
-         |r AS (SELECT query_id, neighbor_id, cosine,
-         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
-         |  FROM s)
-         |SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id, cosine
-         |FROM r WHERE rn <= 3""".stripMargin
-    },
+    "q_ann_ivf" -> ivfReplaySql,
+
+    // The cell-partitioned PERSISTED index probes the same cells with the
+    // same arithmetic (vectors round-trip parquet exactly), so the indexed
+    // path shares the q_ann_ivf replay verbatim.
+    "q_ann_ivf_indexed" -> ivfReplaySql,
 
     // recall@3 of the q_ann_ivf list vs the q_ann_topk brute force: both
     // CTE chains replayed verbatim, intersected per query

@@ -903,6 +903,24 @@ object SparkEntry {
         col("neighbor_id"), col("cosine"))
   }
 
+  /** The PERSISTED cell-partitioned IVF index end to end
+    * ([[graft.pipeline.Similarity.writeIvfIndex]] +
+    * [[graft.pipeline.Similarity.ivfTopKIndexed]]): same codebook, probes
+    * and arithmetic as q_ann_ivf — the probe scan reads only the probed
+    * cells' directories (partition pruning, plan-asserted in
+    * PlanShapeSpec). Shares q_ann_ivf's oracle verbatim. */
+  private def qAnnIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val d = quantized(s, dir)
+    val centroids = d.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select("q").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val path = scratchDir("graft_ivf_idx_")
+    Similarity.writeIvfIndex(d, "vec_id", "q", centroids, path)
+    Similarity.ivfTopKIndexed(d.filter(col("vec_id") < 20), path, "vec_id",
+      "q", k = 3, centroids = centroids, nprobe = 4)
+      .select(col("query_id"), col("rank").cast(LongType).alias("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
   /** The trained IVF codebook itself as the query output: k-means over the
     * quantized embeddings (nlist=4, iters=2), emitted as one row per
     * (cell, 1-based dim). The oracle unrolls both Lloyd iterations as
@@ -1013,13 +1031,17 @@ object SparkEntry {
     * per-partition state deltas, sink manifest) that are pure harness
     * overhead for a throwaway query — production deployments point the
     * checkpoint at durable storage and none of this path changes. */
-  private def runStream(s: SparkSession, out: DataFrame): DataFrame = {
+  /** Scratch dir on tmpfs when available (see [[runStream]]'s rationale). */
+  private def scratchDir(prefix: String): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    val dst = (if (java.nio.file.Files.isDirectory(shm) &&
+    (if (java.nio.file.Files.isDirectory(shm) &&
         java.nio.file.Files.isWritable(shm))
-      java.nio.file.Files.createTempDirectory(shm, "graft_stream_out_")
-    else java.nio.file.Files.createTempDirectory("graft_stream_out_"))
-      .toString
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)).toString
+  }
+
+  private def runStream(s: SparkSession, out: DataFrame): DataFrame = {
+    val dst = scratchDir("graft_stream_out_")
     val q = out.writeStream.format("parquet")
       .option("path", s"$dst/data")
       .option("checkpointLocation", s"$dst/chk")
@@ -2385,6 +2407,7 @@ object SparkEntry {
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_multiprobe" -> qAnnMultiprobe _,
     "q_ann_ivf" -> qAnnIvf _,
+    "q_ann_ivf_indexed" -> qAnnIvfIndexed _,
     "q_lang_id" -> qLangId _,
     "q_quality" -> qQuality _,
     "q_strip_html" -> qStripHtml _,

@@ -379,6 +379,73 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Persist the IVF-assigned corpus as a CELL-PARTITIONED parquet index:
+    * one directory per coarse cell, rows carrying the id, the double
+    * vector, and its precomputed norm. At probe time only the probed
+    * cells' directories are read at all — partition pruning turns nprobe/
+    * nlist into a physical I/O ratio, which is the point of an IVF index
+    * at 100 TB: the corpus scan cost of [[ivfTopK]] (which re-assigns
+    * every corpus row on every query batch) is paid ONCE at build time.
+    * Assignment and norms use the exact expressions of [[ivfTopK]], and
+    * doubles round-trip parquet bit-exactly, so the indexed probe is
+    * bit-identical to the in-memory path. */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], path: String): Unit = {
+    require(centroids.nonEmpty)
+    val nlist = centroids.size
+    val centLit = typedLit(centroids)
+    def dists(v: Column): Column = transform(centLit, c => l2sq(v, c))
+    def nearestCell(v: Column): Column = bindArr(dists(v)) { d =>
+      array_position(d, array_min(d)) - 1
+    }
+    corpus.select(col(idCol).alias("neighbor_id"),
+        asDouble(col(vecCol)).alias("vec"))
+      .withColumn("norm", l2norm(col("vec")))
+      .withColumn("cell", nearestCell(col("vec")))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Top-k cosine probe against a [[writeIvfIndex]] index. The probed cell
+    * set is collected from the BOUNDED query side (≤ nlist values — the
+    * same declared-small-query-side contract as [[bruteForceTopK]]) and
+    * pushed into the scan as a partition filter, so unprobed cells are
+    * never opened. Same ranking/tie-break arithmetic as [[ivfTopK]]. */
+  def ivfTopKIndexed(queries: DataFrame, indexPath: String, idCol: String,
+      vecCol: String, k: Int, centroids: Seq[Seq[Double]],
+      nprobe: Int): DataFrame = {
+    require(centroids.nonEmpty && nprobe >= 1)
+    val spark = queries.sparkSession
+    val nlist = centroids.size
+    val centLit = typedLit(centroids)
+    def dists(v: Column): Column = transform(centLit, c => l2sq(v, c))
+    def probeCells(v: Column): Column = bindArr(dists(v)) { d =>
+      val ranked = array_sort(zip_with(d,
+        sequence(lit(0L), lit(nlist.toLong - 1)),
+        (dist, i) => struct(dist.alias("d"), i.alias("i"))))
+      transform(slice(ranked, 1, nprobe), e => e.getField("i"))
+    }
+    val q = queries.select(col(idCol).alias("query_id"),
+        asDouble(col(vecCol)).alias("__qv"))
+      .withColumn("__qn", l2norm(col("__qv")))
+      .withColumn("__cell", explode(probeCells(col("__qv"))))
+    // bounded by nlist, not by the query count — a literal, like codebooks
+    val cells = q.select(col("__cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+      .select(col("neighbor_id"), col("vec").alias("__cv"),
+        col("norm").alias("__cn"), col("cell").cast(LongType).alias("__cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    q.join(idx, "__cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Deterministic DataFrame-algebra Lloyd's k-means for the IVF coarse
     * quantizer: trains the `centroids` codebook [[ivfTopK]] takes as input,
     * closing the path end-to-end.

@@ -424,6 +424,30 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan(tc).contains("Window"), plan(tc))
   }
 
+  test("persisted IVF index probes with partition pruning (unprobed cells " +
+      "never scanned)") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 200L).map(i =>
+      (i, Seq.fill(8)(rnd.nextInt(1000).toDouble)))
+      .toDF("vec_id", "q")
+    val centroids = (0 until 8).map(_ =>
+      Seq.fill(8)(rnd.nextInt(1000).toDouble))
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx_").toString
+    Similarity.writeIvfIndex(vecs, "vec_id", "q", centroids, path)
+    val out = Similarity.ivfTopKIndexed(vecs.filter(col("vec_id") < 3), path,
+      "vec_id", "q", k = 2, centroids = centroids, nprobe = 2)
+    val p = plan(out)
+    assert(p.contains("PartitionFilters:") && p.contains("cell"), p)
+    // the filter must reach the scan as a partition filter, NOT a data one
+    assert(!p.contains("PartitionFilters: []"), p)
+    // indexed probe == in-memory probe, bit-exactly
+    val mem = Similarity.ivfTopK(vecs.filter(col("vec_id") < 3), vecs,
+      "vec_id", "q", k = 2, centroids = centroids, nprobe = 2)
+    assertDfEquality(out, mem)
+  }
+
   test("walkForwardFolds carries no forced broadcast; both join paths " +
       "agree") {
     import graft.pipeline.Splits
