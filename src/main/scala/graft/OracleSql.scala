@@ -2914,6 +2914,17 @@ object OracleSql {
          |SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id, cosine
          |FROM r WHERE rn <= 3""".stripMargin,
 
+    // Gram-matrix replay: exact integer Σ v_i·v_j over the milli-quantized
+    // vectors, upper triangle, 0-based coordinates.
+    "q_gram_matrix" ->
+      s"""WITH v AS (SELECT $qv AS q FROM embeddings),
+         |p AS (SELECT i.i, j.j FROM range(64) i(i), range(64) j(j)
+         |  WHERE i.i <= j.j)
+         |SELECT p.i, p.j, (SELECT count(*) FROM v) AS n,
+         |  CAST(sum(CAST(v.q[CAST(p.i + 1 AS INTEGER)] AS BIGINT) *
+         |           CAST(v.q[CAST(p.j + 1 AS INTEGER)] AS BIGINT)) AS BIGINT) AS s
+         |FROM v, p GROUP BY p.i, p.j""".stripMargin,
+
     // IVF replay: codebook = the 16 lowest-id quantized vectors; nearest-
     // centroid assignment and probe ranking use squared L2 on exact integer
     // vectors (a.a - 2a.b + b.b == sum((a-b)^2) exactly), ties toward the

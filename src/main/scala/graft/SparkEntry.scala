@@ -921,6 +921,13 @@ object SparkEntry {
         col("neighbor_id"), col("cosine"))
   }
 
+  /** Exact integer Gram matrix of the milli-quantized embeddings in ONE
+    * pass through the mergeable [[graft.functions.GramMatrixAgg]] buffer
+    * ([[graft.pipeline.Pca.gramMatrix]]) — the PCA/covariance trainer's
+    * corpus scan, 2080 upper-triangle rows at dim 64. */
+  private def qGramMatrix(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Pca.gramMatrix(quantized(s, dir), col("q"), 64)
+
   /** The trained IVF codebook itself as the query output: k-means over the
     * quantized embeddings (nlist=4, iters=2), emitted as one row per
     * (cell, 1-based dim). The oracle unrolls both Lloyd iterations as
@@ -2408,6 +2415,7 @@ object SparkEntry {
     "q_ann_multiprobe" -> qAnnMultiprobe _,
     "q_ann_ivf" -> qAnnIvf _,
     "q_ann_ivf_indexed" -> qAnnIvfIndexed _,
+    "q_gram_matrix" -> qGramMatrix _,
     "q_lang_id" -> qLangId _,
     "q_quality" -> qQuality _,
     "q_strip_html" -> qStripHtml _,

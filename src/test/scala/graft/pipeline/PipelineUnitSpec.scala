@@ -3261,6 +3261,64 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(got(900L).isEmpty && got(901L).isEmpty)
   }
 
+  test("GramMatrixAgg: exact sums, partition-invariant, wrong-length fails") {
+    import spark.implicits._
+    val vecs = Seq(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L), Seq(-1L, 0L, 2L))
+    val df = vecs.map(Tuple1(_)).toDF("v")
+    def gram(d: org.apache.spark.sql.DataFrame) =
+      Pca.gramMatrix(d, col("v"), 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("s")).toMap
+    val g = gram(df)
+    // hand sums: (0,0)=1+16+1=18, (0,1)=2+20+0=22, (1,2)=6+30+0=36, (2,2)=9+36+4=49
+    assert(g((0L, 0L)) == 18L && g((0L, 1L)) == 22L)
+    assert(g((1L, 2L)) == 36L && g((2L, 2L)) == 49L)
+    assert(g.size == 6)
+    // merge path == single partition (map-side partials add exactly)
+    assert(gram(df.repartition(3)) == g)
+    val bad = Seq(Tuple1(Seq(1L, 2L))).toDF("v")
+    val e = intercept[Exception] {
+      Pca.gramMatrix(bad, col("v"), 3).collect()
+    }
+    assert(e.getMessage.contains("length") ||
+      e.getCause != null && e.getCause.getMessage.contains("length"))
+  }
+
+  test("Pca.train recovers the dominant direction; projection matches " +
+      "driver arithmetic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // points along direction (3,4)/5 in 2D plus small orthogonal noise,
+    // integer-valued (milli-quantized contract)
+    val rows = (0 until 500).map { _ =>
+      val t = rnd.nextInt(2001) - 1000 // [-1000, 1000]
+      val nz = rnd.nextInt(21) - 10
+      Seq(math.round(0.6 * t + 0.8 * nz), math.round(0.8 * t - 0.6 * nz))
+    }
+    val df = rows.map(Tuple1(_)).toDF("v")
+    val model = Pca.train(df, col("v"), dim = 2, d = 2)
+    val c0 = model.components.head
+    // dominant component ≈ ±(0.6, 0.8); sign pinned positive on the
+    // largest coordinate
+    assert(math.abs(math.abs(c0(0)) - 0.6) < 0.02, c0.toString)
+    assert(math.abs(math.abs(c0(1)) - 0.8) < 0.02, c0.toString)
+    assert(c0(1) > 0, s"sign not pinned: $c0")
+    // orthonormal components, descending eigenvalues
+    val dot01 = c0.zip(model.components(1)).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot01) < 1e-9)
+    assert(model.eigenvalues.head >= model.eigenvalues(1))
+    assert(math.abs(c0.map(x => x * x).sum - 1.0) < 1e-9)
+    // distributed projection equals driver-side arithmetic on a sample
+    val proj = Pca.project(df, col("v"), model)
+      .select(col("v"), col("pc0")).collect()
+    proj.take(20).foreach { r =>
+      val v = r.getSeq[Long](0)
+      val expect = v.zip(model.means).zip(c0)
+        .map { case ((x, mu), w) => (x.toDouble - mu) * w }
+        .foldLeft(0.0)(_ + _)
+      assert(math.abs(r.getDouble(1) - expect) < 1e-9)
+    }
+  }
+
   test("property: walkForwardFolds never leaks future or embargoed rows " +
       "into train") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
