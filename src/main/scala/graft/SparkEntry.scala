@@ -928,6 +928,20 @@ object SparkEntry {
   private def qGramMatrix(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Pca.gramMatrix(quantized(s, dir), col("q"), 64)
 
+  /** End-to-end PCA ([[graft.pipeline.Pca]]): one-pass Gram train (d = 8
+    * components at dim 64) + literal-projection of every embedding. No
+    * SQL oracle by design — the eigenvectors are driver-side IEEE
+    * results a SQL engine cannot replay; the driver records the weaker
+    * rows-only check and the arithmetic is pinned by PipelineUnitSpec
+    * (Gram exactness via q_gram_matrix, projection equality, component
+    * orthonormality). */
+  private def qPcaProject(s: SparkSession, dir: String): DataFrame = {
+    val d = quantized(s, dir)
+    val model = graft.pipeline.Pca.train(d, col("q"), dim = 64, d = 8)
+    graft.pipeline.Pca.project(d, col("q"), model)
+      .select(col("vec_id") +: (0 until 8).map(i => col(s"pc$i")): _*)
+  }
+
   /** The trained IVF codebook itself as the query output: k-means over the
     * quantized embeddings (nlist=4, iters=2), emitted as one row per
     * (cell, 1-based dim). The oracle unrolls both Lloyd iterations as
@@ -2416,6 +2430,7 @@ object SparkEntry {
     "q_ann_ivf" -> qAnnIvf _,
     "q_ann_ivf_indexed" -> qAnnIvfIndexed _,
     "q_gram_matrix" -> qGramMatrix _,
+    "q_pca_project" -> qPcaProject _,
     "q_lang_id" -> qLangId _,
     "q_quality" -> qQuality _,
     "q_strip_html" -> qStripHtml _,
