@@ -331,4 +331,27 @@ class StreamingResumeSpec extends SparkTestBase {
     val ids = spark.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(1L, 2L, 5L), s"got $ids")
   }
+
+  test("streaming scd2Changelog across checkpoint restarts equals the " +
+      "batch change set") {
+    val rnd = new scala.util.Random(97)
+    val rows = randomSeries(rnd)
+    val spark2 = spark
+    import spark2.implicits._
+    // attr derived from the value so no-op re-emits are common; the value
+    // column doubles as the tie column (unused here — distinct ts — but
+    // exercises the tie plumbing through the state round-trip)
+    def withAttr(df: DataFrame) =
+      df.withColumn("event_type", (col("value") % 3).cast("string"))
+    val streamed = runRestartStream(rows, 3, df =>
+      StreamingTSDF.scd2Changelog(withAttr(df), Seq("user_id"), "ts",
+        Seq("event_type"), "value"))
+      .select("user_id", "ts", "event_type")
+    val batch = graft.pipeline.Cdc.scd2FromLog(
+      withAttr(rows.toDF("user_id", "ts", "value")),
+      "user_id", "ts", Seq("event_type"), tieCols = Seq("value"))
+      .select(col("user_id"), col("valid_from").alias("ts"),
+        col("event_type"))
+    assertDfEquality(streamed, batch)
+  }
 }
