@@ -1052,13 +1052,22 @@ object SparkEntry {
     * per-partition state deltas, sink manifest) that are pure harness
     * overhead for a throwaway query — production deployments point the
     * checkpoint at durable storage and none of this path changes. */
-  /** Scratch dir on tmpfs when available (see [[runStream]]'s rationale). */
+  /** Scratch dir on tmpfs when available (see [[runStream]]'s rationale),
+    * deleted at JVM exit so repeated bench/verify passes don't accumulate
+    * dead checkpoints and index copies in RAM. */
   private def scratchDir(prefix: String): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    (if (java.nio.file.Files.isDirectory(shm) &&
+    val dir = (if (java.nio.file.Files.isDirectory(shm) &&
         java.nio.file.Files.isWritable(shm))
       java.nio.file.Files.createTempDirectory(shm, prefix)
-    else java.nio.file.Files.createTempDirectory(prefix)).toString
+    else java.nio.file.Files.createTempDirectory(prefix))
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }))
+    dir.toString
   }
 
   private def runStream(s: SparkSession, out: DataFrame): DataFrame = {
