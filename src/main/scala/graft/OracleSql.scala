@@ -3147,6 +3147,23 @@ object OracleSql {
         |  CAST(sum(p) AS DOUBLE) / count(*) AS mean_sample
         |FROM px GROUP BY doc_id, w, h, nch""".stripMargin,
 
+    // WAV PCM decode replay: sample(i) = ((id%251)*7 + 11*i) % 65536 −
+    // 32768 over n = 100 + id % 400 samples; the engine must walk RIFF
+    // chunks and sign-extend LE16 bytes to reproduce these sums.
+    "q_decode_wav" ->
+      """WITH d AS (SELECT doc_id, 100 + doc_id % 400 AS n,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate
+        |  FROM documents),
+        |sm AS (SELECT doc_id, n, sample_rate,
+        |  (doc_id % 251) * 7 + 11 * i.i AS raw
+        |  FROM d, range(500) i(i) WHERE i.i < n),
+        |px AS (SELECT doc_id, n, sample_rate, raw % 65536 - 32768 AS s
+        |  FROM sm)
+        |SELECT doc_id, sample_rate, count(*) AS n_samples,
+        |  CAST(sum(s) AS BIGINT) AS sample_sum,
+        |  CAST(sum(s) AS DOUBLE) / count(*) AS mean_sample
+        |FROM px GROUP BY doc_id, sample_rate""".stripMargin,
+
     "q_time_horizon" ->
       """WITH g AS (SELECT user_id, min(ts) AS mn, max(ts) AS mx, count(*) AS actual_rows
         |  FROM events GROUP BY 1),

@@ -2325,6 +2325,16 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload")
 
+  /** REAL WAV PCM sample decode end to end ([[graft.pipeline.Multimodal
+    * .decodeWavSamples]]): RIFF chunk walk + sign-extended LE16 reads on
+    * synthesized clips; the oracle restates the sample sums from the
+    * generating doc_id arithmetic without touching a byte. */
+  private def qDecodeWav(s: SparkSession, dir: String): DataFrame =
+    Multimodal.wavSampleStats(
+      Multimodal.synthesizeWavPayload(docs(s, dir).select(col("doc_id")),
+        "doc_id"),
+      "doc_id", "payload")
+
   /** Scale-safe embedding near-dup: the bucketed LSH plan (equi-join on the
     * sign-LSH bucket) rather than the per-label all-pairs ground truth. */
   private def qEmbedNearDupLsh(s: SparkSession, dir: String): DataFrame =
@@ -2548,6 +2558,7 @@ object SparkEntry {
     "q_multimodal" -> qMultimodal _,
     "q_media_meta_real" -> qMediaMetaReal _,
     "q_decode_png" -> qDecodePng _,
+    "q_decode_wav" -> qDecodeWav _,
     "q_frame_plan" -> qFramePlan _,
   )
 

@@ -12,9 +12,12 @@ import org.apache.spark.sql.types._
   * byte-offset arithmetic over PNG IHDR, JPEG SOF markers, WAV RIFF chunks
   * and MP4 mvhd boxes; no codec library involved. PNG *pixel* decode is
   * also real ([[decodePng]]: JDK Inflater + the spec's five scanline
-  * unfilters — no library needed). Only JPEG/audio/video sample decode
-  * remains stubbed: this container has no codec libraries, so
-  * `decodeStub` derives a deterministic fake decode from the payload bytes.
+  * unfilters — no library needed), as is WAV PCM sample decode
+  * ([[decodeWavSamples]]: chunk walk + sign-extended LE16 reads —
+  * uncompressed audio needs no codec either). Only JPEG/video sample
+  * decode remains stubbed: those genuinely need codec libraries, absent
+  * in this container, so `decodeStub` derives a deterministic fake
+  * decode from the payload bytes.
   * Swap `decodeStub` for a real codec (e.g. javacpp-ffmpeg / TwelveMonkeys)
   * at deployment; nothing else changes.
   *
@@ -481,6 +484,106 @@ object Multimodal {
             val n = img.samples.length.toLong
             Row(r.get(0), img.width, img.height, img.channels, n, s,
               s.toDouble / n.toDouble)
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
+  // ---- real WAV PCM sample decode (pure byte arithmetic — PCM needs no codec) ----
+
+  /** Decoded PCM audio: signed 16-bit samples as ints, mono. */
+  final case class DecodedAudio(sampleRate: Int, samples: Array[Int])
+
+  /** REAL WAV sample decode for 16-bit PCM mono: RIFF chunk walk to
+    * `fmt ` (format 1, 16-bit, 1 channel) and `data`, then little-endian
+    * signed sample reads — pure byte arithmetic, nothing to stub (PCM is
+    * uncompressed; only lossy audio genuinely needs a codec library).
+    * Other formats/layouts return None. */
+  def decodeWavSamples(bytes: Array[Byte]): Option[DecodedAudio] = {
+    if (bytes == null || bytes.length < 44 ||
+        tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+    var o = 12L
+    var rate = 0; var ok = false
+    var dataOff = -1; var dataLen = -1
+    while (o + 8 <= bytes.length) {
+      val oi = o.toInt
+      val id = tag(bytes, oi); val sz = le32(bytes, oi + 4)
+      if (id == "fmt " && o + 24 <= bytes.length) {
+        val fmt = le16(bytes, oi + 8); val ch = le16(bytes, oi + 10)
+        val bits = if (o + 24 + 10 <= bytes.length) le16(bytes, oi + 22) else 0
+        rate = le32(bytes, oi + 12).toInt
+        ok = fmt == 1 && ch == 1 && bits == 16
+      }
+      if (id == "data") { dataOff = oi + 8; dataLen = sz.toInt }
+      o += 8L + sz + (sz & 1L)
+    }
+    if (!ok || rate <= 0 || dataOff < 0 ||
+        dataOff + dataLen > bytes.length || dataLen % 2 != 0) return None
+    val n = dataLen / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (le16(bytes, dataOff + 2 * i) << 16) >> 16 // sign-extend
+      i += 1
+    }
+    Some(DecodedAudio(rate, out))
+  }
+
+  /** Spec-valid PCM WAV carrying REAL sample content (16-bit LE mono). */
+  def buildWavWithSamples(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val b = buildWav(sampleRate, samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i)
+      b(44 + 2 * i) = (v & 0xFF).toByte
+      b(45 + 2 * i) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    b
+  }
+
+  /** Deterministic WAV fixture column with REAL samples: sampleRate =
+    * 8000 + (id % 8)·1000, n = 100 + id % 400 samples,
+    * sample(i) = ((id % 251)·7 + 11·i) mod 65536 − 32768 — the oracle can
+    * restate the decoded sums from the id alone while the engine must
+    * genuinely walk chunks and sign-extend the bytes. */
+  def synthesizeWavPayload(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(payloadCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val n = (100 + id % 400).toInt
+        val base = (id % 251).toInt
+        val samples = Array.tabulate(n)(i => (base * 7 + 11 * i) % 65536 - 32768)
+        Row.fromSeq(r.toSeq :+
+          buildWavWithSamples((8000 + (id % 8) * 1000).toInt, samples))
+      }
+    }(Encoders.row(outSchema)).toDF()
+  }
+
+  /** Per-clip sample statistics through the REAL decode path
+    * ([[decodeWavSamples]]): exact integer sample sum + one-division mean;
+    * undecodable payloads are dropped. Per-partition map, no shuffle. */
+  def wavSampleStats(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType), StructField("sample_sum", LongType),
+      StructField("mean_sample", DoubleType)))
+    df.select(col(idCol), col(payloadCol))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          decodeWavSamples(r.getAs[Array[Byte]](1)).map { a =>
+            var s = 0L
+            var i = 0
+            while (i < a.samples.length) { s += a.samples(i); i += 1 }
+            Row(r.get(0), a.sampleRate, a.samples.length.toLong, s,
+              s.toDouble / a.samples.length.toDouble)
           }
         }
       }(Encoders.row(outSchema))

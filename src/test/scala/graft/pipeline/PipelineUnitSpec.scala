@@ -3189,6 +3189,24 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(Multimodal.decodePng(Multimodal.buildPng(8, 8)).isEmpty)
   }
 
+  test("decodeWavSamples round-trips signed 16-bit PCM; rejects " +
+      "non-PCM/truncated payloads") {
+    val rnd = new scala.util.Random(31)
+    val samples = Array.fill(300)(rnd.nextInt(65536) - 32768)
+    val wav = Multimodal.buildWavWithSamples(11000, samples)
+    val got = Multimodal.decodeWavSamples(wav).get
+    assert(got.sampleRate == 11000)
+    assert(got.samples.sameElements(samples))
+    // negative extremes sign-extend correctly
+    val edge = Multimodal.buildWavWithSamples(8000,
+      Array(-32768, -1, 0, 1, 32767))
+    assert(Multimodal.decodeWavSamples(edge).get.samples.toSeq ==
+      Seq(-32768, -1, 0, 1, 32767))
+    assert(Multimodal.decodeWavSamples(wav.take(50)).isEmpty) // truncated data
+    assert(Multimodal.decodeWavSamples(
+      Multimodal.buildPng(8, 8)).isEmpty) // wrong container
+  }
+
   test("pngPixelStats decodes synthesized payloads to the arithmetic sums") {
     import spark.implicits._
     val ids = (0L until 64L).toDF("doc_id")
