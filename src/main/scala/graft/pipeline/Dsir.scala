@@ -68,13 +68,15 @@ object Dsir {
     * ratio_milli(b) = floor(1000 · pT_u(b) / max(pR_u(b), 1)) with
     * pX_u(b) = floor(scale · (cntX(b)+1) / (totalX + buckets)) — add-one
     * smoothing over the bucket space, all divisions exact floor. The
-    * windows run over ≤ `buckets` rows (never over data). */
-  def ratioTable(target: DataFrame, raw: DataFrame, textCol: Column,
+    * windows run over ≤ `buckets` rows (never over data).
+    * `rawCounts` is a precomputed (b, cnt) profile — [[importanceWeights]]
+    * derives it from the scoring pass's own aggregate so the raw corpus
+    * is scanned once, not twice. */
+  def ratioTable(target: DataFrame, rawCounts: DataFrame, textCol: Column,
       buckets: Int, seed: Int = 23, scale: Long = 1000000L): DataFrame = {
     val t = hashedGramCounts(target, textCol, buckets, seed)
       .withColumnRenamed("cnt", "__ct")
-    val r = hashedGramCounts(raw, textCol, buckets, seed)
-      .withColumnRenamed("cnt", "__cr")
+    val r = rawCounts.withColumnRenamed("cnt", "__cr")
     val all = Window.partitionBy().rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     val j = t.join(r, Seq("b"), "full_outer")
@@ -96,17 +98,32 @@ object Dsir {
     * is the mean per-gram likelihood ratio in milli-units (1000 ≈ "looks
     * equally target-like and raw-like"; higher = more target-like), one
     * IEEE division of exact integers. Grams absent from BOTH profiles
-    * still hit a bucket (hashing is total), so every gram scores. */
+    * still hit a bucket (hashing is total), so every gram scores.
+    *
+    * Plan shape: the raw corpus is exploded ONCE into a (doc, bucket)
+    * count aggregate; the raw profile is a re-aggregation of that SAME
+    * exchange (runtime exchange reuse — the exactSubstringDedup idiom,
+    * plan-asserted), the ratio table broadcasts back, and the per-doc
+    * score weights each bucket's ratio by the doc's bucket count. One
+    * corpus scan total on the raw side instead of two. */
   def importanceWeights(raw: DataFrame, target: DataFrame, textCol: String,
       idCol: String, buckets: Int = 8192, seed: Int = 23,
       scale: Long = 1000000L): DataFrame = {
-    val ratios = ratioTable(target, raw, col(textCol), buckets, seed, scale)
-    raw.select(col(idCol), explode(grams(col(textCol))).alias("__g"))
+    val tfb = raw
+      .select(col(idCol), explode(grams(col(textCol))).alias("__g"))
       .select(col(idCol), bucketOf(col("__g"), buckets, seed).alias("b"))
-      .join(ratios, Seq("b"))
+      // the inner join below null-filters b on the scoring branch; doing
+      // it HERE keeps the two consumers' subtrees identical so they share
+      // one exchange (ReuseExchange needs bit-equal subplans)
+      .filter(col("b").isNotNull)
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).alias("__c"))
+    val rawCounts = tfb.groupBy(col("b")).agg(sum(col("__c")).alias("cnt"))
+    val ratios = ratioTable(target, rawCounts, col(textCol), buckets, seed,
+      scale)
+    tfb.join(ratios, Seq("b"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).alias("n_grams"),
-        sum(col("ratio_milli")).alias("sum_ratio_milli"))
+      .agg(sum(col("__c")).alias("n_grams"),
+        sum(col("ratio_milli") * col("__c")).alias("sum_ratio_milli"))
       .withColumn("dsir_weight",
         col("sum_ratio_milli").cast(DoubleType) / col("n_grams").cast(DoubleType))
   }

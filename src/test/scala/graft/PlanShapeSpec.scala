@@ -448,6 +448,21 @@ class PlanShapeSpec extends SparkTestBase {
     assertDfEquality(out, mem)
   }
 
+  test("DSIR scoring reuses the raw corpus explode (one scan, shared " +
+      "exchange)") {
+    import spark.implicits._
+    val raw = (0 until 200).map(i => (i.toLong, s"alpha beta doc$i body"))
+      .toDF("doc_id", "text")
+    val target = (0 until 50).map(i => Tuple1(s"alpha beta target$i"))
+      .toDF("text")
+    val out = graft.pipeline.Dsir.importanceWeights(raw, target, "text",
+      "doc_id", buckets = 512)
+    out.collect() // finalize the adaptive plan on THIS QueryExecution
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      p.contains("ReusedShuffle"), p)
+  }
+
   test("walkForwardFolds carries no forced broadcast; both join paths " +
       "agree") {
     import graft.pipeline.Splits
