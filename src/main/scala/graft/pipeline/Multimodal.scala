@@ -302,6 +302,7 @@ object Multimodal {
     var done = false
     while (!done && o + 8 <= bytes.length) {
       val len = be32(bytes, o).toInt
+      if (len < 0) return None // corrupt length: avoid a non-advancing walk
       val id = tag(bytes, o + 4)
       if (id == "IDAT" && o + 8 + len <= bytes.length)
         idat.write(bytes, o + 8, len)
