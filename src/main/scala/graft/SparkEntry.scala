@@ -2328,7 +2328,13 @@ object SparkEntry {
     * doc_id arithmetic without touching a byte. */
   private def qDecodePng(s: SparkSession, dir: String): DataFrame =
     Multimodal.pngPixelStats(
-      Multimodal.synthesizePngPayload(docs(s, dir).select(col("doc_id")),
+      Multimodal.synthesizePngPayload(
+        // a few-KB id scan arrives as 1-2 input partitions, but every row
+        // expands into ~KBs of synthesis + inflate + unfilter work: spread
+        // the EXPANSION over the cluster before the heavy map (the cheap
+        // shuffle moves ids, not payloads)
+        docs(s, dir).select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism),
         "doc_id"),
       "doc_id", "payload")
 
@@ -2338,7 +2344,9 @@ object SparkEntry {
     * generating doc_id arithmetic without touching a byte. */
   private def qDecodeWav(s: SparkSession, dir: String): DataFrame =
     Multimodal.wavSampleStats(
-      Multimodal.synthesizeWavPayload(docs(s, dir).select(col("doc_id")),
+      Multimodal.synthesizeWavPayload(
+        docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
         "doc_id"),
       "doc_id", "payload")
 
