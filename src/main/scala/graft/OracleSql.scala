@@ -363,6 +363,31 @@ object OracleSql {
 
   private val qv = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))"
 
+  private lazy val dsirReplaySql: String = {
+    val h = Hashing.mixSql(Hashing.polyHashSql("gram"), 23)
+    s"""WITH t AS (SELECT doc_id, lang, string_split($norm, ' ') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id, lang, unnest(toks ||
+       |  CASE WHEN len(toks) >= 2 THEN list_transform(
+       |    generate_series(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i + 1])
+       |  ELSE CAST([] AS VARCHAR[]) END) AS gram FROM t),
+       |bk AS (SELECT doc_id, lang, ($h) % 4096 AS b FROM g),
+       |ct AS (SELECT b, count(*) AS ct FROM bk WHERE lang = 'en' GROUP BY b),
+       |cr AS (SELECT b, count(*) AS cr FROM bk GROUP BY b),
+       |tot AS (SELECT (SELECT sum(ct) FROM ct) AS tt,
+       |  (SELECT sum(cr) FROM cr) AS tr),
+       |rt AS (SELECT cr.b,
+       |  (1000 * ((1000000 * (COALESCE(ct.ct, 0) + 1)) // (tot.tt + 4096)))
+       |    // greatest((1000000 * (cr.cr + 1)) // (tot.tr + 4096), 1)
+       |    AS ratio_milli
+       |  FROM cr LEFT JOIN ct USING (b), tot)
+       |SELECT bk.doc_id, count(*) AS n_grams,
+       |  CAST(sum(rt.ratio_milli) AS BIGINT) AS sum_ratio_milli,
+       |  CAST(sum(rt.ratio_milli) AS DOUBLE) / count(*) AS dsir_weight
+       |FROM bk JOIN rt USING (b) GROUP BY bk.doc_id""".stripMargin
+  }
+
   private lazy val ivfReplaySql: String = {
     val d2 = "list_dot_product(a.q, a.q) - 2 * list_dot_product(a.q, c.cv) + " +
       "list_dot_product(c.cv, c.cv)"
@@ -2031,30 +2056,12 @@ object OracleSql {
     // mix, mod 4096), same add-one-smoothed micro-unit probabilities via
     // exact integer floor division (// here, (x - x mod d)/d on the Spark
     // side), same milli-unit ratio; the only float is the final mean.
-    "q_dsir" -> {
-      val h = Hashing.mixSql(Hashing.polyHashSql("gram"), 23)
-      s"""WITH t AS (SELECT doc_id, lang, string_split($norm, ' ') AS toks
-         |  FROM documents),
-         |g AS (SELECT doc_id, lang, unnest(toks ||
-         |  CASE WHEN len(toks) >= 2 THEN list_transform(
-         |    generate_series(1, len(toks) - 1),
-         |    i -> toks[i] || ' ' || toks[i + 1])
-         |  ELSE CAST([] AS VARCHAR[]) END) AS gram FROM t),
-         |bk AS (SELECT doc_id, lang, ($h) % 4096 AS b FROM g),
-         |ct AS (SELECT b, count(*) AS ct FROM bk WHERE lang = 'en' GROUP BY b),
-         |cr AS (SELECT b, count(*) AS cr FROM bk GROUP BY b),
-         |tot AS (SELECT (SELECT sum(ct) FROM ct) AS tt,
-         |  (SELECT sum(cr) FROM cr) AS tr),
-         |rt AS (SELECT cr.b,
-         |  (1000 * ((1000000 * (COALESCE(ct.ct, 0) + 1)) // (tot.tt + 4096)))
-         |    // greatest((1000000 * (cr.cr + 1)) // (tot.tr + 4096), 1)
-         |    AS ratio_milli
-         |  FROM cr LEFT JOIN ct USING (b), tot)
-         |SELECT bk.doc_id, count(*) AS n_grams,
-         |  CAST(sum(rt.ratio_milli) AS BIGINT) AS sum_ratio_milli,
-         |  CAST(sum(rt.ratio_milli) AS DOUBLE) / count(*) AS dsir_weight
-         |FROM bk JOIN rt USING (b) GROUP BY bk.doc_id""".stripMargin
-    },
+    "q_dsir" -> dsirReplaySql,
+
+    // The streaming gate scores through the map-literal expression over
+    // the same trained ratios — output-identical by construction, so it
+    // shares the replay verbatim.
+    "q_stream_dsir" -> dsirReplaySql,
 
     "q_lm_score" -> {
       s"""WITH p AS (SELECT doc_id, '##' || $norm || '#' AS pad

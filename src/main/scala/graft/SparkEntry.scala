@@ -2094,6 +2094,36 @@ object SparkEntry {
       col("vc"), col("cusum_hi"), col("cusum_lo"), col("alert"))
   }
 
+  /** File-source stream over documents.parquet (one file ⇒ a single
+    * AvailableNow micro-batch, like [[eventsStream]]). */
+  private def docsStream(s: SparkSession, dir: String): DataFrame = {
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    s.readStream.schema(sch).option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
+  /** Streaming DSIR gate as a real streaming query: the ratio table is
+    * trained batch-side ([[graft.pipeline.Dsir.collectRatios]] — bounded
+    * by the bucket count) and every ARRIVING document scores through the
+    * join-free map-literal expression
+    * ([[graft.pipeline.Dsir.scoreColumn]]) — stateless, so any
+    * micro-batching gives the same answer; shares q_dsir's oracle
+    * verbatim. */
+  private def qStreamDsir(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val d = docs(s, dir)
+    val ratios = graft.pipeline.Dsir.collectRatios(
+      d.filter(col("lang") === "en").select(col("text")),
+      graft.pipeline.Dsir.hashedGramCounts(d, col("text"), 4096),
+      col("text"), 4096)
+    val out = docsStream(s, dir).select(col("doc_id"),
+        graft.pipeline.Dsir.scoreColumn(col("text"), ratios, 4096).alias("__s"))
+      .select(col("doc_id"), col("__s.n_grams").alias("n_grams"),
+        col("__s.sum_ratio_milli").alias("sum_ratio_milli"),
+        col("__s.dsir_weight").alias("dsir_weight"))
+    runStream(s, out)
+  }
+
   /** Streaming SCD2 changelog as a real single-batch streaming query
     * ([[graft.streaming.StreamingTSDF.scd2Changelog]]): per user, the
     * collapsed event_type change set in (ts, event_id) order — exactly
@@ -2555,6 +2585,7 @@ object SparkEntry {
     "q_cusum_control" -> qCusumControl _,
     "q_stream_cusum" -> qStreamCusum _,
     "q_stream_scd2" -> qStreamScd2 _,
+    "q_stream_dsir" -> qStreamDsir _,
     "q_rolling_slope" -> qRollingSlope _,
     "q_drift" -> qDrift _,
     "q_drift_stats" -> qDriftStats _,

@@ -106,6 +106,38 @@ object Dsir {
     * plan-asserted), the ratio table broadcasts back, and the per-doc
     * score weights each bucket's ratio by the doc's bucket count. One
     * corpus scan total on the raw side instead of two. */
+  /** The ratio table as a driver-side map — bounded by `buckets` rows
+    * (the ANN-codebook bounded-literal discipline), for [[scoreColumn]]'s
+    * join-free serving path. */
+  def collectRatios(target: DataFrame, rawCounts: DataFrame, textCol: Column,
+      buckets: Int, seed: Int = 23, scale: Long = 1000000L): Map[Long, Long] =
+    ratioTable(target, rawCounts, textCol, buckets, seed, scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** JOIN-FREE importance score of a single text column against a trained
+    * ratio map: per-gram lookups in a `buckets`-bounded MAP LITERAL, summed
+    * with higher-order aggregates — pure stateless Column algebra, so the
+    * same expression scores a STREAMING frame (the "gate documents as they
+    * arrive" serving path; batch [[importanceWeights]] and this literal
+    * path are output-identical by construction, pinned by the shared
+    * oracle). Output struct: (n_grams, sum_ratio_milli, dsir_weight).
+    * Buckets absent from the map (possible only for text OUTSIDE the raw
+    * corpus the table was trained on) contribute 0 — unseen vocabulary is
+    * not evidence of target-likeness; scoring the training corpus itself
+    * never hits that arm, which is what keeps this path output-identical
+    * to the join. */
+  def scoreColumn(textCol: Column, ratios: Map[Long, Long], buckets: Int,
+      seed: Int = 23): Column = {
+    require(ratios.nonEmpty, "empty ratio map")
+    val mapLit = typedLit(ratios)
+    val rs = transform(grams(textCol),
+      g => coalesce(element_at(mapLit, bucketOf(g, buckets, seed)), lit(0L)))
+    val n = size(rs).cast(LongType)
+    val s = aggregate(rs, lit(0L), (acc, x) => acc + x)
+    struct(n.alias("n_grams"), s.alias("sum_ratio_milli"),
+      (s.cast(DoubleType) / n.cast(DoubleType)).alias("dsir_weight"))
+  }
+
   def importanceWeights(raw: DataFrame, target: DataFrame, textCol: String,
       idCol: String, buckets: Int = 8192, seed: Int = 23,
       scale: Long = 1000000L): DataFrame = {

@@ -3337,6 +3337,28 @@ class PipelineUnitSpec extends SparkTestBase {
     }
   }
 
+  test("Dsir.scoreColumn (map-literal serving path) equals the join-based " +
+      "importanceWeights") {
+    import spark.implicits._
+    val target = Seq.tabulate(10)(i => s"cook the broth well $i").toDF("text")
+    val raw = (Seq.tabulate(8)(i => (i.toLong, s"cook the broth slowly $i")) ++
+      Seq.tabulate(8)(i => (100L + i, s"legal clause number $i")))
+      .toDF("doc_id", "text")
+    val joined = Dsir.importanceWeights(raw, target, "text", "doc_id",
+      buckets = 256)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("sum_ratio_milli"))).toMap
+    val ratios = Dsir.collectRatios(target,
+      Dsir.hashedGramCounts(raw, col("text"), 256), col("text"), 256)
+    val lit = raw.select(col("doc_id"),
+        Dsir.scoreColumn(col("text"), ratios, 256).alias("s"))
+      .collect().map(r => r.getLong(0) -> {
+        val s = r.getStruct(1)
+        (s.getAs[Long]("n_grams"), s.getAs[Long]("sum_ratio_milli"))
+      }).toMap
+    assert(lit == joined)
+  }
+
   test("property: walkForwardFolds never leaks future or embargoed rows " +
       "into train") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
