@@ -3359,6 +3359,40 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(lit == joined)
   }
 
+  test("jacobiEigen decomposes a random symmetric 64x64 exactly " +
+      "(residuals, orthonormality, trace)") {
+    val dim = 64
+    val rnd = new scala.util.Random(23)
+    val a = Array.ofDim[Double](dim, dim)
+    for (i <- 0 until dim; j <- i until dim) {
+      val v = rnd.nextInt(2001) - 1000.0
+      a(i)(j) = v; a(j)(i) = v
+    }
+    val (vals, vecs) = Pca.jacobiEigen(a)
+    val scale = vals.map(math.abs).max
+    // residual ||A v_k - lambda_k v_k|| small relative to spectrum
+    for (k <- 0 until dim) {
+      var res = 0.0
+      for (i <- 0 until dim) {
+        var av = 0.0
+        for (j <- 0 until dim) av += a(i)(j) * vecs(j)(k)
+        val r = av - vals(k) * vecs(i)(k)
+        res += r * r
+      }
+      assert(math.sqrt(res) < 1e-8 * scale, s"eigenpair $k residual")
+    }
+    // columns orthonormal
+    for (p <- 0 until dim; q <- p until dim) {
+      var dot = 0.0
+      for (i <- 0 until dim) dot += vecs(i)(p) * vecs(i)(q)
+      val expect = if (p == q) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-9, s"orthonormality ($p,$q)")
+    }
+    // eigenvalue sum == trace (similarity transforms preserve it)
+    val trace = (0 until dim).map(i => a(i)(i)).sum
+    assert(math.abs(vals.sum - trace) < 1e-6 * math.max(1.0, math.abs(trace)))
+  }
+
   test("property: walkForwardFolds never leaks future or embargoed rows " +
       "into train") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
