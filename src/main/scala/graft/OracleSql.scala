@@ -1508,6 +1508,15 @@ object OracleSql {
       s"""SELECT md5($norm) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
          |FROM documents GROUP BY 1""".stripMargin,
 
+    "q_dup_stats" ->
+      s"""WITH g AS (SELECT md5($norm) AS fp, count(*) AS n
+         |  FROM documents GROUP BY 1)
+         |SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         |  count(*) AS n_distinct,
+         |  CAST(sum(n - 1) AS BIGINT) AS n_dup_docs,
+         |  CAST(sum(n - 1) AS DOUBLE) / sum(n) AS dup_rate
+         |FROM g""".stripMargin,
+
     "q_jaccard_pairs" ->
       s"""WITH d AS (SELECT doc_id, lang,
          |  list_transform(list_distinct(string_split($norm, ' ')), x -> ${Hashing.polyHashSql("x")}) AS toks

@@ -773,6 +773,12 @@ object SparkEntry {
         "text", "doc_id", fpCol = Some("fp"), countCol = Some("n_dups"))
       .select(col("fp"), col("doc_id").alias("keep_id"), col("n_dups"))
 
+  /** Corpus duplication sizing report
+    * ([[graft.pipeline.Dedup.duplicationStats]]): one row — docs,
+    * distinct fingerprints, droppable dups, dup rate. */
+  private def qDupStats(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicationStats(docs(s, dir), "text")
+
   /** Exact all-pairs ground truth over HASHED token sets: the quadratic
     * per-language join intersects arrays of 61-bit polynomial hashes rather
     * than strings (long equality beats string hashing inside the 10⁷-pair
@@ -2485,6 +2491,7 @@ object SparkEntry {
     "q_revenue_nation" -> qRevenueNation _,
     "q_top_orders" -> qTopOrders _,
     "q_dedup_exact" -> qDedupExact _,
+    "q_dup_stats" -> qDupStats _,
     "q_jaccard_pairs" -> qJaccardPairs _,
     "q_minhash_pairs" -> qMinhashPairs _,
     "q_containment" -> qContainment _,

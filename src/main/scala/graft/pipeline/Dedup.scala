@@ -56,6 +56,22 @@ object Dedup {
   def normalizeText(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
 
+  /** Corpus duplication report — the "how much will dedup buy" sizing
+    * number run before any dedup pass: exact doc count, distinct
+    * normalized fingerprints, docs that would be dropped by [[
+    * exactNormalized]], and the dup rate (one IEEE division of exact
+    * integers). Two map-side-combinable aggregates stacked on one scan
+    * (the fingerprint groupBy feeds a single-row rollup); no windows, no
+    * driver state. Output: (n_docs, n_distinct, n_dup_docs, dup_rate). */
+  def duplicationStats(df: DataFrame, textCol: String): DataFrame =
+    df.select(md5(normalizeText(col(textCol))).alias("__fp"))
+      .groupBy(col("__fp")).agg(count(lit(1)).alias("__n"))
+      .agg(sum(col("__n")).alias("n_docs"),
+        count(lit(1)).alias("n_distinct"),
+        sum(col("__n") - 1L).alias("n_dup_docs"))
+      .withColumn("dup_rate",
+        col("n_dup_docs").cast(DoubleType) / col("n_docs").cast(DoubleType))
+
   /** Word w-shingles as strings, via HOFs (no UDF).
     *
     * The token array is bound ONCE as a lambda variable (`transform(array(
