@@ -2048,11 +2048,20 @@ object OracleSql {
     // Score-percentile replay: identical 256-bin clamped binning over
     // [0, 512), strictly-lower-bin cumulative counts, exact floor
     // division to milli-units.
+    // dirty values mirror Sketch.histBin exactly: null/NaN map to a NULL
+    // bin (kept in `b` so the row still reaches the final LEFT JOIN with a
+    // null percentile, like the Spark side) and are EXCLUDED from the
+    // histogram `h` — without the CASE, a NaN would error DuckDB's BIGINT
+    // cast and a NULL would form a phantom bin group inflating the OVER()
+    // total; fixtures are clean today, but the replay should not rely on it
     "q_score_calib" ->
       """WITH b AS (SELECT event_id,
-        |  least(255, greatest(0, CAST(floor(value / 2.0) AS BIGINT))) AS bin
+        |  CASE WHEN value IS NULL OR isnan(value) THEN NULL
+        |       ELSE least(255, greatest(0, CAST(floor(value / 2.0) AS BIGINT)))
+        |  END AS bin
         |  FROM events),
-        |h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+        |h AS (SELECT bin, count(*) AS cnt FROM b
+        |  WHERE bin IS NOT NULL GROUP BY bin),
         |m AS (SELECT bin,
         |  CAST((1000 * COALESCE(sum(cnt) OVER (ORDER BY bin
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))

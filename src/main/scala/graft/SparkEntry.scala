@@ -942,12 +942,13 @@ object SparkEntry {
     graft.pipeline.Pca.gramMatrix(quantized(s, dir), col("q"), 64)
 
   /** End-to-end PCA ([[graft.pipeline.Pca]]): one-pass Gram train (d = 8
-    * components at dim 64) + literal-projection of every embedding. No
-    * SQL oracle by design — the eigenvectors are driver-side IEEE
-    * results a SQL engine cannot replay; the driver records the weaker
-    * rows-only check and the arithmetic is pinned by PipelineUnitSpec
-    * (Gram exactness via q_gram_matrix, projection equality, component
-    * orthonormality). */
+    * components at dim 64) + literal-projection of every embedding.
+    * Oracle-gated via [[dynamicOracleSql]]: the replay restates the
+    * trained components as CAST('…' AS DOUBLE) literals and re-runs the
+    * projection fold in the identical IEEE op order (the eigensolve
+    * itself is driver-side and deterministic; its Gram input is gated by
+    * q_gram_matrix, and PipelineUnitSpec pins projection equality and
+    * component orthonormality). */
   private def qPcaProject(s: SparkSession, dir: String): DataFrame = {
     val d = quantized(s, dir)
     val model = graft.pipeline.Pca.train(d, col("q"), dim = 64, d = 8)
@@ -2624,4 +2625,40 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
+
+  /** Dynamic oracle entries whose SQL embeds bounded TRAINED literals,
+    * computed at Verify dump time from the same sfDir the queries ran on.
+    * q_pca_project: the eigensolve is a driver-side IEEE Jacobi a SQL
+    * engine cannot re-derive, so the replay restates the trained means and
+    * components as round-trip double literals (the ANN-codebook
+    * bounded-literal discipline — 8·64 + 64 doubles) and re-runs ONLY the
+    * projection arithmetic: per component, the same left-associated
+    * fold Σ_j (q_j − μ_j)·w_j the Spark `aggregate(zip_with(...))` column
+    * evaluates — identical IEEE op sequence on identical literals, so the
+    * doubles match bit-for-bit. The Gram matrix feeding the eigensolve is
+    * independently oracle-gated by q_gram_matrix, and training is
+    * deterministic (exact integer Gram → fixed Jacobi sweep order), so
+    * dump-time training reproduces the query's model exactly. */
+  def dynamicOracleSql(s: SparkSession, dir: String): Map[String, String] = {
+    val model = graft.pipeline.Pca.train(quantized(s, dir), col("q"),
+      dim = 64, d = 8)
+    // shortest round-trip repr (Java Double.toString) through an explicit
+    // CAST: a bare decimal literal parses as DECIMAL in DuckDB and its
+    // decimal arithmetic rounds differently in the last ulps (measured:
+    // pc0 drifted 2e-13 relative) — the string-to-DOUBLE cast is the
+    // correctly-rounded parse of the round-trip repr, bit-identical
+    def d(x: Double): String = s"CAST('${x.toString}' AS DOUBLE)"
+    val qv = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))"
+    val pcs = model.components.zipWithIndex.map { case (comp, ci) =>
+      val terms = comp.zipWithIndex.map { case (w, j) =>
+        s"((q[${j + 1}] - ${d(model.means(j))}) * ${d(w)})"
+      }
+      terms.foldLeft("0.0")((acc, t) => s"($acc + $t)") + s" AS pc$ci"
+    }
+    Map("q_pca_project" ->
+      s"""WITH v AS (SELECT vec_id, $qv AS q FROM embeddings)
+         |SELECT vec_id,
+         |  ${pcs.mkString(",\n  ")}
+         |FROM v""".stripMargin)
+  }
 }

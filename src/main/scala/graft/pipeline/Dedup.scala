@@ -411,8 +411,15 @@ object Dedup {
       .select(col(idCol), col("cluster_id"), col("cluster_size"))
     val scored = df.select(col(idCol), scoreCol.alias("score"))
       .join(asg, idCol)
+    // the leading null-flag keeps null scores from winning: struct min
+    // sorts a null `ns` field FIRST (ascending null ordering), so without
+    // the flag a NULL-scored member would beat every real score; with it,
+    // null-scored rows (flag true > false) lose to any scored row and an
+    // all-null cluster falls back to its lowest id — the same "nulls rank
+    // last" convention the window form this replaced had
     val winners = scored.groupBy(col("cluster_id"))
-      .agg(min(struct((-col("score")).alias("ns"), col(idCol).alias("wid")))
+      .agg(min(struct(col("score").isNull.alias("nl"),
+          (-col("score")).alias("ns"), col(idCol).alias("wid")))
         .alias("__w"))
       .select(col("cluster_id"), col("__w.wid").alias("__wid"))
     scored.join(winners, Seq("cluster_id"))

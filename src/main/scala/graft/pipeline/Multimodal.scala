@@ -297,17 +297,23 @@ object Multimodal {
     val channels = if (colorType == 2) 3 else 1
     // chunk walk: concatenate every IDAT payload (the zlib stream may be
     // split across chunks at arbitrary byte boundaries)
+    // the walk runs in Long: a hostile declared length near 2^31 would
+    // overflow Int offset arithmetic into a negative index (crashing the
+    // task instead of dropping the payload as documented); in Long the
+    // overrun is an ordinary comparison
     val idat = new java.io.ByteArrayOutputStream()
-    var o = 8
+    var o = 8L
     var done = false
     while (!done && o + 8 <= bytes.length) {
-      val len = be32(bytes, o).toInt
-      if (len < 0) return None // corrupt length: avoid a non-advancing walk
-      val id = tag(bytes, o + 4)
-      if (id == "IDAT" && o + 8 + len <= bytes.length)
-        idat.write(bytes, o + 8, len)
+      val oi = o.toInt // loop guard keeps o < bytes.length, Int-safe
+      val len = be32(bytes, oi) // unsigned 32-bit, 0..2^32-1
+      val id = tag(bytes, oi + 4)
+      if (id == "IDAT") {
+        if (o + 8 + len > bytes.length) return None // declared len overruns buffer
+        idat.write(bytes, oi + 8, len.toInt)
+      }
       if (id == "IEND") done = true
-      o += 12 + len
+      o += 12L + len
     }
     val stride = width * channels
     val raw = new Array[Byte]((stride + 1) * height)
@@ -516,11 +522,17 @@ object Multimodal {
         rate = le32(bytes, oi + 12).toInt
         ok = fmt == 1 && ch == 1 && bits == 16
       }
-      if (id == "data") { dataOff = oi + 8; dataLen = sz.toInt }
+      if (id == "data") {
+        // a declared >2 GiB data chunk would truncate negative through
+        // toInt (NegativeArraySizeException downstream); reject instead
+        if (sz > Int.MaxValue) return None
+        dataOff = oi + 8; dataLen = sz.toInt
+      }
       o += 8L + sz + (sz & 1L)
     }
+    // the bounds check runs in Long: dataOff + dataLen can exceed 2^31
     if (!ok || rate <= 0 || dataOff < 0 ||
-        dataOff + dataLen > bytes.length || dataLen % 2 != 0) return None
+        dataOff.toLong + dataLen > bytes.length || dataLen % 2 != 0) return None
     val n = dataLen / 2
     val out = new Array[Int](n)
     var i = 0

@@ -16,10 +16,27 @@ import org.apache.spark.sql.types._
   * STARTS: `seq_id = floor((cum − tokens) / capacity)`, at offset
   * `(cum − tokens) mod capacity`. A document longer than the remaining
   * room straddles into the next sequence (chunking, not bin-packing) —
-  * deterministic, one window pass, and no per-bin state, which is what
-  * makes it work on a 100 TB corpus: one exchange on the group key, one
-  * ordered window sum, zero joins. Deterministic unlike greedy first-fit
-  * heuristics that depend on partition iteration order.
+  * deterministic and join-light, unlike greedy first-fit heuristics that
+  * depend on partition iteration order.
+  *
+  * The running sum is a TWO-PASS prefix sum (the [[Splits.curriculumShards]]
+  * idiom), which is what makes it work on a 100 TB corpus: ids bucket into
+  * ≤ `idBuckets` ordered value ranges per group, within-bucket running
+  * sums window over ~N/idBuckets rows per task, per-bucket token subtotals
+  * aggregate ON THE SAME (group, bucket) exchange (ReuseExchange — the
+  * corpus is scanned, tokenized, and shuffled once), a prefix sum over the
+  * ≤ idBuckets bucket rows per group yields each bucket's start offset,
+  * and a broadcast-small join adds it back. A single-source corpus (one
+  * group = most of the data) therefore packs as ⌈N/bucket⌉ parallel tasks
+  * instead of the ONE window task a direct `sum over (partition by group
+  * order by id)` would pin it to — bit-identical output, since bucket
+  * order is monotone in id order. Bucket balance follows id spread: ids
+  * clustered into a sliver of their own range degrade toward fewer
+  * effective buckets (value-range granularity, the
+  * [[Splits.tokenBudgetMixture]] trade).
+  *
+  * `idCol` must be integer-valued and unique per (group, id) — enforced
+  * per row — and id ranges must span < 2^63 (no overflow in max−min).
   */
 object Packing {
 
@@ -30,25 +47,71 @@ object Packing {
     * 0-based training-sequence index within the group, and `seq_off` the
     * token offset of the document's first token inside that sequence. */
   def packSequences(df: DataFrame, textCol: String, idCol: String,
-      groupCols: Seq[String], capacity: Int): DataFrame = {
+      groupCols: Seq[String], capacity: Int, idBuckets: Int = 4096): DataFrame = {
     require(capacity > 0, "capacity must be positive")
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    require(idBuckets > 0, "idBuckets must be positive")
+    // synthetic constant group for the global (ungrouped) layout, so every
+    // code path below has a join key
+    val (base0, gNames) =
+      if (groupCols.nonEmpty) (df, groupCols)
+      else (df.withColumn("__g", lit(0)), Seq("__g"))
+    val gcols = gNames.map(col)
     val tokens = TextAnalysis.bpeTokenEstimate(col(textCol)).cast(LongType)
-    val start = sum(col("tokens")).over(w) - col("tokens")
+    val idL = graft.tsdf.Stats.integralOrFail(col(idCol), "packSequences")
+    val base = base0.select(
+      (gcols :+ col(idCol)) ++ Seq(tokens.alias("tokens"), idL.alias("__id")): _*)
+    // pass 0: per-group id range → bounded ordered value-range buckets;
+    // span arithmetic in exact integer division (div), no 2^53 hazard
+    val ranges = base.groupBy(gcols: _*)
+      .agg(min(col("__id")).alias("__lo"),
+        (call_function("div", max(col("__id")) - min(col("__id")),
+          lit(idBuckets.toLong)) + lit(1L)).alias("__span"))
+    // the explicit isnotnull matches the filter the final join would infer
+    // on its own branch — without it the two consumers of the corpus
+    // exchange differ by that inferred filter and ReuseExchange cannot
+    // dedup them. Semantics: a null id has no position in the id order and
+    // is dropped (the join would drop it regardless)
+    val withBkt = base.join(ranges, gNames)
+      .withColumn("__bkt",
+        call_function("div", col("__id") - col("__lo"), col("__span")))
+      .filter(col("__bkt").isNotNull)
+    // within-bucket running sums: ordered windows over ~N/idBuckets rows
+    // per task — this (g, bkt) exchange is THE corpus shuffle, and both
+    // consumers below hang off it so ReuseExchange scans and tokenizes
+    // the corpus once
+    val wIn = Window.partitionBy(gcols :+ col("__bkt"): _*).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inRun = withBkt.withColumn("__run", sum(col("tokens")).over(wIn))
+    // per-bucket subtotals as max(__run): token estimates are >= 0, so the
+    // running sum is non-decreasing and its max IS the bucket total.
+    // Deriving it from the window output (rather than sum(tokens), which
+    // column pruning would detach into a second scan+tokenize of the
+    // corpus) pins the aggregate onto the SAME window/exchange subtree:
+    // the grouping is satisfied by the child's (g, bkt) partitioning (no
+    // new exchange) and ReuseExchange dedups the corpus shuffle
+    val subtot = inRun.groupBy(gcols :+ col("__bkt"): _*)
+      .agg(max(col("__run")).alias("__bt"))
+    // prefix over the ≤ idBuckets bucket rows per group = each bucket's
+    // global start offset; joins back broadcast-small
+    val wB = Window.partitionBy(gcols: _*).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bstarts = subtot.select(gcols ++ Seq(col("__bkt"),
+      coalesce(sum(col("__bt")).over(wB), lit(0L)).alias("__bstart")): _*)
+    val start = col("__bstart") + col("__run") - col("tokens")
     // start and capacity are longs; the double division stays exact while
     // the group's token stream is < 2^53 tokens (far past 100 TB of text)
-    df.select((groupCols.map(col) :+ col(idCol)) :+ tokens.alias("tokens"): _*)
+    inRun.join(bstarts, gNames :+ "__bkt")
       .withColumn("seq_id", floor(start / capacity).cast(LongType))
       .withColumn("seq_off", (start % capacity).cast(LongType))
+      .select((groupCols.map(col) :+ col(idCol)) ++
+        Seq(col("tokens"), col("seq_id"), col("seq_off")): _*)
   }
 
   /** Per-sequence fill report: how full each training sequence is. A
     * sequence's occupancy is `min(groupTotal, (seq_id+1)·capacity) −
     * seq_id·capacity` for all but the group's last sequence (always full —
     * chunking leaves no internal gaps); only the final chunk is partial.
-    * Derived from the SAME window pass as [[packSequences]] plus one
+    * Derived from the SAME packing pass as [[packSequences]] plus one
     * groupBy on (group, seq_id). */
   def sequenceFill(df: DataFrame, textCol: String, idCol: String,
       groupCols: Seq[String], capacity: Int): DataFrame = {

@@ -18,12 +18,20 @@ import org.apache.spark.sql.types._
   * correction table, and the k-th-minimum is a pure function of the value
   * set.
   *
-  * Plan shape: one distinct on (group, hash) — the only full-volume
-  * shuffle, map-side combined — then a rank window per group over the
-  * (far smaller) distinct hashes. Collision caveat: the 30-bit hash space
-  * caps resolvable cardinality around ~P; per-group distinct counts
-  * should stay well below that (the oracle gate needs the same hash on
-  * both sides, which rules out a 64-bit space — documented trade).
+  * Plan shape: ONE aggregate — the bounded mergeable
+  * [[graft.functions.KMinDistinctAgg]] k-min buffer (a ≤ k-entry dedup
+  * heap, ~2 KiB at k = 256) partial-combines in every input partition, so
+  * only ≤ k longs per group cross the exchange and no per-group sort task
+  * exists anywhere (the `row_number` window this replaced put a hot
+  * group's ENTIRE distinct-hash set into one task — at 10⁹ distinct items
+  * the window task was the whole job; tools/SkewBench measured the
+  * window-vs-aggregate gap at ≥4× on a single 10M-copy hot key, unbounded
+  * in group cardinality). No up-front `distinct()` either: the buffer
+  * dedups, so the raw token stream feeds the aggregate directly.
+  * Collision caveat: the 30-bit hash space caps resolvable cardinality
+  * around ~P; per-group distinct counts should stay well below that (the
+  * oracle gate needs the same hash on both sides, which rules out a
+  * 64-bit space — documented trade).
   *
   * Reference scope note: tempo has no sketches; this serves the pipeline
   * side (e.g. distinct-token profiling per source over a 100 TB corpus,
@@ -31,29 +39,31 @@ import org.apache.spark.sql.types._
 object Sketch {
 
   /** Per-group KMV distinct-count estimate of `itemCol` values.
-    * Output: group cols + (n_kept ≤ k, kth_hash, distinct_est). */
+    * Output: group cols + (n_kept ≤ k, kth_hash, distinct_est). Groups
+    * whose items are all null report n_kept = 0 with a null kth_hash
+    * (null items carry no distinct hash — the aggregate skips them). */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], itemCol: Column,
       k: Int, seed: Int = 17): DataFrame = {
     require(k >= 2, "k must be >= 2")
     val gc = groupCols.map(col)
-    val hashed = df
-      .select(gc :+ Hashing.mix(Hashing.polyHash(itemCol), seed).alias("__h"): _*)
-      .distinct()
-    val w = Window.partitionBy(gc: _*).orderBy(col("__h"))
-    val ranked = hashed
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-    ranked.groupBy(gc: _*)
-      .agg(count(lit(1)).alias("n_kept"), max(col("__h")).alias("kth_hash"))
+    val h = Hashing.mix(Hashing.polyHash(itemCol), seed)
+    val kmin = org.apache.spark.sql.GraftColumns.column(
+      graft.functions.KMinDistinctAgg(
+        org.apache.spark.sql.GraftColumns.expression(h), k))
+    val nKept = size(col("__ks")).cast(LongType)
+    // the size > 0 guard keeps element_at off an empty k-min set (an
+    // all-null group) — ANSI mode would error on the out-of-range index
+    val kth = when(size(col("__ks")) > 0, element_at(col("__ks"), -1))
+    df.groupBy(gc: _*).agg(kmin.alias("__ks"))
       // kth_hash = 0 in the estimate branch is unreachable with k >= 2
       // distinct non-negative hashes (their max is >= k-1 >= 1), but the
       // greatest() guard makes division-by-zero impossible by
       // construction rather than by argument; the oracle replay carries
       // the identical guard
-      .select(gc ++ Seq(col("n_kept"), col("kth_hash"),
-        when(col("n_kept") < k, col("n_kept").cast(DoubleType))
+      .select(gc ++ Seq(nKept.alias("n_kept"), kth.alias("kth_hash"),
+        when(nKept < k, nKept.cast(DoubleType))
           .otherwise(lit((k - 1).toDouble * Hashing.P) /
-            greatest(col("kth_hash"), lit(1L)))
+            greatest(kth, lit(1L)))
           .alias("distinct_est")): _*)
   }
 
@@ -121,35 +131,39 @@ object Sketch {
     * instead). Buckets with fewer than k distinct merged hashes report
     * exact counts, like [[kmvDistinct]].
     *
-    * Plan shape: one full-volume distinct on (bucket, hash); everything
-    * after runs on ≤ k rows per bucket (rank → explode × windowBuckets →
-    * distinct → rank). Output: (bucket, n_kept, kth_hash, distinct_est). */
+    * Plan shape: TWO [[graft.functions.KMinDistinctAgg]] aggregates and
+    * nothing else — the full-volume first stage partial-combines per
+    * (time bucket) in every input partition (≤ k longs per bucket cross
+    * the exchange; no distinct, no window, no per-bucket sort task), then
+    * the per-bucket arrays explode × windowBuckets (≤ k·windowBuckets
+    * rows per output bucket) and the SAME aggregate re-takes the union's
+    * k-min (its dedup buffer makes the union-distinct implicit).
+    * Output: (bucket, n_kept, kth_hash, distinct_est). */
   def kmvDistinctTrailing(df: DataFrame, bucketCol: Column, itemCol: Column,
       k: Int, windowBuckets: Int, seed: Int = 17): DataFrame = {
     require(k >= 2 && windowBuckets >= 1, "need k >= 2, windowBuckets >= 1")
-    val hashed = df.select(bucketCol.cast(LongType).alias("__b"),
-      Hashing.mix(Hashing.polyHash(itemCol), seed).alias("__h")).distinct()
-    val wB = Window.partitionBy(col("__b")).orderBy(col("__h"))
-    val perBucket = hashed
-      .withColumn("__rn", row_number().over(wB))
-      .filter(col("__rn") <= k)
+    def kmin(c: Column) = org.apache.spark.sql.GraftColumns.column(
+      graft.functions.KMinDistinctAgg(
+        org.apache.spark.sql.GraftColumns.expression(c), k))
+    val perBucket = df
+      .select(bucketCol.cast(LongType).alias("__b"),
+        Hashing.mix(Hashing.polyHash(itemCol), seed).alias("__h"))
+      .groupBy(col("__b")).agg(kmin(col("__h")).alias("__ks"))
     val span = perBucket.agg(max(col("__b")).alias("__hi"))
     val merged = perBucket
       .withColumn("bucket",
         explode(sequence(col("__b"), col("__b") + (windowBuckets - 1))))
-      .select(col("bucket"), col("__h")).distinct()
       .crossJoin(broadcast(span))
       .filter(col("bucket") <= col("__hi"))
-    val wR = Window.partitionBy(col("bucket")).orderBy(col("__h"))
+      .select(col("bucket"), explode(col("__ks")).alias("__h"))
+      .groupBy(col("bucket")).agg(kmin(col("__h")).alias("__ks"))
+    val nKept = size(col("__ks")).cast(LongType)
+    val kth = when(size(col("__ks")) > 0, element_at(col("__ks"), -1))
     merged
-      .withColumn("__rn", row_number().over(wR))
-      .filter(col("__rn") <= k)
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).alias("n_kept"), max(col("__h")).alias("kth_hash"))
-      .select(col("bucket"), col("n_kept"), col("kth_hash"),
-        when(col("n_kept") < k, col("n_kept").cast(DoubleType))
+      .select(col("bucket"), nKept.alias("n_kept"), kth.alias("kth_hash"),
+        when(nKept < k, nKept.cast(DoubleType))
           .otherwise(lit((k - 1).toDouble * Hashing.P) /
-            greatest(col("kth_hash"), lit(1L))) // see [[kmvDistinct]]
+            greatest(kth, lit(1L))) // see [[kmvDistinct]]
           .alias("distinct_est"))
   }
 
@@ -238,7 +252,14 @@ object Sketch {
     * finer ranks). One corpus aggregate (map-side combined), prefix sums
     * over ≤ nBins rows, and a join-back on the bin that AQE broadcasts —
     * exact integer arithmetic end to end, engine-replayable. Rows with
-    * null/NaN scores get a null percentile (the [[histBin]] exclusion). */
+    * null/NaN scores get a null percentile (the [[histBin]] exclusion).
+    *
+    * Magnitude bound (the [[Dsir.floorDivExact]] discipline, stated here
+    * too): the floor division runs as `(x − x mod total) / total` with an
+    * exact-multiple numerator, an IEEE double division that stays exact
+    * while `1000·cumBelow < 2^53` — i.e. up to ~9·10¹² input rows. Beyond
+    * that the quotient could truncate to q−1 and diverge from an integer
+    * `//` replay; pre-aggregate or shard the corpus before that scale. */
   def withScorePercentile(df: DataFrame, valueCol: Column, lo: Double,
       hi: Double, nBins: Int, outCol: String = "percentile_milli"): DataFrame = {
     val h = histogram(df, Seq.empty, valueCol, lo, hi, nBins)
@@ -260,13 +281,18 @@ object Sketch {
     * that replaces a full global sort at 100 TB: pass 1 builds the
     * [[histogram]] (map-side-combinable; its ≤ nBins rows collect to the
     * driver as a bounded literal, same discipline as the ANN codebooks)
-    * and locates the bin holding rank ceil(q·n); pass 2 ranks ONLY that
-    * bin's rows (shuffle volume = one bin, ~n/nBins under spread data;
-    * adversarially concentrated data degrades to the bin size — documented
-    * bound, recurse with tighter [lo, hi) if it matters). Values quantize
-    * to scaled longs, so the answer is value-exact and tie-order-blind
-    * (equal cents rank to the same cents). Lower-rank convention:
-    * rank r = ceil(q·n), 1-based ascending.
+    * and locates the bin holding rank ceil(q·n); pass 2 counts the target
+    * bin's rows PER DISTINCT CENTS VALUE (a map-side-combinable
+    * count aggregate — no per-row ranking anywhere), then a prefix sum
+    * over the ≤ distinct-cents aggregate rows finds the value whose
+    * cumulative count first reaches the in-bin rank. Adversarially
+    * concentrated data (one price point = 30% of all rows) is therefore
+    * FREE, not a degradation: the hot value is one aggregate row however
+    * many rows share it; pass-2 volume is the target bin's distinct-value
+    * count, ≤ min(bin rows, value resolution). Values quantize to scaled
+    * longs, so the answer is value-exact and tie-order-blind (equal cents
+    * rank to the same cents). Lower-rank convention: rank r = ceil(q·n),
+    * 1-based ascending.
     *
     * Output one row per q: (q, rank, n, cents, value) — `value` is
     * cents/scale, one exact IEEE division. */
@@ -298,12 +324,20 @@ object Sketch {
       (q, r, bin, r - before) // rank within the bin
     }
     val probes = targets.toDF("q", "rank", "__bin", "__inbin")
-    val w = Window.partitionBy(col("__bin")).orderBy(col("__c"))
-    val ranked = vals
+    // per-(bin, cents) exact counts — map-side combined, so a hot value
+    // never materializes its row set anywhere — then a prefix sum over
+    // the distinct-cents rows of each probed bin; the rank-holder is the
+    // unique value with cumBefore < inbinRank <= cum
+    val counts = vals
       .join(broadcast(probes.select(col("__bin")).distinct()), Seq("__bin"))
-      .withColumn("__rn", row_number().over(w))
-    ranked.join(broadcast(probes),
-        ranked("__bin") === probes("__bin") && col("__rn") === col("__inbin"))
+      .groupBy(col("__bin"), col("__c")).agg(count(lit(1)).alias("__cnt"))
+    val w = Window.partitionBy(col("__bin")).orderBy(col("__c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("__cum", sum(col("__cnt")).over(w))
+    cum.join(broadcast(probes),
+        cum("__bin") === probes("__bin") &&
+          col("__cum") - col("__cnt") < col("__inbin") &&
+          col("__inbin") <= col("__cum"))
       .select(col("q"), col("rank"), lit(n).alias("n"), col("__c").alias("cents"),
         (col("__c").cast(DoubleType) / lit(scale.toDouble)).alias("value"))
   }

@@ -157,7 +157,10 @@ object Splits {
     * rows); a prefix sum over that aggregate (window over ≤`buckets` rows
     * per stratum — never over documents, so no giant single partition)
     * picks the buckets whose cumulative start lies inside the budget, and
-    * a broadcast semi-join keeps their documents. Overshoot is bounded by
+    * a semi-join keeps their documents (broadcast-hinted only when
+    * `defaultBudget == 0` makes the keep set provably ≤ budgets.size ×
+    * buckets rows; otherwise AQE decides from runtime size — see the
+    * in-body note). Overshoot is bounded by
     * one bucket's tokens (≈ total/buckets per stratum). Fully
     * deterministic: same rows survive on any run, partitioning, engine.
     *
@@ -183,8 +186,18 @@ object Splits {
       .withColumn("__start", sum(col("__bt")).over(w) - col("__bt"))
       .filter(col("__start") < budget)
       .select(col(stratumCol), col("__b"))
+    // broadcast is forced only when the keep set is bounded BY CONSTRUCTION:
+    // with defaultBudget == 0 only budgeted strata survive the filter, so
+    // keepBuckets <= budgets.size × buckets rows — a literal bound. With a
+    // positive default, EVERY stratum keeps buckets and stratum cardinality
+    // is unbounded (10M domains × 4096 buckets is not a broadcast); the
+    // hint is dropped and AQE broadcasts from measured runtime size when
+    // the set is actually small, or shuffles the uniform (stratum, bucket)
+    // key when it is not — the walkForwardFolds discipline
+    val keepHinted =
+      if (defaultBudget == 0L) broadcast(keepBuckets) else keepBuckets
     df.withColumn("__b", bucket)
-      .join(broadcast(keepBuckets), Seq(stratumCol, "__b"), "left_semi")
+      .join(keepHinted, Seq(stratumCol, "__b"), "left_semi")
       .select(df.columns.toIndexedSeq.map(col): _*) // using-cols jump first; restore order
   }
 

@@ -491,4 +491,61 @@ class PlanShapeSpec extends SparkTestBase {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("KMV sketches plan zero windows: the k-min set is a bounded " +
+      "mergeable aggregate in both stages") {
+    import spark.implicits._
+    import graft.pipeline.Sketch
+    val df = (1 to 500).map(i => (i % 7L, s"it$i")).toDF("b", "item")
+    val p1 = plan(Sketch.kmvDistinct(df, Seq("b"),
+      col("item").cast("string"), 16))
+    assert(!p1.contains("Window"), p1)
+    assert(p1.contains("graft_kmin_distinct"), p1)
+    val p2 = plan(Sketch.kmvDistinctTrailing(df, col("b"),
+      col("item").cast("string"), 16, 3))
+    assert(!p2.contains("Window"), p2)
+    assert(p2.contains("graft_kmin_distinct"), p2)
+  }
+
+  test("exactQuantiles2Pass pass 2 never ranks rows: per-cents counts + " +
+      "a prefix over the aggregate") {
+    import spark.implicits._
+    import graft.pipeline.Sketch
+    val df = (1 to 5000).map(i => (i % 97).toDouble + 0.25).toDF("v")
+    val out = Sketch.exactQuantiles2Pass(df, col("v"), Seq(0.5), 0.0, 128.0, 16)
+    val p = plan(out)
+    assert(!p.contains("row_number"), p)
+    // the surviving window runs over the per-(bin, cents) COUNT aggregate
+    // rows, not input rows: the aggregate must sit below the window
+    assert(p.contains("Window") && p.contains("count"), p)
+  }
+
+  test("tokenBudgetMixture: broadcast hint only when defaultBudget bounds " +
+      "the keep set; unbounded default defers to AQE") {
+    import spark.implicits._
+    import graft.pipeline.Splits
+    val df = (0 until 2000).map(i =>
+      (i.toLong, s"src${i % 400}", 10L)).toDF("doc_id", "source", "tokens")
+    // bounded: budgets enumerate the strata, default drops the rest —
+    // keepBuckets <= budgets.size x buckets, the forced hint is safe
+    val bounded = Splits.tokenBudgetMixture(df, "doc_id", "source", "tokens",
+      Map("src0" -> 100L, "src1" -> 100L), defaultBudget = 0L)
+    assert(bounded.queryExecution.optimizedPlan.toString.contains("ResolvedHint")
+      || plan(bounded).contains("BroadcastHashJoin"), plan(bounded))
+    // unbounded: every one of the 400 strata keeps buckets; with stratum
+    // cardinality uncontrolled the hint must NOT survive — AQE decides
+    val open = Splits.tokenBudgetMixture(df, "doc_id", "source", "tokens",
+      Map("src0" -> 100L), defaultBudget = 30L)
+    assert(!open.queryExecution.optimizedPlan.toString.contains("ResolvedHint"),
+      open.queryExecution.optimizedPlan.toString)
+    // and the default budget is really applied per stratum: src0's
+    // 100-token budget swallows its whole 50 tokens; every other stratum
+    // caps at 30 tokens + at most one bucket's overshoot
+    val kept = open.groupBy(col("source")).agg(sum(col("tokens")).alias("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.size == 400)
+    assert(kept("src0") == 50L)
+    assert(kept.filter(_._1 != "src0").values.forall(t => t >= 30L && t <= 50L),
+      kept.toSeq.sortBy(_._1).take(5).toString)
+  }
 }

@@ -3433,4 +3433,146 @@ class PipelineUnitSpec extends SparkTestBase {
       SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("kmvDistinct survives a 1M-distinct hot group as one bounded " +
+      "aggregate (keySkew dogfood, zero window tasks)") {
+    import spark.implicits._
+    // one group holds 1M DISTINCT items — the cardinality regime KMV
+    // exists for; the row_number formulation this replaced would sort all
+    // 1M distinct hashes of the hot group in ONE window task
+    val hot = spark.range(1000000).select(lit("hot").alias("grp"),
+      concat(lit("item"), col("id")).alias("item"))
+    val small = spark.range(50).select(lit("small").alias("grp"),
+      concat(lit("tok"), col("id")).alias("item"))
+    val df = hot.unionByName(small).repartition(32)
+    val skew = Profile.keySkew(df.select(col("grp")), col("grp"), 1)
+      .collect().head
+    assert(skew.getString(0) == "hot" && skew.getLong(1) == 1000000L)
+    val out = Sketch.kmvDistinct(df, Seq("grp"), col("item"), k = 256)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    val got = out.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(3))).toMap
+    // under-k group stays EXACT; the hot group estimates within KMV's
+    // ~1/sqrt(k) band (6% at k = 256; 20% is a generous determinism-safe
+    // bound — the hash is fixed, so the estimate is one exact number)
+    assert(got("small") == ((50L, 50.0)))
+    assert(got("hot")._1 == 256L)
+    assert(math.abs(got("hot")._2 - 1000000.0) / 1000000.0 < 0.2,
+      s"estimate ${got("hot")._2}")
+  }
+
+  test("packSequences two-pass prefix sum equals the direct single-window " +
+      "form bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val docs = (0 until 4000).map { i =>
+      val src = rnd.nextInt(3) match {
+        case 0 => "web"; case 1 => "book"; case _ => "code" }
+      // sparse unique ids: buckets land unevenly, order still total
+      val id = rnd.nextInt(1000000).toLong * 4000L + i
+      val text = Seq.fill(1 + rnd.nextInt(8))("w" * (1 + rnd.nextInt(6)))
+        .mkString(" ")
+      (src, id, text)
+    }
+    val df = docs.toDF("source", "doc_id", "text").repartition(16)
+    val got = Packing.packSequences(df, "text", "doc_id", Seq("source"), 128)
+    // the replaced formulation, inline: ONE running sum over the whole group
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tokens = TextAnalysis.bpeTokenEstimate(col("text")).cast(LongType)
+    val start = sum(col("tokens")).over(w) - col("tokens")
+    val expected = df
+      .select(col("source"), col("doc_id"), tokens.alias("tokens"))
+      .withColumn("seq_id", floor(start / 128).cast(LongType))
+      .withColumn("seq_off", (start % 128).cast(LongType))
+    assertDfEquality(got, expected)
+  }
+
+  test("packSequences splits a single-source 1M-doc corpus across bucket " +
+      "tasks (no whole-group ordered window)") {
+    import spark.implicits._
+    val df = spark.range(1000000).select(lit("web").alias("source"),
+      col("id").alias("doc_id"), lit("alpha beta gamma").alias("text"))
+      .repartition(32)
+    val out = Packing.packSequences(df, "text", "doc_id", Seq("source"), 2048)
+    // every window spec must carry the bucket key — the group-only ordered
+    // window (one task for this corpus) may not reappear
+    val plan = out.queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(plan).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("__bkt")),
+      specs.mkString("\n"))
+    val t0 = df.limit(1)
+      .select(TextAnalysis.bpeTokenEstimate(col("text")).cast(LongType))
+      .as[Long].head()
+    val last = out.filter(col("doc_id") === 999999L).collect().head
+    // the global prefix is exact across bucket boundaries: the last doc
+    // starts at (N-1)·t0 tokens
+    val lastStart = 999999L * t0
+    assert(last.getAs[Long]("seq_id") == lastStart / 2048L)
+    assert(last.getAs[Long]("seq_off") == lastStart % 2048L)
+    assert(out.count() == 1000000L)
+  }
+
+  test("exactQuantiles2Pass: a 30%-concentrated value costs one aggregate " +
+      "row, not a per-row rank of the hot bin") {
+    import spark.implicits._
+    // one price point holds 30% of all rows — the adversarial case for
+    // the old row_number-over-the-bin pass 2
+    val vals = Seq.fill(30000)(42.17) ++
+      (0 until 70000).map(i => (i % 500) + 0.25)
+    val df = vals.toDF("v").repartition(16)
+    val out = Sketch.exactQuantiles2Pass(df, col("v"),
+      Seq(0.25, 0.5, 0.9), 0.0, 512.0, 64)
+    assert(!out.queryExecution.executedPlan.toString.contains("row_number"),
+      out.queryExecution.executedPlan.toString)
+    val got = out.collect()
+      .map(r => r.getAs[Double]("q") -> r.getAs[Long]("cents")).toMap
+    // ground truth: global sort of the cent-quantized values
+    val sorted = vals.map(v => math.floor(v * 100.0 + 0.5).toLong).sorted
+    for (q <- Seq(0.25, 0.5, 0.9)) {
+      val r = math.ceil(q * sorted.length).toInt
+      assert(got(q) == sorted(r - 1), s"q=$q got ${got(q)} want ${sorted(r - 1)}")
+    }
+  }
+
+  test("canonicalByScore: null scores never win; an all-null cluster falls " +
+      "back to its lowest id") {
+    import spark.implicits._
+    val docs = Seq((1L, Some(5L)), (2L, Option.empty[Long]), (3L, Some(9L)),
+      (10L, Option.empty[Long]), (11L, Option.empty[Long]))
+      .toDF("doc_id", "score")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.canonicalByScore(docs, "doc_id", edges, col("score"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("is_canonical")).toMap
+    // {1,2,3}: the null-scored 2 must lose to scored members; 9 wins.
+    // {10,11}: all null -> deterministic lowest-id fallback.
+    assert(got == Map(1L -> false, 2L -> false, 3L -> true,
+      10L -> true, 11L -> false))
+  }
+
+  test("decodePng / decodeWavSamples drop hostile declared chunk sizes as " +
+      "None instead of crashing the task") {
+    val png = Multimodal.buildPngWithPixels(8, 8, 3, Array.fill(192)(7), _ => 0)
+    // IDAT chunk length field at offset 33 (sig 8 + IHDR 25): declare
+    // ~2^31 — Int arithmetic would overflow into a negative index
+    val evil = png.clone()
+    evil(33) = 0x7F.toByte; evil(34) = 0xFF.toByte
+    evil(35) = 0xFF.toByte; evil(36) = 0xF0.toByte
+    assert(Multimodal.decodePng(evil).isEmpty)
+    val evil2 = png.clone() // full unsigned 2^32-1
+    evil2(33) = 0xFF.toByte; evil2(34) = 0xFF.toByte
+    evil2(35) = 0xFF.toByte; evil2(36) = 0xFF.toByte
+    assert(Multimodal.decodePng(evil2).isEmpty)
+    val wav = Multimodal.buildWavWithSamples(8000, Array(1, 2, 3, 4))
+    // "data" RIFF size at offset 40: declare 2^31 (> Int.MaxValue once
+    // read as unsigned) — the old toInt truncation went negative and blew
+    // up in the sample-array allocation
+    val evil3 = wav.clone()
+    evil3(40) = 0; evil3(41) = 0; evil3(42) = 0; evil3(43) = 0x80.toByte
+    assert(Multimodal.decodeWavSamples(evil3).isEmpty)
+  }
 }
