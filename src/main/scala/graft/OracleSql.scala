@@ -3172,6 +3172,24 @@ object OracleSql {
         |  CAST(sum(p) AS DOUBLE) / count(*) AS mean_sample
         |FROM px GROUP BY doc_id, w, h, nch""".stripMargin,
 
+    // Baseline-JPEG decode replay: flat DC-only 8×8 blocks with quant 8
+    // decode bit-exactly in any conforming decoder (DC-exact IDCT), so
+    // the oracle restates each block's constant from the id while the
+    // engine huffman-decodes, dequantizes, and IDCTs the real stream.
+    "q_decode_jpeg" ->
+      """WITH d AS (SELECT doc_id, 8 * (1 + doc_id % 4) AS w,
+        |  8 * (1 + (doc_id * 3) % 4) AS h FROM documents),
+        |b AS (SELECT doc_id, w, h,
+        |  (doc_id % 251 + 17 * by.by + 23 * bx.bx) % 256 AS v
+        |  FROM d, range(4) by(by), range(4) bx(bx)
+        |  WHERE by.by < h // 8 AND bx.bx < w // 8)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(1 AS INT) AS channels, count(*) * 64 AS n_samples,
+        |  CAST(sum(v) * 64 AS BIGINT) AS sample_sum,
+        |  CAST(sum(v) * 64 AS DOUBLE) / CAST(count(*) * 64 AS DOUBLE)
+        |    AS mean_sample
+        |FROM b GROUP BY doc_id, w, h""".stripMargin,
+
     // WAV PCM decode replay: sample(i) = ((id%251)*7 + 11*i) % 65536 −
     // 32768 over n = 100 + id % 400 samples; the engine must walk RIFF
     // chunks and sign-extend LE16 bytes to reproduce these sums.

@@ -2383,6 +2383,20 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload")
 
+  /** REAL baseline-JPEG pixel decode end to end ([[graft.pipeline.Jpeg
+    * .decodeJpeg]]): flat-block payloads huffman-decoded, dequantized and
+    * IDCT'd by the engine — DC-only blocks with quant 8 make the lossy
+    * format round-trip its constants exactly, so the oracle restates the
+    * decoded sums from the generating doc_id arithmetic while the engine
+    * must genuinely parse markers, huffman-decode, and run the IDCT. */
+  private def qDecodeJpeg(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Jpeg.jpegPixelStats(
+      graft.pipeline.Jpeg.synthesizeJpegPayload(
+        docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id"),
+      "doc_id", "payload")
+
   /** REAL WAV PCM sample decode end to end ([[graft.pipeline.Multimodal
     * .decodeWavSamples]]): RIFF chunk walk + sign-extended LE16 reads on
     * synthesized clips; the oracle restates the sample sums from the
@@ -2620,6 +2634,7 @@ object SparkEntry {
     "q_multimodal" -> qMultimodal _,
     "q_media_meta_real" -> qMediaMetaReal _,
     "q_decode_png" -> qDecodePng _,
+    "q_decode_jpeg" -> qDecodeJpeg _,
     "q_decode_wav" -> qDecodeWav _,
     "q_frame_plan" -> qFramePlan _,
   )

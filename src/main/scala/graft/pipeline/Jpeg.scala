@@ -1,0 +1,734 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.pipeline.Multimodal.DecodedImage
+
+/** REAL baseline-JPEG pixel decode in pure JVM code — the last image-arm
+  * codec seam closed (PNG fell in round 9; video sample decode remains the
+  * one declared seam, the only format that genuinely needs an external
+  * codec library).
+  *
+  * Scope: baseline sequential huffman JFIF (SOF0/SOF1), 8-bit precision,
+  * grayscale or YCbCr with 1×1, 2×1, or 2×2 luma sampling — what cameras,
+  * browsers, and `javax.imageio`'s writer emit. Progressive, arithmetic,
+  * 12-bit, and exotic sampling return None (drop, never crash — the
+  * corpus-hygiene contract shared with [[Multimodal.decodePng]]).
+  *
+  * Decoded VALUES match the JDK's ImageIO reader bit-for-bit, not just
+  * within a tolerance: every lossy-side choice replicates the classic IJG
+  * decoder arithmetic the JDK wraps — the fixed-point "islow"
+  * Loeffler-Ligtenberg-Moshovitz IDCT (CONST_BITS=13 descaling), the
+  * triangular "fancy" chroma upsampling (3:1 neighbor blends with the
+  * exact +1/+2 and +7/+8 rounding biases), and the 16-bit fixed-point
+  * YCbCr→RGB tables. JPEG the standard does not pin decoder output; IJG
+  * arithmetic de facto does, and matching it makes the unit differential
+  * (`decodeJpeg == ImageIO.read`, sameElements) exact on ImageIO-encoded
+  * color photos, not only on synthetic flat blocks.
+  *
+  * Spark-side shape: like the PNG arm, decode is a per-partition map over
+  * binary payload columns — no shuffle, linear in executors; see
+  * [[jpegPixelStats]].
+  */
+object Jpeg {
+
+  /** JPEG zigzag order: zigzag index -> natural (row-major) index. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // ------------------------------------------------------------ bit reader
+  /** Entropy-segment bit reader: handles 0xFF00 stuffing, stops at any
+    * real marker; restart markers are consumed explicitly by the caller. */
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    var hitMarker = false
+
+    /** Read one bit; -1 on exhausted/corrupt data. */
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= bytes.length) return -1
+        val b = bytes(pos) & 0xFF
+        if (b == 0xFF) {
+          if (pos + 1 >= bytes.length) return -1
+          val b2 = bytes(pos + 1) & 0xFF
+          if (b2 == 0x00) pos += 2 // stuffed data byte 0xFF
+          else { hitMarker = true; return -1 } // real marker: no more bits
+        } else pos += 1
+        acc = b
+        nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+
+    /** Read `n` bits MSB-first; -1 on exhaustion. */
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val b = bit()
+        if (b < 0) return -1
+        v = (v << 1) | b
+        i += 1
+      }
+      v
+    }
+
+    /** Drop partial byte and consume an expected RSTn marker. */
+    def syncRestart(): Boolean = {
+      nbits = 0
+      // scan to the marker (should be immediate)
+      while (pos + 1 < bytes.length && (bytes(pos) & 0xFF) != 0xFF) pos += 1
+      if (pos + 1 >= bytes.length) return false
+      val m = bytes(pos + 1) & 0xFF
+      if (m >= 0xD0 && m <= 0xD7) { pos += 2; hitMarker = false; true }
+      else false
+    }
+  }
+
+  // -------------------------------------------------------- huffman tables
+  /** Canonical huffman decode table (mincode/maxcode/valptr per length). */
+  private final class HuffTable(counts: Array[Int], symbols: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l - 1)
+        k += counts(l - 1)
+        maxCode(l) = if (counts(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+    /** Decode one symbol; -1 on corrupt/exhausted input. */
+    def decode(br: BitReader): Int = {
+      var code = 0
+      var l = 1
+      while (l <= 16) {
+        val b = br.bit()
+        if (b < 0) return -1
+        code = (code << 1) | b
+        if (maxCode(l) >= 0 && code <= maxCode(l) && code >= minCode(l))
+          return symbols(valPtr(l) + code - minCode(l))
+        l += 1
+      }
+      -1
+    }
+  }
+
+  // -------------------------------------------------------------- IDCT
+  private val ConstBits = 13
+  private val Pass1Bits = 2
+  private val F_0_298631336 = 2446L
+  private val F_0_390180644 = 3196L
+  private val F_0_541196100 = 4433L
+  private val F_0_765366865 = 6270L
+  private val F_0_899976223 = 7373L
+  private val F_1_175875602 = 9633L
+  private val F_1_501321110 = 12299L
+  private val F_1_847759065 = 15137L
+  private val F_1_961570560 = 16069L
+  private val F_2_053119869 = 16819L
+  private val F_2_562915447 = 20995L
+  private val F_3_072711026 = 25172L
+
+  @inline private def descale(x: Long, n: Int): Long = (x + (1L << (n - 1))) >> n
+  @inline private def clampByte(v: Long): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v.toInt
+
+  /** IJG "islow" fixed-point IDCT of one dequantized 8×8 block (natural
+    * order) into 8-bit samples (level-shifted +128, clamped). Long
+    * accumulators: same values as IJG's INT32 on legal streams, no
+    * overflow wrap on hostile ones. */
+  private def idctBlock(coef: Array[Long], out: Array[Int]): Unit = {
+    val ws = new Array[Long](64)
+    // pass 1: columns
+    var c = 0
+    while (c < 8) {
+      if (coef(8 + c) == 0 && coef(16 + c) == 0 && coef(24 + c) == 0 &&
+          coef(32 + c) == 0 && coef(40 + c) == 0 && coef(48 + c) == 0 &&
+          coef(56 + c) == 0) {
+        val dc = coef(c) << Pass1Bits
+        var r = 0
+        while (r < 8) { ws(r * 8 + c) = dc; r += 1 }
+      } else {
+        var z2 = coef(16 + c); var z3 = coef(48 + c)
+        var z1 = (z2 + z3) * F_0_541196100
+        var tmp2 = z1 - z3 * F_1_847759065
+        var tmp3 = z1 + z2 * F_0_765366865
+        z2 = coef(c); z3 = coef(32 + c)
+        var tmp0 = (z2 + z3) << ConstBits
+        var tmp1 = (z2 - z3) << ConstBits
+        val tmp10 = tmp0 + tmp3; val tmp13 = tmp0 - tmp3
+        val tmp11 = tmp1 + tmp2; val tmp12 = tmp1 - tmp2
+        tmp0 = coef(56 + c); tmp1 = coef(40 + c)
+        tmp2 = coef(24 + c); tmp3 = coef(8 + c)
+        z1 = tmp0 + tmp3; z2 = tmp1 + tmp2
+        z3 = tmp0 + tmp2; var z4 = tmp1 + tmp3
+        val z5 = (z3 + z4) * F_1_175875602
+        tmp0 *= F_0_298631336
+        tmp1 *= F_2_053119869
+        tmp2 *= F_3_072711026
+        tmp3 *= F_1_501321110
+        z1 *= -F_0_899976223
+        z2 *= -F_2_562915447
+        z3 = z3 * (-F_1_961570560) + z5
+        z4 = z4 * (-F_0_390180644) + z5
+        tmp0 += z1 + z3; tmp1 += z2 + z4
+        tmp2 += z2 + z3; tmp3 += z1 + z4
+        ws(c) = descale(tmp10 + tmp3, ConstBits - Pass1Bits)
+        ws(56 + c) = descale(tmp10 - tmp3, ConstBits - Pass1Bits)
+        ws(8 + c) = descale(tmp11 + tmp2, ConstBits - Pass1Bits)
+        ws(48 + c) = descale(tmp11 - tmp2, ConstBits - Pass1Bits)
+        ws(16 + c) = descale(tmp12 + tmp1, ConstBits - Pass1Bits)
+        ws(40 + c) = descale(tmp12 - tmp1, ConstBits - Pass1Bits)
+        ws(24 + c) = descale(tmp13 + tmp0, ConstBits - Pass1Bits)
+        ws(32 + c) = descale(tmp13 - tmp0, ConstBits - Pass1Bits)
+      }
+      c += 1
+    }
+    // pass 2: rows
+    var r = 0
+    while (r < 8) {
+      val o = r * 8
+      if (ws(o + 1) == 0 && ws(o + 2) == 0 && ws(o + 3) == 0 &&
+          ws(o + 4) == 0 && ws(o + 5) == 0 && ws(o + 6) == 0 && ws(o + 7) == 0) {
+        val dc = clampByte(descale(ws(o), Pass1Bits + 3) + 128)
+        var x = 0
+        while (x < 8) { out(o + x) = dc; x += 1 }
+      } else {
+        var z2 = ws(o + 2); var z3 = ws(o + 6)
+        var z1 = (z2 + z3) * F_0_541196100
+        var tmp2 = z1 - z3 * F_1_847759065
+        var tmp3 = z1 + z2 * F_0_765366865
+        var tmp0 = (ws(o) + ws(o + 4)) << ConstBits
+        var tmp1 = (ws(o) - ws(o + 4)) << ConstBits
+        val tmp10 = tmp0 + tmp3; val tmp13 = tmp0 - tmp3
+        val tmp11 = tmp1 + tmp2; val tmp12 = tmp1 - tmp2
+        tmp0 = ws(o + 7); tmp1 = ws(o + 5); tmp2 = ws(o + 3); tmp3 = ws(o + 1)
+        z1 = tmp0 + tmp3; z2 = tmp1 + tmp2
+        z3 = tmp0 + tmp2; var z4 = tmp1 + tmp3
+        val z5 = (z3 + z4) * F_1_175875602
+        tmp0 *= F_0_298631336
+        tmp1 *= F_2_053119869
+        tmp2 *= F_3_072711026
+        tmp3 *= F_1_501321110
+        z1 *= -F_0_899976223
+        z2 *= -F_2_562915447
+        z3 = z3 * (-F_1_961570560) + z5
+        z4 = z4 * (-F_0_390180644) + z5
+        tmp0 += z1 + z3; tmp1 += z2 + z4
+        tmp2 += z2 + z3; tmp3 += z1 + z4
+        val sh = ConstBits + Pass1Bits + 3
+        out(o) = clampByte(descale(tmp10 + tmp3, sh) + 128)
+        out(o + 7) = clampByte(descale(tmp10 - tmp3, sh) + 128)
+        out(o + 1) = clampByte(descale(tmp11 + tmp2, sh) + 128)
+        out(o + 6) = clampByte(descale(tmp11 - tmp2, sh) + 128)
+        out(o + 2) = clampByte(descale(tmp12 + tmp1, sh) + 128)
+        out(o + 5) = clampByte(descale(tmp12 - tmp1, sh) + 128)
+        out(o + 3) = clampByte(descale(tmp13 + tmp0, sh) + 128)
+        out(o + 4) = clampByte(descale(tmp13 - tmp0, sh) + 128)
+      }
+      r += 1
+    }
+  }
+
+  // ----------------------------------------------------------- decode main
+  private final case class Component(id: Int, h: Int, v: Int, tq: Int) {
+    var dcTab: HuffTable = _
+    var acTab: HuffTable = _
+    var pred: Int = 0
+    var plane: Array[Int] = _ // blocksAcross*8 × blocksDown*8 samples
+    var planeW: Int = 0
+    var planeH: Int = 0
+    var outW: Int = 0 // downsampled (ceil(w·h/maxH)) widths for upsampling
+    var outH: Int = 0
+  }
+
+  @inline private def u16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+
+  /** Decode a baseline JFIF payload; None on any unsupported or corrupt
+    * structure. Output: grayscale (1 channel) or interleaved RGB. */
+  def decodeJpeg(bytes: Array[Byte]): Option[DecodedImage] = {
+    if (bytes == null || bytes.length < 4 ||
+        (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return None
+    val qtabs = Array.ofDim[Int](4, 64) // zigzag order
+    val qseen = new Array[Boolean](4)
+    val dcTabs = new Array[HuffTable](4)
+    val acTabs = new Array[HuffTable](4)
+    var comps: Array[Component] = null
+    var width = 0; var height = 0
+    var restartInterval = 0
+    var o = 2L
+    // ---- marker walk (Long offsets: hostile declared lengths must not
+    // overflow into negative indices — the decodePng lesson)
+    while (o + 4 <= bytes.length) {
+      val oi = o.toInt
+      if ((bytes(oi) & 0xFF) != 0xFF) return None
+      val marker = bytes(oi + 1) & 0xFF
+      if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) { o += 2 }
+      else if (marker == 0xD9) return None // EOI before SOS
+      else {
+        val len = u16(bytes, oi + 2)
+        if (len < 2 || o + 2 + len > bytes.length) return None
+        val seg = oi + 4
+        val segEnd = oi + 2 + len
+        marker match {
+          case 0xDB => // DQT
+            var p = seg
+            while (p < segEnd) {
+              val pq = (bytes(p) & 0xF0) >> 4
+              val tq = bytes(p) & 0x0F
+              if (tq > 3) return None
+              if (pq == 0) {
+                if (p + 65 > segEnd) return None
+                var k = 0
+                while (k < 64) { qtabs(tq)(k) = bytes(p + 1 + k) & 0xFF; k += 1 }
+                p += 65
+              } else if (pq == 1) {
+                if (p + 129 > segEnd) return None
+                var k = 0
+                while (k < 64) { qtabs(tq)(k) = u16(bytes, p + 1 + 2 * k); k += 1 }
+                p += 129
+              } else return None
+              qseen(tq) = true
+            }
+            o += 2 + len
+          case 0xC4 => // DHT
+            var p = seg
+            while (p + 17 <= segEnd) {
+              val tc = (bytes(p) & 0xF0) >> 4
+              val th = bytes(p) & 0x0F
+              if (tc > 1 || th > 3) return None
+              val counts = new Array[Int](16)
+              var total = 0
+              var k = 0
+              while (k < 16) {
+                counts(k) = bytes(p + 1 + k) & 0xFF; total += counts(k); k += 1
+              }
+              if (p + 17 + total > segEnd || total > 256) return None
+              val symbols = new Array[Int](total)
+              k = 0
+              while (k < total) { symbols(k) = bytes(p + 17 + k) & 0xFF; k += 1 }
+              val t = new HuffTable(counts, symbols)
+              if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+              p += 17 + total
+            }
+            o += 2 + len
+          case 0xC0 | 0xC1 => // SOF0/1: baseline(+extended) sequential huffman
+            if (len < 8) return None
+            val prec = bytes(seg) & 0xFF
+            height = u16(bytes, seg + 1)
+            width = u16(bytes, seg + 3)
+            val nc = bytes(seg + 5) & 0xFF
+            if (prec != 8 || width <= 0 || height <= 0 ||
+                (nc != 1 && nc != 3) || len != 8 + 3 * nc) return None
+            comps = new Array[Component](nc)
+            var ci = 0
+            while (ci < nc) {
+              val b0 = seg + 6 + 3 * ci
+              val hv = bytes(b0 + 1) & 0xFF
+              comps(ci) = Component(bytes(b0) & 0xFF, (hv >> 4) & 0xF,
+                hv & 0xF, bytes(b0 + 2) & 0x0F)
+              if (comps(ci).h < 1 || comps(ci).h > 4 ||
+                  comps(ci).v < 1 || comps(ci).v > 4) return None
+              ci += 1
+            }
+            o += 2 + len
+          case m if m == 0xC2 || (m >= 0xC3 && m <= 0xCF && m != 0xC4 && m != 0xC8) =>
+            return None // progressive / arithmetic / hierarchical
+          case 0xDD => // DRI
+            if (len != 4) return None
+            restartInterval = u16(bytes, seg)
+            o += 2 + len
+          case 0xDA => // SOS — decode the single interleaved scan
+            if (comps == null) return None
+            val ns = bytes(seg) & 0xFF
+            if (ns != comps.length || len != 6 + 2 * ns) return None
+            var si = 0
+            while (si < ns) {
+              val cs = bytes(seg + 1 + 2 * si) & 0xFF
+              val cOpt = comps.find(_.id == cs)
+              if (cOpt.isEmpty) return None
+              val c = cOpt.get
+              val tt = bytes(seg + 2 + 2 * si) & 0xFF
+              val dt = dcTabs((tt >> 4) & 0xF); val at = acTabs(tt & 0xF)
+              if (dt == null || at == null || !qseen(c.tq)) return None
+              c.dcTab = dt; c.acTab = at
+              si += 1
+            }
+            return decodeScan(bytes, segEnd, comps, width, height,
+              qtabs, restartInterval)
+          case _ => o += 2 + len // APPn / COM / others: skip
+        }
+      }
+    }
+    None // no SOS reached
+  }
+
+  /** Entropy-decode the interleaved scan and reconstruct pixels. */
+  private def decodeScan(bytes: Array[Byte], scanStart: Int,
+      comps: Array[Component], width: Int, height: Int,
+      qtabs: Array[Array[Int]], restartInterval: Int): Option[DecodedImage] = {
+    val maxH = comps.map(_.h).max
+    val maxV = comps.map(_.v).max
+    // reject sampling shapes outside the IJG-common set (identity, h2v1,
+    // h2v2 per chroma component)
+    for (c <- comps) {
+      val he = maxH / c.h; val ve = maxV / c.v
+      if (maxH % c.h != 0 || maxV % c.v != 0 || he > 2 || ve > 2 ||
+          (he == 1 && ve == 2)) return None
+    }
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+    for (c <- comps) {
+      c.planeW = mcusX * c.h * 8
+      c.planeH = mcusY * c.v * 8
+      c.outW = (width * c.h + maxH - 1) / maxH
+      c.outH = (height * c.v + maxV - 1) / maxV
+      c.plane = new Array[Int](c.planeW * c.planeH)
+      c.pred = 0
+    }
+    val br = new BitReader(bytes, scanStart)
+    val coef = new Array[Long](64)
+    val pix = new Array[Int](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!br.syncRestart()) return None
+        comps.foreach(_.pred = 0)
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val q = qtabs(c.tq)
+        var bv = 0
+        while (bv < c.v) {
+          var bh = 0
+          while (bh < c.h) {
+            java.util.Arrays.fill(coef, 0L)
+            // DC
+            val s = c.dcTab.decode(br)
+            if (s < 0 || s > 15) return None
+            var diff = 0
+            if (s > 0) {
+              val v = br.bits(s)
+              if (v < 0) return None
+              diff = if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+            }
+            c.pred += diff
+            coef(0) = c.pred.toLong * q(0)
+            // AC
+            var k = 1
+            var done = false
+            while (!done && k < 64) {
+              val rs = c.acTab.decode(br)
+              if (rs < 0) return None
+              val run = (rs >> 4) & 0xF
+              val size = rs & 0xF
+              if (size == 0) {
+                if (run == 15) k += 16 else done = true
+              } else {
+                k += run
+                if (k > 63) return None
+                val v = br.bits(size)
+                if (v < 0) return None
+                val x = if (v < (1 << (size - 1))) v - (1 << size) + 1 else v
+                coef(Zigzag(k)) = x.toLong * q(k)
+                k += 1
+              }
+            }
+            idctBlock(coef, pix)
+            // place the 8×8 into the component plane
+            val px0 = (mx * c.h + bh) * 8
+            val py0 = (my * c.v + bv) * 8
+            var r = 0
+            while (r < 8) {
+              System.arraycopy(pix, r * 8, c.plane, (py0 + r) * c.planeW + px0, 8)
+              r += 1
+            }
+            bh += 1
+          }
+          bv += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    // ---- reconstruction: upsample chroma, color-convert
+    if (comps.length == 1) {
+      val c = comps(0)
+      val out = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(c.plane, y * c.planeW, out, y * width, width)
+        y += 1
+      }
+      Some(DecodedImage(width, height, 1, out))
+    } else {
+      val planes = comps.map(c => upsample(c, maxH, maxV, width, height))
+      val out = new Array[Int](width * height * 3)
+      var i = 0
+      val n = width * height
+      while (i < n) {
+        val yv = planes(0)(i); val cb = planes(1)(i); val cr = planes(2)(i)
+        out(3 * i) = clampByte(yv + crRTab(cr))
+        out(3 * i + 1) = clampByte(yv + ((cbGTab(cb) + crGTab(cr)) >> 16))
+        out(3 * i + 2) = clampByte(yv + cbBTab(cb))
+        i += 1
+      }
+      Some(DecodedImage(width, height, 3, out))
+    }
+  }
+
+  // ---------------------------------------------------- fancy upsampling
+  /** Expand a component plane to full image resolution with the IJG
+    * triangular ("fancy") filter — 3:1 nearest/next blends with the exact
+    * alternating rounding biases — so chroma values match ImageIO's. */
+  private def upsample(c: Component, maxH: Int, maxV: Int,
+      width: Int, height: Int): Array[Int] = {
+    val he = maxH / c.h
+    val ve = maxV / c.v
+    if (he == 1 && ve == 1) {
+      if (c.planeW == width) {
+        if (c.plane.length == width * height) c.plane
+        else java.util.Arrays.copyOf(c.plane, width * height)
+      } else {
+        val out = new Array[Int](width * height)
+        var y = 0
+        while (y < height) {
+          System.arraycopy(c.plane, y * c.planeW, out, y * width, width)
+          y += 1
+        }
+        out
+      }
+    } else if (he == 2 && ve == 1) {
+      val out = new Array[Int](width * height)
+      val iw = c.outW
+      var y = 0
+      while (y < height) {
+        h2Row(c.plane, y * c.planeW, iw, out, y * width, width)
+        y += 1
+      }
+      out
+    } else { // he == 2 && ve == 2
+      val out = new Array[Int](width * height)
+      val iw = c.outW
+      val ih = c.outH
+      val blended = new Array[Int](iw) // 3·near + far per column
+      var oy = 0
+      while (oy < height) {
+        val iy = oy / 2
+        val other = if (oy % 2 == 0) math.max(0, iy - 1) else math.min(ih - 1, iy + 1)
+        val r0 = iy * c.planeW
+        val r1 = other * c.planeW
+        var x = 0
+        while (x < iw) { blended(x) = c.plane(r0 + x) * 3 + c.plane(r1 + x); x += 1 }
+        h2v2Row(blended, iw, out, oy * width, width)
+        oy += 1
+      }
+      out
+    }
+  }
+
+  /** IJG h2v1 fancy row: out pairs (3a+b+1)>>2 / (3a+b+2)>>2. */
+  private def h2Row(in: Array[Int], inOff: Int, iw: Int,
+      out: Array[Int], outOff: Int, ow: Int): Unit = {
+    val tmp = new Array[Int](iw * 2)
+    if (iw == 1) { tmp(0) = in(inOff); tmp(1) = in(inOff) }
+    else {
+      tmp(0) = in(inOff)
+      tmp(1) = (in(inOff) * 3 + in(inOff + 1) + 2) >> 2
+      var x = 1
+      while (x < iw - 1) {
+        val v3 = in(inOff + x) * 3
+        tmp(2 * x) = (v3 + in(inOff + x - 1) + 1) >> 2
+        tmp(2 * x + 1) = (v3 + in(inOff + x + 1) + 2) >> 2
+        x += 1
+      }
+      val v3 = in(inOff + iw - 1) * 3
+      tmp(2 * (iw - 1)) = (v3 + in(inOff + iw - 2) + 1) >> 2
+      tmp(2 * (iw - 1) + 1) = in(inOff + iw - 1)
+    }
+    System.arraycopy(tmp, 0, out, outOff, ow)
+  }
+
+  /** IJG h2v2 fancy row over pre-blended (3·near+far) column sums:
+    * out pairs (3t+last+8)>>4 / (3t+next+7)>>4, edges (4t+8)/(4t+7). */
+  private def h2v2Row(sums: Array[Int], iw: Int,
+      out: Array[Int], outOff: Int, ow: Int): Unit = {
+    val tmp = new Array[Int](iw * 2)
+    if (iw == 1) {
+      tmp(0) = (sums(0) * 4 + 8) >> 4
+      tmp(1) = (sums(0) * 4 + 7) >> 4
+    } else {
+      tmp(0) = (sums(0) * 4 + 8) >> 4
+      tmp(1) = (sums(0) * 3 + sums(1) + 7) >> 4
+      var x = 1
+      while (x < iw - 1) {
+        val t3 = sums(x) * 3
+        tmp(2 * x) = (t3 + sums(x - 1) + 8) >> 4
+        tmp(2 * x + 1) = (t3 + sums(x + 1) + 7) >> 4
+        x += 1
+      }
+      val t3 = sums(iw - 1) * 3
+      tmp(2 * (iw - 1)) = (t3 + sums(iw - 2) + 8) >> 4
+      tmp(2 * (iw - 1) + 1) = (sums(iw - 1) * 4 + 7) >> 4
+    }
+    System.arraycopy(tmp, 0, out, outOff, ow)
+  }
+
+  // ------------------------------------------- fixed-point color convert
+  /** IJG ycc_rgb tables: SCALEBITS=16 fixed point, CENTERJSAMPLE=128. */
+  private def fix(x: Double): Long = (x * 65536.0 + 0.5).toLong
+  private val crRTab: Array[Int] = Array.tabulate(256) { i =>
+    ((fix(1.40200) * (i - 128) + 32768L) >> 16).toInt
+  }
+  private val cbBTab: Array[Int] = Array.tabulate(256) { i =>
+    ((fix(1.77200) * (i - 128) + 32768L) >> 16).toInt
+  }
+  private val crGTab: Array[Int] = Array.tabulate(256) { i =>
+    (-fix(0.71414) * (i - 128)).toInt
+  }
+  private val cbGTab: Array[Int] = Array.tabulate(256) { i =>
+    (-fix(0.34414) * (i - 128) + 32768L).toInt
+  }
+
+  // ================================================== fixture encoder side
+
+  /** Minimal baseline grayscale encoder for FLAT 8×8 blocks: every block
+    * is one constant value, so the stream carries only huffman-coded DC
+    * diffs + EOBs, and — because quant[DC] = 8 exactly divides the flat
+    * block's DCT (F00 = 8·(v−128)) and a DC-only IDCT is exact in islow
+    * arithmetic — EVERY spec-conforming decoder reproduces the constants
+    * bit-for-bit. That makes the decoded sums a pure function of the
+    * generating id: the oracle restates them in SQL while the engine must
+    * genuinely huffman-decode, dequantize, and IDCT the bytes (the
+    * [[Multimodal.synthesizePngPayload]] discipline, lossy-format
+    * edition). Custom (legal) huffman tables: DC categories 0-8 at 4
+    * bits, a 1-bit EOB-only AC table. */
+  def buildJpegWithBlocks(w: Int, h: Int,
+      blockValue: (Int, Int) => Int): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0 && w > 0 && h > 0,
+      "flat-block fixture dims must be 8-multiples")
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int, payload: Array[Int]): Unit = {
+      out.write(0xFF); out.write(marker)
+      out.write((payload.length + 2) >> 8); out.write((payload.length + 2) & 0xFF)
+      payload.foreach(out.write)
+    }
+    out.write(0xFF); out.write(0xD8) // SOI
+    m(0xE0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    m(0xDB, Array(0x00) ++ Array.fill(64)(8)) // DQT 0: all 8s
+    m(0xC0, Array(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 1, 1, 0x11, 0))
+    // DHT DC0: nine 4-bit codes for categories 0..8
+    m(0xC4, Array(0x00, 0, 0, 0, 9, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 1, 2, 3, 4, 5, 6, 7, 8))
+    // DHT AC0: one 1-bit code: EOB
+    m(0xC4, Array(0x10, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x00))
+    m(0xDA, Array(1, 1, 0x00, 0, 63, 0))
+    // entropy: DC huffman codes are the 4-bit values 0..8 themselves
+    var acc = 0; var nb = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); nb += 1
+        if (nb == 8) {
+          out.write(acc)
+          if (acc == 0xFF) out.write(0x00)
+          acc = 0; nb = 0
+        }
+        i -= 1
+      }
+    }
+    var pred = 0
+    var by = 0
+    while (by < h / 8) {
+      var bx = 0
+      while (bx < w / 8) {
+        val level = (blockValue(bx, by) & 0xFF) - 128
+        val diff = level - pred
+        pred = level
+        val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        putBits(s, 4) // DC category code == category (canonical 4-bit)
+        if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        putBits(0, 1) // EOB
+        bx += 1
+      }
+      by += 1
+    }
+    if (nb > 0) { // pad with 1s
+      acc = (acc << (8 - nb)) | ((1 << (8 - nb)) - 1)
+      out.write(acc)
+      if (acc == 0xFF) out.write(0x00)
+    }
+    out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** Deterministic JPEG fixture column: dims and every 8×8 block constant
+    * derive from the id, so the oracle restates the decoded sums while
+    * the engine genuinely decodes:
+    *  - width = 8·(1 + id % 4), height = 8·(1 + (id·3) % 4)
+    *  - block(bx, by) = (id % 251 + 17·by + 23·bx) % 256 */
+  def synthesizeJpegPayload(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(payloadCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (8 * (1 + id % 4)).toInt
+        val h = (8 * (1 + (id * 3) % 4)).toInt
+        val base = (id % 251).toInt
+        val jpg = buildJpegWithBlocks(w, h,
+          (bx, by) => (base + 17 * by + 23 * bx) % 256)
+        Row.fromSeq(r.toSeq :+ jpg)
+      }
+    }(Encoders.row(outSchema)).toDF()
+  }
+
+  /** Per-image pixel statistics through the REAL JPEG decode path — the
+    * [[Multimodal.pngPixelStats]] twin: per-partition map, no shuffle,
+    * undecodable payloads dropped. */
+  def jpegPixelStats(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_samples", LongType), StructField("sample_sum", LongType),
+      StructField("mean_sample", DoubleType)))
+    df.select(col(idCol), col(payloadCol))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          decodeJpeg(r.getAs[Array[Byte]](1)).map { img =>
+            var s = 0L
+            var i = 0
+            while (i < img.samples.length) { s += img.samples(i); i += 1 }
+            val n = img.samples.length.toLong
+            Row(r.get(0), img.width, img.height, img.channels, n, s,
+              s.toDouble / n.toDouble)
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+}

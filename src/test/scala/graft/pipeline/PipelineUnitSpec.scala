@@ -3554,6 +3554,93 @@ class PipelineUnitSpec extends SparkTestBase {
       10L -> true, 11L -> false))
   }
 
+  test("decodeJpeg matches ImageIO bit-for-bit on gray, color 4:2:0, and " +
+      "flat-block fixtures (IJG-arithmetic differential)") {
+    // 1. flat-block fixture: every sample equals the generating formula
+    // (DC-only blocks with quant 8 are exact in any conforming decoder)
+    val w = 24; val h = 16
+    val jpg = Jpeg.buildJpegWithBlocks(w, h,
+      (bx, by) => (37 + 17 * by + 23 * bx) % 256)
+    val img = Jpeg.decodeJpeg(jpg).get
+    assert(img.width == w && img.height == h && img.channels == 1)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.samples(y * w + x) ==
+        (37 + 17 * (y / 8) + 23 * (x / 8)) % 256, s"flat ($x,$y)")
+    val biFlat = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpg))
+    assert(biFlat != null, "ImageIO rejected the flat fixture")
+    for (y <- 0 until h; x <- 0 until w)
+      assert(biFlat.getRaster.getSample(x, y, 0) == img.samples(y * w + x))
+    // 2. ImageIO-ENCODED images: the JDK writer emits real baseline
+    // streams (std huffman tables; 4:2:0 chroma for color) and the JDK
+    // reader is the independent IJG decoder — decoded values must match
+    // EXACTLY (sameElements, zero tolerance), which only holds because
+    // decodeJpeg replicates the islow IDCT, fancy upsampling, and
+    // fixed-point color-convert arithmetic rather than approximating them
+    val rnd = new scala.util.Random(7)
+    for ((gw, gh) <- Seq((37, 23), (8, 8), (65, 41))) {
+      val bi = new java.awt.image.BufferedImage(gw, gh,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until gh; x <- 0 until gw)
+        bi.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "jpg", baos)
+      val bytes = baos.toByteArray
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val got = Jpeg.decodeJpeg(bytes).get
+      assert(got.width == gw && got.height == gh && got.channels == 1)
+      for (y <- 0 until gh; x <- 0 until gw)
+        assert(got.samples(y * gw + x) == ref.getRaster.getSample(x, y, 0),
+          s"gray ${gw}x$gh ($x,$y)")
+    }
+    for ((cw, chh) <- Seq((40, 24), (33, 17))) {
+      val bi = new java.awt.image.BufferedImage(cw, chh,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until chh; x <- 0 until cw; b <- 0 until 3)
+        bi.getRaster.setSample(x, y, b, rnd.nextInt(256))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "jpg", baos)
+      val bytes = baos.toByteArray
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val got = Jpeg.decodeJpeg(bytes).get
+      assert(got.width == cw && got.height == chh && got.channels == 3)
+      for (y <- 0 until chh; x <- 0 until cw; b <- 0 until 3)
+        assert(got.samples((y * cw + x) * 3 + b) ==
+          ref.getRaster.getSample(x, y, b), s"color ${cw}x$chh ($x,$y,$b)")
+    }
+    // 3. reject paths: wrong container, truncation mid-scan, hostile
+    // declared segment length
+    assert(Jpeg.decodeJpeg(Multimodal.buildPng(8, 8)).isEmpty)
+    assert(Jpeg.decodeJpeg(jpg.take(jpg.length / 2)).isEmpty)
+    val evil = jpg.clone()
+    // first segment after SOI is APP0 at offset 2: declare a huge length
+    evil(4) = 0xFF.toByte; evil(5) = 0xFE.toByte
+    assert(Jpeg.decodeJpeg(evil).isEmpty)
+  }
+
+  test("jpegPixelStats decodes synthesized flat-block payloads to the " +
+      "arithmetic sums") {
+    import spark.implicits._
+    val ids = (0L until 64L).toDF("doc_id")
+    val got = Jpeg.jpegPixelStats(
+      Jpeg.synthesizeJpegPayload(ids, "doc_id"), "doc_id", "payload")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.size == 64)
+    for (id <- 0L until 64L) {
+      val w = (8 * (1 + id % 4)).toInt; val h = (8 * (1 + id * 3 % 4)).toInt
+      var expect = 0L
+      for (by <- 0 until h / 8; bx <- 0 until w / 8)
+        expect += 64L * ((id % 251 + 17 * by + 23 * bx) % 256)
+      val row = got(id)
+      assert(row.getAs[Int]("width") == w && row.getAs[Int]("height") == h)
+      assert(row.getAs[Int]("channels") == 1)
+      assert(row.getAs[Long]("sample_sum") == expect, s"id $id")
+      assert(row.getAs[Long]("n_samples") == w.toLong * h)
+    }
+  }
+
   test("decodePng / decodeWavSamples drop hostile declared chunk sizes as " +
       "None instead of crashing the task") {
     val png = Multimodal.buildPngWithPixels(8, 8, 3, Array.fill(192)(7), _ => 0)
