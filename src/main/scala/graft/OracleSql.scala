@@ -410,6 +410,26 @@ object OracleSql {
        |SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id, cosine
        |FROM r WHERE rn <= 3""".stripMargin
   }
+  /** KMV distinct-token replay (rank over distinct hashes — the k-min
+    * set is a pure function of the value set, so the batch build, the
+    * streaming changelog fold, and this replay all agree). */
+  private lazy val kmvReplaySql: String = {
+    val h = Hashing.mixSql(Hashing.polyHashSql("tok"), 17)
+    val scale = 255.0 * Hashing.P // exact integer-valued double
+    s"""WITH t AS (SELECT source,
+       |  unnest(string_split($norm, ' ')) AS tok FROM documents),
+       |h AS (SELECT DISTINCT source, ($h) AS hh FROM t),
+       |r AS (SELECT source, hh, row_number() OVER (PARTITION BY source
+       |  ORDER BY hh) AS rn FROM h),
+       |k AS (SELECT source, count(*) AS n_kept,
+       |  CAST(max(hh) AS BIGINT) AS kth_hash
+       |  FROM r WHERE rn <= 256 GROUP BY source)
+       |SELECT source, n_kept, kth_hash,
+       |  CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+       |       ELSE $scale / greatest(kth_hash, 1) END AS distinct_est
+       |FROM k""".stripMargin
+  }
+
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
@@ -1783,22 +1803,12 @@ object OracleSql {
 
     // KMV distinct-token sketch per source: k=256 min distinct hashes;
     // (k-1)*P / kth as one double division, exact count under k
-    "q_kmv_distinct" -> {
-      val h = Hashing.mixSql(Hashing.polyHashSql("tok"), 17)
-      val scale = 255.0 * Hashing.P // exact integer-valued double
-      s"""WITH t AS (SELECT source,
-         |  unnest(string_split($norm, ' ')) AS tok FROM documents),
-         |h AS (SELECT DISTINCT source, ($h) AS hh FROM t),
-         |r AS (SELECT source, hh, row_number() OVER (PARTITION BY source
-         |  ORDER BY hh) AS rn FROM h),
-         |k AS (SELECT source, count(*) AS n_kept,
-         |  CAST(max(hh) AS BIGINT) AS kth_hash
-         |  FROM r WHERE rn <= 256 GROUP BY source)
-         |SELECT source, n_kept, kth_hash,
-         |  CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
-         |       ELSE $scale / greatest(kth_hash, 1) END AS distinct_est
-         |FROM k""".stripMargin
-    },
+    "q_kmv_distinct" -> kmvReplaySql,
+
+    // the streaming changelog sink folds back to the identical k-min set
+    // (any final member entered the running set at first sight), so the
+    // streaming twin shares the batch replay verbatim
+    "q_stream_kmv" -> kmvReplaySql,
 
     // HyperLogLog replay: 64 registers over the 30-bit polynomial hash,
     // rho via an unrolled bit-length CASE chain, harmonic sum in integer

@@ -2139,6 +2139,23 @@ object SparkEntry {
     runStream(s, out)
   }
 
+  /** Streaming KMV distinct-token sketch ([[graft.streaming.StreamingTSDF
+    * .kmvMins]]): per-source running k-min sets as a changelog — every
+    * hash that ever ENTERS the running set is emitted once, the sink is a
+    * superset of the final k-min set, and the batch k-min fold
+    * ([[graft.pipeline.Sketch.kmvFromHashes]]) over the sink reproduces
+    * the batch sketch exactly for any micro-batch split — so the query
+    * shares q_kmv_distinct's oracle verbatim. */
+  private def qStreamKmv(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val toks = docsStream(s, dir).select(col("source"),
+      explode(split(Dedup.normalizeText(col("text")), " ")).alias("tok"))
+    val mins = graft.streaming.StreamingTSDF.kmvMins(
+      toks, Seq("source"), col("tok"), k = 256)
+    graft.pipeline.Sketch.kmvFromHashes(
+      runStream(s, mins), Seq("source"), col("h"), k = 256)
+  }
+
   /** Streaming SCD2 changelog as a real single-batch streaming query
     * ([[graft.streaming.StreamingTSDF.scd2Changelog]]): per user, the
     * collapsed event_type change set in (ts, event_id) order — exactly
@@ -2616,6 +2633,7 @@ object SparkEntry {
     "q_stream_cusum" -> qStreamCusum _,
     "q_stream_scd2" -> qStreamScd2 _,
     "q_stream_dsir" -> qStreamDsir _,
+    "q_stream_kmv" -> qStreamKmv _,
     "q_rolling_slope" -> qRollingSlope _,
     "q_drift" -> qDrift _,
     "q_drift_stats" -> qDriftStats _,

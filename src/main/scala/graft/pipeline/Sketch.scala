@@ -43,13 +43,22 @@ object Sketch {
     * whose items are all null report n_kept = 0 with a null kth_hash
     * (null items carry no distinct hash — the aggregate skips them). */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], itemCol: Column,
-      k: Int, seed: Int = 17): DataFrame = {
+      k: Int, seed: Int = 17): DataFrame =
+    kmvFromHashes(df, groupCols, Hashing.mix(Hashing.polyHash(itemCol), seed), k)
+
+  /** KMV readout over pre-hashed values: per group, the k-min aggregate
+    * + estimate of [[kmvDistinct]]. Exposed separately so any stream or
+    * shard that carries the engine-agnostic hashes (e.g. the
+    * [[graft.streaming.StreamingTSDF.kmvMins]] changelog sink, whose
+    * rows are a superset of the final k-min set) can be folded to the
+    * identical batch answer. */
+  def kmvFromHashes(df: DataFrame, groupCols: Seq[String], hashCol: Column,
+      k: Int): DataFrame = {
     require(k >= 2, "k must be >= 2")
     val gc = groupCols.map(col)
-    val h = Hashing.mix(Hashing.polyHash(itemCol), seed)
     val kmin = org.apache.spark.sql.GraftColumns.column(
       graft.functions.KMinDistinctAgg(
-        org.apache.spark.sql.GraftColumns.expression(h), k))
+        org.apache.spark.sql.GraftColumns.expression(hashCol), k))
     val nKept = size(col("__ks")).cast(LongType)
     // the size > 0 guard keeps element_at off an empty k-min set (an
     // all-null group) — ANSI mode would error on the out-of-range index

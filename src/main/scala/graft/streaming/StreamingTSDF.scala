@@ -1007,6 +1007,70 @@ object StreamingTSDF {
       col("bucket"), col("register")): _*)
   }
 
+  // ----------------------------------------------- streaming KMV k-min
+  case class KmvEvent(series: String, h: Long)
+  case class KmvState(mins: Array[Long]) // ascending, ≤ k entries
+
+  /** Streaming KMV k-min build: per series, the running k smallest
+    * DISTINCT item hashes, emitted as a CHANGELOG — each micro-batch
+    * emits only the hashes that newly ENTERED the running k-min set.
+    * Reconstruction invariant: any member of the FINAL k-min set was
+    * inserted when first seen (the running max only decreases, so a hash
+    * below the final max was below the max at its arrival too), hence
+    * the sink holds a superset of the final set and re-taking the k
+    * smallest distinct over it — [[graft.pipeline.Sketch.kmvFromHashes]],
+    * the same aggregate the batch builder uses — reproduces the batch
+    * [[graft.pipeline.Sketch.kmvDistinct]] answer EXACTLY, for any
+    * micro-batch split. Hashes come from the shared engine-agnostic
+    * [[graft.pipeline.Hashing]] family, so the folded readout still
+    * replays in a SQL oracle.
+    *
+    * State is ≤ k longs per series — bounded, the streaming face of the
+    * bounded [[graft.functions.KMinDistinctAgg]] buffer. Emission volume
+    * per batch is at most the insert count (≤ k after convergence —
+    * changelog traffic decays as the sketch fills). Documents carry no
+    * event time here; the per-bucket trailing variant is the place for
+    * watermark/ttl semantics. */
+  def kmvMins(df: DataFrame, seriesCols: Seq[String], itemCol: Column,
+      k: Int, seed: Int = 17): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = graft.pipeline.Hashing.mix(
+      graft.pipeline.Hashing.polyHash(itemCol), seed)
+    val events = df.select(
+      seriesKey(seriesCols).alias("series"), h.alias("h"))
+      .filter(col("h").isNotNull).as[KmvEvent]
+    val out = events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[KmvEvent], state: GroupState[KmvState]) =>
+          val set = new java.util.TreeSet[java.lang.Long]()
+          state.getOption.foreach(_.mins.foreach(v => set.add(v)))
+          val entered = scala.collection.mutable.ArrayBuffer.empty[Long]
+          rows.foreach { e =>
+            val v = e.h
+            val inserted =
+              if (set.contains(v)) false
+              else if (set.size < k) { set.add(v); true }
+              else if (v < set.last()) { set.add(v); set.pollLast(); true }
+              else false
+            // a hash evicted later (same batch or a later one) may sit in
+            // the sink as excess — harmless, the k-min re-fold trims it
+            if (inserted) entered += v
+          }
+          val mins = new Array[Long](set.size)
+          val it = set.iterator()
+          var i = 0
+          while (it.hasNext) { mins(i) = it.next().longValue(); i += 1 }
+          state.update(KmvState(mins))
+          entered.iterator.map(v => (key, v))
+      }
+      .toDF("series", "h")
+    out.select(typedSeriesCols(df.schema, seriesCols) :+ col("h"): _*)
+  }
+
   // ----------------------------------------------- streaming histogram
   case class HistEvent(series: String, bin: Long,
       eventTime: java.sql.Timestamp)
