@@ -623,10 +623,11 @@ object Jpeg {
     * [[Multimodal.synthesizePngPayload]] discipline, lossy-format
     * edition). Custom (legal) huffman tables: DC categories 0-8 at 4
     * bits, a 1-bit EOB-only AC table. */
-  def buildJpegWithBlocks(w: Int, h: Int,
-      blockValue: (Int, Int) => Int): Array[Byte] = {
+  def buildJpegWithBlocks(w: Int, h: Int, blockValue: (Int, Int) => Int,
+      restartInterval: Int = 0): Array[Byte] = {
     require(w % 8 == 0 && h % 8 == 0 && w > 0 && h > 0,
       "flat-block fixture dims must be 8-multiples")
+    require(restartInterval >= 0)
     val out = new java.io.ByteArrayOutputStream()
     def m(marker: Int, payload: Array[Int]): Unit = {
       out.write(0xFF); out.write(marker)
@@ -642,6 +643,8 @@ object Jpeg {
       0, 1, 2, 3, 4, 5, 6, 7, 8))
     // DHT AC0: one 1-bit code: EOB
     m(0xC4, Array(0x10, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x00))
+    if (restartInterval > 0)
+      m(0xDD, Array(restartInterval >> 8, restartInterval & 0xFF))
     m(0xDA, Array(1, 1, 0x00, 0, 63, 0))
     // entropy: DC huffman codes are the 4-bit values 0..8 themselves
     var acc = 0; var nb = 0
@@ -657,11 +660,26 @@ object Jpeg {
         i -= 1
       }
     }
+    def padByte(): Unit = if (nb > 0) { // pad with 1s
+      acc = (acc << (8 - nb)) | ((1 << (8 - nb)) - 1)
+      out.write(acc)
+      if (acc == 0xFF) out.write(0x00)
+      acc = 0; nb = 0
+    }
     var pred = 0
+    var rst = 0
+    var mcu = 0
+    val nMcus = (h / 8) * (w / 8) // 1×1 sampling: one block per MCU
     var by = 0
     while (by < h / 8) {
       var bx = 0
       while (bx < w / 8) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          padByte() // restart markers are byte-aligned, written unstuffed
+          out.write(0xFF); out.write(0xD0 + rst)
+          rst = (rst + 1) % 8
+          pred = 0
+        }
         val level = (blockValue(bx, by) & 0xFF) - 128
         val diff = level - pred
         pred = level
@@ -669,15 +687,12 @@ object Jpeg {
         putBits(s, 4) // DC category code == category (canonical 4-bit)
         if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
         putBits(0, 1) // EOB
+        mcu += 1
         bx += 1
       }
       by += 1
     }
-    if (nb > 0) { // pad with 1s
-      acc = (acc << (8 - nb)) | ((1 << (8 - nb)) - 1)
-      out.write(acc)
-      if (acc == 0xFF) out.write(0x00)
-    }
+    padByte()
     out.write(0xFF); out.write(0xD9) // EOI
     out.toByteArray
   }

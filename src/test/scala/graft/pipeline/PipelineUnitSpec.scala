@@ -3610,7 +3610,19 @@ class PipelineUnitSpec extends SparkTestBase {
         assert(got.samples((y * cw + x) * 3 + b) ==
           ref.getRaster.getSample(x, y, b), s"color ${cw}x$chh ($x,$y,$b)")
     }
-    // 3. reject paths: wrong container, truncation mid-scan, hostile
+    // 3. restart-marker stream (DRI + RSTn every 3 MCUs, DC predictors
+    // reset): formula + ImageIO agreement pins the sync/reset path
+    val jpgR = Jpeg.buildJpegWithBlocks(w, h,
+      (bx, by) => (37 + 17 * by + 23 * bx) % 256, restartInterval = 3)
+    val imgR = Jpeg.decodeJpeg(jpgR).get
+    for (y <- 0 until h; x <- 0 until w)
+      assert(imgR.samples(y * w + x) ==
+        (37 + 17 * (y / 8) + 23 * (x / 8)) % 256, s"rst ($x,$y)")
+    val biR = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpgR))
+    assert(biR != null, "ImageIO rejected the restart fixture")
+    for (y <- 0 until h; x <- 0 until w)
+      assert(biR.getRaster.getSample(x, y, 0) == imgR.samples(y * w + x))
+    // 4. reject paths: wrong container, truncation mid-scan, hostile
     // declared segment length
     assert(Jpeg.decodeJpeg(Multimodal.buildPng(8, 8)).isEmpty)
     assert(Jpeg.decodeJpeg(jpg.take(jpg.length / 2)).isEmpty)
