@@ -697,6 +697,84 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Flat-block COLOR fixture: YCbCr with Y sampling (sh, sv) — 4:4:4 /
+    * 4:2:2 / 4:2:0 — per-Y-block constants and flat chroma, interleaved
+    * in real MCU order with per-component DC predictors. Flat planes
+    * upsample to the same constants under ANY correct filter, so the
+    * ImageIO differential pins the multi-component scan interleave, the
+    * chroma reconstruction paths (including h2v1, which the JDK writer
+    * never emits), and the color convert — without needing an AC
+    * encoder. */
+  def buildJpegFlatYcc(w: Int, h: Int, sh: Int, sv: Int,
+      yBlock: (Int, Int) => Int, cb: Int, cr: Int): Array[Byte] = {
+    require(sh >= 1 && sh <= 2 && sv >= 1 && sv <= 2 && !(sh == 1 && sv == 2),
+      "sampling must be 1x1, 2x1, or 2x2")
+    require(w % (8 * sh) == 0 && h % (8 * sv) == 0 && w > 0 && h > 0,
+      "dims must be whole-MCU multiples")
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int, payload: Array[Int]): Unit = {
+      out.write(0xFF); out.write(marker)
+      out.write((payload.length + 2) >> 8); out.write((payload.length + 2) & 0xFF)
+      payload.foreach(out.write)
+    }
+    out.write(0xFF); out.write(0xD8)
+    m(0xE0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    m(0xDB, Array(0x00) ++ Array.fill(64)(8))
+    m(0xC0, Array(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 3,
+      1, (sh << 4) | sv, 0, 2, 0x11, 0, 3, 0x11, 0))
+    m(0xC4, Array(0x00, 0, 0, 0, 9, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 1, 2, 3, 4, 5, 6, 7, 8))
+    m(0xC4, Array(0x10, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x00))
+    m(0xDA, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    var acc = 0; var nb = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); nb += 1
+        if (nb == 8) {
+          out.write(acc); if (acc == 0xFF) out.write(0x00); acc = 0; nb = 0
+        }
+        i -= 1
+      }
+    }
+    def putBlock(value: Int, pred: Int): Int = {
+      val level = (value & 0xFF) - 128
+      val diff = level - pred
+      val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      putBits(s, 4)
+      if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      putBits(0, 1) // EOB
+      level
+    }
+    var predY = 0; var predCb = 0; var predCr = 0
+    val mcusX = w / (8 * sh); val mcusY = h / (8 * sv)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var v = 0
+        while (v < sv) {
+          var hh = 0
+          while (hh < sh) {
+            predY = putBlock(yBlock(mx * sh + hh, my * sv + v), predY)
+            hh += 1
+          }
+          v += 1
+        }
+        predCb = putBlock(cb, predCb)
+        predCr = putBlock(cr, predCr)
+        mx += 1
+      }
+      my += 1
+    }
+    if (nb > 0) {
+      acc = (acc << (8 - nb)) | ((1 << (8 - nb)) - 1)
+      out.write(acc); if (acc == 0xFF) out.write(0x00)
+    }
+    out.write(0xFF); out.write(0xD9)
+    out.toByteArray
+  }
+
   /** Deterministic JPEG fixture column: dims and every 8×8 block constant
     * derive from the id, so the oracle restates the decoded sums while
     * the engine genuinely decodes:

@@ -3622,7 +3622,26 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(biR != null, "ImageIO rejected the restart fixture")
     for (y <- 0 until h; x <- 0 until w)
       assert(biR.getRaster.getSample(x, y, 0) == imgR.samples(y * w + x))
-    // 4. reject paths: wrong container, truncation mid-scan, hostile
+    // 4. flat YCbCr fixtures across ALL supported sampling shapes —
+    // including 4:2:2 (h2v1), which the JDK writer never emits, so the
+    // ImageIO-encoded differential above cannot reach that path. Flat
+    // planes upsample to the same constants under any correct filter;
+    // the per-block Y pattern exercises the multi-block MCU interleave
+    // and per-component DC predictors.
+    for ((sh, sv) <- Seq((1, 1), (2, 1), (2, 2))) {
+      val cw = 16 * sh; val chh = 16 * sv
+      val jc = Jpeg.buildJpegFlatYcc(cw, chh, sh, sv,
+        (bx, by) => (60 + 31 * bx + 47 * by) % 256, cb = 90, cr = 170)
+      val gotC = Jpeg.decodeJpeg(jc).get
+      assert(gotC.width == cw && gotC.height == chh && gotC.channels == 3,
+        s"sampling ${sh}x$sv")
+      val refC = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jc))
+      assert(refC != null, s"ImageIO rejected the ${sh}x$sv fixture")
+      for (y <- 0 until chh; x <- 0 until cw; b <- 0 until 3)
+        assert(gotC.samples((y * cw + x) * 3 + b) ==
+          refC.getRaster.getSample(x, y, b), s"ycc ${sh}x$sv ($x,$y,$b)")
+    }
+    // 5. reject paths: wrong container, truncation mid-scan, hostile
     // declared segment length
     assert(Jpeg.decodeJpeg(Multimodal.buildPng(8, 8)).isEmpty)
     assert(Jpeg.decodeJpeg(jpg.take(jpg.length / 2)).isEmpty)
