@@ -1805,6 +1805,36 @@ object OracleSql {
     // (k-1)*P / kth as one double division, exact count under k
     "q_kmv_distinct" -> kmvReplaySql,
 
+    // KMV set-operation replay (Beyer et al. estimator): per-source k-min
+    // lists, union k-min by sort+slice, intersection by membership in
+    // both sides' lists — every number a pure function of the value sets,
+    // the same single-division double arithmetic as the Spark side.
+    "q_kmv_jaccard" -> {
+      val h = Hashing.mixSql(Hashing.polyHashSql("tok"), 17)
+      val scale = 255.0 * Hashing.P
+      val jac = "CASE WHEN len(ku) > 0 THEN CAST(len(ki) AS DOUBLE) / CAST(len(ku) AS DOUBLE) END"
+      val uest = s"CASE WHEN len(ku) < 256 THEN CAST(len(ku) AS DOUBLE) ELSE $scale / greatest(ku[256], 1) END"
+      s"""WITH t AS (SELECT source,
+         |  unnest(string_split($norm, ' ')) AS tok FROM documents),
+         |h AS (SELECT DISTINCT source, ($h) AS hh FROM t),
+         |r AS (SELECT source, hh, row_number() OVER (PARTITION BY source
+         |  ORDER BY hh) AS rn FROM h),
+         |s AS (SELECT source, list(hh ORDER BY hh) AS ks FROM r
+         |  WHERE rn <= 256 GROUP BY source),
+         |p AS (SELECT a.source AS group_a, b.source AS group_b,
+         |  a.ks AS ka, b.ks AS kb FROM s a, s b WHERE a.source < b.source),
+         |u AS (SELECT *, list_sort(list_distinct(list_concat(ka, kb)))[1:256] AS ku FROM p),
+         |i AS (SELECT *, list_filter(ku,
+         |  x -> list_contains(ka, x) AND list_contains(kb, x)) AS ki FROM u)
+         |SELECT group_a, group_b,
+         |  CAST(len(ku) AS BIGINT) AS n_union_kept,
+         |  CAST(len(ki) AS BIGINT) AS n_inter,
+         |  $jac AS jaccard_est,
+         |  $uest AS union_est,
+         |  ($jac) * ($uest) AS inter_est
+         |FROM i""".stripMargin
+    },
+
     // the streaming changelog sink folds back to the identical k-min set
     // (any final member entered the running set at first sight), so the
     // streaming twin shares the batch replay verbatim

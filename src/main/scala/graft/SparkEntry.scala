@@ -1349,6 +1349,17 @@ object SparkEntry {
     graft.pipeline.Sketch.kmvDistinct(toks, Seq("source"), col("tok"), k = 256)
   }
 
+  /** Cross-source vocabulary overlap from KMV k-min sets
+    * ([[graft.pipeline.Sketch.kmvJaccardPairs]]): per source pair,
+    * Jaccard/union/intersection estimates from ONE bounded aggregate —
+    * no pairwise token join anywhere. */
+  private def qKmvJaccard(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("source"),
+      explode(split(Dedup.normalizeText(col("text")), " ")).alias("tok"))
+    graft.pipeline.Sketch.kmvJaccardPairs(toks, col("source"), col("tok"),
+      k = 256)
+  }
+
   /** HyperLogLog distinct-token estimate per source (m = 64 registers over
     * the 30-bit engine-agnostic hash; register file and estimate replay in
     * integer arithmetic — [[graft.pipeline.Sketch.hllRegisters]]). The
@@ -2634,6 +2645,7 @@ object SparkEntry {
     "q_stream_scd2" -> qStreamScd2 _,
     "q_stream_dsir" -> qStreamDsir _,
     "q_stream_kmv" -> qStreamKmv _,
+    "q_kmv_jaccard" -> qKmvJaccard _,
     "q_rolling_slope" -> qRollingSlope _,
     "q_drift" -> qDrift _,
     "q_drift_stats" -> qDriftStats _,

@@ -76,6 +76,57 @@ object Sketch {
           .alias("distinct_est")): _*)
   }
 
+  /** Cross-group set-overlap estimates from KMV k-min sets: per ordered
+    * group pair, Jaccard / union / intersection distinct-count estimates —
+    * the classic KMV set-operation estimator (Beyer et al., SIGMOD 2007):
+    * with X = kmin_k(A ∪ B) — computable from the two groups' own k-min
+    * sets, since every member of the union's k-min is in its side's
+    * k-min — J_est = |X ∩ kminA ∩ kminB| / |X| (the membership test
+    * against the per-side k-min sets is EXACT for members of X, by the
+    * same containment argument), union_est reads X's k-th minimum through
+    * the usual KMV formula (exact count when |X| < k), and
+    * inter_est = J_est · union_est.
+    *
+    * Scale shape: ONE bounded mergeable aggregate over the corpus (≤ k
+    * hashes per group — the [[graft.functions.KMinDistinctAgg]] buffer),
+    * then pure array algebra over group pairs (#groups² pairs of
+    * ≤ k arrays; groups are sources/languages/shards — bounded by the
+    * caller's domain, never by the corpus). This answers "how much do two
+    * sources' vocabularies overlap" at 100 TB without any pairwise token
+    * join. Every output is a pure function of the two value sets, so the
+    * whole report replays bit-identically in a SQL oracle.
+    * Output: (group_a, group_b, n_union_kept, n_inter, jaccard_est,
+    * union_est, inter_est). */
+  def kmvJaccardPairs(df: DataFrame, groupCol: Column, itemCol: Column,
+      k: Int, seed: Int = 17): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val h = Hashing.mix(Hashing.polyHash(itemCol), seed)
+    val kmin = org.apache.spark.sql.GraftColumns.column(
+      graft.functions.KMinDistinctAgg(
+        org.apache.spark.sql.GraftColumns.expression(h), k))
+    val sets = df.groupBy(groupCol.alias("__g")).agg(kmin.alias("__ks"))
+    val a = sets.select(col("__g").alias("group_a"), col("__ks").alias("__ka"))
+    val b = sets.select(col("__g").alias("group_b"), col("__ks").alias("__kb"))
+    val union = slice(array_sort(array_union(col("__ka"), col("__kb"))), 1, k)
+    val inter = filter(col("__ku"), x =>
+      array_contains(col("__ka"), x) && array_contains(col("__kb"), x))
+    val nU = size(col("__ku")).cast(LongType)
+    val nI = size(col("__ki")).cast(LongType)
+    val unionEst = when(nU < k, nU.cast(DoubleType))
+      .otherwise(lit((k - 1).toDouble * Hashing.P) /
+        greatest(element_at(col("__ku"), -1), lit(1L))) // see [[kmvDistinct]]
+    val jac = when(nU > 0,
+      nI.cast(DoubleType) / nU.cast(DoubleType)) // ints ≤ k: one exact division
+    a.crossJoin(b).filter(col("group_a") < col("group_b"))
+      .withColumn("__ku", union)
+      .withColumn("__ki", inter)
+      .select(col("group_a"), col("group_b"),
+        nU.alias("n_union_kept"), nI.alias("n_inter"),
+        jac.alias("jaccard_est"),
+        unionEst.alias("union_est"),
+        (jac * unionEst).alias("inter_est"))
+  }
+
   /** One (row, bucket) pair per depth row for `itemCol` — the shared
     * addressing of [[cmsBuild]] and [[cmsEstimate]] (the two MUST agree or
     * probes read the wrong counters). */

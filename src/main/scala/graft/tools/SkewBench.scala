@@ -80,6 +80,35 @@ object SkewBench {
     }
     pdf.unpersist()
 
+    // Optional big-pack crossover probe (`packbig` arg): ONE source at
+    // 32M docs — where the single-window form's one sort task stops
+    // being "fast enough" and the two-pass's parallel buckets take over.
+    // (Runs after the standard scenarios; invoke with the arg when the
+    // extra ~minutes are wanted.)
+    if (args.contains("packbig")) {
+      val big = spark.range(32000000).select(lit("web").alias("source"),
+        col("id").alias("doc_id"),
+        concat(lit("some text body number "), col("id")).alias("text"))
+      time("packbig-window ") {
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tokens = graft.pipeline.TextAnalysis
+          .bpeTokenEstimate(col("text")).cast("long")
+        val start = sum(col("tokens")).over(w) - col("tokens")
+        big.select(col("source"), col("doc_id"), tokens.alias("tokens"))
+          .withColumn("seq_id", floor(start / 2048).cast("long"))
+          .withColumn("seq_off", (start % 2048).cast("long"))
+          .agg(sum(col("seq_id") + col("seq_off"))).collect()
+        1L
+      }
+      time("packbig-two-pass") {
+        graft.pipeline.Packing.packSequences(
+          big, "text", "doc_id", Seq("source"), 2048)
+          .agg(sum(col("seq_id") + col("seq_off"))).collect()
+        1L
+      }
+    }
+
     // Exact quantile pass 2: 30% of 20M rows share one cents value. Old
     // shape = row_number over the target bin; new shape = per-cents counts.
     val qdf = spark.range(20000000).select(

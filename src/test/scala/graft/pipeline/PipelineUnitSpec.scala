@@ -1588,6 +1588,37 @@ class PipelineUnitSpec extends SparkTestBase {
       s"estimate ${got("big")._2}")
   }
 
+  test("kmvJaccardPairs: exact below k, estimator near truth above k") {
+    import spark.implicits._
+    // exact regime: known overlaps, k covers every distinct item
+    val exact = (1 to 10).map(i => ("g1", s"t$i")) ++
+      (6 to 15).map(i => ("g2", s"t$i")) ++
+      (1 to 4).map(i => ("g3", s"z$i"))
+    val er = Sketch.kmvJaccardPairs(exact.toDF("g", "item"), col("g"),
+      col("item"), k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val g12 = er(("g1", "g2"))
+    // |union| = 15, |inter| = 5 (t6..t10): everything exact below k
+    assert(g12.getAs[Long]("n_union_kept") == 15L)
+    assert(g12.getAs[Long]("n_inter") == 5L)
+    assert(g12.getAs[Double]("jaccard_est") == 5.0 / 15.0)
+    assert(g12.getAs[Double]("union_est") == 15.0)
+    assert(g12.getAs[Double]("inter_est") == (5.0 / 15.0) * 15.0)
+    val g13 = er(("g1", "g3"))
+    assert(g13.getAs[Long]("n_inter") == 0L &&
+      g13.getAs[Double]("jaccard_est") == 0.0)
+    // estimator regime: 4000 + 4000 items sharing 2000 (true J = 1/3),
+    // k = 64 — a fixed-hash deterministic estimate, bounded loosely
+    val big = (1 to 4000).map(i => ("a", s"it$i")) ++
+      (2001 to 6000).map(i => ("b", s"it$i"))
+    val br = Sketch.kmvJaccardPairs(big.toDF("g", "item"), col("g"),
+      col("item"), k = 64).collect().head
+    val j = br.getAs[Double]("jaccard_est")
+    assert(math.abs(j - 1.0 / 3.0) < 0.15, s"jaccard $j")
+    val u = br.getAs[Double]("union_est")
+    assert(math.abs(u - 6000.0) / 6000.0 < 0.3, s"union $u")
+  }
+
   test("hll: merge of shard sketches equals combined build, est within 15%") {
     import spark.implicits._
     val items = (1 to 12000).map(i => ("g", s"item${i % 5000}", i % 2))
