@@ -605,7 +605,7 @@ object Sketch {
     // hit iff every exploded probe row found its bit; comparing against
     // count(*) (not the constant depth) keeps duplicated probe rows correct
     probed
-      .groupBy(probes.columns.map(col): _*)
+      .groupBy(probes.columns.toIndexedSeq.map(col): _*)
       .agg((sum(col("__ok")) === count(lit(1))).alias("bloom_hit"))
   }
 }
