@@ -505,6 +505,12 @@ class PlanShapeSpec extends SparkTestBase {
       col("item").cast("string"), 16, 3))
     assert(!p2.contains("Window"), p2)
     assert(p2.contains("graft_kmin_distinct"), p2)
+    // the set-op report: one bounded aggregate + pair array algebra —
+    // no window, and no join that touches the corpus again
+    val p3 = plan(Sketch.kmvJaccardPairs(df, col("b").cast("string"),
+      col("item").cast("string"), 16))
+    assert(!p3.contains("Window"), p3)
+    assert(p3.contains("graft_kmin_distinct"), p3)
   }
 
   test("exactQuantiles2Pass pass 2 never ranks rows: per-cents counts + " +
