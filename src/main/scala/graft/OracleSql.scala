@@ -430,6 +430,31 @@ object OracleSql {
        |FROM k""".stripMargin
   }
 
+  /** Trailing-7-day KMV WAU replay — shared by the batch build and the
+    * streaming changelog fold. */
+  private lazy val wauKmvReplaySql: String = {
+    val h = Hashing.mixSql(
+      Hashing.polyHashSql("CAST(user_id AS VARCHAR)"), 17)
+    val scale = 63.0 * Hashing.P
+    s"""WITH d AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS b,
+       |  ($h) AS h FROM events),
+       |pb AS (SELECT b, h FROM (SELECT b, h,
+       |  row_number() OVER (PARTITION BY b ORDER BY h) AS rn FROM d)
+       |  WHERE rn <= 64),
+       |sp AS (SELECT max(b) AS hi FROM pb),
+       |m AS (SELECT DISTINCT pb.b + r AS bucket, h
+       |  FROM pb, range(7) t(r), sp WHERE pb.b + r <= sp.hi),
+       |f AS (SELECT bucket, h,
+       |  row_number() OVER (PARTITION BY bucket ORDER BY h) AS rn FROM m),
+       |k AS (SELECT bucket, count(*) AS n_kept,
+       |  CAST(max(h) AS BIGINT) AS kth_hash
+       |  FROM f WHERE rn <= 64 GROUP BY 1)
+       |SELECT bucket, n_kept, kth_hash,
+       |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+       |       ELSE $scale / greatest(kth_hash, 1) END AS distinct_est
+       |FROM k""".stripMargin
+  }
+
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
@@ -3579,28 +3604,12 @@ object OracleSql {
 
     // trailing-window KMV: merged per-day k-min sets re-ranked per report
     // day — the sketch-merge replay with the same hash family
-    "q_wau_kmv" -> {
-      val h = Hashing.mixSql(
-        Hashing.polyHashSql("CAST(user_id AS VARCHAR)"), 17)
-      val scale = 63.0 * Hashing.P
-      s"""WITH d AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS b,
-         |  ($h) AS h FROM events),
-         |pb AS (SELECT b, h FROM (SELECT b, h,
-         |  row_number() OVER (PARTITION BY b ORDER BY h) AS rn FROM d)
-         |  WHERE rn <= 64),
-         |sp AS (SELECT max(b) AS hi FROM pb),
-         |m AS (SELECT DISTINCT pb.b + r AS bucket, h
-         |  FROM pb, range(7) t(r), sp WHERE pb.b + r <= sp.hi),
-         |f AS (SELECT bucket, h,
-         |  row_number() OVER (PARTITION BY bucket ORDER BY h) AS rn FROM m),
-         |k AS (SELECT bucket, count(*) AS n_kept,
-         |  CAST(max(h) AS BIGINT) AS kth_hash
-         |  FROM f WHERE rn <= 64 GROUP BY 1)
-         |SELECT bucket, n_kept, kth_hash,
-         |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
-         |       ELSE $scale / greatest(kth_hash, 1) END AS distinct_est
-         |FROM k""".stripMargin
-    },
+    "q_wau_kmv" -> wauKmvReplaySql,
+
+    // the streaming per-day k-min changelog folds to the identical
+    // per-day sets (sink superset + re-fold), so the trailing merge and
+    // this replay agree verbatim
+    "q_stream_wau_kmv" -> wauKmvReplaySql,
 
     // Trailing-HLL WAU replay: register merge over a window equals the
     // register build over the window's unioned rows, so the replay

@@ -2167,6 +2167,23 @@ object SparkEntry {
       runStream(s, mins), Seq("source"), col("h"), k = 256)
   }
 
+  /** Streaming trailing-7-day WAU via the KMV changelog: per-DAY running
+    * k-min sets stream through [[graft.streaming.StreamingTSDF.kmvMins]]
+    * (day = the series key), and the batch trailing merge
+    * ([[graft.pipeline.Sketch.kmvTrailingFromHashes]]) folds the sink
+    * into the identical sliding estimates — the streaming face of
+    * q_wau_kmv, sharing its oracle verbatim. */
+  private def qStreamWauKmv(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val days = eventsStream(s, dir).select(
+      expr("unix_micros(ts) div 86400000000").alias("day"),
+      col("user_id").cast(StringType).alias("uid"))
+    val mins = graft.streaming.StreamingTSDF.kmvMins(
+      days, Seq("day"), col("uid"), k = 64)
+    graft.pipeline.Sketch.kmvTrailingFromHashes(
+      runStream(s, mins), col("day"), col("h"), k = 64, windowBuckets = 7)
+  }
+
   /** Streaming SCD2 changelog as a real single-batch streaming query
     * ([[graft.streaming.StreamingTSDF.scd2Changelog]]): per user, the
     * collapsed event_type change set in (ts, event_id) order — exactly
@@ -2646,6 +2663,7 @@ object SparkEntry {
     "q_stream_dsir" -> qStreamDsir _,
     "q_stream_kmv" -> qStreamKmv _,
     "q_kmv_jaccard" -> qKmvJaccard _,
+    "q_stream_wau_kmv" -> qStreamWauKmv _,
     "q_rolling_slope" -> qRollingSlope _,
     "q_drift" -> qDrift _,
     "q_drift_stats" -> qDriftStats _,

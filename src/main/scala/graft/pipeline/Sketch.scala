@@ -200,14 +200,23 @@ object Sketch {
     * k-min (its dedup buffer makes the union-distinct implicit).
     * Output: (bucket, n_kept, kth_hash, distinct_est). */
   def kmvDistinctTrailing(df: DataFrame, bucketCol: Column, itemCol: Column,
-      k: Int, windowBuckets: Int, seed: Int = 17): DataFrame = {
+      k: Int, windowBuckets: Int, seed: Int = 17): DataFrame =
+    kmvTrailingFromHashes(df, bucketCol,
+      Hashing.mix(Hashing.polyHash(itemCol), seed), k, windowBuckets)
+
+  /** Trailing-window KMV readout over pre-hashed values — the
+    * [[kmvFromHashes]] twin of [[kmvDistinctTrailing]], so a streaming
+    * k-min changelog sink keyed by time bucket
+    * ([[graft.streaming.StreamingTSDF.kmvMins]]) folds to the identical
+    * sliding estimates. */
+  def kmvTrailingFromHashes(df: DataFrame, bucketCol: Column,
+      hashCol: Column, k: Int, windowBuckets: Int): DataFrame = {
     require(k >= 2 && windowBuckets >= 1, "need k >= 2, windowBuckets >= 1")
     def kmin(c: Column) = org.apache.spark.sql.GraftColumns.column(
       graft.functions.KMinDistinctAgg(
         org.apache.spark.sql.GraftColumns.expression(c), k))
     val perBucket = df
-      .select(bucketCol.cast(LongType).alias("__b"),
-        Hashing.mix(Hashing.polyHash(itemCol), seed).alias("__h"))
+      .select(bucketCol.cast(LongType).alias("__b"), hashCol.alias("__h"))
       .groupBy(col("__b")).agg(kmin(col("__h")).alias("__ks"))
     val span = perBucket.agg(max(col("__b")).alias("__hi"))
     val merged = perBucket
