@@ -37,12 +37,18 @@ object Verify {
       case c => c.toString
     } + "\""
     // dynamic entries (trained-literal replays, e.g. q_pca_project) are
-    // best-effort: a training failure must not zero the whole round's
-    // static oracle map
+    // best-effort: a recoverable training failure must not zero the whole
+    // round's static oracle map. Fatal JVM errors (OOM, LinkageError)
+    // propagate and fail the dump — shipping a silently-narrowed oracle
+    // file after one of those would hide the narrowing from the gate.
     val dynamic =
       try SparkEntry.dynamicOracleSql(spark, sfDir)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] dynamic oracle skipped: ${e.getMessage}")
+        // machine-readable skip marker so the gate can surface the
+        // narrowed coverage instead of just missing the rows quietly
+        Files.writeString(Paths.get(s"$outDir/dynamic_oracle_skipped.txt"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
         Map.empty[String, String]
       }
     val json = (SparkEntry.oracleSql ++ dynamic)

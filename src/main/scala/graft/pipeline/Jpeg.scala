@@ -276,12 +276,23 @@ object Jpeg {
     // ---- marker walk (Long offsets: hostile declared lengths must not
     // overflow into negative indices — the decodePng lesson)
     while (o + 4 <= bytes.length) {
-      val oi = o.toInt
+      var oi = o.toInt
       if ((bytes(oi) & 0xFF) != 0xFF) return None
+      // spec-legal 0xFF fill bytes may pad before a marker id: collapse
+      // any FF run so the first non-FF byte is the marker (B.1.1.2)
+      while (oi + 2 < bytes.length && (bytes(oi + 1) & 0xFF) == 0xFF) {
+        oi += 1; o += 1
+      }
+      if (o + 2 > bytes.length) return None
       val marker = bytes(oi + 1) & 0xFF
-      if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) { o += 2 }
+      if (marker == 0x00) return None // FF00 is illegal outside entropy data
+      if (marker == 0xD8 || marker == 0x01 ||
+          (marker >= 0xD0 && marker <= 0xD7)) { o += 2 } // SOI/TEM/RSTn: standalone
       else if (marker == 0xD9) return None // EOI before SOS
       else {
+        // fills may have eaten into the 4-byte headroom the outer loop
+        // guaranteed — re-check before the 2-byte length read
+        if (o + 4 > bytes.length) return None
         val len = u16(bytes, oi + 2)
         if (len < 2 || o + 2 + len > bytes.length) return None
         val seg = oi + 4

@@ -37,6 +37,11 @@ import org.apache.spark.sql.types._
   *
   * `idCol` must be integer-valued and unique per (group, id) — enforced
   * per row — and id ranges must span < 2^63 (no overflow in max−min).
+  * Rows with a NULL id are DROPPED (a null id has no position in the id
+  * order; the range join would drop it regardless), and a group whose ids
+  * are all null disappears entirely (its min/max range is null). This
+  * differs from the pre-two-pass window form, which ordered null ids
+  * first — callers needing null-id rows must assign ids upstream.
   */
 object Packing {
 

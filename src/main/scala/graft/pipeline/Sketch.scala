@@ -40,8 +40,10 @@ object Sketch {
 
   /** Per-group KMV distinct-count estimate of `itemCol` values.
     * Output: group cols + (n_kept ≤ k, kth_hash, distinct_est). Groups
-    * whose items are all null report n_kept = 0 with a null kth_hash
-    * (null items carry no distinct hash — the aggregate skips them). */
+    * whose items are all null are OMITTED (null items carry no distinct
+    * hash, so the group has an empty k-min set) — by construction the
+    * same row set as the SQL replay's rank-over-DISTINCT-hashes form,
+    * which yields no row for such a group. */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], itemCol: Column,
       k: Int, seed: Int = 17): DataFrame =
     kmvFromHashes(df, groupCols, Hashing.mix(Hashing.polyHash(itemCol), seed), k)
@@ -60,10 +62,13 @@ object Sketch {
       graft.functions.KMinDistinctAgg(
         org.apache.spark.sql.GraftColumns.expression(hashCol), k))
     val nKept = size(col("__ks")).cast(LongType)
-    // the size > 0 guard keeps element_at off an empty k-min set (an
-    // all-null group) — ANSI mode would error on the out-of-range index
-    val kth = when(size(col("__ks")) > 0, element_at(col("__ks"), -1))
+    val kth = element_at(col("__ks"), -1)
     df.groupBy(gc: _*).agg(kmin.alias("__ks"))
+      // an all-null-item group has an empty k-min set; the SQL replay
+      // (rank over DISTINCT hashes) yields no row for it, so drop it here
+      // too — the convention and the oracle then agree by construction
+      // (and element_at below never sees an out-of-range index under ANSI)
+      .filter(size(col("__ks")) > 0)
       // kth_hash = 0 in the estimate branch is unreachable with k >= 2
       // distinct non-negative hashes (their max is >= k-1 >= 1), but the
       // greatest() guard makes division-by-zero impossible by

@@ -3682,6 +3682,32 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(Jpeg.decodeJpeg(evil).isEmpty)
   }
 
+  test("decodeJpeg accepts spec-legal 0xFF fill padding and a TEM marker " +
+      "between segments (B.1.1.2)") {
+    val w = 24; val h = 16
+    val jpg = Jpeg.buildJpegWithBlocks(w, h,
+      (bx, by) => (37 + 17 * by + 23 * bx) % 256)
+    val base = Jpeg.decodeJpeg(jpg).get
+    // fill bytes: a run of 0xFF prepended to the marker after SOI
+    val fills = jpg.take(2) ++ Array.fill(3)(0xFF.toByte) ++ jpg.drop(2)
+    val gotF = Jpeg.decodeJpeg(fills)
+    assert(gotF.nonEmpty, "FF fill run before a marker was rejected")
+    assert(gotF.get.samples.sameElements(base.samples))
+    // TEM (FF 01): standalone zero-length marker between segments
+    val tem = jpg.take(2) ++ Array(0xFF.toByte, 0x01.toByte) ++ jpg.drop(2)
+    val gotT = Jpeg.decodeJpeg(tem)
+    assert(gotT.nonEmpty, "standalone TEM marker was rejected")
+    assert(gotT.get.samples.sameElements(base.samples))
+    // fill run directly before TEM, then more fills before the next
+    // segment — the pathological combination from the marker-walk audit
+    val combo = jpg.take(2) ++
+      Array(0xFF.toByte, 0xFF.toByte, 0x01.toByte, 0xFF.toByte) ++ jpg.drop(3)
+    assert(Jpeg.decodeJpeg(combo).exists(_.samples.sameElements(base.samples)))
+    // a stray FF00 outside entropy-coded data is still rejected
+    val stuffed = jpg.take(2) ++ Array(0xFF.toByte, 0x00.toByte) ++ jpg.drop(2)
+    assert(Jpeg.decodeJpeg(stuffed).isEmpty)
+  }
+
   test("jpegPixelStats decodes synthesized flat-block payloads to the " +
       "arithmetic sums") {
     import spark.implicits._
