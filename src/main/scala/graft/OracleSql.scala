@@ -3255,6 +3255,128 @@ object OracleSql {
         |    AS mean_sample
         |FROM b GROUP BY doc_id, w, h""".stripMargin,
 
+    // MJPEG-AVI decode replay: the engine walks RIFF lists to the movi
+    // frames and huffman-decodes + IDCTs each (flat DC-only blocks are
+    // bit-exact in any conforming decoder); the oracle restates every
+    // frame's constants from the synthesizeAviPayload arithmetic.
+    "q_decode_video" ->
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n,
+        |  8 * (1 + doc_id % 3) AS w, 8 * (1 + (doc_id * 2) % 3) AS h
+        |  FROM documents),
+        |fb AS (SELECT doc_id, w, h, f.f AS fi,
+        |  (doc_id % 251 + 29 * f.f + 17 * by.by + 23 * bx.bx) % 256 AS v
+        |  FROM d, range(8) f(f), range(3) by(by), range(3) bx(bx)
+        |  WHERE f.f < n AND by.by < h // 8 AND bx.bx < w // 8)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(1 AS INT) AS channels, count(*) * 64 AS n_samples,
+        |  CAST(sum(v) * 64 AS BIGINT) AS sample_sum
+        |FROM fb GROUP BY doc_id, fi, w, h""".stripMargin,
+
+    // Real frame sampling replay: 400 ms lattice, covering-frame index
+    // from the exact (rate=fps, scale=1) rational, per-frame sums joined
+    // from the same block arithmetic as q_decode_video.
+    "q_frame_sample" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS fps, 3 + doc_id % 5 AS n,
+        |  8 * (1 + doc_id % 3) AS w, 8 * (1 + (doc_id * 2) % 3) AS h
+        |  FROM documents),
+        |fb AS (SELECT doc_id, f.f AS fi,
+        |  CAST(sum((doc_id % 251 + 29 * f.f + 17 * by.by + 23 * bx.bx)
+        |    % 256) * 64 AS BIGINT) AS ssum
+        |  FROM d, range(8) f(f), range(3) by(by), range(3) bx(bx)
+        |  WHERE f.f < n AND by.by < h // 8 AND bx.bx < w // 8
+        |  GROUP BY doc_id, f.f),
+        |lat AS (SELECT d.doc_id, CAST(t.t AS BIGINT) AS ts,
+        |  CAST(t.t * d.fps // 1000 AS INT) AS fi
+        |  FROM d, unnest(generate_series(0, 3600, 400)) AS t(t)
+        |  WHERE t.t * d.fps // 1000 < d.n)
+        |SELECT lat.doc_id, lat.ts AS frame_ts_ms, lat.fi AS frame_idx,
+        |  fb.ssum AS sample_sum
+        |FROM lat JOIN fb ON lat.doc_id = fb.doc_id AND lat.fi = fb.fi"""
+        .stripMargin,
+
+    // Full-dispatch histogram replay: one branch per codec arm of the
+    // id%4 mixed corpus, every per-bin count restated from the fixture
+    // arithmetic (16 bins; images v//16, wav (s+32768)//4096).
+    "q_pixel_hist" ->
+      """WITH png AS (SELECT d.doc_id,
+        |  (d.doc_id % 251 + 5 * r.r + 3 * c.c + 11 * ch.ch) % 256 // 16 AS bin
+        |  FROM (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id * 3) % 24 AS h,
+        |        CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS nch
+        |        FROM documents WHERE doc_id % 4 = 0) d,
+        |    range(31) r(r), range(31) c(c), range(3) ch(ch)
+        |  WHERE r.r < d.h AND c.c < d.w AND ch.ch < d.nch),
+        |jpg AS (SELECT d.doc_id,
+        |  (d.doc_id % 251 + 17 * by.by + 23 * bx.bx) % 256 // 16 AS bin,
+        |  64 AS cnt
+        |  FROM (SELECT doc_id, 8 * (1 + doc_id % 4) AS w,
+        |        8 * (1 + (doc_id * 3) % 4) AS h
+        |        FROM documents WHERE doc_id % 4 = 1) d,
+        |    range(4) by(by), range(4) bx(bx)
+        |  WHERE by.by < d.h // 8 AND bx.bx < d.w // 8),
+        |wav AS (SELECT d.doc_id,
+        |  ((d.doc_id % 251) * 7 + 11 * i.i) % 65536 // 4096 AS bin
+        |  FROM (SELECT doc_id, 100 + doc_id % 400 AS n
+        |        FROM documents WHERE doc_id % 4 = 2) d,
+        |    range(500) i(i) WHERE i.i < d.n),
+        |avi AS (SELECT d.doc_id,
+        |  (d.doc_id % 251 + 29 * f.f + 17 * by.by + 23 * bx.bx) % 256 // 16
+        |    AS bin, 64 AS cnt
+        |  FROM (SELECT doc_id, 3 + doc_id % 5 AS n, 8 * (1 + doc_id % 3) AS w,
+        |        8 * (1 + (doc_id * 2) % 3) AS h
+        |        FROM documents WHERE doc_id % 4 = 3) d,
+        |    range(8) f(f), range(3) by(by), range(3) bx(bx)
+        |  WHERE f.f < d.n AND by.by < d.h // 8 AND bx.bx < d.w // 8),
+        |u AS (SELECT doc_id, bin, 1 AS cnt FROM png
+        |  UNION ALL SELECT doc_id, bin, cnt FROM jpg
+        |  UNION ALL SELECT doc_id, bin, 1 FROM wav
+        |  UNION ALL SELECT doc_id, bin, cnt FROM avi)
+        |SELECT doc_id, CAST(bin AS INT) AS bin, CAST(sum(cnt) AS BIGINT) AS cnt
+        |FROM u GROUP BY doc_id, bin""".stripMargin,
+
+    // Real-resize replay: nearest-neighbor index map sy = y·srcH//16,
+    // sx = x·srcW//16 over the two image arms of the mixed corpus (PNG
+    // pixel arithmetic; JPEG = flat-block constant at (sy//8, sx//8)).
+    // WAV/AVI arms pass through un-resized and fall out of the PNG stats.
+    "q_resize_real" ->
+      """WITH p0 AS (SELECT d.doc_id, d.nch,
+        |  (d.doc_id % 251 + 5 * (y.y * d.h // 16) + 3 * (x.x * d.w // 16)
+        |    + 11 * ch.ch) % 256 AS v
+        |  FROM (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id * 3) % 24 AS h,
+        |        CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS nch
+        |        FROM documents WHERE doc_id % 4 = 0) d,
+        |    range(16) y(y), range(16) x(x), range(3) ch(ch)
+        |  WHERE ch.ch < d.nch),
+        |p1 AS (SELECT d.doc_id, 1 AS nch,
+        |  (d.doc_id % 251 + 17 * (y.y * d.h // 16 // 8)
+        |    + 23 * (x.x * d.w // 16 // 8)) % 256 AS v
+        |  FROM (SELECT doc_id, 8 * (1 + doc_id % 4) AS w,
+        |        8 * (1 + (doc_id * 3) % 4) AS h
+        |        FROM documents WHERE doc_id % 4 = 1) d,
+        |    range(16) y(y), range(16) x(x)),
+        |u AS (SELECT doc_id, nch, v FROM p0
+        |  UNION ALL SELECT doc_id, nch, v FROM p1)
+        |SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  CAST(nch AS INT) AS channels, count(*) AS n_samples,
+        |  CAST(sum(v) AS BIGINT) AS sample_sum,
+        |  CAST(sum(v) AS DOUBLE) / count(*) AS mean_sample
+        |FROM u GROUP BY doc_id, nch""".stripMargin,
+
+    // Coverage replay: the (format, status) of every id%8 class is known
+    // by construction — decodable media decode, header-only shells parse
+    // but don't decode, non-media bytes drop.
+    "q_media_coverage" ->
+      """WITH c AS (SELECT doc_id,
+        |  CASE doc_id % 8 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    WHEN 2 THEN 'wav' WHEN 3 THEN 'avi' WHEN 4 THEN 'png'
+        |    WHEN 5 THEN 'jpeg' WHEN 6 THEN 'mp4' ELSE 'unknown' END AS format,
+        |  CASE WHEN doc_id % 8 IN (0, 1, 2, 3) THEN 'decoded'
+        |       WHEN doc_id % 8 = 7 THEN 'dropped'
+        |       ELSE 'header_only' END AS status
+        |  FROM documents)
+        |SELECT format, status, count(*) AS n_docs
+        |FROM c GROUP BY format, status""".stripMargin,
+
     // WAV PCM decode replay: sample(i) = ((id%251)*7 + 11*i) % 65536 −
     // 32768 over n = 100 + id % 400 samples; the engine must walk RIFF
     // chunks and sign-extend LE16 bytes to reproduce these sums.

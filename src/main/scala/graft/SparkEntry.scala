@@ -2454,6 +2454,74 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload")
 
+  /** REAL video decode end to end ([[graft.pipeline.Video]]): MJPEG-AVI
+    * payloads whose RIFF lists the engine walks and whose per-frame JFIF
+    * streams it huffman-decodes + IDCTs via [[graft.pipeline.Jpeg
+    * .decodeJpeg]]; the oracle restates every frame's decoded sum from the
+    * generating doc_id arithmetic without touching a byte. */
+  private def qDecodeVideo(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Video.videoFrameStats(
+      graft.pipeline.Video.synthesizeAviPayload(
+        docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id"),
+      "doc_id", "payload")
+
+  /** REAL frame sampling: the q_frame_plan lattice taken all the way to
+    * pixels — every 400 ms on the stream clock, the engine indexes the
+    * covering frame through the exact strh (rate, scale) rational and
+    * decodes THAT frame only. */
+  private def qFrameSample(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Video.sampleVideoFrames(
+      graft.pipeline.Video.synthesizeAviPayload(
+        docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id"),
+      "doc_id", "payload", everyMs = 400L)
+
+  /** REAL decoded-sample histograms over the full codec dispatch: one
+    * mixed corpus (PNG / baseline JPEG / PCM WAV / MJPEG AVI by id % 4,
+    * every payload carrying real content), every bin count restated by the
+    * oracle from the generating arithmetic — the engine must inflate,
+    * huffman-decode, sign-extend, and walk RIFF lists to match. */
+  private def qPixelHist(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pixelHistogram(
+      Multimodal.synthesizeDecodablePayload(
+        docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id"),
+      "doc_id", "payload", nBins = 16)
+
+  /** REAL image resize end to end: decode (PNG or JPEG) → nearest-neighbor
+    * resample to 16×16 → re-encode as a genuine PNG → decode THAT back
+    * through [[graft.pipeline.Multimodal.pngPixelStats]]. The oracle
+    * restates every resized pixel from the source arithmetic and the
+    * nearest-neighbor index map; non-image payloads pass through and fall
+    * out of the PNG stats, by construction. */
+  private def qResizeReal(s: SparkSession, dir: String): DataFrame = {
+    val pay = Multimodal.synthesizeDecodablePayload(
+      docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+        .repartition(s.sparkContext.defaultParallelism),
+      "doc_id")
+    val meta = Multimodal.withMediaMeta(pay, "payload")
+    val resized = Multimodal.resizeImages(meta, "doc_id", "payload",
+      "media_meta", targetW = 16, targetH = 16)
+    Multimodal.pngPixelStats(resized, "doc_id", "payload")
+  }
+
+  /** Decoder drop-rate report over a corpus that exercises every coverage
+    * class: decodable media, header-only containers (including MP4, whose
+    * sample decode the engine deliberately lacks), and non-media bytes.
+    * The oracle restates the (format, status) counts from the id-derived
+    * synthesis plan. */
+  private def qMediaCoverage(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaCoverage(
+      Multimodal.synthesizeCoverageCorpus(
+        docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id"),
+      "doc_id", "payload")
+
   /** Scale-safe embedding near-dup: the bucketed LSH plan (equi-join on the
     * sign-LSH bucket) rather than the per-label all-pairs ground truth. */
   private def qEmbedNearDupLsh(s: SparkSession, dir: String): DataFrame =
@@ -2683,8 +2751,13 @@ object SparkEntry {
     "q_media_meta_real" -> qMediaMetaReal _,
     "q_decode_png" -> qDecodePng _,
     "q_decode_jpeg" -> qDecodeJpeg _,
+    "q_decode_video" -> qDecodeVideo _,
     "q_decode_wav" -> qDecodeWav _,
     "q_frame_plan" -> qFramePlan _,
+    "q_frame_sample" -> qFrameSample _,
+    "q_media_coverage" -> qMediaCoverage _,
+    "q_pixel_hist" -> qPixelHist _,
+    "q_resize_real" -> qResizeReal _,
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

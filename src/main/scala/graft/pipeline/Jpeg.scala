@@ -798,15 +798,17 @@ object Jpeg {
     val idIdx = df.schema.fieldIndex(idCol)
     df.mapPartitions { it =>
       it.map { r =>
-        val id = r.getLong(idIdx)
-        val w = (8 * (1 + id % 4)).toInt
-        val h = (8 * (1 + (id * 3) % 4)).toInt
-        val base = (id % 251).toInt
-        val jpg = buildJpegWithBlocks(w, h,
-          (bx, by) => (base + 17 * by + 23 * bx) % 256)
-        Row.fromSeq(r.toSeq :+ jpg)
+        Row.fromSeq(r.toSeq :+ jpegPayloadFor(r.getLong(idIdx)))
       }
     }(Encoders.row(outSchema)).toDF()
+  }
+
+  /** The single-payload form of [[synthesizeJpegPayload]]'s arithmetic. */
+  private[pipeline] def jpegPayloadFor(id: Long): Array[Byte] = {
+    val w = (8 * (1 + id % 4)).toInt
+    val h = (8 * (1 + (id * 3) % 4)).toInt
+    val base = (id % 251).toInt
+    buildJpegWithBlocks(w, h, (bx, by) => (base + 17 * by + 23 * bx) % 256)
   }
 
   /** Per-image pixel statistics through the REAL JPEG decode path — the

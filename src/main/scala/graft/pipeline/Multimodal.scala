@@ -92,6 +92,28 @@ object Multimodal {
       }
       return ("image", "jpeg", None, None, None)
     }
+    // AVI: RIFF/'AVI ', first LIST hdrl → avih (µs/frame, totalFrames,
+    // dims) — header arithmetic only; frame decode is [[Video]]'s job.
+    if (tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "AVI ") {
+      var o = 12L
+      while (o + 8 <= bytes.length) {
+        val oi = o.toInt
+        val id = tag(bytes, oi); val sz = le32(bytes, oi + 4)
+        if (id == "LIST" && o + 12 <= bytes.length &&
+            tag(bytes, oi + 8) == "hdrl" && o + 20 + 56 <= bytes.length &&
+            tag(bytes, oi + 12) == "avih") {
+          val usPerFrame = le32(bytes, oi + 20)
+          val totalFrames = le32(bytes, oi + 20 + 16)
+          val w = le32(bytes, oi + 20 + 32).toInt
+          val h = le32(bytes, oi + 20 + 36).toInt
+          val ms = if (usPerFrame > 0) Some(usPerFrame * totalFrames / 1000L)
+            else None
+          return ("video", "avi", Some(w), Some(h), ms)
+        }
+        o += 8L + sz + (sz & 1L)
+      }
+      return ("video", "avi", None, None, None)
+    }
     // WAV: RIFF/WAVE, then chunk walk for "fmt " (byteRate) + "data" (size).
     if (tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE") {
       var o = 12L
@@ -281,8 +303,9 @@ object Multimodal {
     * RFC 2083 §6): pure byte arithmetic, no codec library. Palette,
     * alpha, 16-bit and interlaced variants return None (out of scope for
     * the pipeline fixtures; a full codec slots in behind the same
-    * signature). This closes the former `decodeStub` seam for the PNG
-    * arm; JPEG/audio/video decode remains the one declared codec seam. */
+    * signature). With [[Jpeg.decodeJpeg]], [[decodeWavSamples]] and
+    * [[Video.parseAviMjpeg]] this completes the built-in decode dispatch
+    * ([[decodeImage]]/[[sampleHistogram]]) — no codec seam remains. */
   def decodePng(bytes: Array[Byte]): Option[DecodedImage] = {
     if (bytes == null || bytes.length < 45) return None
     if ((bytes(0) & 0xFF) != 0x89 || bytes(1) != 'P' || bytes(2) != 'N' ||
@@ -440,31 +463,33 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     df.mapPartitions { it =>
       it.map { r =>
-        val id = r.getLong(idIdx)
-        val w = (8 + id % 24).toInt
-        val h = (8 + (id * 3) % 24).toInt
-        val ch = if (id % 5 == 0) 1 else 3
-        val base = (id % 251).toInt
-        val samples = new Array[Int](w * h * ch)
-        var i = 0
-        var rr = 0
-        while (rr < h) {
-          var cc = 0
-          while (cc < w) {
-            var k = 0
-            while (k < ch) {
-              samples(i) = (base + 5 * rr + 3 * cc + 11 * k) % 256
-              i += 1; k += 1
-            }
-            cc += 1
-          }
-          rr += 1
-        }
-        val png = buildPngWithPixels(w, h, ch, samples,
-          rr => ((id + rr) % 5).toInt)
-        Row.fromSeq(r.toSeq :+ png)
+        Row.fromSeq(r.toSeq :+ pngPayloadFor(r.getLong(idIdx)))
       }
     }(Encoders.row(outSchema)).toDF()
+  }
+
+  /** The single-payload form of [[synthesizePngPayload]]'s arithmetic. */
+  private[pipeline] def pngPayloadFor(id: Long): Array[Byte] = {
+    val w = (8 + id % 24).toInt
+    val h = (8 + (id * 3) % 24).toInt
+    val ch = if (id % 5 == 0) 1 else 3
+    val base = (id % 251).toInt
+    val samples = new Array[Int](w * h * ch)
+    var i = 0
+    var rr = 0
+    while (rr < h) {
+      var cc = 0
+      while (cc < w) {
+        var k = 0
+        while (k < ch) {
+          samples(i) = (base + 5 * rr + 3 * cc + 11 * k) % 256
+          i += 1; k += 1
+        }
+        cc += 1
+      }
+      rr += 1
+    }
+    buildPngWithPixels(w, h, ch, samples, rr => ((id + rr) % 5).toInt)
   }
 
   /** Per-image pixel statistics through the REAL decode path
@@ -568,12 +593,101 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     df.mapPartitions { it =>
       it.map { r =>
+        Row.fromSeq(r.toSeq :+ wavPayloadFor(r.getLong(idIdx)))
+      }
+    }(Encoders.row(outSchema)).toDF()
+  }
+
+  /** The single-payload form of [[synthesizeWavPayload]]'s arithmetic. */
+  private[pipeline] def wavPayloadFor(id: Long): Array[Byte] = {
+    val n = (100 + id % 400).toInt
+    val base = (id % 251).toInt
+    val samples = Array.tabulate(n)(i => (base * 7 + 11 * i) % 65536 - 32768)
+    buildWavWithSamples((8000 + (id % 8) * 1000).toInt, samples)
+  }
+
+  /** Decoder drop-rate report: per (format, status) document counts over a
+    * payload column. `status`: `decoded` = a built-in codec took the
+    * samples all the way ([[sampleHistogram]] dispatch — PNG / baseline
+    * JPEG / PCM WAV / MJPEG AVI); `header_only` = a container header
+    * parsed ([[parseMediaMeta]]) but no sample decode applies (e.g. MP4
+    * metadata, progressive JPEG sources, truncated streams); `dropped` =
+    * no known container at all. At 100 TB the drop rate IS a curation
+    * metric — and every deliberate None path in the codecs is
+    * regression-pinned by it. Scan + per-partition decode + a ≤
+    * (#formats × 3)-row aggregate; payload bytes never shuffle. */
+  def mediaCoverage(df: DataFrame, idCol: String, payloadCol: String)
+      : DataFrame = {
+    val probeSchema = StructType(Seq(
+      StructField("format", StringType), StructField("status", StringType)))
+    df.select(col(idCol), col(payloadCol))
+      .mapPartitions { it =>
+        it.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val (_, fmt, _, _, _) = parseMediaMeta(bytes)
+          val status =
+            if (sampleHistogram(bytes, 2).isDefined) "decoded"
+            else if (fmt != null) "header_only"
+            else "dropped"
+          Row(if (fmt != null) fmt else "unknown", status)
+        }
+      }(Encoders.row(probeSchema))
+      .groupBy(col("format"), col("status"))
+      .agg(count(lit(1)).alias("n_docs"))
+  }
+
+  /** Coverage-corpus fixture: cycles id % 8 over decodable payloads
+    * (PNG / JPEG / WAV / AVI with REAL content), header-only containers
+    * (pixel-less PNG and JPEG shells, metadata-only MP4 — the engine
+    * deliberately has no MP4 sample codec), and non-media bytes — so
+    * [[mediaCoverage]]'s three statuses all occur and an oracle can
+    * restate the whole report from id arithmetic. */
+  def synthesizeCoverageCorpus(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(payloadCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
         val id = r.getLong(idIdx)
-        val n = (100 + id % 400).toInt
-        val base = (id % 251).toInt
-        val samples = Array.tabulate(n)(i => (base * 7 + 11 * i) % 65536 - 32768)
-        Row.fromSeq(r.toSeq :+
-          buildWavWithSamples((8000 + (id % 8) * 1000).toInt, samples))
+        val payload = (id % 8) match {
+          case 0 => pngPayloadFor(id)
+          case 1 => Jpeg.jpegPayloadFor(id)
+          case 2 => wavPayloadFor(id)
+          case 3 => Video.aviPayloadFor(id)
+          case 4 => buildPng((32 + id % 100).toInt, (32 + id % 50).toInt)
+          case 5 => buildJpeg((32 + id % 100).toInt, (32 + id % 50).toInt)
+          case 6 => buildMp4((600 + (id % 10) * 100).toInt, 5000 + id % 1000)
+          case _ => s"not-media-$id".getBytes(
+            java.nio.charset.StandardCharsets.US_ASCII)
+        }
+        Row.fromSeq(r.toSeq :+ payload)
+      }
+    }(Encoders.row(outSchema)).toDF()
+  }
+
+  /** Deterministic DECODABLE mixed-media fixture column: one payload per
+    * id with REAL content in every arm, cycling id % 4 →
+    * PNG ([[synthesizePngPayload]] arithmetic) / baseline JPEG
+    * ([[Jpeg.synthesizeJpegPayload]]) / PCM WAV ([[synthesizeWavPayload]])
+    * / MJPEG AVI ([[Video.synthesizeAviPayload]]) — so one corpus
+    * exercises the full decode dispatch and an oracle can restate every
+    * decoded value from the id alone. */
+  def synthesizeDecodablePayload(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(payloadCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = (id % 4) match {
+          case 0 => pngPayloadFor(id)
+          case 1 => Jpeg.jpegPayloadFor(id)
+          case 2 => wavPayloadFor(id)
+          case _ => Video.aviPayloadFor(id)
+        }
+        Row.fromSeq(r.toSeq :+ payload)
       }
     }(Encoders.row(outSchema)).toDF()
   }
@@ -606,19 +720,95 @@ object Multimodal {
   /** Feature seeds start above the metadata seeds (0..2). */
   private val FeatureSeedBase = 16
 
-  /** Deterministic fake decode: payload bytes → fixed-length feature vector
-    * with 3-decimal values in [0, 1).
-    * ??? REAL CODEC GOES HERE — the signature (bytes in, numeric features
-    * out, batch-iterated per partition) is the production contract. */
-  def decodeStub(bytes: Array[Byte], featureDim: Int): Array[Double] = {
+  /** Content-fingerprint features for payloads WITHOUT a built-in codec:
+    * a real deterministic function of the bytes (polynomial hash mixed per
+    * dimension, 3-decimal values in [0, 1)) — useful as a cheap
+    * locality-free signature column, and the documented fallback arm of
+    * [[extractFeatures]] for formats the engine cannot decode. */
+  def fingerprintFeatures(bytes: Array[Byte], featureDim: Int): Array[Double] = {
     val h = Hashing.polyHashBytes(bytes)
     Array.tabulate(featureDim)(i =>
       (Hashing.mixLong(h, FeatureSeedBase + i) % 1000L) / 1000.0)
   }
 
+  /** Image decode dispatch by magic bytes: PNG → [[decodePng]], JFIF →
+    * [[Jpeg.decodeJpeg]]. None for anything else (or undecodable). */
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] = {
+    if (bytes == null || bytes.length < 4) None
+    else if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P') decodePng(bytes)
+    else if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
+      Jpeg.decodeJpeg(bytes)
+    else None
+  }
+
+  /** REAL decoded-sample histogram over `nBins` equal-width bins, for every
+    * format the engine decodes end to end: PNG and baseline JPEG pixels
+    * (values 0..255 → bin v·nBins/256), MJPEG-AVI frames (all frames'
+    * pixels pooled), and 16-bit PCM WAV (bin (s+32768)·nBins/65536). None
+    * when no codec applies — the caller decides between dropping and
+    * [[fingerprintFeatures]]. */
+  def sampleHistogram(bytes: Array[Byte], nBins: Int): Option[Array[Long]] = {
+    require(nBins > 0 && nBins <= 65536)
+    def ofImage(img: DecodedImage): Array[Long] = {
+      val h = new Array[Long](nBins)
+      var i = 0
+      while (i < img.samples.length) {
+        h(img.samples(i) * nBins / 256) += 1L; i += 1
+      }
+      h
+    }
+    decodeImage(bytes).map(ofImage).orElse {
+      Video.parseAviMjpeg(bytes).flatMap { avi =>
+        val hs = avi.frames.flatMap(f => Jpeg.decodeJpeg(f).map(ofImage))
+        if (hs.isEmpty) None
+        else Some(hs.reduce { (a, b) =>
+          var i = 0; while (i < nBins) { a(i) += b(i); i += 1 }; a
+        })
+      }
+    }.orElse {
+      decodeWavSamples(bytes).map { a =>
+        val h = new Array[Long](nBins)
+        var i = 0
+        while (i < a.samples.length) {
+          h((a.samples(i) + 32768) * nBins / 65536) += 1L; i += 1
+        }
+        h
+      }
+    }
+  }
+
+  /** Per-payload (bin, count) rows through the REAL decode dispatch —
+    * non-zero bins only, undecodable payloads dropped (pair with
+    * [[mediaCoverage]] to see what was dropped). Per-partition map, no
+    * shuffle; the histogram is the bounded (≤ nBins) summary that leaves
+    * the executor, never the pixels. */
+  def pixelHistogram(df: DataFrame, idCol: String, payloadCol: String,
+      nBins: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("bin", IntegerType), StructField("cnt", LongType)))
+    df.select(col(idCol), col(payloadCol))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          sampleHistogram(r.getAs[Array[Byte]](1), nBins).iterator.flatMap {
+            h =>
+              h.iterator.zipWithIndex.collect {
+                case (c, b) if c > 0 => Row(r.get(0), b, c)
+              }
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
   /** Feature extraction over the payload column via `mapPartitions` — rows
-    * stream through in executor-sized batches; the decode call sits behind
-    * [[decodeStub]]. Output: (idCol, features array<double>). */
+    * stream through in executor-sized batches. Decodable payloads (PNG /
+    * baseline JPEG / MJPEG-AVI / PCM WAV) get REAL content features: the
+    * [[sampleHistogram]] mass per bin, truncated to 3 decimals (exact
+    * integer arithmetic, so the vector is engine-independent). Everything
+    * else falls back to [[fingerprintFeatures]] — a real byte fingerprint,
+    * not a placeholder; there is no undecoded-media seam left behind this
+    * signature. Output: (idCol, features array<double>). */
   def extractFeatures(df: DataFrame, idCol: String, payloadCol: String,
       featureDim: Int = 64): DataFrame = {
     val outSchema = StructType(Seq(
@@ -628,28 +818,52 @@ object Multimodal {
     df.select(col(idCol), col(payloadCol))
       .mapPartitions { it =>
         it.map { r =>
-          val bytes = r.getAs[Array[Byte]](1)
-          Row(r.get(idIdx), decodeStub(if (bytes == null) Array.emptyByteArray else bytes,
-            featureDim).toSeq)
+          val bytes0 = r.getAs[Array[Byte]](1)
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+          val feats = sampleHistogram(bytes, featureDim) match {
+            case Some(h) =>
+              val n = h.sum.max(1L)
+              h.map(c => (c * 1000L / n) / 1000.0)
+            case None => fingerprintFeatures(bytes, featureDim)
+          }
+          Row(r.get(idIdx), feats.toSeq)
         }
       }(Encoders.row(outSchema))
       .toDF()
   }
 
-  /** Deterministic fake resize: payload bytes → a byte stream sized to the
-    * target dimensions (1 byte per 256 pixels, floor 16).
-    * ??? REAL RESIZE GOES HERE — the signature (bytes + target dims in,
-    * bytes out, batch-iterated per partition) is the production contract. */
-  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val n = math.max(16, w * h / 256)
-    val hash = Hashing.polyHashBytes(bytes)
-    Array.tabulate(n)(i => (Hashing.mixLong(hash, i) % 256L).toByte)
+  /** REAL nearest-neighbor resample of a decoded image to `w`×`h` —
+    * source pixel (x·srcW/w, y·srcH/h) per target pixel, channels kept. */
+  def resizeNearest(img: DecodedImage, w: Int, h: Int): DecodedImage = {
+    require(w > 0 && h > 0)
+    val out = new Array[Int](w * h * img.channels)
+    var y = 0
+    while (y < h) {
+      val sy = y * img.height / h
+      var x = 0
+      while (x < w) {
+        val sx = x * img.width / w
+        var ch = 0
+        while (ch < img.channels) {
+          out((y * w + x) * img.channels + ch) =
+            img.samples((sy * img.width + sx) * img.channels + ch)
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(w, h, img.channels, out)
   }
 
-  /** Resize image payloads to `targetW`×`targetH` via `mapPartitions`;
-    * non-image rows pass through untouched. Output keeps the input schema:
-    * the payload column is replaced and the metadata struct's width/height
-    * updated. The codec sits behind [[resizeStub]]. */
+  /** Resize image payloads to `targetW`×`targetH` via `mapPartitions`:
+    * REAL decode ([[decodeImage]]) → nearest-neighbor resample → re-encode
+    * as a spec-valid PNG ([[buildPngWithPixels]], filter 0 — store-fast;
+    * a production writer would pick filters per row). Non-image rows and
+    * image payloads the engine cannot decode (e.g. header-only fixtures,
+    * progressive sources) pass through untouched with their original
+    * metadata — undecodable is a coverage fact, not a crash. Output keeps
+    * the input schema; resized rows carry updated width/height. */
   def resizeImages(df: DataFrame, idCol: String, payloadCol: String,
       metaCol: String, targetW: Int, targetH: Int): DataFrame = {
     val schema = StructType(Seq(
@@ -662,13 +876,19 @@ object Multimodal {
           val meta = r.getStruct(2)
           // positional access: rows flowing between same-stage mapPartitions
           // calls carry no schema (field 0 = media_type per MediaMeta)
-          if (meta != null && !meta.isNullAt(0) && meta.getString(0) == "image") {
-            val bytes = r.getAs[Array[Byte]](1)
-            val resized = resizeStub(
-              if (bytes == null) Array.emptyByteArray else bytes, targetW, targetH)
-            Row(r.get(0), resized, Row(meta.get(0), meta.get(1),
-              targetW, targetH, meta.get(4)))
-          } else Row(r.get(0), r.get(1), meta)
+          val decoded =
+            if (meta != null && !meta.isNullAt(0) && meta.getString(0) == "image")
+              decodeImage(r.getAs[Array[Byte]](1))
+            else None
+          decoded match {
+            case Some(img) =>
+              val rs = resizeNearest(img, targetW, targetH)
+              val png = buildPngWithPixels(targetW, targetH, rs.channels,
+                rs.samples, _ => 0)
+              Row(r.get(0), png, Row(meta.get(0), "png",
+                targetW, targetH, meta.get(4)))
+            case None => Row(r.get(0), r.get(1), meta)
+          }
         }
       }(Encoders.row(schema))
       .toDF()

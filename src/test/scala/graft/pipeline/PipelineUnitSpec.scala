@@ -74,39 +74,72 @@ class PipelineUnitSpec extends SparkTestBase {
       "doc_id").count() == 0)
   }
 
-  test("resizeImages updates image payload + dims, passes others through") {
+  test("resizeImages REALLY resizes: decode → nearest-neighbor → PNG " +
+      "re-encode; undecodable/non-image rows pass through") {
     import spark.implicits._
-    // doc 1: a real PNG (image); doc 2: a real WAV (audio) — passthrough
+    // doc 1: real-pixel PNG (resized); doc 2: real WAV (passthrough);
+    // doc 3: header-only PNG, image by meta but undecodable (passthrough)
+    val srcW = 20; val srcH = 12
+    val srcSamples = Array.tabulate(srcW * srcH)(i => (7 * i) % 256)
     val df = Seq(
-      (1L, Multimodal.buildPng(100, 80)),
-      (2L, Multimodal.buildWav(8000, 1600)))
+      (1L, Multimodal.buildPngWithPixels(srcW, srcH, 1, srcSamples, _ => 0)),
+      (2L, Multimodal.buildWav(8000, 1600)),
+      (3L, Multimodal.buildPng(100, 80)))
       .toDF("doc_id", "payload")
     val withMeta = Multimodal.withMediaMeta(df, "payload")
     val out = Multimodal.resizeImages(withMeta, "doc_id", "payload", "media_meta",
-      targetW = 64, targetH = 64)
+      targetW = 8, targetH = 8)
     val rows = out.collect().map(r => r.getLong(0) -> r).toMap
     val img = rows(1L)
-    assert(img.getStruct(2).getAs[Int]("width") == 64)
-    assert(img.getStruct(2).getAs[Int]("height") == 64)
-    assert(img.getAs[Array[Byte]](1).length == math.max(16, 64 * 64 / 256))
+    assert(img.getStruct(2).getAs[Int]("width") == 8)
+    assert(img.getStruct(2).getAs[Int]("height") == 8)
+    // the output is a REAL PNG whose pixels are the nearest-neighbor
+    // samples of the source — decode it back and check every pixel
+    val back = Multimodal.decodePng(img.getAs[Array[Byte]](1)).get
+    assert(back.width == 8 && back.height == 8 && back.channels == 1)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(back.samples(y * 8 + x) ==
+        srcSamples((y * srcH / 8) * srcW + (x * srcW / 8)), s"($x,$y)")
     val other = rows(2L)
     assert(other.getAs[Array[Byte]](1).toSeq ==
       Multimodal.buildWav(8000, 1600).toSeq) // untouched passthrough
     assert(other.getStruct(2).isNullAt(
       other.getStruct(2).fieldIndex("width"))) // audio has no dims
+    // undecodable image: payload AND meta untouched (coverage, not crash)
+    val headerOnly = rows(3L)
+    assert(headerOnly.getAs[Array[Byte]](1).toSeq ==
+      Multimodal.buildPng(100, 80).toSeq)
+    assert(headerOnly.getStruct(2).getAs[Int]("width") == 100)
     // deterministic: same input -> same bytes
     val again = Multimodal.resizeImages(withMeta, "doc_id", "payload", "media_meta",
-      64, 64).collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      8, 8).collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
     assert(again(1L).toSeq == img.getAs[Array[Byte]](1).toSeq)
   }
 
-  test("decodeStub is deterministic and byte-sensitive") {
-    val a = Multimodal.decodeStub("hello".getBytes("UTF-8"), 8)
-    val b = Multimodal.decodeStub("hello".getBytes("UTF-8"), 8)
-    val c = Multimodal.decodeStub("hellp".getBytes("UTF-8"), 8)
+  test("fingerprintFeatures is deterministic and byte-sensitive") {
+    val a = Multimodal.fingerprintFeatures("hello".getBytes("UTF-8"), 8)
+    val b = Multimodal.fingerprintFeatures("hello".getBytes("UTF-8"), 8)
+    val c = Multimodal.fingerprintFeatures("hellp".getBytes("UTF-8"), 8)
     assert(a.toSeq == b.toSeq)
     assert(a.toSeq != c.toSeq)
     assert(a.length == 8 && a.forall(v => v >= 0.0 && v < 1.0))
+  }
+
+  test("extractFeatures: decodable payloads get REAL histogram-mass " +
+      "features; non-media bytes fall back to the fingerprint") {
+    import spark.implicits._
+    val w = 16; val h = 8
+    // half the pixels 10 (bin 0 of 8), half 250 (bin 7)
+    val samples = Array.tabulate(w * h)(i => if (i % 2 == 0) 10 else 250)
+    val df = Seq(
+      (1L, Multimodal.buildPngWithPixels(w, h, 1, samples, _ => 0)),
+      (2L, "plain text".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val feats = Multimodal.extractFeatures(df, "doc_id", "payload", featureDim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(feats(1L) == Seq(0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.5))
+    assert(feats(2L) ==
+      Multimodal.fingerprintFeatures("plain text".getBytes("UTF-8"), 8).toSeq)
   }
 
   test("oversized MinHash buckets are split, not dropped: every member still pairs") {
@@ -3706,6 +3739,144 @@ class PipelineUnitSpec extends SparkTestBase {
     // a stray FF00 outside entropy-coded data is still rejected
     val stuffed = jpg.take(2) ++ Array(0xFF.toByte, 0x00.toByte) ++ jpg.drop(2)
     assert(Jpeg.decodeJpeg(stuffed).isEmpty)
+  }
+
+  test("AVI/MJPEG round-trip: builder bytes at spec offsets, parser reads " +
+      "them back, every frame decodes bit-identically to ImageIO") {
+    // 1. container fields asserted against the RIFF/AVI spec FIRST, so a
+    // mirrored builder+parser offset mistake cannot self-validate
+    val rnd = new scala.util.Random(11)
+    val w0 = 19; val h0 = 13
+    val jfifs = (0 until 4).map { _ =>
+      val bi = new java.awt.image.BufferedImage(w0, h0,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h0; x <- 0 until w0)
+        bi.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "jpg", baos)
+      baos.toByteArray
+    }
+    val avi = Video.buildAviMjpeg(w0, h0, fps = 5, jfifs)
+    def le32(i: Int) = (avi(i) & 0xFF) | ((avi(i + 1) & 0xFF) << 8) |
+      ((avi(i + 2) & 0xFF) << 16) | ((avi(i + 3) & 0xFF) << 24)
+    def tag(i: Int) = new String(avi.slice(i, i + 4), "US-ASCII")
+    assert(tag(0) == "RIFF" && tag(8) == "AVI ")
+    assert(le32(4) == avi.length - 8, "RIFF size covers the file")
+    assert(tag(12) == "LIST" && tag(20) == "hdrl" && tag(24) == "avih")
+    assert(le32(32) == 1000000 / 5, "avih microSecPerFrame")
+    assert(le32(48) == 4, "avih totalFrames")
+    assert(le32(64) == w0 && le32(68) == h0, "avih dims")
+    val strh = 24 + 8 + 56 + 12 // past avih + 'LIST'+size+'strl'
+    assert(tag(strh) == "strh" && tag(strh + 8) == "vids" &&
+      tag(strh + 12) == "MJPG")
+    assert(le32(strh + 8 + 20) == 1 && le32(strh + 8 + 24) == 5,
+      "strh scale/rate rational")
+    // 2. walk reads it all back; frame payloads byte-identical
+    val parsed = Video.parseAviMjpeg(avi).get
+    assert(parsed.width == w0 && parsed.height == h0 &&
+      parsed.rate == 5 && parsed.scale == 1 && parsed.nFrames == 4)
+    for (f <- 0 until 4)
+      assert(parsed.frames(f).sameElements(jfifs(f)), s"frame $f payload")
+    // 3. per-frame differential: the engine's decode of each extracted
+    // frame equals ImageIO's decode of the same bytes, zero tolerance
+    for (f <- 0 until 4) {
+      val got = Jpeg.decodeJpeg(parsed.frames(f)).get
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(parsed.frames(f)))
+      assert(got.width == w0 && got.height == h0 && got.channels == 1)
+      for (y <- 0 until h0; x <- 0 until w0)
+        assert(got.samples(y * w0 + x) == ref.getRaster.getSample(x, y, 0),
+          s"frame $f ($x,$y)")
+    }
+    // 4. reject paths: wrong container, non-MJPG handler, truncation,
+    // hostile declared chunk length
+    assert(Video.parseAviMjpeg(Multimodal.buildWav(8000, 64)).isEmpty)
+    assert(Video.parseAviMjpeg(avi.take(avi.length / 2)).isEmpty)
+    val evil = avi.clone()
+    // movi's first '00dc' size field → huge (find it from the layout)
+    val hdrlEnd = 12 + 8 + le32(16)
+    assert(tag(hdrlEnd) == "LIST" && tag(hdrlEnd + 8) == "movi")
+    assert(tag(hdrlEnd + 12) == "00dc")
+    evil(hdrlEnd + 16) = 0xFF.toByte; evil(hdrlEnd + 17) = 0xFF.toByte
+    evil(hdrlEnd + 18) = 0xFF.toByte; evil(hdrlEnd + 19) = 0x7F.toByte
+    assert(Video.parseAviMjpeg(evil).isEmpty)
+    val wrongCodec = avi.clone()
+    wrongCodec(strh + 12) = 'H'.toByte; wrongCodec(strh + 13) = '2'.toByte
+    assert(Video.parseAviMjpeg(wrongCodec).isEmpty)
+  }
+
+  test("parseMediaMeta reads AVI headers (avih µs/frame, frames, dims)") {
+    val frame = Jpeg.buildJpegWithBlocks(16, 8, (_, _) => 100)
+    val avi = Video.buildAviMjpeg(16, 8, fps = 4, Seq(frame, frame, frame))
+    // µsPerFrame = 250000, 3 frames → 750 ms
+    assert(Multimodal.parseMediaMeta(avi) ==
+      ("video", "avi", Some(16), Some(8), Some(750L)))
+    val meta = Multimodal.parseMediaMeta(Video.aviPayloadFor(7L))
+    // id 7: fps 2+7%4=5 → 200000 µs/frame, n=3+7%5=5 → 1000 ms, w=8·(1+1)=16,
+    // h=8·(1+(14%3))=8·3=24
+    assert(meta == ("video", "avi", Some(16), Some(24), Some(1000L)))
+  }
+
+  test("mediaCoverage reports decoded / header_only / dropped per format") {
+    import spark.implicits._
+    val ids = (0L until 32L).toDF("doc_id")
+    val got = Multimodal.mediaCoverage(
+      Multimodal.synthesizeCoverageCorpus(ids, "doc_id"),
+      "doc_id", "payload")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // 32 ids, 4 per id%8 class
+    assert(got == Map(
+      ("png", "decoded") -> 4L, ("jpeg", "decoded") -> 4L,
+      ("wav", "decoded") -> 4L, ("avi", "decoded") -> 4L,
+      ("png", "header_only") -> 4L, ("jpeg", "header_only") -> 4L,
+      ("mp4", "header_only") -> 4L, ("unknown", "dropped") -> 4L))
+  }
+
+  test("videoFrameStats and sampleVideoFrames reproduce the synthesized " +
+      "per-frame arithmetic through the real container walk + JPEG decode") {
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    val pay = Video.synthesizeAviPayload(ids, "doc_id")
+    val stats = Video.videoFrameStats(pay, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    var expectedRows = 0
+    for (id <- 0L until 40L) {
+      val n = (3 + id % 5).toInt
+      val w = (8 * (1 + id % 3)).toInt
+      val h = (8 * (1 + (id * 2) % 3)).toInt
+      val base = (id % 251).toInt
+      expectedRows += n
+      for (f <- 0 until n) {
+        var sum = 0L
+        for (by <- 0 until h / 8; bx <- 0 until w / 8)
+          sum += 64L * ((base + 29 * f + 17 * by + 23 * bx) % 256)
+        val row = stats((id, f))
+        assert(row.getInt(2) == w && row.getInt(3) == h && row.getInt(4) == 1)
+        assert(row.getLong(5) == w.toLong * h, s"n_samples id=$id f=$f")
+        assert(row.getLong(6) == sum, s"sample_sum id=$id f=$f")
+      }
+    }
+    assert(stats.size == expectedRows)
+    // real sampling on a 400 ms lattice: frame index from the exact
+    // (rate, scale) rational, sums match the same formula
+    val sampled = Video.sampleVideoFrames(pay, "doc_id", "payload", 400L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    var nSampled = 0
+    for (id <- 0L until 40L) {
+      val fps = (2 + id % 4).toInt
+      val n = (3 + id % 5).toInt
+      var ts = 0L
+      while (ts * fps / 1000 < n) {
+        val f = (ts * fps / 1000).toInt
+        val row = sampled((id, ts))
+        assert(row.getInt(2) == f, s"frame_idx id=$id ts=$ts")
+        assert(row.getLong(3) == stats((id, f)).getLong(6),
+          s"sampled sum id=$id ts=$ts")
+        nSampled += 1
+        ts += 400L
+      }
+    }
+    assert(sampled.size == nSampled)
   }
 
   test("jpegPixelStats decodes synthesized flat-block payloads to the " +
