@@ -3255,6 +3255,24 @@ object OracleSql {
         |    AS mean_sample
         |FROM b GROUP BY doc_id, w, h""".stripMargin,
 
+    // Progressive-JPEG decode replay: flat DC-only blocks with flat-8
+    // quant survive the full SOF2 spectral-selection / successive-
+    // approximation scan sequence exactly, so the oracle restates each
+    // block's constant while the engine runs the real phuff scan loop.
+    "q_decode_jpeg_prog" ->
+      """WITH d AS (SELECT doc_id, 8 * (1 + doc_id % 4) AS w,
+        |  8 * (1 + (doc_id * 3) % 4) AS h FROM documents),
+        |b AS (SELECT doc_id, w, h,
+        |  (doc_id % 241 + 19 * by.by + 31 * bx.bx) % 256 AS v
+        |  FROM d, range(4) by(by), range(4) bx(bx)
+        |  WHERE by.by < h // 8 AND bx.bx < w // 8)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(1 AS INT) AS channels, count(*) * 64 AS n_samples,
+        |  CAST(sum(v) * 64 AS BIGINT) AS sample_sum,
+        |  CAST(sum(v) * 64 AS DOUBLE) / CAST(count(*) * 64 AS DOUBLE)
+        |    AS mean_sample
+        |FROM b GROUP BY doc_id, w, h""".stripMargin,
+
     // MJPEG-AVI decode replay: the engine walks RIFF lists to the movi
     // frames and huffman-decodes + IDCTs each (flat DC-only blocks are
     // bit-exact in any conforming decoder); the oracle restates every
@@ -3362,16 +3380,17 @@ object OracleSql {
         |  CAST(sum(v) AS DOUBLE) / count(*) AS mean_sample
         |FROM u GROUP BY doc_id, nch""".stripMargin,
 
-    // Coverage replay: the (format, status) of every id%8 class is known
-    // by construction — decodable media decode, header-only shells parse
-    // but don't decode, non-media bytes drop.
+    // Coverage replay: the (format, status) of every id%9 class is known
+    // by construction — decodable media (incl. progressive JPEG) decode,
+    // header-only shells parse but don't decode, non-media bytes drop.
     "q_media_coverage" ->
       """WITH c AS (SELECT doc_id,
-        |  CASE doc_id % 8 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-        |    WHEN 2 THEN 'wav' WHEN 3 THEN 'avi' WHEN 4 THEN 'png'
-        |    WHEN 5 THEN 'jpeg' WHEN 6 THEN 'mp4' ELSE 'unknown' END AS format,
-        |  CASE WHEN doc_id % 8 IN (0, 1, 2, 3) THEN 'decoded'
-        |       WHEN doc_id % 8 = 7 THEN 'dropped'
+        |  CASE doc_id % 9 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    WHEN 2 THEN 'wav' WHEN 3 THEN 'avi' WHEN 4 THEN 'jpeg'
+        |    WHEN 5 THEN 'png' WHEN 6 THEN 'jpeg' WHEN 7 THEN 'mp4'
+        |    ELSE 'unknown' END AS format,
+        |  CASE WHEN doc_id % 9 IN (0, 1, 2, 3, 4) THEN 'decoded'
+        |       WHEN doc_id % 9 = 8 THEN 'dropped'
         |       ELSE 'header_only' END AS status
         |  FROM documents)
         |SELECT format, status, count(*) AS n_docs

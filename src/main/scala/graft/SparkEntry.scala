@@ -2454,6 +2454,19 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload")
 
+  /** REAL PROGRESSIVE-JPEG decode end to end: SOF2 multi-scan streams
+    * (spectral selection + successive approximation) built by the fixture
+    * encoder — the JDK writer cannot emit them — decoded through the full
+    * phuff scan loop; flat blocks + flat-8 quant make the decoded sums a
+    * pure function of doc_id, restated by the oracle. */
+  private def qDecodeJpegProg(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Jpeg.jpegPixelStats(
+      graft.pipeline.Jpeg.synthesizeProgressiveJpegPayload(
+        docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id"),
+      "doc_id", "payload")
+
   /** REAL video decode end to end ([[graft.pipeline.Video]]): MJPEG-AVI
     * payloads whose RIFF lists the engine walks and whose per-frame JFIF
     * streams it huffman-decodes + IDCTs via [[graft.pipeline.Jpeg
@@ -2751,6 +2764,7 @@ object SparkEntry {
     "q_media_meta_real" -> qMediaMetaReal _,
     "q_decode_png" -> qDecodePng _,
     "q_decode_jpeg" -> qDecodeJpeg _,
+    "q_decode_jpeg_prog" -> qDecodeJpegProg _,
     "q_decode_video" -> qDecodeVideo _,
     "q_decode_wav" -> qDecodeWav _,
     "q_frame_plan" -> qFramePlan _,

@@ -6,16 +6,19 @@ import org.apache.spark.sql.types._
 
 import graft.pipeline.Multimodal.DecodedImage
 
-/** REAL baseline-JPEG pixel decode in pure JVM code — the last image-arm
-  * codec seam closed (PNG fell in round 9; video sample decode remains the
-  * one declared seam, the only format that genuinely needs an external
-  * codec library).
+/** REAL JPEG pixel decode in pure JVM code — baseline AND progressive
+  * (PNG fell in round 9, MJPEG video rides on this decoder via
+  * [[Video]]; no codec seam remains).
   *
-  * Scope: baseline sequential huffman JFIF (SOF0/SOF1), 8-bit precision,
-  * grayscale or YCbCr with 1×1, 2×1, or 2×2 luma sampling — what cameras,
-  * browsers, and `javax.imageio`'s writer emit. Progressive, arithmetic,
-  * 12-bit, and exotic sampling return None (drop, never crash — the
-  * corpus-hygiene contract shared with [[Multimodal.decodePng]]).
+  * Scope: huffman JFIF at 8-bit precision — baseline sequential
+  * (SOF0/SOF1) and progressive (SOF2, spectral selection + successive
+  * approximation per spec G.1.2, following the public IJG phuff decoder
+  * semantics) — grayscale or YCbCr with 1×1, 2×1, or 2×2 luma sampling:
+  * what cameras, browsers, `javax.imageio`'s writer, and web-crawl
+  * progressive re-encodes emit. Arithmetic-coded, 12-bit, hierarchical,
+  * and exotic-sampling streams return None (drop, never crash — the
+  * corpus-hygiene contract shared with [[Multimodal.decodePng]];
+  * [[Multimodal.mediaCoverage]] surfaces the drop rate).
   *
   * Decoded VALUES match the JDK's ImageIO reader bit-for-bit, not just
   * within a tolerance: every lossy-side choice replicates the classic IJG
@@ -255,13 +258,20 @@ object Jpeg {
     var planeH: Int = 0
     var outW: Int = 0 // downsampled (ceil(w·h/maxH)) widths for upsampling
     var outH: Int = 0
+    // progressive-mode coefficient store (natural order per block)
+    var coefs: Array[Int] = _
+    var bwP: Int = 0 // padded (MCU-multiple) block dims — interleaved scans
+    var bhP: Int = 0
+    var nbw: Int = 0 // non-padded block dims — single-component scans
+    var nbh: Int = 0
   }
 
   @inline private def u16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
 
-  /** Decode a baseline JFIF payload; None on any unsupported or corrupt
-    * structure. Output: grayscale (1 channel) or interleaved RGB. */
+  /** Decode a baseline or progressive JFIF payload; None on any
+    * unsupported or corrupt structure. Output: grayscale (1 channel) or
+    * interleaved RGB. */
   def decodeJpeg(bytes: Array[Byte]): Option[DecodedImage] = {
     if (bytes == null || bytes.length < 4 ||
         (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return None
@@ -272,6 +282,8 @@ object Jpeg {
     var comps: Array[Component] = null
     var width = 0; var height = 0
     var restartInterval = 0
+    var progressive = false
+    var progStarted = false // at least one SOS scan decoded (progressive)
     var o = 2L
     // ---- marker walk (Long offsets: hostile declared lengths must not
     // overflow into negative indices — the decodePng lesson)
@@ -288,8 +300,13 @@ object Jpeg {
       if (marker == 0x00) return None // FF00 is illegal outside entropy data
       if (marker == 0xD8 || marker == 0x01 ||
           (marker >= 0xD0 && marker <= 0xD7)) { o += 2 } // SOI/TEM/RSTn: standalone
-      else if (marker == 0xD9) return None // EOI before SOS
-      else {
+      else if (marker == 0xD9) {
+        // EOI: a progressive stream reconstructs here, after all scans;
+        // a baseline stream reaching EOI before SOS is malformed
+        return if (progressive && progStarted)
+          reconstructProgressive(comps, width, height, qtabs, qseen)
+        else None
+      } else {
         // fills may have eaten into the 4-byte headroom the outer loop
         // guaranteed — re-check before the 2-byte length read
         if (o + 4 > bytes.length) return None
@@ -339,8 +356,9 @@ object Jpeg {
               p += 17 + total
             }
             o += 2 + len
-          case 0xC0 | 0xC1 => // SOF0/1: baseline(+extended) sequential huffman
+          case 0xC0 | 0xC1 | 0xC2 => // SOF0/1 baseline(+ext) seq; SOF2 progressive
             if (len < 8) return None
+            progressive = marker == 0xC2
             val prec = bytes(seg) & 0xFF
             height = u16(bytes, seg + 1)
             width = u16(bytes, seg + 3)
@@ -359,13 +377,13 @@ object Jpeg {
               ci += 1
             }
             o += 2 + len
-          case m if m == 0xC2 || (m >= 0xC3 && m <= 0xCF && m != 0xC4 && m != 0xC8) =>
-            return None // progressive / arithmetic / hierarchical
+          case m if m >= 0xC3 && m <= 0xCF && m != 0xC4 && m != 0xC8 =>
+            return None // arithmetic / hierarchical / lossless
           case 0xDD => // DRI
             if (len != 4) return None
             restartInterval = u16(bytes, seg)
             o += 2 + len
-          case 0xDA => // SOS — decode the single interleaved scan
+          case 0xDA if !progressive => // SOS — decode the one interleaved scan
             if (comps == null) return None
             val ns = bytes(seg) & 0xFF
             if (ns != comps.length || len != 6 + 2 * ns) return None
@@ -383,12 +401,55 @@ object Jpeg {
             }
             return decodeScan(bytes, segEnd, comps, width, height,
               qtabs, restartInterval)
+          case 0xDA => // SOS, progressive: one of many scans — accumulate
+            if (comps == null) return None
+            val ns = bytes(seg) & 0xFF
+            if (ns < 1 || ns > comps.length || len != 6 + 2 * ns) return None
+            if (!progStarted) {
+              if (!allocProgressive(comps, width, height)) return None
+              progStarted = true
+            }
+            val scomps = new Array[Component](ns)
+            var si = 0
+            while (si < ns) {
+              val cs = bytes(seg + 1 + 2 * si) & 0xFF
+              val cOpt = comps.find(_.id == cs)
+              if (cOpt.isEmpty) return None
+              val c = cOpt.get
+              val tt = bytes(seg + 2 + 2 * si) & 0xFF
+              c.dcTab = dcTabs((tt >> 4) & 0xF)
+              c.acTab = acTabs(tt & 0xF)
+              scomps(si) = c
+              si += 1
+            }
+            val ss = bytes(seg + 1 + 2 * ns) & 0xFF
+            val se = bytes(seg + 2 + 2 * ns) & 0xFF
+            val ahal = bytes(seg + 3 + 2 * ns) & 0xFF
+            val nxt = decodeProgressiveScan(bytes, segEnd, comps, scomps,
+              ss, se, (ahal >> 4) & 0xF, ahal & 0xF, restartInterval)
+            if (nxt < 0) return None
+            o = nxt // continue the walk at the next marker
           case _ => o += 2 + len // APPn / COM / others: skip
         }
       }
     }
-    None // no SOS reached
+    // a progressive stream whose trailing EOI sits in the last 2 bytes
+    // falls out of the o+4 loop guard — accept it here
+    if (progressive && progStarted && o + 2 <= bytes.length &&
+        (bytes(o.toInt) & 0xFF) == 0xFF && (bytes(o.toInt + 1) & 0xFF) == 0xD9)
+      return reconstructProgressive(comps, width, height, qtabs, qseen)
+    None // no SOS reached (baseline), or truncated before EOI (progressive)
   }
+
+  /** Sampling shapes outside the IJG-common set (identity, h2v1, h2v2 per
+    * chroma component) are rejected — the upsampler covers only those. */
+  private def validSampling(comps: Array[Component], maxH: Int, maxV: Int)
+      : Boolean =
+    comps.forall { c =>
+      val he = maxH / c.h; val ve = maxV / c.v
+      maxH % c.h == 0 && maxV % c.v == 0 && he <= 2 && ve <= 2 &&
+        !(he == 1 && ve == 2)
+    }
 
   /** Entropy-decode the interleaved scan and reconstruct pixels. */
   private def decodeScan(bytes: Array[Byte], scanStart: Int,
@@ -396,13 +457,7 @@ object Jpeg {
       qtabs: Array[Array[Int]], restartInterval: Int): Option[DecodedImage] = {
     val maxH = comps.map(_.h).max
     val maxV = comps.map(_.v).max
-    // reject sampling shapes outside the IJG-common set (identity, h2v1,
-    // h2v2 per chroma component)
-    for (c <- comps) {
-      val he = maxH / c.h; val ve = maxV / c.v
-      if (maxH % c.h != 0 || maxV % c.v != 0 || he > 2 || ve > 2 ||
-          (he == 1 && ve == 2)) return None
-    }
+    if (!validSampling(comps, maxH, maxV)) return None
     val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
     val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
     for (c <- comps) {
@@ -482,7 +537,13 @@ object Jpeg {
       }
       mcu += 1
     }
-    // ---- reconstruction: upsample chroma, color-convert
+    assemblePixels(comps, maxH, maxV, width, height)
+  }
+
+  /** Shared tail of baseline and progressive decode: crop/upsample the
+    * filled component planes and color-convert. */
+  private def assemblePixels(comps: Array[Component], maxH: Int, maxV: Int,
+      width: Int, height: Int): Option[DecodedImage] = {
     if (comps.length == 1) {
       val c = comps(0)
       val out = new Array[Int](width * height)
@@ -506,6 +567,268 @@ object Jpeg {
       }
       Some(DecodedImage(width, height, 3, out))
     }
+  }
+
+  // ------------------------------------------------- progressive decoding
+  /** Allocate per-component coefficient stores and block geometry for a
+    * progressive stream (padded = MCU-multiple grid for interleaved DC
+    * scans; non-padded grid for single-component scans). */
+  private def allocProgressive(comps: Array[Component], width: Int,
+      height: Int): Boolean = {
+    val maxH = comps.map(_.h).max
+    val maxV = comps.map(_.v).max
+    if (!validSampling(comps, maxH, maxV)) return false
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+    for (c <- comps) {
+      c.bwP = mcusX * c.h
+      c.bhP = mcusY * c.v
+      c.outW = (width * c.h + maxH - 1) / maxH
+      c.outH = (height * c.v + maxV - 1) / maxV
+      c.nbw = (c.outW + 7) / 8
+      c.nbh = (c.outH + 7) / 8
+      val nBlocks = c.bwP.toLong * c.bhP
+      if (nBlocks > (Int.MaxValue / 64)) return false
+      c.coefs = new Array[Int](nBlocks.toInt * 64)
+      c.pred = 0
+    }
+    true
+  }
+
+  @inline private def extend(v: Int, s: Int): Int =
+    if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Decode one progressive scan (spectral selection Ss..Se, successive
+    * approximation Ah→Al) into the coefficient stores, following the
+    * public IJG phuff decoder semantics (jdphuff.c) — DC first/refine
+    * (interleaved or single-component), AC first/refine with EOB runs
+    * (single-component only, per spec). Returns the byte offset of the
+    * next marker, or -1 on malformed data. */
+  private def decodeProgressiveScan(bytes: Array[Byte], scanStart: Int,
+      comps: Array[Component], scomps: Array[Component], ss: Int, se: Int,
+      ah: Int, al: Int, restartInterval: Int): Int = {
+    val isDC = ss == 0
+    if (isDC && se != 0) return -1
+    if (!isDC && (ss > se || se > 63 || scomps.length != 1)) return -1
+    if (al > 13 || ah > 14 || (ah != 0 && ah != al + 1)) return -1
+    val br = new BitReader(bytes, scanStart)
+    var eobrun = 0
+    scomps.foreach(_.pred = 0)
+
+    // per-block decoders ------------------------------------------------
+    def dcFirst(c: Component, off: Int): Boolean = {
+      if (c.dcTab == null) return false
+      val s = c.dcTab.decode(br)
+      if (s < 0 || s > 15) return false
+      var diff = 0
+      if (s > 0) {
+        val v = br.bits(s)
+        if (v < 0) return false
+        diff = extend(v, s)
+      }
+      c.pred += diff
+      c.coefs(off) = c.pred << al
+      true
+    }
+    def dcRefine(c: Component, off: Int): Boolean = {
+      val b = br.bit()
+      if (b < 0) return false
+      if (b == 1) c.coefs(off) |= (1 << al)
+      true
+    }
+    def acFirst(c: Component, off: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      if (c.acTab == null) return false
+      var k = ss
+      while (k <= se) {
+        val rs = c.acTab.decode(br)
+        if (rs < 0) return false
+        val r = rs >> 4; val s = rs & 15
+        if (s != 0) {
+          k += r
+          if (k > se) return false
+          val v = br.bits(s)
+          if (v < 0) return false
+          c.coefs(off + Zigzag(k)) = extend(v, s) << al
+          k += 1
+        } else {
+          if (r != 15) {
+            eobrun = 1 << r
+            if (r > 0) {
+              val eb = br.bits(r)
+              if (eb < 0) return false
+              eobrun += eb
+            }
+            eobrun -= 1 // this block is the first of the run
+            return true
+          }
+          k += 16 // ZRL
+        }
+      }
+      true
+    }
+    def acRefine(c: Component, off: Int): Boolean = {
+      if (c.acTab == null) return false
+      val p1 = 1 << al; val m1 = -1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var brk = false
+        while (!brk && k <= se) {
+          val rs = c.acTab.decode(br)
+          if (rs < 0) return false
+          var r = rs >> 4; val s0 = rs & 15
+          var s = 0
+          if (s0 != 0) {
+            if (s0 != 1) return false // refinement sizes are 1 by spec
+            val b = br.bit()
+            if (b < 0) return false
+            s = if (b == 1) p1 else m1
+          } else if (r != 15) {
+            eobrun = 1 << r
+            if (r > 0) {
+              val eb = br.bits(r)
+              if (eb < 0) return false
+              eobrun += eb
+            }
+            brk = true // current block finishes in the EOB-run path below
+          }
+          if (!brk) {
+            // advance over r zero-history coefs, emitting a correction
+            // bit for every already-nonzero coef passed on the way
+            var inner = true
+            while (inner && k <= se) {
+              val pos = off + Zigzag(k)
+              if (c.coefs(pos) != 0) {
+                val b = br.bit()
+                if (b < 0) return false
+                if (b == 1 && (c.coefs(pos) & p1) == 0)
+                  c.coefs(pos) += (if (c.coefs(pos) >= 0) p1 else m1)
+                k += 1
+              } else {
+                r -= 1
+                if (r < 0) inner = false else k += 1
+              }
+            }
+            if (s != 0) {
+              if (k > se) return false
+              c.coefs(off + Zigzag(k)) = s
+            }
+            k += 1
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // refine the remaining already-nonzero coefs of this block
+        while (k <= se) {
+          val pos = off + Zigzag(k)
+          if (c.coefs(pos) != 0) {
+            val b = br.bit()
+            if (b < 0) return false
+            if (b == 1 && (c.coefs(pos) & p1) == 0)
+              c.coefs(pos) += (if (c.coefs(pos) >= 0) p1 else m1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+    def block(c: Component, off: Int): Boolean =
+      if (isDC) { if (ah == 0) dcFirst(c, off) else dcRefine(c, off) }
+      else { if (ah == 0) acFirst(c, off) else acRefine(c, off) }
+
+    // scan loop ----------------------------------------------------------
+    def restart(): Boolean = {
+      if (!br.syncRestart()) return false
+      scomps.foreach(_.pred = 0)
+      eobrun = 0
+      true
+    }
+    if (scomps.length == 1) {
+      // non-interleaved: raster over the component's own (non-padded) grid
+      val c = scomps(0)
+      val nb = c.nbw * c.nbh
+      var b = 0
+      while (b < nb) {
+        if (restartInterval > 0 && b > 0 && b % restartInterval == 0 &&
+            !restart()) return -1
+        val off = ((b / c.nbw) * c.bwP + (b % c.nbw)) * 64
+        if (!block(c, off)) return -1
+        b += 1
+      }
+    } else {
+      // interleaved DC scan: MCU order over the padded grid
+      val mcusX = scomps(0).bwP / scomps(0).h // = global mcusX
+      val mcusY = scomps(0).bhP / scomps(0).v
+      val nMcus = mcusX * mcusY
+      var mcu = 0
+      while (mcu < nMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0 &&
+            !restart()) return -1
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var ci = 0
+        while (ci < scomps.length) {
+          val c = scomps(ci)
+          var bv = 0
+          while (bv < c.v) {
+            var bh = 0
+            while (bh < c.h) {
+              val off = ((my * c.v + bv) * c.bwP + (mx * c.h + bh)) * 64
+              if (!block(c, off)) return -1
+              bh += 1
+            }
+            bv += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
+    }
+    // resync to the next marker (pad bits, then 0xFF)
+    var p = br.pos
+    while (p < bytes.length && (bytes(p) & 0xFF) != 0xFF) p += 1
+    p
+  }
+
+  /** Dequantize + IDCT the accumulated progressive coefficients and run
+    * the shared pixel assembly. */
+  private def reconstructProgressive(comps: Array[Component], width: Int,
+      height: Int, qtabs: Array[Array[Int]], qseen: Array[Boolean])
+      : Option[DecodedImage] = {
+    if (comps == null || comps.exists(_.coefs == null)) return None
+    val maxH = comps.map(_.h).max
+    val maxV = comps.map(_.v).max
+    val coefL = new Array[Long](64)
+    val pix = new Array[Int](64)
+    for (c <- comps) {
+      if (!qseen(c.tq)) return None
+      val q = qtabs(c.tq)
+      c.planeW = c.bwP * 8
+      c.planeH = c.bhP * 8
+      c.plane = new Array[Int](c.planeW * c.planeH)
+      var by = 0
+      while (by < c.bhP) {
+        var bx = 0
+        while (bx < c.bwP) {
+          val off = (by * c.bwP + bx) * 64
+          var k = 0
+          while (k < 64) {
+            coefL(Zigzag(k)) = c.coefs(off + Zigzag(k)).toLong * q(k)
+            k += 1
+          }
+          idctBlock(coefL, pix)
+          val px0 = bx * 8; val py0 = by * 8
+          var r = 0
+          while (r < 8) {
+            System.arraycopy(pix, r * 8, c.plane, (py0 + r) * c.planeW + px0, 8)
+            r += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    assemblePixels(comps, maxH, maxV, width, height)
   }
 
   // ---------------------------------------------------- fancy upsampling
@@ -803,6 +1126,36 @@ object Jpeg {
     }(Encoders.row(outSchema)).toDF()
   }
 
+  /** Deterministic PROGRESSIVE fixture column — the
+    * [[synthesizeJpegPayload]] discipline through the SOF2 multi-scan
+    * path: flat blocks + flat-8 quant decode to their exact constants in
+    * any conforming decoder, so the oracle restates the sums while the
+    * engine runs the full spectral-selection / successive-approximation
+    * scan sequence:
+    *  - width = 8·(1 + id % 4), height = 8·(1 + (id·3) % 4)
+    *  - block(bx, by) = (id % 241 + 19·by + 31·bx) % 256 */
+  def synthesizeProgressiveJpegPayload(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(payloadCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        Row.fromSeq(r.toSeq :+ progJpegPayloadFor(r.getLong(idIdx)))
+      }
+    }(Encoders.row(outSchema)).toDF()
+  }
+
+  /** The single-payload form of [[synthesizeProgressiveJpegPayload]]. */
+  private[pipeline] def progJpegPayloadFor(id: Long): Array[Byte] = {
+    val w = (8 * (1 + id % 4)).toInt
+    val h = (8 * (1 + (id * 3) % 4)).toInt
+    val base = (id % 241).toInt
+    val px = Array.tabulate(w * h)(i =>
+      (base + 19 * (i / w / 8) + 31 * (i % w / 8)) % 256)
+    buildProgressiveJpeg(w, h, 1, px, flatQuant = true)
+  }
+
   /** The single-payload form of [[synthesizeJpegPayload]]'s arithmetic. */
   private[pipeline] def jpegPayloadFor(id: Long): Array[Byte] = {
     val w = (8 * (1 + id % 4)).toInt
@@ -836,5 +1189,355 @@ object Jpeg {
         }
       }(Encoders.row(outSchema))
       .toDF()
+  }
+
+  // ============================================ progressive fixture encoder
+
+  /** One scan of a progressive scan script: component indices (all
+    * listed components for an interleaved DC scan; exactly one for AC),
+    * spectral band Ss..Se, successive approximation Ah→Al. */
+  final case class ProgScan(comps: Seq[Int], ss: Int, se: Int, ah: Int,
+      al: Int)
+
+  /** The classic 10-scan (color) / 6-scan (gray) progression — the
+    * public libjpeg `jpeg_simple_progression` script shape: DC first at
+    * Al=1, banded AC firsts, AC refinements, DC refinement, final AC
+    * refinements to Al=0. Every coefficient ends FULLY refined (Al=0),
+    * which is what makes a zero-tolerance reader differential valid —
+    * a reader's progressive block-smoothing only engages on
+    * partially-refined coefficients. */
+  def defaultScanScript(nComps: Int): Seq[ProgScan] =
+    if (nComps == 1) Seq(
+      ProgScan(Seq(0), 0, 0, 0, 1),
+      ProgScan(Seq(0), 1, 5, 0, 2),
+      ProgScan(Seq(0), 6, 63, 0, 2),
+      ProgScan(Seq(0), 1, 63, 2, 1),
+      ProgScan(Seq(0), 0, 0, 1, 0),
+      ProgScan(Seq(0), 1, 63, 1, 0))
+    else Seq(
+      ProgScan(Seq(0, 1, 2), 0, 0, 0, 1),
+      ProgScan(Seq(0), 1, 5, 0, 2),
+      ProgScan(Seq(2), 1, 63, 0, 1),
+      ProgScan(Seq(1), 1, 63, 0, 1),
+      ProgScan(Seq(0), 6, 63, 0, 2),
+      ProgScan(Seq(0), 1, 63, 2, 1),
+      ProgScan(Seq(0, 1, 2), 0, 0, 1, 0),
+      ProgScan(Seq(2), 1, 63, 1, 0),
+      ProgScan(Seq(1), 1, 63, 1, 0),
+      ProgScan(Seq(0), 1, 63, 1, 0))
+
+  /** JPEG Annex K example quantization tables (natural order). */
+  private val AnnexKLuma: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+  private val AnnexKChroma: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  private val FdctCos: Array[Double] = {
+    val t = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 8) {
+        t(u * 8 + x) = math.cos((2 * x + 1) * u * math.Pi / 16.0)
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** Reference double-precision FDCT + quantization of one 8×8 block
+    * (natural-order samples 0..255 in, natural-order quantized ints out).
+    * Encoder-side only: the decoder differential does not depend on FDCT
+    * choice — whatever is encoded must decode identically everywhere. */
+  private def fdctQuant(block: Array[Int], qNat: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            s += (block(y * 8 + x) - 128) * FdctCos(u * 8 + x) * FdctCos(v * 8 + y)
+            x += 1
+          }
+          y += 1
+        }
+        val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+        val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+        out(v * 8 + u) = math.round(0.25 * cu * cv * s / qNat(v * 8 + u)).toInt
+        u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  private sealed trait Tok
+  private final case class Sym(s: Int) extends Tok
+  private final case class RawBits(v: Int, n: Int) extends Tok
+
+  /** Progressive JFIF encoder for fixtures — gray (1 channel) or RGB
+    * (3 channels, encoded as YCbCr 4:2:0): real FDCT + quantization, then
+    * the scan script's spectral-selection / successive-approximation
+    * entropy coding per the public spec (G.1.2) with per-block EOB flushes
+    * and the jcphuff correction-bit buffering discipline. Per-scan huffman
+    * tables are minimal equal-length canonical codes over the symbols the
+    * scan actually uses. The JDK writer cannot emit progressive streams,
+    * so this is what makes an independent reader differential possible.
+    * `flatQuant` = all-8s tables (every coefficient exact — the oracle
+    * fixtures); default = Annex K tables (realistic lossy content). */
+  def buildProgressiveJpeg(w: Int, h: Int, channels: Int,
+      samples: Array[Int], scans: Seq[ProgScan] = null,
+      flatQuant: Boolean = false): Array[Byte] = {
+    require(channels == 1 || channels == 3, "gray or RGB")
+    require(w > 0 && h > 0 && samples.length == w * h * channels)
+    val script = if (scans == null) defaultScanScript(channels) else scans
+    // ---- component planes
+    val flat8 = Array.fill(64)(8)
+    val (qNats, hs, vs, tqs, planes0) =
+      if (channels == 1)
+        (Array(if (flatQuant) flat8 else AnnexKLuma), Array(1), Array(1),
+          Array(0), Array((samples, w, h)))
+      else {
+        val n = w * h
+        val yP = new Array[Int](n)
+        val cbF = new Array[Int](n)
+        val crF = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val r = samples(3 * i); val g = samples(3 * i + 1)
+          val b = samples(3 * i + 2)
+          yP(i) = clampByte(math.round(0.299 * r + 0.587 * g + 0.114 * b))
+          cbF(i) = clampByte(math.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128))
+          crF(i) = clampByte(math.round(0.5 * r - 0.418688 * g - 0.331264 * b + 128))
+          i += 1
+        }
+        val cw = (w + 1) / 2; val ch = (h + 1) / 2
+        def down(p: Array[Int]): Array[Int] = Array.tabulate(cw * ch) { j =>
+          val x = (j % cw) * 2; val y = (j / cw) * 2
+          val x1 = math.min(x + 1, w - 1); val y1 = math.min(y + 1, h - 1)
+          (p(y * w + x) + p(y * w + x1) + p(y1 * w + x) + p(y1 * w + x1) + 2) / 4
+        }
+        (Array(if (flatQuant) flat8 else AnnexKLuma,
+            if (flatQuant) flat8 else AnnexKChroma,
+            if (flatQuant) flat8 else AnnexKChroma),
+          Array(2, 1, 1), Array(2, 1, 1), Array(0, 1, 1),
+          Array((yP, w, h), (down(cbF), cw, ch), (down(crF), cw, ch)))
+      }
+    val nc = hs.length
+    val maxH = hs.max; val maxV = vs.max
+    val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+    val bwP = Array.tabulate(nc)(i => mcusX * hs(i))
+    val bhP = Array.tabulate(nc)(i => mcusY * vs(i))
+    val nbw = Array.tabulate(nc)(i => (planes0(i)._2 + 7) / 8)
+    val nbh = Array.tabulate(nc)(i => (planes0(i)._3 + 7) / 8)
+    // ---- FDCT all padded blocks (edge-replicated samples)
+    val coefs = Array.tabulate(nc) { ci =>
+      val (p, pw, ph) = planes0(ci)
+      val cb = new Array[Int](bwP(ci) * bhP(ci) * 64)
+      val block = new Array[Int](64)
+      var by = 0
+      while (by < bhP(ci)) {
+        var bx = 0
+        while (bx < bwP(ci)) {
+          var y = 0
+          while (y < 8) {
+            val sy = math.min(by * 8 + y, ph - 1)
+            var x = 0
+            while (x < 8) {
+              val sx = math.min(bx * 8 + x, pw - 1)
+              block(y * 8 + x) = p(sy * pw + sx)
+              x += 1
+            }
+            y += 1
+          }
+          System.arraycopy(fdctQuant(block, qNats(tqs(ci))), 0, cb,
+            (by * bwP(ci) + bx) * 64, 64)
+          bx += 1
+        }
+        by += 1
+      }
+      cb
+    }
+    // ---- token stream per scan (exact mirror of the decoder's order)
+    def catOf(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def scanTokens(sc: ProgScan): Seq[Tok] = {
+      val toks = scala.collection.mutable.ArrayBuffer.empty[Tok]
+      val isDC = sc.ss == 0
+      def blockOffsets: Iterator[(Int, Int)] =
+        if (sc.comps.length == 1) {
+          val ci = sc.comps.head
+          Iterator.tabulate(nbw(ci) * nbh(ci)) { b =>
+            (ci, ((b / nbw(ci)) * bwP(ci) + (b % nbw(ci))) * 64)
+          }
+        } else Iterator.range(0, mcusX * mcusY).flatMap { mcu =>
+          val mx = mcu % mcusX; val my = mcu / mcusX
+          sc.comps.iterator.flatMap { ci =>
+            for (bv <- 0 until vs(ci); bh <- 0 until hs(ci))
+              yield (ci, ((my * vs(ci) + bv) * bwP(ci) + (mx * hs(ci) + bh)) * 64)
+          }
+        }
+      if (isDC && sc.ah == 0) {
+        val preds = new Array[Int](nc)
+        blockOffsets.foreach { case (ci, off) =>
+          val d = coefs(ci)(off) >> sc.al // arithmetic point transform (DC)
+          val diff = d - preds(ci)
+          preds(ci) = d
+          val s = catOf(diff)
+          toks += Sym(s)
+          if (s > 0)
+            toks += RawBits(
+              (if (diff < 0) diff + (1 << s) - 1 else diff) & ((1 << s) - 1), s)
+        }
+      } else if (isDC) {
+        blockOffsets.foreach { case (ci, off) =>
+          toks += RawBits((coefs(ci)(off) >> sc.al) & 1, 1)
+        }
+      } else if (sc.ah == 0) { // AC first (magnitude shift truncates to 0)
+        blockOffsets.foreach { case (ci, off) =>
+          var run = 0
+          var k = sc.ss
+          while (k <= sc.se) {
+            val cv = coefs(ci)(off + Zigzag(k))
+            val v = if (cv < 0) -((-cv) >> sc.al) else cv >> sc.al
+            if (v == 0) run += 1
+            else {
+              while (run > 15) { toks += Sym(0xF0); run -= 16 }
+              val s = catOf(v)
+              toks += Sym((run << 4) | s)
+              toks += RawBits(
+                (if (v < 0) v + (1 << s) - 1 else v) & ((1 << s) - 1), s)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) toks += Sym(0x00) // per-block EOB flush (EOBRUN=1)
+        }
+      } else { // AC refine — jcphuff correction-bit buffering, per block
+        blockOffsets.foreach { case (ci, off) =>
+          val abs = new Array[Int](64)
+          var eob = sc.ss - 1
+          var k = sc.ss
+          while (k <= sc.se) {
+            val cv = coefs(ci)(off + Zigzag(k))
+            abs(k) = math.abs(cv) >> sc.al
+            if (abs(k) == 1) eob = k
+            k += 1
+          }
+          var r = 0
+          val brBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+          k = sc.ss
+          while (k <= sc.se) {
+            val temp = abs(k)
+            if (temp == 0) r += 1
+            else {
+              while (r > 15 && k <= eob) {
+                toks += Sym(0xF0)
+                r -= 16
+                brBits.foreach(b => toks += RawBits(b, 1))
+                brBits.clear()
+              }
+              if (temp > 1) brBits += (temp & 1)
+              else {
+                toks += Sym((r << 4) | 1)
+                r = 0
+                toks += RawBits(if (coefs(ci)(off + Zigzag(k)) < 0) 0 else 1, 1)
+                brBits.foreach(b => toks += RawBits(b, 1))
+                brBits.clear()
+              }
+            }
+            k += 1
+          }
+          if (r > 0 || brBits.nonEmpty) {
+            toks += Sym(0x00) // EOB run of 1, flushed per block
+            brBits.foreach(b => toks += RawBits(b, 1))
+            brBits.clear()
+          }
+        }
+      }
+      toks.toSeq
+    }
+    // ---- serialize
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int, payload: Array[Int]): Unit = {
+      out.write(0xFF); out.write(marker)
+      out.write((payload.length + 2) >> 8); out.write((payload.length + 2) & 0xFF)
+      payload.foreach(out.write)
+    }
+    out.write(0xFF); out.write(0xD8)
+    m(0xE0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    val nq = if (channels == 1) 1 else 2
+    for (tq <- 0 until nq) {
+      val qn = qNats(tq)
+      m(0xDB, Array(tq) ++ Array.tabulate(64)(k => qn(Zigzag(k))))
+    }
+    m(0xC2, Array(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, nc) ++
+      (0 until nc).flatMap(i =>
+        Seq(i + 1, (hs(i) << 4) | vs(i), tqs(i))))
+    for (sc <- script) {
+      val toks = scanTokens(sc)
+      val syms = toks.collect { case Sym(s) => s }.distinct.sorted
+      val codeOf = new Array[Int](256)
+      val lenOf = new Array[Int](256)
+      if (syms.nonEmpty) {
+        // minimal equal-length canonical code; all-ones code stays unused
+        var len = 1
+        while ((1 << len) < syms.size + 1) len += 1
+        syms.zipWithIndex.foreach { case (s, i) =>
+          codeOf(s) = i; lenOf(s) = len
+        }
+        val counts = new Array[Int](16)
+        counts(len - 1) = syms.size
+        val tc = if (sc.ss == 0) 0 else 1
+        m(0xC4, Array(tc << 4) ++ counts ++ syms)
+      }
+      m(0xDA, Array(sc.comps.length) ++
+        sc.comps.flatMap(ci => Seq(ci + 1, 0)) ++
+        Array(sc.ss, sc.se, (sc.ah << 4) | sc.al))
+      // entropy bits with 0xFF00 stuffing
+      var acc = 0; var nb = 0
+      def putBits(v: Int, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((v >> i) & 1); nb += 1
+          if (nb == 8) {
+            out.write(acc)
+            if (acc == 0xFF) out.write(0x00)
+            acc = 0; nb = 0
+          }
+          i -= 1
+        }
+      }
+      toks.foreach {
+        case Sym(s) => putBits(codeOf(s), lenOf(s))
+        case RawBits(v, n) => putBits(v, n)
+      }
+      if (nb > 0) { // pad with 1s
+        acc = (acc << (8 - nb)) | ((1 << (8 - nb)) - 1)
+        out.write(acc)
+        if (acc == 0xFF) out.write(0x00)
+      }
+    }
+    out.write(0xFF); out.write(0xD9)
+    out.toByteArray
   }
 }

@@ -636,12 +636,13 @@ object Multimodal {
       .agg(count(lit(1)).alias("n_docs"))
   }
 
-  /** Coverage-corpus fixture: cycles id % 8 over decodable payloads
-    * (PNG / JPEG / WAV / AVI with REAL content), header-only containers
-    * (pixel-less PNG and JPEG shells, metadata-only MP4 — the engine
-    * deliberately has no MP4 sample codec), and non-media bytes — so
-    * [[mediaCoverage]]'s three statuses all occur and an oracle can
-    * restate the whole report from id arithmetic. */
+  /** Coverage-corpus fixture: cycles id % 9 over decodable payloads
+    * (PNG / baseline JPEG / WAV / AVI / PROGRESSIVE JPEG, all with REAL
+    * content), header-only containers (pixel-less PNG and JPEG shells,
+    * metadata-only MP4 — the engine deliberately has no MP4 sample
+    * codec), and non-media bytes — so [[mediaCoverage]]'s three statuses
+    * all occur and an oracle can restate the whole report from id
+    * arithmetic. */
   def synthesizeCoverageCorpus(df: DataFrame, idCol: String,
       payloadCol: String = "payload"): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
@@ -650,14 +651,15 @@ object Multimodal {
     df.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(idIdx)
-        val payload = (id % 8) match {
+        val payload = (id % 9) match {
           case 0 => pngPayloadFor(id)
           case 1 => Jpeg.jpegPayloadFor(id)
           case 2 => wavPayloadFor(id)
           case 3 => Video.aviPayloadFor(id)
-          case 4 => buildPng((32 + id % 100).toInt, (32 + id % 50).toInt)
-          case 5 => buildJpeg((32 + id % 100).toInt, (32 + id % 50).toInt)
-          case 6 => buildMp4((600 + (id % 10) * 100).toInt, 5000 + id % 1000)
+          case 4 => Jpeg.progJpegPayloadFor(id)
+          case 5 => buildPng((32 + id % 100).toInt, (32 + id % 50).toInt)
+          case 6 => buildJpeg((32 + id % 100).toInt, (32 + id % 50).toInt)
+          case 7 => buildMp4((600 + (id % 10) * 100).toInt, 5000 + id % 1000)
           case _ => s"not-media-$id".getBytes(
             java.nio.charset.StandardCharsets.US_ASCII)
         }

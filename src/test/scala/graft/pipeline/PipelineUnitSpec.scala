@@ -3741,6 +3741,57 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(Jpeg.decodeJpeg(stuffed).isEmpty)
   }
 
+  test("progressive JPEG decode matches ImageIO bit-for-bit: gray and " +
+      "YCbCr 4:2:0, random content, odd dims, full 6/10-scan scripts") {
+    val rnd = new scala.util.Random(23)
+    // 1. grayscale: random pixels through the full 6-scan script; the JDK
+    // reader is the independent IJG progressive decoder
+    for ((gw, gh) <- Seq((8, 8), (37, 23), (64, 48))) {
+      val px = Array.fill(gw * gh)(rnd.nextInt(256))
+      val bytes = Jpeg.buildProgressiveJpeg(gw, gh, 1, px)
+      assert((bytes(3) & 0xFF) != 0xC0, "fixture must be progressive")
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null, s"ImageIO rejected the ${gw}x$gh progressive fixture")
+      val got = Jpeg.decodeJpeg(bytes).get
+      assert(got.width == gw && got.height == gh && got.channels == 1)
+      for (y <- 0 until gh; x <- 0 until gw)
+        assert(got.samples(y * gw + x) == ref.getRaster.getSample(x, y, 0),
+          s"prog gray ${gw}x$gh ($x,$y)")
+    }
+    // 2. color 4:2:0: random RGB through the 10-scan script (interleaved
+    // DC scans + per-component AC bands + refinements)
+    for ((cw, chh) <- Seq((40, 24), (33, 17))) {
+      val px = Array.fill(cw * chh * 3)(rnd.nextInt(256))
+      val bytes = Jpeg.buildProgressiveJpeg(cw, chh, 3, px)
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null, s"ImageIO rejected the ${cw}x$chh color progressive")
+      val got = Jpeg.decodeJpeg(bytes).get
+      assert(got.width == cw && got.height == chh && got.channels == 3)
+      for (y <- 0 until chh; x <- 0 until cw; b <- 0 until 3)
+        assert(got.samples((y * cw + x) * 3 + b) ==
+          ref.getRaster.getSample(x, y, b), s"prog color ${cw}x$chh ($x,$y,$b)")
+    }
+    // 3. flat blocks + flat-8 quant: decoded values equal the generating
+    // formula exactly (DC-exact in any conforming decoder), so the same
+    // oracle discipline as baseline q_decode_jpeg carries over
+    val w = 24; val h = 16
+    val flat = Array.tabulate(w * h)(i =>
+      (37 + 17 * (i / w / 8) + 23 * (i % w / 8)) % 256)
+    val pj = Jpeg.buildProgressiveJpeg(w, h, 1, flat, flatQuant = true)
+    val gotF = Jpeg.decodeJpeg(pj).get
+    for (y <- 0 until h; x <- 0 until w)
+      assert(gotF.samples(y * w + x) == (37 + 17 * (y / 8) + 23 * (x / 8)) % 256,
+        s"prog flat ($x,$y)")
+    val refF = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pj))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(refF.getRaster.getSample(x, y, 0) == gotF.samples(y * w + x))
+    // 4. reject paths: truncation mid-scan and before EOI → None, no crash
+    assert(Jpeg.decodeJpeg(pj.take(pj.length / 2)).isEmpty)
+    assert(Jpeg.decodeJpeg(pj.dropRight(2)).isEmpty) // EOI itself removed
+  }
+
   test("AVI/MJPEG round-trip: builder bytes at spec offsets, parser reads " +
       "them back, every frame decodes bit-identically to ImageIO") {
     // 1. container fields asserted against the RIFF/AVI spec FIRST, so a
@@ -3819,14 +3870,14 @@ class PipelineUnitSpec extends SparkTestBase {
 
   test("mediaCoverage reports decoded / header_only / dropped per format") {
     import spark.implicits._
-    val ids = (0L until 32L).toDF("doc_id")
+    val ids = (0L until 36L).toDF("doc_id")
     val got = Multimodal.mediaCoverage(
       Multimodal.synthesizeCoverageCorpus(ids, "doc_id"),
       "doc_id", "payload")
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    // 32 ids, 4 per id%8 class
+    // 36 ids, 4 per id%9 class; jpeg decoded = baseline + progressive
     assert(got == Map(
-      ("png", "decoded") -> 4L, ("jpeg", "decoded") -> 4L,
+      ("png", "decoded") -> 4L, ("jpeg", "decoded") -> 8L,
       ("wav", "decoded") -> 4L, ("avi", "decoded") -> 4L,
       ("png", "header_only") -> 4L, ("jpeg", "header_only") -> 4L,
       ("mp4", "header_only") -> 4L, ("unknown", "dropped") -> 4L))
