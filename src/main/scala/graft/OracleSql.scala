@@ -430,6 +430,32 @@ object OracleSql {
        |FROM k""".stripMargin
   }
 
+  /** Wide-family KMV replay: CRT legs under both primes, mixed per leg,
+    * packed as leg1·P2+leg2 — the same fold the engine runs. The scale
+    * constant is the JVM's 255.0·PW double, embedded textually so DuckDB
+    * uses the identical IEEE value (the q_pca_project discipline). */
+  private lazy val kmvWideReplaySql: String = {
+    val a1 = Hashing.aCoef(17); val b1 = Hashing.bCoef(17)
+    val a2 = Hashing.aCoef2(17); val b2 = Hashing.bCoef2(17)
+    val scale = s"CAST('${(255.0 * Hashing.PW).toString}' AS DOUBLE)"
+    s"""WITH t AS (SELECT source,
+       |  unnest(string_split($norm, ' ')) AS tok FROM documents),
+       |l AS (SELECT source, ${Hashing.polyHashSql("tok")} AS l1,
+       |  ${Hashing.polyHash2Sql("tok")} AS l2 FROM t),
+       |h AS (SELECT DISTINCT source,
+       |  (l1 * $a1 + $b1) % ${Hashing.P} * ${Hashing.P2}
+       |    + (l2 * $a2 + $b2) % ${Hashing.P2} AS hh FROM l),
+       |r AS (SELECT source, hh, row_number() OVER (PARTITION BY source
+       |  ORDER BY hh) AS rn FROM h),
+       |k AS (SELECT source, count(*) AS n_kept,
+       |  CAST(max(hh) AS BIGINT) AS kth_hash
+       |  FROM r WHERE rn <= 256 GROUP BY source)
+       |SELECT source, n_kept, kth_hash,
+       |  CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+       |       ELSE $scale / greatest(kth_hash, 1) END AS distinct_est
+       |FROM k""".stripMargin
+  }
+
   /** Trailing-7-day KMV WAU replay — shared by the batch build and the
     * streaming changelog fold. */
   private lazy val wauKmvReplaySql: String = {
@@ -1829,6 +1855,7 @@ object OracleSql {
     // KMV distinct-token sketch per source: k=256 min distinct hashes;
     // (k-1)*P / kth as one double division, exact count under k
     "q_kmv_distinct" -> kmvReplaySql,
+    "q_kmv_wide" -> kmvWideReplaySql,
 
     // KMV set-operation replay (Beyer et al. estimator): per-source k-min
     // lists, union k-min by sort+slice, intersection by membership in

@@ -1349,6 +1349,18 @@ object SparkEntry {
     graft.pipeline.Sketch.kmvDistinct(toks, Seq("source"), col("tok"), k = 256)
   }
 
+  /** The WIDE-family twin of q_kmv_distinct: same corpus, same k, the
+    * [[graft.pipeline.Hashing.PW]] ≈ 10¹⁸ CRT-pair hash space — the
+    * production path for groups whose distinct counts can approach the
+    * 30-bit family's ~10⁹ ceiling. Still exact 64-bit integer arithmetic,
+    * still DuckDB-replayed value-exactly. */
+  private def qKmvWide(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("source"),
+      explode(split(Dedup.normalizeText(col("text")), " ")).alias("tok"))
+    graft.pipeline.Sketch.kmvDistinct(toks, Seq("source"), col("tok"),
+      k = 256, wide = true)
+  }
+
   /** Cross-source vocabulary overlap from KMV k-min sets
     * ([[graft.pipeline.Sketch.kmvJaccardPairs]]): per source pair,
     * Jaccard/union/intersection estimates from ONE bounded aggregate —
@@ -2664,6 +2676,7 @@ object SparkEntry {
     "q_tfidf" -> qTfidf _,
     "q_ann_sq8" -> qAnnSq8 _,
     "q_kmv_distinct" -> qKmv _,
+    "q_kmv_wide" -> qKmvWide _,
     "q_hll_distinct" -> qHll _,
     "q_lm_score" -> qLmScore _,
     "q_dsir" -> qDsir _,

@@ -44,7 +44,7 @@ object GraftExtensions {
     })
 
   val polyHashDescriptor: Descriptor =
-    unary("graft_poly_hash", classOf[PolyHash], PolyHash.apply)
+    unary("graft_poly_hash", classOf[PolyHash], (c: Expression) => PolyHash(c))
 
   val dotDescriptor: Descriptor =
     binary("graft_dot", classOf[DotProduct], DotProduct.apply)

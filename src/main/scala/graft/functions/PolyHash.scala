@@ -21,17 +21,18 @@ import graft.pipeline.Hashing
   * locked in by PipelineUnitSpec plus the full DuckDB oracle suite, whose
   * SQL twin replays the same fold.
   */
-case class PolyHash(child: Expression) extends UnaryExpression {
+case class PolyHash(child: Expression, mod: Long = Hashing.P)
+    extends UnaryExpression {
 
   // internal expression: every call site feeds a StringType column
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_poly_hash"
 
   override protected def nullSafeEval(input: Any): Any =
-    PolyHash.hash(input.asInstanceOf[UTF8String])
+    PolyHash.hash(input.asInstanceOf[UTF8String], mod)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.hash($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.hash($c, ${mod}L)")
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
     copy(child = newChild)
@@ -39,16 +40,20 @@ case class PolyHash(child: Expression) extends UnaryExpression {
 
 object PolyHash {
   /** Static target for generated code (scalac emits a forwarder on the
-    * class, so Janino sees a plain static method). */
-  def hash(s: UTF8String): Long = {
+    * class, so Janino sees a plain static method). The modulus is a
+    * parameter so the wide (CRT-pair) hash family can reuse the same fold
+    * with a second prime — see [[Hashing.P2]]. */
+  def hash(s: UTF8String, mod: Long): Long = {
     val str = s.toString
     var h = 0L
     var i = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)
-      h = (h * Hashing.B + cp) % Hashing.P
+      h = (h * Hashing.B + cp) % mod
       i += Character.charCount(cp)
     }
     h
   }
+
+  def hash(s: UTF8String): Long = hash(s, Hashing.P)
 }

@@ -28,10 +28,16 @@ import org.apache.spark.sql.types._
   * window-vs-aggregate gap at ≥4× on a single 10M-copy hot key, unbounded
   * in group cardinality). No up-front `distinct()` either: the buffer
   * dedups, so the raw token stream feeds the aggregate directly.
-  * Collision caveat: the 30-bit hash space caps resolvable cardinality
-  * around ~P; per-group distinct counts should stay well below that (the
-  * oracle gate needs the same hash on both sides, which rules out a
-  * 64-bit space — documented trade).
+  * Hash-space choice: the default 30-bit family caps resolvable
+  * cardinality near P ≈ 10⁹ per group. Every sketch constructor takes
+  * `wide = true` to switch to the [[Hashing.PW]] ≈ 10¹⁸ CRT-pair family
+  * (same base-131 fold under two primes — still exact 64-bit integer
+  * arithmetic, still DuckDB-replayable), which resolves cardinalities
+  * through ~10¹⁴. Use narrow for small/medium groups and the long-standing
+  * oracle fixtures; use wide whenever a group's distinct count can
+  * approach 10⁹ (WAU at 100 TB, corpus-wide vocabularies). The ceiling
+  * and the crossover are measured in PipelineUnitSpec's
+  * "wide-hash KMV resolves cardinalities past the 30-bit ceiling" test.
   *
   * Reference scope note: tempo has no sketches; this serves the pipeline
   * side (e.g. distinct-token profiling per source over a 100 TB corpus,
@@ -45,8 +51,14 @@ object Sketch {
     * same row set as the SQL replay's rank-over-DISTINCT-hashes form,
     * which yields no row for such a group. */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], itemCol: Column,
-      k: Int, seed: Int = 17): DataFrame =
-    kmvFromHashes(df, groupCols, Hashing.mix(Hashing.polyHash(itemCol), seed), k)
+      k: Int, seed: Int = 17, wide: Boolean = false): DataFrame =
+    if (wide)
+      kmvFromHashes(df, groupCols,
+        Hashing.mixWide(Hashing.wideHash(itemCol), seed), k,
+        space = Hashing.PW)
+    else
+      kmvFromHashes(df, groupCols,
+        Hashing.mix(Hashing.polyHash(itemCol), seed), k)
 
   /** KMV readout over pre-hashed values: per group, the k-min aggregate
     * + estimate of [[kmvDistinct]]. Exposed separately so any stream or
@@ -55,7 +67,7 @@ object Sketch {
     * rows are a superset of the final k-min set) can be folded to the
     * identical batch answer. */
   def kmvFromHashes(df: DataFrame, groupCols: Seq[String], hashCol: Column,
-      k: Int): DataFrame = {
+      k: Int, space: Long = Hashing.P): DataFrame = {
     require(k >= 2, "k must be >= 2")
     val gc = groupCols.map(col)
     val kmin = org.apache.spark.sql.GraftColumns.column(
@@ -76,7 +88,7 @@ object Sketch {
       // the identical guard
       .select(gc ++ Seq(nKept.alias("n_kept"), kth.alias("kth_hash"),
         when(nKept < k, nKept.cast(DoubleType))
-          .otherwise(lit((k - 1).toDouble * Hashing.P) /
+          .otherwise(lit((k - 1).toDouble * space) /
             greatest(kth, lit(1L)))
           .alias("distinct_est")): _*)
   }
@@ -136,11 +148,13 @@ object Sketch {
     * addressing of [[cmsBuild]] and [[cmsEstimate]] (the two MUST agree or
     * probes read the wrong counters). */
   private def cmsAddresses(itemCol: Column, width: Int, depth: Int,
-      seed: Int): Column = {
-    val h = Hashing.polyHash(itemCol)
+      seed: Int, wide: Boolean): Column = {
+    val h = if (wide) Hashing.wideHash(itemCol) else Hashing.polyHash(itemCol)
+    def remix(c: Column, s: Int): Column =
+      if (wide) Hashing.mixWide(c, s) else Hashing.mix(c, s)
     array((0 until depth).map { r =>
       struct(lit(r.toLong).alias("row"),
-        pmod(Hashing.mix(h, seed + r), lit(width.toLong)).alias("bucket"))
+        pmod(remix(h, seed + r), lit(width.toLong)).alias("bucket"))
     }: _*)
   }
 
@@ -158,9 +172,9 @@ object Sketch {
     * "how often does this token/URL/fingerprint occur" in O(depth) probed
     * cells instead of a corpus-wide count per question. */
   def cmsBuild(df: DataFrame, itemCol: Column, width: Int, depth: Int,
-      seed: Int = 53): DataFrame = {
+      seed: Int = 53, wide: Boolean = false): DataFrame = {
     require(width >= 2 && depth >= 1, "need width >= 2, depth >= 1")
-    df.select(explode(cmsAddresses(itemCol, width, depth, seed)).alias("__a"))
+    df.select(explode(cmsAddresses(itemCol, width, depth, seed, wide)).alias("__a"))
       .groupBy(col("__a.row").alias("row"), col("__a.bucket").alias("bucket"))
       .agg(count(lit(1)).alias("cnt"))
   }
@@ -172,12 +186,13 @@ object Sketch {
     * AQE broadcasts it and the probe never reshuffles the corpus.
     * Output: item, cms_est. */
   def cmsEstimate(probes: DataFrame, sketch: DataFrame, itemCol: Column,
-      width: Int, depth: Int, seed: Int = 53): DataFrame = {
+      width: Int, depth: Int, seed: Int = 53, wide: Boolean = false)
+      : DataFrame = {
     require(width >= 2 && depth >= 1, "need width >= 2, depth >= 1")
     probes
       .select(itemCol.alias("item")).distinct()
       .select(col("item"),
-        explode(cmsAddresses(col("item"), width, depth, seed)).alias("__a"))
+        explode(cmsAddresses(col("item"), width, depth, seed, wide)).alias("__a"))
       .join(sketch, col("__a.row") === sketch("row") &&
         col("__a.bucket") === sketch("bucket"), "left")
       .groupBy(col("item"))
@@ -420,6 +435,12 @@ object Sketch {
     * rho range so register arithmetic stays exact in 64-bit integers. */
   val HllHashBits = 30
 
+  /** Wide-family HLL hash bits: [[Hashing.PW]] ≈ 2^59.8, treated as a
+    * 60-bit space (the same top-of-range approximation the 30-bit family
+    * makes with P ≈ 2^29.9). Registers reach ~55, so 2^(r−register) sums
+    * stay well inside 64-bit integers. */
+  val HllHashBitsWide = 60
+
   /** Rational HLL bias constants alpha_m = hllAlphaNum(m)/1000 for the
     * small-m table, and the closed form 7213·m/(10000·m+10790) beyond —
     * kept rational so the estimate is a single IEEE division of two
@@ -458,9 +479,9 @@ object Sketch {
     * Reference scope note: tempo has no sketches (pipeline-side surface,
     * like the rest of this module). */
   def hllRegisters(df: DataFrame, groupCols: Seq[String], itemCol: Column,
-      bucketBits: Int = 6, seed: Int = 29): DataFrame = {
+      bucketBits: Int = 6, seed: Int = 29, wide: Boolean = false): DataFrame = {
     val gc = groupCols.map(col)
-    val (bucket, rho) = hllCells(itemCol, bucketBits, seed)
+    val (bucket, rho) = hllCells(itemCol, bucketBits, seed, wide)
     df.select(gc ++ Seq(bucket.alias("bucket"), rho.alias("__rho")): _*)
       .groupBy(gc :+ col("bucket"): _*)
       .agg(max(col("__rho")).alias("register"))
@@ -471,13 +492,15 @@ object Sketch {
     * ([[graft.streaming.StreamingTSDF.hllRegisters]]); the two MUST agree
     * or batch and stream sketches diverge. */
   private[graft] def hllCells(itemCol: Column, bucketBits: Int,
-      seed: Int): (Column, Column) = {
+      seed: Int, wide: Boolean = false): (Column, Column) = {
     require(bucketBits >= 4 && bucketBits <= 14, "need 4 <= bucketBits <= 14")
     val m = 1L << bucketBits
-    val wBits = HllHashBits - bucketBits
-    val h = Hashing.mix(Hashing.polyHash(itemCol), seed)
+    val wBits = (if (wide) HllHashBitsWide else HllHashBits) - bucketBits
+    val h =
+      if (wide) Hashing.mixWide(Hashing.wideHash(itemCol), seed)
+      else Hashing.mix(Hashing.polyHash(itemCol), seed)
     (pmod(h, lit(m)),
-      lit(wBits + 1) - bitLen((h / lit(m)).cast(LongType), wBits))
+      lit(wBits + 1) - bitLen(call_function("div", h, lit(m)), wBits))
   }
 
   /** Merge two [[hllRegisters]] sketches over the same group/bucket layout:
@@ -534,10 +557,10 @@ object Sketch {
     * column from cross-engine gates and from use when groups may sit in
     * the correction region of a replayed pipeline). */
   def hllEstimate(registers: DataFrame, groupCols: Seq[String],
-      bucketBits: Int = 6): DataFrame = {
+      bucketBits: Int = 6, wide: Boolean = false): DataFrame = {
     val gc = groupCols.map(col)
     val m = 1 << bucketBits
-    val r = HllHashBits - bucketBits + 1
+    val r = (if (wide) HllHashBitsWide else HllHashBits) - bucketBits + 1
     val (aNum, aDen) = hllAlpha(m)
     val grouped = registers
       .groupBy(gc: _*)
@@ -565,10 +588,12 @@ object Sketch {
   /** One (word, mask) pair per hash for `itemCol` — shared addressing of
     * [[bloomBuild]] and [[bloomProbe]]. */
   private def bloomAddresses(itemCol: Column, mBits: Int, depth: Int,
-      seed: Int): Column = {
-    val h = Hashing.polyHash(itemCol)
+      seed: Int, wide: Boolean): Column = {
+    val h = if (wide) Hashing.wideHash(itemCol) else Hashing.polyHash(itemCol)
+    def remix(c: Column, s: Int): Column =
+      if (wide) Hashing.mixWide(c, s) else Hashing.mix(c, s)
     array((0 until depth).map { r =>
-      val pos = pmod(Hashing.mix(h, seed + r), lit(mBits.toLong))
+      val pos = pmod(remix(h, seed + r), lit(mBits.toLong))
       struct((pos / BloomBitsPerWord).cast(LongType).alias("word"),
         call_function("shiftleft", lit(1L),
           (pos % BloomBitsPerWord).cast(
@@ -590,10 +615,11 @@ object Sketch {
     * joining the historical corpus ([[Dedup.incrementalDedup]]'s anti-join
     * stays the exact path; the Bloom pass prunes its probe side). */
   def bloomBuild(df: DataFrame, itemCol: Column, mBits: Int, depth: Int,
-      seed: Int = 97): DataFrame = {
+      seed: Int = 97, wide: Boolean = false): DataFrame = {
     require(mBits >= BloomBitsPerWord && depth >= 1,
       s"need mBits >= $BloomBitsPerWord, depth >= 1")
-    df.select(explode(bloomAddresses(itemCol, mBits, depth, seed)).alias("__a"))
+    df.select(explode(bloomAddresses(itemCol, mBits, depth, seed, wide))
+      .alias("__a"))
       .select(col("__a.word").alias("word"), col("__a.mask").alias("mask"))
       .distinct()
       .groupBy(col("word"))
@@ -606,11 +632,13 @@ object Sketch {
     * broadcasts it; the probe side streams through map-side.
     * Output: probe rows + bloom_hit. */
   def bloomProbe(probes: DataFrame, filter: DataFrame, itemCol: Column,
-      mBits: Int, depth: Int, seed: Int = 97): DataFrame = {
+      mBits: Int, depth: Int, seed: Int = 97, wide: Boolean = false)
+      : DataFrame = {
     require(mBits >= BloomBitsPerWord && depth >= 1,
       s"need mBits >= $BloomBitsPerWord, depth >= 1")
     val probed = probes
-      .withColumn("__a", explode(bloomAddresses(itemCol, mBits, depth, seed)))
+      .withColumn("__a",
+        explode(bloomAddresses(itemCol, mBits, depth, seed, wide)))
       .join(filter, col("__a.word") === filter("word"), "left")
       .withColumn("__ok",
         when(col("word_mask").isNotNull &&

@@ -3856,6 +3856,107 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(Video.parseAviMjpeg(wrongCodec).isEmpty)
   }
 
+  test("wide-hash KMV resolves cardinalities past the 30-bit ceiling " +
+      "(1.2e9 distinct: narrow saturates near P, wide within 15%)") {
+    // Streams n distinct inputs through the REAL mixer families
+    // (mixLong = the narrow per-item hash, mixWideLong = the wide one)
+    // into a k-min-of-DISTINCT-hashes tracker — the KMinDistinctAgg
+    // semantics in miniature. Above n ≈ P the narrow family cannot
+    // represent the cardinality (any map into [0, P) caps there); the
+    // wide CRT family keeps resolving. Deterministic: fixed seeds, fixed
+    // inputs, no RNG. ~10s of pure JVM arithmetic — the price of
+    // measuring the ceiling rather than asserting it.
+    def kminEst(n: Long, k: Int, mix: Long => Long, space: Long): Double = {
+      val set = new java.util.TreeSet[java.lang.Long]()
+      var kth = Long.MaxValue
+      var i = 0L
+      while (i < n) {
+        val h = mix(i)
+        if (set.size < k) {
+          set.add(h)
+          if (set.size == k) kth = set.last
+        } else if (h < kth && !set.contains(h)) {
+          set.add(h); set.pollLast(); kth = set.last
+        }
+        i += 1
+      }
+      if (set.size < k) set.size.toDouble
+      else (k - 1).toDouble * space / kth.toDouble
+    }
+    val k = 512
+    // the wide hash of input i, with BOTH CRT legs distributed — the
+    // structure wideHash gives string items (value mod P, value mod P2).
+    // NB: mixWideLong alone is NOT this: it remixes the legs of an
+    // already-wide value and degenerates on narrow integers (high leg 0).
+    val a1 = Hashing.aCoef(7); val b1 = Hashing.bCoef(7)
+    val a2 = Hashing.aCoef2(7); val b2 = Hashing.bCoef2(7)
+    def wideOf(i: Long): Long =
+      (i * a1 + b1) % Hashing.P * Hashing.P2 + (i * a2 + b2) % Hashing.P2
+    // accuracy at 10^7 (both families fine — well under the ceiling)
+    val n7 = 10_000_000L
+    val w7 = kminEst(n7, k, wideOf, Hashing.PW)
+    val s7 = kminEst(n7, k, Hashing.mixLong(_, 7), Hashing.P)
+    assert(math.abs(w7 - n7) / n7 < 0.15, s"wide at 1e7: $w7")
+    assert(math.abs(s7 - n7) / n7 < 0.15, s"narrow at 1e7: $s7")
+    // the ceiling at 1.2·P distinct: the narrow family CANNOT report more
+    // than P ≈ 1.0e9 (here the affine per-item hash is a permutation, so
+    // it reports exactly the space size — the ceiling in its purest form,
+    // a 17% undercount that only grows with the true count); wide tracks
+    // the true 1.2e9
+    val n9 = 1_200_000_000L
+    val w9 = kminEst(n9, k, wideOf, Hashing.PW)
+    val s9 = kminEst(n9, k, Hashing.mixLong(_, 7), Hashing.P)
+    assert(math.abs(w9 - n9) / n9 < 0.15, s"wide at 1.2e9: $w9")
+    assert(s9 <= Hashing.P.toDouble * 1.01 && s9 >= Hashing.P.toDouble * 0.9,
+      s"narrow must pin at the space size ~P, got $s9")
+  }
+
+  test("wide sketch variants: KMV exact below k, HLL/CMS/Bloom sane, " +
+      "column form congruent with the JVM scalar") {
+    import spark.implicits._
+    val items = (0 until 5000).map(i => s"item-$i")
+    val df = items.toDF("item").withColumn("g", lit("g"))
+    // column/JVM congruence of the wide hash on ASCII strings
+    val colHashes = df.limit(50)
+      .select(col("item"), Hashing.wideHash(col("item")).alias("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    colHashes.foreach { case (s, h) =>
+      assert(h == Hashing.wideHashBytes(s.getBytes("US-ASCII")), s)
+    }
+    // KMV wide: exact below k, close above
+    val exact = Sketch.kmvDistinct(df.limit(100), Seq("g"), col("item"),
+      k = 256, wide = true).collect().head
+    assert(exact.getAs[Long]("n_kept") == 100 &&
+      exact.getAs[Double]("distinct_est") == 100.0)
+    val est = Sketch.kmvDistinct(df, Seq("g"), col("item"), k = 256,
+      wide = true).collect().head.getAs[Double]("distinct_est")
+    assert(math.abs(est - 5000) / 5000.0 < 0.25, s"kmv wide est $est")
+    // HLL wide: estimate within the m=64 error envelope
+    val hllEst = Sketch.hllEstimate(
+      Sketch.hllRegisters(df, Seq("g"), col("item"), bucketBits = 6,
+        wide = true),
+      Seq("g"), bucketBits = 6, wide = true)
+      .collect().head.getAs[Double]("hll_est")
+    assert(math.abs(hllEst - 5000) / 5000.0 < 0.4, s"hll wide est $hllEst")
+    // CMS wide: upper bound, tight at this width
+    val sketch = Sketch.cmsBuild(df, col("item"), width = 65536, depth = 3,
+      wide = true)
+    val probes = Seq("item-7", "item-4999", "absent").toDF("p")
+    val cms = Sketch.cmsEstimate(probes, sketch, col("p"), width = 65536,
+      depth = 3, wide = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cms("item-7") >= 1 && cms("item-7") <= 3)
+    assert(cms("item-4999") >= 1 && cms("item-4999") <= 3)
+    assert(cms("absent") <= 2) // collisions only
+    // Bloom wide: zero false negatives on members
+    val filt = Sketch.bloomBuild(df, col("item"), mBits = 65536, depth = 4,
+      wide = true)
+    val hits = Sketch.bloomProbe(items.take(200).toDF("p"), filt, col("p"),
+      mBits = 65536, depth = 4, wide = true)
+      .collect().map(_.getAs[Boolean]("bloom_hit"))
+    assert(hits.forall(identity), "bloom wide must have no false negatives")
+  }
+
   test("parseMediaMeta reads AVI headers (avih µs/frame, frames, dims)") {
     val frame = Jpeg.buildJpegWithBlocks(16, 8, (_, _) => 100)
     val avi = Video.buildAviMjpeg(16, 8, fps = 4, Seq(frame, frame, frame))
