@@ -492,6 +492,48 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("WindowGroupLimit pushdown holds on every top-k window path: a " +
+      "partial group-limit runs below the exchange") {
+    import spark.implicits._
+    // Spark 4 plans rank<=k window filters as WindowGroupLimit with a
+    // Partial stage BEFORE the shuffle — each map task keeps only its
+    // local top-k per key, so a hot key never funnels its full row set
+    // into one sort task. These paths' 100 TB story depends on it; pin it
+    // so a Spark upgrade or an expression change can't silently restore
+    // the full per-key sort.
+    def pinned(df: DataFrame): Unit = {
+      val p = plan(df)
+      assert(p.contains("WindowGroupLimit"), p)
+      assert(p.contains("Partial"), s"no partial group-limit below the exchange:\n$p")
+      assert(p.contains("Final"), p)
+    }
+    // 1-2. TSDF.earliest / latest (TSDF.scala topRows)
+    val tsdf = TSDF(eventsDf, "ts", Seq("user_id"))
+    pinned(tsdf.earliest(2).df)
+    pinned(tsdf.latest(3).df)
+    // 3. sampleKPerStratum (Splits.scala)
+    val docs = (1 to 500).map(i => (i.toLong, s"s${i % 5}")).toDF("id", "stratum")
+    pinned(graft.pipeline.Splits.sampleKPerStratum(docs, "id", "stratum", k = 3))
+    // 4. Similarity brute-force top-k rank filter
+    val vecs = (1 to 40).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * d % 7).toDouble))).toDF("vid", "v")
+    pinned(graft.pipeline.Similarity.bruteForceTopK(
+      vecs.filter(col("vid") <= 3), vecs, "vid", "v", k = 2))
+    // 5. Retrieval BM25 per-query rank filter (multi-query: the window
+    // partitions by query id, so the group-limit applies per query)
+    val corpus = (1 to 60).map(i => (i.toLong, s"term${i % 9} word$i common"))
+      .toDF("doc_id", "text")
+    val queries = Seq((1L, Seq("term1", "common")), (2L, Seq("term2")))
+      .toDF("qid", "terms")
+    pinned(graft.pipeline.Retrieval.bm25TopKMultiQuery(corpus, "text",
+      "doc_id", queries, "qid", "terms", k = 3))
+    // 6. single-query BM25 has an UNpartitioned rank window — Spark plans
+    // the strictly better TakeOrderedAndProject (global top-k pushdown)
+    val single = plan(graft.pipeline.Retrieval.bm25TopK(corpus, "text",
+      "doc_id", Seq("term1", "common"), k = 3))
+    assert(single.contains("TakeOrderedAndProject"), single)
+  }
+
   test("KMV sketches plan zero windows: the k-min set is a bounded " +
       "mergeable aggregate in both stages") {
     import spark.implicits._
