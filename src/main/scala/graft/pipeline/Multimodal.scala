@@ -6,26 +6,30 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque `binary`
   * columns with a typed metadata struct, plus batch-shaped decode /
-  * feature-extract / resize / frame-sample operators.
+  * feature-extract / resize / frame-sample / coverage operators.
   *
   * Metadata extraction ([[withMediaMeta]]) is REAL header parsing — pure
-  * byte-offset arithmetic over PNG IHDR, JPEG SOF markers, WAV RIFF chunks
-  * and MP4 mvhd boxes; no codec library involved. PNG *pixel* decode is
-  * also real ([[decodePng]]: JDK Inflater + the spec's five scanline
-  * unfilters — no library needed), as is WAV PCM sample decode
-  * ([[decodeWavSamples]]: chunk walk + sign-extended LE16 reads —
-  * uncompressed audio needs no codec either). Only JPEG/video sample
-  * decode remains stubbed: those genuinely need codec libraries, absent
-  * in this container, so `decodeStub` derives a deterministic fake
-  * decode from the payload bytes.
-  * Swap `decodeStub` for a real codec (e.g. javacpp-ffmpeg / TwelveMonkeys)
-  * at deployment; nothing else changes.
+  * byte-offset arithmetic over PNG IHDR, JPEG SOF markers, WAV and AVI
+  * RIFF chunks and MP4 mvhd boxes; no codec library involved. Sample
+  * decode is REAL for every format the pipeline fixtures exercise:
+  * PNG pixels ([[decodePng]]: JDK Inflater + the spec's five scanline
+  * unfilters), WAV PCM ([[decodeWavSamples]]: chunk walk + sign-extended
+  * LE16 reads), baseline AND progressive JPEG ([[Jpeg.decodeJpeg]]:
+  * pure-JVM IJG-arithmetic decoder, ImageIO-bit-identical), and
+  * MJPEG-AVI video ([[Video.parseAviMjpeg]] + per-frame JPEG decode).
+  * No codec seam remains; formats outside that set (e.g. MP4/H.264
+  * samples, arithmetic-coded JPEG) deliberately return None, and
+  * [[mediaCoverage]] reports the decoded / header-only / dropped split
+  * as a first-class curation metric.
   *
-  * The stub feature arithmetic is the engine-agnostic [[Hashing]]
-  * polynomial, so for ASCII payloads (bytes == codepoints) a DuckDB oracle
-  * can replay the extracted features bit-for-bit; the header parser is
-  * correctness-gated by `q_media_meta_real`, which parses payloads
-  * synthesized from arithmetic the oracle replays without touching bytes.
+  * [[fingerprintFeatures]] (the [[extractFeatures]] fallback for
+  * non-decodable payloads) uses the engine-agnostic [[Hashing]]
+  * polynomial, so for ASCII payloads (bytes == codepoints) a DuckDB
+  * oracle can replay the extracted features bit-for-bit; the header
+  * parser is correctness-gated by `q_media_meta_real`, the decoders by
+  * `q_decode_png/_jpeg/_jpeg_prog/_wav/_video`, `q_pixel_hist`, and
+  * `q_resize_real` — all payloads synthesized from arithmetic the
+  * oracle replays without touching bytes.
   */
 object Multimodal {
 
