@@ -269,6 +269,13 @@ object Jpeg {
   @inline private def u16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
 
+  /** Hard cap on declared width×height (samples) accepted by the decoder.
+    * 100 M samples ≈ a 10k×10k frame — far above any fixture yet small
+    * enough that the worst-case allocation (3 planes + 3 coef stores for
+    * a progressive 3-component scan, ~28 bytes/sample) stays under ~3 GB
+    * per row instead of the ~120 GB a hostile 65535×65535 SOF implies. */
+  private[pipeline] val MaxDecodedSamples = 100000000L
+
   /** Decode a baseline or progressive JFIF payload; None on any
     * unsupported or corrupt structure. Output: grayscale (1 channel) or
     * interleaved RGB. */
@@ -365,6 +372,13 @@ object Jpeg {
             val nc = bytes(seg + 5) & 0xFF
             if (prec != 8 || width <= 0 || height <= 0 ||
                 (nc != 1 && nc != 3) || len != 8 + 3 * nc) return None
+            // decompression-bomb guard: a few-hundred-byte hostile SOF can
+            // declare up to 65535×65535 (~4.3e9 samples) and trigger
+            // multi-GB plane/coefficient allocations (progressive
+            // allocates at the first scan header, before any entropy data
+            // is validated). Cap BEFORE any allocation — shared by the
+            // baseline decodeScan planes and allocProgressive coef stores.
+            if (width.toLong * height > MaxDecodedSamples) return None
             comps = new Array[Component](nc)
             var ci = 0
             while (ci < nc) {

@@ -110,8 +110,13 @@ object Multimodal {
           val totalFrames = le32(bytes, oi + 20 + 16)
           val w = le32(bytes, oi + 20 + 32).toInt
           val h = le32(bytes, oi + 20 + 36).toInt
-          val ms = if (usPerFrame > 0) Some(usPerFrame * totalFrames / 1000L)
-            else None
+          // both factors are hostile unsigned 32-bit reads: the product can
+          // reach ~1.8e19 and wrap Long — reject rather than report a
+          // negative/garbage duration (same discipline as declared sizes).
+          val ms = if (usPerFrame > 0 &&
+              (totalFrames == 0L || usPerFrame <= Long.MaxValue / totalFrames))
+            Some(usPerFrame * totalFrames / 1000L)
+          else None
           return ("video", "avi", Some(w), Some(h), ms)
         }
         o += 8L + sz + (sz & 1L)
@@ -613,9 +618,10 @@ object Multimodal {
   /** Decoder drop-rate report: per (format, status) document counts over a
     * payload column. `status`: `decoded` = a built-in codec took the
     * samples all the way ([[sampleHistogram]] dispatch — PNG / baseline
-    * JPEG / PCM WAV / MJPEG AVI); `header_only` = a container header
-    * parsed ([[parseMediaMeta]]) but no sample decode applies (e.g. MP4
-    * metadata, progressive JPEG sources, truncated streams); `dropped` =
+    * baseline+progressive JPEG / PCM WAV / MJPEG AVI); `header_only` =
+    * a container header parsed ([[parseMediaMeta]]) but no sample decode
+    * applies (e.g. H.264 MP4 metadata, arithmetic-coded JPEG, truncated
+    * streams); `dropped` =
     * no known container at all. At 100 TB the drop rate IS a curation
     * metric — and every deliberate None path in the codecs is
     * regression-pinned by it. Scan + per-partition decode + a ≤
@@ -867,7 +873,7 @@ object Multimodal {
     * as a spec-valid PNG ([[buildPngWithPixels]], filter 0 — store-fast;
     * a production writer would pick filters per row). Non-image rows and
     * image payloads the engine cannot decode (e.g. header-only fixtures,
-    * progressive sources) pass through untouched with their original
+    * arithmetic-coded JPEG) pass through untouched with their original
     * metadata — undecodable is a coverage fact, not a crash. Output keeps
     * the input schema; resized rows carry updated width/height. */
   def resizeImages(df: DataFrame, idCol: String, payloadCol: String,

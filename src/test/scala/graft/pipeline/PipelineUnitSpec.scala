@@ -3969,6 +3969,40 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(meta == ("video", "avi", Some(16), Some(24), Some(1000L)))
   }
 
+  test("parseMediaMeta rejects an overflowing AVI duration product; " +
+      "decodeJpeg rejects a decompression-bomb SOF before allocating") {
+    // hostile avih: usPerFrame and totalFrames both 0xFFFFFFFF — the µs
+    // product (~1.8e19) would wrap Long to a negative duration_ms.
+    val frame = Jpeg.buildJpegWithBlocks(16, 8, (_, _) => 100)
+    val avi = Video.buildAviMjpeg(16, 8, fps = 4, Seq(frame))
+    for (off <- Seq(32, 48); k <- 0 until 4) // usPerFrame / totalFrames LE32
+      avi(off + k) = 0xFF.toByte
+    assert(Multimodal.parseMediaMeta(avi) ==
+      ("video", "avi", Some(16), Some(8), None),
+      "wrapped duration must surface as None, dims still parsed")
+    // hostile SOF: a few-hundred-byte stream declaring 46000×46000
+    // (2.1e9 samples > MaxDecodedSamples) must be dropped at the header,
+    // not OOM on plane/coef allocation. Patch both a baseline (SOF0) and
+    // a progressive (SOF2) fixture at the spec h/w offsets.
+    val progGray = Jpeg.buildProgressiveJpeg(16, 8, 1,
+      Array.tabulate(16 * 8)(i => (i % 16 * 7 + i / 16 * 3) % 256))
+    for (jpg <- Seq(Jpeg.buildJpegWithBlocks(16, 8, (_, _) => 100),
+        progGray)) {
+      var sof = -1; var i = 2
+      while (sof < 0 && i + 1 < jpg.length) {
+        val m = jpg(i + 1) & 0xFF
+        if ((jpg(i) & 0xFF) == 0xFF && (m == 0xC0 || m == 0xC2)) sof = i
+        else i += 1
+      }
+      assert(sof > 0, "fixture has no SOF marker")
+      // FF Cx len(2) prec(1) H(2) W(2): H at sof+5, W at sof+7
+      val dim = 46000
+      jpg(sof + 5) = (dim >> 8).toByte; jpg(sof + 6) = (dim & 0xFF).toByte
+      jpg(sof + 7) = (dim >> 8).toByte; jpg(sof + 8) = (dim & 0xFF).toByte
+      assert(Jpeg.decodeJpeg(jpg).isEmpty, "bomb SOF must be rejected")
+    }
+  }
+
   test("mediaCoverage reports decoded / header_only / dropped per format") {
     import spark.implicits._
     val ids = (0L until 36L).toDF("doc_id")
