@@ -1891,6 +1891,9 @@ object OracleSql {
     // (any final member entered the running set at first sight), so the
     // streaming twin shares the batch replay verbatim
     "q_stream_kmv" -> kmvReplaySql,
+    // the wide streaming twin folds to the batch wide KMV exactly
+    // (changelog superset invariant), so it shares q_kmv_wide's replay
+    "q_stream_kmv_wide" -> kmvWideReplaySql,
 
     // HyperLogLog replay: 64 registers over the 30-bit polynomial hash,
     // rho via an unrolled bit-length CASE chain, harmonic sum in integer

@@ -2179,6 +2179,23 @@ object SparkEntry {
       runStream(s, mins), Seq("source"), col("h"), k = 256)
   }
 
+  /** The WIDE-family twin of q_stream_kmv: the same changelog stream and
+    * k-min fold addressed through the ~10¹⁸ CRT-pair hash space — the
+    * streaming face of q_kmv_wide (whose oracle it shares verbatim:
+    * stream fold == batch wide KMV by the changelog superset invariant).
+    * This is the production path when a streamed group's distinct count
+    * can approach the narrow family's ~10⁹ ceiling (WAU at 100 TB). */
+  private def qStreamKmvWide(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val toks = docsStream(s, dir).select(col("source"),
+      explode(split(Dedup.normalizeText(col("text")), " ")).alias("tok"))
+    val mins = graft.streaming.StreamingTSDF.kmvMins(
+      toks, Seq("source"), col("tok"), k = 256, wide = true)
+    graft.pipeline.Sketch.kmvFromHashes(
+      runStream(s, mins), Seq("source"), col("h"), k = 256,
+      space = graft.pipeline.Hashing.PW)
+  }
+
   /** Streaming trailing-7-day WAU via the KMV changelog: per-DAY running
     * k-min sets stream through [[graft.streaming.StreamingTSDF.kmvMins]]
     * (day = the series key), and the batch trailing merge
@@ -2756,6 +2773,7 @@ object SparkEntry {
     "q_stream_scd2" -> qStreamScd2 _,
     "q_stream_dsir" -> qStreamDsir _,
     "q_stream_kmv" -> qStreamKmv _,
+    "q_stream_kmv_wide" -> qStreamKmvWide _,
     "q_kmv_jaccard" -> qKmvJaccard _,
     "q_stream_wau_kmv" -> qStreamWauKmv _,
     "q_rolling_slope" -> qRollingSlope _,

@@ -220,9 +220,15 @@ object Sketch {
     * k-min (its dedup buffer makes the union-distinct implicit).
     * Output: (bucket, n_kept, kth_hash, distinct_est). */
   def kmvDistinctTrailing(df: DataFrame, bucketCol: Column, itemCol: Column,
-      k: Int, windowBuckets: Int, seed: Int = 17): DataFrame =
-    kmvTrailingFromHashes(df, bucketCol,
-      Hashing.mix(Hashing.polyHash(itemCol), seed), k, windowBuckets)
+      k: Int, windowBuckets: Int, seed: Int = 17,
+      wide: Boolean = false): DataFrame =
+    if (wide)
+      kmvTrailingFromHashes(df, bucketCol,
+        Hashing.mixWide(Hashing.wideHash(itemCol), seed), k, windowBuckets,
+        space = Hashing.PW)
+    else
+      kmvTrailingFromHashes(df, bucketCol,
+        Hashing.mix(Hashing.polyHash(itemCol), seed), k, windowBuckets)
 
   /** Trailing-window KMV readout over pre-hashed values — the
     * [[kmvFromHashes]] twin of [[kmvDistinctTrailing]], so a streaming
@@ -230,7 +236,8 @@ object Sketch {
     * ([[graft.streaming.StreamingTSDF.kmvMins]]) folds to the identical
     * sliding estimates. */
   def kmvTrailingFromHashes(df: DataFrame, bucketCol: Column,
-      hashCol: Column, k: Int, windowBuckets: Int): DataFrame = {
+      hashCol: Column, k: Int, windowBuckets: Int,
+      space: Long = Hashing.P): DataFrame = {
     require(k >= 2 && windowBuckets >= 1, "need k >= 2, windowBuckets >= 1")
     def kmin(c: Column) = org.apache.spark.sql.GraftColumns.column(
       graft.functions.KMinDistinctAgg(
@@ -251,7 +258,7 @@ object Sketch {
     merged
       .select(col("bucket"), nKept.alias("n_kept"), kth.alias("kth_hash"),
         when(nKept < k, nKept.cast(DoubleType))
-          .otherwise(lit((k - 1).toDouble * Hashing.P) /
+          .otherwise(lit((k - 1).toDouble * space) /
             greatest(kth, lit(1L))) // see [[kmvDistinct]]
           .alias("distinct_est"))
   }

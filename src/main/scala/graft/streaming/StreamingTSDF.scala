@@ -965,11 +965,17 @@ object StreamingTSDF {
     * fresh sketch for series idle past the watermark. */
   def hllRegisters(df: DataFrame, tsCol: String, seriesCols: Seq[String],
       itemCol: Column, bucketBits: Int = 6, seed: Int = 29,
-      stateTtl: Option[String] = None): DataFrame = {
+      stateTtl: Option[String] = None, wide: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val m = 1 << bucketBits
-    val (bucket, rho) = graft.pipeline.Sketch.hllCells(itemCol, bucketBits, seed)
+    // `wide` selects the ~60-bit CRT-pair family (cells from the SAME
+    // shared hllCells expressions the batch builder uses, so batch and
+    // stream cannot drift) — required when a series' distinct count can
+    // approach the narrow family's ~10⁹ ceiling; read the rollup with
+    // hllEstimate(..., wide = true).
+    val (bucket, rho) =
+      graft.pipeline.Sketch.hllCells(itemCol, bucketBits, seed, wide)
     val projected = df.select(
       seriesKey(seriesCols).alias("series"),
       bucket.alias("bucket"), rho.cast(IntegerType).alias("rho"),
@@ -1032,12 +1038,19 @@ object StreamingTSDF {
     * event time here; the per-bucket trailing variant is the place for
     * watermark/ttl semantics. */
   def kmvMins(df: DataFrame, seriesCols: Seq[String], itemCol: Column,
-      k: Int, seed: Int = 17): DataFrame = {
+      k: Int, seed: Int = 17, wide: Boolean = false): DataFrame = {
     require(k >= 2, "k must be >= 2")
     val spark = df.sparkSession
     import spark.implicits._
-    val h = graft.pipeline.Hashing.mix(
-      graft.pipeline.Hashing.polyHash(itemCol), seed)
+    // `wide` = the ~60-bit CRT-pair family, same expressions as the batch
+    // kmvDistinct(wide = true) path — the k-min/changelog logic below is
+    // hash-agnostic, so parity is by construction; fold the sink with
+    // kmvFromHashes(..., space = Hashing.PW).
+    val h =
+      if (wide) graft.pipeline.Hashing.mixWide(
+        graft.pipeline.Hashing.wideHash(itemCol), seed)
+      else graft.pipeline.Hashing.mix(
+        graft.pipeline.Hashing.polyHash(itemCol), seed)
     val events = df.select(
       seriesKey(seriesCols).alias("series"), h.alias("h"))
       .filter(col("h").isNotNull).as[KmvEvent]

@@ -2566,6 +2566,17 @@ class PipelineUnitSpec extends SparkTestBase {
       big, col("b"), col("item"), k = 64, windowBuckets = 1)
       .select("distinct_est").as[Double].head()
     assert(math.abs(est - 500) / 500.0 < 0.2, s"estimate $est")
+    // wide family: exact-mode unions identical (counts are hash-agnostic
+    // when n_kept < k); estimate mode must read through the PW space
+    val gotW = graft.pipeline.Sketch.kmvDistinctTrailing(
+      rows, col("b"), col("item"), k = 16, windowBuckets = 2, wide = true)
+      .orderBy("bucket").select("bucket", "distinct_est")
+      .as[(Long, Double)].collect().toSeq
+    assert(gotW == Seq((0L, 2.0), (1L, 3.0), (2L, 2.0), (3L, 1.0)))
+    val estW = graft.pipeline.Sketch.kmvDistinctTrailing(
+      big, col("b"), col("item"), k = 64, windowBuckets = 1, wide = true)
+      .select("distinct_est").as[Double].head()
+    assert(math.abs(estW - 500) / 500.0 < 0.2, s"wide estimate $estW")
   }
 
   test("rollingQuantile selects the exact trailing-frame quantile") {

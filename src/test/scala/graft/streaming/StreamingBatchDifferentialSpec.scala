@@ -54,33 +54,39 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
   }
 
   test("property: streaming kmvMins changelog folds to the exact batch " +
-      "KMV sketch across micro-batches (with evictions)") {
+      "KMV sketch across micro-batches (with evictions), narrow AND wide") {
     val spark2 = spark
     import spark2.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val rnd = new scala.util.Random(47)
-    val mem = MemoryStream[(String, String)]
-    // k = 16 against ~500 distinct items per series: the running set
-    // churns hard, so the changelog carries plenty of later-evicted
-    // hashes — the fold must trim them to the exact batch k-min
-    val out = StreamingTSDF.kmvMins(mem.toDF().toDF("src", "item"),
-      Seq("src"), col("item"), k = 16)
-    val q = out.writeStream.format("memory").queryName("kmv_diff_sink")
-      .outputMode(OutputMode.Append()).start()
-    val all = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    for (_ <- 0 until 5) {
-      val batch = (0 until 300).map(_ =>
-        ("s" + rnd.nextInt(3), "it" + rnd.nextInt(500)))
-      all ++= batch
-      mem.addData(batch: _*)
-      q.processAllAvailable()
+    for (wide <- Seq(false, true)) {
+      val rnd = new scala.util.Random(47)
+      val mem = MemoryStream[(String, String)]
+      // k = 16 against ~500 distinct items per series: the running set
+      // churns hard, so the changelog carries plenty of later-evicted
+      // hashes — the fold must trim them to the exact batch k-min
+      val out = StreamingTSDF.kmvMins(mem.toDF().toDF("src", "item"),
+        Seq("src"), col("item"), k = 16, wide = wide)
+      val sinkName = s"kmv_diff_sink_$wide"
+      val q = out.writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append()).start()
+      val all = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      for (_ <- 0 until 5) {
+        val batch = (0 until 300).map(_ =>
+          ("s" + rnd.nextInt(3), "it" + rnd.nextInt(500)))
+        all ++= batch
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val space = if (wide) graft.pipeline.Hashing.PW
+        else graft.pipeline.Hashing.P
+      val folded = graft.pipeline.Sketch.kmvFromHashes(
+        spark.table(sinkName), Seq("src"), col("h"), 16, space = space)
+      val batchSketch = graft.pipeline.Sketch.kmvDistinct(
+        all.toSeq.toDF("src", "item"), Seq("src"), col("item"), 16,
+        wide = wide)
+      withClue(s"wide=$wide: ") { assertDfEquality(folded, batchSketch) }
     }
-    q.stop()
-    val folded = graft.pipeline.Sketch.kmvFromHashes(
-      spark.table("kmv_diff_sink"), Seq("src"), col("h"), 16)
-    val batchSketch = graft.pipeline.Sketch.kmvDistinct(
-      all.toSeq.toDF("src", "item"), Seq("src"), col("item"), 16)
-    assertDfEquality(folded, batchSketch)
   }
 
   test("property: streaming resample(mean) equals batch resample on random series") {

@@ -195,21 +195,24 @@ class StreamingResumeSpec extends SparkTestBase {
     assertDfEquality(streamed, batch)
   }
 
-  test("streaming hll changelog max-rolls to the batch register file over 4 batches") {
-    val rnd = new scala.util.Random(95)
-    val rows = randomSeries(rnd)
-    val spark2 = spark
-    import spark2.implicits._
-    val sink = runChunkedStream(rows, 4, df =>
-      StreamingTSDF.hllRegisters(df, "ts", Seq("user_id"),
-        col("value").cast("string")))
-    val rolled = sink.groupBy(col("user_id"), col("bucket"))
-      .agg(max(col("register")).alias("register"))
-    val batch = graft.pipeline.Sketch.hllRegisters(
-      rows.toDF("user_id", "ts", "value"), Seq("user_id"),
-      col("value").cast("string"))
-    // register changelog rollup == batch register file, bit-exact
-    assertDfEquality(rolled, batch)
+  test("streaming hll changelog max-rolls to the batch register file over " +
+      "4 batches, narrow AND wide") {
+    for (wide <- Seq(false, true)) {
+      val rnd = new scala.util.Random(95)
+      val rows = randomSeries(rnd)
+      val spark2 = spark
+      import spark2.implicits._
+      val sink = runChunkedStream(rows, 4, df =>
+        StreamingTSDF.hllRegisters(df, "ts", Seq("user_id"),
+          col("value").cast("string"), wide = wide))
+      val rolled = sink.groupBy(col("user_id"), col("bucket"))
+        .agg(max(col("register")).alias("register"))
+      val batch = graft.pipeline.Sketch.hllRegisters(
+        rows.toDF("user_id", "ts", "value"), Seq("user_id"),
+        col("value").cast("string"), wide = wide)
+      // register changelog rollup == batch register file, bit-exact
+      withClue(s"wide=$wide: ") { assertDfEquality(rolled, batch) }
+    }
   }
 
   test("streaming histogram deltas sum-roll to the batch histogram over 4 batches") {
