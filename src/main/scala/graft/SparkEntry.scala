@@ -2366,6 +2366,34 @@ object SparkEntry {
       TextAnalysis.tokenCount(col("text")).cast(LongType).alias("n_tokens"),
       TextAnalysis.bpeTokenEstimate(col("text")).cast(LongType).alias("bpe_tokens"))
 
+  /** Tokenizer-true subword counts: a 200-merge BPE table trained on the
+    * corpus itself ([[graft.pipeline.Bpe.train]] — one bounded word-count
+    * aggregate + a driver loop over the capped vocab), then one codegen'd
+    * scan counting every document. The oracle is DYNAMIC (trained merges
+    * embedded at dump time, the q_pca_project discipline) and replays the
+    * greedy encode as 200 nested scan-forward `replace` calls over
+    * `|`-wrapped symbols — exactly the [[graft.functions.BpeTable]] fold. */
+  private def qBpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val merges = graft.pipeline.Bpe.train(d, "text", numMerges = 200)
+    d.select(col("doc_id"),
+      graft.pipeline.Bpe.tokenCount(col("text"), merges).alias("n_bpe_tokens"))
+  }
+
+  /** Packing under tokenizer-true budgets: the q_pack_sequences layout
+    * with [[graft.pipeline.Bpe.tokenCount]] (trained 200-merge table)
+    * replacing the char heuristic — the integration seam
+    * [[graft.pipeline.Packing.packSequencesByTokens]] exists for. Same
+    * two-pass bucketed prefix-sum plan; only the token expression
+    * changes. */
+  private def qPackBpe(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val merges = graft.pipeline.Bpe.train(d, "text", numMerges = 200)
+    graft.pipeline.Packing.packSequencesByTokens(d,
+      graft.pipeline.Bpe.tokenCount(col("text"), merges),
+      "doc_id", Seq("source"), capacity = 2048)
+  }
+
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), col("source"),
       TextAnalysis.fingerprint(col("text")).alias("fp"))
@@ -2785,6 +2813,8 @@ object SparkEntry {
     "q_boilerplate" -> qBoilerplate _,
     "q_mixture_budget" -> qMixtureBudget _,
     "q_token_count" -> qTokenCount _,
+    "q_bpe_tokens" -> qBpeTokens _,
+    "q_pack_bpe" -> qPackBpe _,
     "q_fingerprint" -> qFingerprint _,
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_para_dedup" -> qParaDedup _,
@@ -2840,6 +2870,59 @@ object SparkEntry {
       s"""WITH v AS (SELECT vec_id, $qv AS q FROM embeddings)
          |SELECT vec_id,
          |  ${pcs.mkString(",\n  ")}
-         |FROM v""".stripMargin)
+         |FROM v""".stripMargin,
+      "q_bpe_tokens" -> bpeTokensOracle(s, dir),
+      "q_pack_bpe" -> packBpeOracle(s, dir))
   }
+
+  /** Shared CTE prefix: per-doc BPE token counts under the trained table
+    * (see [[bpeTokensOracle]] for the replay argument). Exposes
+    * `bt(doc_id, source, ntok)`. */
+  private def bpeDocTokensCte(s: SparkSession, dir: String): String = {
+    val merges = graft.pipeline.Bpe.train(docs(s, dir), "text",
+      numMerges = 200)
+    val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
+      "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    val wrapped = """regexp_replace(w, '(.)', '|\1|', 'g')"""
+    val encoded = merges.foldLeft(wrapped) { case (acc, (a, b)) =>
+      s"replace($acc, '|$a||$b|', '|$a$b|')"
+    }
+    s"""WITH d AS (SELECT doc_id, source, $norm AS t FROM documents),
+       |words AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w
+       |          FROM d WHERE t <> ''),
+       |dw AS (SELECT DISTINCT w FROM words),
+       |wc AS (SELECT w, CAST((length(e) - length(replace(e, '||', ''))) // 2
+       |                      + 1 AS BIGINT) AS ntok
+       |       FROM (SELECT w, $encoded AS e FROM dw)),
+       |per AS (SELECT doc_id, SUM(ntok) AS n FROM words JOIN wc USING (w)
+       |        GROUP BY doc_id),
+       |bt AS (SELECT d.doc_id, d.source,
+       |         CAST(COALESCE(per.n, 0) AS BIGINT) AS ntok
+       |       FROM d LEFT JOIN per ON d.doc_id = per.doc_id)""".stripMargin
+  }
+
+  /** Dynamic replay of q_bpe_tokens: train the SAME 200-merge table the
+    * query trains (deterministic — exact integer counts, total-order
+    * tie-breaks), then replay the greedy encode in pure SQL. Each symbol
+    * is wrapped `|sym|` (gaps are `||`; `|` cannot occur in normalized
+    * [a-z0-9] words), so one scan-forward non-overlapping `replace` of
+    * `|a||b|` → `|ab|` IS the greedy left-to-right merge pass, runs
+    * included (`replace` resumes after the inserted `|`, exactly where
+    * the fold's next window starts). Token count = gap count + 1. */
+  private def bpeTokensOracle(s: SparkSession, dir: String): String =
+    s"""${bpeDocTokensCte(s, dir)}
+       |SELECT doc_id, ntok AS n_bpe_tokens FROM bt""".stripMargin
+
+  /** q_pack_bpe replay: the q_pack_sequences running-sum layout over the
+    * BPE counts instead of the char heuristic. */
+  private def packBpeOracle(s: SparkSession, dir: String): String =
+    s"""${bpeDocTokensCte(s, dir)},
+       |c AS (SELECT source, doc_id, ntok AS tokens,
+       |  sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS strt
+       |  FROM bt)
+       |SELECT source, doc_id, tokens,
+       |  CAST(floor(strt / 2048.0) AS BIGINT) AS seq_id,
+       |  CAST(strt % 2048 AS BIGINT) AS seq_off
+       |FROM c""".stripMargin
 }

@@ -1,0 +1,192 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.{BpeCount, BpeTable}
+
+/** Byte-pair-encoding subword tokenizer: training (merge-table learning)
+  * and tokenizer-true token counting, per Sennrich et al. 2016 (ACL,
+  * "Neural Machine Translation of Rare Words with Subword Units" — the
+  * public BPE algorithm; no reference-repo counterpart, this is
+  * LLM-pipeline surface).
+  *
+  * LLM data pipelines budget in TOKENIZER tokens — packing, mixture
+  * budgets, and curricula all count against a trained subword vocabulary,
+  * and whitespace/char heuristics differ from it by 1.3-2×. This operator
+  * closes that gap while staying engine-replayable: training is
+  * deterministic (exact integer pair counts, total-order tie-breaks), and
+  * encoding applies merges in rank order as left-to-right greedy passes —
+  * a form a SQL oracle replays exactly with nested scan-forward
+  * `replace()` calls over separator-wrapped symbols.
+  *
+  * Scale shape (100 TB): the ONLY corpus-scale step is one map-side-
+  * combinable word-count aggregate; everything after operates on the
+  * word-frequency table capped to the top `maxVocabWords` words — a
+  * BOUNDED object by construction (the [[TextAnalysis]] LangModel / stop-
+  * term-cap discipline), so the merge rounds are driver-side loops over
+  * ≤ V rows, not corpus passes. [[trainDistributed]] is the per-round
+  * aggregate twin (each merge round = one pair-count aggregate + one
+  * bounded argmax) kept for the parity differential and for vocabularies
+  * that genuinely exceed driver memory; on a bounded vocab it computes the
+  * identical table (tested) at ~2 jobs per merge of pure overhead.
+  * Counting ([[tokenCount]]) is a codegen'd per-row expression over a
+  * broadcast-referenced frozen table — scan-bound, no shuffle, no
+  * per-word state beyond a bounded per-thread memo. */
+object Bpe {
+
+  /** Bounded word-frequency table: one exact aggregate over the corpus,
+    * capped DETERMINISTICALLY to the `maxVocabWords` most frequent words
+    * (ties broken by word ascending). Output: (word, freq). */
+  def wordCounts(df: DataFrame, textCol: String,
+      maxVocabWords: Int): DataFrame =
+    df.select(explode(split(Dedup.normalizeText(col(textCol)), " "))
+        .alias("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).alias("freq"))
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(maxVocabWords)
+
+  /** Learn `numMerges` merges from a word-frequency table (pure JVM — the
+    * table is bounded, see the object doc). Each round: exact adjacent-
+    * pair counts weighted by word frequency (every occurrence counts, so
+    * "bbb" contributes (b,b) twice), argmax by (count desc, left asc,
+    * right asc), stop below `minPairFreq`. Merges apply as one greedy
+    * left-to-right pass per word. Returns merges in rank order. */
+  def trainFromWordCounts(wordFreq: Seq[(String, Long)], numMerges: Int,
+      minPairFreq: Long = 2L): Seq[(String, String)] = {
+    require(numMerges >= 0 && minPairFreq >= 1)
+    var vocab: Array[(Array[String], Long)] = wordFreq.iterator
+      .filter(_._1.nonEmpty)
+      .map { case (w, f) => (w.toCharArray.map(String.valueOf), f) }.toArray
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.length < numMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          val c = counts.get(k)
+          counts.put(k, if (c == null) f else c.longValue() + f)
+          i += 1
+        }
+      }
+      var best: (String, String) = null
+      var bestC = minPairFreq - 1
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue.longValue()
+        val k = e.getKey
+        if (c > bestC || (c == bestC && best != null &&
+            (k._1 < best._1 || (k._1 == best._1 && k._2 < best._2)))) {
+          best = k; bestC = c
+        }
+      }
+      if (best == null) done = true
+      else {
+        merges += best
+        val (a, b) = best
+        val ab = a + b
+        vocab = vocab.map { case (syms, f) =>
+          var hit = -1
+          var j = 0
+          while (hit < 0 && j < syms.length - 1) {
+            if (syms(j) == a && syms(j + 1) == b) hit = j else j += 1
+          }
+          if (hit < 0) (syms, f)
+          else {
+            val out = new Array[String](syms.length)
+            var n = 0
+            var k2 = 0
+            while (k2 < syms.length) {
+              if (n > 0 && out(n - 1) == a && syms(k2) == b) out(n - 1) = ab
+              else { out(n) = syms(k2); n += 1 }
+              k2 += 1
+            }
+            (java.util.Arrays.copyOf(out, n), f)
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** End-to-end training: corpus word-count aggregate → bounded top-V
+    * table → [[trainFromWordCounts]]. */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      maxVocabWords: Int = 65536, minPairFreq: Long = 2L)
+      : Seq[(String, String)] = {
+    val wf = wordCounts(df, textCol, maxVocabWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    trainFromWordCounts(wf, numMerges, minPairFreq)
+  }
+
+  /** The per-round-aggregate twin of [[train]]: each merge round is one
+    * map-side-combinable pair-count aggregate over the (bounded) vocab
+    * DataFrame plus a 1-row argmax, and the merge applies as a
+    * higher-order-function fold — no driver-side vocabulary. Identical
+    * output to [[train]] by construction (same counts, same total-order
+    * tie-break, same greedy fold — pinned by the unit differential);
+    * ~2 Spark jobs per merge, so [[train]] is the default whenever the
+    * capped vocab fits the driver (it does — it is bounded). */
+  def trainDistributed(df: DataFrame, textCol: String, numMerges: Int,
+      maxVocabWords: Int = 65536, minPairFreq: Long = 2L)
+      : Seq[(String, String)] = {
+    require(numMerges >= 0 && minPairFreq >= 1)
+    var vocab = wordCounts(df, textCol, maxVocabWords)
+      .select(split(col("word"), "").alias("syms"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.length < numMerges && !done) {
+      // guard size >= 2 BEFORE sequence(): Spark's sequence(1, 0) counts
+      // DOWN — a 1-symbol word would explode into phantom pairs
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i-1] AS a, syms[i] AS b))")).alias("p"))
+        .groupBy(col("p.a").alias("a"), col("p.b").alias("b"))
+        .agg(sum(col("freq")).alias("cnt"))
+        .filter(col("cnt") >= minPairFreq)
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val a = top(0).getString(0); val b = top(0).getString(1)
+        merges += ((a, b))
+        val fold = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, x) => when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x))))
+        // materialize per round: keeps the plan one fold deep instead of
+        // numMerges folds deep (lineage, not correctness)
+        vocab = vocab.withColumn("syms", fold).localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Frozen encode table for a trained merge list. */
+  def table(merges: Seq[(String, String)]): BpeTable =
+    new BpeTable(merges.toArray)
+
+  /** Tokenizer-true token count of a raw text column: normalize exactly
+    * like training did, then sum the per-word subword counts under
+    * `merges`. Codegen'd scalar — drop-in for
+    * [[TextAnalysis.bpeTokenEstimate]] in [[Packing.packSequencesByTokens]]
+    * / [[Splits.tokenBudgetMixture]] / [[Splits.curriculumShards]]. */
+  def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    tokenCount(text, table(merges))
+
+  /** [[tokenCount]] against a pre-built (shared) table. */
+  def tokenCount(text: Column, t: BpeTable): Column =
+    org.apache.spark.sql.GraftColumns.column(
+      BpeCount(org.apache.spark.sql.GraftColumns.expression(
+        coalesce(Dedup.normalizeText(text), lit(""))), t))
+      .cast(LongType)
+}

@@ -596,4 +596,21 @@ class PlanShapeSpec extends SparkTestBase {
     assert(kept.filter(_._1 != "src0").values.forall(t => t >= 30L && t <= 50L),
       kept.toSeq.sortBy(_._1).take(5).toString)
   }
+
+  test("BpeCount runs inside whole-stage codegen (no shuffle, no eval island)") {
+    // a real file scan — a local Seq relation constant-folds the whole
+    // projection into LocalTableScan and proves nothing about codegen
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"))
+    val counted = df.select(col("doc_id"),
+      graft.pipeline.Bpe.tokenCount(col("text"), merges).alias("n"))
+    val p = plan(counted)
+    // counting is a pure per-row scan: zero exchanges
+    assert(exchanges(counted) == 0, p)
+    // and the expression lives on a codegen'd ("*(n)") operator line —
+    // the scan pipeline stays fused, no interpreted-eval island
+    val line = p.linesIterator.find(_.contains("graft_bpe_count"))
+    assert(line.isDefined, p)
+    assert(line.get.trim.startsWith("*("), s"not codegen'd: ${line.get}\n$p")
+  }
 }
