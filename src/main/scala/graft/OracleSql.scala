@@ -3321,6 +3321,24 @@ object OracleSql {
         |  CAST(sum(v) * 64 AS BIGINT) AS sample_sum
         |FROM fb GROUP BY doc_id, fi, w, h""".stripMargin,
 
+    // MJPEG-MP4 decode replay: same frame arithmetic as q_decode_video
+    // (the MP4 fixture deliberately reuses it), so the replay is shared —
+    // the engine earns it through a genuinely different container walk
+    // (ISO boxes + stsc/stsz/stco sample table instead of RIFF lists).
+    "q_decode_mp4" ->
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n,
+        |  8 * (1 + doc_id % 3) AS w, 8 * (1 + (doc_id * 2) % 3) AS h
+        |  FROM documents),
+        |fb AS (SELECT doc_id, w, h, f.f AS fi,
+        |  (doc_id % 251 + 29 * f.f + 17 * by.by + 23 * bx.bx) % 256 AS v
+        |  FROM d, range(8) f(f), range(3) by(by), range(3) bx(bx)
+        |  WHERE f.f < n AND by.by < h // 8 AND bx.bx < w // 8)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(1 AS INT) AS channels, count(*) * 64 AS n_samples,
+        |  CAST(sum(v) * 64 AS BIGINT) AS sample_sum
+        |FROM fb GROUP BY doc_id, fi, w, h""".stripMargin,
+
     // Real frame sampling replay: 400 ms lattice, covering-frame index
     // from the exact (rate=fps, scale=1) rational, per-frame sums joined
     // from the same block arithmetic as q_decode_video.
@@ -3415,12 +3433,12 @@ object OracleSql {
     // header-only shells parse but don't decode, non-media bytes drop.
     "q_media_coverage" ->
       """WITH c AS (SELECT doc_id,
-        |  CASE doc_id % 9 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |  CASE doc_id % 10 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
         |    WHEN 2 THEN 'wav' WHEN 3 THEN 'avi' WHEN 4 THEN 'jpeg'
-        |    WHEN 5 THEN 'png' WHEN 6 THEN 'jpeg' WHEN 7 THEN 'mp4'
-        |    ELSE 'unknown' END AS format,
-        |  CASE WHEN doc_id % 9 IN (0, 1, 2, 3, 4) THEN 'decoded'
-        |       WHEN doc_id % 9 = 8 THEN 'dropped'
+        |    WHEN 5 THEN 'mp4' WHEN 6 THEN 'png' WHEN 7 THEN 'jpeg'
+        |    WHEN 8 THEN 'mp4' ELSE 'unknown' END AS format,
+        |  CASE WHEN doc_id % 10 IN (0, 1, 2, 3, 4, 5) THEN 'decoded'
+        |       WHEN doc_id % 10 = 9 THEN 'dropped'
         |       ELSE 'header_only' END AS status
         |  FROM documents)
         |SELECT format, status, count(*) AS n_docs

@@ -2537,6 +2537,21 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload")
 
+  /** REAL MP4 video decode end to end: ISO BMFF box walk + stsc/stsz/stco
+    * sample-table resolution ([[graft.pipeline.Video.parseMp4Mjpeg]]) to
+    * per-sample JFIF payloads, then the same huffman+IDCT decode as the
+    * AVI twin. The fixture carries [[graft.pipeline.Video
+    * .synthesizeAviPayload]]'s exact frame arithmetic in an MP4
+    * container, so this row shares q_decode_video's oracle verbatim —
+    * same numbers, different container walked for real. */
+  private def qDecodeMp4(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Video.videoFrameStats(
+      graft.pipeline.Video.synthesizeMp4Payload(
+        docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id"),
+      "doc_id", "payload")
+
   /** REAL frame sampling: the q_frame_plan lattice taken all the way to
     * pixels — every 400 ms on the stream clock, the engine indexes the
     * covering frame through the exact strh (rate, scale) rational and
@@ -2815,6 +2830,7 @@ object SparkEntry {
     "q_token_count" -> qTokenCount _,
     "q_bpe_tokens" -> qBpeTokens _,
     "q_pack_bpe" -> qPackBpe _,
+    "q_decode_mp4" -> qDecodeMp4 _,
     "q_fingerprint" -> qFingerprint _,
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_para_dedup" -> qParaDedup _,

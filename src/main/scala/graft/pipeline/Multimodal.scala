@@ -618,7 +618,8 @@ object Multimodal {
   /** Decoder drop-rate report: per (format, status) document counts over a
     * payload column. `status`: `decoded` = a built-in codec took the
     * samples all the way ([[sampleHistogram]] dispatch — PNG / baseline
-    * baseline+progressive JPEG / PCM WAV / MJPEG AVI); `header_only` =
+    * baseline+progressive JPEG / PCM WAV / MJPEG AVI / MJPEG MP4);
+    * `header_only` =
     * a container header parsed ([[parseMediaMeta]]) but no sample decode
     * applies (e.g. H.264 MP4 metadata, arithmetic-coded JPEG, truncated
     * streams); `dropped` =
@@ -646,12 +647,13 @@ object Multimodal {
       .agg(count(lit(1)).alias("n_docs"))
   }
 
-  /** Coverage-corpus fixture: cycles id % 9 over decodable payloads
-    * (PNG / baseline JPEG / WAV / AVI / PROGRESSIVE JPEG, all with REAL
-    * content), header-only containers (pixel-less PNG and JPEG shells,
-    * metadata-only MP4 — the engine deliberately has no MP4 sample
-    * codec), and non-media bytes — so [[mediaCoverage]]'s three statuses
-    * all occur and an oracle can restate the whole report from id
+  /** Coverage-corpus fixture: cycles id % 10 over decodable payloads
+    * (PNG / baseline JPEG / WAV / MJPEG AVI / PROGRESSIVE JPEG /
+    * MJPEG MP4, all with REAL content), header-only containers
+    * (pixel-less PNG and JPEG shells, metadata-only MP4 with no sample
+    * table — the H.264 case, whose codec the engine deliberately lacks),
+    * and non-media bytes — so [[mediaCoverage]]'s three statuses all
+    * occur and an oracle can restate the whole report from id
     * arithmetic. */
   def synthesizeCoverageCorpus(df: DataFrame, idCol: String,
       payloadCol: String = "payload"): DataFrame = {
@@ -661,15 +663,16 @@ object Multimodal {
     df.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(idIdx)
-        val payload = (id % 9) match {
+        val payload = (id % 10) match {
           case 0 => pngPayloadFor(id)
           case 1 => Jpeg.jpegPayloadFor(id)
           case 2 => wavPayloadFor(id)
           case 3 => Video.aviPayloadFor(id)
           case 4 => Jpeg.progJpegPayloadFor(id)
-          case 5 => buildPng((32 + id % 100).toInt, (32 + id % 50).toInt)
-          case 6 => buildJpeg((32 + id % 100).toInt, (32 + id % 50).toInt)
-          case 7 => buildMp4((600 + (id % 10) * 100).toInt, 5000 + id % 1000)
+          case 5 => Video.mp4PayloadFor(id)
+          case 6 => buildPng((32 + id % 100).toInt, (32 + id % 50).toInt)
+          case 7 => buildJpeg((32 + id % 100).toInt, (32 + id % 50).toInt)
+          case 8 => buildMp4((600 + (id % 10) * 100).toInt, 5000 + id % 1000)
           case _ => s"not-media-$id".getBytes(
             java.nio.charset.StandardCharsets.US_ASCII)
         }
@@ -770,7 +773,7 @@ object Multimodal {
       h
     }
     decodeImage(bytes).map(ofImage).orElse {
-      Video.parseAviMjpeg(bytes).flatMap { avi =>
+      Video.parseVideoMjpeg(bytes).flatMap { avi =>
         val hs = avi.frames.flatMap(f => Jpeg.decodeJpeg(f).map(ofImage))
         if (hs.isEmpty) None
         else Some(hs.reduce { (a, b) =>

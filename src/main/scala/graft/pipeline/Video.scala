@@ -23,10 +23,13 @@ import org.apache.spark.sql.types._
   * partitions). */
 object Video {
 
-  /** Parsed MJPEG AVI: stream timing as the exact (rate, scale) rational
-    * from `strh` — frame i covers [i·scale/rate, (i+1)·scale/rate) s —
-    * plus the raw JFIF payload of every `##dc`/`##db` movi chunk. */
-  final case class AviMjpeg(width: Int, height: Int, rate: Int, scale: Int,
+  /** Parsed MJPEG clip (AVI or MP4): stream timing as an exact
+    * (rate, scale) rational — frame i covers
+    * [i·scale/rate, (i+1)·scale/rate) s. For AVI that is `strh`'s
+    * (dwRate, dwScale); for MP4 it is (mdhd timescale, stts sample_delta)
+    * — the same rational, different spec spelling. Frames are the raw
+    * JFIF payloads in presentation order. */
+  final case class MjpegClip(width: Int, height: Int, rate: Int, scale: Int,
       frames: IndexedSeq[Array[Byte]]) {
     def nFrames: Int = frames.length
     /** Total duration in ms, floor — nFrames·scale·1000 / rate. */
@@ -105,7 +108,7 @@ object Video {
     * hostile 32-bit length must not wrap an index negative — the
     * decodePng lesson). The JFIF payloads come back raw: pair with
     * [[Jpeg.decodeJpeg]] for pixels, or count them for coverage. */
-  def parseAviMjpeg(bytes: Array[Byte]): Option[AviMjpeg] = {
+  def parseAviMjpeg(bytes: Array[Byte]): Option[MjpegClip] = {
     if (bytes == null || bytes.length < 12 ||
         tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "AVI ") return None
     var width = 0; var height = 0
@@ -154,7 +157,7 @@ object Video {
     val fs = frames.result()
     if (!mjpeg || rate <= 0 || scale <= 0 || width <= 0 || height <= 0 ||
         fs.isEmpty) None
-    else Some(AviMjpeg(width, height, rate, scale, fs))
+    else Some(MjpegClip(width, height, rate, scale, fs))
   }
 
   /** Deterministic MJPEG-AVI fixture column — the
@@ -192,6 +195,286 @@ object Video {
     buildAviMjpeg(w, h, fps, frames)
   }
 
+  // ------------------------------------------------------ MJPEG in MP4
+  // ISO BMFF (ISO/IEC 14496-12, public spec): big-endian size+type boxes.
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+
+  private def beBytes32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+    ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def beBytes16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def fourcc(s: String): Array[Byte] = {
+    require(s.length == 4); s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  }
+  private def box(tag: String, parts: Array[Byte]*): Array[Byte] = {
+    val body = parts.foldLeft(Array.emptyByteArray)(_ ++ _)
+    beBytes32(8L + body.length) ++ fourcc(tag) ++ body
+  }
+
+  /** Minimal spec-valid MJPEG MP4 (Photo-JPEG sample description 'jpeg'):
+    * ftyp + mdat(frames concatenated) + moov { mvhd, trak { tkhd, mdia {
+    * mdhd(timescale), hdlr(vide), minf { vmhd, dinf/dref(url,
+    * self-contained), stbl { stsd(VisualSampleEntry 'jpeg'),
+    * stts(1 run × sampleDelta), stsc(1,1,1), stsz(per-sample),
+    * stco(absolute offsets) } } } } }. One sample per chunk; mdat
+    * precedes moov so stco offsets are fixed at build time. */
+  def buildMp4Mjpeg(width: Int, height: Int, timescale: Int,
+      sampleDelta: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && timescale > 0 && sampleDelta > 0 &&
+      frames.nonEmpty)
+    val ftyp = box("ftyp", fourcc("isom"), beBytes32(512), fourcc("isom"))
+    require(ftyp.length == 20)
+    val mdatBody = frames.foldLeft(Array.emptyByteArray)(_ ++ _)
+    val mdat = box("mdat", mdatBody)
+    // sample i starts at ftyp + mdat header + bytes of earlier frames
+    val offsets = frames.scanLeft(ftyp.length.toLong + 8L)(_ + _.length)
+      .init
+    val duration = frames.length.toLong * sampleDelta
+    val n = frames.length
+    val vf0 = beBytes32(0) // version 0 + zero flags
+    val mvhd = box("mvhd", vf0, beBytes32(0), beBytes32(0),
+      beBytes32(timescale), beBytes32(duration),
+      beBytes32(0x00010000L), beBytes16(0x0100), beBytes16(0),
+      beBytes32(0), beBytes32(0),
+      // identity matrix per spec
+      beBytes32(0x00010000L), beBytes32(0), beBytes32(0),
+      beBytes32(0), beBytes32(0x00010000L), beBytes32(0),
+      beBytes32(0), beBytes32(0), beBytes32(0x40000000L),
+      Array.fill(24)(0.toByte), // pre_defined[6]
+      beBytes32(2)) // next_track_ID
+    val tkhd = box("tkhd", beBytes32(7), // v0, flags: enabled|in_movie|in_preview
+      beBytes32(0), beBytes32(0), beBytes32(1), beBytes32(0),
+      beBytes32(duration), beBytes32(0), beBytes32(0),
+      beBytes16(0), beBytes16(0), beBytes16(0), beBytes16(0),
+      beBytes32(0x00010000L), beBytes32(0), beBytes32(0),
+      beBytes32(0), beBytes32(0x00010000L), beBytes32(0),
+      beBytes32(0), beBytes32(0), beBytes32(0x40000000L),
+      beBytes32(width.toLong << 16), beBytes32(height.toLong << 16))
+    val mdhd = box("mdhd", vf0, beBytes32(0), beBytes32(0),
+      beBytes32(timescale), beBytes32(duration),
+      beBytes16(0x55C4), beBytes16(0)) // language 'und'
+    val hdlr = box("hdlr", vf0, beBytes32(0), fourcc("vide"),
+      beBytes32(0), beBytes32(0), beBytes32(0),
+      "VideoHandler".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII) ++ Array(0.toByte))
+    val vmhd = box("vmhd", beBytes32(1), beBytes16(0),
+      beBytes16(0), beBytes16(0), beBytes16(0))
+    val dinf = box("dinf", box("dref", vf0, beBytes32(1),
+      box("url ", beBytes32(1)))) // flag 1 = data in this file
+    val entry = box("jpeg",
+      Array.fill(6)(0.toByte), beBytes16(1), // reserved, data_ref_index
+      beBytes16(0), beBytes16(0), Array.fill(12)(0.toByte),
+      beBytes16(width), beBytes16(height),
+      beBytes32(0x00480000L), beBytes32(0x00480000L), // 72 dpi
+      beBytes32(0), beBytes16(1), // reserved, frame_count
+      Array.fill(32)(0.toByte), // compressorname (pascal, empty)
+      beBytes16(24), beBytes16(0xFFFF)) // depth, pre_defined = -1
+    val stsd = box("stsd", vf0, beBytes32(1), entry)
+    val stts = box("stts", vf0, beBytes32(1),
+      beBytes32(n), beBytes32(sampleDelta))
+    val stsc = box("stsc", vf0, beBytes32(1),
+      beBytes32(1), beBytes32(1), beBytes32(1))
+    val stsz = box("stsz", vf0, beBytes32(0), beBytes32(n),
+      frames.map(f => beBytes32(f.length.toLong))
+        .foldLeft(Array.emptyByteArray)(_ ++ _))
+    val stco = box("stco", vf0, beBytes32(n),
+      offsets.map(beBytes32).foldLeft(Array.emptyByteArray)(_ ++ _))
+    val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+    val minf = box("minf", vmhd, dinf, stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", tkhd, mdia)
+    val moov = box("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  /** Walk an ISO BMFF container for an MJPEG video track: moov → trak →
+    * mdia{mdhd, hdlr(vide), minf/stbl} with the sample-table triple
+    * stsc/stsz/stco resolving every sample's absolute byte range and
+    * stsd gating on a JPEG sample description ('jpeg' Photo-JPEG,
+    * 'mjpa', or 'MJPG'). Returns None on any malformed, non-JPEG, or
+    * hostile structure — declared sizes (including 64-bit `largesize`
+    * headers) are Long-checked against their parent before any index
+    * math, and every stco/stsz sample range is checked against the file
+    * (the decodePng lesson). H.264 ('avc1') and other codecs fall out at
+    * the stsd gate: header_only, never a crash. */
+  def parseMp4Mjpeg(bytes: Array[Byte]): Option[MjpegClip] = {
+    if (bytes == null || bytes.length < 12 || tag(bytes, 4) != "ftyp")
+      return None
+    val jpegFourccs = Set("jpeg", "mjpa", "MJPG")
+    // box iterator: f receives (type, bodyFrom, bodyTo); returns false to
+    // abort the walk as malformed
+    def boxes(from: Long, to: Long)(f: (String, Long, Long) => Boolean): Boolean = {
+      var o = from
+      while (o + 8 <= to) {
+        val sz0 = be32(bytes, o.toInt)
+        val (hdr, sz) =
+          if (sz0 == 1L) {
+            if (o + 16 > to) return false
+            (16L, be64(bytes, (o + 8).toInt))
+          } else if (sz0 == 0L) (8L, to - o) // box runs to end of parent
+          else (8L, sz0)
+        if (sz < hdr || o + sz > to) return false // hostile declared size
+        if (!f(tag(bytes, (o + 4).toInt), o + hdr, o + sz)) return false
+        o += sz
+      }
+      true
+    }
+    var width = 0; var height = 0
+    var timescale = 0L; var sampleDelta = 0L; var nSamples = 0L
+    var handlerVide = false; var fourccOk = false
+    var sizes: Array[Long] = null
+    var chunkOffs: Array[Long] = null
+    var stscRuns: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
+    def u32At(body: Long, k: Int): Long = be32(bytes, (body + 4L * k).toInt)
+    def stbl(from: Long, to: Long): Boolean = boxes(from, to) { (id, b, e) =>
+      id match {
+        case "stsd" =>
+          if (e - b < 16) return false
+          if (be32(bytes, b.toInt) != 0L) return false // version 0 only
+          if (u32At(b, 1) < 1L) return false
+          // first sample entry: size(4) + format(4) at b+8; dims at +32/+34
+          val entry = b + 8
+          if (e - entry < 36) return false
+          fourccOk = jpegFourccs.contains(tag(bytes, (entry + 4).toInt))
+          width = be16(bytes, (entry + 32).toInt)
+          height = be16(bytes, (entry + 34).toInt)
+          true
+        case "stts" =>
+          // constant-rate track: exactly one (count, delta) run
+          if (e - b < 16 || be32(bytes, b.toInt) != 0L ||
+            u32At(b, 1) != 1L) return false
+          nSamples = u32At(b, 2); sampleDelta = u32At(b, 3)
+          true
+        case "stsc" =>
+          if (e - b < 8 || be32(bytes, b.toInt) != 0L) return false
+          val n = u32At(b, 1)
+          if (e - b < 8 + 12 * n) return false
+          stscRuns = Array.tabulate(n.toInt)(i =>
+            (u32At(b, 2 + 3 * i), u32At(b, 3 + 3 * i)))
+          true
+        case "stsz" =>
+          if (e - b < 12 || be32(bytes, b.toInt) != 0L) return false
+          val uniform = u32At(b, 1); val n = u32At(b, 2)
+          if (uniform != 0L) sizes = Array.fill(n.toInt)(uniform)
+          else {
+            if (e - b < 12 + 4 * n) return false
+            sizes = Array.tabulate(n.toInt)(i => u32At(b, 3 + i))
+          }
+          true
+        case "stco" =>
+          if (e - b < 8 || be32(bytes, b.toInt) != 0L) return false
+          val n = u32At(b, 1)
+          if (e - b < 8 + 4 * n) return false
+          chunkOffs = Array.tabulate(n.toInt)(i => u32At(b, 2 + i))
+          true
+        case _ => true
+      }
+    }
+    def mdia(from: Long, to: Long): Boolean = boxes(from, to) { (id, b, e) =>
+      id match {
+        case "mdhd" =>
+          if (e - b < 24 || be32(bytes, b.toInt) != 0L) return false
+          timescale = u32At(b, 3)
+          true
+        case "hdlr" =>
+          if (e - b < 24) return false
+          handlerVide = tag(bytes, (b + 8).toInt) == "vide"
+          true
+        case "minf" => boxes(b, e) { (sid, sb, se) =>
+          if (sid == "stbl") stbl(sb, se) else true
+        }
+        case _ => true
+      }
+    }
+    val okWalk = boxes(0L, bytes.length.toLong) { (id, mb, me) =>
+      if (id != "moov") true
+      else boxes(mb, me) { (tid, tb, te) =>
+        if (tid != "trak") true
+        else boxes(tb, te) { (did, b, e) =>
+          if (did == "mdia") mdia(b, e) else true
+        }
+      }
+    }
+    if (!okWalk || !handlerVide || !fourccOk || width <= 0 || height <= 0 ||
+      timescale <= 0L || timescale > Int.MaxValue ||
+      sampleDelta <= 0L || sampleDelta > Int.MaxValue ||
+      nSamples <= 0L || nSamples > (1L << 20) ||
+      sizes == null || sizes.length != nSamples ||
+      chunkOffs == null || stscRuns == null || stscRuns.isEmpty) return None
+    // expand stsc runs over the chunk list and slice every sample
+    val frames = IndexedSeq.newBuilder[Array[Byte]]
+    var sample = 0
+    var run = 0
+    var chunk = 1L
+    while (chunk <= chunkOffs.length && sample < sizes.length) {
+      if (run + 1 < stscRuns.length && chunk >= stscRuns(run + 1)._1) run += 1
+      if (stscRuns(run)._1 > chunk) return None // runs must cover chunk 1
+      val spc = stscRuns(run)._2
+      var off = chunkOffs((chunk - 1).toInt)
+      var s = 0L
+      while (s < spc && sample < sizes.length) {
+        val len = sizes(sample)
+        if (off < 0 || len < 0 || off + len > bytes.length) return None
+        frames += java.util.Arrays.copyOfRange(bytes, off.toInt,
+          (off + len).toInt)
+        off += len
+        sample += 1
+        s += 1
+      }
+      chunk += 1
+    }
+    if (sample != sizes.length) return None // sample table inconsistent
+    Some(MjpegClip(width, height, timescale.toInt, sampleDelta.toInt,
+      frames.result()))
+  }
+
+  /** Container dispatch: AVI first (cheap RIFF signature), then ISO BMFF.
+    * Everything downstream (frame stats, sampling, histograms, coverage)
+    * works per [[MjpegClip]], so both containers share one decode path. */
+  def parseVideoMjpeg(bytes: Array[Byte]): Option[MjpegClip] =
+    if (bytes != null && bytes.length >= 12 && tag(bytes, 0) == "RIFF")
+      parseAviMjpeg(bytes)
+    else parseMp4Mjpeg(bytes)
+
+  /** Deterministic MJPEG-MP4 fixture column: the SAME frame arithmetic as
+    * [[synthesizeAviPayload]] (so the decode oracle is shared verbatim)
+    * carried in an ISO BMFF container with (timescale = fps, delta = 1) —
+    * the same timing rational as the AVI twin. The engine must walk real
+    * boxes and resolve the stsc/stsz/stco sample table to match. */
+  def synthesizeMp4Payload(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(payloadCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        Row.fromSeq(r.toSeq :+ mp4PayloadFor(r.getLong(idIdx)))
+      }
+    }(Encoders.row(outSchema)).toDF()
+  }
+
+  /** The single-payload form of [[synthesizeMp4Payload]]'s arithmetic —
+    * [[aviPayloadFor]]'s frames, MP4 container. */
+  private[pipeline] def mp4PayloadFor(id: Long): Array[Byte] = {
+    val fps = (2 + id % 4).toInt
+    val n = (3 + id % 5).toInt
+    val w = (8 * (1 + id % 3)).toInt
+    val h = (8 * (1 + (id * 2) % 3)).toInt
+    val base = (id % 251).toInt
+    val frames = (0 until n).map { f =>
+      Jpeg.buildJpegWithBlocks(w, h,
+        (bx, by) => (base + 29 * f + 17 * by + 23 * bx) % 256)
+    }
+    buildMp4Mjpeg(w, h, timescale = fps, sampleDelta = 1, frames)
+  }
+
   /** Per-frame pixel statistics through the REAL container walk + REAL
     * JPEG decode: one output row per (video, frame). Undecodable frames
     * and unparseable containers are dropped ([[Jpeg.jpegPixelStats]]
@@ -207,7 +490,7 @@ object Video {
     df.select(col(idCol), col(payloadCol))
       .mapPartitions { it =>
         it.flatMap { r =>
-          parseAviMjpeg(r.getAs[Array[Byte]](1)).toSeq.flatMap { avi =>
+          parseVideoMjpeg(r.getAs[Array[Byte]](1)).toSeq.flatMap { avi =>
             avi.frames.iterator.zipWithIndex.flatMap { case (jfif, f) =>
               Jpeg.decodeJpeg(jfif).map { img =>
                 var s = 0L
@@ -240,7 +523,7 @@ object Video {
     df.select(col(idCol), col(payloadCol))
       .mapPartitions { it =>
         it.flatMap { r =>
-          parseAviMjpeg(r.getAs[Array[Byte]](1)).toSeq.flatMap { avi =>
+          parseVideoMjpeg(r.getAs[Array[Byte]](1)).toSeq.flatMap { avi =>
             // decode lazily and at most once per frame actually sampled
             val cache = new java.util.HashMap[Int, Long]()
             Iterator.iterate(0L)(_ + everyMs)

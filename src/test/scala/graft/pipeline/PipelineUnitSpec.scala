@@ -3867,6 +3867,88 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(Video.parseAviMjpeg(wrongCodec).isEmpty)
   }
 
+  test("MP4/MJPEG round-trip: builder bytes at ISO BMFF spec offsets, " +
+      "sample-table walk reads frames back, frames decode vs ImageIO") {
+    // 1. container fields asserted against the spec FIRST (the AVI test's
+    // discipline): a mirrored builder+parser offset mistake cannot
+    // self-validate
+    val rnd = new scala.util.Random(23)
+    val w0 = 19; val h0 = 13
+    val jfifs = (0 until 4).map { _ =>
+      val bi = new java.awt.image.BufferedImage(w0, h0,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h0; x <- 0 until w0)
+        bi.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "jpg", baos)
+      baos.toByteArray
+    }
+    val mp4 = Video.buildMp4Mjpeg(w0, h0, timescale = 30, sampleDelta = 2,
+      jfifs)
+    def be32(i: Int) = ((mp4(i) & 0xFFL) << 24) | ((mp4(i + 1) & 0xFFL) << 16) |
+      ((mp4(i + 2) & 0xFFL) << 8) | (mp4(i + 3) & 0xFFL)
+    def be16(i: Int) = ((mp4(i) & 0xFF) << 8) | (mp4(i + 1) & 0xFF)
+    def tag(i: Int) = new String(mp4.slice(i, i + 4), "US-ASCII")
+    assert(be32(0) == 20 && tag(4) == "ftyp" && tag(8) == "isom")
+    // mdat directly after ftyp; body = frames concatenated
+    val mdatLen = jfifs.map(_.length).sum
+    assert(tag(24) == "mdat" && be32(20) == 8 + mdatLen)
+    assert(mp4.slice(28, 28 + jfifs(0).length).sameElements(jfifs(0)),
+      "first sample starts at mdat body offset 0")
+    // moov after mdat, mvhd first child with v0 timescale at body+12
+    val moov = 28 + mdatLen
+    assert(tag(moov + 4) == "moov" && be32(moov) == mp4.length - moov)
+    assert(tag(moov + 12) == "mvhd" && be32(moov + 8) == 108)
+    assert(be32(moov + 16 + 12) == 30, "mvhd timescale")
+    assert(be32(moov + 16 + 16) == 8, "mvhd duration = 4 samples x delta 2")
+    // 2. the sample-table walk reads it all back
+    val parsed = Video.parseMp4Mjpeg(mp4).get
+    assert(parsed.width == w0 && parsed.height == h0 &&
+      parsed.rate == 30 && parsed.scale == 2 && parsed.nFrames == 4)
+    for (f <- 0 until 4)
+      assert(parsed.frames(f).sameElements(jfifs(f)), s"sample $f payload")
+    // the dispatcher picks the right container for both twins
+    assert(Video.parseVideoMjpeg(mp4).get.nFrames == 4)
+    assert(Video.parseVideoMjpeg(
+      Video.buildAviMjpeg(16, 8, 4, jfifs.take(1))).get.nFrames == 1)
+    // 3. per-frame differential vs ImageIO, zero tolerance
+    for (f <- 0 until 4) {
+      val got = Jpeg.decodeJpeg(parsed.frames(f)).get
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(parsed.frames(f)))
+      for (y <- 0 until h0; x <- 0 until w0)
+        assert(got.samples(y * w0 + x) == ref.getRaster.getSample(x, y, 0),
+          s"sample $f ($x,$y)")
+    }
+    // 4. reject paths: non-JPEG codec fourcc (H.264 stays header_only),
+    // truncation, hostile stco offset, hostile 64-bit largesize,
+    // metadata-only shell (no sample table)
+    val stsdFmt = {
+      // locate 'stsd' INSIDE moov (the byte pattern can occur by chance
+      // in JPEG entropy data); past the tag: vf(4) + entry_count(4) +
+      // entry size(4) puts the first entry's format fourcc at +16
+      val i = (moov until mp4.length - 4).find(tag(_) == "stsd").get
+      i + 16
+    }
+    assert(tag(stsdFmt) == "jpeg", "sample-entry fourcc offset")
+    val h264 = mp4.clone()
+    "avc1".zipWithIndex.foreach { case (c, k) => h264(stsdFmt + k) = c.toByte }
+    assert(Video.parseMp4Mjpeg(h264).isEmpty, "non-JPEG codec must gate out")
+    assert(Video.parseMp4Mjpeg(mp4.take(mp4.length / 2)).isEmpty)
+    val evilCo = mp4.clone()
+    val stcoI = (moov until mp4.length - 4).find(tag(_) == "stco").get
+    // first chunk offset -> far past EOF
+    evilCo(stcoI + 12) = 0x7F.toByte
+    assert(Video.parseMp4Mjpeg(evilCo).isEmpty, "hostile stco offset")
+    val evilSz = mp4.clone()
+    // moov declares size=1 with a hostile largesize escaping the file
+    evilSz(moov) = 0; evilSz(moov + 1) = 0; evilSz(moov + 2) = 0
+    evilSz(moov + 3) = 1
+    assert(Video.parseMp4Mjpeg(evilSz).isEmpty, "hostile largesize")
+    assert(Video.parseMp4Mjpeg(
+      Multimodal.buildMp4(600, 5000)).isEmpty, "metadata-only shell")
+  }
+
   test("wide-hash KMV resolves cardinalities past the 30-bit ceiling " +
       "(1.2e9 distinct: narrow saturates near P, wide within 15%)") {
     // Streams n distinct inputs through the REAL mixer families
@@ -4016,15 +4098,17 @@ class PipelineUnitSpec extends SparkTestBase {
 
   test("mediaCoverage reports decoded / header_only / dropped per format") {
     import spark.implicits._
-    val ids = (0L until 36L).toDF("doc_id")
+    val ids = (0L until 40L).toDF("doc_id")
     val got = Multimodal.mediaCoverage(
       Multimodal.synthesizeCoverageCorpus(ids, "doc_id"),
       "doc_id", "payload")
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    // 36 ids, 4 per id%9 class; jpeg decoded = baseline + progressive
+    // 40 ids, 4 per id%10 class; jpeg decoded = baseline + progressive;
+    // mp4 splits: MJPEG sample table decodes, metadata-only shell doesn't
     assert(got == Map(
       ("png", "decoded") -> 4L, ("jpeg", "decoded") -> 8L,
       ("wav", "decoded") -> 4L, ("avi", "decoded") -> 4L,
+      ("mp4", "decoded") -> 4L,
       ("png", "header_only") -> 4L, ("jpeg", "header_only") -> 4L,
       ("mp4", "header_only") -> 4L, ("unknown", "dropped") -> 4L))
   }
