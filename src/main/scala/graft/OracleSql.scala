@@ -434,6 +434,37 @@ object OracleSql {
     * packed as leg1·P2+leg2 — the same fold the engine runs. The scale
     * constant is the JVM's 255.0·PW double, embedded textually so DuckDB
     * uses the identical IEEE value (the q_pca_project discipline). */
+  /** Wide HLL register file + estimate (60-bit words, m = 64, seed 29):
+    * hh's two CRT legs computed directly (the kmvWideReplaySql spelling),
+    * rho = 55 − bitlen(hh // 64) via the unrolled chain, harmonic sum in
+    * exact BIGINT. */
+  private lazy val hllWideReplaySql: String = {
+    val a1 = Hashing.aCoef(29); val b1 = Hashing.bCoef(29)
+    val a2 = Hashing.aCoef2(29); val b2 = Hashing.bCoef2(29)
+    val bl = (54 to 1 by -1)
+      .map(k => s"WHEN w >= ${1L << (k - 1)} THEN $k").mkString(" ")
+    val r2 = 1L << 55
+    s"""WITH t AS (SELECT source,
+       |  unnest(string_split($norm, ' ')) AS tok FROM documents),
+       |l AS (SELECT source, ${Hashing.polyHashSql("tok")} AS l1,
+       |  ${Hashing.polyHash2Sql("tok")} AS l2 FROM t),
+       |h AS (SELECT source,
+       |  (l1 * $a1 + $b1) % ${Hashing.P} * ${Hashing.P2}
+       |    + (l2 * $a2 + $b2) % ${Hashing.P2} AS hh FROM l),
+       |b AS (SELECT source, hh % 64 AS bucket, hh // 64 AS w FROM h),
+       |reg AS (SELECT source, bucket,
+       |  max(55 - (CASE $bl ELSE 0 END)) AS register
+       |  FROM b GROUP BY source, bucket),
+       |g AS (SELECT source, count(*) AS n_set,
+       |  CAST(sum((CAST(1 AS BIGINT) << (55 - register))) AS BIGINT) AS s_set
+       |  FROM reg GROUP BY source)
+       |SELECT source, 64 - n_set AS n_zero,
+       |  s_set + (64 - n_set) * $r2 AS s_int,
+       |  (709.0 * ${64.0 * 64.0 * r2}) /
+       |    (1000.0 * CAST(s_set + (64 - n_set) * $r2 AS DOUBLE)) AS hll_est
+       |FROM g""".stripMargin
+  }
+
   private lazy val kmvWideReplaySql: String = {
     val a1 = Hashing.aCoef(17); val b1 = Hashing.bCoef(17)
     val a2 = Hashing.aCoef2(17); val b2 = Hashing.bCoef2(17)
@@ -1921,6 +1952,15 @@ object OracleSql {
          |    (1000.0 * CAST(s_set + (64 - n_set) * $r2 AS DOUBLE)) AS hll_est
          |FROM g""".stripMargin
     },
+
+    // Wide-family HLL replay: the q_hll_distinct arithmetic through the
+    // ~60-bit CRT-pair space — rho out of 55 (wBits = 60 - 6), harmonic
+    // sum still an exact BIGINT (<= 64 * 2^55), the estimate the same
+    // single IEEE division of exactly-representable doubles. Shard split
+    // is irrelevant to the replay (register merge == union build), so
+    // the streaming twin shares this SQL verbatim.
+    "q_hll_wide" -> hllWideReplaySql,
+    "q_stream_hll_wide" -> hllWideReplaySql,
 
     // Pairwise-correlation replay: identical fixed-point moments (BIGINT
     // sums of scaled longs) and the identical IEEE op sequence for the

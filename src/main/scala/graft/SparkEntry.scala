@@ -1391,6 +1391,47 @@ object SparkEntry {
       .select(col("source"), col("n_zero"), col("s_int"), col("hll_est"))
   }
 
+  /** The WIDE-family twin of q_hll_distinct: same corpus, same shard
+    * merge, cells addressed through the ~10¹⁸ CRT-pair space (60-bit HLL
+    * words, rho out of 55) — the register file that keeps resolving past
+    * the narrow family's ~10⁹ ceiling. Integer-space harmonic sum stays
+    * ≤ m·2^55 < 2^62: still exact, still replayed value-exactly. */
+  private def qHllWide(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"), col("source"),
+      explode(split(Dedup.normalizeText(col("text")), " ")).alias("tok"))
+    val ra = graft.pipeline.Sketch.hllRegisters(
+      toks.filter(col("doc_id") % 2 === 0), Seq("source"), col("tok"),
+      wide = true)
+    val rb = graft.pipeline.Sketch.hllRegisters(
+      toks.filter(col("doc_id") % 2 =!= 0), Seq("source"), col("tok"),
+      wide = true)
+    val merged = graft.pipeline.Sketch.hllMerge(ra, rb, Seq("source"))
+    graft.pipeline.Sketch.hllEstimate(merged, Seq("source"), wide = true)
+      .select(col("source"), col("n_zero"), col("s_int"), col("hll_est"))
+  }
+
+  /** The wide STREAMING HLL: q_hll_wide's register file built through the
+    * changelog stream ([[graft.streaming.StreamingTSDF.hllRegisters]]
+    * with `wide = true`) and max-rolled — shares q_hll_wide's oracle...
+    * except the corpus here is one unsharded stream, so it shares the
+    * SAME estimates as the batch wide build over the full corpus (shard
+    * merge == union build, exactly). */
+  private def qStreamHllWide(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val regsStream = graft.streaming.StreamingTSDF.hllRegisters(
+      docsStream(s, dir).select(col("source"),
+        // documents carry no event time; a constant stands in (ts is
+        // only read by the state-TTL path, which is off here)
+        lit("2024-01-01 00:00:00").cast(TimestampType).alias("ingest_ts"),
+        explode(split(Dedup.normalizeText(col("text")), " ")).alias("tok")),
+      "ingest_ts", Seq("source"), col("tok"), wide = true)
+    val rolled = runStream(s, regsStream)
+      .groupBy(col("source"), col("bucket"))
+      .agg(max(col("register")).alias("register"))
+    graft.pipeline.Sketch.hllEstimate(rolled, Seq("source"), wide = true)
+      .select(col("source"), col("n_zero"), col("s_int"), col("hll_est"))
+  }
+
   /** EXACT p50/p90/p99 of event value in two passes (coarse histogram →
     * rank only the target bin; [[graft.pipeline.Sketch
     * .exactQuantiles2Pass]]) — the no-global-sort exact-percentile path;
@@ -2738,6 +2779,8 @@ object SparkEntry {
     "q_kmv_distinct" -> qKmv _,
     "q_kmv_wide" -> qKmvWide _,
     "q_hll_distinct" -> qHll _,
+    "q_hll_wide" -> qHllWide _,
+    "q_stream_hll_wide" -> qStreamHllWide _,
     "q_lm_score" -> qLmScore _,
     "q_dsir" -> qDsir _,
     "q_score_calib" -> qScoreCalib _,
