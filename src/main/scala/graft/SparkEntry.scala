@@ -2435,6 +2435,16 @@ object SparkEntry {
       "doc_id", Seq("source"), capacity = 2048)
   }
 
+  /** Subword-vocabulary usage under the trained 200-merge table
+    * ([[graft.pipeline.Bpe.vocabularyReport]]); the oracle replays the
+    * encode chain and reads the token list off the SAME wrapped-string
+    * form the engine's expression emits. */
+  private def qBpeVocab(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val merges = graft.pipeline.Bpe.train(d, "text", numMerges = 200)
+    graft.pipeline.Bpe.vocabularyReport(d, "text", merges)
+  }
+
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), col("source"),
       TextAnalysis.fingerprint(col("text")).alias("fp"))
@@ -2873,6 +2883,7 @@ object SparkEntry {
     "q_token_count" -> qTokenCount _,
     "q_bpe_tokens" -> qBpeTokens _,
     "q_pack_bpe" -> qPackBpe _,
+    "q_bpe_vocab" -> qBpeVocab _,
     "q_decode_mp4" -> qDecodeMp4 _,
     "q_fingerprint" -> qFingerprint _,
     "q_dedup_incremental" -> qDedupIncremental _,
@@ -2931,13 +2942,32 @@ object SparkEntry {
          |  ${pcs.mkString(",\n  ")}
          |FROM v""".stripMargin,
       "q_bpe_tokens" -> bpeTokensOracle(s, dir),
-      "q_pack_bpe" -> packBpeOracle(s, dir))
+      "q_pack_bpe" -> packBpeOracle(s, dir),
+      "q_bpe_vocab" -> bpeVocabOracle(s, dir))
   }
 
-  /** Shared CTE prefix: per-doc BPE token counts under the trained table
-    * (see [[bpeTokensOracle]] for the replay argument). Exposes
-    * `bt(doc_id, source, ntok)`. */
-  private def bpeDocTokensCte(s: SparkSession, dir: String): String = {
+  /** q_bpe_vocab replay: per-word encode (the shared chain), token list
+    * split off the SAME wrapped-string form the engine's expression
+    * emits, occurrence mass from the word counts. */
+  private def bpeVocabOracle(s: SparkSession, dir: String): String = {
+    val (norm, encoded) = bpeEncodeSql(s, dir)
+    s"""WITH d AS (SELECT doc_id, $norm AS t FROM documents),
+       |words AS (SELECT unnest(string_split(t, ' ')) AS w
+       |          FROM d WHERE t <> ''),
+       |wcnt AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+       |enc AS (SELECT w, n, $encoded AS e FROM wcnt),
+       |tok AS (SELECT w, n, unnest(string_split(trim(e, '|'), '||'))
+       |        AS token FROM enc)
+       |SELECT token, CAST(SUM(n) AS BIGINT) AS n_occurrences,
+       |  CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+       |FROM tok GROUP BY token""".stripMargin
+  }
+
+  /** The normalize + greedy-encode SQL pair shared by every BPE oracle:
+    * trains the SAME 200-merge table the queries train (deterministic)
+    * and returns (normalizeText replay, the nested-replace encode chain
+    * over a word column `w`). */
+  private def bpeEncodeSql(s: SparkSession, dir: String): (String, String) = {
     val merges = graft.pipeline.Bpe.train(docs(s, dir), "text",
       numMerges = 200)
     val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
@@ -2946,6 +2976,14 @@ object SparkEntry {
     val encoded = merges.foldLeft(wrapped) { case (acc, (a, b)) =>
       s"replace($acc, '|$a||$b|', '|$a$b|')"
     }
+    (norm, encoded)
+  }
+
+  /** Shared CTE prefix: per-doc BPE token counts under the trained table
+    * (see [[bpeTokensOracle]] for the replay argument). Exposes
+    * `bt(doc_id, source, ntok)`. */
+  private def bpeDocTokensCte(s: SparkSession, dir: String): String = {
+    val (norm, encoded) = bpeEncodeSql(s, dir)
     s"""WITH d AS (SELECT doc_id, source, $norm AS t FROM documents),
        |words AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w
        |          FROM d WHERE t <> ''),

@@ -70,6 +70,14 @@ final class BpeTable(val merges: Array[(String, String)])
     n
   }
 
+  /** One word's encoding in the separator-wrapped string form
+    * `|tok||tok2||…|` — EXACTLY the intermediate the SQL oracle's nested
+    * `replace` chain produces, so token lists can be compared engine-to-
+    * engine as plain strings. No memo: callers feed pre-deduplicated
+    * words (the vocabulary path). */
+  def encodeWrapped(word: String): String =
+    encodeWord(word).mkString("|", "||", "|")
+
   /** BPE token count of a whitespace-separated, pre-normalized text:
     * the sum of its words' subword counts. Codegen entry point. */
   def countTokens(text: UTF8String): Long = {
@@ -116,5 +124,30 @@ case class BpeCount(child: Expression, table: BpeTable)
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeCount =
+    copy(child = newChild)
+}
+
+/** Codegen'd single-WORD BPE encoding to the separator-wrapped string
+  * form (see [[BpeTable.encodeWrapped]]) — the vocabulary-report
+  * primitive. */
+case class BpeEncodeWord(child: Expression, table: BpeTable)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_bpe_encode_word"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      table.encodeWrapped(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeTable].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"$ref.encodeWrapped($c.toString()))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeWord =
     copy(child = newChild)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.functions.{BpeCount, BpeTable}
+import graft.functions.{BpeCount, BpeEncodeWord, BpeTable}
 
 /** Byte-pair-encoding subword tokenizer: training (merge-table learning)
   * and tokenizer-true token counting, per Sennrich et al. 2016 (ACL,
@@ -189,4 +189,34 @@ object Bpe {
       BpeCount(org.apache.spark.sql.GraftColumns.expression(
         coalesce(Dedup.normalizeText(text), lit(""))), t))
       .cast(LongType)
+
+  /** One WORD's encoding as the `|tok||tok2|…|` wrapped string — the
+    * exact intermediate the SQL oracle's replace chain produces. */
+  def encodeWordCol(word: Column, t: BpeTable): Column =
+    org.apache.spark.sql.GraftColumns.column(
+      BpeEncodeWord(org.apache.spark.sql.GraftColumns.expression(word), t))
+
+  /** Subword-vocabulary usage report under a trained table: one row per
+    * final token with its total corpus occurrence count and the number
+    * of distinct words it appears in — the "what did the tokenizer
+    * actually learn / what carries the mass" artifact of a tokenizer
+    * rollout. Scale shape: word explode + word-count aggregate (the
+    * corpus-scale part, map-side combinable), then encode + token
+    * algebra over DISTINCT words only — vocabulary-sized, not
+    * corpus-sized. */
+  def vocabularyReport(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val t = table(merges)
+    val words = df.select(explode(split(
+        coalesce(Dedup.normalizeText(col(textCol)), lit("")), " "))
+        .alias("word"))
+      .filter(length(col("word")) > 0)
+    val wc = words.groupBy(col("word")).agg(count(lit(1)).alias("__n"))
+    wc.select(col("word"), col("__n"),
+        explode(split(trim(encodeWordCol(col("word"), t), "|"), "\\|\\|"))
+          .alias("token"))
+      .groupBy(col("token"))
+      .agg(sum(col("__n")).alias("n_occurrences"),
+        countDistinct(col("word")).alias("n_words"))
+  }
 }

@@ -529,9 +529,10 @@ object Sketch {
     * 5-bit ranks vs KMV's k hashes — the smaller-state trade, at HLL's
     * ~1.04/√m relative error. Output: (win, n_zero, s_int, hll_est). */
   def hllDistinctTrailing(df: DataFrame, bucketCol: Column, itemCol: Column,
-      windowBuckets: Int, bucketBits: Int = 6, seed: Int = 29): DataFrame = {
+      windowBuckets: Int, bucketBits: Int = 6, seed: Int = 29,
+      wide: Boolean = false): DataFrame = {
     require(windowBuckets >= 1, "need windowBuckets >= 1")
-    val (cell, rho) = hllCells(itemCol, bucketBits, seed)
+    val (cell, rho) = hllCells(itemCol, bucketBits, seed, wide)
     val perBucket = df
       .select(bucketCol.cast(LongType).alias("__b"),
         cell.alias("bucket"), rho.alias("__rho"))
@@ -545,7 +546,7 @@ object Sketch {
       .filter(col("win") <= col("__hi"))
       .groupBy(col("win"), col("bucket"))
       .agg(max(col("register")).alias("register"))
-    hllEstimate(merged, Seq("win"), bucketBits)
+    hllEstimate(merged, Seq("win"), bucketBits, wide)
   }
 
   /** Read a distinct-count estimate from an [[hllRegisters]] sketch.

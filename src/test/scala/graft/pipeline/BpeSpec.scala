@@ -68,6 +68,22 @@ class BpeSpec extends SparkTestBase {
     assert(local == dist, s"local=$local dist=$dist")
   }
 
+  test("vocabularyReport: per-token occurrence mass and word spread") {
+    import spark.implicits._
+    val merges = handMerges // low->low; lower->low,e,r; newest->n,ew,est; widest->w,i,d,est
+    val df = Seq("low lower", "newest widest", "low low").toDF("text")
+    val got = Bpe.vocabularyReport(df, "text", merges)
+      .orderBy("token")
+      .as[(String, Long, Long)].collect().toSeq
+    // words: low x3, lower x1, newest x1, widest x1
+    // low -> [low]; lower -> [low, e, r]; newest -> [n, ew, est];
+    // widest -> [w, i, d, est]
+    assert(got == Seq(
+      ("d", 1L, 1L), ("e", 1L, 1L), ("est", 2L, 2L), ("ew", 1L, 1L),
+      ("i", 1L, 1L), ("low", 4L, 2L), ("n", 1L, 1L), ("r", 1L, 1L),
+      ("w", 1L, 1L)), got.toString)
+  }
+
   test("tokenCount column: normalization parity, nulls, and the " +
       "packSequencesByTokens / tokenBudgetMixture seams") {
     import spark.implicits._
