@@ -2414,11 +2414,20 @@ object SparkEntry {
     * embedded at dump time, the q_pca_project discipline) and replays the
     * greedy encode as 200 nested scan-forward `replace` calls over
     * `|`-wrapped symbols — exactly the [[graft.functions.BpeTable]] fold. */
+  /** One 200-merge table per sf dir: training is deterministic, and the
+    * three BPE queries + three BPE oracles all want the same table — a
+    * Verify dump would otherwise train six times. */
+  private val bpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergesCache.computeIfAbsent(dir,
+      _ => graft.pipeline.Bpe.train(docs(s, dir), "text", numMerges = 200))
+
   private def qBpeTokens(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val merges = graft.pipeline.Bpe.train(d, "text", numMerges = 200)
     d.select(col("doc_id"),
-      graft.pipeline.Bpe.tokenCount(col("text"), merges).alias("n_bpe_tokens"))
+      graft.pipeline.Bpe.tokenCount(col("text"), bpeMerges(s, dir))
+        .alias("n_bpe_tokens"))
   }
 
   /** Packing under tokenizer-true budgets: the q_pack_sequences layout
@@ -2429,9 +2438,8 @@ object SparkEntry {
     * changes. */
   private def qPackBpe(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val merges = graft.pipeline.Bpe.train(d, "text", numMerges = 200)
     graft.pipeline.Packing.packSequencesByTokens(d,
-      graft.pipeline.Bpe.tokenCount(col("text"), merges),
+      graft.pipeline.Bpe.tokenCount(col("text"), bpeMerges(s, dir)),
       "doc_id", Seq("source"), capacity = 2048)
   }
 
@@ -2439,11 +2447,9 @@ object SparkEntry {
     * ([[graft.pipeline.Bpe.vocabularyReport]]); the oracle replays the
     * encode chain and reads the token list off the SAME wrapped-string
     * form the engine's expression emits. */
-  private def qBpeVocab(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val merges = graft.pipeline.Bpe.train(d, "text", numMerges = 200)
-    graft.pipeline.Bpe.vocabularyReport(d, "text", merges)
-  }
+  private def qBpeVocab(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Bpe.vocabularyReport(docs(s, dir), "text",
+      bpeMerges(s, dir))
 
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), col("source"),
@@ -2968,8 +2974,7 @@ object SparkEntry {
     * and returns (normalizeText replay, the nested-replace encode chain
     * over a word column `w`). */
   private def bpeEncodeSql(s: SparkSession, dir: String): (String, String) = {
-    val merges = graft.pipeline.Bpe.train(docs(s, dir), "text",
-      numMerges = 200)
+    val merges = bpeMerges(s, dir)
     val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
       "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
     val wrapped = """regexp_replace(w, '(.)', '|\1|', 'g')"""
