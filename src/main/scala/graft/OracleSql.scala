@@ -1813,6 +1813,64 @@ object OracleSql {
          |FROM f""".stripMargin
     },
 
+    // Char-weighted Gopher repetition replay: same token/line char-mass
+    // conventions as TextAnalysis.charRepetitionSignals (gram mass = len
+    // minus joining spaces; coverage counts a token once under any
+    // duplicated window; zero denominators -> 0.0), same roundDet.
+    "q_repetition" -> {
+      def r6(e: String) = s"floor(($e) * 1000000 + 0.5) / 1000000.0"
+      val norm2 = norm.replace("lower(text)",
+        "lower(replace(text, chr(10), ' '))")
+      def gramDef(n: Int) =
+        s"CASE WHEN len(toks) >= $n THEN list_transform(range(1, " +
+          s"len(toks) - ${n - 2}), i -> array_to_string(toks[i:i+${n - 1}], " +
+          s"' ')) ELSE [] END AS g$n"
+      def topExpr(n: Int) = {
+        val mc = s"list_max(list_transform(list_distinct(g$n), " +
+          s"g -> len(list_filter(g$n, x -> x = g))))"
+        s"""CASE WHEN ttot > 0 AND len(g$n) >= 1 THEN
+           |  CAST($mc * list_max(list_transform(
+           |    list_filter(list_distinct(g$n),
+           |      gq -> len(list_filter(g$n, xq -> xq = gq)) = $mc),
+           |    gm -> len(gm) - ${n - 1})) AS DOUBLE) / ttot
+           |  ELSE 0.0 END""".stripMargin
+      }
+      def flagsDef(n: Int) =
+        s"list_transform(g$n, g -> len(list_filter(g$n, x -> x = g)) >= 2) " +
+          s"AS f$n"
+      def covExpr(n: Int) =
+        s"""CASE WHEN ttot > 0 AND len(g$n) >= 1 THEN
+           |  CAST(coalesce(list_sum(list_transform(range(1, len(toks) + 1),
+           |    i -> CASE WHEN len(list_filter(
+           |        range(greatest(1, i - ${n - 1}), least(i, len(g$n)) + 1),
+           |        s -> f$n[s])) > 0 THEN len(toks[i]) ELSE 0 END)), 0)
+           |    AS DOUBLE) / ttot ELSE 0.0 END""".stripMargin
+      val dl =
+        """CASE WHEN ltot > 0 THEN
+          |  CAST(coalesce(list_sum(list_transform(lines,
+          |    l -> CASE WHEN len(list_filter(lines, x -> x = l)) >= 2
+          |      THEN len(l) ELSE 0 END)), 0) AS DOUBLE) / ltot
+          |  ELSE 0.0 END""".stripMargin
+      s"""WITH x AS (SELECT doc_id,
+         |  string_split(text, chr(10)) AS lines,
+         |  string_split($norm2, ' ') AS toks FROM documents),
+         |b AS (SELECT doc_id, lines, toks,
+         |  coalesce(list_sum(list_transform(lines, l -> len(l))), 0) AS ltot,
+         |  coalesce(list_sum(list_transform(toks, t -> len(t))), 0) AS ttot
+         |  FROM x),
+         |g AS (SELECT *, ${Seq(2, 3, 4, 5, 10).map(gramDef).mkString(",\n  ")}
+         |  FROM b),
+         |f AS (SELECT *, ${Seq(5, 10).map(flagsDef).mkString(",\n  ")} FROM g)
+         |SELECT doc_id,
+         |  ${r6(dl)} AS dup_line_char_frac,
+         |  ${r6(topExpr(2))} AS top2gram_char_frac,
+         |  ${r6(topExpr(3))} AS top3gram_char_frac,
+         |  ${r6(topExpr(4))} AS top4gram_char_frac,
+         |  ${r6(covExpr(5))} AS dup5gram_char_frac,
+         |  ${r6(covExpr(10))} AS dup10gram_char_frac
+         |FROM f""".stripMargin
+    },
+
     // PII detection/redaction replay: identical injected text, identical
     // Java-regex∩RE2 patterns (generated from Pii.Patterns — single source
     // of truth), DuckDB's 'g' flag matching Spark's replace-all default.
@@ -2464,6 +2522,30 @@ object OracleSql {
          |keep AS (SELECT source, b FROM ks WHERE strt < ($budget))
          |SELECT t.doc_id, t.source, t.tokens
          |FROM t JOIN keep ON t.source = keep.source AND t.b = keep.b""".stripMargin
+    },
+
+    // Temperature mixture replay: same token estimate as q_mixture_budget,
+    // integer micro-quantized sqrt weights (order-free BIGINT normalizer),
+    // then the identical two-IEEE-op prob/budget sequence. sqrt is
+    // correctly rounded by IEEE-754 in both engines — the reason the
+    // oracle-gated alpha is 0.5.
+    "q_temperature_mix" -> {
+      val nt = "CASE WHEN length(tt) = 0 THEN 0 ELSE length(tt) - length(replace(tt, ' ', '')) + 1 END"
+      s"""WITH x AS (SELECT source, text,
+         |  trim(regexp_replace(text, ' +', ' ', 'g')) AS tt FROM documents),
+         |t AS (SELECT source,
+         |  CAST(greatest(CAST(ceil(length(text) / 4.0) AS BIGINT), $nt) AS BIGINT) AS tokens
+         |  FROM x),
+         |c AS (SELECT source, count(*) AS n_docs,
+         |  CAST(sum(tokens) AS BIGINT) AS n_tokens FROM t GROUP BY source),
+         |w AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000
+         |  + 0.5) AS BIGINT) AS weight_micro FROM c),
+         |tw AS (SELECT *, sum(weight_micro) OVER () AS ww FROM w)
+         |SELECT source, n_docs, n_tokens, weight_micro,
+         |  CAST(weight_micro AS DOUBLE) / CAST(ww AS DOUBLE) AS sample_prob,
+         |  CAST(floor((CAST(weight_micro AS DOUBLE) / CAST(ww AS DOUBLE))
+         |    * CAST(100000 AS DOUBLE)) AS BIGINT) AS token_budget
+         |FROM tw""".stripMargin
     },
 
     // median/MAD anomaly summary: both medians by the same lower-rank

@@ -1255,6 +1255,12 @@ object SparkEntry {
     docs(s, dir).select(
       col("doc_id") +: TextAnalysis.repetitionSignals(col("text")): _*)
 
+  /** Char-weighted Gopher repetition family (Table A1 thresholds) — the
+    * companion to q_quality_v2's count-based signals. */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id") +: TextAnalysis.charRepetitionSignals(col("text")): _*)
+
   /** The synthetic corpus contains no PII, so every doc gets deterministic
     * id-derived addresses/numbers appended before detection — the regex
     * machinery is exercised on every row and both engines see identical
@@ -2070,6 +2076,18 @@ object SparkEntry {
         TextAnalysis.bpeTokenEstimate(col("text")).cast(LongType).alias("tokens")),
       "doc_id", "source", "tokens", MixtureBudgets, defaultBudget = 200L)
 
+  /** Temperature-flattened source mixture (α = 0.5 — the sqrt point of
+    * the exponentiated-sampling family, chosen for bit-exact cross-engine
+    * replay): per-source sampling probability and integer token budget
+    * over the same tokenizer-estimate counts as q_mixture_budget; the
+    * budgets drive [[graft.pipeline.Splits.tokenBudgetMixture]]. */
+  private def qTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Splits.temperatureBudgets(
+      docs(s, dir).select(col("source"),
+        TextAnalysis.bpeTokenEstimate(col("text")).cast(LongType)
+          .alias("tokens")),
+      "source", "tokens", totalBudget = 100000L)
+
   /** Span-level 3-gram decontamination against the same deterministic eval
     * subset as q_contamination (doc_id % 7) — eval docs hit themselves at
     * frac 1.0; genuine shared spans show up as partial fractions. */
@@ -2430,6 +2448,24 @@ object SparkEntry {
         .alias("n_bpe_tokens"))
   }
 
+  /** Streaming BPE token counting — the q_stream_dsir discipline applied
+    * to the tokenizer: the 200-merge table is a trained, materialized
+    * model (per-sf-dir [[bpeMergesCache]]), and every ARRIVING document
+    * counts through the SAME codegen'd [[graft.functions.BpeCount]]
+    * expression as batch q_bpe_tokens. Stateless per row, so any
+    * micro-batch slicing gives identical counts — a token-budget gate can
+    * sit directly on an ingest stream at any scale (broadcast-sized model,
+    * zero state stores, zero shuffles). Shares q_bpe_tokens' dynamic
+    * trained-table oracle verbatim. */
+  private def qStreamBpe(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val merges = bpeMerges(s, dir)
+    val out = docsStream(s, dir).select(col("doc_id"),
+      graft.pipeline.Bpe.tokenCount(col("text"), merges)
+        .alias("n_bpe_tokens"))
+    runStream(s, out)
+  }
+
   /** Packing under tokenizer-true budgets: the q_pack_sequences layout
     * with [[graft.pipeline.Bpe.tokenCount]] (trained 200-merge table)
     * replacing the char heuristic — the integration seam
@@ -2786,6 +2822,7 @@ object SparkEntry {
     "q_url_dedup" -> qUrlDedup _,
     "q_weighted_sample" -> qWeightedSample _,
     "q_quality_v2" -> qQualityV2 _,
+    "q_repetition" -> qRepetition _,
     "q_pii" -> qPii _,
     "q_bm25" -> qBm25 _,
     "q_bm25_multi" -> qBm25Multi _,
@@ -2886,8 +2923,10 @@ object SparkEntry {
     "q_sample_k" -> qSampleK _,
     "q_boilerplate" -> qBoilerplate _,
     "q_mixture_budget" -> qMixtureBudget _,
+    "q_temperature_mix" -> qTemperatureMix _,
     "q_token_count" -> qTokenCount _,
     "q_bpe_tokens" -> qBpeTokens _,
+    "q_stream_bpe" -> qStreamBpe _,
     "q_pack_bpe" -> qPackBpe _,
     "q_bpe_vocab" -> qBpeVocab _,
     "q_decode_mp4" -> qDecodeMp4 _,
@@ -2948,6 +2987,7 @@ object SparkEntry {
          |  ${pcs.mkString(",\n  ")}
          |FROM v""".stripMargin,
       "q_bpe_tokens" -> bpeTokensOracle(s, dir),
+      "q_stream_bpe" -> bpeTokensOracle(s, dir),
       "q_pack_bpe" -> packBpeOracle(s, dir),
       "q_bpe_vocab" -> bpeVocabOracle(s, dir))
   }

@@ -201,6 +201,51 @@ object Splits {
       .select(df.columns.toIndexedSeq.map(col): _*) // using-cols jump first; restore order
   }
 
+  /** Temperature-based mixture reweighting — the exponentiated sampling
+    * recipe of multilingual/multi-source LM training (sampling mass
+    * p_i ∝ c_i^α with α ∈ (0,1] flattening the source distribution; the
+    * published XLM-R/mT5-style α=0.3..0.7 family): per-stratum token
+    * counts from ONE map-side-combinable aggregate (output = strata
+    * cardinality, tiny at any corpus scale), the exponentiated weight
+    * quantized to integer micro-units (floor(c^α·10⁶ + 0.5) — the
+    * q_bm25_multi discipline, so the cross-stratum normalizer is an
+    * ORDER-FREE integer sum, identical on every engine/partitioning),
+    * then `sample_prob = w_i/W` (one IEEE division) and
+    * `token_budget = floor(sample_prob · totalBudget)` (one more IEEE
+    * op, fixed order). The budgets feed [[tokenBudgetMixture]] directly
+    * to materialize the selection. At α = 0.5 (the default) the weight
+    * uses `sqrt`, which IEEE-754 requires correctly rounded — bit-exact
+    * replay on any engine; other α go through `pow`, deterministic
+    * within Spark but only ulp-close across engines (documented, not
+    * oracle-gated). The whole operator is one aggregate + a window over
+    * the strata-count rollup — no per-document window, no second pass
+    * over the corpus. */
+  def temperatureBudgets(df: DataFrame, stratumCol: String,
+      tokensCol: String, totalBudget: Long,
+      alpha: Double = 0.5): DataFrame = {
+    require(totalBudget >= 0L, "totalBudget must be >= 0")
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val counts = df
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).alias("n_docs"),
+        sum(col(tokensCol).cast(LongType)).alias("n_tokens"))
+    val mass = if (alpha == 0.5) sqrt(col("n_tokens").cast(DoubleType))
+      else pow(col("n_tokens").cast(DoubleType), alpha)
+    // the rollup is strata-sized, so the unpartitioned window is bounded
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val prob = col("weight_micro").cast(DoubleType) /
+      col("__w").cast(DoubleType)
+    counts
+      .withColumn("weight_micro",
+        floor(mass * 1e6 + lit(0.5)).cast(LongType))
+      .withColumn("__w", sum(col("weight_micro")).over(all))
+      .select(col(stratumCol), col("n_docs"), col("n_tokens"),
+        col("weight_micro"), prob.alias("sample_prob"),
+        floor(prob * lit(totalBudget).cast(DoubleType)).cast(LongType)
+          .alias("token_budget"))
+  }
+
   /** Curriculum shard assignment: rows sort conceptually by `scoreCol`
     * DESCENDING (easiest/highest-quality first) and split into `nShards`
     * contiguous shards of roughly equal total `tokensCol` — the standard

@@ -174,6 +174,82 @@ object TextAnalysis {
       }
     }, 6)
 
+  /** Character-WEIGHTED Gopher repetition signals (Rae et al. 2021 §A1.1
+    * Table A1 — the char-fraction family the paper actually thresholds on;
+    * the count-based family is [[repetitionSignals]]). Conventions, fixed
+    * identically on both engines: the char mass of a token or n-gram is its
+    * length EXCLUDING the joining spaces; denominators are total raw-line
+    * chars (line signal) and total normalized-token chars (gram signals);
+    * zero denominators → 0.0. `dup_line_char_frac` counts every occurrence
+    * of any line that appears ≥2×; `topNgram_char_frac` is the most
+    * frequent n-gram's count × char length over total (ties broken by max
+    * char length — a total order both engines replay); `dupNgram_char_frac`
+    * is Gopher's COVERAGE semantics: a token's chars count once if any
+    * duplicated n-gram window spans it (overlaps never double-count).
+    * Pure per-row HOF algebra over bounded documents — zero shuffles, so
+    * the operator stays embarrassingly parallel at any corpus scale; the
+    * per-doc O(G²) gram counting is the same bounded work
+    * [[repetitionSignals]] already does. */
+  def charRepetitionSignals(text: Column): Seq[Column] = {
+    val dupLine = bindArr(split(text, "\n")) { lines =>
+      val tot = aggregate(lines, lit(0L), (a, l) => a + length(l).cast(LongType))
+      val dup = aggregate(lines, lit(0L), (a, l) =>
+        a + when(size(filter(lines, x => x === l)) >= 2,
+          length(l).cast(LongType)).otherwise(lit(0L)))
+      when(tot > 0, dup.cast(DoubleType) / tot.cast(DoubleType))
+        .otherwise(lit(0.0))
+    }
+    val toksCol = split(Dedup.normalizeText(joinLines(text)), " ")
+    def withToks(f: (Column, Column) => Column): Column = bindArr(toksCol) {
+      toks =>
+        val tot = aggregate(toks, lit(0L), (a, t) => a + length(t).cast(LongType))
+        when(tot > 0, f(toks, tot)).otherwise(lit(0.0))
+    }
+    def grams(toks: Column, n: Int): Column =
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(typedLit(Seq.empty[String]))
+    def topChar(n: Int): Column = withToks { (toks, tot) =>
+      bindArr(grams(toks, n)) { gs =>
+        val cnt = (g: Column) => size(filter(gs, x => x === g))
+        val maxCnt = array_max(transform(array_distinct(gs), g => cnt(g)))
+        val maxLen = array_max(transform(
+          filter(array_distinct(gs), g => cnt(g) === maxCnt),
+          g => length(g) - (n - 1)))
+        when(size(gs) >= 1,
+          (maxCnt.cast(LongType) * maxLen.cast(LongType)).cast(DoubleType) /
+            tot.cast(DoubleType))
+          .otherwise(lit(0.0))
+      }
+    }
+    def dupCover(n: Int): Column = withToks { (toks, tot) =>
+      bindArr(grams(toks, n)) { gs =>
+        bindArr(transform(gs, g => size(filter(gs, x => x === g)) >= 2)) {
+          flags =>
+            val nG = size(gs)
+            when(nG >= 1,
+              aggregate(sequence(lit(1), size(toks)), lit(0L), (acc, i) =>
+                acc + when(
+                  exists(
+                    sequence(greatest(lit(1), i - (n - 1)), least(i, nG)),
+                    s => element_at(flags, s)),
+                  length(element_at(toks, i)).cast(LongType))
+                  .otherwise(lit(0L)))
+                .cast(DoubleType) / tot.cast(DoubleType))
+              .otherwise(lit(0.0))
+        }
+      }
+    }
+    Seq(
+      roundDet(dupLine, 6).alias("dup_line_char_frac"),
+      roundDet(topChar(2), 6).alias("top2gram_char_frac"),
+      roundDet(topChar(3), 6).alias("top3gram_char_frac"),
+      roundDet(topChar(4), 6).alias("top4gram_char_frac"),
+      roundDet(dupCover(5), 6).alias("dup5gram_char_frac"),
+      roundDet(dupCover(10), 6).alias("dup10gram_char_frac"))
+  }
+
   /** Content fingerprint: md5 of the normalized text (lowercase, alnum+space,
     * collapsed whitespace) — stable under formatting changes. */
   def fingerprint(text: Column): Column = md5(Dedup.normalizeText(text))

@@ -564,6 +564,62 @@ class PipelineUnitSpec extends SparkTestBase {
     }
   }
 
+  test("char-weighted repetition signals match hand-computed Gopher fractions") {
+    import spark.implicits._
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // lines: "a b a b c" ×2 (9 chars each, duplicated) + "x" (1 char)
+    // toks:  a b a b c a b a b c x → 11 tokens, 11 chars
+    val text = "a b a b c\na b a b c\nx"
+    val r = Seq((1L, text)).toDF("doc_id", "text")
+      .select(col("doc_id") +: TextAnalysis.charRepetitionSignals(col("text")): _*)
+      .collect().head
+    assert(r.getDouble(1) == r6(18.0 / 19)) // both copies of the dup line
+    assert(r.getDouble(2) == r6(8.0 / 11)) // "a b" ×4 × 2 chars
+    assert(r.getDouble(3) == r6(6.0 / 11)) // three 3-grams ×2; 3 chars each
+    assert(r.getDouble(4) == r6(8.0 / 11)) // "a b a b"/"b a b c" ×2 × 4 chars
+    // dup 5-gram "a b a b c" covers tokens 1-5 and 6-10; "x" uncovered
+    assert(r.getDouble(5) == r6(10.0 / 11))
+    assert(r.getDouble(6) == 0.0) // both 10-grams unique
+    // tie-break at count 1: the longest gram wins the top-gram mass
+    val t = Seq((1L, "one two three four")).toDF("doc_id", "text")
+      .select(col("doc_id") +: TextAnalysis.charRepetitionSignals(col("text")): _*)
+      .collect().head
+    assert(t.getDouble(2) == r6(9.0 / 15)) // "three four" = 9 chars of 15
+    // degenerate inputs are all-zero, never null
+    val z = Seq((1L, ""), (2L, "word")).toDF("doc_id", "text")
+      .select(col("doc_id") +: TextAnalysis.charRepetitionSignals(col("text")): _*)
+      .orderBy("doc_id").collect()
+    z.foreach { row =>
+      (1 to 6).foreach(i => assert(row.getDouble(i) == 0.0, s"col $i of $row"))
+    }
+  }
+
+  test("temperatureBudgets matches hand-computed sqrt-weighted budgets") {
+    import spark.implicits._
+    // token sums: a=144, b=16, c=400 → sqrt 12/4/20 → micro-weights
+    // 12e6/4e6/20e6, W = 36e6; probs are the IEEE divisions and budgets
+    // floor(prob · 900) — the 12/36·900 product lands within half an ulp
+    // of 300 and rounds EXACTLY to it, so the floors stay 300/100/500
+    val df = Seq(("a", 100L), ("a", 44L), ("b", 16L), ("c", 400L))
+      .toDF("source", "tokens")
+    val out = Splits.temperatureBudgets(df, "source", "tokens", 900L)
+      .orderBy("source").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(out.map(_.getLong(3)).toSeq ==
+      Seq(12000000L, 4000000L, 20000000L))
+    assert(out.map(_.getDouble(4)).toSeq ==
+      Seq(12e6 / 36e6, 4e6 / 36e6, 20e6 / 36e6))
+    assert(out.map(_.getLong(5)).toSeq == Seq(300L, 100L, 500L))
+    // the budgets feed tokenBudgetMixture: kept mass lands in
+    // [budget, budget + one bucket's overshoot)
+    val docsDf = (1 to 10).map(i => (i.toLong, "w", 100L))
+      .toDF("doc_id", "source", "tokens")
+    val kept = Splits.tokenBudgetMixture(docsDf, "doc_id", "source",
+      "tokens", Map("w" -> 250L))
+      .agg(sum("tokens")).collect().head.getLong(0)
+    assert(kept >= 250L && kept < 350L, s"kept=$kept")
+  }
+
   test("clusterAssignments labels components with their minimum id") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3 forces several propagation passes) plus
