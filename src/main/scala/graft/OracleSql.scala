@@ -15,6 +15,46 @@ object OracleSql {
   private val norm =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
+  /** Closed-form dHash of the synthetic image arms, shared by
+    * q_image_dhash (append `SELECT * FROM acc`) and q_image_neardup
+    * (append the signature/band-join CTEs). gSql restates the decoded
+    * grayscale at a resized grid point from the generating arithmetic. */
+  private val imageDhashSql: String = {
+    def gSql(sy: String, sx: String): String =
+      s"""CASE WHEN arm = 1 THEN
+         |    (doc_id % 251 + 17 * (($sy) // 8) + 23 * (($sx) // 8)) % 256
+         |  WHEN nch = 1 THEN (doc_id % 251 + 5 * ($sy) + 3 * ($sx)) % 256
+         |  ELSE ((doc_id % 251 + 5 * ($sy) + 3 * ($sx)) % 256
+         |    + (doc_id % 251 + 5 * ($sy) + 3 * ($sx) + 11) % 256
+         |    + (doc_id % 251 + 5 * ($sy) + 3 * ($sx) + 22) % 256) // 3
+         |  END""".stripMargin
+    def bitRange(lof: Int, hif: Int, shiftBase: Int): String =
+      s"CAST(sum(CASE WHEN y * 8 + x >= $lof AND y * 8 + x < $hif " +
+        s"THEN b * (CAST(1 AS BIGINT) << (y * 8 + x - $shiftBase)) " +
+        s"ELSE 0 END) AS BIGINT)"
+    s"""WITH imgs AS (
+       |  SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id * 3) % 24 AS h,
+       |    CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS nch, 0 AS arm
+       |  FROM documents WHERE doc_id % 4 = 0
+       |  UNION ALL
+       |  SELECT doc_id, 8 * (1 + doc_id % 4) AS w,
+       |    8 * (1 + (doc_id * 3) % 4) AS h, 1 AS nch, 1 AS arm
+       |  FROM documents WHERE doc_id % 4 = 1),
+       |bits AS (SELECT doc_id, y.y AS y, x.x AS x,
+       |  CASE WHEN (${gSql("y.y * h // 8", "(x.x + 1) * w // 9")})
+       |     > (${gSql("y.y * h // 8", "x.x * w // 9")})
+       |    THEN 1 ELSE 0 END AS b
+       |  FROM imgs, range(8) y(y), range(8) x(x)),
+       |acc AS (SELECT doc_id,
+       |  ${bitRange(32, 64, 32)} AS dhash_hi,
+       |  ${bitRange(0, 32, 0)} AS dhash_lo,
+       |  ${bitRange(0, 16, 0)} AS band0,
+       |  ${bitRange(16, 32, 16)} AS band1,
+       |  ${bitRange(32, 48, 32)} AS band2,
+       |  ${bitRange(48, 64, 48)} AS band3
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+  }
+
   /** 256 width-2 bins over [0, 512) per event_type, p50/90/99 as first
     * cumulative-rank bin upper edges — shared by q_hist_quantile and
     * q_stream_hist (both reconstruct the identical histogram). */
@@ -3565,6 +3605,58 @@ object OracleSql {
         |  FROM documents)
         |SELECT format, status, count(*) AS n_docs
         |FROM c GROUP BY format, status""".stripMargin,
+
+    // dHash replay: grayscale + NN-to-9×8 restated from the generating
+    // pixel arithmetic (integer channel mean; sy = y·h//8, sx = x·w//9 —
+    // the resize operator's index map), bits accumulated into the same
+    // unsigned 32-bit halves and 16-bit bands via exact integer shifts.
+    "q_image_dhash" -> (imageDhashSql + "\nSELECT * FROM acc"),
+
+    // near-dup replay: distinct signatures → min-id representative →
+    // band-bucket join → exact popcount Hamming at radius 3, DISTINCT
+    // over the same five output columns the engine deduplicates on.
+    "q_image_neardup" -> (imageDhashSql +
+      """,
+        |sig AS (SELECT dhash_hi, dhash_lo, band0, band1, band2, band3,
+        |  min(doc_id) AS rep_id, count(*) AS n_docs
+        |  FROM acc GROUP BY 1, 2, 3, 4, 5, 6),
+        |bands AS (SELECT s.*, t.band_idx,
+        |  CASE t.band_idx WHEN 0 THEN band0 WHEN 1 THEN band1
+        |    WHEN 2 THEN band2 ELSE band3 END AS band_val
+        |  FROM sig s, range(4) t(band_idx))
+        |SELECT DISTINCT a.rep_id AS doc_a, b.rep_id AS doc_b,
+        |  a.n_docs AS n_docs_a, b.n_docs AS n_docs_b,
+        |  CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+        |    + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS INT) AS hamming
+        |FROM bands a JOIN bands b
+        |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |  AND a.rep_id < b.rep_id
+        |WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+        |  + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3""".stripMargin),
+
+    // Audio frame-feature replay: the q_decode_wav closed-form samples cut
+    // into 64-sample full frames; energy/peak exact integers, zcr by the
+    // same strict lag-product convention, rms = sqrt(energy/64) — the
+    // identical division+sqrt pair, both IEEE-correctly rounded.
+    "q_audio_features" ->
+      """WITH d AS (SELECT doc_id, 100 + doc_id % 400 AS n FROM documents),
+        |sm AS (SELECT doc_id, n, i.i AS i,
+        |  (doc_id % 251) * 7 + 11 * i.i AS raw
+        |  FROM d, range(500) i(i) WHERE i.i < n),
+        |px AS (SELECT doc_id, n, i, CAST(raw % 65536 - 32768 AS INT) AS s
+        |  FROM sm),
+        |fr AS (SELECT doc_id, i // 64 AS frame_idx, i % 64 AS k, s
+        |  FROM px WHERE i // 64 < n // 64),
+        |z AS (SELECT doc_id, frame_idx, k, s,
+        |  lag(s) OVER (PARTITION BY doc_id, frame_idx ORDER BY k) AS prev
+        |  FROM fr)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS energy,
+        |  CAST(max(abs(s)) AS INT) AS peak,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND prev * s < 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+        |  sqrt(CAST(sum(CAST(s AS BIGINT) * s) AS DOUBLE) / 64.0) AS rms
+        |FROM z GROUP BY doc_id, frame_idx""".stripMargin,
 
     // WAV PCM decode replay: sample(i) = ((id%251)*7 + 11*i) % 65536 −
     // 32768 over n = 100 + id % 400 samples; the engine must walk RIFF

@@ -1256,10 +1256,21 @@ object SparkEntry {
       col("doc_id") +: TextAnalysis.repetitionSignals(col("text")): _*)
 
   /** Char-weighted Gopher repetition family (Table A1 thresholds) — the
-    * companion to q_quality_v2's count-based signals. */
+    * companion to q_quality_v2's count-based signals. The per-row work is
+    * O(G²) interpreted-HOF algebra, orders heavier than the scan bytes: a
+    * small corpus file carries all its rows in one row group and would
+    * serialize the pass on one core — which a partition-COUNT probe
+    * CANNOT detect: `spark.sql.files.minPartitionNum` splits even a
+    * single-row-group file into defaultParallelism fictional partitions,
+    * all but one empty (measured at sf1 — the probe serialized the whole
+    * pass onto one core), so the spread is unconditional, the decode
+    * family's convention. The exchange moves each row's text once
+    * (scan-sized, negligible next to the per-row compute). */
   private def qRepetition(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
-      col("doc_id") +: TextAnalysis.charRepetitionSignals(col("text")): _*)
+    docs(s, dir).select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id") +: TextAnalysis.charRepetitionSignals(col("text")): _*)
 
   /** The synthetic corpus contains no PII, so every doc gets deterministic
     * id-derived addresses/numbers appended before detection — the regex
@@ -2604,6 +2615,19 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload")
 
+  /** Per-frame audio features over the REAL RIFF→PCM decode
+    * ([[graft.pipeline.Multimodal.wavFrameFeatures]]): 64-sample frames,
+    * exact integer energy/peak/zero-crossings and the correctly-rounded
+    * RMS — the framing step a speech pipeline runs before any spectral
+    * featurization. */
+  private def qAudioFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.wavFrameFeatures(
+      Multimodal.synthesizeWavPayload(
+        docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id"),
+      "doc_id", "payload")
+
   /** REAL PROGRESSIVE-JPEG decode end to end: SOF2 multi-scan streams
     * (spectral selection + successive approximation) built by the fixture
     * encoder — the JDK writer cannot emit them — decoded through the full
@@ -2686,6 +2710,24 @@ object SparkEntry {
       "media_meta", targetW = 16, targetH = 16)
     Multimodal.pngPixelStats(resized, "doc_id", "payload")
   }
+
+  /** Perceptual dHash over REAL decoded pixels
+    * ([[graft.pipeline.Multimodal.imageDHash]]) for the image arms of the
+    * mixed decodable corpus — WAV/AVI payloads fall out of decodeImage by
+    * contract. */
+  private def qImageDhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageDHash(
+      Multimodal.synthesizeDecodablePayload(
+        docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id"),
+      "doc_id", "payload")
+
+  /** Banded near-dup join over the dHash signatures — pixel-space LSH
+    * dedup with exact Hamming verification at radius 3. */
+  private def qImageNeardup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.dhashNearDupPairs(qImageDhash(s, dir), "doc_id",
+      maxHamming = 3)
 
   /** Decoder drop-rate report over a corpus that exercises every coverage
     * class: decodable media, header-only containers (including MP4, whose
@@ -2943,10 +2985,13 @@ object SparkEntry {
     "q_decode_jpeg_prog" -> qDecodeJpegProg _,
     "q_decode_video" -> qDecodeVideo _,
     "q_decode_wav" -> qDecodeWav _,
+    "q_audio_features" -> qAudioFeatures _,
     "q_frame_plan" -> qFramePlan _,
     "q_frame_sample" -> qFrameSample _,
     "q_media_coverage" -> qMediaCoverage _,
     "q_pixel_hist" -> qPixelHist _,
+    "q_image_dhash" -> qImageDhash _,
+    "q_image_neardup" -> qImageNeardup _,
     "q_resize_real" -> qResizeReal _,
   )
 

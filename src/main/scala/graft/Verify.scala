@@ -18,7 +18,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(q => only.isEmpty || only(q._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce collapses the whole
+      // post-shuffle stage into the single writer task, so a query whose
+      // heavy projection sits above its last exchange (the interpreted-HOF
+      // text passes, the decode family) runs the entire corpus on ONE
+      // core inside Verify (measured: q_repetition at sf1 went from one
+      // ~500 s task to a 16-way stage). The extra shuffle moves only the
+      // RESULT rows; the single output file the comparator reads is
+      // unchanged.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

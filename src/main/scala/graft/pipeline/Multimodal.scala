@@ -732,6 +732,154 @@ object Multimodal {
       .toDF()
   }
 
+  /** Per-frame audio features through the REAL decode path
+    * ([[decodeWavSamples]]): the clip splits into non-overlapping FULL
+    * frames of `frameLen` samples (a trailing partial frame is dropped —
+    * fixed convention) and each frame reports exact integer energy (Σ s²),
+    * peak |s|, zero-crossing count (strict sign product < 0, so zero
+    * samples never cross) and RMS = sqrt(energy / frameLen) — one IEEE
+    * division then sqrt, both correctly rounded, hence bit-exact on any
+    * engine. Per-partition map, no shuffle; row growth is n/frameLen per
+    * clip, so the operator scales exactly like the decode it rides on.
+    * Undecodable payloads drop (the mediaCoverage contract). */
+  def wavFrameFeatures(df: DataFrame, idCol: String, payloadCol: String,
+      frameLen: Int = 64): DataFrame = {
+    require(frameLen >= 2, "frameLen must be >= 2")
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame_idx", LongType),
+      StructField("energy", LongType),
+      StructField("peak", IntegerType),
+      StructField("zcr", LongType),
+      StructField("rms", DoubleType)))
+    df.select(col(idCol), col(payloadCol))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          decodeWavSamples(r.getAs[Array[Byte]](1)).toSeq.flatMap { a =>
+            val nf = a.samples.length / frameLen
+            (0 until nf).map { f =>
+              var e = 0L
+              var peak = 0
+              var z = 0L
+              var prev = 0
+              var first = true
+              var i = f * frameLen
+              val end = i + frameLen
+              while (i < end) {
+                val s = a.samples(i)
+                e += s.toLong * s
+                val as = math.abs(s)
+                if (as > peak) peak = as
+                if (!first && prev * s < 0) z += 1
+                prev = s
+                first = false
+                i += 1
+              }
+              Row(r.get(0), f.toLong, e, peak, z,
+                math.sqrt(e.toDouble / frameLen.toDouble))
+            }
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
+  /** Perceptual difference-hash (dHash — the public horizontal-gradient
+    * hash) over REAL decoded pixels: integer-mean grayscale (Σch / nch),
+    * [[resizeNearest]] to 9×8 (same index map as the resize operator),
+    * one bit per horizontal gradient (right neighbor STRICTLY brighter),
+    * bit index y·8+x. The 64 bits ship as two unsigned 32-bit halves in
+    * BIGINT columns (`dhash_hi`/`dhash_lo` — engines without unsigned
+    * 64-bit replay them exactly) plus the four 16-bit bands
+    * (`band0..band3`) an LSH near-dup join buckets on: by pigeonhole any
+    * pair within Hamming distance 3 shares at least one band, so the
+    * banded equi-join has guaranteed candidate coverage at radius ≤ 3.
+    * Non-image payloads drop (the mediaCoverage contract); per-partition
+    * map, no shuffle. */
+  def imageDHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("dhash_hi", LongType), StructField("dhash_lo", LongType),
+      StructField("band0", LongType), StructField("band1", LongType),
+      StructField("band2", LongType), StructField("band3", LongType)))
+    df.select(col(idCol), col(payloadCol))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          decodeImage(r.getAs[Array[Byte]](1)).map { img =>
+            val gray =
+              if (img.channels == 1) img
+              else {
+                val g = new Array[Int](img.width * img.height)
+                var i = 0
+                while (i < g.length) {
+                  var s = 0
+                  var ch = 0
+                  while (ch < img.channels) {
+                    s += img.samples(i * img.channels + ch); ch += 1
+                  }
+                  g(i) = s / img.channels
+                  i += 1
+                }
+                DecodedImage(img.width, img.height, 1, g)
+              }
+            val grid = resizeNearest(gray, 9, 8)
+            var hash = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if (grid.samples(y * 9 + x + 1) > grid.samples(y * 9 + x))
+                  hash |= 1L << (y * 8 + x)
+                x += 1
+              }
+              y += 1
+            }
+            Row(r.get(0), hash >>> 32, hash & 0xFFFFFFFFL,
+              hash & 0xFFFFL, (hash >>> 16) & 0xFFFFL,
+              (hash >>> 32) & 0xFFFFL, (hash >>> 48) & 0xFFFFL)
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
+  /** Near-duplicate image pairs from [[imageDHash]] signatures, the
+    * MinHash-LSH discipline applied to pixels: collapse docs to DISTINCT
+    * signatures first (the signature space is content-bounded, not
+    * corpus-bounded — exact-dup clusters never re-join), band-bucket the
+    * distinct signatures (4 × 16-bit equi-join keys), then verify
+    * candidates with the exact Hamming distance (popcount over the XOR'd
+    * halves). Output: representative doc pairs (min doc id per
+    * signature), cluster sizes, distance. Candidate recall is exact for
+    * distance ≤ 3 (pigeonhole over 4 bands); `maxHamming` above 3 keeps
+    * the same buckets and simply verifies a wider radius (documented
+    * LSH trade). */
+  def dhashNearDupPairs(hashes: DataFrame, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64)
+    val sigs = hashes.groupBy(col("dhash_hi"), col("dhash_lo"),
+        col("band0"), col("band1"), col("band2"), col("band3"))
+      .agg(min(col(idCol)).alias("rep_id"),
+        count(lit(1)).alias("n_docs"))
+    val banded = sigs.select(col("dhash_hi"), col("dhash_lo"),
+      col("rep_id"), col("n_docs"),
+      posexplode(array(col("band0"), col("band1"), col("band2"),
+        col("band3"))).as(Seq("band_idx", "band_val")))
+    val a = banded.select(col("band_idx"), col("band_val"),
+      col("dhash_hi").alias("hi_a"), col("dhash_lo").alias("lo_a"),
+      col("rep_id").alias("doc_a"), col("n_docs").alias("n_docs_a"))
+    val b = banded.select(col("band_idx"), col("band_val"),
+      col("dhash_hi").alias("hi_b"), col("dhash_lo").alias("lo_b"),
+      col("rep_id").alias("doc_b"), col("n_docs").alias("n_docs_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_docs_a"), col("n_docs_b"),
+        (bit_count(expr("hi_a ^ hi_b")) + bit_count(expr("lo_a ^ lo_b")))
+          .cast(IntegerType).alias("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Feature seeds start above the metadata seeds (0..2). */
   private val FeatureSeedBase = 16
 

@@ -594,6 +594,56 @@ class PipelineUnitSpec extends SparkTestBase {
     }
   }
 
+  test("imageDHash: hand-computed gradient bits and banded near-dup join") {
+    import spark.implicits._
+    // 9×8 gray image = the resize identity grid. Row pattern: strictly
+    // increasing left→right → every gradient bit set → hash = all 64 ones
+    val incArr = Array.tabulate(72)(i => (i % 9) * 10 + i / 9)
+    val pngInc = Multimodal.buildPngWithPixels(9, 8, 1, incArr, _ => 0)
+    // flat image → no strict increase → hash 0
+    val pngFlat =
+      Multimodal.buildPngWithPixels(9, 8, 1, Array.fill(72)(7), _ => 0)
+    // one broken gradient: bit (y=0, x=0) cleared → Hamming 1 from all-ones
+    val oneOff = incArr.clone(); oneOff(1) = 0
+    val pngOne = Multimodal.buildPngWithPixels(9, 8, 1, oneOff, _ => 0)
+    val hashes = Multimodal.imageDHash(
+      Seq((1L, pngInc), (2L, pngFlat), (3L, pngOne), (4L, pngInc))
+        .toDF("doc_id", "payload"), "doc_id", "payload")
+    val m = hashes.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    assert(m(1L) == ((0xFFFFFFFFL, 0xFFFFFFFFL)))
+    assert(m(2L) == ((0L, 0L)))
+    assert(m(3L) == ((0xFFFFFFFFL, 0xFFFFFFFEL)))
+    assert(m(4L) == m(1L))
+    // near-dup: docs 1+4 collapse to one signature (n_docs 2); its pair
+    // with doc 3 survives at Hamming 1; the flat image shares no band
+    val pairs = Multimodal.dhashNearDupPairs(hashes, "doc_id").collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 3L &&
+      pairs.head.getLong(2) == 2L && pairs.head.getLong(3) == 1L &&
+      pairs.head.getInt(4) == 1)
+  }
+
+  test("wavFrameFeatures: exact frame energy, peak, crossings; tail dropped") {
+    import spark.implicits._
+    // 70 alternating ±3 samples → ONE full 64-frame (6-sample tail drops):
+    // energy 64·9, peak 3, every adjacent pair crosses (63), rms = 3.0
+    val alt = Array.tabulate(70)(i => if (i % 2 == 0) 3 else -3)
+    val r = Multimodal.wavFrameFeatures(
+      Seq((1L, Multimodal.buildWavWithSamples(8000, alt)))
+        .toDF("doc_id", "payload"), "doc_id", "payload").collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 0L && r.head.getLong(2) == 576L &&
+      r.head.getInt(3) == 3 && r.head.getLong(4) == 63L &&
+      r.head.getDouble(5) == 3.0)
+    // a zero sample breaks the sign product: 5,0,-5 has NO crossing
+    val z = Array(5, 0, -5) ++ Array.fill(61)(7)
+    val r2 = Multimodal.wavFrameFeatures(
+      Seq((2L, Multimodal.buildWavWithSamples(8000, z)))
+        .toDF("doc_id", "payload"), "doc_id", "payload").collect().head
+    assert(r2.getLong(4) == 1L) // only the -5 → 7 transition crosses
+  }
+
   test("temperatureBudgets matches hand-computed sqrt-weighted budgets") {
     import spark.implicits._
     // token sums: a=144, b=16, c=400 → sqrt 12/4/20 → micro-weights
