@@ -3611,6 +3611,8 @@ object OracleSql {
     // the resize operator's index map), bits accumulated into the same
     // unsigned 32-bit halves and 16-bit bands via exact integer shifts.
     "q_image_dhash" -> (imageDhashSql + "\nSELECT * FROM acc"),
+    // the streaming twin emits identical per-doc signatures
+    "q_stream_dhash" -> (imageDhashSql + "\nSELECT * FROM acc"),
 
     // near-dup replay: distinct signatures → min-id representative →
     // band-bucket join → exact popcount Hamming at radius 3, DISTINCT

@@ -2723,6 +2723,20 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload")
 
+  /** Streaming twin of q_image_dhash — the first streaming DECODE
+    * operator: synthesize + decode + hash are all stateless per-row
+    * mapPartitions, so any micro-batch slicing gives identical
+    * signatures and an ingest stream can be pixel-fingerprinted before
+    * it ever lands. Shares q_image_dhash's oracle verbatim. */
+  private def qStreamDhash(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val out = Multimodal.imageDHash(
+      Multimodal.synthesizeDecodablePayload(
+        docsStream(s, dir).select(col("doc_id")), "doc_id"),
+      "doc_id", "payload")
+    runStream(s, out)
+  }
+
   /** Banded near-dup join over the dHash signatures — pixel-space LSH
     * dedup with exact Hamming verification at radius 3. */
   private def qImageNeardup(s: SparkSession, dir: String): DataFrame =
@@ -2991,6 +3005,7 @@ object SparkEntry {
     "q_media_coverage" -> qMediaCoverage _,
     "q_pixel_hist" -> qPixelHist _,
     "q_image_dhash" -> qImageDhash _,
+    "q_stream_dhash" -> qStreamDhash _,
     "q_image_neardup" -> qImageNeardup _,
     "q_resize_real" -> qResizeReal _,
   )
