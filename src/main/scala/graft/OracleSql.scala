@@ -898,6 +898,54 @@ object OracleSql {
     }.mkString("\nUNION ALL\n")
   }
 
+  private lazy val cmsHeavySql: String = {
+    def cell(r: Int) = s"((${Hashing.mixSql("h", 53 + r)}) % 512)"
+    s"""WITH t AS (SELECT unnest(string_split($norm, ' ')) AS tok
+       |  FROM documents),
+       |th AS (SELECT tok, ${Hashing.polyHashSql("tok")} AS h FROM t),
+       |ex AS (SELECT tok, count(*) AS true_cnt FROM t GROUP BY tok
+       |  HAVING count(*) >= 50),
+       |c AS (
+       |  SELECT 0 AS rw, ${cell(0)} AS bucket, count(*) AS cnt
+       |    FROM th GROUP BY 2
+       |  UNION ALL SELECT 1, ${cell(1)}, count(*) FROM th GROUP BY 2
+       |  UNION ALL SELECT 2, ${cell(2)}, count(*) FROM th GROUP BY 2),
+       |ph AS (SELECT tok, true_cnt, ${Hashing.polyHashSql("tok")} AS h
+       |  FROM ex),
+       |pa AS (
+       |  SELECT tok, true_cnt, 0 AS rw, ${cell(0)} AS bucket FROM ph
+       |  UNION ALL SELECT tok, true_cnt, 1, ${cell(1)} FROM ph
+       |  UNION ALL SELECT tok, true_cnt, 2, ${cell(2)} FROM ph),
+       |e AS (SELECT pa.tok, pa.true_cnt,
+       |  min(coalesce(c.cnt, 0)) AS cms_est
+       |  FROM pa LEFT JOIN c ON c.rw = pa.rw AND c.bucket = pa.bucket
+       |  GROUP BY 1, 2)
+       |SELECT tok, true_cnt, cms_est, cms_est - true_cnt AS over_err
+       |FROM e""".stripMargin
+  }
+
+  private lazy val bloomSql: String = {
+    def pos(r: Int) = s"((${Hashing.mixSql("h", 97 + r)}) % ${1 << 15})"
+    val addr = (0 until 3).map { r =>
+      s"SELECT doc_id, (${pos(r)}) // 31 AS word, " +
+        s"(CAST(1 AS BIGINT) << CAST((${pos(r)}) % 31 AS INTEGER)) AS mask FROM dh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, $norm AS item FROM documents),
+       |dh AS (SELECT doc_id, ${Hashing.polyHashSql("item")} AS h FROM d),
+       |ha AS (
+       |  $addr),
+       |wb AS (SELECT word, sum(mask) AS word_mask FROM (
+       |  SELECT DISTINCT word, mask FROM ha WHERE doc_id % 3 <> 0)
+       |  GROUP BY word),
+       |pr AS (SELECT ha.doc_id,
+       |  CASE WHEN wb.word_mask IS NOT NULL
+       |    AND (wb.word_mask & ha.mask) <> 0 THEN 1 ELSE 0 END AS ok
+       |  FROM ha LEFT JOIN wb ON wb.word = ha.word)
+       |SELECT doc_id, (sum(ok) = count(*)) AS bloom_hit,
+       |  (doc_id % 3 <> 0) AS in_history
+       |FROM pr GROUP BY doc_id""".stripMargin
+  }
+
   val all: Map[String, String] = {
     val base = baseAll
     base + ("q_ann_methods" -> annMethodsSql(base))
@@ -2337,57 +2385,19 @@ object OracleSql {
     },
 
     // Count-Min sketch replay: the 3×512 grid of exact counters rebuilt
-    // with the same polynomial-hash addressing, probes read min over rows
-    "q_cms_heavy" -> {
-      def cell(r: Int) = s"((${Hashing.mixSql("h", 53 + r)}) % 512)"
-      s"""WITH t AS (SELECT unnest(string_split($norm, ' ')) AS tok
-         |  FROM documents),
-         |th AS (SELECT tok, ${Hashing.polyHashSql("tok")} AS h FROM t),
-         |ex AS (SELECT tok, count(*) AS true_cnt FROM t GROUP BY tok
-         |  HAVING count(*) >= 50),
-         |c AS (
-         |  SELECT 0 AS rw, ${cell(0)} AS bucket, count(*) AS cnt
-         |    FROM th GROUP BY 2
-         |  UNION ALL SELECT 1, ${cell(1)}, count(*) FROM th GROUP BY 2
-         |  UNION ALL SELECT 2, ${cell(2)}, count(*) FROM th GROUP BY 2),
-         |ph AS (SELECT tok, true_cnt, ${Hashing.polyHashSql("tok")} AS h
-         |  FROM ex),
-         |pa AS (
-         |  SELECT tok, true_cnt, 0 AS rw, ${cell(0)} AS bucket FROM ph
-         |  UNION ALL SELECT tok, true_cnt, 1, ${cell(1)} FROM ph
-         |  UNION ALL SELECT tok, true_cnt, 2, ${cell(2)} FROM ph),
-         |e AS (SELECT pa.tok, pa.true_cnt,
-         |  min(coalesce(c.cnt, 0)) AS cms_est
-         |  FROM pa LEFT JOIN c ON c.rw = pa.rw AND c.bucket = pa.bucket
-         |  GROUP BY 1, 2)
-         |SELECT tok, true_cnt, cms_est, cms_est - true_cnt AS over_err
-         |FROM e""".stripMargin
-    },
+    // with the same polynomial-hash addressing, probes read min over rows.
+    // q_stream_cms shares it verbatim: the streaming cell-count deltas
+    // sum-roll to the identical grid (counters are additive).
+    "q_cms_heavy" -> cmsHeavySql,
+    "q_stream_cms" -> cmsHeavySql,
 
     // Bloom replay: positions from the same hash family, 31-bit words so
     // mask arithmetic stays exact in BIGINTs; the word OR is a
-    // distinct-sum of power-of-two masks in both engines
-    "q_bloom" -> {
-      def pos(r: Int) = s"((${Hashing.mixSql("h", 97 + r)}) % ${1 << 15})"
-      val addr = (0 until 3).map { r =>
-        s"SELECT doc_id, (${pos(r)}) // 31 AS word, " +
-          s"(CAST(1 AS BIGINT) << CAST((${pos(r)}) % 31 AS INTEGER)) AS mask FROM dh"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH d AS (SELECT doc_id, $norm AS item FROM documents),
-         |dh AS (SELECT doc_id, ${Hashing.polyHashSql("item")} AS h FROM d),
-         |ha AS (
-         |  $addr),
-         |wb AS (SELECT word, sum(mask) AS word_mask FROM (
-         |  SELECT DISTINCT word, mask FROM ha WHERE doc_id % 3 <> 0)
-         |  GROUP BY word),
-         |pr AS (SELECT ha.doc_id,
-         |  CASE WHEN wb.word_mask IS NOT NULL
-         |    AND (wb.word_mask & ha.mask) <> 0 THEN 1 ELSE 0 END AS ok
-         |  FROM ha LEFT JOIN wb ON wb.word = ha.word)
-         |SELECT doc_id, (sum(ok) = count(*)) AS bloom_hit,
-         |  (doc_id % 3 <> 0) AS in_history
-         |FROM pr GROUP BY doc_id""".stripMargin
-    },
+    // distinct-sum of power-of-two masks in both engines. q_stream_bloom
+    // shares it verbatim: the emit-once bit changelog sum-rolls to the
+    // identical word masks.
+    "q_bloom" -> bloomSql,
+    "q_stream_bloom" -> bloomSql,
 
     // registered-domain rollup of the synthesized 5-host URL set
     "q_domain_stats" -> {

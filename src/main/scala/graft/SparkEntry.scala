@@ -2266,6 +2266,56 @@ object SparkEntry {
       space = graft.pipeline.Hashing.PW)
   }
 
+  /** Streaming Count-Min heavy hitters: token cell-count DELTAS from the
+    * ingest stream ([[graft.streaming.StreamingTSDF.cmsDeltas]], corpus-
+    * global series spread over 32 salt groups) sum-rolled into the exact
+    * batch grid, probed with the unchanged batch reader — CMS counters are
+    * additive, so the roll equals [[graft.pipeline.Sketch.cmsBuild]] for
+    * any micro-batching and the query shares q_cms_heavy's oracle
+    * verbatim. */
+  private def qStreamCms(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val tokStream = docsStream(s, dir).select(
+      explode(split(Dedup.normalizeText(col("text")), " ")).alias("tok"))
+    val deltas = graft.streaming.StreamingTSDF.cmsDeltas(
+      tokStream, Seq(), col("tok"), width = 512, depth = 3)
+    val sketch = runStream(s, deltas)
+      .groupBy(col("row"), col("bucket")).agg(sum(col("cnt")).alias("cnt"))
+    val toks = docs(s, dir).select(
+      explode(split(Dedup.normalizeText(col("text")), " ")).alias("tok"))
+    val heavy = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).alias("true_cnt"))
+      .filter(col("true_cnt") >= 50)
+    graft.pipeline.Sketch.cmsEstimate(
+      heavy, sketch, col("tok"), width = 512, depth = 3)
+      .join(heavy, col("item") === col("tok"))
+      .select(col("tok"), col("true_cnt"), col("cms_est"),
+        (col("cms_est") - col("true_cnt")).alias("over_err"))
+  }
+
+  /** Streaming Bloom filter build: the history corpus's set bits emitted
+    * as an emit-once CHANGELOG ([[graft.streaming.StreamingTSDF
+    * .bloomBits]]), sum-rolled per word into the exact batch filter (each
+    * bit arrives once, so the sum IS the bitwise OR), then probed with the
+    * unchanged batch [[graft.pipeline.Sketch.bloomProbe]] — the streaming
+    * face of q_bloom's incremental-dedup prefilter, sharing its oracle
+    * verbatim. */
+  private def qStreamBloom(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val hist = docsStream(s, dir).filter(col("doc_id") % 3 =!= 0)
+      .select(Dedup.normalizeText(col("text")).alias("item"))
+    val bits = graft.streaming.StreamingTSDF.bloomBits(
+      hist, Seq(), col("item"), mBits = 1 << 15, depth = 3)
+    val filter = runStream(s, bits)
+      .groupBy(col("word")).agg(sum(col("mask")).alias("word_mask"))
+    val d = docs(s, dir).select(col("doc_id"),
+      Dedup.normalizeText(col("text")).alias("item"))
+    graft.pipeline.Sketch.bloomProbe(d, filter, col("item"),
+      mBits = 1 << 15, depth = 3)
+      .select(col("doc_id"), col("bloom_hit"),
+        (col("doc_id") % 3 =!= 0).alias("in_history"))
+  }
+
   /** Streaming trailing-7-day WAU via the KMV changelog: per-DAY running
     * k-min sets stream through [[graft.streaming.StreamingTSDF.kmvMins]]
     * (day = the series key), and the batch trailing merge
@@ -2969,6 +3019,8 @@ object SparkEntry {
     "q_stream_dsir" -> qStreamDsir _,
     "q_stream_kmv" -> qStreamKmv _,
     "q_stream_kmv_wide" -> qStreamKmvWide _,
+    "q_stream_cms" -> qStreamCms _,
+    "q_stream_bloom" -> qStreamBloom _,
     "q_kmv_jaccard" -> qKmvJaccard _,
     "q_stream_wau_kmv" -> qStreamWauKmv _,
     "q_rolling_slope" -> qRollingSlope _,

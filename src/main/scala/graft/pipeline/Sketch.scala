@@ -147,7 +147,7 @@ object Sketch {
   /** One (row, bucket) pair per depth row for `itemCol` — the shared
     * addressing of [[cmsBuild]] and [[cmsEstimate]] (the two MUST agree or
     * probes read the wrong counters). */
-  private def cmsAddresses(itemCol: Column, width: Int, depth: Int,
+  private[graft] def cmsAddresses(itemCol: Column, width: Int, depth: Int,
       seed: Int, wide: Boolean): Column = {
     val h = if (wide) Hashing.wideHash(itemCol) else Hashing.polyHash(itemCol)
     def remix(c: Column, s: Int): Column =
@@ -595,7 +595,7 @@ object Sketch {
 
   /** One (word, mask) pair per hash for `itemCol` — shared addressing of
     * [[bloomBuild]] and [[bloomProbe]]. */
-  private def bloomAddresses(itemCol: Column, mBits: Int, depth: Int,
+  private[graft] def bloomAddresses(itemCol: Column, mBits: Int, depth: Int,
       seed: Int, wide: Boolean): Column = {
     val h = if (wide) Hashing.wideHash(itemCol) else Hashing.polyHash(itemCol)
     def remix(c: Column, s: Int): Column =

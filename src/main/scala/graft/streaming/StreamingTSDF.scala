@@ -1121,6 +1121,126 @@ object StreamingTSDF {
       col("bin"), col("cnt")): _*)
   }
 
+  // ----------------------------------------------- streaming count-min
+  case class CmsEvent(series: String, salt: Int, row: Long, bucket: Long)
+
+  /** Streaming Count-Min feed: per micro-batch, the exact per-cell hit
+    * counts of the batch's items per series — COUNT DELTAS, so a plain
+    * `sum(cnt) per (series, row, bucket)` over the sink reconstructs the
+    * exact [[graft.pipeline.Sketch.cmsBuild]] grid of everything ingested
+    * (CMS counters are additive), readable with the unchanged batch
+    * [[graft.pipeline.Sketch.cmsEstimate]]. Addresses come from the shared
+    * [[graft.pipeline.Sketch.cmsAddresses]] expressions (narrow or `wide`
+    * CRT-pair family), so batch and stream cannot drift and the folded
+    * readout replays in the same SQL oracle as the batch sketch.
+    *
+    * The group key is (series, salt) with `salt = hash(cell) % salts`:
+    * counter deltas are additive across salts, so salting changes nothing
+    * in the folded answer while spreading a corpus-global sketch (empty
+    * `seriesCols` — one logical series) across `salts` parallel state
+    * groups instead of funneling every token of every micro-batch through
+    * one task. No cross-batch state is carried (deltas need none) —
+    * `flatMapGroupsWithState` only legalizes aggregation inside an
+    * append-mode stream. Null items carry no cells (same convention as
+    * [[hllRegisters]]). */
+  def cmsDeltas(df: DataFrame, seriesCols: Seq[String], itemCol: Column,
+      width: Int, depth: Int, seed: Int = 53, wide: Boolean = false,
+      salts: Int = 32): DataFrame = {
+    require(width >= 2 && depth >= 1 && salts >= 1,
+      "need width >= 2, depth >= 1, salts >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val projected = df.select(
+      seriesKey(seriesCols).alias("series"),
+      explode(graft.pipeline.Sketch.cmsAddresses(
+        itemCol, width, depth, seed, wide)).alias("__a"))
+      .select(col("series"), col("__a.row").alias("row"),
+        col("__a.bucket").alias("bucket"))
+      .filter(col("bucket").isNotNull)
+      .withColumn("salt",
+        pmod(hash(col("row"), col("bucket")), lit(salts)).cast(IntegerType))
+      .as[CmsEvent]
+    val out = projected
+      .groupByKey(e => (e.series, e.salt))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: (String, Int), rows: Iterator[CmsEvent],
+            state: GroupState[Long]) =>
+          rows.toSeq.groupBy(e => (e.row, e.bucket)).iterator
+            .map { case ((r, b), rs) => (key._1, r, b, rs.size.toLong) }
+      }
+      .toDF("series", "row", "bucket", "cnt")
+    out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
+      col("row"), col("bucket"), col("cnt")): _*)
+  }
+
+  // ----------------------------------------------- streaming Bloom filter
+  case class BloomEvent(series: String, salt: Int, word: Long, mask: Long)
+  case class BloomState(words: Map[Long, Long])
+
+  /** Streaming Bloom filter build: per series, the filter's set bits
+    * emitted as a CHANGELOG — each micro-batch emits, per 31-bit word, one
+    * row holding exactly the bits that turned on in that batch. Every
+    * (series, word, bit) is emitted at most once across the stream's
+    * lifetime (state remembers the word's accumulated mask), so a plain
+    * `sum(mask) per (series, word)` over the sink IS the bitwise OR and
+    * reconstructs the batch [[graft.pipeline.Sketch.bloomBuild]] filter
+    * exactly, for any micro-batch split — probed with the unchanged batch
+    * [[graft.pipeline.Sketch.bloomProbe]], replayed by the same SQL oracle.
+    * Addresses come from the shared
+    * [[graft.pipeline.Sketch.bloomAddresses]] expressions (narrow or
+    * `wide`).
+    *
+    * The group key is (series, salt) with `salt = hash(word) % salts`: a
+    * word lives in exactly one salt group, so the emit-once invariant is
+    * global while a corpus-wide filter (empty `seriesCols`) builds across
+    * `salts` parallel groups. State is at most m/31 (word → mask) entries
+    * per series TOTAL across its salt groups — the filter's own fixed
+    * footprint, the same bounded-state story as the batch filter's ≤ m/31
+    * rows. Changelog traffic decays as the filter fills (a saturated
+    * filter emits nothing). Null items carry no bits. */
+  def bloomBits(df: DataFrame, seriesCols: Seq[String], itemCol: Column,
+      mBits: Int, depth: Int, seed: Int = 97, wide: Boolean = false,
+      salts: Int = 32): DataFrame = {
+    require(mBits >= graft.pipeline.Sketch.BloomBitsPerWord && depth >= 1 &&
+      salts >= 1, s"need mBits >= 31, depth >= 1, salts >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val projected = df.select(
+      seriesKey(seriesCols).alias("series"),
+      explode(graft.pipeline.Sketch.bloomAddresses(
+        itemCol, mBits, depth, seed, wide)).alias("__a"))
+      .select(col("series"), col("__a.word").alias("word"),
+        col("__a.mask").alias("mask"))
+      .filter(col("word").isNotNull)
+      .withColumn("salt", pmod(hash(col("word")), lit(salts)).cast(IntegerType))
+      .as[BloomEvent]
+    val out = projected
+      .groupByKey(e => (e.series, e.salt))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: (String, Int), rows: Iterator[BloomEvent],
+            state: GroupState[BloomState]) =>
+          val words = scala.collection.mutable.HashMap.empty[Long, Long]
+          state.getOption.foreach(st => words ++= st.words)
+          // SortedMap keeps emission order deterministic per batch
+          val newBits = scala.collection.mutable.SortedMap.empty[Long, Long]
+          rows.foreach { e =>
+            val cur = words.getOrElse(e.word, 0L)
+            val add = e.mask & ~cur
+            if (add != 0L) {
+              words(e.word) = cur | add
+              newBits(e.word) = newBits.getOrElse(e.word, 0L) | add
+            }
+          }
+          state.update(BloomState(words.toMap))
+          newBits.iterator.map { case (w, m) => (key._1, w, m) }
+      }
+      .toDF("series", "word", "mask")
+    out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
+      col("word"), col("mask")): _*)
+  }
+
   // ------------------------------------------------ streaming interpolation
   case class InterpEvent(series: String, tsUs: Long, value: Double,
       eventTime: java.sql.Timestamp)

@@ -89,6 +89,87 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("property: streaming cmsDeltas sum-roll to the exact batch CMS grid " +
+      "across micro-batches and salt groups, narrow AND wide") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    for (wide <- Seq(false, true)) {
+      val rnd = new scala.util.Random(53)
+      val mem = MemoryStream[(String, String)]
+      // salts = 5 exercises the salt-group spread; width small enough that
+      // cells collide hard, so per-batch grouping must merge correctly
+      val out = StreamingTSDF.cmsDeltas(mem.toDF().toDF("src", "item"),
+        Seq("src"), col("item"), width = 64, depth = 3, wide = wide,
+        salts = 5)
+      val sinkName = s"cms_diff_sink_$wide"
+      val q = out.writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append()).start()
+      val all = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      for (_ <- 0 until 5) {
+        val batch = (0 until 300).map(_ =>
+          ("s" + rnd.nextInt(3), "it" + rnd.nextInt(200)))
+        all ++= batch
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val rolled = spark.table(sinkName)
+        .groupBy(col("src"), col("row"), col("bucket"))
+        .agg(sum(col("cnt")).alias("cnt"))
+      for (srcv <- Seq("s0", "s1", "s2")) {
+        val subset = all.toSeq.filter(_._1 == srcv).map(_._2).toDF("item")
+        val batchGrid = graft.pipeline.Sketch.cmsBuild(
+          subset, col("item"), width = 64, depth = 3, wide = wide)
+        withClue(s"wide=$wide src=$srcv: ") {
+          assertDfEquality(
+            rolled.filter(col("src") === srcv).drop("src"), batchGrid)
+        }
+      }
+    }
+  }
+
+  test("property: streaming bloomBits changelog sum-rolls to the exact " +
+      "batch Bloom filter across micro-batches (emit-once), narrow AND wide") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    for (wide <- Seq(false, true)) {
+      val rnd = new scala.util.Random(59)
+      val mem = MemoryStream[(String, String)]
+      // 100 distinct items over 5×300 rows: every batch re-sends mostly
+      // already-set bits, so the emit-once state discipline is what keeps
+      // sum(mask) == bitwise OR — any double emission breaks equality
+      val out = StreamingTSDF.bloomBits(mem.toDF().toDF("src", "item"),
+        Seq("src"), col("item"), mBits = 31 * 40, depth = 3, wide = wide,
+        salts = 4)
+      val sinkName = s"bloom_diff_sink_$wide"
+      val q = out.writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append()).start()
+      val all = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      for (_ <- 0 until 5) {
+        val batch = (0 until 300).map(_ =>
+          ("s" + rnd.nextInt(3), "it" + rnd.nextInt(100)))
+        all ++= batch
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val rolled = spark.table(sinkName)
+        .groupBy(col("src"), col("word"))
+        .agg(sum(col("mask")).alias("word_mask"))
+      for (srcv <- Seq("s0", "s1", "s2")) {
+        val subset = all.toSeq.filter(_._1 == srcv).map(_._2).toDF("item")
+        val batchFilter = graft.pipeline.Sketch.bloomBuild(
+          subset, col("item"), mBits = 31 * 40, depth = 3, wide = wide)
+        withClue(s"wide=$wide src=$srcv: ") {
+          assertDfEquality(
+            rolled.filter(col("src") === srcv).drop("src"), batchFilter)
+        }
+      }
+    }
+  }
+
   test("property: streaming resample(mean) equals batch resample on random series") {
     val rnd = new scala.util.Random(42)
     (0 until 4).foreach { trial =>
