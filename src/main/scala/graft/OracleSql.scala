@@ -3670,6 +3670,31 @@ object OracleSql {
         |  sqrt(CAST(sum(CAST(s AS BIGINT) * s) AS DOUBLE) / 64.0) AS rms
         |FROM z GROUP BY doc_id, frame_idx""".stripMargin,
 
+    // Walsh-Hadamard sequency bands: the oracle computes each coefficient
+    // from the DEFINITION W[k] = Σ_n x[n]·(−1)^popcount(k&n) (the engine
+    // runs the butterfly — agreeing answers cross-check the two forms);
+    // the sequency→natural map is embedded from the same precomputed
+    // table the engine reorders with. All-integer, so bit-exact.
+    "q_audio_sequency" -> {
+      val m = graft.pipeline.Multimodal.SeqToNat64.mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT doc_id, 100 + doc_id % 400 AS n FROM documents),
+         |sm AS (SELECT doc_id, n, i.i AS i,
+         |  (doc_id % 251) * 7 + 11 * i.i AS raw
+         |  FROM d, range(500) i(i) WHERE i.i < n),
+         |px AS (SELECT doc_id, n, i,
+         |  CAST(raw % 65536 - 32768 AS BIGINT) AS s FROM sm),
+         |fr AS (SELECT doc_id, i // 64 AS frame_idx, list(s ORDER BY i) AS xs
+         |  FROM px WHERE i // 64 < n // 64 GROUP BY 1, 2),
+         |co AS (SELECT doc_id, frame_idx, sq.s AS sq,
+         |  list_sum(list_transform(range(64), nn ->
+         |    xs[nn + 1] * (1 - 2 * (bit_count($m[sq.s + 1] & nn) % 2)))) AS w
+         |  FROM fr, range(64) sq(s))
+         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         |  CAST(sq // 8 AS INT) AS band,
+         |  CAST(sum(w * w) AS BIGINT) AS band_energy
+         |FROM co GROUP BY 1, 2, 3""".stripMargin
+    },
+
     // WAV PCM decode replay: sample(i) = ((id%251)*7 + 11*i) % 65536 −
     // 32768 over n = 100 + id % 400 samples; the engine must walk RIFF
     // chunks and sign-extend LE16 bytes to reproduce these sums.

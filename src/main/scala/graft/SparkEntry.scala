@@ -2678,6 +2678,20 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload")
 
+  /** Sequency-band audio spectrum via the 64-point Walsh-Hadamard
+    * transform over the REAL RIFF→PCM decode — the integer-exact analog
+    * of a per-frame power spectrum (±1 basis: no trig, so the bands
+    * replay bit-for-bit in any engine where an FFT differs in final
+    * ulps). The oracle restates the butterfly as the direct
+    * (−1)^popcount(k&n) definition over the synthesized samples. */
+  private def qAudioSequency(s: SparkSession, dir: String): DataFrame =
+    Multimodal.wavSequencyFeatures(
+      Multimodal.synthesizeWavPayload(
+        docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id"),
+      "doc_id", "payload")
+
   /** REAL PROGRESSIVE-JPEG decode end to end: SOF2 multi-scan streams
     * (spectral selection + successive approximation) built by the fixture
     * encoder — the JDK writer cannot emit them — decoded through the full
@@ -3052,6 +3066,7 @@ object SparkEntry {
     "q_decode_video" -> qDecodeVideo _,
     "q_decode_wav" -> qDecodeWav _,
     "q_audio_features" -> qAudioFeatures _,
+    "q_audio_sequency" -> qAudioSequency _,
     "q_frame_plan" -> qFramePlan _,
     "q_frame_sample" -> qFrameSample _,
     "q_media_coverage" -> qMediaCoverage _,

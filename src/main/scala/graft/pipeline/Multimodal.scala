@@ -784,6 +784,80 @@ object Multimodal {
       .toDF()
   }
 
+  /** Natural-order (Hadamard) index of the Walsh function with sequency
+    * `s` for the 64-point transform: bitrev6(gray(s)) — the classic
+    * sequency↔Hadamard reindexing, precomputed once. */
+  private[graft] val SeqToNat64: Array[Int] = Array.tabulate(64) { s =>
+    val g = s ^ (s >> 1) // binary → Gray
+    var k = 0
+    var b = 0
+    while (b < 6) { k |= ((g >> b) & 1) << (5 - b); b += 1 } // 6-bit reverse
+    k
+  }
+
+  /** Sequency-band spectral decomposition per audio frame via the 64-point
+    * Walsh-Hadamard transform — the INTEGER-EXACT analog of a power
+    * spectrum (the WHT basis is ±1, so W[k] = Σₙ x[n]·(−1)^popcount(k&n)
+    * is plain integer addition: bit-reproducible on any engine, where an
+    * FFT's trig twiddles are only ulp-close across libms). Frames are the
+    * same non-overlapping 64-sample windows as [[wavFrameFeatures]];
+    * coefficients come from the 6-stage in-place butterfly (384 adds per
+    * frame), are reordered to SEQUENCY order (number of sign changes —
+    * the Walsh analog of frequency) via [[SeqToNat64]], and grouped into
+    * 8 bands of 8 consecutive sequencies; `band_energy` = Σ W² per band,
+    * exact in longs (|W| ≤ 64·2¹⁵ = 2²¹, so a band sum ≤ 8·2⁴² < 2⁴⁶).
+    * Band 0 contains DC (sequency 0). Parseval holds exactly:
+    * Σ_bands band_energy = 64·(frame energy) — asserted in the spec.
+    * Per-partition map, no shuffle; undecodable payloads drop. */
+  def wavSequencyFeatures(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val frameLen = 64
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame_idx", LongType),
+      StructField("band", IntegerType),
+      StructField("band_energy", LongType)))
+    df.select(col(idCol), col(payloadCol))
+      .mapPartitions { it =>
+        val w = new Array[Long](frameLen)
+        it.flatMap { r =>
+          decodeWavSamples(r.getAs[Array[Byte]](1)).toSeq.flatMap { a =>
+            val nf = a.samples.length / frameLen
+            (0 until nf).flatMap { f =>
+              var i = 0
+              while (i < frameLen) {
+                w(i) = a.samples(f * frameLen + i).toLong; i += 1
+              }
+              // fast WHT, natural (Hadamard) output order
+              var len = 1
+              while (len < frameLen) {
+                var blk = 0
+                while (blk < frameLen) {
+                  var j = blk
+                  while (j < blk + len) {
+                    val x = w(j); val y = w(j + len)
+                    w(j) = x + y; w(j + len) = x - y
+                    j += 1
+                  }
+                  blk += 2 * len
+                }
+                len <<= 1
+              }
+              (0 until 8).map { band =>
+                var e = 0L
+                var s = band * 8
+                while (s < band * 8 + 8) {
+                  val c = w(SeqToNat64(s)); e += c * c; s += 1
+                }
+                Row(r.get(0), f.toLong, band, e)
+              }
+            }
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
   /** Perceptual difference-hash (dHash — the public horizontal-gradient
     * hash) over REAL decoded pixels: integer-mean grayscale (Σch / nch),
     * [[resizeNearest]] to 9×8 (same index map as the resize operator),

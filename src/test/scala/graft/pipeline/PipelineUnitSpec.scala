@@ -4308,4 +4308,51 @@ class PipelineUnitSpec extends SparkTestBase {
     evil3(40) = 0; evil3(41) = 0; evil3(42) = 0; evil3(43) = 0x80.toByte
     assert(Multimodal.decodeWavSamples(evil3).isEmpty)
   }
+
+  test("SeqToNat64 maps sequency s to the Walsh row with exactly s sign " +
+      "changes, and wavSequencyFeatures matches the popcount definition " +
+      "with exact Parseval") {
+    // mapping property: row k of H64 has popcount-defined signs; the row
+    // at SeqToNat64(s) must change sign exactly s times
+    val seen = scala.collection.mutable.Set.empty[Int]
+    for (s <- 0 until 64) {
+      val k = Multimodal.SeqToNat64(s)
+      assert(seen.add(k), s"SeqToNat64 not a permutation at s=$s")
+      val signs = (0 until 64).map(n =>
+        if (Integer.bitCount(k & n) % 2 == 1) -1 else 1)
+      val changes = signs.sliding(2).count(p => p(0) != p(1))
+      assert(changes == s, s"sequency of natural $k is $changes, want $s")
+    }
+    // operator differential on real payloads: butterfly+reorder (engine)
+    // vs direct definition (test), plus exact Parseval per frame
+    val spark2 = spark
+    import spark2.implicits._
+    val ids = Seq(3L, 77L, 250L, 399L)
+    val df = Multimodal.synthesizeWavPayload(ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.wavSequencyFeatures(df, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) ->
+        r.getLong(3)).toMap
+    for (id <- ids) {
+      val n = (100 + id % 400).toInt
+      val base = (id % 251).toInt
+      val samples = Array.tabulate(n)(i => (base * 7 + 11 * i) % 65536 - 32768)
+      val nf = n / 64
+      for (f <- 0 until nf) {
+        val xs = samples.slice(f * 64, f * 64 + 64).map(_.toLong)
+        val w = Array.tabulate(64) { k =>
+          (0 until 64).map(nn => xs(nn) *
+            (if (Integer.bitCount(k & nn) % 2 == 1) -1 else 1)).sum
+        }
+        var total = 0L
+        for (band <- 0 until 8) {
+          val e = (band * 8 until band * 8 + 8)
+            .map { s => val c = w(Multimodal.SeqToNat64(s)); c * c }.sum
+          assert(got((id, f.toLong, band)) == e, s"id=$id f=$f band=$band")
+          total += e
+        }
+        assert(total == 64L * xs.map(x => x * x).sum,
+          s"Parseval violated at id=$id f=$f")
+      }
+    }
+  }
 }
