@@ -4004,6 +4004,41 @@ object OracleSql {
     // l-diversity: exact distinct-sensitive counts per quasi group,
     // joined back row-level. Null-safe LEFT join + NULL-sensitive
     // exclusion mirror Pii.lDiversity's explicit NULL policy.
+    // t-closeness replay: the all-integer EMD numerator (c·N − C·n_g
+    // cumulated in sensitive order, absolute values summed) and the one
+    // terminal division — HUGEINT intermediates in DuckDB, longs in
+    // Spark, identical below 2^63
+    "q_t_closeness" ->
+      """WITH b AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+        |  CAST(floor(value / 64) AS BIGINT) AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |gdist AS (SELECT v, count(*) AS cv FROM b GROUP BY v),
+        |tot AS (SELECT CAST(sum(cv) AS BIGINT) AS n, count(*) AS m
+        |  FROM gdist),
+        |gvt AS (SELECT event_type, hr, v, count(*) AS c FROM b
+        |  GROUP BY 1, 2, 3),
+        |grp AS (SELECT event_type, hr, CAST(sum(c) AS BIGINT) AS group_n
+        |  FROM gvt GROUP BY 1, 2),
+        |ex AS (SELECT g.event_type, g.hr, g.group_n, gl.v, gl.cv, t.n, t.m,
+        |  coalesce(x.c, 0) AS c
+        |  FROM grp g CROSS JOIN gdist gl CROSS JOIN tot t
+        |  LEFT JOIN gvt x ON x.event_type IS NOT DISTINCT FROM g.event_type
+        |    AND x.hr IS NOT DISTINCT FROM g.hr AND x.v = gl.v),
+        |cu AS (SELECT event_type, hr, group_n, n, m,
+        |  sum(c * n - cv * group_n) OVER (PARTITION BY event_type, hr
+        |    ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM ex),
+        |ag AS (SELECT event_type, hr, group_n, any_value(n) AS n,
+        |  any_value(m) AS m, CAST(sum(abs(cum)) AS BIGINT) AS emd_num
+        |  FROM cu GROUP BY 1, 2, 3),
+        |fi AS (SELECT event_type, hr, group_n, emd_num,
+        |  CASE WHEN m > 1 THEN CAST(emd_num AS DOUBLE) /
+        |    CAST(group_n * n * (m - 1) AS DOUBLE) ELSE 0.0 END AS emd
+        |  FROM ag)
+        |SELECT event_type, hr, group_n, emd_num, emd,
+        |  (emd <= 0.15) AS t_close_ok
+        |FROM fi""".stripMargin,
+
     "q_l_diversity" ->
       """WITH t AS (SELECT event_id, user_id, event_type,
         |  CAST(hour(ts) AS BIGINT) AS hr FROM events),

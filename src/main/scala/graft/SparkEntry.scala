@@ -1694,6 +1694,19 @@ object SparkEntry {
 
   /** k-anonymity gate on (event_type, hour-of-day) quasi-identifiers,
     * k = 60: exact combination counts, releasable flag per row. */
+  /** t-closeness release gate over (event_type, hour) quasi groups with
+    * the value OCTILE (floor(value/64), exact: 64 is a power of two) as
+    * the ordered sensitive attribute — all-integer EMD numerator, one
+    * terminal division. */
+  private def qTCloseness(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Pii.tCloseness(
+      events(s, dir).select(col("event_type"),
+        hour(col("ts")).cast(LongType).alias("hr"),
+        floor(col("value") / 64).cast(LongType).alias("vbin")),
+      Seq("event_type", "hr"), "vbin", t = 0.15)
+      .select(col("event_type"), col("hr"), col("group_n"),
+        col("emd_num"), col("emd"), col("t_close_ok"))
+
   private def qKAnon(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Pii.kAnonymize(
       events(s, dir).select(col("event_id"), col("event_type"),
@@ -2994,6 +3007,7 @@ object SparkEntry {
     "q_session_stats" -> qSessionStats _,
     "q_editdist_pairs" -> qEditdistPairs _,
     "q_k_anon" -> qKAnon _,
+    "q_t_closeness" -> qTCloseness _,
     "q_interarrival" -> qInterArrival _,
     "q_ewm_var" -> qEwmVar _,
     "q_hampel" -> qHampel _,

@@ -4355,4 +4355,46 @@ class PipelineUnitSpec extends SparkTestBase {
       }
     }
   }
+
+  test("tCloseness: hand-computed ordered EMD plus a randomized rational " +
+      "cross-check") {
+    val spark2 = spark
+    import spark2.implicits._
+    // global dist over v∈{0,1,2}: counts [3,3,4], N=10, m=3
+    // group a [2,1,1] n=4: diffs c·N−C·n = [8,−2,−6], cums [8,6,0] → 14
+    //   emd = 14/(4·10·2) = 0.175 → fails t=0.15
+    // group b [1,2,3] n=6: diffs [−8,2,6], cums [−8,−6,0] → 14
+    //   emd = 14/(6·10·2) = 0.11666… → passes
+    val rows = Seq(("a", 0L), ("a", 0L), ("a", 1L), ("a", 2L),
+      ("b", 1L), ("b", 1L), ("b", 2L), ("b", 2L), ("b", 2L), ("b", 0L))
+    val out = Pii.tCloseness(rows.toDF("g", "v"), Seq("g"), "v", t = 0.15)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("group_n"), r.getAs[Long]("emd_num"),
+          r.getAs[Double]("emd"), r.getAs[Boolean]("t_close_ok"))).toMap
+    assert(out("a") == ((4L, 14L, 14.0 / 80.0, false)))
+    assert(out("b") == ((6L, 14L, 14.0 / 120.0, true)))
+
+    // randomized: independent BigInt-rational EMD from the definition
+    val rnd = new scala.util.Random(61)
+    val data = (0 until 400).map(_ =>
+      ("g" + rnd.nextInt(5), rnd.nextInt(7).toLong))
+    val got = Pii.tCloseness(data.toDF("g", "v"), Seq("g"), "v", t = 0.1)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("emd")).toMap
+    val n = data.size
+    val globalC = data.groupBy(_._2).map { case (v, xs) => v -> xs.size }
+    val vs = globalC.keys.toSeq.sorted
+    val m = vs.size
+    for ((g, xs) <- data.groupBy(_._1)) {
+      val ng = xs.size
+      val cg = xs.groupBy(_._2).map { case (v, ys) => v -> ys.size }
+      var cum = BigInt(0)
+      var acc = BigInt(0)
+      for (v <- vs) {
+        cum += BigInt(cg.getOrElse(v, 0)) * n - BigInt(globalC(v)) * ng
+        acc += cum.abs
+      }
+      val expect = acc.toDouble / (ng.toLong * n * (m - 1)).toDouble
+      assert(got(g) == expect, s"group $g")
+    }
+  }
 }
