@@ -4004,6 +4004,37 @@ object OracleSql {
     // l-diversity: exact distinct-sensitive counts per quasi group,
     // joined back row-level. Null-safe LEFT join + NULL-sensitive
     // exclusion mirror Pii.lDiversity's explicit NULL policy.
+    // Mojibake replay: the same RE2∩Java \x{…} classes via
+    // regexp_extract_all, the injected corruption restated through chr()
+    // codepoint concatenation (no literal-encoding ambiguity in the SQL)
+    "q_mojibake" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN text || ' caf' || chr(195) ||
+        |    chr(169) || ' ' || chr(226) || chr(128) || chr(153) || ' x' ||
+        |    chr(65533) || ' ' || chr(7) ELSE text END AS tx
+        |  FROM documents),
+        |c AS (SELECT doc_id, tx,
+        |  CAST(length(tx) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(tx, '\x{FFFD}')) AS BIGINT)
+        |    AS n_replacement,
+        |  CAST(len(regexp_extract_all(tx, '[\x{0080}-\x{009F}]'))
+        |    AS BIGINT) AS n_c1,
+        |  CAST(len(regexp_extract_all(tx,
+        |    '\x{00C3}[\x{0080}-\x{00FF}]|\x{00E2}\x{0080}|\x{00C2}[\x{00A0}-\x{00BF}]'))
+        |    AS BIGINT) AS n_mojibake,
+        |  CAST(len(regexp_extract_all(tx,
+        |    '[\x{0001}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]'))
+        |    AS BIGINT) AS n_ctrl,
+        |  CAST(len(regexp_extract_all(tx, '[\x{0020}-\x{007E}]'))
+        |    AS BIGINT) AS n_ascii
+        |  FROM t)
+        |SELECT doc_id, n_chars, n_replacement, n_c1, n_mojibake, n_ctrl,
+        |  CASE WHEN n_chars = 0 THEN 0.0
+        |    ELSE CAST(n_ascii AS DOUBLE) / CAST(n_chars AS DOUBLE) END
+        |    AS ascii_printable_ratio,
+        |  (n_replacement + n_c1 + n_mojibake + n_ctrl = 0) AS encoding_ok
+        |FROM c""".stripMargin,
+
     // t-closeness replay: the all-integer EMD numerator (c·N − C·n_g
     // cumulated in sensitive order, absolute values summed) and the one
     // terminal division — HUGEINT intermediates in DuckDB, longs in

@@ -1694,6 +1694,19 @@ object SparkEntry {
 
   /** k-anonymity gate on (event_type, hour-of-day) quasi-identifiers,
     * k = 60: exact combination counts, releasable flag per row. */
+  /** Encoding-QA (mojibake) signals over documents, with a deterministic
+    * corruption injected on every 7th doc (café as Ã©, a curly quote as
+    * â€™, a replacement char, a BEL control — each restated by the
+    * oracle's chr() concat), so both the clean and corrupted paths of
+    * every counter are oracle-exercised. */
+  private def qMojibake(s: SparkSession, dir: String): DataFrame = {
+    val bad = concat(col("text"),
+      lit(" caf\u00C3\u00A9 \u00E2\u0080\u0099 x\uFFFD \u0007"))
+    val t = when(col("doc_id") % 7 === 0, bad).otherwise(col("text"))
+    docs(s, dir).select(
+      (col("doc_id") +: TextAnalysis.encodingSignals(t)): _*)
+  }
+
   /** t-closeness release gate over (event_type, hour) quasi groups with
     * the value OCTILE (floor(value/64), exact: 64 is a power of two) as
     * the ordered sensitive attribute — all-integer EMD numerator, one
@@ -3008,6 +3021,7 @@ object SparkEntry {
     "q_editdist_pairs" -> qEditdistPairs _,
     "q_k_anon" -> qKAnon _,
     "q_t_closeness" -> qTCloseness _,
+    "q_mojibake" -> qMojibake _,
     "q_interarrival" -> qInterArrival _,
     "q_ewm_var" -> qEwmVar _,
     "q_hampel" -> qHampel _,

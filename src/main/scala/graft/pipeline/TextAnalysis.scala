@@ -250,6 +250,45 @@ object TextAnalysis {
       roundDet(dupCover(10), 6).alias("dup10gram_char_frac"))
   }
 
+  /** Encoding-corruption (mojibake) QA signals — the ingestion gate that
+    * catches double-decoded text before it poisons a training corpus:
+    *
+    *  - `n_replacement`: U+FFFD replacement characters (a decoder already
+    *    gave up once upstream);
+    *  - `n_c1`: C1 control block U+0080–U+009F (the classic CP1252-bytes-
+    *    read-as-Latin-1 artifact — these codepoints never appear in clean
+    *    text);
+    *  - `n_mojibake`: UTF-8-bytes-decoded-as-Latin-1 digraph markers
+    *    (Ã + continuation-range char covers all two-byte sequences
+    *    U+00C0–U+00FF, â€ the curly-punctuation family, Â + NBSP-range
+    *    the U+00A0–U+00BF block);
+    *  - `n_ctrl`: C0 controls other than tab/newline/CR;
+    *  - `ascii_printable_ratio`: printable-ASCII chars / total chars
+    *    (exact counts, one correctly-rounded division; 0.0 for empty);
+    *  - `encoding_ok`: no artifact of any category.
+    *
+    * Patterns use \x{…} hex escapes in the Java-regex ∩ RE2 common subset
+    * (the [[Pii]] discipline), so the counts replay bit-identically in a
+    * DuckDB oracle via regexp_extract_all. Pure per-row Column algebra:
+    * zero shuffles, codegen-friendly, scan-bound at any corpus size. */
+  def encodingSignals(text: Column): Seq[Column] = {
+    val nChars = length(text).cast(LongType)
+    def cnt(pat: String): Column =
+      regexp_count(text, lit(pat)).cast(LongType)
+    val nRepl = cnt("\\x{FFFD}")
+    val nC1 = cnt("[\\x{0080}-\\x{009F}]")
+    val nMoji = cnt("\\x{00C3}[\\x{0080}-\\x{00FF}]|\\x{00E2}\\x{0080}|" +
+      "\\x{00C2}[\\x{00A0}-\\x{00BF}]")
+    val nCtrl = cnt("[\\x{0001}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}]")
+    val nAscii = cnt("[\\x{0020}-\\x{007E}]")
+    val ratio = when(nChars === 0L, lit(0.0))
+      .otherwise(nAscii.cast(DoubleType) / nChars.cast(DoubleType))
+    Seq(nChars.alias("n_chars"), nRepl.alias("n_replacement"),
+      nC1.alias("n_c1"), nMoji.alias("n_mojibake"), nCtrl.alias("n_ctrl"),
+      ratio.alias("ascii_printable_ratio"),
+      (nRepl + nC1 + nMoji + nCtrl === 0L).alias("encoding_ok"))
+  }
+
   /** Content fingerprint: md5 of the normalized text (lowercase, alnum+space,
     * collapsed whitespace) — stable under formatting changes. */
   def fingerprint(text: Column): Column = md5(Dedup.normalizeText(text))

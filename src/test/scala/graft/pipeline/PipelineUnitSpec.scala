@@ -4397,4 +4397,28 @@ class PipelineUnitSpec extends SparkTestBase {
       assert(got(g) == expect, s"group $g")
     }
   }
+
+  test("encodingSignals counts each artifact class on a hand-built string") {
+    val spark2 = spark
+    import spark2.implicits._
+    // "ok caf<C3><A9> <E2><80><99> <FFFD><FFFD> <07>tab\tend"
+    val txt = "ok caf\u00C3\u00A9 \u00E2\u0080\u0099 \uFFFD\uFFFD \u0007tab\tend"
+    val r = Seq(txt).toDF("t")
+      .select(TextAnalysis.encodingSignals(col("t")): _*).head()
+    assert(r.getAs[Long]("n_replacement") == 2L)
+    // C1: U+0080 AND U+0099 inside the curly-quote trigraph
+    assert(r.getAs[Long]("n_c1") == 2L)
+    // mojibake: C3+A9 and E2+80 (C2-class absent)
+    assert(r.getAs[Long]("n_mojibake") == 2L)
+    // ctrl: BEL only — tab is exempt
+    assert(r.getAs[Long]("n_ctrl") == 1L)
+    assert(!r.getAs[Boolean]("encoding_ok"))
+    val clean = Seq("plain ascii text.").toDF("t")
+      .select(TextAnalysis.encodingSignals(col("t")): _*).head()
+    assert(clean.getAs[Boolean]("encoding_ok"))
+    assert(clean.getAs[Double]("ascii_printable_ratio") == 1.0)
+    val empty = Seq("").toDF("t")
+      .select(TextAnalysis.encodingSignals(col("t")): _*).head()
+    assert(empty.getAs[Double]("ascii_printable_ratio") == 0.0)
+  }
 }
