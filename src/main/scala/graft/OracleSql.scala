@@ -4004,6 +4004,29 @@ object OracleSql {
     // l-diversity: exact distinct-sensitive counts per quasi group,
     // joined back row-level. Null-safe LEFT join + NULL-sensitive
     // exclusion mirror Pii.lDiversity's explicit NULL policy.
+    // Sequence-pattern replay: the same trace build (string_agg in
+    // (ts, event_id) order) and the same regex — RE2 and Java both use
+    // leftmost-first non-overlapping semantics, the Pii discipline
+    "q_seq_pattern" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |  CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |    WHEN 'purchase' THEN 'p' ELSE 'o' END AS c
+        |  FROM events),
+        |tr AS (SELECT user_id,
+        |  string_agg(c, '' ORDER BY ts, event_id) AS trace
+        |  FROM e GROUP BY 1),
+        |m AS (SELECT user_id, trace,
+        |  CAST(length(trace) AS BIGINT) AS trace_len,
+        |  CAST(len(regexp_extract_all(trace, 'v[vo]*cp')) AS BIGINT)
+        |    AS n_matches
+        |  FROM tr)
+        |SELECT user_id, trace_len, n_matches,
+        |  CASE WHEN n_matches > 0 THEN
+        |    CAST(length(regexp_extract(trace, '^(.*?)(?:v[vo]*cp)', 1))
+        |      + 1 AS BIGINT)
+        |  ELSE CAST(-1 AS BIGINT) END AS first_pos
+        |FROM m""".stripMargin,
+
     // Mojibake replay: the same RE2∩Java \x{…} classes via
     // regexp_extract_all, the injected corruption restated through chr()
     // codepoint concatenation (no literal-encoding ambiguity in the SQL)

@@ -1914,6 +1914,17 @@ object SparkEntry {
     graft.pipeline.Analytics.funnel(events(s, dir), "ts", "user_id",
       "event_type", Seq("view", "click", "purchase"))
 
+  /** Regex sequence-pattern detection per user: "a view, any amount of
+    * browsing (views/other), then a click IMMEDIATELY followed by a
+    * purchase" — adjacency a chained funnel join cannot express. */
+  private def qSeqPattern(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Analytics.sequencePattern(
+      events(s, dir), "ts", Seq("user_id"), "event_type",
+      Map("view" -> "v", "click" -> "c", "purchase" -> "p"),
+      pattern = "v[vo]*cp", tieCols = Seq("event_id"))
+      .select(col("user_id"), col("trace_len"), col("n_matches"),
+        col("first_pos"))
+
   /** Weekly retention cohorts (7-day epoch periods — no calendar
     * conventions): retention = active/cohort_size, one terminal
     * division. */
@@ -3022,6 +3033,7 @@ object SparkEntry {
     "q_k_anon" -> qKAnon _,
     "q_t_closeness" -> qTCloseness _,
     "q_mojibake" -> qMojibake _,
+    "q_seq_pattern" -> qSeqPattern _,
     "q_interarrival" -> qInterArrival _,
     "q_ewm_var" -> qEwmVar _,
     "q_hampel" -> qHampel _,

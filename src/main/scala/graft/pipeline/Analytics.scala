@@ -47,6 +47,51 @@ object Analytics {
     chained.withColumn("depth", depth)
   }
 
+  /** MATCH_RECOGNIZE-style sequence-pattern detection per series — the
+    * regex generalization of [[funnel]] (a funnel is the pattern
+    * `a.*?b.*?c`; this operator also expresses negations, bounded gaps,
+    * immediate adjacency and repetitions the chained-join form cannot).
+    * Each series' events are rendered in (ts, tie) order as a
+    * one-char-per-event TRACE string via `alphabet` (event value → char;
+    * unmapped events become `defaultChar` so patterns can skip or block
+    * on them), then `pattern` — a regex in the Java∩RE2 common subset —
+    * runs against the trace: non-overlapping `n_matches` plus the 1-based
+    * position of the EARLIEST match (−1 when absent; a lazy-prefix
+    * capture, so inner groups in `pattern` don't shift the index).
+    *
+    * Plan shape: ONE shuffle (the series groupBy); the trace is built
+    * with sort_array over collected (ts, tie, char) structs — bounded by
+    * the series' own event count, the [[graft.tsdf.Stats]] lookback
+    * discipline, and orders of magnitude smaller than the events it
+    * encodes (1 char each). The regex work is per-series scan-bound
+    * column algebra that replays bit-identically in a SQL oracle
+    * (string_agg ORDER BY + regexp_extract_all). */
+  def sequencePattern(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      eventCol: String, alphabet: Map[String, String], pattern: String,
+      defaultChar: String = "o", tieCols: Seq[String] = Seq()): DataFrame = {
+    require(alphabet.values.forall(_.length == 1) && defaultChar.length == 1,
+      "alphabet values and defaultChar must be single characters")
+    val charOf = alphabet.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultChar): Column) { case ((k, v), acc) =>
+        when(col(eventCol) === k, lit(v)).otherwise(acc)
+      }
+    val ord = struct(((unix_micros(col(tsCol)).alias("__t") +:
+      tieCols.map(col)) :+ charOf.alias("__c")): _*)
+    df.groupBy(seriesCols.map(col): _*)
+      .agg(collect_list(ord).alias("__evs"))
+      .withColumn("trace", array_join(
+        transform(sort_array(col("__evs")), x => x.getField("__c")), ""))
+      .drop("__evs")
+      .withColumn("trace_len", length(col("trace")).cast(LongType))
+      .withColumn("n_matches",
+        regexp_count(col("trace"), lit(pattern)).cast(LongType))
+      .withColumn("first_pos",
+        when(col("n_matches") > 0L,
+          length(regexp_extract(col("trace"), s"^(.*?)(?:$pattern)", 1))
+            .cast(LongType) + 1L)
+          .otherwise(lit(-1L)))
+  }
+
   /** Retention cohorts: users bucketed by their FIRST active period
     * (period = `periodDays`-day windows from the epoch, exact integer
     * µs arithmetic — no calendar/ISO-week conventions to diverge on);

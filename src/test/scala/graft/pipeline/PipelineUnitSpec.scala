@@ -4421,4 +4421,35 @@ class PipelineUnitSpec extends SparkTestBase {
       .select(TextAnalysis.encodingSignals(col("t")): _*).head()
     assert(empty.getAs[Double]("ascii_printable_ratio") == 0.0)
   }
+
+  test("sequencePattern: adjacency, skips, counts and earliest position " +
+      "on hand-built traces") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t0 = 1700000000000000L // us
+    def ev(u: String, i: Int, ty: String) =
+      (u, new java.sql.Timestamp(t0 / 1000 + i * 1000L), i.toLong, ty)
+    // u1 trace: o v v c p v c p  -> "ovvcpvcp": two matches, first at 2
+    // u2 trace: v c o p          -> "vcop": c then o then p breaks
+    //   adjacency -> no match
+    // u3 trace: v o o c p        -> "voocp": skip-run then cp -> one at 1
+    val rows =
+      Seq(ev("u1", 0, "x"), ev("u1", 1, "view"), ev("u1", 2, "view"),
+        ev("u1", 3, "click"), ev("u1", 4, "purchase"), ev("u1", 5, "view"),
+        ev("u1", 6, "click"), ev("u1", 7, "purchase"),
+        ev("u2", 0, "view"), ev("u2", 1, "click"), ev("u2", 2, "x"),
+        ev("u2", 3, "purchase"),
+        ev("u3", 0, "view"), ev("u3", 1, "x"), ev("u3", 2, "x"),
+        ev("u3", 3, "click"), ev("u3", 4, "purchase"))
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+    val out = Analytics.sequencePattern(df, "ts", Seq("user_id"),
+      "event_type", Map("view" -> "v", "click" -> "c", "purchase" -> "p"),
+      pattern = "v[vo]*cp", tieCols = Seq("event_id"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[String]("trace"), r.getAs[Long]("n_matches"),
+          r.getAs[Long]("first_pos"))).toMap
+    assert(out("u1") == (("ovvcpvcp", 2L, 2L)))
+    assert(out("u2") == (("vcop", 0L, -1L)))
+    assert(out("u3") == (("voocp", 1L, 1L)))
+  }
 }
