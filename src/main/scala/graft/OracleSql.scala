@@ -19,30 +19,39 @@ object OracleSql {
     * q_image_dhash (append `SELECT * FROM acc`) and q_image_neardup
     * (append the signature/band-join CTEs). gSql restates the decoded
     * grayscale at a resized grid point from the generating arithmetic. */
+  /** Synthesized-pixel gray formula shared by the perceptual-hash
+    * replays (arm 0 = PNG gradient, arm 1 = JPEG flat 8x8 blocks;
+    * channel mean for 3-channel arm-0 images). */
+  private def imageGraySql(sy: String, sx: String): String =
+    s"""CASE WHEN arm = 1 THEN
+       |    (doc_id % 251 + 17 * (($sy) // 8) + 23 * (($sx) // 8)) % 256
+       |  WHEN nch = 1 THEN (doc_id % 251 + 5 * ($sy) + 3 * ($sx)) % 256
+       |  ELSE ((doc_id % 251 + 5 * ($sy) + 3 * ($sx)) % 256
+       |    + (doc_id % 251 + 5 * ($sy) + 3 * ($sx) + 11) % 256
+       |    + (doc_id % 251 + 5 * ($sy) + 3 * ($sx) + 22) % 256) // 3
+       |  END""".stripMargin
+
+  /** The decodable-image arms of synthesizeDecodablePayload (doc_id%4
+    * in {0,1}; the wav/avi arms drop out of decodeImage). */
+  private val imageArmsSql: String =
+    """WITH imgs AS (
+      |  SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id * 3) % 24 AS h,
+      |    CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS nch, 0 AS arm
+      |  FROM documents WHERE doc_id % 4 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 8 * (1 + doc_id % 4) AS w,
+      |    8 * (1 + (doc_id * 3) % 4) AS h, 1 AS nch, 1 AS arm
+      |  FROM documents WHERE doc_id % 4 = 1)""".stripMargin
+
   private val imageDhashSql: String = {
-    def gSql(sy: String, sx: String): String =
-      s"""CASE WHEN arm = 1 THEN
-         |    (doc_id % 251 + 17 * (($sy) // 8) + 23 * (($sx) // 8)) % 256
-         |  WHEN nch = 1 THEN (doc_id % 251 + 5 * ($sy) + 3 * ($sx)) % 256
-         |  ELSE ((doc_id % 251 + 5 * ($sy) + 3 * ($sx)) % 256
-         |    + (doc_id % 251 + 5 * ($sy) + 3 * ($sx) + 11) % 256
-         |    + (doc_id % 251 + 5 * ($sy) + 3 * ($sx) + 22) % 256) // 3
-         |  END""".stripMargin
     def bitRange(lof: Int, hif: Int, shiftBase: Int): String =
       s"CAST(sum(CASE WHEN y * 8 + x >= $lof AND y * 8 + x < $hif " +
         s"THEN b * (CAST(1 AS BIGINT) << (y * 8 + x - $shiftBase)) " +
         s"ELSE 0 END) AS BIGINT)"
-    s"""WITH imgs AS (
-       |  SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id * 3) % 24 AS h,
-       |    CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS nch, 0 AS arm
-       |  FROM documents WHERE doc_id % 4 = 0
-       |  UNION ALL
-       |  SELECT doc_id, 8 * (1 + doc_id % 4) AS w,
-       |    8 * (1 + (doc_id * 3) % 4) AS h, 1 AS nch, 1 AS arm
-       |  FROM documents WHERE doc_id % 4 = 1),
+    s"""$imageArmsSql,
        |bits AS (SELECT doc_id, y.y AS y, x.x AS x,
-       |  CASE WHEN (${gSql("y.y * h // 8", "(x.x + 1) * w // 9")})
-       |     > (${gSql("y.y * h // 8", "x.x * w // 9")})
+       |  CASE WHEN (${imageGraySql("y.y * h // 8", "(x.x + 1) * w // 9")})
+       |     > (${imageGraySql("y.y * h // 8", "x.x * w // 9")})
        |    THEN 1 ELSE 0 END AS b
        |  FROM imgs, range(8) y(y), range(8) x(x)),
        |acc AS (SELECT doc_id,
@@ -53,6 +62,40 @@ object OracleSql {
        |  ${bitRange(32, 48, 32)} AS band2,
        |  ${bitRange(48, 64, 48)} AS band3
        |  FROM bits GROUP BY doc_id)""".stripMargin
+  }
+
+  /** pHash replay: the same 32x32 NN-resized gray raster, the same
+    * fixed-point DCT basis (embedded verbatim from Multimodal.PhashCos —
+    * shared integers, never re-derived floats), two list-lambda passes,
+    * exact 32nd-smallest median, bits packed like the engine. */
+  private val imagePhashSql: String = {
+    val ct = graft.pipeline.Multimodal.PhashCos.mkString("[", ", ", "]")
+    s"""$imageArmsSql,
+       |gx AS (SELECT doc_id, list(g ORDER BY k) AS xs FROM (
+       |  SELECT doc_id, k.k AS k,
+       |    CAST((${imageGraySql("(k.k // 32) * h // 32", "(k.k % 32) * w // 32")})
+       |      AS BIGINT) AS g
+       |  FROM imgs, range(1024) k(k)) GROUP BY doc_id),
+       |tt AS (SELECT doc_id, list_transform(range(256), kk ->
+       |    list_sum(list_transform(range(32), yy ->
+       |      xs[yy * 32 + (kk % 32) + 1] * $ct[(kk // 32) * 32 + yy + 1])))
+       |    AS t
+       |  FROM gx),
+       |ff AS (SELECT doc_id, list_transform(range(64), kk ->
+       |    list_sum(list_transform(range(32), xx ->
+       |      t[(kk // 8) * 32 + xx + 1] * $ct[(kk % 8) * 32 + xx + 1])))
+       |    AS f
+       |  FROM tt),
+       |md AS (SELECT doc_id, f, list_sort(f[2:64])[32] AS med FROM ff),
+       |pb AS (SELECT doc_id, k.k AS k,
+       |  CASE WHEN f[k.k + 2] > med THEN 1 ELSE 0 END AS b
+       |  FROM md, range(63) k(k))
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << (k - 32))
+       |    ELSE 0 END) AS BIGINT) AS phash_hi,
+       |  CAST(sum(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << k)
+       |    ELSE 0 END) AS BIGINT) AS phash_lo
+       |FROM pb GROUP BY doc_id""".stripMargin
   }
 
   /** 256 width-2 bins over [0, 512) per event_type, p50/90/99 as first
@@ -3621,6 +3664,7 @@ object OracleSql {
     // the resize operator's index map), bits accumulated into the same
     // unsigned 32-bit halves and 16-bit bands via exact integer shifts.
     "q_image_dhash" -> (imageDhashSql + "\nSELECT * FROM acc"),
+    "q_image_phash" -> imagePhashSql,
     // the streaming twin emits identical per-doc signatures
     "q_stream_dhash" -> (imageDhashSql + "\nSELECT * FROM acc"),
 

@@ -2824,6 +2824,17 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload")
 
+  /** Perceptual DCT hash (pHash) over the same decodable payload set —
+    * the blur-robust companion to q_image_dhash, exercising the
+    * fixed-point 32-point DCT and exact median selection. */
+  private def qImagePhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imagePHash(
+      Multimodal.synthesizeDecodablePayload(
+        docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id"),
+      "doc_id", "payload")
+
   /** Streaming twin of q_image_dhash — the first streaming DECODE
     * operator: synthesize + decode + hash are all stateless per-row
     * mapPartitions, so any micro-batch slicing gives identical
@@ -3034,6 +3045,7 @@ object SparkEntry {
     "q_t_closeness" -> qTCloseness _,
     "q_mojibake" -> qMojibake _,
     "q_seq_pattern" -> qSeqPattern _,
+    "q_image_phash" -> qImagePhash _,
     "q_interarrival" -> qInterArrival _,
     "q_ewm_var" -> qEwmVar _,
     "q_hampel" -> qHampel _,

@@ -870,6 +870,112 @@ object Multimodal {
     * banded equi-join has guaranteed candidate coverage at radius ≤ 3.
     * Non-image payloads drop (the mediaCoverage contract); per-partition
     * map, no shuffle. */
+  /** Fixed-point 32-point DCT-II basis for [[imagePHash]]:
+    * round(cos((2y+1)uπ/64)·2¹⁴) for u ∈ 0..7 (only the low 8 frequencies
+    * the hash keeps), y ∈ 0..31, laid out u·32+y. Built with StrictMath
+    * (platform-pinned) ONCE and embedded verbatim into the SQL oracle, so
+    * the two engines share the exact integers — the JPEG-decoder lesson:
+    * replicate fixed-point arithmetic, never re-derive floats twice. */
+  private[graft] val PhashCos: Array[Long] = {
+    val t = new Array[Long](8 * 32)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 32) {
+        t(u * 32 + y) = StrictMath.round(
+          StrictMath.cos((2 * y + 1) * u * StrictMath.PI / 64.0) * 16384.0)
+        y += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** Perceptual DCT hash (pHash — the public low-frequency DCT hash, the
+    * blur/noise-robust complement to [[imageDHash]]'s gradient hash):
+    * integer-mean gray → 32×32 nearest-neighbor resize (same index map as
+    * the resize operator) → 2D fixed-point DCT-II restricted to the 8×8
+    * low-frequency block (two passes over [[PhashCos]]; all integer
+    * multiply-adds, |T| ≤ 2²⁷, |F| ≤ 2⁴⁷ — exact in longs and BIGINTs)
+    * → one bit per AC coefficient, set iff it exceeds the MEDIAN of the
+    * 63 AC values (the 32nd smallest — exact selection). 63 bits ship as
+    * unsigned halves `phash_hi` (bits 32..62) / `phash_lo` (bits 0..31),
+    * the [[imageDHash]] convention. Non-image payloads drop;
+    * per-partition map, no shuffle. */
+  def imagePHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("phash_hi", LongType), StructField("phash_lo", LongType)))
+    df.select(col(idCol), col(payloadCol))
+      .mapPartitions { it =>
+        val t = new Array[Long](8 * 32)
+        val f = new Array[Long](64)
+        it.flatMap { r =>
+          decodeImage(r.getAs[Array[Byte]](1)).map { img =>
+            val g = resizeNearest(toGray(img), 32, 32)
+            var u = 0
+            while (u < 8) {
+              var x = 0
+              while (x < 32) {
+                var acc = 0L
+                var y = 0
+                while (y < 32) {
+                  acc += g.samples(y * 32 + x) * PhashCos(u * 32 + y); y += 1
+                }
+                t(u * 32 + x) = acc
+                x += 1
+              }
+              u += 1
+            }
+            u = 0
+            while (u < 8) {
+              var v = 0
+              while (v < 8) {
+                var acc = 0L
+                var x = 0
+                while (x < 32) {
+                  acc += t(u * 32 + x) * PhashCos(v * 32 + x); x += 1
+                }
+                f(u * 8 + v) = acc
+                v += 1
+              }
+              u += 1
+            }
+            val ac = java.util.Arrays.copyOfRange(f, 1, 64)
+            java.util.Arrays.sort(ac)
+            val med = ac(31) // 32nd smallest of 63
+            var hash = 0L
+            var k = 1
+            while (k < 64) {
+              if (f(k) > med) hash |= 1L << (k - 1)
+              k += 1
+            }
+            Row(r.get(0), hash >>> 32, hash & 0xFFFFFFFFL)
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
+  /** Integer-mean grayscale (Σch / nch) — shared by the perceptual
+    * hashes. */
+  private def toGray(img: DecodedImage): DecodedImage =
+    if (img.channels == 1) img
+    else {
+      val g = new Array[Int](img.width * img.height)
+      var i = 0
+      while (i < g.length) {
+        var s = 0
+        var ch = 0
+        while (ch < img.channels) {
+          s += img.samples(i * img.channels + ch); ch += 1
+        }
+        g(i) = s / img.channels
+        i += 1
+      }
+      DecodedImage(img.width, img.height, 1, g)
+    }
+
   def imageDHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val outSchema = StructType(Seq(
       df.schema(idCol),
@@ -880,22 +986,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { r =>
           decodeImage(r.getAs[Array[Byte]](1)).map { img =>
-            val gray =
-              if (img.channels == 1) img
-              else {
-                val g = new Array[Int](img.width * img.height)
-                var i = 0
-                while (i < g.length) {
-                  var s = 0
-                  var ch = 0
-                  while (ch < img.channels) {
-                    s += img.samples(i * img.channels + ch); ch += 1
-                  }
-                  g(i) = s / img.channels
-                  i += 1
-                }
-                DecodedImage(img.width, img.height, 1, g)
-              }
+            val gray = toGray(img)
             val grid = resizeNearest(gray, 9, 8)
             var hash = 0L
             var y = 0

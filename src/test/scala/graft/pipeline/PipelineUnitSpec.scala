@@ -4452,4 +4452,41 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(out("u2") == (("vcop", 0L, -1L)))
     assert(out("u3") == (("voocp", 1L, 1L)))
   }
+
+  test("imagePHash: flat image hashes to zero; gradient matches a direct " +
+      "2D-definition recomputation") {
+    val spark2 = spark
+    import spark2.implicits._
+    // flat gray: every DCT AC coefficient is exactly 0 -> median 0,
+    // no strict exceedance -> both halves 0
+    val flat = Multimodal.buildPngWithPixels(16, 16, 1,
+      Array.fill(256)(77), _ => 0)
+    // deterministic gradient (id 4 arm of synthesizeDecodablePayload)
+    val grad = Multimodal.buildPngWithPixels(20, 12, 1,
+      Array.tabulate(240)(i => (4 % 251 + 5 * (i / 20) + 3 * (i % 20)) % 256),
+      _ => 0)
+    val out = Multimodal.imagePHash(
+      Seq((1L, flat), (2L, grad)).toDF("doc_id", "payload"),
+      "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((0L, 0L)))
+    // independent recomputation: direct 2D sum over the same NN raster
+    val gray = Array.tabulate(32 * 32) { k =>
+      val sy = (k / 32) * 12 / 32; val sx = (k % 32) * 20 / 32
+      (4 % 251 + 5 * sy + 3 * sx) % 256
+    }
+    val f = Array.tabulate(64) { kk =>
+      val u = kk / 8; val v = kk % 8
+      var acc = 0L
+      for (y <- 0 until 32; x <- 0 until 32)
+        acc += gray(y * 32 + x).toLong *
+          Multimodal.PhashCos(u * 32 + y) * Multimodal.PhashCos(v * 32 + x)
+      acc
+    }
+    val ac = f.drop(1).sorted
+    val med = ac(31)
+    var hash = 0L
+    for (k <- 1 until 64) if (f(k) > med) hash |= 1L << (k - 1)
+    assert(out(2L) == ((hash >>> 32, hash & 0xFFFFFFFFL)))
+  }
 }
