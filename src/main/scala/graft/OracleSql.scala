@@ -4048,6 +4048,19 @@ object OracleSql {
     // l-diversity: exact distinct-sensitive counts per quasi group,
     // joined back row-level. Null-safe LEFT join + NULL-sensitive
     // exclusion mirror Pii.lDiversity's explicit NULL policy.
+    // Rollup replay: GROUP BY ROLLUP with the SQL-standard GROUPING
+    // bitmask (verified identical to Spark's grouping_id convention)
+    "q_time_rollup" ->
+      """WITH t AS (SELECT event_type,
+        |  epoch_us(ts) // 86400000000 AS day,
+        |  (epoch_us(ts) % 86400000000) // 3600000000 AS hr,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_type, day, hr,
+        |  CAST(GROUPING(event_type, day, hr) AS BIGINT) AS gid,
+        |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM t GROUP BY ROLLUP(event_type, day, hr)""".stripMargin,
+
     // Sequence-pattern replay: the same trace build (string_agg in
     // (ts, event_id) order) and the same regex — RE2 and Java both use
     // leftmost-first non-overlapping semantics, the Pii discipline

@@ -1914,6 +1914,15 @@ object SparkEntry {
     graft.pipeline.Analytics.funnel(events(s, dir), "ts", "user_id",
       "event_type", Seq("view", "click", "purchase"))
 
+  /** One-scan multi-granularity rollup: (event_type, day, hour) leaves
+    * plus per-day, per-type and grand-total levels from a single expand
+    * + aggregate, levels tagged by the SQL-standard grouping bitmask. */
+  private def qTimeRollup(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Analytics.timeRollup(
+      events(s, dir), "ts", Seq("event_type"), cents(col("value")))
+      .select(col("event_type"), col("day"), col("hr"), col("gid"),
+        col("n_events"), col("sum_cents"))
+
   /** Regex sequence-pattern detection per user: "a view, any amount of
     * browsing (views/other), then a click IMMEDIATELY followed by a
     * purchase" — adjacency a chained funnel join cannot express. */
@@ -3046,6 +3055,7 @@ object SparkEntry {
     "q_mojibake" -> qMojibake _,
     "q_seq_pattern" -> qSeqPattern _,
     "q_image_phash" -> qImagePhash _,
+    "q_time_rollup" -> qTimeRollup _,
     "q_interarrival" -> qInterArrival _,
     "q_ewm_var" -> qEwmVar _,
     "q_hampel" -> qHampel _,

@@ -47,6 +47,32 @@ object Analytics {
     chained.withColumn("depth", depth)
   }
 
+  /** Hierarchical multi-granularity rollup — the warehouse "one scan,
+    * every aggregation level" operator: one pass produces the
+    * (dims…, day, hour) leaf cells PLUS every coarser prefix level
+    * (per-day, per-dim, grand total), tagged by the SQL-standard
+    * `grouping_id` bitmask (bit set = that column is aggregated away; the
+    * identical bitmask DuckDB's GROUPING() returns, so levels join
+    * exactly in the oracle). Spark's native `rollup` plans this as ONE
+    * expand + hash aggregate — partial aggregation applies to every
+    * level simultaneously, so at 100 TB the scan happens once instead of
+    * once per granularity, and no level ever re-shuffles the corpus.
+    * Day/hour are exact integer µs arithmetic (no calendar conventions);
+    * the measure is exact cents, so every level's sum is
+    * order-insensitive. */
+  def timeRollup(df: DataFrame, tsCol: String, dimCols: Seq[String],
+      centsCol: Column): DataFrame = {
+    val withTime = df
+      .withColumn("day", expr(s"unix_micros($tsCol) div 86400000000"))
+      .withColumn("hr",
+        expr(s"(unix_micros($tsCol) % 86400000000) div 3600000000"))
+    withTime
+      .rollup((dimCols.map(col) :+ col("day")) :+ col("hr"): _*)
+      .agg(grouping_id().alias("gid"),
+        count(lit(1)).alias("n_events"),
+        sum(centsCol.cast(LongType)).alias("sum_cents"))
+  }
+
   /** MATCH_RECOGNIZE-style sequence-pattern detection per series — the
     * regex generalization of [[funnel]] (a funnel is the pattern
     * `a.*?b.*?c`; this operator also expresses negations, bounded gaps,

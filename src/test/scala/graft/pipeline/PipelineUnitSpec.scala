@@ -4489,4 +4489,39 @@ class PipelineUnitSpec extends SparkTestBase {
     for (k <- 1 until 64) if (f(k) > med) hash |= 1L << (k - 1)
     assert(out(2L) == ((hash >>> 32, hash & 0xFFFFFFFFL)))
   }
+
+  test("timeRollup: every coarser level reconciles exactly with the leaf " +
+      "fold, and the plan is one expand+aggregate") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t0 = 1700000000000000L
+    val rows = (0 until 200).map { i =>
+      ("ty" + (i % 3),
+        new java.sql.Timestamp(t0 / 1000 + i * 1800L * 1000),
+        (i % 7) * 1.25)
+    }
+    val df = rows.toDF("event_type", "ts", "value")
+    val out = Analytics.timeRollup(df, "ts", Seq("event_type"),
+      round(col("value") * 100))
+    val all = out.collect()
+    val gids = all.map(_.getAs[Long]("gid")).toSet
+    assert(gids == Set(0L, 1L, 3L, 7L))
+    val leaves = all.filter(_.getAs[Long]("gid") == 0L)
+    val total = all.filter(_.getAs[Long]("gid") == 7L).head
+    assert(total.getAs[Long]("n_events") == 200L)
+    assert(leaves.map(_.getAs[Long]("n_events")).sum == 200L)
+    assert(leaves.map(_.getAs[Long]("sum_cents")).sum ==
+      total.getAs[Long]("sum_cents"))
+    // per-(type, day) level folds its leaves exactly
+    val dayLevel = all.filter(_.getAs[Long]("gid") == 1L)
+      .map(r => (r.getString(0), r.getAs[Long]("day")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("sum_cents"))).toMap
+    val folded = leaves.groupBy(r => (r.getString(0), r.getAs[Long]("day")))
+      .map { case (k, rs) => k -> (rs.map(_.getAs[Long]("n_events")).sum,
+        rs.map(_.getAs[Long]("sum_cents")).sum) }
+    assert(dayLevel == folded)
+    // plan: a single Expand feeding aggregates — not one scan per level
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan.take(400))
+  }
 }
