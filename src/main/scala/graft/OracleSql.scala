@@ -4084,6 +4084,21 @@ object OracleSql {
         |  ELSE CAST(-1 AS BIGINT) END AS first_pos
         |FROM m""".stripMargin,
 
+    // Streaming-DFA replay: the same trace, the RELUCTANT pattern
+    // (leftmost-shortest = the DFA's earliest-accept semantics)
+    "q_stream_seq_pattern" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |  CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |    WHEN 'purchase' THEN 'p' ELSE 'o' END AS c
+        |  FROM events),
+        |tr AS (SELECT user_id,
+        |  string_agg(c, '' ORDER BY ts, event_id) AS trace
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, CAST(length(trace) AS BIGINT) AS trace_len,
+        |  CAST(len(regexp_extract_all(trace, 'v[vo]*?cp')) AS BIGINT)
+        |    AS n_matches
+        |FROM tr""".stripMargin,
+
     // Mojibake replay: the same RE2∩Java \x{…} classes via
     // regexp_extract_all, the injected corruption restated through chr()
     // codepoint concatenation (no literal-encoding ambiguity in the SQL)

@@ -1934,6 +1934,35 @@ object SparkEntry {
       .select(col("user_id"), col("trace_len"), col("n_matches"),
         col("first_pos"))
 
+  /** DFA for the reluctant pattern v[vo]*?cp over symbols {v,o,c,p}:
+    * state 0 = scanning for a start, 1 = inside the v[vo]* run, 2 = run
+    * broken by c (only an immediate p completes; a v restarts a run).
+    * Accepting (2,p) counts the match and resumes scanning. */
+  private val SeqDfa: Map[(Int, String), (Int, Boolean)] = Map(
+    (0, "v") -> ((1, false)), (0, "o") -> ((0, false)),
+    (0, "c") -> ((0, false)), (0, "p") -> ((0, false)),
+    (1, "v") -> ((1, false)), (1, "o") -> ((1, false)),
+    (1, "c") -> ((2, false)), (1, "p") -> ((0, false)),
+    (2, "v") -> ((1, false)), (2, "o") -> ((0, false)),
+    (2, "c") -> ((0, false)), (2, "p") -> ((0, true)))
+
+  /** Streaming CEP twin of q_seq_pattern: the same trace matched by a
+    * 3-state DFA with ONE integer of state per user instead of the whole
+    * trace — per-batch (consumed, matched) deltas sum-rolled to the batch
+    * totals. Oracle = the trace replay with the RELUCTANT pattern
+    * (leftmost-shortest — the DFA's semantics; see
+    * [[graft.streaming.StreamingTSDF.patternDfa]]). */
+  private def qStreamSeqPattern(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val out = graft.streaming.StreamingTSDF.patternDfa(
+      eventsStream(s, dir), "ts", Seq("user_id"), "event_type",
+      Map("view" -> "v", "click" -> "c", "purchase" -> "p"), SeqDfa,
+      tieCol = "event_id")
+    runStream(s, out).groupBy(col("user_id"))
+      .agg(sum(col("trace_len")).alias("trace_len"),
+        sum(col("n_matches")).alias("n_matches"))
+  }
+
   /** Weekly retention cohorts (7-day epoch periods — no calendar
     * conventions): retention = active/cohort_size, one terminal
     * division. */
@@ -3056,6 +3085,7 @@ object SparkEntry {
     "q_seq_pattern" -> qSeqPattern _,
     "q_image_phash" -> qImagePhash _,
     "q_time_rollup" -> qTimeRollup _,
+    "q_stream_seq_pattern" -> qStreamSeqPattern _,
     "q_interarrival" -> qInterArrival _,
     "q_ewm_var" -> qEwmVar _,
     "q_hampel" -> qHampel _,

@@ -1241,6 +1241,77 @@ object StreamingTSDF {
       col("word"), col("mask")): _*)
   }
 
+  // ----------------------------------------------- streaming pattern DFA
+  case class DfaEvent(series: String, tsUs: Long, tie: Long, sym: String)
+  case class DfaState(state: Int, lastTsUs: Long, lastTie: Long)
+
+  /** Streaming CEP: run a caller-supplied DFA over each series' event
+    * symbols in (ts, tie) order and emit per-micro-batch DELTAS of
+    * (events consumed, matches accepted) — `sum` per series over the sink
+    * reconstructs the batch trace length and non-overlapping match count
+    * with ONE integer of pattern state per series, where the batch
+    * [[graft.pipeline.Analytics.sequencePattern]] holds the whole trace.
+    * This is the streaming face of sequence-pattern matching: a regular
+    * pattern's matches over an unbounded stream in O(1) state.
+    *
+    * `transitions` must be TOTAL over (states × symbols seen):
+    * (state, symbol) → (next state, accepted?). Accepting counts a match
+    * and the supplied next state resumes AFTER the consumed symbol —
+    * non-overlapping leftmost-SHORTEST (reluctant) semantics when the
+    * DFA is the standard candidate-set construction of a regex; supply a
+    * reluctant-quantifier pattern to the batch twin/oracle (the
+    * q_stream_seq_pattern differential pins DFA == lazy-regex counting on
+    * random traces). Unmapped events become `defaultSym`. Late rows
+    * (behind the series high-water mark) are dropped, the
+    * [[scd2Changelog]] convention; within a batch rows are sorted by
+    * (ts, tie). */
+  def patternDfa(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      eventCol: String, alphabet: Map[String, String],
+      transitions: Map[(Int, String), (Int, Boolean)],
+      defaultSym: String = "o", tieCol: String = ""): DataFrame = {
+    require(transitions.nonEmpty, "need a transition table")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val symOf = alphabet.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultSym): Column) { case ((k, v), acc) =>
+        when(col(eventCol) === k, lit(v)).otherwise(acc)
+      }
+    val tie = if (tieCol.isEmpty) lit(0L) else col(tieCol).cast(LongType)
+    val events = df.select(
+      seriesKey(seriesCols).alias("series"),
+      unix_micros(col(tsCol)).alias("tsUs"), tie.alias("tie"),
+      symOf.alias("sym")).as[DfaEvent]
+    val out = events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[DfaEvent], state: GroupState[DfaState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tsUs, e.tie))
+          var st = state.getOption.getOrElse(DfaState(0, Long.MinValue, Long.MinValue))
+          var consumed = 0L
+          var matches = 0L
+          sorted.foreach { e =>
+            val late = e.tsUs < st.lastTsUs ||
+              (e.tsUs == st.lastTsUs && e.tie <= st.lastTie)
+            if (!late) {
+              val (next, hit) = transitions.getOrElse((st.state, e.sym),
+                sys.error(s"transition table not total: state ${st.state} " +
+                  s"symbol '${e.sym}'"))
+              st = DfaState(next, e.tsUs, e.tie)
+              consumed += 1
+              if (hit) matches += 1
+            }
+          }
+          state.update(st)
+          if (consumed > 0 || matches > 0)
+            Iterator.single((key, consumed, matches))
+          else Iterator.empty
+      }
+      .toDF("series", "trace_len", "n_matches")
+    out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
+      col("trace_len"), col("n_matches")): _*)
+  }
+
   // ------------------------------------------------ streaming interpolation
   case class InterpEvent(series: String, tsUs: Long, value: Double,
       eventTime: java.sql.Timestamp)

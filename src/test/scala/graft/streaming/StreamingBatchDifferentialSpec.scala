@@ -170,6 +170,58 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("property: patternDfa deltas sum to lazy-regex non-overlapping " +
+      "counts on random traces across micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dfa: Map[(Int, String), (Int, Boolean)] = Map(
+      (0, "v") -> ((1, false)), (0, "o") -> ((0, false)),
+      (0, "c") -> ((0, false)), (0, "p") -> ((0, false)),
+      (1, "v") -> ((1, false)), (1, "o") -> ((1, false)),
+      (1, "c") -> ((2, false)), (1, "p") -> ((0, false)),
+      (2, "v") -> ((1, false)), (2, "o") -> ((0, false)),
+      (2, "c") -> ((0, false)), (2, "p") -> ((0, true)))
+    val types = Vector("view", "other", "click", "purchase", "view", "click")
+    val rnd = new scala.util.Random(67)
+    // globally time-ordered rows split into contiguous micro-batches —
+    // the operator's documented in-order arrival contract
+    val rows = (0 until 1200).map { i =>
+      ("u" + rnd.nextInt(4), new Timestamp(base + i * 1000L), i.toLong,
+        types(rnd.nextInt(types.size)))
+    }
+    val mem = MemoryStream[(String, Timestamp, Long, String)]
+    val out = StreamingTSDF.patternDfa(
+      mem.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      "ts", Seq("user_id"), "event_type",
+      Map("view" -> "v", "click" -> "c", "purchase" -> "p"), dfa,
+      tieCol = "event_id")
+    val q = out.writeStream.format("memory").queryName("dfa_diff_sink")
+      .outputMode(OutputMode.Append()).start()
+    rows.grouped(250).foreach { batch =>
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val rolled = spark.table("dfa_diff_sink")
+      .groupBy(col("user_id"))
+      .agg(sum(col("trace_len")).alias("len"),
+        sum(col("n_matches")).alias("m"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("len"), r.getAs[Long]("m"))).toMap
+    val pat = java.util.regex.Pattern.compile("v[vo]*?cp")
+    for ((u, evs) <- rows.groupBy(_._1)) {
+      val trace = evs.sortBy(e => (e._2.getTime, e._3)).map(e => e._4 match {
+        case "view" => 'v'; case "click" => 'c'; case "purchase" => 'p'
+        case _ => 'o'
+      }).mkString
+      val mtr = pat.matcher(trace)
+      var n = 0L
+      while (mtr.find()) n += 1
+      assert(rolled(u) == ((trace.length.toLong, n)), s"user $u trace $trace")
+    }
+  }
+
   test("property: streaming resample(mean) equals batch resample on random series") {
     val rnd = new scala.util.Random(42)
     (0 until 4).foreach { trial =>
