@@ -941,6 +941,15 @@ object OracleSql {
     }.mkString("\nUNION ALL\n")
   }
 
+  private lazy val gramMatrixSql: String =
+    s"""WITH v AS (SELECT $qv AS q FROM embeddings),
+       |p AS (SELECT i.i, j.j FROM range(64) i(i), range(64) j(j)
+       |  WHERE i.i <= j.j)
+       |SELECT p.i, p.j, (SELECT count(*) FROM v) AS n,
+       |  CAST(sum(CAST(v.q[CAST(p.i + 1 AS INTEGER)] AS BIGINT) *
+       |           CAST(v.q[CAST(p.j + 1 AS INTEGER)] AS BIGINT)) AS BIGINT) AS s
+       |FROM v, p GROUP BY p.i, p.j""".stripMargin
+
   private lazy val cmsHeavySql: String = {
     def cell(r: Int) = s"((${Hashing.mixSql("h", 53 + r)}) % 512)"
     s"""WITH t AS (SELECT unnest(string_split($norm, ' ')) AS tok
@@ -3250,15 +3259,11 @@ object OracleSql {
          |FROM r WHERE rn <= 3""".stripMargin,
 
     // Gram-matrix replay: exact integer Σ v_i·v_j over the milli-quantized
-    // vectors, upper triangle, 0-based coordinates.
-    "q_gram_matrix" ->
-      s"""WITH v AS (SELECT $qv AS q FROM embeddings),
-         |p AS (SELECT i.i, j.j FROM range(64) i(i), range(64) j(j)
-         |  WHERE i.i <= j.j)
-         |SELECT p.i, p.j, (SELECT count(*) FROM v) AS n,
-         |  CAST(sum(CAST(v.q[CAST(p.i + 1 AS INTEGER)] AS BIGINT) *
-         |           CAST(v.q[CAST(p.j + 1 AS INTEGER)] AS BIGINT)) AS BIGINT) AS s
-         |FROM v, p GROUP BY p.i, p.j""".stripMargin,
+    // vectors, upper triangle, 0-based coordinates. q_stream_gram shares it
+    // verbatim: the per-batch cell deltas are additive and sum-roll to the
+    // identical grid.
+    "q_gram_matrix" -> gramMatrixSql,
+    "q_stream_gram" -> gramMatrixSql,
 
     // IVF replay: codebook = the 16 lowest-id quantized vectors; nearest-
     // centroid assignment and probe ranking use squared L2 on exact integer

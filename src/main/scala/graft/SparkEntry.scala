@@ -2277,6 +2277,14 @@ object SparkEntry {
       .parquet(dir)
   }
 
+  /** File-source stream over embeddings.parquet (same single-micro-batch
+    * AvailableNow shape as [[docsStream]]). */
+  private def embStream(s: SparkSession, dir: String): DataFrame = {
+    val sch = s.read.parquet(s"$dir/embeddings.parquet").schema
+    s.readStream.schema(sch).option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+  }
+
   /** Streaming DSIR gate as a real streaming query: the ratio table is
     * trained batch-side ([[graft.pipeline.Dsir.collectRatios]] — bounded
     * by the bucket count) and every ARRIVING document scores through the
@@ -2389,6 +2397,34 @@ object SparkEntry {
       mBits = 1 << 15, depth = 3)
       .select(col("doc_id"), col("bloom_hit"),
         (col("doc_id") % 3 =!= 0).alias("in_history"))
+  }
+
+  /** Streaming Gram trainer feed: exact integer second-moment DELTAS from
+    * the embedding ingest stream ([[graft.streaming.StreamingTSDF
+    * .gramDeltas]], corpus-global accumulation spread over 32 salt
+    * groups) sum-rolled per cell into the exact batch grid — Gram sums
+    * are additive, so the roll equals [[graft.pipeline.Pca.gramMatrix]]
+    * for any micro-batching and the query shares q_gram_matrix's oracle
+    * verbatim. This is the streaming face of the one-pass PCA/covariance
+    * trainer: an incremental model refresh folds the sink and re-runs the
+    * driver-side eigensolve without ever rescanning the corpus. */
+  private def qStreamGram(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val vecs = embStream(s, dir).select(
+      transform(col("embedding"),
+        x => round(x.cast(DoubleType) * 1000)).alias("q"))
+    val deltas = graft.streaming.StreamingTSDF.gramDeltas(
+      vecs, col("q"), dim = 64)
+    val folded = runStream(s, deltas)
+      .groupBy(col("k"))
+      .agg(sum(col("s")).alias("s"), sum(col("n")).alias("n"))
+    val pairs = for { i <- 0 until 64; j <- i until 64 } yield (i, j)
+    val iLit = typedLit(pairs.map(_._1.toLong))
+    val jLit = typedLit(pairs.map(_._2.toLong))
+    folded.select(
+      element_at(iLit, col("k").cast(IntegerType) + 1).alias("i"),
+      element_at(jLit, col("k").cast(IntegerType) + 1).alias("j"),
+      col("n"), col("s"))
   }
 
   /** Streaming trailing-7-day WAU via the KMV changelog: per-DAY running
@@ -3127,6 +3163,7 @@ object SparkEntry {
     "q_stream_kmv_wide" -> qStreamKmvWide _,
     "q_stream_cms" -> qStreamCms _,
     "q_stream_bloom" -> qStreamBloom _,
+    "q_stream_gram" -> qStreamGram _,
     "q_kmv_jaccard" -> qKmvJaccard _,
     "q_stream_wau_kmv" -> qStreamWauKmv _,
     "q_rolling_slope" -> qRollingSlope _,

@@ -1241,6 +1241,70 @@ object StreamingTSDF {
       col("word"), col("mask")): _*)
   }
 
+  // ----------------------------------------------- streaming Gram matrix
+  case class GramEvent(salt: Int, vec: Seq[Long])
+
+  /** Streaming Gram-matrix feed: per micro-batch, the exact integer
+    * second-moment DELTAS of the batch's vectors — the packed
+    * upper-triangle cell sums Σ vᵢ·vⱼ plus the contributing row count,
+    * per salt group. Gram sums are additive across rows, so
+    * `sum(s), sum(n) per (i, j)` over the sink reconstructs the exact
+    * batch [[graft.pipeline.Pca.gramMatrix]] of everything ingested, for
+    * any micro-batch split — the streaming face of the one-pass
+    * PCA/covariance trainer (an incremental model refresh reads the
+    * folded grid and re-runs the driver-side eigensolve; the corpus is
+    * never rescanned). Cell layout is the same k ↔ (i ≤ j) enumeration
+    * as [[graft.functions.GramMatrixAgg]], and every cell of every
+    * (batch, group) is emitted — including zero sums — so the folded n
+    * is the row count on every cell, exactly like the batch output.
+    *
+    * The group key is `salt = hash(vec) % salts`: Gram deltas are
+    * additive across salts, so salting changes nothing in the folded
+    * answer while spreading a corpus-global accumulation (the operator
+    * has ONE logical series) over `salts` parallel state groups — the
+    * [[cmsDeltas]] discipline. Per group the in-flight accumulator is
+    * one dim(dim+1)/2 Long array (~16 KiB at dim 64), the same bounded
+    * footprint as the batch aggregate's buffer; no cross-batch state is
+    * carried (deltas need none — `flatMapGroupsWithState` only legalizes
+    * aggregation inside an append-mode stream). Sink traffic is
+    * cells × salts per micro-batch, independent of row count. Null and
+    * wrong-length vectors are rejected up front (the batch aggregate's
+    * convention). */
+  def gramDeltas(df: DataFrame, vecCol: Column, dim: Int,
+      salts: Int = 32): DataFrame = {
+    require(dim >= 1 && salts >= 1, "need dim >= 1, salts >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nCells = dim * (dim + 1) / 2
+    val projected = df.select(
+      pmod(hash(vecCol), lit(salts)).cast(IntegerType).alias("salt"),
+      transform(vecCol, x => x.cast(LongType)).alias("vec"))
+      .filter(col("vec").isNotNull && size(col("vec")) === dim)
+      .as[GramEvent]
+    projected
+      .groupByKey(_.salt)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (salt: Int, rows: Iterator[GramEvent], state: GroupState[Long]) =>
+          val acc = new Array[Long](nCells)
+          var n = 0L
+          rows.foreach { e =>
+            val v = e.vec.toArray
+            var k = 0
+            var i = 0
+            while (i < dim) {
+              val vi = v(i)
+              var j = i
+              while (j < dim) { acc(k) += vi * v(j); k += 1; j += 1 }
+              i += 1
+            }
+            n += 1
+          }
+          (0 until nCells).iterator.map(k => (k, acc(k), n))
+      }
+      .toDF("k", "s", "n")
+  }
+
   // ----------------------------------------------- streaming pattern DFA
   case class DfaEvent(series: String, tsUs: Long, tie: Long, sym: String)
   case class DfaState(state: Int, lastTsUs: Long, lastTie: Long)

@@ -6,6 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.IntegerType
 
 import graft.SparkTestBase
 import graft.tsdf.TSDF
@@ -168,6 +169,44 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
         }
       }
     }
+  }
+
+  test("property: streaming gramDeltas sum-roll to the exact batch Gram " +
+      "matrix across micro-batches and salt groups") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 6
+    val rnd = new scala.util.Random(71)
+    val mem = MemoryStream[Seq[Double]]
+    // salts = 5 exercises the salt-group spread; negative coordinates
+    // exercise signed products
+    val out = StreamingTSDF.gramDeltas(
+      mem.toDF().toDF("vec"), col("vec"), dim = dim, salts = 5)
+    val q = out.writeStream.format("memory").queryName("gram_diff_sink")
+      .outputMode(OutputMode.Append()).start()
+    val all = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+    for (_ <- 0 until 4) {
+      val batch = (0 until 50).map(_ =>
+        Seq.fill(dim)((rnd.nextInt(2001) - 1000).toDouble))
+      all ++= batch
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val pairs = for { i <- 0 until dim; j <- i until dim } yield (i, j)
+    val iLit = typedLit(pairs.map(_._1.toLong))
+    val jLit = typedLit(pairs.map(_._2.toLong))
+    val rolled = spark.table("gram_diff_sink")
+      .groupBy(col("k"))
+      .agg(sum(col("s")).alias("s"), sum(col("n")).alias("n"))
+      .select(
+        element_at(iLit, col("k").cast(IntegerType) + 1).alias("i"),
+        element_at(jLit, col("k").cast(IntegerType) + 1).alias("j"),
+        col("n"), col("s"))
+    val batchGram = graft.pipeline.Pca.gramMatrix(
+      all.toSeq.toDF("vec"), col("vec"), dim)
+    assertDfEquality(rolled, batchGram)
   }
 
   test("property: patternDfa deltas sum to lazy-regex non-overlapping " +
