@@ -1787,6 +1787,19 @@ object OracleSql {
          |  FROM s)
          |SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id, cosine FROM r WHERE rn <= 3""".stripMargin,
 
+    // Hard-negative replay: the q_ann_topk chain with the anchor-vs-
+    // candidate label inequality applied before the per-anchor rank window.
+    "q_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id, label, $qv AS q FROM embeddings),
+         |s AS (SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+         |  ${cosSql("a.q", "b.q")} AS cosine
+         |  FROM (SELECT * FROM q WHERE vec_id < 20) a CROSS JOIN q b
+         |  WHERE a.label <> b.label),
+         |r AS (SELECT anchor_id, negative_id, cosine,
+         |  row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, negative_id ASC) AS rn
+         |  FROM s)
+         |SELECT anchor_id, CAST(rn AS BIGINT) AS "rank", negative_id, cosine FROM r WHERE rn <= 3""".stripMargin,
+
     "q_lang_id" -> {
       val markers = graft.pipeline.TextAnalysis.LangMarkers
       val scores = markers.map { case (l, ms) => s"${langScore(ms)} AS ${l}_score" }

@@ -885,6 +885,19 @@ object SparkEntry {
         col("neighbor_id"), col("cosine"))
   }
 
+  /** Hard-negative mining ([[graft.pipeline.Similarity.hardNegatives]]):
+    * per anchor, the 3 most-similar embeddings with a DIFFERENT label —
+    * contrastive-training pair prep. Bounded anchor set (the q_ann_topk
+    * ground-truth convention); the label filter composes before the
+    * top-k window on any candidate generator. */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val d = quantized(s, dir)
+    Similarity.hardNegatives(
+      d.filter(col("vec_id") < 20), d, "vec_id", "q", "label", k = 3)
+      .select(col("anchor_id"), col("rank").cast(LongType).alias("rank"),
+        col("negative_id"), col("cosine"))
+  }
+
   /** Multi-probe ANN: same ground-truth query set as q_ann_topk, probing the
     * full ≤3-bit perturbation sequence (recall ≥ 0.9 vs brute force,
     * asserted in PipelineUnitSpec). */
@@ -3052,6 +3065,7 @@ object SparkEntry {
     "q_embed_neardup_lsh" -> qEmbedNearDupLsh _,
     "q_semdedup" -> qSemdedup _,
     "q_ann_topk" -> qAnnTopk _,
+    "q_hard_negatives" -> qHardNegatives _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_multiprobe" -> qAnnMultiprobe _,
     "q_ann_ivf" -> qAnnIvf _,

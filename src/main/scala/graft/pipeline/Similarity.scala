@@ -63,6 +63,41 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the top-k
+    * most-similar corpus vectors with a DIFFERENT label — negatives near
+    * the anchor in embedding space yet labeled differently, the pairs that
+    * actually move a contrastive/metric loss (random negatives are mostly
+    * trivial at scale). Emits (anchor_id, rank, negative_id, cosine).
+    *
+    * This is the brute-force face — the oracle-checkable ground truth over
+    * a BOUNDED anchor set (the q_ann_topk convention; never all-pairs on a
+    * corpus). At 100 TB the candidate generation swaps to the IVF/LSH
+    * probe paths unchanged: the label inequality composes as a plain
+    * filter on any candidate set BEFORE the per-anchor rank window, and
+    * the window itself is a WindowGroupLimit top-k (partial per partition,
+    * no full sort of the candidate list). Norms are precomputed per vector
+    * so the cosine stays bit-identical to [[bruteForceTopK]]'s on the same
+    * pairs. */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = anchors.select(col(idCol).alias("anchor_id"),
+      col(labelCol).alias("__al"), asDouble(col(vecCol)).alias("__qv"))
+      .withColumn("__qn", l2norm(col("__qv")))
+    val c = corpus.select(col(idCol).alias("negative_id"),
+      col(labelCol).alias("__cl"), asDouble(col(vecCol)).alias("__cv"))
+      .withColumn("__cn", l2norm(col("__cv")))
+    val sim = dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("negative_id").asc)
+    q.crossJoin(c)
+      .filter(col("__al") =!= col("__cl"))
+      .withColumn("cosine", sim)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("negative_id"),
+        col("cosine"))
+  }
+
   /** Integer-valued component of pseudo-random hyperplane `p` at dimension
     * `i`, in [-500, 499] — hash-derived, no RNG state, identical in any
     * engine. Integer components make every dot product an exact sum (no

@@ -246,6 +246,32 @@ class PipelineUnitSpec extends SparkTestBase {
     assertDfEquality(all, bf)
   }
 
+  test("hardNegatives surfaces nearest CROSS-label vectors only") {
+    import spark.implicits._
+    // label a hugs the x-axis, label b has one member angled toward a
+    // (10) and two near the y-axis — the hard negatives must skip every
+    // same-label neighbor (closer than any cross-label one) and rank the
+    // cross-label candidates by exact cosine
+    val vecs = Seq(
+      (0L, "a", Seq(100.0, 0.0)), (1L, "a", Seq(99.0, 1.0)),
+      (2L, "a", Seq(98.0, 2.0)),
+      (10L, "b", Seq(90.0, 30.0)), (11L, "b", Seq(0.0, 100.0)),
+      (12L, "b", Seq(1.0, 99.0))).toDF("vec_id", "label", "v")
+    val rows = Similarity.hardNegatives(
+      vecs, vecs, "vec_id", "v", "label", k = 2).collect()
+    val lbl = Map(0L -> "a", 1L -> "a", 2L -> "a",
+      10L -> "b", 11L -> "b", 12L -> "b")
+    rows.foreach(r => assert(lbl(r.getLong(0)) != lbl(r.getLong(2)),
+      s"same-label pair leaked: $r"))
+    assert(rows.count(_.getLong(0) == 0L) == 2)
+    // anchor 0 (x-axis): nearest cross-label is 10 (~18°), then 12 (~89°)
+    val a0 = rows.filter(_.getLong(0) == 0L).sortBy(_.getInt(1))
+    assert(a0.map(_.getLong(2)).toSeq == Seq(10L, 12L))
+    // anchor 10: among label a, 2 = (98,2) beats 1 = (99,1) beats 0
+    val a10 = rows.filter(_.getLong(0) == 10L).sortBy(_.getInt(1))
+    assert(a10.map(_.getLong(2)).toSeq == Seq(2L, 1L))
+  }
+
   test("trainIvfCodebook converges deterministically and feeds ivfTopK end-to-end") {
     import spark.implicits._
     // three integer-quantized clusters; exact per-cell sums make training
