@@ -969,6 +969,19 @@ object SparkEntry {
       .select(col("vec_id") +: (0 until 8).map(i => col(s"pc$i")): _*)
   }
 
+  /** PCA whitening ([[graft.pipeline.Pca.whiten]]): the q_pca_project
+    * projection with each coordinate scaled by 1/√λ — identity-covariance
+    * embeddings from the same one-pass train, one terminal
+    * correctly-rounded division per coordinate (dynamic oracle restates
+    * the trained literals AND the driver-computed √λ as
+    * CAST('…' AS DOUBLE)). */
+  private def qWhiten(s: SparkSession, dir: String): DataFrame = {
+    val d = quantized(s, dir)
+    val model = graft.pipeline.Pca.train(d, col("q"), dim = 64, d = 8)
+    graft.pipeline.Pca.whiten(d, col("q"), model)
+      .select(col("vec_id") +: (0 until 8).map(i => col(s"wc$i")): _*)
+  }
+
   /** The trained IVF codebook itself as the query output: k-means over the
     * quantized embeddings (nlist=4, iters=2), emitted as one row per
     * (cell, 1-based dim). The oracle unrolls both Lloyd iterations as
@@ -3072,6 +3085,7 @@ object SparkEntry {
     "q_ann_ivf_indexed" -> qAnnIvfIndexed _,
     "q_gram_matrix" -> qGramMatrix _,
     "q_pca_project" -> qPcaProject _,
+    "q_whiten" -> qWhiten _,
     "q_lang_id" -> qLangId _,
     "q_quality" -> qQuality _,
     "q_strip_html" -> qStripHtml _,
@@ -3245,16 +3259,27 @@ object SparkEntry {
     // correctly-rounded parse of the round-trip repr, bit-identical
     def d(x: Double): String = s"CAST('${x.toString}' AS DOUBLE)"
     val qv = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))"
-    val pcs = model.components.zipWithIndex.map { case (comp, ci) =>
-      val terms = comp.zipWithIndex.map { case (w, j) =>
+    def pcExpr(ci: Int): String = {
+      val terms = model.components(ci).zipWithIndex.map { case (w, j) =>
         s"((q[${j + 1}] - ${d(model.means(j))}) * ${d(w)})"
       }
-      terms.foldLeft("0.0")((acc, t) => s"($acc + $t)") + s" AS pc$ci"
+      terms.foldLeft("0.0")((acc, t) => s"($acc + $t)")
+    }
+    val pcs = model.components.indices.map(ci => pcExpr(ci) + s" AS pc$ci")
+    // whitening = the same projection fold divided by the driver-computed
+    // √λ restated as a literal — one correctly-rounded division, bit-exact
+    val wcs = model.components.indices.map { ci =>
+      s"(${pcExpr(ci)}) / ${d(math.sqrt(model.eigenvalues(ci)))} AS wc$ci"
     }
     Map("q_pca_project" ->
       s"""WITH v AS (SELECT vec_id, $qv AS q FROM embeddings)
          |SELECT vec_id,
          |  ${pcs.mkString(",\n  ")}
+         |FROM v""".stripMargin,
+      "q_whiten" ->
+      s"""WITH v AS (SELECT vec_id, $qv AS q FROM embeddings)
+         |SELECT vec_id,
+         |  ${wcs.mkString(",\n  ")}
          |FROM v""".stripMargin,
       "q_bpe_tokens" -> bpeTokensOracle(s, dir),
       "q_stream_bpe" -> bpeTokensOracle(s, dir),

@@ -100,6 +100,25 @@ object Pca {
     }
   }
 
+  /** PCA whitening: project onto the trained components and scale each
+    * coordinate by 1/√eigenvalue, so the output has identity covariance
+    * under the trained model — the standard embedding-preprocessing step
+    * before cosine retrieval, clustering, or contrastive training
+    * (dominant directions stop drowning out the tail). Same
+    * literal-projection plan as [[project]] (one scan, zero shuffles,
+    * model ships as Column literals); the scale is ONE terminal
+    * correctly-rounded IEEE division per coordinate against a
+    * driver-computed √λ literal, so a replay given the same trained
+    * literals stays bit-exact. Emits `wc0..wcD-1` alongside the input
+    * columns. */
+  def whiten(df: DataFrame, vecCol: Column, model: PcaModel): DataFrame = {
+    val projected = project(df, vecCol, model)
+    model.eigenvalues.indices.foldLeft(projected) { case (acc, ci) =>
+      acc.withColumn(s"wc$ci",
+        col(s"pc$ci") / math.sqrt(model.eigenvalues(ci)))
+    }
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
     * (eigenvalues, eigenvectors as COLUMNS). O(dim³) per sweep, a handful
     * of sweeps to converge — milliseconds at embedding dims, driver-side

@@ -3544,6 +3544,35 @@ class PipelineUnitSpec extends SparkTestBase {
     }
   }
 
+  test("Pca.whiten scales each projection by 1/sqrt(eigenvalue); whitened " +
+      "sample covariance is the identity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 800).map { _ =>
+      val t = rnd.nextInt(2001) - 1000
+      val u = rnd.nextInt(201) - 100
+      Seq(math.round(0.6 * t + 0.8 * u), math.round(0.8 * t - 0.6 * u))
+    }
+    val df = rows.map(Tuple1(_)).toDF("v")
+    val model = Pca.train(df, col("v"), dim = 2, d = 2)
+    val w = Pca.whiten(df, col("v"), model)
+      .select(col("pc0"), col("pc1"), col("wc0"), col("wc1")).collect()
+    // exact per-row contract: wc = pc / sqrt(lambda), the one division
+    w.foreach { r =>
+      assert(r.getDouble(2) == r.getDouble(0) / math.sqrt(model.eigenvalues(0)))
+      assert(r.getDouble(3) == r.getDouble(1) / math.sqrt(model.eigenvalues(1)))
+    }
+    // statistical contract: unit variance per whitened coordinate, zero
+    // cross-covariance (population convention — train divides by n)
+    val n = w.length.toDouble
+    val v0 = w.map(r => r.getDouble(2) * r.getDouble(2)).sum / n
+    val v1 = w.map(r => r.getDouble(3) * r.getDouble(3)).sum / n
+    val cv = w.map(r => r.getDouble(2) * r.getDouble(3)).sum / n
+    assert(math.abs(v0 - 1.0) < 1e-6, s"var(wc0)=$v0")
+    assert(math.abs(v1 - 1.0) < 1e-6, s"var(wc1)=$v1")
+    assert(math.abs(cv) < 1e-6, s"cov=$cv")
+  }
+
   test("Dsir.scoreColumn (map-literal serving path) equals the join-based " +
       "importanceWeights") {
     import spark.implicits._
