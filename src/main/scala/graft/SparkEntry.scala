@@ -1737,6 +1737,26 @@ object SparkEntry {
     * the value OCTILE (floor(value/64), exact: 64 is a power of two) as
     * the ordered sensitive attribute — all-integer EMD numerator, one
     * terminal division. */
+  /** DTW behavioral-shape distance ([[graft.tsdf.Dtw]]): consecutive-id
+    * user pairs in a bounded anchor set, each user's hour-of-day
+    * cent-sum profile; the elastic distance runs as ONE nested-HOF
+    * integer DP per pair (pure Column expression, no UDF) and the
+    * oracle replays it as the identical nested DuckDB list_reduce. */
+  private def qDtw(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .filter(col("user_id") < 40 && col("value").isNotNull)
+      .select(col("user_id"), col("ts"), cents(col("value")).alias("v"))
+    val prof = graft.tsdf.Dtw.hourOfDayProfiles(
+      e, "user_id", col("ts"), col("v"))
+    val a = prof.select(col("user_id").alias("user_a"),
+      col("profile").alias("__pa"))
+    val b = prof.select(col("user_id").alias("user_b"),
+      col("profile").alias("__pb"))
+    a.join(b, col("user_b") === col("user_a") + 1)
+      .select(col("user_a"), col("user_b"),
+        graft.tsdf.Dtw.dtwDistance(col("__pa"), col("__pb")).alias("dtw"))
+  }
+
   private def qTCloseness(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Pii.tCloseness(
       events(s, dir).select(col("event_type"),
@@ -3145,6 +3165,7 @@ object SparkEntry {
     "q_editdist_pairs" -> qEditdistPairs _,
     "q_k_anon" -> qKAnon _,
     "q_t_closeness" -> qTCloseness _,
+    "q_dtw" -> qDtw _,
     "q_mojibake" -> qMojibake _,
     "q_seq_pattern" -> qSeqPattern _,
     "q_image_phash" -> qImagePhash _,
