@@ -941,6 +941,43 @@ object OracleSql {
     }.mkString("\nUNION ALL\n")
   }
 
+  /** DTW replay: the identical nested fold — outer list_reduce over a's
+    * elements carrying the previous DP row (init row prepended as the
+    * accumulator seed), inner list_reduce rebuilding each row left to
+    * right (growing-list self-reference via cur[-1]). All-integer
+    * arithmetic, so the distance is bit-identical to the Spark
+    * nested-aggregate HOF. */
+  private lazy val dtwSql: String =
+    """WITH e AS (SELECT user_id, CAST(hour(ts) AS BIGINT) AS h,
+      |  CAST(round(value * 100) AS BIGINT) AS v FROM events
+      |  WHERE user_id < 40 AND value IS NOT NULL),
+      |hs AS (SELECT user_id, h, CAST(sum(v) AS BIGINT) AS s
+      |  FROM e GROUP BY user_id, h),
+      |u AS (SELECT DISTINCT user_id FROM e),
+      |grid AS (SELECT u.user_id, g.h
+      |  FROM u CROSS JOIN generate_series(0, 23) g(h)),
+      |filled AS (SELECT grid.user_id, grid.h, COALESCE(hs.s, 0) AS s
+      |  FROM grid LEFT JOIN hs USING (user_id, h)),
+      |prof AS (SELECT user_id, list(s ORDER BY h) AS p
+      |  FROM filled GROUP BY user_id),
+      |pairs AS (SELECT a.user_id AS user_a, b.user_id AS user_b,
+      |  a.p AS pa, b.p AS pb
+      |  FROM prof a JOIN prof b ON b.user_id = a.user_id + 1)
+      |SELECT user_a, user_b,
+      |  list_reduce(
+      |    list_prepend(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(pb, x -> CAST(1000000000000000 AS BIGINT))),
+      |      list_transform(pa, ai -> [ai])),
+      |    (prev, xa) -> list_reduce(
+      |      list_prepend([CAST(1000000000000000 AS BIGINT)],
+      |        list_transform(pb, bj -> [bj])),
+      |      (cur, xb) -> list_append(cur,
+      |        abs(xa[1] - xb[1]) +
+      |        least(prev[len(cur)+1], prev[len(cur)], cur[-1]))))[-1]
+      |  AS dtw
+      |FROM pairs""".stripMargin
+
   private lazy val gramMatrixSql: String =
     s"""WITH v AS (SELECT $qv AS q FROM embeddings),
        |p AS (SELECT i.i, j.j FROM range(64) i(i), range(64) j(j)
@@ -4152,41 +4189,11 @@ object OracleSql {
     // cumulated in sensitive order, absolute values summed) and the one
     // terminal division — HUGEINT intermediates in DuckDB, longs in
     // Spark, identical below 2^63
-    // DTW replay: the identical nested fold — outer list_reduce over a's
-    // elements carrying the previous DP row (init row prepended as the
-    // accumulator seed), inner list_reduce rebuilding each row left to
-    // right (lateral self-reference via cur[-1]). All-integer arithmetic,
-    // so the distance is bit-identical to the Spark nested-aggregate HOF.
-    "q_dtw" ->
-      """WITH e AS (SELECT user_id, CAST(hour(ts) AS BIGINT) AS h,
-        |  CAST(round(value * 100) AS BIGINT) AS v FROM events
-        |  WHERE user_id < 40 AND value IS NOT NULL),
-        |hs AS (SELECT user_id, h, CAST(sum(v) AS BIGINT) AS s
-        |  FROM e GROUP BY user_id, h),
-        |u AS (SELECT DISTINCT user_id FROM e),
-        |grid AS (SELECT u.user_id, g.h
-        |  FROM u CROSS JOIN generate_series(0, 23) g(h)),
-        |filled AS (SELECT grid.user_id, grid.h, COALESCE(hs.s, 0) AS s
-        |  FROM grid LEFT JOIN hs USING (user_id, h)),
-        |prof AS (SELECT user_id, list(s ORDER BY h) AS p
-        |  FROM filled GROUP BY user_id),
-        |pairs AS (SELECT a.user_id AS user_a, b.user_id AS user_b,
-        |  a.p AS pa, b.p AS pb
-        |  FROM prof a JOIN prof b ON b.user_id = a.user_id + 1)
-        |SELECT user_a, user_b,
-        |  list_reduce(
-        |    list_prepend(
-        |      list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(pb, x -> CAST(1000000000000000 AS BIGINT))),
-        |      list_transform(pa, ai -> [ai])),
-        |    (prev, xa) -> list_reduce(
-        |      list_prepend([CAST(1000000000000000 AS BIGINT)],
-        |        list_transform(pb, bj -> [bj])),
-        |      (cur, xb) -> list_append(cur,
-        |        abs(xa[1] - xb[1]) +
-        |        least(prev[len(cur)+1], prev[len(cur)], cur[-1]))))[-1]
-        |  AS dtw
-        |FROM pairs""".stripMargin,
+    // DTW replay (shared SQL below): q_stream_dtw shares it verbatim —
+    // the per-(user, hour) sum deltas are additive and fold to the
+    // identical profiles.
+    "q_dtw" -> dtwSql,
+    "q_stream_dtw" -> dtwSql,
 
     "q_t_closeness" ->
       """WITH b AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,

@@ -2473,6 +2473,32 @@ object SparkEntry {
       col("n"), col("s"))
   }
 
+  /** Streaming DTW: per-(user, hour-of-day) cent-sum DELTAS from the
+    * ingest stream ([[graft.streaming.StreamingTSDF.sumDeltas]] — sums
+    * are additive, so the fold equals the batch grouped sums for any
+    * micro-batching), assembled into the same 24-slot profiles and run
+    * through the same nested-HOF DP — behavioral-shape distances that
+    * stay current as events arrive, sharing q_dtw's oracle verbatim. */
+  private def qStreamDtw(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val ev = eventsStream(s, dir)
+      .filter(col("user_id") < 40 && col("value").isNotNull)
+    val deltas = graft.streaming.StreamingTSDF.sumDeltas(
+      ev, Seq("user_id"), hour(col("ts")), cents(col("value")))
+    val sums = runStream(s, deltas)
+      .groupBy(col("user_id"), col("key"))
+      .agg(sum(col("s")).alias("__s"))
+    val prof = graft.tsdf.Dtw.profilesFromHourSums(
+      sums, "user_id", col("key"), col("__s"))
+    val a = prof.select(col("user_id").alias("user_a"),
+      col("profile").alias("__pa"))
+    val b = prof.select(col("user_id").alias("user_b"),
+      col("profile").alias("__pb"))
+    a.join(b, col("user_b") === col("user_a") + 1)
+      .select(col("user_a"), col("user_b"),
+        graft.tsdf.Dtw.dtwDistance(col("__pa"), col("__pb")).alias("dtw"))
+  }
+
   /** Streaming trailing-7-day WAU via the KMV changelog: per-DAY running
     * k-min sets stream through [[graft.streaming.StreamingTSDF.kmvMins]]
     * (day = the series key), and the batch trailing merge
@@ -3213,6 +3239,7 @@ object SparkEntry {
     "q_stream_cms" -> qStreamCms _,
     "q_stream_bloom" -> qStreamBloom _,
     "q_stream_gram" -> qStreamGram _,
+    "q_stream_dtw" -> qStreamDtw _,
     "q_kmv_jaccard" -> qKmvJaccard _,
     "q_stream_wau_kmv" -> qStreamWauKmv _,
     "q_rolling_slope" -> qRollingSlope _,

@@ -1241,6 +1241,46 @@ object StreamingTSDF {
       col("word"), col("mask")): _*)
   }
 
+  // ----------------------------------------------- streaming keyed sums
+  case class SumEvent(series: String, key: Long, v: Long)
+
+  /** Streaming keyed-sum feed: per micro-batch, the exact integer SUM
+    * DELTAS of `valueCol` per (series, key) — sums are additive, so a
+    * plain `sum(s) per (series, key)` over the sink reconstructs the
+    * exact batch grouped sum of everything ingested, for any micro-batch
+    * split. This is the generic additive building block behind profile
+    * maintenance on a stream: any downstream shape built from grouped
+    * integer sums (hour-of-day profiles for DTW, per-bucket masses,
+    * count grids via `valueCol = 1`) folds from the sink without
+    * rescanning history. No cross-batch state is carried (deltas need
+    * none — `flatMapGroupsWithState` only legalizes aggregation inside
+    * an append-mode stream); sink traffic per batch is the number of
+    * DISTINCT (series, key) cells touched, not the row count. Null keys
+    * and null values carry nothing. */
+  def sumDeltas(df: DataFrame, seriesCols: Seq[String], keyCol: Column,
+      valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val projected = df.select(
+      seriesKey(seriesCols).alias("series"),
+      keyCol.cast(LongType).alias("key"),
+      valueCol.cast(LongType).alias("v"))
+      .filter(col("key").isNotNull && col("v").isNotNull)
+      .as[SumEvent]
+    val out = projected
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[SumEvent], state: GroupState[Long]) =>
+          val acc = scala.collection.mutable.SortedMap.empty[Long, Long]
+          rows.foreach(e => acc(e.key) = acc.getOrElse(e.key, 0L) + e.v)
+          acc.iterator.map { case (k, s) => (key, k, s) }
+      }
+      .toDF("series", "key", "s")
+    out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
+      col("key"), col("s")): _*)
+  }
+
   // ----------------------------------------------- streaming Gram matrix
   case class GramEvent(salt: Int, vec: Seq[Long])
 

@@ -70,9 +70,17 @@ object Dtw {
     val hours = df
       .groupBy(col(seriesCol), hour(tsCol).cast(LongType).alias("__h"))
       .agg(sum(valueCol).cast(LongType).alias("__s"))
-    hours.groupBy(col(seriesCol))
-      .agg(map_from_entries(collect_list(struct(col("__h"), col("__s"))))
-        .alias("__m"))
+    profilesFromHourSums(hours, seriesCol, col("__h"), col("__s"))
+  }
+
+  /** Assemble the 24-slot profile array from already-grouped
+    * (series, hour, sum) rows — the shape a folded streaming
+    * [[graft.streaming.StreamingTSDF.sumDeltas]] sink arrives in. */
+  def profilesFromHourSums(df: DataFrame, seriesCol: String, hourCol: Column,
+      sumCol: Column): DataFrame = {
+    df.groupBy(col(seriesCol))
+      .agg(map_from_entries(collect_list(struct(
+        hourCol.cast(LongType), sumCol.cast(LongType)))).alias("__m"))
       .select(col(seriesCol),
         transform(sequence(lit(0L), lit(23L)),
           h => coalesce(element_at(col("__m"), h), lit(0L)))

@@ -171,6 +171,33 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("property: streaming sumDeltas fold to the exact batch grouped sums " +
+      "across micro-batches (signed values, repeated keys)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(79)
+    val mem = MemoryStream[(String, Long, Long)]
+    val out = StreamingTSDF.sumDeltas(mem.toDF().toDF("src", "k", "v"),
+      Seq("src"), col("k"), col("v"))
+    val q = out.writeStream.format("memory").queryName("sum_diff_sink")
+      .outputMode(OutputMode.Append()).start()
+    val all = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    for (_ <- 0 until 5) {
+      val batch = (0 until 200).map(_ => ("s" + rnd.nextInt(3),
+        rnd.nextInt(8).toLong, rnd.nextInt(2001).toLong - 1000))
+      all ++= batch
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val rolled = spark.table("sum_diff_sink")
+      .groupBy(col("src"), col("key")).agg(sum(col("s")).alias("s"))
+    val batchSums = all.toSeq.toDF("src", "key", "v")
+      .groupBy(col("src"), col("key")).agg(sum(col("v")).alias("s"))
+    assertDfEquality(rolled, batchSums)
+  }
+
   test("property: streaming gramDeltas sum-roll to the exact batch Gram " +
       "matrix across micro-batches and salt groups") {
     val spark2 = spark
