@@ -2128,6 +2128,23 @@ object OracleSql {
     // TF-IDF over the same postings index + query batch
     "q_tfidf" -> tfidfSql,
 
+    // RRF replay: both ranking replays nested verbatim as subqueries, the
+    // same fixed-order 1/(60 + rank) sum, per-query re-rank with id ties.
+    "q_rrf" ->
+      s"""WITH ab AS (SELECT query_id, doc_id, "rank" AS ra FROM ($bm25MultiSql)),
+         |tb AS (SELECT query_id, doc_id, "rank" AS rb FROM ($tfidfSql)),
+         |j AS (SELECT COALESCE(ab.query_id, tb.query_id) AS query_id,
+         |  COALESCE(ab.doc_id, tb.doc_id) AS doc_id, ra, rb
+         |  FROM ab FULL OUTER JOIN tb
+         |    ON ab.query_id = tb.query_id AND ab.doc_id = tb.doc_id),
+         |sc AS (SELECT query_id, doc_id,
+         |  COALESCE(1.0 / (60.0 + CAST(ra AS DOUBLE)), 0.0) +
+         |  COALESCE(1.0 / (60.0 + CAST(rb AS DOUBLE)), 0.0) AS rrf FROM j),
+         |t AS (SELECT query_id, doc_id, rrf, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS fr FROM sc)
+         |SELECT query_id, CAST(fr AS BIGINT) AS fused_rank, doc_id, rrf
+         |FROM t WHERE fr <= 10""".stripMargin,
+
     // SQ8 code-space top-k (integer distances, exact everywhere)
     "q_ann_sq8" -> annSq8Sql,
 

@@ -1373,6 +1373,22 @@ object SparkEntry {
       Bm25Queries.toDF("query_id", "terms"), "query_id", "terms", k = 10)
   }
 
+  /** Hybrid-retrieval fusion ([[graft.pipeline.Retrieval.rrfFuse]]):
+    * reciprocal-rank fusion of the BM25 and TF-IDF top-10 lists over the
+    * shared postings index — rank-only merging (no score calibration),
+    * c = 60, one full-outer join of two top-k lists per query. */
+  private def qRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Bm25Queries.toDF("query_id", "terms")
+    val idx = postingsIndex(s, dir)
+    Retrieval.rrfFuse(
+      Retrieval.bm25TopKFromIndex(idx, "doc_id", queries,
+        "query_id", "terms", k = 10),
+      Retrieval.tfidfTopKFromIndex(idx, "doc_id", queries,
+        "query_id", "terms", k = 10),
+      "query_id", "doc_id")
+  }
+
   /** SQ8 scalar-quantized ANN: per-dimension bounds from one aggregate
     * pass, 0..255 byte codes, exact integer squared-L2 in code space. */
   private def qAnnSq8(s: SparkSession, dir: String): DataFrame = {
@@ -3144,6 +3160,7 @@ object SparkEntry {
     "q_bm25_multi" -> qBm25Multi _,
     "q_bm25_indexed" -> qBm25Indexed _,
     "q_tfidf" -> qTfidf _,
+    "q_rrf" -> qRrf _,
     "q_ann_sq8" -> qAnnSq8 _,
     "q_kmv_distinct" -> qKmv _,
     "q_kmv_wide" -> qKmvWide _,

@@ -223,4 +223,37 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("__qid").alias(queryIdCol), col(idCol), col("rank"), col("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009): merge two
+    * per-query rankings — here the lexical (BM25) and its
+    * length-normalization-free twin, in general any pair including an
+    * embedding ANN list — by rrf = Σ_lists 1/(c + rank), then re-rank.
+    * RRF needs no score calibration between lists (only ranks enter), is
+    * the standard first fusion in hybrid retrieval, and c = 60 is the
+    * paper's constant.
+    *
+    * Shape: one full-outer equi-join of two already-tiny top-k lists per
+    * query (≤ 2k rows per query, never corpus-sized) + one per-query
+    * rank window. Determinism: each 1/(c + rank) is a single correctly-
+    * rounded IEEE division on exact integers and the fusion is ONE
+    * addition in fixed (a, b) order, so scores are bit-identical in any
+    * engine; ties break by ascending id. Inputs need (queryIdCol, idCol,
+    * rank). Output: (queryIdCol, fused_rank, idCol, rrf). */
+  def rrfFuse(a: DataFrame, b: DataFrame, queryIdCol: String, idCol: String,
+      c: Int = 60, k: Int = 10): DataFrame = {
+    val ra = a.select(col(queryIdCol), col(idCol), col("rank").alias("__ra"))
+    val rb = b.select(col(queryIdCol), col(idCol), col("rank").alias("__rb"))
+    val rrf =
+      coalesce(lit(1.0) / (lit(c.toDouble) + col("__ra").cast(DoubleType)),
+        lit(0.0)) +
+      coalesce(lit(1.0) / (lit(c.toDouble) + col("__rb").cast(DoubleType)),
+        lit(0.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol)).orderBy(col("rrf").desc, col(idCol).asc)
+    ra.join(rb, Seq(queryIdCol, idCol), "full_outer")
+      .withColumn("rrf", rrf)
+      .withColumn("fused_rank", row_number().over(w).cast(LongType))
+      .filter(col("fused_rank") <= k)
+      .select(col(queryIdCol), col("fused_rank"), col(idCol), col("rrf"))
+  }
 }

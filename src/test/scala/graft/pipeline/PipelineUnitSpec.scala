@@ -2159,6 +2159,22 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(got == cases.map(_._2))
   }
 
+  test("rrfFuse merges two rankings by reciprocal rank: overlap wins, " +
+      "single-list survivors keep their one term") {
+    import spark.implicits._
+    // list A: docA 1st, docB 2nd; list B: docB 1st, docC 2nd — docB is in
+    // both (1/62 + 1/61), so it must fuse above docA (1/61) above docC (1/62)
+    val a = Seq((1L, 100L, 1L), (1L, 200L, 2L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 200L, 1L), (1L, 300L, 2L)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(a, b, "query_id", "doc_id").collect()
+      .sortBy(_.getLong(1))
+    assert(got.map(_.getLong(2)).toSeq == Seq(200L, 100L, 300L))
+    val byDoc = got.map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(byDoc(200L) == 1.0 / 62.0 + 1.0 / 61.0)
+    assert(byDoc(100L) == 1.0 / 61.0)
+    assert(byDoc(300L) == 1.0 / 62.0)
+  }
+
   test("tfidf ranks heavier and rarer terms higher; matches driver math") {
     import spark.implicits._
     val docs = Seq(
