@@ -2044,6 +2044,14 @@ object SparkEntry {
     graft.pipeline.Analytics.interArrival(events(s, dir), "ts",
       Seq("user_id"), tieCols = Seq("event_id"))
 
+  /** First-order Markov transition matrix
+    * ([[graft.pipeline.Analytics.transitionMatrix]]): adjacent
+    * event-type steps per user in (ts, event_id) order, exact counts +
+    * one terminal division for the transition probability. */
+  private def qTransitions(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Analytics.transitionMatrix(events(s, dir), "ts",
+      Seq("user_id"), "event_type", tieCols = Seq("event_id"))
+
   /** EW mean + variance (RiskMetrics volatility), α = 0.25; recursive-CTE
     * oracle replays the one-pass recursion bit-for-bit. */
   private def qEwmVar(s: SparkSession, dir: String): DataFrame =
@@ -3215,6 +3223,7 @@ object SparkEntry {
     "q_time_rollup" -> qTimeRollup _,
     "q_stream_seq_pattern" -> qStreamSeqPattern _,
     "q_interarrival" -> qInterArrival _,
+    "q_transitions" -> qTransitions _,
     "q_ewm_var" -> qEwmVar _,
     "q_hampel" -> qHampel _,
     "q_stream_ewm_var" -> qStreamEwmVar _,

@@ -204,6 +204,37 @@ object Analytics {
       when(n > 1 && mean =!= 0.0, sd / mean).alias("cv_gap")): _*)
   }
 
+  /** First-order Markov transition matrix over each series' event stream:
+    * counts of adjacent (from → to) event-type steps in (ts, tie) order,
+    * with the per-from totals and the transition probability — behavior
+    * modeling, anomaly triage (improbable transitions), and QA of
+    * synthetic sequences all read this table. Counts are exact BIGINTs;
+    * `p` is ONE terminal correctly-rounded division, so the matrix
+    * replays bit-exactly in any engine.
+    *
+    * Plan shape: one lead window per series partition (uniform series
+    * keys — no global sort), then a map-side-combinable count per
+    * (from, to); the per-from totals derive from the ALREADY-aggregated
+    * count table (O(types²) rows), never from a second pass over the
+    * corpus. Output: (from_type, to_type, n, n_from, p). */
+  def transitionMatrix(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      typeCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    require(seriesCols.nonEmpty, "need at least one series column")
+    val sc = seriesCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sc: _*).orderBy((tsCol +: tieCols).map(col): _*)
+    val cnt = df.withColumn("__to", lead(col(typeCol), 1).over(w))
+      .filter(col("__to").isNotNull)
+      .groupBy(col(typeCol).alias("from_type"), col("__to").alias("to_type"))
+      .agg(count(lit(1)).alias("n"))
+    val fromTotals = cnt.groupBy(col("from_type"))
+      .agg(sum(col("n")).alias("n_from"))
+    cnt.join(fromTotals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        (col("n").cast(DoubleType) / col("n_from").cast(DoubleType))
+          .alias("p"))
+  }
+
   /** Item co-occurrence with exact lift — the market-basket affinity pass:
     * a "basket" is the DISTINCT item set of a session (any composite
     * session key), n_ab = sessions containing both items of a pair,

@@ -2159,6 +2159,27 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(got == cases.map(_._2))
   }
 
+  test("transitionMatrix counts adjacent steps per series with exact " +
+      "fractions; last events emit nothing; ties follow tie column") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def at(s: Int) = new java.sql.Timestamp(base + s * 1000L)
+    val rows = Seq(
+      ("u1", at(0), 1L, "a"), ("u1", at(1), 2L, "b"), ("u1", at(2), 3L, "a"),
+      // tie at the same ts: event_id orders b before c
+      ("u2", at(0), 1L, "a"), ("u2", at(1), 2L, "b"), ("u2", at(1), 3L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.transitionMatrix(rows, "ts", Seq("user_id"),
+      "event_type", tieCols = Seq("event_id")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // steps: u1 a->b, b->a; u2 a->b, b->c. from a: 2 steps, both ->b
+    assert(got(("a", "b")) == ((2L, 2L, 1.0)))
+    assert(got(("b", "a")) == ((1L, 2L, 0.5)))
+    assert(got(("b", "c")) == ((1L, 2L, 0.5)))
+    assert(got.size == 3) // u1's final 'a' and u2's final 'c' emit nothing
+  }
+
   test("rrfFuse merges two rankings by reciprocal rank: overlap wins, " +
       "single-list survivors keep their one term") {
     import spark.implicits._
