@@ -947,6 +947,19 @@ object OracleSql {
     * right (growing-list self-reference via cur[-1]). All-integer
     * arithmetic, so the distance is bit-identical to the Spark
     * nested-aggregate HOF. */
+  private lazy val transitionsSql: String =
+    """WITH t AS (SELECT user_id, event_type,
+      |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS to_type
+      |  FROM events),
+      |c AS (SELECT event_type AS from_type, to_type, count(*) AS n
+      |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+      |  FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n, f.n_from,
+      |  CAST(c.n AS DOUBLE) / CAST(f.n_from AS DOUBLE) AS p
+      |FROM c JOIN f USING (from_type)""".stripMargin
+
   private lazy val dtwSql: String =
     """WITH e AS (SELECT user_id, CAST(hour(ts) AS BIGINT) AS h,
       |  CAST(round(value * 100) AS BIGINT) AS v FROM events
@@ -4442,19 +4455,11 @@ object OracleSql {
         |FROM a""".stripMargin,
 
     // Markov transition replay: per-user lead in (ts, event_id) order,
-    // exact counts, one terminal division for p.
-    "q_transitions" ->
-      """WITH t AS (SELECT user_id, event_type,
-        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |    AS to_type
-        |  FROM events),
-        |c AS (SELECT event_type AS from_type, to_type, count(*) AS n
-        |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
-        |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
-        |  FROM c GROUP BY 1)
-        |SELECT c.from_type, c.to_type, c.n, f.n_from,
-        |  CAST(c.n AS DOUBLE) / CAST(f.n_from AS DOUBLE) AS p
-        |FROM c JOIN f USING (from_type)""".stripMargin,
+    // exact counts, one terminal division for p. q_stream_transitions
+    // shares it verbatim: the per-batch step deltas (boundary step owned
+    // by the arriving batch) are additive and fold to identical counts.
+    "q_stream_transitions" -> transitionsSql,
+    "q_transitions" -> transitionsSql,
 
     "q_ewm_var" -> ewmVarSql,
     "q_stream_ewm_var" -> ewmVarSql,

@@ -2523,6 +2523,25 @@ object SparkEntry {
         graft.tsdf.Dtw.dtwDistance(col("__pa"), col("__pb")).alias("dtw"))
   }
 
+  /** Streaming Markov transitions: adjacent-step COUNT DELTAS from the
+    * ingest stream ([[graft.streaming.StreamingTSDF.transitionDeltas]] —
+    * one (ts, tie, type) triple of state per series owns the
+    * batch-boundary step, so the fold equals the batch lead-window
+    * counts for any micro-batching), finished by the shared
+    * [[graft.pipeline.Analytics.transitionMatrixFromCounts]] tail;
+    * shares q_transitions' oracle verbatim. */
+  private def qStreamTransitions(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val deltas = graft.streaming.StreamingTSDF.transitionDeltas(
+      eventsStream(s, dir).select(col("user_id"), col("ts"),
+        col("event_type"), col("event_id")),
+      "ts", Seq("user_id"), "event_type", tieCol = "event_id")
+    val cnt = runStream(s, deltas)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(sum(col("n")).alias("n"))
+    graft.pipeline.Analytics.transitionMatrixFromCounts(cnt)
+  }
+
   /** Streaming trailing-7-day WAU via the KMV changelog: per-DAY running
     * k-min sets stream through [[graft.streaming.StreamingTSDF.kmvMins]]
     * (day = the series key), and the batch trailing merge
@@ -3266,6 +3285,7 @@ object SparkEntry {
     "q_stream_bloom" -> qStreamBloom _,
     "q_stream_gram" -> qStreamGram _,
     "q_stream_dtw" -> qStreamDtw _,
+    "q_stream_transitions" -> qStreamTransitions _,
     "q_kmv_jaccard" -> qKmvJaccard _,
     "q_stream_wau_kmv" -> qStreamWauKmv _,
     "q_rolling_slope" -> qRollingSlope _,

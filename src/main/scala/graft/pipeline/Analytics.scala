@@ -227,6 +227,14 @@ object Analytics {
       .filter(col("__to").isNotNull)
       .groupBy(col(typeCol).alias("from_type"), col("__to").alias("to_type"))
       .agg(count(lit(1)).alias("n"))
+    transitionMatrixFromCounts(cnt)
+  }
+
+  /** The [[transitionMatrix]] tail over already-counted
+    * (from_type, to_type, n) rows — the shape a folded streaming
+    * [[graft.streaming.StreamingTSDF.transitionDeltas]] sink arrives
+    * in. */
+  def transitionMatrixFromCounts(cnt: DataFrame): DataFrame = {
     val fromTotals = cnt.groupBy(col("from_type"))
       .agg(sum(col("n")).alias("n_from"))
     cnt.join(fromTotals, Seq("from_type"))

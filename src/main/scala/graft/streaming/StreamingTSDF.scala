@@ -1416,6 +1416,58 @@ object StreamingTSDF {
       col("trace_len"), col("n_matches")): _*)
   }
 
+  // -------------------------------------------- streaming transition steps
+  case class StepEvent(series: String, tsUs: Long, tie: Long, typ: String)
+  case class StepState(lastTsUs: Long, lastTie: Long, lastType: String)
+
+  /** Streaming Markov transition feed: per micro-batch, the exact COUNT
+    * DELTAS of adjacent (from → to) event-type steps per series in
+    * (ts, tie) order — including the step that straddles the batch
+    * boundary, because the state remembers the series' last event. A
+    * plain `sum(n) per (from_type, to_type)` over the sink reconstructs
+    * the exact batch [[graft.pipeline.Analytics.transitionMatrix]] counts
+    * of everything ingested (adjacency is local, so counts are additive
+    * once the boundary step is owned by the arriving batch). State is
+    * ONE (ts, tie, type) triple per series; late rows (at or behind the
+    * series high-water mark) drop — the [[scd2Changelog]] convention;
+    * within a batch rows sort by (ts, tie). */
+  def transitionDeltas(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+      typeCol: String, tieCol: String = ""): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tie = if (tieCol.isEmpty) lit(0L) else col(tieCol).cast(LongType)
+    val events = df.select(
+      seriesKey(seriesCols).alias("series"),
+      unix_micros(col(tsCol)).alias("tsUs"), tie.alias("tie"),
+      col(typeCol).cast(StringType).alias("typ")).as[StepEvent]
+    events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[StepEvent],
+            state: GroupState[StepState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tsUs, e.tie))
+          var st = state.getOption
+            .getOrElse(StepState(Long.MinValue, Long.MinValue, null))
+          val acc = scala.collection.mutable.SortedMap
+            .empty[(String, String), Long]
+          sorted.foreach { e =>
+            val late = e.tsUs < st.lastTsUs ||
+              (e.tsUs == st.lastTsUs && e.tie <= st.lastTie)
+            if (!late) {
+              if (st.lastType != null) {
+                val k = (st.lastType, e.typ)
+                acc(k) = acc.getOrElse(k, 0L) + 1L
+              }
+              st = StepState(e.tsUs, e.tie, e.typ)
+            }
+          }
+          state.update(st)
+          acc.iterator.map { case ((f, t), n) => (f, t, n) }
+      }
+      .toDF("from_type", "to_type", "n")
+  }
+
   // ------------------------------------------------ streaming interpolation
   case class InterpEvent(series: String, tsUs: Long, value: Double,
       eventTime: java.sql.Timestamp)

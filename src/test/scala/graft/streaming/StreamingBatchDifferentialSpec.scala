@@ -171,6 +171,44 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("property: streaming transitionDeltas fold to the exact batch " +
+      "transition counts across micro-batches (boundary steps owned)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val types = Vector("a", "b", "c", "d")
+    val rnd = new scala.util.Random(83)
+    // globally time-ordered rows (the operator's in-order arrival
+    // contract) split into contiguous micro-batches at arbitrary points —
+    // every split lands some (from, to) step across a batch boundary
+    val rows = (0 until 900).map { i =>
+      ("u" + rnd.nextInt(4), new Timestamp(base + i * 1000L), i.toLong,
+        types(rnd.nextInt(types.size)))
+    }
+    val mem = MemoryStream[(String, Timestamp, Long, String)]
+    val out = StreamingTSDF.transitionDeltas(
+      mem.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      "ts", Seq("user_id"), "event_type", tieCol = "event_id")
+    val q = out.writeStream.format("memory").queryName("trans_diff_sink")
+      .outputMode(OutputMode.Append()).start()
+    var off = 0
+    while (off < rows.length) {
+      val take = 1 + rnd.nextInt(300)
+      mem.addData(rows.slice(off, off + take): _*)
+      q.processAllAvailable()
+      off += take
+    }
+    q.stop()
+    val rolled = spark.table("trans_diff_sink")
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(sum(col("n")).alias("n"))
+    val batch = graft.pipeline.Analytics.transitionMatrix(
+      rows.toDF("user_id", "ts", "event_id", "event_type"),
+      "ts", Seq("user_id"), "event_type", tieCols = Seq("event_id"))
+      .select(col("from_type"), col("to_type"), col("n"))
+    assertDfEquality(rolled, batch)
+  }
+
   test("property: streaming sumDeltas fold to the exact batch grouped sums " +
       "across micro-batches (signed values, repeated keys)") {
     val spark2 = spark
