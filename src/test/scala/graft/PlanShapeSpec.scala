@@ -532,6 +532,15 @@ class PlanShapeSpec extends SparkTestBase {
     val single = plan(graft.pipeline.Retrieval.bm25TopK(corpus, "text",
       "doc_id", Seq("term1", "common"), k = 3))
     assert(single.contains("TakeOrderedAndProject"), single)
+    // 7. hardNegatives per-anchor rank filter (cross-label candidates)
+    val labeled = (1 to 40).map(i => (i.toLong, s"l${i % 3}",
+      Array.tabulate(4)(d => (i * d % 7).toDouble))).toDF("vid", "lbl", "v")
+    pinned(graft.pipeline.Similarity.hardNegatives(
+      labeled.filter(col("vid") <= 3), labeled, "vid", "v", "lbl", k = 2))
+    // rrfFuse's fused-rank window is deliberately NOT pinned: Spark skips
+    // the group-limit insertion on that shape (full-outer join child),
+    // and it cannot matter — both inputs are top-k lists, ≤ 2k rows per
+    // query by construction, so the per-query sort is over a bounded set.
   }
 
   test("KMV sketches plan zero windows: the k-min set is a bounded " +
