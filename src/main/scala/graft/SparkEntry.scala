@@ -2542,6 +2542,24 @@ object SparkEntry {
     graft.pipeline.Analytics.transitionMatrixFromCounts(cnt)
   }
 
+  /** Streaming whitening gate: the PCA model trains batch-side (one
+    * corpus pass, q_whiten's trainer — a model is a materialized
+    * artifact, the dsirRatio/bpeMerges convention) and every ARRIVING
+    * embedding whitens through the pure literal projection — stateless,
+    * so any micro-batching gives the same answer; shares q_whiten's
+    * dynamic oracle verbatim. */
+  private def qStreamWhiten(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val model = graft.pipeline.Pca.train(
+      quantized(s, dir), col("q"), dim = 64, d = 8)
+    val vecs = embStream(s, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast(DoubleType) * 1000)).alias("q"))
+    val out = graft.pipeline.Pca.whiten(vecs, col("q"), model)
+      .select(col("vec_id") +: (0 until 8).map(i => col(s"wc$i")): _*)
+    runStream(s, out)
+  }
+
   /** Streaming trailing-7-day WAU via the KMV changelog: per-DAY running
     * k-min sets stream through [[graft.streaming.StreamingTSDF.kmvMins]]
     * (day = the series key), and the batch trailing merge
@@ -3286,6 +3304,7 @@ object SparkEntry {
     "q_stream_gram" -> qStreamGram _,
     "q_stream_dtw" -> qStreamDtw _,
     "q_stream_transitions" -> qStreamTransitions _,
+    "q_stream_whiten" -> qStreamWhiten _,
     "q_kmv_jaccard" -> qKmvJaccard _,
     "q_stream_wau_kmv" -> qStreamWauKmv _,
     "q_rolling_slope" -> qRollingSlope _,
@@ -3371,6 +3390,13 @@ object SparkEntry {
          |  ${pcs.mkString(",\n  ")}
          |FROM v""".stripMargin,
       "q_whiten" ->
+      s"""WITH v AS (SELECT vec_id, $qv AS q FROM embeddings)
+         |SELECT vec_id,
+         |  ${wcs.mkString(",\n  ")}
+         |FROM v""".stripMargin,
+      // the streaming gate is the same literal projection on arrival —
+      // stateless, so it shares the whitening replay verbatim
+      "q_stream_whiten" ->
       s"""WITH v AS (SELECT vec_id, $qv AS q FROM embeddings)
          |SELECT vec_id,
          |  ${wcs.mkString(",\n  ")}
