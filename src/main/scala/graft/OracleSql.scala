@@ -947,6 +947,63 @@ object OracleSql {
     * right (growing-list self-reference via cur[-1]). All-integer
     * arithmetic, so the distance is bit-identical to the Spark
     * nested-aggregate HOF. */
+  /** Jaro-Winkler replay: the greedy window matching as a single-level
+    * list_filter INSIDE a list_reduce (first unused in-window equal char
+    * per step). Deliberately NOT a nested list_reduce: DuckDB 1.0's
+    * vectorized evaluation of reduce-inside-reduce corrupts rows when the
+    * inner list length varies across a batch (measured: 'dixon' vs
+    * 'dicksonx' matched [0,1,2,4,6] in a mixed-length batch, [0,1,5,6]
+    * solo; the DTW oracle is immune because every profile has length 24).
+    * filter-inside-reduce evaluates correctly on mixed-length batches
+    * (60-pair randomized differential vs an independent reference).
+    * Everything downstream of the fold is exact integers; jw is the same
+    * fixed-order IEEE composition the Spark expression computes. */
+  private lazy val jaroSql: String = {
+    val Off = 1048576L
+    val cand =
+      s"""list_filter(bjc, xj -> xi[2] >= 0
+         |    AND xj[1] >= xi[1] - acc[1] AND xj[1] <= xi[1] + acc[1]
+         |    AND NOT list_contains(acc, xj[1] + $Off)
+         |    AND xj[2] = xi[2])""".stripMargin
+    val fold1 =
+      s"""list_transform(list_filter(
+         | list_reduce(
+         |  list_prepend([w], list_transform(range(0, la), i -> [i, ac[CAST(i+1 AS INTEGER)]])),
+         |  (acc, xi) -> list_concat(acc,
+         |    CASE WHEN len($cand) > 0 THEN [($cand)[1][1] + $Off] ELSE []::BIGINT[] END)),
+         | x -> x >= $Off), x -> x - $Off)""".stripMargin
+    s"""WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 40),
+       |pr AS (SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       |  a.p_name AS na, b.p_name AS nb
+       |  FROM p a JOIN p b ON b.p_partkey = a.p_partkey + 1),
+       |c1 AS (SELECT part_a, part_b,
+       |  list_transform(range(1, length(na)+1), i -> CAST(ascii(substr(na, CAST(i AS INTEGER), 1)) AS BIGINT)) AS ac,
+       |  list_transform(range(1, length(nb)+1), i -> CAST(ascii(substr(nb, CAST(i AS INTEGER), 1)) AS BIGINT)) AS bc
+       |  FROM pr),
+       |c2 AS (SELECT *, CAST(len(ac) AS BIGINT) AS la, CAST(len(bc) AS BIGINT) AS lb,
+       |  greatest(CAST(0 AS BIGINT), CAST(floor(greatest(len(ac), len(bc)) / 2) AS BIGINT) - 1) AS w,
+       |  list_transform(range(0, len(bc)), j -> [j, bc[CAST(j+1 AS INTEGER)]]) AS bjc
+       |  FROM c1),
+       |c3 AS (SELECT *, $fold1 AS used FROM c2),
+       |c4 AS (SELECT *, CAST(len(used) AS BIGINT) AS m,
+       |  list_transform(used, j -> bc[CAST(j+1 AS INTEGER)]) AS ap,
+       |  list_transform(list_sort(used), j -> bc[CAST(j+1 AS INTEGER)]) AS bp
+       |  FROM c3),
+       |c5 AS (SELECT *,
+       |  CAST(len(list_filter(range(1, m+1), k -> ap[CAST(k AS INTEGER)] <> bp[CAST(k AS INTEGER)])) AS BIGINT) AS t2,
+       |  list_reduce(list_prepend([CAST(0 AS BIGINT)],
+       |    list_transform(range(1, 5), k -> [k])),
+       |    (p, xk) -> CASE WHEN p[1] = xk[1] - 1 AND xk[1] <= la AND xk[1] <= lb
+       |      AND ac[CAST(xk[1] AS INTEGER)] = bc[CAST(xk[1] AS INTEGER)] THEN xk ELSE p END)[1] AS prefix
+       |  FROM c4),
+       |c6 AS (SELECT *, CASE WHEN m = 0 THEN CASE WHEN la = 0 AND lb = 0 THEN 1.0 ELSE 0.0 END
+       |  ELSE (CAST(m AS DOUBLE)/CAST(la AS DOUBLE) + CAST(m AS DOUBLE)/CAST(lb AS DOUBLE)
+       |    + (2.0*CAST(m AS DOUBLE) - CAST(t2 AS DOUBLE))/(2.0*CAST(m AS DOUBLE)))/3.0 END AS j FROM c5)
+       |SELECT part_a, part_b, la, lb, m, t2, prefix,
+       |  j + CAST(prefix AS DOUBLE)*0.1*(1.0 - j) AS jw
+       |FROM c6""".stripMargin
+  }
+
   private lazy val transitionsSql: String =
     """WITH t AS (SELECT user_id, event_type,
       |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -4460,6 +4517,7 @@ object OracleSql {
     // by the arriving batch) are additive and fold to identical counts.
     "q_stream_transitions" -> transitionsSql,
     "q_transitions" -> transitionsSql,
+    "q_jaro" -> jaroSql,
 
     "q_ewm_var" -> ewmVarSql,
     "q_stream_ewm_var" -> ewmVarSql,

@@ -2044,6 +2044,24 @@ object SparkEntry {
     graft.pipeline.Analytics.interArrival(events(s, dir), "ts",
       Seq("user_id"), tieCols = Seq("event_id"))
 
+  /** Jaro-Winkler ER verify ([[graft.pipeline.StringSim.jaroWinkler]]):
+    * consecutive-key part-name pairs in a bounded set (the blocking
+    * stage's candidate shape); the greedy window matching replays in
+    * DuckDB as a filter-inside-reduce fold (see OracleSql.jaroSql for
+    * why not reduce-inside-reduce). */
+  private def qJaro(s: SparkSession, dir: String): DataFrame = {
+    val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      .filter(col("p_partkey") < 40)
+    val pairs = p.select(col("p_partkey").alias("part_a"),
+        col("p_name").alias("__na"))
+      .join(p.select(col("p_partkey").alias("part_b"),
+        col("p_name").alias("__nb")),
+        col("part_b") === col("part_a") + 1)
+    graft.pipeline.StringSim.jaroWinkler(pairs, col("__na"), col("__nb"))
+      .select(col("part_a"), col("part_b"), col("la"), col("lb"),
+        col("m"), col("t2"), col("prefix"), col("jw"))
+  }
+
   /** First-order Markov transition matrix
     * ([[graft.pipeline.Analytics.transitionMatrix]]): adjacent
     * event-type steps per user in (ts, event_id) order, exact counts +
@@ -3261,6 +3279,7 @@ object SparkEntry {
     "q_stream_seq_pattern" -> qStreamSeqPattern _,
     "q_interarrival" -> qInterArrival _,
     "q_transitions" -> qTransitions _,
+    "q_jaro" -> qJaro _,
     "q_ewm_var" -> qEwmVar _,
     "q_hampel" -> qHampel _,
     "q_stream_ewm_var" -> qStreamEwmVar _,
