@@ -2044,6 +2044,13 @@ object SparkEntry {
     graft.pipeline.Analytics.interArrival(events(s, dir), "ts",
       Seq("user_id"), tieCols = Seq("event_id"))
 
+  /** PMI collocation mining ([[graft.pipeline.TextAnalysis.pmiBigrams]]):
+    * adjacent-token PMI over the corpus in the overflow-safe sum form,
+    * micro-unit quantized (the BM25 ln discipline), min-count 5. */
+  private def qPmi(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextAnalysis.pmiBigrams(docs(s, dir), "text",
+      minCount = 5L)
+
   /** Jaro-Winkler ER verify ([[graft.pipeline.StringSim.jaroWinkler]]):
     * consecutive-key part-name pairs in a bounded set (the blocking
     * stage's candidate shape); the greedy window matching replays in
@@ -3280,6 +3287,7 @@ object SparkEntry {
     "q_interarrival" -> qInterArrival _,
     "q_transitions" -> qTransitions _,
     "q_jaro" -> qJaro _,
+    "q_pmi" -> qPmi _,
     "q_ewm_var" -> qEwmVar _,
     "q_hampel" -> qHampel _,
     "q_stream_ewm_var" -> qStreamEwmVar _,

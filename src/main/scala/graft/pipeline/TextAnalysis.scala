@@ -559,4 +559,52 @@ object TextAnalysis {
       .withColumn("oov_ratio",
         col("n_oov").cast(DoubleType) / col("n_tokens"))
   }
+
+  /** PMI collocation mining — the phrase-detection pass (cf. the
+    * word2vec-phrases recipe): pointwise mutual information of ADJACENT
+    * token pairs across the corpus, pmi = ln n_ab + ln N − ln n_a• −
+    * ln n_•b over the bigram event space (N = total bigrams, n_a• =
+    * bigrams with left word a, n_•b = with right word b — all marginals
+    * from the ONE bigram table, so the measure is self-consistent and
+    * needs no second tokenization pass). High-PMI pairs are phrases
+    * ("new york"); they feed phrase-aware tokenization and n-gram
+    * vocabulary induction.
+    *
+    * Determinism: all counts are exact BIGINTs; the pmi is the SUM form
+    * (never n_ab·N products, which overflow the double integer range at
+    * 100 TB corpus counts), quantized to exact integer micro-units with
+    * the BM25 floor(x·10⁶ + 0.5) convention — order-free and
+    * replay-exact. Plan shape: one projection explodes bigrams, three
+    * map-side-combinable counts over it, the marginals join back on
+    * uniformly-distributed word keys, the one-row total broadcasts;
+    * `minCount` prunes the long tail before the joins.
+    * Output: (w1, w2, n_ab, n_a, n_b, pmi_mu). */
+  def pmiBigrams(df: DataFrame, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val bg = df
+      .select(split(Dedup.normalizeText(col(textCol)), " ").alias("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(
+          element_at(col("__toks"), i).alias("w1"),
+          element_at(col("__toks"), i + 1).alias("w2")))).alias("__b"))
+      .select(col("__b.w1").alias("w1"), col("__b.w2").alias("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val nAb = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).alias("n_ab"))
+    val nA = bg.groupBy(col("w1")).agg(count(lit(1)).alias("n_a"))
+    val nB = bg.groupBy(col("w2")).agg(count(lit(1)).alias("n_b"))
+    val tot = bg.agg(count(lit(1)).alias("__n"))
+    val pmi = log(col("n_ab").cast(DoubleType)) +
+      log(col("__n").cast(DoubleType)) -
+      log(col("n_a").cast(DoubleType)) -
+      log(col("n_b").cast(DoubleType))
+    nAb.filter(col("n_ab") >= minCount)
+      .join(nA, Seq("w1"))
+      .join(nB, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        floor(pmi * 1e6 + 0.5).cast(LongType).alias("pmi_mu"))
+  }
 }

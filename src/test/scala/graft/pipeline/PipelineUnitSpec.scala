@@ -2159,6 +2159,30 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(got == cases.map(_._2))
   }
 
+  test("pmiBigrams scores real collocations above incidental pairs; " +
+      "counts and quantized pmi match hand arithmetic") {
+    import spark.implicits._
+    // "new york" always collocates; "the" pairs with everything
+    val docs = (0 until 6).map(i =>
+      s"the city of new york is the best city $i").toDF("text")
+    val got = TextAnalysis.pmiBigrams(docs, "text", minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // bigrams per doc: 9; N = 54. "new york": n_ab=6, n_a(new•)=6,
+    // n_b(•york)=6 -> pmi = ln 6 + ln 54 - ln 6 - ln 6 = ln 9
+    val (nAb, nA, nB, mu) = got(("new", "york"))
+    assert((nAb, nA, nB) == ((6L, 6L, 6L)))
+    assert(mu == math.floor((math.log(6.0) + math.log(54.0) -
+      math.log(6.0) - math.log(6.0)) * 1e6 + 0.5).toLong)
+    assert(mu == 2197225L, s"ln 9 in micro-units, got $mu") // ln 9 = 2.1972...
+    // "the city": n_ab=6, n_a(the•)=12, n_b(•city)=12 -> ln(54*6/144) = ln 2.25
+    val (_, _, _, muThe) = got(("the", "city"))
+    assert(muThe == math.floor(
+      (math.log(6.0) + math.log(54.0) - math.log(12.0) - math.log(12.0))
+        * 1e6 + 0.5).toLong)
+    assert(mu > muThe, "the true collocation must out-score the stopword pair")
+  }
+
   test("transitionMatrix counts adjacent steps per series with exact " +
       "fractions; last events emit nothing; ties follow tie column") {
     import spark.implicits._
