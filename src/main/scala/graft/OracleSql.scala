@@ -4540,6 +4540,26 @@ object OracleSql {
          |FROM ab JOIN a USING (w1) JOIN b USING (w2) CROSS JOIN n
          |WHERE n_ab >= 5""".stripMargin,
 
+    // Categorical MI replay: exact-count grid, marginals FROM the grid,
+    // micro-quantized cell PMIs, exact integer numerator, one division.
+    "q_mi" ->
+      """WITH g AS (SELECT event_type AS x, CAST(hour(ts) AS BIGINT) AS y,
+        |  count(*) AS nxy FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM g GROUP BY 1),
+        |my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM g GROUP BY 1),
+        |n AS (SELECT CAST(sum(nxy) AS BIGINT) AS nn FROM g),
+        |c AS (SELECT g.nxy, n.nn,
+        |  g.nxy * CAST(floor((ln(CAST(g.nxy AS DOUBLE)) + ln(CAST(n.nn AS DOUBLE))
+        |    - ln(CAST(mx.nx AS DOUBLE)) - ln(CAST(my.ny AS DOUBLE)))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS contrib
+        |  FROM g JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells, max(nn) AS n,
+        |  CAST(sum(contrib) AS BIGINT) AS mi_num,
+        |  CAST(sum(contrib) AS DOUBLE) / (CAST(max(nn) AS DOUBLE) * 1000000.0)
+        |    AS mi_nats
+        |FROM c""".stripMargin,
+
     "q_ewm_var" -> ewmVarSql,
     "q_stream_ewm_var" -> ewmVarSql,
 

@@ -2044,6 +2044,13 @@ object SparkEntry {
     graft.pipeline.Analytics.interArrival(events(s, dir), "ts",
       Seq("user_id"), tieCols = Seq("event_id"))
 
+  /** Categorical mutual information ([[graft.pipeline.Drift.mutualInfo]]):
+    * dependence between event_type and hour-of-day — exact integer MI
+    * numerator over micro-quantized cell PMIs, one terminal division. */
+  private def qMi(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Drift.mutualInfo(events(s, dir),
+      col("event_type"), hour(col("ts")).cast(LongType))
+
   /** PMI collocation mining ([[graft.pipeline.TextAnalysis.pmiBigrams]]):
     * adjacent-token PMI over the corpus in the overflow-safe sum form,
     * micro-unit quantized (the BM25 ln discipline), min-count 5. */
@@ -3288,6 +3295,7 @@ object SparkEntry {
     "q_transitions" -> qTransitions _,
     "q_jaro" -> qJaro _,
     "q_pmi" -> qPmi _,
+    "q_mi" -> qMi _,
     "q_ewm_var" -> qEwmVar _,
     "q_hampel" -> qHampel _,
     "q_stream_ewm_var" -> qStreamEwmVar _,

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Distribution-drift measurement between two corpus cohorts — the
   * monitoring step of a training-data pipeline (did this month's crawl
@@ -132,4 +132,40 @@ object Drift {
         col("chi2_term"), col("chi2_stat"), col("bc_term"), col("hellinger"),
         (col("__k") - 1).alias("df"))
   }
+
+  /** Mutual information between two categorical columns — the feature-
+    * association companion to the drift family (TV/χ²/Hellinger measure
+    * distribution SHIFT between cohorts; MI measures DEPENDENCE between
+    * columns of one cohort — label leakage checks, redundant-feature
+    * pruning, stratification-key choice). MI = Σ_xy (n_xy/N) · pmi_xy
+    * with pmi_xy = ln n_xy + ln N − ln n_x − ln n_y (the overflow-safe
+    * sum form).
+    *
+    * Determinism: all counts are exact BIGINTs; each cell's pmi
+    * quantizes to exact micro-units (floor(x·10⁶ + 0.5), the BM25
+    * convention), the MI numerator is the exact integer Σ n_xy·pmi_mu —
+    * order-free — and only the final MI pays one double division by
+    * N·10⁶. Plan: one grid count, two marginal counts derived FROM the
+    * grid (O(cardinalities), never a second corpus pass), broadcast
+    * one-row total. Output: one row (n_cells, n, mi_num, mi_nats). */
+  def mutualInfo(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val grid = df.select(xCol.alias("__x"), yCol.alias("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).alias("__nxy"))
+    val mx = grid.groupBy(col("__x")).agg(sum(col("__nxy")).alias("__nx"))
+    val my = grid.groupBy(col("__y")).agg(sum(col("__nxy")).alias("__ny"))
+    val tot = grid.agg(sum(col("__nxy")).alias("__n"))
+    val pmiMu = floor((log(col("__nxy").cast(DoubleType)) +
+      log(col("__n").cast(DoubleType)) -
+      log(col("__nx").cast(DoubleType)) -
+      log(col("__ny").cast(DoubleType))) * 1e6 + 0.5).cast(LongType)
+    grid.join(mx, Seq("__x")).join(my, Seq("__y"))
+      .crossJoin(broadcast(tot))
+      .select(col("__nxy"), col("__n"), (col("__nxy") * pmiMu).alias("__c"))
+      .agg(count(lit(1)).alias("n_cells"), max(col("__n")).alias("n"),
+        sum(col("__c")).alias("mi_num"))
+      .withColumn("mi_nats",
+        col("mi_num").cast(DoubleType) / (col("n").cast(DoubleType) * 1e6))
+  }
+
 }

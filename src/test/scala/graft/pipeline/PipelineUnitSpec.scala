@@ -2159,6 +2159,26 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(got == cases.map(_._2))
   }
 
+  test("mutualInfo: zero on independent columns, ln(k) micro-units on a " +
+      "perfect k-way dependence") {
+    import spark.implicits._
+    // independent: every (x, y) cell has the same count -> every cell PMI
+    // is exactly ln 1 = 0 and the integer numerator is exactly 0
+    val indep = (for { x <- 0 until 3; y <- 0 until 4; _ <- 0 until 5 }
+      yield (s"x$x", y.toLong)).toDF("x", "y")
+    val mi0 = Drift.mutualInfo(indep, col("x"), col("y")).collect().head
+    assert(mi0.getLong(0) == 12L && mi0.getLong(1) == 60L)
+    assert(mi0.getLong(2) == 0L && mi0.getDouble(3) == 0.0)
+    // perfect dependence: x determines y over k = 4 equal classes ->
+    // MI = ln 4; every cell contributes nxy * floor(ln(4)*1e6 + 0.5)
+    val dep = (for { x <- 0 until 4; _ <- 0 until 7 }
+      yield (s"x$x", x.toLong)).toDF("x", "y")
+    val mi1 = Drift.mutualInfo(dep, col("x"), col("y")).collect().head
+    val cellMu = math.floor(math.log(4.0) * 1e6 + 0.5).toLong
+    assert(mi1.getLong(2) == 28L * cellMu, mi1.toString)
+    assert(math.abs(mi1.getDouble(3) - math.log(4.0)) < 1e-6)
+  }
+
   test("pmiBigrams scores real collocations above incidental pairs; " +
       "counts and quantized pmi match hand arithmetic") {
     import spark.implicits._
