@@ -4540,6 +4540,35 @@ object OracleSql {
          |FROM ab JOIN a USING (w1) JOIN b USING (w2) CROSS JOIN n
          |WHERE n_ab >= 5""".stripMargin,
 
+    // Word-bigram LM replay: same bigram explode, add-one contributions
+    // quantized per bigram BEFORE the per-doc integer sum, one division.
+    "q_lm_bigram" ->
+      s"""WITH d AS (SELECT doc_id, $norm AS nrm FROM documents),
+         |t AS (SELECT doc_id, string_split(nrm, ' ') AS toks FROM d),
+         |tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+         |bgr AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+         |  unnest(toks[2:len(toks)]) AS w2 FROM tt),
+         |bg AS (SELECT doc_id, w1, w2 FROM bgr WHERE w1 <> '' AND w2 <> ''),
+         |bm AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+         |um AS (SELECT w1, count(*) AS cw FROM bg GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS vv FROM
+         |  (SELECT unnest(toks) AS w FROM t) u WHERE w <> ''),
+         |sc AS (SELECT bg.doc_id,
+         |  CAST(floor((ln(CAST(COALESCE(bm.c, 0) AS DOUBLE) + 1.0)
+         |    - ln(CAST(COALESCE(um.cw, 0) + v.vv AS DOUBLE)))
+         |    * 1000000.0 + 0.5) AS BIGINT) AS mu
+         |  FROM bg LEFT JOIN bm USING (w1, w2) LEFT JOIN um USING (w1)
+         |    CROSS JOIN v),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(mu) AS BIGINT) AS sum_mu FROM sc GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(agg.sum_mu, 0) AS sum_mu,
+         |  CASE WHEN agg.n_bigrams > 0 THEN
+         |    CAST(agg.sum_mu AS DOUBLE) /
+         |      (CAST(agg.n_bigrams AS DOUBLE) * 1000000.0) END AS avg_logp
+         |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
     // Categorical MI replay: exact-count grid, marginals FROM the grid,
     // micro-quantized cell PMIs, exact integer numerator, one division.
     "q_mi" ->

@@ -2044,6 +2044,14 @@ object SparkEntry {
     graft.pipeline.Analytics.interArrival(events(s, dir), "ts",
       Seq("user_id"), tieCols = Seq("event_id"))
 
+  /** Word-bigram LM quality scoring
+    * ([[graft.pipeline.TextAnalysis.lmBigramScore]]): per-doc average
+    * log-prob under the add-one-smoothed corpus bigram model —
+    * sequence-level gibberish detection next to q_lm_score's
+    * char-trigram model. */
+  private def qLmBigram(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextAnalysis.lmBigramScore(docs(s, dir), "text", "doc_id")
+
   /** Categorical mutual information ([[graft.pipeline.Drift.mutualInfo]]):
     * dependence between event_type and hour-of-day — exact integer MI
     * numerator over micro-quantized cell PMIs, one terminal division. */
@@ -3296,6 +3304,7 @@ object SparkEntry {
     "q_jaro" -> qJaro _,
     "q_pmi" -> qPmi _,
     "q_mi" -> qMi _,
+    "q_lm_bigram" -> qLmBigram _,
     "q_ewm_var" -> qEwmVar _,
     "q_hampel" -> qHampel _,
     "q_stream_ewm_var" -> qStreamEwmVar _,

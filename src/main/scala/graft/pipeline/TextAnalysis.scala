@@ -560,6 +560,61 @@ object TextAnalysis {
         col("n_oov").cast(DoubleType) / col("n_tokens"))
   }
 
+  /** Word-bigram language-model scoring with add-one smoothing — the
+    * word-level companion to the char-trigram [[lmScore]]: per document,
+    * the average log-probability of its adjacent word pairs under the
+    * corpus bigram model, p(w₂|w₁) = (C(w₁w₂)+1)/(C(w₁·)+V) with V =
+    * the distinct-word vocabulary size. Low scores flag gibberish, OCR
+    * noise, and template spam that per-token heuristics miss (every
+    * word valid, the SEQUENCE improbable).
+    *
+    * Determinism: every per-bigram contribution is
+    * ln(c+1) − ln(c_{w₁}+V) on exact BIGINTs, quantized to micro-units
+    * (floor(x·10⁶+0.5), the BM25 convention) BEFORE the per-doc sum, so
+    * the sum is exact order-free integer arithmetic and only the final
+    * average pays one division. Unseen bigrams fall back through the
+    * same formula (c = 0; an unseen left word has c_{w₁} = 0 ⇒ 1/V).
+    *
+    * Plan: the model is two map-side-combinable counts + one scalar
+    * vocab count; docs' bigrams LEFT-join the model on word keys
+    * (uniform), then one doc-keyed aggregate.
+    * Output: (idCol, n_bigrams, sum_mu, avg_logp). */
+  def lmBigramScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toksOf = split(Dedup.normalizeText(col(textCol)), " ")
+    val base = df.select(col(idCol), toksOf.alias("__toks"))
+    val bg = base.filter(size(col("__toks")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => struct(
+            element_at(col("__toks"), i).alias("w1"),
+            element_at(col("__toks"), i + 1).alias("w2")))).alias("__b"))
+      .select(col(idCol), col("__b.w1").alias("w1"), col("__b.w2").alias("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val bgModel = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).alias("__c"))
+    val ugModel = bg.groupBy(col("w1")).agg(count(lit(1)).alias("__cw"))
+    val vocab = base
+      .select(explode(col("__toks")).alias("__w")).filter(col("__w") =!= "")
+      .agg(count_distinct(col("__w")).alias("__v"))
+    val contribMu = floor((log(coalesce(col("__c"), lit(0L))
+        .cast(DoubleType) + 1.0) -
+      log((coalesce(col("__cw"), lit(0L)) + col("__v")).cast(DoubleType)))
+      * 1e6 + 0.5).cast(LongType)
+    val scored = bg
+      .join(bgModel, Seq("w1", "w2"), "left")
+      .join(ugModel, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), contribMu.alias("__mu"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).alias("n_bigrams"), sum(col("__mu")).alias("sum_mu"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).alias("n_bigrams"),
+        coalesce(col("sum_mu"), lit(0L)).alias("sum_mu"),
+        when(col("n_bigrams") > 0, col("sum_mu").cast(DoubleType) /
+          (col("n_bigrams").cast(DoubleType) * 1e6)).alias("avg_logp"))
+  }
+
   /** PMI collocation mining — the phrase-detection pass (cf. the
     * word2vec-phrases recipe): pointwise mutual information of ADJACENT
     * token pairs across the corpus, pmi = ln n_ab + ln N − ln n_a• −

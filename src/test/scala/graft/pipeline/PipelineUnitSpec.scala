@@ -2159,6 +2159,25 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(got == cases.map(_._2))
   }
 
+  test("lmBigramScore matches hand add-one arithmetic; short docs emit " +
+      "zero bigrams with null score") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmBigramScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    // vocab {a,b,c,z} V=4; C(a,b)=2, C(a,c)=1, C(a.)=3
+    val muAb = math.floor((math.log(3.0) - math.log(7.0)) * 1e6 + 0.5).toLong
+    val muAc = math.floor((math.log(2.0) - math.log(7.0)) * 1e6 + 0.5).toLong
+    assert(got(1L) == ((1L, muAb, muAb / 1e6)))
+    assert(got(2L) == ((1L, muAb, muAb / 1e6)))
+    assert(got(3L) == ((1L, muAc, muAc / 1e6)))
+    val (n4, s4, a4) = got(4L)
+    assert(n4 == 0L && s4 == 0L && a4.isNaN) // single token: no bigrams
+  }
+
   test("mutualInfo: zero on independent columns, ln(k) micro-units on a " +
       "perfect k-way dependence") {
     import spark.implicits._
