@@ -1004,6 +1004,24 @@ object OracleSql {
        |FROM c6""".stripMargin
   }
 
+  private lazy val pmiSql: String =
+    s"""WITH d AS (SELECT $norm AS nrm FROM documents),
+         |t AS (SELECT string_split(nrm, ' ') AS toks FROM d),
+         |tt AS (SELECT toks FROM t WHERE len(toks) >= 2),
+         |bgr AS (SELECT unnest(toks[1:len(toks)-1]) AS w1,
+         |  unnest(toks[2:len(toks)]) AS w2 FROM tt),
+         |bg AS (SELECT w1, w2 FROM bgr WHERE w1 <> '' AND w2 <> ''),
+         |ab AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+         |a AS (SELECT w1, count(*) AS n_a FROM bg GROUP BY 1),
+         |b AS (SELECT w2, count(*) AS n_b FROM bg GROUP BY 1),
+         |n AS (SELECT count(*) AS nn FROM bg)
+         |SELECT ab.w1, ab.w2, ab.n_ab, a.n_a, b.n_b,
+         |  CAST(floor((ln(CAST(n_ab AS DOUBLE)) + ln(CAST(nn AS DOUBLE))
+         |    - ln(CAST(n_a AS DOUBLE)) - ln(CAST(n_b AS DOUBLE)))
+         |    * 1000000.0 + 0.5) AS BIGINT) AS pmi_mu
+         |FROM ab JOIN a USING (w1) JOIN b USING (w2) CROSS JOIN n
+         |WHERE n_ab >= 5""".stripMargin
+
   private lazy val transitionsSql: String =
     """WITH t AS (SELECT user_id, event_type,
       |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -4522,23 +4540,10 @@ object OracleSql {
     // PMI replay: zipped unnest of the two token slices makes the bigram
     // table; the ln-sum form and floor(x*1e6 + 0.5) micro-units match the
     // Spark expression exactly (the BM25 discipline).
-    "q_pmi" ->
-      s"""WITH d AS (SELECT $norm AS nrm FROM documents),
-         |t AS (SELECT string_split(nrm, ' ') AS toks FROM d),
-         |tt AS (SELECT toks FROM t WHERE len(toks) >= 2),
-         |bgr AS (SELECT unnest(toks[1:len(toks)-1]) AS w1,
-         |  unnest(toks[2:len(toks)]) AS w2 FROM tt),
-         |bg AS (SELECT w1, w2 FROM bgr WHERE w1 <> '' AND w2 <> ''),
-         |ab AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2),
-         |a AS (SELECT w1, count(*) AS n_a FROM bg GROUP BY 1),
-         |b AS (SELECT w2, count(*) AS n_b FROM bg GROUP BY 1),
-         |n AS (SELECT count(*) AS nn FROM bg)
-         |SELECT ab.w1, ab.w2, ab.n_ab, a.n_a, b.n_b,
-         |  CAST(floor((ln(CAST(n_ab AS DOUBLE)) + ln(CAST(nn AS DOUBLE))
-         |    - ln(CAST(n_a AS DOUBLE)) - ln(CAST(n_b AS DOUBLE)))
-         |    * 1000000.0 + 0.5) AS BIGINT) AS pmi_mu
-         |FROM ab JOIN a USING (w1) JOIN b USING (w2) CROSS JOIN n
-         |WHERE n_ab >= 5""".stripMargin,
+    "q_pmi" -> pmiSql,
+    // q_stream_pmi shares it verbatim: bigram count deltas are additive
+    // and fold to the identical grid; marginals are sums of the grid.
+    "q_stream_pmi" -> pmiSql,
 
     // Word-bigram LM replay: same bigram explode, add-one contributions
     // quantized per bigram BEFORE the per-doc integer sum, one division.

@@ -2600,6 +2600,23 @@ object SparkEntry {
     runStream(s, out)
   }
 
+  /** Streaming PMI: bigram COUNT DELTAS from the document ingest stream
+    * ([[graft.streaming.StreamingTSDF.pairCountDeltas]] — bigrams live
+    * inside single documents, so deltas need no state and fold exactly
+    * for any micro-batching), finished by the shared
+    * [[graft.pipeline.TextAnalysis.pmiFromBigramCounts]] tail (marginals
+    * are sums OF THE GRID, identical to the batch occurrence counts);
+    * shares q_pmi's oracle verbatim. */
+  private def qStreamPmi(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val bg = graft.pipeline.TextAnalysis.bigramPairs(docsStream(s, dir), "text")
+    val deltas = graft.streaming.StreamingTSDF.pairCountDeltas(
+      bg, col("w1"), col("w2"))
+    val grid = runStream(s, deltas)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).alias("n_ab"))
+    graft.pipeline.TextAnalysis.pmiFromBigramCounts(grid, minCount = 5L)
+  }
+
   /** Streaming trailing-7-day WAU via the KMV changelog: per-DAY running
     * k-min sets stream through [[graft.streaming.StreamingTSDF.kmvMins]]
     * (day = the series key), and the batch trailing merge
@@ -3349,6 +3366,7 @@ object SparkEntry {
     "q_stream_dtw" -> qStreamDtw _,
     "q_stream_transitions" -> qStreamTransitions _,
     "q_stream_whiten" -> qStreamWhiten _,
+    "q_stream_pmi" -> qStreamPmi _,
     "q_kmv_jaccard" -> qKmvJaccard _,
     "q_stream_wau_kmv" -> qStreamWauKmv _,
     "q_rolling_slope" -> qRollingSlope _,

@@ -634,23 +634,36 @@ object TextAnalysis {
     * uniformly-distributed word keys, the one-row total broadcasts;
     * `minCount` prunes the long tail before the joins.
     * Output: (w1, w2, n_ab, n_a, n_b, pmi_mu). */
+  /** Adjacent-token pairs of the normalized text, one row per bigram
+    * occurrence — the shared explode behind [[pmiBigrams]] and its
+    * streaming twin. Works on batch AND streaming frames (pure
+    * projection). */
+  def bigramPairs(df: DataFrame, textCol: String): DataFrame = df
+    .select(split(Dedup.normalizeText(col(textCol)), " ").alias("__toks"))
+    .filter(size(col("__toks")) >= 2)
+    .select(explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+      i => struct(
+        element_at(col("__toks"), i).alias("w1"),
+        element_at(col("__toks"), i + 1).alias("w2")))).alias("__b"))
+    .select(col("__b.w1").alias("w1"), col("__b.w2").alias("w2"))
+    .filter(col("w1") =!= "" && col("w2") =!= "")
+
   def pmiBigrams(df: DataFrame, textCol: String,
-      minCount: Long = 5L): DataFrame = {
+      minCount: Long = 5L): DataFrame =
+    pmiFromBigramCounts(
+      bigramPairs(df, textCol).groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).alias("n_ab")),
+      minCount)
+
+  /** The [[pmiBigrams]] tail over an already-counted (w1, w2, n_ab)
+    * grid — marginals and the total are SUMS OF THE GRID (equal to the
+    * direct occurrence counts), so a folded streaming delta sink scores
+    * identically. */
+  def pmiFromBigramCounts(nAb: DataFrame, minCount: Long): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
-    val bg = df
-      .select(split(Dedup.normalizeText(col(textCol)), " ").alias("__toks"))
-      .filter(size(col("__toks")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("__toks")) - 1),
-        i => struct(
-          element_at(col("__toks"), i).alias("w1"),
-          element_at(col("__toks"), i + 1).alias("w2")))).alias("__b"))
-      .select(col("__b.w1").alias("w1"), col("__b.w2").alias("w2"))
-      .filter(col("w1") =!= "" && col("w2") =!= "")
-    val nAb = bg.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).alias("n_ab"))
-    val nA = bg.groupBy(col("w1")).agg(count(lit(1)).alias("n_a"))
-    val nB = bg.groupBy(col("w2")).agg(count(lit(1)).alias("n_b"))
-    val tot = bg.agg(count(lit(1)).alias("__n"))
+    val nA = nAb.groupBy(col("w1")).agg(sum(col("n_ab")).alias("n_a"))
+    val nB = nAb.groupBy(col("w2")).agg(sum(col("n_ab")).alias("n_b"))
+    val tot = nAb.agg(sum(col("n_ab")).alias("__n"))
     val pmi = log(col("n_ab").cast(DoubleType)) +
       log(col("__n").cast(DoubleType)) -
       log(col("n_a").cast(DoubleType)) -

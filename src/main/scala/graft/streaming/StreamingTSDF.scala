@@ -1281,6 +1281,41 @@ object StreamingTSDF {
       col("key"), col("s")): _*)
   }
 
+  // ---------------------------------------------- streaming pair counts
+  case class PairEvent(w1: String, w2: String, salt: Int)
+
+  /** Streaming pair-count feed: per micro-batch, the exact COUNT DELTAS
+    * per (w1, w2) string pair — counts are additive, so `sum(cnt) per
+    * (w1, w2)` over the sink reconstructs the exact batch pair grid of
+    * everything ingested, for any micro-batch split (pairs are generated
+    * WITHIN arriving rows — e.g. a document's bigrams — so no pair can
+    * straddle a batch boundary and no cross-batch state is needed). The
+    * group key is `salt = hash(w1, w2) % salts`: deltas are additive
+    * across salts, so a corpus-global count spreads over `salts`
+    * parallel groups — the [[cmsDeltas]] discipline. Sink traffic per
+    * batch = distinct pairs touched, not occurrences. */
+  def pairCountDeltas(df: DataFrame, aCol: Column, bCol: Column,
+      salts: Int = 32): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val projected = df.select(
+      aCol.cast(StringType).alias("w1"), bCol.cast(StringType).alias("w2"))
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
+      .withColumn("salt",
+        pmod(hash(col("w1"), col("w2")), lit(salts)).cast(IntegerType))
+      .as[PairEvent]
+    projected
+      .groupByKey(_.salt)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (salt: Int, rows: Iterator[PairEvent], state: GroupState[Long]) =>
+          rows.toSeq.groupBy(e => (e.w1, e.w2)).iterator
+            .map { case ((a, b), rs) => (a, b, rs.size.toLong) }
+      }
+      .toDF("w1", "w2", "cnt")
+  }
+
   // ----------------------------------------------- streaming Gram matrix
   case class GramEvent(salt: Int, vec: Seq[Long])
 

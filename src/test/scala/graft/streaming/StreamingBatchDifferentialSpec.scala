@@ -209,6 +209,33 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     assertDfEquality(rolled, batch)
   }
 
+  test("property: streaming pairCountDeltas fold to the exact batch pair " +
+      "counts across micro-batches and salt groups") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(97)
+    val mem = MemoryStream[(String, String)]
+    val out = StreamingTSDF.pairCountDeltas(mem.toDF().toDF("a", "b"),
+      col("a"), col("b"), salts = 5)
+    val q = out.writeStream.format("memory").queryName("pair_diff_sink")
+      .outputMode(OutputMode.Append()).start()
+    val all = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (_ <- 0 until 4) {
+      val batch = (0 until 250).map(_ =>
+        ("w" + rnd.nextInt(6), "w" + rnd.nextInt(6)))
+      all ++= batch
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val rolled = spark.table("pair_diff_sink")
+      .groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).alias("n"))
+    val batchCounts = all.toSeq.toDF("w1", "w2")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).alias("n"))
+    assertDfEquality(rolled, batchCounts)
+  }
+
   test("property: streaming sumDeltas fold to the exact batch grouped sums " +
       "across micro-batches (signed values, repeated keys)") {
     val spark2 = spark
