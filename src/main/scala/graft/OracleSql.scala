@@ -1925,6 +1925,18 @@ object OracleSql {
          |  FROM s)
          |SELECT anchor_id, CAST(rn AS BIGINT) AS "rank", negative_id, cosine FROM r WHERE rn <= 3""".stripMargin,
 
+    // Positive-pair replay: same chain with label EQUALITY (self excluded).
+    "q_positive_pairs" ->
+      s"""WITH q AS (SELECT vec_id, label, $qv AS q FROM embeddings),
+         |s AS (SELECT a.vec_id AS anchor_id, b.vec_id AS positive_id,
+         |  ${cosSql("a.q", "b.q")} AS cosine
+         |  FROM (SELECT * FROM q WHERE vec_id < 20) a CROSS JOIN q b
+         |  WHERE a.label = b.label AND a.vec_id <> b.vec_id),
+         |r AS (SELECT anchor_id, positive_id, cosine,
+         |  row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, positive_id ASC) AS rn
+         |  FROM s)
+         |SELECT anchor_id, CAST(rn AS BIGINT) AS "rank", positive_id, cosine FROM r WHERE rn <= 3""".stripMargin,
+
     "q_lang_id" -> {
       val markers = graft.pipeline.TextAnalysis.LangMarkers
       val scores = markers.map { case (l, ms) => s"${langScore(ms)} AS ${l}_score" }

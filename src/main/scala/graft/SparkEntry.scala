@@ -969,6 +969,18 @@ object SparkEntry {
       .select(col("vec_id") +: (0 until 8).map(i => col(s"pc$i")): _*)
   }
 
+  /** Positive-pair mining ([[graft.pipeline.Similarity.positivePairs]]):
+    * per anchor, the 3 most-similar SAME-label embeddings (self
+    * excluded) — the paraphrase/positive side of the contrastive pair
+    * set, same bounded-anchor convention as q_hard_negatives. */
+  private def qPositivePairs(s: SparkSession, dir: String): DataFrame = {
+    val d = quantized(s, dir)
+    Similarity.positivePairs(
+      d.filter(col("vec_id") < 20), d, "vec_id", "q", "label", k = 3)
+      .select(col("anchor_id"), col("rank").cast(LongType).alias("rank"),
+        col("positive_id"), col("cosine"))
+  }
+
   /** PCA whitening ([[graft.pipeline.Pca.whiten]]): the q_pca_project
     * projection with each coordinate scaled by 1/√λ — identity-covariance
     * embeddings from the same one-pass train, one terminal
@@ -3243,6 +3255,7 @@ object SparkEntry {
     "q_semdedup" -> qSemdedup _,
     "q_ann_topk" -> qAnnTopk _,
     "q_hard_negatives" -> qHardNegatives _,
+    "q_positive_pairs" -> qPositivePairs _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_multiprobe" -> qAnnMultiprobe _,
     "q_ann_ivf" -> qAnnIvf _,

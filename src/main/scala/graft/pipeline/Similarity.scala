@@ -79,23 +79,43 @@ object Similarity {
     * so the cosine stays bit-identical to [[bruteForceTopK]]'s on the same
     * pairs. */
   def hardNegatives(anchors: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, labelCol: String, k: Int): DataFrame = {
+      vecCol: String, labelCol: String, k: Int): DataFrame =
+    labeledTopK(anchors, corpus, idCol, vecCol, labelCol, k,
+      sameLabel = false, "negative_id")
+
+  /** Positive-pair mining — the same-label twin of [[hardNegatives]]:
+    * per anchor, the top-k most-similar OTHER vectors sharing its label
+    * (paraphrase/duplicate candidates, the positives of a contrastive
+    * pair set). Same bounded-anchor ground-truth shape; at scale the
+    * label equality composes on the IVF/LSH candidate paths the same
+    * way. */
+  def positivePairs(anchors: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame =
+    labeledTopK(anchors, corpus, idCol, vecCol, labelCol, k,
+      sameLabel = true, "positive_id")
+
+  private def labeledTopK(anchors: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int,
+      sameLabel: Boolean, outIdName: String): DataFrame = {
     val q = anchors.select(col(idCol).alias("anchor_id"),
       col(labelCol).alias("__al"), asDouble(col(vecCol)).alias("__qv"))
       .withColumn("__qn", l2norm(col("__qv")))
-    val c = corpus.select(col(idCol).alias("negative_id"),
+    val c = corpus.select(col(idCol).alias(outIdName),
       col(labelCol).alias("__cl"), asDouble(col(vecCol)).alias("__cv"))
       .withColumn("__cn", l2norm(col("__cv")))
     val sim = dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))
+    val labelPred =
+      if (sameLabel) col("__al") === col("__cl") &&
+        col("anchor_id") =!= col(outIdName)
+      else col("__al") =!= col("__cl")
     val w = Window.partitionBy(col("anchor_id"))
-      .orderBy(col("cosine").desc, col("negative_id").asc)
+      .orderBy(col("cosine").desc, col(outIdName).asc)
     q.crossJoin(c)
-      .filter(col("__al") =!= col("__cl"))
+      .filter(labelPred)
       .withColumn("cosine", sim)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("anchor_id"), col("rank"), col("negative_id"),
-        col("cosine"))
+      .select(col("anchor_id"), col("rank"), col(outIdName), col("cosine"))
   }
 
   /** Integer-valued component of pseudo-random hyperplane `p` at dimension

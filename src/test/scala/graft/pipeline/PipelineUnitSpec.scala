@@ -270,6 +270,15 @@ class PipelineUnitSpec extends SparkTestBase {
     // anchor 10: among label a, 2 = (98,2) beats 1 = (99,1) beats 0
     val a10 = rows.filter(_.getLong(0) == 10L).sortBy(_.getInt(1))
     assert(a10.map(_.getLong(2)).toSeq == Seq(2L, 1L))
+    // positive twin: anchor 0's same-label nearest are 1 then 2, never 0
+    val pos = Similarity.positivePairs(
+      vecs, vecs, "vec_id", "v", "label", k = 2).collect()
+    pos.foreach { r =>
+      assert(lbl(r.getLong(0)) == lbl(r.getLong(2)) &&
+        r.getLong(0) != r.getLong(2), s"bad positive: $r")
+    }
+    val p0 = pos.filter(_.getLong(0) == 0L).sortBy(_.getInt(1))
+    assert(p0.map(_.getLong(2)).toSeq == Seq(1L, 2L))
   }
 
   test("trainIvfCodebook converges deterministically and feeds ivfTopK end-to-end") {
