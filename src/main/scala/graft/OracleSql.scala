@@ -4586,6 +4586,14 @@ object OracleSql {
          |      (CAST(agg.n_bigrams AS DOUBLE) * 1000000.0) END AS avg_logp
          |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
+    // FD-probe replay: exact per-key row and distinct-y counts.
+    "q_fd" ->
+      """SELECT o_custkey, count(*) AS n_rows,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct_y,
+        |  count(DISTINCT o_orderpriority) > 1 AS is_violation
+        |FROM orders WHERE o_custkey IS NOT NULL
+        |GROUP BY o_custkey""".stripMargin,
+
     // Categorical MI replay: exact-count grid, marginals FROM the grid,
     // micro-quantized cell PMIs, exact integer numerator, one division.
     "q_mi" ->

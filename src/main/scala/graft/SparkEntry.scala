@@ -2064,6 +2064,16 @@ object SparkEntry {
   private def qLmBigram(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.TextAnalysis.lmBigramScore(docs(s, dir), "text", "doc_id")
 
+  /** Functional-dependency probe ([[graft.pipeline.Profile.fdCheck]]):
+    * does o_custkey determine o_orderpriority? Per-key exact fan-out
+    * table — the join-explosion / dirty-dimension warning, plus the
+    * one-row [[graft.pipeline.Profile.fdSummary]] report is derivable. */
+  private def qFd(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Profile.fdCheck(tbl(s, dir, "orders"),
+      col("o_custkey"), col("o_orderpriority"))
+      .select(col("x").alias("o_custkey"), col("n_rows"),
+        col("n_distinct_y"), col("is_violation"))
+
   /** Categorical mutual information ([[graft.pipeline.Drift.mutualInfo]]):
     * dependence between event_type and hour-of-day — exact integer MI
     * numerator over micro-quantized cell PMIs, one terminal division. */
@@ -3335,6 +3345,7 @@ object SparkEntry {
     "q_pmi" -> qPmi _,
     "q_mi" -> qMi _,
     "q_lm_bigram" -> qLmBigram _,
+    "q_fd" -> qFd _,
     "q_ewm_var" -> qEwmVar _,
     "q_hampel" -> qHampel _,
     "q_stream_ewm_var" -> qStreamEwmVar _,

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level data profiling — the sanity pass a pipeline runs on every
@@ -170,5 +170,39 @@ object Profile {
       .withColumn("observed_p", col("n").cast("double") / col("n_total"))
       .withColumn("expected_p", expected)
       .withColumn("dev", col("observed_p") - col("expected_p"))
+  }
+
+  /** Functional-dependency check x → y: for every distinct x, how many
+    * distinct y values it maps to — the schema-inference / data-quality
+    * probe ("is user_id → country actually a key relationship, and
+    * where does it break?"). A clean FD has every key at
+    * n_distinct_y = 1; violating keys are join-explosion and
+    * dirty-dimension warnings before they corrupt a downstream
+    * aggregate.
+    *
+    * One exact distinct-count aggregate per key (map-side combinable
+    * after the internal distinct), all BIGINTs — engine-exact. Returns
+    * the PER-KEY table (x, n_rows, n_distinct_y, is_violation);
+    * [[fdSummary]] collapses it to the one-row report. Scale: output is
+    * |distinct x| rows — the profile artifact itself, not a sample. */
+  def fdCheck(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    df.select(xCol.alias("x"), yCol.alias("y"))
+      .filter(col("x").isNotNull)
+      .groupBy(col("x"))
+      .agg(count(lit(1)).alias("n_rows"),
+        count_distinct(col("y")).alias("n_distinct_y"))
+      .withColumn("is_violation", col("n_distinct_y") > 1)
+  }
+
+  /** One-row FD report over [[fdCheck]]'s per-key table: key counts,
+    * violation count and ratio (one terminal division), and the worst
+    * key's fan-out. */
+  def fdSummary(perKey: DataFrame): DataFrame = {
+    perKey.agg(
+      count(lit(1)).alias("n_keys"),
+      sum(when(col("is_violation"), 1L).otherwise(0L)).alias("n_violating"),
+      max(col("n_distinct_y")).alias("max_fanout"))
+      .withColumn("violation_ratio",
+        col("n_violating").cast("double") / col("n_keys").cast("double"))
   }
 }

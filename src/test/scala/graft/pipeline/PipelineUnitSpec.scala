@@ -2168,6 +2168,23 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(got == cases.map(_._2))
   }
 
+  test("fdCheck flags exactly the keys with fan-out > 1; fdSummary " +
+      "reports exact counts") {
+    import spark.implicits._
+    val rows = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "c"), (3L, "c"), (3L, "d")).toDF("k", "v")
+    val perKey = Profile.fdCheck(rows, col("k"), col("v"))
+    val got = perKey.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    assert(got(1L) == ((2L, 1L, false)))
+    assert(got(2L) == ((2L, 2L, true)))
+    assert(got(3L) == ((3L, 2L, true)))
+    val s = Profile.fdSummary(perKey).collect().head
+    assert((s.getLong(0), s.getLong(1), s.getLong(2)) == ((3L, 2L, 2L)))
+    assert(s.getDouble(3) == 2.0 / 3.0)
+  }
+
   test("lmBigramScore matches hand add-one arithmetic; short docs emit " +
       "zero bigrams with null score") {
     import spark.implicits._
