@@ -2064,6 +2064,15 @@ object SparkEntry {
   private def qLmBigram(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.TextAnalysis.lmBigramScore(docs(s, dir), "text", "doc_id")
 
+  /** Grouped multivariate OLS ([[graft.pipeline.Regression.groupOls2]]):
+    * per user, cent value regressed on (hour-of-day, weekday) — exact
+    * integer moment sums, fixed-order Cramer solve, null βs on
+    * singular groups. */
+  private def qGroupOls(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Regression.groupOls2(events(s, dir), Seq("user_id"),
+      hour(col("ts")).cast(LongType), weekday(col("ts")).cast(LongType),
+      cents(col("value")).cast(LongType))
+
   /** Functional-dependency probe ([[graft.pipeline.Profile.fdCheck]]):
     * does o_custkey determine o_orderpriority? Per-key exact fan-out
     * table — the join-explosion / dirty-dimension warning, plus the
@@ -3346,6 +3355,7 @@ object SparkEntry {
     "q_mi" -> qMi _,
     "q_lm_bigram" -> qLmBigram _,
     "q_fd" -> qFd _,
+    "q_group_ols" -> qGroupOls _,
     "q_ewm_var" -> qEwmVar _,
     "q_hampel" -> qHampel _,
     "q_stream_ewm_var" -> qStreamEwmVar _,

@@ -2168,6 +2168,32 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(got == cases.map(_._2))
   }
 
+  test("groupOls2 recovers an exact plane; singular groups yield null " +
+      "betas, never NaN") {
+    import spark.implicits._
+    // group g1: y = 2 + 3*x1 - x2 exactly -> integer determinants make
+    // the Cramer ratios land on the exact coefficients
+    val g1 = for { x1 <- 0L to 4L; x2 <- 0L to 3L }
+      yield ("g1", x1, x2, 2L + 3L * x1 - x2)
+    // group g2: x2 constant -> rank-deficient normal equations
+    val g2 = (0L to 5L).map(x1 => ("g2", x1, 7L, x1))
+    val got = Regression.groupOls2((g1 ++ g2).toDF("g", "x1", "x2", "y"),
+      Seq("g"), col("x1"), col("x2"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val r1 = got("g1")
+    assert(r1.getDouble(r1.fieldIndex("beta0")) == 2.0)
+    assert(r1.getDouble(r1.fieldIndex("beta1")) == 3.0)
+    assert(r1.getDouble(r1.fieldIndex("beta2")) == -1.0)
+    val r2 = got("g2")
+    assert(r2.isNullAt(r2.fieldIndex("beta0")) &&
+      r2.isNullAt(r2.fieldIndex("beta1")) &&
+      r2.isNullAt(r2.fieldIndex("beta2")))
+    // exact moment spot-check: n and sum x1*y for g1
+    assert(r1.getLong(r1.fieldIndex("n")) == 20L)
+    assert(r1.getLong(r1.fieldIndex("sx1y")) ==
+      g1.map(t => t._2 * t._4).sum)
+  }
+
   test("fdCheck flags exactly the keys with fan-out > 1; fdSummary " +
       "reports exact counts") {
     import spark.implicits._
