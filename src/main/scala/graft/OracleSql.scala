@@ -1022,6 +1022,39 @@ object OracleSql {
          |FROM ab JOIN a USING (w1) JOIN b USING (w2) CROSS JOIN n
          |WHERE n_ab >= 5""".stripMargin
 
+  private lazy val groupOlsSql: String = {
+      def det3(a: String, b: String, c: String, p: String, q: String,
+          r: String, u: String, v: String, w: String): String =
+        s"($a * ($q * $w - $r * $v) - $b * ($p * $w - $r * $u) + " +
+          s"$c * ($p * $v - $q * $u))"
+      def d(x: String) = s"CAST($x AS DOUBLE)"
+      val (n, s1, s2, sy) = (d("n"), d("sx1"), d("sx2"), d("sy"))
+      val (s11, s12, s22) = (d("sx11"), d("sx12"), d("sx22"))
+      val (s1y, s2y) = (d("sx1y"), d("sx2y"))
+      val detA = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+      val det0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+      val det1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+      val det2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+      s"""WITH e AS (SELECT user_id, CAST(hour(ts) AS BIGINT) AS x1,
+         |  CAST(isodow(ts) - 1 AS BIGINT) AS x2,
+         |  CAST(round(value * 100) AS BIGINT) AS y
+         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         |m AS (SELECT user_id, count(*) AS n,
+         |  CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+         |  CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x1*x1) AS BIGINT) AS sx11,
+         |  CAST(sum(x1*x2) AS BIGINT) AS sx12,
+         |  CAST(sum(x2*x2) AS BIGINT) AS sx22,
+         |  CAST(sum(x1*y) AS BIGINT) AS sx1y,
+         |  CAST(sum(x2*y) AS BIGINT) AS sx2y
+         |  FROM e GROUP BY user_id)
+         |SELECT user_id, n, sx1, sx2, sy, sx11, sx12, sx22, sx1y, sx2y,
+         |  CASE WHEN $detA <> 0.0 THEN $det0 / $detA END AS beta0,
+         |  CASE WHEN $detA <> 0.0 THEN $det1 / $detA END AS beta1,
+         |  CASE WHEN $detA <> 0.0 THEN $det2 / $detA END AS beta2
+         |FROM m""".stripMargin
+  }
+
   private lazy val transitionsSql: String =
     """WITH t AS (SELECT user_id, event_type,
       |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -4588,38 +4621,10 @@ object OracleSql {
 
     // Grouped OLS replay: exact BIGINT moment sums, the identical
     // fixed-order Cramer determinants in double space, null on singular.
-    "q_group_ols" -> {
-      def det3(a: String, b: String, c: String, p: String, q: String,
-          r: String, u: String, v: String, w: String): String =
-        s"($a * ($q * $w - $r * $v) - $b * ($p * $w - $r * $u) + " +
-          s"$c * ($p * $v - $q * $u))"
-      def d(x: String) = s"CAST($x AS DOUBLE)"
-      val (n, s1, s2, sy) = (d("n"), d("sx1"), d("sx2"), d("sy"))
-      val (s11, s12, s22) = (d("sx11"), d("sx12"), d("sx22"))
-      val (s1y, s2y) = (d("sx1y"), d("sx2y"))
-      val detA = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
-      val det0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
-      val det1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
-      val det2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
-      s"""WITH e AS (SELECT user_id, CAST(hour(ts) AS BIGINT) AS x1,
-         |  CAST(isodow(ts) - 1 AS BIGINT) AS x2,
-         |  CAST(round(value * 100) AS BIGINT) AS y
-         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
-         |m AS (SELECT user_id, count(*) AS n,
-         |  CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
-         |  CAST(sum(y) AS BIGINT) AS sy,
-         |  CAST(sum(x1*x1) AS BIGINT) AS sx11,
-         |  CAST(sum(x1*x2) AS BIGINT) AS sx12,
-         |  CAST(sum(x2*x2) AS BIGINT) AS sx22,
-         |  CAST(sum(x1*y) AS BIGINT) AS sx1y,
-         |  CAST(sum(x2*y) AS BIGINT) AS sx2y
-         |  FROM e GROUP BY user_id)
-         |SELECT user_id, n, sx1, sx2, sy, sx11, sx12, sx22, sx1y, sx2y,
-         |  CASE WHEN $detA <> 0.0 THEN $det0 / $detA END AS beta0,
-         |  CASE WHEN $detA <> 0.0 THEN $det1 / $detA END AS beta1,
-         |  CASE WHEN $detA <> 0.0 THEN $det2 / $detA END AS beta2
-         |FROM m""".stripMargin
-    },
+    "q_group_ols" -> groupOlsSql,
+    // q_stream_group_ols shares it verbatim: the nine moment deltas are
+    // additive and fold to the identical integers.
+    "q_stream_group_ols" -> groupOlsSql,
 
     // FD-probe replay: exact per-key row and distinct-y counts.
     "q_fd" ->

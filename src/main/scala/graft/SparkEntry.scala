@@ -2648,6 +2648,29 @@ object SparkEntry {
     graft.pipeline.TextAnalysis.pmiFromBigramCounts(grid, minCount = 5L)
   }
 
+  /** Streaming grouped OLS: nine exact moment DELTAS per user from the
+    * ingest stream ([[graft.streaming.StreamingTSDF.olsMomentDeltas]] —
+    * moments are additive, so the fold equals the batch aggregate for
+    * any micro-batching), solved by the shared pinned-order Cramer tail
+    * ([[graft.pipeline.Regression.olsFromMoments]]) — incremental model
+    * refit with no history rescan; shares q_group_ols' oracle
+    * verbatim. */
+  private def qStreamGroupOls(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val deltas = graft.streaming.StreamingTSDF.olsMomentDeltas(
+      eventsStream(s, dir).select(col("user_id"), col("ts"), col("value")),
+      Seq("user_id"), hour(col("ts")).cast(LongType),
+      weekday(col("ts")).cast(LongType), cents(col("value")).cast(LongType))
+    val folded = runStream(s, deltas)
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).alias("n"), sum(col("sx1")).alias("sx1"),
+        sum(col("sx2")).alias("sx2"), sum(col("sy")).alias("sy"),
+        sum(col("sx11")).alias("sx11"), sum(col("sx12")).alias("sx12"),
+        sum(col("sx22")).alias("sx22"), sum(col("sx1y")).alias("sx1y"),
+        sum(col("sx2y")).alias("sx2y"))
+    graft.pipeline.Regression.olsFromMoments(folded)
+  }
+
   /** Streaming trailing-7-day WAU via the KMV changelog: per-DAY running
     * k-min sets stream through [[graft.streaming.StreamingTSDF.kmvMins]]
     * (day = the series key), and the batch trailing merge
@@ -3401,6 +3424,7 @@ object SparkEntry {
     "q_stream_transitions" -> qStreamTransitions _,
     "q_stream_whiten" -> qStreamWhiten _,
     "q_stream_pmi" -> qStreamPmi _,
+    "q_stream_group_ols" -> qStreamGroupOls _,
     "q_kmv_jaccard" -> qKmvJaccard _,
     "q_stream_wau_kmv" -> qStreamWauKmv _,
     "q_rolling_slope" -> qRollingSlope _,

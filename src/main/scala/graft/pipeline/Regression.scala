@@ -43,6 +43,16 @@ object Regression {
       sum(col("__x2") * col("__x2")).alias("sx22"),
       sum(col("__x1") * col("__y")).alias("sx1y"),
       sum(col("__x2") * col("__y")).alias("sx2y"))
+    olsFromMoments(m)
+  }
+
+  /** The Cramer solve over an already-aggregated moments table
+    * (n, sx1, sx2, sy, sx11, sx12, sx22, sx1y, sx2y — the shape a
+    * folded streaming [[graft.streaming.StreamingTSDF.olsMomentDeltas]]
+    * sink arrives in): appends beta0/1/2. Moments are additive, so the
+    * stream fold and the batch aggregate land on identical integers and
+    * the pinned-order determinants match bit-for-bit. */
+  def olsFromMoments(m: DataFrame): DataFrame = {
     def d(c: Column) = c.cast(DoubleType)
     // det of [[a b c][p q r][u v w]] in one pinned evaluation order
     def det3(a: Column, b: Column, c: Column, p: Column, q: Column,

@@ -1281,6 +1281,52 @@ object StreamingTSDF {
       col("key"), col("s")): _*)
   }
 
+  // ---------------------------------------------- streaming OLS moments
+  case class OlsEvent(series: String, x1: Long, x2: Long, y: Long)
+
+  /** Streaming OLS-moment feed: per micro-batch, the nine exact integer
+    * moment DELTAS per series that [[graft.pipeline.Regression]] fits
+    * from — moments are additive, so `sum` per series over the sink
+    * reconstructs the exact batch moment table for any micro-batch
+    * split, and [[graft.pipeline.Regression.olsFromMoments]] turns the
+    * fold into the identical bit-exact βs (incremental model refit with
+    * no history rescan). No cross-batch state (deltas need none); one
+    * output row per (series, batch). */
+  def olsMomentDeltas(df: DataFrame, seriesCols: Seq[String], x1: Column,
+      x2: Column, y: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val projected = df.select(
+      seriesKey(seriesCols).alias("series"),
+      x1.cast(LongType).alias("x1"), x2.cast(LongType).alias("x2"),
+      y.cast(LongType).alias("y"))
+      .filter(col("x1").isNotNull && col("x2").isNotNull &&
+        col("y").isNotNull)
+      .as[OlsEvent]
+    val out = projected
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[OlsEvent], state: GroupState[Long]) =>
+          var n = 0L; var s1 = 0L; var s2 = 0L; var sy = 0L
+          var s11 = 0L; var s12 = 0L; var s22 = 0L
+          var s1y = 0L; var s2y = 0L
+          rows.foreach { e =>
+            n += 1; s1 += e.x1; s2 += e.x2; sy += e.y
+            s11 += e.x1 * e.x1; s12 += e.x1 * e.x2; s22 += e.x2 * e.x2
+            s1y += e.x1 * e.y; s2y += e.x2 * e.y
+          }
+          if (n > 0)
+            Iterator.single((key, n, s1, s2, sy, s11, s12, s22, s1y, s2y))
+          else Iterator.empty
+      }
+      .toDF("series", "n", "sx1", "sx2", "sy", "sx11", "sx12", "sx22",
+        "sx1y", "sx2y")
+    out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
+      col("n"), col("sx1"), col("sx2"), col("sy"), col("sx11"),
+      col("sx12"), col("sx22"), col("sx1y"), col("sx2y")): _*)
+  }
+
   // ---------------------------------------------- streaming pair counts
   case class PairEvent(w1: String, w2: String, salt: Int)
 

@@ -209,6 +209,43 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     assertDfEquality(rolled, batch)
   }
 
+  test("property: streaming olsMomentDeltas fold to the exact batch OLS " +
+      "moments and bit-identical betas across micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(101)
+    val mem = MemoryStream[(String, Long, Long, Long)]
+    val out = StreamingTSDF.olsMomentDeltas(
+      mem.toDF().toDF("g", "x1", "x2", "y"),
+      Seq("g"), col("x1"), col("x2"), col("y"))
+    val q = out.writeStream.format("memory").queryName("ols_diff_sink")
+      .outputMode(OutputMode.Append()).start()
+    val all = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+    for (_ <- 0 until 4) {
+      val batch = (0 until 150).map { _ =>
+        val x1 = rnd.nextInt(24).toLong; val x2 = rnd.nextInt(7).toLong
+        ("g" + rnd.nextInt(3), x1, x2,
+          100L + 3L * x1 - 2L * x2 + rnd.nextInt(21) - 10L)
+      }
+      all ++= batch
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val folded = spark.table("ols_diff_sink").groupBy(col("g"))
+      .agg(sum(col("n")).alias("n"), sum(col("sx1")).alias("sx1"),
+        sum(col("sx2")).alias("sx2"), sum(col("sy")).alias("sy"),
+        sum(col("sx11")).alias("sx11"), sum(col("sx12")).alias("sx12"),
+        sum(col("sx22")).alias("sx22"), sum(col("sx1y")).alias("sx1y"),
+        sum(col("sx2y")).alias("sx2y"))
+    val streamed = graft.pipeline.Regression.olsFromMoments(folded)
+    val batchOls = graft.pipeline.Regression.groupOls2(
+      all.toSeq.toDF("g", "x1", "x2", "y"), Seq("g"),
+      col("x1"), col("x2"), col("y"))
+    assertDfEquality(streamed, batchOls)
+  }
+
   test("property: streaming pairCountDeltas fold to the exact batch pair " +
       "counts across micro-batches and salt groups") {
     val spark2 = spark
