@@ -2778,6 +2778,21 @@ object SparkEntry {
       d.filter(col("split") === 0L), d.filter(col("split") === 1L), "bucket")
   }
 
+  /** Welch's t-test over the same cohorts as [[qDrift]]
+    * ([[graft.pipeline.Drift.welchTTest]]): per length bucket, did the
+    * mean quality score move between the two splits? Exact BIGINT
+    * moments + fixed-order t / Welch–Satterthwaite df. */
+  private def qWelch(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("split",
+        graft.pipeline.Splits.splitIndex(col("doc_id"), Seq(1, 1)))
+      .withColumn("bucket", least(lit(20L), expr("n_chars div 32")))
+      .withColumn("v", size(split(col("text"), " ")).cast(LongType))
+    graft.pipeline.Drift.welchTTest(
+      d.filter(col("split") === 0L), d.filter(col("split") === 1L),
+      "bucket", col("v"))
+  }
+
   /** Chi-square + Hellinger drift over the same cohorts as [[qDrift]]. */
   private def qDriftStats(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
@@ -3379,6 +3394,7 @@ object SparkEntry {
     "q_lm_bigram" -> qLmBigram _,
     "q_fd" -> qFd _,
     "q_group_ols" -> qGroupOls _,
+    "q_welch" -> qWelch _,
     "q_ewm_var" -> qEwmVar _,
     "q_hampel" -> qHampel _,
     "q_stream_ewm_var" -> qStreamEwmVar _,

@@ -133,6 +133,49 @@ object Drift {
         (col("__k") - 1).alias("df"))
   }
 
+  /** Welch's unequal-variance t-test per bucket — "did the MEAN move?"
+    * next to the distribution-shape measures (TV/χ²/Hellinger): per
+    * bucket, the t statistic and Welch–Satterthwaite degrees of freedom
+    * comparing integer-valued `valueCol` (the cents contract) between
+    * cohorts `a` and `b`.
+    *
+    * Determinism: the per-cohort state is three exact BIGINTs
+    * (n, Σy, Σy²) from one map-side-combinable aggregate each; every
+    * downstream quantity (sample variance, standard error, t, df) is a
+    * FIXED-ORDER composition of IEEE ops (×, ÷, −, √ — all exactly
+    * rounded) on those integers, so results replay bit-for-bit.
+    * Variances compute in double space as (n·Σy² − (Σy)²)/(n·(n−1)) —
+    * the cross terms would overflow BIGINT at large cohorts, and the
+    * double products are the same doubles in any engine. Buckets with
+    * n ≤ 1 on either side, or zero pooled standard error, emit null
+    * t/df (never NaN/Infinity).
+    * Output: (bucket, n_a, n_b, sum_a, sum_b, t_stat, df). */
+  def welchTTest(a: DataFrame, b: DataFrame, bucketCol: String,
+      valueCol: Column): DataFrame = {
+    def moments(df: DataFrame, suf: String) = df
+      .select(col(bucketCol), valueCol.cast(LongType).alias("__y"))
+      .filter(col("__y").isNotNull)
+      .groupBy(col(bucketCol))
+      .agg(count(lit(1)).alias(s"n_$suf"),
+        sum(col("__y")).alias(s"sum_$suf"),
+        sum(col("__y") * col("__y")).alias(s"__s2$suf"))
+    val j = moments(a, "a").join(moments(b, "b"), Seq(bucketCol), "inner")
+    def d(c: Column) = c.cast(DoubleType)
+    val (na, nb) = (d(col("n_a")), d(col("n_b")))
+    val varA = (na * d(col("__s2a")) - d(col("sum_a")) * d(col("sum_a"))) /
+      (na * (na - 1.0))
+    val varB = (nb * d(col("__s2b")) - d(col("sum_b")) * d(col("sum_b"))) /
+      (nb * (nb - 1.0))
+    val (va, vb) = (varA / na, varB / nb)
+    val se2 = va + vb
+    val ok = col("n_a") > 1 && col("n_b") > 1 && se2 > 0.0
+    val t = (d(col("sum_a")) / na - d(col("sum_b")) / nb) / sqrt(se2)
+    val df_ = se2 * se2 / (va * va / (na - 1.0) + vb * vb / (nb - 1.0))
+    j.select(col(bucketCol), col("n_a"), col("n_b"),
+      col("sum_a"), col("sum_b"),
+      when(ok, t).alias("t_stat"), when(ok, df_).alias("df"))
+  }
+
   /** Mutual information between two categorical columns — the feature-
     * association companion to the drift family (TV/χ²/Hellinger measure
     * distribution SHIFT between cohorts; MI measures DEPENDENCE between

@@ -2168,6 +2168,33 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(got == cases.map(_._2))
   }
 
+  test("welchTTest matches driver arithmetic on exact moments; degenerate " +
+      "buckets emit null") {
+    import spark.implicits._
+    val a = Seq(("b1", 10L), ("b1", 12L), ("b1", 14L), ("b2", 5L))
+      .toDF("bucket", "v")
+    val b = Seq(("b1", 20L), ("b1", 25L), ("b1", 27L), ("b1", 28L),
+      ("b2", 9L)).toDF("bucket", "v")
+    val got = Drift.welchTTest(a, b, "bucket", col("v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val r1 = got("b1")
+    assert(r1.getLong(1) == 3L && r1.getLong(2) == 4L)
+    assert(r1.getLong(3) == 36L && r1.getLong(4) == 100L)
+    // driver replay of the same fixed-order expression
+    val (na, nb) = (3.0, 4.0)
+    val varA = (na * 440.0 - 36.0 * 36.0) / (na * (na - 1.0))
+    val varB = (nb * 2538.0 - 100.0 * 100.0) / (nb * (nb - 1.0))
+    val (va, vb) = (varA / na, varB / nb)
+    val se2 = va + vb
+    val t = (36.0 / na - 100.0 / nb) / math.sqrt(se2)
+    val dfE = se2 * se2 / (va * va / (na - 1.0) + vb * vb / (nb - 1.0))
+    assert(r1.getDouble(5) == t)
+    assert(r1.getDouble(6) == dfE)
+    assert(t < -3.0 && dfE > 2.0 && dfE < 6.0) // sanity on magnitudes
+    val r2 = got("b2") // n = 1 on both sides -> null t/df
+    assert(r2.isNullAt(5) && r2.isNullAt(6))
+  }
+
   test("groupOls2 recovers an exact plane; singular groups yield null " +
       "betas, never NaN") {
     import spark.implicits._
