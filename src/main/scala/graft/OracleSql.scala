@@ -1022,6 +1022,36 @@ object OracleSql {
          |FROM ab JOIN a USING (w1) JOIN b USING (w2) CROSS JOIN n
          |WHERE n_ab >= 5""".stripMargin
 
+  private lazy val welchSql: String = {
+      val split =
+        s"(${Hashing.mixSql(Hashing.polyHashSql("CAST(doc_id AS VARCHAR)"), 7)}) % 2"
+      val varA = "(CAST(n_a AS DOUBLE) * CAST(s2a AS DOUBLE) - " +
+        "CAST(sum_a AS DOUBLE) * CAST(sum_a AS DOUBLE)) / " +
+        "(CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))"
+      val varB = "(CAST(n_b AS DOUBLE) * CAST(s2b AS DOUBLE) - " +
+        "CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE)) / " +
+        "(CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))"
+      val va = s"($varA / CAST(n_a AS DOUBLE))"
+      val vb = s"($varB / CAST(n_b AS DOUBLE))"
+      val se2 = s"($va + $vb)"
+      val t = "(CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE) - " +
+        s"CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / sqrt($se2)"
+      val dfe = s"$se2 * $se2 / ($va * $va / (CAST(n_a AS DOUBLE) - 1.0) + " +
+        s"$vb * $vb / (CAST(n_b AS DOUBLE) - 1.0))"
+      s"""WITH s AS (SELECT least(20, n_chars // 32) AS bucket,
+         |  CASE WHEN $split < 1 THEN 0 ELSE 1 END AS split,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents),
+         |ma AS (SELECT bucket, count(*) AS n_a, CAST(sum(v) AS BIGINT) AS sum_a,
+         |  CAST(sum(v*v) AS BIGINT) AS s2a FROM s WHERE split = 0 GROUP BY bucket),
+         |mb AS (SELECT bucket, count(*) AS n_b, CAST(sum(v) AS BIGINT) AS sum_b,
+         |  CAST(sum(v*v) AS BIGINT) AS s2b FROM s WHERE split = 1 GROUP BY bucket),
+         |j AS (SELECT * FROM ma JOIN mb USING (bucket))
+         |SELECT bucket, n_a, n_b, sum_a, sum_b,
+         |  CASE WHEN n_a > 1 AND n_b > 1 AND $se2 > 0.0 THEN $t END AS t_stat,
+         |  CASE WHEN n_a > 1 AND n_b > 1 AND $se2 > 0.0 THEN $dfe END AS df
+         |FROM j""".stripMargin
+  }
+
   private lazy val groupOlsSql: String = {
       def det3(a: String, b: String, c: String, p: String, q: String,
           r: String, u: String, v: String, w: String): String =
@@ -4621,35 +4651,10 @@ object OracleSql {
 
     // Welch replay: the q_drift cohorts, exact BIGINT (n, sum, sumsq) per
     // side, then the identical fixed-order t / Welch-Satterthwaite df.
-    "q_welch" -> {
-      val split =
-        s"(${Hashing.mixSql(Hashing.polyHashSql("CAST(doc_id AS VARCHAR)"), 7)}) % 2"
-      val varA = "(CAST(n_a AS DOUBLE) * CAST(s2a AS DOUBLE) - " +
-        "CAST(sum_a AS DOUBLE) * CAST(sum_a AS DOUBLE)) / " +
-        "(CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))"
-      val varB = "(CAST(n_b AS DOUBLE) * CAST(s2b AS DOUBLE) - " +
-        "CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE)) / " +
-        "(CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))"
-      val va = s"($varA / CAST(n_a AS DOUBLE))"
-      val vb = s"($varB / CAST(n_b AS DOUBLE))"
-      val se2 = s"($va + $vb)"
-      val t = "(CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE) - " +
-        s"CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / sqrt($se2)"
-      val dfe = s"$se2 * $se2 / ($va * $va / (CAST(n_a AS DOUBLE) - 1.0) + " +
-        s"$vb * $vb / (CAST(n_b AS DOUBLE) - 1.0))"
-      s"""WITH s AS (SELECT least(20, n_chars // 32) AS bucket,
-         |  CASE WHEN $split < 1 THEN 0 ELSE 1 END AS split,
-         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents),
-         |ma AS (SELECT bucket, count(*) AS n_a, CAST(sum(v) AS BIGINT) AS sum_a,
-         |  CAST(sum(v*v) AS BIGINT) AS s2a FROM s WHERE split = 0 GROUP BY bucket),
-         |mb AS (SELECT bucket, count(*) AS n_b, CAST(sum(v) AS BIGINT) AS sum_b,
-         |  CAST(sum(v*v) AS BIGINT) AS s2b FROM s WHERE split = 1 GROUP BY bucket),
-         |j AS (SELECT * FROM ma JOIN mb USING (bucket))
-         |SELECT bucket, n_a, n_b, sum_a, sum_b,
-         |  CASE WHEN n_a > 1 AND n_b > 1 AND $se2 > 0.0 THEN $t END AS t_stat,
-         |  CASE WHEN n_a > 1 AND n_b > 1 AND $se2 > 0.0 THEN $dfe END AS df
-         |FROM j""".stripMargin
-    },
+    "q_welch" -> welchSql,
+    // q_stream_welch shares it verbatim: the (n, sum, sumsq) deltas are
+    // additive and fold to the identical per-cohort moments.
+    "q_stream_welch" -> welchSql,
 
     // Grouped OLS replay: exact BIGINT moment sums, the identical
     // fixed-order Cramer determinants in double space, null on singular.

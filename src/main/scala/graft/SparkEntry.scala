@@ -2793,6 +2793,36 @@ object SparkEntry {
       "bucket", col("v"))
   }
 
+  /** Streaming Welch: per-(bucket, split) exact (n, Σv, Σv²) DELTAS from
+    * the document ingest stream
+    * ([[graft.streaming.StreamingTSDF.statsDeltas]] — moments are
+    * additive, so the fold equals the batch per-cohort aggregates for
+    * any micro-batching), pivoted into the two cohorts and finished by
+    * the shared [[graft.pipeline.Drift.welchFromMoments]] tail; shares
+    * q_welch's oracle verbatim. */
+  private def qStreamWelch(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val d = docsStream(s, dir)
+      .withColumn("split",
+        graft.pipeline.Splits.splitIndex(col("doc_id"), Seq(1, 1)))
+      .withColumn("bucket", least(lit(20L), expr("n_chars div 32")))
+      .withColumn("v", size(split(col("text"), " ")).cast(LongType))
+    val deltas = graft.streaming.StreamingTSDF.statsDeltas(
+      d, Seq("bucket", "split"), col("v"))
+    val folded = runStream(s, deltas)
+      .groupBy(col("bucket"), col("split"))
+      .agg(sum(col("n")).alias("n"), sum(col("s1")).alias("s1"),
+        sum(col("s2")).alias("s2"))
+    val ma = folded.filter(col("split") === 0L).select(col("bucket"),
+      col("n").alias("n_a"), col("s1").alias("sum_a"),
+      col("s2").alias("__s2a"))
+    val mb = folded.filter(col("split") === 1L).select(col("bucket"),
+      col("n").alias("n_b"), col("s1").alias("sum_b"),
+      col("s2").alias("__s2b"))
+    graft.pipeline.Drift.welchFromMoments(
+      ma.join(mb, Seq("bucket"), "inner"), "bucket")
+  }
+
   /** Chi-square + Hellinger drift over the same cohorts as [[qDrift]]. */
   private def qDriftStats(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
@@ -3395,6 +3425,7 @@ object SparkEntry {
     "q_fd" -> qFd _,
     "q_group_ols" -> qGroupOls _,
     "q_welch" -> qWelch _,
+    "q_stream_welch" -> qStreamWelch _,
     "q_ewm_var" -> qEwmVar _,
     "q_hampel" -> qHampel _,
     "q_stream_ewm_var" -> qStreamEwmVar _,

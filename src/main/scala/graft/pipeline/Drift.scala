@@ -159,7 +159,18 @@ object Drift {
       .agg(count(lit(1)).alias(s"n_$suf"),
         sum(col("__y")).alias(s"sum_$suf"),
         sum(col("__y") * col("__y")).alias(s"__s2$suf"))
-    val j = moments(a, "a").join(moments(b, "b"), Seq(bucketCol), "inner")
+    welchFromMoments(
+      moments(a, "a").join(moments(b, "b"), Seq(bucketCol), "inner"),
+      bucketCol)
+  }
+
+  /** The Welch tail over an already-joined per-bucket moments table
+    * (bucketCol, n_a, sum_a, __s2a, n_b, sum_b, __s2b) — the shape a
+    * folded streaming [[graft.streaming.StreamingTSDF.statsDeltas]]
+    * sink pivots into. Moments are additive, so stream and batch land
+    * on identical integers and the fixed-order t/df match
+    * bit-for-bit. */
+  def welchFromMoments(j: DataFrame, bucketCol: String): DataFrame = {
     def d(c: Column) = c.cast(DoubleType)
     val (na, nb) = (d(col("n_a")), d(col("n_b")))
     val varA = (na * d(col("__s2a")) - d(col("sum_a")) * d(col("sum_a"))) /

@@ -1281,6 +1281,40 @@ object StreamingTSDF {
       col("key"), col("s")): _*)
   }
 
+  // ---------------------------------------------- streaming stat moments
+  case class StatEvent(series: String, y: Long)
+
+  /** Streaming (n, Σy, Σy²) feed: per micro-batch, the exact integer
+    * first/second-moment DELTAS of `valueCol` per series — additive, so
+    * a plain fold over the sink reconstructs the batch moment table for
+    * any micro-batch split. These three numbers are the sufficient
+    * statistics behind mean/variance/z-scores and Welch's t-test
+    * ([[graft.pipeline.Drift.welchTTest]]'s per-cohort state), so any
+    * of those refit from the fold with no history rescan. No
+    * cross-batch state; one output row per (series, batch). */
+  def statsDeltas(df: DataFrame, seriesCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val projected = df.select(
+      seriesKey(seriesCols).alias("series"),
+      valueCol.cast(LongType).alias("y"))
+      .filter(col("y").isNotNull)
+      .as[StatEvent]
+    val out = projected
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[StatEvent], state: GroupState[Long]) =>
+          var n = 0L; var s1 = 0L; var s2 = 0L
+          rows.foreach { e => n += 1; s1 += e.y; s2 += e.y * e.y }
+          if (n > 0) Iterator.single((key, n, s1, s2)) else Iterator.empty
+      }
+      .toDF("series", "n", "s1", "s2")
+    out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
+      col("n"), col("s1"), col("s2")): _*)
+  }
+
   // ---------------------------------------------- streaming OLS moments
   case class OlsEvent(series: String, x1: Long, x2: Long, y: Long)
 

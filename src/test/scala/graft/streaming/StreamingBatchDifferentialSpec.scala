@@ -209,6 +209,35 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     assertDfEquality(rolled, batch)
   }
 
+  test("property: streaming statsDeltas fold to the exact batch " +
+      "(n, sum, sumsq) moments across micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(103)
+    val mem = MemoryStream[(String, Long)]
+    val out = StreamingTSDF.statsDeltas(mem.toDF().toDF("g", "v"),
+      Seq("g"), col("v"))
+    val q = out.writeStream.format("memory").queryName("stats_diff_sink")
+      .outputMode(OutputMode.Append()).start()
+    val all = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    for (_ <- 0 until 4) {
+      val batch = (0 until 200).map(_ =>
+        ("g" + rnd.nextInt(4), rnd.nextInt(2001).toLong - 1000))
+      all ++= batch
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val rolled = spark.table("stats_diff_sink").groupBy(col("g"))
+      .agg(sum(col("n")).alias("n"), sum(col("s1")).alias("s1"),
+        sum(col("s2")).alias("s2"))
+    val batch = all.toSeq.toDF("g", "v").groupBy(col("g"))
+      .agg(count(lit(1)).alias("n"), sum(col("v")).alias("s1"),
+        sum(col("v") * col("v")).alias("s2"))
+    assertDfEquality(rolled, batch)
+  }
+
   test("property: streaming olsMomentDeltas fold to the exact batch OLS " +
       "moments and bit-identical betas across micro-batches") {
     val spark2 = spark
