@@ -4663,6 +4663,25 @@ object OracleSql {
     // additive and fold to the identical integers.
     "q_stream_group_ols" -> groupOlsSql,
 
+    // Gini replay: exact per-customer revenue cents, 1-based rank by
+    // (value, custkey), exact rank-moment sums, two fixed divisions.
+    "q_gini" ->
+      """WITH pc AS (SELECT c_nationkey, c_custkey,
+        |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT c_nationkey, rev,
+        |  CAST(row_number() OVER (PARTITION BY c_nationkey
+        |    ORDER BY rev, c_custkey) AS BIGINT) AS i FROM pc),
+        |a AS (SELECT c_nationkey, count(*) AS n,
+        |  CAST(sum(rev) AS BIGINT) AS sum_y,
+        |  CAST(sum(i * rev) AS BIGINT) AS sum_iy FROM r GROUP BY 1)
+        |SELECT c_nationkey, n, sum_y, sum_iy,
+        |  CASE WHEN sum_y > 0 THEN
+        |    2.0 * CAST(sum_iy AS DOUBLE) / CAST(n * sum_y AS DOUBLE)
+        |      - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) END AS gini
+        |FROM a""".stripMargin,
+
     // FD-probe replay: exact per-key row and distinct-y counts.
     "q_fd" ->
       """SELECT o_custkey, count(*) AS n_rows,

@@ -2073,6 +2073,19 @@ object SparkEntry {
       hour(col("ts")).cast(LongType), weekday(col("ts")).cast(LongType),
       cents(col("value")).cast(LongType))
 
+  /** Gini concentration ([[graft.pipeline.Profile.giniConcentration]]):
+    * per nation, how concentrated is order revenue across customers —
+    * exact rank/moment integers + two fixed-order terminal divisions. */
+  private def qGini(s: SparkSession, dir: String): DataFrame = {
+    val perCust = tbl(s, dir, "orders")
+      .join(tbl(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("c_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).cast(LongType).alias("rev"))
+    graft.pipeline.Profile.giniConcentration(
+      perCust, Seq("c_nationkey"), col("rev"), col("c_custkey"))
+  }
+
   /** Functional-dependency probe ([[graft.pipeline.Profile.fdCheck]]):
     * does o_custkey determine o_orderpriority? Per-key exact fan-out
     * table — the join-explosion / dirty-dimension warning, plus the
@@ -3426,6 +3439,7 @@ object SparkEntry {
     "q_group_ols" -> qGroupOls _,
     "q_welch" -> qWelch _,
     "q_stream_welch" -> qStreamWelch _,
+    "q_gini" -> qGini _,
     "q_ewm_var" -> qEwmVar _,
     "q_hampel" -> qHampel _,
     "q_stream_ewm_var" -> qStreamEwmVar _,

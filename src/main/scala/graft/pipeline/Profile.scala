@@ -194,6 +194,43 @@ object Profile {
       .withColumn("is_violation", col("n_distinct_y") > 1)
   }
 
+  /** Gini concentration per group — the inequality diagnostic ("is this
+    * source's token mass concentrated in a few documents? is revenue
+    * concentrated in a few customers?"), the scalar companion to
+    * key-skew profiling. Standard rank formula over values sorted
+    * ascending within the group: G = 2·Σᵢ i·yᵢ / (n·Σy) − (n+1)/n,
+    * i = 1-based rank by (value, tie).
+    *
+    * Determinism: `valueCol` is integer-valued (cents contract), the
+    * rank is total-ordered by the tie column, and Σ i·yᵢ / Σy / n are
+    * exact BIGINTs emitted alongside the two fixed-order terminal
+    * divisions — engine-exact. Requires non-negative values (Gini is
+    * undefined under mixed signs); groups with Σy = 0 emit null.
+    *
+    * Scale: one rank window per group partition (uniform keys, the
+    * RFM/ntile shape) + one map-side-combinable aggregate. */
+  def giniConcentration(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, tieCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val ranked = df
+      .select(groupCols.map(col) :+ valueCol.alias("__y") :+
+        tieCol.alias("__t"): _*)
+      .filter(col("__y").isNotNull)
+      .withColumn("__i", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)
+          .orderBy(col("__y").asc, col("__t").asc)).cast("long"))
+    val agg = ranked.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).alias("n"),
+        sum(col("__y")).alias("sum_y"),
+        sum(col("__i") * col("__y")).alias("sum_iy"))
+    agg.withColumn("gini",
+      when(col("sum_y") > 0,
+        lit(2.0) * col("sum_iy").cast("double") /
+          (col("n") * col("sum_y")).cast("double") -
+          (col("n") + 1L).cast("double") / col("n").cast("double")))
+  }
+
   /** One-row FD report over [[fdCheck]]'s per-key table: key counts,
     * violation count and ratio (one terminal division), and the worst
     * key's fan-out. */

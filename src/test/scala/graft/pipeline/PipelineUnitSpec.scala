@@ -2168,6 +2168,27 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(got == cases.map(_._2))
   }
 
+  test("giniConcentration: 0 on perfect equality, (n-1)/n when one member " +
+      "holds everything") {
+    import spark.implicits._
+    val rows = Seq(
+      ("eq", 1L, 5L), ("eq", 2L, 5L), ("eq", 3L, 5L), ("eq", 4L, 5L),
+      ("one", 1L, 0L), ("one", 2L, 0L), ("one", 3L, 0L), ("one", 4L, 100L),
+      ("zero", 1L, 0L))
+      .toDF("g", "id", "v")
+    val got = Profile.giniConcentration(rows, Seq("g"), col("v"), col("id"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toMap
+    val (nE, syE, siyE, gE) = got("eq")
+    assert((nE, syE, siyE) == ((4L, 20L, 50L))) // sum i*5 = 5*(1+2+3+4)
+    assert(gE == 0.0)
+    val (_, _, _, gOne) = got("one")
+    assert(gOne == 2.0 * 400.0 / (4.0 * 100.0) - 5.0 / 4.0) // = 3/4
+    assert(gOne == 0.75)
+    assert(got("zero")._4.isNaN) // sum_y = 0 -> null
+  }
+
   test("welchTTest matches driver arithmetic on exact moments; degenerate " +
       "buckets emit null") {
     import spark.implicits._
