@@ -4663,6 +4663,25 @@ object OracleSql {
     // additive and fold to the identical integers.
     "q_stream_group_ols" -> groupOlsSql,
 
+    // Keyword replay: the postings tf table rebuilt from the same
+    // normalize+tokenize, the tfidfSql weighting micro-quantized, per-doc
+    // rank with term ties.
+    "q_keywords" ->
+      s"""WITH d AS (SELECT doc_id, $norm AS nrm FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS term FROM d),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |stats AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+         |sc AS (SELECT tf.doc_id, tf.term,
+         |  CAST(floor(((1.0 + ln(CAST(tf AS DOUBLE))) *
+         |    ln(1.0 + CAST(n AS DOUBLE) / df)) * 1000000.0 + 0.5) AS BIGINT)
+         |    AS score_mu
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+         |r AS (SELECT doc_id, term, score_mu, row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY score_mu DESC, term) AS rnk FROM sc)
+         |SELECT doc_id, CAST(rnk AS BIGINT) AS "rank", term, score_mu
+         |FROM r WHERE rnk <= 5""".stripMargin,
+
     // Gini replay: exact per-customer revenue cents, 1-based rank by
     // (value, custkey), exact rank-moment sums, two fixed divisions.
     "q_gini" ->

@@ -1401,6 +1401,13 @@ object SparkEntry {
       "query_id", "doc_id")
   }
 
+  /** Per-document keyword extraction
+    * ([[graft.pipeline.Retrieval.keywordsPerDoc]]): top-5 TF-IDF terms
+    * per doc off the shared postings index — document tagging, the
+    * per-doc inversion of the retrieval rankings. */
+  private def qKeywords(s: SparkSession, dir: String): DataFrame =
+    Retrieval.keywordsPerDoc(postingsIndex(s, dir), "doc_id", k = 5)
+
   /** SQ8 scalar-quantized ANN: per-dimension bounds from one aggregate
     * pass, 0..255 byte codes, exact integer squared-L2 in code space. */
   private def qAnnSq8(s: SparkSession, dir: String): DataFrame = {
@@ -3376,6 +3383,7 @@ object SparkEntry {
     "q_bm25_indexed" -> qBm25Indexed _,
     "q_tfidf" -> qTfidf _,
     "q_rrf" -> qRrf _,
+    "q_keywords" -> qKeywords _,
     "q_ann_sq8" -> qAnnSq8 _,
     "q_kmv_distinct" -> qKmv _,
     "q_kmv_wide" -> qKmvWide _,

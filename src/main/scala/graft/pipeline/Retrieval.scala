@@ -224,6 +224,38 @@ object Retrieval {
       .select(col("__qid").alias(queryIdCol), col(idCol), col("rank"), col("score"))
   }
 
+  /** Per-document keyword extraction: each document's top-k terms by
+    * TF-IDF over the corpus — document tagging / faceting / topic
+    * seeding, the per-DOC inversion of the per-QUERY retrieval rankings.
+    * Same weighting and determinism scheme as [[tfidfTopKFromIndex]]:
+    * w = (1 + ln tf) · ln(1 + N/df) quantized to exact BIGINT
+    * micro-units before ranking, ties to the lexicographically smaller
+    * term.
+    *
+    * Plan: runs straight off a [[buildPostingsIndex]] table — df is one
+    * term-keyed count over it, N one scalar, and the per-doc top-k is a
+    * rank window on uniform doc keys (WindowGroupLimit: partial top-k
+    * per map task, no full per-doc sort materialized).
+    * Output: (idCol, rank, term, score_mu). */
+  def keywordsPerDoc(postings: DataFrame, idCol: String,
+      k: Int = 5): DataFrame = {
+    val dfreq = postings.groupBy(col("term"))
+      .agg(count(lit(1)).alias("__df"))
+    val stats = postings.agg(count_distinct(col(idCol)).alias("__n"))
+    val contrib = (lit(1.0) + log(col("tf").cast(DoubleType))) *
+      log(lit(1.0) + col("__n").cast(DoubleType) / col("__df"))
+    val scored = postings.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("term"),
+        floor(contrib * 1e6 + 0.5).cast(LongType).alias("score_mu"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score_mu").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score_mu"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009): merge two
     * per-query rankings — here the lexical (BM25) and its
     * length-normalization-free twin, in general any pair including an

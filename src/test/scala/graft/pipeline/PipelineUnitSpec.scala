@@ -2168,6 +2168,27 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(got == cases.map(_._2))
   }
 
+  test("keywordsPerDoc surfaces each doc's distinctive terms above shared " +
+      "vocabulary") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared shared quantum quantum quantum"),
+      (2L, "shared shared tensor"),
+      (3L, "shared shared shared")).toDF("doc_id", "text")
+    val idx = Retrieval.buildPostingsIndex(docs, "text", "doc_id")
+    val got = Retrieval.keywordsPerDoc(idx, "doc_id", k = 2).collect()
+      .groupBy(_.getLong(0))
+    // doc 1's top term is its rare repeated word, not the corpus-wide one
+    assert(got(1L).minBy(_.getLong(1)).getString(2) == "quantum")
+    assert(got(2L).minBy(_.getLong(1)).getString(2) == "tensor")
+    // doc 3 has only the shared term
+    assert(got(3L).map(_.getString(2)).toSeq == Seq("shared"))
+    // exact micro-unit score for doc1/quantum: (1+ln 3)*ln(1 + 3/1)
+    val mu = math.floor(
+      (1.0 + math.log(3.0)) * math.log(1.0 + 3.0 / 1.0) * 1e6 + 0.5).toLong
+    assert(got(1L).minBy(_.getLong(1)).getLong(3) == mu)
+  }
+
   test("giniConcentration: 0 on perfect equality, (n-1)/n when one member " +
       "holds everything") {
     import spark.implicits._
