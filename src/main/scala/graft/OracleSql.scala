@@ -1022,6 +1022,22 @@ object OracleSql {
          |FROM ab JOIN a USING (w1) JOIN b USING (w2) CROSS JOIN n
          |WHERE n_ab >= 5""".stripMargin
 
+  private lazy val keywordsSql: String =
+    s"""WITH d AS (SELECT doc_id, $norm AS nrm FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS term FROM d),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |stats AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+         |sc AS (SELECT tf.doc_id, tf.term,
+         |  CAST(floor(((1.0 + ln(CAST(tf AS DOUBLE))) *
+         |    ln(1.0 + CAST(n AS DOUBLE) / df)) * 1000000.0 + 0.5) AS BIGINT)
+         |    AS score_mu
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+         |r AS (SELECT doc_id, term, score_mu, row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY score_mu DESC, term) AS rnk FROM sc)
+         |SELECT doc_id, CAST(rnk AS BIGINT) AS "rank", term, score_mu
+         |FROM r WHERE rnk <= 5""".stripMargin
+
   private lazy val welchSql: String = {
       val split =
         s"(${Hashing.mixSql(Hashing.polyHashSql("CAST(doc_id AS VARCHAR)"), 7)}) % 2"
@@ -4666,21 +4682,10 @@ object OracleSql {
     // Keyword replay: the postings tf table rebuilt from the same
     // normalize+tokenize, the tfidfSql weighting micro-quantized, per-doc
     // rank with term ties.
-    "q_keywords" ->
-      s"""WITH d AS (SELECT doc_id, $norm AS nrm FROM documents),
-         |tok AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS term FROM d),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |stats AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
-         |sc AS (SELECT tf.doc_id, tf.term,
-         |  CAST(floor(((1.0 + ln(CAST(tf AS DOUBLE))) *
-         |    ln(1.0 + CAST(n AS DOUBLE) / df)) * 1000000.0 + 0.5) AS BIGINT)
-         |    AS score_mu
-         |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
-         |r AS (SELECT doc_id, term, score_mu, row_number() OVER (
-         |  PARTITION BY doc_id ORDER BY score_mu DESC, term) AS rnk FROM sc)
-         |SELECT doc_id, CAST(rnk AS BIGINT) AS "rank", term, score_mu
-         |FROM r WHERE rnk <= 5""".stripMargin,
+    "q_keywords" -> keywordsSql,
+    // q_stream_keywords shares it verbatim: (doc, term) tf deltas are
+    // additive; df and N derive from the folded grid.
+    "q_stream_keywords" -> keywordsSql,
 
     // Gini replay: exact per-customer revenue cents, 1-based rank by
     // (value, custkey), exact rank-moment sums, two fixed divisions.

@@ -2691,6 +2691,28 @@ object SparkEntry {
     graft.pipeline.Regression.olsFromMoments(folded)
   }
 
+  /** Streaming keyword extraction: (doc, term) tf COUNT DELTAS from the
+    * ingest stream ([[graft.streaming.StreamingTSDF.pairCountDeltas]] —
+    * a document's tokens arrive whole, so deltas need no state and fold
+    * exactly for any micro-batching), then the same per-doc TF-IDF
+    * top-k off the folded grid (df and N derive FROM the grid, equal to
+    * the batch postings identities); shares q_keywords' oracle
+    * verbatim. */
+  private def qStreamKeywords(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val toks = docsStream(s, dir).select(
+      col("doc_id").cast(StringType).alias("did"),
+      explode(split(Dedup.normalizeText(col("text")), " ")).alias("term"))
+    val deltas = graft.streaming.StreamingTSDF.pairCountDeltas(
+      toks, col("did"), col("term"))
+    val postings = runStream(s, deltas)
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(col("cnt")).alias("tf"))
+      .select(col("w1").cast(LongType).alias("doc_id"),
+        col("w2").alias("term"), col("tf"))
+    Retrieval.keywordsPerDoc(postings, "doc_id", k = 5)
+  }
+
   /** Streaming trailing-7-day WAU via the KMV changelog: per-DAY running
     * k-min sets stream through [[graft.streaming.StreamingTSDF.kmvMins]]
     * (day = the series key), and the batch trailing merge
@@ -3384,6 +3406,7 @@ object SparkEntry {
     "q_tfidf" -> qTfidf _,
     "q_rrf" -> qRrf _,
     "q_keywords" -> qKeywords _,
+    "q_stream_keywords" -> qStreamKeywords _,
     "q_ann_sq8" -> qAnnSq8 _,
     "q_kmv_distinct" -> qKmv _,
     "q_kmv_wide" -> qKmvWide _,
