@@ -3970,6 +3970,22 @@ object OracleSql {
     // runs the butterfly — agreeing answers cross-check the two forms);
     // the sequency→natural map is embedded from the same precomputed
     // table the engine reorders with. All-integer, so bit-exact.
+    // Decimation replay: the same synthesized-sample arithmetic, 16-sample
+    // boxcar groups (trailing partial dropped), exact sums, one division.
+    "q_audio_decimate" ->
+      """WITH d AS (SELECT doc_id, 100 + doc_id % 400 AS n FROM documents),
+        |sm AS (SELECT doc_id, n, i.i AS i,
+        |  (doc_id % 251) * 7 + 11 * i.i AS raw
+        |  FROM d, range(500) i(i) WHERE i.i < n),
+        |px AS (SELECT doc_id, n, i, CAST(raw % 65536 - 32768 AS INT) AS s
+        |  FROM sm),
+        |g AS (SELECT doc_id, i // 16 AS out_idx, s
+        |  FROM px WHERE i // 16 < n // 16)
+        |SELECT doc_id, CAST(out_idx AS BIGINT) AS out_idx,
+        |  CAST(sum(CAST(s AS BIGINT)) AS BIGINT) AS s_sum,
+        |  CAST(sum(CAST(s AS BIGINT)) AS DOUBLE) / 16.0 AS mean_sample
+        |FROM g GROUP BY doc_id, out_idx""".stripMargin,
+
     "q_audio_sequency" -> {
       val m = graft.pipeline.Multimodal.SeqToNat64.mkString("[", ", ", "]")
       s"""WITH d AS (SELECT doc_id, 100 + doc_id % 400 AS n FROM documents),

@@ -3120,6 +3120,19 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload")
 
+  /** Integer-factor audio decimation over the REAL RIFF→PCM decode
+    * ([[graft.pipeline.Multimodal.wavDecimate]]): 16-sample boxcar
+    * groups, exact integer sums + one correctly-rounded mean — the
+    * sample-rate normalization pass before mixing corpora recorded at
+    * different rates. */
+  private def qAudioDecimate(s: SparkSession, dir: String): DataFrame =
+    Multimodal.wavDecimate(
+      Multimodal.synthesizeWavPayload(
+        docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id"),
+      "doc_id", "payload", factor = 16)
+
   /** Sequency-band audio spectrum via the 64-point Walsh-Hadamard
     * transform over the REAL RIFF→PCM decode — the integer-exact analog
     * of a per-frame power spectrum (±1 basis: no trig, so the bands
@@ -3549,6 +3562,7 @@ object SparkEntry {
     "q_decode_wav" -> qDecodeWav _,
     "q_audio_features" -> qAudioFeatures _,
     "q_audio_sequency" -> qAudioSequency _,
+    "q_audio_decimate" -> qAudioDecimate _,
     "q_frame_plan" -> qFramePlan _,
     "q_frame_sample" -> qFrameSample _,
     "q_media_coverage" -> qMediaCoverage _,

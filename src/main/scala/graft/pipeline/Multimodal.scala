@@ -784,6 +784,41 @@ object Multimodal {
       .toDF()
   }
 
+  /** Integer-factor audio decimation through the REAL decode path
+    * ([[decodeWavSamples]]): the clip splits into non-overlapping FULL
+    * groups of `factor` samples (a trailing partial group drops — the
+    * [[wavFrameFeatures]] convention) and each group emits its exact
+    * integer sample sum and the boxcar mean (the anti-aliasing lowpass a
+    * sample-rate normalization pass applies before mixing corpora
+    * recorded at different rates) — one IEEE division, correctly
+    * rounded, hence bit-exact. Per-partition map, no shuffle; output is
+    * n/factor rows per clip. Undecodable payloads drop. */
+  def wavDecimate(df: DataFrame, idCol: String, payloadCol: String,
+      factor: Int = 16): DataFrame = {
+    require(factor >= 2, "factor must be >= 2")
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("out_idx", LongType),
+      StructField("s_sum", LongType),
+      StructField("mean_sample", DoubleType)))
+    df.select(col(idCol), col(payloadCol))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          decodeWavSamples(r.getAs[Array[Byte]](1)).toSeq.flatMap { a =>
+            val ng = a.samples.length / factor
+            (0 until ng).map { g =>
+              var s = 0L
+              var i = g * factor
+              val end = i + factor
+              while (i < end) { s += a.samples(i); i += 1 }
+              Row(r.get(0), g.toLong, s, s.toDouble / factor.toDouble)
+            }
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
   /** Natural-order (Hadamard) index of the Walsh function with sequency
     * `s` for the 64-point transform: bitrev6(gray(s)) — the classic
     * sequency↔Hadamard reindexing, precomputed once. */

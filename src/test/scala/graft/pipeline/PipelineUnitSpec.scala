@@ -679,6 +679,20 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(r2.getLong(4) == 1L) // only the -5 → 7 transition crosses
   }
 
+  test("wavDecimate: exact boxcar sums per 16-sample group; tail dropped") {
+    import spark.implicits._
+    // 40 samples = two full 16-groups + 8-sample tail (dropped):
+    // group 0 sums 0..15 = 120, group 1 sums 16..31 = 376
+    val ramp = Array.tabulate(40)(identity)
+    val r = Multimodal.wavDecimate(
+      Seq((1L, Multimodal.buildWavWithSamples(8000, ramp)))
+        .toDF("doc_id", "payload"), "doc_id", "payload", factor = 16)
+      .collect().sortBy(_.getLong(1))
+    assert(r.length == 2)
+    assert(r(0).getLong(2) == 120L && r(0).getDouble(3) == 120.0 / 16.0)
+    assert(r(1).getLong(2) == 376L && r(1).getDouble(3) == 376.0 / 16.0)
+  }
+
   test("temperatureBudgets matches hand-computed sqrt-weighted budgets") {
     import spark.implicits._
     // token sums: a=144, b=16, c=400 → sqrt 12/4/20 → micro-weights
