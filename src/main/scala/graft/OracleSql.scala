@@ -1022,6 +1022,42 @@ object OracleSql {
          |FROM ab JOIN a USING (w1) JOIN b USING (w2) CROSS JOIN n
          |WHERE n_ab >= 5""".stripMargin
 
+  private lazy val pixelHistSql: String =
+    """WITH png AS (SELECT d.doc_id,
+        |  (d.doc_id % 251 + 5 * r.r + 3 * c.c + 11 * ch.ch) % 256 // 16 AS bin
+        |  FROM (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id * 3) % 24 AS h,
+        |        CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS nch
+        |        FROM documents WHERE doc_id % 4 = 0) d,
+        |    range(31) r(r), range(31) c(c), range(3) ch(ch)
+        |  WHERE r.r < d.h AND c.c < d.w AND ch.ch < d.nch),
+        |jpg AS (SELECT d.doc_id,
+        |  (d.doc_id % 251 + 17 * by.by + 23 * bx.bx) % 256 // 16 AS bin,
+        |  64 AS cnt
+        |  FROM (SELECT doc_id, 8 * (1 + doc_id % 4) AS w,
+        |        8 * (1 + (doc_id * 3) % 4) AS h
+        |        FROM documents WHERE doc_id % 4 = 1) d,
+        |    range(4) by(by), range(4) bx(bx)
+        |  WHERE by.by < d.h // 8 AND bx.bx < d.w // 8),
+        |wav AS (SELECT d.doc_id,
+        |  ((d.doc_id % 251) * 7 + 11 * i.i) % 65536 // 4096 AS bin
+        |  FROM (SELECT doc_id, 100 + doc_id % 400 AS n
+        |        FROM documents WHERE doc_id % 4 = 2) d,
+        |    range(500) i(i) WHERE i.i < d.n),
+        |avi AS (SELECT d.doc_id,
+        |  (d.doc_id % 251 + 29 * f.f + 17 * by.by + 23 * bx.bx) % 256 // 16
+        |    AS bin, 64 AS cnt
+        |  FROM (SELECT doc_id, 3 + doc_id % 5 AS n, 8 * (1 + doc_id % 3) AS w,
+        |        8 * (1 + (doc_id * 2) % 3) AS h
+        |        FROM documents WHERE doc_id % 4 = 3) d,
+        |    range(8) f(f), range(3) by(by), range(3) bx(bx)
+        |  WHERE f.f < d.n AND by.by < d.h // 8 AND bx.bx < d.w // 8),
+        |u AS (SELECT doc_id, bin, 1 AS cnt FROM png
+        |  UNION ALL SELECT doc_id, bin, cnt FROM jpg
+        |  UNION ALL SELECT doc_id, bin, 1 FROM wav
+        |  UNION ALL SELECT doc_id, bin, cnt FROM avi)
+        |SELECT doc_id, CAST(bin AS INT) AS bin, CAST(sum(cnt) AS BIGINT) AS cnt
+        |FROM u GROUP BY doc_id, bin""".stripMargin
+
   private lazy val keywordsSql: String =
     s"""WITH d AS (SELECT doc_id, $norm AS nrm FROM documents),
          |tok AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS term FROM d),
@@ -3830,41 +3866,18 @@ object OracleSql {
     // Full-dispatch histogram replay: one branch per codec arm of the
     // id%4 mixed corpus, every per-bin count restated from the fixture
     // arithmetic (16 bins; images v//16, wav (s+32768)//4096).
-    "q_pixel_hist" ->
-      """WITH png AS (SELECT d.doc_id,
-        |  (d.doc_id % 251 + 5 * r.r + 3 * c.c + 11 * ch.ch) % 256 // 16 AS bin
-        |  FROM (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id * 3) % 24 AS h,
-        |        CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS nch
-        |        FROM documents WHERE doc_id % 4 = 0) d,
-        |    range(31) r(r), range(31) c(c), range(3) ch(ch)
-        |  WHERE r.r < d.h AND c.c < d.w AND ch.ch < d.nch),
-        |jpg AS (SELECT d.doc_id,
-        |  (d.doc_id % 251 + 17 * by.by + 23 * bx.bx) % 256 // 16 AS bin,
-        |  64 AS cnt
-        |  FROM (SELECT doc_id, 8 * (1 + doc_id % 4) AS w,
-        |        8 * (1 + (doc_id * 3) % 4) AS h
-        |        FROM documents WHERE doc_id % 4 = 1) d,
-        |    range(4) by(by), range(4) bx(bx)
-        |  WHERE by.by < d.h // 8 AND bx.bx < d.w // 8),
-        |wav AS (SELECT d.doc_id,
-        |  ((d.doc_id % 251) * 7 + 11 * i.i) % 65536 // 4096 AS bin
-        |  FROM (SELECT doc_id, 100 + doc_id % 400 AS n
-        |        FROM documents WHERE doc_id % 4 = 2) d,
-        |    range(500) i(i) WHERE i.i < d.n),
-        |avi AS (SELECT d.doc_id,
-        |  (d.doc_id % 251 + 29 * f.f + 17 * by.by + 23 * bx.bx) % 256 // 16
-        |    AS bin, 64 AS cnt
-        |  FROM (SELECT doc_id, 3 + doc_id % 5 AS n, 8 * (1 + doc_id % 3) AS w,
-        |        8 * (1 + (doc_id * 2) % 3) AS h
-        |        FROM documents WHERE doc_id % 4 = 3) d,
-        |    range(8) f(f), range(3) by(by), range(3) bx(bx)
-        |  WHERE f.f < d.n AND by.by < d.h // 8 AND bx.bx < d.w // 8),
-        |u AS (SELECT doc_id, bin, 1 AS cnt FROM png
-        |  UNION ALL SELECT doc_id, bin, cnt FROM jpg
-        |  UNION ALL SELECT doc_id, bin, 1 FROM wav
-        |  UNION ALL SELECT doc_id, bin, cnt FROM avi)
-        |SELECT doc_id, CAST(bin AS INT) AS bin, CAST(sum(cnt) AS BIGINT) AS cnt
-        |FROM u GROUP BY doc_id, bin""".stripMargin,
+    "q_pixel_hist" -> pixelHistSql,
+    // Equalization replay: the histogram replay + per-doc prefix sums and
+    // the same non-negative floor division.
+    "q_hist_equalize" ->
+      s"""WITH hh AS ($pixelHistSql),
+         |t AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n FROM hh GROUP BY 1),
+         |c AS (SELECT doc_id, bin, cnt,
+         |  CAST(sum(cnt) OVER (PARTITION BY doc_id ORDER BY bin) AS BIGINT) AS cdf
+         |  FROM hh)
+         |SELECT c.doc_id, c.bin, c.cnt, c.cdf,
+         |  CAST((15 * c.cdf) // t.n AS BIGINT) AS lut
+         |FROM c JOIN t USING (doc_id)""".stripMargin,
 
     // Real-resize replay: nearest-neighbor index map sy = y·srcH//16,
     // sx = x·srcW//16 over the two image arms of the mixed corpus (PNG

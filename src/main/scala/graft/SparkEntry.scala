@@ -3213,6 +3213,20 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload", nBins = 16)
 
+  /** Histogram-equalization LUT over the real decode dispatch
+    * ([[graft.pipeline.Multimodal.histEqualization]] on the q_pixel_hist
+    * table): per payload, the contrast-normalization map — exact
+    * cumulative counts and the floor-division target level. */
+  private def qHistEqualize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.histEqualization(
+      Multimodal.pixelHistogram(
+        Multimodal.synthesizeDecodablePayload(
+          docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id"),
+        "doc_id", "payload", nBins = 16),
+      "doc_id", nBins = 16)
+
   /** REAL image resize end to end: decode (PNG or JPEG) → nearest-neighbor
     * resample to 16×16 → re-encode as a genuine PNG → decode THAT back
     * through [[graft.pipeline.Multimodal.pngPixelStats]]. The oracle
@@ -3563,6 +3577,7 @@ object SparkEntry {
     "q_audio_features" -> qAudioFeatures _,
     "q_audio_sequency" -> qAudioSequency _,
     "q_audio_decimate" -> qAudioDecimate _,
+    "q_hist_equalize" -> qHistEqualize _,
     "q_frame_plan" -> qFramePlan _,
     "q_frame_sample" -> qFrameSample _,
     "q_media_coverage" -> qMediaCoverage _,

@@ -1164,6 +1164,29 @@ object Multimodal {
       .toDF()
   }
 
+  /** Histogram-equalization LUT over a [[pixelHistogram]] table: per
+    * image, the cumulative distribution per bin and the equalized target
+    * level lut = ⌊(nBins−1)·cdf / n⌋ — the contrast-normalization map an
+    * image-prep pass applies before perceptual hashing or training (two
+    * exposures of the same scene equalize toward the same histogram).
+    * All exact BIGINT arithmetic (counts, prefix sums, one floor
+    * division of non-negative integers — identical semantics in any
+    * engine); the per-image window runs over ≤ nBins rows, a bounded
+    * post-aggregate step, never pixels.
+    * Output: (idCol, bin, cnt, cdf, lut). */
+  def histEqualization(hist: DataFrame, idCol: String,
+      nBins: Int = 16): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("bin"))
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+    hist
+      .withColumn("cdf", sum(col("cnt")).over(wOrd))
+      .withColumn("__n", sum(col("cnt")).over(wTot))
+      .withColumn("lut", expr(s"(${nBins - 1} * cdf) div __n"))
+      .select(col(idCol), col("bin"), col("cnt"), col("cdf"), col("lut"))
+  }
+
   /** Feature extraction over the payload column via `mapPartitions` — rows
     * stream through in executor-sized batches. Decodable payloads (PNG /
     * baseline JPEG / MJPEG-AVI / PCM WAV) get REAL content features: the
