@@ -4660,6 +4660,24 @@ object OracleSql {
     // PMI replay: zipped unnest of the two token slices makes the bigram
     // table; the ln-sum form and floor(x*1e6 + 0.5) micro-units match the
     // Spark expression exactly (the BM25 discipline).
+    // Nucleus replay: same counts, rank by (count desc, token), cross-
+    // multiplied coverage test, k = uncovered prefixes + 1.
+    "q_nucleus" ->
+      s"""WITH d AS (SELECT source, $norm AS nrm FROM documents),
+         |tok AS (SELECT source, unnest(string_split(nrm, ' ')) AS t FROM d),
+         |c AS (SELECT source, t, count(*) AS c FROM tok
+         |  WHERE t <> '' GROUP BY 1, 2),
+         |r AS (SELECT source, c,
+         |  CAST(sum(c) OVER (PARTITION BY source ORDER BY c DESC, t)
+         |    AS BIGINT) AS cdf,
+         |  CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n FROM c)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+         |  max(n) AS n_tokens,
+         |  CAST(sum(CASE WHEN cdf * 100 < n * 90 THEN 1 ELSE 0 END) + 1
+         |    AS BIGINT) AS k_p,
+         |  min(CASE WHEN cdf * 100 >= n * 90 THEN cdf END) AS mass_at_k
+         |FROM r GROUP BY source""".stripMargin,
+
     "q_pmi" -> pmiSql,
     // q_stream_pmi shares it verbatim: bigram count deltas are additive
     // and fold to the identical grid; marginals are sums of the grid.

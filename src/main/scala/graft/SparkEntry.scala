@@ -2063,6 +2063,15 @@ object SparkEntry {
     graft.pipeline.Analytics.interArrival(events(s, dir), "ts",
       Seq("user_id"), tieCols = Seq("event_id"))
 
+  /** Nucleus vocabulary coverage
+    * ([[graft.pipeline.TextAnalysis.nucleusCoverage]]): per source, the
+    * smallest k types covering 90% of token mass — the template-spam /
+    * tokenizer-sizing diagnostic, all exact integers (cross-multiplied
+    * coverage test, no division). */
+  private def qNucleus(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextAnalysis.nucleusCoverage(
+      docs(s, dir), "text", "source", pPercent = 90)
+
   /** Word-bigram LM quality scoring
     * ([[graft.pipeline.TextAnalysis.lmBigramScore]]): per-doc average
     * log-prob under the add-one-smoothed corpus bigram model —
@@ -3578,6 +3587,7 @@ object SparkEntry {
     "q_audio_sequency" -> qAudioSequency _,
     "q_audio_decimate" -> qAudioDecimate _,
     "q_hist_equalize" -> qHistEqualize _,
+    "q_nucleus" -> qNucleus _,
     "q_frame_plan" -> qFramePlan _,
     "q_frame_sample" -> qFrameSample _,
     "q_media_coverage" -> qMediaCoverage _,

@@ -634,6 +634,44 @@ object TextAnalysis {
     * uniformly-distributed word keys, the one-row total broadcasts;
     * `minCount` prunes the long tail before the joins.
     * Output: (w1, w2, n_ab, n_a, n_b, pmi_mu). */
+  /** Nucleus (top-p) vocabulary coverage per group: the smallest number
+    * of distinct tokens whose combined occurrence mass reaches
+    * `pPercent`% of the group's total — the vocabulary-concentration
+    * diagnostic behind tokenizer sizing and source weighting (a source
+    * where 50 types cover 90% of tokens is template spam; natural text
+    * needs thousands). All exact integers: ranks are total-ordered by
+    * (count desc, token asc), the coverage test is the cross-multiplied
+    * `100·cdf ≥ p·total` (no division anywhere), and k is a count of
+    * uncovered prefixes + 1.
+    *
+    * Plan: token counts (map-side combinable) → ONE rank window per
+    * group over the type table (types ≪ tokens) → one aggregate.
+    * Output: (groupCol, n_types, n_tokens, k_p, mass_at_k). */
+  def nucleusCoverage(df: DataFrame, textCol: String, groupCol: String,
+      pPercent: Int = 90): DataFrame = {
+    require(pPercent >= 1 && pPercent <= 100, "pPercent in 1..100")
+    val counts = df
+      .select(col(groupCol),
+        explode(split(Dedup.normalizeText(col(textCol)), " ")).alias("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col(groupCol), col("__t"))
+      .agg(count(lit(1)).alias("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__c").desc, col("__t").asc)
+    val ranked = counts
+      .withColumn("__cdf", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).alias("n_types"),
+        max(col("__n")).alias("n_tokens"),
+        (sum(when(col("__cdf") * 100L < col("__n") * pPercent, 1L)
+          .otherwise(0L)) + 1L).alias("k_p"),
+        min(when(col("__cdf") * 100L >= col("__n") * pPercent, col("__cdf")))
+          .alias("mass_at_k"))
+  }
+
   /** Adjacent-token pairs of the normalized text, one row per bigram
     * occurrence — the shared explode behind [[pmiBigrams]] and its
     * streaming twin. Works on batch AND streaming frames (pure

@@ -2182,6 +2182,21 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(got == cases.map(_._2))
   }
 
+  test("nucleusCoverage: exact smallest-k covering the mass threshold") {
+    import spark.implicits._
+    // source s1: counts a=8, b=1, c=1 (n=10). 90% needs cdf >= 9:
+    // a alone covers 8 (<9), a+b covers 9 -> k=2, mass 9
+    val docs = Seq(
+      ("s1", "a a a a a a a a b c"),
+      ("s2", "x y")) // uniform: 90% of 2 needs cdf >= 1.8 -> both -> k=2
+      .toDF("source", "text")
+    val got = TextAnalysis.nucleusCoverage(docs, "text", "source", 90)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("s1") == ((3L, 10L, 2L, 9L)))
+    assert(got("s2") == ((2L, 2L, 2L, 2L)))
+  }
+
   test("keywordsPerDoc surfaces each doc's distinctive terms above shared " +
       "vocabulary") {
     import spark.implicits._
