@@ -4660,6 +4660,32 @@ object OracleSql {
     // PMI replay: zipped unnest of the two token slices makes the bigram
     // table; the ln-sum form and floor(x*1e6 + 0.5) micro-units match the
     // Spark expression exactly (the BM25 discipline).
+    // Zipf replay: same counts and rank, ln values milli-quantized per
+    // type BEFORE the moment sums, the identical fixed-order slope.
+    "q_zipf" ->
+      s"""WITH d AS (SELECT source, $norm AS nrm FROM documents),
+         |tok AS (SELECT source, unnest(string_split(nrm, ' ')) AS t FROM d),
+         |c AS (SELECT source, t, count(*) AS c FROM tok
+         |  WHERE t <> '' GROUP BY 1, 2),
+         |r AS (SELECT source,
+         |  CAST(floor(ln(CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY c DESC, t) AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS x,
+         |  CAST(floor(ln(CAST(c AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS y
+         |  FROM c),
+         |m AS (SELECT source, count(*) AS n_types,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
+         |  FROM r GROUP BY source)
+         |SELECT source, n_types, sx, sy, sxy, sxx,
+         |  CASE WHEN n_types > 1 AND
+         |    CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
+         |    (CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS zipf_slope
+         |FROM m""".stripMargin,
+
     // Nucleus replay: same counts, rank by (count desc, token), cross-
     // multiplied coverage test, k = uncovered prefixes + 1.
     "q_nucleus" ->

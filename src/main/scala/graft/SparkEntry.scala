@@ -2072,6 +2072,13 @@ object SparkEntry {
     graft.pipeline.TextAnalysis.nucleusCoverage(
       docs(s, dir), "text", "source", pPercent = 90)
 
+  /** Zipf slope ([[graft.pipeline.TextAnalysis.zipfSlope]]): the log-log
+    * frequency-vs-rank OLS slope per source — the power-law diagnostic
+    * (natural text ≈ −1), milli-quantized ln moments in exact BIGINTs,
+    * scale-invariant fixed-order slope. */
+  private def qZipf(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextAnalysis.zipfSlope(docs(s, dir), "text", "source")
+
   /** Word-bigram LM quality scoring
     * ([[graft.pipeline.TextAnalysis.lmBigramScore]]): per-doc average
     * log-prob under the add-one-smoothed corpus bigram model —
@@ -3588,6 +3595,7 @@ object SparkEntry {
     "q_audio_decimate" -> qAudioDecimate _,
     "q_hist_equalize" -> qHistEqualize _,
     "q_nucleus" -> qNucleus _,
+    "q_zipf" -> qZipf _,
     "q_frame_plan" -> qFramePlan _,
     "q_frame_sample" -> qFrameSample _,
     "q_media_coverage" -> qMediaCoverage _,

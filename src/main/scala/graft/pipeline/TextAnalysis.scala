@@ -672,6 +672,50 @@ object TextAnalysis {
           .alias("mass_at_k"))
   }
 
+  /** Zipf slope per group: the log-log OLS slope of type frequency vs
+    * rank — the power-law diagnostic (natural language sits near −1;
+    * template spam and synthetic text bend flat or cliff). Each type
+    * contributes (x, y) = (ln rank, ln count) QUANTIZED to exact integer
+    * milli-units (floor(x·10³ + 0.5) — the PMI/BM25 ln discipline, so
+    * the moment sums are order-free BIGINTs), and the slope
+    * (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) is a fixed-order double
+    * composition — scale-invariant, so the milli-quantization cancels
+    * out of the slope itself. Rank is total-ordered by
+    * (count desc, token asc); groups with < 2 types emit null.
+    *
+    * Plan: token counts → one rank window per group over the TYPE table
+    * (types ≪ tokens) → one map-side-combinable moment aggregate.
+    * Output: (groupCol, n_types, sx, sy, sxy, sxx, zipf_slope). */
+  def zipfSlope(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val counts = df
+      .select(col(groupCol),
+        explode(split(Dedup.normalizeText(col(textCol)), " ")).alias("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col(groupCol), col("__t"))
+      .agg(count(lit(1)).alias("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__c").desc, col("__t").asc)
+    def mQ(c: Column): Column =
+      floor(log(c.cast(DoubleType)) * 1e3 + 0.5).cast(LongType)
+    val xy = counts
+      .withColumn("__r", row_number().over(w).cast(LongType))
+      .select(col(groupCol), mQ(col("__r")).alias("__x"),
+        mQ(col("__c")).alias("__y"))
+    val m = xy.groupBy(col(groupCol))
+      .agg(count(lit(1)).alias("n_types"),
+        sum(col("__x")).alias("sx"), sum(col("__y")).alias("sy"),
+        sum(col("__x") * col("__y")).alias("sxy"),
+        sum(col("__x") * col("__x")).alias("sxx"))
+    def d(c: Column) = c.cast(DoubleType)
+    val denom = d(col("n_types")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    m.withColumn("zipf_slope",
+      when(col("n_types") > 1 && denom =!= 0.0,
+        (d(col("n_types")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+          / denom))
+  }
+
   /** Adjacent-token pairs of the normalized text, one row per bigram
     * occurrence — the shared explode behind [[pmiBigrams]] and its
     * streaming twin. Works on batch AND streaming frames (pure

@@ -2182,6 +2182,26 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(got == cases.map(_._2))
   }
 
+  test("zipfSlope recovers the exponent of a synthetic power law") {
+    import spark.implicits._
+    // counts c(r) = round(1000 / r): a near-perfect slope -1 law over
+    // 20 types; tokens expanded so the operator counts them itself
+    val words = (1 to 20).flatMap { r =>
+      val c = math.round(1000.0 / r).toInt
+      Seq.fill(c)(s"w$r")
+    }
+    val doc = Seq(("s", words.mkString(" "))).toDF("source", "text")
+    val r = TextAnalysis.zipfSlope(doc, "text", "source").collect().head
+    val slope = r.getDouble(r.fieldIndex("zipf_slope"))
+    assert(math.abs(slope - (-1.0)) < 0.01, s"slope $slope")
+    assert(r.getLong(r.fieldIndex("n_types")) == 20L)
+    // flat distribution: y constant -> slope exactly 0 (sxy*n == sx*sy)
+    val flat = Seq(("f", (1 to 10).map(i => s"u$i u$i").mkString(" ")))
+      .toDF("source", "text")
+    val rf = TextAnalysis.zipfSlope(flat, "text", "source").collect().head
+    assert(rf.getDouble(rf.fieldIndex("zipf_slope")) == 0.0)
+  }
+
   test("nucleusCoverage: exact smallest-k covering the mass threshold") {
     import spark.implicits._
     // source s1: counts a=8, b=1, c=1 (n=10). 90% needs cdf >= 9:
