@@ -4382,6 +4382,26 @@ object OracleSql {
     // Mojibake replay: the same RE2∩Java \x{…} classes via
     // regexp_extract_all, the injected corruption restated through chr()
     // codepoint concatenation (no literal-encoding ambiguity in the SQL)
+    // Normalization-QA replay: the same injection restated through chr()
+    // codepoints, the same RE2-subset classes.
+    "q_normalization_qa" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN text || ' cafe' || chr(769) ||
+        |    ' ' || chr(65313) || ' a' || chr(8203) || 'b'
+        |  ELSE text END AS tx
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(tx, '[\x{0300}-\x{036F}]')) AS BIGINT)
+        |    AS n_combining,
+        |  CAST(len(regexp_extract_all(tx, '[\x{FF01}-\x{FF5E}]')) AS BIGINT)
+        |    AS n_fullwidth,
+        |  CAST(len(regexp_extract_all(tx, '[\x{200B}-\x{200D}\x{FEFF}]'))
+        |    AS BIGINT) AS n_zero_width
+        |  FROM t)
+        |SELECT doc_id, n_combining, n_fullwidth, n_zero_width,
+        |  n_combining + n_fullwidth + n_zero_width = 0 AS norm_ok
+        |FROM c""".stripMargin,
+
     "q_mojibake" ->
       """WITH t AS (SELECT doc_id,
         |  CASE WHEN doc_id % 7 = 0 THEN text || ' caf' || chr(195) ||

@@ -1760,6 +1760,20 @@ object SparkEntry {
     * â€™, a replacement char, a BEL control — each restated by the
     * oracle's chr() concat), so both the clean and corrupted paths of
     * every counter are oracle-exercised. */
+  /** Unicode-normalization QA
+    * ([[graft.pipeline.TextAnalysis.normalizationSignals]]): NFD
+    * combining marks, fullwidth forms and zero-width characters — the
+    * q_mojibake convention: a deterministic injection on every 9th doc
+    * (NFD "e"+U+0301, a fullwidth Ａ, a ZWSP) so both clean and dirty
+    * paths of every counter are oracle-gated. */
+  private def qNormalizationQa(s: SparkSession, dir: String): DataFrame = {
+    val bad = concat(col("text"),
+      lit(" cafe\u0301 \uFF21 a\u200Bb"))
+    val t = when(col("doc_id") % 9 === 0, bad).otherwise(col("text"))
+    docs(s, dir).select(
+      (col("doc_id") +: TextAnalysis.normalizationSignals(t)): _*)
+  }
+
   private def qMojibake(s: SparkSession, dir: String): DataFrame = {
     val bad = concat(col("text"),
       lit(" caf\u00C3\u00A9 \u00E2\u0080\u0099 x\uFFFD \u0007"))
@@ -3596,6 +3610,7 @@ object SparkEntry {
     "q_hist_equalize" -> qHistEqualize _,
     "q_nucleus" -> qNucleus _,
     "q_zipf" -> qZipf _,
+    "q_normalization_qa" -> qNormalizationQa _,
     "q_frame_plan" -> qFramePlan _,
     "q_frame_sample" -> qFrameSample _,
     "q_media_coverage" -> qMediaCoverage _,

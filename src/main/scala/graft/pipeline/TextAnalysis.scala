@@ -289,6 +289,26 @@ object TextAnalysis {
       (nRepl + nC1 + nMoji + nCtrl === 0L).alias("encoding_ok"))
   }
 
+  /** Unicode-normalization signals — the NFC/NFD and invisible-character
+    * QA pass next to [[encodingSignals]]' byte-level checks: combining
+    * diacritical marks (U+0300–036F — their presence on Latin text means
+    * the doc is NFD-decomposed and will MISS exact/hash dedup against
+    * its NFC twin), fullwidth forms (U+FF01–FF5E — visually-identical
+    * variants that evade token matching), and zero-width characters
+    * (ZWSP/ZWNJ/ZWJ/BOM — invisible dedup poison and a known
+    * watermarking channel). Pure per-row regex algebra in the
+    * Java/DuckDB common subset; `norm_ok` = none present. */
+  def normalizationSignals(text: Column): Seq[Column] = {
+    def cnt(pat: String): Column =
+      regexp_count(text, lit(pat)).cast(LongType)
+    val nComb = cnt("[\\x{0300}-\\x{036F}]")
+    val nFull = cnt("[\\x{FF01}-\\x{FF5E}]")
+    val nZw = cnt("[\\x{200B}-\\x{200D}\\x{FEFF}]")
+    Seq(nComb.alias("n_combining"), nFull.alias("n_fullwidth"),
+      nZw.alias("n_zero_width"),
+      (nComb + nFull + nZw === 0L).alias("norm_ok"))
+  }
+
   /** Content fingerprint: md5 of the normalized text (lowercase, alnum+space,
     * collapsed whitespace) — stable under formatting changes. */
   def fingerprint(text: Column): Column = md5(Dedup.normalizeText(text))

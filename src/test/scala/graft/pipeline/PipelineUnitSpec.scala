@@ -2182,6 +2182,25 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(got == cases.map(_._2))
   }
 
+  test("normalizationSignals counts NFD marks, fullwidth forms, and " +
+      "zero-width characters exactly") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "plain ascii"),
+      (2L, "café posée"),       // two combining acutes
+      (3L, "half \uFF21\uFF22 width"), // two fullwidth letters
+      (4L, "a\u200Bb\u200Dc\uFEFF")) // ZWSP + ZWJ + BOM
+      .toDF("doc_id", "text")
+    val got = rows.select(
+      (col("doc_id") +: TextAnalysis.normalizationSignals(col("text"))): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got(1L) == ((0L, 0L, 0L, true)))
+    assert(got(2L) == ((2L, 0L, 0L, false)))
+    assert(got(3L) == ((0L, 2L, 0L, false)))
+    assert(got(4L) == ((0L, 0L, 3L, false)))
+  }
+
   test("zipfSlope recovers the exponent of a synthetic power law") {
     import spark.implicits._
     // counts c(r) = round(1000 / r): a near-perfect slope -1 law over
