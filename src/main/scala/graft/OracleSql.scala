@@ -1058,6 +1058,30 @@ object OracleSql {
         |SELECT doc_id, CAST(bin AS INT) AS bin, CAST(sum(cnt) AS BIGINT) AS cnt
         |FROM u GROUP BY doc_id, bin""".stripMargin
 
+  private lazy val zipfSql: String =
+    s"""WITH d AS (SELECT source, $norm AS nrm FROM documents),
+         |tok AS (SELECT source, unnest(string_split(nrm, ' ')) AS t FROM d),
+         |c AS (SELECT source, t, count(*) AS c FROM tok
+         |  WHERE t <> '' GROUP BY 1, 2),
+         |r AS (SELECT source,
+         |  CAST(floor(ln(CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY c DESC, t) AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS x,
+         |  CAST(floor(ln(CAST(c AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS y
+         |  FROM c),
+         |m AS (SELECT source, count(*) AS n_types,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
+         |  FROM r GROUP BY source)
+         |SELECT source, n_types, sx, sy, sxy, sxx,
+         |  CASE WHEN n_types > 1 AND
+         |    CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
+         |    (CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS zipf_slope
+         |FROM m""".stripMargin
+
   private lazy val keywordsSql: String =
     s"""WITH d AS (SELECT doc_id, $norm AS nrm FROM documents),
          |tok AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS term FROM d),
@@ -4682,29 +4706,10 @@ object OracleSql {
     // Spark expression exactly (the BM25 discipline).
     // Zipf replay: same counts and rank, ln values milli-quantized per
     // type BEFORE the moment sums, the identical fixed-order slope.
-    "q_zipf" ->
-      s"""WITH d AS (SELECT source, $norm AS nrm FROM documents),
-         |tok AS (SELECT source, unnest(string_split(nrm, ' ')) AS t FROM d),
-         |c AS (SELECT source, t, count(*) AS c FROM tok
-         |  WHERE t <> '' GROUP BY 1, 2),
-         |r AS (SELECT source,
-         |  CAST(floor(ln(CAST(row_number() OVER (PARTITION BY source
-         |    ORDER BY c DESC, t) AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS x,
-         |  CAST(floor(ln(CAST(c AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS y
-         |  FROM c),
-         |m AS (SELECT source, count(*) AS n_types,
-         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         |  CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
-         |  FROM r GROUP BY source)
-         |SELECT source, n_types, sx, sy, sxy, sxx,
-         |  CASE WHEN n_types > 1 AND
-         |    CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
-         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
-         |    (CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
-         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-         |    (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
-         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS zipf_slope
-         |FROM m""".stripMargin,
+    "q_zipf" -> zipfSql,
+    // q_stream_zipf shares it verbatim: token count deltas are additive
+    // and fold to the identical type table.
+    "q_stream_zipf" -> zipfSql,
 
     // Nucleus replay: same counts, rank by (count desc, token), cross-
     // multiplied coverage test, k = uncovered prefixes + 1.

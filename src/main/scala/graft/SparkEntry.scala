@@ -2743,6 +2743,25 @@ object SparkEntry {
     Retrieval.keywordsPerDoc(postings, "doc_id", k = 5)
   }
 
+  /** Streaming Zipf: (source, token) count DELTAS from the ingest stream
+    * (pairCountDeltas — stateless, tokens arrive inside whole docs),
+    * folded to the exact type table and finished by the shared
+    * [[graft.pipeline.TextAnalysis.zipfFromCounts]] tail — the power-law
+    * diagnostic stays current as a crawl streams in; shares q_zipf's
+    * oracle verbatim. */
+  private def qStreamZipf(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val toks = docsStream(s, dir).select(col("source"),
+      explode(split(Dedup.normalizeText(col("text")), " ")).alias("t"))
+      .filter(col("t") =!= "")
+    val deltas = graft.streaming.StreamingTSDF.pairCountDeltas(
+      toks, col("source"), col("t"))
+    val counts = runStream(s, deltas)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).alias("__c"))
+      .select(col("w1").alias("source"), col("w2").alias("__t"), col("__c"))
+    graft.pipeline.TextAnalysis.zipfFromCounts(counts, "source")
+  }
+
   /** Streaming trailing-7-day WAU via the KMV changelog: per-DAY running
     * k-min sets stream through [[graft.streaming.StreamingTSDF.kmvMins]]
     * (day = the series key), and the batch trailing merge
@@ -3611,6 +3630,7 @@ object SparkEntry {
     "q_nucleus" -> qNucleus _,
     "q_zipf" -> qZipf _,
     "q_normalization_qa" -> qNormalizationQa _,
+    "q_stream_zipf" -> qStreamZipf _,
     "q_frame_plan" -> qFramePlan _,
     "q_frame_sample" -> qFrameSample _,
     "q_media_coverage" -> qMediaCoverage _,

@@ -714,6 +714,15 @@ object TextAnalysis {
       .filter(col("__t") =!= "")
       .groupBy(col(groupCol), col("__t"))
       .agg(count(lit(1)).alias("__c"))
+    zipfFromCounts(counts, groupCol)
+  }
+
+  /** The [[zipfSlope]] tail over an already-counted
+    * (groupCol, __t, __c) type table — the shape a folded streaming
+    * [[graft.streaming.StreamingTSDF.pairCountDeltas]] sink arrives in
+    * (token counts are additive, so the fold lands on identical
+    * integers and the slope matches bit-for-bit). */
+  def zipfFromCounts(counts: DataFrame, groupCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col("__c").desc, col("__t").asc)
