@@ -1058,6 +1058,22 @@ object OracleSql {
         |SELECT doc_id, CAST(bin AS INT) AS bin, CAST(sum(cnt) AS BIGINT) AS cnt
         |FROM u GROUP BY doc_id, bin""".stripMargin
 
+  private lazy val nucleusSql: String =
+    s"""WITH d AS (SELECT source, $norm AS nrm FROM documents),
+         |tok AS (SELECT source, unnest(string_split(nrm, ' ')) AS t FROM d),
+         |c AS (SELECT source, t, count(*) AS c FROM tok
+         |  WHERE t <> '' GROUP BY 1, 2),
+         |r AS (SELECT source, c,
+         |  CAST(sum(c) OVER (PARTITION BY source ORDER BY c DESC, t)
+         |    AS BIGINT) AS cdf,
+         |  CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n FROM c)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+         |  max(n) AS n_tokens,
+         |  CAST(sum(CASE WHEN cdf * 100 < n * 90 THEN 1 ELSE 0 END) + 1
+         |    AS BIGINT) AS k_p,
+         |  min(CASE WHEN cdf * 100 >= n * 90 THEN cdf END) AS mass_at_k
+         |FROM r GROUP BY source""".stripMargin
+
   private lazy val zipfSql: String =
     s"""WITH d AS (SELECT source, $norm AS nrm FROM documents),
          |tok AS (SELECT source, unnest(string_split(nrm, ' ')) AS t FROM d),
@@ -4713,21 +4729,9 @@ object OracleSql {
 
     // Nucleus replay: same counts, rank by (count desc, token), cross-
     // multiplied coverage test, k = uncovered prefixes + 1.
-    "q_nucleus" ->
-      s"""WITH d AS (SELECT source, $norm AS nrm FROM documents),
-         |tok AS (SELECT source, unnest(string_split(nrm, ' ')) AS t FROM d),
-         |c AS (SELECT source, t, count(*) AS c FROM tok
-         |  WHERE t <> '' GROUP BY 1, 2),
-         |r AS (SELECT source, c,
-         |  CAST(sum(c) OVER (PARTITION BY source ORDER BY c DESC, t)
-         |    AS BIGINT) AS cdf,
-         |  CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n FROM c)
-         |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
-         |  max(n) AS n_tokens,
-         |  CAST(sum(CASE WHEN cdf * 100 < n * 90 THEN 1 ELSE 0 END) + 1
-         |    AS BIGINT) AS k_p,
-         |  min(CASE WHEN cdf * 100 >= n * 90 THEN cdf END) AS mass_at_k
-         |FROM r GROUP BY source""".stripMargin,
+    "q_nucleus" -> nucleusSql,
+    // q_stream_nucleus shares it verbatim: same additive count fold.
+    "q_stream_nucleus" -> nucleusSql,
 
     "q_pmi" -> pmiSql,
     // q_stream_pmi shares it verbatim: bigram count deltas are additive

@@ -2762,6 +2762,24 @@ object SparkEntry {
     graft.pipeline.TextAnalysis.zipfFromCounts(counts, "source")
   }
 
+  /** Streaming nucleus coverage: the same stateless (source, token)
+    * count-delta fold as q_stream_zipf, finished by the shared
+    * [[graft.pipeline.TextAnalysis.nucleusFromCounts]] tail — the
+    * vocabulary-concentration gate stays current on ingest; shares
+    * q_nucleus' oracle verbatim. */
+  private def qStreamNucleus(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val toks = docsStream(s, dir).select(col("source"),
+      explode(split(Dedup.normalizeText(col("text")), " ")).alias("t"))
+      .filter(col("t") =!= "")
+    val deltas = graft.streaming.StreamingTSDF.pairCountDeltas(
+      toks, col("source"), col("t"))
+    val counts = runStream(s, deltas)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).alias("__c"))
+      .select(col("w1").alias("source"), col("w2").alias("__t"), col("__c"))
+    graft.pipeline.TextAnalysis.nucleusFromCounts(counts, "source", 90)
+  }
+
   /** Streaming trailing-7-day WAU via the KMV changelog: per-DAY running
     * k-min sets stream through [[graft.streaming.StreamingTSDF.kmvMins]]
     * (day = the series key), and the batch trailing merge
@@ -3631,6 +3649,7 @@ object SparkEntry {
     "q_zipf" -> qZipf _,
     "q_normalization_qa" -> qNormalizationQa _,
     "q_stream_zipf" -> qStreamZipf _,
+    "q_stream_nucleus" -> qStreamNucleus _,
     "q_frame_plan" -> qFramePlan _,
     "q_frame_sample" -> qFrameSample _,
     "q_media_coverage" -> qMediaCoverage _,

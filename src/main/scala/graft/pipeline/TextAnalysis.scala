@@ -669,13 +669,21 @@ object TextAnalysis {
     * Output: (groupCol, n_types, n_tokens, k_p, mass_at_k). */
   def nucleusCoverage(df: DataFrame, textCol: String, groupCol: String,
       pPercent: Int = 90): DataFrame = {
-    require(pPercent >= 1 && pPercent <= 100, "pPercent in 1..100")
     val counts = df
       .select(col(groupCol),
         explode(split(Dedup.normalizeText(col(textCol)), " ")).alias("__t"))
       .filter(col("__t") =!= "")
       .groupBy(col(groupCol), col("__t"))
       .agg(count(lit(1)).alias("__c"))
+    nucleusFromCounts(counts, groupCol, pPercent)
+  }
+
+  /** The [[nucleusCoverage]] tail over an already-counted
+    * (groupCol, __t, __c) type table — the folded streaming
+    * pairCountDeltas shape, same as [[zipfFromCounts]]. */
+  def nucleusFromCounts(counts: DataFrame, groupCol: String,
+      pPercent: Int): DataFrame = {
+    require(pPercent >= 1 && pPercent <= 100, "pPercent in 1..100")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col("__c").desc, col("__t").asc)
