@@ -2080,6 +2080,22 @@ object OracleSql {
          |  FROM s)
          |SELECT anchor_id, CAST(rn AS BIGINT) AS "rank", negative_id, cosine FROM r WHERE rn <= 3""".stripMargin,
 
+    // Embedding-contamination replay: eval (vec_id < 20) vs the rest,
+    // same cosine arithmetic, exact hit counts at tau = 0.999.
+    "q_embed_contamination" ->
+      s"""WITH q AS (SELECT vec_id, $qv AS q FROM embeddings),
+         |p AS (SELECT a.vec_id AS eval_id,
+         |  ${cosSql("a.q", "b.q")} AS c
+         |  FROM (SELECT * FROM q WHERE vec_id < 20) a
+         |  CROSS JOIN (SELECT * FROM q WHERE vec_id >= 20) b
+         |  WHERE a.vec_id <> b.vec_id)
+         |SELECT eval_id,
+         |  CAST(sum(CASE WHEN c >= 0.999 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hits,
+         |  max(c) AS max_cosine,
+         |  sum(CASE WHEN c >= 0.999 THEN 1 ELSE 0 END) > 0 AS contaminated
+         |FROM p GROUP BY eval_id""".stripMargin,
+
     // Positive-pair replay: same chain with label EQUALITY (self excluded).
     "q_positive_pairs" ->
       s"""WITH q AS (SELECT vec_id, label, $qv AS q FROM embeddings),

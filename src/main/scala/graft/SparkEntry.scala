@@ -969,6 +969,20 @@ object SparkEntry {
       .select(col("vec_id") +: (0 until 8).map(i => col(s"pc$i")): _*)
   }
 
+  /** Embedding-space eval contamination
+    * ([[graft.pipeline.Similarity.embeddingContamination]]): the
+    * semantic decontamination gate — eval = the bounded vec_id < 20
+    * set, corpus = the rest, τ = 0.999 (near-duplicates); exact hit
+    * counts + max cosine per eval vector. */
+  private def qEmbedContamination(s: SparkSession, dir: String): DataFrame = {
+    val d = quantized(s, dir)
+    Similarity.embeddingContamination(
+      d.filter(col("vec_id") < 20), d.filter(col("vec_id") >= 20),
+      "vec_id", "q", tau = 0.999)
+      .select(col("eval_id"), col("n_hits"), col("max_cosine"),
+        col("contaminated"))
+  }
+
   /** Positive-pair mining ([[graft.pipeline.Similarity.positivePairs]]):
     * per anchor, the 3 most-similar SAME-label embeddings (self
     * excluded) — the paraphrase/positive side of the contrastive pair
@@ -3479,6 +3493,7 @@ object SparkEntry {
     "q_ann_topk" -> qAnnTopk _,
     "q_hard_negatives" -> qHardNegatives _,
     "q_positive_pairs" -> qPositivePairs _,
+    "q_embed_contamination" -> qEmbedContamination _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_multiprobe" -> qAnnMultiprobe _,
     "q_ann_ivf" -> qAnnIvf _,

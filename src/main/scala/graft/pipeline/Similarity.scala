@@ -83,6 +83,33 @@ object Similarity {
     labeledTopK(anchors, corpus, idCol, vecCol, labelCol, k,
       sameLabel = false, "negative_id")
 
+  /** Embedding-space eval contamination: for every EVAL vector, whether
+    * any corpus vector exceeds cosine `tau` — the SEMANTIC side of
+    * decontamination (the n-gram span check catches verbatim leaks;
+    * paraphrased eval items only surface in embedding space). Eval sets
+    * are small by definition, so the eval side broadcasts and the
+    * corpus is scanned ONCE with a per-eval running aggregate — never
+    * an all-pairs shuffle. Emits exact hit counts and the max cosine
+    * per eval id.
+    * Output: (eval_id, n_hits, max_cosine, contaminated). */
+  def embeddingContamination(eval: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame = {
+    val q = eval.select(col(idCol).alias("eval_id"),
+      asDouble(col(vecCol)).alias("__qv"))
+      .withColumn("__qn", l2norm(col("__qv")))
+    val c = corpus.select(col(idCol).alias("__cid"),
+      asDouble(col(vecCol)).alias("__cv"))
+      .withColumn("__cn", l2norm(col("__cv")))
+    val sim = dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))
+    broadcast(q).crossJoin(c)
+      .filter(col("eval_id") =!= col("__cid"))
+      .withColumn("__cos", sim)
+      .groupBy(col("eval_id"))
+      .agg(sum(when(col("__cos") >= tau, 1L).otherwise(0L)).alias("n_hits"),
+        max(col("__cos")).alias("max_cosine"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** Positive-pair mining — the same-label twin of [[hardNegatives]]:
     * per anchor, the top-k most-similar OTHER vectors sharing its label
     * (paraphrase/duplicate candidates, the positives of a contrastive
