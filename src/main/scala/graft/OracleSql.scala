@@ -2080,6 +2080,22 @@ object OracleSql {
          |  FROM s)
          |SELECT anchor_id, CAST(rn AS BIGINT) AS "rank", negative_id, cosine FROM r WHERE rn <= 3""".stripMargin,
 
+    // Embedding-QA replay: same quantized vectors, exact fold arithmetic.
+    "q_embed_qa" ->
+      s"""WITH v AS (SELECT vec_id, $qv AS q FROM embeddings)
+         |SELECT vec_id,
+         |  CAST(list_sum(list_transform(q,
+         |    x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT)
+         |    AS norm_sq,
+         |  CAST(len(list_filter(q, x -> x = 0)) AS BIGINT) AS n_zero,
+         |  CAST(list_max(list_transform(q,
+         |    x -> abs(CAST(x AS BIGINT)))) AS BIGINT) AS max_abs,
+         |  list_sum(list_transform(q,
+         |    x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) > 0
+         |    AND list_max(list_transform(q, x -> abs(CAST(x AS BIGINT))))
+         |      <= 1000000 AS embed_ok
+         |FROM v""".stripMargin,
+
     // Embedding-contamination replay: eval (vec_id < 20) vs the rest,
     // same cosine arithmetic, exact hit counts at tau = 0.999.
     "q_embed_contamination" ->

@@ -969,6 +969,12 @@ object SparkEntry {
       .select(col("vec_id") +: (0 until 8).map(i => col(s"pc$i")): _*)
   }
 
+  /** Embedding QA ([[graft.pipeline.Similarity.embeddingQa]]): per
+    * vector, exact squared norm / zero count / max |component| — the
+    * degenerate-embedding gate before indexing. */
+  private def qEmbedQa(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingQa(quantized(s, dir), "vec_id", "q")
+
   /** Embedding-space eval contamination
     * ([[graft.pipeline.Similarity.embeddingContamination]]): the
     * semantic decontamination gate — eval = the bounded vec_id < 20
@@ -3494,6 +3500,7 @@ object SparkEntry {
     "q_hard_negatives" -> qHardNegatives _,
     "q_positive_pairs" -> qPositivePairs _,
     "q_embed_contamination" -> qEmbedContamination _,
+    "q_embed_qa" -> qEmbedQa _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_multiprobe" -> qAnnMultiprobe _,
     "q_ann_ivf" -> qAnnIvf _,

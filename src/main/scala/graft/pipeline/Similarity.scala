@@ -83,6 +83,27 @@ object Similarity {
     labeledTopK(anchors, corpus, idCol, vecCol, labelCol, k,
       sameLabel = false, "negative_id")
 
+  /** Per-vector embedding QA: exact squared norm, zero-component count,
+    * and max |component| on the integer-quantized vectors — the
+    * degenerate-embedding gate (all-zero vectors from failed encodes,
+    * collapsed norms from a bad checkpoint, exploded components from
+    * overflow) run before any vector enters an index or a training set.
+    * Pure column algebra over one scan; `ok` = non-zero norm AND max
+    * component under `maxAbs`.
+    * Output: (idCol, norm_sq, n_zero, max_abs, embed_ok). */
+  def embeddingQa(df: DataFrame, idCol: String, vecCol: String,
+      maxAbs: Long = 1000000L): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast(LongType))
+    df.select(col(idCol), v.alias("__v"))
+      .select(col(idCol),
+        aggregate(col("__v"), lit(0L), (s, x) => s + x * x).alias("norm_sq"),
+        size(filter(col("__v"), _ === 0L)).cast(LongType).alias("n_zero"),
+        aggregate(col("__v"), lit(0L),
+          (m, x) => greatest(m, abs(x))).alias("max_abs"))
+      .withColumn("embed_ok",
+        col("norm_sq") > 0L && col("max_abs") <= maxAbs)
+  }
+
   /** Embedding-space eval contamination: for every EVAL vector, whether
     * any corpus vector exceeds cosine `tau` — the SEMANTIC side of
     * decontamination (the n-gram span check catches verbatim leaks;
