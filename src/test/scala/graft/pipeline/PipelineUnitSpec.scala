@@ -2221,6 +2221,35 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(rf.getDouble(rf.fieldIndex("zipf_slope")) == 0.0)
   }
 
+  test("embeddingQa flags zero vectors and exploded components exactly") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(3L, -4L, 0L)),        // norm_sq 25, one zero, max 4
+      (2L, Seq(0L, 0L, 0L)),         // all-zero -> not ok
+      (3L, Seq(2000000L, 1L, 1L)))   // exploded component -> not ok
+      .toDF("vec_id", "q")
+    val got = Similarity.embeddingQa(rows, "vec_id", "q")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got(1L) == ((25L, 1L, 4L, true)))
+    assert(got(2L) == ((0L, 3L, 0L, false)))
+    assert(got(3L)._4 == false && got(3L)._3 == 2000000L)
+  }
+
+  test("embeddingContamination counts only above-threshold corpus hits") {
+    import spark.implicits._
+    val eval = Seq((1L, Seq(100.0, 0.0))).toDF("vec_id", "q")
+    val corpus = Seq(
+      (10L, Seq(200.0, 0.0)),   // cosine 1.0 -> hit
+      (11L, Seq(100.0, 1.0)),   // cosine ~0.99995 -> hit at 0.999
+      (12L, Seq(0.0, 50.0)))    // cosine 0 -> miss
+      .toDF("vec_id", "q")
+    val r = Similarity.embeddingContamination(
+      eval, corpus, "vec_id", "q", tau = 0.999).collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 1.0 && r.getBoolean(3))
+  }
+
   test("nucleusCoverage: exact smallest-k covering the mass threshold") {
     import spark.implicits._
     // source s1: counts a=8, b=1, c=1 (n=10). 90% needs cdf >= 9:
