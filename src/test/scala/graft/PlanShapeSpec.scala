@@ -541,6 +541,11 @@ class PlanShapeSpec extends SparkTestBase {
     // the group-limit insertion on that shape (full-outer join child),
     // and it cannot matter — both inputs are top-k lists, ≤ 2k rows per
     // query by construction, so the per-query sort is over a bounded set.
+    // 8. keywordsPerDoc per-doc rank filter over the postings table
+    val postings = (1 to 60).map(i =>
+      (i.toLong % 10, s"term${i % 9}", (i % 4 + 1).toLong, 20L))
+      .toDF("doc_id", "term", "tf", "dl").distinct()
+    pinned(graft.pipeline.Retrieval.keywordsPerDoc(postings, "doc_id", k = 2))
   }
 
   test("KMV sketches plan zero windows: the k-min set is a bounded " +
