@@ -4836,7 +4836,8 @@ object OracleSql {
         |  CAST(sum(i * rev) AS BIGINT) AS sum_iy FROM r GROUP BY 1)
         |SELECT c_nationkey, n, sum_y, sum_iy,
         |  CASE WHEN sum_y > 0 THEN
-        |    2.0 * CAST(sum_iy AS DOUBLE) / CAST(n * sum_y AS DOUBLE)
+        |    2.0 * CAST(sum_iy AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(sum_y AS DOUBLE))
         |      - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) END AS gini
         |FROM a""".stripMargin,
 

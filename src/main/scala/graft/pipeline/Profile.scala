@@ -224,10 +224,14 @@ object Profile {
       .agg(count(lit(1)).alias("n"),
         sum(col("__y")).alias("sum_y"),
         sum(col("__i") * col("__y")).alias("sum_iy"))
+    // n·Σy multiplies in DOUBLE space: as a Long product it wraps silently
+    // past 2^63 (plausible at corpus-scale cent sums), where DuckDB's
+    // BIGINT multiply would error — a silent cross-engine divergence.
+    // Both engines' double multiply is correctly rounded, so parity holds.
     agg.withColumn("gini",
       when(col("sum_y") > 0,
         lit(2.0) * col("sum_iy").cast("double") /
-          (col("n") * col("sum_y")).cast("double") -
+          (col("n").cast("double") * col("sum_y").cast("double")) -
           (col("n") + 1L).cast("double") / col("n").cast("double")))
   }
 

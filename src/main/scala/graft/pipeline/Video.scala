@@ -362,6 +362,11 @@ object Video {
         case "stsz" =>
           if (e - b < 12 || be32(bytes, b.toInt) != 0L) return false
           val uniform = u32At(b, 1); val n = u32At(b, 2)
+          // The uniform path has no body-size bound tying n to the file, so a
+          // hostile u32 sample_count (~2^31) would otherwise drive a multi-GB
+          // Array.fill before the global nSamples gate runs. Cap BEFORE any
+          // allocation (same discipline as the JPEG SOF MaxDecodedSamples cap).
+          if (n > (1L << 20)) return false
           if (uniform != 0L) sizes = Array.fill(n.toInt)(uniform)
           else {
             if (e - b < 12 + 4 * n) return false

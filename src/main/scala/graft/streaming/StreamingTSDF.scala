@@ -1489,6 +1489,21 @@ object StreamingTSDF {
       transitions: Map[(Int, String), (Int, Boolean)],
       defaultSym: String = "o", tieCol: String = ""): DataFrame = {
     require(transitions.nonEmpty, "need a transition table")
+    // Totality is validated HERE, on the driver, before the stream starts:
+    // an unmapped (state, symbol) discovered inside flatMapGroupsWithState
+    // would kill the query mid-flight at runtime instead of failing fast.
+    // Every symbol an event can render to is alphabet.values ++ defaultSym;
+    // every reachable state is 0 plus the transition targets.
+    locally {
+      val syms = alphabet.values.toSet + defaultSym
+      val states = transitions.valuesIterator.map(_._1).toSet ++
+        transitions.keysIterator.map(_._1) + 0
+      val missing = for (s <- states; y <- syms if !transitions.contains((s, y)))
+        yield (s, y)
+      require(missing.isEmpty,
+        s"transition table not total over reachable states x symbols; " +
+          s"missing: ${missing.toSeq.sorted.take(8).mkString(", ")}")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val symOf = alphabet.toSeq.sortBy(_._1)

@@ -4426,6 +4426,17 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(Video.parseMp4Mjpeg(evilSz).isEmpty, "hostile largesize")
     assert(Video.parseMp4Mjpeg(
       Multimodal.buildMp4(600, 5000)).isEmpty, "metadata-only shell")
+    // hostile UNIFORM stsz: sample_size != 0 with a ~2^31 sample_count has
+    // no body-size bound, so without the pre-allocation cap this is a
+    // multi-GB Array.fill before any other gate runs. Must reject fast.
+    val evilUni = mp4.clone()
+    val stszI = (moov until mp4.length - 4).find(tag(_) == "stsz").get
+    evilUni(stszI + 8) = 0; evilUni(stszI + 9) = 0
+    evilUni(stszI + 10) = 0x30; evilUni(stszI + 11) = 0x39 // uniform = 12345
+    evilUni(stszI + 12) = 0x7F.toByte // count = 0x7FFFFFFF
+    evilUni(stszI + 13) = 0xFF.toByte; evilUni(stszI + 14) = 0xFF.toByte
+    evilUni(stszI + 15) = 0xFF.toByte
+    assert(Video.parseMp4Mjpeg(evilUni).isEmpty, "hostile uniform stsz count")
   }
 
   test("wide-hash KMV resolves cardinalities past the 30-bit ceiling " +

@@ -419,6 +419,26 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("patternDfa rejects a non-total transition table at construction, " +
+      "before any stream starts") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // state 1 has no mapping for the default symbol 'o' — pre-fix this only
+    // surfaced as a mid-flight sys.error on the first unmapped event.
+    val holey: Map[(Int, String), (Int, Boolean)] = Map(
+      (0, "v") -> ((1, false)), (0, "o") -> ((0, false)),
+      (1, "v") -> ((1, true)))
+    val mem = MemoryStream[(String, Timestamp, Long, String)]
+    val ex = intercept[IllegalArgumentException] {
+      StreamingTSDF.patternDfa(
+        mem.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+        "ts", Seq("user_id"), "event_type",
+        Map("view" -> "v"), holey, tieCol = "event_id")
+    }
+    assert(ex.getMessage.contains("not total"))
+  }
+
   test("property: streaming resample(mean) equals batch resample on random series") {
     val rnd = new scala.util.Random(42)
     (0 until 4).foreach { trial =>
