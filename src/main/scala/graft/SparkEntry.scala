@@ -3077,6 +3077,27 @@ object SparkEntry {
     graft.pipeline.Bpe.vocabularyReport(docs(s, dir), "text",
       bpeMerges(s, dir))
 
+  /** Byte-level BPE (GPT-2-style, the no-OOV production mode): RAW text —
+    * no normalization — pre-tokenized into alternating space / non-space
+    * runs, each run's UTF-8 bytes hex-symbolized and merged under a
+    * 200-merge table trained on the corpus's own pieces
+    * ([[graft.pipeline.Bpe.trainBytes]]). Emits BOTH the per-doc count and
+    * the full wrapped token sequence, so the oracle gates token IDENTITY,
+    * not just arithmetic; `decode(encode(x)) == x` is pinned as a property
+    * in BpeSpec (the seam char-level BPE cannot offer). */
+  private val byteBpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private def byteBpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    byteBpeMergesCache.computeIfAbsent(dir,
+      _ => graft.pipeline.Bpe.trainBytes(docs(s, dir), "text", numMerges = 200))
+
+  private def qBpeBytes(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.pipeline.Bpe.byteTable(byteBpeMerges(s, dir))
+    docs(s, dir).select(col("doc_id"),
+      graft.pipeline.Bpe.byteTokenCount(col("text"), t).alias("n_tokens"),
+      graft.pipeline.Bpe.encodeTextWrapped(col("text"), t).alias("toks"))
+  }
+
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), col("source"),
       TextAnalysis.fingerprint(col("text")).alias("fp"))
@@ -3646,6 +3667,7 @@ object SparkEntry {
     "q_temperature_mix" -> qTemperatureMix _,
     "q_token_count" -> qTokenCount _,
     "q_bpe_tokens" -> qBpeTokens _,
+    "q_bpe_bytes" -> qBpeBytes _,
     "q_stream_bpe" -> qStreamBpe _,
     "q_pack_bpe" -> qPackBpe _,
     "q_bpe_vocab" -> qBpeVocab _,
@@ -3737,6 +3759,7 @@ object SparkEntry {
          |  ${wcs.mkString(",\n  ")}
          |FROM v""".stripMargin,
       "q_bpe_tokens" -> bpeTokensOracle(s, dir),
+      "q_bpe_bytes" -> bpeBytesOracle(s, dir),
       "q_stream_bpe" -> bpeTokensOracle(s, dir),
       "q_pack_bpe" -> packBpeOracle(s, dir),
       "q_bpe_vocab" -> bpeVocabOracle(s, dir))
@@ -3772,6 +3795,36 @@ object SparkEntry {
       s"replace($acc, '|$a||$b|', '|$a$b|')"
     }
     (norm, encoded)
+  }
+
+  /** Dynamic replay of q_bpe_bytes: train the SAME 200-merge byte-level
+    * table (deterministic), then replay per distinct PIECE — pieces are the
+    * alternating space / non-space runs `regexp_extract_all(' +|[^ ]+')`
+    * yields, symbolized as `lower(hex(encode(piece)))` split into hex
+    * pairs, merged by the same wrapped-replace chain as char mode (hex
+    * symbols cannot contain `|`). The per-doc token STRING is the ordered
+    * concatenation of piece forms (piece forms concatenate to exactly the
+    * engine's joint wrapped form), the count the per-piece gap sum. */
+  private def bpeBytesOracle(s: SparkSession, dir: String): String = {
+    val merges = byteBpeMerges(s, dir)
+    val wrapped = """regexp_replace(lower(hex(encode(w))), '(..)', '|\1|', 'g')"""
+    val encoded = merges.foldLeft(wrapped) { case (acc, (a, b)) =>
+      s"replace($acc, '|$a||$b|', '|$a$b|')"
+    }
+    s"""WITH pl AS (SELECT doc_id, regexp_extract_all(text, ' +|[^ ]+') AS l
+       |            FROM documents),
+       |p AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+       |      FROM pl),
+       |dw AS (SELECT DISTINCT w FROM p),
+       |enc AS (SELECT w, $encoded AS e FROM dw),
+       |tok AS (SELECT doc_id, i, e FROM p JOIN enc USING (w)),
+       |agg AS (SELECT doc_id, string_agg(e, '' ORDER BY i) AS toks,
+       |  CAST(SUM((length(e) - length(replace(e, '||', ''))) // 2 + 1)
+       |    AS BIGINT) AS n
+       |  FROM tok GROUP BY doc_id)
+       |SELECT pl.doc_id, COALESCE(agg.toks, '') AS toks,
+       |  CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_tokens
+       |FROM pl LEFT JOIN agg USING (doc_id)""".stripMargin
   }
 
   /** Shared CTE prefix: per-doc BPE token counts under the trained table

@@ -55,11 +55,19 @@ object Bpe {
     * right asc), stop below `minPairFreq`. Merges apply as one greedy
     * left-to-right pass per word. Returns merges in rank order. */
   def trainFromWordCounts(wordFreq: Seq[(String, Long)], numMerges: Int,
-      minPairFreq: Long = 2L): Seq[(String, String)] = {
-    require(numMerges >= 0 && minPairFreq >= 1)
-    var vocab: Array[(Array[String], Long)] = wordFreq.iterator
+      minPairFreq: Long = 2L): Seq[(String, String)] =
+    trainFromSymbolized(wordFreq.iterator
       .filter(_._1.nonEmpty)
-      .map { case (w, f) => (w.toCharArray.map(String.valueOf), f) }.toArray
+      .map { case (w, f) => (w.toCharArray.map(String.valueOf), f) }.toArray,
+      numMerges, minPairFreq)
+
+  /** The merge-learning core both modes share: exact weighted adjacent-pair
+    * counts over PRE-SYMBOLIZED sequences (chars in char mode, hex byte
+    * pairs in byte mode), argmax by (count desc, left asc, right asc). */
+  def trainFromSymbolized(vocab0: Array[(Array[String], Long)],
+      numMerges: Int, minPairFreq: Long): Seq[(String, String)] = {
+    require(numMerges >= 0 && minPairFreq >= 1)
+    var vocab: Array[(Array[String], Long)] = vocab0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (merges.length < numMerges && !done) {
@@ -170,6 +178,74 @@ object Bpe {
     }
     merges.toSeq
   }
+
+  // ------------------------------------------------------ byte-level mode
+  // GPT-2-style byte-level BPE: RAW text (no normalization, no OOV path —
+  // arbitrary Unicode round-trips exactly), pre-tokenized into alternating
+  // space / non-space runs (their concatenation IS the text, which is what
+  // makes decode(encode(x)) == x a structural identity), each run's UTF-8
+  // bytes symbolized as lowercase hex pairs, then the SAME merge machinery.
+  // Hex keeps every symbol printable and SQL-replayable: the oracle
+  // symbolizes with lower(hex(encode(piece))) split into pairs and applies
+  // the identical wrapped-replace chain.
+
+  /** Bounded PIECE-frequency table for byte-mode training: pieces are the
+    * alternating space / non-space runs of the RAW text (single spaces are
+    * 1-symbol pieces and contribute no pairs). Same deterministic cap as
+    * [[wordCounts]]. */
+  def pieceCounts(df: DataFrame, textCol: String,
+      maxVocabWords: Int): DataFrame =
+    df.select(explode(regexp_extract_all(col(textCol),
+        lit(" +|[^ ]+"), lit(0))).alias("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).alias("freq"))
+      .orderBy(col("freq").desc, col("piece").asc)
+      .limit(maxVocabWords)
+
+  /** Byte-mode merge learning from a piece-frequency table: hex-symbolize
+    * each piece's UTF-8 bytes, then [[trainFromSymbolized]]. For pure-ASCII
+    * corpora with single-space separators this learns exactly the char-mode
+    * table with every symbol hex-mapped (one byte per char, space pieces
+    * pairless) — the structural parity the unit spec pins. */
+  def trainBytesFromPieceCounts(pieceFreq: Seq[(String, Long)],
+      numMerges: Int, minPairFreq: Long = 2L): Seq[(String, String)] =
+    trainFromSymbolized(
+      pieceFreq.iterator.filter(_._1.nonEmpty)
+        .map { case (p, f) => (BpeTable.byteSyms(p), f) }.toArray,
+      numMerges, minPairFreq)
+
+  /** End-to-end byte-mode training: corpus piece-count aggregate (the only
+    * corpus-scale step, map-side combinable) → bounded top-V table →
+    * driver-side merge loop. */
+  def trainBytes(df: DataFrame, textCol: String, numMerges: Int,
+      maxVocabWords: Int = 65536, minPairFreq: Long = 2L)
+      : Seq[(String, String)] = {
+    val pf = pieceCounts(df, textCol, maxVocabWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    trainBytesFromPieceCounts(pf, numMerges, minPairFreq)
+  }
+
+  /** Frozen byte-mode encode table (optionally with pass-through special
+    * tokens — matched longest-first as literals, never split or merged). */
+  def byteTable(merges: Seq[(String, String)],
+      specials: Seq[String] = Nil): BpeTable =
+    new BpeTable(merges.toArray, byteLevel = true, specials.toArray)
+
+  /** Byte-level token count of RAW text under a byte-mode table —
+    * codegen'd, no normalization, specials count one token each. The
+    * packing / mixture / curriculum seams take any tokens column, so this
+    * drops in wherever [[tokenCount]] does. */
+  def byteTokenCount(text: Column, t: BpeTable): Column =
+    org.apache.spark.sql.GraftColumns.column(
+      graft.functions.BpeCountBytes(org.apache.spark.sql.GraftColumns
+        .expression(coalesce(text, lit(""))), t))
+      .cast(LongType)
+
+  /** The whole text's byte-mode token sequence in the `|tok||…|` wrapped
+    * form — the oracle-comparable encoding (see [[graft.functions.BpeEncodeText]]). */
+  def encodeTextWrapped(text: Column, t: BpeTable): Column =
+    org.apache.spark.sql.GraftColumns.column(
+      graft.functions.BpeEncodeText(org.apache.spark.sql.GraftColumns
+        .expression(coalesce(text, lit(""))), t))
 
   /** Frozen encode table for a trained merge list. */
   def table(merges: Seq[(String, String)]): BpeTable =

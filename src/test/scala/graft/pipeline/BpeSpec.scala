@@ -119,4 +119,103 @@ class BpeSpec extends SparkTestBase {
     assert(kept.collect().toSet == kept2.collect().toSet) // deterministic
     assert(kept.filter(col("source") === "src_b").count() == 2) // 0-token docs fit
   }
+
+  test("byte mode: on a pure-ASCII single-space corpus the learned table " +
+      "is the char-mode table hex-mapped (structural parity)") {
+    def hexify(s: String): String =
+      s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+    val byteMerges = Bpe.trainBytesFromPieceCounts(fixtureCounts, 5)
+    assert(byteMerges == handMerges.map { case (a, b) => (hexify(a), hexify(b)) },
+      byteMerges.toString)
+    // single spaces are 1-symbol pieces: adding them changes nothing
+    val withSpaces = fixtureCounts :+ ((" ", 50L))
+    assert(Bpe.trainBytesFromPieceCounts(withSpaces, 5) == byteMerges)
+    // but a space RUN does pair up — ("  ", n) can learn the (20,20) merge
+    val spacy = Seq(("  ", 99L), ("ab", 2L))
+    assert(Bpe.trainBytesFromPieceCounts(spacy, 1) == Seq(("20", "20")))
+  }
+
+  test("byte mode: decode(encodeText(x)) == x on random Unicode incl. " +
+      "supplementary planes, multi-byte splits, and space runs") {
+    val corpus = Seq(("héllo wörld", 5L), ("漢字 テスト", 3L), ("abc abc", 9L))
+    val merges = Bpe.trainBytesFromPieceCounts(corpus, 40, minPairFreq = 1L)
+    assert(merges.nonEmpty)
+    val t = Bpe.byteTable(merges)
+    val alphabet = "ab é漢字𐍈 ß! 12  " // incl. surrogate pair 𐍈, nbsp
+    val cps = alphabet.codePoints().toArray
+    val rnd = new scala.util.Random(1013)
+    (0 until 200).foreach { trial =>
+      val sb = new java.lang.StringBuilder
+      (0 until rnd.nextInt(60)).foreach { _ =>
+        sb.appendCodePoint(cps(rnd.nextInt(cps.length)))
+      }
+      val x = sb.toString
+      val toks = t.encodeText(x)
+      assert(t.decodeText(toks.toSeq) == x, s"trial $trial: ${x.toList}")
+      // every token is non-empty even-length hex (no specials configured)
+      assert(toks.forall(tok => tok.nonEmpty && tok.length % 2 == 0 &&
+        tok.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))))
+      // count parity with the codegen'd counter
+      assert(t.countTokensBytes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)) ==
+        toks.length.toLong)
+      // wrapped form == the token list joined (the oracle-facing identity)
+      assert(t.encodeTextWrapped(
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)).toString ==
+        toks.map(tk => s"|$tk|").mkString)
+    }
+    // a multi-byte char CAN split across tokens and still round-trip: with
+    // zero merges every byte is its own token
+    val t0 = Bpe.byteTable(Nil)
+    val toks0 = t0.encodeText("é")
+    assert(toks0.toSeq == Seq("c3", "a9"))
+    assert(t0.decodeText(toks0.toSeq) == "é")
+  }
+
+  test("byte mode: special tokens pass through whole, longest match wins, " +
+      "round-trip preserved") {
+    val merges = Bpe.trainBytesFromPieceCounts(
+      Seq(("endoftext", 5L), ("abab", 7L)), 20, minPairFreq = 1L)
+    val t = Bpe.byteTable(merges, specials = Seq("<|endoftext|>", "<pad>"))
+    val x = "abab<|endoftext|> ab <pad><pad>x"
+    val toks = t.encodeText(x)
+    assert(toks.count(_ == "<|endoftext|>") == 1)
+    assert(toks.count(_ == "<pad>") == 2)
+    // every non-special token is hex — the special is NEVER split even
+    // though 'endoftext' itself has merges in the table
+    assert(toks.forall(tok => tok == "<|endoftext|>" || tok == "<pad>" ||
+      tok.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))))
+    assert(t.decodeText(toks.toSeq) == x)
+    assert(t.countTokensBytes(
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)) == toks.length)
+    // longest-first resolution between overlapping specials
+    val t2 = Bpe.byteTable(Nil, specials = Seq("<e>", "<e>x"))
+    val toks2 = t2.encodeText("a<e>xb")
+    assert(toks2.toSeq == Seq("61", "<e>x", "62"))
+    assert(t2.decodeText(toks2.toSeq) == "a<e>xb")
+  }
+
+  test("byte mode: byteTokenCount column over RAW text + the packing seam " +
+      "accepts the byte count") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "s", "Héllo  wörld"), // raw: case & runs preserved, 2-byte chars
+      (2L, "s", "ab"),
+      (3L, "s", ""),
+      (4L, "s", null.asInstanceOf[String])
+    ).toDF("doc_id", "source", "text")
+    val t = Bpe.byteTable(Nil) // zero merges: tokens = UTF-8 byte count
+    val counted = df.select(col("doc_id"),
+      Bpe.byteTokenCount(col("text"), t).alias("n"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // "Héllo  wörld" = 12 chars, é/ö 2 bytes each -> 14 bytes
+    assert(counted == Seq((1L, 14L), (2L, 2L), (3L, 0L), (4L, 0L)))
+    val packed = Packing.packSequencesByTokens(df,
+      Bpe.byteTokenCount(col("text"), t), "doc_id", Seq.empty, capacity = 16)
+      .orderBy("doc_id")
+      .select("doc_id", "tokens", "seq_id", "seq_off")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(packed == Seq((1L, 14L, 0L, 0L), (2L, 2L, 0L, 14L),
+      (3L, 0L, 1L, 0L), (4L, 0L, 1L, 0L)))
+  }
 }
