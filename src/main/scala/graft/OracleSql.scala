@@ -4091,6 +4091,34 @@ object OracleSql {
          |FROM co GROUP BY 1, 2, 3""".stripMargin
     },
 
+    // Fourier spectrogram replay: the O(n²) DFT per 64-sample frame over
+    // the synthesized-sample arithmetic (the engine runs its radix-2 FFT
+    // — agreeing answers cross-check the two forms); bins quantize as
+    // floor(X/256 + 0.25) (see Multimodal.wavSpectrogram for the quantum
+    // rationale), band energies are exact integer sums of rc²+ic².
+    "q_audio_spectrogram" ->
+      """WITH d AS (SELECT doc_id, 100 + doc_id % 400 AS n FROM documents),
+        |sm AS (SELECT doc_id, n, i.i AS i,
+        |  (doc_id % 251) * 7 + 11 * i.i AS raw
+        |  FROM d, range(500) i(i) WHERE i.i < n),
+        |px AS (SELECT doc_id, n, i,
+        |  CAST(raw % 65536 - 32768 AS BIGINT) AS s FROM sm),
+        |fr AS (SELECT doc_id, i // 64 AS frame_idx, list(s ORDER BY i) AS xs
+        |  FROM px WHERE i // 64 < n // 64 GROUP BY 1, 2),
+        |co AS (SELECT doc_id, frame_idx, kk.k AS k,
+        |  list_sum(list_transform(range(64), nn ->
+        |    xs[nn + 1] * cos(2 * pi() * ((kk.k * nn) % 64) / 64))) AS xr,
+        |  list_sum(list_transform(range(64), nn ->
+        |    -xs[nn + 1] * sin(2 * pi() * ((kk.k * nn) % 64) / 64))) AS xi
+        |  FROM fr, range(64) kk(k)),
+        |q AS (SELECT doc_id, frame_idx, k,
+        |  CAST(floor(xr / 256 + 0.25) AS BIGINT) AS rc,
+        |  CAST(floor(xi / 256 + 0.25) AS BIGINT) AS ic FROM co)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(k // 8 AS INT) AS band,
+        |  CAST(sum(rc * rc + ic * ic) AS BIGINT) AS band_energy_q
+        |FROM q GROUP BY 1, 2, 3""".stripMargin,
+
     // WAV PCM decode replay: sample(i) = ((id%251)*7 + 11*i) % 65536 −
     // 32768 over n = 100 + id % 400 samples; the engine must walk RIFF
     // chunks and sign-extend LE16 bytes to reproduce these sums.

@@ -3255,6 +3255,19 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload")
 
+  /** Per-frame Fourier spectrogram over the REAL RIFF→PCM decode
+    * ([[graft.pipeline.Multimodal.wavSpectrogram]]): the engine's own
+    * 64-point radix-2 FFT per frame, bins quantized floor(X/256 + 0.25)
+    * and grouped into 8 exact-integer band energies; the oracle replays
+    * the O(n²) DFT per frame from the synthesized-sample arithmetic. */
+  private def qAudioSpectrogram(s: SparkSession, dir: String): DataFrame =
+    Multimodal.wavSpectrogram(
+      Multimodal.synthesizeWavPayload(
+        docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id"),
+      "doc_id", "payload")
+
   /** REAL PROGRESSIVE-JPEG decode end to end: SOF2 multi-scan streams
     * (spectral selection + successive approximation) built by the fixture
     * encoder — the JDK writer cannot emit them — decoded through the full
@@ -3687,6 +3700,7 @@ object SparkEntry {
     "q_decode_wav" -> qDecodeWav _,
     "q_audio_features" -> qAudioFeatures _,
     "q_audio_sequency" -> qAudioSequency _,
+    "q_audio_spectrogram" -> qAudioSpectrogram _,
     "q_audio_decimate" -> qAudioDecimate _,
     "q_hist_equalize" -> qHistEqualize _,
     "q_nucleus" -> qNucleus _,

@@ -893,6 +893,65 @@ object Multimodal {
       .toDF()
   }
 
+  /** Fourier spectrogram per audio frame via the engine's own JVM FFT
+    * ([[graft.tsdf.Fourier.fft]], 64-point radix-2): the time-frequency
+    * featurization a speech/audio pipeline runs after framing — next to
+    * [[wavSequencyFeatures]]' integer-exact Walsh analog, this is the
+    * trig-basis spectrum itself. Frames are the same non-overlapping
+    * 64-sample windows; each frame's complex bins X_k quantize as
+    * floor(X/256 + 0.25) — the q_fourier bias convention, but at a
+    * 256-sample-unit quantum: the FFT groups float adds differently from
+    * an oracle's O(n²) DFT, so the two differ by ~1e-9 absolute, and at
+    * |X| ≤ 64·2¹⁵ ≈ 2e6 a cent quantum would put millions of bins within
+    * ulp reach of a floor edge — /256 keeps ~13 significant bits per bin
+    * while making an edge collision (≲1e-11 per bin) negligible; the
+    * structured bins (k = 0, 32, ±1 twiddles) are exact in BOTH engines
+    * and the bias keeps their lattice 0.25 from any edge. 8 bands of 8
+    * consecutive two-sided natural-order bins emit `band_energy_q` =
+    * Σ (rc² + ic²) — EXACT integers after quantization, bit-comparable
+    * against the DFT replay. Band 0 contains DC. Per-partition map, no
+    * shuffle; row growth 8 · n/64 per clip. Undecodable payloads drop. */
+  def wavSpectrogram(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val frameLen = 64
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame_idx", LongType),
+      StructField("band", IntegerType),
+      StructField("band_energy_q", LongType)))
+    df.select(col(idCol), col(payloadCol))
+      .mapPartitions { it =>
+        val re = new Array[Double](frameLen)
+        val im = new Array[Double](frameLen)
+        it.flatMap { r =>
+          decodeWavSamples(r.getAs[Array[Byte]](1)).toSeq.flatMap { a =>
+            val nf = a.samples.length / frameLen
+            (0 until nf).flatMap { f =>
+              var i = 0
+              while (i < frameLen) {
+                re(i) = a.samples(f * frameLen + i).toDouble
+                im(i) = 0.0
+                i += 1
+              }
+              graft.tsdf.Fourier.fft(re, im)
+              (0 until 8).map { band =>
+                var e = 0L
+                var k = band * 8
+                while (k < band * 8 + 8) {
+                  val rc = math.floor(re(k) / 256.0 + 0.25).toLong
+                  val ic = math.floor(im(k) / 256.0 + 0.25).toLong
+                  e += rc * rc + ic * ic
+                  k += 1
+                }
+                Row(r.get(0), f.toLong, band, e)
+              }
+            }
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
   /** Perceptual difference-hash (dHash — the public horizontal-gradient
     * hash) over REAL decoded pixels: integer-mean grayscale (Σch / nch),
     * [[resizeNearest]] to 9×8 (same index map as the resize operator),

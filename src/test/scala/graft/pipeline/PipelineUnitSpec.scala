@@ -4740,6 +4740,50 @@ class PipelineUnitSpec extends SparkTestBase {
     }
   }
 
+  test("wavSpectrogram matches a direct O(n²) DFT replay with the /256 " +
+      "quantization, and the unquantized transform satisfies Parseval") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ids = Seq(3L, 77L, 250L, 399L, 1016L)
+    val df = Multimodal.synthesizeWavPayload(ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.wavSpectrogram(df, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) ->
+        r.getLong(3)).toMap
+    var checked = 0
+    for (id <- ids) {
+      val n = (100 + id % 400).toInt
+      val base = (id % 251).toInt
+      val samples = Array.tabulate(n)(i => (base * 7 + 11 * i) % 65536 - 32768)
+      val nf = n / 64
+      for (f <- 0 until nf) {
+        val xs = samples.slice(f * 64, f * 64 + 64).map(_.toDouble)
+        // direct DFT — the oracle's form, independent of the butterfly
+        val xr = Array.tabulate(64) { k =>
+          (0 until 64).map(nn =>
+            xs(nn) * math.cos(2 * math.Pi * ((k * nn) % 64) / 64)).sum
+        }
+        val xi = Array.tabulate(64) { k =>
+          (0 until 64).map(nn =>
+            -xs(nn) * math.sin(2 * math.Pi * ((k * nn) % 64) / 64)).sum
+        }
+        // Parseval on the unquantized transform: Σ|X|² = 64·Σs²
+        val lhs = (0 until 64).map(k => xr(k) * xr(k) + xi(k) * xi(k)).sum
+        val rhs = 64.0 * xs.map(x => x * x).sum
+        assert(math.abs(lhs - rhs) / rhs < 1e-12, s"Parseval id=$id f=$f")
+        for (band <- 0 until 8) {
+          val e = (band * 8 until band * 8 + 8).map { k =>
+            val rc = math.floor(xr(k) / 256.0 + 0.25).toLong
+            val ic = math.floor(xi(k) / 256.0 + 0.25).toLong
+            rc * rc + ic * ic
+          }.sum
+          assert(got((id, f.toLong, band)) == e, s"id=$id f=$f band=$band")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 100) // the fixture really exercised multi-frame clips
+  }
+
   test("tCloseness: hand-computed ordered EMD plus a randomized rational " +
       "cross-check") {
     val spark2 = spark
