@@ -2432,6 +2432,35 @@ object OracleSql {
          |SELECT query_id, CAST(fr AS BIGINT) AS fused_rank, doc_id, rrf
          |FROM t WHERE fr <= 10""".stripMargin,
 
+    // TRUE hybrid RRF: the BM25 replay fused with the embedding ANN
+    // replay (bounded query-doc anchors, q_ann_topk arithmetic at k=10)
+    // through the identical fixed-order 1/(60 + rank) tail.
+    "q_rrf_hybrid" -> {
+      val qids = SparkEntry.Bm25Queries.map(_._1).mkString(", ")
+      s"""WITH ab AS (SELECT query_id, doc_id, "rank" AS ra FROM ($bm25MultiSql)),
+         |ann AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+         |  ${cosSql("a.q", "b.q")} AS cosine
+         |  FROM (SELECT vec_id, $qv AS q FROM embeddings
+         |        WHERE vec_id IN ($qids)) a
+         |  CROSS JOIN (SELECT vec_id, $qv AS q FROM embeddings) b
+         |  WHERE a.vec_id <> b.vec_id),
+         |tb AS (SELECT query_id, doc_id, rn AS rb FROM (
+         |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, doc_id ASC) AS rn FROM ann)
+         |  WHERE rn <= 10),
+         |j AS (SELECT COALESCE(ab.query_id, tb.query_id) AS query_id,
+         |  COALESCE(ab.doc_id, tb.doc_id) AS doc_id, ra, rb
+         |  FROM ab FULL OUTER JOIN tb
+         |    ON ab.query_id = tb.query_id AND ab.doc_id = tb.doc_id),
+         |sc AS (SELECT query_id, doc_id,
+         |  COALESCE(1.0 / (60.0 + CAST(ra AS DOUBLE)), 0.0) +
+         |  COALESCE(1.0 / (60.0 + CAST(rb AS DOUBLE)), 0.0) AS rrf FROM j),
+         |t AS (SELECT query_id, doc_id, rrf, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS fr FROM sc)
+         |SELECT query_id, CAST(fr AS BIGINT) AS fused_rank, doc_id, rrf
+         |FROM t WHERE fr <= 10""".stripMargin
+    },
+
     // SQ8 code-space top-k (integer distances, exact everywhere)
     "q_ann_sq8" -> annSq8Sql,
 

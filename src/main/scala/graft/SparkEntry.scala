@@ -1421,6 +1421,30 @@ object SparkEntry {
       "query_id", "doc_id")
   }
 
+  /** TRUE hybrid retrieval: RRF over the lexical BM25 list and the
+    * embedding ANN list — the standard lexical × semantic fusion (the
+    * q_rrf pair was two lexical lists). Each query in the shared batch
+    * carries a term list AND a probe embedding (its query-id'd document's
+    * vector; vec_id ≡ doc_id in the corpus), so the fused ranking merges
+    * "matches the words" with "means the same thing". Pure composition:
+    * the two gated rankers feed the same [[graft.pipeline.Retrieval
+    * .rrfFuse]]; ANN side is the bounded-anchor brute face (the IVF/LSH
+    * candidate paths drop in at scale — same (query_id, doc_id, rank)
+    * contract). */
+  private def qRrfHybrid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Bm25Queries.toDF("query_id", "terms")
+    val lex = Retrieval.bm25TopKFromIndex(postingsIndex(s, dir), "doc_id",
+      queries, "query_id", "terms", k = 10)
+    val d = quantized(s, dir)
+    val qids = Bm25Queries.map(_._1)
+    val sem = Similarity.bruteForceTopK(
+        d.filter(col("vec_id").isin(qids: _*)), d, "vec_id", "q", k = 10)
+      .select(col("query_id"), col("rank").cast(LongType).alias("rank"),
+        col("neighbor_id").alias("doc_id"))
+    Retrieval.rrfFuse(lex, sem, "query_id", "doc_id")
+  }
+
   /** Per-document keyword extraction
     * ([[graft.pipeline.Retrieval.keywordsPerDoc]]): top-5 TF-IDF terms
     * per doc off the shared postings index — document tagging, the
@@ -3555,6 +3579,7 @@ object SparkEntry {
     "q_bm25_indexed" -> qBm25Indexed _,
     "q_tfidf" -> qTfidf _,
     "q_rrf" -> qRrf _,
+    "q_rrf_hybrid" -> qRrfHybrid _,
     "q_keywords" -> qKeywords _,
     "q_stream_keywords" -> qStreamKeywords _,
     "q_ann_sq8" -> qAnnSq8 _,

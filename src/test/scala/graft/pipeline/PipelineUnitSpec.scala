@@ -2477,6 +2477,30 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(byDoc(300L) == 1.0 / 62.0)
   }
 
+  test("hybrid RRF: fusing a lexical list with a bruteForceTopK ANN list " +
+      "surfaces semantic-only matches and keeps the rank-only contract") {
+    import spark.implicits._
+    // 4 integer vectors; query = vec 0. cos(0,1) > cos(0,2) > cos(0,3).
+    val vecs = Seq(
+      (0L, Seq(10.0, 0.0)), (1L, Seq(9.0, 1.0)),
+      (2L, Seq(5.0, 5.0)), (3L, Seq(0.0, 10.0))
+    ).toDF("vec_id", "q")
+    val sem = Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") === 0L), vecs, "vec_id", "q", k = 3)
+      .select(col("query_id"), col("rank").cast("long").alias("rank"),
+        col("neighbor_id").alias("doc_id"))
+    // lexical list knows only doc 3 (a term match the embedding missed)
+    val lex = Seq((0L, 3L, 1L)).toDF("query_id", "doc_id", "rank")
+    val fused = Retrieval.rrfFuse(lex, sem, "query_id", "doc_id").collect()
+      .sortBy(_.getLong(1))
+    // doc 3: 1/61 (lex) + 1/63 (ann rank 3) beats doc 1's ann-only 1/61
+    assert(fused.map(_.getLong(2)).toSeq == Seq(3L, 1L, 2L))
+    val byDoc = fused.map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(byDoc(3L) == 1.0 / 61.0 + 1.0 / 63.0)
+    assert(byDoc(1L) == 1.0 / 61.0) // semantic-only doc survives fusion
+    assert(byDoc(2L) == 1.0 / 62.0)
+  }
+
   test("tfidf ranks heavier and rarer terms higher; matches driver math") {
     import spark.implicits._
     val docs = Seq(
