@@ -284,11 +284,17 @@ object Dedup {
         }
         r
       }
+      // track every endpoint explicitly: an id whose only edges are
+      // self-loops never enters `parent`, but the contract is a label for
+      // every id appearing in `edges`
+      val idSet = scala.collection.mutable.HashSet.empty[Long]
       sym.select(col("id"), col("nbr")).collect().foreach { row =>
-        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        val x = row.getLong(0); val y = row.getLong(1)
+        idSet += x; idSet += y
+        val (a, b) = (find(x), find(y))
         if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
       }
-      val ids = parent.keySet ++ parent.values
+      val ids = idSet
       // union-by-min keeps the root the smallest id seen so far, but a later
       // smaller id can still be unioned under a larger root via find — one
       // final min-per-root pass makes the label the true component minimum
@@ -301,6 +307,15 @@ object Dedup {
       import spark.implicits._
       return out.toDF("id", "cluster_id")
     }
+    starAssignments(sym, maxIterations)._1
+  }
+
+  /** The min-label + pointer-jumping distributed CC loop (HashMin with
+    * path compression), kept callable for the iteration-count and output
+    * differentials against [[starAssignments]]. Takes the SYMMETRIC
+    * deduped (id, nbr) list; returns (labels, passes run). */
+  private[pipeline] def minLabelAssignments(sym: DataFrame,
+      maxIterations: Int = 50): (DataFrame, Int) = {
     var labels = sym.groupBy(col("id"))
       .agg(least(min(col("nbr")), col("id")).alias("cluster_id"))
       .localCheckpoint(true)
@@ -333,7 +348,86 @@ object Dedup {
         println(f"[cc] pass $it sum=${agg.getLong(0)} n=${agg.getLong(1)} " +
           f"${(System.nanoTime() - t0) / 1e9}%.2fs converged=$converged")
     }
-    labels
+    (labels, it)
+  }
+
+  /** Alternating large-star / small-star connected components (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi, Vassilvitskii 2014, "Connected
+    * Components in MapReduce and Beyond") — the edge-CONTRACTING loop:
+    * instead of propagating labels over a fixed edge set, each round
+    * rewrites the edges themselves toward min-rooted stars.
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(Γ(u) ∪ {u}) — one symmetric groupBy + join.
+    *  - small-star(u) over (big → small)-oriented edges: all smaller
+    *    neighbors and u itself attach to the minimum neighbor.
+    *
+    * Both steps preserve components and strictly shrink a monotone
+    * potential; the fixpoint is exactly the star graph (child → component
+    * minimum). Convergence is O(log n) rounds on adversarial long paths
+    * (each round roughly squares the attachment reach), where plain
+    * HashMin is O(diameter); the jump-accelerated [[minLabelAssignments]]
+    * is also logarithmic — the measured comparison lives in SURVEY §19.
+    * Each round shuffles on uniform node keys; edge count never grows
+    * above the input (emissions re-attach, never duplicate a
+    * neighborhood), so a round costs what the input edge list costs.
+    * Convergence detection: the edge set's (count, hash xor) —
+    * deterministic, one tiny aggregate per round. Takes the SYMMETRIC
+    * deduped (id, nbr) list; returns (labels, rounds run). */
+  private[pipeline] def starAssignments(sym: DataFrame,
+      maxIterations: Int = 50): (DataFrame, Int) = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = e.select(col("u"), col("v"))
+        .union(e.select(col("v").alias("u"), col("u").alias("v")))
+      val m = s.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).alias("m"))
+      s.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").alias("u"), col("m").alias("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // input edges are (big, small)-oriented after largeStar
+      val m = e.groupBy(col("u")).agg(min(col("v")).alias("m"))
+      val attach = e.join(m, "u").filter(col("v") =!= col("m"))
+        .select(col("v").alias("u"), col("m").alias("v"))
+      val self = m.select(col("u"), col("m").alias("v"))
+      attach.union(self).filter(col("u") =!= col("v")).distinct()
+    }
+    var e = sym.filter(col("id") =!= col("nbr"))
+      .select(greatest(col("id"), col("nbr")).alias("u"),
+        least(col("id"), col("nbr")).alias("v"))
+      .distinct().localCheckpoint(true)
+    var prev: Option[(Long, Long)] = None
+    var it = 0
+    var converged = e.isEmpty
+    while (!converged && it < maxIterations) {
+      val t0 = System.nanoTime()
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // bit_xor, not sum: full-range 64-bit hashes overflow an ANSI sum,
+      // and the edge set is distinct so xor is a faithful set signature
+      val agg = next.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      val sig = (agg.getLong(0),
+        if (agg.isNullAt(1)) 0L else agg.getLong(1))
+      converged = prev.contains(sig)
+      prev = Some(sig)
+      e = next
+      it += 1
+      if (sys.env.contains("GRAFT_DEBUG_CC"))
+        println(f"[cc-star] round $it edges=${sig._1} " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2fs converged=$converged")
+    }
+    // fixpoint edges are (child → component-min) stars; roots label
+    // themselves, and ids whose every input edge was a self-loop fall
+    // back to their own id via the outer join
+    val starLabels = e.select(col("u").alias("id"), col("v").alias("cluster_id"))
+      .union(e.select(col("v").alias("id"), col("v").alias("cluster_id")))
+      .groupBy(col("id")).agg(min(col("cluster_id")).alias("cluster_id"))
+    val allIds = sym.select(col("id")).distinct()
+    val labels = allIds.join(starLabels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).alias("cluster_id"))
+    (labels, it)
   }
 
   /** Hint `df` for broadcast only when its measured row count is at or
