@@ -119,6 +119,26 @@ object OracleSql {
 
   /** occurrences of a marker in padded lowercase text */
   // multi-query BM25 replay - shared by q_bm25_multi (one-pass) and
+  /** makeDisjoint replay shared by the batch query and its streaming
+    * latest-rev-snapshot twin: boundary grid, per-segment
+    * latest-starting-interval value, adjacent equal-value coalesce. */
+  private val intervalsDisjointSql: String =
+    """WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 2 HOUR AS e, value FROM events),
+      |b AS (SELECT user_id, s AS p FROM iv UNION SELECT user_id, e AS p FROM iv),
+      |seg AS (SELECT user_id, p, lead(p) OVER (PARTITION BY user_id ORDER BY p) AS p2 FROM b),
+      |sg AS (SELECT user_id, p, p2 FROM seg WHERE p2 IS NOT NULL),
+      |m AS (SELECT g.user_id, g.p, g.p2, max_by(i.value, i.s) AS value
+      |  FROM sg g JOIN iv i ON g.user_id = i.user_id AND g.p < i.e AND g.p2 > i.s
+      |  GROUP BY g.user_id, g.p, g.p2),
+      |fl AS (SELECT *, CASE WHEN p IS NOT DISTINCT FROM lag(p2) OVER w
+      |    AND value IS NOT DISTINCT FROM lag(value) OVER w THEN 0 ELSE 1 END AS brk
+      |  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY p)),
+      |g2 AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY p
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM fl)
+      |SELECT user_id, epoch_us(min(p)) AS start_us, epoch_us(max(p2)) AS end_us,
+      |  max(value) AS value
+      |FROM g2 GROUP BY user_id, grp""".stripMargin
+
   // q_bm25_indexed (postings-index path): the index form is an exact
   // integer identity of the one-pass stats, so one oracle covers both
   private val bm25MultiSql: String = {
@@ -1901,22 +1921,11 @@ object OracleSql {
       Seq("l_quantity", "l_discount", "l_tax").map(one).mkString(" UNION ALL ")
     },
 
-    "q_intervals_disjoint" ->
-      """WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 2 HOUR AS e, value FROM events),
-        |b AS (SELECT user_id, s AS p FROM iv UNION SELECT user_id, e AS p FROM iv),
-        |seg AS (SELECT user_id, p, lead(p) OVER (PARTITION BY user_id ORDER BY p) AS p2 FROM b),
-        |sg AS (SELECT user_id, p, p2 FROM seg WHERE p2 IS NOT NULL),
-        |m AS (SELECT g.user_id, g.p, g.p2, max_by(i.value, i.s) AS value
-        |  FROM sg g JOIN iv i ON g.user_id = i.user_id AND g.p < i.e AND g.p2 > i.s
-        |  GROUP BY g.user_id, g.p, g.p2),
-        |fl AS (SELECT *, CASE WHEN p IS NOT DISTINCT FROM lag(p2) OVER w
-        |    AND value IS NOT DISTINCT FROM lag(value) OVER w THEN 0 ELSE 1 END AS brk
-        |  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY p)),
-        |g2 AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY p
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM fl)
-        |SELECT user_id, epoch_us(min(p)) AS start_us, epoch_us(max(p2)) AS end_us,
-        |  max(value) AS value
-        |FROM g2 GROUP BY user_id, grp""".stripMargin,
+    "q_intervals_disjoint" -> intervalsDisjointSql,
+
+    // the streaming maintainer's latest-rev snapshot IS the batch
+    // makeDisjoint of everything ingested — the oracle is shared verbatim
+    "q_stream_intervals" -> intervalsDisjointSql,
 
     "q_slice_ops" -> {
       val pivot = "TIMESTAMP '2024-01-15 00:00:00'"

@@ -2707,6 +2707,28 @@ object SparkEntry {
     graft.pipeline.Analytics.transitionMatrixFromCounts(cnt)
   }
 
+  /** Streaming interval algebra — the §2.6 family's streaming face
+    * ([[graft.streaming.StreamingTSDF.disjointIntervals]]): state per
+    * series is the elementary disjoint grid with per-segment winner
+    * structs; each touched series emits its full coalesced snapshot per
+    * batch under a monotone rev, and "latest rev per series" IS the batch
+    * makeDisjoint of everything ingested for ANY micro-batch split (the
+    * randomized differential pins arbitrary arrival ORDER too). Shares
+    * q_intervals_disjoint's oracle verbatim. */
+  private def qStreamIntervals(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val iv = eventsStream(s, dir).select(col("user_id"),
+      col("ts").alias("start_ts"),
+      (col("ts") + expr("interval 2 hours")).alias("end_ts"), col("value"))
+    val snap = graft.streaming.StreamingTSDF.disjointIntervals(
+      iv, "start_ts", "end_ts", Seq("user_id"), "value")
+    val sink = runStream(s, snap)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    sink.withColumn("__mx", max(col("rev")).over(w))
+      .filter(col("rev") === col("__mx"))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("value"))
+  }
+
   /** Streaming whitening gate: the PCA model trains batch-side (one
     * corpus pass, q_whiten's trainer — a model is a materialized
     * artifact, the dsirRatio/bpeMerges convention) and every ARRIVING
@@ -3689,6 +3711,7 @@ object SparkEntry {
     "q_stream_gram" -> qStreamGram _,
     "q_stream_dtw" -> qStreamDtw _,
     "q_stream_transitions" -> qStreamTransitions _,
+    "q_stream_intervals" -> qStreamIntervals _,
     "q_stream_whiten" -> qStreamWhiten _,
     "q_stream_pmi" -> qStreamPmi _,
     "q_stream_group_ols" -> qStreamGroupOls _,

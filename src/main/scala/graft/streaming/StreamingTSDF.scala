@@ -2122,4 +2122,158 @@ object StreamingTSDF {
           col("attrs").getItem(i).cast(df.schema(a).dataType).alias(a)
         }): _*)
   }
+
+  // ----------------------------------------------- streaming intervals
+  case class IvEvent(series: String, sUs: Long, eUs: Long,
+      value: Option[Double])
+  /** One elementary segment of a series' disjoint grid, carrying the
+    * winning (origStart, origEnd, value) struct for metric resolution. */
+  case class IvSeg(s: Long, e: Long, hasW: Boolean, ws: Long, we: Long,
+      v: Option[Double])
+  case class IvState(rev: Long, segs: Seq[IvSeg])
+
+  /** Streaming interval algebra — the ingest-time
+    * [[graft.intervals.IntervalsDF.makeDisjoint]] maintainer: state per
+    * series is the current ELEMENTARY disjoint grid (no output coalescing
+    * in state), each segment carrying the winning
+    * `(origStart, origEnd, value)` struct of the batch kernel's
+    * `max(struct(start, end, value))` resolution. Exactness for ANY
+    * arrival order (no late-drop needed — interval merge is
+    * order-independent) rests on two facts: the max-struct winner is
+    * associative/commutative, and in an elementary grid every already-seen
+    * interval covers ALL of a segment or none of it, so resolving a new
+    * batch against per-segment winners equals resolving against all
+    * original intervals. Per batch, each TOUCHED series emits its full
+    * COALESCED snapshot (adjacent equal-value touching segments merged —
+    * the issue-268 semantics) tagged with a monotone `rev`; "latest rev
+    * per series" over the sink IS the batch `makeDisjoint` of everything
+    * ingested, for any micro-batch split (the randomized differential).
+    * State is O(series' boundary count) — the disjoint set is itself the
+    * product, the same per-group constraint class the batch sweep kernel
+    * carries. v1 contract: one metric column. */
+  def disjointIntervals(df: DataFrame, startCol: String, endCol: String,
+      seriesCols: Seq[String], metricCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val events = df.select(
+      seriesKey(seriesCols).alias("series"),
+      unix_micros(col(startCol)).alias("sUs"),
+      unix_micros(col(endCol)).alias("eUs"),
+      col(metricCol).cast(DoubleType).alias("value")).as[IvEvent]
+
+    // lexicographic (ws, we, v) — None < Some, mirroring the batch kernel
+    // where null-metric intervals never enter the max
+    def winGt(aWs: Long, aWe: Long, aV: Double,
+        bWs: Long, bWe: Long, bV: Double): Boolean =
+      aWs > bWs || (aWs == bWs && (aWe > bWe ||
+        (aWe == bWe && java.lang.Double.compare(aV, bV) > 0)))
+
+    val out = events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[IvEvent], state: GroupState[IvState]) =>
+          val batch = rows.toArray
+          if (batch.isEmpty) Iterator.empty
+          else {
+            val st = state.getOption.getOrElse(IvState(0L, Seq.empty))
+            val oldSegs = st.segs.toArray // sorted, disjoint, elementary
+            // 1. elementary boundary set: old grid + new interval endpoints
+            val bset = new java.util.TreeSet[java.lang.Long]()
+            oldSegs.foreach { g => bset.add(g.s); bset.add(g.e) }
+            batch.foreach { iv => bset.add(iv.sUs); bset.add(iv.eUs) }
+            val bounds = new Array[Long](bset.size)
+            locally {
+              var i = 0
+              val it = bset.iterator()
+              while (it.hasNext) { bounds(i) = it.next(); i += 1 }
+            }
+            // 2. sweep the new intervals across the grid: a segment (p, p2)
+            // of consecutive boundaries is covered by interval iv iff
+            // iv.s <= p && iv.e >= p2 (endpoints are boundaries), so
+            // activation is "s <= p", deactivation "e <= p"
+            val sortedNew = batch.sortBy(iv => (iv.sUs, iv.eUs))
+            val exitQ = new java.util.PriorityQueue[Integer](
+              math.max(1, sortedNew.length),
+              (a: Integer, b: Integer) => java.lang.Long.compare(
+                sortedNew(a).eUs, sortedNew(b).eUs))
+            // active non-null-metric intervals ordered by the batch kernel's
+            // max(struct(start, end, value)) — the TreeSet max IS the winner
+            val actW = new java.util.TreeSet[Integer](
+              (a: Integer, b: Integer) => {
+                val x = sortedNew(a); val y = sortedNew(b)
+                var c = java.lang.Long.compare(x.sUs, y.sUs)
+                if (c == 0) c = java.lang.Long.compare(x.eUs, y.eUs)
+                if (c == 0) c = java.lang.Double.compare(x.value.get, y.value.get)
+                if (c == 0) c = Integer.compare(a, b)
+                c
+              })
+            var actAll = 0
+            var ni = 0
+            var op = 0
+            val newSegs = scala.collection.mutable.ArrayBuffer.empty[IvSeg]
+            var bi = 0
+            while (bi < bounds.length - 1) {
+              val p = bounds(bi); val p2 = bounds(bi + 1)
+              while (ni < sortedNew.length && sortedNew(ni).sUs <= p) {
+                val iv = sortedNew(ni)
+                if (iv.eUs > p) { // zero/negative-width never activates
+                  exitQ.add(ni); actAll += 1
+                  if (iv.value.isDefined) actW.add(ni)
+                }
+                ni += 1
+              }
+              while (!exitQ.isEmpty && sortedNew(exitQ.peek()).eUs <= p) {
+                val idx = exitQ.poll(); actAll -= 1
+                if (sortedNew(idx).value.isDefined) actW.remove(idx)
+              }
+              while (op < oldSegs.length && oldSegs(op).e <= p) op += 1
+              val og = if (op < oldSegs.length && oldSegs(op).s <= p)
+                oldSegs(op) else null
+              if (og != null || actAll > 0) {
+                var hasW = false; var ws = 0L; var we = 0L; var v = 0.0
+                if (og != null && og.hasW) {
+                  hasW = true; ws = og.ws; we = og.we; v = og.v.get
+                }
+                if (!actW.isEmpty) {
+                  val t = sortedNew(actW.last())
+                  if (!hasW || winGt(t.sUs, t.eUs, t.value.get, ws, we, v)) {
+                    hasW = true; ws = t.sUs; we = t.eUs; v = t.value.get
+                  }
+                }
+                newSegs += IvSeg(p, p2, hasW, ws, we,
+                  if (hasW) Some(v) else None)
+              }
+              bi += 1
+            }
+            val rev = st.rev + 1
+            state.update(IvState(rev, newSegs.toSeq))
+            // 3. emit the coalesced snapshot: touching neighbors with a
+            // null-safe-equal value merge (the batch <=> coalesce)
+            val outRows = scala.collection.mutable.ArrayBuffer
+              .empty[(String, Long, Long, Long, Option[Double])]
+            newSegs.foreach { g =>
+              val vEq = outRows.nonEmpty && {
+                val last = outRows.last
+                last._4 == g.s && ((last._5, g.v) match {
+                  case (None, None) => true
+                  case (Some(a), Some(b)) =>
+                    java.lang.Double.compare(a, b) == 0
+                  case _ => false
+                })
+              }
+              if (vEq) {
+                val last = outRows.last
+                outRows(outRows.length - 1) =
+                  (last._1, last._2, last._3, g.e, last._5)
+              } else outRows += ((key, rev, g.s, g.e, g.v))
+            }
+            outRows.iterator
+          }
+      }
+      .toDF("series", "rev", "sUs", "eUs", "value")
+    out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(col("rev"),
+      col("sUs").alias("start_us"), col("eUs").alias("end_us"),
+      col("value")): _*)
+  }
 }

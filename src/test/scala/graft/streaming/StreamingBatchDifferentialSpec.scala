@@ -54,6 +54,59 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     spark.table(name)
   }
 
+  test("property: disjointIntervals latest-rev snapshot equals batch " +
+      "makeDisjoint on random intervals across random-ORDER micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(97)
+    (0 until 3).foreach { trial =>
+      // overlaps, exact duplicates, touching neighbors, null metrics and
+      // zero-width intervals — in ARBITRARY arrival order (the maintainer
+      // is order-independent, unlike the late-drop delta twins)
+      val rows = Seq("u1", "u2", "u3").flatMap { u =>
+        (0 until 2 + rnd.nextInt(15)).map { _ =>
+          val s = rnd.nextInt(300)
+          val len = rnd.nextInt(60)
+          val v: Option[Double] =
+            if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(50).toDouble)
+          (u, new Timestamp(base + s * 6000L),
+            new Timestamp(base + (s + len) * 6000L), v)
+        }
+      }
+      val shuffled = rnd.shuffle(rows)
+      val mem = MemoryStream[(String, Timestamp, Timestamp, Option[Double])]
+      val out = StreamingTSDF.disjointIntervals(
+        mem.toDF().toDF("user_id", "start_ts", "end_ts", "value"),
+        "start_ts", "end_ts", Seq("user_id"), "value")
+      val name = s"iv_diff_sink_$trial"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      var rest = shuffled
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(rest.length)
+        mem.addData(rest.take(take): _*)
+        q.processAllAvailable()
+        rest = rest.drop(take)
+      }
+      q.stop()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val streamed = spark.table(name)
+        .withColumn("__mx", max(col("rev")).over(w))
+        .filter(col("rev") === col("__mx"))
+        .select(col("user_id"), col("start_us"), col("end_us"), col("value"))
+      val batch = graft.intervals.IntervalsDF(
+        rows.map { case (u, s, e, v) =>
+          (u, s, e, v.map(Double.box).orNull)
+        }.toDF("user_id", "start_ts", "end_ts", "value"),
+        "start_ts", "end_ts", Seq("user_id"))
+        .makeDisjoint().df
+        .select(col("user_id"), unix_micros(col("start_ts")).alias("start_us"),
+          unix_micros(col("end_ts")).alias("end_us"), col("value"))
+      withClue(s"trial $trial: ") { assertDfEquality(streamed, batch) }
+    }
+  }
+
   test("property: streaming kmvMins changelog folds to the exact batch " +
       "KMV sketch across micro-batches (with evictions), narrow AND wide") {
     val spark2 = spark
