@@ -3024,6 +3024,49 @@ object SparkEntry {
       length(TextAnalysis.stripHtml(html)).cast(LongType).alias("n_chars_stripped"))
   }
 
+  /** The exact-duplicate template injected on doc_id % 10 == 7 (diverse
+    * enough to pass the quality gates, so the EXACT-dedup stage is what
+    * removes the copies) and the three word-order permutations of one
+    * token set injected on doc_id % 10 == 5 by doc_id % 3 (equal sorted
+    * distinct-token fingerprints, unequal normalized strings — exact
+    * dedup keeps one per spelling, the NEAR-dedup stage collapses the
+    * three spellings to one). */
+  private[graft] val E2eTemplateA =
+    "common crawl boilerplate page about shipping terms and privacy " +
+      "policy with contact address and support email for the store"
+  private[graft] val E2eTemplateB: Seq[String] = Seq(
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+    "mu lambda kappa iota theta eta zeta epsilon delta gamma beta alpha",
+    "gamma alpha beta delta zeta epsilon eta iota theta kappa mu lambda")
+
+  /** End-to-end curation in ONE plan ([[graft.pipeline.Curation.curate]]):
+    * deterministic duplicate injection → HTML shell → real stripHtml →
+    * quality/repetition gates → exact dedup → token-set near dedup →
+    * 3-gram decontamination (eval = raw docs with doc_id % 7 == 0) →
+    * trained-BPE packing. Every stage keyed on exact integers or
+    * fingerprints, so the full chain is one hash-gated oracle; the spec
+    * additionally pins that each stage FIRES (templates collapse, eval
+    * members drop) and audits the plan's exchange count. */
+  private def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val injected = when(col("doc_id") % 10 === 7, lit(E2eTemplateA))
+      .when(col("doc_id") % 10 === 5,
+        when(col("doc_id") % 3 === 0, lit(E2eTemplateB(0)))
+          .when(col("doc_id") % 3 === 1, lit(E2eTemplateB(1)))
+          .otherwise(lit(E2eTemplateB(2))))
+      .otherwise(col("text"))
+    val html = concat(
+      lit("<html><head><style>p { color: #000; }</style></head><body>" +
+        "<script>if (1 < 2) run();</script><p class=\"c\">"),
+      injected,
+      lit("</p><div>footer &amp; terms&nbsp;apply</div></body></html>"))
+    val cleaned = docs(s, dir).select(col("doc_id"), col("source"),
+      TextAnalysis.stripHtml(html).alias("text2"))
+    val evalDf = docs(s, dir).filter(col("doc_id") % 7 === 0)
+      .select(col("text").alias("text2"))
+    graft.pipeline.Curation.curate(cleaned, "text2", "doc_id",
+      Seq("source"), evalDf, graft.pipeline.Bpe.table(bpeMerges(s, dir)))
+  }
+
   /** Synthetic URL variants per doc — four spellings (case, www, default
     * ports, tracking params, fragments, trailing slash) that collapse
     * pairwise under normalization, so the canonical key dedups across
@@ -3591,6 +3634,7 @@ object SparkEntry {
     "q_lang_id" -> qLangId _,
     "q_quality" -> qQuality _,
     "q_strip_html" -> qStripHtml _,
+    "q_pipeline_e2e" -> qPipelineE2e _,
     "q_url_dedup" -> qUrlDedup _,
     "q_weighted_sample" -> qWeightedSample _,
     "q_quality_v2" -> qQualityV2 _,
@@ -3822,6 +3866,7 @@ object SparkEntry {
          |FROM v""".stripMargin,
       "q_bpe_tokens" -> bpeTokensOracle(s, dir),
       "q_bpe_bytes" -> bpeBytesOracle(s, dir),
+      "q_pipeline_e2e" -> pipelineE2eOracle(s, dir),
       "q_stream_bpe" -> bpeTokensOracle(s, dir),
       "q_pack_bpe" -> packBpeOracle(s, dir),
       "q_bpe_vocab" -> bpeVocabOracle(s, dir))
@@ -3857,6 +3902,85 @@ object SparkEntry {
       s"replace($acc, '|$a||$b|', '|$a$b|')"
     }
     (norm, encoded)
+  }
+
+  /** Dynamic replay of the end-to-end curation chain: injection → HTML
+    * strip → norm → integer quality gates → two fingerprint dedups →
+    * hashed-3-gram decontam → trained-BPE counts → running-sum packing.
+    * Every stage reuses the gate conventions of its standalone oracle;
+    * dynamic because the BPE table trains at dump time. */
+  private def pipelineE2eOracle(s: SparkSession, dir: String): String = {
+    val (_, encoded) = bpeEncodeSql(s, dir)
+    val b = E2eTemplateB
+    val normX = "trim(regexp_replace(regexp_replace(lower(x), " +
+      "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    val shingle3 =
+      "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(" +
+        "generate_series(1, len(toks) - 2), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) " +
+        "ELSE [array_to_string(toks, ' ')] END"
+    val ph = graft.pipeline.Hashing.polyHashSql("x")
+    s"""WITH inj AS (SELECT doc_id, source,
+       |  CASE WHEN doc_id % 10 = 7 THEN '$E2eTemplateA'
+       |    WHEN doc_id % 10 = 5 THEN (CASE CAST(doc_id % 3 AS INTEGER)
+       |      WHEN 0 THEN '${b(0)}' WHEN 1 THEN '${b(1)}' ELSE '${b(2)}' END)
+       |    ELSE text END AS t0 FROM documents),
+       |h AS (SELECT doc_id, source,
+       |  '<html><head><style>p { color: #000; }</style></head><body><script>if (1 < 2) run();</script><p class="c">'
+       |  || t0 || '</p><div>footer &amp; terms&nbsp;apply</div></body></html>'
+       |  AS html FROM inj),
+       |s1 AS (SELECT doc_id, source, regexp_replace(regexp_replace(html,
+       |  '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+       |  '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g') AS x FROM h),
+       |s2 AS (SELECT doc_id, source, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s1),
+       |s3 AS (SELECT doc_id, source,
+       |  replace(replace(replace(replace(replace(replace(x,
+       |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |    '&#39;', ''''), '&amp;', '&') AS x FROM s2),
+       |f AS (SELECT doc_id, source, trim(regexp_replace(x, '\\s+', ' ', 'g')) AS x FROM s3),
+       |nn AS (SELECT doc_id, source, $normX AS t FROM f),
+       |tk AS (SELECT *, string_split(t, ' ') AS toks FROM nn),
+       |g AS (SELECT * FROM tk WHERE len(toks) >= 12
+       |  AND len(list_distinct(toks)) * 3 >= len(toks)),
+       |ex AS (SELECT * FROM (SELECT *, min(doc_id)
+       |  OVER (PARTITION BY md5(t)) AS m1 FROM g) WHERE doc_id = m1),
+       |nr AS (SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY
+       |  md5(array_to_string(list_sort(list_distinct(toks)), ' '))) AS m2
+       |  FROM ex) WHERE doc_id = m2),
+       |shg AS (SELECT doc_id, $shingle3 AS sh FROM nr),
+       |hs AS (SELECT doc_id,
+       |  list_distinct(list_transform(sh, x -> $ph)) AS gs FROM shg),
+       |evd AS (SELECT string_split(trim(regexp_replace(regexp_replace(
+       |  lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |evs AS (SELECT $shingle3 AS sh FROM evd),
+       |ev AS (SELECT DISTINCT unnest(list_transform(sh, x -> $ph)) AS g2 FROM evs),
+       |exg AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g2 FROM hs),
+       |jj AS (SELECT exg.doc_id, exg.n_grams,
+       |  CASE WHEN ev.g2 IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM exg LEFT JOIN ev USING (g2)),
+       |dstat AS (SELECT doc_id, n_grams, sum(hit) AS hit_grams
+       |  FROM jj GROUP BY 1, 2),
+       |keep AS (SELECT nr.source, nr.doc_id, nr.t FROM nr
+       |  JOIN dstat USING (doc_id) WHERE hit_grams * 2 < n_grams),
+       |words AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w
+       |  FROM keep WHERE t <> ''),
+       |dw AS (SELECT DISTINCT w FROM words),
+       |wc AS (SELECT w, CAST((length(e) - length(replace(e, '||', ''))) // 2
+       |  + 1 AS BIGINT) AS ntok FROM (SELECT w, $encoded AS e FROM dw)),
+       |per AS (SELECT doc_id, SUM(ntok) AS n FROM words JOIN wc USING (w)
+       |  GROUP BY doc_id),
+       |bt AS (SELECT k.source, k.doc_id,
+       |  CAST(COALESCE(per.n, 0) AS BIGINT) AS tokens
+       |  FROM keep k LEFT JOIN per USING (doc_id)),
+       |c AS (SELECT source, doc_id, tokens,
+       |  sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS strt
+       |  FROM bt)
+       |SELECT source, doc_id, tokens,
+       |  CAST(floor(strt / 2048.0) AS BIGINT) AS seq_id,
+       |  CAST(strt % 2048 AS BIGINT) AS seq_off
+       |FROM c""".stripMargin
   }
 
   /** Dynamic replay of q_bpe_bytes: train the SAME 200-merge byte-level

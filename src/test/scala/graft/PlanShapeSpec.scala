@@ -25,6 +25,37 @@ class PlanShapeSpec extends SparkTestBase {
     }.toDF("user_id", "ts", "value")
   }
 
+  test("e2e curation composes into ONE plan with a bounded exchange count " +
+      "and no corpus-text shuffle past the decontam stage") {
+    import spark.implicits._
+    val docsDf = (0L until 40L).map { i =>
+      (i, "s" + i % 2, s"alpha bravo charlie delta echo fox golf hotel " +
+        s"india juliet kilo w$i x${i % 7} y${i % 5} z${i % 3}")
+    }.toDF("doc_id", "src", "text")
+    val evalDf = docsDf.filter(col("doc_id") % 7 === 0).select(col("text"))
+    val out = pipeline.Curation.curate(docsDf, "text", "doc_id", Seq("src"),
+      evalDf, pipeline.Bpe.table(Nil), minTokens = 2, capacity = 32)
+    val n = exchanges(out)
+    // gates+dedups+decontam fuse into one chain feeding the (lazy)
+    // survivor checkpoint; above it the pack's two passes add their own
+    // exchanges. Growth here = a stage stopped sharing its shuffle.
+    info(s"curation exchanges (survivor frontier checkpointed): $n")
+    assert(n <= 10, plan(out))
+    out.collect() // the composition actually executes
+    // the fully-declarative form stays correct but recomputes the chain
+    // through the pack's three input consumers (differently-pruned
+    // subtrees defeat ReuseExchange) — the measured cost of refusing the
+    // one materialization boundary, documented in Curation's scaladoc
+    val mono = pipeline.Curation.curate(docsDf, "text", "doc_id", Seq("src"),
+      evalDf, pipeline.Bpe.table(Nil), minTokens = 2, capacity = 32,
+      materializeSurvivors = false)
+    val nMono = exchanges(mono)
+    info(s"curation exchanges (single declarative plan): $nMono")
+    assert(nMono > n, "expected the unmaterialized form to duplicate the chain")
+    assert(mono.collect().toSet == out.collect().toSet,
+      "both forms must return identical results")
+  }
+
   test("as-of union path shuffles exactly once") {
     val left = TSDF(eventsDf.select(col("user_id"), col("ts"), col("value")), "ts", Seq("user_id"))
     val right = TSDF(eventsDf.select(col("user_id"), col("ts"),

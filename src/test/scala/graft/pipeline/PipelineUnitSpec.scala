@@ -790,6 +790,37 @@ class PipelineUnitSpec extends SparkTestBase {
       f"min-label+jump $mlRounds passes ($mlSec%.1f s)")
   }
 
+  test("Curation.curate: every stage fires — gates, exact dedup, token-set " +
+      "near dedup, decontam, BPE pack — with exact layout") {
+    import spark.implicits._
+    val x = "orange river stone cloud maple ember quill basket violet thunder harbor lantern"
+    val y0 = "apple bridge candle dust echo flame grove hollow ivory jungle kettle lemon"
+    val y1 = "lemon kettle jungle ivory hollow grove flame echo dust candle bridge apple"
+    val z = "zebra quartz willow anchor breeze cinder dapple elm fern gale hazel iris"
+    val w = "walnut yarrow sable topaz umber vine wren acorn birch cedar dune elder"
+    val docsDf = Seq(
+      (1L, "s", x), (2L, "s", x),            // exact duplicates -> keep 1
+      (3L, "s", y0), (4L, "s", y1),          // permuted token set -> keep 3
+      (5L, "s", Seq.fill(15)("spam").mkString(" ")), // diversity gate drops
+      (6L, "s", "too short text"),           // minTokens gate drops
+      (7L, "s", z),                          // eval member -> decontam drops
+      (8L, "s", w)
+    ).toDF("doc_id", "source", "text")
+    val evalDf = Seq(z).toDF("text")
+    val out = Curation.curate(docsDf, "text", "doc_id", Seq("source"),
+      evalDf, Bpe.table(Nil), minTokens = 5, capacity = 64)
+      .orderBy("doc_id")
+      .select("source", "doc_id", "tokens", "seq_id", "seq_off")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // zero merges: BPE tokens = total word chars (12 words each)
+    def chars(t: String) = t.count(_ != ' ').toLong
+    val cx = chars(x); val cy = chars(y0)
+    assert(out == Seq(
+      ("s", 1L, cx, 0L, 0L),
+      ("s", 3L, cy, cx / 64, cx % 64),
+      ("s", 8L, chars(w), (cx + cy) / 64, (cx + cy) % 64)), out.toString)
+  }
+
   test("dedupClusters marks one canonical doc per cluster, singletons too") {
     import spark.implicits._
     val corpus = (1L to 6L).toDF("doc_id")
