@@ -2089,6 +2089,40 @@ object OracleSql {
          |  FROM s)
          |SELECT anchor_id, CAST(rn AS BIGINT) AS "rank", negative_id, cosine FROM r WHERE rn <= 3""".stripMargin,
 
+    // Per-label centroid replay: exact per-dimension integer sums + one
+    // division per cell.
+    "q_embed_centroids" ->
+      s"""WITH v AS (SELECT vec_id, label, $qv AS q FROM embeddings),
+         |e AS (SELECT label, unnest(q) AS x,
+         |  generate_subscripts(q, 1) - 1 AS dim FROM v),
+         |a AS (SELECT label, CAST(dim AS BIGINT) AS dim,
+         |  CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+         |  FROM e GROUP BY 1, 2)
+         |SELECT label, dim, n, s,
+         |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean FROM a""".stripMargin,
+
+    // Centroid-cosine drift matrix: cosine(sum_a, sum_b) on the exact
+    // integer sum vectors (scaling cancels), one fixed composition of
+    // correctly-rounded sqrt/mul/div.
+    "q_centroid_cosine" ->
+      s"""WITH v AS (SELECT vec_id, label, $qv AS q FROM embeddings),
+         |e AS (SELECT label, unnest(q) AS x,
+         |  generate_subscripts(q, 1) - 1 AS dim FROM v),
+         |a AS (SELECT label, dim, CAST(sum(x) AS BIGINT) AS s
+         |  FROM e GROUP BY 1, 2),
+         |nq AS (SELECT label, CAST(sum(s * s) AS BIGINT) AS q
+         |  FROM a GROUP BY label),
+         |p AS (SELECT x.label AS label_a, y.label AS label_b,
+         |  CAST(sum(x.s * y.s) AS BIGINT) AS dot
+         |  FROM a x JOIN a y ON x.dim = y.dim AND x.label < y.label
+         |  GROUP BY 1, 2)
+         |SELECT label_a, label_b, dot, na.q AS qa, nb.q AS qb,
+         |  CAST(dot AS DOUBLE)
+         |    / (sqrt(CAST(na.q AS DOUBLE)) * sqrt(CAST(nb.q AS DOUBLE)))
+         |    AS cosine
+         |FROM p JOIN nq na ON na.label = p.label_a
+         |JOIN nq nb ON nb.label = p.label_b""".stripMargin,
+
     // Embedding-QA replay: same quantized vectors, exact fold arithmetic.
     "q_embed_qa" ->
       s"""WITH v AS (SELECT vec_id, $qv AS q FROM embeddings)
@@ -2930,6 +2964,32 @@ object OracleSql {
          |  floor((CAST(sum(hit) AS DOUBLE) / n_grams) * 1000000 + 0.5) / 1000000.0
          |    AS hit_frac
          |FROM j GROUP BY doc_id, n_grams""".stripMargin
+    },
+
+    // cross-source gram-overlap replay: distinct (source, hashed 3-gram)
+    // pairs, self-join on the gram, exact counts + two divisions
+    "q_source_overlap" -> {
+      val shingle3 =
+        "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(" +
+          "generate_series(1, len(toks) - 2), " +
+          "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) " +
+          "ELSE [array_to_string(toks, ' ')] END"
+      s"""WITH d AS (SELECT source, string_split($norm, ' ') AS toks FROM documents),
+         |shg AS (SELECT source, $shingle3 AS sh FROM d),
+         |g AS (SELECT DISTINCT source, unnest(list_transform(sh,
+         |  x -> ${Hashing.polyHashSql("x")})) AS gm FROM shg),
+         |tot AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+         |sh2 AS (SELECT a.source AS source_a, b.source AS source_b,
+         |  count(*) AS n_shared
+         |  FROM g a JOIN g b ON a.gm = b.gm AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+         |  CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+         |  CAST(n_shared AS DOUBLE) / CAST(ta.n AS DOUBLE) AS containment_a,
+         |  CAST(n_shared AS DOUBLE) / CAST(ta.n + tb.n - n_shared AS DOUBLE)
+         |    AS jaccard
+         |FROM sh2 JOIN tot ta ON ta.source = source_a
+         |JOIN tot tb ON tb.source = source_b""".stripMargin
     },
 
     // concat-and-chunk packing: running token sum per source in doc_id
@@ -4039,6 +4099,27 @@ object OracleSql {
     // unsigned 32-bit halves and 16-bit bands via exact integer shifts.
     "q_image_dhash" -> (imageDhashSql + "\nSELECT * FROM acc"),
     "q_image_phash" -> imagePhashSql,
+
+    // aHash replay: same 8x8 NN gray raster, integer mean (floor), strict
+    // threshold, dHash bit-packing convention
+    "q_image_ahash" ->
+      s"""$imageArmsSql,
+         |px AS (SELECT doc_id, y.y AS y, x.x AS x,
+         |  CAST((${imageGraySql("y.y * h // 8", "x.x * w // 8")}) AS BIGINT) AS g
+         |  FROM imgs, range(8) y(y), range(8) x(x)),
+         |mn AS (SELECT doc_id, CAST(sum(g) // 64 AS BIGINT) AS m
+         |  FROM px GROUP BY doc_id),
+         |bits AS (SELECT px.doc_id, y, x,
+         |  CASE WHEN g > m THEN 1 ELSE 0 END AS b
+         |  FROM px JOIN mn USING (doc_id))
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN y * 8 + x >= 32
+         |    THEN b * (CAST(1 AS BIGINT) << (y * 8 + x - 32))
+         |    ELSE 0 END) AS BIGINT) AS ahash_hi,
+         |  CAST(sum(CASE WHEN y * 8 + x < 32
+         |    THEN b * (CAST(1 AS BIGINT) << (y * 8 + x))
+         |    ELSE 0 END) AS BIGINT) AS ahash_lo
+         |FROM bits GROUP BY doc_id""".stripMargin,
     // the streaming twin emits identical per-doc signatures
     "q_stream_dhash" -> (imageDhashSql + "\nSELECT * FROM acc"),
 

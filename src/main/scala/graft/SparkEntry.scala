@@ -885,6 +885,21 @@ object SparkEntry {
         col("neighbor_id"), col("cosine"))
   }
 
+  /** Per-label embedding centroids ([[graft.pipeline.Similarity
+    * .groupCentroids]]): exact integer per-dimension sums + one division
+    * — the embedding-space cohort profile. */
+  private def qEmbedCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.groupCentroids(quantized(s, dir), "label", "q")
+      .select(col("grp").alias("label"), col("dim").cast(LongType).alias("dim"),
+        col("n"), col("s"), col("mean"))
+
+  /** Pairwise centroid cosine drift matrix ([[graft.pipeline.Similarity
+    * .centroidCosines]]): scale-free cosine on the exact sum vectors. */
+  private def qCentroidCosine(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidCosines(quantized(s, dir), "label", "q")
+      .select(col("grp_a").alias("label_a"), col("grp_b").alias("label_b"),
+        col("dot"), col("qa"), col("qb"), col("cosine"))
+
   /** Hard-negative mining ([[graft.pipeline.Similarity.hardNegatives]]):
     * per anchor, the 3 most-similar embeddings with a DIFFERENT label —
     * contrastive-training pair prep. Bounded anchor set (the q_ann_topk
@@ -2419,6 +2434,13 @@ object SparkEntry {
       .select(col("doc_id"), col("n_grams").cast(LongType).alias("n_grams"),
         col("hit_grams"), col("hit_frac"))
 
+  /** Cross-source 3-gram overlap matrix
+    * ([[graft.pipeline.Dedup.sourceOverlapMatrix]]): the corpus-pair
+    * contamination/duplication sizing artifact — exact shared-vocabulary
+    * counts per source pair off one distinct (source, gram) aggregate. */
+  private def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Dedup.sourceOverlapMatrix(docs(s, dir), "text", "source")
+
   private def qPackSequences(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Packing.packSequences(
       docs(s, dir), "text", "doc_id", Seq("source"), capacity = 2048)
@@ -3477,6 +3499,18 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload")
 
+  /** Perceptual average hash (aHash) over the same decodable payload set
+    * — the triad's cheapest member ([[graft.pipeline.Multimodal
+    * .imageAHash]]): 8×8 integer-mean threshold, brightness-shift
+    * invariant by construction. */
+  private def qImageAhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageAHash(
+      Multimodal.synthesizeDecodablePayload(
+        docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id"),
+      "doc_id", "payload")
+
   /** Streaming twin of q_image_dhash — the first streaming DECODE
     * operator: synthesize + decode + hash are all stateless per-row
     * mapPartitions, so any micro-batch slicing gives identical
@@ -3620,6 +3654,8 @@ object SparkEntry {
     "q_embed_neardup_lsh" -> qEmbedNearDupLsh _,
     "q_semdedup" -> qSemdedup _,
     "q_ann_topk" -> qAnnTopk _,
+    "q_embed_centroids" -> qEmbedCentroids _,
+    "q_centroid_cosine" -> qCentroidCosine _,
     "q_hard_negatives" -> qHardNegatives _,
     "q_positive_pairs" -> qPositivePairs _,
     "q_embed_contamination" -> qEmbedContamination _,
@@ -3699,6 +3735,7 @@ object SparkEntry {
     "q_mojibake" -> qMojibake _,
     "q_seq_pattern" -> qSeqPattern _,
     "q_image_phash" -> qImagePhash _,
+    "q_image_ahash" -> qImageAhash _,
     "q_time_rollup" -> qTimeRollup _,
     "q_stream_seq_pattern" -> qStreamSeqPattern _,
     "q_interarrival" -> qInterArrival _,
@@ -3736,6 +3773,7 @@ object SparkEntry {
     "q_postings_index" -> qPostingsIndex _,
     "q_stratified_sample" -> qStratifiedSample _,
     "q_decontam_ngram" -> qDecontamNgram _,
+    "q_source_overlap" -> qSourceOverlap _,
     "q_pack_sequences" -> qPackSequences _,
     "q_seq_fill" -> qSeqFill _,
     "q_anomaly_mad" -> qAnomalyMad _,

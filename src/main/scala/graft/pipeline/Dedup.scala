@@ -882,6 +882,47 @@ object Dedup {
         col("hit_grams").cast(DoubleType) / col("n_grams"), 6))
   }
 
+  /** Cross-source n-gram overlap matrix — the corpus-PAIR sizing number
+    * run before committing to a mixture: for every source pair, how much
+    * of each side's distinct w-gram vocabulary the other already covers
+    * (shared boilerplate, mirrored crawls, near-identical dumps show up
+    * here before any per-document dedup runs). Output per (source_a <
+    * source_b) pair: exact |∩|, |A|, |B| (BIGINTs) plus containment_a =
+    * |∩|/|A| and jaccard = |∩|/|A∪B| (one correctly-rounded division
+    * each). Pairs sharing zero grams are absent (the matrix is sparse by
+    * construction).
+    *
+    * Scale shape: ONE distinct (source, hashed-gram) aggregate over the
+    * corpus (map-side combinable — the only corpus-scale step), then a
+    * self-equi-join on the uniform gram key whose fan-out is bounded by
+    * sources² per gram, and an O(sources²) aggregate. Never all-pairs on
+    * documents. */
+  def sourceOverlapMatrix(df: DataFrame, textCol: String, sourceCol: String,
+      w: Int = 3): DataFrame = {
+    val grams = df.select(col(sourceCol).alias("__src"),
+        explode(array_distinct(shingleHashes(shingles(col(textCol), w))))
+          .alias("__g"))
+      .distinct()
+    val tot = grams.groupBy(col("__src")).agg(count(lit(1)).alias("__n"))
+    val shared = grams.select(col("__src").alias("source_a"), col("__g"))
+      .join(grams.select(col("__src").alias("source_b"), col("__g")), Seq("__g"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).alias("n_shared"))
+    shared
+      .join(tot.select(col("__src").alias("source_a"), col("__n").alias("n_a")),
+        Seq("source_a"))
+      .join(tot.select(col("__src").alias("source_b"), col("__n").alias("n_b")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (col("n_shared").cast(DoubleType) / col("n_a").cast(DoubleType))
+          .alias("containment_a"),
+        (col("n_shared").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_shared")).cast(DoubleType))
+          .alias("jaccard"))
+  }
+
   /** Corpus-wide exact substring dedup (the ExactSubstr recipe of Lee et
     * al. 2021, "Deduplicating Training Data Makes Language Models Better",
     * at chunk granularity): the whitespace-normalized token stream splits

@@ -1051,6 +1051,43 @@ object Multimodal {
       .toDF()
   }
 
+  /** Perceptual average-hash (aHash — the third member of the public
+    * perceptual triad next to [[imageDHash]]'s gradients and
+    * [[imagePHash]]'s DCT): integer-mean gray → 8×8 nearest-neighbor
+    * resize (same index map) → one bit per pixel STRICTLY above the
+    * integer mean (Σg / 64, floor — all-integer, so the hash replays
+    * bit-for-bit). Invariant under constant brightness shifts by
+    * construction (g+c > mean+c ⇔ g > mean, asserted in the spec) —
+    * the cheapest hash of the triad and the usual first-pass filter.
+    * Ships as unsigned halves `ahash_hi`/`ahash_lo`, bit index y·8+x
+    * (the [[imageDHash]] convention). Non-image payloads drop;
+    * per-partition map, no shuffle. */
+  def imageAHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("ahash_hi", LongType), StructField("ahash_lo", LongType)))
+    df.select(col(idCol), col(payloadCol))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          decodeImage(r.getAs[Array[Byte]](1)).map { img =>
+            val g = resizeNearest(toGray(img), 8, 8)
+            var s = 0L
+            var i = 0
+            while (i < 64) { s += g.samples(i); i += 1 }
+            val mean = s / 64
+            var hash = 0L
+            i = 0
+            while (i < 64) {
+              if (g.samples(i) > mean) hash |= 1L << i
+              i += 1
+            }
+            Row(r.get(0), hash >>> 32, hash & 0xFFFFFFFFL)
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
   /** Integer-mean grayscale (Σch / nch) — shared by the perceptual
     * hashes. */
   private def toGray(img: DecodedImage): DecodedImage =

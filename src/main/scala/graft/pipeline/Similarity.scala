@@ -137,6 +137,56 @@ object Similarity {
     * pair set). Same bounded-anchor ground-truth shape; at scale the
     * label equality composes on the IVF/LSH candidate paths the same
     * way. */
+  /** Per-group embedding centroids as EXACT integer per-dimension sums:
+    * (group, dim, n, s, mean) with one correctly-rounded division per
+    * cell — the embedding-space profile of a source/label cohort (drift
+    * between crawls, cluster balance, mixture sanity). Input vectors must
+    * be integer-valued (the milli-quantized convention). One
+    * posexplode + map-side-combinable aggregate; output is
+    * O(groups × dim). */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String)
+      : DataFrame =
+    df.select(col(groupCol).alias("grp"),
+        posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .groupBy(col("grp"), col("dim"))
+      .agg(count(lit(1)).alias("n"),
+        sum(col("__x").cast(LongType)).alias("s"))
+      .withColumn("mean", col("s").cast(DoubleType) / col("n").cast(DoubleType))
+
+  /** Pairwise cosine between group CENTROIDS — the drift matrix ("how far
+    * apart do these sources/crawls sit in embedding space"). Scale-free
+    * identity: cosine(sum_a/n_a, sum_b/n_b) = cosine(sum_a, sum_b), so
+    * everything runs on the EXACT integer sum vectors — dot and squared
+    * norms are BIGINTs (requires Σ_d |s_a·s_b| < 2^63, comfortably true
+    * for milli-quantized embeddings into the billions of rows per group;
+    * the [[graft.pipeline.Pii.tCloseness]] documented-bound convention)
+    * and the cosine is one fixed (dot, √qa, √qb) composition of
+    * correctly-rounded ops — engine-exact. Work is O(groups² × dim) off
+    * the already-aggregated centroid table, never touching the corpus
+    * twice. */
+  def centroidCosines(df: DataFrame, groupCol: String, vecCol: String)
+      : DataFrame = {
+    val cent = groupCentroids(df, groupCol, vecCol)
+      .select(col("grp"), col("dim"), col("s"))
+    val norms = cent.groupBy(col("grp"))
+      .agg(sum(col("s") * col("s")).alias("q"))
+    val a = cent.select(col("grp").alias("grp_a"), col("dim"),
+      col("s").alias("__sa"))
+    val b = cent.select(col("grp").alias("grp_b"), col("dim"),
+      col("s").alias("__sb"))
+    a.join(b, Seq("dim")).filter(col("grp_a") < col("grp_b"))
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(sum(col("__sa") * col("__sb")).alias("dot"))
+      .join(norms.select(col("grp").alias("grp_a"), col("q").alias("qa")),
+        Seq("grp_a"))
+      .join(norms.select(col("grp").alias("grp_b"), col("q").alias("qb")),
+        Seq("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("dot"), col("qa"), col("qb"),
+        (col("dot").cast(DoubleType) /
+          (sqrt(col("qa").cast(DoubleType)) * sqrt(col("qb").cast(DoubleType))))
+          .alias("cosine"))
+  }
+
   def positivePairs(anchors: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, labelCol: String, k: Int): DataFrame =
     labeledTopK(anchors, corpus, idCol, vecCol, labelCol, k,

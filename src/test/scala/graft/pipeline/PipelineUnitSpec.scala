@@ -659,6 +659,76 @@ class PipelineUnitSpec extends SparkTestBase {
       pairs.head.getInt(4) == 1)
   }
 
+  test("groupCentroids / centroidCosines: exact integer sums and the " +
+      "scale-free cosine identity") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Seq(2.0, 0.0)), (0, Seq(4.0, 2.0)),   // sum (6, 2), n=2
+      (1, Seq(0.0, 3.0)), (1, Seq(0.0, 5.0)), (1, Seq(3.0, 1.0)) // (3, 9)
+    ).toDF("label", "q")
+    val cents = Similarity.groupCentroids(df, "label", "q")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(cents((0, 0)) == ((2L, 6L, 3.0)))
+    assert(cents((0, 1)) == ((2L, 2L, 1.0)))
+    assert(cents((1, 0)) == ((3L, 3L, 1.0)))
+    assert(cents((1, 1)) == ((3L, 9L, 3.0)))
+    val cos = Similarity.centroidCosines(df, "label", "q").collect()
+    assert(cos.length == 1)
+    val r = cos.head
+    // dot = 6*3 + 2*9 = 36; qa = 40; qb = 90
+    assert((r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((0, 1, 36L, 40L, 90L)))
+    assert(r.getDouble(5) == 36.0 / (math.sqrt(40.0) * math.sqrt(90.0)))
+    // the scale-free identity: cosine of sums == cosine of means
+    val ca = Array(3.0, 1.0); val cb = Array(1.0, 3.0)
+    val direct = (ca(0) * cb(0) + ca(1) * cb(1)) /
+      (math.sqrt(ca(0) * ca(0) + ca(1) * ca(1)) *
+        math.sqrt(cb(0) * cb(0) + cb(1) * cb(1)))
+    assert(math.abs(r.getDouble(5) - direct) < 1e-15)
+  }
+
+  test("sourceOverlapMatrix: exact shared-gram counts per source pair; " +
+      "disjoint pairs absent") {
+    import spark.implicits._
+    // 3-grams: sA doc: [a b c, b c d]; sB doc: [b c d, c d e]; sC: disjoint
+    val df = Seq(
+      ("sA", "a b c d"), ("sB", "b c d e"), ("sC", "x y z w"),
+      ("sA", "a b c")  // duplicate gram within a source counts ONCE
+    ).toDF("source", "text")
+    val got = Dedup.sourceOverlapMatrix(df, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    // sA grams {abc, bcd}; sB {bcd, cde}; shared {bcd} = 1
+    assert(got(("sA", "sB")) == ((1L, 2L, 2L, 0.5, 1.0 / 3.0)))
+    // sC shares nothing with anyone -> absent
+    assert(got.size == 1, got.toString)
+  }
+
+  test("imageAHash: hand-computed mean-threshold bits; invariant under a " +
+      "constant brightness shift") {
+    import spark.implicits._
+    // 8×8 identity grid: pixel(y,x) = x*4 + y (0..31,..). mean = floor of
+    // the exact sum/64; bit set iff strictly above
+    val base = Array.tabulate(64)(i => (i % 8) * 4 + i / 8)
+    val mean = base.sum / 64
+    val expected = base.zipWithIndex.foldLeft(0L) { case (h, (g, i)) =>
+      if (g > mean) h | (1L << i) else h
+    }
+    val png = Multimodal.buildPngWithPixels(8, 8, 1, base, _ => 0)
+    // +20 everywhere (no clipping): g+c > mean+c ⇔ g > mean → same hash
+    val shifted = Multimodal.buildPngWithPixels(8, 8, 1, base.map(_ + 20), _ => 0)
+    val flat = Multimodal.buildPngWithPixels(8, 8, 1, Array.fill(64)(9), _ => 0)
+    val m = Multimodal.imageAHash(
+      Seq((1L, png), (2L, shifted), (3L, flat)).toDF("doc_id", "payload"),
+      "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(1L) == ((expected >>> 32, expected & 0xFFFFFFFFL)))
+    assert(m(2L) == m(1L), "brightness-shift invariance")
+    assert(m(3L) == ((0L, 0L)), "flat image: nothing strictly above the mean")
+  }
+
   test("wavFrameFeatures: exact frame energy, peak, crossings; tail dropped") {
     import spark.implicits._
     // 70 alternating ±3 samples → ONE full 64-frame (6-sample tail drops):
