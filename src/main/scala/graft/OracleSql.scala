@@ -4956,6 +4956,53 @@ object OracleSql {
     // Grouped OLS replay: exact BIGINT moment sums, the identical
     // fixed-order Cramer determinants in double space, null on singular.
     "q_group_ols" -> groupOlsSql,
+
+    // Theil–Sen replay: one division per ordered pair, exact selection of
+    // the ⌈m/2⌉-th smallest under the (slope, tie_i, tie_j) total order
+    "q_theil_sen" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS x,
+        |  round(value * 100) AS y, event_id
+        |  FROM events WHERE user_id < 40 AND value IS NOT NULL),
+        |p AS (SELECT a.user_id AS user_id,
+        |  (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS s,
+        |  a.event_id AS ia, b.event_id AS ib
+        |  FROM e a JOIN e b ON a.user_id = b.user_id AND a.x < b.x),
+        |r AS (SELECT user_id, s, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY s, ia, ib) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS m FROM p)
+        |SELECT user_id, CAST(m AS BIGINT) AS n_pairs, s AS slope
+        |FROM r WHERE rn = (m + 1) // 2""".stripMargin,
+
+    // Mann–Kendall replay: distinct-x dedup (lowest event_id), exact S and
+    // tie-corrected variance numerator, continuity-corrected z
+    "q_mann_kendall" ->
+      """WITH e0 AS (SELECT user_id, epoch_us(ts) AS x,
+        |  round(value * 100) AS y, event_id
+        |  FROM events WHERE user_id < 40 AND value IS NOT NULL),
+        |e AS (SELECT user_id, x, y FROM (SELECT *, row_number()
+        |  OVER (PARTITION BY user_id, x ORDER BY event_id) AS rn FROM e0)
+        |  WHERE rn = 1),
+        |s AS (SELECT a.user_id AS user_id,
+        |  CAST(sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+        |    ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM e a JOIN e b ON a.user_id = b.user_id AND a.x < b.x
+        |  GROUP BY 1),
+        |nn AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM e
+        |  GROUP BY 1),
+        |tt AS (SELECT user_id,
+        |  CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tc
+        |  FROM (SELECT user_id, y, count(*) AS t FROM e GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |j AS (SELECT user_id, n, s_stat,
+        |  n * (n - 1) * (2 * n + 5) - tc AS var_num
+        |  FROM nn JOIN s USING (user_id) JOIN tt USING (user_id))
+        |SELECT user_id, n, s_stat, CAST(var_num AS BIGINT) AS var_num,
+        |  CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |      / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+        |    WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |      / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+        |    ELSE 0.0 END AS z
+        |FROM j""".stripMargin,
     // q_stream_group_ols shares it verbatim: the nine moment deltas are
     // additive and fold to the identical integers.
     "q_stream_group_ols" -> groupOlsSql,

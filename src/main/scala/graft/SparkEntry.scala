@@ -1865,6 +1865,25 @@ object SparkEntry {
         graft.tsdf.Dtw.dtwDistance(col("__pa"), col("__pb")).alias("dtw"))
   }
 
+  /** Theil–Sen robust slope per user ([[graft.pipeline.Regression
+    * .theilSen]]): lower median of pairwise cent-per-microsecond slopes
+    * over the bounded anchor set (user_id < 40, the q_dtw convention) —
+    * the outlier-immune trend next to the OLS/Hampel family. */
+  private def qTheilSen(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Regression.theilSen(
+      events(s, dir).filter(col("user_id") < 40 && col("value").isNotNull),
+      Seq("user_id"), unix_micros(col("ts")), cents(col("value")),
+      col("event_id"))
+
+  /** Mann–Kendall monotone-trend test per user — Theil–Sen's classical
+    * companion over the same bounded anchor set; exact integer S and
+    * variance numerator, continuity-corrected z. */
+  private def qMannKendall(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Regression.mannKendall(
+      events(s, dir).filter(col("user_id") < 40 && col("value").isNotNull),
+      Seq("user_id"), unix_micros(col("ts")), cents(col("value")),
+      col("event_id"))
+
   private def qTCloseness(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Pii.tCloseness(
       events(s, dir).select(col("event_type"),
@@ -3746,6 +3765,8 @@ object SparkEntry {
     "q_lm_bigram" -> qLmBigram _,
     "q_fd" -> qFd _,
     "q_group_ols" -> qGroupOls _,
+    "q_theil_sen" -> qTheilSen _,
+    "q_mann_kendall" -> qMannKendall _,
     "q_welch" -> qWelch _,
     "q_stream_welch" -> qStreamWelch _,
     "q_gini" -> qGini _,

@@ -70,4 +70,105 @@ object Regression {
       .withColumn("beta1", when(detA =!= 0.0, det1 / detA))
       .withColumn("beta2", when(detA =!= 0.0, det2 / detA))
   }
+
+  /** Theil–Sen robust slope per group — the outlier-immune trend next to
+    * [[groupOls2]]'s least squares and Hampel's despike: the (LOWER)
+    * median of all pairwise slopes (y_j − y_i)/(x_j − x_i) over x_i < x_j.
+    * Up to ~29% contamination moves it not at all, where one wild point
+    * drags an OLS slope arbitrarily.
+    *
+    * Determinism: x and y are exact integers (micros / cents contract),
+    * each slope is ONE correctly-rounded IEEE division, and the estimator
+    * is an exact SELECTION — the ⌈m/2⌉-th smallest under the total order
+    * (slope, tie_i, tie_j) — so equal slopes cannot make the answer
+    * engine-dependent. Equal-x pairs are excluded (slope undefined), the
+    * standard convention.
+    *
+    * Scale: O(n²) pairs per group BY CONSTRUCTION — run it on bounded
+    * anchor groups or pre-aggregated series (hourly rollups), the
+    * q_dtw/q_jaro bounded-pair-source convention; the join and the one
+    * rank window shuffle on the group key. Output:
+    * groupCols ++ (n_pairs, slope). */
+  def theilSen(df: DataFrame, groupCols: Seq[String], xCol: Column,
+      yCol: Column, tieCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val base = df.select(groupCols.map(col) ++ Seq(
+      xCol.alias("__x"), yCol.alias("__y"), tieCol.alias("__i")): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val a = base.select(groupCols.map(col) ++ Seq(col("__x").alias("__xa"),
+      col("__y").alias("__ya"), col("__i").alias("__ia")): _*)
+    val b = base.select(groupCols.map(col) ++ Seq(col("__x").alias("__xb"),
+      col("__y").alias("__yb"), col("__i").alias("__ib")): _*)
+    val pairs = a.join(b, groupCols)
+      .filter(col("__xa") < col("__xb"))
+      .withColumn("__s", (col("__yb") - col("__ya")).cast(DoubleType) /
+        (col("__xb") - col("__xa")).cast(DoubleType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__s").asc, col("__ia").asc, col("__ib").asc)
+    pairs
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__m", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)))
+      .filter(col("__rn") ===
+        call_function("div", col("__m") + 1L, lit(2L))) // integer ⌈m/2⌉
+      .select(groupCols.map(col) ++ Seq(col("__m").alias("n_pairs"),
+        col("__s").alias("slope")): _*)
+  }
+
+  /** Mann–Kendall trend test per group — Theil–Sen's classical companion
+    * ("IS there a monotone trend" next to "how steep is it"): S =
+    * Σ_{x_i<x_j} sign(y_j − y_i), variance with the standard y-tie
+    * correction Var = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18, and the
+    * continuity-corrected z = (S∓1)/√Var (0 when S = 0).
+    *
+    * Determinism: S, n, and the variance NUMERATOR are exact BIGINTs;
+    * var = num/18 and the z assembly are a fixed composition of
+    * correctly-rounded IEEE ops — engine-exact. The classic formula
+    * assumes distinct x, so the input dedupes per (group, x) first
+    * (lowest tie wins — deterministic), documented in place of an x-tie
+    * variance correction.
+    *
+    * Scale: same O(n²)-pairs-per-group contract as [[theilSen]] — bounded
+    * anchors or pre-aggregated series. Output: groupCols ++
+    * (n, s_stat, var_num, z). */
+  def mannKendall(df: DataFrame, groupCols: Seq[String], xCol: Column,
+      yCol: Column, tieCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val base0 = df.select(groupCols.map(col) ++ Seq(
+      xCol.alias("__x"), yCol.alias("__y"), tieCol.alias("__i")): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    // distinct x per group: keep the lowest-tie row (exact argmin struct)
+    val base = base0.groupBy(groupCols.map(col) :+ col("__x"): _*)
+      .agg(min(struct(col("__i"), col("__y"))).alias("__w"))
+      .select(groupCols.map(col) ++ Seq(col("__x"),
+        col("__w.__y").alias("__y")): _*)
+    val a = base.select(groupCols.map(col) ++ Seq(col("__x").alias("__xa"),
+      col("__y").alias("__ya")): _*)
+    val b = base.select(groupCols.map(col) ++ Seq(col("__x").alias("__xb"),
+      col("__y").alias("__yb")): _*)
+    val sStat = a.join(b, groupCols)
+      .filter(col("__xa") < col("__xb"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(signum(col("__yb") - col("__ya")).cast("long")).alias("s_stat"))
+    val nTab = base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).alias("n"))
+    val ties = base.groupBy(groupCols.map(col) :+ col("__y"): _*)
+      .agg(count(lit(1)).alias("__t"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__t") * (col("__t") - 1L) * (lit(2L) * col("__t") + 5L))
+        .alias("__tc"))
+    val joined = nTab.join(sStat, groupCols).join(ties, groupCols)
+      .withColumn("var_num",
+        col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) - col("__tc"))
+    val v = col("var_num").cast(DoubleType) / lit(18.0)
+    joined.withColumn("z",
+      when(col("s_stat") > 0L, (col("s_stat") - 1L).cast(DoubleType) / sqrt(v))
+        .when(col("s_stat") < 0L,
+          (col("s_stat") + 1L).cast(DoubleType) / sqrt(v))
+        .otherwise(lit(0.0)))
+      .select(groupCols.map(col) ++ Seq(col("n"), col("s_stat"),
+        col("var_num"), col("z")): _*)
+  }
 }

@@ -659,6 +659,53 @@ class PipelineUnitSpec extends SparkTestBase {
       pairs.head.getInt(4) == 1)
   }
 
+  test("theilSen: exact slope on a clean line, immune to an outlier that " +
+      "drags OLS; lower-median selection on even pair counts") {
+    import spark.implicits._
+    // clean line y = 5x + 3 over x = 0..20: every pair slope is exactly 5
+    val clean = (0L to 20L).map(x => (1L, x, 5L * x + 3L, x))
+    // same line with one wild point: most pair slopes stay 5, median holds
+    val dirty = (0L to 20L).map(x =>
+      (2L, x, if (x == 10L) 999999L else 5L * x + 3L, x))
+    val df = (clean ++ dirty).toDF("g", "x", "y", "i")
+    val got = Regression.theilSen(df, Seq("g"), col("x"), col("y"), col("i"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((210L, 5.0)))
+    assert(got(2L)._2 == 5.0, s"outlier moved the Theil-Sen slope: ${got(2L)}")
+    // lower median on an even count: 3 points -> slopes {1, 3, 2(chord)};
+    // 4 points x=0..3, y = 0,1,4,5 -> 6 slopes {1,2,5/3,3,2,1} sorted
+    // {1,1,5/3,2,2,3}, lower median = 5/3
+    val even = Seq((3L, 0L, 0L, 0L), (3L, 1L, 1L, 1L), (3L, 2L, 4L, 2L),
+      (3L, 3L, 5L, 3L)).toDF("g", "x", "y", "i")
+    val e = Regression.theilSen(even, Seq("g"), col("x"), col("y"), col("i"))
+      .collect().head
+    assert(e.getLong(1) == 6L && e.getDouble(2) == 5.0 / 3.0)
+  }
+
+  test("mannKendall: textbook S/variance on hand series — monotone, " +
+      "tied, and flat cases; x-dedup keeps the lowest tie") {
+    import spark.implicits._
+    val rows =
+      // g1: strictly increasing, n=5 -> S = 10, no ties,
+      // var_num = 5*4*15 = 300, z = 9/sqrt(300/18)
+      (1L to 5L).map(x => (1L, x, x * 10L, x)) ++
+      // g2: all equal ys, n=4 -> S=0, tc = 4*3*13=156,
+      // var_num = 4*3*13 - 156 = 0, z = 0
+      (1L to 4L).map(x => (2L, x, 7L, x)) ++
+      // g3: y = [1,1,2], n=3: S = sign(0)+sign(1)+sign(1) = 2;
+      // ties: t=2 -> tc = 2*1*9 = 18; var_num = 3*2*11 - 18 = 48
+      Seq((3L, 1L, 1L, 1L), (3L, 2L, 1L, 2L), (3L, 3L, 2L, 3L)) ++
+      // duplicate x in g3 with a HIGHER tie: must be dropped by the dedup
+      Seq((3L, 1L, 999L, 9L))
+    val got = Regression.mannKendall(rows.toDF("g", "x", "y", "i"),
+      Seq("g"), col("x"), col("y"), col("i"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((5L, 10L, 300L, 9.0 / math.sqrt(300.0 / 18.0))))
+    assert(got(2L) == ((4L, 0L, 0L, 0.0)))
+    assert(got(3L) == ((3L, 2L, 48L, 1.0 / math.sqrt(48.0 / 18.0))))
+  }
+
   test("groupCentroids / centroidCosines: exact integer sums and the " +
       "scale-free cosine identity") {
     import spark.implicits._
