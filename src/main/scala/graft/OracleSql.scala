@@ -98,6 +98,28 @@ object OracleSql {
        |FROM pb GROUP BY doc_id""".stripMargin
   }
 
+  /** aHash replay shared by the batch query and its stateless streaming
+    * twin: 8x8 NN gray, integer mean (floor), strict threshold, the
+    * dHash bit-packing convention. */
+  private val imageAhashSql: String =
+    s"""$imageArmsSql,
+       |px AS (SELECT doc_id, y.y AS y, x.x AS x,
+       |  CAST((${imageGraySql("y.y * h // 8", "x.x * w // 8")}) AS BIGINT) AS g
+       |  FROM imgs, range(8) y(y), range(8) x(x)),
+       |mn AS (SELECT doc_id, CAST(sum(g) // 64 AS BIGINT) AS m
+       |  FROM px GROUP BY doc_id),
+       |bits AS (SELECT px.doc_id, y, x,
+       |  CASE WHEN g > m THEN 1 ELSE 0 END AS b
+       |  FROM px JOIN mn USING (doc_id))
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN y * 8 + x >= 32
+       |    THEN b * (CAST(1 AS BIGINT) << (y * 8 + x - 32))
+       |    ELSE 0 END) AS BIGINT) AS ahash_hi,
+       |  CAST(sum(CASE WHEN y * 8 + x < 32
+       |    THEN b * (CAST(1 AS BIGINT) << (y * 8 + x))
+       |    ELSE 0 END) AS BIGINT) AS ahash_lo
+       |FROM bits GROUP BY doc_id""".stripMargin
+
   /** 256 width-2 bins over [0, 512) per event_type, p50/90/99 as first
     * cumulative-rank bin upper edges — shared by q_hist_quantile and
     * q_stream_hist (both reconstruct the identical histogram). */
@@ -4102,26 +4124,12 @@ object OracleSql {
 
     // aHash replay: same 8x8 NN gray raster, integer mean (floor), strict
     // threshold, dHash bit-packing convention
-    "q_image_ahash" ->
-      s"""$imageArmsSql,
-         |px AS (SELECT doc_id, y.y AS y, x.x AS x,
-         |  CAST((${imageGraySql("y.y * h // 8", "x.x * w // 8")}) AS BIGINT) AS g
-         |  FROM imgs, range(8) y(y), range(8) x(x)),
-         |mn AS (SELECT doc_id, CAST(sum(g) // 64 AS BIGINT) AS m
-         |  FROM px GROUP BY doc_id),
-         |bits AS (SELECT px.doc_id, y, x,
-         |  CASE WHEN g > m THEN 1 ELSE 0 END AS b
-         |  FROM px JOIN mn USING (doc_id))
-         |SELECT doc_id,
-         |  CAST(sum(CASE WHEN y * 8 + x >= 32
-         |    THEN b * (CAST(1 AS BIGINT) << (y * 8 + x - 32))
-         |    ELSE 0 END) AS BIGINT) AS ahash_hi,
-         |  CAST(sum(CASE WHEN y * 8 + x < 32
-         |    THEN b * (CAST(1 AS BIGINT) << (y * 8 + x))
-         |    ELSE 0 END) AS BIGINT) AS ahash_lo
-         |FROM bits GROUP BY doc_id""".stripMargin,
+    "q_image_ahash" -> imageAhashSql,
     // the streaming twin emits identical per-doc signatures
     "q_stream_dhash" -> (imageDhashSql + "\nSELECT * FROM acc"),
+
+    // streaming aHash: stateless decode gate, shares the batch replay
+    "q_stream_ahash" -> imageAhashSql,
 
     // near-dup replay: distinct signatures → min-id representative →
     // band-bucket join → exact popcount Hamming at radius 3, DISTINCT
@@ -5014,6 +5022,18 @@ object OracleSql {
     // q_stream_keywords shares it verbatim: (doc, term) tf deltas are
     // additive; df and N derive from the folded grid.
     "q_stream_keywords" -> keywordsSql,
+
+    // streaming centroid maintenance: statsDeltas per (label, dim) folds
+    // to the exact batch sums — shares the batch centroid replay verbatim
+    "q_stream_centroids" ->
+      s"""WITH v AS (SELECT vec_id, label, $qv AS q FROM embeddings),
+         |e AS (SELECT label, unnest(q) AS x,
+         |  generate_subscripts(q, 1) - 1 AS dim FROM v),
+         |a AS (SELECT label, CAST(dim AS BIGINT) AS dim,
+         |  CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+         |  FROM e GROUP BY 1, 2)
+         |SELECT label, dim, n, s,
+         |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean FROM a""".stripMargin,
 
     // Gini replay: exact per-customer revenue cents, 1-based rank by
     // (value, custkey), exact rank-moment sums, two fixed divisions.

@@ -2729,6 +2729,27 @@ object SparkEntry {
         graft.tsdf.Dtw.dtwDistance(col("__pa"), col("__pb")).alias("dtw"))
   }
 
+  /** Streaming embedding-centroid maintenance: per-(label, dim) sums are
+    * ADDITIVE, so [[graft.streaming.StreamingTSDF.statsDeltas]] keyed on
+    * (label, dim) folds to the exact batch per-dimension sums for any
+    * micro-batching — incremental cohort-centroid refresh (and, via the
+    * [[graft.pipeline.Similarity.centroidCosines]] tail, drift matrices)
+    * with no corpus rescan. Shares q_embed_centroids' oracle verbatim. */
+  private def qStreamCentroids(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val cells = embStream(s, dir).select(col("label"),
+        posexplode(transform(col("embedding"),
+          x => round(x.cast(DoubleType) * 1000))).as(Seq("dim", "__x")))
+    val deltas = graft.streaming.StreamingTSDF.statsDeltas(
+      cells, Seq("label", "dim"), col("__x"))
+    runStream(s, deltas)
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("n")).alias("n"), sum(col("s1")).alias("s"))
+      .select(col("label"), col("dim").cast(LongType).alias("dim"),
+        col("n"), col("s"),
+        (col("s").cast(DoubleType) / col("n").cast(DoubleType)).alias("mean"))
+  }
+
   /** Streaming Markov transitions: adjacent-step COUNT DELTAS from the
     * ingest stream ([[graft.streaming.StreamingTSDF.transitionDeltas]] —
     * one (ts, tie, type) triple of state per series owns the
@@ -3544,6 +3565,18 @@ object SparkEntry {
     runStream(s, out)
   }
 
+  /** Streaming aHash — stateless decode gate like q_stream_dhash:
+    * synthesize + decode + hash are per-row, so any micro-batching gives
+    * identical signatures; shares q_image_ahash's oracle verbatim. */
+  private def qStreamAhash(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val out = Multimodal.imageAHash(
+      Multimodal.synthesizeDecodablePayload(
+        docsStream(s, dir).select(col("doc_id")), "doc_id"),
+      "doc_id", "payload")
+    runStream(s, out)
+  }
+
   /** Banded near-dup join over the dHash signatures — pixel-space LSH
     * dedup with exact Hamming verification at radius 3. */
   private def qImageNeardup(s: SparkSession, dir: String): DataFrame =
@@ -3815,6 +3848,8 @@ object SparkEntry {
     "q_stream_dtw" -> qStreamDtw _,
     "q_stream_transitions" -> qStreamTransitions _,
     "q_stream_intervals" -> qStreamIntervals _,
+    "q_stream_centroids" -> qStreamCentroids _,
+    "q_stream_ahash" -> qStreamAhash _,
     "q_stream_whiten" -> qStreamWhiten _,
     "q_stream_pmi" -> qStreamPmi _,
     "q_stream_group_ols" -> qStreamGroupOls _,
