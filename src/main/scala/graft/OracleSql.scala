@@ -15,6 +15,83 @@ object OracleSql {
   private val norm =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
+  /** Spectrogram replay shared by q_audio_spectrogram and
+    * q_audio_descriptors: synthesized WAV samples, per-64-sample-frame
+    * O(n²) DFT, the q_fourier +0.25-bias quantization at a 256-unit
+    * quantum, 8 bands × 8 two-sided bins of exact integer energies.
+    * Ends at CTE `be(doc_id, frame_idx, band, band_energy_q)`. */
+  private val audioSpectroCte: String =
+    """WITH d AS (SELECT doc_id, 100 + doc_id % 400 AS n FROM documents),
+      |sm AS (SELECT doc_id, n, i.i AS i,
+      |  (doc_id % 251) * 7 + 11 * i.i AS raw
+      |  FROM d, range(500) i(i) WHERE i.i < n),
+      |px AS (SELECT doc_id, n, i,
+      |  CAST(raw % 65536 - 32768 AS BIGINT) AS s FROM sm),
+      |fr AS (SELECT doc_id, i // 64 AS frame_idx, list(s ORDER BY i) AS xs
+      |  FROM px WHERE i // 64 < n // 64 GROUP BY 1, 2),
+      |co AS (SELECT doc_id, frame_idx, kk.k AS k,
+      |  list_sum(list_transform(range(64), nn ->
+      |    xs[nn + 1] * cos(2 * pi() * ((kk.k * nn) % 64) / 64))) AS xr,
+      |  list_sum(list_transform(range(64), nn ->
+      |    -xs[nn + 1] * sin(2 * pi() * ((kk.k * nn) % 64) / 64))) AS xi
+      |  FROM fr, range(64) kk(k)),
+      |q AS (SELECT doc_id, frame_idx, k,
+      |  CAST(floor(xr / 256 + 0.25) AS BIGINT) AS rc,
+      |  CAST(floor(xi / 256 + 0.25) AS BIGINT) AS ic FROM co),
+      |be AS (SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(k // 8 AS INT) AS band,
+      |  CAST(sum(rc * rc + ic * ic) AS BIGINT) AS band_energy_q
+      |FROM q GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Winnowing replay (k=16, w=4 — k chosen by measurement: the
+    * synthetic corpus has a tiny word vocabulary, so k=5 grams collapse
+    * to ~1000 distinct fingerprints corpus-wide and the min-hash
+    * selection marks them all boilerplate; k=16 grams span 2-3 words
+    * and the distinct-fp count grows with the corpus, 25k at sf0.01)
+    * shared by q_winnow / q_winnow_pairs / q_stream_winnow. The k-gram
+    * polyHash replays as a Horner list_reduce INSIDE list_transform —
+    * safe from the r12 nested-list_reduce hazard because the inner list
+    * length is the constant k; the window rightmost-min is a least +
+    * CASE chain; consecutive-dedup uses lag() over the window index
+    * (deterministic — j is a total order per doc). Short docs
+    * (1 <= m < 4) take one top-level list_reduce over fixed-length
+    * [hash, pos] pairs. Ends at CTE `fps(doc_id, pos, fp)`. */
+  private val winnowCte: String = {
+    val k = 16
+    s"""WITH d AS (SELECT doc_id, $norm AS nt FROM documents),
+       |g AS (SELECT doc_id, nt, greatest(length(nt) - ${k - 1}, 0) AS m
+       |  FROM d),
+       |hh AS (SELECT doc_id, m, list_transform(generate_series(1, m),
+       |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(generate_series(0, ${k - 1}),
+       |          t -> CAST(ascii(substr(nt, i + t, 1)) AS BIGINT))),
+       |      (acc, c) -> (acc * 131 + c) % 1000000007)) AS hs
+       |  FROM g WHERE m >= 1),
+       |wsel AS (SELECT doc_id, hs, j,
+       |    least(hs[j+1], hs[j+2], hs[j+3], hs[j+4]) AS mv
+       |  FROM hh, unnest(generate_series(0, m - 4)) AS t(j) WHERE m >= 4),
+       |wpos AS (SELECT doc_id, hs, j,
+       |    CASE WHEN hs[j+4] = mv THEN j+4 WHEN hs[j+3] = mv THEN j+3
+       |         WHEN hs[j+2] = mv THEN j+2 ELSE j+1 END AS pos
+       |  FROM wsel),
+       |wkeep AS (SELECT doc_id, hs, pos FROM (
+       |    SELECT doc_id, hs, pos,
+       |      lag(pos) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+       |    FROM wpos) WHERE prev IS NULL OR prev <> pos),
+       |spos AS (SELECT doc_id, hs, list_reduce(
+       |    list_prepend([CAST(9223372036854775807 AS BIGINT),
+       |                  CAST(0 AS BIGINT)],
+       |      list_transform(generate_series(1, m),
+       |        i -> [hs[i], CAST(i AS BIGINT)])),
+       |    (acc, x) -> CASE WHEN x[1] <= acc[1] THEN x ELSE acc END)[2]
+       |    AS pos
+       |  FROM hh WHERE m < 4),
+       |fps AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |    hs[CAST(pos AS INT)] AS fp
+       |  FROM (SELECT doc_id, hs, pos FROM wkeep
+       |        UNION ALL SELECT doc_id, hs, pos FROM spos))""".stripMargin
+  }
+
   /** Closed-form dHash of the synthetic image arms, shared by
     * q_image_dhash (append `SELECT * FROM acc`) and q_image_neardup
     * (append the signature/band-join CTEs). gSql restates the decoded
@@ -1231,6 +1308,109 @@ object OracleSql {
       |SELECT c.from_type, c.to_type, c.n, f.n_from,
       |  CAST(c.n AS DOUBLE) / CAST(f.n_from AS DOUBLE) AS p
       |FROM c JOIN f USING (from_type)""".stripMargin
+
+  /** LCS replay: the identical nested fold as the Spark HOF — outer
+    * list_reduce over a's padded token hashes carrying the previous DP
+    * row, inner rebuilding each row with max/diag+1 cells. Both sides
+    * are truncated to 24 tokens and PADDED to exactly 24 with distinct
+    * sentinels (−1 / −2): fixed inner lengths keep this outside the
+    * DuckDB nested-list_reduce vectorization hazard (the jaroSql note),
+    * and non-matching sentinels cannot change the DP corner. */
+  private lazy val lcsSql: String = {
+    val hs = "list_transform(list_filter(string_split(" + norm +
+      ", ' '), x -> x <> '')[1:24], tok -> " +
+      Hashing.polyHashSql("tok") + ")"
+    s"""WITH d AS (SELECT doc_id, $hs AS hs
+       |  FROM documents WHERE doc_id < 40),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  a.hs AS ha, b.hs AS hb
+       |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1),
+       |q AS (SELECT doc_a, doc_b,
+       |  CAST(len(ha) AS BIGINT) AS la, CAST(len(hb) AS BIGINT) AS lb,
+       |  list_concat(ha, list_transform(generate_series(1, 24 - len(ha)),
+       |    x -> CAST(-1 AS BIGINT))) AS pa,
+       |  list_concat(hb, list_transform(generate_series(1, 24 - len(hb)),
+       |    x -> CAST(-2 AS BIGINT))) AS pb
+       |  FROM p),
+       |r AS (SELECT doc_a, doc_b, la, lb,
+       |  list_reduce(
+       |    list_prepend(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(pb, x -> CAST(0 AS BIGINT))),
+       |      list_transform(pa, ai -> [ai])),
+       |    (prev, xa) -> list_reduce(
+       |      list_prepend([CAST(0 AS BIGINT)],
+       |        list_transform(pb, bj -> [bj])),
+       |      (cur, xb) -> list_append(cur,
+       |        greatest(
+       |          CASE WHEN xa[1] = xb[1] THEN prev[len(cur)] + 1
+       |            ELSE CAST(0 AS BIGINT) END,
+       |          prev[len(cur) + 1], cur[-1]))))[-1] AS lcs_len
+       |  FROM q)
+       |SELECT doc_a, doc_b, la, lb, lcs_len,
+       |  CASE WHEN la + lb > 0
+       |    THEN CAST(2 * lcs_len AS DOUBLE) / CAST(la + lb AS DOUBLE)
+       |    ELSE 0.0 END AS lcs_sim
+       |FROM r""".stripMargin
+  }
+
+  /** Kaplan-Meier replay (shared by the batch query and the streaming
+    * delta twin): same (group, t) grid, integer window risk sets, and
+    * the IDENTICAL left-to-right survival fold (a window product()
+    * would tree-reorder float multiplies; the sliced fold recomputes
+    * each prefix in the same order the Spark scan walks it). */
+  private lazy val kaplanMeierSql: String =
+    """WITH base AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS t,
+      |  (event_id % 4 <> 0) AS ev FROM events WHERE value IS NOT NULL),
+      |byt AS (SELECT event_type, t,
+      |  CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |  count(*) AS obs FROM base GROUP BY 1, 2),
+      |r AS (SELECT event_type, t, d, obs,
+      |  CAST(sum(obs) OVER (PARTITION BY event_type)
+      |    - (sum(obs) OVER (PARTITION BY event_type ORDER BY t
+      |         ROWS UNBOUNDED PRECEDING) - obs) AS BIGINT) AS n_risk
+      |  FROM byt),
+      |st AS (SELECT event_type, list([t, d, n_risk] ORDER BY t) AS steps
+      |  FROM r WHERE d > 0 GROUP BY event_type),
+      |ex AS (SELECT event_type, steps, g.i AS i
+      |  FROM st, unnest(generate_series(1, len(steps))) AS g(i))
+      |SELECT event_type,
+      |  steps[CAST(i AS INT)][1] AS t,
+      |  steps[CAST(i AS INT)][2] AS d_events,
+      |  steps[CAST(i AS INT)][3] AS n_risk,
+      |  list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+      |    list_transform(steps[1:CAST(i AS INT)], x ->
+      |      1.0 - CAST(x[2] AS DOUBLE) / CAST(x[3] AS DOUBLE))),
+      |    (a, b) -> a * b) AS survival
+      |FROM ex""".stripMargin
+
+  private lazy val acfSql: String = {
+    def lagAggs(l: Int) =
+      s"""count(l$l) AS nl$l, sum(c * l$l) AS sxy$l,
+         |  sum(CASE WHEN l$l IS NOT NULL THEN c END) AS sx$l, sum(l$l) AS sy$l""".stripMargin
+    def lagRow(l: Int) =
+      s"""SELECT user_id, CAST($l AS BIGINT) AS "lag", nl$l AS n_pairs,
+         |  CASE WHEN den <> 0 THEN
+         |    (CAST(sxy$l AS DOUBLE) - mu * (sx$l + sy$l) + nl$l * mu * mu) / den
+         |  END AS acf FROM m2""".stripMargin
+    s"""WITH c AS (SELECT user_id, ts, event_id,
+       |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+       |l AS (SELECT user_id, c,
+       |  lag(c, 1) OVER w AS l1, lag(c, 2) OVER w AS l2, lag(c, 3) OVER w AS l3
+       |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |a AS (SELECT user_id, count(*) AS n, sum(c) AS s, sum(c * c) AS s2,
+       |  ${lagAggs(1)},
+       |  ${lagAggs(2)},
+       |  ${lagAggs(3)}
+       |  FROM l GROUP BY user_id),
+       |m AS (SELECT *, CAST(s AS DOUBLE) / n AS mu FROM a),
+       |m2 AS (SELECT *, CAST(s2 AS DOUBLE) - 2.0 * mu * s + n * mu * mu AS den FROM m)
+       |${lagRow(1)}
+       |UNION ALL
+       |${lagRow(2)}
+       |UNION ALL
+       |${lagRow(3)}""".stripMargin
+  }
 
   private lazy val dtwSql: String =
     """WITH e AS (SELECT user_id, CAST(hour(ts) AS BIGINT) AS h,
@@ -3149,32 +3329,25 @@ object OracleSql {
     // the integer values are identical) assembled with the same operation
     // order as Stats.acf — mu, then den = s2 − 2·mu·s + n·mu², then
     // num_l = sxy_l − mu·(sx_l + sy_l) + nl_l·mu².
-    "q_acf" -> {
-      def lagAggs(l: Int) =
-        s"""count(l$l) AS nl$l, sum(c * l$l) AS sxy$l,
-           |  sum(CASE WHEN l$l IS NOT NULL THEN c END) AS sx$l, sum(l$l) AS sy$l""".stripMargin
-      def lagRow(l: Int) =
-        s"""SELECT user_id, CAST($l AS BIGINT) AS "lag", nl$l AS n_pairs,
-           |  CASE WHEN den <> 0 THEN
-           |    (CAST(sxy$l AS DOUBLE) - mu * (sx$l + sy$l) + nl$l * mu * mu) / den
-           |  END AS acf FROM m2""".stripMargin
-      s"""WITH c AS (SELECT user_id, ts, event_id,
-         |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
-         |l AS (SELECT user_id, c,
-         |  lag(c, 1) OVER w AS l1, lag(c, 2) OVER w AS l2, lag(c, 3) OVER w AS l3
-         |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         |a AS (SELECT user_id, count(*) AS n, sum(c) AS s, sum(c * c) AS s2,
-         |  ${lagAggs(1)},
-         |  ${lagAggs(2)},
-         |  ${lagAggs(3)}
-         |  FROM l GROUP BY user_id),
-         |m AS (SELECT *, CAST(s AS DOUBLE) / n AS mu FROM a),
-         |m2 AS (SELECT *, CAST(s2 AS DOUBLE) - 2.0 * mu * s + n * mu * mu AS den FROM m)
-         |${lagRow(1)}
-         |UNION ALL
-         |${lagRow(2)}
-         |UNION ALL
-         |${lagRow(3)}""".stripMargin
+    "q_acf" -> acfSql,
+
+    // PACF replay: pivot the acf rows to one row per series, then the
+    // IDENTICAL unrolled Durbin-Levinson expression strings the Spark
+    // side parses (Stats.pacfExprStrings) — same text, same op tree,
+    // bit-identical doubles
+    "q_pacf" -> {
+      val exprs = graft.tsdf.Stats.pacfExprStrings(3, l => s"__r$l")
+      val rows = (1 to 3).map(k =>
+        s"""SELECT user_id, CAST($k AS BIGINT) AS "lag",
+           |  ${exprs(k - 1)} AS pacf FROM p""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH acfq AS ($acfSql),
+         |p AS (SELECT user_id,
+         |  max(CASE WHEN "lag" = 1 THEN acf END) AS __r1,
+         |  max(CASE WHEN "lag" = 2 THEN acf END) AS __r2,
+         |  max(CASE WHEN "lag" = 3 THEN acf END) AS __r3
+         |  FROM acfq GROUP BY user_id)
+         |$rows""".stripMargin
     },
 
     // top-50 3-grams by document frequency (distinct grams per doc)
@@ -3462,6 +3635,33 @@ object OracleSql {
 
     "q_rolling_fp" ->
       s"SELECT doc_id, ${Hashing.polyHashSql(norm)} AS rh FROM documents",
+
+    "q_winnow" -> s"$winnowCte SELECT doc_id, pos, fp FROM fps",
+    "q_stream_winnow" -> s"$winnowCte SELECT doc_id, pos, fp FROM fps",
+
+    "q_novelty" ->
+      s"""$winnowCte,
+         |dfp AS (SELECT DISTINCT doc_id, fp FROM fps),
+         |fo AS (SELECT fp, min(doc_id) AS first_owner FROM dfp GROUP BY fp)
+         |SELECT dfp.doc_id, count(*) AS n_fps,
+         |  CAST(sum(CASE WHEN fo.first_owner = dfp.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN fo.first_owner = dfp.doc_id THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*) AS novelty
+         |FROM dfp JOIN fo USING (fp) GROUP BY dfp.doc_id""".stripMargin,
+
+    "q_winnow_pairs" ->
+      s"""$winnowCte,
+         |dfp AS (SELECT DISTINCT doc_id, fp FROM fps),
+         |dfc AS (SELECT fp FROM dfp GROUP BY fp
+         |  HAVING count(*) * 20 <=
+         |    (SELECT count(DISTINCT doc_id) FROM documents)
+         |  AND count(*) <= 100)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  count(*) AS n_shared
+         |FROM dfp a JOIN dfc USING (fp) JOIN dfp b USING (fp)
+         |WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
 
     // Full MinHash-LSH replay: shingle → polyhash → (k+2)-permutation
     // signature → band hashes → sub-bucketed self-join → exact-Jaccard
@@ -3961,6 +4161,22 @@ object OracleSql {
         |  CAST(sum(p) AS DOUBLE) / count(*) AS mean_sample
         |FROM px GROUP BY doc_id, w, h, nch""".stripMargin,
 
+    // BMP decode replay: same gradient family as PNG, always 3 channels;
+    // the engine must walk the padded bottom-up BGR rows to land on the
+    // identical sums
+    "q_decode_bmp" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w,
+        |  8 + (doc_id * 3) % 24 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h,
+        |  (doc_id % 251 + 5 * r.r + 3 * c.c + 11 * ch.ch) % 256 AS p
+        |  FROM d, range(31) r(r), range(31) c(c), range(3) ch(ch)
+        |  WHERE r.r < h AND c.c < w)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(3 AS INT) AS channels, count(*) AS n_samples,
+        |  CAST(sum(p) AS BIGINT) AS sample_sum,
+        |  CAST(sum(p) AS DOUBLE) / count(*) AS mean_sample
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
+
     // Baseline-JPEG decode replay: flat DC-only 8×8 blocks with quant 8
     // decode bit-exactly in any conforming decoder (DC-exact IDCT), so
     // the oracle restates each block's constant from the id while the
@@ -4224,27 +4440,39 @@ object OracleSql {
     // floor(X/256 + 0.25) (see Multimodal.wavSpectrogram for the quantum
     // rationale), band energies are exact integer sums of rc²+ic².
     "q_audio_spectrogram" ->
-      """WITH d AS (SELECT doc_id, 100 + doc_id % 400 AS n FROM documents),
-        |sm AS (SELECT doc_id, n, i.i AS i,
-        |  (doc_id % 251) * 7 + 11 * i.i AS raw
-        |  FROM d, range(500) i(i) WHERE i.i < n),
-        |px AS (SELECT doc_id, n, i,
-        |  CAST(raw % 65536 - 32768 AS BIGINT) AS s FROM sm),
-        |fr AS (SELECT doc_id, i // 64 AS frame_idx, list(s ORDER BY i) AS xs
-        |  FROM px WHERE i // 64 < n // 64 GROUP BY 1, 2),
-        |co AS (SELECT doc_id, frame_idx, kk.k AS k,
-        |  list_sum(list_transform(range(64), nn ->
-        |    xs[nn + 1] * cos(2 * pi() * ((kk.k * nn) % 64) / 64))) AS xr,
-        |  list_sum(list_transform(range(64), nn ->
-        |    -xs[nn + 1] * sin(2 * pi() * ((kk.k * nn) % 64) / 64))) AS xi
-        |  FROM fr, range(64) kk(k)),
-        |q AS (SELECT doc_id, frame_idx, k,
-        |  CAST(floor(xr / 256 + 0.25) AS BIGINT) AS rc,
-        |  CAST(floor(xi / 256 + 0.25) AS BIGINT) AS ic FROM co)
-        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-        |  CAST(k // 8 AS INT) AS band,
-        |  CAST(sum(rc * rc + ic * ic) AS BIGINT) AS band_energy_q
-        |FROM q GROUP BY 1, 2, 3""".stripMargin,
+      s"$audioSpectroCte SELECT doc_id, frame_idx, band, band_energy_q FROM be",
+
+    "q_audio_descriptors" -> {
+      val e = (0 until 8).map(b =>
+        s"sum(CASE WHEN band = $b THEN band_energy_q ELSE 0 END) AS e$b")
+        .mkString(",\n        |  ")
+      val tot = (0 until 8).map(b => s"e$b").mkString(" + ")
+      val cnum = (1 until 8).map(b => s"e$b * $b").mkString(" + ")
+      val cum = (0 until 7).map { b =>
+        val c = (0 to b).map(t => s"e$t").mkString(" + ")
+        s"WHEN ($c) * 100 >= 85 * total THEN $b"
+      }.mkString(" ")
+      val lags = (0 until 8).map(b =>
+        s"lag(e$b) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS p$b")
+        .mkString(",\n        |  ")
+      val flux = (0 until 8).map(b => s"abs(e$b - p$b)").mkString(" + ")
+      s"""$audioSpectroCte,
+        |pf AS (SELECT doc_id, frame_idx,
+        |  $e
+        |  FROM be GROUP BY 1, 2),
+        |dx AS (SELECT doc_id, frame_idx, ${(0 until 8).map(b => s"e$b").mkString(", ")},
+        |  CAST($tot AS BIGINT) AS total,
+        |  CAST($cnum AS BIGINT) AS cnum,
+        |  $lags
+        |  FROM pf)
+        |SELECT doc_id, frame_idx, total AS total_energy,
+        |  cnum AS centroid_num,
+        |  CASE WHEN total > 0
+        |    THEN CAST(cnum AS DOUBLE) / CAST(total AS DOUBLE) END AS centroid,
+        |  CAST(CASE $cum ELSE 7 END AS INT) AS rolloff_band,
+        |  CAST($flux AS BIGINT) AS flux_l1
+        |FROM dx""".stripMargin
+    },
 
     // WAV PCM decode replay: sample(i) = ((id%251)*7 + 11*i) % 65536 −
     // 32768 over n = 100 + id % 400 samples; the engine must walk RIFF
@@ -4903,6 +5131,10 @@ object OracleSql {
     "q_stream_transitions" -> transitionsSql,
     "q_transitions" -> transitionsSql,
     "q_jaro" -> jaroSql,
+    "q_lcs" -> lcsSql,
+
+    "q_stream_kaplan_meier" -> kaplanMeierSql,
+    "q_kaplan_meier" -> kaplanMeierSql,
 
     // PMI replay: zipped unnest of the two token slices makes the bigram
     // table; the ln-sum form and floor(x*1e6 + 0.5) micro-units match the

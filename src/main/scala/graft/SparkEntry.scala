@@ -2243,6 +2243,52 @@ object SparkEntry {
         col("m"), col("t2"), col("prefix"), col("jw"))
   }
 
+  /** Token-level LCS ([[graft.pipeline.StringSim.lcsTokenLength]]):
+    * consecutive-doc pairs in a bounded anchor set (the q_jaro blocking
+    * convention), LCS DP over the first 24 normalized token hashes as
+    * one nested fold; the oracle replays the identical nested
+    * list_reduce (fixed padded length — hazard-immune). */
+  private def qLcs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("text"))
+    val pairs = d.select(col("doc_id").alias("doc_a"),
+        col("text").alias("__ta"))
+      .join(d.select(col("doc_id").alias("doc_b"),
+        col("text").alias("__tb")),
+        col("doc_b") === col("doc_a") + 1)
+    graft.pipeline.StringSim.lcsTokenLength(pairs, col("__ta"), col("__tb"))
+      .select(col("doc_a"), col("doc_b"), col("la"), col("lb"),
+        col("lcs_len"), col("lcs_sim"))
+  }
+
+  /** Kaplan–Meier survival per event_type
+    * ([[graft.pipeline.Analytics.kaplanMeier]]): duration = ⌊value⌋,
+    * right-censored where event_id % 4 == 0; exact integer risk sets,
+    * left-to-right fold for the survival product. */
+  private def qKaplanMeier(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Analytics.kaplanMeier(
+      events(s, dir).filter(col("value").isNotNull),
+      Seq("event_type"),
+      floor(col("value")).cast(LongType),
+      col("event_id") % 4 =!= 0)
+
+  /** Streaming Kaplan–Meier: additive (group, t) grid deltas
+    * ([[graft.streaming.StreamingTSDF.kmDeltas]]) fold to the exact
+    * batch grid, then the shared batch tail — shares q_kaplan_meier's
+    * oracle verbatim. */
+  private def qStreamKaplanMeier(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val deltas = graft.streaming.StreamingTSDF.kmDeltas(
+      eventsStream(s, dir).filter(col("value").isNotNull),
+      Seq("event_type"),
+      floor(col("value")).cast(LongType),
+      col("event_id") % 4 =!= 0)
+    val grid = runStream(s, deltas)
+      .groupBy(col("event_type"), col("t"))
+      .agg(sum(col("d")).alias("d"), sum(col("obs")).alias("obs"))
+    graft.pipeline.Analytics.kaplanMeierFromGrid(grid, Seq("event_type"))
+  }
+
   /** First-order Markov transition matrix
     * ([[graft.pipeline.Analytics.transitionMatrix]]): adjacent
     * event-type steps per user in (ts, event_id) order, exact counts +
@@ -2479,6 +2525,15 @@ object SparkEntry {
     * operation order, so the doubles replay bit-for-bit in DuckDB. */
   private def qAcf(s: SparkSession, dir: String): DataFrame =
     graft.tsdf.Stats.acf(
+      events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+        cents(col("value")).cast(LongType).alias("vc")),
+      "ts", "vc", Seq("user_id"), maxLag = 3, tieCols = Seq("event_id"))
+
+  /** Durbin–Levinson PACF over the q_acf estimates
+    * ([[graft.tsdf.Stats.pacf]]): the recursion unrolled into one shared
+    * expression string both engines parse. */
+  private def qPacf(s: SparkSession, dir: String): DataFrame =
+    graft.tsdf.Stats.pacf(
       events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
         cents(col("value")).cast(LongType).alias("vc")),
       "ts", "vc", Seq("user_id"), maxLag = 3, tieCols = Seq("event_id"))
@@ -3256,6 +3311,46 @@ object SparkEntry {
   private def qRollingFp(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), TextAnalysis.rollingHash(col("text")).alias("rh"))
 
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS selection):
+    * k-gram polyHashes, rightmost-min window selection, consecutive
+    * dedup — one row per selected (pos, fp). Scan-local, zero shuffle.
+    * k = 16 by measurement: the synthetic corpus draws on a tiny word
+    * vocabulary, so k=5 grams yield only ~1000 distinct fingerprints
+    * corpus-wide (min-selection then marks everything boilerplate);
+    * 16-char grams span word boundaries and diversity grows with the
+    * corpus (25k distinct at sf0.01, 249k at sf0.1). */
+  private def qWinnow(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowFingerprints(docs(s, dir), "text", "doc_id", k = 16)
+
+  /** Streaming winnow — stateless per-doc selection (the q_stream_dhash
+    * convention: normalize+hash+select are per-row HOF algebra, so any
+    * micro-batching emits identical fingerprints); shares q_winnow's
+    * oracle verbatim. */
+  private def qStreamWinnow(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val out = TextAnalysis.winnowFingerprints(
+      docsStream(s, dir).select(col("doc_id"), col("text")),
+      "text", "doc_id", k = 16)
+    runStream(s, out)
+  }
+
+  /** First-occurrence novelty over the winnow fingerprints — the
+    * per-doc dedup-priority score (templated re-posts ≈ 0, fresh ≈ 1);
+    * min-doc_id is the ingestion-order proxy. */
+  private def qWinnowNovelty(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowNovelty(docs(s, dir), "text", "doc_id", k = 16)
+
+  /** Winnowing candidate pairs — the MOSS index stage: docs sharing >= 3
+    * distinct selected fingerprints after the scale-aware boilerplate
+    * cap (df ≤ n/20, bucket ≤ 100). Thresholds measured on the corpus:
+    * with k=16 the 5% relative cut keeps the sf0.01 output at ~1% of
+    * the quadratic face (1,436 pairs of 124,750 possible) — a candidate
+    * set, not a cross product — and stays non-vacuous at the 10×
+    * replica where a fixed absolute cap went to zero. */
+  private def qWinnowPairs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowPairs(docs(s, dir), "text", "doc_id", k = 16,
+      minShared = 3)
+
   /** ft values are emitted as rounded cents: the FFT groups its float
     * additions differently from the oracle's O(n²) DFT, so raw doubles
     * differ in the last ulps; 2-decimal rounding absorbs that while still
@@ -3340,6 +3435,18 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload")
 
+  /** REAL BMP decode end to end: spec-faithful 24-bit BI_RGB walk
+    * (bottom-up rows, 4-byte stride padding, BGR flip) over the
+    * deterministic gradient fixture; the oracle restates the decoded
+    * sums from the id arithmetic. */
+  private def qDecodeBmp(s: SparkSession, dir: String): DataFrame =
+    Multimodal.bmpPixelStats(
+      Multimodal.synthesizeBmpPayload(
+        docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id"),
+      "doc_id", "payload")
+
   /** REAL baseline-JPEG pixel decode end to end ([[graft.pipeline.Jpeg
     * .decodeJpeg]]): flat-block payloads huffman-decoded, dequantized and
     * IDCT'd by the engine — DC-only blocks with quant 8 make the lossy
@@ -3415,6 +3522,17 @@ object SparkEntry {
     Multimodal.wavSpectrogram(
       Multimodal.synthesizeWavPayload(
         docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id"),
+      "doc_id", "payload")
+
+  /** Per-frame spectral descriptors over the spectrogram band energies:
+    * exact-integer centroid numerator/denominator, integer-compare
+    * rolloff band, L1 spectral flux vs the previous frame. */
+  private def qAudioDescriptors(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioDescriptors(
+      Multimodal.synthesizeWavPayload(
+        docs(s, dir).select(col("doc_id"))
           .repartition(s.sparkContext.defaultParallelism),
         "doc_id"),
       "doc_id", "payload")
@@ -3793,6 +3911,9 @@ object SparkEntry {
     "q_interarrival" -> qInterArrival _,
     "q_transitions" -> qTransitions _,
     "q_jaro" -> qJaro _,
+    "q_lcs" -> qLcs _,
+    "q_kaplan_meier" -> qKaplanMeier _,
+    "q_stream_kaplan_meier" -> qStreamKaplanMeier _,
     "q_pmi" -> qPmi _,
     "q_mi" -> qMi _,
     "q_lm_bigram" -> qLmBigram _,
@@ -3832,6 +3953,7 @@ object SparkEntry {
     "q_seq_fill" -> qSeqFill _,
     "q_anomaly_mad" -> qAnomalyMad _,
     "q_acf" -> qAcf _,
+    "q_pacf" -> qPacf _,
     "q_rolling_corr" -> qRollingCorr _,
     "q_time_features" -> qTimeFeatures _,
     "q_winsorize" -> qWinsorize _,
@@ -3875,6 +3997,10 @@ object SparkEntry {
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_para_dedup" -> qParaDedup _,
     "q_rolling_fp" -> qRollingFp _,
+    "q_winnow" -> qWinnow _,
+    "q_winnow_pairs" -> qWinnowPairs _,
+    "q_stream_winnow" -> qStreamWinnow _,
+    "q_novelty" -> qWinnowNovelty _,
     "q_fourier" -> qFourier _,
     "q_lookback" -> qLookback _,
     "q_multimodal" -> qMultimodal _,
@@ -3884,9 +4010,11 @@ object SparkEntry {
     "q_decode_jpeg_prog" -> qDecodeJpegProg _,
     "q_decode_video" -> qDecodeVideo _,
     "q_decode_wav" -> qDecodeWav _,
+    "q_decode_bmp" -> qDecodeBmp _,
     "q_audio_features" -> qAudioFeatures _,
     "q_audio_sequency" -> qAudioSequency _,
     "q_audio_spectrogram" -> qAudioSpectrogram _,
+    "q_audio_descriptors" -> qAudioDescriptors _,
     "q_audio_decimate" -> qAudioDecimate _,
     "q_hist_equalize" -> qHistEqualize _,
     "q_nucleus" -> qNucleus _,

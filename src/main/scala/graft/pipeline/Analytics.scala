@@ -462,4 +462,83 @@ object Analytics {
       .withColumn("m", ntile(buckets).over(mW).cast(LongType))
       .withColumn("rfm_segment", col("r") * 100L + col("f") * 10L + col("m"))
   }
+
+  /** Kaplan–Meier survival estimator per group — the churn/retention
+    * survival curve (time-to-event with right censoring: a user who is
+    * still active at observation end contributes to the at-risk counts
+    * but never to an event step).
+    *
+    * Exact construction: per (group, duration t) one aggregate gives
+    * dᵢ (events) and total observations leaving at t; n_at_risk(tᵢ) =
+    * N_group − Σ_{t<tᵢ} leavers, an INTEGER window cumsum (exact in any
+    * accumulation order, unlike a float window). The curve steps only
+    * at event times (dᵢ > 0, the KM definition); S(tᵢ) =
+    * Π_{j≤i}(1 − dⱼ/nⱼ) is computed as a LEFT-TO-RIGHT fold over each
+    * group's time-ordered step list — a fixed-order IEEE composition on
+    * exact integers, so any engine replaying the same fold is
+    * bit-identical (a window `product()` would NOT be: tree-shaped
+    * accumulation reorders float multiplies).
+    *
+    * Scale shape: one map-side-combinable aggregate to the (group, t)
+    * grid, one integer window, one collect_list BOUNDED by the distinct
+    * event times per group (the per-group contract class of
+    * [[sequencePattern]] — curves with more steps than fit one executor
+    * row aren't plottable anyway). Output: (group…, t, d_events,
+    * n_risk, survival). */
+  def kaplanMeier(df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, eventCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "kaplanMeier needs at least one group col")
+    val g = groupCols.map(col)
+    val byT = df
+      .select(g :+ durationCol.cast(LongType).alias("t") :+
+        eventCol.alias("__ev"): _*)
+      .filter(col("t").isNotNull)
+      .groupBy(g :+ col("t"): _*)
+      .agg(sum(when(col("__ev"), 1L).otherwise(0L)).alias("d"),
+        count(lit(1)).alias("obs"))
+    kaplanMeierFromGrid(byT, groupCols)
+  }
+
+  /** The [[kaplanMeier]] tail over an already-counted (group…, t, d,
+    * obs) grid — the grid counts are ADDITIVE, so a folded streaming
+    * delta sink ([[graft.streaming.StreamingTSDF.kmDeltas]]) lands on
+    * the identical curve (the q_stream_pmi discipline). */
+  def kaplanMeierFromGrid(byT: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    val wOrd = Window.partitionBy(g: _*).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(g: _*)
+    val risk = byT
+      .withColumn("n_risk",
+        sum(col("obs")).over(wAll) -
+          (sum(col("obs")).over(wOrd) - col("obs")))
+    val steps = risk.filter(col("d") > 0)
+      .groupBy(g: _*)
+      .agg(sort_array(collect_list(
+        struct(col("t"), col("d"), col("n_risk")))).alias("__st"))
+    // left-to-right survival scan; the accumulator carries the running
+    // product and the emitted prefix (single-level fold — no nesting)
+    val surv = aggregate(
+      col("__st"),
+      struct(lit(1.0).alias("s"),
+        array().cast(ArrayType(DoubleType)).alias("ss")),
+      (acc, x) => {
+        val sNew = acc.getField("s") *
+          (lit(1.0) - x.getField("d").cast(DoubleType) /
+            x.getField("n_risk").cast(DoubleType))
+        struct(sNew.alias("s"),
+          concat(acc.getField("ss"), array(sNew)).alias("ss"))
+      },
+      acc => acc.getField("ss"))
+    steps.withColumn("__surv", surv)
+      .select(g ++ Seq(col("__surv"),
+        posexplode(col("__st")).as(Seq("__i", "__x"))): _*)
+      .select(g ++ Seq(
+        col("__x.t").alias("t"),
+        col("__x.d").alias("d_events"),
+        col("__x.n_risk").alias("n_risk"),
+        element_at(col("__surv"), (col("__i") + 1).cast(IntegerType))
+          .alias("survival")): _*)
+  }
 }

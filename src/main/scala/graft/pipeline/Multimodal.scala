@@ -952,6 +952,61 @@ object Multimodal {
       .toDF()
   }
 
+  /** Per-frame spectral descriptors over the [[wavSpectrogram]] band
+    * energies — the audio-QA row a curation pipeline filters on
+    * (silence/tone detection, spectral-shape clustering):
+    *
+    *   - `centroid` — energy-weighted mean band index: one
+    *     correctly-rounded IEEE division of the EXACT integers
+    *     `centroid_num` = Σ band·E and `total_energy` = Σ E (emitted
+    *     alongside, so the gate hashes integers and the float is a
+    *     fixed composition);
+    *   - `rolloff_band` — the lowest band whose cumulative energy
+    *     reaches `rolloffPct`% of the frame total, decided by the exact
+    *     integer comparison 100·cum ≥ pct·total;
+    *   - `flux_l1` — L1 spectral flux Σ_band |E − E_prev| against the
+    *     previous frame (L1, NOT the squared L2 form: band energies
+    *     reach ~1.1e9 at full scale, so Σ(ΔE)² peaks near 9.7e18 —
+    *     PAST 2⁶³, where Spark wraps silently and an ANSI engine
+    *     errors; the L1 sum is bounded by 8·1.1e9 ≈ 9e9). NULL on each
+    *     clip's first frame (no predecessor) in both engines.
+    *
+    * Plan: the spectrogram decode map, one (id, frame) aggregate with
+    * 8 conditional band sums (map-side combinable), one window lag per
+    * band partitioned by clip — no sample-level shuffle; at 100 TB the
+    * shuffled rows are per-FRAME aggregates (64× smaller than samples,
+    * 8× smaller than the band grid). */
+  def audioDescriptors(df: DataFrame, idCol: String, payloadCol: String,
+      rolloffPct: Int = 85): DataFrame = {
+    require(rolloffPct >= 1 && rolloffPct <= 100,
+      s"rolloffPct must be in 1..100, got $rolloffPct")
+    val spec = wavSpectrogram(df, idCol, payloadCol)
+    val bandSums = (0 until 8).map(b =>
+      sum(when(col("band") === b, col("band_energy_q")).otherwise(0L))
+        .alias(s"__e$b"))
+    val pf = spec.groupBy(col(idCol), col("frame_idx"))
+      .agg(bandSums.head, bandSums.tail: _*)
+    val e = (0 until 8).map(b => col(s"__e$b"))
+    val total = e.reduce(_ + _)
+    val centroidNum = (1 until 8).map(b => e(b) * b).reduce(_ + _)
+    val cums = e.tail.scanLeft(e.head)(_ + _) // cum(0)..cum(7)
+    val rolloff = (0 until 7)
+      .foldRight(lit(7): org.apache.spark.sql.Column)((b, rest) =>
+      when(cums(b) * 100 >= total * rolloffPct, b).otherwise(rest))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("frame_idx"))
+    val flux = (0 until 8).map(b =>
+      abs(e(b) - lag(e(b), 1).over(w))).reduce(_ + _)
+    pf.select(col(idCol), col("frame_idx"),
+      total.alias("total_energy"),
+      centroidNum.alias("centroid_num"),
+      when(total > 0,
+        centroidNum.cast(DoubleType) / total.cast(DoubleType))
+        .alias("centroid"),
+      rolloff.alias("rolloff_band"),
+      flux.alias("flux_l1"))
+  }
+
   /** Perceptual difference-hash (dHash — the public horizontal-gradient
     * hash) over REAL decoded pixels: integer-mean grayscale (Σch / nch),
     * [[resizeNearest]] to 9×8 (same index map as the resize operator),
@@ -1197,7 +1252,158 @@ object Multimodal {
     else if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P') decodePng(bytes)
     else if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
       Jpeg.decodeJpeg(bytes)
+    else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else None
+  }
+
+  // ---- real BMP decode (uncompressed 24-bit — pure byte arithmetic) ----
+
+  /** REAL BMP decode for the uncompressed 24-bit BI_RGB case — the spec's
+    * quirks done faithfully: 14-byte file header + 40-byte
+    * BITMAPINFOHEADER, rows padded to 4-byte boundaries, BOTTOM-UP row
+    * order for positive heights (negative biHeight = top-down, also
+    * honored), BGR byte order flipped to RGB sample layout. Palette,
+    * compressed (biCompression != 0) and non-24-bpp variants return
+    * None — the [[mediaCoverage]] header_only discipline.
+    *
+    * Hostile-input guards BEFORE any allocation (the MP4 uniform-stsz
+    * lesson): dimensions are range-checked against both a hard cap and
+    * the actual byte length (declared rows must fit inside the buffer),
+    * so a 100-byte payload claiming a 2³¹-pixel bitmap cannot drive an
+    * allocation. */
+  def decodeBmp(bytes: Array[Byte]): Option[DecodedImage] = {
+    def le16(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def le32(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+      ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+    if (bytes == null || bytes.length < 54) return None
+    if (bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOffset = le32(10)
+    if (le32(14) != 40) return None // BITMAPINFOHEADER only
+    val w = le32(18)
+    val hRaw = le32(22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw.toLong).toInt
+    if (le16(26) != 1 || le16(28) != 24 || le32(30) != 0) return None
+    if (w <= 0 || w > (1 << 14) || h <= 0 || h > (1 << 14)) return None
+    if (w.toLong * h > (1L << 24)) return None
+    val rowSize = ((3L * w + 3) / 4 * 4).toInt
+    if (dataOffset < 54 || dataOffset.toLong + rowSize.toLong * h >
+      bytes.length) return None
+    val out = new Array[Int](w * h * 3)
+    var r = 0
+    while (r < h) {
+      val src = dataOffset + (if (topDown) r else h - 1 - r) * rowSize
+      var c = 0
+      while (c < w) {
+        val o = src + 3 * c
+        val d = (r * w + c) * 3
+        out(d) = bytes(o + 2) & 0xFF     // R
+        out(d + 1) = bytes(o + 1) & 0xFF // G
+        out(d + 2) = bytes(o) & 0xFF     // B
+        c += 1
+      }
+      r += 1
+    }
+    Some(DecodedImage(w, h, 3, out))
+  }
+
+  /** Spec-faithful 24-bit BI_RGB builder (bottom-up, padded, BGR) —
+    * `samples` in RGB row-major layout, length w·h·3. */
+  private[pipeline] def buildBmp(w: Int, h: Int,
+      samples: Array[Int]): Array[Byte] = {
+    require(samples.length == w * h * 3)
+    val rowSize = (3 * w + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val fileSize = 54 + dataSize
+    val b = new Array[Byte](fileSize)
+    def le16(o: Int, v: Int): Unit = { b(o) = v.toByte; b(o + 1) = (v >> 8).toByte }
+    def le32(o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+      b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'
+    le32(2, fileSize); le32(10, 54)
+    le32(14, 40); le32(18, w); le32(22, h)
+    le16(26, 1); le16(28, 24); le32(30, 0); le32(34, dataSize)
+    var r = 0
+    while (r < h) {
+      val dst = 54 + (h - 1 - r) * rowSize
+      var c = 0
+      while (c < w) {
+        val s = (r * w + c) * 3
+        b(dst + 3 * c) = samples(s + 2).toByte     // B
+        b(dst + 3 * c + 1) = samples(s + 1).toByte // G
+        b(dst + 3 * c + 2) = samples(s).toByte     // R
+        c += 1
+      }
+      r += 1
+    }
+    b
+  }
+
+  /** Deterministic BMP fixture: the PNG gradient arithmetic family
+    * (sample(y,x,ch) = (id%251 + 5y + 3x + 11ch) % 256) over
+    * w = 8 + id%24, h = 8 + (id·3)%24 — widths chosen so most rows need
+    * real 4-byte padding, exercising the decoder's stride walk. */
+  private[pipeline] def bmpPayloadFor(id: Long): Array[Byte] = {
+    val w = (8 + id % 24).toInt
+    val h = (8 + (id * 3) % 24).toInt
+    val base = (id % 251).toInt
+    val samples = new Array[Int](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var ch = 0
+        while (ch < 3) {
+          samples((y * w + x) * 3 + ch) = (base + 5 * y + 3 * x + 11 * ch) % 256
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    buildBmp(w, h, samples)
+  }
+
+  /** BMP fixture column, the [[synthesizeWavPayload]] convention. */
+  def synthesizeBmpPayload(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(payloadCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        Row.fromSeq(r.toSeq :+ bmpPayloadFor(r.getLong(idIdx)))
+      }
+    }(Encoders.row(outSchema)).toDF()
+  }
+
+  /** [[pngPixelStats]] for BMP payloads — width/height/channels, exact
+    * integer sample sum, one IEEE division for the mean; undecodable
+    * rows drop. Per-partition map, no shuffle. */
+  def bmpPixelStats(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_samples", LongType), StructField("sample_sum", LongType),
+      StructField("mean_sample", DoubleType)))
+    df.select(col(idCol), col(payloadCol))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          decodeBmp(r.getAs[Array[Byte]](1)).map { img =>
+            var s = 0L
+            var i = 0
+            while (i < img.samples.length) { s += img.samples(i); i += 1 }
+            val n = img.samples.length.toLong
+            Row(r.get(0), img.width, img.height, img.channels, n, s,
+              s.toDouble / n.toDouble)
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
   }
 
   /** REAL decoded-sample histogram over `nBins` equal-width bins, for every

@@ -753,6 +753,172 @@ object TextAnalysis {
           / denom))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS local fingerprint selection; cf. the
+    * reference's document-fingerprinting surface, tempo has none — this
+    * is the beyond-reference pipeline family).
+    *
+    * Per document: normalize ([[Dedup.normalizeText]]), hash every
+    * character k-gram with the shared engine-agnostic
+    * [[Hashing.polyHash]], slide a window of `w` consecutive hashes and
+    * select each window's minimum — RIGHTMOST occurrence on ties (the
+    * paper's rule, §4: favoring the rightmost makes adjacent windows
+    * reuse the same selection) — then drop consecutive windows that
+    * re-select the same position. The guarantee: any substring match of
+    * length ≥ w + k − 1 between two documents shares at least one
+    * fingerprint, and no match shorter than k is detected.
+    *
+    * Pure per-row HOF algebra — ZERO shuffle, embarrassingly parallel
+    * at 100 TB: the window minimum is a closed-form `least` + rightmost
+    * `when` chain (no fold), so the whole selection stays inside
+    * whole-stage codegen; consecutive-dedup recomputes the previous
+    * window's selection closed-form instead of carrying running state.
+    * O(m·w) per doc with a codegen'd constant. Documents with fewer
+    * than one full window (1 ≤ m < w) winnow their single partial
+    * window via one UNNESTED rightmost-min fold (the r12
+    * nested-list_reduce DuckDB hazard does not apply: the fold is
+    * top-level and its elements are fixed-length pairs).
+    *
+    * Output: one row per selected fingerprint — (id, pos, fp) with
+    * `pos` the 1-based k-gram start in the normalized text and `fp`
+    * the mod-P k-gram hash. */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 2, s"k-gram length must be >= 2, got $k")
+    require(w >= 2, s"winnowing window must be >= 2, got $w")
+    // Both the normalized text and the hash array are bound ONCE as
+    // lambda variables (the [[Dedup.shingles]] idiom): HOF lambdas
+    // inline their free sub-expressions and run interpreted with no
+    // CSE, so a plain `col("__h")` reference inside `element_at` would
+    // re-materialize the whole hash array — and re-run the normalize
+    // regexes — per access (measured: O(m²·regex) per doc, ~500 docs
+    // took minutes instead of seconds).
+    val sels = flatten(transform(
+      array(Dedup.normalizeText(col(textCol))), nt =>
+        flatten(transform(
+          array(when(length(nt) >= k,
+            transform(sequence(lit(1), length(nt) - (k - 1)),
+              i => Hashing.polyHash(nt.substr(i, lit(k)))))
+            .otherwise(array().cast(ArrayType(LongType)))), hs => {
+          val m = size(hs)
+          def h(i: Column): Column = element_at(hs, i.cast(IntegerType))
+          // Rightmost-min selection of the full window starting at
+          // 0-based j (gram positions j+1 .. j+w): least + a when-chain
+          // checked from the highest offset down — closed-form, no fold.
+          def sel(j: Column): Column = {
+            val minv = least((0 until w).map(t => h(j + t + 1)): _*)
+            val hiFirst = when(h(j + w) === minv, j + w)
+            (w - 1 to 2 by -1).foldLeft(hiFirst)((acc, t) =>
+              acc.when(h(j + t) === minv, j + t)).otherwise(j + 1)
+          }
+          // Long docs: all m-w+1 windows; keep window j's selection iff
+          // it differs from window j-1's (recomputed closed-form). `||`
+          // short-circuits, so sel(j-1) is never evaluated at j = 0.
+          val longSel = filter(
+            transform(sequence(lit(0), m - w),
+              j => when(j === 0 || sel(j) =!= sel(j - 1), sel(j))
+                .otherwise(-1)),
+            x => x >= 0)
+          // Short docs (1 <= m < w): one partial window, rightmost min
+          // via a single top-level fold (<= keeps the later index).
+          val shortSel = array(aggregate(
+            sequence(lit(1), m),
+            struct(lit(Long.MaxValue).alias("h"), lit(0).alias("p")),
+            (acc, i) => when(h(i) <= acc.getField("h"),
+                struct(h(i).alias("h"), i.alias("p")))
+              .otherwise(acc)).getField("p"))
+          val positions = when(m >= w, longSel)
+            .when(m >= 1, shortSel)
+            .otherwise(array().cast(ArrayType(IntegerType)))
+          transform(positions, p =>
+            struct(p.cast(LongType).alias("pos"), h(p).alias("fp")))
+        }))))
+    df.select(col(idCol), explode(sels).alias("__s"))
+      .select(col(idCol), col("__s.pos").alias("pos"),
+        col("__s.fp").alias("fp"))
+  }
+
+  /** Winnowing near-dup candidate pairs — the MOSS index stage over
+    * [[winnowFingerprints]]: documents sharing >= `minShared` DISTINCT
+    * selected fingerprints, with boilerplate fingerprints dropped
+    * BEFORE pairing (the paper's "ignore extremely common fingerprints"
+    * rule). The drop threshold is SCALE-AWARE: a fingerprint survives
+    * iff its document frequency is at most 1/`dfDenom` of the corpus
+    * doc count (relative — an absolute cap silently empties the
+    * candidate set when the corpus grows: measured, the 10× sf1 replica
+    * multiplied every df by 10 and a fixed cap produced 0 pairs) AND at
+    * most `maxBucket` (absolute — bounds every equi-join bucket's
+    * fan-out at maxBucket² regardless of corpus size; at 100 TB a 5%
+    * template fingerprint would otherwise create ~10¹² join rows). The
+    * relative test is exact integer arithmetic (dfDenom·df ≤ n), never
+    * a float fraction. Plan: one scan-local winnow, a distinct, a
+    * map-side-combinable df count with a broadcast corpus-count scalar,
+    * a bucketed self-join on fp, one pair aggregate — no all-pairs face
+    * anywhere. */
+  def winnowPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, w: Int = 4, dfDenom: Int = 20,
+      maxBucket: Int = 100, minShared: Int = 2,
+      materializeFps: Boolean = true): DataFrame = {
+    require(dfDenom >= 1, s"dfDenom must be >= 1, got $dfDenom")
+    require(maxBucket >= 2,
+      s"maxBucket must be >= 2 to form any pair, got $maxBucket")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // The distinct fingerprint set feeds THREE consumers (df count +
+    // both self-join sides); fully declarative, the winnow scan runs
+    // three times (differently-pruned subtrees defeat ReuseExchange —
+    // the Curation.curate finding). A LAZY localCheckpoint at the
+    // natural boundary runs it once; the single-plan form stays
+    // available for streaming-like callers.
+    val fps0 = winnowFingerprints(df, textCol, idCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+    val fps = if (materializeFps) fps0.localCheckpoint(false) else fps0
+    val nDocs = df.agg(count_distinct(col(idCol)).alias("__nd"))
+    val dfCount = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).alias("__df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("__df") * dfDenom <= col("__nd") &&
+        col("__df") <= maxBucket)
+      .select(col("fp"))
+    val eligible = fps.join(dfCount, Seq("fp"))
+    val a = eligible.select(col("fp"), col(idCol).alias("doc_a"))
+    val b = eligible.select(col("fp"), col(idCol).alias("doc_b"))
+    a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).alias("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** First-occurrence novelty score over [[winnowFingerprints]] — the
+    * dedup-priority signal a curation pipeline ranks ingestion by: a
+    * document's novelty is the fraction of its DISTINCT selected
+    * fingerprints whose FIRST owner (minimum id — ingestion-order
+    * proxy, documented contract) is the document itself. Templated
+    * re-posts score near 0, fresh content near 1; unlike a pairwise
+    * near-dup pass this is a per-doc score with NO pair face at all.
+    *
+    * Plan: scan-local winnow, a distinct, one min-aggregate per fp,
+    * one equi-join back on fp, one per-doc aggregate — every stage
+    * map-side combinable or a bucketed equi-join; the distinct fps
+    * feed two consumers, so the same lazy-localCheckpoint boundary as
+    * [[winnowPairs]]. Output: (id, n_fps, n_novel, novelty) with
+    * novelty one correctly-rounded division of exact integers. */
+  def winnowNovelty(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, w: Int = 4,
+      materializeFps: Boolean = true): DataFrame = {
+    val fps0 = winnowFingerprints(df, textCol, idCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+    val fps = if (materializeFps) fps0.localCheckpoint(false) else fps0
+    val firstOwner = fps.groupBy(col("fp"))
+      .agg(min(col(idCol)).alias("__first"))
+    fps.join(firstOwner, Seq("fp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).alias("n_fps"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L))
+          .alias("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast(DoubleType) / col("n_fps").cast(DoubleType))
+  }
+
   /** Adjacent-token pairs of the normalized text, one row per bigram
     * occurrence — the shared explode behind [[pmiBigrams]] and its
     * streaming twin. Works on batch AND streaming frames (pure

@@ -1281,6 +1281,44 @@ object StreamingTSDF {
       col("key"), col("s")): _*)
   }
 
+  // ------------------------------------------- streaming survival grid
+  case class KmEvent(series: String, t: Long, ev: Boolean)
+
+  /** Additive Kaplan–Meier grid deltas: per micro-batch, per (series,
+    * duration t), the event count Δd and total observation count Δobs —
+    * both plain sums, so the folded sink equals the batch (group, t)
+    * grid for ANY micro-batching, and
+    * [[graft.pipeline.Analytics.kaplanMeierFromGrid]] lands on the
+    * identical curve (risk sets and the survival fold are pure
+    * functions OF THE GRID). Same contract class as [[sumDeltas]]:
+    * stateless per batch, sink traffic = touched (series, t) cells. */
+  def kmDeltas(df: DataFrame, seriesCols: Seq[String],
+      durationCol: Column, eventCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val projected = df.select(
+      seriesKey(seriesCols).alias("series"),
+      durationCol.cast(LongType).alias("t"),
+      eventCol.alias("ev"))
+      .filter(col("t").isNotNull && col("ev").isNotNull)
+      .as[KmEvent]
+    val out = projected
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[KmEvent], state: GroupState[Long]) =>
+          val acc = scala.collection.mutable.SortedMap.empty[Long, (Long, Long)]
+          rows.foreach { e =>
+            val (d, o) = acc.getOrElse(e.t, (0L, 0L))
+            acc(e.t) = (d + (if (e.ev) 1L else 0L), o + 1L)
+          }
+          acc.iterator.map { case (t, (d, o)) => (key, t, d, o) }
+      }
+      .toDF("series", "t", "d", "obs")
+    out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
+      col("t"), col("d"), col("obs")): _*)
+  }
+
   // ---------------------------------------------- streaming stat moments
   case class StatEvent(series: String, y: Long)
 

@@ -503,6 +503,60 @@ object Stats {
         col("__e.n_pairs").alias("n_pairs"), col("__e.acf").alias("acf")): _*)
   }
 
+  /** Durbin–Levinson partial-autocorrelation expressions, UNROLLED at
+    * plan-build time into plain parenthesized scalar arithmetic over the
+    * lag-1..maxLag autocorrelations (referenced through `ref`). The
+    * recursion — φ₁₁ = ρ₁; φₖₖ = (ρₖ − Σⱼφₖ₋₁,ⱼ·ρₖ₋ⱼ) / (1 − Σⱼφₖ₋₁,ⱼ·ρⱼ);
+    * φₖⱼ = φₖ₋₁,ⱼ − φₖₖ·φₖ₋₁,ₖ₋ⱼ — has no data-dependent loop, so for a
+    * fixed maxLag it flattens to ONE scalar expression per lag, with
+    * every sum left-folded and every subterm parenthesized. The SAME
+    * string is handed to Spark's `expr` and to the DuckDB oracle, so
+    * both engines parse the IDENTICAL operation tree and the resulting
+    * doubles agree bit-for-bit (each op correctly rounded, same order).
+    * The textual unroll grows ~4× per lag — `maxLag <= 6` keeps it in
+    * the tens of KB; higher orders want a fold-based kernel instead. */
+  def pacfExprStrings(maxLag: Int, ref: Int => String): Seq[String] = {
+    require(maxLag >= 1 && maxLag <= 6,
+      s"pacf unroll supports maxLag 1..6, got $maxLag")
+    def sumStr(ts: Seq[String]) = ts.reduceLeft((a, b) => s"($a + $b)")
+    val phi = Array.ofDim[String](maxLag + 1, maxLag + 1)
+    phi(1)(1) = s"(${ref(1)})"
+    for (k <- 2 to maxLag) {
+      val num = s"((${ref(k)}) - ${sumStr(
+        (1 until k).map(j => s"(${phi(k - 1)(j)} * (${ref(k - j)}))"))})"
+      val den = s"(1.0 - ${sumStr(
+        (1 until k).map(j => s"(${phi(k - 1)(j)} * (${ref(j)}))"))})"
+      phi(k)(k) = s"($num / $den)"
+      for (j <- 1 until k)
+        phi(k)(j) = s"(${phi(k - 1)(j)} - (${phi(k)(k)} * ${phi(k - 1)(k - j)}))"
+    }
+    (1 to maxLag).map(k => phi(k)(k))
+  }
+
+  /** Partial autocorrelation function per series via Durbin–Levinson
+    * over the [[acf]] estimates — the AR-order diagnostic next to the
+    * ACF (an AR(p) series shows pacf ≈ 0 beyond lag p, while its acf
+    * tails off). One extra tiny aggregate over the acf rows (pivot to
+    * one row per series) and a pure scalar projection per lag
+    * ([[pacfExprStrings]]); constant series carry null acf and the
+    * nulls propagate to every pacf lag in both engines. */
+  def pacf(df: DataFrame, tsCol: String, valueCol: String,
+      seriesCols: Seq[String], maxLag: Int,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val sc = seriesCols.map(col)
+    val a = acf(df, tsCol, valueCol, seriesCols, maxLag, tieCols)
+    val pivots = (1 to maxLag).map(l =>
+      max(when(col("lag") === l, col("acf"))).alias(s"__r$l"))
+    val piv = a.groupBy(sc: _*).agg(pivots.head, pivots.tail: _*)
+    val exprs = pacfExprStrings(maxLag, l => s"__r$l")
+    val perLag = array((1 to maxLag).map(k =>
+      struct(lit(k.toLong).alias("lag"),
+        expr(exprs(k - 1)).alias("pacf"))): _*)
+    piv.select(sc :+ explode(perLag).alias("__e"): _*)
+      .select(sc ++ Seq(col("__e.lag").alias("lag"),
+        col("__e.pacf").alias("pacf")): _*)
+  }
+
   /** Window-skew escape for bounded rows-frame computations: run `body`
     * (which adds columns from a `[lo, hi]` rows-frame window) over
     * (series, chunk) sub-partitions instead of whole series, with the

@@ -1413,6 +1413,41 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(r.select("doc_id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("pacf: lag-1 equals acf(1); lags 2-3 match an independent " +
+      "Durbin-Levinson recursion on the acf values, bit-exactly") {
+    import spark.implicits._
+    // two series with different shapes (alternating + trending)
+    val rows = (0 until 24).map(i => (1L, i.toLong, if (i % 2 == 0) 10L else -7L)) ++
+      (0 until 24).map(i => (2L, i.toLong, i.toLong * 3 + (i % 5)))
+    val df = rows.toDF("sid", "t", "vc")
+    val acf = graft.tsdf.Stats.acf(df, "t", "vc", Seq("sid"), maxLag = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val got = graft.tsdf.Stats.pacf(df, "t", "vc", Seq("sid"), maxLag = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // independent Durbin-Levinson with the same left-folded sums
+    def dl(r: Int => Double): Seq[Double] = {
+      val phi = Array.ofDim[Double](4, 4)
+      phi(1)(1) = r(1)
+      for (k <- 2 to 3) {
+        val num = r(k) - (1 until k).map(j => phi(k - 1)(j) * r(k - j))
+          .reduceLeft(_ + _)
+        val den = 1.0 - (1 until k).map(j => phi(k - 1)(j) * r(j))
+          .reduceLeft(_ + _)
+        phi(k)(k) = num / den
+        for (j <- 1 until k)
+          phi(k)(j) = phi(k - 1)(j) - phi(k)(k) * phi(k - 1)(k - j)
+      }
+      (1 to 3).map(k => phi(k)(k))
+    }
+    Seq(1L, 2L).foreach { sid =>
+      val want = dl(l => acf((sid, l.toLong)))
+      assert(got((sid, 1L)) == acf((sid, 1L)), s"sid $sid lag1")
+      (1 to 3).foreach { k =>
+        assert(got((sid, k.toLong)) == want(k - 1), s"sid $sid lag $k")
+      }
+    }
+  }
+
   test("acf and cusum reject non-integer value columns loudly") {
     import spark.implicits._
     def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
@@ -3938,6 +3973,60 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(Multimodal.decodePng(Multimodal.buildPng(8, 8)).isEmpty)
   }
 
+  test("decodeBmp round-trips padded bottom-up 24-bit rows, agrees with " +
+      "ImageIO, honors top-down negative heights, rejects hostile headers") {
+    val rnd = new scala.util.Random(43)
+    // widths 5,6,7,8 cover all four 4-byte padding residues
+    for ((w, h) <- Seq((5, 4), (6, 3), (7, 9), (8, 2), (1, 1))) {
+      val samples = Array.fill(w * h * 3)(rnd.nextInt(256))
+      val bmp = Multimodal.buildBmp(w, h, samples)
+      val img = Multimodal.decodeBmp(bmp).get
+      assert(img.width == w && img.height == h && img.channels == 3)
+      assert(img.samples.sameElements(samples), s"round-trip at ($w,$h)")
+      // differential against the JDK's independent BMP decoder
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bmp))
+      assert(bi != null, "ImageIO rejected the builder's BMP")
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = bi.getRGB(x, y)
+        val s = (y * w + x) * 3
+        assert(((rgb >> 16) & 0xFF) == samples(s) &&
+          ((rgb >> 8) & 0xFF) == samples(s + 1) &&
+          (rgb & 0xFF) == samples(s + 2), s"ImageIO mismatch at ($x,$y)")
+      }
+    }
+    // top-down: patching biHeight negative WITHOUT moving the data must
+    // decode as the vertical flip of the bottom-up original
+    val w = 6; val h = 4
+    val samples = Array.tabulate(w * h * 3)(identity).map(_ % 256)
+    val bmp = Multimodal.buildBmp(w, h, samples)
+    val td = bmp.clone()
+    val neg = -h
+    td(22) = neg.toByte; td(23) = (neg >> 8).toByte
+    td(24) = (neg >> 16).toByte; td(25) = (neg >> 24).toByte
+    val flip = Multimodal.decodeBmp(td).get
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      assert(flip.samples((y * w + x) * 3 + c) ==
+        samples(((h - 1 - y) * w + x) * 3 + c), s"top-down at ($x,$y,$c)")
+    // hostile rejects — all BEFORE any pixel allocation
+    def patch32(b: Array[Byte], o: Int, v: Int): Array[Byte] = {
+      val c = b.clone()
+      c(o) = v.toByte; c(o + 1) = (v >> 8).toByte
+      c(o + 2) = (v >> 16).toByte; c(o + 3) = (v >> 24).toByte
+      c
+    }
+    assert(Multimodal.decodeBmp(patch32(bmp, 18, 1 << 20)).isEmpty, "huge w")
+    assert(Multimodal.decodeBmp(patch32(bmp, 22, 1 << 20)).isEmpty, "huge h")
+    assert(Multimodal.decodeBmp(patch32(bmp, 22, 3000)).isEmpty,
+      "declared rows exceed the buffer")
+    assert(Multimodal.decodeBmp(patch32(bmp, 30, 1)).isEmpty, "RLE8")
+    val bpp32 = bmp.clone(); bpp32(28) = 32.toByte
+    assert(Multimodal.decodeBmp(bpp32).isEmpty, "32 bpp")
+    assert(Multimodal.decodeBmp(bmp.take(53)).isEmpty, "truncated header")
+    assert(Multimodal.decodeBmp(Multimodal.buildPng(8, 8)).isEmpty,
+      "wrong container")
+  }
+
   test("decodeWavSamples round-trips signed 16-bit PCM; rejects " +
       "non-PCM/truncated payloads") {
     val rnd = new scala.util.Random(31)
@@ -5175,5 +5264,231 @@ class PipelineUnitSpec extends SparkTestBase {
     // plan: a single Expand feeding aggregates — not one scan per level
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("Expand"), plan.take(400))
+  }
+
+  test("kaplanMeier: textbook hand case — censoring shrinks risk sets " +
+      "without stepping the curve; exact fold composition; group isolation") {
+    import spark.implicits._
+    // g1: events at 1,2,3,5; censored at 2 and 4
+    val g1 = Seq((1L, 1L, true), (1L, 2L, true), (1L, 2L, false),
+      (1L, 3L, true), (1L, 4L, false), (1L, 5L, true))
+    // g2: single event, no censoring -> S = 0 at its only step
+    val g2 = Seq((2L, 7L, true))
+    val df = (g1 ++ g2).toDF("g", "dur", "ev")
+    val got = Analytics.kaplanMeier(df, Seq("g"), col("dur"), col("ev"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val s1 = 1.0 * (1.0 - 1.0 / 6.0)
+    val s2 = s1 * (1.0 - 1.0 / 5.0)
+    val s3 = s2 * (1.0 - 1.0 / 3.0)
+    val s4 = s3 * (1.0 - 1.0 / 1.0)
+    assert(got((1L, 1L)) == ((1L, 6L, s1)))
+    assert(got((1L, 2L)) == ((1L, 5L, s2))) // censor at 2 leaves with d=1
+    assert(got((1L, 3L)) == ((1L, 3L, s3))) // risk set lost 3 by now
+    assert(got((1L, 5L)) == ((1L, 1L, s4)) && s4 == 0.0)
+    assert(!got.contains((1L, 4L))) // censor-only time: no curve step
+    assert(got((2L, 7L)) == ((1L, 1L, 0.0))) // groups are independent
+    assert(got.size == 5)
+  }
+
+  test("lcsTokenLength: hand cases and a randomized differential vs the " +
+      "classic DP, including truncation at 24 tokens and empty sides") {
+    import spark.implicits._
+    def lcsRef(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "x1", "y2")
+    val cases = Seq(
+      ("abc def ghi", "abc xyz ghi"), // lcs 2
+      ("a b c d", "a b c d"), // identical
+      ("", "a b"), // one empty
+      ("", ""), // both empty -> sim 0 by convention
+      ("one two", "three four") // disjoint
+    ) ++ (0 until 60).map { _ =>
+      def s() = (0 until rnd.nextInt(30))
+        .map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+      (s(), s())
+    }
+    val df = cases.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "ta", "tb")
+    val got = StringSim.lcsTokenLength(df, col("ta"), col("tb"))
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    cases.zipWithIndex.foreach { case ((a, b), i) =>
+      def tk(s: String) = s.split(" ").filter(_.nonEmpty).take(24).toSeq
+      val (ta, tb) = (tk(a), tk(b))
+      val want = lcsRef(ta, tb).toLong
+      val r = got(i.toLong)
+      assert(r.getAs[Long]("la") == ta.length.toLong &&
+        r.getAs[Long]("lb") == tb.length.toLong, s"case $i lengths")
+      assert(r.getAs[Long]("lcs_len") == want, s"case $i: '$a' vs '$b'")
+      val wantSim = if (ta.isEmpty && tb.isEmpty) 0.0
+        else 2.0 * want / (ta.length + tb.length)
+      assert(r.getAs[Double]("lcs_sim") == wantSim, s"case $i sim")
+    }
+  }
+
+  test("winnowNovelty: originals score 1, a verbatim re-post scores 0, " +
+      "a partial copy lands strictly between") {
+    import spark.implicits._
+    val original = "the quick brown fox jumps over the lazy dog tonight"
+    val fresh = "completely different content about spark catalyst plans"
+    val partial = original + " with an extra novel trailing sentence here"
+    val df = Seq(
+      (1L, original), (2L, fresh), (3L, original), (4L, partial)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.winnowNovelty(df, "text", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L)._3 == 1.0, s"original: ${got(1L)}")
+    assert(got(2L)._3 == 1.0, s"independent doc: ${got(2L)}")
+    assert(got(3L)._3 == 0.0, s"verbatim re-post: ${got(3L)}")
+    val (nf, nn, nov) = got(4L)
+    assert(nov > 0.0 && nov < 1.0 && nn < nf, s"partial copy: ${got(4L)}")
+    assert(nov == nn.toDouble / nf.toDouble)
+  }
+
+  test("audioDescriptors: centroid/rolloff/flux recomputed independently " +
+      "from the spectrogram band grid; first frame has NULL flux") {
+    val src = Multimodal.synthesizeWavPayload(
+      spark.range(0, 12).select(col("id").alias("doc_id")), "doc_id")
+    val grid = Multimodal.wavSpectrogram(src, "doc_id", "payload")
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .view.mapValues { rs =>
+        val e = new Array[Long](8)
+        rs.foreach(r => e(r.getInt(2)) = r.getLong(3))
+        e.toSeq
+      }.toMap
+    assert(grid.nonEmpty)
+    val got = Multimodal.audioDescriptors(src, "doc_id", "payload")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(got.keySet == grid.keySet)
+    grid.foreach { case (key @ (id, f), e) =>
+      val r = got(key)
+      val total = e.sum
+      val cnum = e.zipWithIndex.map { case (x, b) => x * b }.sum
+      assert(r.getAs[Long]("total_energy") == total, s"$key total")
+      assert(r.getAs[Long]("centroid_num") == cnum, s"$key cnum")
+      if (total > 0)
+        assert(r.getAs[Double]("centroid") == cnum.toDouble / total.toDouble)
+      val cums = e.scanLeft(0L)(_ + _).tail
+      val wantRoll = (0 until 8).find(b => cums(b) * 100 >= 85L * total)
+        .getOrElse(7)
+      assert(r.getAs[Int]("rolloff_band") == wantRoll, s"$key rolloff")
+      if (f == 0L) assert(r.isNullAt(r.fieldIndex("flux_l1")), s"$key flux0")
+      else {
+        val prev = grid((id, f - 1))
+        val want = (0 until 8).map(b => math.abs(e(b) - prev(b))).sum
+        assert(r.getAs[Long]("flux_l1") == want, s"$key flux")
+      }
+    }
+  }
+
+  /** Independent plain-Scala winnowing (Schleimer et al. 2003): same
+    * normalize, polyHash k-grams, rightmost-min windows, consecutive
+    * dedup — the differential reference for the Column implementation. */
+  private def winnowRef(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+    val nt = text.toLowerCase.replaceAll("[^a-z0-9 ]", "")
+      .replaceAll(" +", " ").trim
+    val m = nt.length - (k - 1)
+    if (m < 1) return Set.empty
+    val hs = (0 until m).map(i =>
+      Hashing.polyHashBytes(nt.substring(i, i + k).getBytes("US-ASCII")))
+    if (m < w) {
+      var best = (Long.MaxValue, 0)
+      for (i <- 0 until m) if (hs(i) <= best._1) best = (hs(i), i + 1)
+      Set((best._2.toLong, best._1))
+    } else {
+      val sels = (0 to m - w).map { j =>
+        var best = (Long.MaxValue, -1)
+        for (t <- 0 until w) if (hs(j + t) <= best._1)
+          best = (hs(j + t), j + t + 1)
+        best._2
+      }
+      sels.zipWithIndex
+        .collect { case (p, i) if i == 0 || p != sels(i - 1) => p }
+        .map(p => (p.toLong, hs(p - 1))).toSet
+    }
+  }
+
+  test("winnowFingerprints: randomized differential vs an independent " +
+      "reference across empty/short/exact/long docs; tie goes rightmost") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val alpha = "abc ab" // tiny alphabet: forces k-gram hash collisions
+    val docs = (0 until 160).map { i =>
+      val n = rnd.nextInt(31) // 0..30 incl. m<w, m==w and long cases
+      (i.toLong, (0 until n).map(_ => alpha(rnd.nextInt(alpha.length)))
+        .mkString)
+    } :+ (997L, "aaaaaaaaaaaa") // all-equal hashes: pure tie exercise
+    val got = TextAnalysis
+      .winnowFingerprints(docs.toDF("doc_id", "text"), "text", "doc_id")
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSet).toMap
+    docs.foreach { case (id, text) =>
+      val want = winnowRef(text, 5, 4)
+      val have = got.getOrElse(id, Set.empty)
+      assert(have == want, s"doc $id '\\u2026${text.takeRight(12)}': " +
+        s"got $have want $want")
+    }
+    // the all-ties doc: every window selects its rightmost gram, so the
+    // selections are consecutive positions w..m (dedup removes nothing)
+    val ties = got(997L).map(_._1)
+    assert(ties == (4L to 8L).toSet, s"tie rule broke: $ties")
+  }
+
+  test("winnowing guarantee: docs sharing a substring of length >= w+k-1 " +
+      "share a fingerprint; winnowPairs finds the pair and honors maxDf") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    def blob(n: Int) = (0 until n)
+      .map(_ => "abcdefgh xyz"(rnd.nextInt(12))).mkString
+    val common = "the quick brown fox jumped over it" // len >= 8 normalized
+    val pairs = (0 until 20).map { i =>
+      (i.toLong * 2, blob(20) + common + blob(15),
+        i.toLong * 2 + 1, blob(25) + common + blob(10))
+    }
+    val df = pairs.flatMap { case (ia, ta, ib, tb) =>
+      Seq((ia, ta), (ib, tb)) }.toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(df, "text", "doc_id")
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    pairs.foreach { case (ia, _, ib, _) =>
+      assert(fps(ia).intersect(fps(ib)).nonEmpty,
+        s"guarantee violated for docs $ia/$ib")
+    }
+    // pairs stage with the relative cut disabled (dfDenom=1: every fp
+    // passes the relative test; the common block's df=40 stays under
+    // maxBucket=100): each planted pair surfaces
+    val found = TextAnalysis
+      .winnowPairs(df, "text", "doc_id", dfDenom = 1, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs.foreach { case (ia, _, ib, _) =>
+      assert(found.contains((ia, ib)), s"missing pair ($ia,$ib)")
+    }
+    // default dfDenom=20 on 40 docs allows df <= 2 only: the common
+    // block (df=40) is boilerplate-dropped, so pairs can only ride
+    // doc-private blob fingerprints — strictly fewer candidates
+    val capped = TextAnalysis
+      .winnowPairs(df, "text", "doc_id", minShared = 2)
+    val dfCounts = TextAnalysis.winnowFingerprints(df, "text", "doc_id")
+      .select($"doc_id", $"fp").distinct()
+      .groupBy($"fp").count().filter($"count" > 2).count()
+    assert(dfCounts > 0, "test needs at least one boilerplate fp")
+    assert(capped.count() < found.size.toLong)
+    // maxBucket is a hard cut independent of the relative test
+    val bucketCut = TextAnalysis
+      .winnowPairs(df, "text", "doc_id", dfDenom = 1, maxBucket = 39,
+        minShared = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!bucketCut.exists(p => !found.contains(p)))
   }
 }

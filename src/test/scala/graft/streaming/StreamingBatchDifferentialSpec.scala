@@ -262,6 +262,34 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     assertDfEquality(rolled, batch)
   }
 
+  test("property: streaming kmDeltas fold to the exact batch grid and " +
+      "the identical Kaplan-Meier curve across micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(107)
+    val mem = MemoryStream[(String, Long, Boolean)]
+    val out = StreamingTSDF.kmDeltas(mem.toDF().toDF("g", "dur", "ev"),
+      Seq("g"), col("dur"), col("ev"))
+    val q = out.writeStream.format("memory").queryName("km_diff_sink")
+      .outputMode(OutputMode.Append()).start()
+    val all = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Boolean)]
+    for (_ <- 0 until 4) {
+      val batch = (0 until 150).map(_ =>
+        ("g" + rnd.nextInt(3), rnd.nextInt(12).toLong, rnd.nextBoolean()))
+      all ++= batch
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val grid = spark.table("km_diff_sink").groupBy(col("g"), col("t"))
+      .agg(sum(col("d")).alias("d"), sum(col("obs")).alias("obs"))
+    val streamed = graft.pipeline.Analytics.kaplanMeierFromGrid(grid, Seq("g"))
+    val batchKm = graft.pipeline.Analytics.kaplanMeier(
+      all.toSeq.toDF("g", "dur", "ev"), Seq("g"), col("dur"), col("ev"))
+    assertDfEquality(streamed, batchKm)
+  }
+
   test("property: streaming statsDeltas fold to the exact batch " +
       "(n, sum, sumsq) moments across micro-batches") {
     val spark2 = spark
