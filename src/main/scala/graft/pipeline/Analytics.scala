@@ -492,7 +492,7 @@ object Analytics {
     val byT = df
       .select(g :+ durationCol.cast(LongType).alias("t") :+
         eventCol.alias("__ev"): _*)
-      .filter(col("t").isNotNull)
+      .filter(col("t").isNotNull && col("__ev").isNotNull)
       .groupBy(g :+ col("t"): _*)
       .agg(sum(when(col("__ev"), 1L).otherwise(0L)).alias("d"),
         count(lit(1)).alias("obs"))

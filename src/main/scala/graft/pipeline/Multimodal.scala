@@ -1246,7 +1246,8 @@ object Multimodal {
   }
 
   /** Image decode dispatch by magic bytes: PNG → [[decodePng]], JFIF →
-    * [[Jpeg.decodeJpeg]]. None for anything else (or undecodable). */
+    * [[Jpeg.decodeJpeg]], BM → [[decodeBmp]]. None for anything else
+    * (or undecodable). */
   def decodeImage(bytes: Array[Byte]): Option[DecodedImage] = {
     if (bytes == null || bytes.length < 4) None
     else if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P') decodePng(bytes)

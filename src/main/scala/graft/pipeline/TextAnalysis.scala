@@ -812,11 +812,15 @@ object TextAnalysis {
               acc.when(h(j + t) === minv, j + t)).otherwise(j + 1)
           }
           // Long docs: all m-w+1 windows; keep window j's selection iff
-          // it differs from window j-1's (recomputed closed-form). `||`
-          // short-circuits, so sel(j-1) is never evaluated at j = 0.
+          // it differs from window j-1's (recomputed closed-form). The
+          // predecessor index is clamped to 0 so no out-of-range h(i)
+          // can ever be evaluated regardless of Or's evaluation order
+          // (at j = 0 the clamped compare is sel(0) =!= sel(0) = false
+          // and the j === 0 arm alone decides keep).
           val longSel = filter(
             transform(sequence(lit(0), m - w),
-              j => when(j === 0 || sel(j) =!= sel(j - 1), sel(j))
+              j => when(j === 0 ||
+                  sel(j) =!= sel(greatest(j - 1, lit(0))), sel(j))
                 .otherwise(-1)),
             x => x >= 0)
           // Short docs (1 <= m < w): one partial window, rightmost min

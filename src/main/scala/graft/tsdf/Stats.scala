@@ -526,7 +526,12 @@ object Stats {
         (1 until k).map(j => s"(${phi(k - 1)(j)} * (${ref(k - j)}))"))})"
       val den = s"(1.0 - ${sumStr(
         (1 until k).map(j => s"(${phi(k - 1)(j)} * (${ref(j)}))"))})"
-      phi(k)(k) = s"($num / $den)"
+      // Guard the quotient inside the SHARED string: on an exactly-zero
+      // denominator Spark's Divide yields NULL while DuckDB's default
+      // ieee_floating_point_ops yields ±Infinity — the CASE keeps both
+      // engines on the identical NULL, which then propagates through
+      // every later phi(k)(j) the same way in both.
+      phi(k)(k) = s"(CASE WHEN $den <> 0.0 THEN ($num / $den) END)"
       for (j <- 1 until k)
         phi(k)(j) = s"(${phi(k - 1)(j)} - (${phi(k)(k)} * ${phi(k - 1)(k - j)}))"
     }

@@ -290,6 +290,40 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     assertDfEquality(streamed, batchKm)
   }
 
+  test("property: kmDeltas and batch kaplanMeier agree on a NULLABLE " +
+      "event column (null-event rows dropped by BOTH paths)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(211)
+    val mem = MemoryStream[(String, Long, Option[Boolean])]
+    val out = StreamingTSDF.kmDeltas(mem.toDF().toDF("g", "dur", "ev"),
+      Seq("g"), col("dur"), col("ev"))
+    val q = out.writeStream.format("memory").queryName("km_null_diff_sink")
+      .outputMode(OutputMode.Append()).start()
+    val all = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Option[Boolean])]
+    for (_ <- 0 until 3) {
+      val batch = (0 until 120).map { _ =>
+        val ev = rnd.nextInt(4) match {
+          case 0 => None // ~25% unknown outcome rows
+          case k => Some(k % 2 == 0)
+        }
+        ("g" + rnd.nextInt(3), rnd.nextInt(10).toLong, ev)
+      }
+      all ++= batch
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val grid = spark.table("km_null_diff_sink").groupBy(col("g"), col("t"))
+      .agg(sum(col("d")).alias("d"), sum(col("obs")).alias("obs"))
+    val streamed = graft.pipeline.Analytics.kaplanMeierFromGrid(grid, Seq("g"))
+    val batchKm = graft.pipeline.Analytics.kaplanMeier(
+      all.toSeq.toDF("g", "dur", "ev"), Seq("g"), col("dur"), col("ev"))
+    assertDfEquality(streamed, batchKm)
+  }
+
   test("property: streaming statsDeltas fold to the exact batch " +
       "(n, sum, sumsq) moments across micro-batches") {
     val spark2 = spark
