@@ -1359,6 +1359,20 @@ object OracleSql {
     * the IDENTICAL left-to-right survival fold (a window product()
     * would tree-reorder float multiplies; the sliced fold recomputes
     * each prefix in the same order the Spark scan walks it). */
+  /** First-occurrence novelty over the winnow fingerprints, shared by
+    * q_novelty (batch) and q_stream_novelty (the ingest-time gate run as
+    * one AvailableNow batch, where first-arrival == min-id). */
+  private lazy val noveltySql: String =
+    s"""$winnowCte,
+       |dfp AS (SELECT DISTINCT doc_id, fp FROM fps),
+       |fo AS (SELECT fp, min(doc_id) AS first_owner FROM dfp GROUP BY fp)
+       |SELECT dfp.doc_id, count(*) AS n_fps,
+       |  CAST(sum(CASE WHEN fo.first_owner = dfp.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  CAST(sum(CASE WHEN fo.first_owner = dfp.doc_id THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*) AS novelty
+       |FROM dfp JOIN fo USING (fp) GROUP BY dfp.doc_id""".stripMargin
+
   private lazy val kaplanMeierSql: String =
     """WITH base AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS t,
       |  (event_id % 4 <> 0) AS ev FROM events WHERE value IS NOT NULL),
@@ -3639,16 +3653,10 @@ object OracleSql {
     "q_winnow" -> s"$winnowCte SELECT doc_id, pos, fp FROM fps",
     "q_stream_winnow" -> s"$winnowCte SELECT doc_id, pos, fp FROM fps",
 
-    "q_novelty" ->
-      s"""$winnowCte,
-         |dfp AS (SELECT DISTINCT doc_id, fp FROM fps),
-         |fo AS (SELECT fp, min(doc_id) AS first_owner FROM dfp GROUP BY fp)
-         |SELECT dfp.doc_id, count(*) AS n_fps,
-         |  CAST(sum(CASE WHEN fo.first_owner = dfp.doc_id THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_novel,
-         |  CAST(sum(CASE WHEN fo.first_owner = dfp.doc_id THEN 1 ELSE 0 END)
-         |    AS DOUBLE) / count(*) AS novelty
-         |FROM dfp JOIN fo USING (fp) GROUP BY dfp.doc_id""".stripMargin,
+    "q_novelty" -> noveltySql,
+    // the streaming gate in a single AvailableNow batch == batch min-id
+    // semantics, so it shares the replay verbatim
+    "q_stream_novelty" -> noveltySql,
 
     "q_winnow_pairs" ->
       s"""$winnowCte,

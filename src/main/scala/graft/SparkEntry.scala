@@ -3334,6 +3334,18 @@ object SparkEntry {
     runStream(s, out)
   }
 
+  /** Streaming first-occurrence novelty gate — per-fingerprint first-owner
+    * state at ingest time, per-doc scores folded from the ownership sink;
+    * one AvailableNow batch has first-arrival == min-id, so it shares
+    * q_novelty's replay verbatim. */
+  private def qStreamNovelty(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val sink = runStream(s, graft.streaming.StreamingTSDF.noveltyOwnership(
+      docsStream(s, dir).select(col("doc_id"), col("text")),
+      "text", "doc_id", k = 16))
+    graft.streaming.StreamingTSDF.noveltyScores(sink, "doc_id")
+  }
+
   /** First-occurrence novelty over the winnow fingerprints — the
     * per-doc dedup-priority score (templated re-posts ≈ 0, fresh ≈ 1);
     * min-doc_id is the ingestion-order proxy. */
@@ -4000,6 +4012,7 @@ object SparkEntry {
     "q_winnow" -> qWinnow _,
     "q_winnow_pairs" -> qWinnowPairs _,
     "q_stream_winnow" -> qStreamWinnow _,
+    "q_stream_novelty" -> qStreamNovelty _,
     "q_novelty" -> qWinnowNovelty _,
     "q_fourier" -> qFourier _,
     "q_lookback" -> qLookback _,

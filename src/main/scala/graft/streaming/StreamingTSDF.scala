@@ -1319,6 +1319,70 @@ object StreamingTSDF {
       col("t"), col("d"), col("obs")): _*)
   }
 
+  // --------------------------------------------- streaming novelty gate
+  case class NoveltyFp(fp: Long, doc: Long)
+
+  /** Ingest-time first-occurrence novelty gate — the streaming face of
+    * [[graft.pipeline.TextAnalysis.winnowNovelty]], the dedup-priority
+    * operator a real ingestion pipeline runs: state per winnow
+    * fingerprint is its FIRST owner's id, and every arriving document's
+    * (doc, fp) rows are emitted with a `novel` flag (this doc owns the
+    * fingerprint first). The per-doc score is then a stateless fold over
+    * the sink — `n_novel / n_fps` per doc, exactly the batch formula.
+    *
+    * Ownership semantics: first ARRIVAL wins; within a micro-batch ties
+    * break to the minimum id. Batch winnowNovelty's min-id "first owner"
+    * is its ingestion-order proxy, so stream == batch EXACTLY whenever
+    * ingestion order is nondecreasing in id (any batching, any order
+    * WITHIN a batch) — the single-micro-batch AvailableNow harness and
+    * the id-ordered multi-batch differential both sit inside that
+    * contract. A smaller id arriving after its fingerprint was claimed
+    * scores as non-novel — the honest ingest-time answer.
+    *
+    * Scale shape: the winnow selection is the same stateless scan-local
+    * expression as the batch operator (no pair face, no all-pairs);
+    * state is ONE long per distinct fingerprint, merge-free; the only
+    * shuffle is the groupByKey on fp — the same key the batch first-owner
+    * aggregate shuffles on. The per-(fp, batch) doc set materialized in
+    * the group function is bounded by the fingerprint's document
+    * frequency within the batch (the bounded-by-semantics per-group
+    * contract class). Ids must be castable to long. */
+  def noveltyOwnership(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fps = graft.pipeline.TextAnalysis.winnowFingerprints(
+        df, textCol, idCol, k, w)
+      .select(col("fp"), col(idCol).cast(LongType).alias("doc"))
+      .as[NoveltyFp]
+    fps.groupByKey(_.fp)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (fp: Long, rows: Iterator[NoveltyFp], state: GroupState[Long]) =>
+          val docs = rows.map(_.doc).toSet
+          if (docs.isEmpty) Iterator.empty
+          else {
+            val owner =
+              if (state.exists) state.get
+              else { val m = docs.min; state.update(m); m }
+            docs.iterator.map(d => (d, fp, d == owner))
+          }
+      }
+      .toDF(idCol, "fp", "novel")
+  }
+
+  /** The batch-formula rollup over a [[noveltyOwnership]] sink: per-doc
+    * fingerprint count, first-owned count, and their ratio — identical
+    * column contract to [[graft.pipeline.TextAnalysis.winnowNovelty]].
+    * Works on the sink at ANY point in the stream's life (each (doc, fp)
+    * row is emitted exactly once). */
+  def noveltyScores(sink: DataFrame, idCol: String): DataFrame = sink
+    .groupBy(col(idCol))
+    .agg(count(lit(1)).alias("n_fps"),
+      sum(when(col("novel"), 1L).otherwise(0L)).alias("n_novel"))
+    .withColumn("novelty",
+      col("n_novel").cast(DoubleType) / col("n_fps").cast(DoubleType))
+
   // ---------------------------------------------- streaming stat moments
   case class StatEvent(series: String, y: Long)
 

@@ -290,6 +290,42 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     assertDfEquality(streamed, batchKm)
   }
 
+  test("property: streaming noveltyOwnership scores equal batch " +
+      "winnowNovelty under id-ordered multi-batch ingestion") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(223)
+    // shared sentence pool so fingerprints genuinely collide across docs:
+    // re-posts, partial copies, and fresh content all occur
+    val pool = Vector.tabulate(25)(i =>
+      (0 until 8).map(_ => s"w${rnd.nextInt(40)}").mkString(" ") + s" s$i")
+    val docs = (0 until 90).map { id =>
+      val n = 1 + rnd.nextInt(4)
+      (id.toLong,
+        (0 until n).map(_ => pool(rnd.nextInt(pool.size))).mkString(". "))
+    }
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingTSDF.noveltyOwnership(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id", k = 5, w = 4)
+    val q = out.writeStream.format("memory").queryName("novelty_diff_sink")
+      .outputMode(OutputMode.Append()).start()
+    // id-ordered batches (the documented contract), shuffled WITHIN a batch
+    var rest = docs
+    while (rest.nonEmpty) {
+      val (batch, tail) = rest.splitAt(1 + rnd.nextInt(30))
+      rest = tail
+      mem.addData(rnd.shuffle(batch): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = StreamingTSDF.noveltyScores(
+      spark.table("novelty_diff_sink"), "doc_id")
+    val batchNov = graft.pipeline.TextAnalysis.winnowNovelty(
+      docs.toDF("doc_id", "text"), "text", "doc_id", k = 5, w = 4)
+    assertDfEquality(streamed, batchNov)
+  }
+
   test("property: kmDeltas and batch kaplanMeier agree on a NULLABLE " +
       "event column (null-event rows dropped by BOTH paths)") {
     val spark2 = spark
