@@ -2179,6 +2179,14 @@ object SparkEntry {
   private def qLmBigram(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.TextAnalysis.lmBigramScore(docs(s, dir), "text", "doc_id")
 
+  /** Interpolated Kneser–Ney smoothed bigram LM — the CCNet-class
+    * perplexity filter: discounted seen mass interpolated with the
+    * continuation distribution (distinct-context counts, a second
+    * aggregate over the MODEL, not a second corpus scan). */
+  private def qLmKn(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextAnalysis.lmKneserNeyScore(docs(s, dir), "text",
+      "doc_id")
+
   /** Grouped multivariate OLS ([[graft.pipeline.Regression.groupOls2]]):
     * per user, cent value regressed on (hour-of-day, weekday) — exact
     * integer moment sums, fixed-order Cramer solve, null βs on
@@ -3929,6 +3937,7 @@ object SparkEntry {
     "q_pmi" -> qPmi _,
     "q_mi" -> qMi _,
     "q_lm_bigram" -> qLmBigram _,
+    "q_lm_kn" -> qLmKn _,
     "q_fd" -> qFd _,
     "q_group_ols" -> qGroupOls _,
     "q_theil_sen" -> qTheilSen _,

@@ -635,6 +635,100 @@ object TextAnalysis {
           (col("n_bigrams").cast(DoubleType) * 1e6)).alias("avg_logp"))
   }
 
+  /** Interpolated Kneser–Ney word-bigram scoring — the smoothed LM
+    * perplexity filter every production quality pipeline (CCNet-class)
+    * runs where [[lmBigramScore]]'s add-one model misranks: add-one
+    * gives an unseen bigram the same mass whether its right word is a
+    * versatile continuation ("the") or a one-context word, while KN
+    * backs off to the CONTINUATION probability — how many distinct left
+    * contexts the word follows — which is the measured fix for exactly
+    * that failure (Kneser & Ney 1995; Chen & Goodman 1998).
+    *
+    * Model (absolute discount D = 0.75, exact in binary):
+    *   p(w₂|w₁) = (max(C(w₁w₂)−D, 0) + D·N₁₊(w₁•)·p_c(w₂)) / C(w₁•)
+    * when C(w₁•) > 0, else p_c(w₂), with the continuation distribution
+    * add-one floored so EVERY word — including corpus-unseen — scores
+    * finite:  p_c(w₂) = (N₁₊(•w₂)+1) / (N₁₊(••)+V).
+    * N₁₊ are distinct-TYPE counts; all of them are a second cheap
+    * aggregate over the grouped bigram-count table, NOT a second corpus
+    * scan — the continuation model costs one pass over the model, never
+    * the data.
+    *
+    * Determinism: every count is an exact BIGINT; per-bigram probability
+    * is a FIXED-ORDER double composition of those integers (each op
+    * correctly rounded, identical order in the DuckDB replay), and the
+    * per-bigram ln lands in exact integer micro-units (floor(x·10⁶+0.5),
+    * the BM25/PMI convention) BEFORE the per-doc sum, so the doc
+    * aggregate is order-free integer arithmetic.
+    *
+    * Plan: one bigram explode feeding one (w1,w2) partial aggregate;
+    * the w1-marginals and continuation counts are aggregates OF THE
+    * MODEL; scoring is three uniform-key left equi-joins plus two
+    * broadcast scalars, then one doc-keyed aggregate — the
+    * [[lmBigramScore]] plan plus one model-sized aggregate.
+    * Output: (idCol, n_bigrams, sum_mu, avg_logp). */
+  def lmKneserNeyScore(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    lmKneserNeyScoreAgainst(df, df, textCol, idCol)
+
+  /** [[lmKneserNeyScore]] with a SEPARATE training corpus — the
+    * production shape (incoming docs scored under a frozen reference
+    * LM), and the only shape where the unseen-bigram / unseen-word
+    * back-off arms actually fire (self-scoring sees every bigram at
+    * least once). */
+  def lmKneserNeyScoreAgainst(train: DataFrame, df: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val D = 0.75
+    val toksOf = split(Dedup.normalizeText(col(textCol)), " ")
+    def bigramsOf(src: DataFrame, keep: Seq[Column]): DataFrame = src
+      .select(keep :+ toksOf.alias("__toks"): _*)
+      .filter(size(col("__toks")) >= 2)
+      .select(keep :+
+        explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => struct(
+            element_at(col("__toks"), i).alias("w1"),
+            element_at(col("__toks"), i + 1).alias("w2")))).alias("__b"): _*)
+      .select(keep ++ Seq(col("__b.w1").alias("w1"),
+        col("__b.w2").alias("w2")): _*)
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val bg = bigramsOf(df, Seq(col(idCol)))
+    val bgModel = bigramsOf(train, Nil).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).alias("__c"))
+    // marginals and type counts: aggregates over the MODEL table
+    val leftModel = bgModel.groupBy(col("w1"))
+      .agg(sum(col("__c")).alias("__cw"),
+        count(lit(1)).alias("__n1r"))          // N1+(w1 •)
+    val contModel = bgModel.groupBy(col("w2"))
+      .agg(count(lit(1)).alias("__n1l"))       // N1+(• w2)
+    val scalars = bgModel.agg(count(lit(1)).alias("__n1pp"))
+      .crossJoin(train
+        .select(explode(toksOf).alias("__w")).filter(col("__w") =!= "")
+        .agg(count_distinct(col("__w")).alias("__v")))
+    // fixed-order composition (matches the oracle text operator-for-operator)
+    val pc = (coalesce(col("__n1l"), lit(0L)) + lit(1L)).cast(DoubleType) /
+      (col("__n1pp") + col("__v")).cast(DoubleType)
+    val pSeen = (greatest(coalesce(col("__c"), lit(0L)).cast(DoubleType) -
+        lit(D), lit(0.0)) +
+      lit(D) * col("__n1r").cast(DoubleType) * pc) /
+      col("__cw").cast(DoubleType)
+    val p = when(col("__cw").isNotNull, pSeen).otherwise(pc)
+    val contribMu = floor(log(p) * 1e6 + 0.5).cast(LongType)
+    val scored = bg
+      .join(bgModel, Seq("w1", "w2"), "left")
+      .join(leftModel, Seq("w1"), "left")
+      .join(contModel, Seq("w2"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col(idCol), contribMu.alias("__mu"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).alias("n_bigrams"), sum(col("__mu")).alias("sum_mu"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).alias("n_bigrams"),
+        coalesce(col("sum_mu"), lit(0L)).alias("sum_mu"),
+        when(col("n_bigrams") > 0, col("sum_mu").cast(DoubleType) /
+          (col("n_bigrams").cast(DoubleType) * 1e6)).alias("avg_logp"))
+  }
+
   /** PMI collocation mining — the phrase-detection pass (cf. the
     * word2vec-phrases recipe): pointwise mutual information of ADJACENT
     * token pairs across the corpus, pmi = ln n_ab + ln N − ln n_a• −

@@ -2631,6 +2631,71 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(n4 == 0L && s4 == 0L && a4.isNaN) // single token: no bigrams
   }
 
+  test("lmKneserNeyScore: randomized differential vs an independent KN " +
+      "computation; unseen bigrams/words stay finite where they matter") {
+    import spark.implicits._
+    val D = 0.75
+    // independent interpolated-KN scorer over whitespace tokens
+    def knMu(trainTexts: Seq[String], text: String): (Long, Long) = {
+      val bgs = trainTexts.flatMap(t => t.split(" ").filter(_.nonEmpty)
+        .sliding(2).filter(_.length == 2).map(a => (a(0), a(1))))
+      val c = bgs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val cw = c.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+      val n1r = c.groupBy(_._1._1).map { case (w, m) => w -> m.size.toLong }
+      val n1l = c.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+      val n1pp = c.size.toLong
+      val v = trainTexts.flatMap(_.split(" ").filter(_.nonEmpty)).distinct.size
+      val docBgs = text.split(" ").filter(_.nonEmpty).sliding(2)
+        .filter(_.length == 2).map(a => (a(0), a(1))).toSeq
+      val mus = docBgs.map { case (w1, w2) =>
+        val pc = (n1l.getOrElse(w2, 0L) + 1L).toDouble / (n1pp + v).toDouble
+        val p = cw.get(w1) match {
+          case Some(cwv) =>
+            (math.max(c.getOrElse((w1, w2), 0L).toDouble - D, 0.0) +
+              D * n1r(w1).toDouble * pc) / cwv.toDouble
+          case None => pc
+        }
+        math.floor(math.log(p) * 1e6 + 0.5).toLong
+      }
+      (docBgs.size.toLong, mus.sum)
+    }
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val texts = (0 until 40).map(_ => (2 + rnd.nextInt(8) match { case n =>
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ") }))
+    val train = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val self = TextAnalysis.lmKneserNeyScore(train, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(self(i.toLong) == knMu(texts, t), s"doc $i: '$t'")
+    }
+    // cross-corpus: unseen bigram, unseen left word, fully unseen words —
+    // all finite; and KN backs off by CONTINUATION versatility: "tt"
+    // (4 distinct left contexts) must beat "uu" (1 context, same total
+    // count) after an unseen left word — the ranking add-one cannot make
+    val ktrain = Seq("aa tt", "bb tt", "cc tt", "dd tt",
+      "ee uu", "ee uu", "ee uu", "ee uu")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val probe = Seq((100L, "zz tt"), (101L, "zz uu"), (102L, "qq rr"))
+      .toDF("doc_id", "text")
+    val scored = TextAnalysis.lmKneserNeyScoreAgainst(ktrain, probe,
+      "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    scored.values.foreach { case (n, a) =>
+      assert(n == 1L && !a.isNaN && !a.isInfinite)
+    }
+    assert(scored(100L)._2 > scored(101L)._2,
+      s"versatile continuation must outrank one-context word: $scored")
+    val kTexts = Seq("aa tt", "bb tt", "cc tt", "dd tt",
+      "ee uu", "ee uu", "ee uu", "ee uu")
+    Seq(100L -> "zz tt", 101L -> "zz uu", 102L -> "qq rr").foreach {
+      case (id, t) =>
+        val (n, mu) = knMu(kTexts, t)
+        assert(scored(id)._1 == n && scored(id)._2 == mu / (n * 1e6))
+    }
+  }
+
   test("mutualInfo: zero on independent columns, ln(k) micro-units on a " +
       "perfect k-way dependence") {
     import spark.implicits._
