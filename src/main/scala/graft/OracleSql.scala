@@ -238,6 +238,33 @@ object OracleSql {
       |  max(value) AS value
       |FROM g2 GROUP BY user_id, grp""".stripMargin
 
+  /** Two-metric makeDisjoint replay (q_stream_intervals2): per-metric
+    * winners resolved INDEPENDENTLY — max_by over each metric's non-null
+    * carriers (per-user ts is unique, so latest-start IS the struct max)
+    * — and the coalesce break tests BOTH values null-safely. */
+  private val intervalsDisjoint2Sql: String =
+    """WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 2 HOUR AS e,
+      |  CASE WHEN event_id % 5 <> 0 THEN value END AS v1,
+      |  CASE WHEN event_id % 3 <> 0 THEN CAST(event_id % 100 AS DOUBLE) END AS v2
+      |  FROM events),
+      |b AS (SELECT user_id, s AS p FROM iv UNION SELECT user_id, e AS p FROM iv),
+      |seg AS (SELECT user_id, p, lead(p) OVER (PARTITION BY user_id ORDER BY p) AS p2 FROM b),
+      |sg AS (SELECT user_id, p, p2 FROM seg WHERE p2 IS NOT NULL),
+      |m AS (SELECT g.user_id, g.p, g.p2,
+      |  max_by(i.v1, i.s) FILTER (WHERE i.v1 IS NOT NULL) AS value,
+      |  max_by(i.v2, i.s) FILTER (WHERE i.v2 IS NOT NULL) AS score
+      |  FROM sg g JOIN iv i ON g.user_id = i.user_id AND g.p < i.e AND g.p2 > i.s
+      |  GROUP BY g.user_id, g.p, g.p2),
+      |fl AS (SELECT *, CASE WHEN p IS NOT DISTINCT FROM lag(p2) OVER w
+      |    AND value IS NOT DISTINCT FROM lag(value) OVER w
+      |    AND score IS NOT DISTINCT FROM lag(score) OVER w THEN 0 ELSE 1 END AS brk
+      |  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY p)),
+      |g2 AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY p
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM fl)
+      |SELECT user_id, epoch_us(min(p)) AS start_us, epoch_us(max(p2)) AS end_us,
+      |  max(value) AS value, max(score) AS score
+      |FROM g2 GROUP BY user_id, grp""".stripMargin
+
   // q_bm25_indexed (postings-index path): the index form is an exact
   // integer identity of the one-pass stats, so one oracle covers both
   private val bm25MultiSql: String = {
@@ -2142,6 +2169,7 @@ object OracleSql {
     // the streaming maintainer's latest-rev snapshot IS the batch
     // makeDisjoint of everything ingested — the oracle is shared verbatim
     "q_stream_intervals" -> intervalsDisjointSql,
+    "q_stream_intervals2" -> intervalsDisjoint2Sql,
 
     "q_slice_ops" -> {
       val pivot = "TIMESTAMP '2024-01-15 00:00:00'"

@@ -2854,6 +2854,28 @@ object SparkEntry {
       .select(col("user_id"), col("start_us"), col("end_us"), col("value"))
   }
 
+  /** Two-metric streaming makeDisjoint — the per-metric-winner face of
+    * the maintainer: value and score carry INDEPENDENT null patterns
+    * (id-derived), so segments exist whose metrics resolve from
+    * different covering intervals. */
+  private def qStreamIntervals2(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val iv = eventsStream(s, dir).select(col("user_id"),
+      col("ts").alias("start_ts"),
+      (col("ts") + expr("interval 2 hours")).alias("end_ts"),
+      when(col("event_id") % 5 =!= 0, col("value")).alias("value"),
+      when(col("event_id") % 3 =!= 0,
+        (col("event_id") % 100).cast(DoubleType)).alias("score"))
+    val snap = graft.streaming.StreamingTSDF.disjointIntervals(
+      iv, "start_ts", "end_ts", Seq("user_id"), Seq("value", "score"))
+    val sink = runStream(s, snap)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    sink.withColumn("__mx", max(col("rev")).over(w))
+      .filter(col("rev") === col("__mx"))
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("value"), col("score"))
+  }
+
   /** Streaming whitening gate: the PCA model trains batch-side (one
     * corpus pass, q_whiten's trainer — a model is a materialized
     * artifact, the dsirRatio/bpeMerges convention) and every ARRIVING
@@ -3991,6 +4013,7 @@ object SparkEntry {
     "q_stream_dtw" -> qStreamDtw _,
     "q_stream_transitions" -> qStreamTransitions _,
     "q_stream_intervals" -> qStreamIntervals _,
+    "q_stream_intervals2" -> qStreamIntervals2 _,
     "q_stream_centroids" -> qStreamCentroids _,
     "q_stream_ahash" -> qStreamAhash _,
     "q_stream_whiten" -> qStreamWhiten _,

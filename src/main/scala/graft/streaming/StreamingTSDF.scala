@@ -2227,44 +2227,52 @@ object StreamingTSDF {
 
   // ----------------------------------------------- streaming intervals
   case class IvEvent(series: String, sUs: Long, eUs: Long,
-      value: Option[Double])
-  /** One elementary segment of a series' disjoint grid, carrying the
-    * winning (origStart, origEnd, value) struct for metric resolution. */
-  case class IvSeg(s: Long, e: Long, hasW: Boolean, ws: Long, we: Long,
-      v: Option[Double])
+      values: Seq[Option[Double]])
+  /** Per-metric winning (origStart, origEnd, value) struct of one
+    * elementary segment — the batch kernel's max-struct resolution. */
+  case class IvWin(ws: Long, we: Long, v: Double)
+  /** One elementary segment of a series' disjoint grid, carrying each
+    * metric's winner independently (None = no covering interval carries
+    * that metric). */
+  case class IvSeg(s: Long, e: Long, wins: Seq[Option[IvWin]])
   case class IvState(rev: Long, segs: Seq[IvSeg])
 
   /** Streaming interval algebra — the ingest-time
     * [[graft.intervals.IntervalsDF.makeDisjoint]] maintainer: state per
     * series is the current ELEMENTARY disjoint grid (no output coalescing
-    * in state), each segment carrying the winning
-    * `(origStart, origEnd, value)` struct of the batch kernel's
-    * `max(struct(start, end, value))` resolution. Exactness for ANY
-    * arrival order (no late-drop needed — interval merge is
-    * order-independent) rests on two facts: the max-struct winner is
-    * associative/commutative, and in an elementary grid every already-seen
-    * interval covers ALL of a segment or none of it, so resolving a new
-    * batch against per-segment winners equals resolving against all
-    * original intervals. Per batch, each TOUCHED series emits its full
-    * COALESCED snapshot (adjacent equal-value touching segments merged —
-    * the issue-268 semantics) tagged with a monotone `rev`; "latest rev
-    * per series" over the sink IS the batch `makeDisjoint` of everything
-    * ingested, for any micro-batch split (the randomized differential).
-    * State is O(series' boundary count) — the disjoint set is itself the
-    * product, the same per-group constraint class the batch sweep kernel
-    * carries. v1 contract: one metric column. */
+    * in state), each segment carrying EVERY metric's winning
+    * `(origStart, origEnd, value)` struct independently — the batch
+    * kernel's per-metric `max(struct(start, end, value))` resolution.
+    * Exactness for ANY arrival order (no late-drop needed — interval
+    * merge is order-independent) rests on two facts, both PER METRIC:
+    * the max-struct winner is associative/commutative, and in an
+    * elementary grid every already-seen interval covers ALL of a segment
+    * or none of it, so resolving a new batch against per-segment winners
+    * equals resolving against all original intervals. Per batch, each
+    * TOUCHED series emits its full COALESCED snapshot (touching
+    * neighbors merged when ALL metric values are null-safe equal — the
+    * issue-268 semantics, vector form) tagged with a monotone `rev`;
+    * "latest rev per series" over the sink IS the batch `makeDisjoint`
+    * of everything ingested, for any micro-batch split (the randomized
+    * multi-metric differential). State is O(series' boundary count) ×
+    * metric count — the disjoint set is itself the product, the same
+    * per-group constraint class the batch sweep kernel carries. Metrics
+    * are carried as doubles (the documented contract). */
   def disjointIntervals(df: DataFrame, startCol: String, endCol: String,
-      seriesCols: Seq[String], metricCol: String): DataFrame = {
+      seriesCols: Seq[String], metricCols: Seq[String]): DataFrame = {
+    require(metricCols.nonEmpty, "at least one metric column")
     val spark = df.sparkSession
     import spark.implicits._
+    val k = metricCols.size
     val events = df.select(
       seriesKey(seriesCols).alias("series"),
       unix_micros(col(startCol)).alias("sUs"),
       unix_micros(col(endCol)).alias("eUs"),
-      col(metricCol).cast(DoubleType).alias("value")).as[IvEvent]
+      array(metricCols.map(m => col(m).cast(DoubleType)): _*)
+        .alias("values")).as[IvEvent]
 
     // lexicographic (ws, we, v) — None < Some, mirroring the batch kernel
-    // where null-metric intervals never enter the max
+    // where null-metric intervals never enter that metric's max
     def winGt(aWs: Long, aWe: Long, aV: Double,
         bWs: Long, bWe: Long, bV: Double): Boolean =
       aWs > bWs || (aWs == bWs && (aWe > bWe ||
@@ -2299,17 +2307,20 @@ object StreamingTSDF {
               math.max(1, sortedNew.length),
               (a: Integer, b: Integer) => java.lang.Long.compare(
                 sortedNew(a).eUs, sortedNew(b).eUs))
-            // active non-null-metric intervals ordered by the batch kernel's
-            // max(struct(start, end, value)) — the TreeSet max IS the winner
-            val actW = new java.util.TreeSet[Integer](
-              (a: Integer, b: Integer) => {
-                val x = sortedNew(a); val y = sortedNew(b)
-                var c = java.lang.Long.compare(x.sUs, y.sUs)
-                if (c == 0) c = java.lang.Long.compare(x.eUs, y.eUs)
-                if (c == 0) c = java.lang.Double.compare(x.value.get, y.value.get)
-                if (c == 0) c = Integer.compare(a, b)
-                c
-              })
+            // one active-winner set PER METRIC, each ordered by the batch
+            // kernel's max(struct(start, end, value)) — the TreeSet max IS
+            // that metric's winner among active non-null carriers
+            val actW = Array.tabulate(k)(m =>
+              new java.util.TreeSet[Integer](
+                (a: Integer, b: Integer) => {
+                  val x = sortedNew(a); val y = sortedNew(b)
+                  var c = java.lang.Long.compare(x.sUs, y.sUs)
+                  if (c == 0) c = java.lang.Long.compare(x.eUs, y.eUs)
+                  if (c == 0) c = java.lang.Double.compare(
+                    x.values(m).get, y.values(m).get)
+                  if (c == 0) c = Integer.compare(a, b)
+                  c
+                }))
             var actAll = 0
             var ni = 0
             var op = 0
@@ -2321,61 +2332,83 @@ object StreamingTSDF {
                 val iv = sortedNew(ni)
                 if (iv.eUs > p) { // zero/negative-width never activates
                   exitQ.add(ni); actAll += 1
-                  if (iv.value.isDefined) actW.add(ni)
+                  var m = 0
+                  while (m < k) {
+                    if (iv.values(m).isDefined) actW(m).add(ni)
+                    m += 1
+                  }
                 }
                 ni += 1
               }
               while (!exitQ.isEmpty && sortedNew(exitQ.peek()).eUs <= p) {
                 val idx = exitQ.poll(); actAll -= 1
-                if (sortedNew(idx).value.isDefined) actW.remove(idx)
+                val iv = sortedNew(idx)
+                var m = 0
+                while (m < k) {
+                  if (iv.values(m).isDefined) actW(m).remove(idx)
+                  m += 1
+                }
               }
               while (op < oldSegs.length && oldSegs(op).e <= p) op += 1
               val og = if (op < oldSegs.length && oldSegs(op).s <= p)
                 oldSegs(op) else null
               if (og != null || actAll > 0) {
-                var hasW = false; var ws = 0L; var we = 0L; var v = 0.0
-                if (og != null && og.hasW) {
-                  hasW = true; ws = og.ws; we = og.we; v = og.v.get
-                }
-                if (!actW.isEmpty) {
-                  val t = sortedNew(actW.last())
-                  if (!hasW || winGt(t.sUs, t.eUs, t.value.get, ws, we, v)) {
-                    hasW = true; ws = t.sUs; we = t.eUs; v = t.value.get
+                val wins = new Array[Option[IvWin]](k)
+                var m = 0
+                while (m < k) {
+                  var best: IvWin =
+                    if (og != null) og.wins(m).orNull else null
+                  if (!actW(m).isEmpty) {
+                    val t = sortedNew(actW(m).last())
+                    val tv = t.values(m).get
+                    if (best == null ||
+                        winGt(t.sUs, t.eUs, tv, best.ws, best.we, best.v))
+                      best = IvWin(t.sUs, t.eUs, tv)
                   }
+                  wins(m) = Option(best)
+                  m += 1
                 }
-                newSegs += IvSeg(p, p2, hasW, ws, we,
-                  if (hasW) Some(v) else None)
+                newSegs += IvSeg(p, p2, wins.toSeq)
               }
               bi += 1
             }
             val rev = st.rev + 1
             state.update(IvState(rev, newSegs.toSeq))
-            // 3. emit the coalesced snapshot: touching neighbors with a
-            // null-safe-equal value merge (the batch <=> coalesce)
+            // 3. emit the coalesced snapshot: touching neighbors with an
+            // ALL-metric null-safe-equal value merge (the batch <=> vector)
             val outRows = scala.collection.mutable.ArrayBuffer
-              .empty[(String, Long, Long, Long, Option[Double])]
+              .empty[(String, Long, Long, Long, Seq[Option[Double]])]
             newSegs.foreach { g =>
-              val vEq = outRows.nonEmpty && {
+              val vals = g.wins.map(_.map(_.v))
+              val mergeable = outRows.nonEmpty && {
                 val last = outRows.last
-                last._4 == g.s && ((last._5, g.v) match {
+                last._4 == g.s && last._5.corresponds(vals) {
                   case (None, None) => true
                   case (Some(a), Some(b)) =>
                     java.lang.Double.compare(a, b) == 0
                   case _ => false
-                })
+                }
               }
-              if (vEq) {
+              if (mergeable) {
                 val last = outRows.last
                 outRows(outRows.length - 1) =
                   (last._1, last._2, last._3, g.e, last._5)
-              } else outRows += ((key, rev, g.s, g.e, g.v))
+              } else outRows += ((key, rev, g.s, g.e, vals))
             }
             outRows.iterator
           }
       }
-      .toDF("series", "rev", "sUs", "eUs", "value")
+      .toDF("series", "rev", "sUs", "eUs", "values")
     out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(col("rev"),
-      col("sUs").alias("start_us"), col("eUs").alias("end_us"),
-      col("value")): _*)
+      col("sUs").alias("start_us"), col("eUs").alias("end_us")) ++
+      metricCols.zipWithIndex.map { case (m, i) =>
+        col("values").getItem(i).alias(m) }: _*)
   }
+
+  /** Single-metric face of [[disjointIntervals]] (the original v1
+    * signature), kept for callers and the shared oracle fixture. */
+  def disjointIntervals(df: DataFrame, startCol: String, endCol: String,
+      seriesCols: Seq[String], metricCol: String): DataFrame =
+    disjointIntervals(df, startCol, endCol, seriesCols, Seq(metricCol))
+
 }

@@ -107,6 +107,61 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("property: MULTI-METRIC disjointIntervals latest-rev snapshot " +
+      "equals batch makeDisjoint with per-metric winners") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(131)
+    (0 until 3).foreach { trial =>
+      // two metrics with INDEPENDENT null patterns: segments where metric
+      // winners come from different covering intervals are the cases the
+      // one-metric kernel never exercised
+      val rows = Seq("u1", "u2").flatMap { u =>
+        (0 until 2 + rnd.nextInt(12)).map { _ =>
+          val s = rnd.nextInt(300)
+          val len = rnd.nextInt(60)
+          def mv(): Option[Double] =
+            if (rnd.nextInt(3) == 0) None else Some(rnd.nextInt(50).toDouble)
+          (u, new Timestamp(base + s * 6000L),
+            new Timestamp(base + (s + len) * 6000L), mv(), mv())
+        }
+      }
+      val mem =
+        MemoryStream[(String, Timestamp, Timestamp, Option[Double], Option[Double])]
+      val out = StreamingTSDF.disjointIntervals(
+        mem.toDF().toDF("user_id", "start_ts", "end_ts", "value", "score"),
+        "start_ts", "end_ts", Seq("user_id"), Seq("value", "score"))
+      val name = s"iv2_diff_sink_$trial"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      var rest = rnd.shuffle(rows)
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(rest.length)
+        mem.addData(rest.take(take): _*)
+        q.processAllAvailable()
+        rest = rest.drop(take)
+      }
+      q.stop()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val streamed = spark.table(name)
+        .withColumn("__mx", max(col("rev")).over(w))
+        .filter(col("rev") === col("__mx"))
+        .select(col("user_id"), col("start_us"), col("end_us"),
+          col("value"), col("score"))
+      val batch = graft.intervals.IntervalsDF(
+        rows.map { case (u, s, e, v, sc) =>
+          (u, s, e, v.map(Double.box).orNull, sc.map(Double.box).orNull)
+        }.toDF("user_id", "start_ts", "end_ts", "value", "score"),
+        "start_ts", "end_ts", Seq("user_id"))
+        .makeDisjoint().df
+        .select(col("user_id"), unix_micros(col("start_ts")).alias("start_us"),
+          unix_micros(col("end_ts")).alias("end_us"),
+          col("value"), col("score"))
+      withClue(s"trial $trial: ") { assertDfEquality(streamed, batch) }
+    }
+  }
+
   test("property: streaming kmvMins changelog folds to the exact batch " +
       "KMV sketch across micro-batches (with evictions), narrow AND wide") {
     val spark2 = spark
