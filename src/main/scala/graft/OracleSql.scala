@@ -4478,6 +4478,30 @@ object OracleSql {
     "q_audio_spectrogram" ->
       s"$audioSpectroCte SELECT doc_id, frame_idx, band, band_energy_q FROM be",
 
+    // MFCC replay: the spectrogram CTE's quantized bins -> per-bin powers
+    // over the 32 unique bins -> rectangular mel sums over the embedded
+    // integer edge table (every band owns >= 1 bin by construction, so no
+    // group can vanish) -> milli-quantized ln(E+1) -> the embedded
+    // fixed-point DCT-II basis. All-integer after the shared quantization.
+    "q_audio_mfcc" -> {
+      val edges = graft.pipeline.Multimodal.MelEdges.mkString("[", ", ", "]")
+      val basis = graft.pipeline.Multimodal.MfccCos.mkString("[", ", ", "]")
+      s"""$audioSpectroCte,
+         |pw AS (SELECT doc_id, frame_idx, k, rc * rc + ic * ic AS p
+         |  FROM q WHERE k < 32),
+         |me AS (SELECT doc_id, frame_idx, mm.m AS m, CAST(sum(p) AS BIGINT) AS e
+         |  FROM pw, range(8) mm(m)
+         |  WHERE k >= ($edges)[mm.m + 1] AND k < ($edges)[mm.m + 2]
+         |  GROUP BY 1, 2, 3),
+         |lq AS (SELECT doc_id, frame_idx, m,
+         |  CAST(floor(ln(CAST(e + 1 AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS l
+         |  FROM me)
+         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         |  CAST(cc.c AS INT) AS coef,
+         |  CAST(sum(($basis)[cc.c * 8 + m + 1] * l) AS BIGINT) AS mfcc_q
+         |FROM lq, range(8) cc(c) GROUP BY 1, 2, 3""".stripMargin
+    },
+
     "q_audio_descriptors" -> {
       val e = (0 until 8).map(b =>
         s"sum(CASE WHEN band = $b THEN band_energy_q ELSE 0 END) AS e$b")

@@ -3568,6 +3568,18 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload")
 
+  /** MFCC over the real RIFF→PCM decode: quantized FFT bin powers →
+    * integer mel-band energies → milli-quantized log → fixed-point
+    * DCT-II — exact integers end to end; the oracle replays the O(n²)
+    * DFT and the embedded mel-edge/DCT-basis tables. */
+  private def qAudioMfcc(s: SparkSession, dir: String): DataFrame =
+    Multimodal.wavMfcc(
+      Multimodal.synthesizeWavPayload(
+        docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id"),
+      "doc_id", "payload")
+
   /** Per-frame spectral descriptors over the spectrogram band energies:
     * exact-integer centroid numerator/denominator, integer-compare
     * rolloff band, L1 spectral flux vs the previous frame. */
@@ -4060,6 +4072,7 @@ object SparkEntry {
     "q_audio_sequency" -> qAudioSequency _,
     "q_audio_spectrogram" -> qAudioSpectrogram _,
     "q_audio_descriptors" -> qAudioDescriptors _,
+    "q_audio_mfcc" -> qAudioMfcc _,
     "q_audio_decimate" -> qAudioDecimate _,
     "q_hist_equalize" -> qHistEqualize _,
     "q_nucleus" -> qNucleus _,

@@ -16,6 +16,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // materializer-mode passthrough (integration gate: the same oracle
+    // rows must stay green under reliable/parquet materialization)
+    sys.env.get("SPARK_GRAFT_MATERIALIZER").foreach(m =>
+      spark.conf.set(graft.pipeline.Materializer.ModeKey, m))
+    sys.env.get("SPARK_GRAFT_MATERIALIZER_DIR").foreach(d =>
+      spark.conf.set(graft.pipeline.Materializer.DirKey, d))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(q => only.isEmpty || only(q._1)).foreach { case (name, fn) =>
       // repartition(1), NOT coalesce(1): coalesce collapses the whole

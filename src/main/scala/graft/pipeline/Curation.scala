@@ -91,7 +91,7 @@ object Curation {
     // why the frontier checkpoints before the multi-pass pack)
     val packIn = clean.drop("__t")
     val frontier =
-      if (materializeSurvivors) packIn.localCheckpoint(false) else packIn
+      if (materializeSurvivors) Materializer(packIn, eager = false) else packIn
     Packing.packSequencesByTokens(
       frontier, Bpe.tokenCount(col(textCol), bpe),
       idCol, bucketCols, capacity)

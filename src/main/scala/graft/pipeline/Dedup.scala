@@ -265,7 +265,7 @@ object Dedup {
     val sym = edges.select(col(aCol).alias("id"), col(bCol).alias("nbr"))
       .union(edges.select(col(bCol).alias("id"), col(aCol).alias("nbr")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Materializer(_, eager = true))
     // The pair graph is orders of magnitude smaller than the corpus (only
     // docs with a near-dup appear), so up to `driverMaxEdges` edges the
     // exact answer comes from one collect + union-find — O(E α(E)), no
@@ -318,7 +318,7 @@ object Dedup {
       maxIterations: Int = 50): (DataFrame, Int) = {
     var labels = sym.groupBy(col("id"))
       .agg(least(min(col("nbr")), col("id")).alias("cluster_id"))
-      .localCheckpoint(true)
+      .transform(Materializer(_, eager = true))
     var prevSum: Option[Long] = None
     var it = 0
     var converged = false
@@ -340,7 +340,7 @@ object Dedup {
         val next = labels.union(prop).union(jump)
           .groupBy(col("id"))
           .agg(min(col("cluster_id")).alias("cluster_id"))
-          .localCheckpoint(true)
+          .transform(Materializer(_, eager = true))
         labels = next
         it += 1
       }
@@ -396,13 +396,13 @@ object Dedup {
     var e = sym.filter(col("id") =!= col("nbr"))
       .select(greatest(col("id"), col("nbr")).alias("u"),
         least(col("id"), col("nbr")).alias("v"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(Materializer(_, eager = true))
     var prev: Option[(Long, Long)] = None
     var it = 0
     var converged = e.isEmpty
     while (!converged && it < maxIterations) {
       val t0 = System.nanoTime()
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).transform(Materializer(_, eager = true))
       // bit_xor, not sum: full-range 64-bit hashes overflow an ANSI sum,
       // and the edge set is distinct so xor is a faithful set signature
       val agg = next.agg(count(lit(1)),

@@ -952,6 +952,109 @@ object Multimodal {
       .toDF()
   }
 
+  /** Integer mel-band bin edges over the 64-point spectrum's 32 unique
+    * bins (8 bands): mel points equally spaced to mel(4 kHz) at an
+    * 8 kHz/64-bin grid (125 Hz per bin), inverted and rounded to bin
+    * indices, bumped to strictly increasing so every band owns >= 1
+    * bin. A compile-time constant embedded verbatim in the oracle. */
+  private[graft] val MelEdges: Array[Int] = {
+    val maxMel = 2595.0 * StrictMath.log10(1.0 + 4000.0 / 700.0)
+    val e = new Array[Int](9)
+    var m = 0
+    while (m <= 8) {
+      val mel = maxMel * m / 8.0
+      val f = 700.0 * (StrictMath.pow(10.0, mel / 2595.0) - 1.0)
+      e(m) = StrictMath.round(f / 125.0).toInt
+      m += 1
+    }
+    var i = 1
+    while (i < 9) { if (e(i) <= e(i - 1)) e(i) = e(i - 1) + 1; i += 1 }
+    e
+  }
+
+  /** Fixed-point DCT-II basis over 8 mel bands — the [[PhashCos]]
+    * convention (cos scaled by 2¹⁴, StrictMath-rounded once at class
+    * init), flattened [coef][band]. */
+  private[graft] val MfccCos: Array[Long] = {
+    val t = new Array[Long](64)
+    var c = 0
+    while (c < 8) {
+      var m = 0
+      while (m < 8) {
+        t(c * 8 + m) = StrictMath.round(
+          StrictMath.cos(StrictMath.PI * c * (2 * m + 1) / 16.0) * 16384.0)
+        m += 1
+      }
+      c += 1
+    }
+    t
+  }
+
+  /** MFCC over the real RIFF→PCM decode — the standard downstream audio
+    * feature completing the [[wavSpectrogram]]/[[audioDescriptors]]
+    * chain: per 64-sample frame, FFT → quantized per-bin powers
+    * (floor(X/256 + 0.25), the spectrogram's exact-integer quantum) →
+    * 8 rectangular mel-band energies over [[MelEdges]] (exact integer
+    * sums) → milli-quantized log energies floor(ln(E+1)·10³ + 0.5)
+    * (the BM25/PMI ln discipline; +1 keeps silent bands finite at 0) →
+    * fixed-point DCT-II over [[MfccCos]] — every coefficient an exact
+    * integer (|lq| ≤ 43·10³, |basis| ≤ 2¹⁴, 8 terms ⇒ |mfcc| < 2³³).
+    * Output: (id, frame_idx, coef 0..7, mfcc_q). One decode map, rows
+    * emitted per frame — no shuffle at all; at 100 TB the output is
+    * 8 ints per frame, 8× smaller than the sample stream. */
+  def wavMfcc(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val frameLen = 64
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame_idx", LongType),
+      StructField("coef", IntegerType),
+      StructField("mfcc_q", LongType)))
+    df.select(col(idCol), col(payloadCol))
+      .mapPartitions { it =>
+        val re = new Array[Double](frameLen)
+        val im = new Array[Double](frameLen)
+        val p = new Array[Long](32)
+        val lq = new Array[Long](8)
+        it.flatMap { r =>
+          decodeWavSamples(r.getAs[Array[Byte]](1)).toSeq.flatMap { a =>
+            val nf = a.samples.length / frameLen
+            (0 until nf).flatMap { f =>
+              var i = 0
+              while (i < frameLen) {
+                re(i) = a.samples(f * frameLen + i).toDouble
+                im(i) = 0.0
+                i += 1
+              }
+              graft.tsdf.Fourier.fft(re, im)
+              var k = 0
+              while (k < 32) {
+                val rc = math.floor(re(k) / 256.0 + 0.25).toLong
+                val ic = math.floor(im(k) / 256.0 + 0.25).toLong
+                p(k) = rc * rc + ic * ic
+                k += 1
+              }
+              var m = 0
+              while (m < 8) {
+                var e = 0L
+                var kk = MelEdges(m)
+                while (kk < MelEdges(m + 1)) { e += p(kk); kk += 1 }
+                lq(m) = math.floor(
+                  math.log((e + 1L).toDouble) * 1000.0 + 0.5).toLong
+                m += 1
+              }
+              (0 until 8).map { c =>
+                var acc = 0L
+                var mm = 0
+                while (mm < 8) { acc += MfccCos(c * 8 + mm) * lq(mm); mm += 1 }
+                Row(r.get(0), f.toLong, c, acc)
+              }
+            }
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
   /** Per-frame spectral descriptors over the [[wavSpectrogram]] band
     * energies — the audio-QA row a curation pipeline filters on
     * (silence/tone detection, spectral-shape clustering):

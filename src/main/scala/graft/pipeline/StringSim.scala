@@ -126,14 +126,16 @@ object StringSim {
     *
     * Adds `la`, `lb` (clamped real token counts) and `lcs_len`, plus
     * `lcs_sim` = 2·lcs/(la+lb), one correctly-rounded division of exact
-    * integers (0 when both sides are empty). */
+    * integers (0 when both sides are empty), and `truncated` — true
+    * when EITHER side exceeded `maxTokens`, so callers comparing long
+    * documents see the ceiling instead of silently absorbing it. */
   def lcsTokenLength(df: DataFrame, aCol: Column, bCol: Column,
       maxTokens: Int = 24): DataFrame = {
     require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
-    def toks(t: Column): Column = {
-      val ts = filter(split(Dedup.normalizeText(t), " "), x => x =!= "")
+    def rawToks(t: Column): Column =
+      filter(split(Dedup.normalizeText(t), " "), x => x =!= "")
+    def toks(ts: Column): Column =
       transform(slice(ts, 1, maxTokens), x => Hashing.polyHash(x))
-    }
     def pad(ts: Column, sentinel: Long): Column =
       when(size(ts) < maxTokens,
         concat(ts, transform(sequence(lit(1), lit(maxTokens) - size(ts)),
@@ -145,21 +147,24 @@ object StringSim {
     def bind2(a: Column, b: Column)(f: (Column, Column) => Column): Column =
       element_at(transform(array(a), ta =>
         element_at(transform(array(b), tb => f(ta, tb)), 1)), 1)
-    val res = bind2(toks(aCol), toks(bCol)) { (ta, tb) =>
-      val pa = pad(ta, -1L)
-      val pb = pad(tb, -2L)
-      val row0 = concat(array(lit(0L)), transform(pb, _ => lit(0L)))
-      val lcs = aggregate(pa, row0, (prev, ai) =>
-        aggregate(pb, array(lit(0L)), (cur, bj) =>
-          concat(cur, array(greatest(
-            when(ai === bj, element_at(prev, size(cur)) + 1L)
-              .otherwise(lit(0L)),
-            element_at(prev, size(cur) + 1),
-            element_at(cur, lit(-1)))))),
-        row => element_at(row, lit(-1)))
-      struct(size(ta).cast(LongType).alias("la"),
-        size(tb).cast(LongType).alias("lb"),
-        lcs.alias("lcs_len"))
+    val res = bind2(rawToks(aCol), rawToks(bCol)) { (ra, rb) =>
+      bind2(toks(ra), toks(rb)) { (ta, tb) =>
+        val pa = pad(ta, -1L)
+        val pb = pad(tb, -2L)
+        val row0 = concat(array(lit(0L)), transform(pb, _ => lit(0L)))
+        val lcs = aggregate(pa, row0, (prev, ai) =>
+          aggregate(pb, array(lit(0L)), (cur, bj) =>
+            concat(cur, array(greatest(
+              when(ai === bj, element_at(prev, size(cur)) + 1L)
+                .otherwise(lit(0L)),
+              element_at(prev, size(cur) + 1),
+              element_at(cur, lit(-1)))))),
+          row => element_at(row, lit(-1)))
+        struct(size(ta).cast(LongType).alias("la"),
+          size(tb).cast(LongType).alias("lb"),
+          lcs.alias("lcs_len"),
+          (size(ra) > maxTokens || size(rb) > maxTokens).alias("truncated"))
+      }
     }
     df.withColumn("__r", res)
       .withColumn("la", col("__r.la"))
@@ -170,6 +175,7 @@ object StringSim {
           (col("lcs_len") * 2L).cast(DoubleType) /
             (col("la") + col("lb")).cast(DoubleType))
           .otherwise(lit(0.0)))
+      .withColumn("truncated", col("__r.truncated"))
       .drop("__r")
   }
 }

@@ -969,7 +969,7 @@ object TextAnalysis {
     // available for streaming-like callers.
     val fps0 = winnowFingerprints(df, textCol, idCol, k, w)
       .select(col(idCol), col("fp")).distinct()
-    val fps = if (materializeFps) fps0.localCheckpoint(false) else fps0
+    val fps = if (materializeFps) Materializer(fps0, eager = false) else fps0
     val nDocs = df.agg(count_distinct(col(idCol)).alias("__nd"))
     val dfCount = fps.groupBy(col("fp"))
       .agg(count(lit(1)).alias("__df"))
@@ -1005,7 +1005,7 @@ object TextAnalysis {
       materializeFps: Boolean = true): DataFrame = {
     val fps0 = winnowFingerprints(df, textCol, idCol, k, w)
       .select(col(idCol), col("fp")).distinct()
-    val fps = if (materializeFps) fps0.localCheckpoint(false) else fps0
+    val fps = if (materializeFps) Materializer(fps0, eager = false) else fps0
     val firstOwner = fps.groupBy(col("fp"))
       .agg(min(col(idCol)).alias("__first"))
     fps.join(firstOwner, Seq("fp"))

@@ -907,6 +907,49 @@ class PipelineUnitSpec extends SparkTestBase {
       f"min-label+jump $mlRounds passes ($mlSec%.1f s)")
   }
 
+  test("Materializer modes: reliable / parquet / none reproduce the " +
+      "default local results for winnow, star CC, and curate boundaries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(271)
+    val pool = Vector.tabulate(12)(i =>
+      (0 until 10).map(_ => s"m${rnd.nextInt(30)}").mkString(" ") + s" p$i")
+    val docsDf = (0 until 40).map(id => (id.toLong,
+      (0 until 2 + rnd.nextInt(3)).map(_ =>
+        pool(rnd.nextInt(pool.size))).mkString(". "))).toDF("doc_id", "text")
+    val edges = (0 until 120).map(_ =>
+      (rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
+    def sym = edges.toDF("a", "b")
+      .select(col("a").alias("id"), col("b").alias("nbr"))
+      .union(edges.toDF("a", "b")
+        .select(col("b").alias("id"), col("a").alias("nbr"))).distinct()
+    def snapshot(): (Set[(Long, Long, Long)], Set[(Long, Long, Long)],
+        Map[Long, Long]) = (
+      TextAnalysis.winnowPairs(docsDf, "text", "doc_id",
+        dfDenom = 1, minShared = 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+      TextAnalysis.winnowNovelty(docsDf, "text", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+      Dedup.starAssignments(sym)._1.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val base = snapshot()
+    assert(base._1.nonEmpty && base._2.nonEmpty && base._3.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mat_").toString
+    try {
+      for ((mode, sub) <- Seq("reliable" -> "chk", "parquet" -> "pq",
+          "none" -> "unused")) {
+        spark.conf.set(Materializer.ModeKey, mode)
+        spark.conf.set(Materializer.DirKey, s"$dir/$sub")
+        withClue(s"mode=$mode: ") { assert(snapshot() == base) }
+      }
+      // the reliable path actually wrote checkpoint state
+      assert(java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$dir/chk")).count() > 0)
+    } finally {
+      spark.conf.unset(Materializer.ModeKey)
+      spark.conf.unset(Materializer.DirKey)
+    }
+  }
+
   test("Curation.curate: every stage fires — gates, exact dedup, token-set " +
       "near dedup, decontam, BPE pack — with exact layout") {
     import spark.implicits._
@@ -5395,7 +5438,21 @@ class PipelineUnitSpec extends SparkTestBase {
       val wantSim = if (ta.isEmpty && tb.isEmpty) 0.0
         else 2.0 * want / (ta.length + tb.length)
       assert(r.getAs[Double]("lcs_sim") == wantSim, s"case $i sim")
+      val wantTrunc = a.split(" ").count(_.nonEmpty) > 24 ||
+        b.split(" ").count(_.nonEmpty) > 24
+      assert(r.getAs[Boolean]("truncated") == wantTrunc, s"case $i truncated")
     }
+    // the bound is a real parameter: at maxTokens = 5 a 6-token side is
+    // flagged, the DP sees only the 5-token prefixes, and the flag is
+    // false exactly when both sides fit
+    val small = Seq((0L, "a b c d e f", "a b c d e f"),
+      (1L, "a b c d e", "a b c d e"), (2L, "a b", "c d")).toDF("id", "ta", "tb")
+    val g5 = StringSim.lcsTokenLength(small, col("ta"), col("tb"),
+      maxTokens = 5).collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("lcs_len"), r.getAs[Boolean]("truncated"))).toMap
+    assert(g5(0L) == ((5L, true)))
+    assert(g5(1L) == ((5L, false)))
+    assert(g5(2L) == ((0L, false)))
   }
 
   test("winnowNovelty: originals score 1, a verbatim re-post scores 0, " +
