@@ -3334,6 +3334,29 @@ object SparkEntry {
       graft.pipeline.Bpe.encodeTextWrapped(col("text"), t).alias("toks"))
   }
 
+  /** One trained unigram table per sf dir (deterministic training — the
+    * bpeMerges convention). */
+  private val unigramTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.functions.UnigramTable]()
+  private def unigramTable(s: SparkSession,
+      dir: String): graft.functions.UnigramTable =
+    unigramTableCache.computeIfAbsent(dir,
+      _ => graft.pipeline.Unigram.train(docs(s, dir), "text"))
+
+  /** Unigram-LM (SentencePiece-family) tokenizer face — Viterbi decode
+    * under a count-derived vocabulary with integer log-prob scores;
+    * emits count AND the wrapped token sequence so the oracle gates
+    * token IDENTITY (the q_bpe_bytes convention). The dynamic oracle
+    * replays the DP as fixed-length folds with the trained scores
+    * embedded verbatim. */
+  private def qUnigramTokens(s: SparkSession, dir: String): DataFrame = {
+    val t = unigramTable(s, dir)
+    docs(s, dir).select(col("doc_id"),
+      graft.pipeline.Unigram.tokenCount(col("text"), t)
+        .alias("n_unigram_tokens"),
+      graft.pipeline.Unigram.tokensWrapped(col("text"), t).alias("toks"))
+  }
+
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), col("source"),
       TextAnalysis.fingerprint(col("text")).alias("fp"))
@@ -4045,6 +4068,7 @@ object SparkEntry {
     "q_token_count" -> qTokenCount _,
     "q_bpe_tokens" -> qBpeTokens _,
     "q_bpe_bytes" -> qBpeBytes _,
+    "q_unigram_tokens" -> qUnigramTokens _,
     "q_stream_bpe" -> qStreamBpe _,
     "q_pack_bpe" -> qPackBpe _,
     "q_bpe_vocab" -> qBpeVocab _,
@@ -4149,7 +4173,82 @@ object SparkEntry {
       "q_pipeline_e2e" -> pipelineE2eOracle(s, dir),
       "q_stream_bpe" -> bpeTokensOracle(s, dir),
       "q_pack_bpe" -> packBpeOracle(s, dir),
-      "q_bpe_vocab" -> bpeVocabOracle(s, dir))
+      "q_bpe_vocab" -> bpeVocabOracle(s, dir),
+      "q_unigram_tokens" -> unigramTokensOracle(s, dir))
+  }
+
+  /** q_unigram_tokens replay: the trained (piece, score) table embedded
+    * verbatim, Viterbi as FIXED-length folds (chunk 24 × piece 4 — the
+    * LCS discipline; DuckDB's vectorized nested folds only corrupt on
+    * varying lengths), integer-struct accumulators only (a VARCHAR list
+    * inside a struct accumulator corrupts across steps — measured on
+    * DuckDB 1.0, the CASE-over-struct sibling of the r12 hazard; the
+    * backtrack therefore folds a flat BIGINT list of piece lengths and
+    * cuts tokens from prefix sums afterwards), argmax via
+    * first-position-of-max over the composite (unique among valid
+    * candidates, so 'first' is decoration, not a tiebreak). Validated
+    * 65/65 against an independent Viterbi on a mixed-length multirow
+    * batch (the always-test-multirow rule). */
+  private def unigramTokensOracle(s: SparkSession, dir: String): String = {
+    val t = unigramTable(s, dir)
+    val W = t.chunkLen
+    val L = t.maxPieceLen
+    val ks = t.pieces.map(p => s"'${p._1}'").mkString("[", ", ", "]")
+    val vs = t.pieces.map(_._2).mkString("[", ", ", "]")
+    val unk = t.unkScoreQ
+    val pen = 1L << 45
+    val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
+      "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    def candS(idx: String) =
+      s"""acc[CAST(greatest(x[1].s - $idx, 1) AS INT)].s
+         |            + coalesce(($vs)[list_position($ks, substr(cw, CAST(x[1].s - $idx AS INT), CAST($idx + 1 AS INT)))], $unk)
+         |            - (1 - CAST(($idx < x[1].s AND (list_position($ks, substr(cw, CAST(x[1].s - $idx AS INT), CAST($idx + 1 AS INT))) > 0 OR $idx = 0)) AS BIGINT)) * $pen""".stripMargin
+    val compList =
+      s"""list_transform(range($L), li -> (${candS("li")}) * 4096
+         |            - (acc[CAST(greatest(x[1].s - li, 1) AS INT)].t + 1) * 64 + li + 1)""".stripMargin
+    s"""WITH d AS (SELECT doc_id, $norm AS t FROM documents),
+       |wp AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w,
+       |  unnest(range(len(string_split(t, ' ')))) AS pos
+       |  FROM d WHERE t <> ''),
+       |wp2 AS (SELECT doc_id, w, pos FROM wp WHERE w <> ''),
+       |dw AS (SELECT DISTINCT w FROM wp2),
+       |ch AS (SELECT w, unnest(list_transform(range((length(w) + ${W - 1}) // $W),
+       |    c -> substr(w, CAST(c * $W + 1 AS INT), $W))) AS cw,
+       |  unnest(range((length(w) + ${W - 1}) // $W)) AS cpos FROM dw),
+       |dpt AS (SELECT w, cpos, cw, length(cw) AS m,
+       |  list_reduce(
+       |    list_prepend([struct_pack(s := CAST(0 AS BIGINT), t := CAST(0 AS BIGINT), l := CAST(0 AS BIGINT))],
+       |      list_transform(range($W), jj -> [struct_pack(s := CAST(jj + 1 AS BIGINT), t := CAST(0 AS BIGINT), l := CAST(0 AS BIGINT))])),
+       |    (acc, x) -> list_append(acc,
+       |      list_transform(range($L), li -> struct_pack(
+       |        s := ${candS("li")},
+       |        t := acc[CAST(greatest(x[1].s - li, 1) AS INT)].t + 1,
+       |        l := CAST(li + 1 AS BIGINT)))[
+       |        list_position($compList,
+       |          list_reduce($compList, (a, b) -> greatest(a, b)))])) AS dp
+       |  FROM ch),
+       |bt AS (SELECT w, cpos, cw, m,
+       |  list_transform(range(len(ls)), i -> substr(cw,
+       |    CAST(1 + coalesce(list_sum(ls[1:i]), 0) AS INT), CAST(ls[i + 1] AS INT))) AS toks
+       |  FROM (SELECT w, cpos, cw, m,
+       |    list_filter(list_reverse(list_reduce(
+       |      list_prepend([CAST(m AS BIGINT)],
+       |        list_transform(range($W), _x -> [CAST(0 AS BIGINT)])),
+       |      (acc, _x) -> list_concat(
+       |        [acc[1] - dp[CAST(acc[1] + 1 AS INT)].l],
+       |        list_concat(acc[2:], [dp[CAST(acc[1] + 1 AS INT)].l])))[2:]),
+       |      x -> x > 0) AS ls
+       |    FROM dpt)),
+       |we AS (SELECT w,
+       |  '|' || array_to_string(flatten(list(toks ORDER BY cpos)), '||') || '|' AS e,
+       |  CAST(len(flatten(list(toks ORDER BY cpos))) AS BIGINT) AS ntok
+       |  FROM bt GROUP BY w),
+       |per AS (SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n,
+       |  string_agg(e, '' ORDER BY pos) AS toks
+       |  FROM wp2 JOIN we USING (w) GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(per.n, 0) AS BIGINT) AS n_unigram_tokens,
+       |  COALESCE(per.toks, '') AS toks
+       |FROM d LEFT JOIN per USING (doc_id)""".stripMargin
   }
 
   /** q_bpe_vocab replay: per-word encode (the shared chain), token list

@@ -218,4 +218,64 @@ class BpeSpec extends SparkTestBase {
     assert(packed == Seq((1L, 14L, 0L, 0L), (2L, 2L, 0L, 14L),
       (3L, 0L, 1L, 0L), (4L, 0L, 1L, 0L)))
   }
+  test("unigram: Viterbi picks the max-score segmentation under the " +
+      "total order; decode round-trips; unknown chars stay total") {
+    import graft.functions.UnigramTable
+    // hand table: 'ab' strictly cheaper than 'a'+'b'
+    val t = new UnigramTable(Array(
+      ("a", -2000000L), ("b", -2000000L), ("c", -3000000L),
+      ("ab", -2500000L), ("bc", -2500000L), ("abc", -4000000L)),
+      maxPieceLen = 3, unkScoreQ = -20000000L)
+    assert(t.encodeWord("ab").toSeq == Seq("ab"))
+    // 'abc': ab+c = -5.5M beats abc = -4M? no: abc(-4M) > ab+c(-5.5M)
+    assert(t.encodeWord("abc").toSeq == Seq("abc"))
+    // tie shaping: a+bc == ab+c == -4.5M over 'abcx'? keep it simple:
+    // 'abab' = ab+ab (-5M) beats a+b+a+b (-8M) and a+bab(n/a)
+    assert(t.encodeWord("abab").toSeq == Seq("ab", "ab"))
+    // unknown char: total encode, scores below everything
+    assert(t.encodeWord("axb").toSeq == Seq("a", "x", "b"))
+    assert(t.encodeWord("zz").toSeq == Seq("z", "z"))
+    // equal-score tie -> fewer tokens, then longer last piece
+    val tie = new UnigramTable(Array(
+      ("d", -1000000L), ("dd", -2000000L)), 2, -9000000L)
+    // dd as one piece (-2M, 1 tok) vs d+d (-2M, 2 toks): fewer tokens wins
+    assert(tie.encodeWord("dd").toSeq == Seq("dd"))
+    // round-trip is structural: pieces partition the word
+    val rnd = new scala.util.Random(17)
+    (0 until 200).foreach { _ =>
+      val w = (0 until 1 + rnd.nextInt(60))
+        .map(_ => "abcxyz".charAt(rnd.nextInt(6))).mkString
+      assert(t.decodeWord(t.encodeWord(w).toSeq) == w, w)
+    }
+    // chunking: a 60-char word splits into 24/24/12 chunks, each
+    // independently Viterbi'd -- counts add, round-trip still exact
+    val long = "ab" * 30
+    assert(t.decodeWord(t.encodeWord(long).toSeq) == long)
+    assert(t.encodeWord(long).length == 30) // all 'ab' pieces
+  }
+
+  test("unigram: trained table on the Sennrich fixture is deterministic " +
+      "and the count column matches the wrapped form") {
+    import spark.implicits._
+    val docs = fixtureCounts.flatMap { case (w, f) =>
+      Seq.fill(f.toInt)(w) }.zipWithIndex
+      .map { case (w, i) => (i.toLong, w + " " + w) }
+      .toDF("doc_id", "text")
+    val t = Unigram.train(docs, "text", vocabSize = 20, maxPieceLen = 3)
+    val t2 = Unigram.train(docs, "text", vocabSize = 20, maxPieceLen = 3)
+    assert(t.pieces.toSeq == t2.pieces.toSeq && t.unkScoreQ == t2.unkScoreQ)
+    val got = docs.select(col("doc_id"),
+      Unigram.tokenCount(col("text"), t).alias("n"),
+      Unigram.tokensWrapped(col("text"), t).alias("e")).collect()
+    got.foreach { r =>
+      val n = r.getLong(1); val e = r.getString(2)
+      val toks = e.stripPrefix("|").stripSuffix("|").split("\\|\\|")
+      assert(toks.length.toLong == n, s"$e vs $n")
+    }
+    // every vocab char is covered: encode of any fixture word round-trips
+    fixtureCounts.foreach { case (w, _) =>
+      assert(t.pieces.exists(_._1 == w.substring(0, 1)))
+    }
+  }
+
 }
