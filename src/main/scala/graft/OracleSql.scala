@@ -1386,6 +1386,46 @@ object OracleSql {
     * the IDENTICAL left-to-right survival fold (a window product()
     * would tree-reorder float multiplies; the sliced fold recomputes
     * each prefix in the same order the Spark scan walks it). */
+  /** Interpolated Kneser-Ney replay, shared by q_lm_kn and its
+    * streaming gate (stateless stream-static scoring + sink fold
+    * == the batch fold for any micro-batching). */
+  private lazy val lmKnSql: String =
+    s"""WITH d AS (SELECT doc_id, $norm AS nrm FROM documents),
+         |t AS (SELECT doc_id, string_split(nrm, ' ') AS toks FROM d),
+         |tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+         |bgr AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+         |  unnest(toks[2:len(toks)]) AS w2 FROM tt),
+         |bg AS (SELECT doc_id, w1, w2 FROM bgr WHERE w1 <> '' AND w2 <> ''),
+         |bm AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+         |lm AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw,
+         |  count(*) AS n1r FROM bm GROUP BY 1),
+         |cm AS (SELECT w2, count(*) AS n1l FROM bm GROUP BY 1),
+         |s AS (SELECT (SELECT count(*) FROM bm) AS n1pp,
+         |  (SELECT count(DISTINCT w) FROM
+         |    (SELECT unnest(toks) AS w FROM t) u WHERE w <> '') AS vv),
+         |sc AS (SELECT bg.doc_id,
+         |  CAST(floor(ln(
+         |    CASE WHEN lm.cw IS NOT NULL THEN
+         |      (greatest(CAST(COALESCE(bm.c, 0) AS DOUBLE) - 0.75, 0.0)
+         |        + (0.75 * CAST(lm.n1r AS DOUBLE))
+         |          * (CAST(COALESCE(cm.n1l, 0) + 1 AS DOUBLE)
+         |             / CAST(s.n1pp + s.vv AS DOUBLE)))
+         |      / CAST(lm.cw AS DOUBLE)
+         |    ELSE CAST(COALESCE(cm.n1l, 0) + 1 AS DOUBLE)
+         |         / CAST(s.n1pp + s.vv AS DOUBLE) END
+         |  ) * 1000000.0 + 0.5) AS BIGINT) AS mu
+         |  FROM bg LEFT JOIN bm USING (w1, w2) LEFT JOIN lm USING (w1)
+         |    LEFT JOIN cm USING (w2) CROSS JOIN s),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(mu) AS BIGINT) AS sum_mu FROM sc GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(agg.sum_mu, 0) AS sum_mu,
+         |  CASE WHEN agg.n_bigrams > 0 THEN
+         |    CAST(agg.sum_mu AS DOUBLE) /
+         |      (CAST(agg.n_bigrams AS DOUBLE) * 1000000.0) END AS avg_logp
+         |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin
+
   /** First-occurrence novelty over the winnow fingerprints, shared by
     * q_novelty (batch) and q_stream_novelty (the ingest-time gate run as
     * one AvailableNow batch, where first-arrival == min-id). */
@@ -5251,42 +5291,8 @@ object OracleSql {
     // N1+(. .)) are aggregates over the MODEL table bm, and the per-bigram
     // probability is the identical fixed-order double composition before
     // the micro-quantized ln (operator-for-operator the Spark expression).
-    "q_lm_kn" ->
-      s"""WITH d AS (SELECT doc_id, $norm AS nrm FROM documents),
-         |t AS (SELECT doc_id, string_split(nrm, ' ') AS toks FROM d),
-         |tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
-         |bgr AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
-         |  unnest(toks[2:len(toks)]) AS w2 FROM tt),
-         |bg AS (SELECT doc_id, w1, w2 FROM bgr WHERE w1 <> '' AND w2 <> ''),
-         |bm AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
-         |lm AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw,
-         |  count(*) AS n1r FROM bm GROUP BY 1),
-         |cm AS (SELECT w2, count(*) AS n1l FROM bm GROUP BY 1),
-         |s AS (SELECT (SELECT count(*) FROM bm) AS n1pp,
-         |  (SELECT count(DISTINCT w) FROM
-         |    (SELECT unnest(toks) AS w FROM t) u WHERE w <> '') AS vv),
-         |sc AS (SELECT bg.doc_id,
-         |  CAST(floor(ln(
-         |    CASE WHEN lm.cw IS NOT NULL THEN
-         |      (greatest(CAST(COALESCE(bm.c, 0) AS DOUBLE) - 0.75, 0.0)
-         |        + (0.75 * CAST(lm.n1r AS DOUBLE))
-         |          * (CAST(COALESCE(cm.n1l, 0) + 1 AS DOUBLE)
-         |             / CAST(s.n1pp + s.vv AS DOUBLE)))
-         |      / CAST(lm.cw AS DOUBLE)
-         |    ELSE CAST(COALESCE(cm.n1l, 0) + 1 AS DOUBLE)
-         |         / CAST(s.n1pp + s.vv AS DOUBLE) END
-         |  ) * 1000000.0 + 0.5) AS BIGINT) AS mu
-         |  FROM bg LEFT JOIN bm USING (w1, w2) LEFT JOIN lm USING (w1)
-         |    LEFT JOIN cm USING (w2) CROSS JOIN s),
-         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |  CAST(sum(mu) AS BIGINT) AS sum_mu FROM sc GROUP BY 1)
-         |SELECT d.doc_id,
-         |  COALESCE(agg.n_bigrams, 0) AS n_bigrams,
-         |  COALESCE(agg.sum_mu, 0) AS sum_mu,
-         |  CASE WHEN agg.n_bigrams > 0 THEN
-         |    CAST(agg.sum_mu AS DOUBLE) /
-         |      (CAST(agg.n_bigrams AS DOUBLE) * 1000000.0) END AS avg_logp
-         |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q_stream_lm_kn" -> lmKnSql,
+    "q_lm_kn" -> lmKnSql,
 
     // Welch replay: the q_drift cohorts, exact BIGINT (n, sum, sumsq) per
     // side, then the identical fixed-order t / Welch-Satterthwaite df.

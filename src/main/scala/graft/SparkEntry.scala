@@ -2187,6 +2187,21 @@ object SparkEntry {
     graft.pipeline.TextAnalysis.lmKneserNeyScore(docs(s, dir), "text",
       "doc_id")
 
+  /** Streaming Kneser–Ney perplexity gate: the model trains batch-side
+    * (corpus under an sf dir is immutable — the dsir/bpe convention) and
+    * every ARRIVING doc's bigram contributions emit through stateless
+    * stream-static model joins; the per-doc fold runs over the sink
+    * ([[graft.pipeline.TextAnalysis.lmKneserNeyFinish]]). Shares
+    * q_lm_kn's replay verbatim. */
+  private def qStreamLmKn(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val sink = runStream(s, graft.pipeline.TextAnalysis.lmKneserNeyContribs(
+      docs(s, dir), docsStream(s, dir).select(col("doc_id"), col("text")),
+      "text", "doc_id"))
+    graft.pipeline.TextAnalysis.lmKneserNeyFinish(sink,
+      docs(s, dir).select(col("doc_id")), "doc_id")
+  }
+
   /** Grouped multivariate OLS ([[graft.pipeline.Regression.groupOls2]]):
     * per user, cent value regressed on (hour-of-day, weekday) — exact
     * integer moment sums, fixed-order Cramer solve, null βs on
@@ -3995,6 +4010,7 @@ object SparkEntry {
     "q_mi" -> qMi _,
     "q_lm_bigram" -> qLmBigram _,
     "q_lm_kn" -> qLmKn _,
+    "q_stream_lm_kn" -> qStreamLmKn _,
     "q_fd" -> qFd _,
     "q_group_ols" -> qGroupOls _,
     "q_theil_sen" -> qTheilSen _,

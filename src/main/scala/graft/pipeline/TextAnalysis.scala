@@ -677,6 +677,18 @@ object TextAnalysis {
     * back-off arms actually fire (self-scoring sees every bigram at
     * least once). */
   def lmKneserNeyScoreAgainst(train: DataFrame, df: DataFrame,
+      textCol: String, idCol: String): DataFrame =
+    lmKneserNeyFinish(
+      lmKneserNeyContribs(train, df, textCol, idCol),
+      df.select(col(idCol)), idCol)
+
+  /** The per-bigram micro-quantized KN contributions of `df`'s docs
+    * under `train`'s frozen model, BEFORE the per-doc fold — (idCol,
+    * __mu) rows. Stateless per doc after stream-static model joins, so
+    * this face runs unchanged on a STREAMING `df` (the q_stream_novelty
+    * sink-rollup convention: emit contributions at ingest, fold the
+    * sink with [[lmKneserNeyFinish]]). */
+  def lmKneserNeyContribs(train: DataFrame, df: DataFrame,
       textCol: String, idCol: String): DataFrame = {
     val D = 0.75
     val toksOf = split(Dedup.normalizeText(col(textCol)), " ")
@@ -713,15 +725,22 @@ object TextAnalysis {
       col("__cw").cast(DoubleType)
     val p = when(col("__cw").isNotNull, pSeen).otherwise(pc)
     val contribMu = floor(log(p) * 1e6 + 0.5).cast(LongType)
-    val scored = bg
-      .join(bgModel, Seq("w1", "w2"), "left")
+    bg.join(bgModel, Seq("w1", "w2"), "left")
       .join(leftModel, Seq("w1"), "left")
       .join(contModel, Seq("w2"), "left")
       .crossJoin(broadcast(scalars))
       .select(col(idCol), contribMu.alias("__mu"))
-      .groupBy(col(idCol))
+  }
+
+  /** The per-doc KN fold over a [[lmKneserNeyContribs]] frame (or its
+    * streaming sink — each (doc, bigram) contribution is emitted exactly
+    * once): exact integer (n, Σμ), one terminal division. `ids` supplies
+    * the full doc universe so bigram-less docs keep their zero row. */
+  def lmKneserNeyFinish(contribs: DataFrame, ids: DataFrame,
+      idCol: String): DataFrame = {
+    val scored = contribs.groupBy(col(idCol))
       .agg(count(lit(1)).alias("n_bigrams"), sum(col("__mu")).alias("sum_mu"))
-    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+    ids.join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).alias("n_bigrams"),
         coalesce(col("sum_mu"), lit(0L)).alias("sum_mu"),
