@@ -5294,6 +5294,16 @@ object OracleSql {
     "q_stream_lm_kn" -> lmKnSql,
     "q_lm_kn" -> lmKnSql,
 
+    // CCNet head/middle/tail: ntile(3) over (score desc, doc_id) on the
+    // shared KN replay — standard-SQL ntile (earlier buckets take the
+    // remainder) over a total order both engines sort identically.
+    "q_ppl_buckets" ->
+      s"""WITH kn AS ($lmKnSql)
+         |SELECT doc_id, n_bigrams,
+         |  CAST(ntile(3) OVER (ORDER BY avg_logp DESC NULLS LAST, doc_id)
+         |    AS BIGINT) AS ppl_bucket
+         |FROM kn""".stripMargin,
+
     // Welch replay: the q_drift cohorts, exact BIGINT (n, sum, sumsq) per
     // side, then the identical fixed-order t / Welch-Satterthwaite df.
     "q_welch" -> welchSql,

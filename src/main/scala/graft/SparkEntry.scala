@@ -2187,6 +2187,23 @@ object SparkEntry {
     graft.pipeline.TextAnalysis.lmKneserNeyScore(docs(s, dir), "text",
       "doc_id")
 
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020): docs ranked by
+    * smoothed-LM score and cut into head/middle/tail terciles — the
+    * standard quality-stratified sampling artifact. ntile over the total
+    * order (score desc, doc_id) is engine-identical; the scores already
+    * hash-match in q_lm_kn, so the ordering does too. The global sort is
+    * report-shaped: at 100 TB the same cut comes from two quantile
+    * thresholds instead of a full ntile — the operator exists for the
+    * artifact, not the sort. */
+  private def qPplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val kn = graft.pipeline.TextAnalysis.lmKneserNeyScore(
+      docs(s, dir), "text", "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("avg_logp").desc_nulls_last, col("doc_id"))
+    kn.withColumn("ppl_bucket", ntile(3).over(w).cast(LongType))
+      .select(col("doc_id"), col("n_bigrams"), col("ppl_bucket"))
+  }
+
   /** Streaming Kneser–Ney perplexity gate: the model trains batch-side
     * (corpus under an sf dir is immutable — the dsir/bpe convention) and
     * every ARRIVING doc's bigram contributions emit through stateless
@@ -4011,6 +4028,7 @@ object SparkEntry {
     "q_lm_bigram" -> qLmBigram _,
     "q_lm_kn" -> qLmKn _,
     "q_stream_lm_kn" -> qStreamLmKn _,
+    "q_ppl_buckets" -> qPplBuckets _,
     "q_fd" -> qFd _,
     "q_group_ols" -> qGroupOls _,
     "q_theil_sen" -> qTheilSen _,
