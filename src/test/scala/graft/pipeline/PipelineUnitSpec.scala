@@ -5205,6 +5205,51 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(checked > 100) // the fixture really exercised multi-frame clips
   }
 
+  test("wavMfcc matches an independent DFT->mel->log->DCT computation; " +
+      "the embedded tables are well-formed") {
+    val spark2 = spark
+    import spark2.implicits._
+    // table invariants the oracle embedding depends on
+    val edges = Multimodal.MelEdges
+    assert(edges.length == 9 && edges(0) == 0 && edges(8) == 32)
+    assert(edges.sliding(2).forall(p => p(1) > p(0)), edges.toSeq.toString)
+    assert((0 until 8).forall(m =>
+      Multimodal.MfccCos(m) == 16384L)) // c = 0 row: cos(0) everywhere
+    val ids = Seq(5L, 123L, 777L)
+    val df = Multimodal.synthesizeWavPayload(ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.wavMfcc(df, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) ->
+        r.getLong(3)).toMap
+    var checked = 0
+    for (id <- ids) {
+      val n = (100 + id % 400).toInt
+      val base = (id % 251).toInt
+      val samples = Array.tabulate(n)(i => (base * 7 + 11 * i) % 65536 - 32768)
+      for (f <- 0 until n / 64) {
+        val xs = samples.slice(f * 64, f * 64 + 64).map(_.toDouble)
+        val p = Array.tabulate(32) { k =>
+          val xr = (0 until 64).map(nn =>
+            xs(nn) * math.cos(2 * math.Pi * ((k * nn) % 64) / 64)).sum
+          val xi = (0 until 64).map(nn =>
+            -xs(nn) * math.sin(2 * math.Pi * ((k * nn) % 64) / 64)).sum
+          val rc = math.floor(xr / 256.0 + 0.25).toLong
+          val ic = math.floor(xi / 256.0 + 0.25).toLong
+          rc * rc + ic * ic
+        }
+        val lq = Array.tabulate(8) { m =>
+          val e = (edges(m) until edges(m + 1)).map(p(_)).sum
+          math.floor(math.log((e + 1L).toDouble) * 1000.0 + 0.5).toLong
+        }
+        for (c <- 0 until 8) {
+          val want = (0 until 8).map(m => Multimodal.MfccCos(c * 8 + m) * lq(m)).sum
+          assert(got((id, f.toLong, c)) == want, s"id=$id f=$f c=$c")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 50)
+  }
+
   test("tCloseness: hand-computed ordered EMD plus a randomized rational " +
       "cross-check") {
     val spark2 = spark
