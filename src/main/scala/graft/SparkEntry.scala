@@ -3389,6 +3389,42 @@ object SparkEntry {
       graft.pipeline.Unigram.tokensWrapped(col("text"), t).alias("toks"))
   }
 
+  /** Tokenizer-fertility comparison — BPE vs unigram-LM token budgets
+    * per source under the two trained tables (both frozen per-sf-dir
+    * models): the artifact a pipeline owner reads before picking the
+    * tokenizer a 100-TB budget is denominated in. Exact integer sums
+    * via the two codegen'd count expressions in ONE scan; the ratio is
+    * one terminal division of exact integers. */
+  private def qTokenizerCompare(s: SparkSession, dir: String): DataFrame = {
+    val bpe = graft.pipeline.Bpe.table(bpeMerges(s, dir))
+    val uni = unigramTable(s, dir)
+    docs(s, dir).select(col("source"),
+      graft.pipeline.Bpe.tokenCount(col("text"), bpe).alias("__b"),
+      graft.pipeline.Unigram.tokenCount(col("text"), uni).alias("__u"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).alias("n_docs"),
+        sum(col("__b")).alias("bpe_tokens"),
+        sum(col("__u")).alias("unigram_tokens"))
+      .withColumn("unigram_per_bpe",
+        col("unigram_tokens").cast(DoubleType) /
+          col("bpe_tokens").cast(DoubleType))
+  }
+
+  /** Streaming unigram tokenization gate — the q_stream_bpe discipline
+    * on the Viterbi tokenizer: the table is a frozen trained model
+    * (per-sf-dir cache) and every ARRIVING doc counts and encodes
+    * through the same codegen'd expressions; stateless per row, shares
+    * q_unigram_tokens' dynamic oracle verbatim. */
+  private def qStreamUnigram(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val t = unigramTable(s, dir)
+    val out = docsStream(s, dir).select(col("doc_id"),
+      graft.pipeline.Unigram.tokenCount(col("text"), t)
+        .alias("n_unigram_tokens"),
+      graft.pipeline.Unigram.tokensWrapped(col("text"), t).alias("toks"))
+    runStream(s, out)
+  }
+
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), col("source"),
       TextAnalysis.fingerprint(col("text")).alias("fp"))
@@ -4103,6 +4139,8 @@ object SparkEntry {
     "q_bpe_tokens" -> qBpeTokens _,
     "q_bpe_bytes" -> qBpeBytes _,
     "q_unigram_tokens" -> qUnigramTokens _,
+    "q_stream_unigram" -> qStreamUnigram _,
+    "q_tokenizer_compare" -> qTokenizerCompare _,
     "q_stream_bpe" -> qStreamBpe _,
     "q_pack_bpe" -> qPackBpe _,
     "q_bpe_vocab" -> qBpeVocab _,
@@ -4208,8 +4246,27 @@ object SparkEntry {
       "q_stream_bpe" -> bpeTokensOracle(s, dir),
       "q_pack_bpe" -> packBpeOracle(s, dir),
       "q_bpe_vocab" -> bpeVocabOracle(s, dir),
-      "q_unigram_tokens" -> unigramTokensOracle(s, dir))
+      "q_unigram_tokens" -> unigramTokensOracle(s, dir),
+      // the streaming gate scores statelessly under the same frozen
+      // table, so it shares the replay verbatim
+      "q_stream_unigram" -> unigramTokensOracle(s, dir),
+      "q_tokenizer_compare" -> tokenizerCompareOracle(s, dir))
   }
+
+  /** q_tokenizer_compare replay: both trained-table replays nested as
+    * CTEs (the RRF-hybrid nesting convention), joined per doc, exact
+    * integer sums per source, one terminal ratio division. */
+  private def tokenizerCompareOracle(s: SparkSession, dir: String): String =
+    s"""WITH bpet AS (${bpeTokensOracle(s, dir)}),
+       |unit AS (${unigramTokensOracle(s, dir)}),
+       |dd AS (SELECT doc_id, source FROM documents)
+       |SELECT dd.source, count(*) AS n_docs,
+       |  CAST(sum(bpet.n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+       |  CAST(sum(unit.n_unigram_tokens) AS BIGINT) AS unigram_tokens,
+       |  CAST(sum(unit.n_unigram_tokens) AS DOUBLE) /
+       |    CAST(sum(bpet.n_bpe_tokens) AS DOUBLE) AS unigram_per_bpe
+       |FROM dd JOIN bpet USING (doc_id) JOIN unit USING (doc_id)
+       |GROUP BY dd.source""".stripMargin
 
   /** q_unigram_tokens replay: the trained (piece, score) table embedded
     * verbatim, Viterbi as FIXED-length folds (chunk 24 × piece 4 — the
