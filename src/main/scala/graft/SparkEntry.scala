@@ -3410,6 +3410,14 @@ object SparkEntry {
           col("bpe_tokens").cast(DoubleType))
   }
 
+  /** Packing under unigram-LM budgets — the q_pack_bpe seam with the
+    * Viterbi tokenizer's codegen'd count expression: same two-pass
+    * bucketed prefix-sum plan, only the token expression changes. */
+  private def qPackUnigram(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Packing.packSequencesByTokens(docs(s, dir),
+      graft.pipeline.Unigram.tokenCount(col("text"), unigramTable(s, dir)),
+      "doc_id", Seq("source"), capacity = 2048)
+
   /** Streaming unigram tokenization gate — the q_stream_bpe discipline
     * on the Viterbi tokenizer: the table is a frozen trained model
     * (per-sf-dir cache) and every ARRIVING doc counts and encodes
@@ -4141,6 +4149,7 @@ object SparkEntry {
     "q_unigram_tokens" -> qUnigramTokens _,
     "q_stream_unigram" -> qStreamUnigram _,
     "q_tokenizer_compare" -> qTokenizerCompare _,
+    "q_pack_unigram" -> qPackUnigram _,
     "q_stream_bpe" -> qStreamBpe _,
     "q_pack_bpe" -> qPackBpe _,
     "q_bpe_vocab" -> qBpeVocab _,
@@ -4250,8 +4259,25 @@ object SparkEntry {
       // the streaming gate scores statelessly under the same frozen
       // table, so it shares the replay verbatim
       "q_stream_unigram" -> unigramTokensOracle(s, dir),
-      "q_tokenizer_compare" -> tokenizerCompareOracle(s, dir))
+      "q_tokenizer_compare" -> tokenizerCompareOracle(s, dir),
+      "q_pack_unigram" -> packUnigramOracle(s, dir))
   }
+
+  /** q_pack_unigram replay: the q_pack_bpe running-sum layout over the
+    * unigram per-doc counts (nested trained replay). */
+  private def packUnigramOracle(s: SparkSession, dir: String): String =
+    s"""WITH u AS (${unigramTokensOracle(s, dir)}),
+       |d2 AS (SELECT doc_id, source FROM documents),
+       |c AS (SELECT d2.source, d2.doc_id, u.n_unigram_tokens AS tokens,
+       |  sum(u.n_unigram_tokens) OVER (PARTITION BY d2.source
+       |    ORDER BY d2.doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    - u.n_unigram_tokens AS strt
+       |  FROM d2 JOIN u USING (doc_id))
+       |SELECT source, doc_id, tokens,
+       |  CAST(floor(strt / 2048.0) AS BIGINT) AS seq_id,
+       |  CAST(strt % 2048 AS BIGINT) AS seq_off
+       |FROM c""".stripMargin
 
   /** q_tokenizer_compare replay: both trained-table replays nested as
     * CTEs (the RRF-hybrid nesting convention), joined per doc, exact
