@@ -219,14 +219,16 @@ object OracleSql {
   /** occurrences of a marker in padded lowercase text */
   // multi-query BM25 replay - shared by q_bm25_multi (one-pass) and
   /** makeDisjoint replay shared by the batch query and its streaming
-    * latest-rev-snapshot twin: boundary grid, per-segment
-    * latest-starting-interval value, adjacent equal-value coalesce. */
+    * latest-rev-snapshot twin: boundary grid, per-segment winner under
+    * the kernel's full max(struct(start, end, value)) total order,
+    * adjacent equal-value coalesce. */
   private val intervalsDisjointSql: String =
     """WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 2 HOUR AS e, value FROM events),
       |b AS (SELECT user_id, s AS p FROM iv UNION SELECT user_id, e AS p FROM iv),
       |seg AS (SELECT user_id, p, lead(p) OVER (PARTITION BY user_id ORDER BY p) AS p2 FROM b),
       |sg AS (SELECT user_id, p, p2 FROM seg WHERE p2 IS NOT NULL),
-      |m AS (SELECT g.user_id, g.p, g.p2, max_by(i.value, i.s) AS value
+      |m AS (SELECT g.user_id, g.p, g.p2,
+      |  (max({'s': i.s, 'e': i.e, 'v': i.value})).v AS value
       |  FROM sg g JOIN iv i ON g.user_id = i.user_id AND g.p < i.e AND g.p2 > i.s
       |  GROUP BY g.user_id, g.p, g.p2),
       |fl AS (SELECT *, CASE WHEN p IS NOT DISTINCT FROM lag(p2) OVER w
@@ -239,9 +241,12 @@ object OracleSql {
       |FROM g2 GROUP BY user_id, grp""".stripMargin
 
   /** Two-metric makeDisjoint replay (q_stream_intervals2): per-metric
-    * winners resolved INDEPENDENTLY — max_by over each metric's non-null
-    * carriers (per-user ts is unique, so latest-start IS the struct max)
-    * — and the coalesce break tests BOTH values null-safely. */
+    * winners resolved INDEPENDENTLY — the kernel's FULL
+    * max(struct(start, end, value)) total order over each metric's
+    * non-null carriers (DuckDB struct max is the same lexicographic
+    * compare, so the replay no longer leans on the per-user-unique-ts
+    * fixture premise) — and the coalesce break tests BOTH values
+    * null-safely. */
   private val intervalsDisjoint2Sql: String =
     """WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 2 HOUR AS e,
       |  CASE WHEN event_id % 5 <> 0 THEN value END AS v1,
@@ -251,8 +256,8 @@ object OracleSql {
       |seg AS (SELECT user_id, p, lead(p) OVER (PARTITION BY user_id ORDER BY p) AS p2 FROM b),
       |sg AS (SELECT user_id, p, p2 FROM seg WHERE p2 IS NOT NULL),
       |m AS (SELECT g.user_id, g.p, g.p2,
-      |  max_by(i.v1, i.s) FILTER (WHERE i.v1 IS NOT NULL) AS value,
-      |  max_by(i.v2, i.s) FILTER (WHERE i.v2 IS NOT NULL) AS score
+      |  (max({'s': i.s, 'e': i.e, 'v': i.v1}) FILTER (WHERE i.v1 IS NOT NULL)).v AS value,
+      |  (max({'s': i.s, 'e': i.e, 'v': i.v2}) FILTER (WHERE i.v2 IS NOT NULL)).v AS score
       |  FROM sg g JOIN iv i ON g.user_id = i.user_id AND g.p < i.e AND g.p2 > i.s
       |  GROUP BY g.user_id, g.p, g.p2),
       |fl AS (SELECT *, CASE WHEN p IS NOT DISTINCT FROM lag(p2) OVER w

@@ -20,8 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - scores are exact BIGINT micro-units (floor(ln(cnt/tot)·10⁶+0.5)),
   *    trained once and EMBEDDED in the oracle — no cross-engine floats;
   *  - the tiebreak composite `s·4096 − t·64 + l` is monotone in the
-  *    (score desc, tokens asc, last-len desc) order because t ≤ 24 and
-  *    l ≤ maxPieceLen < 64 stay inside their bit slots;
+  *    (score desc, tokens asc, last-len desc) order because
+  *    t ≤ chunkLen < 64 and l ≤ maxPieceLen < 64 stay inside their bit
+  *    slots (both bounds enforced by the constructor `require`s:
+  *    63·64 < 4096);
   *  - words longer than `chunkLen` split into fixed chunks, each
   *    Viterbi'd independently (the LCS fixed-length-fold discipline —
   *    the SQL replay's folds never vary in length across a batch);

@@ -349,7 +349,9 @@ object Analytics {
             (lit(base) + coalesce(col("__s"), lit(0L))).alias("rank"))
         if (checkpointEvery > 0 &&
             (i % checkpointEvery == 0 || i == iterations))
-          ranks = ranks.localCheckpoint(true)
+          // eager iterative-frontier boundary through the Materializer
+          // seam — deep runs survive executor loss under `reliable` mode
+          ranks = Materializer(ranks, eager = true)
       }
       if (persistEdges && checkpointEvery == 0) {
         // materialize the result (AQE path) before the edge caches drop in

@@ -144,9 +144,9 @@ object Bpe {
       maxVocabWords: Int = 65536, minPairFreq: Long = 2L)
       : Seq[(String, String)] = {
     require(numMerges >= 0 && minPairFreq >= 1)
-    var vocab = wordCounts(df, textCol, maxVocabWords)
-      .select(split(col("word"), "").alias("syms"), col("freq"))
-      .localCheckpoint()
+    var vocab = Materializer(wordCounts(df, textCol, maxVocabWords)
+      .select(split(col("word"), "").alias("syms"), col("freq")),
+      eager = true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (merges.length < numMerges && !done) {
@@ -171,9 +171,11 @@ object Bpe {
               element_at(acc, -1) === lit(a) && x === lit(b),
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
             .otherwise(concat(acc, array(x))))
-        // materialize per round: keeps the plan one fold deep instead of
-        // numMerges folds deep (lineage, not correctness)
-        vocab = vocab.withColumn("syms", fold).localCheckpoint()
+        // materialize per round (eager iterative-frontier boundary —
+        // Materializer seam, so `reliable` mode actually covers a lost
+        // executor mid-train): keeps the plan one fold deep instead of
+        // numMerges folds deep
+        vocab = Materializer(vocab.withColumn("syms", fold), eager = true)
       }
     }
     merges.toSeq

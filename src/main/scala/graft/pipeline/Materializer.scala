@@ -23,7 +23,20 @@ import org.apache.spark.sql.DataFrame
   *  - `parquet`: an explicit parquet round-trip under the configured
   *    directory — durable AND re-readable by later jobs (the restart
   *    story a multi-day 100-TB pipeline actually wants); always eager
-  *    by construction.
+  *    by construction — CALLER-FACING CAVEAT: in this mode, merely
+  *    CONSTRUCTING an operator's plan (e.g. calling `winnowSimilarity`
+  *    or `Curation.curate` without ever executing the result) runs the
+  *    corpus-scale write job at each boundary, including eager=false
+  *    ones. That eagerness is the point of the mode (each boundary is
+  *    a restartable artifact), but pick `local`/`reliable` when plans
+  *    are built speculatively. Each boundary writes under a per-app
+  *    subdirectory `<dir>/<spark.app.id>/mat_<uuid>`, and the whole
+  *    per-app subdirectory is deleted at application end (a listener
+  *    registered on first use); iterative loops (one eager boundary
+  *    per star round) therefore do not leak directories past the app's
+  *    life. If the JVM dies hard, the orphaned `<dir>/<appId>` is
+  *    re-readable state by design — purge it externally once the
+  *    pipeline is known not to restart from it.
   *  - `none`: no materialization at LAZY boundaries — fully declarative
   *    plans (shared subtrees may recompute; ReuseExchange applies where
   *    it can). Eager boundaries ignore `none` and stay `local`: they sit
@@ -56,12 +69,40 @@ object Materializer {
           spark.conf.get(DirKey))
         df.checkpoint(eager)
       case "parquet" =>
-        val dir = spark.conf.get(DirKey).stripSuffix("/") + "/mat_" +
-          java.util.UUID.randomUUID().toString
+        val appDir = spark.conf.get(DirKey).stripSuffix("/") + "/" +
+          spark.sparkContext.applicationId
+        registerCleanup(spark, appDir)
+        val dir = appDir + "/mat_" + java.util.UUID.randomUUID().toString
         df.write.parquet(dir)
         spark.read.schema(df.schema).parquet(dir)
       case other => throw new IllegalArgumentException(
         s"$ModeKey must be one of none|local|reliable|parquet, got '$other'")
+    }
+  }
+
+  // one cleanup listener per (context, appDir) — parquet-mode boundaries
+  // accumulate one mat_<uuid> directory each (one PER ROUND in iterative
+  // loops), all under the per-app subdir, deleted at application end
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def registerCleanup(spark: org.apache.spark.sql.SparkSession,
+      appDir: String): Unit = {
+    val key = spark.sparkContext.applicationId + "|" + appDir
+    if (cleanupRegistered.add(key)) {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = {
+            try {
+              val p = new org.apache.hadoop.fs.Path(appDir)
+              val fs = p.getFileSystem(hconf)
+              fs.delete(p, true)
+            } catch { case _: Exception => () } // best-effort; orphan is re-readable state
+          }
+        })
     }
   }
 }

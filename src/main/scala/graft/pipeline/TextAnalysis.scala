@@ -716,9 +716,17 @@ object TextAnalysis {
       .crossJoin(train
         .select(explode(toksOf).alias("__w")).filter(col("__w") =!= "")
         .agg(count_distinct(col("__w")).alias("__v")))
-    // fixed-order composition (matches the oracle text operator-for-operator)
-    val pc = (coalesce(col("__n1l"), lit(0L)) + lit(1L)).cast(DoubleType) /
-      (col("__n1pp") + col("__v")).cast(DoubleType)
+    // fixed-order composition (matches the oracle text operator-for-operator).
+    // Degenerate-model guard: an empty/whitespace-only training corpus has
+    // __n1pp = __v = 0, so the continuation denominator is 0 and pc would be
+    // +Inf (→ Long.MaxValue garbage under the Spark cast, a hard CAST error
+    // in the DuckDB replay). Null it instead and drop the null contributions
+    // below — every doc then folds to (n_bigrams = 0, avg_logp = NULL), the
+    // graceful degenerate behavior of the other LM operators. The guard can
+    // only fire globally (the denominator is a model-wide scalar).
+    val pc = when(col("__n1pp") + col("__v") > 0,
+      (coalesce(col("__n1l"), lit(0L)) + lit(1L)).cast(DoubleType) /
+        (col("__n1pp") + col("__v")).cast(DoubleType))
     val pSeen = (greatest(coalesce(col("__c"), lit(0L)).cast(DoubleType) -
         lit(D), lit(0.0)) +
       lit(D) * col("__n1r").cast(DoubleType) * pc) /
@@ -730,6 +738,7 @@ object TextAnalysis {
       .join(contModel, Seq("w2"), "left")
       .crossJoin(broadcast(scalars))
       .select(col(idCol), contribMu.alias("__mu"))
+      .filter(col("__mu").isNotNull) // no-op except under the degenerate-model guard
   }
 
   /** The per-doc KN fold over a [[lmKneserNeyContribs]] frame (or its

@@ -923,16 +923,22 @@ class PipelineUnitSpec extends SparkTestBase {
       .union(edges.toDF("a", "b")
         .select(col("b").alias("id"), col("a").alias("nbr"))).distinct()
     def snapshot(): (Set[(Long, Long, Long)], Set[(Long, Long, Long)],
-        Map[Long, Long]) = (
+        Map[Long, Long], Seq[(String, String)], Map[Long, Long]) = (
       TextAnalysis.winnowPairs(docsDf, "text", "doc_id",
         dfDenom = 1, minShared = 1).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
       TextAnalysis.winnowNovelty(docsDf, "text", "doc_id").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
       Dedup.starAssignments(sym)._1.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      // the two formerly direct-localCheckpoint loops, now on the seam
+      Bpe.trainDistributed(docsDf, "text", numMerges = 4),
+      Analytics.pagerank(edges.toDF("a", "b"), "a", "b",
+        iterations = 4, checkpointEvery = 2).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap)
     val base = snapshot()
-    assert(base._1.nonEmpty && base._2.nonEmpty && base._3.nonEmpty)
+    assert(base._1.nonEmpty && base._2.nonEmpty && base._3.nonEmpty &&
+      base._4.nonEmpty && base._5.nonEmpty)
     val dir = java.nio.file.Files.createTempDirectory("graft_mat_").toString
     try {
       for ((mode, sub) <- Seq("reliable" -> "chk", "parquet" -> "pq",
@@ -944,6 +950,19 @@ class PipelineUnitSpec extends SparkTestBase {
       // the reliable path actually wrote checkpoint state
       assert(java.nio.file.Files.list(
         java.nio.file.Paths.get(s"$dir/chk")).count() > 0)
+      // parquet boundaries land under the per-app subdir (the lifecycle
+      // unit the end-of-app cleanup listener deletes)
+      val pqRoot = java.nio.file.Paths.get(s"$dir/pq")
+      val appDirs = java.nio.file.Files.list(pqRoot).iterator()
+      assert(appDirs.hasNext, "parquet mode wrote no per-app subdir")
+      val appDir = appDirs.next()
+      assert(!appDirs.hasNext, "one session => exactly one app subdir")
+      assert(appDir.getFileName.toString ==
+        spark.sparkContext.applicationId)
+      import scala.jdk.CollectionConverters._
+      val mats = java.nio.file.Files.list(appDir).iterator().asScala.toSeq
+      assert(mats.nonEmpty &&
+        mats.forall(_.getFileName.toString.startsWith("mat_")))
     } finally {
       spark.conf.unset(Materializer.ModeKey)
       spark.conf.unset(Materializer.DirKey)
@@ -2736,6 +2755,23 @@ class PipelineUnitSpec extends SparkTestBase {
       case (id, t) =>
         val (n, mu) = knMu(kTexts, t)
         assert(scored(id)._1 == n && scored(id)._2 == mu / (n * 1e6))
+    }
+  }
+
+  test("lmKneserNeyScoreAgainst: empty/whitespace-only training corpus " +
+      "degrades to (n_bigrams = 0, avg_logp = NULL), never a Long.MaxValue " +
+      "garbage score (ADVICE: continuation denominator 0 -> pc = +Inf)") {
+    import spark.implicits._
+    val probe = Seq((1L, "aa bb cc"), (2L, "dd")).toDF("doc_id", "text")
+    for (trainTexts <- Seq(Seq.empty[String], Seq("   ", " "))) {
+      val train = trainTexts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = TextAnalysis.lmKneserNeyScoreAgainst(train, probe,
+        "text", "doc_id").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.isNullAt(3)))
+        .toMap
+      assert(got(1L) == ((0L, 0L, true)), s"train=$trainTexts")
+      assert(got(2L) == ((0L, 0L, true)), s"train=$trainTexts")
     }
   }
 
