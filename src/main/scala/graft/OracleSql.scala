@@ -5309,6 +5309,34 @@ object OracleSql {
          |    AS BIGINT) AS ppl_bucket
          |FROM kn""".stripMargin,
 
+    // Threshold-cut terciles (the scale face): u = (2^45-1) - ceil-div of
+    // -sum_mu*1e6 by n (all non-negative, HUGEINT exact, // = floor = trunc
+    // on positives — the engine's DECIMAL(38,0) div twin), clamped at 0;
+    // t_i = min of the top-r_i u multiset (r_i = ntile remainder rule over
+    // the scored count); ties share the upper bucket; unscorable docs and
+    // the nn=0 edge (LIMIT 0 -> NULL threshold -> CASE falls through) are
+    // bucket 3.
+    "q_ppl_buckets_scaled" ->
+      s"""WITH kn AS ($lmKnSql),
+         |u0 AS (SELECT doc_id, n_bigrams, CASE WHEN n_bigrams > 0 THEN
+         |    greatest(0, 35184372088831 - ((CAST(-sum_mu AS HUGEINT)
+         |      * 1000000 + n_bigrams - 1) // n_bigrams)) END AS u
+         |  FROM kn),
+         |rk AS (SELECT (c // 3) + CASE WHEN c % 3 >= 1 THEN 1 ELSE 0 END AS r1,
+         |    (c // 3) * 2 + CASE WHEN c % 3 >= 1 THEN 1 ELSE 0 END
+         |      + CASE WHEN c % 3 >= 2 THEN 1 ELSE 0 END AS r2
+         |  FROM (SELECT count(*) AS c FROM u0 WHERE u IS NOT NULL)),
+         |t1 AS (SELECT min(u) AS t FROM (SELECT u FROM u0
+         |  WHERE u IS NOT NULL ORDER BY u DESC LIMIT (SELECT r1 FROM rk))),
+         |t2 AS (SELECT min(u) AS t FROM (SELECT u FROM u0
+         |  WHERE u IS NOT NULL ORDER BY u DESC LIMIT (SELECT r2 FROM rk)))
+         |SELECT doc_id, n_bigrams,
+         |  CAST(CASE WHEN u IS NULL THEN 3
+         |       WHEN u >= (SELECT t FROM t1) THEN 1
+         |       WHEN u >= (SELECT t FROM t2) THEN 2
+         |       ELSE 3 END AS BIGINT) AS ppl_bucket
+         |FROM u0""".stripMargin,
+
     // Welch replay: the q_drift cohorts, exact BIGINT (n, sum, sumsq) per
     // side, then the identical fixed-order t / Welch-Satterthwaite df.
     "q_welch" -> welchSql,

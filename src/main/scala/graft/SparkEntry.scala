@@ -2204,6 +2204,18 @@ object SparkEntry {
       .select(col("doc_id"), col("n_bigrams"), col("ppl_bucket"))
   }
 
+  /** The 100-TB face of [[qPplBuckets]]: the same CCNet head/middle/tail
+    * artifact from TWO THRESHOLD SCORES (exact distributed radix
+    * selection over the integer score key) and a stateless per-doc cut —
+    * zero global sorts, zero single-partition windows anywhere
+    * ([[graft.pipeline.TextAnalysis.pplBucketsByThreshold]]). Ties share
+    * a bucket (counts match ntile exactly only on tie-free data — the
+    * honest threshold semantics Wenzek et al. actually computed). */
+  private def qPplBucketsScaled(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextAnalysis.pplBucketsByThreshold(
+      graft.pipeline.TextAnalysis.lmKneserNeyScore(
+        docs(s, dir), "text", "doc_id"), "doc_id")
+
   /** Streaming Kneser–Ney perplexity gate: the model trains batch-side
     * (corpus under an sf dir is immutable — the dsir/bpe convention) and
     * every ARRIVING doc's bigram contributions emit through stateless
@@ -4073,6 +4085,7 @@ object SparkEntry {
     "q_lm_kn" -> qLmKn _,
     "q_stream_lm_kn" -> qStreamLmKn _,
     "q_ppl_buckets" -> qPplBuckets _,
+    "q_ppl_buckets_scaled" -> qPplBucketsScaled _,
     "q_fd" -> qFd _,
     "q_group_ols" -> qGroupOls _,
     "q_theil_sen" -> qTheilSen _,

@@ -757,6 +757,106 @@ object TextAnalysis {
           (col("n_bigrams").cast(DoubleType) * 1e6)).alias("avg_logp"))
   }
 
+  /** CCNet head/middle/tail perplexity terciles by THRESHOLD CUT — the
+    * 100-TB face of q_ppl_buckets (Wenzek et al. 2020 cut their corpus
+    * with two perplexity thresholds, not a global ranking): instead of
+    * `ntile(3)` over an unpartitioned window (one task holding every
+    * row), derive the two tercile threshold scores with an exact
+    * distributed RADIX SELECTION and assign buckets statelessly per doc.
+    * No global sort, no single-partition window, no per-row rank —
+    * the only non-aggregate driver data are four structurally-bounded
+    * histogram collects (≤ 2¹³, then ≤ 2·2¹⁶ rows each).
+    *
+    * Semantics (deterministic, oracle-replayable):
+    *  - score key u = (2⁴⁵−1) − ceil(−sum_mu·10⁶ / n_bigrams), clamped
+    *    at 0 — an exact integer encoding of avg_logp DESC (higher u =
+    *    better perplexity) at 10⁻¹² logp resolution; sum_mu ≤ 0 always
+    *    (per-bigram p ≤ 1), so the ceil-div runs on non-negative
+    *    integers where truncation IS floor, with DECIMAL(38,0)
+    *    intermediates (|sum_mu|·10⁶ can pass 2⁶³). Docs below avg_logp
+    *    −35.18 saturate at u = 0 (ties at the clamp — scores that low
+    *    are degenerate). Unscorable docs (n_bigrams = 0) have null u.
+    *  - tercile ranks r1, r2 use ntile's remainder rule over the SCORED
+    *    population nn (earlier buckets absorb the remainder).
+    *  - t_i = the u value at rank r_i from the top (duplicates counted);
+    *    bucket = 1 if u ≥ t1, 2 if u ≥ t2, else 3; unscorable docs →
+    *    bucket 3 (the tail — the CCNet convention for unscorable text).
+    *    Score TIES therefore land in the same (upper) bucket: counts
+    *    deviate from nn/3 by tie mass, and equal ntile's counts exactly
+    *    on tie-free data — the honest threshold-cut semantics.
+    *
+    * Selection: u < 2⁴⁵, so three radix rounds — cell counts on
+    * u >> 32 (≤ 2¹³ cells), then (u >> 16) & 0xFFFF within the two
+    * target cells (≤ 2¹⁶ each), then u & 0xFFFF — each one map-side-
+    * combinable aggregate over the (materialized once) per-doc score
+    * table; both thresholds share every round's scan. Driver work is a
+    * prefix walk over each bounded histogram (the exactQuantiles2Pass
+    * discipline with structural bounds instead of value-resolution
+    * bounds). Output: (idCol, n_bigrams, ppl_bucket). */
+  def pplBucketsByThreshold(kn: DataFrame, idCol: String): DataFrame = {
+    val MaxU = (1L << 45) - 1
+    val uExpr = when(col("n_bigrams") > 0, greatest(lit(0L), lit(MaxU) -
+      expr("(cast(-sum_mu as decimal(38,0)) * 1000000 + n_bigrams - 1)" +
+        " div n_bigrams")))
+    val scored = Materializer(kn.select(col(idCol), col("n_bigrams"),
+      uExpr.alias("__u")), eager = true)
+    val us = scored.filter(col("__u").isNotNull)
+    val nn = us.count() // one documented driver-side scalar (population)
+    def out(ts: Option[(Long, Long)]): DataFrame = {
+      val b = ts match {
+        case Some((t1, t2)) => when(col("__u").isNull, lit(3L))
+          .when(col("__u") >= t1, lit(1L))
+          .when(col("__u") >= t2, lit(2L)).otherwise(lit(3L))
+        case None => lit(3L)
+      }
+      scored.select(col(idCol), col("n_bigrams"),
+        b.cast(LongType).alias("ppl_bucket"))
+    }
+    if (nn == 0L) return out(None)
+    val base = nn / 3
+    val rem = nn % 3
+    val r1 = base + (if (rem >= 1) 1L else 0L)
+    val r2 = 2 * base + (if (rem >= 1) 1L else 0L) + (if (rem >= 2) 1L else 0L)
+    // one desc prefix walk per bounded histogram: (cell, residual rank)
+    def pick(hist: Seq[(Long, Long)], r: Long): (Long, Long) = {
+      var cum = 0L
+      val it = hist.iterator
+      while (it.hasNext) {
+        val (cell, cnt) = it.next()
+        if (r <= cum + cnt) return (cell, r - cum)
+        cum += cnt
+      }
+      sys.error(s"radix rank $r beyond population $cum")
+    }
+    val c1 = shiftright(col("__u"), 32)
+    val c2 = shiftright(col("__u"), 16).bitwiseAND(lit(0xFFFFL))
+    val c3 = col("__u").bitwiseAND(lit(0xFFFFL))
+    val h1 = us.groupBy(c1.alias("c")).agg(count(lit(1)).alias("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1).toSeq
+    val p1 = Seq(r1, r2).map(pick(h1, _))
+    val cells1 = p1.map(_._1).distinct
+    val h2 = us.filter(c1.isin(cells1: _*))
+      .groupBy(c1.alias("cc1"), c2.alias("c")).agg(count(lit(1)).alias("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.map(t => t._2 -> t._3).sortBy(-_._1).toSeq }
+    val p2 = p1.map { case (cell1, res) => (cell1, pick(h2(cell1), res)) }
+    val cells2 = p2.map { case (a, (b, _)) => (a, b) }.distinct
+    val h3 = us.filter(cells2.map { case (a, b) =>
+        c1 === a && c2 === b }.reduce(_ || _))
+      .groupBy(c1.alias("cc1"), c2.alias("cc2"), c3.alias("c"))
+      .agg(count(lit(1)).alias("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .groupBy(t => (t._1, t._2)).map { case (k, v) =>
+        k -> v.map(t => t._3 -> t._4).sortBy(-_._1).toSeq }
+    val ts = p2.map { case (cell1, (cell2, res)) =>
+      val (cell3, _) = pick(h3((cell1, cell2)), res)
+      (cell1 << 32) | (cell2 << 16) | cell3
+    }
+    out(Some((ts(0), ts(1))))
+  }
+
   /** PMI collocation mining — the phrase-detection pass (cf. the
     * word2vec-phrases recipe): pointwise mutual information of ADJACENT
     * token pairs across the corpus, pmi = ln n_ab + ln N − ln n_a• −

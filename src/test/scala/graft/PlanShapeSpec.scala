@@ -642,6 +642,55 @@ class PlanShapeSpec extends SparkTestBase {
       kept.toSeq.sortBy(_._1).take(5).toString)
   }
 
+  test("pplBucketsByThreshold: zero global sorts, zero window operators, " +
+      "zero range-partition exchanges in EVERY job it executes") {
+    import spark.implicits._
+    // distinctive column name so the listener can ignore plans from any
+    // concurrently-running suite sharing the session
+    val kn = (0 until 2000).map(i => (i.toLong, 1L + i % 7,
+        -(100L + (i * 13) % 9000) * (1L + i % 7)))
+      .toDF("ppsx_doc_id", "n_bigrams", "sum_mu")
+      .withColumn("avg_logp", col("sum_mu").cast("double") /
+        (col("n_bigrams").cast("double") * 1e6))
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        val s = qe.executedPlan.toString
+        if (s.contains("ppsx_doc_id")) plans.add(s)
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = graft.pipeline.TextAnalysis.pplBucketsByThreshold(
+        kn, "ppsx_doc_id")
+      val buckets = out.collect().map(_.getLong(2))
+      assert(buckets.count(_ == 1L) > 0 && buckets.count(_ == 3L) > 0)
+      // drain the async listener bus: wait for the capture to go quiet
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 4 && waited < 80) {
+        Thread.sleep(250); waited += 1
+        if (plans.size == last) stable += 1
+        else { stable = 0; last = plans.size }
+      }
+      assert(plans.size >= 4, // count + 3 radix collects + final collect
+        s"listener captured only ${plans.size} plans")
+      val globalSort = "Sort \\[[^\\]]*\\], true".r
+      plans.forEach { p =>
+        assert(globalSort.findFirstIn(p).isEmpty, s"global sort in:\n$p")
+        assert(!p.contains("Window"), s"window operator in:\n$p")
+        assert(!p.contains("Exchange rangepartitioning"),
+          s"range-partition exchange in:\n$p")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("BpeCount runs inside whole-stage codegen (no shuffle, no eval island)") {
     // a real file scan — a local Seq relation constant-folds the whole
     // projection into LocalTableScan and proves nothing about codegen

@@ -2775,6 +2775,70 @@ class PipelineUnitSpec extends SparkTestBase {
     }
   }
 
+  test("pplBucketsByThreshold: row-identical to the ntile face on tie-free " +
+      "scores; ties share the upper bucket; unscorable docs and the nn=0 " +
+      "edge fall to bucket 3; randomized differential vs a sort reference") {
+    import spark.implicits._
+    def knDf(rows: Seq[(Long, Long, Long)]) = rows
+      .toDF("doc_id", "n_bigrams", "sum_mu")
+      .withColumn("avg_logp", when(col("n_bigrams") > 0,
+        col("sum_mu").cast("double") / (col("n_bigrams").cast("double") * 1e6)))
+    def run(rows: Seq[(Long, Long, Long)]): Map[Long, Long] =
+      TextAnalysis.pplBucketsByThreshold(knDf(rows), "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // driver reference of the threshold semantics (and, on tie-free data,
+    // of ntile): u desc, thresholds at the ntile remainder ranks
+    def ref(rows: Seq[(Long, Long, Long)]): Map[Long, Long] = {
+      val maxU = (1L << 45) - 1
+      def u(s: Long, n: Long): Long = math.max(0L,
+        maxU - ((BigInt(-s) * 1000000 + n - 1) / n).toLong)
+      val scored = rows.filter(_._2 > 0).map(r => r._1 -> u(r._3, r._2))
+      val nn = scored.size
+      if (nn == 0) return rows.map(_._1 -> 3L).toMap
+      val base = nn / 3; val rem = nn % 3
+      val r1 = base + (if (rem >= 1) 1 else 0)
+      val r2 = 2 * base + (if (rem >= 1) 1 else 0) + (if (rem >= 2) 1 else 0)
+      val desc = scored.map(_._2).sorted(Ordering[Long].reverse)
+      val (t1, t2) = (desc(r1 - 1), desc(r2 - 1))
+      rows.map { r =>
+        r._1 -> (if (r._2 <= 0) 3L
+        else { val uu = u(r._3, r._2)
+          if (uu >= t1) 1L else if (uu >= t2) 2L else 3L })
+      }.toMap
+    }
+    // tie-free all-scored: 7 distinct rationals -> exactly the ntile cut
+    val tf = Seq((1L, 4L, -400L), (2L, 2L, -600L), (3L, 5L, -100L),
+      (4L, 1L, -900L), (5L, 2L, -1000L), (6L, 3L, -2400L), (7L, 2L, -1500L))
+    val gotTf = run(tf)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("avg_logp").desc_nulls_last, col("doc_id"))
+    val ntileFace = knDf(tf).withColumn("b", ntile(3).over(w).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(gotTf == ntileFace, s"tie-free threshold cut != ntile: $gotTf")
+    assert(gotTf == ref(tf))
+    // ties ACROSS representations (200/2 == 100/1) straddling a boundary:
+    // both tied docs take bucket 1, the boundary bucket 2 is absorbed
+    val tied = Seq((10L, 2L, -200L), (11L, 1L, -100L), (12L, 1L, -300L))
+    assert(run(tied) == Map(10L -> 1L, 11L -> 1L, 12L -> 3L))
+    // unscorable docs -> bucket 3 regardless of thresholds
+    val withNull = tf :+ ((99L, 0L, 0L))
+    assert(run(withNull)(99L) == 3L && (run(withNull) - 99L) == gotTf)
+    // nn = 0 edge: everything bucket 3
+    assert(run(Seq((1L, 0L, 0L), (2L, 0L, 0L))) == Map(1L -> 3L, 2L -> 3L))
+    // randomized differential incl. clamp saturation and heavy ties
+    val rnd = new scala.util.Random(151)
+    val cases = (0 until 200).map { i =>
+      val n = if (rnd.nextInt(10) == 0) 0L else 1L + rnd.nextInt(50).toLong
+      val mu = if (n == 0) 0L else rnd.nextInt(4) match {
+        case 0 => -100L * n                     // exact tie class
+        case 1 => -(40000000L * n + rnd.nextInt(1000)) // clamp region
+        case _ => -rnd.nextLong(1L << 40)
+      }
+      (i.toLong, n, mu)
+    }
+    assert(run(cases) == ref(cases))
+  }
+
   test("mutualInfo: zero on independent columns, ln(k) micro-units on a " +
       "perfect k-way dependence") {
     import spark.implicits._
