@@ -1431,6 +1431,60 @@ object OracleSql {
          |      (CAST(agg.n_bigrams AS DOUBLE) * 1000000.0) END AS avg_logp
          |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin
 
+  /** Trigram interpolated Kneser-Ney replay (q_lm_kn3): the lmKnSql
+    * discipline one order deeper — the trigram-type table tm is the one
+    * corpus-scale aggregate; left context, continuation pair, middle
+    * word, and last word tables are aggregates OF tm; p3/p2/p1 compose
+    * in the identical fixed order as the Spark expression before the
+    * micro-quantized ln. */
+  private lazy val lmKn3Sql: String = {
+    val p1 = "(CAST(COALESCE(un.n1u, 0) + 1 AS DOUBLE)" +
+      " / CAST(s.n3pp + s.vv AS DOUBLE))"
+    val p2 = s"""(CASE WHEN md.m2 IS NOT NULL THEN
+         |      (greatest(CAST(COALESCE(c23.n23, 0) AS DOUBLE) - 0.75, 0.0)
+         |        + (0.75 * CAST(md.r2 AS DOUBLE)) * $p1)
+         |      / CAST(md.m2 AS DOUBLE)
+         |    ELSE $p1 END)""".stripMargin
+    s"""WITH d AS (SELECT doc_id, $norm AS nrm FROM documents),
+       |t AS (SELECT doc_id, string_split(nrm, ' ') AS toks FROM d),
+       |tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+       |tgr AS (SELECT doc_id, unnest(toks[1:len(toks)-2]) AS w1,
+       |  unnest(toks[2:len(toks)-1]) AS w2,
+       |  unnest(toks[3:len(toks)]) AS w3 FROM tt),
+       |tg AS (SELECT doc_id, w1, w2, w3 FROM tgr
+       |  WHERE w1 <> '' AND w2 <> '' AND w3 <> ''),
+       |tm AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+       |l12 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS cw12,
+       |  count(*) AS n1r12 FROM tm GROUP BY 1, 2),
+       |c23 AS (SELECT w2, w3, count(*) AS n23 FROM tm GROUP BY 1, 2),
+       |md AS (SELECT w2, CAST(sum(n23) AS BIGINT) AS m2,
+       |  count(*) AS r2 FROM c23 GROUP BY 1),
+       |un AS (SELECT w3, count(*) AS n1u FROM tm GROUP BY 1),
+       |s AS (SELECT (SELECT count(*) FROM tm) AS n3pp,
+       |  (SELECT count(DISTINCT w) FROM
+       |    (SELECT unnest(toks) AS w FROM t) u WHERE w <> '') AS vv),
+       |sc AS (SELECT tg.doc_id,
+       |  CAST(floor(ln(
+       |    CASE WHEN l12.cw12 IS NOT NULL THEN
+       |      (greatest(CAST(COALESCE(tm.c3, 0) AS DOUBLE) - 0.75, 0.0)
+       |        + (0.75 * CAST(l12.n1r12 AS DOUBLE)) * $p2)
+       |      / CAST(l12.cw12 AS DOUBLE)
+       |    ELSE $p2 END
+       |  ) * 1000000.0 + 0.5) AS BIGINT) AS mu
+       |  FROM tg LEFT JOIN tm USING (w1, w2, w3)
+       |    LEFT JOIN l12 USING (w1, w2) LEFT JOIN c23 USING (w2, w3)
+       |    LEFT JOIN md USING (w2) LEFT JOIN un USING (w3) CROSS JOIN s),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       |  CAST(sum(mu) AS BIGINT) AS sum_mu FROM sc GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(agg.n_trigrams, 0) AS n_trigrams,
+       |  COALESCE(agg.sum_mu, 0) AS sum_mu,
+       |  CASE WHEN agg.n_trigrams > 0 THEN
+       |    CAST(agg.sum_mu AS DOUBLE) /
+       |      (CAST(agg.n_trigrams AS DOUBLE) * 1000000.0) END AS avg_logp
+       |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin
+  }
+
   /** First-occurrence novelty over the winnow fingerprints, shared by
     * q_novelty (batch) and q_stream_novelty (the ingest-time gate run as
     * one AvailableNow batch, where first-arrival == min-id). */
@@ -5298,6 +5352,7 @@ object OracleSql {
     // the micro-quantized ln (operator-for-operator the Spark expression).
     "q_stream_lm_kn" -> lmKnSql,
     "q_lm_kn" -> lmKnSql,
+    "q_lm_kn3" -> lmKn3Sql,
 
     // CCNet head/middle/tail: ntile(3) over (score desc, doc_id) on the
     // shared KN replay — standard-SQL ntile (earlier buckets take the

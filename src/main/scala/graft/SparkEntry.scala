@@ -2204,6 +2204,15 @@ object SparkEntry {
       .select(col("doc_id"), col("n_bigrams"), col("ppl_bucket"))
   }
 
+  /** Trigram interpolated Kneser–Ney — the production LM order for
+    * CCNet-class filters: raw counts at the trigram level backing off to
+    * continuation-count bigram and add-one-floored unigram
+    * distributions, every lower order an aggregate OVER THE MODEL
+    * ([[graft.pipeline.TextAnalysis.lmKneserNey3Score]]). */
+  private def qLmKn3(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextAnalysis.lmKneserNey3Score(docs(s, dir), "text",
+      "doc_id")
+
   /** The 100-TB face of [[qPplBuckets]]: the same CCNet head/middle/tail
     * artifact from TWO THRESHOLD SCORES (exact distributed radix
     * selection over the integer score key) and a stateless per-doc cut —
@@ -4084,6 +4093,7 @@ object SparkEntry {
     "q_lm_bigram" -> qLmBigram _,
     "q_lm_kn" -> qLmKn _,
     "q_stream_lm_kn" -> qStreamLmKn _,
+    "q_lm_kn3" -> qLmKn3 _,
     "q_ppl_buckets" -> qPplBuckets _,
     "q_ppl_buckets_scaled" -> qPplBucketsScaled _,
     "q_fd" -> qFd _,

@@ -757,6 +757,122 @@ object TextAnalysis {
           (col("n_bigrams").cast(DoubleType) * 1e6)).alias("avg_logp"))
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM LM — the production CCNet filter
+    * order (n ≥ 3). One level deeper than [[lmKneserNeyScore]], same
+    * discipline: the ONLY corpus-scale step is one trigram explode into
+    * one (w1,w2,w3) grouped count (plus the shared distinct-word V);
+    * every lower order is an aggregate OVER THE MODEL table — this is
+    * exactly where naive implementations go quadratic (per-context
+    * distinct counts as repeated corpus scans) and this decomposition
+    * provably doesn't:
+    *
+    *   p₃(w₃|w₁w₂) = (max(C(w₁w₂w₃)−D,0) + D·N₁₊(w₁w₂•)·p₂(w₃|w₂))
+    *                 / C(w₁w₂•)            when C(w₁w₂•) > 0, else p₂
+    *   p₂(w₃|w₂)  = (max(N₁₊(•w₂w₃)−D,0) + D·N₁₊cont(w₂•)·p₁(w₃))
+    *                 / N₁₊(•w₂•)           when N₁₊(•w₂•) > 0, else p₁
+    *   p₁(w₃)     = (N₁₊(••w₃)+1) / (N₁₊(•••)+V)   (add-one floored,
+    *                 so corpus-unseen words stay finite)
+    *
+    * (Chen & Goodman 1998's interpolated KN with raw counts at the top
+    * order and continuation TYPE counts below, all N₁₊ read off the one
+    * trigram-type table: N₁₊(•w₂w₃) = its (w2,w3) row count, N₁₊(•w₂•)
+    * its w2-grouped sum, N₁₊(••w₃) its w3 row count, N₁₊(•••) its size.)
+    * Σ_vocab p₃ ≤ 1 at every level, so mu = floor(ln p₃ ·10⁶ + 0.5) ≤ 0
+    * — the [[pplBucketsByThreshold]] key contract holds for this model
+    * too. Determinism: exact BIGINT counts, fixed-order double
+    * composition, micro-quantized ln before the per-doc integer fold —
+    * replayed operator-for-operator in the oracle.
+    *
+    * Plan: corpus trigram explode → one model aggregate; five uniform-
+    * key left equi-joins (triple, left context, continuation pair,
+    * middle word, last word) + one broadcast scalar; one doc-keyed
+    * fold. AQE broadcasts the model-side joins while the model fits and
+    * flips them to shuffle joins as it grows — the q_lm_kn shape, one
+    * join deeper. Output: (idCol, n_trigrams, sum_mu, avg_logp). */
+  def lmKneserNey3Score(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    lmKneserNey3ScoreAgainst(df, df, textCol, idCol)
+
+  /** [[lmKneserNey3Score]] with a separate frozen training corpus — the
+    * production ingest-filter shape (and the only one whose unseen
+    * back-off arms can fire). */
+  def lmKneserNey3ScoreAgainst(train: DataFrame, df: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val c = lmKneserNey3Contribs(train, df, textCol, idCol)
+    val scored = c.groupBy(col(idCol))
+      .agg(count(lit(1)).alias("n_trigrams"), sum(col("__mu")).alias("sum_mu"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).alias("n_trigrams"),
+        coalesce(col("sum_mu"), lit(0L)).alias("sum_mu"),
+        when(col("n_trigrams") > 0, col("sum_mu").cast(DoubleType) /
+          (col("n_trigrams").cast(DoubleType) * 1e6)).alias("avg_logp"))
+  }
+
+  /** Per-trigram micro-quantized contributions of `df`'s docs under
+    * `train`'s frozen trigram model — (idCol, __mu) rows, stateless per
+    * doc after stream-static model joins (the [[lmKneserNeyContribs]]
+    * streaming contract). */
+  def lmKneserNey3Contribs(train: DataFrame, df: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val D = 0.75
+    val toksOf = split(Dedup.normalizeText(col(textCol)), " ")
+    def trigramsOf(src: DataFrame, keep: Seq[Column]): DataFrame = src
+      .select(keep :+ toksOf.alias("__toks"): _*)
+      .filter(size(col("__toks")) >= 3)
+      .select(keep :+
+        explode(transform(sequence(lit(1), size(col("__toks")) - 2),
+          i => struct(
+            element_at(col("__toks"), i).alias("w1"),
+            element_at(col("__toks"), i + 1).alias("w2"),
+            element_at(col("__toks"), i + 2).alias("w3")))).alias("__t"): _*)
+      .select(keep ++ Seq(col("__t.w1").alias("w1"),
+        col("__t.w2").alias("w2"), col("__t.w3").alias("w3")): _*)
+      .filter(col("w1") =!= "" && col("w2") =!= "" && col("w3") =!= "")
+    val tg = trigramsOf(df, Seq(col(idCol)))
+    val tm = trigramsOf(train, Nil).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).alias("__c3"))
+    // every lower order: aggregates over the MODEL table tm
+    val left12 = tm.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("__c3")).alias("__cw12"),
+        count(lit(1)).alias("__n1r12"))       // C(w1 w2 .), N1+(w1 w2 .)
+    val cont23 = tm.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).alias("__n23"))      // N1+(. w2 w3)
+    val mid = cont23.groupBy(col("w2"))
+      .agg(sum(col("__n23")).alias("__m2"),   // N1+(. w2 .)
+        count(lit(1)).alias("__r2"))          // N1+cont(w2 .)
+    val uni = tm.groupBy(col("w3"))
+      .agg(count(lit(1)).alias("__n1u"))      // N1+(. . w3)
+    val scalars = tm.agg(count(lit(1)).alias("__n3pp"))
+      .crossJoin(train
+        .select(explode(toksOf).alias("__w")).filter(col("__w") =!= "")
+        .agg(count_distinct(col("__w")).alias("__v")))
+    // fixed-order composition (identical text in the oracle); the same
+    // degenerate-model denominator guard as the bigram face
+    val p1 = when(col("__n3pp") + col("__v") > 0,
+      (coalesce(col("__n1u"), lit(0L)) + lit(1L)).cast(DoubleType) /
+        (col("__n3pp") + col("__v")).cast(DoubleType))
+    val p2seen = (greatest(coalesce(col("__n23"), lit(0L)).cast(DoubleType) -
+        lit(D), lit(0.0)) +
+      lit(D) * col("__r2").cast(DoubleType) * p1) /
+      col("__m2").cast(DoubleType)
+    val p2 = when(col("__m2").isNotNull, p2seen).otherwise(p1)
+    val p3seen = (greatest(coalesce(col("__c3"), lit(0L)).cast(DoubleType) -
+        lit(D), lit(0.0)) +
+      lit(D) * col("__n1r12").cast(DoubleType) * p2) /
+      col("__cw12").cast(DoubleType)
+    val p3 = when(col("__cw12").isNotNull, p3seen).otherwise(p2)
+    val contribMu = floor(log(p3) * 1e6 + 0.5).cast(LongType)
+    tg.join(tm, Seq("w1", "w2", "w3"), "left")
+      .join(left12, Seq("w1", "w2"), "left")
+      .join(cont23, Seq("w2", "w3"), "left")
+      .join(mid, Seq("w2"), "left")
+      .join(uni, Seq("w3"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col(idCol), contribMu.alias("__mu"))
+      .filter(col("__mu").isNotNull) // no-op except under the degenerate guard
+  }
+
   /** CCNet head/middle/tail perplexity terciles by THRESHOLD CUT — the
     * 100-TB face of q_ppl_buckets (Wenzek et al. 2020 cut their corpus
     * with two perplexity thresholds, not a global ranking): instead of

@@ -2775,6 +2775,98 @@ class PipelineUnitSpec extends SparkTestBase {
     }
   }
 
+  test("lmKneserNey3Score: randomized differential vs an independent trigram " +
+      "KN scorer; the trigram model separates two docs with IDENTICAL bigram " +
+      "multisets that the bigram model provably scores equal") {
+    import spark.implicits._
+    val D = 0.75
+    def kn3Mu(trainTexts: Seq[String], text: String): (Long, Long) = {
+      val tgs = trainTexts.flatMap(t => t.split(" ").filter(_.nonEmpty)
+        .sliding(3).filter(_.length == 3).map(a => (a(0), a(1), a(2))))
+      val c3 = tgs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val cw12 = c3.groupBy(k => (k._1._1, k._1._2))
+        .map { case (k, m) => k -> m.values.sum }
+      val n1r12 = c3.groupBy(k => (k._1._1, k._1._2))
+        .map { case (k, m) => k -> m.size.toLong }
+      val n23 = c3.groupBy(k => (k._1._2, k._1._3))
+        .map { case (k, m) => k -> m.size.toLong }
+      val m2 = n23.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+      val r2 = n23.groupBy(_._1._1).map { case (k, m) => k -> m.size.toLong }
+      val n1u = c3.groupBy(_._1._3).map { case (k, m) => k -> m.size.toLong }
+      val n3pp = c3.size.toLong
+      val v = trainTexts.flatMap(_.split(" ").filter(_.nonEmpty)).distinct.size
+      val docTgs = text.split(" ").filter(_.nonEmpty).sliding(3)
+        .filter(_.length == 3).map(a => (a(0), a(1), a(2))).toSeq
+      val mus = docTgs.map { case (w1, w2, w3) =>
+        val p1 = (n1u.getOrElse(w3, 0L) + 1L).toDouble / (n3pp + v).toDouble
+        val p2 = m2.get(w2) match {
+          case Some(m) =>
+            (math.max(n23.getOrElse((w2, w3), 0L).toDouble - D, 0.0) +
+              D * r2(w2).toDouble * p1) / m.toDouble
+          case None => p1
+        }
+        val p3 = cw12.get((w1, w2)) match {
+          case Some(cw) =>
+            (math.max(c3.getOrElse((w1, w2, w3), 0L).toDouble - D, 0.0) +
+              D * n1r12((w1, w2)).toDouble * p2) / cw.toDouble
+          case None => p2
+        }
+        math.floor(math.log(p3) * 1e6 + 0.5).toLong
+      }
+      (docTgs.size.toLong, mus.sum)
+    }
+    // randomized self-scoring differential
+    val rnd = new scala.util.Random(47)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val texts = (0 until 40).map(_ => (3 + rnd.nextInt(8) match { case n =>
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ") }))
+    val train = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val self = TextAnalysis.lmKneserNey3Score(train, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(self(i.toLong) == kn3Mu(texts, t), s"doc $i: '$t'")
+    }
+    // cross-corpus unseen arms (trigram, context, continuation, word)
+    val kTexts = Seq("aa bb cc dd", "aa bb cc ee", "bb cc dd ee")
+    val kTrain = kTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val probes = Seq(100L -> "aa bb cc", 101L -> "zz bb cc", 102L -> "zz qq rr",
+      103L -> "cc dd ee aa")
+    val scored = TextAnalysis.lmKneserNey3ScoreAgainst(kTrain,
+      probes.toDF("doc_id", "text"), "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    probes.foreach { case (id, t) =>
+      val (n, mu) = kn3Mu(kTexts, t)
+      assert(scored(id)._1 == n && scored(id)._2 == mu, s"doc $id: '$t'")
+      assert(!scored(id)._3.isNaN && !scored(id)._3.isInfinite)
+    }
+    // the SEPARATION the bigram order cannot express: A and B carry the
+    // same bigram MULTISET (so ANY frozen bigram model scores them equal,
+    // by construction) but different trigram sets
+    val A = "aa aa bb aa bb"
+    val B = "aa bb aa aa bb"
+    def bagOfBigrams(t: String) = t.split(" ").sliding(2)
+      .map(a => (a(0), a(1))).toSeq.groupBy(identity)
+      .view.mapValues(_.size).toMap
+    assert(bagOfBigrams(A) == bagOfBigrams(B), "fixture broken")
+    val sepTrain = Seq("aa aa bb aa bb cc", "bb aa bb cc dd", "cc aa aa bb")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sepProbe = Seq((200L, A), (201L, B)).toDF("doc_id", "text")
+    val bi = TextAnalysis.lmKneserNeyScoreAgainst(sepTrain, sepProbe,
+      "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bi(200L) == bi(201L), s"bigram model must tie A and B: $bi")
+    val tri = TextAnalysis.lmKneserNey3ScoreAgainst(sepTrain, sepProbe,
+      "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(tri(200L)._1 == tri(201L)._1 && tri(200L)._2 != tri(201L)._2,
+      s"trigram model must separate A and B: $tri")
+    val sepTexts = Seq("aa aa bb aa bb cc", "bb aa bb cc dd", "cc aa aa bb")
+    assert(tri(200L) == kn3Mu(sepTexts, A) && tri(201L) == kn3Mu(sepTexts, B))
+  }
+
   test("pplBucketsByThreshold: row-identical to the ntile face on tie-free " +
       "scores; ties share the upper bucket; unscorable docs and the nn=0 " +
       "edge fall to bucket 3; randomized differential vs a sort reference") {
