@@ -1121,7 +1121,7 @@ object TextAnalysis {
     * `pos` the 1-based k-gram start in the normalized text and `fp`
     * the mod-P k-gram hash. */
   def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 5, w: Int = 4): DataFrame = {
+      k: Int = 5, w: Int = 4, carryCols: Seq[String] = Nil): DataFrame = {
     require(k >= 2, s"k-gram length must be >= 2, got $k")
     require(w >= 2, s"winnowing window must be >= 2, got $w")
     // Both the normalized text and the hash array are bound ONCE as
@@ -1175,9 +1175,9 @@ object TextAnalysis {
           transform(positions, p =>
             struct(p.cast(LongType).alias("pos"), h(p).alias("fp")))
         }))))
-    df.select(col(idCol), explode(sels).alias("__s"))
-      .select(col(idCol), col("__s.pos").alias("pos"),
-        col("__s.fp").alias("fp"))
+    df.select(col(idCol) +: carryCols.map(col) :+ explode(sels).alias("__s"): _*)
+      .select(col(idCol) +: carryCols.map(col) :+
+        col("__s.pos").alias("pos") :+ col("__s.fp").alias("fp"): _*)
   }
 
   /** Winnowing near-dup candidate pairs — the MOSS index stage over

@@ -1321,6 +1321,7 @@ object StreamingTSDF {
 
   // --------------------------------------------- streaming novelty gate
   case class NoveltyFp(fp: Long, doc: Long)
+  case class NoveltyFpT(fp: Long, doc: Long, eventTime: java.sql.Timestamp)
 
   /** Ingest-time first-occurrence novelty gate — the streaming face of
     * [[graft.pipeline.TextAnalysis.winnowNovelty]], the dedup-priority
@@ -1346,29 +1347,79 @@ object StreamingTSDF {
     * aggregate shuffles on. The per-(fp, batch) doc set materialized in
     * the group function is bounded by the fingerprint's document
     * frequency within the batch (the bounded-by-semantics per-group
-    * contract class). Ids must be castable to long. */
+    * contract class). Ids must be castable to long.
+    *
+    * State lifecycle: with the defaults, ownership is remembered FOREVER
+    * (NoTimeout) — state grows with the distinct-fingerprint universe,
+    * the correct gate for a bounded corpus build. For unbounded rolling
+    * ingestion pass `stateTtl` + `eventTimeCol` (the [[asofJoin]]
+    * convention): a fingerprint's ownership is evicted once the
+    * event-time watermark passes its LAST sighting by the TTL — the
+    * corpus-rotation horizon — after which the next arrival re-claims it
+    * as novel (the answer a batch re-run over the retained window would
+    * give). Total state is then bounded by the fingerprints ACTIVE
+    * within one TTL horizon instead of all fingerprints ever seen. */
   def noveltyOwnership(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 5, w: Int = 4): DataFrame = {
+      k: Int = 5, w: Int = 4, stateTtl: Option[String] = None,
+      eventTimeCol: Option[String] = None): DataFrame = {
+    require(stateTtl.isDefined == eventTimeCol.isDefined,
+      "stateTtl and eventTimeCol come together (event-time TTL eviction)")
     val spark = df.sparkSession
     import spark.implicits._
-    val fps = graft.pipeline.TextAnalysis.winnowFingerprints(
-        df, textCol, idCol, k, w)
-      .select(col("fp"), col(idCol).cast(LongType).alias("doc"))
-      .as[NoveltyFp]
-    fps.groupByKey(_.fp)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
-        (fp: Long, rows: Iterator[NoveltyFp], state: GroupState[Long]) =>
-          val docs = rows.map(_.doc).toSet
-          if (docs.isEmpty) Iterator.empty
-          else {
-            val owner =
-              if (state.exists) state.get
-              else { val m = docs.min; state.update(m); m }
-            docs.iterator.map(d => (d, fp, d == owner))
-          }
-      }
-      .toDF(idCol, "fp", "novel")
+    if (stateTtl.isEmpty) {
+      val fps = graft.pipeline.TextAnalysis.winnowFingerprints(
+          df, textCol, idCol, k, w)
+        .select(col("fp"), col(idCol).cast(LongType).alias("doc"))
+        .as[NoveltyFp]
+      fps.groupByKey(_.fp)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.NoTimeout()) {
+          (fp: Long, rows: Iterator[NoveltyFp], state: GroupState[Long]) =>
+            val docs = rows.map(_.doc).toSet
+            if (docs.isEmpty) Iterator.empty
+            else {
+              val owner =
+                if (state.exists) state.get
+                else { val m = docs.min; state.update(m); m }
+              docs.iterator.map(d => (d, fp, d == owner))
+            }
+        }
+        .toDF(idCol, "fp", "novel")
+    } else {
+      val ttl = stateTtl.get
+      val fps = graft.pipeline.TextAnalysis.winnowFingerprints(
+          df, textCol, idCol, k, w, carryCols = Seq(eventTimeCol.get))
+        .select(col("fp"), col(idCol).cast(LongType).alias("doc"),
+          col(eventTimeCol.get).alias("eventTime"))
+        .withWatermark("eventTime", ttl)
+        .as[NoveltyFpT]
+      fps.groupByKey(_.fp)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout()) {
+          (fp: Long, rows: Iterator[NoveltyFpT], state: GroupState[Long]) =>
+            if (state.hasTimedOut) {
+              state.remove() // ownership forgotten past the rotation horizon
+              Iterator.empty
+            } else {
+              val batch = rows.toArray
+              if (batch.isEmpty) Iterator.empty
+              else {
+                val docs = batch.map(_.doc).toSet
+                val owner =
+                  if (state.exists) state.get
+                  else { val m = docs.min; state.update(m); m }
+                // keep-alive: eviction clock restarts at the fp's LAST
+                // sighting (floor-clamped above the current watermark,
+                // the asofJoin convention)
+                val lastMs = batch.map(_.eventTime.getTime).max
+                state.setTimeoutTimestamp(
+                  math.max(lastMs, state.getCurrentWatermarkMs() + 1), ttl)
+                docs.iterator.map(d => (d, fp, d == owner))
+              }
+            }
+        }
+        .toDF(idCol, "fp", "novel")
+    }
   }
 
   /** The batch-formula rollup over a [[noveltyOwnership]] sink: per-doc

@@ -381,6 +381,105 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     assertDfEquality(streamed, batchNov)
   }
 
+  test("noveltyOwnership OUT-OF-ORDER ingestion: streamed scores equal the " +
+      "first-ARRIVAL reference, and exactly the predicted doc set flips " +
+      "non-novel vs the batch min-id answer") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(229)
+    val pool = Vector.tabulate(20)(i =>
+      (0 until 8).map(_ => s"w${rnd.nextInt(30)}").mkString(" ") + s" s$i")
+    val docs = (0 until 60).map { id =>
+      (id.toLong, (0 until 1 + rnd.nextInt(3))
+        .map(_ => pool(rnd.nextInt(pool.size))).mkString(". "))
+    }
+    // deliberately id-DESCENDING batch schedule: later ids arrive first
+    val schedule = Seq(docs.slice(40, 60), docs.slice(20, 40), docs.slice(0, 20))
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingTSDF.noveltyOwnership(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id", k = 5, w = 4)
+    val q = out.writeStream.format("memory").queryName("novelty_ooo_sink")
+      .outputMode(OutputMode.Append()).start()
+    schedule.foreach { b => mem.addData(rnd.shuffle(b): _*); q.processAllAvailable() }
+    q.stop()
+    // driver reference: doc -> distinct fps from the batch fingerprint op
+    val docFps = graft.pipeline.TextAnalysis.winnowFingerprints(
+        docs.toDF("doc_id", "text"), "text", "doc_id", k = 5, w = 4)
+      .select(col("doc_id"), col("fp")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val arrivalRound = schedule.zipWithIndex
+      .flatMap { case (b, i) => b.map(d => d._1 -> i) }.toMap
+    def ownerBy(order: Long => (Int, Long)): Map[Long, Long] = docFps.toSeq
+      .flatMap { case (d, fps) => fps.map(f => f -> d) }
+      .groupBy(_._1).map { case (f, v) => f -> v.map(_._2).minBy(order) }
+    val streamOwner = ownerBy(d => (arrivalRound(d), d)) // first ARRIVAL, min id in round
+    val batchOwner = ownerBy(d => (0, d))                // global min id
+    def scoresOf(owner: Map[Long, Long]): Map[Long, (Long, Long)] =
+      docFps.map { case (d, fps) =>
+        d -> (fps.size.toLong, fps.count(f => owner(f) == d).toLong) }.toMap
+    val expStream = scoresOf(streamOwner)
+    val expBatch = scoresOf(batchOwner)
+    val got = StreamingTSDF.noveltyScores(
+        spark.table("novelty_ooo_sink"), "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expStream, "streamed != first-arrival reference")
+    // the flip set: exactly the docs whose ownership the arrival order moved
+    val predictedFlips = expStream.keySet.filter(d => expStream(d) != expBatch(d))
+    assert(predictedFlips.nonEmpty,
+      "fixture failed to create any out-of-order ownership flip")
+    val batchNov = graft.pipeline.TextAnalysis.winnowNovelty(
+        docs.toDF("doc_id", "text"), "text", "doc_id", k = 5, w = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(batchNov == expBatch, "batch operator != min-id reference")
+    val actualFlips = got.keySet.filter(d => got(d) != batchNov(d))
+    assert(actualFlips == predictedFlips,
+      s"flip set mismatch: got $actualFlips expected $predictedFlips")
+  }
+
+  test("noveltyOwnership stateTtl: ownership is forgotten past the " +
+      "event-time rotation horizon (re-claim scores novel again); the " +
+      "no-TTL gate keeps it forever") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tX = "alpha beta gamma delta epsilon zeta eta theta"
+    val others = Seq("one two three four five six seven eight",
+      "red green blue cyan magenta yellow black white",
+      "north south east west up down left right")
+    def run(ttl: Option[String]): Map[Long, (Long, Long)] = {
+      val mem = MemoryStream[(Long, String, Timestamp)]
+      val name = s"novelty_ttl_${ttl.isDefined}"
+      val out = StreamingTSDF.noveltyOwnership(
+        mem.toDF().toDF("doc_id", "text", "etime"), "text", "doc_id",
+        k = 5, w = 4, stateTtl = ttl,
+        eventTimeCol = ttl.map(_ => "etime"))
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      def t(min: Int) = new Timestamp(base + min * 60_000L)
+      val batches = Seq(
+        Seq((1L, tX, t(0))),          // doc 1 claims X's fps at 00:00
+        Seq((2L, others(0), t(2))),   // unrelated; watermark still low
+        Seq((3L, others(1), t(30))),  // watermark -> 20:00 after this batch
+        Seq((4L, others(2), t(31))),  // X's fps (timeout 10:00) evict here
+        Seq((5L, tX, t(32))))         // doc 5 re-claims X verbatim
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      StreamingTSDF.noveltyScores(spark.table(name), "doc_id")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    val withTtl = run(Some("10 minutes"))
+    // doc 5 re-claims every fingerprint doc 1 owned: fully novel again
+    assert(withTtl(1L)._1 == withTtl(1L)._2 && withTtl(1L)._1 > 0)
+    assert(withTtl(5L) == withTtl(1L),
+      s"doc 5 must be fully novel after the horizon: $withTtl")
+    // control: without TTL the duplicate is fully NON-novel
+    val noTtl = run(None)
+    assert(noTtl(5L)._1 == noTtl(1L)._1 && noTtl(5L)._2 == 0L,
+      s"doc 5 must stay non-novel without TTL: $noTtl")
+  }
+
   test("property: kmDeltas and batch kaplanMeier agree on a NULLABLE " +
       "event column (null-event rows dropped by BOTH paths)") {
     val spark2 = spark
