@@ -3396,6 +3396,30 @@ object SparkEntry {
     unigramTableCache.computeIfAbsent(dir,
       _ => graft.pipeline.Unigram.train(docs(s, dir), "text"))
 
+  /** One EM-refined unigram table per sf dir (one deterministic hard-EM
+    * iteration over the frozen count-derived table). */
+  private val unigramEmTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.functions.UnigramTable]()
+  private def unigramEmTable(s: SparkSession,
+      dir: String): graft.functions.UnigramTable =
+    unigramEmTableCache.computeIfAbsent(dir,
+      _ => graft.pipeline.Unigram.emRefine(docs(s, dir), "text",
+        unigramTable(s, dir)))
+
+  /** Unigram tokenizer after ONE hard-EM re-estimation pass
+    * ([[graft.pipeline.Unigram.emRefine]]): same vocabulary, piece
+    * probabilities re-fit to the corpus's own Viterbi-best usage — the
+    * SentencePiece refinement loop's engine-replayable core. Same
+    * output contract as [[qUnigramTokens]]; the dynamic oracle embeds
+    * the REFINED scores in the identical fixed-length-fold replay. */
+  private def qUnigramEm(s: SparkSession, dir: String): DataFrame = {
+    val t = unigramEmTable(s, dir)
+    docs(s, dir).select(col("doc_id"),
+      graft.pipeline.Unigram.tokenCount(col("text"), t)
+        .alias("n_unigram_tokens"),
+      graft.pipeline.Unigram.tokensWrapped(col("text"), t).alias("toks"))
+  }
+
   /** Unigram-LM (SentencePiece-family) tokenizer face — Viterbi decode
     * under a count-derived vocabulary with integer log-prob scores;
     * emits count AND the wrapped token sequence so the oracle gates
@@ -4170,6 +4194,7 @@ object SparkEntry {
     "q_bpe_tokens" -> qBpeTokens _,
     "q_bpe_bytes" -> qBpeBytes _,
     "q_unigram_tokens" -> qUnigramTokens _,
+    "q_unigram_em" -> qUnigramEm _,
     "q_stream_unigram" -> qStreamUnigram _,
     "q_tokenizer_compare" -> qTokenizerCompare _,
     "q_pack_unigram" -> qPackUnigram _,
@@ -4282,6 +4307,9 @@ object SparkEntry {
       // the streaming gate scores statelessly under the same frozen
       // table, so it shares the replay verbatim
       "q_stream_unigram" -> unigramTokensOracle(s, dir),
+      // the EM face is the identical replay with the REFINED scores
+      // embedded (same vocabulary, re-estimated probabilities)
+      "q_unigram_em" -> unigramTokensOracleFor(unigramEmTable(s, dir)),
       "q_tokenizer_compare" -> tokenizerCompareOracle(s, dir),
       "q_pack_unigram" -> packUnigramOracle(s, dir))
   }
@@ -4329,8 +4357,12 @@ object SparkEntry {
     * candidates, so 'first' is decoration, not a tiebreak). Validated
     * 65/65 against an independent Viterbi on a mixed-length multirow
     * batch (the always-test-multirow rule). */
-  private def unigramTokensOracle(s: SparkSession, dir: String): String = {
-    val t = unigramTable(s, dir)
+  private def unigramTokensOracle(s: SparkSession, dir: String): String =
+    unigramTokensOracleFor(unigramTable(s, dir))
+
+  /** The same replay parameterized by the table — shared by the frozen
+    * count-derived face and the EM-refined face. */
+  private def unigramTokensOracleFor(t: graft.functions.UnigramTable): String = {
     val W = t.chunkLen
     val L = t.maxPieceLen
     val ks = t.pieces.map(p => s"'${p._1}'").mkString("[", ", ", "]")

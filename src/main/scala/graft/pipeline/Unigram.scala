@@ -62,6 +62,56 @@ object Unigram {
     new UnigramTable(scored.toArray, maxPieceLen, unk)
   }
 
+  /** One deterministic HARD-EM refinement iteration — the re-estimation
+    * pass real SentencePiece runs, frozen to the engine-replayable core:
+    * E-step segments every word of the bounded word-frequency table with
+    * `t`'s own Viterbi (the exact decode the encoder runs, total-order
+    * tiebreaks and all) and accumulates INTEGER piece counts weighted by
+    * word frequency; M-step keeps the SAME vocabulary (probabilities are
+    * re-estimated, coverage and the decode∘encode identity survive
+    * untouched) and re-scores add-one over the used mass:
+    * score(p) = floor(ln((c(p)+1)/(Σc+V))·10⁶+0.5), unk 10 nats below
+    * the minimum (the [[train]] convention). Pieces the corpus's own
+    * best segmentation never uses collapse toward the floor while used —
+    * especially longer — pieces gain mass, so the refined table
+    * segments with measurably LOWER fertility (pinned in the spec).
+    *
+    * Scale shape identical to [[train]]: one map-side-combinable
+    * word-count aggregate is the only corpus-scale step; the E-step runs
+    * driver-side over the capped word table (≤ maxVocabWords Viterbi
+    * decodes of ≤ a few dozen chars — bounded by construction).
+    * Determinism: counts are exact integers, the E-step segmentation is
+    * the deterministic Viterbi, and the M-step is a pure function of the
+    * integer counts — the refined table is a pure function of
+    * (corpus, t) and embeds verbatim in the oracle. */
+  def emRefine(df: DataFrame, textCol: String, t: UnigramTable,
+      maxVocabWords: Int = 10000): UnigramTable = {
+    val wf = Bpe.wordCounts(df, textCol, maxVocabWords).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val cnt = new java.util.HashMap[String, java.lang.Long]()
+    wf.foreach { case (w, f) =>
+      t.encodeWord(w).foreach { p =>
+        val c = cnt.get(p)
+        cnt.put(p, if (c == null) f else c.longValue() + f)
+      }
+    }
+    val tot = {
+      var s = 0L
+      val it = cnt.values().iterator()
+      while (it.hasNext) s += it.next().longValue()
+      s
+    }
+    val v = t.pieces.length
+    val scored = t.pieces.map { case (p, _) =>
+      val c = Option(cnt.get(p)).map(_.longValue()).getOrElse(0L)
+      (p, math.floor(math.log((c + 1).toDouble / (tot + v).toDouble) * 1e6
+        + 0.5).toLong)
+    }
+    val unk =
+      (if (scored.isEmpty) 0L else scored.iterator.map(_._2).min) - 10000000L
+    new UnigramTable(scored, t.maxPieceLen, unk, t.chunkLen)
+  }
+
   /** Tokenizer-true token count column under a trained table. */
   def tokenCount(text: Column, table: UnigramTable): Column =
     org.apache.spark.sql.GraftColumns.column(

@@ -278,4 +278,67 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("unigram emRefine: deterministic, same vocabulary, measurably LOWER " +
+      "fertility than the frozen count-derived table, and a driver-recomputed " +
+      "E/M step reproduces the refined scores exactly") {
+    import spark.implicits._
+    val docs = fixtureCounts.flatMap { case (w, f) =>
+      Seq.fill(f.toInt)(w) }.zipWithIndex
+      .map { case (w, i) => (i.toLong, w + " " + w) }
+      .toDF("doc_id", "text")
+    val t0 = Unigram.train(docs, "text", vocabSize = 20, maxPieceLen = 3)
+    val t1 = Unigram.emRefine(docs, "text", t0)
+    val t1b = Unigram.emRefine(docs, "text", t0)
+    assert(t1.pieces.toSeq == t1b.pieces.toSeq && t1.unkScoreQ == t1b.unkScoreQ)
+    // same vocabulary, re-estimated probabilities
+    assert(t1.pieces.map(_._1).toSeq == t0.pieces.map(_._1).toSeq)
+    assert(t1.pieces.toSeq != t0.pieces.toSeq, "EM must move some score")
+    // driver reference of the hard E-step + add-one M-step
+    val wf = Bpe.wordCounts(docs, "text", 10000).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val cnt = scala.collection.mutable.Map.empty[String, Long]
+    wf.foreach { case (w, f) =>
+      t0.encodeWord(w).foreach(p => cnt(p) = cnt.getOrElse(p, 0L) + f) }
+    val tot = cnt.values.sum
+    val v = t0.pieces.length
+    t1.pieces.foreach { case (p, s) =>
+      val exp = math.floor(math.log(
+        (cnt.getOrElse(p, 0L) + 1).toDouble / (tot + v).toDouble) * 1e6
+        + 0.5).toLong
+      assert(s == exp, s"piece '$p'")
+    }
+    // fertility: the count-derived scores OVERCOUNT overlapping
+    // substrings (every char position feeds ~maxPieceLen pieces), so a
+    // rare word's own full-length piece can lose to a split through
+    // substring-inflated pieces; hard-EM collapses unused mass and the
+    // full piece wins back. Constructed witness: under t0, c('xyz')=1
+    // loses to the split (2 tokens); after EM the char/bigram hard mass
+    // concentrates on xy/yz/zx (their standalone words) and
+    // p'(xyz)=1/(tot+V) beats the product of the split's tiny re-fit
+    // scores -> one token. Fertility drops 32 -> 31.
+    val fertDocs = (Seq.fill(10)("xy") ++ Seq.fill(10)("yz") ++
+      Seq.fill(10)("zx") ++ Seq("xyz")).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val ft0 = Unigram.train(fertDocs, "text", vocabSize = 20, maxPieceLen = 3)
+    val ft1 = Unigram.emRefine(fertDocs, "text", ft0)
+    val fwf = Bpe.wordCounts(fertDocs, "text", 10000).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def fertility(t: graft.functions.UnigramTable): Long =
+      fwf.iterator.map { case (w, f) => t.encodeWord(w).length.toLong * f }.sum
+    val (f0, f1) = (fertility(ft0), fertility(ft1))
+    info(s"fertility: frozen $f0 -> EM-refined $f1")
+    assert(ft0.encodeWord("xyz").length == 2,
+      s"fixture premise: t0 splits xyz, got ${ft0.encodeWord("xyz").toSeq}")
+    assert(ft1.encodeWord("xyz").toSeq == Seq("xyz"),
+      s"EM must win xyz back as one piece: ${ft1.encodeWord("xyz").toSeq}")
+    assert(f1 < f0, s"EM must lower fertility on the fixture: $f0 -> $f1")
+    // the structural guarantees survive re-scoring
+    val rnd = new scala.util.Random(29)
+    (0 until 100).foreach { _ =>
+      val w = (0 until 1 + rnd.nextInt(40))
+        .map(_ => "lowestnewidr".charAt(rnd.nextInt(12))).mkString
+      assert(t1.decodeWord(t1.encodeWord(w).toSeq) == w, w)
+    }
+  }
+
 }
