@@ -1105,9 +1105,21 @@ object SparkEntry {
     * such parallelism. Conf isolation via `newSession` (shared catalog and
     * SparkContext, fresh conf) — the caller's session keeps its
     * partitioning. */
+  /** Per-stream-query session. `SPARK_GRAFT_STATESTORE=rocksdb` flips
+    * every stateful operator onto the RocksDB state store provider —
+    * Spark's shipped answer to 100-TB streaming state (the
+    * HDFSBackedStateStore default holds each partition's full state map
+    * on-heap per executor; RocksDB spills to local disk with changelog
+    * checkpointing). The oracle gate itself runs under either provider
+    * (the SPARK_GRAFT_MATERIALIZER passthrough convention) — operators
+    * never read this conf, so outputs are provider-identical by
+    * construction and the q_stream_* rows verify it. */
   private def streamSession(s: SparkSession): SparkSession = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", 4)
+    if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb"))
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     ss
   }
 
