@@ -4384,6 +4384,26 @@ object OracleSql {
         |  CAST(sum(v) * 64 AS BIGINT) AS sample_sum
         |FROM fb GROUP BY doc_id, fi, w, h""".stripMargin,
 
+    // Scene-cut replay: consecutive-frame SAD from the block arithmetic —
+    // all 64 pixels of a block share one value, so the transition SAD is
+    // 64·Σ_blocks |v_f − v_{f−1}|; constant dims per clip, so the
+    // resolution-change arm never fires in the fixture.
+    "q_scene_cuts" ->
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n,
+        |  8 * (1 + doc_id % 3) AS w, 8 * (1 + (doc_id * 2) % 3) AS h
+        |  FROM documents),
+        |fb AS (SELECT doc_id, f.f AS fi, by.by AS by, bx.bx AS bx,
+        |  (doc_id % 251 + 29 * f.f + 17 * by.by + 23 * bx.bx) % 256 AS v
+        |  FROM d, range(8) f(f), range(3) by(by), range(3) bx(bx)
+        |  WHERE f.f < n AND by.by < h // 8 AND bx.bx < w // 8)
+        |SELECT a.doc_id, CAST(b.fi AS INT) AS frame_idx,
+        |  CAST(count(*) * 64 AS BIGINT) AS n_samples,
+        |  CAST(sum(abs(b.v - a.v)) * 64 AS BIGINT) AS sad,
+        |  sum(abs(b.v - a.v)) * 64 >= 64 * count(*) * 64 AS is_cut
+        |FROM fb a JOIN fb b ON a.doc_id = b.doc_id AND a.by = b.by
+        |  AND a.bx = b.bx AND b.fi = a.fi + 1
+        |GROUP BY a.doc_id, b.fi""".stripMargin,
+
     // Real frame sampling replay: 400 ms lattice, covering-frame index
     // from the exact (rate=fps, scale=1) rational, per-frame sums joined
     // from the same block arithmetic as q_decode_video.
@@ -5353,6 +5373,7 @@ object OracleSql {
     "q_stream_lm_kn" -> lmKnSql,
     "q_lm_kn" -> lmKnSql,
     "q_lm_kn3" -> lmKn3Sql,
+    "q_stream_lm_kn3" -> lmKn3Sql,
 
     // CCNet head/middle/tail: ntile(3) over (score desc, doc_id) on the
     // shared KN replay — standard-SQL ntile (earlier buckets take the
@@ -5402,6 +5423,50 @@ object OracleSql {
     // Grouped OLS replay: exact BIGINT moment sums, the identical
     // fixed-order Cramer determinants in double space, null on singular.
     "q_group_ols" -> groupOlsSql,
+    // Split-conformal replay: the 60/20/20 chronological split, the
+    // scaled-integer residuals |y·n_train − sum_train| (train mean kept
+    // rational), the k = ⌈(n_cal+1)·900/1000⌉-th smallest calibration
+    // residual (k > n_cal ⇒ infinite interval ⇒ all covered, null q),
+    // one terminal coverage division.
+    "q_conformal" ->
+      """WITH e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS y,
+        |  ts, event_id FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT user_id, y,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS BIGINT) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM e),
+        |m AS (SELECT *, n * 3 // 5 AS ntr, n * 4 // 5 AS nc8 FROM r
+        |  WHERE n * 3 // 5 >= 1 AND n * 4 // 5 > n * 3 // 5
+        |    AND n > n * 4 // 5),
+        |tr AS (SELECT user_id, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(count(*) AS BIGINT) AS ntrain
+        |  FROM m WHERE rn <= ntr GROUP BY 1),
+        |cal AS (SELECT m.user_id, abs(m.y * tr.ntrain - tr.sy) AS resid,
+        |  m.rn FROM m JOIN tr ON m.user_id = tr.user_id
+        |  WHERE m.rn > m.ntr AND m.rn <= m.nc8),
+        |calst AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_cal
+        |  FROM cal GROUP BY 1),
+        |calrk AS (SELECT user_id, resid, CAST(row_number() OVER (
+        |  PARTITION BY user_id ORDER BY resid, rn) AS BIGINT) AS rr
+        |  FROM cal),
+        |q AS (SELECT calrk.user_id, resid AS q_scaled
+        |  FROM calrk JOIN calst ON calrk.user_id = calst.user_id
+        |  WHERE rr = ((n_cal + 1) * 900 + 999) // 1000),
+        |tst AS (SELECT m.user_id, CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN q.q_scaled IS NULL
+        |    OR abs(m.y * tr.ntrain - tr.sy) <= q.q_scaled
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  any_value(q.q_scaled) AS q_scaled,
+        |  any_value(tr.ntrain) AS n_train
+        |  FROM m JOIN tr ON m.user_id = tr.user_id
+        |  LEFT JOIN q ON m.user_id = q.user_id
+        |  WHERE m.rn > m.nc8 GROUP BY m.user_id)
+        |SELECT t.user_id, n_train + c.n_cal + n_test AS n, n_train,
+        |  c.n_cal, n_test, q_scaled, n_covered,
+        |  CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE) AS coverage
+        |FROM tst t JOIN calst c ON t.user_id = c.user_id""".stripMargin,
 
     // Theil–Sen replay: one division per ordered pair, exact selection of
     // the ⌈m/2⌉-th smallest under the (slope, tie_i, tie_j) total order

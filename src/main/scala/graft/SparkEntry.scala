@@ -2252,6 +2252,21 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id")), "doc_id")
   }
 
+  /** Streaming TRIGRAM Kneser–Ney perplexity gate — the production LM
+    * order at the ingest boundary: the frozen trigram model's joins are
+    * all stream-static (one level deeper than [[qStreamLmKn]], same
+    * stateless-contribs contract), the per-doc fold runs over the sink
+    * ([[graft.pipeline.TextAnalysis.lmKneserNey3Finish]]). Shares
+    * q_lm_kn3's replay verbatim. */
+  private def qStreamLmKn3(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val sink = runStream(s, graft.pipeline.TextAnalysis.lmKneserNey3Contribs(
+      docs(s, dir), docsStream(s, dir).select(col("doc_id"), col("text")),
+      "text", "doc_id"))
+    graft.pipeline.TextAnalysis.lmKneserNey3Finish(sink,
+      docs(s, dir).select(col("doc_id")), "doc_id")
+  }
+
   /** Grouped multivariate OLS ([[graft.pipeline.Regression.groupOls2]]):
     * per user, cent value regressed on (hour-of-day, weekday) — exact
     * integer moment sums, fixed-order Cramer solve, null βs on
@@ -2260,6 +2275,19 @@ object SparkEntry {
     graft.pipeline.Regression.groupOls2(events(s, dir), Seq("user_id"),
       hour(col("ts")).cast(LongType), weekday(col("ts")).cast(LongType),
       cents(col("value")).cast(LongType))
+
+  /** Split-conformal prediction intervals per user
+    * ([[graft.pipeline.Regression.conformalSplit]]): chronological
+    * 60/20/20 split of each user's event values, train-mean predictor
+    * kept as an exact rational, calibration-residual conformal quantile
+    * at α = 0.1, coverage measured on the held-out tail — the
+    * distribution-free interval artifact next to q_walk_forward's point
+    * forecasts. */
+  private def qConformal(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Regression.conformalSplit(
+      events(s, dir).filter(col("ts").isNotNull && col("value").isNotNull),
+      Seq("user_id"), cents(col("value")).cast(LongType),
+      Seq(col("ts"), col("event_id")), alphaMilli = 100L)
 
   /** Gini concentration ([[graft.pipeline.Profile.giniConcentration]]):
     * per nation, how concentrated is order revenue across customers —
@@ -3800,6 +3828,23 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload", everyMs = 400L)
 
+  /** REAL shot-boundary detection ([[graft.pipeline.Video.sceneCuts]]):
+    * per-transition SAD over consecutively DECODED frames — the engine
+    * walks the container, huffman-decodes + IDCTs every frame, and
+    * differences real pixels; a cut fires at mean |Δ| ≥ 64 gray levels.
+    * The fixture's +29-per-frame mod-256 block walk makes wrap-around
+    * blocks (|Δ| = 227 instead of 29) the cut signal, so flags vary per
+    * transition; the oracle restates the SADs from the generating
+    * arithmetic. Keyframe-per-shot selection for a video training corpus
+    * reads directly off this frame. */
+  private def qSceneCuts(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Video.sceneCuts(
+      graft.pipeline.Video.synthesizeAviPayload(
+        docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id"),
+      "doc_id", "payload", threshold = 64)
+
   /** REAL decoded-sample histograms over the full codec dispatch: one
     * mixed corpus (PNG / baseline JPEG / PCM WAV / MJPEG AVI by id % 4,
     * every payload carrying real content), every bin count restated by the
@@ -4130,10 +4175,12 @@ object SparkEntry {
     "q_lm_kn" -> qLmKn _,
     "q_stream_lm_kn" -> qStreamLmKn _,
     "q_lm_kn3" -> qLmKn3 _,
+    "q_stream_lm_kn3" -> qStreamLmKn3 _,
     "q_ppl_buckets" -> qPplBuckets _,
     "q_ppl_buckets_scaled" -> qPplBucketsScaled _,
     "q_fd" -> qFd _,
     "q_group_ols" -> qGroupOls _,
+    "q_conformal" -> qConformal _,
     "q_theil_sen" -> qTheilSen _,
     "q_mann_kendall" -> qMannKendall _,
     "q_welch" -> qWelch _,
@@ -4247,6 +4294,7 @@ object SparkEntry {
     "q_stream_nucleus" -> qStreamNucleus _,
     "q_frame_plan" -> qFramePlan _,
     "q_frame_sample" -> qFrameSample _,
+    "q_scene_cuts" -> qSceneCuts _,
     "q_media_coverage" -> qMediaCoverage _,
     "q_pixel_hist" -> qPixelHist _,
     "q_image_dhash" -> qImageDhash _,

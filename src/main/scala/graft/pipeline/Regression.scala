@@ -171,4 +171,90 @@ object Regression {
       .select(groupCols.map(col) ++ Seq(col("n"), col("s_stat"),
         col("var_num"), col("z")): _*)
   }
+
+  /** Split-conformal prediction intervals per group (Vovk et al. 2005;
+    * the split/inductive form of Lei et al. 2018) — distribution-free
+    * coverage for a per-entity forecast, the calibration artifact a
+    * model-evaluation pipeline ships next to its point predictions:
+    * chronological 60/20/20 train/calibration/test split per group,
+    * point predictor = train mean, interval half-width = the conformal
+    * quantile of calibration residuals at miscoverage α, and the
+    * held-out tail measures empirical coverage (guaranteed ≥ 1−α in
+    * expectation under exchangeability).
+    *
+    * Exact integers end to end: the train mean is kept as the RATIONAL
+    * (sum_y, n_train) — never divided — so residuals are the scaled
+    * integers |y·n_train − sum_y|, the conformal quantile is the
+    * k = ⌈(n_cal+1)(1−α)⌉-th smallest calibration residual by exact
+    * per-group rank (k > n_cal ⇒ the interval is infinite ⇒ every test
+    * point covered, the standard small-sample convention, q_scaled
+    * null), and coverage is one terminal division. α arrives in
+    * milli-units (alphaMilli = 100 ⇒ 90% target coverage); `y` must be
+    * integer-valued (the cents contract).
+    *
+    * Scale shape: two per-GROUP-partitioned windows (arrival rank,
+    * residual rank — never global), one map-side-combinable train
+    * aggregate, group-key equi-joins throughout; groups too small to
+    * split (any split slice empty) are dropped, documented. Output:
+    * groupCols ++ (n, n_train, n_cal, n_test, q_scaled, n_covered,
+    * coverage). */
+  def conformalSplit(df: DataFrame, groupCols: Seq[String], y: Column,
+      orderCols: Seq[Column], alphaMilli: Long = 100L): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(alphaMilli > 0 && alphaMilli < 1000, "alphaMilli in (0,1000)")
+    val g = groupCols.map(col)
+    val oAliases = orderCols.indices.map(i => col(s"__o$i"))
+    val wArr = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(oAliases: _*)
+    val wGrp = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+    val ranked = df
+      .select(groupCols.map(col) ++ Seq(y.cast("long").alias("__y")) ++
+        orderCols.zipWithIndex.map { case (c, i) => c.alias(s"__o$i") }: _*)
+      .withColumn("__rn", row_number().over(wArr).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wGrp))
+    val nTrain = call_function("div", col("__n") * 3L, lit(5L))
+    val nCal8 = call_function("div", col("__n") * 4L, lit(5L))
+    val marked = ranked
+      .withColumn("__role", when(col("__rn") <= nTrain, lit("train"))
+        .when(col("__rn") <= nCal8, lit("cal")).otherwise(lit("test")))
+      .withColumn("__ntr", nTrain)
+      .filter(nTrain >= 1L && nCal8 > nTrain && col("__n") > nCal8)
+    val trainAgg = marked.filter(col("__role") === "train")
+      .groupBy(g: _*)
+      .agg(sum(col("__y")).alias("__sy"),
+        count(lit(1)).alias("__ntrain"))
+    val resid = abs(col("__y") * col("__ntrain") - col("__sy"))
+    val calR = marked.filter(col("__role") === "cal")
+      .join(trainAgg, groupCols)
+      .withColumn("__r", resid)
+      .withColumn("__ncal", count(lit(1)).over(wGrp))
+    // k = ceil((n_cal+1)(1000-alpha)/1000); rank ties broken by arrival
+    // index — the k-th smallest VALUE is rank-order independent anyway
+    val k = call_function("div",
+      (col("__ncal") + 1L) * (1000L - alphaMilli) + 999L, lit(1000L))
+    val wRes = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__r").asc, col("__rn").asc)
+    val qRow = calR
+      .withColumn("__rr", row_number().over(wRes).cast("long"))
+      .filter(col("__rr") === k)
+      .select(groupCols.map(col) :+ col("__r").alias("__q"): _*)
+    val calStats = calR.groupBy(g: _*)
+      .agg(count(lit(1)).alias("n_cal"))
+    val testCovered = marked.filter(col("__role") === "test")
+      .join(trainAgg, groupCols)
+      .join(qRow, groupCols, "left")
+      .groupBy(g: _*)
+      .agg(count(lit(1)).alias("n_test"),
+        sum(when(col("__q").isNull || resid <= col("__q"), 1L)
+          .otherwise(0L)).alias("n_covered"),
+        first(col("__q")).alias("q_scaled"),
+        first(col("__ntrain")).alias("n_train"))
+    testCovered.join(calStats, groupCols)
+      .select(groupCols.map(col) ++ Seq(
+        (col("n_train") + col("n_cal") + col("n_test")).alias("n"),
+        col("n_train"), col("n_cal"), col("n_test"), col("q_scaled"),
+        col("n_covered"),
+        (col("n_covered").cast(DoubleType) /
+          col("n_test").cast(DoubleType)).alias("coverage")): _*)
+  }
 }

@@ -797,11 +797,20 @@ object TextAnalysis {
     * production ingest-filter shape (and the only one whose unseen
     * back-off arms can fire). */
   def lmKneserNey3ScoreAgainst(train: DataFrame, df: DataFrame,
-      textCol: String, idCol: String): DataFrame = {
-    val c = lmKneserNey3Contribs(train, df, textCol, idCol)
-    val scored = c.groupBy(col(idCol))
+      textCol: String, idCol: String): DataFrame =
+    lmKneserNey3Finish(lmKneserNey3Contribs(train, df, textCol, idCol),
+      df.select(col(idCol)), idCol)
+
+  /** The per-doc fold over a [[lmKneserNey3Contribs]] frame (or its
+    * streaming sink — each (doc, trigram) contribution emits exactly
+    * once): the [[lmKneserNeyFinish]] contract one order up. `ids`
+    * supplies the full doc universe so trigram-less docs keep their
+    * zero row. */
+  def lmKneserNey3Finish(contribs: DataFrame, ids: DataFrame,
+      idCol: String): DataFrame = {
+    val scored = contribs.groupBy(col(idCol))
       .agg(count(lit(1)).alias("n_trigrams"), sum(col("__mu")).alias("sum_mu"))
-    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+    ids.join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_trigrams"), lit(0L)).alias("n_trigrams"),
         coalesce(col("sum_mu"), lit(0L)).alias("sum_mu"),

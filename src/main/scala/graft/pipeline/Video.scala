@@ -511,6 +511,67 @@ object Video {
       .toDF()
   }
 
+  /** Shot-boundary (scene-cut) detection by sum-of-absolute-differences —
+    * the classical pixel-difference detector (frame differencing, the
+    * baseline in every shot-detection survey): for each consecutive frame
+    * pair, SAD = Σ_pixels |v_f − v_{f−1}| over the REAL decoded samples,
+    * and a cut fires where the mean absolute difference reaches
+    * `threshold` gray levels — `sad ≥ threshold · n_samples`, exact
+    * integers end to end (|sad| ≤ 255·n, no quantization anywhere).
+    *
+    * One output row per TRANSITION (frame_idx = the incoming frame,
+    * 1-based): (idCol, frame_idx, n_samples, sad, is_cut). A resolution
+    * change mid-clip is a hard cut by definition (format discontinuity):
+    * sad is null, is_cut true. Undecodable frames drop out of the
+    * sequence entirely (the [[videoFrameStats]] convention) — transitions
+    * are between consecutively-DECODED frames.
+    *
+    * Scale shape: the whole detector is a per-partition map over clips
+    * (frames of one clip are adjacent inside its payload — no shuffle,
+    * no window); memory holds ONE previous frame per clip, not the clip.
+    * Keyframe selection for a 100 TB training corpus reads off this
+    * frame: sample one frame per detected shot instead of a blind time
+    * lattice ([[sampleVideoFrames]]). */
+  def sceneCuts(df: DataFrame, idCol: String, payloadCol: String,
+      threshold: Int = 64): DataFrame = {
+    require(threshold > 0, "threshold must be positive gray levels")
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame_idx", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("sad", LongType),
+      StructField("is_cut", BooleanType)))
+    df.select(col(idCol), col(payloadCol))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          parseVideoMjpeg(r.getAs[Array[Byte]](1)).toSeq.flatMap { clip =>
+            val decoded = clip.frames.iterator.zipWithIndex.flatMap {
+              case (jfif, f) => Jpeg.decodeJpeg(jfif).map(img => (f, img))
+            }
+            var prev: Multimodal.DecodedImage = null
+            decoded.flatMap { case (f, img) =>
+              val out = if (prev == null) None
+              else if (prev.width != img.width || prev.height != img.height ||
+                  prev.channels != img.channels)
+                Some(Row(r.get(0), f, img.samples.length.toLong, null, true))
+              else {
+                var s = 0L
+                var i = 0
+                val a = prev.samples
+                val b = img.samples
+                while (i < b.length) { s += math.abs(b(i) - a(i)); i += 1 }
+                Some(Row(r.get(0), f, b.length.toLong, s,
+                  s >= threshold.toLong * b.length))
+              }
+              prev = img
+              out
+            }
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
   /** REAL frame sampling: every `everyMs` on the stream clock, decode THE
     * frame covering that instant — index = ⌊ts·rate / (1000·scale)⌋ from
     * the exact strh rational — and emit its pixel sum. This is

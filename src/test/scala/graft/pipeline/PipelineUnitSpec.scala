@@ -5263,6 +5263,106 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(sampled.size == nSampled)
   }
 
+  test("sceneCuts flags SAD >= threshold·n transitions and treats a " +
+      "resolution change as a hard cut") {
+    import spark.implicits._
+    // 300 ids: base = id % 251 must span high enough for mod-256 wrap
+    // transitions (|Δ| = 227 blocks) or the cut arm never fires
+    val ids = (0L until 300L).toDF("doc_id")
+    val pay = Video.synthesizeAviPayload(ids, "doc_id")
+    val got = Video.sceneCuts(pay, "doc_id", "payload", threshold = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    var expected = 0
+    for (id <- 0L until 300L) {
+      val n = (3 + id % 5).toInt
+      val w = (8 * (1 + id % 3)).toInt
+      val h = (8 * (1 + (id * 2) % 3)).toInt
+      val base = (id % 251).toInt
+      expected += n - 1
+      for (f <- 1 until n) {
+        var sad = 0L
+        for (by <- 0 until h / 8; bx <- 0 until w / 8) {
+          val a = (base + 29 * (f - 1) + 17 * by + 23 * bx) % 256
+          val b = (base + 29 * f + 17 * by + 23 * bx) % 256
+          sad += 64L * math.abs(b - a)
+        }
+        val row = got((id, f))
+        assert(row.getLong(2) == w.toLong * h, s"n id=$id f=$f")
+        assert(row.getLong(3) == sad, s"sad id=$id f=$f")
+        assert(row.getBoolean(4) == (sad >= 64L * w * h), s"cut id=$id f=$f")
+      }
+    }
+    assert(got.size == expected)
+    // the fixture must exercise BOTH flag arms or the gate is vacuous
+    val flags = got.values.map(_.getBoolean(4)).toSet
+    assert(flags == Set(true, false), s"one-sided fixture: $flags")
+    // mid-clip resolution change: sad null, is_cut true by definition
+    val mixed = Video.buildAviMjpeg(8, 8, 2, Seq(
+      Jpeg.buildJpegWithBlocks(8, 8, (_, _) => 10),
+      Jpeg.buildJpegWithBlocks(16, 8, (_, _) => 10),
+      Jpeg.buildJpegWithBlocks(16, 8, (_, _) => 10)))
+    val mdf = Seq((7L, mixed)).toDF("doc_id", "payload")
+    val m = Video.sceneCuts(mdf, "doc_id", "payload")
+      .collect().map(r => r.getInt(1) -> r).toMap
+    assert(m(1).isNullAt(3) && m(1).getBoolean(4), "dim change = hard cut")
+    assert(m(2).getLong(3) == 0L && !m(2).getBoolean(4))
+  }
+
+  test("conformalSplit: exact 60/20/20 split, conformal quantile rank, " +
+      "infinite-interval arm, and too-small groups dropped") {
+    import spark.implicits._
+    // group A: n = 50 (cal = 10 ⇒ k = ⌈11·0.9⌉ = 10, finite q);
+    // group B: n = 4 (cal = 1 ⇒ k = 2 > 1, infinite interval);
+    // group C: n = 2 (no cal slice — dropped entirely)
+    def yA(i: Long): Long = (i * 37 % 101) - 50
+    val rows = (1L to 50L).map(i => ("a", i, yA(i))) ++
+      Seq(("b", 1L, 5L), ("b", 2L, 7L), ("b", 3L, 100L), ("b", 4L, 6L)) ++
+      Seq(("c", 1L, 1L), ("c", 2L, 2L))
+    val df = rows.toDF("g", "ts", "y")
+    val got = Regression.conformalSplit(df, Seq("g"), col("y"),
+      Seq(col("ts")), alphaMilli = 100L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("a", "b"))
+    // replay group A by hand: train 1..30, cal 31..40, test 41..50
+    val sy = (1L to 30L).map(yA).sum
+    val resids = (31L to 40L).map(i => math.abs(yA(i) * 30L - sy)).sorted
+    val q = resids(9) // k = 10, 1-based
+    val covered = (41L to 50L).count(i => math.abs(yA(i) * 30L - sy) <= q)
+    val a = got("a")
+    assert(a.getLong(1) == 50L && a.getLong(2) == 30L &&
+      a.getLong(3) == 10L && a.getLong(4) == 10L)
+    assert(a.getLong(5) == q && a.getLong(6) == covered.toLong)
+    assert(a.getDouble(7) == covered.toDouble / 10.0)
+    // group B: k = 2 > n_cal = 1 ⇒ q null, every test point covered
+    val b = got("b")
+    assert(b.getLong(1) == 4L && b.getLong(2) == 2L && b.getLong(3) == 1L &&
+      b.getLong(4) == 1L)
+    assert(b.isNullAt(5) && b.getLong(6) == 1L && b.getDouble(7) == 1.0)
+  }
+
+  test("lmKneserNey3Finish over a split contribs frame equals the one-shot " +
+      "score face, zero rows kept for trigram-less docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the hat"),
+      (3L, "one two"), // < 3 tokens: no trigrams, zero row
+      (4L, "the mat sat on the cat")).toDF("doc_id", "text")
+    val oneShot = TextAnalysis.lmKneserNey3Score(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val contribs = TextAnalysis.lmKneserNey3Contribs(docs, docs, "text",
+      "doc_id")
+    val folded = TextAnalysis.lmKneserNey3Finish(contribs,
+      docs.select(col("doc_id")), "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(folded.keySet == oneShot.keySet && folded.keySet.size == 4)
+    for ((k, r) <- oneShot) {
+      assert(folded(k).getLong(1) == r.getLong(1), s"n_trigrams doc $k")
+      assert(folded(k).getLong(2) == r.getLong(2), s"sum_mu doc $k")
+    }
+    assert(oneShot(3L).getLong(1) == 0L && oneShot(3L).isNullAt(3))
+  }
+
   test("jpegPixelStats decodes synthesized flat-block payloads to the " +
       "arithmetic sums") {
     import spark.implicits._
