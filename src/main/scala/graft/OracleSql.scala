@@ -4404,6 +4404,37 @@ object OracleSql {
         |  AND a.bx = b.bx AND b.fi = a.fi + 1
         |GROUP BY a.doc_id, b.fi""".stripMargin,
 
+    // Shot-keyframe replay: re-segment at the q_scene_cuts SAD flags
+    // (running cut count = shot id), keyframe stats read off the first
+    // frame of each shot via arg_min on the unique frame index.
+    "q_shot_keyframes" ->
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n,
+        |  8 * (1 + doc_id % 3) AS w, 8 * (1 + (doc_id * 2) % 3) AS h
+        |  FROM documents),
+        |fb AS (SELECT doc_id, f.f AS fi, by.by AS by, bx.bx AS bx,
+        |  (doc_id % 251 + 29 * f.f + 17 * by.by + 23 * bx.bx) % 256 AS v
+        |  FROM d, range(8) f(f), range(3) by(by), range(3) bx(bx)
+        |  WHERE f.f < n AND by.by < h // 8 AND bx.bx < w // 8),
+        |fsum AS (SELECT doc_id, fi, CAST(sum(v) * 64 AS BIGINT) AS fs,
+        |  CAST(count(*) * 64 AS BIGINT) AS ns
+        |  FROM fb GROUP BY doc_id, fi),
+        |tr AS (SELECT a.doc_id, b.fi AS fi,
+        |  sum(abs(b.v - a.v)) * 64 >= 64 * count(*) * 64 AS cut
+        |  FROM fb a JOIN fb b ON a.doc_id = b.doc_id AND a.by = b.by
+        |    AND a.bx = b.bx AND b.fi = a.fi + 1
+        |  GROUP BY a.doc_id, b.fi),
+        |sh AS (SELECT f.doc_id, f.fi, f.fs, f.ns,
+        |  sum(CASE WHEN coalesce(t.cut, FALSE) THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY f.doc_id ORDER BY f.fi) AS shot
+        |  FROM fsum f LEFT JOIN tr t
+        |    ON f.doc_id = t.doc_id AND f.fi = t.fi)
+        |SELECT doc_id, CAST(shot AS INT) AS shot_idx,
+        |  CAST(min(fi) AS INT) AS start_frame,
+        |  CAST(count(*) AS INT) AS n_frames,
+        |  arg_min(ns, fi) AS n_samples,
+        |  arg_min(fs, fi) AS keyframe_sum
+        |FROM sh GROUP BY doc_id, shot""".stripMargin,
+
     // Real frame sampling replay: 400 ms lattice, covering-frame index
     // from the exact (rate=fps, scale=1) rational, per-frame sums joined
     // from the same block arithmetic as q_decode_video.

@@ -3845,6 +3845,19 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload", threshold = 64)
 
+  /** Keyframe-per-shot selection ([[graft.pipeline.Video.shotKeyframes]]):
+    * q_scene_cuts' segmentation taken to the curation artifact — one
+    * keyframe row per detected shot, first frame of the shot decoded for
+    * real. The oracle re-segments from the replayed SAD flags and reads
+    * the keyframe sums off the frame arithmetic. */
+  private def qShotKeyframes(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Video.shotKeyframes(
+      graft.pipeline.Video.synthesizeAviPayload(
+        docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id"),
+      "doc_id", "payload", threshold = 64)
+
   /** REAL decoded-sample histograms over the full codec dispatch: one
     * mixed corpus (PNG / baseline JPEG / PCM WAV / MJPEG AVI by id % 4,
     * every payload carrying real content), every bin count restated by the
@@ -4295,6 +4308,7 @@ object SparkEntry {
     "q_frame_plan" -> qFramePlan _,
     "q_frame_sample" -> qFrameSample _,
     "q_scene_cuts" -> qSceneCuts _,
+    "q_shot_keyframes" -> qShotKeyframes _,
     "q_media_coverage" -> qMediaCoverage _,
     "q_pixel_hist" -> qPixelHist _,
     "q_image_dhash" -> qImageDhash _,

@@ -572,6 +572,86 @@ object Video {
       .toDF()
   }
 
+  /** Keyframe-per-shot selection — the curation artifact [[sceneCuts]]
+    * exists for: segment each clip at its detected cuts (same SAD ≥
+    * threshold·n rule, same resolution-change-is-a-cut and
+    * undecodable-frames-drop conventions) and emit ONE row per shot with
+    * its first frame as the keyframe. A video training corpus samples
+    * per-shot instead of on a blind time lattice
+    * ([[sampleVideoFrames]]) — every shot represented, no redundant
+    * near-identical frames from a static scene.
+    *
+    * Output: (idCol, shot_idx, start_frame, n_frames, n_samples,
+    * keyframe_sum) — shot_idx 0-based per clip, start_frame the
+    * keyframe's original frame index, n_samples/keyframe_sum the decoded
+    * pixel count/sum of that keyframe. Same per-partition-map scale
+    * shape as [[sceneCuts]]: one previous frame of state, no shuffle. */
+  def shotKeyframes(df: DataFrame, idCol: String, payloadCol: String,
+      threshold: Int = 64): DataFrame = {
+    require(threshold > 0, "threshold must be positive gray levels")
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("shot_idx", IntegerType),
+      StructField("start_frame", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("keyframe_sum", LongType)))
+    df.select(col(idCol), col(payloadCol))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          parseVideoMjpeg(r.getAs[Array[Byte]](1)).toSeq.flatMap { clip =>
+            val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var prev: Multimodal.DecodedImage = null
+            var shotIdx = 0
+            var start = -1
+            var len = 0
+            var keyN = 0L
+            var keySum = 0L
+            def pixelSum(img: Multimodal.DecodedImage): Long = {
+              var s = 0L
+              var i = 0
+              while (i < img.samples.length) { s += img.samples(i); i += 1 }
+              s
+            }
+            def flush(): Unit =
+              if (len > 0) {
+                rows += Row(r.get(0), shotIdx, start, len, keyN, keySum)
+                shotIdx += 1
+              }
+            clip.frames.iterator.zipWithIndex.foreach { case (jfif, f) =>
+              Jpeg.decodeJpeg(jfif).foreach { img =>
+                val cut =
+                  if (prev == null) false
+                  else if (prev.width != img.width ||
+                      prev.height != img.height ||
+                      prev.channels != img.channels) true
+                  else {
+                    var s = 0L
+                    var i = 0
+                    val a = prev.samples
+                    val b = img.samples
+                    while (i < b.length) { s += math.abs(b(i) - a(i)); i += 1 }
+                    s >= threshold.toLong * b.length
+                  }
+                if (prev == null || cut) {
+                  flush()
+                  start = f
+                  len = 0
+                  keyN = img.samples.length.toLong
+                  keySum = pixelSum(img)
+                }
+                len += 1
+                prev = img
+              }
+            }
+            flush()
+            rows
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
   /** REAL frame sampling: every `everyMs` on the stream clock, decode THE
     * frame covering that instant — index = ⌊ts·rate / (1000·scale)⌋ from
     * the exact strh rational — and emit its pixel sum. This is

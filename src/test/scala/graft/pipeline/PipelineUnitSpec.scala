@@ -5308,6 +5308,67 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(m(2).getLong(3) == 0L && !m(2).getBoolean(4))
   }
 
+  test("shotKeyframes segments at the SAD cuts and keys each shot by its " +
+      "first decoded frame") {
+    import spark.implicits._
+    val ids = (0L until 300L).toDF("doc_id")
+    val pay = Video.synthesizeAviPayload(ids, "doc_id")
+    val got = Video.shotKeyframes(pay, "doc_id", "payload", threshold = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    var expected = 0
+    for (id <- 0L until 300L) {
+      val n = (3 + id % 5).toInt
+      val w = (8 * (1 + id % 3)).toInt
+      val h = (8 * (1 + (id * 2) % 3)).toInt
+      val base = (id % 251).toInt
+      def fsum(f: Int): Long = {
+        var s = 0L
+        for (by <- 0 until h / 8; bx <- 0 until w / 8)
+          s += 64L * ((base + 29 * f + 17 * by + 23 * bx) % 256)
+        s
+      }
+      def isCut(f: Int): Boolean = {
+        var sad = 0L
+        for (by <- 0 until h / 8; bx <- 0 until w / 8) {
+          val a = (base + 29 * (f - 1) + 17 * by + 23 * bx) % 256
+          val b = (base + 29 * f + 17 * by + 23 * bx) % 256
+          sad += 64L * math.abs(b - a)
+        }
+        sad >= 64L * w * h
+      }
+      // replay segmentation: shot starts at 0 and at every cut frame
+      var shot = 0
+      var start = 0
+      for (f <- 1 to n) {
+        if (f == n || isCut(f)) {
+          val row = got((id, shot))
+          assert(row.getInt(2) == start, s"start id=$id shot=$shot")
+          assert(row.getInt(3) == f - start, s"len id=$id shot=$shot")
+          assert(row.getLong(4) == w.toLong * h, s"ns id=$id shot=$shot")
+          assert(row.getLong(5) == fsum(start), s"ksum id=$id shot=$shot")
+          expected += 1
+          shot += 1
+          start = f
+        }
+      }
+    }
+    assert(got.size == expected)
+    assert(got.keys.exists(_._2 >= 1), "fixture never split a clip")
+    // resolution change starts a new shot
+    val mixed = Video.buildAviMjpeg(8, 8, 2, Seq(
+      Jpeg.buildJpegWithBlocks(8, 8, (_, _) => 10),
+      Jpeg.buildJpegWithBlocks(16, 8, (_, _) => 10),
+      Jpeg.buildJpegWithBlocks(16, 8, (_, _) => 10)))
+    val m = Video.shotKeyframes(Seq((7L, mixed)).toDF("doc_id", "payload"),
+      "doc_id", "payload")
+      .collect().map(r => r.getInt(1) -> r).toMap
+    assert(m.size == 2)
+    assert(m(0).getInt(2) == 0 && m(0).getInt(3) == 1 &&
+      m(0).getLong(4) == 64L && m(0).getLong(5) == 640L)
+    assert(m(1).getInt(2) == 1 && m(1).getInt(3) == 2 &&
+      m(1).getLong(4) == 128L && m(1).getLong(5) == 1280L)
+  }
+
   test("conformalSplit: exact 60/20/20 split, conformal quantile rank, " +
       "infinite-interval arm, and too-small groups dropped") {
     import spark.implicits._
