@@ -4435,6 +4435,29 @@ object OracleSql {
         |  arg_min(fs, fi) AS keyframe_sum
         |FROM sh GROUP BY doc_id, shot""".stripMargin,
 
+    // Video-dedup replay: the dedup fixture's folded base (id % 13 · 19),
+    // per-frame exact moments (flat blocks: Σv = 64·Σ_block v, Σv² =
+    // 64·Σ_block v²), the same "w:h:s1:s2" sequence string, DuckDB md5.
+    "q_video_dedup" ->
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n,
+        |  8 * (1 + doc_id % 3) AS w, 8 * (1 + (doc_id * 2) % 3) AS h,
+        |  (doc_id % 13) * 19 AS base FROM documents),
+        |fb AS (SELECT doc_id, w, h, f.f AS fi,
+        |  (base + 29 * f.f + 17 * by.by + 23 * bx.bx) % 256 AS v
+        |  FROM d, range(8) f(f), range(3) by(by), range(3) bx(bx)
+        |  WHERE f.f < n AND by.by < h // 8 AND bx.bx < w // 8),
+        |fr AS (SELECT doc_id, fi,
+        |  CAST(min(w) AS VARCHAR) || ':' || CAST(min(h) AS VARCHAR)
+        |  || ':' || CAST(sum(v) * 64 AS VARCHAR)
+        |  || ':' || CAST(sum(v * v) * 64 AS VARCHAR) AS fs
+        |  FROM fb GROUP BY doc_id, fi),
+        |fp AS (SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
+        |  md5(string_agg(fs, '|' ORDER BY fi)) AS fp
+        |  FROM fr GROUP BY doc_id)
+        |SELECT fp, n_frames, min(doc_id) AS rep_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM fp GROUP BY fp, n_frames""".stripMargin,
+
     // Real frame sampling replay: 400 ms lattice, covering-frame index
     // from the exact (rate=fps, scale=1) rational, per-frame sums joined
     // from the same block arithmetic as q_decode_video.

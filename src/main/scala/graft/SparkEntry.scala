@@ -3845,6 +3845,22 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload", threshold = 64)
 
+  /** Exact video dedup by decoded-content fingerprint
+    * ([[graft.pipeline.Video.videoDedup]]): every clip decoded for real,
+    * fingerprinted by its per-frame exact moment sequence, grouped to a
+    * min-id representative. The fixture folds the pixel base to
+    * doc_id % 13 so content classes recur every 195 ids (fps still
+    * varies with id % 4 — same content at different frame rates
+    * collapses, the CONTENT-dedup semantics) and groups are non-vacuous
+    * at correctness scale. */
+  private def qVideoDedup(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Video.videoDedup(
+      graft.pipeline.Video.synthesizeAviDedupPayload(
+        docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id"),
+      "doc_id", "payload")
+
   /** Keyframe-per-shot selection ([[graft.pipeline.Video.shotKeyframes]]):
     * q_scene_cuts' segmentation taken to the curation artifact — one
     * keyframe row per detected shot, first frame of the shot decoded for
@@ -4309,6 +4325,7 @@ object SparkEntry {
     "q_frame_sample" -> qFrameSample _,
     "q_scene_cuts" -> qSceneCuts _,
     "q_shot_keyframes" -> qShotKeyframes _,
+    "q_video_dedup" -> qVideoDedup _,
     "q_media_coverage" -> qMediaCoverage _,
     "q_pixel_hist" -> qPixelHist _,
     "q_image_dhash" -> qImageDhash _,

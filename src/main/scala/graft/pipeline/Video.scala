@@ -572,6 +572,96 @@ object Video {
       .toDF()
   }
 
+  /** Per-clip content fingerprint over the REAL decoded frames: each
+    * frame contributes its exact (width, height, Σv, Σv²) — two integer
+    * moments of the decoded samples — and the clip fingerprint is the
+    * md5 of the "w:h:s1:s2" sequence joined in presentation order.
+    * Dimension changes, any re-encode that alters pixels, frame
+    * insertions/reorderings all change the fingerprint; the moments are
+    * exact integers so the fingerprint is engine-reproducible (no float
+    * path), and an undecodable frame drops from the sequence (the
+    * [[videoFrameStats]] convention) so a corrupt copy separates from
+    * its clean original. Output: (idCol, n_frames, fp).
+    *
+    * Scale shape: per-partition decode map (payloads never shuffle),
+    * constant state per clip — the dedup groupBy downstream shuffles
+    * only (fp, n_frames) rows, never pixels. */
+  def videoFingerprints(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("n_frames", IntegerType),
+      StructField("__fp_input", StringType)))
+    df.select(col(idCol), col(payloadCol))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          parseVideoMjpeg(r.getAs[Array[Byte]](1)).map { clip =>
+            val sb = new StringBuilder
+            var nf = 0
+            clip.frames.foreach { jfif =>
+              Jpeg.decodeJpeg(jfif).foreach { img =>
+                var s1 = 0L
+                var s2 = 0L
+                var i = 0
+                while (i < img.samples.length) {
+                  val v = img.samples(i).toLong
+                  s1 += v
+                  s2 += v * v
+                  i += 1
+                }
+                if (nf > 0) sb.append('|')
+                sb.append(img.width).append(':').append(img.height)
+                  .append(':').append(s1).append(':').append(s2)
+                nf += 1
+              }
+            }
+            Row(r.get(0), nf, sb.toString)
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+      .select(col(idCol), col("n_frames"),
+        md5(col("__fp_input")).alias("fp"))
+  }
+
+  /** Exact video dedup over [[videoFingerprints]]: clips with identical
+    * decoded content collapse to one group — min-id representative, the
+    * [[Dedup]] canonical convention. Output: (fp, n_frames, rep_id,
+    * n_docs). */
+  def videoDedup(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame =
+    videoFingerprints(df, idCol, payloadCol)
+      .groupBy(col("fp"), col("n_frames"))
+      .agg(min(col(idCol)).alias("rep_id"),
+        count(lit(1)).alias("n_docs"))
+
+  /** High-collision MJPEG-AVI dedup fixture: the [[synthesizeAviPayload]]
+    * arithmetic with the base folded to id % 13, so clips are identical
+    * exactly when id ≡ id' (mod lcm(13, 5, 3) = 195) — every replica
+    * class has multiple members at correctness scale and the dedup
+    * groups are non-vacuous. */
+  def synthesizeAviDedupPayload(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(payloadCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val fps = (2 + id % 4).toInt
+        val n = (3 + id % 5).toInt
+        val w = (8 * (1 + id % 3)).toInt
+        val h = (8 * (1 + (id * 2) % 3)).toInt
+        val base = ((id % 13) * 19).toInt
+        val frames = (0 until n).map { f =>
+          Jpeg.buildJpegWithBlocks(w, h,
+            (bx, by) => (base + 29 * f + 17 * by + 23 * bx) % 256)
+        }
+        Row.fromSeq(r.toSeq :+ buildAviMjpeg(w, h, fps, frames))
+      }
+    }(Encoders.row(outSchema)).toDF()
+  }
+
   /** Keyframe-per-shot selection — the curation artifact [[sceneCuts]]
     * exists for: segment each clip at its detected cuts (same SAD ≥
     * threshold·n rule, same resolution-change-is-a-cut and

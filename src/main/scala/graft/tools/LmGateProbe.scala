@@ -21,7 +21,10 @@ object LmGateProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // counts-only probe: spread the explode across cores (the replica
+    // parquet is one row group — without this the probe runs one task)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
     val toks = split(graft.pipeline.Dedup.normalizeText(col("text")), " ")
 
     val bigramModelRows = docs

@@ -5369,6 +5369,34 @@ class PipelineUnitSpec extends SparkTestBase {
       m(1).getLong(4) == 128L && m(1).getLong(5) == 1280L)
   }
 
+  test("videoDedup collapses identical decoded content across frame rates " +
+      "and separates every distinct content class") {
+    import spark.implicits._
+    val ids = (0L until 400L).toDF("doc_id")
+    val pay = Video.synthesizeAviDedupPayload(ids, "doc_id")
+    val got = Video.videoDedup(pay, "doc_id", "payload").collect()
+    // content class = id mod 195 (base: id%13, frames: id%5, dims: id%3)
+    val classes = (0L until 400L).groupBy(_ % 195)
+    assert(got.length == classes.size)
+    val byRep = got.map(r => r.getLong(2) -> r).toMap
+    for ((m, members) <- classes) {
+      val r = byRep(members.min)
+      assert(r.getLong(3) == members.size.toLong, s"class $m size")
+      assert(r.getInt(1) == (3 + m % 5).toInt, s"class $m n_frames")
+    }
+    // ids 5 and 200 differ in fps (id%4: 1 vs 0) but share content —
+    // they must land in the SAME group (content dedup, not byte dedup)
+    val fps = Video.videoFingerprints(pay, "doc_id", "payload")
+      .filter(col("doc_id").isin(5L, 200L))
+      .select(col("fp")).distinct().count()
+    assert(fps == 1L)
+    // and the raw payload BYTES differ (different avi timing header)
+    val raw = pay.filter(col("doc_id").isin(5L, 200L))
+      .select(col("payload")).collect()
+      .map(r => r.getAs[Array[Byte]](0).toSeq).distinct
+    assert(raw.size == 2)
+  }
+
   test("conformalSplit: exact 60/20/20 split, conformal quantile rank, " +
       "infinite-interval arm, and too-small groups dropped") {
     import spark.implicits._
