@@ -691,6 +691,33 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("video decode family plans stay shuffle-free past the id spread: " +
+      "sceneCuts/shotKeyframes zero exchanges, videoDedup exactly one " +
+      "(fp, n_frames) aggregate exchange — pixels never shuffle") {
+    import spark.implicits._
+    val ids = (0L until 64L).toDF("doc_id")
+      .repartition(4) // the qDecodePng id-spread convention
+    val pay = pipeline.Video.synthesizeAviPayload(ids, "doc_id")
+    val cuts = pipeline.Video.sceneCuts(pay, "doc_id", "payload")
+    cuts.collect()
+    assert(exchanges(cuts) == 0, plan(cuts))
+    val keys = pipeline.Video.shotKeyframes(pay, "doc_id", "payload")
+    keys.collect()
+    assert(exchanges(keys) == 0, plan(keys))
+    val dd = pipeline.Video.videoDedup(
+      pipeline.Video.synthesizeAviDedupPayload(ids, "doc_id"),
+      "doc_id", "payload")
+    dd.collect()
+    // the executed AQE plan prints Final + Initial sections — count the
+    // final one only
+    val p = plan(dd).split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    // everything ABOVE the exchange (plan prints top-down) is the
+    // fingerprint aggregate — the binary payload column never crosses it
+    val exIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exIdx > 0 && !p.substring(0, exIdx).contains("payload#"), p)
+  }
+
   test("BpeCount runs inside whole-stage codegen (no shuffle, no eval island)") {
     // a real file scan — a local Seq relation constant-folds the whole
     // projection into LocalTableScan and proves nothing about codegen
