@@ -2006,6 +2006,54 @@ object OracleSql {
          |       WHEN z < 0.67 THEN 'c' ELSE 'd' END
          |END AS symbol FROM z""".stripMargin,
 
+    // SAX motif replay: the q_sax chain at (5, 4), 3-symbol words by
+    // lead(), the 64-position cap per (user, word), non-overlapping pair
+    // join, exact integer dist², best pair under the (dist², p1, p2)
+    // total order.
+    "q_sax_motifs" ->
+      s"""WITH t AS (
+         |SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c,
+         |row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+         |FROM events),
+         |g AS (SELECT user_id, CAST((rn - 1) // 5 AS BIGINT) AS segment,
+         |CAST(sum(c) AS BIGINT) AS seg_sum
+         |FROM t GROUP BY 1, 2),
+         |m AS (SELECT user_id, segment, seg_sum,
+         |count(*) OVER w AS cnt,
+         |CAST(sum(seg_sum) OVER w AS BIGINT) AS s1,
+         |sum(CAST(seg_sum AS DOUBLE) * CAST(seg_sum AS DOUBLE)) OVER w AS s2
+         |FROM g WINDOW w AS (PARTITION BY user_id)),
+         |z AS (SELECT user_id, segment, seg_sum,
+         |CASE WHEN ($momentSd) <> 0
+         |  THEN (CAST(seg_sum AS DOUBLE) - CAST(s1 AS DOUBLE) / cnt)
+         |    / ($momentSd)
+         |END AS z FROM m),
+         |sym AS (SELECT user_id, segment, seg_sum,
+         |CASE WHEN z IS NOT NULL THEN
+         |  CASE WHEN z < -0.67 THEN 'a' WHEN z < 0.0 THEN 'b'
+         |       WHEN z < 0.67 THEN 'c' ELSE 'd' END
+         |END AS symbol FROM z),
+         |wrd AS (SELECT user_id, segment, seg_sum AS a0, symbol AS y0,
+         |lead(symbol, 1) OVER o AS y1, lead(symbol, 2) OVER o AS y2,
+         |lead(seg_sum, 1) OVER o AS a1, lead(seg_sum, 2) OVER o AS a2
+         |FROM sym WINDOW o AS (PARTITION BY user_id ORDER BY segment)),
+         |wd AS (SELECT user_id, segment, y0 || y1 || y2 AS word,
+         |a0, a1, a2 FROM wrd
+         |WHERE y0 IS NOT NULL AND y1 IS NOT NULL AND y2 IS NOT NULL),
+         |cap AS (SELECT * FROM (SELECT *, row_number() OVER (
+         |  PARTITION BY user_id, word ORDER BY segment) AS wrn FROM wd)
+         |WHERE wrn <= 64),
+         |pr AS (SELECT a.user_id, a.word, a.segment AS p1,
+         |b.segment AS p2,
+         |CAST((a.a0 - b.a0) * (a.a0 - b.a0) + (a.a1 - b.a1) * (a.a1 - b.a1)
+         |  + (a.a2 - b.a2) * (a.a2 - b.a2) AS BIGINT) AS dist2
+         |FROM cap a JOIN cap b ON a.user_id = b.user_id
+         |  AND a.word = b.word AND b.segment >= a.segment + 3),
+         |best AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |  ORDER BY dist2, p1, p2) AS brn FROM pr)
+         |SELECT user_id, word, p1, p2, dist2 FROM best WHERE brn = 1"""
+        .stripMargin,
+
     // 10-row ROC/momentum: raw-double lag subtraction + one fixed-order
     // expression; roc null while the lag is missing or the base is zero
     "q_roc" ->

@@ -426,6 +426,21 @@ object SparkEntry {
       .select(col("user_id"), col("segment"), col("start_ts_us"),
         col("n_rows"), col("seg_sum"), col("z"), col("symbol"))
 
+  /** SAX motif discovery ([[graft.tsdf.Stats.saxMotifs]]): each user's
+    * best non-overlapping repeated 4-word motif — candidates bucketed by
+    * (user, SAX word), verified by the exact integer distance over the
+    * aligned segment sums, best pair under the (dist², p1, p2) total
+    * order. The symbolic-sketch-then-exact-verify discipline on the
+    * time-series side. */
+  private def qSaxMotifs(s: SparkSession, dir: String): DataFrame =
+    Stats.saxMotifs(
+        events(s, dir).select(col("user_id"), col("ts"),
+          cents(col("value")).cast(LongType).alias("c")),
+        "ts", "c", Seq("user_id"), segmentRows = 5, alphabet = 4,
+        wordLen = 3, maxPerWord = 64)
+      .select(col("user_id"), col("word"), col("p1"), col("p2"),
+        col("dist2"))
+
   /** 10-row rate-of-change and momentum per user. */
   private def qRoc(s: SparkSession, dir: String): DataFrame =
     Stats.rocMomentum(
@@ -4228,6 +4243,7 @@ object SparkEntry {
     "q_williams_r" -> qWilliamsR _,
     "q_roc" -> qRoc _,
     "q_sax" -> qSax _,
+    "q_sax_motifs" -> qSaxMotifs _,
     "q_holt_winters" -> qHoltWinters _,
     "q_triangles" -> qTriangles _,
     "q_rfm" -> qRfm _,

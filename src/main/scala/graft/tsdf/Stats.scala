@@ -1413,6 +1413,79 @@ object Stats {
       .drop("__cnt", "__s1", "__s2")
   }
 
+  /** Motif discovery over the [[sax]] sketch — the Lin/Keogh/Mueen
+    * symbolic-bucketing discipline (Lin et al. 2003 §5; the same
+    * candidates-by-equal-sketch → exact-verify shape as the text
+    * near-dup family): slide a `wordLen`-segment SAX word along each
+    * series, bucket positions by (series, word), pair NON-OVERLAPPING
+    * positions inside a bucket (p₂ ≥ p₁ + wordLen — the standard
+    * trivial-match exclusion), verify each candidate with the EXACT
+    * integer distance dist² = Σᵢ (sumₐᵢ − sum_bᵢ)² over the aligned
+    * segment sums, and keep each series' best pair under the total order
+    * (dist², p₁, p₂). Output: seriesCols + (word, p1, p2, dist2); series
+    * with no candidate pair (all words unique, or symbols null on a
+    * constant series) emit nothing.
+    *
+    * Scale shape: the quadratic face lives INSIDE (series, word) buckets
+    * only — never across series, never across words — and
+    * `maxPerWord` caps candidate positions per bucket (earliest
+    * positions win, deterministically; the df-cap convention of
+    * winnowPairs). The distance is exact-integer with the caller-owned
+    * bound wordLen · (Δseg_sum)² < 2⁶³ (cents-scaled inputs at the
+    * [[sax]] contract hold it with room); the verify never re-reads the
+    * raw series — segment sums ride along with the word. */
+  def saxMotifs(df: DataFrame, tsCol: String, valueCol: String,
+      seriesCols: Seq[String], segmentRows: Int, alphabet: Int = 4,
+      wordLen: Int = 4, maxPerWord: Int = 64,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(wordLen >= 2, "wordLen must be >= 2")
+    require(maxPerWord >= 2, "maxPerWord must allow at least one pair")
+    val s = sax(df, tsCol, valueCol, seriesCols, segmentRows, alphabet,
+      tieCols)
+    val ordSeg = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(col("segment"))
+    val withLeads = (1 until wordLen).foldLeft(
+      s.select(seriesCols.map(col) ++ Seq(col("segment"),
+        col("seg_sum").alias("__ss0"), col("symbol").alias("__sym0")): _*)) {
+      case (acc, i) => acc
+        .withColumn(s"__sym$i", lead(col("__sym0"), i).over(ordSeg))
+        .withColumn(s"__ss$i", lead(col("__ss0"), i).over(ordSeg))
+    }
+    // concat is null if ANY symbol in the window is null (constant/short
+    // series) — those positions drop out here
+    val words = withLeads
+      .withColumn("word",
+        concat((0 until wordLen).map(i => col(s"__sym$i")): _*))
+      .filter(col("word").isNotNull)
+    val wordOrd = Window.partitionBy(
+      (seriesCols.map(col) :+ col("word")): _*).orderBy(col("segment"))
+    val capped = words
+      .withColumn("__wrn", row_number().over(wordOrd))
+      .filter(col("__wrn") <= maxPerWord)
+      .drop("__wrn")
+    val a = capped.select(seriesCols.map(col) ++ Seq(col("word"),
+      col("segment").alias("p1")) ++
+      (0 until wordLen).map(i => col(s"__ss$i").alias(s"__a$i")): _*)
+    val b = capped.select(seriesCols.map(col) ++ Seq(col("word"),
+      col("segment").alias("p2")) ++
+      (0 until wordLen).map(i => col(s"__ss$i").alias(s"__b$i")): _*)
+    val dist2 = (0 until wordLen).map { i =>
+      val d = col(s"__a$i") - col(s"__b$i")
+      d * d
+    }.reduce(_ + _)
+    val pairs = a.join(b, seriesCols :+ "word")
+      .filter(col("p2") >= col("p1") + wordLen)
+      .select(seriesCols.map(col) ++ Seq(col("word"), col("p1"),
+        col("p2"), dist2.alias("dist2")): _*)
+    pairs.groupBy(seriesCols.map(col): _*)
+      .agg(min(struct(col("dist2"), col("p1"), col("p2"),
+        col("word"))).alias("__best"))
+      .select(seriesCols.map(col) ++ Seq(
+        col("__best.word").alias("word"), col("__best.p1").alias("p1"),
+        col("__best.p2").alias("p2"),
+        col("__best.dist2").alias("dist2")): _*)
+  }
+
   /** Cross-sectional z-score: standardize `valueCol` ACROSS rows sharing a
     * time bucket — the transpose of [[withRangeStats]]' per-series-over-
     * time z, used to rank entities against their peers at one moment
