@@ -4483,6 +4483,26 @@ object OracleSql {
         |  arg_min(fs, fi) AS keyframe_sum
         |FROM sh GROUP BY doc_id, shot""".stripMargin,
 
+    // Audio-dedup replay: the folded WAV fixture arithmetic (base id%13,
+    // n = 100 + (id%10)·40), exact PCM moments incl. the position-
+    // weighted Σ(i+1)·s, the same "n:s1:sw" string, DuckDB md5.
+    "q_audio_dedup" ->
+      """WITH d AS (SELECT doc_id, 100 + (doc_id % 10) * 40 AS n,
+        |  (doc_id % 13) * 133 AS b7 FROM documents),
+        |s AS (SELECT doc_id, n, i.i AS i,
+        |  (b7 + 11 * i.i) % 65536 - 32768 AS v
+        |  FROM d, range(500) i(i) WHERE i.i < n),
+        |f AS (SELECT doc_id, CAST(min(n) AS BIGINT) AS n_samples,
+        |  CAST(sum(v) AS BIGINT) AS s1,
+        |  CAST(sum((i + 1) * v) AS BIGINT) AS sw
+        |  FROM s GROUP BY doc_id),
+        |fp AS (SELECT doc_id, n_samples,
+        |  md5(CAST(n_samples AS VARCHAR) || ':' || CAST(s1 AS VARCHAR)
+        |    || ':' || CAST(sw AS VARCHAR)) AS fp FROM f)
+        |SELECT fp, n_samples, min(doc_id) AS rep_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM fp GROUP BY fp, n_samples""".stripMargin,
+
     // Video-dedup replay: the dedup fixture's folded base (id % 13 · 19),
     // per-frame exact moments (flat blocks: Σv = 64·Σ_block v, Σv² =
     // 64·Σ_block v²), the same "w:h:s1:s2" sequence string, DuckDB md5.

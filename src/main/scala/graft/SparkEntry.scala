@@ -3860,6 +3860,21 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload", threshold = 64)
 
+  /** Exact audio dedup by decoded-content fingerprint
+    * ([[graft.pipeline.Multimodal.audioDedup]]): every WAV decoded for
+    * real, fingerprinted by exact PCM moments (with a position-weighted
+    * moment so reorderings separate), grouped to a min-id
+    * representative. The fixture folds the sample base to doc_id % 13
+    * (content classes every 130 ids) while the sample RATE varies with
+    * id % 8 — identical content at different rates collapses. */
+  private def qAudioDedup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioDedup(
+      Multimodal.synthesizeWavDedupPayload(
+        docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id"),
+      "doc_id", "payload")
+
   /** Exact video dedup by decoded-content fingerprint
     * ([[graft.pipeline.Video.videoDedup]]): every clip decoded for real,
     * fingerprinted by its per-frame exact moment sequence, grouped to a
@@ -4342,6 +4357,7 @@ object SparkEntry {
     "q_scene_cuts" -> qSceneCuts _,
     "q_shot_keyframes" -> qShotKeyframes _,
     "q_video_dedup" -> qVideoDedup _,
+    "q_audio_dedup" -> qAudioDedup _,
     "q_media_coverage" -> qMediaCoverage _,
     "q_pixel_hist" -> qPixelHist _,
     "q_image_dhash" -> qImageDhash _,

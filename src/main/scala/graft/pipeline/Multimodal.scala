@@ -615,6 +615,82 @@ object Multimodal {
     buildWavWithSamples((8000 + (id % 8) * 1000).toInt, samples)
   }
 
+  /** Per-clip audio content fingerprint over the REAL decoded samples —
+    * the [[graft.pipeline.Video.videoFingerprints]] discipline on the
+    * audio axis: three exact integer moments of the PCM stream
+    * (n, Σs, Σ(i+1)·s — the position-weighted first moment discriminates
+    * reorderings the plain sum cannot), md5 of the "n:s1:sw" string.
+    * Sample RATE is deliberately excluded: the same samples carried at a
+    * different rate (a remux, not a re-record) collapse — content
+    * semantics. Undecodable payloads drop. Output: (idCol, n_samples,
+    * fp). Moment bound (caller-owned): n·max|s|·n < 2⁶³ — 16-bit PCM
+    * holds it to ~750 M samples per clip.
+    *
+    * [[audioDedup]] groups to a min-id representative; only (fp,
+    * n_samples) rows shuffle, never samples. */
+  def audioFingerprints(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("n_samples", LongType),
+      StructField("__fp_input", StringType)))
+    df.select(col(idCol), col(payloadCol))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          decodeWavSamples(r.getAs[Array[Byte]](1)).map { a =>
+            var s1 = 0L
+            var sw = 0L
+            var i = 0
+            while (i < a.samples.length) {
+              val v = a.samples(i).toLong
+              s1 += v
+              sw += (i + 1L) * v
+              i += 1
+            }
+            Row(r.get(0), a.samples.length.toLong,
+              s"${a.samples.length}:$s1:$sw")
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+      .select(col(idCol), col("n_samples"),
+        md5(col("__fp_input")).alias("fp"))
+  }
+
+  /** Exact audio dedup over [[audioFingerprints]] — min-id
+    * representative per content group. Output: (fp, n_samples, rep_id,
+    * n_docs). */
+  def audioDedup(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame =
+    audioFingerprints(df, idCol, payloadCol)
+      .groupBy(col("fp"), col("n_samples"))
+      .agg(min(col(idCol)).alias("rep_id"),
+        count(lit(1)).alias("n_docs"))
+
+  /** High-collision WAV dedup fixture: [[synthesizeWavPayload]]'s sample
+    * arithmetic with base folded to id % 13 and n to 100 + (id % 10)·40,
+    * so content classes recur every lcm(13, 10) = 130 ids while the
+    * sample RATE still varies with id % 8 — byte-distinct payloads with
+    * identical content, the [[audioFingerprints]] collapse the fixture
+    * must exercise. */
+  def synthesizeWavDedupPayload(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(payloadCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val n = (100 + (id % 10) * 40).toInt
+        val base = ((id % 13) * 19).toInt
+        val samples = Array.tabulate(n)(i =>
+          (base * 7 + 11 * i) % 65536 - 32768)
+        Row.fromSeq(r.toSeq :+ buildWavWithSamples(
+          (8000 + (id % 8) * 1000).toInt, samples))
+      }
+    }(Encoders.row(outSchema)).toDF()
+  }
+
   /** Decoder drop-rate report: per (format, status) document counts over a
     * payload column. `status`: `decoded` = a built-in codec took the
     * samples all the way ([[sampleHistogram]] dispatch — PNG / baseline

@@ -5397,6 +5397,40 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(raw.size == 2)
   }
 
+  test("audioDedup collapses identical PCM content across sample rates; " +
+      "the position-weighted moment separates reorderings") {
+    import spark.implicits._
+    val ids = (0L until 300L).toDF("doc_id")
+    val pay = Multimodal.synthesizeWavDedupPayload(ids, "doc_id")
+    val got = Multimodal.audioDedup(pay, "doc_id", "payload").collect()
+    val classes = (0L until 300L).groupBy(_ % 130)
+    assert(got.length == classes.size)
+    val byRep = got.map(r => r.getLong(2) -> r).toMap
+    for ((m, members) <- classes) {
+      val r = byRep(members.min)
+      assert(r.getLong(3) == members.size.toLong, s"class $m size")
+      assert(r.getLong(1) == 100L + (m % 10) * 40L, s"class $m n")
+    }
+    // ids 5 and 135 share content at DIFFERENT sample rates (id%8: 5, 7)
+    val fps = Multimodal.audioFingerprints(pay, "doc_id", "payload")
+      .filter(col("doc_id").isin(5L, 135L))
+      .select(col("fp")).distinct().count()
+    assert(fps == 1L)
+    val raw = pay.filter(col("doc_id").isin(5L, 135L))
+      .select(col("payload")).collect()
+      .map(r => r.getAs[Array[Byte]](0).toSeq).distinct
+    assert(raw.size == 2)
+    // a reversed stream has the same plain sum but must NOT collapse
+    val a = Array.tabulate(8)(i => i * 100 - 350)
+    val fwd = Multimodal.buildWavWithSamples(8000, a)
+    val rev = Multimodal.buildWavWithSamples(8000, a.reverse)
+    val two = Multimodal.audioFingerprints(
+      Seq((1L, fwd), (2L, rev)).toDF("doc_id", "payload"),
+      "doc_id", "payload")
+      .select(col("fp")).distinct().count()
+    assert(two == 2L)
+  }
+
   test("conformalSplit: exact 60/20/20 split, conformal quantile rank, " +
       "infinite-interval arm, and too-small groups dropped") {
     import spark.implicits._
