@@ -3875,6 +3875,21 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload")
 
+  /** Cross-modality media dedup ([[graft.pipeline.Multimodal
+    * .mediaDedup]]): a mixed image/audio/video binary column dispatched
+    * to the right decoder ONCE per payload by container signature, each
+    * modality fingerprinted by its exact-moment string, grouped to
+    * min-id representatives within (modality, fp). The mixed fixture
+    * folds every arm's content base so all three modalities carry
+    * non-vacuous dup groups at correctness scale. */
+  private def qMediaDedup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaDedup(
+      Multimodal.synthesizeMediaDedupPayload(
+        docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id"),
+      "doc_id", "payload")
+
   /** Exact video dedup by decoded-content fingerprint
     * ([[graft.pipeline.Video.videoDedup]]): every clip decoded for real,
     * fingerprinted by its per-frame exact moment sequence, grouped to a
@@ -4358,6 +4373,7 @@ object SparkEntry {
     "q_shot_keyframes" -> qShotKeyframes _,
     "q_video_dedup" -> qVideoDedup _,
     "q_audio_dedup" -> qAudioDedup _,
+    "q_media_dedup" -> qMediaDedup _,
     "q_media_coverage" -> qMediaCoverage _,
     "q_pixel_hist" -> qPixelHist _,
     "q_image_dhash" -> qImageDhash _,

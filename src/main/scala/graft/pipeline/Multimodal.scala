@@ -691,6 +691,137 @@ object Multimodal {
     }(Encoders.row(outSchema)).toDF()
   }
 
+  /** Mixed-corpus content fingerprints with ONE container dispatch per
+    * payload — the curation shape for a corpus where image/audio/video
+    * rows share a binary column: signature-dispatch to the right
+    * decoder ONCE (images by PNG/JPEG/BMP magic, then RIFF+WAVE PCM,
+    * then MJPEG AVI/MP4 — each decoder rejects the others' containers
+    * structurally), fingerprint with that modality's exact-moment
+    * string ([[graft.pipeline.Video.videoFingerprints]] for clips, the
+    * [[audioFingerprints]] "n:s1:sw" for PCM, "w:h:ch:s1:s2" pixel
+    * moments for stills), and emit (idCol, modality, n_units, fp) —
+    * n_units = samples / PCM samples / frames per modality. Payloads no
+    * decoder accepts drop (the [[mediaCoverage]] convention: the drop
+    * rate is itself a curation metric).
+    *
+    * [[mediaDedup]] groups to a min-id representative per
+    * (modality, fp); only fingerprint rows shuffle, never payload
+    * bytes. */
+  def mediaFingerprints(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("modality", StringType),
+      StructField("n_units", LongType),
+      StructField("__fp_input", StringType)))
+    df.select(col(idCol), col(payloadCol))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          decodeImage(bytes).map { img =>
+            var s1 = 0L
+            var s2 = 0L
+            var i = 0
+            while (i < img.samples.length) {
+              val v = img.samples(i).toLong
+              s1 += v
+              s2 += v * v
+              i += 1
+            }
+            Row(r.get(0), "image", img.samples.length.toLong,
+              s"${img.width}:${img.height}:${img.channels}:$s1:$s2")
+          }.orElse(decodeWavSamples(bytes).map { a =>
+            var s1 = 0L
+            var sw = 0L
+            var i = 0
+            while (i < a.samples.length) {
+              val v = a.samples(i).toLong
+              s1 += v
+              sw += (i + 1L) * v
+              i += 1
+            }
+            Row(r.get(0), "audio", a.samples.length.toLong,
+              s"${a.samples.length}:$s1:$sw")
+          }).orElse(Video.parseVideoMjpeg(bytes).map { clip =>
+            val sb = new StringBuilder
+            var nf = 0
+            clip.frames.foreach { jfif =>
+              Jpeg.decodeJpeg(jfif).foreach { img =>
+                var s1 = 0L
+                var s2 = 0L
+                var i = 0
+                while (i < img.samples.length) {
+                  val v = img.samples(i).toLong
+                  s1 += v
+                  s2 += v * v
+                  i += 1
+                }
+                if (nf > 0) sb.append('|')
+                sb.append(img.width).append(':').append(img.height)
+                  .append(':').append(s1).append(':').append(s2)
+                nf += 1
+              }
+            }
+            Row(r.get(0), "video", nf.toLong, sb.toString)
+          })
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+      .select(col(idCol), col("modality"), col("n_units"),
+        md5(col("__fp_input")).alias("fp"))
+  }
+
+  /** Cross-modality exact dedup over [[mediaFingerprints]] — min-id
+    * representative per (modality, fp) content group. Output:
+    * (modality, fp, n_units, rep_id, n_docs). */
+  def mediaDedup(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame =
+    mediaFingerprints(df, idCol, payloadCol)
+      .groupBy(col("modality"), col("fp"), col("n_units"))
+      .agg(min(col(idCol)).alias("rep_id"),
+        count(lit(1)).alias("n_docs"))
+
+  /** Mixed high-collision media-dedup fixture: id % 3 dispatches the
+    * modality; every arm folds its content base to a small modulus so
+    * classes recur at correctness scale —
+    *  - image (id%3=0): flat-block baseline JPEG, w = 8·(1 + id%2),
+    *    h = 8, base (id%13)·19 → classes every 26 arm-ids;
+    *  - audio (id%3=1): the [[synthesizeWavDedupPayload]] arithmetic →
+    *    classes every 130 arm-ids, rate varies id%8;
+    *  - video (id%3=2): the [[graft.pipeline.Video
+    *    .synthesizeAviDedupPayload]] arithmetic → classes every 195
+    *    arm-ids, fps varies id%4. */
+  def synthesizeMediaDedupPayload(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(payloadCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val base = ((id % 13) * 19).toInt
+        val payload = (id % 3) match {
+          case 0 =>
+            Jpeg.buildJpegWithBlocks((8 * (1 + id % 2)).toInt, 8,
+              (bx, _) => (base + 23 * bx) % 256)
+          case 1 =>
+            val n = (100 + (id % 10) * 40).toInt
+            buildWavWithSamples((8000 + (id % 8) * 1000).toInt,
+              Array.tabulate(n)(i => (base * 7 + 11 * i) % 65536 - 32768))
+          case _ =>
+            val n = (3 + id % 5).toInt
+            val w = (8 * (1 + id % 3)).toInt
+            val h = (8 * (1 + (id * 2) % 3)).toInt
+            Video.buildAviMjpeg(w, h, (2 + id % 4).toInt, (0 until n).map {
+              f => Jpeg.buildJpegWithBlocks(w, h,
+                (bx, by) => (base + 29 * f + 17 * by + 23 * bx) % 256)
+            })
+        }
+        Row.fromSeq(r.toSeq :+ payload)
+      }
+    }(Encoders.row(outSchema)).toDF()
+  }
+
   /** Decoder drop-rate report: per (format, status) document counts over a
     * payload column. `status`: `decoded` = a built-in codec took the
     * samples all the way ([[sampleHistogram]] dispatch — PNG / baseline

@@ -5431,6 +5431,33 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(two == 2L)
   }
 
+  test("mediaDedup dispatches each payload to one decoder and dedups " +
+      "within (modality, fp) — every arm carries real dup groups") {
+    import spark.implicits._
+    val ids = (0L until 600L).toDF("doc_id")
+    val pay = Multimodal.synthesizeMediaDedupPayload(ids, "doc_id")
+    val got = Multimodal.mediaDedup(pay, "doc_id", "payload").collect()
+    val byMod = got.groupBy(_.getString(0))
+    assert(byMod.keySet == Set("image", "audio", "video"))
+    // class moduli within each arm: image lcm(3,26)=78, audio
+    // lcm(3,130)=390, video 195 (3 divides 195, so the arm recurs
+    // every 195 ids, not 585)
+    val imgClasses = (0L until 600L).filter(_ % 3 == 0).groupBy(_ % 78)
+    val audClasses = (0L until 600L).filter(_ % 3 == 1).groupBy(_ % 390)
+    val vidClasses = (0L until 600L).filter(_ % 3 == 2).groupBy(_ % 195)
+    assert(byMod("image").length == imgClasses.size)
+    assert(byMod("audio").length == audClasses.size)
+    assert(byMod("video").length == vidClasses.size)
+    for ((mod, classes) <- Seq(("image", imgClasses), ("audio", audClasses),
+        ("video", vidClasses))) {
+      val byRep = byMod(mod).map(r => r.getLong(3) -> r.getLong(4)).toMap
+      for ((m, members) <- classes)
+        assert(byRep(members.min) == members.size.toLong,
+          s"$mod class $m")
+      assert(classes.exists(_._2.size > 1), s"$mod arm has no dup groups")
+    }
+  }
+
   test("conformalSplit: exact 60/20/20 split, conformal quantile rank, " +
       "infinite-interval arm, and too-small groups dropped") {
     import spark.implicits._
