@@ -25,15 +25,23 @@ object LmGateProbe {
     // parquet is one row group — without this the probe runs one task)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
-    val toks = split(graft.pipeline.Dedup.normalizeText(col("text")), " ")
+    // materialize the tokens ONCE per row before any element_at — the
+    // production contribs do the same (__toks alias); inlining the
+    // split(normalizeText(...)) into the lambda re-runs the regex per
+    // token access, O(tokens²·regex) per doc (measured: an HOUR at sf10
+    // vs minutes)
+    val tokDocs = docs.select(
+      split(graft.pipeline.Dedup.normalizeText(col("text")), " ")
+        .alias("__toks"))
+    val toks = col("__toks")
 
-    val bigramModelRows = docs
+    val bigramModelRows = tokDocs
       .select(explode(transform(sequence(lit(1), size(toks) - 1),
         i => struct(element_at(toks, i).alias("w1"),
           element_at(toks, i + 1).alias("w2")))).alias("b"))
       .filter(col("b.w1") =!= "" && col("b.w2") =!= "")
       .select(col("b.w1"), col("b.w2")).distinct().count()
-    val trigramModelRows = docs
+    val trigramModelRows = tokDocs
       .filter(size(toks) >= 3)
       .select(explode(transform(sequence(lit(1), size(toks) - 2),
         i => struct(element_at(toks, i).alias("w1"),
