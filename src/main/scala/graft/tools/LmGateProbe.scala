@@ -64,10 +64,21 @@ object LmGateProbe {
       docs, "text", "doc_id"))
     val kn3 = joinMix(graft.pipeline.TextAnalysis.lmKneserNey3Score(
       docs, "text", "doc_id"))
+    // the flip arm: the replica fixture SATURATES the model (closed
+    // vocab), so the broadcast→shuffle flip never fires naturally;
+    // disabling autoBroadcast proves the same declarative plan degrades
+    // to shuffle joins under Catalyst control, no hand-scheduling
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val kn2f = joinMix(graft.pipeline.TextAnalysis.lmKneserNeyScore(
+      docs, "text", "doc_id"))
+    val kn3f = joinMix(graft.pipeline.TextAnalysis.lmKneserNey3Score(
+      docs, "text", "doc_id"))
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
     println(s"GATE dir=$dir bigramModelRows=$bigramModelRows " +
       s"trigramModelRows=$trigramModelRows noveltyStateRows=$distinctFps " +
-      s"q_lm_kn[$kn2] q_lm_kn3[$kn3]")
+      s"q_lm_kn[$kn2] q_lm_kn3[$kn3] " +
+      s"noBcast:q_lm_kn[$kn2f] noBcast:q_lm_kn3[$kn3f]")
     spark.stop()
   }
 }
