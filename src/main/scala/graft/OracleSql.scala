@@ -1295,6 +1295,52 @@ object OracleSql {
          |FROM j""".stripMargin
   }
 
+  /** Split-conformal replay, shared by q_conformal and its streaming
+    * gate: the 60/20/20 chronological split, the scaled-integer
+    * residuals |y·n_train − sum_train| (train mean kept rational), the
+    * k = ⌈(n_cal+1)·900/1000⌉-th smallest calibration residual
+    * (k > n_cal ⇒ infinite interval ⇒ all covered, null q), one
+    * terminal coverage division. */
+  private lazy val conformalSql: String =
+    """WITH e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS y,
+      |  ts, event_id FROM events
+      |  WHERE ts IS NOT NULL AND value IS NOT NULL),
+      |r AS (SELECT user_id, y,
+      |  CAST(row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS BIGINT) AS rn,
+      |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      |  FROM e),
+      |m AS (SELECT *, n * 3 // 5 AS ntr, n * 4 // 5 AS nc8 FROM r
+      |  WHERE n * 3 // 5 >= 1 AND n * 4 // 5 > n * 3 // 5
+      |    AND n > n * 4 // 5),
+      |tr AS (SELECT user_id, CAST(sum(y) AS BIGINT) AS sy,
+      |  CAST(count(*) AS BIGINT) AS ntrain
+      |  FROM m WHERE rn <= ntr GROUP BY 1),
+      |cal AS (SELECT m.user_id, abs(m.y * tr.ntrain - tr.sy) AS resid,
+      |  m.rn FROM m JOIN tr ON m.user_id = tr.user_id
+      |  WHERE m.rn > m.ntr AND m.rn <= m.nc8),
+      |calst AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_cal
+      |  FROM cal GROUP BY 1),
+      |calrk AS (SELECT user_id, resid, CAST(row_number() OVER (
+      |  PARTITION BY user_id ORDER BY resid, rn) AS BIGINT) AS rr
+      |  FROM cal),
+      |q AS (SELECT calrk.user_id, resid AS q_scaled
+      |  FROM calrk JOIN calst ON calrk.user_id = calst.user_id
+      |  WHERE rr = ((n_cal + 1) * 900 + 999) // 1000),
+      |tst AS (SELECT m.user_id, CAST(count(*) AS BIGINT) AS n_test,
+      |  CAST(sum(CASE WHEN q.q_scaled IS NULL
+      |    OR abs(m.y * tr.ntrain - tr.sy) <= q.q_scaled
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+      |  any_value(q.q_scaled) AS q_scaled,
+      |  any_value(tr.ntrain) AS n_train
+      |  FROM m JOIN tr ON m.user_id = tr.user_id
+      |  LEFT JOIN q ON m.user_id = q.user_id
+      |  WHERE m.rn > m.nc8 GROUP BY m.user_id)
+      |SELECT t.user_id, n_train + c.n_cal + n_test AS n, n_train,
+      |  c.n_cal, n_test, q_scaled, n_covered,
+      |  CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE) AS coverage
+      |FROM tst t JOIN calst c ON t.user_id = c.user_id""".stripMargin
+
   private lazy val groupOlsSql: String = {
       def det3(a: String, b: String, c: String, p: String, q: String,
           r: String, u: String, v: String, w: String): String =
@@ -5596,45 +5642,10 @@ object OracleSql {
     // rational), the k = ⌈(n_cal+1)·900/1000⌉-th smallest calibration
     // residual (k > n_cal ⇒ infinite interval ⇒ all covered, null q),
     // one terminal coverage division.
-    "q_conformal" ->
-      """WITH e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS y,
-        |  ts, event_id FROM events
-        |  WHERE ts IS NOT NULL AND value IS NOT NULL),
-        |r AS (SELECT user_id, y,
-        |  CAST(row_number() OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id) AS BIGINT) AS rn,
-        |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
-        |  FROM e),
-        |m AS (SELECT *, n * 3 // 5 AS ntr, n * 4 // 5 AS nc8 FROM r
-        |  WHERE n * 3 // 5 >= 1 AND n * 4 // 5 > n * 3 // 5
-        |    AND n > n * 4 // 5),
-        |tr AS (SELECT user_id, CAST(sum(y) AS BIGINT) AS sy,
-        |  CAST(count(*) AS BIGINT) AS ntrain
-        |  FROM m WHERE rn <= ntr GROUP BY 1),
-        |cal AS (SELECT m.user_id, abs(m.y * tr.ntrain - tr.sy) AS resid,
-        |  m.rn FROM m JOIN tr ON m.user_id = tr.user_id
-        |  WHERE m.rn > m.ntr AND m.rn <= m.nc8),
-        |calst AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_cal
-        |  FROM cal GROUP BY 1),
-        |calrk AS (SELECT user_id, resid, CAST(row_number() OVER (
-        |  PARTITION BY user_id ORDER BY resid, rn) AS BIGINT) AS rr
-        |  FROM cal),
-        |q AS (SELECT calrk.user_id, resid AS q_scaled
-        |  FROM calrk JOIN calst ON calrk.user_id = calst.user_id
-        |  WHERE rr = ((n_cal + 1) * 900 + 999) // 1000),
-        |tst AS (SELECT m.user_id, CAST(count(*) AS BIGINT) AS n_test,
-        |  CAST(sum(CASE WHEN q.q_scaled IS NULL
-        |    OR abs(m.y * tr.ntrain - tr.sy) <= q.q_scaled
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
-        |  any_value(q.q_scaled) AS q_scaled,
-        |  any_value(tr.ntrain) AS n_train
-        |  FROM m JOIN tr ON m.user_id = tr.user_id
-        |  LEFT JOIN q ON m.user_id = q.user_id
-        |  WHERE m.rn > m.nc8 GROUP BY m.user_id)
-        |SELECT t.user_id, n_train + c.n_cal + n_test AS n, n_train,
-        |  c.n_cal, n_test, q_scaled, n_covered,
-        |  CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE) AS coverage
-        |FROM tst t JOIN calst c ON t.user_id = c.user_id""".stripMargin,
+    "q_conformal" -> conformalSql,
+    // the streaming gate shares the batch replay verbatim: frozen model
+    // + test keys batch-side, stateless per-arrival verdicts
+    "q_stream_conformal" -> conformalSql,
 
     // Theil–Sen replay: one division per ordered pair, exact selection of
     // the ⌈m/2⌉-th smallest under the (slope, tie_i, tie_j) total order

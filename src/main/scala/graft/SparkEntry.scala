@@ -2282,6 +2282,34 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id")), "doc_id")
   }
 
+  /** Streaming conformal coverage gate — q_conformal's verdicts at the
+    * ingest boundary: the per-group conformal model AND the held-out
+    * test-row keys freeze batch-side (corpus under an sf dir is
+    * immutable — the lm-KN convention), every ARRIVING event joins the
+    * test-key table and the model stream-statically and emits its 0/1
+    * verdict with zero state; the per-group fold runs over the sink
+    * ([[graft.pipeline.Regression.conformalFinish]]). Shares
+    * q_conformal's replay verbatim. */
+  private def qStreamConformal(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val ev = events(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+    val model = graft.pipeline.Regression.conformalModel(ev,
+      Seq("user_id"), cents(col("value")).cast(LongType),
+      Seq(col("ts"), col("event_id")), alphaMilli = 100L)
+    val testKeys = graft.pipeline.Regression.conformalTestRows(ev,
+      Seq("user_id"), cents(col("value")).cast(LongType),
+      Seq(col("ts"), col("event_id")))
+      .select(col("__o1").alias("event_id"))
+    val arriving = eventsStream(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .join(testKeys, Seq("event_id")) // stream-static: test rows only
+    val sink = runStream(s, graft.pipeline.Regression.conformalScore(
+      model, arriving, Seq("user_id"),
+      cents(col("value")).cast(LongType)))
+    graft.pipeline.Regression.conformalFinish(sink, model, Seq("user_id"))
+  }
+
   /** Grouped multivariate OLS ([[graft.pipeline.Regression.groupOls2]]):
     * per user, cent value regressed on (hour-of-day, weekday) — exact
     * integer moment sums, fixed-order Cramer solve, null βs on
@@ -4255,6 +4283,7 @@ object SparkEntry {
     "q_fd" -> qFd _,
     "q_group_ols" -> qGroupOls _,
     "q_conformal" -> qConformal _,
+    "q_stream_conformal" -> qStreamConformal _,
     "q_theil_sen" -> qTheilSen _,
     "q_mann_kendall" -> qMannKendall _,
     "q_welch" -> qWelch _,

@@ -200,8 +200,18 @@ object Regression {
     * coverage). */
   def conformalSplit(df: DataFrame, groupCols: Seq[String], y: Column,
       orderCols: Seq[Column], alphaMilli: Long = 100L): DataFrame = {
+    val marked = conformalMarked(df, groupCols, y, orderCols)
+    val model = conformalModelFromMarked(marked, groupCols, alphaMilli)
+    conformalFinish(conformalScore(model,
+      marked.filter(col("__role") === "test"), groupCols,
+      col("__y")), model, groupCols)
+  }
+
+  /** The per-group rows of the chronological split, with roles. Shared
+    * plumbing for [[conformalModel]] / [[conformalTestRows]]. */
+  private def conformalMarked(df: DataFrame, groupCols: Seq[String],
+      y: Column, orderCols: Seq[Column]): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
-    require(alphaMilli > 0 && alphaMilli < 1000, "alphaMilli in (0,1000)")
     val g = groupCols.map(col)
     val oAliases = orderCols.indices.map(i => col(s"__o$i"))
     val wArr = org.apache.spark.sql.expressions.Window
@@ -214,19 +224,35 @@ object Regression {
       .withColumn("__n", count(lit(1)).over(wGrp))
     val nTrain = call_function("div", col("__n") * 3L, lit(5L))
     val nCal8 = call_function("div", col("__n") * 4L, lit(5L))
-    val marked = ranked
+    ranked
       .withColumn("__role", when(col("__rn") <= nTrain, lit("train"))
         .when(col("__rn") <= nCal8, lit("cal")).otherwise(lit("test")))
-      .withColumn("__ntr", nTrain)
       .filter(nTrain >= 1L && nCal8 > nTrain && col("__n") > nCal8)
+  }
+
+  /** The frozen per-group conformal MODEL — the batch-trained artifact
+    * an ingest gate joins against (the lm-KN frozen-model convention):
+    * one row per group that splits cleanly, carrying the train rational
+    * (__sy, n_train), the calibration size, and the conformal quantile
+    * q_scaled (null = infinite interval). */
+  def conformalModel(df: DataFrame, groupCols: Seq[String], y: Column,
+      orderCols: Seq[Column], alphaMilli: Long = 100L): DataFrame =
+    conformalModelFromMarked(conformalMarked(df, groupCols, y, orderCols),
+      groupCols, alphaMilli)
+
+  private def conformalModelFromMarked(marked: DataFrame,
+      groupCols: Seq[String], alphaMilli: Long): DataFrame = {
+    require(alphaMilli > 0 && alphaMilli < 1000, "alphaMilli in (0,1000)")
+    val g = groupCols.map(col)
+    val wGrp = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
     val trainAgg = marked.filter(col("__role") === "train")
       .groupBy(g: _*)
       .agg(sum(col("__y")).alias("__sy"),
-        count(lit(1)).alias("__ntrain"))
-    val resid = abs(col("__y") * col("__ntrain") - col("__sy"))
+        count(lit(1)).alias("n_train"))
     val calR = marked.filter(col("__role") === "cal")
       .join(trainAgg, groupCols)
-      .withColumn("__r", resid)
+      .withColumn("__r",
+        abs(col("__y") * col("n_train") - col("__sy")))
       .withColumn("__ncal", count(lit(1)).over(wGrp))
     // k = ceil((n_cal+1)(1000-alpha)/1000); rank ties broken by arrival
     // index — the k-th smallest VALUE is rank-order independent anyway
@@ -237,19 +263,43 @@ object Regression {
     val qRow = calR
       .withColumn("__rr", row_number().over(wRes).cast("long"))
       .filter(col("__rr") === k)
-      .select(groupCols.map(col) :+ col("__r").alias("__q"): _*)
+      .select(groupCols.map(col) :+ col("__r").alias("q_scaled"): _*)
     val calStats = calR.groupBy(g: _*)
       .agg(count(lit(1)).alias("n_cal"))
-    val testCovered = marked.filter(col("__role") === "test")
-      .join(trainAgg, groupCols)
-      .join(qRow, groupCols, "left")
-      .groupBy(g: _*)
+    trainAgg.join(calStats, groupCols).join(qRow, groupCols, "left")
+  }
+
+  /** The held-out tail of the split, with __y attached — the rows an
+    * ingest stream replays (keys + __y; original df columns kept). */
+  def conformalTestRows(df: DataFrame, groupCols: Seq[String], y: Column,
+      orderCols: Seq[Column]): DataFrame =
+    conformalMarked(df, groupCols, y, orderCols)
+      .filter(col("__role") === "test")
+
+  /** Stateless per-row conformal verdicts under a frozen [[
+    * conformalModel]]: pure stream-static equi-joins on the group key —
+    * runs unchanged on a streaming frame (the lmKneserNeyContribs
+    * contract). Rows of groups absent from the model drop (no split, no
+    * interval). Output: groupCols + __covered (0/1). */
+  def conformalScore(model: DataFrame, rows: DataFrame,
+      groupCols: Seq[String], y: Column): DataFrame =
+    rows.select(groupCols.map(col) :+ y.cast("long").alias("__yy"): _*)
+      .join(model, groupCols)
+      .select(groupCols.map(col) :+
+        when(col("q_scaled").isNull ||
+          abs(col("__yy") * col("n_train") - col("__sy")) <=
+            col("q_scaled"), 1L).otherwise(0L).alias("__covered"): _*)
+
+  /** The per-group fold over [[conformalScore]] verdicts (or their
+    * streaming sink), joined back to the model for the full
+    * [[conformalSplit]] output shape. */
+  def conformalFinish(scored: DataFrame, model: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    scored.groupBy(g: _*)
       .agg(count(lit(1)).alias("n_test"),
-        sum(when(col("__q").isNull || resid <= col("__q"), 1L)
-          .otherwise(0L)).alias("n_covered"),
-        first(col("__q")).alias("q_scaled"),
-        first(col("__ntrain")).alias("n_train"))
-    testCovered.join(calStats, groupCols)
+        sum(col("__covered")).alias("n_covered"))
+      .join(model, groupCols)
       .select(groupCols.map(col) ++ Seq(
         (col("n_train") + col("n_cal") + col("n_test")).alias("n"),
         col("n_train"), col("n_cal"), col("n_test"), col("q_scaled"),
