@@ -1301,6 +1301,49 @@ object OracleSql {
     * k = ⌈(n_cal+1)·900/1000⌉-th smallest calibration residual
     * (k > n_cal ⇒ infinite interval ⇒ all covered, null q), one
     * terminal coverage division. */
+  private lazy val mediaDedupSql: String =
+    """WITH img AS (SELECT doc_id, 8 * (1 + doc_id % 2) AS w,
+      |  (doc_id % 13) * 19 AS base FROM documents WHERE doc_id % 3 = 0),
+      |imgb AS (SELECT doc_id, w, (base + 23 * bx.bx) % 256 AS v
+      |  FROM img, range(2) bx(bx) WHERE bx.bx < w // 8),
+      |imgf AS (SELECT doc_id, 'image' AS modality,
+      |  CAST(min(w) * 8 AS BIGINT) AS n_units,
+      |  CAST(min(w) AS VARCHAR) || ':8:1:'
+      |    || CAST(sum(v) * 64 AS VARCHAR) || ':'
+      |    || CAST(sum(v * v) * 64 AS VARCHAR) AS fpi
+      |  FROM imgb GROUP BY doc_id),
+      |aud AS (SELECT doc_id, 100 + (doc_id % 10) * 40 AS n,
+      |  (doc_id % 13) * 133 AS b7 FROM documents WHERE doc_id % 3 = 1),
+      |auds AS (SELECT doc_id, n, i.i AS i,
+      |  (b7 + 11 * i.i) % 65536 - 32768 AS v
+      |  FROM aud, range(500) i(i) WHERE i.i < n),
+      |audf AS (SELECT doc_id, 'audio' AS modality,
+      |  CAST(min(n) AS BIGINT) AS n_units,
+      |  CAST(min(n) AS VARCHAR) || ':' || CAST(sum(v) AS VARCHAR)
+      |    || ':' || CAST(sum((i + 1) * v) AS VARCHAR) AS fpi
+      |  FROM auds GROUP BY doc_id),
+      |vid AS (SELECT doc_id, 3 + doc_id % 5 AS n,
+      |  8 * (1 + doc_id % 3) AS w, 8 * (1 + (doc_id * 2) % 3) AS h,
+      |  (doc_id % 13) * 19 AS base FROM documents WHERE doc_id % 3 = 2),
+      |vidb AS (SELECT doc_id, w, h, f.f AS fi,
+      |  (base + 29 * f.f + 17 * by.by + 23 * bx.bx) % 256 AS v
+      |  FROM vid, range(8) f(f), range(3) by(by), range(3) bx(bx)
+      |  WHERE f.f < n AND by.by < h // 8 AND bx.bx < w // 8),
+      |vidr AS (SELECT doc_id, fi,
+      |  CAST(min(w) AS VARCHAR) || ':' || CAST(min(h) AS VARCHAR)
+      |  || ':' || CAST(sum(v) * 64 AS VARCHAR)
+      |  || ':' || CAST(sum(v * v) * 64 AS VARCHAR) AS fs
+      |  FROM vidb GROUP BY doc_id, fi),
+      |vidf AS (SELECT doc_id, 'video' AS modality,
+      |  CAST(count(*) AS BIGINT) AS n_units,
+      |  string_agg(fs, '|' ORDER BY fi) AS fpi
+      |  FROM vidr GROUP BY doc_id),
+      |allf AS (SELECT * FROM imgf UNION ALL SELECT * FROM audf
+      |  UNION ALL SELECT * FROM vidf)
+      |SELECT modality, md5(fpi) AS fp, n_units,
+      |  min(doc_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM allf GROUP BY modality, md5(fpi), n_units""".stripMargin
+
   private lazy val conformalSql: String =
     """WITH e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS y,
       |  ts, event_id FROM events
@@ -4531,49 +4574,11 @@ object OracleSql {
 
     // Media-dedup replay: one branch per id%3 modality arm, each
     // restating its folded fixture arithmetic and md5 moment string,
-    // UNION ALL, then the (modality, fp, n_units) group.
-    "q_media_dedup" ->
-      """WITH img AS (SELECT doc_id, 8 * (1 + doc_id % 2) AS w,
-        |  (doc_id % 13) * 19 AS base FROM documents WHERE doc_id % 3 = 0),
-        |imgb AS (SELECT doc_id, w, (base + 23 * bx.bx) % 256 AS v
-        |  FROM img, range(2) bx(bx) WHERE bx.bx < w // 8),
-        |imgf AS (SELECT doc_id, 'image' AS modality,
-        |  CAST(min(w) * 8 AS BIGINT) AS n_units,
-        |  CAST(min(w) AS VARCHAR) || ':8:1:'
-        |    || CAST(sum(v) * 64 AS VARCHAR) || ':'
-        |    || CAST(sum(v * v) * 64 AS VARCHAR) AS fpi
-        |  FROM imgb GROUP BY doc_id),
-        |aud AS (SELECT doc_id, 100 + (doc_id % 10) * 40 AS n,
-        |  (doc_id % 13) * 133 AS b7 FROM documents WHERE doc_id % 3 = 1),
-        |auds AS (SELECT doc_id, n, i.i AS i,
-        |  (b7 + 11 * i.i) % 65536 - 32768 AS v
-        |  FROM aud, range(500) i(i) WHERE i.i < n),
-        |audf AS (SELECT doc_id, 'audio' AS modality,
-        |  CAST(min(n) AS BIGINT) AS n_units,
-        |  CAST(min(n) AS VARCHAR) || ':' || CAST(sum(v) AS VARCHAR)
-        |    || ':' || CAST(sum((i + 1) * v) AS VARCHAR) AS fpi
-        |  FROM auds GROUP BY doc_id),
-        |vid AS (SELECT doc_id, 3 + doc_id % 5 AS n,
-        |  8 * (1 + doc_id % 3) AS w, 8 * (1 + (doc_id * 2) % 3) AS h,
-        |  (doc_id % 13) * 19 AS base FROM documents WHERE doc_id % 3 = 2),
-        |vidb AS (SELECT doc_id, w, h, f.f AS fi,
-        |  (base + 29 * f.f + 17 * by.by + 23 * bx.bx) % 256 AS v
-        |  FROM vid, range(8) f(f), range(3) by(by), range(3) bx(bx)
-        |  WHERE f.f < n AND by.by < h // 8 AND bx.bx < w // 8),
-        |vidr AS (SELECT doc_id, fi,
-        |  CAST(min(w) AS VARCHAR) || ':' || CAST(min(h) AS VARCHAR)
-        |  || ':' || CAST(sum(v) * 64 AS VARCHAR)
-        |  || ':' || CAST(sum(v * v) * 64 AS VARCHAR) AS fs
-        |  FROM vidb GROUP BY doc_id, fi),
-        |vidf AS (SELECT doc_id, 'video' AS modality,
-        |  CAST(count(*) AS BIGINT) AS n_units,
-        |  string_agg(fs, '|' ORDER BY fi) AS fpi
-        |  FROM vidr GROUP BY doc_id),
-        |allf AS (SELECT * FROM imgf UNION ALL SELECT * FROM audf
-        |  UNION ALL SELECT * FROM vidf)
-        |SELECT modality, md5(fpi) AS fp, n_units,
-        |  min(doc_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_docs
-        |FROM allf GROUP BY modality, md5(fpi), n_units""".stripMargin,
+    // UNION ALL, then the (modality, fp, n_units) group. The streaming
+    // gate (first-owner state, id-ordered ingestion) shares it verbatim.
+    "q_media_dedup" -> mediaDedupSql,
+    "q_stream_media_dedup" -> mediaDedupSql,
+
 
     // Audio-dedup replay: the folded WAV fixture arithmetic (base id%13,
     // n = 100 + (id%10)·40), exact PCM moments incl. the position-

@@ -3918,6 +3918,29 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload")
 
+  /** Streaming media dedup — q_media_dedup's groups maintained at the
+    * ingest boundary: ARRIVING payloads are signature-dispatched,
+    * decoded, and fingerprinted statelessly ([[graft.pipeline
+    * .Multimodal.mediaFingerprints]] runs unchanged on the stream), the
+    * first-owner state gate ([[graft.streaming.StreamingTSDF
+    * .fingerprintOwnership]] — one long per distinct content group)
+    * flags owners, and the sink folds to the batch output (owner =
+    * rep). stream == batch under id-ordered ingestion — the
+    * q_stream_novelty contract; shares q_media_dedup's replay
+    * verbatim. */
+  private def qStreamMediaDedup(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val fps = Multimodal.mediaFingerprints(
+      Multimodal.synthesizeMediaDedupPayload(
+        docsStream(s, dir).select(col("doc_id")), "doc_id"),
+      "doc_id", "payload")
+    val sink = runStream(s,
+      graft.streaming.StreamingTSDF.fingerprintOwnership(fps, "doc_id"))
+    sink.groupBy(col("modality"), col("fp"), col("n_units"))
+      .agg(min(when(col("novel"), col("doc_id"))).alias("rep_id"),
+        count(lit(1)).alias("n_docs"))
+  }
+
   /** Exact video dedup by decoded-content fingerprint
     * ([[graft.pipeline.Video.videoDedup]]): every clip decoded for real,
     * fingerprinted by its per-frame exact moment sequence, grouped to a
@@ -4403,6 +4426,7 @@ object SparkEntry {
     "q_video_dedup" -> qVideoDedup _,
     "q_audio_dedup" -> qAudioDedup _,
     "q_media_dedup" -> qMediaDedup _,
+    "q_stream_media_dedup" -> qStreamMediaDedup _,
     "q_media_coverage" -> qMediaCoverage _,
     "q_pixel_hist" -> qPixelHist _,
     "q_image_dhash" -> qImageDhash _,

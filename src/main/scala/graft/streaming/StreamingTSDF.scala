@@ -1422,6 +1422,44 @@ object StreamingTSDF {
     }
   }
 
+  case class MediaFpRow(modality: String, fp: String, nUnits: Long,
+      doc: Long)
+
+  /** First-owner gate over ARBITRARY content fingerprints —
+    * [[noveltyOwnership]]'s state discipline (one owner per distinct
+    * key, first-arrival-wins, min-id within a micro-batch) generalized
+    * from winnow fingerprints to any (modality, fp, n_units, id) frame,
+    * e.g. [[graft.pipeline.Multimodal.mediaFingerprints]] on an
+    * arriving payload stream: the decode + fingerprint are stateless
+    * scan-local maps, state is ONE long per distinct content group, and
+    * the only shuffle carries fingerprint rows — payload bytes never
+    * cross an exchange. Same id-ordered-ingestion equivalence contract
+    * and NoTimeout lifecycle as [[noveltyOwnership]]'s default; output
+    * (modality, fp, n_units, idCol, novel). */
+  def fingerprintOwnership(fps: DataFrame, idCol: String): DataFrame = {
+    val spark = fps.sparkSession
+    import spark.implicits._
+    fps.select(col("modality"), col("fp"),
+        col("n_units").alias("nUnits"),
+        col(idCol).cast(LongType).alias("doc"))
+      .as[MediaFpRow]
+      .groupByKey(r => (r.modality, r.fp, r.nUnits))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: (String, String, Long), rows: Iterator[MediaFpRow],
+            state: GroupState[Long]) =>
+          val docs = rows.map(_.doc).toSet
+          if (docs.isEmpty) Iterator.empty
+          else {
+            val owner =
+              if (state.exists) state.get
+              else { val m = docs.min; state.update(m); m }
+            docs.iterator.map(d => (key._1, key._2, key._3, d, d == owner))
+          }
+      }
+      .toDF("modality", "fp", "n_units", idCol, "novel")
+  }
+
   /** The batch-formula rollup over a [[noveltyOwnership]] sink: per-doc
     * fingerprint count, first-owned count, and their ratio — identical
     * column contract to [[graft.pipeline.TextAnalysis.winnowNovelty]].
