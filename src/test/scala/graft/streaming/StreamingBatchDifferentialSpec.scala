@@ -1244,4 +1244,55 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
       withClue(s"trial $trial: ") { assertDfEquality(streamed, batch) }
     }
   }
+
+  test("streaming fingerprintOwnership over media payloads folds to the " +
+      "batch mediaDedup groups under id-ordered multi-batch ingestion, " +
+      "and a single shuffled batch resolves owners to the min id") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(331)
+    val ids = (0L until 120L)
+    val batchAnswer = graft.pipeline.Multimodal.mediaDedup(
+      graft.pipeline.Multimodal.synthesizeMediaDedupPayload(
+        ids.toDF("doc_id"), "doc_id"), "doc_id", "payload")
+
+    def run(name: String, feed: (MemoryStream[Long],
+        org.apache.spark.sql.streaming.StreamingQuery) => Unit): DataFrame = {
+      val mem = MemoryStream[Long]
+      val out = StreamingTSDF.fingerprintOwnership(
+        graft.pipeline.Multimodal.mediaFingerprints(
+          graft.pipeline.Multimodal.synthesizeMediaDedupPayload(
+            mem.toDF().toDF("doc_id"), "doc_id"),
+          "doc_id", "payload"), "doc_id")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      feed(mem, q)
+      q.stop()
+      spark.table(name)
+        .groupBy(col("modality"), col("fp"), col("n_units"))
+        .agg(min(when(col("novel"), col("doc_id"))).alias("rep_id"),
+          count(lit(1)).alias("n_docs"))
+    }
+
+    // id-ordered batches, shuffled WITHIN each batch (the contract)
+    val multi = run("fp_own_multi", (mem, q) => {
+      var rest: Seq[Long] = ids.toList
+      while (rest.nonEmpty) {
+        val (batch, tail) = rest.splitAt(1 + rnd.nextInt(40))
+        rest = tail
+        mem.addData(rnd.shuffle(batch): _*)
+        q.processAllAvailable()
+      }
+    })
+    assertDfEquality(multi, batchAnswer)
+
+    // ONE batch in fully shuffled order: in-batch ties resolve to the
+    // min id, so even arbitrary order matches batch when nothing is split
+    val single = run("fp_own_single", (mem, q) => {
+      mem.addData(rnd.shuffle(ids.toList): _*)
+      q.processAllAvailable()
+    })
+    assertDfEquality(single, batchAnswer)
+  }
 }
