@@ -1331,7 +1331,7 @@ object OracleSql {
       |  WHERE f.f < n AND by.by < h // 8 AND bx.bx < w // 8),
       |vidr AS (SELECT doc_id, fi,
       |  CAST(min(w) AS VARCHAR) || ':' || CAST(min(h) AS VARCHAR)
-      |  || ':' || CAST(sum(v) * 64 AS VARCHAR)
+      |  || ':1:' || CAST(sum(v) * 64 AS VARCHAR)
       |  || ':' || CAST(sum(v * v) * 64 AS VARCHAR) AS fs
       |  FROM vidb GROUP BY doc_id, fi),
       |vidf AS (SELECT doc_id, 'video' AS modality,
@@ -4602,7 +4602,8 @@ object OracleSql {
 
     // Video-dedup replay: the dedup fixture's folded base (id % 13 · 19),
     // per-frame exact moments (flat blocks: Σv = 64·Σ_block v, Σv² =
-    // 64·Σ_block v²), the same "w:h:s1:s2" sequence string, DuckDB md5.
+    // 64·Σ_block v²), the same "w:h:ch:s1:s2" sequence string (ch = 1,
+    // the grayscale MJPEG decode), DuckDB md5.
     "q_video_dedup" ->
       """WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n,
         |  8 * (1 + doc_id % 3) AS w, 8 * (1 + (doc_id * 2) % 3) AS h,
@@ -4613,7 +4614,7 @@ object OracleSql {
         |  WHERE f.f < n AND by.by < h // 8 AND bx.bx < w // 8),
         |fr AS (SELECT doc_id, fi,
         |  CAST(min(w) AS VARCHAR) || ':' || CAST(min(h) AS VARCHAR)
-        |  || ':' || CAST(sum(v) * 64 AS VARCHAR)
+        |  || ':1:' || CAST(sum(v) * 64 AS VARCHAR)
         |  || ':' || CAST(sum(v * v) * 64 AS VARCHAR) AS fs
         |  FROM fb GROUP BY doc_id, fi),
         |fp AS (SELECT doc_id, CAST(count(*) AS INT) AS n_frames,

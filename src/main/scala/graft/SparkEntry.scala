@@ -2297,13 +2297,15 @@ object SparkEntry {
     val model = graft.pipeline.Regression.conformalModel(ev,
       Seq("user_id"), cents(col("value")).cast(LongType),
       Seq(col("ts"), col("event_id")), alphaMilli = 100L)
+    // keyed (user_id, event_id): the gate must not rely on event_id
+    // being globally unique across users
     val testKeys = graft.pipeline.Regression.conformalTestRows(ev,
       Seq("user_id"), cents(col("value")).cast(LongType),
       Seq(col("ts"), col("event_id")))
-      .select(col("__o1").alias("event_id"))
+      .select(col("user_id"), col("__o1").alias("event_id"))
     val arriving = eventsStream(s, dir)
       .filter(col("ts").isNotNull && col("value").isNotNull)
-      .join(testKeys, Seq("event_id")) // stream-static: test rows only
+      .join(testKeys, Seq("user_id", "event_id")) // stream-static: test rows only
     val sink = runStream(s, graft.pipeline.Regression.conformalScore(
       model, arriving, Seq("user_id"),
       cents(col("value")).cast(LongType)))

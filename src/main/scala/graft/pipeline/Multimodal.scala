@@ -615,6 +615,44 @@ object Multimodal {
     buildWavWithSamples((8000 + (id % 8) * 1000).toInt, samples)
   }
 
+  /** Exact-moment fingerprint input of a decoded still —
+    * "w:h:ch:s1:s2" (s1 = Σv, s2 = Σv² over the decoded samples).
+    * The SINGLE source of the image fingerprint format: both the
+    * image arm of [[mediaFingerprints]] and every per-frame string of
+    * [[graft.pipeline.Video.videoFingerprints]] call this, so the
+    * modality-specific and mixed-dispatch dedup paths can never
+    * silently diverge. */
+  private[pipeline] def imageFpInput(img: DecodedImage): String = {
+    var s1 = 0L
+    var s2 = 0L
+    var i = 0
+    while (i < img.samples.length) {
+      val v = img.samples(i).toLong
+      s1 += v
+      s2 += v * v
+      i += 1
+    }
+    s"${img.width}:${img.height}:${img.channels}:$s1:$s2"
+  }
+
+  /** Exact-moment fingerprint input of a decoded PCM stream —
+    * "n:s1:sw" (s1 = Σs, sw = Σ(i+1)·s). The single source of the
+    * audio fingerprint format, shared by [[audioFingerprints]] and the
+    * audio arm of [[mediaFingerprints]]. Sample RATE deliberately
+    * excluded (remux collapses — content semantics). */
+  private[pipeline] def audioFpInput(a: DecodedAudio): String = {
+    var s1 = 0L
+    var sw = 0L
+    var i = 0
+    while (i < a.samples.length) {
+      val v = a.samples(i).toLong
+      s1 += v
+      sw += (i + 1L) * v
+      i += 1
+    }
+    s"${a.samples.length}:$s1:$sw"
+  }
+
   /** Per-clip audio content fingerprint over the REAL decoded samples —
     * the [[graft.pipeline.Video.videoFingerprints]] discipline on the
     * audio axis: three exact integer moments of the PCM stream
@@ -638,17 +676,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { r =>
           decodeWavSamples(r.getAs[Array[Byte]](1)).map { a =>
-            var s1 = 0L
-            var sw = 0L
-            var i = 0
-            while (i < a.samples.length) {
-              val v = a.samples(i).toLong
-              s1 += v
-              sw += (i + 1L) * v
-              i += 1
-            }
-            Row(r.get(0), a.samples.length.toLong,
-              s"${a.samples.length}:$s1:$sw")
+            Row(r.get(0), a.samples.length.toLong, audioFpInput(a))
           }
         }
       }(Encoders.row(outSchema))
@@ -719,50 +747,14 @@ object Multimodal {
         it.flatMap { r =>
           val bytes = r.getAs[Array[Byte]](1)
           decodeImage(bytes).map { img =>
-            var s1 = 0L
-            var s2 = 0L
-            var i = 0
-            while (i < img.samples.length) {
-              val v = img.samples(i).toLong
-              s1 += v
-              s2 += v * v
-              i += 1
-            }
             Row(r.get(0), "image", img.samples.length.toLong,
-              s"${img.width}:${img.height}:${img.channels}:$s1:$s2")
+              imageFpInput(img))
           }.orElse(decodeWavSamples(bytes).map { a =>
-            var s1 = 0L
-            var sw = 0L
-            var i = 0
-            while (i < a.samples.length) {
-              val v = a.samples(i).toLong
-              s1 += v
-              sw += (i + 1L) * v
-              i += 1
-            }
             Row(r.get(0), "audio", a.samples.length.toLong,
-              s"${a.samples.length}:$s1:$sw")
+              audioFpInput(a))
           }).orElse(Video.parseVideoMjpeg(bytes).map { clip =>
-            val sb = new StringBuilder
-            var nf = 0
-            clip.frames.foreach { jfif =>
-              Jpeg.decodeJpeg(jfif).foreach { img =>
-                var s1 = 0L
-                var s2 = 0L
-                var i = 0
-                while (i < img.samples.length) {
-                  val v = img.samples(i).toLong
-                  s1 += v
-                  s2 += v * v
-                  i += 1
-                }
-                if (nf > 0) sb.append('|')
-                sb.append(img.width).append(':').append(img.height)
-                  .append(':').append(s1).append(':').append(s2)
-                nf += 1
-              }
-            }
-            Row(r.get(0), "video", nf.toLong, sb.toString)
+            val (nf, in) = Video.videoFpInput(clip)
+            Row(r.get(0), "video", nf.toLong, in)
           })
         }
       }(Encoders.row(outSchema))

@@ -270,7 +270,9 @@ object Regression {
   }
 
   /** The held-out tail of the split, with __y attached — the rows an
-    * ingest stream replays (keys + __y; original df columns kept). */
+    * ingest stream replays. Output is the split projection only:
+    * groupCols ++ (__y, __o0.., __rn, __n, __role) — source columns
+    * outside the keys are NOT carried through. */
   def conformalTestRows(df: DataFrame, groupCols: Seq[String], y: Column,
       orderCols: Seq[Column]): DataFrame =
     conformalMarked(df, groupCols, y, orderCols)

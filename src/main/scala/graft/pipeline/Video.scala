@@ -572,10 +572,32 @@ object Video {
       .toDF()
   }
 
+  /** Per-clip fingerprint input: every decoded frame's
+    * [[Multimodal.imageFpInput]] ("w:h:ch:s1:s2") joined with '|' in
+    * presentation order. The single source of the video fingerprint
+    * format, shared by [[videoFingerprints]] and the video arm of
+    * [[Multimodal.mediaFingerprints]]; undecodable frames drop from
+    * the sequence (the [[videoFrameStats]] convention). Returns
+    * (n_decoded_frames, input). */
+  private[pipeline] def videoFpInput(clip: MjpegClip): (Int, String) = {
+    val sb = new StringBuilder
+    var nf = 0
+    clip.frames.foreach { jfif =>
+      Jpeg.decodeJpeg(jfif).foreach { img =>
+        if (nf > 0) sb.append('|')
+        sb.append(Multimodal.imageFpInput(img))
+        nf += 1
+      }
+    }
+    (nf, sb.toString)
+  }
+
   /** Per-clip content fingerprint over the REAL decoded frames: each
-    * frame contributes its exact (width, height, Σv, Σv²) — two integer
-    * moments of the decoded samples — and the clip fingerprint is the
-    * md5 of the "w:h:s1:s2" sequence joined in presentation order.
+    * frame contributes its exact (width, height, channels, Σv, Σv²) —
+    * two integer moments of the decoded samples plus the full decoded
+    * shape — and the clip fingerprint is the md5 of the
+    * "w:h:ch:s1:s2" sequence joined in presentation order
+    * ([[videoFpInput]] — the same per-frame format as the image arm).
     * Dimension changes, any re-encode that alters pixels, frame
     * insertions/reorderings all change the fingerprint; the moments are
     * exact integers so the fingerprint is engine-reproducible (no float
@@ -596,26 +618,8 @@ object Video {
       .mapPartitions { it =>
         it.flatMap { r =>
           parseVideoMjpeg(r.getAs[Array[Byte]](1)).map { clip =>
-            val sb = new StringBuilder
-            var nf = 0
-            clip.frames.foreach { jfif =>
-              Jpeg.decodeJpeg(jfif).foreach { img =>
-                var s1 = 0L
-                var s2 = 0L
-                var i = 0
-                while (i < img.samples.length) {
-                  val v = img.samples(i).toLong
-                  s1 += v
-                  s2 += v * v
-                  i += 1
-                }
-                if (nf > 0) sb.append('|')
-                sb.append(img.width).append(':').append(img.height)
-                  .append(':').append(s1).append(':').append(s2)
-                nf += 1
-              }
-            }
-            Row(r.get(0), nf, sb.toString)
+            val (nf, in) = videoFpInput(clip)
+            Row(r.get(0), nf, in)
           }
         }
       }(Encoders.row(outSchema))

@@ -69,11 +69,13 @@ object LmGateProbe {
     // disabling autoBroadcast proves the same declarative plan degrades
     // to shuffle joins under Catalyst control, no hand-scheduling
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val kn2f = joinMix(graft.pipeline.TextAnalysis.lmKneserNeyScore(
-      docs, "text", "doc_id"))
-    val kn3f = joinMix(graft.pipeline.TextAnalysis.lmKneserNey3Score(
-      docs, "text", "doc_id"))
-    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    val (kn2f, kn3f) =
+      try {
+        (joinMix(graft.pipeline.TextAnalysis.lmKneserNeyScore(
+          docs, "text", "doc_id")),
+          joinMix(graft.pipeline.TextAnalysis.lmKneserNey3Score(
+            docs, "text", "doc_id")))
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
     println(s"GATE dir=$dir bigramModelRows=$bigramModelRows " +
       s"trigramModelRows=$trigramModelRows noveltyStateRows=$distinctFps " +
