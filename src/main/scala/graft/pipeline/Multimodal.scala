@@ -734,33 +734,37 @@ object Multimodal {
     *
     * [[mediaDedup]] groups to a min-id representative per
     * (modality, fp); only fingerprint rows shuffle, never payload
-    * bytes. */
+    * bytes. `carryCols` pass through the decode map untouched (the
+    * [[graft.pipeline.TextAnalysis.winnowFingerprints]] convention —
+    * e.g. an event-time column for a TTL'd streaming ownership gate). */
   def mediaFingerprints(df: DataFrame, idCol: String,
-      payloadCol: String): DataFrame = {
+      payloadCol: String, carryCols: Seq[String] = Nil): DataFrame = {
     val outSchema = StructType(Seq(
       df.schema(idCol),
       StructField("modality", StringType),
       StructField("n_units", LongType),
-      StructField("__fp_input", StringType)))
-    df.select(col(idCol), col(payloadCol))
+      StructField("__fp_input", StringType)) ++
+      carryCols.map(c => df.schema(c)))
+    df.select(col(idCol) +: col(payloadCol) +: carryCols.map(col): _*)
       .mapPartitions { it =>
         it.flatMap { r =>
           val bytes = r.getAs[Array[Byte]](1)
+          val carry = (0 until outSchema.length - 4).map(i => r.get(2 + i))
           decodeImage(bytes).map { img =>
-            Row(r.get(0), "image", img.samples.length.toLong,
-              imageFpInput(img))
+            Row.fromSeq(Seq(r.get(0), "image", img.samples.length.toLong,
+              imageFpInput(img)) ++ carry)
           }.orElse(decodeWavSamples(bytes).map { a =>
-            Row(r.get(0), "audio", a.samples.length.toLong,
-              audioFpInput(a))
+            Row.fromSeq(Seq(r.get(0), "audio", a.samples.length.toLong,
+              audioFpInput(a)) ++ carry)
           }).orElse(Video.parseVideoMjpeg(bytes).map { clip =>
             val (nf, in) = Video.videoFpInput(clip)
-            Row(r.get(0), "video", nf.toLong, in)
+            Row.fromSeq(Seq(r.get(0), "video", nf.toLong, in) ++ carry)
           })
         }
       }(Encoders.row(outSchema))
       .toDF()
-      .select(col(idCol), col("modality"), col("n_units"),
-        md5(col("__fp_input")).alias("fp"))
+      .select(col(idCol) +: col("modality") +: col("n_units") +:
+        md5(col("__fp_input")).alias("fp") +: carryCols.map(col): _*)
   }
 
   /** Cross-modality exact dedup over [[mediaFingerprints]] — min-id

@@ -1424,6 +1424,8 @@ object StreamingTSDF {
 
   case class MediaFpRow(modality: String, fp: String, nUnits: Long,
       doc: Long)
+  case class MediaFpRowT(modality: String, fp: String, nUnits: Long,
+      doc: Long, eventTime: java.sql.Timestamp)
 
   /** First-owner gate over ARBITRARY content fingerprints —
     * [[noveltyOwnership]]'s state discipline (one owner per distinct
@@ -1434,30 +1436,85 @@ object StreamingTSDF {
     * scan-local maps, state is ONE long per distinct content group, and
     * the only shuffle carries fingerprint rows — payload bytes never
     * cross an exchange. Same id-ordered-ingestion equivalence contract
-    * and NoTimeout lifecycle as [[noveltyOwnership]]'s default; output
-    * (modality, fp, n_units, idCol, novel). */
-  def fingerprintOwnership(fps: DataFrame, idCol: String): DataFrame = {
+    * as [[noveltyOwnership]]; output (modality, fp, n_units, idCol,
+    * novel).
+    *
+    * State lifecycle: with the defaults ownership is remembered FOREVER
+    * (NoTimeout) — state grows with the distinct-content universe, the
+    * correct gate for a bounded corpus build. For unbounded rolling
+    * media ingestion pass `stateTtl` + `eventTimeCol` (a column of
+    * `fps`, carried through the decode map via
+    * [[graft.pipeline.Multimodal.mediaFingerprints]]'s carryCols): a
+    * group's ownership is evicted once the event-time watermark passes
+    * its LAST sighting by the TTL — the corpus-rotation horizon — after
+    * which the next arrival re-claims it as novel. Total state is then
+    * bounded by the content groups ACTIVE within one TTL horizon
+    * instead of all groups ever seen ([[noveltyOwnership]]'s TTL arm,
+    * generalized). */
+  def fingerprintOwnership(fps: DataFrame, idCol: String,
+      stateTtl: Option[String] = None,
+      eventTimeCol: Option[String] = None): DataFrame = {
+    require(stateTtl.isDefined == eventTimeCol.isDefined,
+      "stateTtl and eventTimeCol come together (event-time TTL eviction)")
     val spark = fps.sparkSession
     import spark.implicits._
-    fps.select(col("modality"), col("fp"),
-        col("n_units").alias("nUnits"),
-        col(idCol).cast(LongType).alias("doc"))
-      .as[MediaFpRow]
-      .groupByKey(r => (r.modality, r.fp, r.nUnits))
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
-        (key: (String, String, Long), rows: Iterator[MediaFpRow],
-            state: GroupState[Long]) =>
-          val docs = rows.map(_.doc).toSet
-          if (docs.isEmpty) Iterator.empty
-          else {
-            val owner =
-              if (state.exists) state.get
-              else { val m = docs.min; state.update(m); m }
-            docs.iterator.map(d => (key._1, key._2, key._3, d, d == owner))
-          }
-      }
-      .toDF("modality", "fp", "n_units", idCol, "novel")
+    if (stateTtl.isEmpty) {
+      fps.select(col("modality"), col("fp"),
+          col("n_units").alias("nUnits"),
+          col(idCol).cast(LongType).alias("doc"))
+        .as[MediaFpRow]
+        .groupByKey(r => (r.modality, r.fp, r.nUnits))
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.NoTimeout()) {
+          (key: (String, String, Long), rows: Iterator[MediaFpRow],
+              state: GroupState[Long]) =>
+            val docs = rows.map(_.doc).toSet
+            if (docs.isEmpty) Iterator.empty
+            else {
+              val owner =
+                if (state.exists) state.get
+                else { val m = docs.min; state.update(m); m }
+              docs.iterator.map(d => (key._1, key._2, key._3, d, d == owner))
+            }
+        }
+        .toDF("modality", "fp", "n_units", idCol, "novel")
+    } else {
+      val ttl = stateTtl.get
+      fps.select(col("modality"), col("fp"),
+          col("n_units").alias("nUnits"),
+          col(idCol).cast(LongType).alias("doc"),
+          col(eventTimeCol.get).alias("eventTime"))
+        .withWatermark("eventTime", ttl)
+        .as[MediaFpRowT]
+        .groupByKey(r => (r.modality, r.fp, r.nUnits))
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout()) {
+          (key: (String, String, Long), rows: Iterator[MediaFpRowT],
+              state: GroupState[Long]) =>
+            if (state.hasTimedOut) {
+              state.remove() // ownership forgotten past the rotation horizon
+              Iterator.empty
+            } else {
+              val batch = rows.toArray
+              if (batch.isEmpty) Iterator.empty
+              else {
+                val docs = batch.map(_.doc).toSet
+                val owner =
+                  if (state.exists) state.get
+                  else { val m = docs.min; state.update(m); m }
+                // keep-alive: eviction clock restarts at the group's LAST
+                // sighting (floor-clamped above the current watermark,
+                // the noveltyOwnership convention)
+                val lastMs = batch.map(_.eventTime.getTime).max
+                state.setTimeoutTimestamp(
+                  math.max(lastMs, state.getCurrentWatermarkMs() + 1), ttl)
+                docs.iterator.map(d =>
+                  (key._1, key._2, key._3, d, d == owner))
+              }
+            }
+        }
+        .toDF("modality", "fp", "n_units", idCol, "novel")
+    }
   }
 
   /** The batch-formula rollup over a [[noveltyOwnership]] sink: per-doc

@@ -1295,4 +1295,103 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     })
     assertDfEquality(single, batchAnswer)
   }
+
+  test("fingerprintOwnership OUT-OF-ORDER ingestion: the folded sink equals " +
+      "the first-ARRIVAL reference, and exactly the predicted content " +
+      "groups flip representative vs the batch min-id answer") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(577)
+    val ids = (0L until 240L)
+    // deliberately id-DESCENDING rounds: later ids arrive first, so dup
+    // groups spanning rounds (image x/x+78, video x/x+195) get the LATER
+    // member as first owner — a predictable flip vs batch's min-id rep
+    val schedule = Seq(ids.filter(_ >= 160), ids.filter(i => i >= 80 && i < 160),
+      ids.filter(_ < 80)).map(_.toList)
+    val mem = MemoryStream[Long]
+    val out = StreamingTSDF.fingerprintOwnership(
+      graft.pipeline.Multimodal.mediaFingerprints(
+        graft.pipeline.Multimodal.synthesizeMediaDedupPayload(
+          mem.toDF().toDF("doc_id"), "doc_id"),
+        "doc_id", "payload"), "doc_id")
+    val q = out.writeStream.format("memory").queryName("fp_own_ooo")
+      .outputMode(OutputMode.Append()).start()
+    schedule.foreach { b => mem.addData(rnd.shuffle(b): _*); q.processAllAvailable() }
+    q.stop()
+    val folded = spark.table("fp_own_ooo")
+      .groupBy(col("modality"), col("fp"), col("n_units"))
+      .agg(min(when(col("novel"), col("doc_id"))).alias("rep_id"),
+        count(lit(1)).alias("n_docs"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    // driver reference: each doc carries exactly one fingerprint group
+    val docGroup = graft.pipeline.Multimodal.mediaFingerprints(
+        graft.pipeline.Multimodal.synthesizeMediaDedupPayload(
+          ids.toDF("doc_id"), "doc_id"), "doc_id", "payload")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(3), r.getLong(2)))
+      .toMap
+    val arrivalRound = schedule.zipWithIndex
+      .flatMap { case (b, i) => b.map(_ -> i) }.toMap
+    val groups = docGroup.toSeq.groupBy(_._2).map { case (g, v) =>
+      g -> v.map(_._1) }
+    val expStream = groups.map { case (g, docs) =>
+      g -> (docs.minBy(d => (arrivalRound(d), d)), docs.size.toLong) }
+    assert(folded.keySet == expStream.keySet)
+    for ((g, (own, n)) <- expStream)
+      assert(folded(g) == ((own, n)), s"group $g")
+    // the flip set: exactly the groups whose rep the arrival order moved
+    val batchRep = groups.map { case (g, docs) => g -> docs.min }
+    val predictedFlips = expStream.collect {
+      case (g, (own, _)) if own != batchRep(g) => g }.toSet
+    assert(predictedFlips.nonEmpty,
+      "fixture failed to create any out-of-order representative flip")
+    val actualFlips = folded.collect {
+      case (g, (rep, _)) if rep != batchRep(g) => g }.toSet
+    assert(actualFlips == predictedFlips,
+      s"flip set mismatch: got $actualFlips expected $predictedFlips")
+  }
+
+  test("fingerprintOwnership stateTtl: content-group ownership is forgotten " +
+      "past the event-time rotation horizon (re-claim is novel again); the " +
+      "no-TTL gate keeps it forever") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def wav(seed: Int): Array[Byte] =
+      graft.pipeline.Multimodal.buildWavWithSamples(8000,
+        Array.tabulate(64)(i => (seed * 37 + 13 * i) % 4096 - 2048))
+    val payX = wav(1)
+    val others = Seq(wav(2), wav(3), wav(4))
+    def t(min: Int) = new Timestamp(base + min * 60_000L)
+    def run(ttl: Option[String]): Map[Long, Boolean] = {
+      val mem = MemoryStream[(Long, Array[Byte], Timestamp)]
+      val name = s"fp_own_ttl_${ttl.isDefined}"
+      val fps = graft.pipeline.Multimodal.mediaFingerprints(
+        mem.toDF().toDF("doc_id", "payload", "etime"),
+        "doc_id", "payload", carryCols = Seq("etime"))
+      val out = StreamingTSDF.fingerprintOwnership(fps, "doc_id",
+        stateTtl = ttl, eventTimeCol = ttl.map(_ => "etime"))
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      val batches = Seq(
+        Seq((1L, payX, t(0))),          // doc 1 claims X's group at 00:00
+        Seq((2L, others(0), t(2))),     // unrelated; watermark still low
+        Seq((3L, others(1), t(30))),    // watermark -> 20:00 after this batch
+        Seq((4L, others(2), t(31))),    // X's group (timeout 10:00) evicts here
+        Seq((5L, payX, t(32))))         // doc 5 re-claims X verbatim
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => r.getLong(3) -> r.getBoolean(4)).toMap
+    }
+    val withTtl = run(Some("10 minutes"))
+    assert(withTtl(1L) && withTtl(5L),
+      s"doc 5 must re-claim as novel after the horizon: $withTtl")
+    val noTtl = run(None)
+    assert(noTtl(1L) && !noTtl(5L),
+      s"doc 5 must stay non-novel without TTL: $noTtl")
+  }
 }
