@@ -1520,6 +1520,79 @@ object OracleSql {
          |      (CAST(agg.n_bigrams AS DOUBLE) * 1000000.0) END AS avg_logp
          |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin
 
+  /** Modified Kneser-Ney replay (q_lm_mkn): the lmKnSql discipline with
+    * Chen-Goodman 1999 estimated discounts — count-of-counts n1..n4 and
+    * the per-context count-class type counts are aggregates over the
+    * same bigram model table; Y/D1/D2/D3 compose in the identical fixed
+    * order (guards and [0,k] clamps included) as the Spark expression
+    * before the micro-quantized ln. */
+  private lazy val lmMknSql: String =
+    s"""WITH d AS (SELECT doc_id, $norm AS nrm FROM documents),
+       |t AS (SELECT doc_id, string_split(nrm, ' ') AS toks FROM d),
+       |tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+       |bgr AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+       |  unnest(toks[2:len(toks)]) AS w2 FROM tt),
+       |bg AS (SELECT doc_id, w1, w2 FROM bgr WHERE w1 <> '' AND w2 <> ''),
+       |bm AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+       |lm AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw,
+       |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+       |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+       |  CAST(sum(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS k3
+       |  FROM bm GROUP BY 1),
+       |cm AS (SELECT w2, count(*) AS n1l FROM bm GROUP BY 1),
+       |s AS (SELECT (SELECT count(*) FROM bm) AS n1pp,
+       |  (SELECT CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    FROM bm) AS n1,
+       |  (SELECT CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    FROM bm) AS n2,
+       |  (SELECT CAST(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |    FROM bm) AS n3,
+       |  (SELECT CAST(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT)
+       |    FROM bm) AS n4,
+       |  (SELECT count(DISTINCT w) FROM
+       |    (SELECT unnest(toks) AS w FROM t) u WHERE w <> '') AS vv),
+       |dy AS (SELECT *, CASE WHEN n1 + 2 * n2 > 0 THEN
+       |    CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE)
+       |  ELSE 0.0 END AS y FROM s),
+       |dd AS (SELECT *,
+       |  least(greatest(CASE WHEN n1 > 0 THEN 1.0 - 2.0 * y *
+       |    (CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE)) ELSE 1.0 END,
+       |    0.0), 1.0) AS d1,
+       |  least(greatest(CASE WHEN n2 > 0 THEN 2.0 - 3.0 * y *
+       |    (CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE)) ELSE 2.0 END,
+       |    0.0), 2.0) AS d2,
+       |  least(greatest(CASE WHEN n3 > 0 THEN 3.0 - 4.0 * y *
+       |    (CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE)) ELSE 3.0 END,
+       |    0.0), 3.0) AS d3
+       |  FROM dy),
+       |sc AS (SELECT bg.doc_id,
+       |  CAST(floor(ln(
+       |    CASE WHEN lm.cw IS NOT NULL THEN
+       |      (greatest(CAST(COALESCE(bm.c, 0) AS DOUBLE) -
+       |        (CASE WHEN COALESCE(bm.c, 0) <= 1 THEN dd.d1
+       |          WHEN COALESCE(bm.c, 0) = 2 THEN dd.d2
+       |          ELSE dd.d3 END), 0.0)
+       |        + (dd.d1 * CAST(lm.k1 AS DOUBLE)
+       |           + dd.d2 * CAST(lm.k2 AS DOUBLE)
+       |           + dd.d3 * CAST(lm.k3 AS DOUBLE))
+       |          * (CAST(COALESCE(cm.n1l, 0) + 1 AS DOUBLE)
+       |             / CAST(dd.n1pp + dd.vv AS DOUBLE)))
+       |      / CAST(lm.cw AS DOUBLE)
+       |    ELSE CAST(COALESCE(cm.n1l, 0) + 1 AS DOUBLE)
+       |         / CAST(dd.n1pp + dd.vv AS DOUBLE) END
+       |  ) * 1000000.0 + 0.5) AS BIGINT) AS mu
+       |  FROM bg LEFT JOIN bm USING (w1, w2) LEFT JOIN lm USING (w1)
+       |    LEFT JOIN cm USING (w2) CROSS JOIN dd),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(mu) AS BIGINT) AS sum_mu FROM sc GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(agg.sum_mu, 0) AS sum_mu,
+       |  CASE WHEN agg.n_bigrams > 0 THEN
+       |    CAST(agg.sum_mu AS DOUBLE) /
+       |      (CAST(agg.n_bigrams AS DOUBLE) * 1000000.0) END AS avg_logp
+       |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin
+
   /** Trigram interpolated Kneser-Ney replay (q_lm_kn3): the lmKnSql
     * discipline one order deeper — the trigram-type table tm is the one
     * corpus-scale aggregate; left context, continuation pair, middle
@@ -5593,6 +5666,7 @@ object OracleSql {
     "q_stream_lm_kn" -> lmKnSql,
     "q_lm_kn" -> lmKnSql,
     "q_lm_kn3" -> lmKn3Sql,
+    "q_lm_mkn" -> lmMknSql,
     "q_stream_lm_kn3" -> lmKn3Sql,
 
     // CCNet head/middle/tail: ntile(3) over (score desc, doc_id) on the

@@ -2214,6 +2214,17 @@ object SparkEntry {
     graft.pipeline.TextAnalysis.lmKneserNeyScore(docs(s, dir), "text",
       "doc_id")
 
+  /** MODIFIED Kneser–Ney bigram LM
+    * ([[graft.pipeline.TextAnalysis.lmModKneserNeyScore]]): q_lm_kn
+    * with the production discount schedule — per-count-class discounts
+    * D₁/D₂/D₃₊ estimated from the model's count-of-counts (Chen &
+    * Goodman 1999, the KenLM default) instead of one fixed D. Zero
+    * extra corpus scans: the count-of-counts are one more aggregate
+    * over the bigram model table. */
+  private def qLmMkn(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextAnalysis.lmModKneserNeyScore(docs(s, dir), "text",
+      "doc_id")
+
   /** CCNet-style perplexity buckets (Wenzek et al. 2020): docs ranked by
     * smoothed-LM score and cut into head/middle/tail terciles — the
     * standard quality-stratified sampling artifact. ntile over the total
@@ -4302,6 +4313,7 @@ object SparkEntry {
     "q_lm_kn" -> qLmKn _,
     "q_stream_lm_kn" -> qStreamLmKn _,
     "q_lm_kn3" -> qLmKn3 _,
+    "q_lm_mkn" -> qLmMkn _,
     "q_stream_lm_kn3" -> qStreamLmKn3 _,
     "q_ppl_buckets" -> qPplBuckets _,
     "q_ppl_buckets_scaled" -> qPplBucketsScaled _,

@@ -757,6 +757,132 @@ object TextAnalysis {
           (col("n_bigrams").cast(DoubleType) * 1e6)).alias("avg_logp"))
   }
 
+  /** Modified Kneser–Ney word-bigram scoring — [[lmKneserNeyScore]]
+    * with the production discount schedule (Chen & Goodman 1999; the
+    * KenLM default): instead of one fixed D = 0.75 for every seen
+    * count, three per-count-class discounts D₁/D₂/D₃₊ ESTIMATED from
+    * the model's count-of-counts n₁..n₄ (the number of bigram types
+    * occurring exactly 1..4 times):
+    *
+    *   Y  = n₁ / (n₁ + 2n₂)
+    *   D₁ = 1 − 2Y·(n₂/n₁)     (applied to count-1 bigrams)
+    *   D₂ = 2 − 3Y·(n₃/n₂)     (count-2)
+    *   D₃₊ = 3 − 4Y·(n₄/n₃)    (count ≥ 3)
+    *
+    *   p(w₂|w₁) = (max(C(w₁w₂) − D(C), 0)
+    *               + (D₁N₁(w₁•) + D₂N₂(w₁•) + D₃₊N₃₊(w₁•))·p_c(w₂))
+    *              / C(w₁•)     when C(w₁•) > 0, else p_c(w₂)
+    *
+    * with N_k(w₁•) the number of words following w₁ exactly k (or ≥ 3)
+    * times and p_c the same add-one-floored continuation distribution
+    * as [[lmKneserNeyScore]]. The back-off mass is exactly the mass
+    * discounted within the context (Σ max(C−D(C),0) = C(w₁•) − γnum),
+    * so Σ_vocab p ≤ 1 and the mu ≤ 0 key contract carries.
+    *
+    * Degenerate-schedule conventions (deterministic, documented,
+    * oracle-replayed): Y = 0 when n₁ + 2n₂ = 0; D_k falls back to its
+    * upper bound k when its estimating class n_k is empty (the discount
+    * then applies to zero or clamp-guarded bigrams anyway); every D_k
+    * is clamped into [0, k] — the Chen–Goodman estimates can leave that
+    * range on pathological count tables, and the clamp keeps
+    * max(C−D,0) monotone and γ non-negative (the SRILM convention).
+    *
+    * Cost over [[lmKneserNeyScore]]: ZERO extra corpus scans — n₁..n₄
+    * are one more aggregate over the bigram model table (a broadcast
+    * scalar row) and N₁/N₂/N₃₊(w₁•) ride in the existing w1-marginal
+    * aggregate. Same plan: three uniform-key left equi-joins + one
+    * broadcast scalar + one doc fold. Determinism: exact BIGINT
+    * counts, fixed-order double composition (identical text in the
+    * DuckDB replay), micro-quantized ln before the per-doc integer
+    * fold. Output: (idCol, n_bigrams, sum_mu, avg_logp). */
+  def lmModKneserNeyScore(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    lmModKneserNeyScoreAgainst(df, df, textCol, idCol)
+
+  /** [[lmModKneserNeyScore]] with a separate frozen training corpus —
+    * the production ingest-filter shape. */
+  def lmModKneserNeyScoreAgainst(train: DataFrame, df: DataFrame,
+      textCol: String, idCol: String): DataFrame =
+    lmKneserNeyFinish(
+      lmModKneserNeyContribs(train, df, textCol, idCol),
+      df.select(col(idCol)), idCol)
+
+  /** Per-bigram micro-quantized modified-KN contributions — (idCol,
+    * __mu) rows, stateless per doc after stream-static model joins
+    * (the [[lmKneserNeyContribs]] streaming contract; fold with
+    * [[lmKneserNeyFinish]]). */
+  def lmModKneserNeyContribs(train: DataFrame, df: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val toksOf = split(Dedup.normalizeText(col(textCol)), " ")
+    def bigramsOf(src: DataFrame, keep: Seq[Column]): DataFrame = src
+      .select(keep :+ toksOf.alias("__toks"): _*)
+      .filter(size(col("__toks")) >= 2)
+      .select(keep :+
+        explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => struct(
+            element_at(col("__toks"), i).alias("w1"),
+            element_at(col("__toks"), i + 1).alias("w2")))).alias("__b"): _*)
+      .select(keep ++ Seq(col("__b.w1").alias("w1"),
+        col("__b.w2").alias("w2")): _*)
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val bg = bigramsOf(df, Seq(col(idCol)))
+    val bgModel = bigramsOf(train, Nil).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).alias("__c"))
+    // w1-marginals now carry the count-CLASS type counts N1/N2/N3+(w1 .)
+    val leftModel = bgModel.groupBy(col("w1"))
+      .agg(sum(col("__c")).alias("__cw"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).alias("__k1"),
+        sum(when(col("__c") === 2L, 1L).otherwise(0L)).alias("__k2"),
+        sum(when(col("__c") >= 3L, 1L).otherwise(0L)).alias("__k3"))
+    val contModel = bgModel.groupBy(col("w2"))
+      .agg(count(lit(1)).alias("__n1l"))       // N1+(. w2)
+    // count-of-counts n1..n4: ONE aggregate over the model table
+    val scalars = bgModel.agg(
+        count(lit(1)).alias("__n1pp"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).alias("__n1"),
+        sum(when(col("__c") === 2L, 1L).otherwise(0L)).alias("__n2"),
+        sum(when(col("__c") === 3L, 1L).otherwise(0L)).alias("__n3"),
+        sum(when(col("__c") === 4L, 1L).otherwise(0L)).alias("__n4"))
+      .crossJoin(train
+        .select(explode(toksOf).alias("__w")).filter(col("__w") =!= "")
+        .agg(count_distinct(col("__w")).alias("__v")))
+    // fixed-order composition (identical text in the oracle)
+    val yy = when(col("__n1") + lit(2L) * col("__n2") > 0,
+      col("__n1").cast(DoubleType) /
+        (col("__n1") + lit(2L) * col("__n2")).cast(DoubleType))
+      .otherwise(lit(0.0))
+    def clamp(x: Column, hi: Double): Column =
+      least(greatest(x, lit(0.0)), lit(hi))
+    val d1 = clamp(when(col("__n1") > 0, lit(1.0) - lit(2.0) * yy *
+      (col("__n2").cast(DoubleType) / col("__n1").cast(DoubleType)))
+      .otherwise(lit(1.0)), 1.0)
+    val d2 = clamp(when(col("__n2") > 0, lit(2.0) - lit(3.0) * yy *
+      (col("__n3").cast(DoubleType) / col("__n2").cast(DoubleType)))
+      .otherwise(lit(2.0)), 2.0)
+    val d3 = clamp(when(col("__n3") > 0, lit(3.0) - lit(4.0) * yy *
+      (col("__n4").cast(DoubleType) / col("__n3").cast(DoubleType)))
+      .otherwise(lit(3.0)), 3.0)
+    // the same degenerate-model denominator guard as the fixed-D face
+    val pc = when(col("__n1pp") + col("__v") > 0,
+      (coalesce(col("__n1l"), lit(0L)) + lit(1L)).cast(DoubleType) /
+        (col("__n1pp") + col("__v")).cast(DoubleType))
+    val cc = coalesce(col("__c"), lit(0L))
+    val dc = when(cc <= 1L, d1).when(cc === 2L, d2).otherwise(d3)
+    val gammaNum = d1 * col("__k1").cast(DoubleType) +
+      d2 * col("__k2").cast(DoubleType) +
+      d3 * col("__k3").cast(DoubleType)
+    val pSeen = (greatest(cc.cast(DoubleType) - dc, lit(0.0)) +
+      gammaNum * pc) / col("__cw").cast(DoubleType)
+    val p = when(col("__cw").isNotNull, pSeen).otherwise(pc)
+    val contribMu = floor(log(p) * 1e6 + 0.5).cast(LongType)
+    bg.join(bgModel, Seq("w1", "w2"), "left")
+      .join(leftModel, Seq("w1"), "left")
+      .join(contModel, Seq("w2"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col(idCol), contribMu.alias("__mu"))
+      .filter(col("__mu").isNotNull) // no-op except under the degenerate guard
+  }
+
   /** Interpolated Kneser–Ney TRIGRAM LM — the production CCNet filter
     * order (n ≥ 3). One level deeper than [[lmKneserNeyScore]], same
     * discipline: the ONLY corpus-scale step is one trigram explode into

@@ -2775,6 +2775,92 @@ class PipelineUnitSpec extends SparkTestBase {
     }
   }
 
+  test("lmModKneserNeyScore: randomized differential vs an independent " +
+      "modified-KN scorer; the estimated discount schedule separates two " +
+      "docs the fixed-D model provably scores equal") {
+    import spark.implicits._
+    // independent modified-KN scorer over whitespace tokens —
+    // Chen & Goodman 1999 discounts with the documented guard/clamp
+    // conventions
+    def mknMu(trainTexts: Seq[String], text: String): (Long, Long) = {
+      val bgs = trainTexts.flatMap(t => t.split(" ").filter(_.nonEmpty)
+        .sliding(2).filter(_.length == 2).map(a => (a(0), a(1))))
+      val c = bgs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val cw = c.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+      def kOf(pred: Long => Boolean) = c.groupBy(_._1._1)
+        .map { case (w, m) => w -> m.values.count(pred).toLong }
+      val k1 = kOf(_ == 1L); val k2 = kOf(_ == 2L); val k3 = kOf(_ >= 3L)
+      val n1l = c.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+      val n1pp = c.size.toLong
+      val Seq(n1, n2, n3, n4) =
+        Seq(1L, 2L, 3L, 4L).map(k => c.values.count(_ == k).toLong)
+      val v = trainTexts.flatMap(_.split(" ").filter(_.nonEmpty)).distinct.size
+      val y = if (n1 + 2 * n2 > 0) n1.toDouble / (n1 + 2 * n2).toDouble else 0.0
+      def clamp(x: Double, hi: Double) = math.min(math.max(x, 0.0), hi)
+      val d1 = clamp(if (n1 > 0) 1.0 - 2.0 * y * (n2.toDouble / n1.toDouble)
+        else 1.0, 1.0)
+      val d2 = clamp(if (n2 > 0) 2.0 - 3.0 * y * (n3.toDouble / n2.toDouble)
+        else 2.0, 2.0)
+      val d3 = clamp(if (n3 > 0) 3.0 - 4.0 * y * (n4.toDouble / n3.toDouble)
+        else 3.0, 3.0)
+      val docBgs = text.split(" ").filter(_.nonEmpty).sliding(2)
+        .filter(_.length == 2).map(a => (a(0), a(1))).toSeq
+      val mus = docBgs.map { case (w1, w2) =>
+        val pc = (n1l.getOrElse(w2, 0L) + 1L).toDouble / (n1pp + v).toDouble
+        val p = cw.get(w1) match {
+          case Some(cwv) =>
+            val cc = c.getOrElse((w1, w2), 0L)
+            val dc = if (cc <= 1L) d1 else if (cc == 2L) d2 else d3
+            val gamma = d1 * k1(w1).toDouble + d2 * k2(w1).toDouble +
+              d3 * k3(w1).toDouble
+            (math.max(cc.toDouble - dc, 0.0) + gamma * pc) / cwv.toDouble
+          case None => pc
+        }
+        math.floor(math.log(p) * 1e6 + 0.5).toLong
+      }
+      (docBgs.size.toLong, mus.sum)
+    }
+    val rnd = new scala.util.Random(53)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val texts = (0 until 40).map(_ => (2 + rnd.nextInt(8) match { case n =>
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ") }))
+    val train = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val self = TextAnalysis.lmModKneserNeyScore(train, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(self(i.toLong) == mknMu(texts, t), s"doc $i: '$t'")
+    }
+    // witness: contexts ax {counts 1,3} and bx {counts 2,2} have equal
+    // C(w1 .) = 4 and equal N1+(w1 .) = 2, so the FIXED-D model scores
+    // an unseen continuation identically under both — while the
+    // estimated schedule's gammas differ (D1 + D3 vs 2 D2); here
+    // n1..n4 = (1,2,1,0) -> Y=0.2, D1=0.2, D2=1.7, D3=3 -> 3.2 vs 3.4
+    val wTexts = Seq("ax p", "ax q", "ax q", "ax q",
+      "bx r", "bx r", "bx s", "bx s")
+    val wTrain = wTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val wProbe = Seq((100L, "ax zz"), (101L, "bx zz")).toDF("doc_id", "text")
+    val fixedD = TextAnalysis.lmKneserNeyScoreAgainst(wTrain, wProbe,
+      "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fixedD(100L) == fixedD(101L),
+      s"witness premise broken: fixed-D must tie the two probes: $fixedD")
+    val modD = TextAnalysis.lmModKneserNeyScoreAgainst(wTrain, wProbe,
+      "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(modD(100L) != modD(101L),
+      s"estimated discounts must separate the probes: $modD")
+    Seq(100L -> "ax zz", 101L -> "bx zz").foreach { case (id, t) =>
+      assert(modD(id) == mknMu(wTexts, t)._2, s"witness doc $id")
+    }
+    // degenerate training corpus degrades exactly like the fixed-D face
+    val emptyGot = TextAnalysis.lmModKneserNeyScoreAgainst(
+      Seq((0L, "  ")).toDF("doc_id", "text"), wProbe, "text", "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.isNullAt(3)))
+    assert(emptyGot.forall(_ == ((0L, 0L, true))))
+  }
+
   test("lmKneserNey3Score: randomized differential vs an independent trigram " +
       "KN scorer; the trigram model separates two docs with IDENTICAL bigram " +
       "multisets that the bigram model provably scores equal") {
