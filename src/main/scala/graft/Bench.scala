@@ -18,6 +18,17 @@ import org.apache.spark.sql.SparkSession
   * measured q_dedup_exact at 3.3× its true cost purely from cold-start.
   */
 object Bench {
+  /** Canary queries: plans frozen for 10+ rounds (resample/interpolate/
+    * window/slice families untouched since the single-digit rounds).
+    * Their per-rep times + dispersion ship in the bench JSON so a
+    * cross-round comparison can decompose host drift (canaries move
+    * together) from a code delta (only touched families move) without
+    * re-running anything — the r15 1.33x diffuse-capture question,
+    * answered from the artifact alone. */
+  val Canaries: Seq[String] = Seq("q_resample_floor", "q_interp_ffill",
+    "q_welch", "q_slice_ops", "q_vwap", "q_asof", "q_range_stats",
+    "q_grouped_stats", "q_state_intervals", "q_describe")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -55,8 +66,32 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // JVM/GC + host-load telemetry around the timed region: lets a
+    // cross-round reader see whether a diffuse shift came with GC
+    // pressure or background load rather than plan cost
+    import scala.jdk.CollectionConverters._
+    def gcTotals(): (Long, Long) = {
+      val beans =
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala
+      (beans.map(_.getCollectionCount.max(0L)).sum,
+        beans.map(_.getCollectionTime.max(0L)).sum)
+    }
+    def loadAvg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     for (_ <- 1 to warmups) runOnce()
+    val (gcN0, gcMs0) = gcTotals()
+    val load0 = loadAvg()
+    val timed0 = System.nanoTime()
     val passes = (1 to reps).map(_ => runOnce().toMap)
+    val timedSec = (System.nanoTime() - timed0) / 1e9
+    val (gcN1, gcMs1) = gcTotals()
+    val load1 = loadAvg()
+    val telemetry = {
+      val procs = Runtime.getRuntime.availableProcessors
+      val heapMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
+      f"""{"gc_n":${gcN1 - gcN0},"gc_ms":${gcMs1 - gcMs0},"load_before":$load0%.2f,"load_after":$load1%.2f,"procs":$procs,"heap_max_mb":$heapMb,"timed_wall_sec":$timedSec%.2f}"""
+    }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -67,8 +102,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // canary block: per-rep raw times (not just the median) for the
+    // frozen-plan set, so dispersion is readable from the artifact
+    val canary = Canaries
+      .filter(c => selected.exists(_._1 == c))
+      .map { c =>
+        "\"" + c + "\":" + passes.map(_(c)).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":$warmups}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary":$canary,"telemetry":$telemetry,"sf":"$sfDir","reps":$reps,"warmup":$warmups}"""
     val detail = selected.map { case (name, _) =>
       s"\"" + name + "\":" + passes.map(_(name)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -99,6 +141,7 @@ object Bench {
     }
     val omitted = byTime.drop(kept.size)
     val sfName = Paths.get(sfDir).getFileName.toString
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":{${kept.mkString(",")}},"omitted_n":${omitted.size},"omitted_sec":${fmt(omitted.map(_._2).sum)},"sf":"$sfName","reps":$reps,"warmup":$warmups,"full":"bench_out.json"}""")
+    val canarySec = results.filter(r => Canaries.contains(r._1)).map(_._2).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":{${kept.mkString(",")}},"omitted_n":${omitted.size},"omitted_sec":${fmt(omitted.map(_._2).sum)},"canary_sec":${fmt(canarySec)},"gc_ms":${gcMs1 - gcMs0},"sf":"$sfName","reps":$reps,"warmup":$warmups,"full":"bench_out.json"}""")
   }
 }

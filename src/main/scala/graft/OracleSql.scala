@@ -5667,6 +5667,7 @@ object OracleSql {
     "q_lm_kn" -> lmKnSql,
     "q_lm_kn3" -> lmKn3Sql,
     "q_lm_mkn" -> lmMknSql,
+    "q_lm_kn3_mat" -> lmKn3Sql,
     "q_stream_lm_kn3" -> lmKn3Sql,
 
     // CCNet head/middle/tail: ntile(3) over (score desc, doc_id) on the

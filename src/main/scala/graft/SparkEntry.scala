@@ -2251,6 +2251,23 @@ object SparkEntry {
     graft.pipeline.TextAnalysis.lmKneserNey3Score(docs(s, dir), "text",
       "doc_id")
 
+  /** q_lm_kn3's MATERIALIZED bench face — same rows, same oracle, but
+    * the per-trigram contributions pass an eager [[graft.pipeline
+    * .Materializer]] boundary before the doc fold. The plain row's
+    * bench number is count-pruned (the finish is a LEFT JOIN of the doc
+    * universe with a unique-key score table, so Catalyst correctly
+    * eliminates the scoring joins under `count()` — measured, SURVEY
+    * §21.3); this face pins the scoring work inside the timed region so
+    * the flagship LM family has an honest bench row. */
+  private def qLmKn3Mat(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.pipeline.TextAnalysis.lmKneserNey3Finish(
+      graft.pipeline.Materializer(
+        graft.pipeline.TextAnalysis.lmKneserNey3Contribs(d, d, "text",
+          "doc_id"), eager = true),
+      d.select(col("doc_id")), "doc_id")
+  }
+
   /** The 100-TB face of [[qPplBuckets]]: the same CCNet head/middle/tail
     * artifact from TWO THRESHOLD SCORES (exact distributed radix
     * selection over the integer score key) and a stateless per-doc cut —
@@ -4314,6 +4331,7 @@ object SparkEntry {
     "q_stream_lm_kn" -> qStreamLmKn _,
     "q_lm_kn3" -> qLmKn3 _,
     "q_lm_mkn" -> qLmMkn _,
+    "q_lm_kn3_mat" -> qLmKn3Mat _,
     "q_stream_lm_kn3" -> qStreamLmKn3 _,
     "q_ppl_buckets" -> qPplBuckets _,
     "q_ppl_buckets_scaled" -> qPplBucketsScaled _,
