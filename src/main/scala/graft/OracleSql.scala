@@ -1301,6 +1301,37 @@ object OracleSql {
     * k = ⌈(n_cal+1)·900/1000⌉-th smallest calibration residual
     * (k > n_cal ⇒ infinite interval ⇒ all covered, null q), one
     * terminal coverage division. */
+  /** Shot-keyframe replay (q_shot_keyframes + its stateless streaming
+    * twin): re-segment at the replayed SAD flags, keyframe stats via
+    * arg_min on the unique frame index. */
+  private lazy val shotKeyframesSql: String =
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n,
+        |  8 * (1 + doc_id % 3) AS w, 8 * (1 + (doc_id * 2) % 3) AS h
+        |  FROM documents),
+        |fb AS (SELECT doc_id, f.f AS fi, by.by AS by, bx.bx AS bx,
+        |  (doc_id % 251 + 29 * f.f + 17 * by.by + 23 * bx.bx) % 256 AS v
+        |  FROM d, range(8) f(f), range(3) by(by), range(3) bx(bx)
+        |  WHERE f.f < n AND by.by < h // 8 AND bx.bx < w // 8),
+        |fsum AS (SELECT doc_id, fi, CAST(sum(v) * 64 AS BIGINT) AS fs,
+        |  CAST(count(*) * 64 AS BIGINT) AS ns
+        |  FROM fb GROUP BY doc_id, fi),
+        |tr AS (SELECT a.doc_id, b.fi AS fi,
+        |  sum(abs(b.v - a.v)) * 64 >= 64 * count(*) * 64 AS cut
+        |  FROM fb a JOIN fb b ON a.doc_id = b.doc_id AND a.by = b.by
+        |    AND a.bx = b.bx AND b.fi = a.fi + 1
+        |  GROUP BY a.doc_id, b.fi),
+        |sh AS (SELECT f.doc_id, f.fi, f.fs, f.ns,
+        |  sum(CASE WHEN coalesce(t.cut, FALSE) THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY f.doc_id ORDER BY f.fi) AS shot
+        |  FROM fsum f LEFT JOIN tr t
+        |    ON f.doc_id = t.doc_id AND f.fi = t.fi)
+        |SELECT doc_id, CAST(shot AS INT) AS shot_idx,
+        |  CAST(min(fi) AS INT) AS start_frame,
+        |  CAST(count(*) AS INT) AS n_frames,
+        |  arg_min(ns, fi) AS n_samples,
+        |  arg_min(fs, fi) AS keyframe_sum
+        |FROM sh GROUP BY doc_id, shot""".stripMargin
+
   private lazy val mediaDedupSql: String =
     """WITH img AS (SELECT doc_id, 8 * (1 + doc_id % 2) AS w,
       |  (doc_id % 13) * 19 AS base FROM documents WHERE doc_id % 3 = 0),
@@ -4616,34 +4647,11 @@ object OracleSql {
 
     // Shot-keyframe replay: re-segment at the q_scene_cuts SAD flags
     // (running cut count = shot id), keyframe stats read off the first
-    // frame of each shot via arg_min on the unique frame index.
-    "q_shot_keyframes" ->
-      """WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n,
-        |  8 * (1 + doc_id % 3) AS w, 8 * (1 + (doc_id * 2) % 3) AS h
-        |  FROM documents),
-        |fb AS (SELECT doc_id, f.f AS fi, by.by AS by, bx.bx AS bx,
-        |  (doc_id % 251 + 29 * f.f + 17 * by.by + 23 * bx.bx) % 256 AS v
-        |  FROM d, range(8) f(f), range(3) by(by), range(3) bx(bx)
-        |  WHERE f.f < n AND by.by < h // 8 AND bx.bx < w // 8),
-        |fsum AS (SELECT doc_id, fi, CAST(sum(v) * 64 AS BIGINT) AS fs,
-        |  CAST(count(*) * 64 AS BIGINT) AS ns
-        |  FROM fb GROUP BY doc_id, fi),
-        |tr AS (SELECT a.doc_id, b.fi AS fi,
-        |  sum(abs(b.v - a.v)) * 64 >= 64 * count(*) * 64 AS cut
-        |  FROM fb a JOIN fb b ON a.doc_id = b.doc_id AND a.by = b.by
-        |    AND a.bx = b.bx AND b.fi = a.fi + 1
-        |  GROUP BY a.doc_id, b.fi),
-        |sh AS (SELECT f.doc_id, f.fi, f.fs, f.ns,
-        |  sum(CASE WHEN coalesce(t.cut, FALSE) THEN 1 ELSE 0 END)
-        |    OVER (PARTITION BY f.doc_id ORDER BY f.fi) AS shot
-        |  FROM fsum f LEFT JOIN tr t
-        |    ON f.doc_id = t.doc_id AND f.fi = t.fi)
-        |SELECT doc_id, CAST(shot AS INT) AS shot_idx,
-        |  CAST(min(fi) AS INT) AS start_frame,
-        |  CAST(count(*) AS INT) AS n_frames,
-        |  arg_min(ns, fi) AS n_samples,
-        |  arg_min(fs, fi) AS keyframe_sum
-        |FROM sh GROUP BY doc_id, shot""".stripMargin,
+    // frame of each shot via arg_min on the unique frame index. Shared
+    // verbatim by the stateless streaming twin (q_stream_keyframes —
+    // per-clip decode maps commute with any micro-batching).
+    "q_shot_keyframes" -> shotKeyframesSql,
+    "q_stream_keyframes" -> shotKeyframesSql,
 
     // Media-dedup replay: one branch per id%3 modality arm, each
     // restating its folded fixture arithmetic and md5 moment string,
@@ -4696,6 +4704,76 @@ object OracleSql {
         |SELECT fp, n_frames, min(doc_id) AS rep_id,
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM fp GROUP BY fp, n_frames""".stripMargin,
+
+    // Video near-dup replay: the synthesizeAviNearDupPayload arithmetic
+    // (scrambled per-class quadratic + shot lifts + variant delta), SAD
+    // re-segmentation, per-keyframe pHash via the embedded PhashCos table
+    // (the q_image_phash replay keyed by (doc, shot)), then the EXACT
+    // pair semantics — Hamming ≤ 3 (pigeonhole-complete over the engine's
+    // 4 bands) and the 60% matched-shot threshold on both sides.
+    "q_video_neardup" -> {
+      val ct = graft.pipeline.Multimodal.PhashCos.mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT doc_id, doc_id % 50 AS cls,
+         |  2 * ((doc_id // 50) % 3) AS delta,
+         |  4 + (doc_id % 50) % 3 AS n FROM documents),
+         |fb AS (SELECT doc_id, f.f AS fi, by.by AS by, bx.bx AS bx,
+         |  (((13 * cls + 7) * (4 * by.by + bx.bx + 1)
+         |      * (4 * by.by + bx.bx + 1)) % 197
+         |    + 97 * (f.f // 2) + 3 * (f.f % 2)) % 250 + delta AS v
+         |  FROM d, range(6) f(f), range(4) by(by), range(4) bx(bx)
+         |  WHERE f.f < n),
+         |tr AS (SELECT a.doc_id, b.fi AS fi,
+         |  sum(abs(b.v - a.v)) * 64 >= 64 * count(*) * 64 AS cut
+         |  FROM fb a JOIN fb b ON a.doc_id = b.doc_id AND a.by = b.by
+         |    AND a.bx = b.bx AND b.fi = a.fi + 1
+         |  GROUP BY a.doc_id, b.fi),
+         |fr AS (SELECT DISTINCT doc_id, fi FROM fb),
+         |sh AS (SELECT f.doc_id, f.fi,
+         |  sum(CASE WHEN coalesce(t.cut, FALSE) THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY f.doc_id ORDER BY f.fi) AS shot
+         |  FROM fr f LEFT JOIN tr t ON f.doc_id = t.doc_id AND f.fi = t.fi),
+         |kf AS (SELECT doc_id, CAST(shot AS INT) AS shot_idx, min(fi) AS kfi
+         |  FROM sh GROUP BY doc_id, shot),
+         |ns AS (SELECT doc_id, count(*) AS n_shots FROM kf GROUP BY doc_id),
+         |gx AS (SELECT k.doc_id, k.shot_idx, list(fb.v ORDER BY kk.k) AS xs
+         |  FROM kf k, range(1024) kk(k), fb
+         |  WHERE fb.doc_id = k.doc_id AND fb.fi = k.kfi
+         |    AND fb.by = (kk.k // 32) // 8 AND fb.bx = (kk.k % 32) // 8
+         |  GROUP BY k.doc_id, k.shot_idx),
+         |tt AS (SELECT doc_id, shot_idx, list_transform(range(256), kk ->
+         |    list_sum(list_transform(range(32), yy ->
+         |      xs[yy * 32 + (kk % 32) + 1] * $ct[(kk // 32) * 32 + yy + 1])))
+         |    AS t FROM gx),
+         |ffc AS (SELECT doc_id, shot_idx, list_transform(range(64), kk ->
+         |    list_sum(list_transform(range(32), xx ->
+         |      t[(kk // 8) * 32 + xx + 1] * $ct[(kk % 8) * 32 + xx + 1])))
+         |    AS f FROM tt),
+         |md AS (SELECT doc_id, shot_idx, f, list_sort(f[2:64])[32] AS med
+         |  FROM ffc),
+         |pb AS (SELECT doc_id, shot_idx, k.k AS k,
+         |  CASE WHEN f[k.k + 2] > med THEN 1 ELSE 0 END AS b
+         |  FROM md, range(63) k(k)),
+         |ph AS (SELECT doc_id, shot_idx,
+         |  CAST(sum(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << (k - 32))
+         |    ELSE 0 END) AS BIGINT) AS hi,
+         |  CAST(sum(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << k)
+         |    ELSE 0 END) AS BIGINT) AS lo
+         |  FROM pb GROUP BY doc_id, shot_idx),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.shot_idx AS sa, b.shot_idx AS sb
+         |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+         |mt AS (SELECT id_a, id_b, count(DISTINCT sa) AS n_matched_a,
+         |  count(DISTINCT sb) AS n_matched_b FROM pr GROUP BY id_a, id_b)
+         |SELECT mt.id_a, mt.id_b,
+         |  CAST(na.n_shots AS INT) AS n_shots_a,
+         |  CAST(nb.n_shots AS INT) AS n_shots_b,
+         |  mt.n_matched_a, mt.n_matched_b
+         |FROM mt JOIN ns na ON na.doc_id = mt.id_a
+         |  JOIN ns nb ON nb.doc_id = mt.id_b
+         |WHERE mt.n_matched_a * 100 >= 60 * na.n_shots
+         |  AND mt.n_matched_b * 100 >= 60 * nb.n_shots""".stripMargin
+    },
 
     // Real frame sampling replay: 400 ms lattice, covering-frame index
     // from the exact (rate=fps, scale=1) rational, per-frame sums joined

@@ -3987,6 +3987,23 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload")
 
+  /** Video NEAR-dup pairs ([[graft.pipeline.Video.videoNearDupPairs]]):
+    * per-shot keyframe pHashes, 4×16-bit band bucketing (pigeonhole-exact
+    * recall at the default Hamming ≤ 3), popcount verify, matched-shot
+    * threshold per clip pair. The fixture's brightness-shifted variants
+    * (the deterministic re-encode stand-in) collapse — measured keyframe
+    * Hamming 0 across variants — while exact fingerprints separate them;
+    * scrambled per-class block patterns keep distinct content apart (a
+    * smooth-ramp fixture measured cross-class Hamming 0: pHash is
+    * brightness- AND contrast-invariant, so only structure separates). */
+  private def qVideoNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Video.videoNearDupPairs(
+      graft.pipeline.Video.synthesizeAviNearDupPayload(
+        docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id"),
+      "doc_id", "payload")
+
   /** Keyframe-per-shot selection ([[graft.pipeline.Video.shotKeyframes]]):
     * q_scene_cuts' segmentation taken to the curation artifact — one
     * keyframe row per detected shot, first frame of the shot decoded for
@@ -3999,6 +4016,21 @@ object SparkEntry {
           .repartition(s.sparkContext.defaultParallelism),
         "doc_id"),
       "doc_id", "payload", threshold = 64)
+
+  /** Streaming shot-keyframe gate — arriving clips segment and emit
+    * keyframe rows at the ingest boundary (the q_stream_dhash
+    * convention: the whole operator is a stateless per-clip decode map,
+    * so any micro-batching emits identical rows); shares
+    * q_shot_keyframes' replay verbatim and completes the multimodal
+    * streaming matrix the media-dedup gate started. */
+  private def qStreamKeyframes(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val out = graft.pipeline.Video.shotKeyframes(
+      graft.pipeline.Video.synthesizeAviPayload(
+        docsStream(s, dir).select(col("doc_id")), "doc_id"),
+      "doc_id", "payload", threshold = 64)
+    runStream(s, out)
+  }
 
   /** REAL decoded-sample histograms over the full codec dispatch: one
     * mixed corpus (PNG / baseline JPEG / PCM WAV / MJPEG AVI by id % 4,
@@ -4456,9 +4488,11 @@ object SparkEntry {
     "q_scene_cuts" -> qSceneCuts _,
     "q_shot_keyframes" -> qShotKeyframes _,
     "q_video_dedup" -> qVideoDedup _,
+    "q_video_neardup" -> qVideoNearDup _,
     "q_audio_dedup" -> qAudioDedup _,
     "q_media_dedup" -> qMediaDedup _,
     "q_stream_media_dedup" -> qStreamMediaDedup _,
+    "q_stream_keyframes" -> qStreamKeyframes _,
     "q_media_coverage" -> qMediaCoverage _,
     "q_pixel_hist" -> qPixelHist _,
     "q_image_dhash" -> qImageDhash _,

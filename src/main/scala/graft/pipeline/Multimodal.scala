@@ -1363,53 +1363,64 @@ object Multimodal {
       StructField("phash_hi", LongType), StructField("phash_lo", LongType)))
     df.select(col(idCol), col(payloadCol))
       .mapPartitions { it =>
-        val t = new Array[Long](8 * 32)
-        val f = new Array[Long](64)
         it.flatMap { r =>
           decodeImage(r.getAs[Array[Byte]](1)).map { img =>
-            val g = resizeNearest(toGray(img), 32, 32)
-            var u = 0
-            while (u < 8) {
-              var x = 0
-              while (x < 32) {
-                var acc = 0L
-                var y = 0
-                while (y < 32) {
-                  acc += g.samples(y * 32 + x) * PhashCos(u * 32 + y); y += 1
-                }
-                t(u * 32 + x) = acc
-                x += 1
-              }
-              u += 1
-            }
-            u = 0
-            while (u < 8) {
-              var v = 0
-              while (v < 8) {
-                var acc = 0L
-                var x = 0
-                while (x < 32) {
-                  acc += t(u * 32 + x) * PhashCos(v * 32 + x); x += 1
-                }
-                f(u * 8 + v) = acc
-                v += 1
-              }
-              u += 1
-            }
-            val ac = java.util.Arrays.copyOfRange(f, 1, 64)
-            java.util.Arrays.sort(ac)
-            val med = ac(31) // 32nd smallest of 63
-            var hash = 0L
-            var k = 1
-            while (k < 64) {
-              if (f(k) > med) hash |= 1L << (k - 1)
-              k += 1
-            }
+            val hash = phash64(img)
             Row(r.get(0), hash >>> 32, hash & 0xFFFFFFFFL)
           }
         }
       }(Encoders.row(outSchema))
       .toDF()
+  }
+
+  /** The pHash kernel on one decoded image — the single source of the
+    * 63-bit DCT hash shared by [[imagePHash]] and the video keyframe
+    * near-dup path ([[Video.keyframePHashes]]): integer-mean gray, 32×32
+    * nearest-neighbor resize, two fixed-point [[PhashCos]] passes, exact
+    * 32nd-smallest AC median, strict-> bits packed k−1 for k ∈ 1..63
+    * (bit 63 always 0). Pure integer arithmetic, engine-reproducible. */
+  private[pipeline] def phash64(img: DecodedImage): Long = {
+    val t = new Array[Long](8 * 32)
+    val f = new Array[Long](64)
+    val g = resizeNearest(toGray(img), 32, 32)
+    var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 32) {
+        var acc = 0L
+        var y = 0
+        while (y < 32) {
+          acc += g.samples(y * 32 + x) * PhashCos(u * 32 + y); y += 1
+        }
+        t(u * 32 + x) = acc
+        x += 1
+      }
+      u += 1
+    }
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L
+        var x = 0
+        while (x < 32) {
+          acc += t(u * 32 + x) * PhashCos(v * 32 + x); x += 1
+        }
+        f(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(f, 1, 64)
+    java.util.Arrays.sort(ac)
+    val med = ac(31) // 32nd smallest of 63
+    var hash = 0L
+    var k = 1
+    while (k < 64) {
+      if (f(k) > med) hash |= 1L << (k - 1)
+      k += 1
+    }
+    hash
   }
 
   /** Perceptual average-hash (aHash — the third member of the public

@@ -746,6 +746,165 @@ object Video {
       .toDF()
   }
 
+  /** Per-shot keyframe perceptual hashes — the near-dup signature the
+    * exact [[videoFingerprints]] cannot give: segment each clip at its
+    * detected cuts (the [[shotKeyframes]] segmentation, same SAD ≥
+    * threshold·n rule and conventions) and pHash the FIRST frame of each
+    * shot through [[Multimodal.phash64]] (the shared fixed-point DCT
+    * kernel — one hash format across still images and video keyframes).
+    * A re-encode that perturbs pixels slightly moves the exact moment
+    * fingerprint but leaves the low-frequency DCT signs intact, so
+    * keyframe pHashes survive quality shifts that break exact dedup.
+    *
+    * Output: (idCol, n_shots, shot_idx, phash_hi, phash_lo) — one row per
+    * shot, n_shots stamped on every row (computed inside the same decode
+    * pass; no second aggregate over the clip table). Same per-partition
+    * map scale shape as [[sceneCuts]]: one previous frame of state,
+    * payloads never shuffle. */
+  def keyframePHashes(df: DataFrame, idCol: String, payloadCol: String,
+      threshold: Int = 64): DataFrame = {
+    require(threshold > 0, "threshold must be positive gray levels")
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("n_shots", IntegerType),
+      StructField("shot_idx", IntegerType),
+      StructField("phash_hi", LongType),
+      StructField("phash_lo", LongType)))
+    df.select(col(idCol), col(payloadCol))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          parseVideoMjpeg(r.getAs[Array[Byte]](1)).toSeq.flatMap { clip =>
+            val hashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var prev: Multimodal.DecodedImage = null
+            clip.frames.iterator.foreach { jfif =>
+              Jpeg.decodeJpeg(jfif).foreach { img =>
+                val cut =
+                  if (prev == null) true
+                  else if (prev.width != img.width ||
+                      prev.height != img.height ||
+                      prev.channels != img.channels) true
+                  else {
+                    var s = 0L
+                    var i = 0
+                    val a = prev.samples
+                    val b = img.samples
+                    while (i < b.length) { s += math.abs(b(i) - a(i)); i += 1 }
+                    s >= threshold.toLong * b.length
+                  }
+                if (cut) hashes += Multimodal.phash64(img)
+                prev = img
+              }
+            }
+            val nShots = hashes.length
+            hashes.iterator.zipWithIndex.map { case (h, s) =>
+              Row(r.get(0), nShots, s, h >>> 32, h & 0xFFFFFFFFL)
+            }.toSeq
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
+  /** Video NEAR-duplicate pairs — the re-encode-robust complement to
+    * [[videoDedup]], the [[Multimodal.dhashNearDupPairs]] LSH discipline
+    * applied to [[keyframePHashes]] signatures: band-bucket every
+    * keyframe hash (4 × 16-bit equi-join keys — by pigeonhole any hash
+    * pair within Hamming 3 shares a band, so candidate recall is exact
+    * for the default radius), verify candidates with the exact popcount
+    * Hamming distance, then fold matched keyframes per clip pair. Two
+    * clips are near-duplicates when, on BOTH sides, at least
+    * `minMatchPct`% of the clip's shots have a matching keyframe in the
+    * other clip — integer arithmetic end to end
+    * (matched·100 ≥ pct·shots), so the verdict replays exactly.
+    *
+    * Output: (id_a, id_b, n_shots_a, n_shots_b, n_matched_a,
+    * n_matched_b), id_a < id_b, near-dup pairs only.
+    *
+    * Scale shape: the only joins are banded equi-joins over keyframe-HASH
+    * rows (the winnowPairs discipline — never all-pairs, pixels never
+    * shuffle); exact-duplicate clusters should be collapsed by
+    * [[videoDedup]] FIRST at corpus scale so the band buckets hold
+    * near-dup candidates, not exact-copy cliques. */
+  def videoNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+      threshold: Int = 64, maxHamming: Int = 3,
+      minMatchPct: Int = 60): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64)
+    require(minMatchPct > 0 && minMatchPct <= 100)
+    val kf = keyframePHashes(df, idCol, payloadCol, threshold)
+    val banded = kf.select(col(idCol), col("n_shots"), col("shot_idx"),
+      col("phash_hi"), col("phash_lo"),
+      posexplode(array(
+        col("phash_lo").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("phash_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+        col("phash_hi").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("band_idx", "band_val")))
+    val a = banded.select(col("band_idx"), col("band_val"),
+      col(idCol).alias("id_a"), col("n_shots").alias("n_shots_a"),
+      col("shot_idx").alias("shot_a"),
+      col("phash_hi").alias("hi_a"), col("phash_lo").alias("lo_a"))
+    val b = banded.select(col("band_idx"), col("band_val"),
+      col(idCol).alias("id_b"), col("n_shots").alias("n_shots_b"),
+      col("shot_idx").alias("shot_b"),
+      col("phash_hi").alias("hi_b"), col("phash_lo").alias("lo_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        col("n_shots_a"), col("n_shots_b"), col("shot_a"), col("shot_b"),
+        (bit_count(expr("hi_a ^ hi_b")) + bit_count(expr("lo_a ^ lo_b")))
+          .cast(IntegerType).alias("hamming"))
+      .distinct() // one candidate row per keyframe pair, not per band
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("n_shots_a")).alias("n_shots_a"),
+        first(col("n_shots_b")).alias("n_shots_b"),
+        countDistinct(col("shot_a")).alias("n_matched_a"),
+        countDistinct(col("shot_b")).alias("n_matched_b"))
+      .filter(col("n_matched_a") * 100 >= col("n_shots_a") * minMatchPct &&
+        col("n_matched_b") * 100 >= col("n_shots_b") * minMatchPct)
+  }
+
+  /** Near-dup MJPEG-AVI fixture: multi-shot clips where content derives
+    * from a class key and a small BRIGHTNESS delta from a variant key —
+    * the deterministic stand-in for a re-encode (pixels move, structure
+    * does not), built so exact fingerprints separate variants while
+    * keyframe pHashes collapse them:
+    *  - cls = id % 50, variant = (id / 50) % 3, delta = 2·variant
+    *  - n = 4 + cls % 3 frames, 32×32 (4×4 blocks), fps = 4
+    *  - block(f, by, bx) = (S + 97·(f/2) + 3·(f%2)) % 250 + delta, where
+    *    S = ((13·cls + 7)·(4·by + bx + 1)²) % 197 — a per-class SCRAMBLED
+    *    quadratic, not a smooth ramp: mod-prime wraps make each class's
+    *    16-block pattern structurally distinct (a ramp fixture measured
+    *    cross-class Hamming 0 — pHash is invariant to contrast and
+    *    brightness, so only STRUCTURE separates classes).
+    * Shots are frame pairs: the within-shot step (+3/pixel) stays far
+    * under the SAD threshold, the between-shot step (+94/pixel, or 156
+    * through a mod wrap) always fires it. delta rides OUTSIDE the mod
+    * (values ≤ 253), so every variant of a class shares the exact shot
+    * structure and differs by a constant lift the DCT signs ignore. */
+  def synthesizeAviNearDupPayload(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(payloadCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val cls = (id % 50).toInt
+        val delta = (2 * ((id / 50) % 3)).toInt
+        val n = 4 + cls % 3
+        val frames = (0 until n).map { f =>
+          Jpeg.buildJpegWithBlocks(32, 32, { (bx, by) =>
+            val i = 4 * by + bx + 1
+            val s = ((13 * cls + 7) * i * i) % 197
+            (s + 97 * (f / 2) + 3 * (f % 2)) % 250 + delta
+          })
+        }
+        Row.fromSeq(r.toSeq :+ buildAviMjpeg(32, 32, 4, frames))
+      }
+    }(Encoders.row(outSchema)).toDF()
+  }
+
   /** REAL frame sampling: every `everyMs` on the stream clock, decode THE
     * frame covering that instant — index = ⌊ts·rate / (1000·scale)⌋ from
     * the exact strh rational — and emit its pixel sum. This is

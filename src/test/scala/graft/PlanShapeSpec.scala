@@ -716,6 +716,27 @@ class PlanShapeSpec extends SparkTestBase {
     // fingerprint aggregate — the binary payload column never crosses it
     val exIdx = p.indexOf("Exchange hashpartitioning")
     assert(exIdx > 0 && !p.substring(0, exIdx).contains("payload#"), p)
+    // near-dup: the keyframe pHash decode map itself is shuffle-free,
+    // and in the full banded-join pipeline only HASH rows cross
+    // exchanges — every exchange sits above the decode map (top-down:
+    // before the first payload# mention)
+    val kph = pipeline.Video.keyframePHashes(
+      pipeline.Video.synthesizeAviNearDupPayload(ids, "doc_id"),
+      "doc_id", "payload")
+    kph.collect()
+    assert(exchanges(kph) == 0, plan(kph))
+    val nd = pipeline.Video.videoNearDupPairs(
+      pipeline.Video.synthesizeAviNearDupPayload(ids, "doc_id"),
+      "doc_id", "payload")
+    nd.collect()
+    val np = plan(nd).split("== Initial Plan ==")(0)
+    val lastEx = np.lastIndexOf("Exchange")
+    val firstPay = np.indexOf("payload#")
+    // payload# absent entirely is the best case: the payload is BORN
+    // inside the decode map (only ids shuffle); if it appears it must
+    // sit below every exchange (plans print top-down)
+    assert(lastEx >= 0 && (firstPay == -1 || firstPay > lastEx),
+      s"payload bytes cross an exchange:\n$np")
   }
 
   test("BpeCount runs inside whole-stage codegen (no shuffle, no eval island)") {
