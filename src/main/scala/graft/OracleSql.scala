@@ -4713,12 +4713,14 @@ object OracleSql {
     // 4 bands) and the 60% matched-shot threshold on both sides.
     "q_video_neardup" -> {
       val ct = graft.pipeline.Multimodal.PhashCos.mkString("[", ", ", "]")
-      s"""WITH d AS (SELECT doc_id, doc_id % 50 AS cls,
-         |  2 * ((doc_id // 50) % 3) AS delta,
-         |  4 + (doc_id % 50) % 3 AS n FROM documents),
+      s"""WITH d AS (SELECT doc_id,
+         |  13 * ((doc_id // 10) % 197) + 7 AS k1,
+         |  23 * ((doc_id // 10) % 193) AS k2,
+         |  2 * (doc_id % 3) AS delta,
+         |  4 + (doc_id // 10) % 3 AS n FROM documents),
          |fb AS (SELECT doc_id, f.f AS fi, by.by AS by, bx.bx AS bx,
-         |  (((13 * cls + 7) * (4 * by.by + bx.bx + 1)
-         |      * (4 * by.by + bx.bx + 1)) % 197
+         |  ((k1 * (4 * by.by + bx.bx + 1) * (4 * by.by + bx.bx + 1)
+         |      + k2 * (4 * by.by + bx.bx + 1)) % 197
          |    + 97 * (f.f // 2) + 3 * (f.f % 2)) % 250 + delta AS v
          |  FROM d, range(6) f(f), range(4) by(by), range(4) bx(bx)
          |  WHERE f.f < n),

@@ -869,18 +869,24 @@ object Video {
     * the deterministic stand-in for a re-encode (pixels move, structure
     * does not), built so exact fingerprints separate variants while
     * keyframe pHashes collapse them:
-    *  - cls = id % 50, variant = (id / 50) % 3, delta = 2·variant
-    *  - n = 4 + cls % 3 frames, 32×32 (4×4 blocks), fps = 4
+    *  - group g = id / 10 (10 consecutive ids per content group — group
+    *    MEMBERSHIP is bounded while group COUNT grows with the corpus,
+    *    the realistic dedup shape; a `cls = id % 50` draft grew cliques
+    *    linearly with corpus size, which turns the pair OUTPUT quadratic
+    *    at scale), variant delta = 2·(id % 3)
+    *  - n = 4 + g % 3 frames, 32×32 (4×4 blocks), fps = 4
     *  - block(f, by, bx) = (S + 97·(f/2) + 3·(f%2)) % 250 + delta, where
-    *    S = ((13·cls + 7)·(4·by + bx + 1)²) % 197 — a per-class SCRAMBLED
-    *    quadratic, not a smooth ramp: mod-prime wraps make each class's
-    *    16-block pattern structurally distinct (a ramp fixture measured
-    *    cross-class Hamming 0 — pHash is invariant to contrast and
-    *    brightness, so only STRUCTURE separates classes).
+    *    S = ((13·(g%197) + 7)·i² + 23·(g%193)·i) % 197, i = 4·by+bx+1 —
+    *    a per-group SCRAMBLED quadratic, not a smooth ramp (a ramp
+    *    fixture measured cross-class Hamming 0: pHash is invariant to
+    *    contrast and brightness, so only STRUCTURE separates), with
+    *    (g mod 197, g mod 193) giving ~38k distinct patterns by CRT —
+    *    collision-free at correctness scale, bounded rare cross-group
+    *    collapses at replica scale.
     * Shots are frame pairs: the within-shot step (+3/pixel) stays far
     * under the SAD threshold, the between-shot step (+94/pixel, or 156
     * through a mod wrap) always fires it. delta rides OUTSIDE the mod
-    * (values ≤ 253), so every variant of a class shares the exact shot
+    * (values ≤ 253), so every variant of a group shares the exact shot
     * structure and differs by a constant lift the DCT signs ignore. */
   def synthesizeAviNearDupPayload(df: DataFrame, idCol: String,
       payloadCol: String = "payload"): DataFrame = {
@@ -890,13 +896,15 @@ object Video {
     df.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(idIdx)
-        val cls = (id % 50).toInt
-        val delta = (2 * ((id / 50) % 3)).toInt
-        val n = 4 + cls % 3
+        val g = id / 10
+        val delta = (2 * (id % 3)).toInt
+        val n = (4 + g % 3).toInt
+        val k1 = (13 * (g % 197) + 7).toInt
+        val k2 = (23 * (g % 193)).toInt
         val frames = (0 until n).map { f =>
           Jpeg.buildJpegWithBlocks(32, 32, { (bx, by) =>
             val i = 4 * by + bx + 1
-            val s = ((13 * cls + 7) * i * i) % 197
+            val s = (k1 * i * i + k2 * i) % 197
             (s + 97 * (f / 2) + 3 * (f % 2)) % 250 + delta
           })
         }

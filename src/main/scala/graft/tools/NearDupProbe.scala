@@ -28,10 +28,10 @@ object NearDupProbe {
     val pairs = graft.pipeline.Video.videoNearDupPairs(
       pay, "doc_id", "payload").cache()
     val total = pairs.count()
-    val cross = pairs.filter(col("id_a") % 50 =!= col("id_b") % 50).count()
-    val within = pairs.filter(col("id_a") % 50 === col("id_b") % 50).count()
+    val cross = pairs.filter((col("id_a") / 10).cast("long") =!= (col("id_b") / 10).cast("long")).count()
+    val within = pairs.filter((col("id_a") / 10).cast("long") === (col("id_b") / 10).cast("long")).count()
     // expected within-class pairs: per class, all C(members,2)
-    val expected = ids.select((col("doc_id") % 50).alias("cls"))
+    val expected = ids.select((col("doc_id") / 10).cast("long").alias("cls"))
       .groupBy("cls").count()
       .select(sum(col("count") * (col("count") - 1)) / 2).head().getDouble(0).toLong
     println(s"pairs total=$total within=$within expected=$expected cross=$cross")
@@ -40,7 +40,7 @@ object NearDupProbe {
       col("n_matched_b") =!= col("n_shots_b")).count()
     println(s"partial-match pairs: $partial")
     // variant Hamming audit: max hamming between keyframes of variant pairs
-    val k2 = kf.select((col("doc_id") % 50).alias("cls"), col("doc_id"),
+    val k2 = kf.select((col("doc_id") / 10).cast("long").alias("cls"), col("doc_id"),
       col("shot_idx"), (shiftleft(col("phash_hi"), 32) + col("phash_lo")).alias("h"))
     val vj = k2.alias("x").join(k2.alias("y"),
         col("x.cls") === col("y.cls") &&

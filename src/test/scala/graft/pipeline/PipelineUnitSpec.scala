@@ -5490,33 +5490,33 @@ class PipelineUnitSpec extends SparkTestBase {
     val ids = (0L until n).toDF("doc_id")
     val pay = Video.synthesizeAviNearDupPayload(ids, "doc_id")
     val pairs = Video.videoNearDupPairs(pay, "doc_id", "payload").collect()
-    // every within-class pair (variants AND exact copies), nothing else
-    val classes = (0L until n).groupBy(_ % 50)
+    // every within-group pair (variants AND exact copies), nothing else
+    val classes = (0L until n).groupBy(_ / 10)
     val expected = classes.values.map(m => m.size * (m.size - 1) / 2).sum
     assert(pairs.length == expected)
-    assert(pairs.forall(r => r.getLong(0) % 50 == r.getLong(1) % 50),
-      "cross-class near-dup pair")
+    assert(pairs.forall(r => r.getLong(0) / 10 == r.getLong(1) / 10),
+      "cross-group near-dup pair")
     // full-clique matches: every shot matched on both sides
     assert(pairs.forall(r => r.getLong(4) == r.getInt(2).toLong &&
       r.getLong(5) == r.getInt(3).toLong), "partial shot match")
-    // the near-dup vs exact-dedup witness: ids 0 and 50 are the same
-    // class at different brightness deltas (0 vs 2) — exact content
+    // the near-dup vs exact-dedup witness: ids 0 and 1 are the same
+    // group at different brightness deltas (0 vs 2) — exact content
     // fingerprints SEPARATE them, keyframe pHashes collapse them
     val fps = Video.videoFingerprints(
-        pay.filter(col("doc_id").isin(0L, 50L)), "doc_id", "payload")
+        pay.filter(col("doc_id").isin(0L, 1L)), "doc_id", "payload")
       .select(col("fp")).distinct().count()
     assert(fps == 2L, "variants should have distinct exact fingerprints")
     val kf = Video.keyframePHashes(
-        pay.filter(col("doc_id").isin(0L, 50L)), "doc_id", "payload")
+        pay.filter(col("doc_id").isin(0L, 1L)), "doc_id", "payload")
       .collect().groupBy(_.getLong(0))
     val h0 = kf(0L).map(r => (r.getInt(2), r.getLong(3), r.getLong(4))).sorted
-    val h1 = kf(50L).map(r => (r.getInt(2), r.getLong(3), r.getLong(4))).sorted
+    val h1 = kf(1L).map(r => (r.getInt(2), r.getLong(3), r.getLong(4))).sorted
     assert(h0.sameElements(h1), "variant keyframe pHashes should collapse")
     // multi-shot fixture: every clip segments into >= 2 shots
     assert(kf(0L).head.getInt(1) >= 2)
-    // distinct classes: ids 0 and 1 share NO keyframe within Hamming 3
+    // distinct groups: ids 0 and 10 share NO keyframe within Hamming 3
     val sep = Video.videoNearDupPairs(
-      pay.filter(col("doc_id").isin(0L, 1L)), "doc_id", "payload").count()
+      pay.filter(col("doc_id").isin(0L, 10L)), "doc_id", "payload").count()
     assert(sep == 0L)
   }
 
