@@ -4970,6 +4970,69 @@ object OracleSql {
     "q_audio_spectrogram" ->
       s"$audioSpectroCte SELECT doc_id, frame_idx, band, band_energy_q FROM be",
 
+    // Audio near-dup replay: the synthesizeWavNearDupPayload
+    // frequency-hopping arithmetic (non-negative gained base, the
+    // truncation=floor convention), per-frame Walsh coefficients from
+    // the DEFINITION with the embedded sequency map (the q_audio_sequency
+    // replay — all-integer, bit-exact), Haitsma–Kalker sign bits over
+    // band-energy gradients, 9-transition 63-bit segment packing, then
+    // the EXACT pair semantics (Hamming ≤ 3, 60% matched both sides).
+    "q_audio_neardup" -> {
+      val m = graft.pipeline.Multimodal.SeqToNat64.mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT doc_id, doc_id // 10 AS g,
+        |  128 + 2 * (doc_id % 3) AS gain,
+        |  1280 + 64 * ((doc_id // 10) % 3) AS n FROM documents),
+        |sm AS (SELECT doc_id, n, i.i AS i,
+        |  CAST(((((1 + 2 * (((g % 31 + 1) * (i.i // 64 + 1) * (i.i // 64 + 1)
+        |          + (g % 29) * (i.i // 64 + 1)) % 30)) * i.i + g % 23) % 64)
+        |      - 32)
+        |    * (1 + ((g % 19) * (i.i // 64 + 1) + g % 31 + 1) % 5)
+        |    * gain AS BIGINT) AS s
+        |  FROM d, range(1408) i(i) WHERE i.i < n),
+        |fr AS (SELECT doc_id, i // 64 AS f, list(s ORDER BY i) AS xs
+        |  FROM sm GROUP BY 1, 2),
+        |co AS (SELECT doc_id, f, sq.s AS sq,
+        |  list_sum(list_transform(range(64), nn ->
+        |    xs[nn + 1] * (1 - 2 * (bit_count($m[sq.s + 1] & nn) % 2)))) AS w
+        |  FROM fr, range(64) sq(s)),
+        |be AS (SELECT doc_id, f, CAST(sq // 8 AS INT) AS band,
+        |  CAST(sum(w * w) AS BIGINT) AS e
+        |  FROM co GROUP BY 1, 2, 3),
+        |dd AS (SELECT a.doc_id, a.f, a.band AS b,
+        |  a.e - c.e AS dv
+        |  FROM be a JOIN be c ON a.doc_id = c.doc_id AND a.f = c.f
+        |    AND c.band = a.band + 1),
+        |bt AS (SELECT d1.doc_id, d1.f - 1 AS t, d1.b,
+        |  CASE WHEN d1.dv - d0.dv > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM dd d1 JOIN dd d0 ON d1.doc_id = d0.doc_id
+        |    AND d0.f = d1.f - 1 AND d0.b = d1.b),
+        |nseg AS (SELECT doc_id, (n // 64 - 1) // 9 AS n_segs FROM d),
+        |ph AS (SELECT bt.doc_id, CAST(bt.t // 9 AS INT) AS seg,
+        |  CAST(sum(CASE WHEN (bt.t % 9) * 7 + bt.b >= 32
+        |    THEN bit * (CAST(1 AS BIGINT) << ((bt.t % 9) * 7 + bt.b - 32))
+        |    ELSE 0 END) AS BIGINT) AS hi,
+        |  CAST(sum(CASE WHEN (bt.t % 9) * 7 + bt.b < 32
+        |    THEN bit * (CAST(1 AS BIGINT) << ((bt.t % 9) * 7 + bt.b))
+        |    ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bt JOIN nseg ON nseg.doc_id = bt.doc_id
+        |  WHERE bt.t // 9 < nseg.n_segs
+        |  GROUP BY 1, 2),
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  a.seg AS sa, b.seg AS sb
+        |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+        |mt AS (SELECT id_a, id_b, count(DISTINCT sa) AS n_matched_a,
+        |  count(DISTINCT sb) AS n_matched_b FROM pr GROUP BY id_a, id_b)
+        |SELECT mt.id_a, mt.id_b,
+        |  CAST(na.n_segs AS INT) AS n_segs_a,
+        |  CAST(nb.n_segs AS INT) AS n_segs_b,
+        |  mt.n_matched_a, mt.n_matched_b
+        |FROM mt JOIN nseg na ON na.doc_id = mt.id_a
+        |  JOIN nseg nb ON nb.doc_id = mt.id_b
+        |WHERE mt.n_matched_a * 100 >= 60 * na.n_segs
+        |  AND mt.n_matched_b * 100 >= 60 * nb.n_segs""".stripMargin
+    },
+
     // MFCC replay: the spectrogram CTE's quantized bins -> per-bin powers
     // over the 32 unique bins -> rectangular mel sums over the embedded
     // integer edge table (every band owns >= 1 bin by construction, so no

@@ -3933,6 +3933,22 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload")
 
+  /** Audio NEAR-dup pairs ([[graft.pipeline.Multimodal
+    * .audioNearDupPairs]]): Haitsma–Kalker spectral sign fingerprints
+    * (63-bit segment hashes over the exact-integer spectrogram's
+    * band-energy gradients) through the shared banded-Hamming fold — the
+    * gain-robust complement to q_audio_dedup's exact PCM moments. The
+    * fixture's gain-lifted variants (the audio re-encode stand-in)
+    * collapse while their exact moment fingerprints separate; distinct
+    * sawtooth classes verify apart. */
+  private def qAudioNearDup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioNearDupPairs(
+      Multimodal.synthesizeWavNearDupPayload(
+        docs(s, dir).select(col("doc_id")) // expansion spread: see qDecodePng
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id"),
+      "doc_id", "payload")
+
   /** Cross-modality media dedup ([[graft.pipeline.Multimodal
     * .mediaDedup]]): a mixed image/audio/video binary column dispatched
     * to the right decoder ONCE per payload by container signature, each
@@ -4490,6 +4506,7 @@ object SparkEntry {
     "q_video_dedup" -> qVideoDedup _,
     "q_video_neardup" -> qVideoNearDup _,
     "q_audio_dedup" -> qAudioDedup _,
+    "q_audio_neardup" -> qAudioNearDup _,
     "q_media_dedup" -> qMediaDedup _,
     "q_stream_media_dedup" -> qStreamMediaDedup _,
     "q_stream_keyframes" -> qStreamKeyframes _,

@@ -1548,6 +1548,234 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Shared banded-Hamming near-dup fold over per-UNIT 64-bit signatures
+    * (units = video keyframes, audio fingerprint segments, …): band-bucket
+    * every unit hash (4 × 16-bit equi-join keys — pigeonhole-exact recall
+    * at Hamming ≤ 3), verify candidates with the exact popcount distance,
+    * fold matched units per id pair, and keep pairs where ≥ `minMatchPct`%
+    * of units matched on BOTH sides (integer arithmetic end to end).
+    * Input: (idCol, n_units, unit_idx, hiCol, loCol) — one row per unit,
+    * n_units stamped per row. Output: (id_a, id_b, n_units_a, n_units_b,
+    * n_matched_a, n_matched_b), id_a < id_b. The single source of the
+    * near-dup pair semantics shared by [[Video.videoNearDupPairs]] and
+    * [[audioNearDupPairs]] — the mediaFingerprints kernel-sharing lesson
+    * applied to the pair fold. Only hash rows join; payloads never reach
+    * this operator. */
+  private[pipeline] def unitNearDupPairs(sigs: DataFrame, idCol: String,
+      hiCol: String, loCol: String, maxHamming: Int,
+      minMatchPct: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64)
+    require(minMatchPct > 0 && minMatchPct <= 100)
+    val units = sigs.select(col(idCol), col("n_units"), col("unit_idx"),
+      col(hiCol).alias("__hi"), col(loCol).alias("__lo"))
+    // Verify once per DISTINCT hash pair, not per unit pair: band recall
+    // and Hamming are functions of the hashes alone, so exact-signature
+    // cliques (re-upload swarms — every variant of a popular clip hashing
+    // identically) collapse out of the banded join entirely (a 10-way
+    // clique fixture measured the per-unit form re-verifying each hash
+    // pair |cliqueA|x|cliqueB| times at replica scale). Both orientations
+    // of each hash pair survive the symmetric join, so the expansion
+    // below can order by clip id without losing pairs; (h, h) self-pairs
+    // carry the identical-signature matches.
+    val dsig = units.select(col("__hi"), col("__lo")).distinct()
+    val banded = dsig.select(col("__hi"), col("__lo"),
+      posexplode(array(
+        col("__lo").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("__lo"), 16).bitwiseAND(lit(0xFFFFL)),
+        col("__hi").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("__hi"), 16).bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("band_idx", "band_val")))
+    val ha = banded.select(col("band_idx"), col("band_val"),
+      col("__hi").alias("hi_a"), col("__lo").alias("lo_a"))
+    val hb = banded.select(col("band_idx"), col("band_val"),
+      col("__hi").alias("hi_b"), col("__lo").alias("lo_b"))
+    val cand = ha.join(hb, Seq("band_idx", "band_val"))
+      .select(col("hi_a"), col("lo_a"), col("hi_b"), col("lo_b"),
+        (bit_count(expr("hi_a ^ hi_b")) + bit_count(expr("lo_a ^ lo_b")))
+          .cast(IntegerType).alias("hamming"))
+      .distinct() // one row per ordered hash pair, not per band
+      .filter(col("hamming") <= maxHamming)
+    // Expand verified hash pairs back to clip pairs — every produced row
+    // reaches the output fold, so the expansion does no wasted work
+    // beyond the (inherently clique-quadratic) pair listing itself.
+    val ua = units.select(col("__hi").alias("hi_a"), col("__lo").alias("lo_a"),
+      col(idCol).alias("id_a"), col("n_units").alias("n_units_a"),
+      col("unit_idx").alias("unit_a"))
+    val ub = units.select(col("__hi").alias("hi_b"), col("__lo").alias("lo_b"),
+      col(idCol).alias("id_b"), col("n_units").alias("n_units_b"),
+      col("unit_idx").alias("unit_b"))
+    cand.join(ua, Seq("hi_a", "lo_a"))
+      .join(ub, Seq("hi_b", "lo_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("n_units_a")).alias("n_units_a"),
+        first(col("n_units_b")).alias("n_units_b"),
+        countDistinct(col("unit_a")).alias("n_matched_a"),
+        countDistinct(col("unit_b")).alias("n_matched_b"))
+      .filter(col("n_matched_a") * 100 >= col("n_units_a") * minMatchPct &&
+        col("n_matched_b") * 100 >= col("n_units_b") * minMatchPct)
+  }
+
+  /** Haitsma–Kalker audio fingerprints (the public spectral sign hash —
+    * Haitsma & Kalker 2002, "A Highly Robust Audio Fingerprinting
+    * System") over the engine's WALSH sequency bands: for each frame
+    * transition f ≥ 1 and band pair b ∈ 0..6,
+    * bit = [ (E(f,b) − E(f,b+1)) − (E(f−1,b) − E(f−1,b+1)) > 0 ] — the
+    * sign of the time-sequency energy gradient, invariant under uniform
+    * gain (energies scale together, differences keep their signs). Nine
+    * consecutive transition frames pack into one 63-bit segment hash
+    * (bit index t·7 + b, t = transition mod 9); only COMPLETE segments
+    * emit, so every clip's segment set is deterministic in its frame
+    * count.
+    *
+    * Band energies are [[wavSequencyFeatures]]' EXACT-integer
+    * Walsh–Hadamard sums — deliberately NOT the trig spectrogram's
+    * float-quantized bins: a sign hash amplifies any one-ulp
+    * FFT-vs-replay divergence into a discrete bit flip (a Fourier draft
+    * measured exact structured bins landing ON the floor-quantization
+    * edge, X ≡ 192 mod 256), while the ±1 Walsh basis is bit-exact in
+    * any engine. Sequency bands order by sign-change count — the same
+    * coarse time-frequency layout the original hash thresholds.
+    * Output: (idCol, n_units, unit_idx, hk_hi, hk_lo) — the
+    * [[unitNearDupPairs]] signature contract. Per-partition decode map,
+    * zero shuffles; one previous frame of band state per clip. */
+  def hkFingerprints(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val frameLen = 64
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("n_units", IntegerType),
+      StructField("unit_idx", IntegerType),
+      StructField("hk_hi", LongType),
+      StructField("hk_lo", LongType)))
+    df.select(col(idCol), col(payloadCol))
+      .mapPartitions { it =>
+        val w = new Array[Long](frameLen)
+        it.flatMap { r =>
+          decodeWavSamples(r.getAs[Array[Byte]](1)).toSeq.flatMap { a =>
+            val nf = a.samples.length / frameLen
+            val eb = Array.ofDim[Long](nf, 8)
+            var f = 0
+            while (f < nf) {
+              var i = 0
+              while (i < frameLen) {
+                w(i) = a.samples(f * frameLen + i).toLong; i += 1
+              }
+              // fast WHT, natural (Hadamard) order — wavSequencyFeatures'
+              // butterfly verbatim
+              var len = 1
+              while (len < frameLen) {
+                var blk = 0
+                while (blk < frameLen) {
+                  var j = blk
+                  while (j < blk + len) {
+                    val x = w(j); val y = w(j + len)
+                    w(j) = x + y; w(j + len) = x - y
+                    j += 1
+                  }
+                  blk += 2 * len
+                }
+                len <<= 1
+              }
+              var band = 0
+              while (band < 8) {
+                var e = 0L
+                var s = band * 8
+                while (s < band * 8 + 8) {
+                  val c = w(SeqToNat64(s)); e += c * c; s += 1
+                }
+                eb(f)(band) = e
+                band += 1
+              }
+              f += 1
+            }
+            val nSegs = (nf - 1) / 9
+            (0 until nSegs).map { s =>
+              var hash = 0L
+              var t = 0
+              while (t < 9) {
+                val fi = 1 + s * 9 + t
+                var b = 0
+                while (b < 7) {
+                  val d1 = eb(fi)(b) - eb(fi)(b + 1)
+                  val d0 = eb(fi - 1)(b) - eb(fi - 1)(b + 1)
+                  if (d1 - d0 > 0) hash |= 1L << (t * 7 + b)
+                  b += 1
+                }
+                t += 1
+              }
+              Row(r.get(0), nSegs, s, hash >>> 32, hash & 0xFFFFFFFFL)
+            }
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
+  /** Audio NEAR-duplicate pairs — the gain-robust complement to
+    * [[audioDedup]]'s exact moments, the [[Video.videoNearDupPairs]]
+    * discipline on the audio axis: [[hkFingerprints]] segment hashes
+    * through the shared [[unitNearDupPairs]] banded-Hamming fold, output
+    * renamed to the audio contract (n_segs_*). A re-encode that scales
+    * gain moves every exact PCM moment but leaves the spectral sign
+    * structure intact. */
+  def audioNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3, minMatchPct: Int = 60): DataFrame =
+    unitNearDupPairs(hkFingerprints(df, idCol, payloadCol), idCol,
+      "hk_hi", "hk_lo", maxHamming, minMatchPct)
+      .withColumnRenamed("n_units_a", "n_segs_a")
+      .withColumnRenamed("n_units_b", "n_segs_b")
+
+  /** Near-dup WAV fixture — the [[Video.synthesizeAviNearDupPayload]]
+    * shape on audio: bounded groups of 10 consecutive ids (group count
+    * grows with the corpus, membership doesn't), per-group scrambled
+    * two-sawtooth spectra, and a small uniform GAIN lift as the
+    * deterministic re-encode stand-in (exact PCM moments move, spectral
+    * sign structure doesn't):
+    *  - group g = id / 10, gain factor 128 + 2·(id % 3)
+    *  - n = 1280 + 64·(g % 3) samples (20..22 frames ⇒ 2 complete
+    *    Haitsma–Kalker segments), sampleRate 8000
+    *  - frame f plays a centered PERMUTED RAMP ((k·i + c) % 64 − 32)
+    *    whose slope k = 1 + 2·((K·(f+1)² + L·(f+1)) % 30) and amplitude
+    *    m = 1 + ((M·(f+1) + K) % 5) both HOP each frame under a
+    *    class-scrambled quadratic (K = g%31 + 1, L = g%29, M = g%19,
+    *    c = g%23 — the video fixture's CRT discipline, ~17k distinct
+    *    hop sequences): odd k permutes the ramp, relocating harmonic
+    *    energy across sequency bands every frame, and m swings the
+    *    energy scale, so the gradient sign grid is rich and
+    *    class-specific (a two-sawtooth draft measured 91 cross-class
+    *    collisions and 405 within-group misses)
+    *  - s(i) = ramp·m·gainNum — the gain MULTIPLIES exactly (no
+    *    division, no floor noise), so every variant's band energies are
+    *    an exact γ² scaling and the strict-> gradient bits are
+    *    IDENTICAL by construction, not approximately; |s| ≤ 20 460,
+    *    no clipping. */
+  def synthesizeWavNearDupPayload(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(payloadCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val g = id / 10
+        val gainNum = (128 + 2 * (id % 3)).toInt
+        val n = (1280 + 64 * (g % 3)).toInt
+        val kq = (g % 31 + 1).toInt
+        val kl = (g % 29).toInt
+        val km = (g % 19).toInt
+        val c = (g % 23).toInt
+        val samples = Array.tabulate(n) { i =>
+          val f = i / 64 + 1
+          val k = 1 + 2 * ((kq * f * f + kl * f) % 30)
+          val m = 1 + (km * f + kq) % 5
+          (((k * i + c) % 64) - 32) * m * gainNum
+        }
+        Row.fromSeq(r.toSeq :+ buildWavWithSamples(8000, samples))
+      }
+    }(Encoders.row(outSchema)).toDF()
+  }
+
   /** Feature seeds start above the metadata seeds (0..2). */
   private val FeatureSeedBase = 16
 

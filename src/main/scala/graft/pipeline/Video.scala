@@ -822,47 +822,21 @@ object Video {
     *
     * Scale shape: the only joins are banded equi-joins over keyframe-HASH
     * rows (the winnowPairs discipline — never all-pairs, pixels never
-    * shuffle); exact-duplicate clusters should be collapsed by
-    * [[videoDedup]] FIRST at corpus scale so the band buckets hold
-    * near-dup candidates, not exact-copy cliques. */
+    * shuffle), through the shared [[Multimodal.unitNearDupPairs]] fold
+    * (one pair-semantics source across modalities); exact-duplicate
+    * clusters should be collapsed by [[videoDedup]] FIRST at corpus scale
+    * so the band buckets hold near-dup candidates, not exact-copy
+    * cliques. */
   def videoNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
       threshold: Int = 64, maxHamming: Int = 3,
-      minMatchPct: Int = 60): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 64)
-    require(minMatchPct > 0 && minMatchPct <= 100)
-    val kf = keyframePHashes(df, idCol, payloadCol, threshold)
-    val banded = kf.select(col(idCol), col("n_shots"), col("shot_idx"),
-      col("phash_hi"), col("phash_lo"),
-      posexplode(array(
-        col("phash_lo").bitwiseAND(lit(0xFFFFL)),
-        shiftright(col("phash_lo"), 16).bitwiseAND(lit(0xFFFFL)),
-        col("phash_hi").bitwiseAND(lit(0xFFFFL)),
-        shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xFFFFL))))
-        .as(Seq("band_idx", "band_val")))
-    val a = banded.select(col("band_idx"), col("band_val"),
-      col(idCol).alias("id_a"), col("n_shots").alias("n_shots_a"),
-      col("shot_idx").alias("shot_a"),
-      col("phash_hi").alias("hi_a"), col("phash_lo").alias("lo_a"))
-    val b = banded.select(col("band_idx"), col("band_val"),
-      col(idCol).alias("id_b"), col("n_shots").alias("n_shots_b"),
-      col("shot_idx").alias("shot_b"),
-      col("phash_hi").alias("hi_b"), col("phash_lo").alias("lo_b"))
-    a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        col("n_shots_a"), col("n_shots_b"), col("shot_a"), col("shot_b"),
-        (bit_count(expr("hi_a ^ hi_b")) + bit_count(expr("lo_a ^ lo_b")))
-          .cast(IntegerType).alias("hamming"))
-      .distinct() // one candidate row per keyframe pair, not per band
-      .filter(col("hamming") <= maxHamming)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("n_shots_a")).alias("n_shots_a"),
-        first(col("n_shots_b")).alias("n_shots_b"),
-        countDistinct(col("shot_a")).alias("n_matched_a"),
-        countDistinct(col("shot_b")).alias("n_matched_b"))
-      .filter(col("n_matched_a") * 100 >= col("n_shots_a") * minMatchPct &&
-        col("n_matched_b") * 100 >= col("n_shots_b") * minMatchPct)
-  }
+      minMatchPct: Int = 60): DataFrame =
+    Multimodal.unitNearDupPairs(
+      keyframePHashes(df, idCol, payloadCol, threshold)
+        .withColumnRenamed("n_shots", "n_units")
+        .withColumnRenamed("shot_idx", "unit_idx"),
+      idCol, "phash_hi", "phash_lo", maxHamming, minMatchPct)
+      .withColumnRenamed("n_units_a", "n_shots_a")
+      .withColumnRenamed("n_units_b", "n_shots_b")
 
   /** Near-dup MJPEG-AVI fixture: multi-shot clips where content derives
     * from a class key and a small BRIGHTNESS delta from a variant key —

@@ -5520,6 +5520,40 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(sep == 0L)
   }
 
+  test("audioNearDupPairs collapses gain-lifted re-encode variants that " +
+      "exact PCM moments separate, and keeps distinct spectra apart") {
+    import spark.implicits._
+    val n = 450L
+    val ids = (0L until n).toDF("doc_id")
+    val pay = Multimodal.synthesizeWavNearDupPayload(ids, "doc_id")
+    val pairs = Multimodal.audioNearDupPairs(pay, "doc_id", "payload")
+      .collect()
+    val groups = (0L until n).groupBy(_ / 10)
+    val expected = groups.values.map(m => m.size * (m.size - 1) / 2).sum
+    assert(pairs.length == expected)
+    assert(pairs.forall(r => r.getLong(0) / 10 == r.getLong(1) / 10),
+      "cross-group audio near-dup pair")
+    assert(pairs.forall(r => r.getLong(4) == r.getInt(2).toLong &&
+      r.getLong(5) == r.getInt(3).toLong), "partial segment match")
+    // near-dup vs exact-dedup witness: ids 0 and 1 share a group at
+    // different gains — exact PCM moments separate, H-K hashes collapse
+    val two = pay.filter(col("doc_id").isin(0L, 1L))
+    val fps = Multimodal.audioFingerprints(two, "doc_id", "payload")
+      .select(col("fp")).distinct().count()
+    assert(fps == 2L, "gain variants should have distinct exact moments")
+    val hk = Multimodal.hkFingerprints(two, "doc_id", "payload")
+      .collect().groupBy(_.getLong(0))
+    val h0 = hk(0L).map(r => (r.getInt(2), r.getLong(3), r.getLong(4))).sorted
+    val h1 = hk(1L).map(r => (r.getInt(2), r.getLong(3), r.getLong(4))).sorted
+    assert(h0.sameElements(h1), "gain variant H-K hashes should collapse")
+    // every clip carries exactly 2 complete segments (20..22 frames)
+    assert(hk(0L).head.getInt(1) == 2)
+    // distinct groups: ids 0 and 10 share no segment within Hamming 3
+    val sep = Multimodal.audioNearDupPairs(
+      pay.filter(col("doc_id").isin(0L, 10L)), "doc_id", "payload").count()
+    assert(sep == 0L)
+  }
+
   test("audioDedup collapses identical PCM content across sample rates; " +
       "the position-weighted moment separates reorderings") {
     import spark.implicits._
