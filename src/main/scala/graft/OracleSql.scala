@@ -1678,6 +1678,113 @@ object OracleSql {
        |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin
   }
 
+  /** Trigram MODIFIED Kneser-Ney replay (q_lm_mkn3): lmKn3Sql with the
+    * per-order Chen-Goodman discount schedules — order 3 estimated from
+    * the trigram count-of-counts, order 2 from the continuation-count
+    * table's count-of-counts, count-class type counts riding in the
+    * context aggregates; identical fixed-order composition as the Spark
+    * expression. */
+  private lazy val lmMkn3Sql: String = {
+    val p1 = "(CAST(COALESCE(un.n1u, 0) + 1 AS DOUBLE)" +
+      " / CAST(dd.n3pp + dd.vv AS DOUBLE))"
+    val p2 = s"""(CASE WHEN md.m2 IS NOT NULL THEN
+         |      (greatest(CAST(COALESCE(c23.n23, 0) AS DOUBLE) -
+         |        (CASE WHEN COALESCE(c23.n23, 0) <= 1 THEN dd.d21
+         |          WHEN COALESCE(c23.n23, 0) = 2 THEN dd.d22
+         |          ELSE dd.d23 END), 0.0)
+         |        + (dd.d21 * CAST(md.j1 AS DOUBLE)
+         |           + dd.d22 * CAST(md.j2 AS DOUBLE)
+         |           + dd.d23 * CAST(md.j3 AS DOUBLE)) * $p1)
+         |      / CAST(md.m2 AS DOUBLE)
+         |    ELSE $p1 END)""".stripMargin
+    def sched(pfx: String, n1: String, n2: String, n3: String, n4: String) =
+      s"""  CASE WHEN $n1 + 2 * $n2 > 0 THEN
+         |    CAST($n1 AS DOUBLE) / CAST($n1 + 2 * $n2 AS DOUBLE)
+         |  ELSE 0.0 END AS ${pfx}y""".stripMargin
+    def dk(pfx: String, k: Int, nk: String, nk1: String) =
+      s"""  least(greatest(CASE WHEN $nk > 0 THEN $k.0 - ${k + 1}.0 * ${pfx}y *
+         |    (CAST($nk1 AS DOUBLE) / CAST($nk AS DOUBLE)) ELSE $k.0 END,
+         |    0.0), $k.0) AS ${pfx}$k""".stripMargin
+    s"""WITH d AS (SELECT doc_id, $norm AS nrm FROM documents),
+       |t AS (SELECT doc_id, string_split(nrm, ' ') AS toks FROM d),
+       |tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+       |tgr AS (SELECT doc_id, unnest(toks[1:len(toks)-2]) AS w1,
+       |  unnest(toks[2:len(toks)-1]) AS w2,
+       |  unnest(toks[3:len(toks)]) AS w3 FROM tt),
+       |tg AS (SELECT doc_id, w1, w2, w3 FROM tgr
+       |  WHERE w1 <> '' AND w2 <> '' AND w3 <> ''),
+       |tm AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+       |l12 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS cw12,
+       |  CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+       |  CAST(sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+       |  CAST(sum(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS k3
+       |  FROM tm GROUP BY 1, 2),
+       |c23 AS (SELECT w2, w3, count(*) AS n23 FROM tm GROUP BY 1, 2),
+       |md0 AS (SELECT w2, CAST(sum(n23) AS BIGINT) AS m2,
+       |  CAST(sum(CASE WHEN n23 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS j1,
+       |  CAST(sum(CASE WHEN n23 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS j2,
+       |  CAST(sum(CASE WHEN n23 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS j3
+       |  FROM c23 GROUP BY 1),
+       |un AS (SELECT w3, count(*) AS n1u FROM tm GROUP BY 1),
+       |s AS (SELECT (SELECT count(*) FROM tm) AS n3pp,
+       |  (SELECT CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    FROM tm) AS a1,
+       |  (SELECT CAST(sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    FROM tm) AS a2,
+       |  (SELECT CAST(sum(CASE WHEN c3 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |    FROM tm) AS a3,
+       |  (SELECT CAST(sum(CASE WHEN c3 = 4 THEN 1 ELSE 0 END) AS BIGINT)
+       |    FROM tm) AS a4,
+       |  (SELECT CAST(sum(CASE WHEN n23 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    FROM c23) AS b1,
+       |  (SELECT CAST(sum(CASE WHEN n23 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    FROM c23) AS b2,
+       |  (SELECT CAST(sum(CASE WHEN n23 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |    FROM c23) AS b3,
+       |  (SELECT CAST(sum(CASE WHEN n23 = 4 THEN 1 ELSE 0 END) AS BIGINT)
+       |    FROM c23) AS b4,
+       |  (SELECT count(DISTINCT w) FROM
+       |    (SELECT unnest(toks) AS w FROM t) u WHERE w <> '') AS vv),
+       |dy AS (SELECT *,
+       |${sched("d3", "a1", "a2", "a3", "a4")},
+       |${sched("d2", "b1", "b2", "b3", "b4")}
+       |  FROM s),
+       |dd AS (SELECT *,
+       |${dk("d3", 1, "a1", "a2")},
+       |${dk("d3", 2, "a2", "a3")},
+       |${dk("d3", 3, "a3", "a4")},
+       |${dk("d2", 1, "b1", "b2")},
+       |${dk("d2", 2, "b2", "b3")},
+       |${dk("d2", 3, "b3", "b4")}
+       |  FROM dy),
+       |sc AS (SELECT tg.doc_id,
+       |  CAST(floor(ln(
+       |    CASE WHEN l12.cw12 IS NOT NULL THEN
+       |      (greatest(CAST(COALESCE(tm.c3, 0) AS DOUBLE) -
+       |        (CASE WHEN COALESCE(tm.c3, 0) <= 1 THEN dd.d31
+       |          WHEN COALESCE(tm.c3, 0) = 2 THEN dd.d32
+       |          ELSE dd.d33 END), 0.0)
+       |        + (dd.d31 * CAST(l12.k1 AS DOUBLE)
+       |           + dd.d32 * CAST(l12.k2 AS DOUBLE)
+       |           + dd.d33 * CAST(l12.k3 AS DOUBLE)) * $p2)
+       |      / CAST(l12.cw12 AS DOUBLE)
+       |    ELSE $p2 END
+       |  ) * 1000000.0 + 0.5) AS BIGINT) AS mu
+       |  FROM tg LEFT JOIN tm USING (w1, w2, w3)
+       |    LEFT JOIN l12 USING (w1, w2) LEFT JOIN c23 USING (w2, w3)
+       |    LEFT JOIN md0 md USING (w2) LEFT JOIN un USING (w3)
+       |    CROSS JOIN dd),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       |  CAST(sum(mu) AS BIGINT) AS sum_mu FROM sc GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(agg.n_trigrams, 0) AS n_trigrams,
+       |  COALESCE(agg.sum_mu, 0) AS sum_mu,
+       |  CASE WHEN agg.n_trigrams > 0 THEN
+       |    CAST(agg.sum_mu AS DOUBLE) /
+       |      (CAST(agg.n_trigrams AS DOUBLE) * 1000000.0) END AS avg_logp
+       |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin
+  }
+
   /** First-occurrence novelty over the winnow fingerprints, shared by
     * q_novelty (batch) and q_stream_novelty (the ingest-time gate run as
     * one AvailableNow batch, where first-arrival == min-id). */
@@ -5810,6 +5917,7 @@ object OracleSql {
     "q_lm_kn" -> lmKnSql,
     "q_lm_kn3" -> lmKn3Sql,
     "q_lm_mkn" -> lmMknSql,
+    "q_lm_mkn3" -> lmMkn3Sql,
     "q_lm_kn3_mat" -> lmKn3Sql,
     "q_stream_lm_kn3" -> lmKn3Sql,
 

@@ -2225,6 +2225,17 @@ object SparkEntry {
     graft.pipeline.TextAnalysis.lmModKneserNeyScore(docs(s, dir), "text",
       "doc_id")
 
+  /** MODIFIED Kneser–Ney TRIGRAM LM
+    * ([[graft.pipeline.TextAnalysis.lmModKneserNey3Score]]): q_lm_kn3
+    * with per-ORDER Chen & Goodman discount schedules — order 3
+    * estimated from the trigram count-of-counts, order 2 from the
+    * continuation-count table's own count-of-counts. Zero extra corpus
+    * scans or joins over q_lm_kn3: both schedules fold into the one
+    * broadcast scalar row. */
+  private def qLmMkn3(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextAnalysis.lmModKneserNey3Score(docs(s, dir), "text",
+      "doc_id")
+
   /** CCNet-style perplexity buckets (Wenzek et al. 2020): docs ranked by
     * smoothed-LM score and cut into head/middle/tail terciles — the
     * standard quality-stratified sampling artifact. ntile over the total
@@ -4379,6 +4390,7 @@ object SparkEntry {
     "q_stream_lm_kn" -> qStreamLmKn _,
     "q_lm_kn3" -> qLmKn3 _,
     "q_lm_mkn" -> qLmMkn _,
+    "q_lm_mkn3" -> qLmMkn3 _,
     "q_lm_kn3_mat" -> qLmKn3Mat _,
     "q_stream_lm_kn3" -> qStreamLmKn3 _,
     "q_ppl_buckets" -> qPplBuckets _,

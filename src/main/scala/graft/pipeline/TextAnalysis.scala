@@ -1008,6 +1008,155 @@ object TextAnalysis {
       .filter(col("__mu").isNotNull) // no-op except under the degenerate guard
   }
 
+  /** Modified Kneser–Ney TRIGRAM LM — [[lmKneserNey3Score]] with the
+    * production PER-ORDER discount schedule (Chen & Goodman 1999; what
+    * KenLM estimates per order): each order gets its own count-binned
+    * discounts D₁/D₂/D₃₊ estimated from THAT order's count-of-counts —
+    * order 3 from the raw trigram counts n₁..n₄, order 2 from the
+    * CONTINUATION-count table's count-of-counts (how many (w₂,w₃) pairs
+    * have N₁₊(•w₂w₃) = 1..4) — with per-context count-class type counts
+    * riding in the existing context aggregates:
+    *
+    *   p₃(w₃|w₁w₂) = (max(C−D⁽³⁾(C), 0)
+    *                  + (D₁⁽³⁾K₁ + D₂⁽³⁾K₂ + D₃₊⁽³⁾K₃₊)·p₂) / C(w₁w₂•)
+    *   p₂(w₃|w₂)  = (max(N−D⁽²⁾(N), 0)
+    *                  + (D₁⁽²⁾J₁ + D₂⁽²⁾J₂ + D₃₊⁽²⁾J₃₊)·p₁) / N₁₊(•w₂•)
+    *   p₁(w₃)     = (N₁₊(••w₃)+1) / (N₁₊(•••)+V)
+    *
+    * (K_k = #{w₃ : C(w₁w₂w₃) in class k}, J_k = #{w₃ : N₁₊(•w₂w₃) in
+    * class k}; the same Y/fallback/clamp degenerate conventions as
+    * [[lmModKneserNeyScore]], applied per order.) The back-off mass per
+    * context is exactly the discounted mass, so Σp ≤ 1 at each level
+    * and mu ≤ 0 carries.
+    *
+    * Cost over [[lmKneserNey3Score]]: ZERO extra corpus scans and zero
+    * extra joins — both count-of-counts rows are aggregates over tables
+    * the plan already builds (tm and cont23), folded into the one
+    * broadcast scalar row; the count-class type counts ride in the
+    * existing (w₁,w₂)- and w₂-context aggregates. Output: (idCol,
+    * n_trigrams, sum_mu, avg_logp). */
+  def lmModKneserNey3Score(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    lmModKneserNey3ScoreAgainst(df, df, textCol, idCol)
+
+  /** [[lmModKneserNey3Score]] with a separate frozen training corpus —
+    * the production ingest-filter shape. */
+  def lmModKneserNey3ScoreAgainst(train: DataFrame, df: DataFrame,
+      textCol: String, idCol: String): DataFrame =
+    lmKneserNey3Finish(
+      lmModKneserNey3Contribs(train, df, textCol, idCol),
+      df.select(col(idCol)), idCol)
+
+  /** Per-trigram micro-quantized modified-KN contributions — (idCol,
+    * __mu) rows, stateless per doc after stream-static model joins (the
+    * [[lmKneserNeyContribs]] streaming contract; fold with
+    * [[lmKneserNey3Finish]]). */
+  def lmModKneserNey3Contribs(train: DataFrame, df: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val toksOf = split(Dedup.normalizeText(col(textCol)), " ")
+    def trigramsOf(src: DataFrame, keep: Seq[Column]): DataFrame = src
+      .select(keep :+ toksOf.alias("__toks"): _*)
+      .filter(size(col("__toks")) >= 3)
+      .select(keep :+
+        explode(transform(sequence(lit(1), size(col("__toks")) - 2),
+          i => struct(
+            element_at(col("__toks"), i).alias("w1"),
+            element_at(col("__toks"), i + 1).alias("w2"),
+            element_at(col("__toks"), i + 2).alias("w3")))).alias("__t"): _*)
+      .select(keep ++ Seq(col("__t.w1").alias("w1"),
+        col("__t.w2").alias("w2"), col("__t.w3").alias("w3")): _*)
+      .filter(col("w1") =!= "" && col("w2") =!= "" && col("w3") =!= "")
+    val tg = trigramsOf(df, Seq(col(idCol)))
+    val tm = trigramsOf(train, Nil).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).alias("__c3"))
+    // (w1,w2) context: marginal + order-3 count-class type counts
+    val left12 = tm.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("__c3")).alias("__cw12"),
+        sum(when(col("__c3") === 1L, 1L).otherwise(0L)).alias("__k1"),
+        sum(when(col("__c3") === 2L, 1L).otherwise(0L)).alias("__k2"),
+        sum(when(col("__c3") >= 3L, 1L).otherwise(0L)).alias("__k3"))
+    val cont23 = tm.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).alias("__n23"))      // N1+(. w2 w3)
+    // w2 context: continuation marginal + order-2 count-class type counts
+    val mid = cont23.groupBy(col("w2"))
+      .agg(sum(col("__n23")).alias("__m2"),   // N1+(. w2 .)
+        sum(when(col("__n23") === 1L, 1L).otherwise(0L)).alias("__j1"),
+        sum(when(col("__n23") === 2L, 1L).otherwise(0L)).alias("__j2"),
+        sum(when(col("__n23") >= 3L, 1L).otherwise(0L)).alias("__j3"))
+    val uni = tm.groupBy(col("w3"))
+      .agg(count(lit(1)).alias("__n1u"))      // N1+(. . w3)
+    // per-order count-of-counts: aggregates over tm and cont23, one
+    // broadcast scalar row
+    val scalars = tm.agg(
+        count(lit(1)).alias("__n3pp"),
+        sum(when(col("__c3") === 1L, 1L).otherwise(0L)).alias("__a1"),
+        sum(when(col("__c3") === 2L, 1L).otherwise(0L)).alias("__a2"),
+        sum(when(col("__c3") === 3L, 1L).otherwise(0L)).alias("__a3"),
+        sum(when(col("__c3") === 4L, 1L).otherwise(0L)).alias("__a4"))
+      .crossJoin(cont23.agg(
+        sum(when(col("__n23") === 1L, 1L).otherwise(0L)).alias("__b1"),
+        sum(when(col("__n23") === 2L, 1L).otherwise(0L)).alias("__b2"),
+        sum(when(col("__n23") === 3L, 1L).otherwise(0L)).alias("__b3"),
+        sum(when(col("__n23") === 4L, 1L).otherwise(0L)).alias("__b4")))
+      .crossJoin(train
+        .select(explode(toksOf).alias("__w")).filter(col("__w") =!= "")
+        .agg(count_distinct(col("__w")).alias("__v")))
+    def clamp(x: Column, hi: Double): Column =
+      least(greatest(x, lit(0.0)), lit(hi))
+    // the Chen-Goodman estimates, one schedule per order (the
+    // lmModKneserNeyContribs conventions: Y = 0 on an empty low tail,
+    // fallback to the class upper bound, clamp into [0, k])
+    def schedule(n1: Column, n2: Column, n3: Column,
+        n4: Column): (Column, Column, Column) = {
+      val y = when(n1 + lit(2L) * n2 > 0,
+        n1.cast(DoubleType) / (n1 + lit(2L) * n2).cast(DoubleType))
+        .otherwise(lit(0.0))
+      (clamp(when(n1 > 0, lit(1.0) - lit(2.0) * y *
+        (n2.cast(DoubleType) / n1.cast(DoubleType)))
+        .otherwise(lit(1.0)), 1.0),
+        clamp(when(n2 > 0, lit(2.0) - lit(3.0) * y *
+          (n3.cast(DoubleType) / n2.cast(DoubleType)))
+          .otherwise(lit(2.0)), 2.0),
+        clamp(when(n3 > 0, lit(3.0) - lit(4.0) * y *
+          (n4.cast(DoubleType) / n3.cast(DoubleType)))
+          .otherwise(lit(3.0)), 3.0))
+    }
+    val (d31, d32, d33) =
+      schedule(col("__a1"), col("__a2"), col("__a3"), col("__a4"))
+    val (d21, d22, d23) =
+      schedule(col("__b1"), col("__b2"), col("__b3"), col("__b4"))
+    // fixed-order composition (identical text in the oracle); the same
+    // degenerate-model denominator guard as the fixed-D faces
+    val p1 = when(col("__n3pp") + col("__v") > 0,
+      (coalesce(col("__n1u"), lit(0L)) + lit(1L)).cast(DoubleType) /
+        (col("__n3pp") + col("__v")).cast(DoubleType))
+    val n23c = coalesce(col("__n23"), lit(0L))
+    val dc2 = when(n23c <= 1L, d21).when(n23c === 2L, d22).otherwise(d23)
+    val p2seen = (greatest(n23c.cast(DoubleType) - dc2, lit(0.0)) +
+      (d21 * col("__j1").cast(DoubleType) +
+        d22 * col("__j2").cast(DoubleType) +
+        d23 * col("__j3").cast(DoubleType)) * p1) /
+      col("__m2").cast(DoubleType)
+    val p2 = when(col("__m2").isNotNull, p2seen).otherwise(p1)
+    val c3c = coalesce(col("__c3"), lit(0L))
+    val dc3 = when(c3c <= 1L, d31).when(c3c === 2L, d32).otherwise(d33)
+    val p3seen = (greatest(c3c.cast(DoubleType) - dc3, lit(0.0)) +
+      (d31 * col("__k1").cast(DoubleType) +
+        d32 * col("__k2").cast(DoubleType) +
+        d33 * col("__k3").cast(DoubleType)) * p2) /
+      col("__cw12").cast(DoubleType)
+    val p3 = when(col("__cw12").isNotNull, p3seen).otherwise(p2)
+    val contribMu = floor(log(p3) * 1e6 + 0.5).cast(LongType)
+    tg.join(tm, Seq("w1", "w2", "w3"), "left")
+      .join(left12, Seq("w1", "w2"), "left")
+      .join(cont23, Seq("w2", "w3"), "left")
+      .join(mid, Seq("w2"), "left")
+      .join(uni, Seq("w3"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col(idCol), contribMu.alias("__mu"))
+      .filter(col("__mu").isNotNull) // no-op except under the degenerate guard
+  }
+
   /** CCNet head/middle/tail perplexity terciles by THRESHOLD CUT — the
     * 100-TB face of q_ppl_buckets (Wenzek et al. 2020 cut their corpus
     * with two perplexity thresholds, not a global ranking): instead of

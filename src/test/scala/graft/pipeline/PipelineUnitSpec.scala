@@ -2861,6 +2861,97 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(emptyGot.forall(_ == ((0L, 0L, true))))
   }
 
+  test("lmModKneserNey3Score: randomized differential vs an independent " +
+      "trigram modified-KN scorer with per-order estimated schedules") {
+    import spark.implicits._
+    // independent trigram modified-KN scorer — per-order Chen & Goodman
+    // schedules (order 3 from trigram counts, order 2 from continuation
+    // counts), the documented guard/clamp conventions
+    def mkn3Mu(trainTexts: Seq[String], text: String): (Long, Long) = {
+      val tgs = trainTexts.flatMap(t => t.split(" ").filter(_.nonEmpty)
+        .sliding(3).filter(_.length == 3).map(a => (a(0), a(1), a(2))))
+      val c3 = tgs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val cw12 = c3.groupBy(t => (t._1._1, t._1._2))
+        .map { case (k, m) => k -> m.values.sum }
+      def kcls(pred: Long => Boolean) = c3.groupBy(t => (t._1._1, t._1._2))
+        .map { case (k, m) => k -> m.values.count(pred).toLong }
+      val kc1 = kcls(_ == 1L); val kc2 = kcls(_ == 2L); val kc3 = kcls(_ >= 3L)
+      val n23 = c3.groupBy(t => (t._1._2, t._1._3))
+        .map { case (k, m) => k -> m.size.toLong }       // N1+(. w2 w3)
+      val m2 = n23.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+      def jcls(pred: Long => Boolean) = n23.groupBy(_._1._1)
+        .map { case (w, m) => w -> m.values.count(pred).toLong }
+      val jc1 = jcls(_ == 1L); val jc2 = jcls(_ == 2L); val jc3 = jcls(_ >= 3L)
+      val n1u = c3.groupBy(_._1._3).map { case (w, m) => w -> m.size.toLong }
+      val n3pp = c3.size.toLong
+      val v = trainTexts.flatMap(_.split(" ").filter(_.nonEmpty)).distinct.size
+      def clamp(x: Double, hi: Double) = math.min(math.max(x, 0.0), hi)
+      def sched(ns: Seq[Long]): (Double, Double, Double) = {
+        val Seq(n1, n2, n3, n4) = ns
+        val y = if (n1 + 2 * n2 > 0) n1.toDouble / (n1 + 2 * n2).toDouble
+          else 0.0
+        (clamp(if (n1 > 0) 1.0 - 2.0 * y * (n2.toDouble / n1.toDouble)
+          else 1.0, 1.0),
+          clamp(if (n2 > 0) 2.0 - 3.0 * y * (n3.toDouble / n2.toDouble)
+            else 2.0, 2.0),
+          clamp(if (n3 > 0) 3.0 - 4.0 * y * (n4.toDouble / n3.toDouble)
+            else 3.0, 3.0))
+      }
+      val (d31, d32, d33) = sched(
+        Seq(1L, 2L, 3L, 4L).map(k => c3.values.count(_ == k).toLong))
+      val (d21, d22, d23) = sched(
+        Seq(1L, 2L, 3L, 4L).map(k => n23.values.count(_ == k).toLong))
+      val docTgs = text.split(" ").filter(_.nonEmpty).sliding(3)
+        .filter(_.length == 3).map(a => (a(0), a(1), a(2))).toSeq
+      val mus = docTgs.map { case (w1, w2, w3) =>
+        val p1 = (n1u.getOrElse(w3, 0L) + 1L).toDouble / (n3pp + v).toDouble
+        val p2 = m2.get(w2) match {
+          case Some(m2v) =>
+            val nn = n23.getOrElse((w2, w3), 0L)
+            val dc = if (nn <= 1L) d21 else if (nn == 2L) d22 else d23
+            val gamma = d21 * jc1(w2).toDouble + d22 * jc2(w2).toDouble +
+              d23 * jc3(w2).toDouble
+            (math.max(nn.toDouble - dc, 0.0) + gamma * p1) / m2v.toDouble
+          case None => p1
+        }
+        val p3 = cw12.get((w1, w2)) match {
+          case Some(cwv) =>
+            val cc = c3.getOrElse((w1, w2, w3), 0L)
+            val dc = if (cc <= 1L) d31 else if (cc == 2L) d32 else d33
+            val gamma = d31 * kc1((w1, w2)).toDouble +
+              d32 * kc2((w1, w2)).toDouble + d33 * kc3((w1, w2)).toDouble
+            (math.max(cc.toDouble - dc, 0.0) + gamma * p2) / cwv.toDouble
+          case None => p2
+        }
+        math.floor(math.log(p3) * 1e6 + 0.5).toLong
+      }
+      (docTgs.size.toLong, mus.sum)
+    }
+    val rnd = new scala.util.Random(97)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val texts = (0 until 40).map(_ => (3 + rnd.nextInt(9) match { case n =>
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ") }))
+    val train = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val self = TextAnalysis.lmModKneserNey3Score(train, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(self(i.toLong) == mkn3Mu(texts, t), s"doc $i: '$t'")
+    }
+    // the estimated schedules are actually engaged: on this corpus the
+    // modified model must diverge from fixed-D q_lm_kn3 for some doc
+    val fixed = TextAnalysis.lmKneserNey3Score(train, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(texts.indices.exists(i => fixed(i.toLong) != self(i.toLong)._2),
+      "per-order schedules never diverged from fixed-D — vacuous witness")
+    // degenerate training corpus degrades exactly like the fixed-D face
+    val probe = Seq((100L, "aa bb cc")).toDF("doc_id", "text")
+    val emptyGot = TextAnalysis.lmModKneserNey3ScoreAgainst(
+      Seq((0L, "  ")).toDF("doc_id", "text"), probe, "text", "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.isNullAt(3)))
+    assert(emptyGot.forall(_ == ((0L, 0L, true))))
+  }
+
   test("lmKneserNey3Score: randomized differential vs an independent trigram " +
       "KN scorer; the trigram model separates two docs with IDENTICAL bigram " +
       "multisets that the bigram model provably scores equal") {
