@@ -1604,16 +1604,26 @@ object Multimodal {
     val ub = units.select(col("__hi").alias("hi_b"), col("__lo").alias("lo_b"),
       col(idCol).alias("id_b"), col("n_units").alias("n_units_b"),
       col("unit_idx").alias("unit_b"))
+    // n_units_* are functionally dependent on the ids, so they ride as
+    // grouping keys; the matched-unit counts come from per-pair
+    // collect_set sizes (bounded by units-per-clip — the per-group
+    // collect contract class), NOT a two-column countDistinct: Spark
+    // plans multi-count-distinct via a 3x Expand, which at replica scale
+    // tripled a ~100M-row expansion into a spilling aggregate (measured
+    // 160 s/pass; this form is one pass with tiny per-group sets).
     cand.join(ua, Seq("hi_a", "lo_a"))
       .join(ub, Seq("hi_b", "lo_b"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("n_units_a")).alias("n_units_a"),
-        first(col("n_units_b")).alias("n_units_b"),
-        countDistinct(col("unit_a")).alias("n_matched_a"),
-        countDistinct(col("unit_b")).alias("n_matched_b"))
+      .groupBy(col("id_a"), col("id_b"),
+        col("n_units_a"), col("n_units_b"))
+      .agg(size(collect_set(col("unit_a"))).cast(LongType)
+          .alias("n_matched_a"),
+        size(collect_set(col("unit_b"))).cast(LongType)
+          .alias("n_matched_b"))
       .filter(col("n_matched_a") * 100 >= col("n_units_a") * minMatchPct &&
         col("n_matched_b") * 100 >= col("n_units_b") * minMatchPct)
+      .select(col("id_a"), col("id_b"), col("n_units_a"), col("n_units_b"),
+        col("n_matched_a"), col("n_matched_b"))
   }
 
   /** Haitsma–Kalker audio fingerprints (the public spectral sign hash —
