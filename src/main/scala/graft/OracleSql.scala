@@ -1295,6 +1295,128 @@ object OracleSql {
          |FROM j""".stripMargin
   }
 
+  private lazy val videoNearDupSql: String = {
+      val ct = graft.pipeline.Multimodal.PhashCos.mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT doc_id,
+         |  13 * ((doc_id // 10) % 197) + 7 AS k1,
+         |  23 * ((doc_id // 10) % 193) AS k2,
+         |  2 * (doc_id % 3) AS delta,
+         |  4 + (doc_id // 10) % 3 AS n FROM documents),
+         |fb AS (SELECT doc_id, f.f AS fi, by.by AS by, bx.bx AS bx,
+         |  ((k1 * (4 * by.by + bx.bx + 1) * (4 * by.by + bx.bx + 1)
+         |      + k2 * (4 * by.by + bx.bx + 1)) % 197
+         |    + 97 * (f.f // 2) + 3 * (f.f % 2)) % 250 + delta AS v
+         |  FROM d, range(6) f(f), range(4) by(by), range(4) bx(bx)
+         |  WHERE f.f < n),
+         |tr AS (SELECT a.doc_id, b.fi AS fi,
+         |  sum(abs(b.v - a.v)) * 64 >= 64 * count(*) * 64 AS cut
+         |  FROM fb a JOIN fb b ON a.doc_id = b.doc_id AND a.by = b.by
+         |    AND a.bx = b.bx AND b.fi = a.fi + 1
+         |  GROUP BY a.doc_id, b.fi),
+         |fr AS (SELECT DISTINCT doc_id, fi FROM fb),
+         |sh AS (SELECT f.doc_id, f.fi,
+         |  sum(CASE WHEN coalesce(t.cut, FALSE) THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY f.doc_id ORDER BY f.fi) AS shot
+         |  FROM fr f LEFT JOIN tr t ON f.doc_id = t.doc_id AND f.fi = t.fi),
+         |kf AS (SELECT doc_id, CAST(shot AS INT) AS shot_idx, min(fi) AS kfi
+         |  FROM sh GROUP BY doc_id, shot),
+         |ns AS (SELECT doc_id, count(*) AS n_shots FROM kf GROUP BY doc_id),
+         |gx AS (SELECT k.doc_id, k.shot_idx, list(fb.v ORDER BY kk.k) AS xs
+         |  FROM kf k, range(1024) kk(k), fb
+         |  WHERE fb.doc_id = k.doc_id AND fb.fi = k.kfi
+         |    AND fb.by = (kk.k // 32) // 8 AND fb.bx = (kk.k % 32) // 8
+         |  GROUP BY k.doc_id, k.shot_idx),
+         |tt AS (SELECT doc_id, shot_idx, list_transform(range(256), kk ->
+         |    list_sum(list_transform(range(32), yy ->
+         |      xs[yy * 32 + (kk % 32) + 1] * $ct[(kk // 32) * 32 + yy + 1])))
+         |    AS t FROM gx),
+         |ffc AS (SELECT doc_id, shot_idx, list_transform(range(64), kk ->
+         |    list_sum(list_transform(range(32), xx ->
+         |      t[(kk // 8) * 32 + xx + 1] * $ct[(kk % 8) * 32 + xx + 1])))
+         |    AS f FROM tt),
+         |md AS (SELECT doc_id, shot_idx, f, list_sort(f[2:64])[32] AS med
+         |  FROM ffc),
+         |pb AS (SELECT doc_id, shot_idx, k.k AS k,
+         |  CASE WHEN f[k.k + 2] > med THEN 1 ELSE 0 END AS b
+         |  FROM md, range(63) k(k)),
+         |ph AS (SELECT doc_id, shot_idx,
+         |  CAST(sum(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << (k - 32))
+         |    ELSE 0 END) AS BIGINT) AS hi,
+         |  CAST(sum(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << k)
+         |    ELSE 0 END) AS BIGINT) AS lo
+         |  FROM pb GROUP BY doc_id, shot_idx),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.shot_idx AS sa, b.shot_idx AS sb
+         |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+         |mt AS (SELECT id_a, id_b, count(DISTINCT sa) AS n_matched_a,
+         |  count(DISTINCT sb) AS n_matched_b FROM pr GROUP BY id_a, id_b)
+         |SELECT mt.id_a, mt.id_b,
+         |  CAST(na.n_shots AS INT) AS n_shots_a,
+         |  CAST(nb.n_shots AS INT) AS n_shots_b,
+         |  mt.n_matched_a, mt.n_matched_b
+         |FROM mt JOIN ns na ON na.doc_id = mt.id_a
+         |  JOIN ns nb ON nb.doc_id = mt.id_b
+         |WHERE mt.n_matched_a * 100 >= 60 * na.n_shots
+         |  AND mt.n_matched_b * 100 >= 60 * nb.n_shots""".stripMargin
+  }
+
+  private lazy val audioNearDupSql: String = {
+      val m = graft.pipeline.Multimodal.SeqToNat64.mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT doc_id, doc_id // 10 AS g,
+        |  128 + 2 * (doc_id % 3) AS gain,
+        |  1280 + 64 * ((doc_id // 10) % 3) AS n FROM documents),
+        |sm AS (SELECT doc_id, n, i.i AS i,
+        |  CAST(((((1 + 2 * (((g % 31 + 1) * (i.i // 64 + 1) * (i.i // 64 + 1)
+        |          + (g % 29) * (i.i // 64 + 1)) % 30)) * i.i + g % 23) % 64)
+        |      - 32)
+        |    * (1 + ((g % 19) * (i.i // 64 + 1) + g % 31 + 1) % 5)
+        |    * gain AS BIGINT) AS s
+        |  FROM d, range(1408) i(i) WHERE i.i < n),
+        |fr AS (SELECT doc_id, i // 64 AS f, list(s ORDER BY i) AS xs
+        |  FROM sm GROUP BY 1, 2),
+        |co AS (SELECT doc_id, f, sq.s AS sq,
+        |  list_sum(list_transform(range(64), nn ->
+        |    xs[nn + 1] * (1 - 2 * (bit_count($m[sq.s + 1] & nn) % 2)))) AS w
+        |  FROM fr, range(64) sq(s)),
+        |be AS (SELECT doc_id, f, CAST(sq // 8 AS INT) AS band,
+        |  CAST(sum(w * w) AS BIGINT) AS e
+        |  FROM co GROUP BY 1, 2, 3),
+        |dd AS (SELECT a.doc_id, a.f, a.band AS b,
+        |  a.e - c.e AS dv
+        |  FROM be a JOIN be c ON a.doc_id = c.doc_id AND a.f = c.f
+        |    AND c.band = a.band + 1),
+        |bt AS (SELECT d1.doc_id, d1.f - 1 AS t, d1.b,
+        |  CASE WHEN d1.dv - d0.dv > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM dd d1 JOIN dd d0 ON d1.doc_id = d0.doc_id
+        |    AND d0.f = d1.f - 1 AND d0.b = d1.b),
+        |nseg AS (SELECT doc_id, (n // 64 - 1) // 9 AS n_segs FROM d),
+        |ph AS (SELECT bt.doc_id, CAST(bt.t // 9 AS INT) AS seg,
+        |  CAST(sum(CASE WHEN (bt.t % 9) * 7 + bt.b >= 32
+        |    THEN bit * (CAST(1 AS BIGINT) << ((bt.t % 9) * 7 + bt.b - 32))
+        |    ELSE 0 END) AS BIGINT) AS hi,
+        |  CAST(sum(CASE WHEN (bt.t % 9) * 7 + bt.b < 32
+        |    THEN bit * (CAST(1 AS BIGINT) << ((bt.t % 9) * 7 + bt.b))
+        |    ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bt JOIN nseg ON nseg.doc_id = bt.doc_id
+        |  WHERE bt.t // 9 < nseg.n_segs
+        |  GROUP BY 1, 2),
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  a.seg AS sa, b.seg AS sb
+        |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+        |mt AS (SELECT id_a, id_b, count(DISTINCT sa) AS n_matched_a,
+        |  count(DISTINCT sb) AS n_matched_b FROM pr GROUP BY id_a, id_b)
+        |SELECT mt.id_a, mt.id_b,
+        |  CAST(na.n_segs AS INT) AS n_segs_a,
+        |  CAST(nb.n_segs AS INT) AS n_segs_b,
+        |  mt.n_matched_a, mt.n_matched_b
+        |FROM mt JOIN nseg na ON na.doc_id = mt.id_a
+        |  JOIN nseg nb ON nb.doc_id = mt.id_b
+        |WHERE mt.n_matched_a * 100 >= 60 * na.n_segs
+        |  AND mt.n_matched_b * 100 >= 60 * nb.n_segs""".stripMargin
+  }
+
   /** Split-conformal replay, shared by q_conformal and its streaming
     * gate: the 60/20/20 chronological split, the scaled-integer
     * residuals |y·n_train − sum_train| (train mean kept rational), the
@@ -4818,71 +4940,8 @@ object OracleSql {
     // (the q_image_phash replay keyed by (doc, shot)), then the EXACT
     // pair semantics — Hamming ≤ 3 (pigeonhole-complete over the engine's
     // 4 bands) and the 60% matched-shot threshold on both sides.
-    "q_video_neardup" -> {
-      val ct = graft.pipeline.Multimodal.PhashCos.mkString("[", ", ", "]")
-      s"""WITH d AS (SELECT doc_id,
-         |  13 * ((doc_id // 10) % 197) + 7 AS k1,
-         |  23 * ((doc_id // 10) % 193) AS k2,
-         |  2 * (doc_id % 3) AS delta,
-         |  4 + (doc_id // 10) % 3 AS n FROM documents),
-         |fb AS (SELECT doc_id, f.f AS fi, by.by AS by, bx.bx AS bx,
-         |  ((k1 * (4 * by.by + bx.bx + 1) * (4 * by.by + bx.bx + 1)
-         |      + k2 * (4 * by.by + bx.bx + 1)) % 197
-         |    + 97 * (f.f // 2) + 3 * (f.f % 2)) % 250 + delta AS v
-         |  FROM d, range(6) f(f), range(4) by(by), range(4) bx(bx)
-         |  WHERE f.f < n),
-         |tr AS (SELECT a.doc_id, b.fi AS fi,
-         |  sum(abs(b.v - a.v)) * 64 >= 64 * count(*) * 64 AS cut
-         |  FROM fb a JOIN fb b ON a.doc_id = b.doc_id AND a.by = b.by
-         |    AND a.bx = b.bx AND b.fi = a.fi + 1
-         |  GROUP BY a.doc_id, b.fi),
-         |fr AS (SELECT DISTINCT doc_id, fi FROM fb),
-         |sh AS (SELECT f.doc_id, f.fi,
-         |  sum(CASE WHEN coalesce(t.cut, FALSE) THEN 1 ELSE 0 END)
-         |    OVER (PARTITION BY f.doc_id ORDER BY f.fi) AS shot
-         |  FROM fr f LEFT JOIN tr t ON f.doc_id = t.doc_id AND f.fi = t.fi),
-         |kf AS (SELECT doc_id, CAST(shot AS INT) AS shot_idx, min(fi) AS kfi
-         |  FROM sh GROUP BY doc_id, shot),
-         |ns AS (SELECT doc_id, count(*) AS n_shots FROM kf GROUP BY doc_id),
-         |gx AS (SELECT k.doc_id, k.shot_idx, list(fb.v ORDER BY kk.k) AS xs
-         |  FROM kf k, range(1024) kk(k), fb
-         |  WHERE fb.doc_id = k.doc_id AND fb.fi = k.kfi
-         |    AND fb.by = (kk.k // 32) // 8 AND fb.bx = (kk.k % 32) // 8
-         |  GROUP BY k.doc_id, k.shot_idx),
-         |tt AS (SELECT doc_id, shot_idx, list_transform(range(256), kk ->
-         |    list_sum(list_transform(range(32), yy ->
-         |      xs[yy * 32 + (kk % 32) + 1] * $ct[(kk // 32) * 32 + yy + 1])))
-         |    AS t FROM gx),
-         |ffc AS (SELECT doc_id, shot_idx, list_transform(range(64), kk ->
-         |    list_sum(list_transform(range(32), xx ->
-         |      t[(kk // 8) * 32 + xx + 1] * $ct[(kk % 8) * 32 + xx + 1])))
-         |    AS f FROM tt),
-         |md AS (SELECT doc_id, shot_idx, f, list_sort(f[2:64])[32] AS med
-         |  FROM ffc),
-         |pb AS (SELECT doc_id, shot_idx, k.k AS k,
-         |  CASE WHEN f[k.k + 2] > med THEN 1 ELSE 0 END AS b
-         |  FROM md, range(63) k(k)),
-         |ph AS (SELECT doc_id, shot_idx,
-         |  CAST(sum(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << (k - 32))
-         |    ELSE 0 END) AS BIGINT) AS hi,
-         |  CAST(sum(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << k)
-         |    ELSE 0 END) AS BIGINT) AS lo
-         |  FROM pb GROUP BY doc_id, shot_idx),
-         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  a.shot_idx AS sa, b.shot_idx AS sb
-         |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
-         |mt AS (SELECT id_a, id_b, count(DISTINCT sa) AS n_matched_a,
-         |  count(DISTINCT sb) AS n_matched_b FROM pr GROUP BY id_a, id_b)
-         |SELECT mt.id_a, mt.id_b,
-         |  CAST(na.n_shots AS INT) AS n_shots_a,
-         |  CAST(nb.n_shots AS INT) AS n_shots_b,
-         |  mt.n_matched_a, mt.n_matched_b
-         |FROM mt JOIN ns na ON na.doc_id = mt.id_a
-         |  JOIN ns nb ON nb.doc_id = mt.id_b
-         |WHERE mt.n_matched_a * 100 >= 60 * na.n_shots
-         |  AND mt.n_matched_b * 100 >= 60 * nb.n_shots""".stripMargin
-    },
+    "q_video_neardup" -> videoNearDupSql,
+    "q_stream_video_neardup" -> videoNearDupSql,
 
     // Real frame sampling replay: 400 ms lattice, covering-frame index
     // from the exact (rate=fps, scale=1) rational, per-frame sums joined
@@ -5084,61 +5143,8 @@ object OracleSql {
     // replay — all-integer, bit-exact), Haitsma–Kalker sign bits over
     // band-energy gradients, 9-transition 63-bit segment packing, then
     // the EXACT pair semantics (Hamming ≤ 3, 60% matched both sides).
-    "q_audio_neardup" -> {
-      val m = graft.pipeline.Multimodal.SeqToNat64.mkString("[", ", ", "]")
-      s"""WITH d AS (SELECT doc_id, doc_id // 10 AS g,
-        |  128 + 2 * (doc_id % 3) AS gain,
-        |  1280 + 64 * ((doc_id // 10) % 3) AS n FROM documents),
-        |sm AS (SELECT doc_id, n, i.i AS i,
-        |  CAST(((((1 + 2 * (((g % 31 + 1) * (i.i // 64 + 1) * (i.i // 64 + 1)
-        |          + (g % 29) * (i.i // 64 + 1)) % 30)) * i.i + g % 23) % 64)
-        |      - 32)
-        |    * (1 + ((g % 19) * (i.i // 64 + 1) + g % 31 + 1) % 5)
-        |    * gain AS BIGINT) AS s
-        |  FROM d, range(1408) i(i) WHERE i.i < n),
-        |fr AS (SELECT doc_id, i // 64 AS f, list(s ORDER BY i) AS xs
-        |  FROM sm GROUP BY 1, 2),
-        |co AS (SELECT doc_id, f, sq.s AS sq,
-        |  list_sum(list_transform(range(64), nn ->
-        |    xs[nn + 1] * (1 - 2 * (bit_count($m[sq.s + 1] & nn) % 2)))) AS w
-        |  FROM fr, range(64) sq(s)),
-        |be AS (SELECT doc_id, f, CAST(sq // 8 AS INT) AS band,
-        |  CAST(sum(w * w) AS BIGINT) AS e
-        |  FROM co GROUP BY 1, 2, 3),
-        |dd AS (SELECT a.doc_id, a.f, a.band AS b,
-        |  a.e - c.e AS dv
-        |  FROM be a JOIN be c ON a.doc_id = c.doc_id AND a.f = c.f
-        |    AND c.band = a.band + 1),
-        |bt AS (SELECT d1.doc_id, d1.f - 1 AS t, d1.b,
-        |  CASE WHEN d1.dv - d0.dv > 0 THEN 1 ELSE 0 END AS bit
-        |  FROM dd d1 JOIN dd d0 ON d1.doc_id = d0.doc_id
-        |    AND d0.f = d1.f - 1 AND d0.b = d1.b),
-        |nseg AS (SELECT doc_id, (n // 64 - 1) // 9 AS n_segs FROM d),
-        |ph AS (SELECT bt.doc_id, CAST(bt.t // 9 AS INT) AS seg,
-        |  CAST(sum(CASE WHEN (bt.t % 9) * 7 + bt.b >= 32
-        |    THEN bit * (CAST(1 AS BIGINT) << ((bt.t % 9) * 7 + bt.b - 32))
-        |    ELSE 0 END) AS BIGINT) AS hi,
-        |  CAST(sum(CASE WHEN (bt.t % 9) * 7 + bt.b < 32
-        |    THEN bit * (CAST(1 AS BIGINT) << ((bt.t % 9) * 7 + bt.b))
-        |    ELSE 0 END) AS BIGINT) AS lo
-        |  FROM bt JOIN nseg ON nseg.doc_id = bt.doc_id
-        |  WHERE bt.t // 9 < nseg.n_segs
-        |  GROUP BY 1, 2),
-        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  a.seg AS sa, b.seg AS sb
-        |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
-        |mt AS (SELECT id_a, id_b, count(DISTINCT sa) AS n_matched_a,
-        |  count(DISTINCT sb) AS n_matched_b FROM pr GROUP BY id_a, id_b)
-        |SELECT mt.id_a, mt.id_b,
-        |  CAST(na.n_segs AS INT) AS n_segs_a,
-        |  CAST(nb.n_segs AS INT) AS n_segs_b,
-        |  mt.n_matched_a, mt.n_matched_b
-        |FROM mt JOIN nseg na ON na.doc_id = mt.id_a
-        |  JOIN nseg nb ON nb.doc_id = mt.id_b
-        |WHERE mt.n_matched_a * 100 >= 60 * na.n_segs
-        |  AND mt.n_matched_b * 100 >= 60 * nb.n_segs""".stripMargin
-    },
+    "q_audio_neardup" -> audioNearDupSql,
+    "q_stream_audio_neardup" -> audioNearDupSql,
 
     // MFCC replay: the spectrogram CTE's quantized bins -> per-bin powers
     // over the 32 unique bins -> rectangular mel sums over the embedded

@@ -3944,6 +3944,34 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload")
 
+  /** Streaming video near-dup gate — arriving clips segment and pHash
+    * their keyframes STATELESSLY at the ingest boundary
+    * ([[graft.pipeline.Video.keyframePHashes]] is a pure per-clip decode
+    * map, so any micro-batching emits identical signature rows); the
+    * banded-Hamming pair fold runs over the sink (the q_stream_novelty
+    * sink-rollup convention). Shares q_video_neardup's replay verbatim. */
+  private def qStreamVideoNearDup(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val sink = runStream(s, graft.pipeline.Video.keyframePHashes(
+      graft.pipeline.Video.synthesizeAviNearDupPayload(
+        docsStream(s, dir).select(col("doc_id")), "doc_id"),
+      "doc_id", "payload"))
+    graft.pipeline.Video.nearDupPairsFromKeyframes(sink, "doc_id")
+  }
+
+  /** Streaming audio near-dup gate — the q_stream_video_neardup shape on
+    * [[graft.pipeline.Multimodal.hkFingerprints]] (stateless per-clip
+    * Walsh sign hashes at ingest, pair fold over the sink); shares
+    * q_audio_neardup's replay verbatim. */
+  private def qStreamAudioNearDup(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val sink = runStream(s, Multimodal.hkFingerprints(
+      Multimodal.synthesizeWavNearDupPayload(
+        docsStream(s, dir).select(col("doc_id")), "doc_id"),
+      "doc_id", "payload"))
+    Multimodal.nearDupPairsFromHk(sink, "doc_id")
+  }
+
   /** Audio NEAR-dup pairs ([[graft.pipeline.Multimodal
     * .audioNearDupPairs]]): Haitsma–Kalker spectral sign fingerprints
     * (63-bit segment hashes over the exact-integer spectrogram's
@@ -4522,6 +4550,8 @@ object SparkEntry {
     "q_media_dedup" -> qMediaDedup _,
     "q_stream_media_dedup" -> qStreamMediaDedup _,
     "q_stream_keyframes" -> qStreamKeyframes _,
+    "q_stream_video_neardup" -> qStreamVideoNearDup _,
+    "q_stream_audio_neardup" -> qStreamAudioNearDup _,
     "q_media_coverage" -> qMediaCoverage _,
     "q_pixel_hist" -> qPixelHist _,
     "q_image_dhash" -> qImageDhash _,

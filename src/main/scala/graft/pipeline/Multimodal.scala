@@ -1731,7 +1731,15 @@ object Multimodal {
     * structure intact. */
   def audioNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
       maxHamming: Int = 3, minMatchPct: Int = 60): DataFrame =
-    unitNearDupPairs(hkFingerprints(df, idCol, payloadCol), idCol,
+    nearDupPairsFromHk(hkFingerprints(df, idCol, payloadCol), idCol,
+      maxHamming, minMatchPct)
+
+  /** The pair fold over an ALREADY-COMPUTED [[hkFingerprints]] frame —
+    * the streaming-sink face (the [[Video.nearDupPairsFromKeyframes]]
+    * contract on the audio axis). */
+  def nearDupPairsFromHk(sigs: DataFrame, idCol: String,
+      maxHamming: Int = 3, minMatchPct: Int = 60): DataFrame =
+    unitNearDupPairs(sigs, idCol,
       "hk_hi", "hk_lo", maxHamming, minMatchPct)
       .withColumnRenamed("n_units_a", "n_segs_a")
       .withColumnRenamed("n_units_b", "n_segs_b")

@@ -830,9 +830,17 @@ object Video {
   def videoNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
       threshold: Int = 64, maxHamming: Int = 3,
       minMatchPct: Int = 60): DataFrame =
+    nearDupPairsFromKeyframes(keyframePHashes(df, idCol, payloadCol,
+      threshold), idCol, maxHamming, minMatchPct)
+
+  /** The pair fold over an ALREADY-COMPUTED [[keyframePHashes]] frame —
+    * the face a streaming deployment uses (keyframe hashes emitted
+    * statelessly at ingest, the fold run over the sink; each (clip,
+    * shot) signature row is emitted exactly once). */
+  def nearDupPairsFromKeyframes(kf: DataFrame, idCol: String,
+      maxHamming: Int = 3, minMatchPct: Int = 60): DataFrame =
     Multimodal.unitNearDupPairs(
-      keyframePHashes(df, idCol, payloadCol, threshold)
-        .withColumnRenamed("n_shots", "n_units")
+      kf.withColumnRenamed("n_shots", "n_units")
         .withColumnRenamed("shot_idx", "unit_idx"),
       idCol, "phash_hi", "phash_lo", maxHamming, minMatchPct)
       .withColumnRenamed("n_units_a", "n_shots_a")
