@@ -1417,12 +1417,6 @@ object OracleSql {
         |  AND mt.n_matched_b * 100 >= 60 * nb.n_segs""".stripMargin
   }
 
-  /** Split-conformal replay, shared by q_conformal and its streaming
-    * gate: the 60/20/20 chronological split, the scaled-integer
-    * residuals |y·n_train − sum_train| (train mean kept rational), the
-    * k = ⌈(n_cal+1)·900/1000⌉-th smallest calibration residual
-    * (k > n_cal ⇒ infinite interval ⇒ all covered, null q), one
-    * terminal coverage division. */
   /** Shot-keyframe replay (q_shot_keyframes + its stateless streaming
     * twin): re-segment at the replayed SAD flags, keyframe stats via
     * arg_min on the unique frame index. */
@@ -1497,6 +1491,12 @@ object OracleSql {
       |  min(doc_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_docs
       |FROM allf GROUP BY modality, md5(fpi), n_units""".stripMargin
 
+  /** Split-conformal replay, shared by q_conformal and its streaming
+    * gate: the 60/20/20 chronological split, the scaled-integer
+    * residuals |y·n_train − sum_train| (train mean kept rational), the
+    * k = ⌈(n_cal+1)·900/1000⌉-th smallest calibration residual
+    * (k > n_cal ⇒ infinite interval ⇒ all covered, null q), one
+    * terminal coverage division. */
   private lazy val conformalSql: String =
     """WITH e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS y,
       |  ts, event_id FROM events

@@ -1521,28 +1521,45 @@ object Multimodal {
     * signature), cluster sizes, distance. Candidate recall is exact for
     * distance ≤ 3 (pigeonhole over 4 bands); `maxHamming` above 3 keeps
     * the same buckets and simply verifies a wider radius (documented
-    * LSH trade). */
+    * LSH trade).
+    *
+    * Band buckets larger than `maxBucketSize` are deterministically
+    * sub-bucketed and pool-clamped via
+    * [[Similarity.subBucketPairsRelational]] — the discipline the
+    * text/LSH pipelines carry: an organic corpus's LOW-ENTROPY images
+    * (uniform frames, solid fills) produce many DISTINCT signatures
+    * agreeing on one band value, and an unclamped self-equi-join there
+    * is ~n²/2¹⁶ candidates per band. Buckets ≤ `maxBucketSize` keep the
+    * exact unclamped pair set (nSub = 1, pool = whole bucket);
+    * oversized buckets bound output at size×maxBucketSize, trading
+    * recall inside the pathological bucket only. */
   def dhashNearDupPairs(hashes: DataFrame, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64)
     val sigs = hashes.groupBy(col("dhash_hi"), col("dhash_lo"),
         col("band0"), col("band1"), col("band2"), col("band3"))
       .agg(min(col(idCol)).alias("rep_id"),
         count(lit(1)).alias("n_docs"))
+    // The full signature doubles as the sub-bucket key (the simhashPairs
+    // discipline): identical signatures never reach here (distinct-sig
+    // grouping above), and the fold spreads distinct signatures evenly
+    // across sub-buckets of a pathological band bucket.
     val banded = sigs.select(col("dhash_hi"), col("dhash_lo"),
       col("rep_id"), col("n_docs"),
+      Hashing.foldHashes(Seq(col("dhash_hi"), col("dhash_lo")))
+        .alias("__xh"),
       posexplode(array(col("band0"), col("band1"), col("band2"),
         col("band3"))).as(Seq("band_idx", "band_val")))
-    val a = banded.select(col("band_idx"), col("band_val"),
-      col("dhash_hi").alias("hi_a"), col("dhash_lo").alias("lo_a"),
-      col("rep_id").alias("doc_a"), col("n_docs").alias("n_docs_a"))
-    val b = banded.select(col("band_idx"), col("band_val"),
-      col("dhash_hi").alias("hi_b"), col("dhash_lo").alias("lo_b"),
-      col("rep_id").alias("doc_b"), col("n_docs").alias("n_docs_b"))
-    a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("n_docs_a"), col("n_docs_b"),
-        (bit_count(expr("hi_a ^ hi_b")) + bit_count(expr("lo_a ^ lo_b")))
+    Similarity.subBucketPairsRelational(banded,
+      Seq(col("band_idx"), col("band_val")), col("__xh"),
+      struct(col("rep_id").alias("id"), col("__xh").alias("xh"),
+        col("dhash_hi").alias("hi"), col("dhash_lo").alias("lo"),
+        col("n_docs").alias("nd")),
+      maxBucketSize, ordered = false)
+      .select(col("__p.a.id").alias("doc_a"), col("__p.b.id").alias("doc_b"),
+        col("__p.a.nd").alias("n_docs_a"), col("__p.b.nd").alias("n_docs_b"),
+        (bit_count(col("__p.a.hi").bitwiseXOR(col("__p.b.hi"))) +
+          bit_count(col("__p.a.lo").bitwiseXOR(col("__p.b.lo"))))
           .cast(IntegerType).alias("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
@@ -1551,8 +1568,11 @@ object Multimodal {
   /** Shared banded-Hamming near-dup fold over per-UNIT 64-bit signatures
     * (units = video keyframes, audio fingerprint segments, …): band-bucket
     * every unit hash (4 × 16-bit equi-join keys — pigeonhole-exact recall
-    * at Hamming ≤ 3), verify candidates with the exact popcount distance,
-    * fold matched units per id pair, and keep pairs where ≥ `minMatchPct`%
+    * at Hamming ≤ 3; radii above 3 keep the same buckets and only widen
+    * the verification, so candidate recall is no longer guaranteed —
+    * the documented LSH trade [[dhashNearDupPairs]] carries), verify
+    * candidates with the exact popcount distance, fold matched units per
+    * id pair, and keep pairs where ≥ `minMatchPct`%
     * of units matched on BOTH sides (integer arithmetic end to end).
     * Input: (idCol, n_units, unit_idx, hiCol, loCol) — one row per unit,
     * n_units stamped per row. Output: (id_a, id_b, n_units_a, n_units_b,
@@ -1560,10 +1580,12 @@ object Multimodal {
     * near-dup pair semantics shared by [[Video.videoNearDupPairs]] and
     * [[audioNearDupPairs]] — the mediaFingerprints kernel-sharing lesson
     * applied to the pair fold. Only hash rows join; payloads never reach
-    * this operator. */
+    * this operator. Band buckets larger than `maxBucketSize` are
+    * sub-bucketed and pool-clamped (see [[bandedDistinctHashPairs]]) —
+    * buckets within the bound keep the exact unclamped semantics. */
   private[pipeline] def unitNearDupPairs(sigs: DataFrame, idCol: String,
       hiCol: String, loCol: String, maxHamming: Int,
-      minMatchPct: Int): DataFrame = {
+      minMatchPct: Int, maxBucketSize: Int = 4096): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64)
     require(minMatchPct > 0 && minMatchPct <= 100)
     val units = sigs.select(col(idCol), col("n_units"), col("unit_idx"),
@@ -1573,28 +1595,20 @@ object Multimodal {
     // cliques (re-upload swarms — every variant of a popular clip hashing
     // identically) collapse out of the banded join entirely (a 10-way
     // clique fixture measured the per-unit form re-verifying each hash
-    // pair |cliqueA|x|cliqueB| times at replica scale). Both orientations
-    // of each hash pair survive the symmetric join, so the expansion
-    // below can order by clip id without losing pairs; (h, h) self-pairs
-    // carry the identical-signature matches.
+    // pair |cliqueA|x|cliqueB| times at replica scale). The clamped fold
+    // emits each unordered hash pair once, so both orientations are
+    // reconstructed by union before the clip expansion (which orders by
+    // clip id). Identical-hash matches across clips do NOT ride this
+    // path: hash equality IS Hamming 0 (no verification to pay), so they
+    // expand through a direct unit-level equi-join below — which also
+    // sidesteps a Spark 4.1 internal error (external-Row unsafe-writer
+    // codegen) hit when the raw distinct-hash projection of an
+    // object-serialized source (the mapPartitions decode boundary) is
+    // unioned with the windowed fold and re-joined against that source.
     val dsig = units.select(col("__hi"), col("__lo")).distinct()
-    val banded = dsig.select(col("__hi"), col("__lo"),
-      posexplode(array(
-        col("__lo").bitwiseAND(lit(0xFFFFL)),
-        shiftright(col("__lo"), 16).bitwiseAND(lit(0xFFFFL)),
-        col("__hi").bitwiseAND(lit(0xFFFFL)),
-        shiftright(col("__hi"), 16).bitwiseAND(lit(0xFFFFL))))
-        .as(Seq("band_idx", "band_val")))
-    val ha = banded.select(col("band_idx"), col("band_val"),
-      col("__hi").alias("hi_a"), col("__lo").alias("lo_a"))
-    val hb = banded.select(col("band_idx"), col("band_val"),
-      col("__hi").alias("hi_b"), col("__lo").alias("lo_b"))
-    val cand = ha.join(hb, Seq("band_idx", "band_val"))
-      .select(col("hi_a"), col("lo_a"), col("hi_b"), col("lo_b"),
-        (bit_count(expr("hi_a ^ hi_b")) + bit_count(expr("lo_a ^ lo_b")))
-          .cast(IntegerType).alias("hamming"))
-      .distinct() // one row per ordered hash pair, not per band
-      .filter(col("hamming") <= maxHamming)
+    val half = bandedDistinctHashPairs(dsig, maxHamming, maxBucketSize)
+    val cand = half
+      .union(half.select(col("hi_b"), col("lo_b"), col("hi_a"), col("lo_a")))
     // Expand verified hash pairs back to clip pairs — every produced row
     // reaches the output fold, so the expansion does no wasted work
     // beyond the (inherently clique-quadratic) pair listing itself.
@@ -1604,6 +1618,14 @@ object Multimodal {
     val ub = units.select(col("__hi").alias("hi_b"), col("__lo").alias("lo_b"),
       col(idCol).alias("id_b"), col("n_units").alias("n_units_b"),
       col("unit_idx").alias("unit_b"))
+    val matchCols = Seq(col("id_a"), col("n_units_a"), col("unit_a"),
+      col("id_b"), col("n_units_b"), col("unit_b"))
+    val crossMatched = cand.join(ua, Seq("hi_a", "lo_a"))
+      .join(ub, Seq("hi_b", "lo_b"))
+      .select(matchCols: _*)
+    val sameMatched = ua.join(ub, col("hi_a") === col("hi_b") &&
+        col("lo_a") === col("lo_b"))
+      .select(matchCols: _*)
     // n_units_* are functionally dependent on the ids, so they ride as
     // grouping keys; the matched-unit counts come from per-pair
     // collect_set sizes (bounded by units-per-clip — the per-group
@@ -1611,8 +1633,7 @@ object Multimodal {
     // plans multi-count-distinct via a 3x Expand, which at replica scale
     // tripled a ~100M-row expansion into a spilling aggregate (measured
     // 160 s/pass; this form is one pass with tiny per-group sets).
-    cand.join(ua, Seq("hi_a", "lo_a"))
-      .join(ub, Seq("hi_b", "lo_b"))
+    crossMatched.union(sameMatched)
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"),
         col("n_units_a"), col("n_units_b"))
@@ -1624,6 +1645,48 @@ object Multimodal {
         col("n_matched_b") * 100 >= col("n_units_b") * minMatchPct)
       .select(col("id_a"), col("id_b"), col("n_units_a"), col("n_units_b"),
         col("n_matched_a"), col("n_matched_b"))
+  }
+
+  /** Verified near-dup pairs over DISTINCT 64-bit unit hashes — the
+    * candidate stage of [[unitNearDupPairs]], factored so the clamp
+    * bound is testable in isolation. Input `dsig`: distinct (__hi, __lo)
+    * rows. Band-buckets each hash on its 4 × 16-bit halves, pairs within
+    * each (band_idx, band_val) bucket through
+    * [[Similarity.subBucketPairsRelational]] (sub-key = the
+    * [[Hashing.foldHashes]] fold of the full hash, the simhashPairs
+    * discipline: distinct hashes spread evenly across the sub-buckets of
+    * a pathological bucket — the low-entropy corpus shape where many
+    * DISTINCT hashes share one band value, e.g. dark keyframes or
+    * silence segments, would otherwise cost ~n²/2¹⁶ candidates per
+    * band), then verifies with the exact popcount distance. Buckets
+    * ≤ `maxBucketSize` keep the exact unclamped pair set (nSub = 1,
+    * pool = whole bucket — differential-gated); oversized buckets bound
+    * emitted candidates at size×maxBucketSize, trading recall inside the
+    * pathological bucket only. Output: one row per unordered verified
+    * pair (hi_a, lo_a, hi_b, lo_b), a < b in (hi, lo) struct order;
+    * (h, h) self-pairs are NOT emitted (the caller appends them). */
+  private[pipeline] def bandedDistinctHashPairs(dsig: DataFrame,
+      maxHamming: Int, maxBucketSize: Int): DataFrame = {
+    val banded = dsig.select(col("__hi"), col("__lo"),
+      Hashing.foldHashes(Seq(col("__hi"), col("__lo"))).alias("__xh"),
+      posexplode(array(
+        col("__lo").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("__lo"), 16).bitwiseAND(lit(0xFFFFL)),
+        col("__hi").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("__hi"), 16).bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("band_idx", "band_val")))
+    Similarity.subBucketPairsRelational(banded,
+      Seq(col("band_idx"), col("band_val")), col("__xh"),
+      struct(struct(col("__hi"), col("__lo")).alias("id"),
+        col("__xh").alias("xh")),
+      maxBucketSize, ordered = false)
+      .select(col("__p.a.id.__hi").alias("hi_a"),
+        col("__p.a.id.__lo").alias("lo_a"),
+        col("__p.b.id.__hi").alias("hi_b"),
+        col("__p.b.id.__lo").alias("lo_b"))
+      .distinct() // one row per unordered hash pair, not per band
+      .filter(bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+        bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) <= maxHamming)
   }
 
   /** Haitsma–Kalker audio fingerprints (the public spectral sign hash —
@@ -1730,17 +1793,19 @@ object Multimodal {
     * gain moves every exact PCM moment but leaves the spectral sign
     * structure intact. */
   def audioNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
-      maxHamming: Int = 3, minMatchPct: Int = 60): DataFrame =
+      maxHamming: Int = 3, minMatchPct: Int = 60,
+      maxBucketSize: Int = 4096): DataFrame =
     nearDupPairsFromHk(hkFingerprints(df, idCol, payloadCol), idCol,
-      maxHamming, minMatchPct)
+      maxHamming, minMatchPct, maxBucketSize)
 
   /** The pair fold over an ALREADY-COMPUTED [[hkFingerprints]] frame —
     * the streaming-sink face (the [[Video.nearDupPairsFromKeyframes]]
     * contract on the audio axis). */
   def nearDupPairsFromHk(sigs: DataFrame, idCol: String,
-      maxHamming: Int = 3, minMatchPct: Int = 60): DataFrame =
+      maxHamming: Int = 3, minMatchPct: Int = 60,
+      maxBucketSize: Int = 4096): DataFrame =
     unitNearDupPairs(sigs, idCol,
-      "hk_hi", "hk_lo", maxHamming, minMatchPct)
+      "hk_hi", "hk_lo", maxHamming, minMatchPct, maxBucketSize)
       .withColumnRenamed("n_units_a", "n_segs_a")
       .withColumnRenamed("n_units_b", "n_segs_b")
 
@@ -1766,8 +1831,8 @@ object Multimodal {
     *  - s(i) = ramp·m·gainNum — the gain MULTIPLIES exactly (no
     *    division, no floor noise), so every variant's band energies are
     *    an exact γ² scaling and the strict-> gradient bits are
-    *    IDENTICAL by construction, not approximately; |s| ≤ 20 460,
-    *    no clipping. */
+    *    IDENTICAL by construction, not approximately; the ramp spans
+    *    [-32, 31], so |s| ≤ 32·5·132 = 21 120, no clipping. */
   def synthesizeWavNearDupPayload(df: DataFrame, idCol: String,
       payloadCol: String = "payload"): DataFrame = {
     val outSchema = StructType(df.schema.fields :+

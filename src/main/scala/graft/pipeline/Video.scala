@@ -829,20 +829,22 @@ object Video {
     * cliques. */
   def videoNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
       threshold: Int = 64, maxHamming: Int = 3,
-      minMatchPct: Int = 60): DataFrame =
+      minMatchPct: Int = 60, maxBucketSize: Int = 4096): DataFrame =
     nearDupPairsFromKeyframes(keyframePHashes(df, idCol, payloadCol,
-      threshold), idCol, maxHamming, minMatchPct)
+      threshold), idCol, maxHamming, minMatchPct, maxBucketSize)
 
   /** The pair fold over an ALREADY-COMPUTED [[keyframePHashes]] frame —
     * the face a streaming deployment uses (keyframe hashes emitted
     * statelessly at ingest, the fold run over the sink; each (clip,
     * shot) signature row is emitted exactly once). */
   def nearDupPairsFromKeyframes(kf: DataFrame, idCol: String,
-      maxHamming: Int = 3, minMatchPct: Int = 60): DataFrame =
+      maxHamming: Int = 3, minMatchPct: Int = 60,
+      maxBucketSize: Int = 4096): DataFrame =
     Multimodal.unitNearDupPairs(
       kf.withColumnRenamed("n_shots", "n_units")
         .withColumnRenamed("shot_idx", "unit_idx"),
-      idCol, "phash_hi", "phash_lo", maxHamming, minMatchPct)
+      idCol, "phash_hi", "phash_lo", maxHamming, minMatchPct,
+      maxBucketSize)
       .withColumnRenamed("n_units_a", "n_shots_a")
       .withColumnRenamed("n_units_b", "n_shots_b")
 

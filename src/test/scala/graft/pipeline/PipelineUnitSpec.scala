@@ -5645,6 +5645,136 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(sep == 0L)
   }
 
+  test("unitNearDupPairs differential: the clamped banded fold equals an " +
+      "independent brute-force fold on hash pools with shared, near and " +
+      "identical unit signatures") {
+    import spark.implicits._
+    // 12 base hashes spread over the 64-bit space; clip i, unit u draws
+    // pool((i*3 + u) % 12), and every third (i+u) gets a 1-2 bit
+    // perturbation — so the fixture carries identical-hash sharing
+    // across clips (the self-pair path), Hamming-1/2 near pairs (the
+    // banded path) and far pairs (the verify rejection path).
+    val pool = Array.tabulate(12)(j =>
+      (j * 0x9E3779B97F4A7C15L) ^ (j.toLong << 51))
+    val rows = for (i <- 0L until 20L; u <- 0 until 3) yield {
+      var h = pool(((i * 3 + u) % 12).toInt)
+      if ((i + u) % 3 == 0) h ^= 1L << ((i * 7 + u * 13) % 64).toInt
+      if ((i + u) % 6 == 0) h ^= 1L << ((i * 11 + u * 5) % 64).toInt
+      (i, 3, u, h >>> 32, h & 0xFFFFFFFFL)
+    }
+    val sigs = rows.toDF("doc_id", "n_units", "unit_idx", "h_hi", "h_lo")
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+    for (maxH <- Seq(0, 1, 3); pct <- Seq(34, 100)) {
+      val got = Multimodal.unitNearDupPairs(sigs, "doc_id",
+          "h_hi", "h_lo", maxH, pct).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+        .toSet
+      val byClip = rows.groupBy(_._1)
+      val want = (for {
+        a <- byClip.keys.toSeq; b <- byClip.keys.toSeq if a < b
+        ua = byClip(a).map(r => (r._3, (r._4, r._5)))
+        ub = byClip(b).map(r => (r._3, (r._4, r._5)))
+        ma = ua.filter(x => ub.exists(y => ham(x._2, y._2) <= maxH))
+          .map(_._1).distinct.size.toLong
+        mb = ub.filter(y => ua.exists(x => ham(x._2, y._2) <= maxH))
+          .map(_._1).distinct.size.toLong
+        if ma * 100 >= 3 * pct && mb * 100 >= 3 * pct
+      } yield (a, b, ma, mb)).toSet
+      assert(got == want, s"maxHamming=$maxH minMatchPct=$pct")
+      assert(want.nonEmpty || maxH == 0 || pct == 100,
+        s"vacuous differential at maxHamming=$maxH pct=$pct")
+    }
+  }
+
+  test("bandedDistinctHashPairs clamps a low-entropy band bucket: bounded " +
+      "emission under skew, exact all-pairs semantics within the bound, " +
+      "clamped output a subset of unclamped") {
+    import spark.implicits._
+    // The dark-frame/silence shape: 512 DISTINCT hashes that all agree
+    // on band 0 (lo & 0xFFFF) but are otherwise spread — the unclamped
+    // band join is all n(n-1)/2 pairs through that one bucket.
+    val n = 512
+    val hashes = (0 until n).map { i =>
+      val hi = (i.toLong * 2654435761L) & 0xFFFFFFFFL
+      val lo = (((i.toLong * 40503L) & 0xFFFFL) << 16) | 0x1234L
+      (hi, lo)
+    }
+    assert(hashes.distinct.size == n)
+    val dsig = hashes.toDF("__hi", "__lo")
+    // maxHamming = 64 passes every verified candidate, so output size
+    // IS the candidate count reaching the verify stage (post band-dedup)
+    val unclamped = Multimodal
+      .bandedDistinctHashPairs(dsig, 64, Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(unclamped.size == n * (n - 1) / 2,
+      "unclamped fold must see every pair through the shared band")
+    val clamped = Multimodal
+      .bandedDistinctHashPairs(dsig, 64, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // pool clamp bounds emission at ~size×c per bucket: 512×16 from the
+    // skewed band plus incidental small buckets — far below 130,816
+    assert(clamped.size <= 4 * n * 16,
+      s"clamp bound violated: ${clamped.size}")
+    assert(clamped.size < unclamped.size / 4,
+      s"clamp did not bound the skewed bucket: ${clamped.size}")
+    assert(clamped.subsetOf(unclamped), "clamped pairs must be a subset")
+    // within the bound the semantics are exactly unclamped
+    val atBound = Multimodal
+      .bandedDistinctHashPairs(dsig, 64, n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(atBound == unclamped, "maxBucketSize >= bucket size must keep " +
+      "the exact unclamped pair set")
+  }
+
+  test("dhashNearDupPairs differential: clamped relational fold equals " +
+      "brute force over distinct signatures, and oversized-bucket runs " +
+      "stay a subset") {
+    import spark.implicits._
+    // signature clusters: base hashes + 1-bit variants, with doc-level
+    // duplication so rep_id/n_docs aggregation is exercised
+    val bases = Array.tabulate(8)(j =>
+      (j * 0x6A09E667F3BCC909L) ^ (j.toLong << 47))
+    val docs = (0L until 60L).map { d =>
+      var h = bases((d % 8).toInt)
+      if (d % 3 == 1) h ^= 1L << ((d * 17) % 64).toInt
+      (d, h)
+    }
+    val hashes = docs.map { case (d, h) =>
+      (d, h >>> 32, h & 0xFFFFFFFFL, h & 0xFFFFL, (h >>> 16) & 0xFFFFL,
+        (h >>> 32) & 0xFFFFL, (h >>> 48) & 0xFFFFL)
+    }.toDF("doc_id", "dhash_hi", "dhash_lo",
+      "band0", "band1", "band2", "band3")
+    val got = Multimodal.dhashNearDupPairs(hashes, "doc_id", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+      .toSet
+    val sigGroups = docs.groupBy(_._2)
+    val sigList = sigGroups.map { case (h, ms) =>
+      (h, ms.map(_._1).min, ms.size.toLong)
+    }.toSeq
+    def bands(h: Long): Seq[Long] = Seq(h & 0xFFFFL, (h >>> 16) & 0xFFFFL,
+      (h >>> 32) & 0xFFFFL, (h >>> 48) & 0xFFFFL)
+    val want = (for {
+      (ha, ra, na) <- sigList; (hb, rb, nb) <- sigList if ra < rb
+      if bands(ha).zip(bands(hb)).exists(p => p._1 == p._2)
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ra, rb, na, nb, d)).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "vacuous dhash differential")
+    // a tiny clamp on this fixture may lose recall but never invents
+    val tight = Multimodal.dhashNearDupPairs(hashes, "doc_id", 3, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+      .toSet
+    assert(tight.subsetOf(want))
+  }
+
   test("audioDedup collapses identical PCM content across sample rates; " +
       "the position-weighted moment separates reorderings") {
     import spark.implicits._
