@@ -110,36 +110,47 @@ object OracleSql {
 
   /** The decodable-image arms of synthesizeDecodablePayload (doc_id%4
     * in {0,1}; the wav/avi arms drop out of decodeImage). */
-  private val imageArmsSql: String =
-    """WITH imgs AS (
+  /** The synthesizeDecodablePayload image arms (arm 0 = PNG gradient,
+    * arm 1 = JPEG flat blocks) as a CTE `${p}imgs`, with an optional
+    * extra doc predicate — shared by the perceptual-hash replays and the
+    * e2e media pipeline replay (arm doc_id % 3 = 0). */
+  private def imageArmsCtes(p: String, pred: String): String =
+    s"""${p}imgs AS (
       |  SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id * 3) % 24 AS h,
       |    CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS nch, 0 AS arm
-      |  FROM documents WHERE doc_id % 4 = 0
+      |  FROM documents WHERE doc_id % 4 = 0$pred
       |  UNION ALL
       |  SELECT doc_id, 8 * (1 + doc_id % 4) AS w,
       |    8 * (1 + (doc_id * 3) % 4) AS h, 1 AS nch, 1 AS arm
-      |  FROM documents WHERE doc_id % 4 = 1)""".stripMargin
+      |  FROM documents WHERE doc_id % 4 = 1$pred)""".stripMargin
 
-  private val imageDhashSql: String = {
+  private val imageArmsSql: String = "WITH " + imageArmsCtes("", "")
+
+  /** Closed-form dHash over an image-arms CTE `$imgs` — the
+    * `${p}bits`/`${p}acc` chain shared by the q_image_dhash family and
+    * the e2e media replay. */
+  private def imageDhashCtes(p: String, imgs: String): String = {
     def bitRange(lof: Int, hif: Int, shiftBase: Int): String =
       s"CAST(sum(CASE WHEN y * 8 + x >= $lof AND y * 8 + x < $hif " +
         s"THEN b * (CAST(1 AS BIGINT) << (y * 8 + x - $shiftBase)) " +
         s"ELSE 0 END) AS BIGINT)"
-    s"""$imageArmsSql,
-       |bits AS (SELECT doc_id, y.y AS y, x.x AS x,
+    s"""${p}bits AS (SELECT doc_id, y.y AS y, x.x AS x,
        |  CASE WHEN (${imageGraySql("y.y * h // 8", "(x.x + 1) * w // 9")})
        |     > (${imageGraySql("y.y * h // 8", "x.x * w // 9")})
        |    THEN 1 ELSE 0 END AS b
-       |  FROM imgs, range(8) y(y), range(8) x(x)),
-       |acc AS (SELECT doc_id,
+       |  FROM $imgs, range(8) y(y), range(8) x(x)),
+       |${p}acc AS (SELECT doc_id,
        |  ${bitRange(32, 64, 32)} AS dhash_hi,
        |  ${bitRange(0, 32, 0)} AS dhash_lo,
        |  ${bitRange(0, 16, 0)} AS band0,
        |  ${bitRange(16, 32, 16)} AS band1,
        |  ${bitRange(32, 48, 32)} AS band2,
        |  ${bitRange(48, 64, 48)} AS band3
-       |  FROM bits GROUP BY doc_id)""".stripMargin
+       |  FROM ${p}bits GROUP BY doc_id)""".stripMargin
   }
+
+  private val imageDhashSql: String =
+    s"$imageArmsSql,\n${imageDhashCtes("", "imgs")}"
 
   /** pHash replay: the same 32x32 NN-resized gray raster, the same
     * fixed-point DCT basis (embedded verbatim from Multimodal.PhashCos —
@@ -1295,56 +1306,76 @@ object OracleSql {
          |FROM j""".stripMargin
   }
 
-  private lazy val videoNearDupSql: String = {
+  /** The synthesizeAviNearDupPayload frame-block CTEs: `${p}d` (per-doc
+    * scrambled class keys) and `${p}fb` (block values) with an optional
+    * extra doc predicate — shared by videoNearDupSql and the e2e media
+    * pipeline replay (which restricts the arm to doc_id % 3 = 2). */
+  private def videoNearDupFrameCtes(p: String, pred: String): String =
+    s"""${p}d AS (SELECT doc_id,
+       |  13 * ((doc_id // 10) % 197) + 7 AS k1,
+       |  23 * ((doc_id // 10) % 193) AS k2,
+       |  2 * (doc_id % 3) AS delta,
+       |  4 + (doc_id // 10) % 3 AS n FROM documents$pred),
+       |${p}fb AS (SELECT doc_id, f.f AS fi, by.by AS by, bx.bx AS bx,
+       |  ((k1 * (4 * by.by + bx.bx + 1) * (4 * by.by + bx.bx + 1)
+       |      + k2 * (4 * by.by + bx.bx + 1)) % 197
+       |    + 97 * (f.f // 2) + 3 * (f.f % 2)) % 250 + delta AS v
+       |  FROM ${p}d, range(6) f(f), range(4) by(by), range(4) bx(bx)
+       |  WHERE f.f < n)""".stripMargin
+
+  /** SAD shot re-segmentation + per-keyframe pHash over a frame-block
+    * CTE `$fb` (doc_id, fi, by, bx, v — 4×4 blocks of a 32×32 frame):
+    * ends at `${p}ns` (shots per doc) and `${p}ph` (per-shot 63-bit hash
+    * halves). CTE names carry prefix `p` so multiple modality chains
+    * compose in one statement. */
+  private def videoKfPhashCtes(p: String, fb: String): String = {
       val ct = graft.pipeline.Multimodal.PhashCos.mkString("[", ", ", "]")
-      s"""WITH d AS (SELECT doc_id,
-         |  13 * ((doc_id // 10) % 197) + 7 AS k1,
-         |  23 * ((doc_id // 10) % 193) AS k2,
-         |  2 * (doc_id % 3) AS delta,
-         |  4 + (doc_id // 10) % 3 AS n FROM documents),
-         |fb AS (SELECT doc_id, f.f AS fi, by.by AS by, bx.bx AS bx,
-         |  ((k1 * (4 * by.by + bx.bx + 1) * (4 * by.by + bx.bx + 1)
-         |      + k2 * (4 * by.by + bx.bx + 1)) % 197
-         |    + 97 * (f.f // 2) + 3 * (f.f % 2)) % 250 + delta AS v
-         |  FROM d, range(6) f(f), range(4) by(by), range(4) bx(bx)
-         |  WHERE f.f < n),
-         |tr AS (SELECT a.doc_id, b.fi AS fi,
+      s"""${p}tr AS (SELECT a.doc_id, b.fi AS fi,
          |  sum(abs(b.v - a.v)) * 64 >= 64 * count(*) * 64 AS cut
-         |  FROM fb a JOIN fb b ON a.doc_id = b.doc_id AND a.by = b.by
+         |  FROM $fb a JOIN $fb b ON a.doc_id = b.doc_id AND a.by = b.by
          |    AND a.bx = b.bx AND b.fi = a.fi + 1
          |  GROUP BY a.doc_id, b.fi),
-         |fr AS (SELECT DISTINCT doc_id, fi FROM fb),
-         |sh AS (SELECT f.doc_id, f.fi,
+         |${p}fr AS (SELECT DISTINCT doc_id, fi FROM $fb),
+         |${p}sh AS (SELECT f.doc_id, f.fi,
          |  sum(CASE WHEN coalesce(t.cut, FALSE) THEN 1 ELSE 0 END)
          |    OVER (PARTITION BY f.doc_id ORDER BY f.fi) AS shot
-         |  FROM fr f LEFT JOIN tr t ON f.doc_id = t.doc_id AND f.fi = t.fi),
-         |kf AS (SELECT doc_id, CAST(shot AS INT) AS shot_idx, min(fi) AS kfi
-         |  FROM sh GROUP BY doc_id, shot),
-         |ns AS (SELECT doc_id, count(*) AS n_shots FROM kf GROUP BY doc_id),
-         |gx AS (SELECT k.doc_id, k.shot_idx, list(fb.v ORDER BY kk.k) AS xs
-         |  FROM kf k, range(1024) kk(k), fb
-         |  WHERE fb.doc_id = k.doc_id AND fb.fi = k.kfi
-         |    AND fb.by = (kk.k // 32) // 8 AND fb.bx = (kk.k % 32) // 8
+         |  FROM ${p}fr f LEFT JOIN ${p}tr t
+         |    ON f.doc_id = t.doc_id AND f.fi = t.fi),
+         |${p}kf AS (SELECT doc_id, CAST(shot AS INT) AS shot_idx,
+         |  min(fi) AS kfi
+         |  FROM ${p}sh GROUP BY doc_id, shot),
+         |${p}ns AS (SELECT doc_id, count(*) AS n_shots FROM ${p}kf
+         |  GROUP BY doc_id),
+         |${p}gx AS (SELECT k.doc_id, k.shot_idx,
+         |  list($fb.v ORDER BY kk.k) AS xs
+         |  FROM ${p}kf k, range(1024) kk(k), $fb
+         |  WHERE $fb.doc_id = k.doc_id AND $fb.fi = k.kfi
+         |    AND $fb.by = (kk.k // 32) // 8 AND $fb.bx = (kk.k % 32) // 8
          |  GROUP BY k.doc_id, k.shot_idx),
-         |tt AS (SELECT doc_id, shot_idx, list_transform(range(256), kk ->
+         |${p}tt AS (SELECT doc_id, shot_idx, list_transform(range(256), kk ->
          |    list_sum(list_transform(range(32), yy ->
          |      xs[yy * 32 + (kk % 32) + 1] * $ct[(kk // 32) * 32 + yy + 1])))
-         |    AS t FROM gx),
-         |ffc AS (SELECT doc_id, shot_idx, list_transform(range(64), kk ->
+         |    AS t FROM ${p}gx),
+         |${p}ffc AS (SELECT doc_id, shot_idx, list_transform(range(64), kk ->
          |    list_sum(list_transform(range(32), xx ->
          |      t[(kk // 8) * 32 + xx + 1] * $ct[(kk % 8) * 32 + xx + 1])))
-         |    AS f FROM tt),
-         |md AS (SELECT doc_id, shot_idx, f, list_sort(f[2:64])[32] AS med
-         |  FROM ffc),
-         |pb AS (SELECT doc_id, shot_idx, k.k AS k,
+         |    AS f FROM ${p}tt),
+         |${p}md AS (SELECT doc_id, shot_idx, f, list_sort(f[2:64])[32] AS med
+         |  FROM ${p}ffc),
+         |${p}pb AS (SELECT doc_id, shot_idx, k.k AS k,
          |  CASE WHEN f[k.k + 2] > med THEN 1 ELSE 0 END AS b
-         |  FROM md, range(63) k(k)),
-         |ph AS (SELECT doc_id, shot_idx,
+         |  FROM ${p}md, range(63) k(k)),
+         |${p}ph AS (SELECT doc_id, shot_idx,
          |  CAST(sum(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << (k - 32))
          |    ELSE 0 END) AS BIGINT) AS hi,
          |  CAST(sum(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << k)
          |    ELSE 0 END) AS BIGINT) AS lo
-         |  FROM pb GROUP BY doc_id, shot_idx),
+         |  FROM ${p}pb GROUP BY doc_id, shot_idx)""".stripMargin
+  }
+
+  private lazy val videoNearDupSql: String =
+      s"""WITH ${videoNearDupFrameCtes("", "")},
+         |${videoKfPhashCtes("", "fb")},
          |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  a.shot_idx AS sa, b.shot_idx AS sb
          |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
@@ -1359,48 +1390,62 @@ object OracleSql {
          |  JOIN ns nb ON nb.doc_id = mt.id_b
          |WHERE mt.n_matched_a * 100 >= 60 * na.n_shots
          |  AND mt.n_matched_b * 100 >= 60 * nb.n_shots""".stripMargin
-  }
 
-  private lazy val audioNearDupSql: String = {
+  /** The synthesizeWavNearDupPayload sample CTEs: `${p}d` (per-doc group
+    * keys) and `${p}sm` (exact samples) with an optional extra doc
+    * predicate — shared by audioNearDupSql and the e2e media pipeline
+    * replay (arm doc_id % 3 = 1). */
+  private def audioNearDupSampleCtes(p: String, pred: String): String =
+    s"""${p}d AS (SELECT doc_id, doc_id // 10 AS g,
+       |  128 + 2 * (doc_id % 3) AS gain,
+       |  1280 + 64 * ((doc_id // 10) % 3) AS n FROM documents$pred),
+       |${p}sm AS (SELECT doc_id, n, i.i AS i,
+       |  CAST(((((1 + 2 * (((g % 31 + 1) * (i.i // 64 + 1) * (i.i // 64 + 1)
+       |          + (g % 29) * (i.i // 64 + 1)) % 30)) * i.i + g % 23) % 64)
+       |      - 32)
+       |    * (1 + ((g % 19) * (i.i // 64 + 1) + g % 31 + 1) % 5)
+       |    * gain AS BIGINT) AS s
+       |  FROM ${p}d, range(1408) i(i) WHERE i.i < n)""".stripMargin
+
+  /** Haitsma–Kalker segment hashes over a sample CTE `$sm` (doc_id, n,
+    * i, s) with per-doc frame counts in `$d` (doc_id, n): Walsh sequency
+    * band energies, time-band gradient sign bits, 9-transition 63-bit
+    * segments — ends at `${p}nseg` and `${p}ph`. */
+  private def audioHkCtes(p: String, d: String, sm: String): String = {
       val m = graft.pipeline.Multimodal.SeqToNat64.mkString("[", ", ", "]")
-      s"""WITH d AS (SELECT doc_id, doc_id // 10 AS g,
-        |  128 + 2 * (doc_id % 3) AS gain,
-        |  1280 + 64 * ((doc_id // 10) % 3) AS n FROM documents),
-        |sm AS (SELECT doc_id, n, i.i AS i,
-        |  CAST(((((1 + 2 * (((g % 31 + 1) * (i.i // 64 + 1) * (i.i // 64 + 1)
-        |          + (g % 29) * (i.i // 64 + 1)) % 30)) * i.i + g % 23) % 64)
-        |      - 32)
-        |    * (1 + ((g % 19) * (i.i // 64 + 1) + g % 31 + 1) % 5)
-        |    * gain AS BIGINT) AS s
-        |  FROM d, range(1408) i(i) WHERE i.i < n),
-        |fr AS (SELECT doc_id, i // 64 AS f, list(s ORDER BY i) AS xs
-        |  FROM sm GROUP BY 1, 2),
-        |co AS (SELECT doc_id, f, sq.s AS sq,
+      s"""${p}fr AS (SELECT doc_id, i // 64 AS f, list(s ORDER BY i) AS xs
+        |  FROM $sm GROUP BY 1, 2),
+        |${p}co AS (SELECT doc_id, f, sq.s AS sq,
         |  list_sum(list_transform(range(64), nn ->
         |    xs[nn + 1] * (1 - 2 * (bit_count($m[sq.s + 1] & nn) % 2)))) AS w
-        |  FROM fr, range(64) sq(s)),
-        |be AS (SELECT doc_id, f, CAST(sq // 8 AS INT) AS band,
+        |  FROM ${p}fr, range(64) sq(s)),
+        |${p}be AS (SELECT doc_id, f, CAST(sq // 8 AS INT) AS band,
         |  CAST(sum(w * w) AS BIGINT) AS e
-        |  FROM co GROUP BY 1, 2, 3),
-        |dd AS (SELECT a.doc_id, a.f, a.band AS b,
+        |  FROM ${p}co GROUP BY 1, 2, 3),
+        |${p}dd AS (SELECT a.doc_id, a.f, a.band AS b,
         |  a.e - c.e AS dv
-        |  FROM be a JOIN be c ON a.doc_id = c.doc_id AND a.f = c.f
+        |  FROM ${p}be a JOIN ${p}be c ON a.doc_id = c.doc_id AND a.f = c.f
         |    AND c.band = a.band + 1),
-        |bt AS (SELECT d1.doc_id, d1.f - 1 AS t, d1.b,
+        |${p}bt AS (SELECT d1.doc_id, d1.f - 1 AS t, d1.b,
         |  CASE WHEN d1.dv - d0.dv > 0 THEN 1 ELSE 0 END AS bit
-        |  FROM dd d1 JOIN dd d0 ON d1.doc_id = d0.doc_id
+        |  FROM ${p}dd d1 JOIN ${p}dd d0 ON d1.doc_id = d0.doc_id
         |    AND d0.f = d1.f - 1 AND d0.b = d1.b),
-        |nseg AS (SELECT doc_id, (n // 64 - 1) // 9 AS n_segs FROM d),
-        |ph AS (SELECT bt.doc_id, CAST(bt.t // 9 AS INT) AS seg,
+        |${p}nseg AS (SELECT doc_id, (n // 64 - 1) // 9 AS n_segs FROM $d),
+        |${p}ph AS (SELECT bt.doc_id, CAST(bt.t // 9 AS INT) AS seg,
         |  CAST(sum(CASE WHEN (bt.t % 9) * 7 + bt.b >= 32
         |    THEN bit * (CAST(1 AS BIGINT) << ((bt.t % 9) * 7 + bt.b - 32))
         |    ELSE 0 END) AS BIGINT) AS hi,
         |  CAST(sum(CASE WHEN (bt.t % 9) * 7 + bt.b < 32
         |    THEN bit * (CAST(1 AS BIGINT) << ((bt.t % 9) * 7 + bt.b))
         |    ELSE 0 END) AS BIGINT) AS lo
-        |  FROM bt JOIN nseg ON nseg.doc_id = bt.doc_id
+        |  FROM ${p}bt bt JOIN ${p}nseg nseg ON nseg.doc_id = bt.doc_id
         |  WHERE bt.t // 9 < nseg.n_segs
-        |  GROUP BY 1, 2),
+        |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  private lazy val audioNearDupSql: String =
+      s"""WITH ${audioNearDupSampleCtes("", "")},
+        |${audioHkCtes("", "d", "sm")},
         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  a.seg AS sa, b.seg AS sb
         |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
@@ -1415,6 +1460,114 @@ object OracleSql {
         |  JOIN nseg nb ON nb.doc_id = mt.id_b
         |WHERE mt.n_matched_a * 100 >= 60 * na.n_segs
         |  AND mt.n_matched_b * 100 >= 60 * nb.n_segs""".stripMargin
+
+  /** Full replay of the production-order media near-dup pipeline
+    * (q_media_neardup_e2e): per-arm exact content groups (the engine's
+    * fingerprint STRINGS restated from the generating arithmetic —
+    * grouping by the string equals grouping by its md5), min-id
+    * representatives, the per-modality near-dup hash chains restricted
+    * to representatives (keyframe pHash / Haitsma–Kalker / dHash — the
+    * shared prefix-parametrized CTEs), brute-force Hamming ≤ 3 pair
+    * verification (pigeonhole-complete at that radius, so banding and
+    * the oversized-bucket clamp change nothing on this fixture), the
+    * matched-unit thresholds, and a recursive-CTE connected-component
+    * roll-up with min-id cluster labels. */
+  private lazy val mediaNearDupE2eSql: String = {
+    val sigEq = Seq("dhash_hi", "dhash_lo", "band0", "band1",
+      "band2", "band3").map(c => s"h.$c = s.$c").mkString(" AND ")
+    s"""WITH RECURSIVE ${imageArmsCtes("i", " AND (doc_id // 10) % 3 = 0")},
+       |ipx AS (SELECT doc_id, w, h, nch, y.y AS y, x.x AS x, c.c AS c,
+       |  CASE WHEN arm = 1 THEN
+       |      (doc_id % 251 + 17 * (y.y // 8) + 23 * (x.x // 8)) % 256
+       |    ELSE (doc_id % 251 + 5 * y.y + 3 * x.x + 11 * c.c) % 256
+       |  END AS v
+       |  FROM iimgs, range(33) y(y), range(33) x(x), range(3) c(c)
+       |  WHERE y.y < h AND x.x < w AND c.c < nch),
+       |ifp AS (SELECT doc_id,
+       |  CAST(min(w) * min(h) * min(nch) AS BIGINT) AS n_units,
+       |  CAST(min(w) AS VARCHAR) || ':' || CAST(min(h) AS VARCHAR) || ':'
+       |    || CAST(min(nch) AS VARCHAR) || ':' || CAST(sum(v) AS VARCHAR)
+       |    || ':' || CAST(sum(v * v) AS VARCHAR) AS fpi
+       |  FROM ipx GROUP BY doc_id),
+       |igrp AS (SELECT 'image' AS modality, min(doc_id) AS rep_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM ifp GROUP BY fpi, n_units),
+       |${audioNearDupSampleCtes("a", " WHERE (doc_id // 10) % 3 = 1")},
+       |afp AS (SELECT doc_id,
+       |  CAST(min(n) AS VARCHAR) || ':' || CAST(sum(s) AS VARCHAR) || ':'
+       |    || CAST(sum((i + 1) * s) AS VARCHAR) AS fpi,
+       |  CAST(min(n) AS BIGINT) AS n_units
+       |  FROM asm GROUP BY doc_id),
+       |agrp AS (SELECT 'audio' AS modality, min(doc_id) AS rep_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM afp GROUP BY fpi, n_units),
+       |${videoNearDupFrameCtes("v", " WHERE (doc_id // 10) % 3 = 2")},
+       |vfr AS (SELECT doc_id, fi,
+       |  '32:32:1:' || CAST(sum(v) * 64 AS VARCHAR) || ':'
+       |    || CAST(sum(v * v) * 64 AS VARCHAR) AS fs
+       |  FROM vfb GROUP BY doc_id, fi),
+       |vfp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_units,
+       |  string_agg(fs, '|' ORDER BY fi) AS fpi FROM vfr GROUP BY doc_id),
+       |vgrp AS (SELECT 'video' AS modality, min(doc_id) AS rep_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM vfp GROUP BY fpi, n_units),
+       |grp AS (SELECT * FROM igrp UNION ALL SELECT * FROM agrp
+       |  UNION ALL SELECT * FROM vgrp),
+       |imgr AS (SELECT i.* FROM iimgs i
+       |  JOIN igrp r ON i.doc_id = r.rep_id),
+       |${imageDhashCtes("i2", "imgr")},
+       |isig AS (SELECT dhash_hi, dhash_lo, band0, band1, band2, band3,
+       |  min(doc_id) AS sig_rep FROM i2acc GROUP BY 1, 2, 3, 4, 5, 6),
+       |icross AS (SELECT a.sig_rep AS a, b.sig_rep AS b
+       |  FROM isig a JOIN isig b ON a.sig_rep < b.sig_rep
+       |  WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+       |    + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3),
+       |isedge AS (SELECT s.sig_rep AS a, h.doc_id AS b
+       |  FROM i2acc h JOIN isig s ON $sigEq
+       |  WHERE s.sig_rep < h.doc_id),
+       |asmr AS (SELECT sm.* FROM asm sm
+       |  JOIN agrp r ON sm.doc_id = r.rep_id),
+       |adr AS (SELECT d.* FROM ad d JOIN agrp r ON d.doc_id = r.rep_id),
+       |${audioHkCtes("a2", "adr", "asmr")},
+       |apr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  a.seg AS sa, b.seg AS sb
+       |  FROM a2ph a JOIN a2ph b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+       |amt AS (SELECT id_a, id_b, count(DISTINCT sa) AS n_matched_a,
+       |  count(DISTINCT sb) AS n_matched_b FROM apr GROUP BY id_a, id_b),
+       |aedge AS (SELECT mt.id_a AS a, mt.id_b AS b
+       |  FROM amt mt JOIN a2nseg na ON na.doc_id = mt.id_a
+       |    JOIN a2nseg nb ON nb.doc_id = mt.id_b
+       |  WHERE mt.n_matched_a * 100 >= 60 * na.n_segs
+       |    AND mt.n_matched_b * 100 >= 60 * nb.n_segs),
+       |vfbr AS (SELECT fb.* FROM vfb fb
+       |  JOIN vgrp r ON fb.doc_id = r.rep_id),
+       |${videoKfPhashCtes("v2", "vfbr")},
+       |vpr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  a.shot_idx AS sa, b.shot_idx AS sb
+       |  FROM v2ph a JOIN v2ph b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+       |vmt AS (SELECT id_a, id_b, count(DISTINCT sa) AS n_matched_a,
+       |  count(DISTINCT sb) AS n_matched_b FROM vpr GROUP BY id_a, id_b),
+       |vedge AS (SELECT mt.id_a AS a, mt.id_b AS b
+       |  FROM vmt mt JOIN v2ns na ON na.doc_id = mt.id_a
+       |    JOIN v2ns nb ON nb.doc_id = mt.id_b
+       |  WHERE mt.n_matched_a * 100 >= 60 * na.n_shots
+       |    AND mt.n_matched_b * 100 >= 60 * nb.n_shots),
+       |e0 AS (SELECT a, b FROM vedge UNION SELECT a, b FROM aedge
+       |  UNION SELECT a, b FROM icross UNION SELECT a, b FROM isedge),
+       |e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+       |reach AS (
+       |  SELECT rep_id AS src, rep_id AS dst FROM grp
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+       |lab AS (SELECT src AS rep_id, min(dst) AS cluster_id
+       |  FROM reach GROUP BY src)
+       |SELECT g.modality, l.cluster_id,
+       |  CAST(count(*) AS BIGINT) AS n_reps,
+       |  CAST(sum(g.n_docs) AS BIGINT) AS n_docs
+       |FROM grp g JOIN lab l USING (rep_id)
+       |GROUP BY 1, 2""".stripMargin
   }
 
   /** Shot-keyframe replay (q_shot_keyframes + its stateless streaming
@@ -4888,6 +5041,9 @@ object OracleSql {
     // gate (first-owner state, id-ordered ingestion) shares it verbatim.
     "q_media_dedup" -> mediaDedupSql,
     "q_stream_media_dedup" -> mediaDedupSql,
+    // the production-order e2e pipeline: exact groups -> reps-only
+    // near-dup hash chains -> recursive-CTE component roll-up
+    "q_media_neardup_e2e" -> mediaNearDupE2eSql,
 
 
     // Audio-dedup replay: the folded WAV fixture arithmetic (base id%13,
@@ -5959,6 +6115,30 @@ object OracleSql {
          |t2 AS (SELECT min(u) AS t FROM (SELECT u FROM u0
          |  WHERE u IS NOT NULL ORDER BY u DESC LIMIT (SELECT r2 FROM rk)))
          |SELECT doc_id, n_bigrams,
+         |  CAST(CASE WHEN u IS NULL THEN 3
+         |       WHEN u >= (SELECT t FROM t1) THEN 1
+         |       WHEN u >= (SELECT t FROM t2) THEN 2
+         |       ELSE 3 END AS BIGINT) AS ppl_bucket
+         |FROM u0""".stripMargin,
+
+    // The production composition: the identical threshold-cut replay over
+    // the modified-KN TRIGRAM scores (lmMkn3Sql) instead of the bigram KN
+    // face — n_trigrams is the scored-unit count.
+    "q_ppl_buckets_mkn" ->
+      s"""WITH kn AS ($lmMkn3Sql),
+         |u0 AS (SELECT doc_id, n_trigrams, CASE WHEN n_trigrams > 0 THEN
+         |    greatest(0, 35184372088831 - ((CAST(-sum_mu AS HUGEINT)
+         |      * 1000000 + n_trigrams - 1) // n_trigrams)) END AS u
+         |  FROM kn),
+         |rk AS (SELECT (c // 3) + CASE WHEN c % 3 >= 1 THEN 1 ELSE 0 END AS r1,
+         |    (c // 3) * 2 + CASE WHEN c % 3 >= 1 THEN 1 ELSE 0 END
+         |      + CASE WHEN c % 3 >= 2 THEN 1 ELSE 0 END AS r2
+         |  FROM (SELECT count(*) AS c FROM u0 WHERE u IS NOT NULL)),
+         |t1 AS (SELECT min(u) AS t FROM (SELECT u FROM u0
+         |  WHERE u IS NOT NULL ORDER BY u DESC LIMIT (SELECT r1 FROM rk))),
+         |t2 AS (SELECT min(u) AS t FROM (SELECT u FROM u0
+         |  WHERE u IS NOT NULL ORDER BY u DESC LIMIT (SELECT r2 FROM rk)))
+         |SELECT doc_id, n_trigrams,
          |  CAST(CASE WHEN u IS NULL THEN 3
          |       WHEN u >= (SELECT t FROM t1) THEN 1
          |       WHEN u >= (SELECT t FROM t2) THEN 2

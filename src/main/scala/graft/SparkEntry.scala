@@ -2291,6 +2291,18 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.lmKneserNeyScore(
         docs(s, dir), "text", "doc_id"), "doc_id")
 
+  /** The production CCNet composition: the flagship filter
+    * ([[qPplBucketsScaled]]'s radix threshold-cut — zero global sorts)
+    * bucketing on the flagship model's scores (modified Kneser–Ney
+    * TRIGRAM, [[qLmMkn3]] — the per-count-class Chen & Goodman
+    * schedule CCNet's actual KenLM filter runs). Same two plan shapes
+    * composed, no new operators; ties share the upper bucket exactly as
+    * the bigram face documents. */
+  private def qPplBucketsMkn(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextAnalysis.pplBucketsByThreshold(
+      graft.pipeline.TextAnalysis.lmModKneserNey3Score(
+        docs(s, dir), "text", "doc_id"), "doc_id", "n_trigrams")
+
   /** Streaming Kneser–Ney perplexity gate: the model trains batch-side
     * (corpus under an sf dir is immutable — the dsir/bpe convention) and
     * every ARRIVING doc's bigram contributions emit through stateless
@@ -4003,6 +4015,34 @@ object SparkEntry {
         "doc_id"),
       "doc_id", "payload")
 
+  /** End-to-end media near-dup pipeline ([[graft.pipeline.Multimodal
+    * .mediaNearDupPipeline]]) — the production-order composition the
+    * per-operator scaladocs prescribe: exact cross-modality dedup FIRST
+    * (mediaDedup), only each content group's representative re-enters
+    * decode, per-modality near-dup folds over representatives only
+    * (keyframe pHash / Haitsma–Kalker / dHash), connected-component
+    * cluster roll-up with absorbed exact-group sizes. The mixed fixture
+    * dispatches (doc_id div 10) % 3 — whole 10-id content groups per
+    * modality, so each arm keeps its fixture's WITHIN-group variant
+    * diversity (delta/gain key on doc_id % 3, which a doc_id % 3
+    * dispatch would freeze): image (the decodable PNG/JPEG arms), audio
+    * (the gain-lift near-dup WAVs), video (the brightness-shift
+    * near-dup AVIs) — every arm carrying both exact-dup cliques and
+    * near-dup variants, so both pipeline stages do real work. */
+  private def qMediaNearDupE2E(s: SparkSession, dir: String): DataFrame = {
+    val ids = docs(s, dir).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism) // expansion spread
+    val arm = expr("(doc_id div 10) % 3")
+    val img = Multimodal.synthesizeDecodablePayload(
+      ids.filter(arm === 0 && col("doc_id") % 4 <= 1), "doc_id")
+    val wav = Multimodal.synthesizeWavNearDupPayload(
+      ids.filter(arm === 1), "doc_id")
+    val avi = graft.pipeline.Video.synthesizeAviNearDupPayload(
+      ids.filter(arm === 2), "doc_id")
+    Multimodal.mediaNearDupPipeline(img.union(wav).union(avi),
+      "doc_id", "payload")
+  }
+
   /** Streaming media dedup — q_media_dedup's groups maintained at the
     * ingest boundary: ARRIVING payloads are signature-dispatched,
     * decoded, and fingerprinted statelessly ([[graft.pipeline
@@ -4423,6 +4463,7 @@ object SparkEntry {
     "q_stream_lm_kn3" -> qStreamLmKn3 _,
     "q_ppl_buckets" -> qPplBuckets _,
     "q_ppl_buckets_scaled" -> qPplBucketsScaled _,
+    "q_ppl_buckets_mkn" -> qPplBucketsMkn _,
     "q_fd" -> qFd _,
     "q_group_ols" -> qGroupOls _,
     "q_conformal" -> qConformal _,
@@ -4548,6 +4589,7 @@ object SparkEntry {
     "q_audio_dedup" -> qAudioDedup _,
     "q_audio_neardup" -> qAudioNearDup _,
     "q_media_dedup" -> qMediaDedup _,
+    "q_media_neardup_e2e" -> qMediaNearDupE2E _,
     "q_stream_media_dedup" -> qStreamMediaDedup _,
     "q_stream_keyframes" -> qStreamKeyframes _,
     "q_stream_video_neardup" -> qStreamVideoNearDup _,

@@ -777,6 +777,79 @@ object Multimodal {
       .agg(min(col(idCol)).alias("rep_id"),
         count(lit(1)).alias("n_docs"))
 
+  /** The PRODUCTION-ORDER media curation composition the per-operator
+    * scaladocs prescribe ([[Video.videoNearDupPairs]]: "exact-duplicate
+    * clusters should be collapsed FIRST so the band buckets hold
+    * near-dup candidates, not exact-copy cliques") — the media analogue
+    * of [[Curation.curate]]:
+    *
+    *  1. [[mediaDedup]] collapses exact content cross-modality (decode
+    *     pass 1 — fingerprints only, payloads never shuffle);
+    *  2. only each group's min-id REPRESENTATIVE re-enters decode: the
+    *     raw frame joins the (rep_id, modality) set — the one payload
+    *     shuffle, sized by content diversity, not corpus size (AQE
+    *     broadcasts it when the group table is small);
+    *  3. per-modality near-dup edges over representatives only:
+    *     keyframe pHashes ([[Video.nearDupPairsFromKeyframes]]) for
+    *     video, Haitsma–Kalker segment hashes ([[nearDupPairsFromHk]])
+    *     for audio, dHash signatures ([[dhashNearDupPairs]] — plus the
+    *     identical-signature edges its signature-level rep collapse
+    *     folds away, so same-dHash representatives still cluster) for
+    *     images — every fold bucket-clamped;
+    *  4. cluster roll-up: connected components over the edge union
+    *     ([[Dedup.clusterAssignments]] — min-id labels), each cluster
+    *     aggregating the exact-group sizes it absorbed.
+    *
+    * Output: one row per near-duplicate cluster —
+    * (modality, cluster_id, n_reps, n_docs): cluster_id = min rep id in
+    * the component, n_reps = exact-content groups merged, n_docs =
+    * total documents across those groups. Edge-less representatives
+    * roll up as singleton clusters, so Σ n_docs = corpus size and the
+    * artifact is a complete dedup decision table. */
+  def mediaNearDupPipeline(df: DataFrame, idCol: String,
+      payloadCol: String, maxHamming: Int = 3, minMatchPct: Int = 60,
+      maxBucketSize: Int = 4096): DataFrame = {
+    // one decode pass for the exact groups; materialized because both
+    // the rep restriction (below) and the final roll-up consume it
+    val groups = Materializer(mediaDedup(df, idCol, payloadCol),
+      eager = true)
+    val reps = groups.select(col("rep_id").alias(idCol), col("modality"))
+    val repRows = df.select(col(idCol), col(payloadCol)).join(reps, Seq(idCol))
+    def arm(m: String): DataFrame =
+      repRows.filter(col("modality") === m).drop("modality")
+    val vEdges = Video.nearDupPairsFromKeyframes(
+      Video.keyframePHashes(arm("video"), idCol, payloadCol),
+      idCol, maxHamming, minMatchPct, maxBucketSize)
+      .select(col("id_a"), col("id_b"))
+    val aEdges = nearDupPairsFromHk(
+      hkFingerprints(arm("audio"), idCol, payloadCol),
+      idCol, maxHamming, minMatchPct, maxBucketSize)
+      .select(col("id_a"), col("id_b"))
+    val ih = imageDHash(arm("image"), idCol, payloadCol)
+    val sigCols = Seq("dhash_hi", "dhash_lo",
+      "band0", "band1", "band2", "band3")
+    val iPairs = dhashNearDupPairs(ih, idCol, maxHamming, maxBucketSize)
+      .select(col("doc_a").alias("id_a"), col("doc_b").alias("id_b"))
+    // dhashNearDupPairs pairs SIGNATURE representatives; distinct content
+    // reps sharing a dHash (Hamming 0) reconnect via min-per-signature
+    // edges so the component still absorbs them
+    val sigMin = ih.groupBy(sigCols.map(col): _*)
+      .agg(min(col(idCol)).alias("id_a"))
+    val sigEdges = ih.join(sigMin, sigCols)
+      .select(col("id_a"), col(idCol).alias("id_b"))
+      .filter(col("id_a") < col("id_b"))
+    val edges = vEdges.union(aEdges).union(iPairs).union(sigEdges)
+    val labels = Dedup.clusterAssignments(edges, "id_a", "id_b")
+      .withColumnRenamed("id", "rep_id")
+    groups.join(labels, Seq("rep_id"), "left")
+      .select(col("modality"),
+        coalesce(col("cluster_id"), col("rep_id")).alias("cluster_id"),
+        col("n_docs"))
+      .groupBy(col("modality"), col("cluster_id"))
+      .agg(count(lit(1)).alias("n_reps"),
+        sum(col("n_docs")).alias("n_docs"))
+  }
+
   /** Mixed high-collision media-dedup fixture: id % 3 dispatches the
     * modality; every arm folds its content base to a small modulus so
     * classes recur at correctness scale —

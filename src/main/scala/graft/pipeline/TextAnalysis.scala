@@ -1192,13 +1192,17 @@ object TextAnalysis {
     * table; both thresholds share every round's scan. Driver work is a
     * prefix walk over each bounded histogram (the exactQuantiles2Pass
     * discipline with structural bounds instead of value-resolution
-    * bounds). Output: (idCol, n_bigrams, ppl_bucket). */
-  def pplBucketsByThreshold(kn: DataFrame, idCol: String): DataFrame = {
+    * bounds). Output: (idCol, nCol, ppl_bucket). `nCol` names the
+    * scored-unit count column ("n_bigrams" for the bigram KN face,
+    * "n_trigrams" for the trigram/modified-KN faces) — the score is
+    * always sum_mu / nCol. */
+  def pplBucketsByThreshold(kn: DataFrame, idCol: String,
+      nCol: String = "n_bigrams"): DataFrame = {
     val MaxU = (1L << 45) - 1
-    val uExpr = when(col("n_bigrams") > 0, greatest(lit(0L), lit(MaxU) -
-      expr("(cast(-sum_mu as decimal(38,0)) * 1000000 + n_bigrams - 1)" +
-        " div n_bigrams")))
-    val scored = Materializer(kn.select(col(idCol), col("n_bigrams"),
+    val uExpr = when(col(nCol) > 0, greatest(lit(0L), lit(MaxU) -
+      expr(s"(cast(-sum_mu as decimal(38,0)) * 1000000 + $nCol - 1)" +
+        s" div $nCol")))
+    val scored = Materializer(kn.select(col(idCol), col(nCol),
       uExpr.alias("__u")), eager = true)
     val us = scored.filter(col("__u").isNotNull)
     val nn = us.count() // one documented driver-side scalar (population)
@@ -1209,7 +1213,7 @@ object TextAnalysis {
           .when(col("__u") >= t2, lit(2L)).otherwise(lit(3L))
         case None => lit(3L)
       }
-      scored.select(col(idCol), col("n_bigrams"),
+      scored.select(col(idCol), col(nCol),
         b.cast(LongType).alias("ppl_bucket"))
     }
     if (nn == 0L) return out(None)

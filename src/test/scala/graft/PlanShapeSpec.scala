@@ -739,6 +739,63 @@ class PlanShapeSpec extends SparkTestBase {
       s"payload bytes cross an exchange:\n$np")
   }
 
+  test("mediaNearDupPipeline: the near-dup decode maps consume a " +
+      "representative join — a decode MapPartitions sits ABOVE a rep_id " +
+      "join that sits ABOVE the payload synthesis, so only exact-group " +
+      "representatives re-enter decode") {
+    import spark.implicits._
+    val ids = (0L until 90L).toDF("mne2e_doc_id")
+    val arm = expr("(mne2e_doc_id div 10) % 3")
+    val img = pipeline.Multimodal.synthesizeDecodablePayload(
+      ids.filter(arm === 0 && col("mne2e_doc_id") % 4 <= 1), "mne2e_doc_id")
+    val wav = pipeline.Multimodal.synthesizeWavNearDupPayload(
+      ids.filter(arm === 1), "mne2e_doc_id")
+    val avi = pipeline.Video.synthesizeAviNearDupPayload(
+      ids.filter(arm === 2), "mne2e_doc_id")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        val s = qe.executedPlan.toString
+        if (s.contains("mne2e_doc_id")) plans.add(s)
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = pipeline.Multimodal.mediaNearDupPipeline(
+        img.union(wav).union(avi), "mne2e_doc_id", "payload").collect()
+      assert(out.nonEmpty)
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 4 && waited < 80) {
+        Thread.sleep(250); waited += 1
+        if (plans.size == last) stable += 1
+        else { stable = 0; last = plans.size }
+      }
+      // the reps-only discipline's plan signature: a decode MapPartitions
+      // ABOVE a join that references the representative ids, itself ABOVE
+      // the payload-synthesis MapPartitions (plans print top-down). The
+      // exact-dedup pass has the two MapPartitions ADJACENT (no join —
+      // it must see every payload); the near-dup passes must not.
+      val sandwiched = plans.toArray(Array.empty[String]).filter { p =>
+        val m1 = p.indexOf("MapPartitions")
+        if (m1 < 0) false
+        else {
+          val j = p.indexOf("Join", m1)
+          j > m1 && p.indexOf("MapPartitions", j) > j &&
+            p.contains("rep_id")
+        }
+      }
+      assert(sandwiched.nonEmpty,
+        s"no decode-over-rep-join plan captured among ${plans.size}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("BpeCount runs inside whole-stage codegen (no shuffle, no eval island)") {
     // a real file scan — a local Seq relation constant-folds the whole
     // projection into LocalTableScan and proves nothing about codegen

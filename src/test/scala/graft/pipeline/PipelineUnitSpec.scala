@@ -3108,6 +3108,43 @@ class PipelineUnitSpec extends SparkTestBase {
     assert(run(cases) == ref(cases))
   }
 
+  test("pplBucketsByThreshold over modified-KN trigram scores (the " +
+      "q_ppl_buckets_mkn composition) matches the ntile face on tie-free " +
+      "scores and sends trigram-less docs to the tail") {
+    import spark.implicits._
+    // distinct word soups so the per-doc mKN3 averages are tie-free;
+    // doc 12 is too short for any trigram (the unscorable arm)
+    val texts = Seq(
+      "aa bb cc aa bb cc dd", "bb cc dd ee aa bb", "cc dd aa aa aa bb",
+      "dd ee ff aa bb cc dd ee", "ee aa cc bb dd", "ff bb bb bb cc aa",
+      "aa cc ee bb dd ff", "bb dd ff aa cc ee aa", "cc aa bb dd ee ff bb",
+      "dd bb aa cc ff", "ee cc aa ff bb dd cc", "aa bb")
+    val docsDf = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val kn = TextAnalysis.lmModKneserNey3Score(docsDf, "text", "doc_id")
+    val scores = kn.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(scores(11L)._1 == 0L, "doc 11 must be trigram-less")
+    val scored = scores.filter(_._2._1 > 0L).values
+      .map { case (n, mu) => BigDecimal(mu) / n }.toSeq
+    assert(scored.distinct.size == scored.size,
+      "fixture must be tie-free for the ntile comparison")
+    val got = TextAnalysis
+      .pplBucketsByThreshold(kn, "doc_id", "n_trigrams")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("avg_logp").desc_nulls_last, col("doc_id"))
+    val ntileFace = kn
+      .withColumn("b", when(col("n_trigrams") > 0,
+        ntile(3).over(w)).otherwise(lit(3)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+      .toSet
+    assert(got == ntileFace)
+    assert(got.exists(t => t._1 == 11L && t._3 == 3L))
+    assert(Set(1L, 2L, 3L).subsetOf(got.map(_._3)))
+  }
+
   test("mutualInfo: zero on independent columns, ln(k) micro-units on a " +
       "perfect k-way dependence") {
     import spark.implicits._
@@ -5773,6 +5810,53 @@ class PipelineUnitSpec extends SparkTestBase {
         r.getInt(4)))
       .toSet
     assert(tight.subsetOf(want))
+  }
+
+  test("mediaNearDupPipeline: exact groups collapse first, near-dup " +
+      "clusters absorb the variant representatives, edge-less reps stay " +
+      "singletons, and the roll-up accounts for every document") {
+    import spark.implicits._
+    // the q_media_neardup_e2e dispatch at toy scale: 9 content groups of
+    // 10 ids, (doc_id div 10) % 3 -> image / audio / video
+    val ids = (0L until 90L).toDF("doc_id")
+    val arm = expr("(doc_id div 10) % 3")
+    val img = Multimodal.synthesizeDecodablePayload(
+      ids.filter(arm === 0 && col("doc_id") % 4 <= 1), "doc_id")
+    val wav = Multimodal.synthesizeWavNearDupPayload(
+      ids.filter(arm === 1), "doc_id")
+    val avi = Video.synthesizeAviNearDupPayload(
+      ids.filter(arm === 2), "doc_id")
+    val out = Multimodal.mediaNearDupPipeline(
+      img.union(wav).union(avi), "doc_id", "payload")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // audio and video arms: per 10-id group, the three variant classes
+    // (delta/gain = f(id % 3), sizes 4/3/3) dedup to three exact groups
+    // whose representatives near-dup-collapse into ONE cluster labeled
+    // by the group's min id
+    val audio = out.filter(_._1 == "audio").toSet
+    assert(audio == Set(("audio", 10L, 3L, 10L), ("audio", 40L, 3L, 10L),
+      ("audio", 70L, 3L, 10L)), s"audio clusters: $audio")
+    val video = out.filter(_._1 == "video").toSet
+    assert(video == Set(("video", 20L, 3L, 10L), ("video", 50L, 3L, 10L),
+      ("video", 80L, 3L, 10L)), s"video clusters: $video")
+    // image arm: 16 payload-bearing ids (doc_id % 4 <= 1 within groups
+    // 0/3/6), all ids < 251 so every content is unique — 16 exact groups
+    // of one doc; clusters partition them (near-dup edges may merge some)
+    val image = out.filter(_._1 == "image")
+    assert(image.map(_._4).sum == 16L, s"image docs: ${image.toSeq}")
+    assert(image.forall(c => c._3 >= 1L && c._4 == c._3),
+      s"image n_docs must equal n_reps on the all-unique arm: ${image.toSeq}")
+    assert(image.map(_._3).sum == 16L)
+    // complete decision table: every document accounted for exactly once
+    assert(out.map(_._4).sum == 16L + 30L + 30L)
+    // cluster labels are min-id: every label is <= any other member's id,
+    // and labels are themselves representative ids (present in groups)
+    val groups = Multimodal.mediaDedup(
+      img.union(wav).union(avi), "doc_id", "payload")
+      .select(col("rep_id")).collect().map(_.getLong(0)).toSet
+    assert(out.forall(c => groups.contains(c._2)),
+      "cluster label must be a representative id")
   }
 
   test("audioDedup collapses identical PCM content across sample rates; " +
