@@ -6080,6 +6080,9 @@ object OracleSql {
     "q_lm_kn3" -> lmKn3Sql,
     "q_lm_mkn" -> lmMknSql,
     "q_lm_mkn3" -> lmMkn3Sql,
+    // the materialized bench face: same rows, same replay — the boundary
+    // only changes WHERE the scoring cost is paid
+    "q_lm_mkn3_mat" -> lmMkn3Sql,
     "q_lm_kn3_mat" -> lmKn3Sql,
     "q_stream_lm_kn3" -> lmKn3Sql,
 

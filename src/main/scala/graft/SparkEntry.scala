@@ -2279,6 +2279,20 @@ object SparkEntry {
       d.select(col("doc_id")), "doc_id")
   }
 
+  /** [[qLmMkn3]]'s materialized bench face — the [[qLmKn3Mat]]
+    * convention on the modified-KN model: the per-trigram contributions
+    * cross an eager Materializer boundary before the doc fold, so the
+    * bench row pays the real scoring cost the count-pruned q_lm_mkn3
+    * number elides. Same rows, same oracle. */
+  private def qLmMkn3Mat(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.pipeline.TextAnalysis.lmKneserNey3Finish(
+      graft.pipeline.Materializer(
+        graft.pipeline.TextAnalysis.lmModKneserNey3Contribs(d, d, "text",
+          "doc_id"), eager = true),
+      d.select(col("doc_id")), "doc_id")
+  }
+
   /** The 100-TB face of [[qPplBuckets]]: the same CCNet head/middle/tail
     * artifact from TWO THRESHOLD SCORES (exact distributed radix
     * selection over the integer score key) and a stateless per-doc cut —
@@ -4460,6 +4474,7 @@ object SparkEntry {
     "q_lm_mkn" -> qLmMkn _,
     "q_lm_mkn3" -> qLmMkn3 _,
     "q_lm_kn3_mat" -> qLmKn3Mat _,
+    "q_lm_mkn3_mat" -> qLmMkn3Mat _,
     "q_stream_lm_kn3" -> qStreamLmKn3 _,
     "q_ppl_buckets" -> qPplBuckets _,
     "q_ppl_buckets_scaled" -> qPplBucketsScaled _,

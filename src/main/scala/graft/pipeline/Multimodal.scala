@@ -1628,7 +1628,7 @@ object Multimodal {
       struct(col("rep_id").alias("id"), col("__xh").alias("xh"),
         col("dhash_hi").alias("hi"), col("dhash_lo").alias("lo"),
         col("n_docs").alias("nd")),
-      maxBucketSize, ordered = false)
+      maxBucketSize, ordered = false, spreadFinerKey = true)
       .select(col("__p.a.id").alias("doc_a"), col("__p.b.id").alias("doc_b"),
         col("__p.a.nd").alias("n_docs_a"), col("__p.b.nd").alias("n_docs_b"),
         (bit_count(col("__p.a.hi").bitwiseXOR(col("__p.b.hi"))) +
@@ -1738,7 +1738,7 @@ object Multimodal {
     * pathological bucket only. Output: one row per unordered verified
     * pair (hi_a, lo_a, hi_b, lo_b), a < b in (hi, lo) struct order;
     * (h, h) self-pairs are NOT emitted (the caller appends them). */
-  private[pipeline] def bandedDistinctHashPairs(dsig: DataFrame,
+  private[graft] def bandedDistinctHashPairs(dsig: DataFrame,
       maxHamming: Int, maxBucketSize: Int): DataFrame = {
     val banded = dsig.select(col("__hi"), col("__lo"),
       Hashing.foldHashes(Seq(col("__hi"), col("__lo"))).alias("__xh"),
@@ -1752,7 +1752,7 @@ object Multimodal {
       Seq(col("band_idx"), col("band_val")), col("__xh"),
       struct(struct(col("__hi"), col("__lo")).alias("id"),
         col("__xh").alias("xh")),
-      maxBucketSize, ordered = false)
+      maxBucketSize, ordered = false, spreadFinerKey = true)
       .select(col("__p.a.id.__hi").alias("hi_a"),
         col("__p.a.id.__lo").alias("lo_a"),
         col("__p.b.id.__hi").alias("hi_b"),

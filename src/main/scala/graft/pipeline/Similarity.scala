@@ -310,15 +310,43 @@ object Similarity {
     * the pair set is unchanged (same pool clamp, same a<b tail slice).
     *
     * `banded`: one row per bucket entry; `entry` must expose `id` and `xh`.
-    * Returns one row per pair, column `__p` = struct(a, b). */
+    * Returns one row per pair, column `__p` = struct(a, b).
+    *
+    * `spreadFinerKey`: re-shuffle entry rows on the FINER
+    * (bucket, sub-bucket) key — with an EXPLICIT partition count — before
+    * the grouping. Two scale pathologies this defeats, both measured on
+    * the low-entropy media skew gate (640k distinct hashes sharing one
+    * band value):
+    *  (a) AQE coalesces the window's exchange by COMPRESSED map-output
+    *      size, blind to downstream explode amplification — a few MB of
+    *      well-compressing bucket arrays coalesce to ~1 partition and one
+    *      task then emits ALL pairs (measured: 13+ min single-task vs
+    *      49 s with the exchange pinned; an explicit repartition(n) is
+    *      not AQE-coalescible);
+    *  (b) without it, an oversized bucket's ENTIRE sub-bucket family
+    *      stays in one hash(bucketCols) partition through the grouping
+    *      and emission — the clamp bounds candidate COUNT but the
+    *      emission still runs serially.
+    * The cost is one extra exchange of the entry rows, so it defaults
+    * OFF for the vector-payload pipelines (semdedup/lshTopK entries
+    * carry embeddings; their gates are green without it) and ON in the
+    * hash-only media folds (three longs per entry). */
   def subBucketPairsRelational(banded: DataFrame, bucketCols: Seq[Column],
-      xh: Column, entry: Column, c: Int, ordered: Boolean): DataFrame = {
+      xh: Column, entry: Column, c: Int, ordered: Boolean,
+      spreadFinerKey: Boolean = false): DataFrame = {
     val w = Window.partitionBy(bucketCols: _*)
     val nSub = greatest(lit(1L),
       ceil(count(lit(1)).over(w) / lit(c.toDouble)).cast("long"))
-    val grouped = banded
+    val subbed = banded
       .withColumn("__s", pmod(xh, nSub))
       .withColumn("__entry", entry)
+    val clustered =
+      if (spreadFinerKey)
+        subbed.repartition(
+          banded.sparkSession.sessionState.conf.numShufflePartitions,
+          bucketCols :+ col("__s"): _*)
+      else subbed
+    val grouped = clustered
       .groupBy(bucketCols :+ col("__s"): _*)
       .agg(collect_list(col("__entry")).alias("__e0"))
       .filter(size(col("__e0")) >= 2)
