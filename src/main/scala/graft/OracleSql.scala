@@ -1346,25 +1346,27 @@ object OracleSql {
          |  FROM ${p}sh GROUP BY doc_id, shot),
          |${p}ns AS (SELECT doc_id, count(*) AS n_shots FROM ${p}kf
          |  GROUP BY doc_id),
-         |${p}gx AS (SELECT k.doc_id, k.shot_idx,
-         |  list($fb.v ORDER BY kk.k) AS xs
+         |${p}gx AS (SELECT k.doc_id, k.shot_idx, kk.k AS k, $fb.v AS g
          |  FROM ${p}kf k, range(1024) kk(k), $fb
          |  WHERE $fb.doc_id = k.doc_id AND $fb.fi = k.kfi
-         |    AND $fb.by = (kk.k // 32) // 8 AND $fb.bx = (kk.k % 32) // 8
-         |  GROUP BY k.doc_id, k.shot_idx),
-         |${p}tt AS (SELECT doc_id, shot_idx, list_transform(range(256), kk ->
-         |    list_sum(list_transform(range(32), yy ->
-         |      xs[yy * 32 + (kk % 32) + 1] * $ct[(kk // 32) * 32 + yy + 1])))
-         |    AS t FROM ${p}gx),
-         |${p}ffc AS (SELECT doc_id, shot_idx, list_transform(range(64), kk ->
-         |    list_sum(list_transform(range(32), xx ->
-         |      t[(kk // 8) * 32 + xx + 1] * $ct[(kk % 8) * 32 + xx + 1])))
-         |    AS f FROM ${p}tt),
-         |${p}md AS (SELECT doc_id, shot_idx, f, list_sort(f[2:64])[32] AS med
-         |  FROM ${p}ffc),
-         |${p}pb AS (SELECT doc_id, shot_idx, k.k AS k,
-         |  CASE WHEN f[k.k + 2] > med THEN 1 ELSE 0 END AS b
-         |  FROM ${p}md, range(63) k(k)),
+         |    AND $fb.by = (kk.k // 32) // 8 AND $fb.bx = (kk.k % 32) // 8),
+         |${p}tt AS (SELECT doc_id, shot_idx, u.u AS u, k % 32 AS x,
+         |  sum(g * $ct[u.u * 32 + (k // 32) + 1]) AS t
+         |  FROM ${p}gx, range(8) u(u) GROUP BY 1, 2, 3, 4),
+         |${p}ffc AS (SELECT doc_id, shot_idx, k2.k AS k2,
+         |  sum(t * $ct[(k2.k % 8) * 32 + x + 1]) AS f
+         |  FROM ${p}tt, range(64) k2(k) WHERE u = k2.k // 8
+         |  GROUP BY 1, 2, 3),
+         |${p}md AS (SELECT doc_id, shot_idx, fv AS med FROM (
+         |  SELECT doc_id, shot_idx, f AS fv,
+         |    row_number() OVER (PARTITION BY doc_id, shot_idx
+         |      ORDER BY f) AS rn
+         |  FROM ${p}ffc WHERE k2 >= 1) WHERE rn = 32),
+         |${p}pb AS (SELECT c.doc_id, c.shot_idx, c.k2 - 1 AS k,
+         |  CASE WHEN c.f > m.med THEN 1 ELSE 0 END AS b
+         |  FROM ${p}ffc c JOIN ${p}md m ON c.doc_id = m.doc_id
+         |    AND c.shot_idx = m.shot_idx
+         |  WHERE c.k2 >= 1),
          |${p}ph AS (SELECT doc_id, shot_idx,
          |  CAST(sum(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << (k - 32))
          |    ELSE 0 END) AS BIGINT) AS hi,
@@ -1413,12 +1415,14 @@ object OracleSql {
     * segments — ends at `${p}nseg` and `${p}ph`. */
   private def audioHkCtes(p: String, d: String, sm: String): String = {
       val m = graft.pipeline.Multimodal.SeqToNat64.mkString("[", ", ", "]")
-      s"""${p}fr AS (SELECT doc_id, i // 64 AS f, list(s ORDER BY i) AS xs
-        |  FROM $sm GROUP BY 1, 2),
-        |${p}co AS (SELECT doc_id, f, sq.s AS sq,
-        |  list_sum(list_transform(range(64), nn ->
-        |    xs[nn + 1] * (1 - 2 * (bit_count($m[sq.s + 1] & nn) % 2)))) AS w
-        |  FROM ${p}fr, range(64) sq(s)),
+      // the Walsh projection is a relational unnest-join, not a per-row
+      // list lambda: DuckDB executes interpreted lambdas on one thread
+      // per row group, which made the sf1 e2e replay run tens of minutes
+      // on a 100k-row frame table; the join form vectorizes and
+      // parallelizes. Integer addends, so the re-associated sum is exact.
+      s"""${p}co AS (SELECT doc_id, i // 64 AS f, sq.sv AS sq,
+        |  sum(s * (1 - 2 * (bit_count($m[sq.sv + 1] & (i % 64)) % 2))) AS w
+        |  FROM $sm, range(64) sq(sv) GROUP BY 1, 2, 3),
         |${p}be AS (SELECT doc_id, f, CAST(sq // 8 AS INT) AS band,
         |  CAST(sum(w * w) AS BIGINT) AS e
         |  FROM ${p}co GROUP BY 1, 2, 3),
@@ -1529,9 +1533,15 @@ object OracleSql {
        |  JOIN agrp r ON sm.doc_id = r.rep_id),
        |adr AS (SELECT d.* FROM ad d JOIN agrp r ON d.doc_id = r.rep_id),
        |${audioHkCtes("a2", "adr", "asmr")},
+       |abd AS (SELECT doc_id, seg, hi, lo, t.band_idx,
+       |  CASE t.band_idx WHEN 0 THEN lo & 65535
+       |    WHEN 1 THEN (lo >> 16) & 65535 WHEN 2 THEN hi & 65535
+       |    ELSE (hi >> 16) & 65535 END AS band_val
+       |  FROM a2ph, range(4) t(band_idx)),
        |apr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  a.seg AS sa, b.seg AS sb
-       |  FROM a2ph a JOIN a2ph b ON a.doc_id < b.doc_id
+       |  FROM abd a JOIN abd b ON a.band_idx = b.band_idx
+       |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id
        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
        |amt AS (SELECT id_a, id_b, count(DISTINCT sa) AS n_matched_a,
        |  count(DISTINCT sb) AS n_matched_b FROM apr GROUP BY id_a, id_b),
@@ -1543,9 +1553,15 @@ object OracleSql {
        |vfbr AS (SELECT fb.* FROM vfb fb
        |  JOIN vgrp r ON fb.doc_id = r.rep_id),
        |${videoKfPhashCtes("v2", "vfbr")},
+       |vbd AS (SELECT doc_id, shot_idx, hi, lo, t.band_idx,
+       |  CASE t.band_idx WHEN 0 THEN lo & 65535
+       |    WHEN 1 THEN (lo >> 16) & 65535 WHEN 2 THEN hi & 65535
+       |    ELSE (hi >> 16) & 65535 END AS band_val
+       |  FROM v2ph, range(4) t(band_idx)),
        |vpr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  a.shot_idx AS sa, b.shot_idx AS sb
-       |  FROM v2ph a JOIN v2ph b ON a.doc_id < b.doc_id
+       |  FROM vbd a JOIN vbd b ON a.band_idx = b.band_idx
+       |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id
        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
        |vmt AS (SELECT id_a, id_b, count(DISTINCT sa) AS n_matched_a,
        |  count(DISTINCT sb) AS n_matched_b FROM vpr GROUP BY id_a, id_b),
