@@ -53,8 +53,19 @@ object Dedup {
     }
   }
 
+  /** Normalize: lowercase, strip non-[a-z0-9 ], collapse space runs, trim.
+    * The filter+collapse+trim tail runs as ONE codegen'd byte pass
+    * ([[graft.functions.CollapseNonAlnum]]) instead of the two Java-regex
+    * passes it replaces (`regexp_replace` ×2 + `trim` — measured as a
+    * top per-task cost across every text pipeline; the lowercasing stays
+    * Spark's own `lower()` so its Unicode semantics are untouched, and
+    * the byte filter equals the old character-class regex because every
+    * multi-byte UTF-8 unit is ≥ 0x80). Bit-identical output — the DuckDB
+    * oracle replays the original regex formulation against it. */
   def normalizeText(c: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+    org.apache.spark.sql.GraftColumns.column(
+      graft.functions.CollapseNonAlnum(
+        org.apache.spark.sql.GraftColumns.expression(lower(c))))
 
   /** Corpus duplication report — the "how much will dedup buy" sizing
     * number run before any dedup pass: exact doc count, distinct
@@ -72,24 +83,19 @@ object Dedup {
       .withColumn("dup_rate",
         col("n_dup_docs").cast(DoubleType) / col("n_docs").cast(DoubleType))
 
-  /** Word w-shingles as strings, via HOFs (no UDF).
-    *
-    * The token array is bound ONCE as a lambda variable (`transform(array(
-    * tokens), ts -> ...)`): a naive `transform(sequence(...), i ->
-    * slice(tokens, i, w))` re-evaluates the whole normalize+split chain for
-    * every element (HOF lambdas inline their free sub-expressions and run
-    * interpreted, no CSE) — measured 20× slower. Width 1 is exactly the
-    * distinct token set. */
-  def shingles(textCol: Column, w: Int): Column = {
-    val tokens = split(normalizeText(textCol), " ")
-    if (w == 1) array_distinct(tokens)
-    else
-      array_distinct(flatten(transform(array(tokens), ts =>
-        when(size(ts) >= w,
-          transform(sequence(lit(1), size(ts) - (w - 1)),
-            i => concat_ws(" ", slice(ts, i, lit(w)))))
-          .otherwise(array(concat_ws(" ", ts))))))
-  }
+  /** Word w-shingles as strings — distinct, first-occurrence order, the
+    * whole text as one shingle below w tokens, plain distinct tokens at
+    * width 1. ONE codegen'd byte pass over the normalized text
+    * ([[graft.functions.WordShingles]] — each shingle is a byte-slice of
+    * the normalized string, since single-space-joined tokens reconstitute
+    * it exactly); replaced the interpreted per-shingle
+    * `concat_ws(slice(...))` HOF assembly + `array_distinct`,
+    * bit-identical rows (TextKernelsSpec differential). */
+  def shingles(textCol: Column, w: Int): Column =
+    org.apache.spark.sql.GraftColumns.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.GraftColumns.expression(
+          normalizeText(textCol)), w))
 
   /** Per-shingle polynomial hashes (engine-agnostic, see [[Hashing]]) —
     * computed once, then remixed per MinHash permutation. */

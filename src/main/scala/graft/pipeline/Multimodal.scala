@@ -806,6 +806,17 @@ object Multimodal {
     * total documents across those groups. Edge-less representatives
     * roll up as singleton clusters, so Σ n_docs = corpus size and the
     * artifact is a complete dedup decision table. */
+  /** The reps-only restriction seam of [[mediaNearDupPipeline]]: payload
+    * rows joined to the exact-group representative set — the rep_id join
+    * that must sit ABOVE payload synthesis and BELOW every near-dup
+    * decode (PlanShapeSpec asserts the sandwich on this frame's and the
+    * arm decoders' deterministic plans). Factored out so the plan gate
+    * inspects the exact construction the pipeline materializes. */
+  private[graft] def mediaRepJoin(df: DataFrame, idCol: String,
+      payloadCol: String, groups: DataFrame): DataFrame =
+    df.select(col(idCol), col(payloadCol)).join(
+      groups.select(col("rep_id").alias(idCol), col("modality")), Seq(idCol))
+
   def mediaNearDupPipeline(df: DataFrame, idCol: String,
       payloadCol: String, maxHamming: Int = 3, minMatchPct: Int = 60,
       maxBucketSize: Int = 4096): DataFrame = {
@@ -813,8 +824,20 @@ object Multimodal {
     // the rep restriction (below) and the final roll-up consume it
     val groups = Materializer(mediaDedup(df, idCol, payloadCol),
       eager = true)
-    val reps = groups.select(col("rep_id").alias(idCol), col("modality"))
-    val repRows = df.select(col(idCol), col(payloadCol)).join(reps, Seq(idCol))
+    // The representative rows feed all three modality arms (and the
+    // image arm three times over); declaratively each arm would re-run
+    // the full upstream payload scan + rep join. ONE materialized
+    // boundary runs that scan once — this is the guide §8 "decide on
+    // small rows, move heavy rows once" seam: its content is the
+    // content-diversity-sized representative set, not the corpus, and
+    // the Materializer mode picks the 100-TB failure domain
+    // (reliable/parquet) without operator changes. The reps-only
+    // discipline is unchanged — the decode maps still sit strictly
+    // above this boundary, which itself sits above the rep_id join
+    // (PlanShapeSpec asserts both halves of the sandwich on the
+    // deterministic analyzed plans).
+    val repRows = Materializer(mediaRepJoin(df, idCol, payloadCol, groups),
+      eager = true)
     def arm(m: String): DataFrame =
       repRows.filter(col("modality") === m).drop("modality")
     val vEdges = Video.nearDupPairsFromKeyframes(
@@ -825,7 +848,10 @@ object Multimodal {
       hkFingerprints(arm("audio"), idCol, payloadCol),
       idCol, maxHamming, minMatchPct, maxBucketSize)
       .select(col("id_a"), col("id_b"))
-    val ih = imageDHash(arm("image"), idCol, payloadCol)
+    // the dHash table feeds three consumers (pair fold, signature-min,
+    // signature edges) — one lazy boundary runs the image decode once
+    val ih = Materializer(imageDHash(arm("image"), idCol, payloadCol),
+      eager = false)
     val sigCols = Seq("dhash_hi", "dhash_lo",
       "band0", "band1", "band2", "band3")
     val iPairs = dhashNearDupPairs(ih, idCol, maxHamming, maxBucketSize)
@@ -1661,8 +1687,15 @@ object Multimodal {
       minMatchPct: Int, maxBucketSize: Int = 4096): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64)
     require(minMatchPct > 0 && minMatchPct <= 100)
-    val units = sigs.select(col(idCol), col("n_units"), col("unit_idx"),
-      col(hiCol).alias("__hi"), col(loCol).alias("__lo"))
+    // The unit-hash rows feed THREE consumers (the distinct-signature
+    // candidate stage plus both expansion sides below); fully
+    // declarative, the upstream decode map would run three times
+    // (differently-projected subtrees defeat ReuseExchange — the
+    // winnowPairs finding). One lazy boundary runs the fingerprint
+    // decode ONCE; the rows are three longs + ids, never payloads.
+    val units = Materializer(sigs.select(col(idCol), col("n_units"),
+      col("unit_idx"), col(hiCol).alias("__hi"), col(loCol).alias("__lo")),
+      eager = false)
     // Verify once per DISTINCT hash pair, not per unit pair: band recall
     // and Hamming are functions of the hashes alone, so exact-signature
     // cliques (re-upload swarms — every variant of a popular clip hashing

@@ -312,11 +312,11 @@ object Similarity {
     * `banded`: one row per bucket entry; `entry` must expose `id` and `xh`.
     * Returns one row per pair, column `__p` = struct(a, b).
     *
-    * `spreadFinerKey`: re-shuffle entry rows on the FINER
-    * (bucket, sub-bucket) key — with an EXPLICIT partition count — before
-    * the grouping. Two scale pathologies this defeats, both measured on
-    * the low-entropy media skew gate (640k distinct hashes sharing one
-    * band value):
+    * `spreadFinerKey`: re-shuffle OVERSIZED buckets' entry rows on the
+    * FINER (bucket, sub-bucket) key — with an EXPLICIT partition count —
+    * before the grouping. Two scale pathologies this defeats, both
+    * measured on the low-entropy media skew gate (640k distinct hashes
+    * sharing one band value):
     *  (a) AQE coalesces the window's exchange by COMPRESSED map-output
     *      size, blind to downstream explode amplification — a few MB of
     *      well-compressing bucket arrays coalesce to ~1 partition and one
@@ -327,44 +327,62 @@ object Similarity {
     *      stays in one hash(bucketCols) partition through the grouping
     *      and emission — the clamp bounds candidate COUNT but the
     *      emission still runs serially.
-    * The cost is one extra exchange of the entry rows, so it defaults
-    * OFF for the vector-payload pipelines (semdedup/lshTopK entries
-    * carry embeddings; their gates are green without it) and ON in the
-    * hash-only media folds (three longs per entry). */
+    * ADAPTIVE since r18 (the r17 verdict's one perf demand): the window
+    * count that computes `nSub` already knows, PER ROW, whether the
+    * row's bucket exceeds `c`, so only rows of oversized buckets — the
+    * skew shape, exactly where pathology (b) lives — take the extra
+    * exchange; well-distributed buckets (nSub = 1, the common case and
+    * the whole bench fixture population) keep the window exchange's
+    * clustering and pay NO extra shuffle. The r17 unconditional form
+    * cost every media fold the full-entry-stream exchange even when no
+    * bucket was oversized (q_video_neardup 1.66→2.79 s, q_audio_neardup
+    * 2.25→3.54 s at sf0.1); the adaptive split keeps the 640k skew-gate
+    * behavior (oversized buckets spread across `numShufflePartitions`
+    * tasks) while restoring the unclamped-plan cost everywhere else.
+    * The two emission branches cover disjoint bucket families (a bucket
+    * is entirely ≤ c or entirely > c), so the pair SET is unchanged —
+    * the PipelineUnitSpec differentials and the unchanged DuckDB
+    * replays lock this. Still defaults OFF for the vector-payload
+    * pipelines (semdedup/lshTopK entries carry embeddings; their gates
+    * are green without it) and ON in the hash-only media folds (three
+    * longs per entry). */
   def subBucketPairsRelational(banded: DataFrame, bucketCols: Seq[Column],
       xh: Column, entry: Column, c: Int, ordered: Boolean,
       spreadFinerKey: Boolean = false): DataFrame = {
     val w = Window.partitionBy(bucketCols: _*)
-    val nSub = greatest(lit(1L),
-      ceil(count(lit(1)).over(w) / lit(c.toDouble)).cast("long"))
+    val cnt = count(lit(1)).over(w)
+    val nSub = greatest(lit(1L), ceil(cnt / lit(c.toDouble)).cast("long"))
     val subbed = banded
+      .withColumn("__cnt", cnt)
       .withColumn("__s", pmod(xh, nSub))
       .withColumn("__entry", entry)
-    val clustered =
-      if (spreadFinerKey)
-        subbed.repartition(
-          banded.sparkSession.sessionState.conf.numShufflePartitions,
-          bucketCols :+ col("__s"): _*)
-      else subbed
-    val grouped = clustered
-      .groupBy(bucketCols :+ col("__s"): _*)
-      .agg(collect_list(col("__entry")).alias("__e0"))
-      .filter(size(col("__e0")) >= 2)
-      .select(array_sort(col("__e0")).alias("__e"))
-    if (ordered)
-      // every entry (query) pairs against the pool = first c entries
-      grouped
-        .select(col("__e"), explode(col("__e")).alias("__x"))
-        .select(col("__x"), explode(filter(slice(col("__e"), 1, c),
-          y => y.getField("id") =!= col("__x").getField("id"))).alias("__y"))
-        .select(struct(col("__x").alias("a"), col("__y").alias("b")).alias("__p"))
-    else
-      // pool member i (0-based) pairs with the tail after it: a < b once
-      grouped
-        .select(col("__e"), posexplode(slice(col("__e"), 1, c)).as(Seq("__i", "__x")))
-        .select(col("__x"), explode(
-          slice(col("__e"), col("__i") + 2, size(col("__e")))).alias("__y"))
-        .select(struct(col("__x").alias("a"), col("__y").alias("b")).alias("__p"))
+    def emit(clustered: DataFrame): DataFrame = {
+      val grouped = clustered
+        .groupBy(bucketCols :+ col("__s"): _*)
+        .agg(collect_list(col("__entry")).alias("__e0"))
+        .filter(size(col("__e0")) >= 2)
+        .select(array_sort(col("__e0")).alias("__e"))
+      if (ordered)
+        // every entry (query) pairs against the pool = first c entries
+        grouped
+          .select(col("__e"), explode(col("__e")).alias("__x"))
+          .select(col("__x"), explode(filter(slice(col("__e"), 1, c),
+            y => y.getField("id") =!= col("__x").getField("id"))).alias("__y"))
+          .select(struct(col("__x").alias("a"), col("__y").alias("b")).alias("__p"))
+      else
+        // pool member i (0-based) pairs with the tail after it: a < b once
+        grouped
+          .select(col("__e"), posexplode(slice(col("__e"), 1, c)).as(Seq("__i", "__x")))
+          .select(col("__x"), explode(
+            slice(col("__e"), col("__i") + 2, size(col("__e")))).alias("__y"))
+          .select(struct(col("__x").alias("a"), col("__y").alias("b")).alias("__p"))
+    }
+    if (spreadFinerKey)
+      emit(subbed.filter(col("__cnt") <= c))
+        .union(emit(subbed.filter(col("__cnt") > c)
+          .repartition(banded.sparkSession.sessionState.conf.numShufflePartitions,
+            bucketCols :+ col("__s"): _*)))
+    else emit(subbed)
   }
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket

@@ -10,6 +10,25 @@ import org.apache.spark.sql.types._
   */
 object TextAnalysis {
 
+  /** Consecutive word n-grams of the normalized text as ONE codegen'd
+    * kernel column ([[graft.functions.WordNGrams]] over
+    * [[Dedup.normalizeText]]) — array of struct(w1..wn). Identical rows
+    * to the split + sequence/transform/element_at assembly it replaced
+    * (which ran as a per-element interpreted lambda; TextKernelsSpec
+    * holds the differential): explode of this column yields exactly the
+    * post-`w_i != ""` gram stream, because normalized text has no
+    * interior empty tokens and sub-n-token docs yield an empty array. */
+  private[graft] def normNGrams(textCol: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumns.column(
+      graft.functions.WordNGrams(
+        org.apache.spark.sql.GraftColumns.expression(
+          Dedup.normalizeText(textCol)), n))
+
+  /** Non-empty normalized tokens — the n = 1 gram stream (vocabulary
+    * scans): explode + project of [[normNGrams]]. */
+  private[graft] def normTokens(textCol: Column): Column =
+    normNGrams(textCol, 1)
+
   /** Occurrences of `needle` in `hay` via the length-difference trick —
     * avoids regex engines (identical semantics in any SQL dialect). */
   def occurrences(hay: Column, needle: String): Column =
@@ -600,22 +619,15 @@ object TextAnalysis {
     * (uniform), then one doc-keyed aggregate.
     * Output: (idCol, n_bigrams, sum_mu, avg_logp). */
   def lmBigramScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toksOf = split(Dedup.normalizeText(col(textCol)), " ")
-    val base = df.select(col(idCol), toksOf.alias("__toks"))
-    val bg = base.filter(size(col("__toks")) >= 2)
-      .select(col(idCol),
-        explode(transform(sequence(lit(1), size(col("__toks")) - 1),
-          i => struct(
-            element_at(col("__toks"), i).alias("w1"),
-            element_at(col("__toks"), i + 1).alias("w2")))).alias("__b"))
+    val bg = df
+      .select(col(idCol), explode(normNGrams(col(textCol), 2)).alias("__b"))
       .select(col(idCol), col("__b.w1").alias("w1"), col("__b.w2").alias("w2"))
-      .filter(col("w1") =!= "" && col("w2") =!= "")
     val bgModel = bg.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).alias("__c"))
     val ugModel = bg.groupBy(col("w1")).agg(count(lit(1)).alias("__cw"))
-    val vocab = base
-      .select(explode(col("__toks")).alias("__w")).filter(col("__w") =!= "")
-      .agg(count_distinct(col("__w")).alias("__v"))
+    val vocab = df
+      .select(explode(normTokens(col(textCol))).alias("__t"))
+      .agg(count_distinct(col("__t.w1")).alias("__v"))
     val contribMu = floor((log(coalesce(col("__c"), lit(0L))
         .cast(DoubleType) + 1.0) -
       log((coalesce(col("__cw"), lit(0L)) + col("__v")).cast(DoubleType)))
@@ -691,18 +703,10 @@ object TextAnalysis {
   def lmKneserNeyContribs(train: DataFrame, df: DataFrame,
       textCol: String, idCol: String): DataFrame = {
     val D = 0.75
-    val toksOf = split(Dedup.normalizeText(col(textCol)), " ")
     def bigramsOf(src: DataFrame, keep: Seq[Column]): DataFrame = src
-      .select(keep :+ toksOf.alias("__toks"): _*)
-      .filter(size(col("__toks")) >= 2)
-      .select(keep :+
-        explode(transform(sequence(lit(1), size(col("__toks")) - 1),
-          i => struct(
-            element_at(col("__toks"), i).alias("w1"),
-            element_at(col("__toks"), i + 1).alias("w2")))).alias("__b"): _*)
+      .select(keep :+ explode(normNGrams(col(textCol), 2)).alias("__b"): _*)
       .select(keep ++ Seq(col("__b.w1").alias("w1"),
         col("__b.w2").alias("w2")): _*)
-      .filter(col("w1") =!= "" && col("w2") =!= "")
     val bg = bigramsOf(df, Seq(col(idCol)))
     val bgModel = bigramsOf(train, Nil).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).alias("__c"))
@@ -714,8 +718,8 @@ object TextAnalysis {
       .agg(count(lit(1)).alias("__n1l"))       // N1+(• w2)
     val scalars = bgModel.agg(count(lit(1)).alias("__n1pp"))
       .crossJoin(train
-        .select(explode(toksOf).alias("__w")).filter(col("__w") =!= "")
-        .agg(count_distinct(col("__w")).alias("__v")))
+        .select(explode(normTokens(col(textCol))).alias("__t"))
+        .agg(count_distinct(col("__t.w1")).alias("__v")))
     // fixed-order composition (matches the oracle text operator-for-operator).
     // Degenerate-model guard: an empty/whitespace-only training corpus has
     // __n1pp = __v = 0, so the continuation denominator is 0 and pc would be
@@ -813,18 +817,10 @@ object TextAnalysis {
     * [[lmKneserNeyFinish]]). */
   def lmModKneserNeyContribs(train: DataFrame, df: DataFrame,
       textCol: String, idCol: String): DataFrame = {
-    val toksOf = split(Dedup.normalizeText(col(textCol)), " ")
     def bigramsOf(src: DataFrame, keep: Seq[Column]): DataFrame = src
-      .select(keep :+ toksOf.alias("__toks"): _*)
-      .filter(size(col("__toks")) >= 2)
-      .select(keep :+
-        explode(transform(sequence(lit(1), size(col("__toks")) - 1),
-          i => struct(
-            element_at(col("__toks"), i).alias("w1"),
-            element_at(col("__toks"), i + 1).alias("w2")))).alias("__b"): _*)
+      .select(keep :+ explode(normNGrams(col(textCol), 2)).alias("__b"): _*)
       .select(keep ++ Seq(col("__b.w1").alias("w1"),
         col("__b.w2").alias("w2")): _*)
-      .filter(col("w1") =!= "" && col("w2") =!= "")
     val bg = bigramsOf(df, Seq(col(idCol)))
     val bgModel = bigramsOf(train, Nil).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).alias("__c"))
@@ -844,8 +840,8 @@ object TextAnalysis {
         sum(when(col("__c") === 3L, 1L).otherwise(0L)).alias("__n3"),
         sum(when(col("__c") === 4L, 1L).otherwise(0L)).alias("__n4"))
       .crossJoin(train
-        .select(explode(toksOf).alias("__w")).filter(col("__w") =!= "")
-        .agg(count_distinct(col("__w")).alias("__v")))
+        .select(explode(normTokens(col(textCol))).alias("__t"))
+        .agg(count_distinct(col("__t.w1")).alias("__v")))
     // fixed-order composition (identical text in the oracle)
     val yy = when(col("__n1") + lit(2L) * col("__n2") > 0,
       col("__n1").cast(DoubleType) /
@@ -951,19 +947,10 @@ object TextAnalysis {
   def lmKneserNey3Contribs(train: DataFrame, df: DataFrame,
       textCol: String, idCol: String): DataFrame = {
     val D = 0.75
-    val toksOf = split(Dedup.normalizeText(col(textCol)), " ")
     def trigramsOf(src: DataFrame, keep: Seq[Column]): DataFrame = src
-      .select(keep :+ toksOf.alias("__toks"): _*)
-      .filter(size(col("__toks")) >= 3)
-      .select(keep :+
-        explode(transform(sequence(lit(1), size(col("__toks")) - 2),
-          i => struct(
-            element_at(col("__toks"), i).alias("w1"),
-            element_at(col("__toks"), i + 1).alias("w2"),
-            element_at(col("__toks"), i + 2).alias("w3")))).alias("__t"): _*)
+      .select(keep :+ explode(normNGrams(col(textCol), 3)).alias("__t"): _*)
       .select(keep ++ Seq(col("__t.w1").alias("w1"),
         col("__t.w2").alias("w2"), col("__t.w3").alias("w3")): _*)
-      .filter(col("w1") =!= "" && col("w2") =!= "" && col("w3") =!= "")
     val tg = trigramsOf(df, Seq(col(idCol)))
     val tm = trigramsOf(train, Nil).groupBy(col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).alias("__c3"))
@@ -980,8 +967,8 @@ object TextAnalysis {
       .agg(count(lit(1)).alias("__n1u"))      // N1+(. . w3)
     val scalars = tm.agg(count(lit(1)).alias("__n3pp"))
       .crossJoin(train
-        .select(explode(toksOf).alias("__w")).filter(col("__w") =!= "")
-        .agg(count_distinct(col("__w")).alias("__v")))
+        .select(explode(normTokens(col(textCol))).alias("__t"))
+        .agg(count_distinct(col("__t.w1")).alias("__v")))
     // fixed-order composition (identical text in the oracle); the same
     // degenerate-model denominator guard as the bigram face
     val p1 = when(col("__n3pp") + col("__v") > 0,
@@ -1053,19 +1040,10 @@ object TextAnalysis {
     * [[lmKneserNey3Finish]]). */
   def lmModKneserNey3Contribs(train: DataFrame, df: DataFrame,
       textCol: String, idCol: String): DataFrame = {
-    val toksOf = split(Dedup.normalizeText(col(textCol)), " ")
     def trigramsOf(src: DataFrame, keep: Seq[Column]): DataFrame = src
-      .select(keep :+ toksOf.alias("__toks"): _*)
-      .filter(size(col("__toks")) >= 3)
-      .select(keep :+
-        explode(transform(sequence(lit(1), size(col("__toks")) - 2),
-          i => struct(
-            element_at(col("__toks"), i).alias("w1"),
-            element_at(col("__toks"), i + 1).alias("w2"),
-            element_at(col("__toks"), i + 2).alias("w3")))).alias("__t"): _*)
+      .select(keep :+ explode(normNGrams(col(textCol), 3)).alias("__t"): _*)
       .select(keep ++ Seq(col("__t.w1").alias("w1"),
         col("__t.w2").alias("w2"), col("__t.w3").alias("w3")): _*)
-      .filter(col("w1") =!= "" && col("w2") =!= "" && col("w3") =!= "")
     val tg = trigramsOf(df, Seq(col(idCol)))
     val tm = trigramsOf(train, Nil).groupBy(col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).alias("__c3"))
@@ -1099,8 +1077,8 @@ object TextAnalysis {
         sum(when(col("__n23") === 3L, 1L).otherwise(0L)).alias("__b3"),
         sum(when(col("__n23") === 4L, 1L).otherwise(0L)).alias("__b4")))
       .crossJoin(train
-        .select(explode(toksOf).alias("__w")).filter(col("__w") =!= "")
-        .agg(count_distinct(col("__w")).alias("__v")))
+        .select(explode(normTokens(col(textCol))).alias("__t"))
+        .agg(count_distinct(col("__t.w1")).alias("__v")))
     def clamp(x: Column, hi: Double): Column =
       least(greatest(x, lit(0.0)), lit(hi))
     // the Chen-Goodman estimates, one schedule per order (the
@@ -1394,16 +1372,16 @@ object TextAnalysis {
     * length ≥ w + k − 1 between two documents shares at least one
     * fingerprint, and no match shorter than k is detected.
     *
-    * Pure per-row HOF algebra — ZERO shuffle, embarrassingly parallel
-    * at 100 TB: the window minimum is a closed-form `least` + rightmost
-    * `when` chain (no fold), so the whole selection stays inside
-    * whole-stage codegen; consecutive-dedup recomputes the previous
-    * window's selection closed-form instead of carrying running state.
-    * O(m·w) per doc with a codegen'd constant. Documents with fewer
-    * than one full window (1 ≤ m < w) winnow their single partial
-    * window via one UNNESTED rightmost-min fold (the r12
-    * nested-list_reduce DuckDB hazard does not apply: the fold is
-    * top-level and its elements are fixed-length pairs).
+    * Pure per-row selection — ZERO shuffle, embarrassingly parallel at
+    * 100 TB: the whole pipeline (rolling k-gram [[Hashing.polyHash]],
+    * rightmost-min window via a monotonic deque, consecutive dedup) is
+    * ONE codegen'd O(m)-per-doc kernel, [[graft.functions.WinnowGrams]].
+    * It replaced the interpreted HOF cascade (closed-form `least` +
+    * `when`-chain per window) whose lambda re-evaluation made it
+    * O(m·w²) with an interpreted constant — bit-identical selections
+    * (same rightmost-tie rule, same partial-window fold for
+    * 1 ≤ m < w docs), differential-locked by WinnowKernelSpec against
+    * the old Column-algebra form and by the unchanged DuckDB replays.
     *
     * Output: one row per selected fingerprint — (id, pos, fp) with
     * `pos` the 1-based k-gram start in the normalized text and `fp`
@@ -1412,57 +1390,10 @@ object TextAnalysis {
       k: Int = 5, w: Int = 4, carryCols: Seq[String] = Nil): DataFrame = {
     require(k >= 2, s"k-gram length must be >= 2, got $k")
     require(w >= 2, s"winnowing window must be >= 2, got $w")
-    // Both the normalized text and the hash array are bound ONCE as
-    // lambda variables (the [[Dedup.shingles]] idiom): HOF lambdas
-    // inline their free sub-expressions and run interpreted with no
-    // CSE, so a plain `col("__h")` reference inside `element_at` would
-    // re-materialize the whole hash array — and re-run the normalize
-    // regexes — per access (measured: O(m²·regex) per doc, ~500 docs
-    // took minutes instead of seconds).
-    val sels = flatten(transform(
-      array(Dedup.normalizeText(col(textCol))), nt =>
-        flatten(transform(
-          array(when(length(nt) >= k,
-            transform(sequence(lit(1), length(nt) - (k - 1)),
-              i => Hashing.polyHash(nt.substr(i, lit(k)))))
-            .otherwise(array().cast(ArrayType(LongType)))), hs => {
-          val m = size(hs)
-          def h(i: Column): Column = element_at(hs, i.cast(IntegerType))
-          // Rightmost-min selection of the full window starting at
-          // 0-based j (gram positions j+1 .. j+w): least + a when-chain
-          // checked from the highest offset down — closed-form, no fold.
-          def sel(j: Column): Column = {
-            val minv = least((0 until w).map(t => h(j + t + 1)): _*)
-            val hiFirst = when(h(j + w) === minv, j + w)
-            (w - 1 to 2 by -1).foldLeft(hiFirst)((acc, t) =>
-              acc.when(h(j + t) === minv, j + t)).otherwise(j + 1)
-          }
-          // Long docs: all m-w+1 windows; keep window j's selection iff
-          // it differs from window j-1's (recomputed closed-form). The
-          // predecessor index is clamped to 0 so no out-of-range h(i)
-          // can ever be evaluated regardless of Or's evaluation order
-          // (at j = 0 the clamped compare is sel(0) =!= sel(0) = false
-          // and the j === 0 arm alone decides keep).
-          val longSel = filter(
-            transform(sequence(lit(0), m - w),
-              j => when(j === 0 ||
-                  sel(j) =!= sel(greatest(j - 1, lit(0))), sel(j))
-                .otherwise(-1)),
-            x => x >= 0)
-          // Short docs (1 <= m < w): one partial window, rightmost min
-          // via a single top-level fold (<= keeps the later index).
-          val shortSel = array(aggregate(
-            sequence(lit(1), m),
-            struct(lit(Long.MaxValue).alias("h"), lit(0).alias("p")),
-            (acc, i) => when(h(i) <= acc.getField("h"),
-                struct(h(i).alias("h"), i.alias("p")))
-              .otherwise(acc)).getField("p"))
-          val positions = when(m >= w, longSel)
-            .when(m >= 1, shortSel)
-            .otherwise(array().cast(ArrayType(IntegerType)))
-          transform(positions, p =>
-            struct(p.cast(LongType).alias("pos"), h(p).alias("fp")))
-        }))))
+    val sels = org.apache.spark.sql.GraftColumns.column(
+      graft.functions.WinnowGrams(
+        org.apache.spark.sql.GraftColumns.expression(
+          Dedup.normalizeText(col(textCol))), k, w))
     df.select(col(idCol) +: carryCols.map(col) :+ explode(sels).alias("__s"): _*)
       .select(col(idCol) +: carryCols.map(col) :+
         col("__s.pos").alias("pos") :+ col("__s.fp").alias("fp"): _*)
@@ -1554,14 +1485,8 @@ object TextAnalysis {
     * streaming twin. Works on batch AND streaming frames (pure
     * projection). */
   def bigramPairs(df: DataFrame, textCol: String): DataFrame = df
-    .select(split(Dedup.normalizeText(col(textCol)), " ").alias("__toks"))
-    .filter(size(col("__toks")) >= 2)
-    .select(explode(transform(sequence(lit(1), size(col("__toks")) - 1),
-      i => struct(
-        element_at(col("__toks"), i).alias("w1"),
-        element_at(col("__toks"), i + 1).alias("w2")))).alias("__b"))
+    .select(explode(normNGrams(col(textCol), 2)).alias("__b"))
     .select(col("__b.w1").alias("w1"), col("__b.w2").alias("w2"))
-    .filter(col("w1") =!= "" && col("w2") =!= "")
 
   def pmiBigrams(df: DataFrame, textCol: String,
       minCount: Long = 5L): DataFrame =

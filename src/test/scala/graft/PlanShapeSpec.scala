@@ -740,9 +740,15 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("mediaNearDupPipeline: the near-dup decode maps consume a " +
-      "representative join — a decode MapPartitions sits ABOVE a rep_id " +
+      "representative join — a decode MapPartitions sits ABOVE the rep_id " +
       "join that sits ABOVE the payload synthesis, so only exact-group " +
       "representatives re-enter decode") {
+    // Deterministic form (the r17 ADVICE item): assert on the analyzed
+    // plans of the exact frames the pipeline composes — mediaRepJoin is
+    // the seam mediaNearDupPipeline materializes (the Materializer
+    // boundary between the halves is a lineage cut, so the sandwich is
+    // asserted in its two halves on the un-cut constructions), no
+    // QueryExecutionListener race, no plan-string capture window.
     import spark.implicits._
     val ids = (0L until 90L).toDF("mne2e_doc_id")
     val arm = expr("(mne2e_doc_id div 10) % 3")
@@ -752,48 +758,36 @@ class PlanShapeSpec extends SparkTestBase {
       ids.filter(arm === 1), "mne2e_doc_id")
     val avi = pipeline.Video.synthesizeAviNearDupPayload(
       ids.filter(arm === 2), "mne2e_doc_id")
-    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit = {
-        val s = qe.executedPlan.toString
-        if (s.contains("mne2e_doc_id")) plans.add(s)
-      }
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          exception: Exception): Unit = ()
-    }
-    spark.listenerManager.register(listener)
-    try {
-      val out = pipeline.Multimodal.mediaNearDupPipeline(
-        img.union(wav).union(avi), "mne2e_doc_id", "payload").collect()
-      assert(out.nonEmpty)
-      var last = -1
-      var stable = 0
-      var waited = 0
-      while (stable < 4 && waited < 80) {
-        Thread.sleep(250); waited += 1
-        if (plans.size == last) stable += 1
-        else { stable = 0; last = plans.size }
-      }
-      // the reps-only discipline's plan signature: a decode MapPartitions
-      // ABOVE a join that references the representative ids, itself ABOVE
-      // the payload-synthesis MapPartitions (plans print top-down). The
-      // exact-dedup pass has the two MapPartitions ADJACENT (no join —
-      // it must see every payload); the near-dup passes must not.
-      val sandwiched = plans.toArray(Array.empty[String]).filter { p =>
-        val m1 = p.indexOf("MapPartitions")
-        if (m1 < 0) false
-        else {
-          val j = p.indexOf("Join", m1)
-          j > m1 && p.indexOf("MapPartitions", j) > j &&
-            p.contains("rep_id")
-        }
-      }
-      assert(sandwiched.nonEmpty,
-        s"no decode-over-rep-join plan captured among ${plans.size}")
-    } finally spark.listenerManager.unregister(listener)
+    val payloads = img.union(wav).union(avi)
+    // the pipeline's own construction path: groups (decode pass 1,
+    // materialized exactly as the pipeline does — the rep_id column
+    // survives into the join's plan) -> rep join -> arm decode
+    val groups = pipeline.Materializer(pipeline.Multimodal.mediaDedup(
+      payloads, "mne2e_doc_id", "payload"), eager = true)
+    val repJoin = pipeline.Multimodal.mediaRepJoin(
+      payloads, "mne2e_doc_id", "payload", groups)
+    // lower half: the rep_id join sits ABOVE the payload-synthesis
+    // MapPartitions (plans print top-down)
+    val pj = repJoin.queryExecution.sparkPlan.toString
+    val jIdx = pj.indexOf("Join")
+    assert(jIdx >= 0 && pj.contains("rep_id"), pj)
+    assert(pj.indexOf("MapPartitions", jIdx) > jIdx,
+      s"rep_id join not above the synthesis map:\n$pj")
+    // upper half: each near-dup decode map sits ABOVE that join
+    val armImg = repJoin.filter(col("modality") === "image").drop("modality")
+    val decodePlan = pipeline.Multimodal
+      .imageDHash(armImg, "mne2e_doc_id", "payload")
+      .queryExecution.sparkPlan.toString
+    val m1 = decodePlan.indexOf("MapPartitions")
+    val j2 = decodePlan.indexOf("Join", m1)
+    assert(m1 >= 0 && j2 > m1 &&
+      decodePlan.indexOf("MapPartitions", j2) > j2 &&
+      decodePlan.contains("rep_id"),
+      s"no decode-over-rep-join sandwich:\n$decodePlan")
+    // and the pipeline's end-to-end output stays non-degenerate
+    val out = pipeline.Multimodal.mediaNearDupPipeline(
+      payloads, "mne2e_doc_id", "payload").collect()
+    assert(out.nonEmpty)
   }
 
   test("BpeCount runs inside whole-stage codegen (no shuffle, no eval island)") {
