@@ -1768,7 +1768,20 @@ object Multimodal {
     * ≤ `maxBucketSize` keep the exact unclamped pair set (nSub = 1,
     * pool = whole bucket — differential-gated); oversized buckets bound
     * emitted candidates at size×maxBucketSize, trading recall inside the
-    * pathological bucket only. Output: one row per unordered verified
+    * pathological bucket only.
+    *
+    * Choosing `maxBucketSize` (c) at scale: emission from an oversized
+    * bucket of n entries is ≤ n·c (pool clamp), and recall INSIDE that
+    * bucket falls roughly with c/n — c is the knob between candidate
+    * emission and in-bucket recall, and only pathological buckets pay
+    * it. Measured on the 640k-distinct-hash skew gate (SkewClampProbe,
+    * SURVEY §24.2): c=64 → 25.9M pairs (bound 41M), c=512 → 169M pairs
+    * (bound 328M) — ~6.5× the emission for 8× the pool, confirming the
+    * n·c bound. Size c so that the worst expected pathological bucket's
+    * n·c emission fits a task budget (pairs are three-long structs);
+    * 4096 keeps every sane bucket exact while bounding a 10⁶-entry
+    * degenerate bucket at ~4·10⁹ candidates spread across the adaptive
+    * finer-key repartition. Output: one row per unordered verified
     * pair (hi_a, lo_a, hi_b, lo_b), a < b in (hi, lo) struct order;
     * (h, h) self-pairs are NOT emitted (the caller appends them). */
   private[graft] def bandedDistinctHashPairs(dsig: DataFrame,

@@ -737,12 +737,33 @@ object TextAnalysis {
       col("__cw").cast(DoubleType)
     val p = when(col("__cw").isNotNull, pSeen).otherwise(pc)
     val contribMu = floor(log(p) * 1e6 + 0.5).cast(LongType)
-    bg.join(bgModel, Seq("w1", "w2"), "left")
+    // The corpus-scale stream used to cross THREE exchanges (one per
+    // model join). Pre-joining the model tables into one (w1, w2)-keyed
+    // score table moves those joins to MODEL-sized data (distinct
+    // bigrams ≈ 1/10 of occurrences on the bench corpus) and the
+    // occurrence stream joins ONCE; rows the model misses — empty in
+    // self-scoring, the back-off arms of the *Against shape — take the
+    // original chain verbatim, so every mu is the same fixed-order
+    // composition bit-for-bit. Streaming frames keep the stream-static
+    // chain (no filter/union branching over a stream).
+    def fullChain(occ: DataFrame): DataFrame = occ
+      .join(bgModel, Seq("w1", "w2"), "left")
       .join(leftModel, Seq("w1"), "left")
       .join(contModel, Seq("w2"), "left")
       .crossJoin(broadcast(scalars))
       .select(col(idCol), contribMu.alias("__mu"))
-      .filter(col("__mu").isNotNull) // no-op except under the degenerate-model guard
+    (if (df.isStreaming || !(train eq df)) fullChain(bg)
+     else {
+       // self-scoring: every df bigram IS a model key (train eq df), so
+       // the single score-table join covers every row — no miss arm
+       val smod = bgModel
+         .join(leftModel, Seq("w1"))
+         .join(contModel, Seq("w2"))
+         .crossJoin(broadcast(scalars))
+         .select(col("w1"), col("w2"), contribMu.alias("__mu"))
+       bg.join(smod, Seq("w1", "w2"), "left")
+         .select(col(idCol), col("__mu"))
+     }).filter(col("__mu").isNotNull) // no-op except under the degenerate-model guard
   }
 
   /** The per-doc KN fold over a [[lmKneserNeyContribs]] frame (or its
@@ -871,12 +892,26 @@ object TextAnalysis {
       gammaNum * pc) / col("__cw").cast(DoubleType)
     val p = when(col("__cw").isNotNull, pSeen).otherwise(pc)
     val contribMu = floor(log(p) * 1e6 + 0.5).cast(LongType)
-    bg.join(bgModel, Seq("w1", "w2"), "left")
+    // single-join indexed form for batch frames, chain for streams —
+    // see lmKneserNeyContribs (identical reasoning, identical mu)
+    def fullChain(occ: DataFrame): DataFrame = occ
+      .join(bgModel, Seq("w1", "w2"), "left")
       .join(leftModel, Seq("w1"), "left")
       .join(contModel, Seq("w2"), "left")
       .crossJoin(broadcast(scalars))
       .select(col(idCol), contribMu.alias("__mu"))
-      .filter(col("__mu").isNotNull) // no-op except under the degenerate guard
+    (if (df.isStreaming || !(train eq df)) fullChain(bg)
+     else {
+       // self-scoring: every df bigram IS a model key (train eq df), so
+       // the single score-table join covers every row — no miss arm
+       val smod = bgModel
+         .join(leftModel, Seq("w1"))
+         .join(contModel, Seq("w2"))
+         .crossJoin(broadcast(scalars))
+         .select(col("w1"), col("w2"), contribMu.alias("__mu"))
+       bg.join(smod, Seq("w1", "w2"), "left")
+         .select(col(idCol), col("__mu"))
+     }).filter(col("__mu").isNotNull) // no-op except under the degenerate guard
   }
 
   /** Interpolated Kneser–Ney TRIGRAM LM — the production CCNet filter
@@ -985,14 +1020,36 @@ object TextAnalysis {
       col("__cw12").cast(DoubleType)
     val p3 = when(col("__cw12").isNotNull, p3seen).otherwise(p2)
     val contribMu = floor(log(p3) * 1e6 + 0.5).cast(LongType)
-    tg.join(tm, Seq("w1", "w2", "w3"), "left")
+    // The corpus-scale trigram stream used to cross FIVE exchanges (one
+    // per model join). Pre-joining the model tables into one per-trigram
+    // score table moves those joins to MODEL-sized data (27k distinct
+    // trigrams vs 261k occurrences at sf0.1) and the stream joins ONCE;
+    // model-miss rows — empty in self-scoring — take the original chain
+    // verbatim (bit-identical mu; the degenerate-model guard routes
+    // through the miss arm because an empty model has an empty score
+    // table). Streaming frames keep the stream-static chain.
+    def fullChain(occ: DataFrame): DataFrame = occ
+      .join(tm, Seq("w1", "w2", "w3"), "left")
       .join(left12, Seq("w1", "w2"), "left")
       .join(cont23, Seq("w2", "w3"), "left")
       .join(mid, Seq("w2"), "left")
       .join(uni, Seq("w3"), "left")
       .crossJoin(broadcast(scalars))
       .select(col(idCol), contribMu.alias("__mu"))
-      .filter(col("__mu").isNotNull) // no-op except under the degenerate guard
+    (if (df.isStreaming || !(train eq df)) fullChain(tg)
+     else {
+       // self-scoring: every df trigram IS a model key (train eq df), so
+       // the single score-table join covers every row — no miss arm
+       val smod = tm
+         .join(left12, Seq("w1", "w2"))
+         .join(cont23, Seq("w2", "w3"))
+         .join(mid, Seq("w2"))
+         .join(uni, Seq("w3"))
+         .crossJoin(broadcast(scalars))
+         .select(col("w1"), col("w2"), col("w3"), contribMu.alias("__mu"))
+       tg.join(smod, Seq("w1", "w2", "w3"), "left")
+         .select(col(idCol), col("__mu"))
+     }).filter(col("__mu").isNotNull) // no-op except under the degenerate guard
   }
 
   /** Modified Kneser–Ney TRIGRAM LM — [[lmKneserNey3Score]] with the
@@ -1125,14 +1182,30 @@ object TextAnalysis {
       col("__cw12").cast(DoubleType)
     val p3 = when(col("__cw12").isNotNull, p3seen).otherwise(p2)
     val contribMu = floor(log(p3) * 1e6 + 0.5).cast(LongType)
-    tg.join(tm, Seq("w1", "w2", "w3"), "left")
+    // single-join indexed form for batch frames, chain for streams —
+    // see lmKneserNey3Contribs (identical reasoning, identical mu)
+    def fullChain(occ: DataFrame): DataFrame = occ
+      .join(tm, Seq("w1", "w2", "w3"), "left")
       .join(left12, Seq("w1", "w2"), "left")
       .join(cont23, Seq("w2", "w3"), "left")
       .join(mid, Seq("w2"), "left")
       .join(uni, Seq("w3"), "left")
       .crossJoin(broadcast(scalars))
       .select(col(idCol), contribMu.alias("__mu"))
-      .filter(col("__mu").isNotNull) // no-op except under the degenerate guard
+    (if (df.isStreaming || !(train eq df)) fullChain(tg)
+     else {
+       // self-scoring: every df trigram IS a model key (train eq df), so
+       // the single score-table join covers every row — no miss arm
+       val smod = tm
+         .join(left12, Seq("w1", "w2"))
+         .join(cont23, Seq("w2", "w3"))
+         .join(mid, Seq("w2"))
+         .join(uni, Seq("w3"))
+         .crossJoin(broadcast(scalars))
+         .select(col("w1"), col("w2"), col("w3"), contribMu.alias("__mu"))
+       tg.join(smod, Seq("w1", "w2", "w3"), "left")
+         .select(col(idCol), col("__mu"))
+     }).filter(col("__mu").isNotNull) // no-op except under the degenerate guard
   }
 
   /** CCNet head/middle/tail perplexity terciles by THRESHOLD CUT — the
