@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print machine-readable JSON lines that a driver
+// scrapes from the log tail; sbt's default logger prefixes forked-process
+// stdout with "[info] ", which breaks line-oriented JSON parsing. Send the
+// forked process's output straight to stdout instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -120,28 +120,23 @@ object Bench {
       Files.write(Paths.get("bench_detail.json"),
         (detail + "\n").getBytes(StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
-    println(line)
     spark.stop()
-    // Driver-visible line, printed LAST (after spark.stop so no shutdown
-    // logging follows it): the driver scrapes only the tail of the sbt log,
-    // and the full query map at full precision overflows that window — so
-    // this line carries 2-decimal times for the slowest queries that fit a
-    // fixed byte budget and folds the rest into omitted_n/omitted_sec.
-    // bench_out.json always has the complete map at full precision.
-    val budget = 1500
-    def fmt(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // ONE driver-visible JSON line, printed LAST (after spark.stop so no
+    // shutdown logging follows it), carrying the COMPLETE per-query map.
+    // Measurement-harness fix, round 19: previous rounds printed a
+    // full-precision line followed by a byte-budgeted line that truncated
+    // 273 of 331 queries, and the two lines together overflowed/polluted
+    // the driver's log-tail scrape window — every BENCH_rNN.json since r14
+    // had parsed:null. Now: 3-decimal times for every query (~8 KB for 331
+    // entries; 3 decimals, not 2, so sub-10 ms entries can't round to a
+    // geomean-breaking 0.00), full precision still in bench_out.json /
+    // bench_detail.json, and build.sbt routes forked-run stdout past sbt's
+    // "[info] " prefixing so the line is parseable as-is.
+    def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val byTime = results.sortBy(-_._2)
     val entries = byTime.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-    val overhead = 180 // fixed fields + omitted summary
-    var used = overhead
-    val kept = entries.takeWhile { e =>
-      val fits = used + e.length + 1 <= budget
-      if (fits) used += e.length + 1
-      fits
-    }
-    val omitted = byTime.drop(kept.size)
     val sfName = Paths.get(sfDir).getFileName.toString
     val canarySec = results.filter(r => Canaries.contains(r._1)).map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":{${kept.mkString(",")}},"omitted_n":${omitted.size},"omitted_sec":${fmt(omitted.map(_._2).sum)},"canary_sec":${fmt(canarySec)},"gc_ms":${gcMs1 - gcMs0},"sf":"$sfName","reps":$reps,"warmup":$warmups,"full":"bench_out.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":{${entries.mkString(",")}},"omitted_n":0,"omitted_sec":0.000,"canary_sec":${fmt(canarySec)},"gc_ms":${gcMs1 - gcMs0},"sf":"$sfName","reps":$reps,"warmup":$warmups,"full":"bench_out.json"}""")
   }
 }
