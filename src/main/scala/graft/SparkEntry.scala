@@ -1186,13 +1186,24 @@ object SparkEntry {
 
   private def runStream(s: SparkSession, out: DataFrame): DataFrame = {
     val dst = scratchDir("graft_stream_out_")
+    val t0 = System.nanoTime()
     val q = out.writeStream.format("parquet")
       .option("path", s"$dst/data")
       .option("checkpointLocation", s"$dst/chk")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+    val t1 = System.nanoTime()
     q.awaitTermination()
+    val t2 = System.nanoTime()
+    // Floor decomposition for the bench's 52 single-batch streams
+    // (guide §1: measure first): per-batch durationMs breakdown + the
+    // start/await wall split, printed to stderr only when asked.
+    if (sys.env.contains("SPARK_GRAFT_STREAM_PROFILE")) {
+      System.err.println(f"[streamprof] start=${(t1 - t0) / 1e9}%.3f await=${(t2 - t1) / 1e9}%.3f batches=${q.recentProgress.length}")
+      q.recentProgress.foreach(p => System.err.println("[streamprof] " + p.json))
+      q.explain() // last micro-batch physical plan, for plans/rNN evidence
+    }
     // the result schema is the stream frame's own — passing it skips the
     // footer-sampling schema-inference job on every read-back
     s.read.schema(out.schema).parquet(s"$dst/data")
@@ -1749,14 +1760,40 @@ object SparkEntry {
     val exact = graft.pipeline.Materializer(
       qAnnTopk(s, dir).select(col("query_id"), col("neighbor_id")),
       eager = false)
+    // Shared corpus-scale stages, run ONCE instead of once per arm
+    // (guide §1.2 step 1): the 4 IVF-family arms previously each re-ran
+    // the coarse-quantizer assignment over the whole corpus (and the two
+    // non-residual PQ arms each re-encoded it); the centroid collect also
+    // ran once per arm. Same centroids, same expressions, materialized at
+    // one lazy boundary each — every arm's candidate set (and the report)
+    // is bit-identical to the standalone queries', which keep their own
+    // single-arm pipelines.
+    val d = quantized(s, dir)
+    val cents = d.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select("q").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val codebooks = (0 until 4).map(m => cents.map(_.slice(m * 16, m * 16 + 16)))
+    val qs = d.filter(col("vec_id") < 20)
+    val assigned = graft.pipeline.Materializer(
+      Similarity.ivfAssignCorpus(d, "vec_id", "q", cents), eager = false)
+    val coded = graft.pipeline.Materializer(
+      Similarity.pqEncodeCorpus(d, "vec_id", "q", cents, codebooks),
+      eager = false)
     val methods: Seq[(String, DataFrame)] = Seq(
-      "lsh" -> qAnnLsh(s, dir),
-      "multiprobe" -> qAnnMultiprobe(s, dir),
-      "ivf" -> qAnnIvf(s, dir),
-      "ivfpq" -> qAnnIvfPq(s, dir),
-      "ivfpq_res" -> qAnnIvfPqRes(s, dir),
+      "lsh" -> Similarity.lshTopK(d, "vec_id", "q", dim = 64, k = 3, nBits = 6),
+      "multiprobe" -> Similarity.lshTopKMultiProbe(qs, d, "vec_id", "q",
+        dim = 64, k = 3, nBits = 6, probes = 41),
+      "ivf" -> Similarity.ivfTopK(qs, d, "vec_id", "q", k = 3,
+        centroids = cents, nprobe = 4, assignedCorpus = Some(assigned)),
+      "ivfpq" -> Similarity.ivfPqTopK(qs, d, "vec_id", "q", k = 3,
+        centroids = cents, nprobe = 4, codebooks = codebooks,
+        codedCorpus = Some(coded)),
+      "ivfpq_res" -> Similarity.ivfPqTopK(qs, d, "vec_id", "q", k = 3,
+        centroids = cents, nprobe = 4, codebooks = codebooks,
+        residual = true),
       "sq8" -> qAnnSq8(s, dir),
-      "rerank" -> qAnnRerank(s, dir))
+      "rerank" -> Similarity.ivfPqTopKRerank(qs, d, "vec_id", "q", k = 3,
+        centroids = cents, nprobe = 4, codebooks = codebooks, refine = 3,
+        codedCorpus = Some(coded)))
     methods.map { case (name, df) =>
       val a = df.select(col("query_id"), col("neighbor_id"))
         .withColumn("__hit", lit(1L))
@@ -2948,8 +2985,11 @@ object SparkEntry {
       .select(Dedup.normalizeText(col("text")).alias("item"))
     val bits = graft.streaming.StreamingTSDF.bloomBits(
       hist, Seq(), col("item"), mBits = 1 << 15, depth = 3)
+    // bitwise OR, not sum: the stateless per-partition changelog may emit
+    // a (word, bit) more than once (see StreamingTSDF.bloomBits); OR is
+    // idempotent, so the folded filter is bit-identical either way
     val filter = runStream(s, bits)
-      .groupBy(col("word")).agg(sum(col("mask")).alias("word_mask"))
+      .groupBy(col("word")).agg(expr("bit_or(mask)").alias("word_mask"))
     val d = docs(s, dir).select(col("doc_id"),
       Dedup.normalizeText(col("text")).alias("item"))
     graft.pipeline.Sketch.bloomProbe(d, filter, col("item"),

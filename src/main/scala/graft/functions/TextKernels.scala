@@ -242,6 +242,106 @@ object TextKernels {
     new GenericArrayData(java.util.Arrays.copyOf(
       outBuf.asInstanceOf[Array[AnyRef]], nOut).asInstanceOf[Array[Any]])
   }
+
+  /** Hashed DSIR gram buckets of a normalized text in ONE pass: the exact
+    * values of `transform(tokens ++ bigrams, g => pmod(mix(polyHash(g),
+    * seed), buckets))` where tokens = split(s, " ") (so "" yields the one
+    * empty token, hash 0 — split semantics) and each bigram is the
+    * contiguous "tokᵢ tokᵢ₊₁" slice of the normalized text. Replaces the
+    * interpreted grams-HOF + per-gram string materialization + per-gram
+    * hash lambda (measured: ~2/3 of the DSIR scoring pass above the scan
+    * floor). Unigrams first, then bigrams — the `concat(tokens, bigrams)`
+    * order of the Column form. ASCII byte fast path (normalized text is
+    * pure [a-z0-9 ] by construction) with a codepoint fallback for parity
+    * on any non-ASCII input. */
+  def hashedGramBuckets(s: UTF8String, buckets: Int, seed: Int): ArrayData = {
+    val a = Hashing.aCoef(seed)
+    val b = Hashing.bCoef(seed)
+    val P = Hashing.P
+    val B = Hashing.B
+    def bucketOf(h: Long): Long = ((h * a + b) % P) % buckets
+    val bytes = s.getBytes
+    val len = bytes.length
+    var ascii = true
+    var i = 0
+    while (i < len) { if (bytes(i) < 0) { ascii = false; i = len }; i += 1 }
+    if (!ascii) {
+      // codepoint fallback: same fold as PolyHash.hash over each gram
+      val str = s.toString
+      val toks = str.split(" ", -1)
+      val out = new Array[Long](toks.length +
+        (if (toks.length >= 2) toks.length - 1 else 0))
+      def hashStr(t: String): Long = {
+        var h = 0L
+        var j = 0
+        while (j < t.length) {
+          val cp = t.codePointAt(j)
+          h = (h * B + cp) % P
+          j += Character.charCount(cp)
+        }
+        h
+      }
+      var k = 0
+      while (k < toks.length) { out(k) = bucketOf(hashStr(toks(k))); k += 1 }
+      k = 0
+      while (k < toks.length - 1) {
+        out(toks.length + k) = bucketOf(hashStr(toks(k) + " " + toks(k + 1)))
+        k += 1
+      }
+      return new GenericArrayData(out)
+    }
+    // token boundaries; split(" ") on "" yields [""] — one empty token
+    var nTok = 1
+    i = 0
+    while (i < len) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    val starts = new Array[Int](nTok + 1)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTok) = len + 1
+    def hashRange(from: Int, until: Int): Long = {
+      var h = 0L
+      var j = from
+      while (j < until) { h = (h * B + (bytes(j) & 0xffL)) % P; j += 1 }
+      h
+    }
+    val out = new Array[Long](nTok + (if (nTok >= 2) nTok - 1 else 0))
+    var g = 0
+    while (g < nTok) {
+      out(g) = bucketOf(hashRange(starts(g), starts(g + 1) - 1))
+      g += 1
+    }
+    g = 0
+    while (g < nTok - 1) {
+      // the bigram "tokᵍ tokᵍ⁺¹" is the byte slice spanning both tokens
+      out(nTok + g) = bucketOf(hashRange(starts(g), starts(g + 2) - 1))
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Expression form of [[TextKernels.hashedGramBuckets]]. Input must
+  * already be normalized (single-spaced, trimmed) text. */
+case class HashedGramBuckets(child: Expression, buckets: Int, seed: Int)
+    extends UnaryExpression {
+  require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hashed_gram_buckets"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.hashedGramBuckets(input.asInstanceOf[UTF8String], buckets, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.hashedGramBuckets($c, $buckets, $seed)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HashedGramBuckets = copy(child = newChild)
 }
 
 /** Expression form of [[TextKernels.collapse]] — compose under `lower()`. */

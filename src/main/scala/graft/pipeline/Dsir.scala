@@ -56,12 +56,23 @@ object Dsir {
   private def bucketOf(g: Column, buckets: Int, seed: Int): Column =
     pmod(Hashing.mix(Hashing.polyHash(g), seed), lit(buckets.toLong))
 
+  /** The fused bucket pass: `transform(grams(text), g => bucketOf(g))`
+    * as ONE codegen'd kernel over the normalized text
+    * ([[graft.functions.TextKernels.hashedGramBuckets]]) — no per-gram
+    * string materialization, no interpreted per-gram hash lambda.
+    * Bit-identical values (TextKernelsSpec differential + shared
+    * oracles). */
+  private def gramBuckets(textCol: Column, buckets: Int, seed: Int): Column =
+    org.apache.spark.sql.GraftColumns.column(
+      graft.functions.HashedGramBuckets(
+        org.apache.spark.sql.GraftColumns.expression(
+          Dedup.normalizeText(textCol)), buckets, seed))
+
   /** Hashed gram profile of a corpus: (b, cnt), ≤ `buckets` rows. One
     * corpus scan, map-side combined. */
   def hashedGramCounts(df: DataFrame, textCol: Column, buckets: Int,
       seed: Int = 23): DataFrame =
-    df.select(explode(grams(textCol)).alias("__g"))
-      .select(bucketOf(col("__g"), buckets, seed).alias("b"))
+    df.select(explode(gramBuckets(textCol, buckets, seed)).alias("b"))
       .groupBy(col("b")).agg(count(lit(1)).alias("cnt"))
 
   /** Per-bucket likelihood-ratio table from target + raw profiles:
@@ -129,9 +140,16 @@ object Dsir {
   def scoreColumn(textCol: Column, ratios: Map[Long, Long], buckets: Int,
       seed: Int = 23): Column = {
     require(ratios.nonEmpty, "empty ratio map")
-    val mapLit = typedLit(ratios)
-    val rs = transform(grams(textCol),
-      g => coalesce(element_at(mapLit, bucketOf(g, buckets, seed)), lit(0L)))
+    // Dense array literal indexed by bucket, not a map literal: Spark's
+    // GetMapValue on a literal map is a LINEAR key scan per lookup
+    // (O(buckets) comparisons per gram — measured as the q_stream_dsir
+    // hot path at buckets=4096), while GetArrayItem is O(1). bucketOf is
+    // a pmod into [0, buckets), so the dense table is total; absent
+    // buckets hold 0L, exactly the old coalesce(…, 0L) arm.
+    val arrLit = typedLit((0L until buckets.toLong)
+      .map(b => ratios.getOrElse(b, 0L)))
+    val rs = transform(gramBuckets(textCol, buckets, seed),
+      b => element_at(arrLit, (b + 1L).cast(IntegerType)))
     val n = size(rs).cast(LongType)
     val s = aggregate(rs, lit(0L), (acc, x) => acc + x)
     struct(n.alias("n_grams"), s.alias("sum_ratio_milli"),
@@ -142,8 +160,8 @@ object Dsir {
       idCol: String, buckets: Int = 8192, seed: Int = 23,
       scale: Long = 1000000L): DataFrame = {
     val tfb = raw
-      .select(col(idCol), explode(grams(col(textCol))).alias("__g"))
-      .select(col(idCol), bucketOf(col("__g"), buckets, seed).alias("b"))
+      .select(col(idCol),
+        explode(gramBuckets(col(textCol), buckets, seed)).alias("b"))
       // the inner join below null-filters b on the scoring branch; doing
       // it HERE keeps the two consumers' subtrees identical so they share
       // one exchange (ReuseExchange needs bit-equal subplans)

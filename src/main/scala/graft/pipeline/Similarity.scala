@@ -544,25 +544,45 @@ object Similarity {
     * against the codebook, and the corpus side is one groupBy-free
     * projection. Candidates flow through a single equi-join on the cell id.
     * Distance ties break toward the lowest cell id in both engines. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, centroids: Seq[Seq[Double]], nprobe: Int): DataFrame = {
-    require(centroids.nonEmpty && nprobe >= 1)
-    val nlist = centroids.size
+  /** The IVF coarse-quantizer pass over a corpus: (neighbor_id, __cv,
+    * __cn, __cell) with the exact expressions [[ivfTopK]] uses — exposed
+    * so a multi-arm consumer (e.g. an ANN method report) can run the
+    * corpus-scale assignment ONCE, materialize it, and feed every arm,
+    * instead of re-assigning the corpus per arm (guide §1.2 step 1: the
+    * assignment is the corpus-scale cost at 100 TB; the probe joins are
+    * query-scale). */
+  def ivfAssignCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    require(centroids.nonEmpty)
     val centLit = typedLit(centroids)
     def dists(v: Column): Column = transform(centLit, c => l2sq(v, c))
     def nearestCell(v: Column): Column = bindArr(dists(v)) { d =>
       array_position(d, array_min(d)) - 1
     }
+    corpus.select(col(idCol).alias("neighbor_id"),
+      asDouble(col(vecCol)).alias("__cv"))
+      .withColumn("__cn", l2norm(col("__cv")))
+      .withColumn("__cell", nearestCell(col("__cv")))
+  }
+
+  /** `assignedCorpus`, when given, must be an [[ivfAssignCorpus]] frame
+    * over the same corpus and centroids (possibly materialized) — the
+    * probe side then skips the per-arm corpus assignment. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Seq[Seq[Double]], nprobe: Int,
+      assignedCorpus: Option[DataFrame] = None): DataFrame = {
+    require(centroids.nonEmpty && nprobe >= 1)
+    val nlist = centroids.size
+    val centLit = typedLit(centroids)
+    def dists(v: Column): Column = transform(centLit, c => l2sq(v, c))
     def probeCells(v: Column): Column = bindArr(dists(v)) { d =>
       val ranked = array_sort(zip_with(d,
         sequence(lit(0L), lit(nlist.toLong - 1)),
         (dist, i) => struct(dist.alias("d"), i.alias("i"))))
       transform(slice(ranked, 1, nprobe), e => e.getField("i"))
     }
-    val c = corpus.select(col(idCol).alias("neighbor_id"),
-      asDouble(col(vecCol)).alias("__cv"))
-      .withColumn("__cn", l2norm(col("__cv")))
-      .withColumn("__cell", nearestCell(col("__cv")))
+    val c = assignedCorpus.getOrElse(
+      ivfAssignCorpus(corpus, idCol, vecCol, centroids))
     val q = queries.select(col(idCol).alias("query_id"),
       asDouble(col(vecCol)).alias("__qv"))
       .withColumn("__qn", l2norm(col("__qv")))
@@ -776,16 +796,43 @@ object Similarity {
     * cell), costing nprobe tables instead of one. Residuals of
     * integer-quantized vectors against integer centroids stay integers —
     * still oracle-exact. */
-  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, centroids: Seq[Seq[Double]], nprobe: Int,
-      codebooks: Seq[Seq[Seq[Double]]], residual: Boolean = false): DataFrame = {
-    require(centroids.nonEmpty && nprobe >= 1 && codebooks.nonEmpty)
-    val nlist = centroids.size
+  /** The IVF-PQ corpus encoding pass: (neighbor_id, __cell, __codes)
+    * with the exact expressions [[ivfPqTopK]] uses — exposed so a
+    * multi-arm consumer can encode the corpus ONCE and feed every
+    * non-residual PQ arm (ADC shortlist, rerank stage 1) from one
+    * materialized table; the [[ivfAssignCorpus]] rationale. */
+  def pqEncodeCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      residual: Boolean = false): DataFrame = {
+    require(centroids.nonEmpty && codebooks.nonEmpty)
     val centLit = typedLit(centroids)
     def dists(v: Column): Column = transform(centLit, c => l2sq(v, c))
     def nearestCell(v: Column): Column = bindArr(dists(v)) { d =>
       array_position(d, array_min(d)) - 1
     }
+    def minusCent(v: Column, cell: Column): Column =
+      zip_with(v, element_at(centLit, (cell + 1).cast("int")), _ - _)
+    val c0 = corpus.select(col(idCol).alias("neighbor_id"),
+      asDouble(col(vecCol)).alias("__cv"))
+      .withColumn("__cell", nearestCell(col("__cv")))
+    (if (residual)
+      c0.withColumn("__codes", pqEncode(minusCent(col("__cv"), col("__cell")), codebooks))
+    else c0.withColumn("__codes", pqEncode(col("__cv"), codebooks)))
+      .drop("__cv")
+  }
+
+  /** `codedCorpus`, when given, must be a [[pqEncodeCorpus]] frame over
+    * the same corpus/centroids/codebooks with the same `residual` flag
+    * (possibly materialized) — the probe side then skips the per-arm
+    * corpus encoding. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Seq[Seq[Double]], nprobe: Int,
+      codebooks: Seq[Seq[Seq[Double]]], residual: Boolean = false,
+      codedCorpus: Option[DataFrame] = None): DataFrame = {
+    require(centroids.nonEmpty && nprobe >= 1 && codebooks.nonEmpty)
+    val nlist = centroids.size
+    val centLit = typedLit(centroids)
+    def dists(v: Column): Column = transform(centLit, c => l2sq(v, c))
     def probeCells(v: Column): Column = bindArr(dists(v)) { d =>
       val ranked = array_sort(zip_with(d,
         sequence(lit(0L), lit(nlist.toLong - 1)),
@@ -798,13 +845,8 @@ object Similarity {
       val subDim = cb.head.size
       transform(typedLit(cb), cc => l2sq(slice(v, m * subDim + 1, subDim), cc))
     }: _*)
-    val c0 = corpus.select(col(idCol).alias("neighbor_id"),
-      asDouble(col(vecCol)).alias("__cv"))
-      .withColumn("__cell", nearestCell(col("__cv")))
-    val c = (if (residual)
-      c0.withColumn("__codes", pqEncode(minusCent(col("__cv"), col("__cell")), codebooks))
-    else c0.withColumn("__codes", pqEncode(col("__cv"), codebooks)))
-      .drop("__cv")
+    val c = codedCorpus.getOrElse(
+      pqEncodeCorpus(corpus, idCol, vecCol, centroids, codebooks, residual))
     // per-query ADC table: dtable(m)(j) = l2sq(sub_m(q or residual), cb(m)(j))
     val q0 = queries.select(col(idCol).alias("query_id"),
       asDouble(col(vecCol)).alias("__qv"))
@@ -843,10 +885,11 @@ object Similarity {
   def ivfPqTopKRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Seq[Seq[Double]], nprobe: Int,
       codebooks: Seq[Seq[Seq[Double]]], refine: Int,
-      residual: Boolean = false): DataFrame = {
+      residual: Boolean = false,
+      codedCorpus: Option[DataFrame] = None): DataFrame = {
     require(refine >= 1, "refine factor must be >= 1")
     val shortlist = ivfPqTopK(queries, corpus, idCol, vecCol, k * refine,
-      centroids, nprobe, codebooks, residual)
+      centroids, nprobe, codebooks, residual, codedCorpus)
       .select(col("query_id"), col("neighbor_id"))
     val c = corpus.select(col(idCol).alias("neighbor_id"),
       asDouble(col(vecCol)).alias("__cv"))

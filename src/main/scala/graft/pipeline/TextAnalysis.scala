@@ -755,7 +755,13 @@ object TextAnalysis {
     (if (df.isStreaming || !(train eq df)) fullChain(bg)
      else {
        // self-scoring: every df bigram IS a model key (train eq df), so
-       // the single score-table join covers every row — no miss arm
+       // the single score-table join covers every row — no miss arm.
+       // PRECONDITION: df must be deterministic (the model scan and the
+       // scored scan are two evaluations of the same plan; a
+       // nondeterministic df — sample()/rand upstream — could emit a
+       // gram the model scan never saw, which this path FILTERS where
+       // the full chain would back off). All current callers are
+       // deterministic; route new nondeterministic callers via fullChain.
        val smod = bgModel
          .join(leftModel, Seq("w1"))
          .join(contModel, Seq("w2"))
@@ -903,7 +909,13 @@ object TextAnalysis {
     (if (df.isStreaming || !(train eq df)) fullChain(bg)
      else {
        // self-scoring: every df bigram IS a model key (train eq df), so
-       // the single score-table join covers every row — no miss arm
+       // the single score-table join covers every row — no miss arm.
+       // PRECONDITION: df must be deterministic (the model scan and the
+       // scored scan are two evaluations of the same plan; a
+       // nondeterministic df — sample()/rand upstream — could emit a
+       // gram the model scan never saw, which this path FILTERS where
+       // the full chain would back off). All current callers are
+       // deterministic; route new nondeterministic callers via fullChain.
        val smod = bgModel
          .join(leftModel, Seq("w1"))
          .join(contModel, Seq("w2"))
@@ -1039,7 +1051,13 @@ object TextAnalysis {
     (if (df.isStreaming || !(train eq df)) fullChain(tg)
      else {
        // self-scoring: every df trigram IS a model key (train eq df), so
-       // the single score-table join covers every row — no miss arm
+       // the single score-table join covers every row — no miss arm.
+       // PRECONDITION: df must be deterministic (the model scan and the
+       // scored scan are two evaluations of the same plan; a
+       // nondeterministic df — sample()/rand upstream — could emit a
+       // gram the model scan never saw, which this path FILTERS where
+       // the full chain would back off). All current callers are
+       // deterministic; route new nondeterministic callers via fullChain.
        val smod = tm
          .join(left12, Seq("w1", "w2"))
          .join(cont23, Seq("w2", "w3"))
@@ -1195,7 +1213,13 @@ object TextAnalysis {
     (if (df.isStreaming || !(train eq df)) fullChain(tg)
      else {
        // self-scoring: every df trigram IS a model key (train eq df), so
-       // the single score-table join covers every row — no miss arm
+       // the single score-table join covers every row — no miss arm.
+       // PRECONDITION: df must be deterministic (the model scan and the
+       // scored scan are two evaluations of the same plan; a
+       // nondeterministic df — sample()/rand upstream — could emit a
+       // gram the model scan never saw, which this path FILTERS where
+       // the full chain would back off). All current callers are
+       // deterministic; route new nondeterministic callers via fullChain.
        val smod = tm
          .join(left12, Seq("w1", "w2"))
          .join(cont23, Seq("w2", "w3"))
@@ -1453,7 +1477,7 @@ object TextAnalysis {
     * `when`-chain per window) whose lambda re-evaluation made it
     * O(m·w²) with an interpreted constant — bit-identical selections
     * (same rightmost-tie rule, same partial-window fold for
-    * 1 ≤ m < w docs), differential-locked by WinnowKernelSpec against
+    * 1 ≤ m < w docs), differential-locked by TextKernelsSpec against
     * the old Column-algebra form and by the unchanged DuckDB replays.
     *
     * Output: one row per selected fingerprint — (id, pos, fp) with

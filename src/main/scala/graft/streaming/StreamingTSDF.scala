@@ -947,22 +947,24 @@ object StreamingTSDF {
       eventTime: java.sql.Timestamp)
   case class HllRegState(regs: Array[Int])
 
-  /** Streaming HyperLogLog register build: per series, the max-rho register
-    * file of [[graft.pipeline.Sketch.hllRegisters]] carried as m small ints
-    * of state, emitted as a CHANGELOG — each micro-batch emits only the
-    * cells it raised. Registers only grow, so `max(register) per (series,
-    * bucket)` over the sink at ANY point reconstructs the exact batch
-    * register file of everything ingested so far (single-batch: the sink
-    * IS the register file); [[graft.pipeline.Sketch.hllEstimate]] then
-    * reads distinct-count estimates from the rollup. The cell coordinates
-    * come from the shared [[graft.pipeline.Sketch.hllCells]] expressions,
-    * so batch and stream sketches are bit-identical by construction.
+  /** Streaming HyperLogLog register build: per series, a register
+    * CHANGELOG whose `max(register) per (series, bucket)` rollup at ANY
+    * point reconstructs the exact batch
+    * [[graft.pipeline.Sketch.hllRegisters]] file of everything ingested
+    * so far; [[graft.pipeline.Sketch.hllEstimate]] then reads
+    * distinct-count estimates from the rollup. The cell coordinates come
+    * from the shared [[graft.pipeline.Sketch.hllCells]] expressions, so
+    * batch and stream sketches are bit-identical by construction.
     *
-    * State is m ints per series — bounded, merge-free, watermark-evictable
-    * via `stateTtl` — the streaming face of the same 100 TB mergeable-
-    * sketch story as the batch builder. Late rows are harmless (a register
-    * can only be raised, never needs rewinding); eviction via ttl starts a
-    * fresh sketch for series idle past the watermark. */
+    * Without `stateTtl` the emission is a stateless per-partition
+    * pre-aggregation (each (partition, batch) emits its own per-bucket
+    * max rho — max is idempotent and commutative, so the rollup is exact
+    * for any partitioning; no exchange, no state stores — the
+    * [[histogramDeltas]] discipline). With `stateTtl` the keyed stateful
+    * form runs instead: m ints of state per series, merge-free,
+    * watermark-evicted — eviction genuinely requires remembered state.
+    * Late rows are harmless either way (a register can only be raised,
+    * never needs rewinding). */
   def hllRegisters(df: DataFrame, tsCol: String, seriesCols: Seq[String],
       itemCol: Column, bucketBits: Int = 6, seed: Int = 29,
       stateTtl: Option[String] = None, wide: Boolean = false): DataFrame = {
@@ -983,12 +985,28 @@ object StreamingTSDF {
       .filter(col("bucket").isNotNull) // null items carry no cell
     val events = stateTtl.fold(projected)(ttl =>
       projected.withWatermark("eventTime", ttl)).as[HllEvent]
-    val timeoutConf =
-      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
-    val out = events
+    // Without a TTL the changelog needs NO cross-batch state for the
+    // rollup to be exact: the sink fold is max(register), and max is
+    // idempotent and commutative, so emitting each PARTITION's per-batch
+    // maxima (a stateless map-side combine — no exchange, no sort, no
+    // state stores) max-folds to the identical register file for any
+    // partitioning and any micro-batch split. The keyed stateful form
+    // below survives only for the TTL path, whose eviction semantics
+    // genuinely require remembered state.
+    val out = (if (stateTtl.isEmpty)
+      events.mapPartitions { it =>
+        val regs = scala.collection.mutable.SortedMap.empty[(String, Int), Int]
+        it.foreach { e =>
+          val k = (e.series, e.bucket.toInt)
+          val cur = regs.getOrElse(k, 0)
+          if (e.rho > cur) regs(k) = e.rho
+        }
+        regs.iterator.map { case ((s, b), r) => (s, b.toLong, r) }
+      }
+    else events
       .groupByKey(_.series)
-      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
         (key: String, rows: Iterator[HllEvent], state: GroupState[HllRegState]) =>
           if (state.hasTimedOut) {
             state.remove()
@@ -1007,7 +1025,7 @@ object StreamingTSDF {
               math.max(maxTsMs, state.getCurrentWatermarkMs() + 1), ttl))
             changed.iterator.map(b => (key, b.toLong, regs(b)))
           }
-      }
+      })
       .toDF("series", "bucket", "register")
     out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
       col("bucket"), col("register")): _*)
@@ -1015,28 +1033,28 @@ object StreamingTSDF {
 
   // ----------------------------------------------- streaming KMV k-min
   case class KmvEvent(series: String, h: Long)
-  case class KmvState(mins: Array[Long]) // ascending, ≤ k entries
 
-  /** Streaming KMV k-min build: per series, the running k smallest
-    * DISTINCT item hashes, emitted as a CHANGELOG — each micro-batch
-    * emits only the hashes that newly ENTERED the running k-min set.
-    * Reconstruction invariant: any member of the FINAL k-min set was
-    * inserted when first seen (the running max only decreases, so a hash
-    * below the final max was below the max at its arrival too), hence
-    * the sink holds a superset of the final set and re-taking the k
-    * smallest distinct over it — [[graft.pipeline.Sketch.kmvFromHashes]],
-    * the same aggregate the batch builder uses — reproduces the batch
+  /** Streaming KMV k-min build: per series, each (input partition,
+    * micro-batch) emits ITS OWN k smallest distinct item hashes — a
+    * stateless per-partition pre-aggregation (the [[histogramDeltas]]
+    * discipline: no exchange, no sort, no state stores).
+    * Reconstruction invariant: a member of the FINAL global k-min set
+    * has fewer than k distinct hashes below it anywhere, hence fewer
+    * than k below it inside any (partition, batch) that carries it — so
+    * every final member is emitted, the sink holds a superset of the
+    * final set, and re-taking the k smallest distinct over it —
+    * [[graft.pipeline.Sketch.kmvFromHashes]], the same aggregate the
+    * batch builder uses — reproduces the batch
     * [[graft.pipeline.Sketch.kmvDistinct]] answer EXACTLY, for any
-    * micro-batch split. Hashes come from the shared engine-agnostic
-    * [[graft.pipeline.Hashing]] family, so the folded readout still
-    * replays in a SQL oracle.
+    * partitioning and any micro-batch split. Hashes come from the shared
+    * engine-agnostic [[graft.pipeline.Hashing]] family, so the folded
+    * readout still replays in a SQL oracle.
     *
-    * State is ≤ k longs per series — bounded, the streaming face of the
-    * bounded [[graft.functions.KMinDistinctAgg]] buffer. Emission volume
-    * per batch is at most the insert count (≤ k after convergence —
-    * changelog traffic decays as the sketch fills). Documents carry no
-    * event time here; the per-bucket trailing variant is the place for
-    * watermark/ttl semantics. */
+    * The in-flight buffer is ≤ k longs per series per partition — the
+    * streaming face of the bounded [[graft.functions.KMinDistinctAgg]]
+    * buffer. Emission volume per (partition, batch) is ≤ k per series.
+    * Documents carry no event time here; the per-bucket trailing variant
+    * is the place for watermark/ttl semantics. */
   def kmvMins(df: DataFrame, seriesCols: Seq[String], itemCol: Column,
       k: Int, seed: Int = 17, wide: Boolean = false): DataFrame = {
     require(k >= 2, "k must be >= 2")
@@ -1054,31 +1072,35 @@ object StreamingTSDF {
     val events = df.select(
       seriesKey(seriesCols).alias("series"), h.alias("h"))
       .filter(col("h").isNotNull).as[KmvEvent]
+    // Stateless per-PARTITION k-min emission — no exchange, no sort, no
+    // state stores. Superset invariant, per partition: a member of the
+    // FINAL global k-min set has fewer than k distinct hashes below it
+    // anywhere, hence fewer than k below it inside any partition's batch
+    // that contains it — so every final member is emitted by whichever
+    // (partition, batch) first carries it, the sink holds a superset of
+    // the final set, and the k-min re-fold ([[graft.pipeline.Sketch
+    // .kmvFromHashes]], which takes the k smallest DISTINCT) reproduces
+    // the batch sketch exactly for any partitioning and any micro-batch
+    // split. A hash re-emitted by a later batch or a sibling partition is
+    // excess the re-fold trims — the same slack the old changelog already
+    // carried for evicted entries.
     val out = events
-      .groupByKey(_.series)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
-        (key: String, rows: Iterator[KmvEvent], state: GroupState[KmvState]) =>
-          val set = new java.util.TreeSet[java.lang.Long]()
-          state.getOption.foreach(_.mins.foreach(v => set.add(v)))
-          val entered = scala.collection.mutable.ArrayBuffer.empty[Long]
-          rows.foreach { e =>
-            val v = e.h
-            val inserted =
-              if (set.contains(v)) false
-              else if (set.size < k) { set.add(v); true }
-              else if (v < set.last()) { set.add(v); set.pollLast(); true }
-              else false
-            // a hash evicted later (same batch or a later one) may sit in
-            // the sink as excess — harmless, the k-min re-fold trims it
-            if (inserted) entered += v
+      .mapPartitions { it =>
+        val sets =
+          scala.collection.mutable.SortedMap.empty[String, java.util.TreeSet[java.lang.Long]]
+        it.foreach { e =>
+          val set = sets.getOrElseUpdate(e.series,
+            new java.util.TreeSet[java.lang.Long]())
+          val v = e.h
+          if (!set.contains(v)) {
+            if (set.size < k) set.add(v)
+            else if (v < set.last()) { set.add(v); set.pollLast() }
           }
-          val mins = new Array[Long](set.size)
-          val it = set.iterator()
-          var i = 0
-          while (it.hasNext) { mins(i) = it.next().longValue(); i += 1 }
-          state.update(KmvState(mins))
-          entered.iterator.map(v => (key, v))
+        }
+        sets.iterator.flatMap { case (s, set) =>
+          import scala.jdk.CollectionConverters._
+          set.iterator().asScala.map(v => (s, v.longValue()))
+        }
       }
       .toDF("series", "h")
     out.select(typedSeriesCols(df.schema, seriesCols) :+ col("h"): _*)
@@ -1096,9 +1118,9 @@ object StreamingTSDF {
     * [[graft.pipeline.Sketch.histQuantiles]] reads quantiles from it).
     * Bins come from the shared [[graft.pipeline.Sketch.histBin]]
     * expression, so batch and stream cannot drift. The operator carries
-    * NO cross-batch state (deltas need none) — `flatMapGroupsWithState`
-    * is used only to legally aggregate inside an append-mode stream;
-    * nothing is stored, nothing can leak. */
+    * NO cross-batch state (deltas need none) — it is a stateless
+    * per-partition pre-aggregation; nothing is stored, nothing can
+    * leak. */
   def histogramDeltas(df: DataFrame, tsCol: String, seriesCols: Seq[String],
       valueCol: Column, lo: Double, hi: Double, nBins: Int): DataFrame = {
     val spark = df.sparkSession
@@ -1108,13 +1130,21 @@ object StreamingTSDF {
       graft.pipeline.Sketch.histBin(valueCol, lo, hi, nBins).alias("bin"),
       col(tsCol).alias("eventTime"))
       .filter(col("bin").isNotNull).as[HistEvent]
+    // Stateless per-PARTITION pre-aggregation (map-side combine), not a
+    // keyed stateful operator: deltas are additive, so per-partition
+    // per-batch counts fold to the identical grid for any partitioning
+    // and any micro-batch split — and the stream plan drops its only
+    // exchange, its sort and its state-store instances (commit cost per
+    // partition per micro-batch). Sorted emission keeps the output
+    // deterministic per input partition (task-retry safe).
     val out = projected
-      .groupByKey(_.series)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
-        (key: String, rows: Iterator[HistEvent], state: GroupState[Long]) =>
-          rows.toSeq.groupBy(_.bin).iterator
-            .map { case (bin, rs) => (key, bin, rs.size.toLong) }
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.SortedMap.empty[(String, Long), Long]
+        it.foreach { e =>
+          val k = (e.series, e.bin)
+          acc(k) = acc.getOrElse(k, 0L) + 1L
+        }
+        acc.iterator.map { case ((s, b), c) => (s, b, c) }
       }
       .toDF("series", "bin", "cnt")
     out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
@@ -1122,7 +1152,7 @@ object StreamingTSDF {
   }
 
   // ----------------------------------------------- streaming count-min
-  case class CmsEvent(series: String, salt: Int, row: Long, bucket: Long)
+  case class CmsEvent(series: String, row: Long, bucket: Long)
 
   /** Streaming Count-Min feed: per micro-batch, the exact per-cell hit
     * counts of the batch's items per series — COUNT DELTAS, so a plain
@@ -1134,20 +1164,16 @@ object StreamingTSDF {
     * CRT-pair family), so batch and stream cannot drift and the folded
     * readout replays in the same SQL oracle as the batch sketch.
     *
-    * The group key is (series, salt) with `salt = hash(cell) % salts`:
-    * counter deltas are additive across salts, so salting changes nothing
-    * in the folded answer while spreading a corpus-global sketch (empty
-    * `seriesCols` — one logical series) across `salts` parallel state
-    * groups instead of funneling every token of every micro-batch through
-    * one task. No cross-batch state is carried (deltas need none) —
-    * `flatMapGroupsWithState` only legalizes aggregation inside an
-    * append-mode stream. Null items carry no cells (same convention as
-    * [[hllRegisters]]). */
+    * Deltas are emitted per INPUT PARTITION per batch (a stateless
+    * map-side combine — the [[histogramDeltas]] discipline): additivity
+    * makes the fold exact for any partitioning, parallelism follows the
+    * ingest partitions, and the stream plan carries no exchange and no
+    * state stores. No cross-batch state is needed (deltas carry none).
+    * Null items carry no cells (same convention as [[hllRegisters]]). */
   def cmsDeltas(df: DataFrame, seriesCols: Seq[String], itemCol: Column,
-      width: Int, depth: Int, seed: Int = 53, wide: Boolean = false,
-      salts: Int = 32): DataFrame = {
-    require(width >= 2 && depth >= 1 && salts >= 1,
-      "need width >= 2, depth >= 1, salts >= 1")
+      width: Int, depth: Int, seed: Int = 53,
+      wide: Boolean = false): DataFrame = {
+    require(width >= 2 && depth >= 1, "need width >= 2, depth >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     val projected = df.select(
@@ -1157,17 +1183,23 @@ object StreamingTSDF {
       .select(col("series"), col("__a.row").alias("row"),
         col("__a.bucket").alias("bucket"))
       .filter(col("bucket").isNotNull)
-      .withColumn("salt",
-        pmod(hash(col("row"), col("bucket")), lit(salts)).cast(IntegerType))
       .as[CmsEvent]
+    // Stateless per-PARTITION pre-aggregation (the histogramDeltas
+    // discipline): counter deltas are additive, so per-partition
+    // per-batch cell counts sum-fold to the identical CMS grid for any
+    // partitioning and any micro-batch split — no exchange, no sort, no
+    // state stores; parallelism comes from the input partitions instead
+    // of salt groups. Sorted emission keeps output deterministic per
+    // input partition (task-retry safe).
     val out = projected
-      .groupByKey(e => (e.series, e.salt))
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
-        (key: (String, Int), rows: Iterator[CmsEvent],
-            state: GroupState[Long]) =>
-          rows.toSeq.groupBy(e => (e.row, e.bucket)).iterator
-            .map { case ((r, b), rs) => (key._1, r, b, rs.size.toLong) }
+      .mapPartitions { it =>
+        val acc =
+          scala.collection.mutable.SortedMap.empty[(String, Long, Long), Long]
+        it.foreach { e =>
+          val k = (e.series, e.row, e.bucket)
+          acc(k) = acc.getOrElse(k, 0L) + 1L
+        }
+        acc.iterator.map { case ((s, r, b), c) => (s, r, b, c) }
       }
       .toDF("series", "row", "bucket", "cnt")
     out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
@@ -1175,35 +1207,33 @@ object StreamingTSDF {
   }
 
   // ----------------------------------------------- streaming Bloom filter
-  case class BloomEvent(series: String, salt: Int, word: Long, mask: Long)
-  case class BloomState(words: Map[Long, Long])
+  case class BloomEvent(series: String, word: Long, mask: Long)
 
   /** Streaming Bloom filter build: per series, the filter's set bits
-    * emitted as a CHANGELOG — each micro-batch emits, per 31-bit word, one
-    * row holding exactly the bits that turned on in that batch. Every
-    * (series, word, bit) is emitted at most once across the stream's
-    * lifetime (state remembers the word's accumulated mask), so a plain
-    * `sum(mask) per (series, word)` over the sink IS the bitwise OR and
-    * reconstructs the batch [[graft.pipeline.Sketch.bloomBuild]] filter
-    * exactly, for any micro-batch split — probed with the unchanged batch
-    * [[graft.pipeline.Sketch.bloomProbe]], replayed by the same SQL oracle.
-    * Addresses come from the shared
+    * emitted as a CHANGELOG — each (input partition, micro-batch) emits,
+    * per 31-bit word, one row holding the OR of the masks it saw. Set
+    * bits are idempotent under OR, so `bit_or(mask) per (series, word)`
+    * over the sink reconstructs the batch
+    * [[graft.pipeline.Sketch.bloomBuild]] filter exactly, for any
+    * partitioning and any micro-batch split — probed with the unchanged
+    * batch [[graft.pipeline.Sketch.bloomProbe]], replayed by the same SQL
+    * oracle. Addresses come from the shared
     * [[graft.pipeline.Sketch.bloomAddresses]] expressions (narrow or
     * `wide`).
     *
-    * The group key is (series, salt) with `salt = hash(word) % salts`: a
-    * word lives in exactly one salt group, so the emit-once invariant is
-    * global while a corpus-wide filter (empty `seriesCols`) builds across
-    * `salts` parallel groups. State is at most m/31 (word → mask) entries
-    * per series TOTAL across its salt groups — the filter's own fixed
-    * footprint, the same bounded-state story as the batch filter's ≤ m/31
-    * rows. Changelog traffic decays as the filter fills (a saturated
-    * filter emits nothing). Null items carry no bits. */
+    * The emission is a stateless per-partition pre-aggregation (the
+    * [[histogramDeltas]] discipline): no exchange, no sort, no state
+    * stores — the filter's footprint (≤ m/31 word rows per series per
+    * partition per batch) bounds both the in-flight map and the sink
+    * traffic. NOTE the fold is bitwise OR, not sum: a (series, word, bit)
+    * may be emitted by several (partition, batch) pairs (the stateful
+    * emit-once form this replaced allowed a sum fold; the folded filter
+    * is bit-identical either way). Null items carry no bits. */
   def bloomBits(df: DataFrame, seriesCols: Seq[String], itemCol: Column,
-      mBits: Int, depth: Int, seed: Int = 97, wide: Boolean = false,
-      salts: Int = 32): DataFrame = {
-    require(mBits >= graft.pipeline.Sketch.BloomBitsPerWord && depth >= 1 &&
-      salts >= 1, s"need mBits >= 31, depth >= 1, salts >= 1")
+      mBits: Int, depth: Int, seed: Int = 97,
+      wide: Boolean = false): DataFrame = {
+    require(mBits >= graft.pipeline.Sketch.BloomBitsPerWord && depth >= 1,
+      s"need mBits >= 31, depth >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     val projected = df.select(
@@ -1213,28 +1243,24 @@ object StreamingTSDF {
       .select(col("series"), col("__a.word").alias("word"),
         col("__a.mask").alias("mask"))
       .filter(col("word").isNotNull)
-      .withColumn("salt", pmod(hash(col("word")), lit(salts)).cast(IntegerType))
       .as[BloomEvent]
+    // Stateless per-PARTITION pre-aggregation (the histogramDeltas
+    // discipline): each partition emits, per (series, word), the OR of
+    // the masks it saw in the batch. Set bits are idempotent under OR,
+    // so a `bit_or(mask) per (series, word)` fold over the sink IS the
+    // filter for any partitioning and any micro-batch split — no
+    // exchange, no sort, no state stores. NOTE the fold is bitwise OR,
+    // not sum: a (series, word, bit) may now be emitted by several
+    // (partition, batch) pairs, so the old emit-once/sum contract no
+    // longer holds (the filter itself is unchanged bit-for-bit).
     val out = projected
-      .groupByKey(e => (e.series, e.salt))
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
-        (key: (String, Int), rows: Iterator[BloomEvent],
-            state: GroupState[BloomState]) =>
-          val words = scala.collection.mutable.HashMap.empty[Long, Long]
-          state.getOption.foreach(st => words ++= st.words)
-          // SortedMap keeps emission order deterministic per batch
-          val newBits = scala.collection.mutable.SortedMap.empty[Long, Long]
-          rows.foreach { e =>
-            val cur = words.getOrElse(e.word, 0L)
-            val add = e.mask & ~cur
-            if (add != 0L) {
-              words(e.word) = cur | add
-              newBits(e.word) = newBits.getOrElse(e.word, 0L) | add
-            }
-          }
-          state.update(BloomState(words.toMap))
-          newBits.iterator.map { case (w, m) => (key._1, w, m) }
+      .mapPartitions { it =>
+        val words = scala.collection.mutable.SortedMap.empty[(String, Long), Long]
+        it.foreach { e =>
+          val k = (e.series, e.word)
+          words(k) = words.getOrElse(k, 0L) | e.mask
+        }
+        words.iterator.map { case ((s, w), m) => (s, w, m) }
       }
       .toDF("series", "word", "mask")
     out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
@@ -1253,10 +1279,10 @@ object StreamingTSDF {
     * integer sums (hour-of-day profiles for DTW, per-bucket masses,
     * count grids via `valueCol = 1`) folds from the sink without
     * rescanning history. No cross-batch state is carried (deltas need
-    * none — `flatMapGroupsWithState` only legalizes aggregation inside
-    * an append-mode stream); sink traffic per batch is the number of
-    * DISTINCT (series, key) cells touched, not the row count. Null keys
-    * and null values carry nothing. */
+    * none — the emission is a stateless per-partition pre-aggregation,
+    * the [[histogramDeltas]] discipline); sink traffic per batch is the
+    * number of DISTINCT (series, key) cells touched per partition, not
+    * the row count. Null keys and null values carry nothing. */
   def sumDeltas(df: DataFrame, seriesCols: Seq[String], keyCol: Column,
       valueCol: Column): DataFrame = {
     val spark = df.sparkSession
@@ -1267,14 +1293,17 @@ object StreamingTSDF {
       valueCol.cast(LongType).alias("v"))
       .filter(col("key").isNotNull && col("v").isNotNull)
       .as[SumEvent]
+    // Stateless per-PARTITION pre-aggregation (the histogramDeltas
+    // discipline): sums are additive, so per-partition per-batch deltas
+    // fold identically for any partitioning and any micro-batch split.
     val out = projected
-      .groupByKey(_.series)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
-        (key: String, rows: Iterator[SumEvent], state: GroupState[Long]) =>
-          val acc = scala.collection.mutable.SortedMap.empty[Long, Long]
-          rows.foreach(e => acc(e.key) = acc.getOrElse(e.key, 0L) + e.v)
-          acc.iterator.map { case (k, s) => (key, k, s) }
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.SortedMap.empty[(String, Long), Long]
+        it.foreach { e =>
+          val k = (e.series, e.key)
+          acc(k) = acc.getOrElse(k, 0L) + e.v
+        }
+        acc.iterator.map { case ((s, k), v) => (s, k, v) }
       }
       .toDF("series", "key", "s")
     out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
@@ -1302,17 +1331,19 @@ object StreamingTSDF {
       eventCol.alias("ev"))
       .filter(col("t").isNotNull && col("ev").isNotNull)
       .as[KmEvent]
+    // Stateless per-PARTITION pre-aggregation (the histogramDeltas
+    // discipline): grid cells are additive, so per-partition per-batch
+    // deltas fold identically for any partitioning and micro-batching.
     val out = projected
-      .groupByKey(_.series)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
-        (key: String, rows: Iterator[KmEvent], state: GroupState[Long]) =>
-          val acc = scala.collection.mutable.SortedMap.empty[Long, (Long, Long)]
-          rows.foreach { e =>
-            val (d, o) = acc.getOrElse(e.t, (0L, 0L))
-            acc(e.t) = (d + (if (e.ev) 1L else 0L), o + 1L)
-          }
-          acc.iterator.map { case (t, (d, o)) => (key, t, d, o) }
+      .mapPartitions { it =>
+        val acc =
+          scala.collection.mutable.SortedMap.empty[(String, Long), (Long, Long)]
+        it.foreach { e =>
+          val k = (e.series, e.t)
+          val (d, o) = acc.getOrElse(k, (0L, 0L))
+          acc(k) = (d + (if (e.ev) 1L else 0L), o + 1L)
+        }
+        acc.iterator.map { case ((s, t), (d, o)) => (s, t, d, o) }
       }
       .toDF("series", "t", "d", "obs")
     out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
@@ -1549,14 +1580,18 @@ object StreamingTSDF {
       valueCol.cast(LongType).alias("y"))
       .filter(col("y").isNotNull)
       .as[StatEvent]
+    // Stateless per-PARTITION pre-aggregation (the histogramDeltas
+    // discipline): moments are additive, so per-partition per-batch
+    // deltas fold identically for any partitioning and micro-batching.
     val out = projected
-      .groupByKey(_.series)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
-        (key: String, rows: Iterator[StatEvent], state: GroupState[Long]) =>
-          var n = 0L; var s1 = 0L; var s2 = 0L
-          rows.foreach { e => n += 1; s1 += e.y; s2 += e.y * e.y }
-          if (n > 0) Iterator.single((key, n, s1, s2)) else Iterator.empty
+      .mapPartitions { it =>
+        val acc =
+          scala.collection.mutable.SortedMap.empty[String, (Long, Long, Long)]
+        it.foreach { e =>
+          val (n, s1, s2) = acc.getOrElse(e.series, (0L, 0L, 0L))
+          acc(e.series) = (n + 1, s1 + e.y, s2 + e.y * e.y)
+        }
+        acc.iterator.map { case (k, (n, s1, s2)) => (k, n, s1, s2) }
       }
       .toDF("series", "n", "s1", "s2")
     out.select(typedSeriesCols(df.schema, seriesCols) ++ Seq(
@@ -1585,22 +1620,21 @@ object StreamingTSDF {
       .filter(col("x1").isNotNull && col("x2").isNotNull &&
         col("y").isNotNull)
       .as[OlsEvent]
+    // Stateless per-PARTITION pre-aggregation (the histogramDeltas
+    // discipline): moments are additive, so per-partition per-batch
+    // deltas fold identically for any partitioning and micro-batching.
     val out = projected
-      .groupByKey(_.series)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
-        (key: String, rows: Iterator[OlsEvent], state: GroupState[Long]) =>
-          var n = 0L; var s1 = 0L; var s2 = 0L; var sy = 0L
-          var s11 = 0L; var s12 = 0L; var s22 = 0L
-          var s1y = 0L; var s2y = 0L
-          rows.foreach { e =>
-            n += 1; s1 += e.x1; s2 += e.x2; sy += e.y
-            s11 += e.x1 * e.x1; s12 += e.x1 * e.x2; s22 += e.x2 * e.x2
-            s1y += e.x1 * e.y; s2y += e.x2 * e.y
-          }
-          if (n > 0)
-            Iterator.single((key, n, s1, s2, sy, s11, s12, s22, s1y, s2y))
-          else Iterator.empty
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.SortedMap.empty[String, Array[Long]]
+        it.foreach { e =>
+          val a = acc.getOrElseUpdate(e.series, new Array[Long](9))
+          a(0) += 1; a(1) += e.x1; a(2) += e.x2; a(3) += e.y
+          a(4) += e.x1 * e.x1; a(5) += e.x1 * e.x2; a(6) += e.x2 * e.x2
+          a(7) += e.x1 * e.y; a(8) += e.x2 * e.y
+        }
+        acc.iterator.map { case (k, a) =>
+          (k, a(0), a(1), a(2), a(3), a(4), a(5), a(6), a(7), a(8))
+        }
       }
       .toDF("series", "n", "sx1", "sx2", "sy", "sx11", "sx12", "sx22",
         "sx1y", "sx2y")
@@ -1610,47 +1644,51 @@ object StreamingTSDF {
   }
 
   // ---------------------------------------------- streaming pair counts
-  case class PairEvent(w1: String, w2: String, salt: Int)
+  case class PairEvent(w1: String, w2: String)
 
   /** Streaming pair-count feed: per micro-batch, the exact COUNT DELTAS
     * per (w1, w2) string pair — counts are additive, so `sum(cnt) per
     * (w1, w2)` over the sink reconstructs the exact batch pair grid of
     * everything ingested, for any micro-batch split (pairs are generated
     * WITHIN arriving rows — e.g. a document's bigrams — so no pair can
-    * straddle a batch boundary and no cross-batch state is needed). The
-    * group key is `salt = hash(w1, w2) % salts`: deltas are additive
-    * across salts, so a corpus-global count spreads over `salts`
-    * parallel groups — the [[cmsDeltas]] discipline. Sink traffic per
-    * batch = distinct pairs touched, not occurrences. */
-  def pairCountDeltas(df: DataFrame, aCol: Column, bCol: Column,
-      salts: Int = 32): DataFrame = {
-    require(salts >= 1, "salts must be >= 1")
+    * straddle a batch boundary and no cross-batch state is needed).
+    * Deltas are emitted per INPUT PARTITION per batch (a stateless
+    * map-side combine — the [[histogramDeltas]] discipline): no
+    * exchange, no sort, no state stores. Sink traffic per batch =
+    * distinct pairs touched per partition, not occurrences. */
+  def pairCountDeltas(df: DataFrame, aCol: Column,
+      bCol: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val projected = df.select(
       aCol.cast(StringType).alias("w1"), bCol.cast(StringType).alias("w2"))
       .filter(col("w1").isNotNull && col("w2").isNotNull)
-      .withColumn("salt",
-        pmod(hash(col("w1"), col("w2")), lit(salts)).cast(IntegerType))
       .as[PairEvent]
+    // Stateless per-PARTITION pre-aggregation (the histogramDeltas
+    // discipline): count deltas are additive, so per-partition per-batch
+    // pair counts sum-fold to the identical grid for any partitioning and
+    // any micro-batch split — no exchange, no sort, no state stores;
+    // parallelism comes from the input partitions instead of salt groups.
     projected
-      .groupByKey(_.salt)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
-        (salt: Int, rows: Iterator[PairEvent], state: GroupState[Long]) =>
-          rows.toSeq.groupBy(e => (e.w1, e.w2)).iterator
-            .map { case ((a, b), rs) => (a, b, rs.size.toLong) }
+      .mapPartitions { it =>
+        val acc =
+          scala.collection.mutable.SortedMap.empty[(String, String), Long]
+        it.foreach { e =>
+          val k = (e.w1, e.w2)
+          acc(k) = acc.getOrElse(k, 0L) + 1L
+        }
+        acc.iterator.map { case ((a, b), c) => (a, b, c) }
       }
       .toDF("w1", "w2", "cnt")
   }
 
   // ----------------------------------------------- streaming Gram matrix
-  case class GramEvent(salt: Int, vec: Seq[Long])
+  case class GramEvent(vec: Seq[Long])
 
   /** Streaming Gram-matrix feed: per micro-batch, the exact integer
     * second-moment DELTAS of the batch's vectors — the packed
     * upper-triangle cell sums Σ vᵢ·vⱼ plus the contributing row count,
-    * per salt group. Gram sums are additive across rows, so
+    * per input partition. Gram sums are additive across rows, so
     * `sum(s), sum(n) per (i, j)` over the sink reconstructs the exact
     * batch [[graft.pipeline.Pca.gramMatrix]] of everything ingested, for
     * any micro-batch split — the streaming face of the one-pass
@@ -1661,49 +1699,49 @@ object StreamingTSDF {
     * (batch, group) is emitted — including zero sums — so the folded n
     * is the row count on every cell, exactly like the batch output.
     *
-    * The group key is `salt = hash(vec) % salts`: Gram deltas are
-    * additive across salts, so salting changes nothing in the folded
-    * answer while spreading a corpus-global accumulation (the operator
-    * has ONE logical series) over `salts` parallel state groups — the
-    * [[cmsDeltas]] discipline. Per group the in-flight accumulator is
-    * one dim(dim+1)/2 Long array (~16 KiB at dim 64), the same bounded
+    * The emission is a stateless per-partition pre-aggregation (the
+    * [[histogramDeltas]] discipline): no exchange, no sort, no state
+    * stores — Gram deltas are additive across partitions exactly as they
+    * are across rows. Per partition the in-flight accumulator is one
+    * dim(dim+1)/2 Long array (~16 KiB at dim 64), the same bounded
     * footprint as the batch aggregate's buffer; no cross-batch state is
-    * carried (deltas need none — `flatMapGroupsWithState` only legalizes
-    * aggregation inside an append-mode stream). Sink traffic is
-    * cells × salts per micro-batch, independent of row count. Null and
+    * carried (deltas need none). Sink traffic is cells × input
+    * partitions per micro-batch, independent of row count. Null and
     * wrong-length vectors are rejected up front (the batch aggregate's
     * convention). */
-  def gramDeltas(df: DataFrame, vecCol: Column, dim: Int,
-      salts: Int = 32): DataFrame = {
-    require(dim >= 1 && salts >= 1, "need dim >= 1, salts >= 1")
+  def gramDeltas(df: DataFrame, vecCol: Column, dim: Int): DataFrame = {
+    require(dim >= 1, "need dim >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     val nCells = dim * (dim + 1) / 2
     val projected = df.select(
-      pmod(hash(vecCol), lit(salts)).cast(IntegerType).alias("salt"),
       transform(vecCol, x => x.cast(LongType)).alias("vec"))
       .filter(col("vec").isNotNull && size(col("vec")) === dim)
       .as[GramEvent]
+    // Stateless per-PARTITION pre-aggregation (the histogramDeltas
+    // discipline): Gram sums and row counts are additive, so
+    // per-partition per-batch cell deltas fold identically for any
+    // partitioning and any micro-batch split; every cell of a non-empty
+    // partition is emitted — including zero sums — so the folded n stays
+    // the row count on every cell, exactly like the batch output.
     projected
-      .groupByKey(_.salt)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
-        (salt: Int, rows: Iterator[GramEvent], state: GroupState[Long]) =>
-          val acc = new Array[Long](nCells)
-          var n = 0L
-          rows.foreach { e =>
-            val v = e.vec.toArray
-            var k = 0
-            var i = 0
-            while (i < dim) {
-              val vi = v(i)
-              var j = i
-              while (j < dim) { acc(k) += vi * v(j); k += 1; j += 1 }
-              i += 1
-            }
-            n += 1
+      .mapPartitions { it =>
+        val acc = new Array[Long](nCells)
+        var n = 0L
+        it.foreach { e =>
+          val v = e.vec.toArray
+          var k = 0
+          var i = 0
+          while (i < dim) {
+            val vi = v(i)
+            var j = i
+            while (j < dim) { acc(k) += vi * v(j); k += 1; j += 1 }
+            i += 1
           }
-          (0 until nCells).iterator.map(k => (k, acc(k), n))
+          n += 1
+        }
+        if (n == 0) Iterator.empty
+        else (0 until nCells).iterator.map(k => (k, acc(k), n))
       }
       .toDF("k", "s", "n")
   }

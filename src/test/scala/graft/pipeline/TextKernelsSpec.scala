@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
 
 import graft.SparkTestBase
 
@@ -69,7 +69,7 @@ class TextKernelsSpec extends SparkTestBase {
             .alias("__t"))
         .filter((1 to n).map(j => col(s"__t.w$j") =!= "").reduce(_ && _))
         .select(col("id") +: (1 to n).map(j => col(s"__t.w$j")): _*)
-        .collect().map(_.toSeq).toSet
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
       val newGrams = df
         .select(col("id"),
           explode(org.apache.spark.sql.GraftColumns.column(
@@ -77,7 +77,10 @@ class TextKernelsSpec extends SparkTestBase {
               org.apache.spark.sql.GraftColumns.expression(
                 Dedup.normalizeText(col("text"))), n))).alias("__t"))
         .select(col("id") +: (1 to n).map(j => col(s"__t.w$j")): _*)
-        .collect().map(_.toSeq).toSet
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+      // multiset equality, not set: repeated grams within a document carry
+      // LM counts, so a kernel bug that duplicated or dropped a repeated
+      // gram must fail here
       assert(newGrams == oldGrams, s"n=$n")
     }
   }
@@ -143,9 +146,39 @@ class TextKernelsSpec extends SparkTestBase {
   test("WinnowGrams matches the interpreted winnow selection bit-for-bit") {
     for ((k, w) <- Seq((5, 4), (16, 4), (2, 2), (3, 7))) {
       val got = TextAnalysis.winnowFingerprints(df, "text", "id", k, w)
-        .collect().map(_.toSeq).toSet
-      val want = oldWinnow(df, k, w).collect().map(_.toSeq).toSet
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+      val want = oldWinnow(df, k, w)
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
       assert(got == want, s"k=$k w=$w")
+    }
+  }
+
+  test("HashedGramBuckets matches the grams+bucketOf Column chain " +
+      "bit-for-bit, including order and multiplicity") {
+    // the pre-r19 DSIR gram/bucket chain, verbatim
+    def oldGrams(textCol: Column): Column = {
+      val toks = split(oldNormalize(textCol), " ")
+      flatten(transform(array(toks), ts =>
+        concat(ts,
+          when(size(ts) >= 2,
+            transform(sequence(lit(1), size(ts) - 1),
+              i => concat_ws(" ", slice(ts, i, lit(2)))))
+            .otherwise(array().cast(ArrayType(StringType))))))
+    }
+    def oldBucketOf(g: Column, buckets: Int, seed: Int): Column =
+      pmod(Hashing.mix(Hashing.polyHash(g), seed), lit(buckets.toLong))
+    for ((buckets, seed) <- Seq((4096, 23), (7, 23), (1, 5), (256, 0))) {
+      val want = df.select(col("id"),
+        transform(oldGrams(col("text")),
+          g => oldBucketOf(g, buckets, seed)).alias("bs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val got = df.select(col("id"),
+        org.apache.spark.sql.GraftColumns.column(
+          graft.functions.HashedGramBuckets(
+            org.apache.spark.sql.GraftColumns.expression(
+              Dedup.normalizeText(col("text"))), buckets, seed)).alias("bs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(got == want, s"buckets=$buckets seed=$seed") // incl. ORDER
     }
   }
 

@@ -199,18 +199,17 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
   }
 
   test("property: streaming cmsDeltas sum-roll to the exact batch CMS grid " +
-      "across micro-batches and salt groups, narrow AND wide") {
+      "across micro-batches and input partitions, narrow AND wide") {
     val spark2 = spark
     import spark2.implicits._
     implicit val sqlCtx = spark.sqlContext
     for (wide <- Seq(false, true)) {
       val rnd = new scala.util.Random(53)
       val mem = MemoryStream[(String, String)]
-      // salts = 5 exercises the salt-group spread; width small enough that
-      // cells collide hard, so per-batch grouping must merge correctly
+      // width small enough that cells collide hard, so the per-partition
+      // pre-aggregation must merge correctly
       val out = StreamingTSDF.cmsDeltas(mem.toDF().toDF("src", "item"),
-        Seq("src"), col("item"), width = 64, depth = 3, wide = wide,
-        salts = 5)
+        Seq("src"), col("item"), width = 64, depth = 3, wide = wide)
       val sinkName = s"cms_diff_sink_$wide"
       val q = out.writeStream.format("memory").queryName(sinkName)
         .outputMode(OutputMode.Append()).start()
@@ -238,8 +237,8 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
     }
   }
 
-  test("property: streaming bloomBits changelog sum-rolls to the exact " +
-      "batch Bloom filter across micro-batches (emit-once), narrow AND wide") {
+  test("property: streaming bloomBits changelog OR-rolls to the exact " +
+      "batch Bloom filter across micro-batches, narrow AND wide") {
     val spark2 = spark
     import spark2.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -247,11 +246,11 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
       val rnd = new scala.util.Random(59)
       val mem = MemoryStream[(String, String)]
       // 100 distinct items over 5×300 rows: every batch re-sends mostly
-      // already-set bits, so the emit-once state discipline is what keeps
-      // sum(mask) == bitwise OR — any double emission breaks equality
+      // already-set bits, so the same (word, bit) is emitted by MANY
+      // (partition, batch) pairs — bit_or folds them idempotently (a sum
+      // fold would require the old emit-once state discipline)
       val out = StreamingTSDF.bloomBits(mem.toDF().toDF("src", "item"),
-        Seq("src"), col("item"), mBits = 31 * 40, depth = 3, wide = wide,
-        salts = 4)
+        Seq("src"), col("item"), mBits = 31 * 40, depth = 3, wide = wide)
       val sinkName = s"bloom_diff_sink_$wide"
       val q = out.writeStream.format("memory").queryName(sinkName)
         .outputMode(OutputMode.Append()).start()
@@ -266,7 +265,7 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
       q.stop()
       val rolled = spark.table(sinkName)
         .groupBy(col("src"), col("word"))
-        .agg(sum(col("mask")).alias("word_mask"))
+        .agg(expr("bit_or(mask)").alias("word_mask"))
       for (srcv <- Seq("s0", "s1", "s2")) {
         val subset = all.toSeq.filter(_._1 == srcv).map(_._2).toDF("item")
         val batchFilter = graft.pipeline.Sketch.bloomBuild(
@@ -581,14 +580,14 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
   }
 
   test("property: streaming pairCountDeltas fold to the exact batch pair " +
-      "counts across micro-batches and salt groups") {
+      "counts across micro-batches and input partitions") {
     val spark2 = spark
     import spark2.implicits._
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(97)
     val mem = MemoryStream[(String, String)]
     val out = StreamingTSDF.pairCountDeltas(mem.toDF().toDF("a", "b"),
-      col("a"), col("b"), salts = 5)
+      col("a"), col("b"))
     val q = out.writeStream.format("memory").queryName("pair_diff_sink")
       .outputMode(OutputMode.Append()).start()
     val all = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -635,17 +634,16 @@ class StreamingBatchDifferentialSpec extends SparkTestBase {
   }
 
   test("property: streaming gramDeltas sum-roll to the exact batch Gram " +
-      "matrix across micro-batches and salt groups") {
+      "matrix across micro-batches and input partitions") {
     val spark2 = spark
     import spark2.implicits._
     implicit val sqlCtx = spark.sqlContext
     val dim = 6
     val rnd = new scala.util.Random(71)
     val mem = MemoryStream[Seq[Double]]
-    // salts = 5 exercises the salt-group spread; negative coordinates
-    // exercise signed products
+    // negative coordinates exercise signed products
     val out = StreamingTSDF.gramDeltas(
-      mem.toDF().toDF("vec"), col("vec"), dim = dim, salts = 5)
+      mem.toDF().toDF("vec"), col("vec"), dim = dim)
     val q = out.writeStream.format("memory").queryName("gram_diff_sink")
       .outputMode(OutputMode.Append()).start()
     val all = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]

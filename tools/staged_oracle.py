@@ -33,13 +33,26 @@ def split_ctes(sql):
         j = i + m.end()          # first char inside the paren
         depth = 1
         k = j
-        while depth > 0:
+        while depth > 0 and k < len(sql):
             c = sql[k]
-            if c == '(':
+            if c == "'":
+                # skip string literals so quoted parens ('(' / ')') and
+                # escaped quotes ('') can't corrupt the depth count
+                k += 1
+                while k < len(sql):
+                    if sql[k] == "'":
+                        if k + 1 < len(sql) and sql[k + 1] == "'":
+                            k += 2
+                            continue
+                        break
+                    k += 1
+            elif c == '(':
                 depth += 1
             elif c == ')':
                 depth -= 1
             k += 1
+        if depth > 0:
+            raise ValueError(f"unbalanced parens in CTE body '{name}'")
         ctes.append((name, sql[j:k - 1]))
         i = k
         m2 = re.match(r"\s*,", sql[i:])
